@@ -1,13 +1,372 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 (the t2 inventory) and
+  * §7. Each entry in `queries` is one operator from the inventory; each
+  * `oracleSql` entry is the DuckDB-equivalent SQL over the same parquet
+  * tables, written to be hash-identical (same column names, same
+  * result types, same total-order ORDER BY, same float-determinism
+  * treatment — see graft.engine.Determinism).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    RelationalOps.pricingSummary(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // R1–R10: reference capabilities (SURVEY §2.1)
+    "ingest_raw"          -> (ReferenceOps.ingestRaw _),
+    "raw_store_format"    -> (ReferenceOps.rawStoreFormat _),
+    "ohlc_hourly"         -> (ReferenceOps.ohlcHourly _),
+    "have_samples"        -> (ReferenceOps.haveSamples _),
+    "latest_tick"         -> (ReferenceOps.latestTick _),
+    "running_avg"         -> (ReferenceOps.runningAvg _),
+    "retention_day"       -> (ReferenceOps.retentionDay _),
+    "hour_rollover"       -> (ReferenceOps.hourRollover _),
+    "error_tolerant_scan" -> (ReferenceOps.errorTolerantScan _),
+    "display_format"      -> (ReferenceOps.displayFormat _),
+    // E1–E10: relational extension (SURVEY §2.2)
+    "pricing_summary"     -> (RelationalOps.pricingSummary _),
+    "join_broadcast"      -> (RelationalOps.joinBroadcast _),
+    "join_shuffle"        -> (RelationalOps.joinShuffle _),
+    "join_semi"           -> (RelationalOps.joinSemi _),
+    "join_anti"           -> (RelationalOps.joinAnti _),
+    "join_asof_nearest"   -> (RelationalOps.joinAsofNearest _),
+    "topk_orders"         -> (RelationalOps.topkOrders _),
+    "window_rank"         -> (RelationalOps.windowRank _),
+    "rollup_report"       -> (RelationalOps.rollupReport _),
+    "set_ops"             -> (RelationalOps.setOps _),
+    // E11–E15: function catalog
+    "distinct_users"        -> (FunctionOps.distinctUsers _),
+    "distinct_users_approx" -> (FunctionOps.distinctUsersApprox _),
+    "json_extract"          -> (FunctionOps.jsonExtract _),
+    "string_funcs"          -> (FunctionOps.stringFuncs _),
+    "date_math"             -> (FunctionOps.dateMath _),
+    "array_funcs"           -> (FunctionOps.arrayFuncs _),
+    // E16–E21 + LLM-pipeline surface
+    "sessionize"          -> (LlmTextOps.sessionize _),
+    "dedup_exact"         -> (LlmTextOps.dedupExact _),
+    "dedup_near"          -> (LlmTextOps.dedupNear _),
+    "dedup_minhash"       -> (LlmTextOps.dedupMinhash _),
+    "dedup_simhash"       -> (LlmTextOps.dedupSimhash _),
+    "text_stats"          -> (LlmTextOps.textStats _),
+    "lang_id"             -> (LlmTextOps.langId _),
+    "text_quality"        -> (LlmTextOps.textQuality _),
+    "token_count"         -> (LlmTextOps.tokenCount _),
+    "doc_fingerprint"     -> (LlmTextOps.docFingerprint _),
+    "similarity_topk"     -> (LlmVectorOps.similarityTopk _),
+    "similarity_lsh"      -> (LlmVectorOps.similarityLsh _),
+    "dedup_embed"         -> (LlmVectorOps.dedupEmbed _),
+    "multimodal_profile"  -> (LlmVectorOps.multimodalProfile _),
+    "multimodal_binary"   -> (LlmVectorOps.multimodalBinary _),
+    "multimodal_features" -> (LlmVectorOps.multimodalFeatures _),
+  )
+
+  /** DuckDB oracle SQL. Omitted (weaker rows-only check) for the
+    * approximate / engine-hash-dependent / stub-decode operators:
+    * distinct_users_approx, dedup_minhash, dedup_simhash,
+    * similarity_lsh, multimodal_features.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "ingest_raw" ->
+      """SELECT ts, event_type AS symbol, CAST(value AS DOUBLE) AS price
+         FROM events ORDER BY ts, symbol""",
+    "raw_store_format" ->
+      """SELECT strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS timestamp_str,
+                event_type AS symbol, CAST(value AS DOUBLE) AS price
+         FROM events ORDER BY timestamp_str, symbol""",
+    "ohlc_hourly" ->
+      """WITH t AS (SELECT date_trunc('hour', ts) AS h, event_type AS symbol,
+                           value AS price, ts FROM events)
+         SELECT CAST(h AS DATE) AS date,
+                CAST(EXTRACT(hour FROM h) AS INTEGER) AS hour, symbol,
+                arg_min(price, ts) AS open_price, max(price) AS high_price,
+                min(price) AS low_price, arg_max(price, ts) AS close_price,
+                ROUND(avg(price), 6) AS avg_price, count(*) AS sample_count
+         FROM t GROUP BY h, symbol ORDER BY date, hour, symbol""",
+    "have_samples" ->
+      """SELECT event_type AS symbol, count(*) AS sample_count
+         FROM events GROUP BY 1 HAVING count(*) > 0 ORDER BY symbol""",
+    "latest_tick" ->
+      """SELECT event_type AS symbol, arg_max(value, ts) AS latest_price,
+                max(ts) AS latest_timestamp
+         FROM events GROUP BY 1 ORDER BY symbol""",
+    "running_avg" ->
+      """SELECT ts, event_type AS symbol, CAST(value AS DOUBLE) AS price,
+                ROUND(CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT))
+                        OVER w AS DOUBLE)
+                      / (COUNT(*) OVER w * 100.0), 6) AS running_avg
+         FROM events
+         WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY symbol, ts""",
+    "retention_day" ->
+      """SELECT ts, event_type AS symbol, CAST(value AS DOUBLE) AS price
+         FROM events
+         WHERE CAST(ts AS DATE) = (SELECT max(CAST(ts AS DATE)) FROM events)
+         ORDER BY ts, symbol""",
+    "hour_rollover" ->
+      """WITH t AS (SELECT date_trunc('hour', ts) AS h, event_type AS symbol,
+                           value AS price, ts FROM events
+                    WHERE date_trunc('hour', ts) <
+                          (SELECT date_trunc('hour', max(ts)) FROM events))
+         SELECT CAST(h AS DATE) AS date,
+                CAST(EXTRACT(hour FROM h) AS INTEGER) AS hour, symbol,
+                arg_min(price, ts) AS open_price, max(price) AS high_price,
+                min(price) AS low_price, arg_max(price, ts) AS close_price,
+                ROUND(avg(price), 6) AS avg_price, count(*) AS sample_count
+         FROM t GROUP BY h, symbol ORDER BY date, hour, symbol""",
+    "error_tolerant_scan" ->
+      """SELECT event_type AS symbol, count(*) AS n_total,
+                count(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER))
+                  AS n_valid
+         FROM events GROUP BY 1 ORDER BY symbol""",
+    "display_format" ->
+      """SELECT ts, event_type AS symbol,
+                printf('%s: $%.2f at %s', event_type, value,
+                       strftime(ts, '%Y-%m-%d %H:%M:%S')) AS display
+         FROM events ORDER BY ts, symbol""",
+    "pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                  AS sum_base_price,
+                CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                              AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+                ROUND(AVG(l_quantity), 6) AS avg_qty,
+                ROUND(AVG(l_extendedprice), 6) AS avg_price,
+                COUNT(*) AS count_order
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "join_broadcast" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_customers,
+                CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                  AS sum_acctbal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "join_shuffle" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                  AS sum_totalprice
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
+    "join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "join_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "join_asof_nearest" ->
+      """SELECT p.user_id AS user_id, p.ts AS purchase_ts,
+                c.ts AS last_click_ts
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND p.ts >= c.ts
+         ORDER BY user_id, purchase_ts""",
+    "topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn,
+                  CAST(RANK() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rnk
+           FROM orders)
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "rollup_report" ->
+      """SELECT COALESCE(c_mktsegment, 'ALL') AS mktsegment,
+                COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+                COUNT(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                  AS sum_totalprice
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY ROLLUP(c_mktsegment, o_orderstatus)
+         ORDER BY mktsegment, orderstatus""",
+    "set_ops" ->
+      """WITH cn AS (SELECT DISTINCT n_name FROM customer
+                     JOIN nation ON c_nationkey = n_nationkey),
+              sn AS (SELECT DISTINCT n_name FROM supplier
+                     JOIN nation ON s_nationkey = n_nationkey)
+         SELECT 'union' AS op, n_name FROM (SELECT n_name FROM cn
+                                            UNION SELECT n_name FROM sn)
+         UNION ALL
+         SELECT 'intersect' AS op, n_name FROM (SELECT n_name FROM cn
+                                                INTERSECT SELECT n_name FROM sn)
+         UNION ALL
+         SELECT 'except' AS op, n_name FROM (SELECT n_name FROM cn
+                                             EXCEPT SELECT n_name FROM sn)
+         ORDER BY op, n_name""",
+    "distinct_users" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+                COUNT(*) AS n_events
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "json_extract" ->
+      """WITH t AS (SELECT event_type,
+                TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+                    FROM events)
+         SELECT event_type, COUNT(k) AS n_with_k,
+                CAST(SUM(k) AS BIGINT) AS sum_k, ROUND(AVG(k), 6) AS avg_k,
+                MIN(k) AS min_k, MAX(k) AS max_k
+         FROM t GROUP BY 1 ORDER BY 1""",
+    "string_funcs" ->
+      """SELECT doc_id, CAST(length(text) AS INTEGER) AS text_len,
+                CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+                string_split(text, ' ')[1] AS first_token,
+                upper(substring(text, 1, 10)) AS prefix_upper,
+                CAST(strpos(text, 'spark') AS INTEGER) AS spark_pos, lang
+         FROM documents ORDER BY doc_id""",
+    "date_math" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+                CAST(year(o_orderdate) AS INTEGER) AS y,
+                CAST(month(o_orderdate) AS INTEGER) AS m,
+                CAST(day(o_orderdate) AS INTEGER) AS dom,
+                CAST(quarter(o_orderdate) AS INTEGER) AS q,
+                CAST(isodow(o_orderdate) - 1 AS INTEGER) AS dow,
+                CAST(o_orderdate AS DATE) + 30 AS plus30,
+                CAST(datediff('day', DATE '1995-01-01',
+                              CAST(o_orderdate AS DATE)) AS INTEGER)
+                  AS days_since_epoch
+         FROM orders ORDER BY o_orderkey""",
+    "array_funcs" ->
+      """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+                ROUND(list_aggregate([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                        for x in embedding], 'sum'), 6) AS norm_sq,
+                ROUND(list_aggregate([CAST(embedding[i] AS DOUBLE)
+                        * CAST(embedding[len(embedding) + 1 - i] AS DOUBLE)
+                        for i in range(1, len(embedding) + 1)], 'sum'), 6)
+                  AS dot_rev,
+                CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS vmin,
+                CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS vmax,
+                label
+         FROM embeddings ORDER BY vec_id""",
+    "sessionize" ->
+      """WITH t AS (SELECT user_id, ts,
+                epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                      ORDER BY ts)) AS gap_us
+                    FROM events)
+         SELECT user_id, COUNT(*) AS n_events,
+                CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+         FROM t GROUP BY 1 ORDER BY 1""",
+    "dedup_exact" ->
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+         FROM documents GROUP BY text ORDER BY doc_id""",
+    "dedup_near" ->
+      """WITH sh_t AS (
+           SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1]
+                    || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh_t GROUP BY 1),
+         pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+                   FROM sh_t a JOIN sh_t b
+                     ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT i, j, ROUND(inter / (si.sz + sj.sz - inter), 6) AS jaccard
+         FROM pairs JOIN sizes si ON si.doc_id = i
+                    JOIN sizes sj ON sj.doc_id = j
+         WHERE ROUND(inter / (si.sz + sj.sz - inter), 6) >= 0.8
+         ORDER BY i, j""",
+    "text_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                ROUND(AVG(n_chars), 6) AS avg_chars,
+                CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                  AS total_tokens,
+                ROUND(AVG(len(string_split(text, ' '))), 6) AS avg_tokens
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "lang_id" ->
+      """WITH t AS (SELECT doc_id, lang,
+                ROUND(len(list_filter(string_split(text, ' '),
+                        t -> t IN ('the', 'a', 'of', 'and', 'to', 'in')))
+                      / len(string_split(text, ' ')), 6) AS en_ratio
+                    FROM documents)
+         SELECT doc_id, lang, en_ratio,
+                CASE WHEN en_ratio >= 0.05 THEN 'en' ELSE 'und' END
+                  AS predicted_lang
+         FROM t ORDER BY doc_id""",
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+                    FROM documents),
+         u AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                      CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+                      ROUND(len(list_distinct(toks)) / len(toks), 6)
+                        AS distinct_ratio,
+                      ROUND((length(text) - (len(toks) - 1)) / len(toks), 6)
+                        AS avg_token_len,
+                      ROUND(len(list_filter(toks, t2 -> t2 IN
+                              ('the', 'a', 'of', 'and', 'to', 'in')))
+                            / len(toks), 6) AS stop_ratio
+               FROM t)
+         SELECT doc_id, n_tokens, n_distinct, distinct_ratio, avg_token_len,
+                stop_ratio,
+                ROUND(LEAST(n_tokens / 100.0, 1.0) * 0.4
+                      + distinct_ratio * 0.4
+                      + (1.0 - stop_ratio) * 0.2, 6) AS quality_score
+         FROM u ORDER BY doc_id""",
+    "token_count" ->
+      """SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+                CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER)
+                  AS re_tokens,
+                CAST(length(text) AS INTEGER) AS n_chars_actual, n_chars
+         FROM documents ORDER BY doc_id""",
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+                list_reduce(list_prepend(0::BIGINT,
+                    [CAST(ascii(t) * 31 + length(t) AS BIGINT)
+                     for t in string_split(text, ' ')]),
+                  (acc, v) -> (acc * 131 + v) % 1000000007) AS fingerprint
+         FROM documents ORDER BY doc_id""",
+    "similarity_topk" ->
+      """WITH probes AS (SELECT vec_id AS probe_id, embedding AS probe_emb
+                         FROM embeddings WHERE vec_id < 5),
+         pairs AS (
+           SELECT probe_id, vec_id,
+                  ROUND(list_aggregate([CAST(probe_emb[i] AS DOUBLE)
+                          * CAST(embedding[i] AS DOUBLE)
+                          for i in range(1, len(probe_emb) + 1)], 'sum')
+                    / (sqrt(list_aggregate([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                             for x in probe_emb], 'sum'))
+                       * sqrt(list_aggregate([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                              for x in embedding], 'sum'))), 6) AS score
+           FROM embeddings, probes WHERE vec_id <> probe_id),
+         ranked AS (SELECT probe_id, vec_id, score,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                    ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rank
+                    FROM pairs)
+         SELECT probe_id, rank, vec_id, score FROM ranked
+         WHERE rank <= 10 ORDER BY probe_id, rank""",
+    "dedup_embed" ->
+      """WITH pairs AS (
+           SELECT a.vec_id AS i, b.vec_id AS j,
+                  ROUND(list_aggregate([CAST(a.embedding[k] AS DOUBLE)
+                          * CAST(b.embedding[k] AS DOUBLE)
+                          for k in range(1, len(a.embedding) + 1)], 'sum')
+                    / (sqrt(list_aggregate([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                             for x in a.embedding], 'sum'))
+                       * sqrt(list_aggregate([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                              for x in b.embedding], 'sum'))), 6) AS cos_sim
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         SELECT i, j, cos_sim FROM pairs WHERE cos_sim >= 0.4 ORDER BY i, j""",
+    "multimodal_profile" ->
+      """SELECT lang, label, COUNT(*) AS n,
+                ROUND(AVG(n_chars), 6) AS avg_chars,
+                ROUND(AVG(sqrt(list_aggregate([CAST(x AS DOUBLE)
+                        * CAST(x AS DOUBLE) for x in embedding], 'sum'))), 6)
+                  AS avg_norm
+         FROM documents JOIN embeddings ON doc_id = vec_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "multimodal_binary" ->
+      """SELECT doc_id,
+                CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+                substring(hex(encode(text)), 1, 16) AS header_hex, lang, source
+         FROM documents ORDER BY doc_id""",
+  )
 }

@@ -1,0 +1,52 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loaders over the driver-generated testdata layout
+  * (`TESTDATA.md`): one parquet file per table under `$sfDir/`.
+  *
+  * 100 TB posture: at scale these would be partitioned directories
+  * (partitionBy date for `events`, hash-bucketed by key for the join
+  * tables); the loader is the single seam where that layout swap
+  * happens — every operator goes through it and stays unchanged.
+  */
+object Tables {
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+
+  /** `events.ts` is TIMESTAMP(NANOS) in the parquet footer, which
+    * Spark's reader rejects. Read it as raw INT64 nanos (legacy conf)
+    * and truncate to µs — exactly what DuckDB does when it casts the
+    * same column to its µs TIMESTAMP, so the oracle agrees.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** The reference's tick stream (`dataCollector.py:110-114`) mapped onto
+    * the `events` table per SURVEY.md §2: ts→timestamp, event_type→symbol,
+    * value→price. The cast mirrors `float(data['price'])`
+    * (`dataCollector.py:105`).
+    */
+  def ticks(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    events(s, d).select(
+      col("ts"),
+      col("event_type").as("symbol"),
+      col("value").cast("double").as("price"))
+  }
+}

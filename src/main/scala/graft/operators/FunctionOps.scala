@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Determinism.r6
+import graft.engine.Tables
+
+/** E11–E15: scalar/aggregate function catalog (SURVEY.md §2.2) —
+  * distinct (exact + HLL), JSON, string, date/time, and array
+  * higher-order functions. All built-ins ⇒ whole-stage codegen; no
+  * UDFs in any hot path.
+  */
+object FunctionOps {
+
+  /** E11 `distinct_users` — exact distinct per group. At 100 TB
+    * `count(distinct)` is a two-phase shuffle (expand + re-agg);
+    * the HLL twin below is the constant-memory scale path.
+    */
+  def distinctUsers(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** E11b `distinct_users_approx` — HLL++ sketch variant (no oracle:
+    * approximate by design). rsd=0.01 keeps the sketch ~constant
+    * memory per group regardless of cardinality.
+    */
+  def distinctUsersApprox(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.01).as("n_users_approx"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** E12 `json_extract` — JSON scalar path extraction from
+    * `events.props` ('{"k": <int>}') + grouped stats over it.
+    */
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n_with_k"),
+        sum(col("k").cast("long")).as("sum_k"),
+        r6(avg(col("k"))).as("avg_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  /** E13 `string_funcs` — string scalar catalog over `documents`:
+    * length, split/size, element access, case, substring, position.
+    */
+  def stringFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("text_len"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        element_at(split(col("text"), " "), 1).as("first_token"),
+        upper(substring(col("text"), 1, 10)).as("prefix_upper"),
+        instr(col("text"), "spark").as("spark_pos"),
+        col("lang"))
+      .orderBy("doc_id")
+
+  /** E14 `date_math` — date/time scalar catalog over `orders`:
+    * component extraction, truncation, day arithmetic, datediff.
+    * weekday(): Monday=0 (oracle twin: DuckDB isodow-1).
+    */
+  def dateMath(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        to_date(col("o_orderdate")).as("od"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        quarter(col("o_orderdate")).as("q"),
+        weekday(col("o_orderdate")).as("dow"),
+        date_add(to_date(col("o_orderdate")), 30).as("plus30"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+          .as("days_since_epoch"))
+      .orderBy("o_orderkey")
+
+  /** E15 `array_funcs` — higher-order array functions over the
+    * 64-dim float embeddings: size, fold (sum of squares), zip_with
+    * (dot with reversed self), element min/max. All arithmetic is
+    * cast to double *before* multiply and folded in list order so the
+    * oracle reproduces bit-identical values (then rounded 6 dp).
+    */
+  def arrayFuncs(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val sq = expr(
+      "aggregate(embedding, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+    val dotRev = expr(
+      """aggregate(
+           zip_with(embedding, reverse(embedding),
+                    (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)),
+           0.0D, (acc, v) -> acc + v)""")
+    e.select(
+      col("vec_id"),
+      size(col("embedding")).as("dim"),
+      r6(sq).as("norm_sq"),
+      r6(dotRev).as("dot_rev"),
+      array_min(col("embedding")).cast("double").as("vmin"),
+      array_max(col("embedding")).cast("double").as("vmax"),
+      col("label"))
+      .orderBy("vec_id")
+  }
+}

@@ -1,0 +1,238 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Determinism.r6
+import graft.engine.Tables
+
+/** Text-side LLM-data-pipeline operators (SURVEY.md §2.2 E16–E18/E20 +
+  * the mandated dedup/text-analysis surface): sessionization, exact and
+  * near dedup (shingle-Jaccard exact form + MinHash-LSH and SimHash
+  * scale forms), language-ID heuristic, quality scoring, token
+  * counting, and rolling-hash fingerprints.
+  */
+object LlmTextOps {
+
+  /** Documents with their distinct 3-token shingles, exploded.
+    * k=3 shingling because the corpus vocabulary is tiny (~31 tokens):
+    * unigram sets are near-identical across all docs, 3-gram sets
+    * separate true near-dups (J≥0.8) from noise (J≤0.1).
+    */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("sh", explode(array_distinct(expr(
+        """transform(sequence(0, size(toks) - 3),
+                     i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"""))))
+      .select(col("doc_id"), col("sh"))
+
+  /** E16 `sessionize` — gap-based sessionization (batch form of
+    * session windows): a new session starts when the gap to the
+    * previous event of the same user exceeds 30 min. One shuffle on
+    * user_id; state is O(1) per stream (lag). Streaming twin:
+    * `session_window(ts, "30 minutes")`.
+    */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull
+          || unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800L,
+          1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("new_session")).as("n_sessions"))
+      .orderBy("user_id")
+  }
+
+  /** E17 `dedup_exact` — exact dedup on text: hash-groupBy on the
+    * content, deterministic survivor = min doc_id. At 100 TB, group
+    * on a content digest (xxhash64/sha2) instead of the full text to
+    * shrink shuffle width — semantics identical.
+    */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("text"))
+      .agg(
+        min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+      .orderBy("doc_id")
+
+  /** E18 `dedup_near` — near-dup pairs by exact 3-shingle Jaccard
+    * ≥ 0.8. Exact formulation for the oracle; the LSH twins below are
+    * the 100 TB path (this one is quadratic in docs sharing a
+    * shingle). Shuffles: explode → self-join on shingle → pair count.
+    */
+  def dedupNear(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(s, d)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col("doc_id").as("i"), col("sh"))
+    val b = sh.select(col("doc_id").as("j"), col("sh"))
+    val inter = a.join(b, Seq("sh")).where(col("i") < col("j"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("i"), col("sz").as("sz_i")), Seq("i"))
+      .join(sizes.select(col("doc_id").as("j"), col("sz").as("sz_j")), Seq("j"))
+      .withColumn("jaccard",
+        r6(col("inter") / (col("sz_i") + col("sz_j") - col("inter"))))
+      .where(col("jaccard") >= 0.8)
+      .select("i", "j", "jaccard")
+      .orderBy("i", "j")
+  }
+
+  /** `dedup_minhash` — MinHash + banded LSH, the scale path for E18
+    * (no oracle: signature permutations are engine-specific).
+    * 32 hashes = 8 bands × 4 rows; band-bucket join finds candidates
+    * in O(near-dups), then candidates are verified with the signature
+    * Jaccard estimate. At 100 TB only the band join shuffles, and only
+    * doc_id+band keys move.
+    */
+  def dedupMinhash(s: SparkSession, d: String): DataFrame = {
+    val nHashes = 32
+    val nBands  = 8 // 4 rows/band
+    val sh = shingled(s, d).withColumn("h", xxhash64(col("sh")))
+    // 32 cheap linear permutations of the base shingle hash, in a
+    // modular ring so the multiply never overflows Long under ANSI:
+    // h' = ((h mod P) * a_p + b_p) mod Q with P·a_p < 2^63.
+    val P = 1000000007L
+    val Q = 4294967311L // prime > 2^32
+    val minhashCols = (0 until nHashes).map { p =>
+      min(pmod(pmod(col("h"), lit(P)) * lit(2654435761L + 2 * p)
+        + lit(40503L * p), lit(Q))).as(s"mh$p")
+    }
+    val sigs = sh.groupBy(col("doc_id")).agg(minhashCols.head, minhashCols.tail: _*)
+      .withColumn("sig", array((0 until nHashes).map(p => col(s"mh$p")): _*))
+      .select(col("doc_id"), col("sig"))
+    val banded = sigs.select(
+      col("doc_id"), col("sig"),
+      explode(expr(
+        s"""transform(sequence(0, ${nBands - 1}),
+              b -> struct(b AS band,
+                          xxhash64(slice(sig, b * ${nHashes / nBands} + 1,
+                                         ${nHashes / nBands})) AS bh))"""))
+        .as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
+        col("x.sig").as("sig_i"), col("y.sig").as("sig_j"))
+      .distinct()
+    cand
+      .withColumn("est_jaccard", r6(expr(
+        s"""aggregate(zip_with(sig_i, sig_j, (a, b) -> IF(a = b, 1, 0)),
+                      0, (acc, v) -> acc + v) / CAST($nHashes AS DOUBLE)""")))
+      .where(col("est_jaccard") >= 0.8)
+      .select("i", "j", "est_jaccard")
+      .orderBy("i", "j")
+  }
+
+  /** `dedup_simhash` — 64-bit SimHash near-dup detection (no oracle).
+    * Signature = sign of the per-bit sum of token-hash bits; near-dups
+    * = pairs at Hamming distance ≤ 3. Signature build is one narrow
+    * agg; the pair scan here is brute-force (fine at test sf) — at
+    * scale, block on 4×16-bit signature chunks (pigeonhole) first.
+    */
+  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val sigs = Tables.documents(s, d)
+      .withColumn("th", expr("transform(split(text, ' '), t -> xxhash64(t))"))
+      .withColumn("sig", expr(
+        """aggregate(sequence(0, 63), 0L, (acc, b) ->
+             acc + IF(aggregate(th, 0L,
+                        (c, h) -> c + IF((h >> b) & 1 = 1, 1L, -1L)) > 0L,
+                      shiftleft(1L, b), 0L))"""))
+      .select(col("doc_id"), col("sig"))
+    sigs.as("x").join(sigs.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .withColumn("hamming", bit_count(col("x.sig").bitwiseXOR(col("y.sig"))))
+      .where(col("hamming") <= 3)
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"), col("hamming"))
+      .orderBy("i", "j")
+  }
+
+  /** E20 `text_stats` — corpus stats per language: doc count, char
+    * stats, token totals. Integer sums are exact; averages rounded.
+    */
+  def textStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        r6(avg(col("n_chars"))).as("avg_chars"),
+        sum(col("n_tokens")).as("total_tokens"),
+        r6(avg(col("n_tokens"))).as("avg_tokens"))
+      .orderBy("lang")
+
+  /** `lang_id` — n-gram/stopword-heuristic language ID: the fraction
+    * of tokens drawn from an English function-word list. (The corpus
+    * is synthetic English-ish tokens under every lang label, so the
+    * heuristic scores content, not the label — that's the point of a
+    * content-based classifier.)
+    */
+  def langId(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("en_hits", expr(
+        "size(filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to', 'in')))"))
+      .withColumn("en_ratio", r6(col("en_hits") / size(col("toks"))))
+      .withColumn("predicted_lang",
+        when(col("en_ratio") >= 0.05, lit("en")).otherwise(lit("und")))
+      .select("doc_id", "lang", "en_ratio", "predicted_lang")
+      .orderBy("doc_id")
+
+  /** `text_quality` — per-doc quality features + a deterministic
+    * composite score (length, lexical diversity, stopword ratio) of
+    * the kind used to filter LLM pretraining data.
+    */
+  def textQuality(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("distinct_ratio", r6(col("n_distinct") / col("n_tokens")))
+      .withColumn("avg_token_len",
+        r6((length(col("text")) - (col("n_tokens") - 1L)) / col("n_tokens")))
+      .withColumn("stop_ratio", r6(expr(
+        "size(filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to', 'in')))")
+        / col("n_tokens")))
+      .withColumn("quality_score", r6(
+        least(col("n_tokens") / 100.0, lit(1.0)) * 0.4
+          + col("distinct_ratio") * 0.4
+          + (lit(1.0) - col("stop_ratio")) * 0.2))
+      .select("doc_id", "n_tokens", "n_distinct", "distinct_ratio",
+        "avg_token_len", "stop_ratio", "quality_score")
+      .orderBy("doc_id")
+
+  /** `token_count` — whitespace tokens + a word-regex count + char
+    * count per doc (the BPE-ish pre-tokenizer accounting pass).
+    */
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z0-9]+")).as("re_tokens"),
+        length(col("text")).as("n_chars_actual"),
+        col("n_chars"))
+      .orderBy("doc_id")
+
+  /** `doc_fingerprint` — rolling polynomial hash over the token
+    * stream (mod 1e9+7): a cheap content fingerprint for incremental
+    * dedup ledgers. Pure 64-bit integer folds ⇒ bit-exact in any
+    * engine.
+    */
+  def docFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("codes", expr(
+        "transform(split(text, ' '), t -> CAST(ascii(t) * 31 + length(t) AS BIGINT))"))
+      .withColumn("fingerprint", expr(
+        "aggregate(codes, 0L, (acc, v) -> (acc * 131 + v) % 1000000007)"))
+      .select("doc_id", "fingerprint")
+      .orderBy("doc_id")
+}

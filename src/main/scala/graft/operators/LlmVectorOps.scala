@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.engine.Determinism.r6
+import graft.engine.Tables
+
+/** Vector-similarity + multimodal-column operators (SURVEY.md §2.2
+  * E19/E21 + the mandated ANN and multimodal surface).
+  *
+  * Determinism contract for every cosine here: dot and norms are
+  * folded in list order with each float cast to double *before* the
+  * multiply — the DuckDB oracle does the identical op sequence, so
+  * the doubles match bit-for-bit and survive 6 dp rounding.
+  */
+object LlmVectorOps {
+
+  /** cosine(a, b) as codegen-friendly built-in HOFs (zip_with +
+    * aggregate). Kept as a Column builder so every operator shares
+    * the exact same op order.
+    */
+  private def cosineExpr(a: String, b: String): org.apache.spark.sql.Column =
+    expr(
+      s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                    0.0D, (acc, v) -> acc + v)
+          / (sqrt(aggregate($a, 0.0D,
+                    (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+             * sqrt(aggregate($b, 0.0D,
+                    (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""")
+
+  /** E19 `similarity_topk` — brute-force cosine top-k: probes
+    * (vec_id < 5) × corpus, ranked per probe. The probe side is tiny
+    * and broadcast, so this is a map-side nested loop over the corpus
+    * — the correct *exact* baseline even at scale (cost = one corpus
+    * scan per probe batch). `similarity_lsh` below is the sublinear
+    * path.
+    */
+  def similarityTopk(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val probes = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+    val pairs = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("score", r6(cosineExpr("probe_emb", "embedding")))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("score").desc, col("vec_id").asc)
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 10)
+      .select("probe_id", "rank", "vec_id", "score")
+      .orderBy("probe_id", "rank")
+  }
+
+  /** `similarity_lsh` — random-hyperplane LSH-bucketed ANN (no
+    * oracle: approximate by design). Signature = sign bits of the
+    * projection onto 12 deterministic pseudo-random hyperplanes;
+    * candidates share a signature bucket with a probe; exact cosine
+    * re-rank inside the bucket. At 100 TB the bucket join replaces
+    * the corpus broadcast-scan with a shuffle on 12-bit keys.
+    * Hyperplane h_b[i] = ((i*2654435761 + b*40503) mod 97)/96 - 0.5 —
+    * seedless, reproducible arithmetic instead of RNG state.
+    */
+  def similarityLsh(s: SparkSession, d: String): DataFrame = {
+    val nPlanes = 12
+    val sigExpr = expr(
+      s"""aggregate(sequence(0, ${nPlanes - 1}), 0L, (acc, b) ->
+            acc + IF(aggregate(zip_with(embedding,
+                       transform(sequence(0, size(embedding) - 1),
+                         i -> CAST(pmod(i * 2654435761 + b * 40503, 97) AS DOUBLE) / 96.0D - 0.5D),
+                       (x, h) -> CAST(x AS DOUBLE) * h),
+                     0.0D, (a2, v) -> a2 + v) > 0.0D,
+                     shiftleft(1L, b), 0L))""")
+    val e = Tables.embeddings(s, d).withColumn("bucket", sigExpr)
+    val probes = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+        col("bucket"))
+    val cand = e.join(probes, Seq("bucket"))
+      .where(col("vec_id") =!= col("probe_id"))
+      .withColumn("score", r6(cosineExpr("probe_emb", "embedding")))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("score").desc, col("vec_id").asc)
+    cand
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 10)
+      .select("probe_id", "rank", "vec_id", "score")
+      .orderBy("probe_id", "rank")
+  }
+
+  /** `dedup_embed` — embedding-cosine near-dup pairs (cos ≥ 0.4,
+    * where this corpus's near-dup mass sits). Exact all-pairs at test
+    * sf; at scale, run behind `similarity_lsh` blocking.
+    */
+  def dedupEmbed(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("vec_id").as("i"), col("embedding").as("emb_i"))
+    val b = e.select(col("vec_id").as("j"), col("embedding").as("emb_j"))
+    a.join(b, col("i") < col("j"))
+      .withColumn("cos_sim", r6(cosineExpr("emb_i", "emb_j")))
+      .where(col("cos_sim") >= 0.4)
+      .select("i", "j", "cos_sim")
+      .orderBy("i", "j")
+  }
+
+  /** E21 `multimodal_profile` — one profiled row set joining text
+    * (documents) and vector (embeddings) modalities on doc_id=vec_id,
+    * aggregated per (lang, label): the "join everything about a
+    * sample" pass of a training-data pipeline.
+    */
+  def multimodalProfile(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val embs = Tables.embeddings(s, d)
+      .withColumn("norm", expr(
+        """sqrt(aggregate(embedding, 0.0D,
+                 (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"""))
+    docs.join(embs, col("doc_id") === col("vec_id"))
+      .groupBy(col("lang"), col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        r6(avg(col("n_chars"))).as("avg_chars"),
+        r6(avg(col("norm"))).as("avg_norm"))
+      .orderBy("lang", "label")
+  }
+
+  /** `multimodal_binary` — opaque-binary column plumbing: treat the
+    * payload as bytes (here text encoded to UTF-8 standing in for
+    * image/audio blobs), carry typed metadata alongside, and compute
+    * byte-level features (length, header hex) relationally.
+    */
+  def multimodalBinary(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .select(
+        col("doc_id"),
+        octet_length(col("payload")).as("n_bytes"),
+        hex(substring(col("payload"), 1, 8)).as("header_hex"),
+        col("lang"), col("source"))
+      .orderBy("doc_id")
+
+  /** `multimodal_features` — decode/feature-extract pass over binary
+    * payloads (no oracle: the decode is a STUB). The Spark-side
+    * plumbing is real — binary column in, fixed feature schema out,
+    * executed distributed via a deterministic per-row kernel; swap
+    * `fakeDecode` for a real image/audio decoder (the container has
+    * no codec libs). Runs as a typed map, partition-parallel, no
+    * shuffle.
+    */
+  def multimodalFeatures(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_bytes", IntegerType, nullable = false),
+      StructField("byte_mean", DoubleType, nullable = false),
+      StructField("fake_width", IntegerType, nullable = false),
+      StructField("fake_height", IntegerType, nullable = false),
+      StructField("fake_channels", IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val out = src.map { row =>
+      val id = row.getLong(0)
+      val bytes = row.getAs[Array[Byte]](1)
+      // STUB decoder: deterministic fake "image" dims + byte stats in
+      // place of a real codec; replace with e.g. javax.imageio /
+      // ffmpeg-cli in a codec-equipped image.
+      val (w, h, c) = fakeDecode(bytes)
+      var sum = 0L
+      var k = 0
+      while (k < bytes.length) { sum += (bytes(k) & 0xff); k += 1 }
+      val mean = if (bytes.length == 0) 0.0
+      else math.rint(sum.toDouble / bytes.length * 1e6) / 1e6
+      Row(id, bytes.length, mean, w, h, c)
+    }(enc)
+    out.orderBy("doc_id")
+  }
+
+  /** Stubbed binary decoder: pretends the payload is an image whose
+    * dims derive from the byte length. Deterministic so tests can pin
+    * outputs.
+    */
+  private[operators] def fakeDecode(bytes: Array[Byte]): (Int, Int, Int) = {
+    val n = bytes.length
+    (math.max(1, n % 640), math.max(1, (n / 7) % 480), 3)
+  }
+}

@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Determinism.{dsum, r6}
+import graft.engine.Tables
+
+/** R1–R10: the reference's own capabilities (SURVEY.md §2.1),
+  * re-expressed as declarative Spark plans over the `events` table
+  * (ts→timestamp, event_type→symbol, value→price).
+  *
+  * The reference (`/root/reference/dataCollector.py`) is a
+  * single-threaded poll→SQLite→hourly-flush→Postgres loop; every one of
+  * its behaviors is a projection, a tumbling-window aggregation, or a
+  * TTL filter — all first-class Catalyst operators here, so predicate
+  * pushdown / partial aggregation / whole-stage codegen come for free.
+  */
+object ReferenceOps {
+
+  /** R1 `ingest_raw` — source scan + projection + cast
+    * (`dataCollector.py:97-117`). At 100 TB this is a pure map stage:
+    * no shuffle, column-pruned parquet scan.
+    */
+  def ingestRaw(s: SparkSession, d: String): DataFrame =
+    Tables.ticks(s, d).orderBy("ts", "symbol")
+
+  /** R2 `raw_store_format` — sink-edge ISO-8601 serialization
+    * (`dataCollector.py:126` `entry['timestamp'].isoformat()`).
+    */
+  def rawStoreFormat(s: SparkSession, d: String): DataFrame =
+    Tables.ticks(s, d)
+      .select(
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("timestamp_str"),
+        col("symbol"), col("price"))
+      .orderBy("timestamp_str", "symbol")
+
+  /** R3 `ohlc_hourly` — THE core operator: per (hour, symbol) OHLC +
+    * avg + count (state `dataCollector.py:20-30`, update `:80-94`,
+    * flush `:140-163`). One hash-aggregate with map-side partials; the
+    * reference's incremental running mean is exactly Spark's
+    * partial+final `avg`. `min_by/max_by(price, ts)` gives true
+    * first/last-by-time (also fixes the reference's falsy-zero open
+    * bug at `dataCollector.py:83`, per SURVEY §7).
+    */
+  def ohlcHourly(s: SparkSession, d: String): DataFrame =
+    Tables.ticks(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("symbol"))
+      .agg(
+        min_by(col("price"), col("ts")).as("open_price"),
+        max(col("price")).as("high_price"),
+        min(col("price")).as("low_price"),
+        max_by(col("price"), col("ts")).as("close_price"),
+        r6(avg(col("price"))).as("avg_price"),
+        count(lit(1)).as("sample_count"))
+      .select(
+        to_date(col("hour_ts")).as("date"),
+        hour(col("hour_ts")).as("hour"),
+        col("symbol"), col("open_price"), col("high_price"),
+        col("low_price"), col("close_price"), col("avg_price"),
+        col("sample_count"))
+      .orderBy("date", "hour", "symbol")
+
+  /** R4 `have_samples` — post-aggregation filter (HAVING), mirroring
+    * `if metrics['sample_count'] > 0` (`dataCollector.py:144`).
+    */
+  def haveSamples(s: SparkSession, d: String): DataFrame =
+    Tables.ticks(s, d)
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("sample_count"))
+      .where(col("sample_count") > 0)
+      .orderBy("symbol")
+
+  /** R5 `latest_tick` — per-group argmax (`latest_price` /
+    * `latest_timestamp`, `dataCollector.py:86,89`).
+    */
+  def latestTick(s: SparkSession, d: String): DataFrame =
+    Tables.ticks(s, d)
+      .groupBy(col("symbol"))
+      .agg(
+        max_by(col("price"), col("ts")).as("latest_price"),
+        max(col("ts")).as("latest_timestamp"))
+      .orderBy("symbol")
+
+  /** R6 `running_avg` — the reference's incremental mean
+    * (`avg ← (avg·n + price)/(n+1)`, `dataCollector.py:91-94`) as an
+    * analytic window. Scale note: partitioned by symbol so state is
+    * O(1) per partition stream; no global sort.
+    */
+  def runningAvg(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Prices are exact 2-dp: accumulate integer cents so the prefix
+    // sum is exact and the rounded mean can't straddle a half-ulp
+    // boundary between engines.
+    Tables.ticks(s, d)
+      .withColumn("cents", round(col("price") * 100.0, 0).cast("long"))
+      .withColumn("running_avg",
+        r6(sum(col("cents")).over(w).cast("double")
+          / (count(lit(1)).over(w) * 100.0)))
+      .drop("cents")
+      .orderBy("symbol", "ts")
+  }
+
+  /** R7 `retention_day` — daily TTL of the raw layer
+    * (`DELETE FROM raw_prices`, `dataCollector.py:130-136`) expressed
+    * as a keep-filter on the latest day. At scale: partition-by-date +
+    * partition drop; Catalyst prunes partitions on `to_date(ts)`.
+    * The max-day scalar is a 1-row broadcast join, not a collect.
+    */
+  def retentionDay(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.ticks(s, d)
+    val maxDay = t.agg(max(to_date(col("ts"))).as("max_day"))
+    t.join(broadcast(maxDay), to_date(col("ts")) === col("max_day"))
+      .select("ts", "symbol", "price")
+      .orderBy("ts", "symbol")
+  }
+
+  /** R8 `hour_rollover` — window-close semantics
+    * (`dataCollector.py:179-191`): the hourly aggregate restricted to
+    * *closed* hours (strictly before the hour containing max(ts)).
+    */
+  def hourRollover(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.ticks(s, d)
+    val lastHour = t.agg(date_trunc("hour", max(col("ts"))).as("open_hour"))
+    t.join(broadcast(lastHour), date_trunc("hour", col("ts")) < col("open_hour"))
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("symbol"))
+      .agg(
+        min_by(col("price"), col("ts")).as("open_price"),
+        max(col("price")).as("high_price"),
+        min(col("price")).as("low_price"),
+        max_by(col("price"), col("ts")).as("close_price"),
+        r6(avg(col("price"))).as("avg_price"),
+        count(lit(1)).as("sample_count"))
+      .select(
+        to_date(col("hour_ts")).as("date"), hour(col("hour_ts")).as("hour"),
+        col("symbol"), col("open_price"), col("high_price"), col("low_price"),
+        col("close_price"), col("avg_price"), col("sample_count"))
+      .orderBy("date", "hour", "symbol")
+  }
+
+  /** R9 `error_tolerant_scan` — per-record drop-malformed
+    * (`dataCollector.py:101-116`, tested `tests.py:144-149`): safe-cast
+    * the JSON payload field and count survivors per symbol; bad
+    * records are skipped, the batch continues.
+    */
+  def errorTolerantScan(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type").as("symbol"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(col("k")).as("n_valid"))
+      .orderBy("symbol")
+
+  /** R10 `display_format` — scalar formatting projection
+    * (`f"{symbol}: ${price:.2f} at {ts}"`, `dataCollector.py:203-204`).
+    * Prices are exact 2-dp values so %.2f-style formatting is
+    * tie-free across engines; format_number is avoided (locale commas).
+    */
+  def displayFormat(s: SparkSession, d: String): DataFrame =
+    Tables.ticks(s, d)
+      .select(
+        col("ts"), col("symbol"),
+        format_string("%s: $%.2f at %s", col("symbol"),
+          col("price"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")).as("display"))
+      .orderBy("ts", "symbol")
+}

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Determinism.{dsum, r6}
+import graft.engine.Tables
+
+/** E1–E10: relational extension inventory (SURVEY.md §2.2) — the
+  * categories the reference lacks entirely (joins, sorts, set ops,
+  * rollup, ranking windows), sized for 100 TB: dimension joins are
+  * broadcast-hinted, fact-fact joins shuffle on their keys and rely on
+  * AQE for skew, top-k lowers to TakeOrderedAndProject (no full sort).
+  */
+object RelationalOps {
+
+  /** E1 `pricing_summary` — TPC-H Q1-shaped multi-measure hash
+    * aggregation over lineitem. Money sums go through DECIMAL(18,6)
+    * partials (exact, order-proof); Catalyst plans partial+final
+    * hash agg with whole-stage codegen.
+    */
+  def pricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("sum_disc_price"),
+        r6(avg(col("l_quantity"))).as("avg_qty"),
+        r6(avg(col("l_extendedprice"))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** E2 `join_broadcast` — customer ⋈ nation ⋈ region with both dims
+    * broadcast (region: 5 rows, nation: 25 rows at every sf — true
+    * dimensions, never shuffled).
+    */
+  def joinBroadcast(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        dsum(col("c_acctbal")).as("sum_acctbal"))
+      .orderBy("r_name", "n_name")
+
+  /** E3 `join_shuffle` — orders ⋈ customer on custkey: both sides
+    * scale with sf, so Catalyst picks a shuffle join (SMJ/SHJ per
+    * stats/AQE); aggregation by mktsegment reduces before the driver.
+    */
+  def joinShuffle(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_totalprice"))
+      .orderBy("c_mktsegment")
+
+  /** E4 `join_semi` — customers with ≥1 order (EXISTS). Semi joins
+    * ship only the join key of the probe side — at 100 TB this is the
+    * cheapest existence check available.
+    */
+  def joinSemi(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
+    Tables.customer(s, d)
+      .join(o, Seq("c_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** E5 `join_anti` — customers with no orders (NOT EXISTS). */
+  def joinAnti(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
+    Tables.customer(s, d)
+      .join(o, Seq("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** E6 `join_asof_nearest` — as-of join, the one join Spark lacks as
+    * a built-in (SURVEY §2.2). For each purchase event, the latest
+    * click by the same user at ts ≤ purchase ts. Implemented the
+    * scalable way: union both streams tagged, one window pass per
+    * user ordered by (ts, tag) carrying the last click ts forward —
+    * a single shuffle on user_id, no range cross-join, no point
+    * lookups. DuckDB twin: ASOF JOIN.
+    */
+  def joinAsofNearest(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("tag"),
+        col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("tag"),
+        lit(null).cast("timestamp").as("click_ts"))
+    // tag orders click before purchase at equal ts ⇒ ts <= semantics
+    val w = Window.partitionBy("user_id").orderBy("ts", "tag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_click_ts",
+        last(col("click_ts"), ignoreNulls = true).over(w))
+      .where(col("tag") === 1 && col("last_click_ts").isNotNull)
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("last_click_ts"))
+      .orderBy("user_id", "purchase_ts")
+  }
+
+  /** E7 `topk_orders` — global top 10 by totalprice; the
+    * orderBy+limit shape lowers to TakeOrderedAndProject: each
+    * partition keeps a 10-row heap, only 10×partitions rows move —
+    * no global sort even at 100 TB. Tie-break on o_orderkey for
+    * determinism.
+    */
+  def topkOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+  /** E8 `window_rank` — ranking window: top-3 orders per customer by
+    * totalprice (row_number with a total-order tie-break, plus rank
+    * over the same ordering).
+    */
+  def windowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rnk", rank().over(w))
+      .where(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn", "rnk")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** E9 `rollup_report` — grouping sets: rollup over
+    * (c_mktsegment, o_orderstatus) with count + exact decimal sum.
+    * Rollup nulls are labeled 'ALL' (no real nulls in these columns)
+    * so ordering/hashing is null-free in both engines.
+    */
+  def rollupReport(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .rollup(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_totalprice"))
+      .select(
+        coalesce(col("c_mktsegment"), lit("ALL")).as("mktsegment"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+        col("n_orders"), col("sum_totalprice"))
+      .orderBy("mktsegment", "orderstatus")
+
+  /** E10 `set_ops` — union / intersect / except (distinct forms) of
+    * customer nations vs supplier nations, tagged into one result.
+    */
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    val n = broadcast(Tables.nation(s, d))
+    val custN = Tables.customer(s, d)
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name")).distinct()
+    val suppN = Tables.supplier(s, d)
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name")).distinct()
+    custN.union(suppN).distinct().withColumn("op", lit("union"))
+      .unionByName(custN.intersect(suppN).withColumn("op", lit("intersect")))
+      .unionByName(custN.except(suppN).withColumn("op", lit("except")))
+      .select("op", "n_name")
+      .orderBy("op", "n_name")
+  }
+}
