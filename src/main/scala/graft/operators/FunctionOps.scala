@@ -93,14 +93,10 @@ object FunctionOps {
     * oracle reproduces bit-identical values (then rounded 6 dp).
     */
   def arrayFuncs(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorExprs
     val e = Tables.embeddings(s, d)
-    val sq = expr(
-      "aggregate(embedding, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
-    val dotRev = expr(
-      """aggregate(
-           zip_with(embedding, reverse(embedding),
-                    (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)),
-           0.0D, (acc, v) -> acc + v)""")
+    val sq = VectorExprs.dot(s, col("embedding"), col("embedding"))
+    val dotRev = VectorExprs.dot(s, col("embedding"), reverse(col("embedding")))
     e.select(
       col("vec_id"),
       size(col("embedding")).as("dim"),

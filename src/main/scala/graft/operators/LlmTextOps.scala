@@ -117,12 +117,18 @@ object LlmTextOps {
                                          ${nHashes / nBands})) AS bh))"""))
         .as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
-    val cand = banded.as("x").join(banded.as("y"),
+    // candidate pairs carry only (i, j) through the distinct — the
+    // 32-long signatures re-attach afterwards so the shuffle stays
+    // narrow (matters when banding 100 TB of signatures).
+    val bandKeys = banded.select(col("doc_id"), col("band"), col("bh"))
+    val candIds = bandKeys.as("x").join(bandKeys.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
           && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
-        col("x.sig").as("sig_i"), col("y.sig").as("sig_j"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
       .distinct()
+    val cand = candIds
+      .join(sigs.select(col("doc_id").as("i"), col("sig").as("sig_i")), Seq("i"))
+      .join(sigs.select(col("doc_id").as("j"), col("sig").as("sig_j")), Seq("j"))
     cand
       .withColumn("est_jaccard", r6(expr(
         s"""aggregate(zip_with(sig_i, sig_j, (a, b) -> IF(a = b, 1, 0)),
@@ -141,11 +147,7 @@ object LlmTextOps {
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     val sigs = Tables.documents(s, d)
       .withColumn("th", expr("transform(split(text, ' '), t -> xxhash64(t))"))
-      .withColumn("sig", expr(
-        """aggregate(sequence(0, 63), 0L, (acc, b) ->
-             acc + IF(aggregate(th, 0L,
-                        (c, h) -> c + IF((h >> b) & 1 = 1, 1L, -1L)) > 0L,
-                      shiftleft(1L, b), 0L))"""))
+      .withColumn("sig", graft.functions.VectorExprs.simhash64(s, col("th")))
       .select(col("doc_id"), col("sig"))
     sigs.as("x").join(sigs.as("y"), col("x.doc_id") < col("y.doc_id"))
       .withColumn("hamming", bit_count(col("x.sig").bitwiseXOR(col("y.sig"))))

@@ -1,35 +1,31 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.engine.Determinism.r6
 import graft.engine.Tables
+import graft.functions.VectorExprs
 
 /** Vector-similarity + multimodal-column operators (SURVEY.md §2.2
   * E19/E21 + the mandated ANN and multimodal surface).
   *
-  * Determinism contract for every cosine here: dot and norms are
-  * folded in list order with each float cast to double *before* the
-  * multiply — the DuckDB oracle does the identical op sequence, so
-  * the doubles match bit-for-bit and survive 6 dp rounding.
+  * Determinism contract for every cosine here: dot and norms fold in
+  * ascending index order with each float widened to double before the
+  * multiply — the DuckDB oracle runs the identical op sequence, so the
+  * doubles match bit-for-bit and survive 6 dp rounding. The hot loop
+  * is the native codegen'd `graft.functions.DotProduct` (the
+  * interpreted `zip_with`+`aggregate` formulation costs ~50× more at
+  * sf0.1); norms are computed once per row *before* any pair join.
   */
 object LlmVectorOps {
 
-  /** cosine(a, b) as codegen-friendly built-in HOFs (zip_with +
-    * aggregate). Kept as a Column builder so every operator shares
-    * the exact same op order.
-    */
-  private def cosineExpr(a: String, b: String): org.apache.spark.sql.Column =
-    expr(
-      s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-                    0.0D, (acc, v) -> acc + v)
-          / (sqrt(aggregate($a, 0.0D,
-                    (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
-             * sqrt(aggregate($b, 0.0D,
-                    (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""")
+  private def withNorm(s: SparkSession, df: DataFrame, emb: String,
+      normName: String): DataFrame =
+    df.withColumn(normName,
+      sqrt(VectorExprs.dot(s, col(emb), col(emb))))
 
   /** E19 `similarity_topk` — brute-force cosine top-k: probes
     * (vec_id < 5) × corpus, ranked per probe. The probe side is tiny
@@ -39,11 +35,14 @@ object LlmVectorOps {
     * path.
     */
   def similarityTopk(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
+    val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
     val probes = e.where(col("vec_id") < 5)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+        col("norm").as("probe_norm"))
     val pairs = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
-      .withColumn("score", r6(cosineExpr("probe_emb", "embedding")))
+      .withColumn("score", r6(
+        VectorExprs.dot(s, col("probe_emb"), col("embedding"))
+          / (col("probe_norm") * col("norm"))))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("score").desc, col("vec_id").asc)
     pairs
@@ -64,21 +63,27 @@ object LlmVectorOps {
     */
   def similarityLsh(s: SparkSession, d: String): DataFrame = {
     val nPlanes = 12
-    val sigExpr = expr(
-      s"""aggregate(sequence(0, ${nPlanes - 1}), 0L, (acc, b) ->
-            acc + IF(aggregate(zip_with(embedding,
-                       transform(sequence(0, size(embedding) - 1),
-                         i -> CAST(pmod(i * 2654435761 + b * 40503, 97) AS DOUBLE) / 96.0D - 0.5D),
-                       (x, h) -> CAST(x AS DOUBLE) * h),
-                     0.0D, (a2, v) -> a2 + v) > 0.0D,
-                     shiftleft(1L, b), 0L))""")
-    val e = Tables.embeddings(s, d).withColumn("bucket", sigExpr)
+    val dim = 64
+    val planes: Seq[Column] = (0 until nPlanes).map { b =>
+      typedLit((0 until dim).map { i =>
+        (((i.toLong * 2654435761L + b * 40503L) % 97L).toDouble / 96.0 - 0.5)
+          .toFloat
+      })
+    }
+    val bucketCol = (0 until nPlanes).map { b =>
+      when(VectorExprs.dot(s, col("embedding"), planes(b)) > 0.0,
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
+      .withColumn("bucket", bucketCol)
     val probes = e.where(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
-        col("bucket"))
+        col("norm").as("probe_norm"), col("bucket"))
     val cand = e.join(probes, Seq("bucket"))
       .where(col("vec_id") =!= col("probe_id"))
-      .withColumn("score", r6(cosineExpr("probe_emb", "embedding")))
+      .withColumn("score", r6(
+        VectorExprs.dot(s, col("probe_emb"), col("embedding"))
+          / (col("probe_norm") * col("norm"))))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("score").desc, col("vec_id").asc)
     cand
@@ -90,14 +95,19 @@ object LlmVectorOps {
 
   /** `dedup_embed` — embedding-cosine near-dup pairs (cos ≥ 0.4,
     * where this corpus's near-dup mass sits). Exact all-pairs at test
-    * sf; at scale, run behind `similarity_lsh` blocking.
+    * sf with norms hoisted out of the O(n²) loop; at scale, run
+    * behind `similarity_lsh` blocking.
     */
   def dedupEmbed(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-    val a = e.select(col("vec_id").as("i"), col("embedding").as("emb_i"))
-    val b = e.select(col("vec_id").as("j"), col("embedding").as("emb_j"))
+    val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
+    val a = e.select(col("vec_id").as("i"), col("embedding").as("emb_i"),
+      col("norm").as("norm_i"))
+    val b = e.select(col("vec_id").as("j"), col("embedding").as("emb_j"),
+      col("norm").as("norm_j"))
     a.join(b, col("i") < col("j"))
-      .withColumn("cos_sim", r6(cosineExpr("emb_i", "emb_j")))
+      .withColumn("cos_sim", r6(
+        VectorExprs.dot(s, col("emb_i"), col("emb_j"))
+          / (col("norm_i") * col("norm_j"))))
       .where(col("cos_sim") >= 0.4)
       .select("i", "j", "cos_sim")
       .orderBy("i", "j")
@@ -110,10 +120,7 @@ object LlmVectorOps {
     */
   def multimodalProfile(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val embs = Tables.embeddings(s, d)
-      .withColumn("norm", expr(
-        """sqrt(aggregate(embedding, 0.0D,
-                 (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"""))
+    val embs = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
     docs.join(embs, col("doc_id") === col("vec_id"))
       .groupBy(col("lang"), col("label"))
       .agg(
@@ -134,7 +141,7 @@ object LlmVectorOps {
       .select(
         col("doc_id"),
         octet_length(col("payload")).as("n_bytes"),
-        hex(substring(col("payload"), 1, 8)).as("header_hex"),
+        substring(hex(col("payload")), 1, 16).as("header_hex"),
         col("lang"), col("source"))
       .orderBy("doc_id")
 
