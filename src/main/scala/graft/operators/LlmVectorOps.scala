@@ -185,7 +185,7 @@ object LlmVectorOps {
     * dims derive from the byte length. Deterministic so tests can pin
     * outputs.
     */
-  private[operators] def fakeDecode(bytes: Array[Byte]): (Int, Int, Int) = {
+  private[graft] def fakeDecode(bytes: Array[Byte]): (Int, Int, Int) = {
     val n = bytes.length
     (math.max(1, n % 640), math.max(1, (n / 7) % 480), 3)
   }

@@ -45,7 +45,14 @@ object ReferenceOps {
     * bug at `dataCollector.py:83`, per SURVEY §7).
     */
   def ohlcHourly(s: SparkSession, d: String): DataFrame =
-    Tables.ticks(s, d)
+    ohlcAgg(Tables.ticks(s, d)).orderBy("date", "hour", "symbol")
+
+  /** Core hourly-OHLC aggregation over any (ts, symbol, price) frame —
+    * factored out so the reference's golden test vectors
+    * (`tests.py:85-117`) run against in-memory Datasets.
+    */
+  def ohlcAgg(ticks: DataFrame): DataFrame =
+    ticks
       .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("symbol"))
       .agg(
         min_by(col("price"), col("ts")).as("open_price"),
@@ -60,7 +67,6 @@ object ReferenceOps {
         col("symbol"), col("open_price"), col("high_price"),
         col("low_price"), col("close_price"), col("avg_price"),
         col("sample_count"))
-      .orderBy("date", "hour", "symbol")
 
   /** R4 `have_samples` — post-aggregation filter (HAVING), mirroring
     * `if metrics['sample_count'] > 0` (`dataCollector.py:144`).

@@ -1,0 +1,86 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingOhlc
+import graft.streaming.StreamingOhlc.Tick
+
+/** S1/S2 streaming twins (SURVEY.md §2.2): watermarked tumbling-window
+  * OHLC and the explicit flatMapGroupsWithState state machine, driven
+  * by MemoryStream — window rows appear once closed, late data is
+  * dropped past the watermark.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("S1 streaming_ohlc: closed hour emits one row per symbol; late tick dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Tick]
+    val q = StreamingOhlc.hourlyOhlcStream(in.toDF())
+      .writeStream.format("memory").queryName("s1_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Tick(ts("2024-01-01 10:00:05"), "BTCUSDT", 50000.0),
+        Tick(ts("2024-01-01 10:00:10"), "BTCUSDT", 51000.0),
+        Tick(ts("2024-01-01 10:00:15"), "BTCUSDT", 49000.0))
+      q.processAllAvailable()
+      // hour 10 not closed yet (watermark still inside it): no output
+      assert(spark.sql("SELECT * FROM s1_out").count() == 0)
+      // an hour-13 tick pushes the watermark past hour 10 + 10 min
+      in.addData(Tick(ts("2024-01-01 13:00:00"), "BTCUSDT", 48000.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM s1_out ORDER BY window_start").collect()
+      assert(rows.length == 1)
+      val r = rows.head
+      assert(r.getAs[Timestamp]("window_start") == ts("2024-01-01 10:00:00"))
+      assert(r.getAs[Double]("open_price") == 50000.0)
+      assert(r.getAs[Double]("close_price") == 49000.0)
+      assert(r.getAs[Double]("high_price") == 51000.0)
+      assert(r.getAs[Double]("low_price") == 49000.0)
+      assert(r.getAs[Long]("sample_count") == 3L)
+      // late tick for the already-closed hour 10: dropped, no new row
+      in.addData(Tick(ts("2024-01-01 10:59:59"), "BTCUSDT", 1.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM s1_out").count() == 1)
+    } finally q.stop()
+  }
+
+  test("S2 streaming_state: explicit OhlcState flushes on window close (reference state machine)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Tick]
+    val q = StreamingOhlc.statefulOhlcStream(in.toDS())
+      .writeStream.format("memory").queryName("s2_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Tick(ts("2024-01-01 10:00:05"), "BTCUSDT", 50000.0),
+        Tick(ts("2024-01-01 10:00:10"), "BTCUSDT", 51000.0),
+        Tick(ts("2024-01-01 10:00:15"), "BTCUSDT", 49000.0),
+        Tick(ts("2024-01-01 10:00:20"), "ETHUSDT", 3000.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM s2_out").count() == 0)
+      in.addData(Tick(ts("2024-01-01 13:00:00"), "BTCUSDT", 48000.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM s2_out ORDER BY symbol").collect()
+      assert(rows.length == 2)
+      val btc = rows.head
+      assert(btc.getAs[String]("symbol") == "BTCUSDT")
+      assert(btc.getAs[Double]("open_price") == 50000.0)
+      assert(btc.getAs[Double]("close_price") == 49000.0)
+      assert(btc.getAs[Double]("avg_price") == 50000.0)
+      assert(btc.getAs[Long]("sample_count") == 3L)
+      val eth = rows(1)
+      assert(eth.getAs[String]("symbol") == "ETHUSDT")
+      assert(eth.getAs[Long]("sample_count") == 1L)
+    } finally q.stop()
+  }
+}
