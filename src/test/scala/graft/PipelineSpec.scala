@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.OhlcAggregator
+import graft.operators.ReferenceOps
+import graft.pipeline.CryptoIngest
+
+/** End-to-end pipeline semantics (raw landing, idempotent hourly
+  * flush, partition retention) + typed-Aggregator equivalence.
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ticksDf(rows: Seq[(String, String, Double)]) =
+    rows.toDF("tss", "symbol", "price")
+      .selectExpr("CAST(tss AS TIMESTAMP) AS ts", "symbol", "price")
+
+  private val batch = Seq(
+    ("2024-01-01 10:00:05", "BTCUSDT", 50000.0),
+    ("2024-01-01 10:30:00", "BTCUSDT", 51000.0),
+    ("2024-01-02 09:00:00", "BTCUSDT", 49000.0),
+    ("2024-01-03 09:00:00", "ETHUSDT", 3000.0))
+
+  test("runBatch lands raw partitioned by date, flushes hourly, applies retention") {
+    val tmp = Files.createTempDirectory("graft_pipe").toString
+    val dropped = CryptoIngest.runBatch(ticksDf(batch),
+      s"$tmp/raw", s"$tmp/hourly", keepDays = 2)
+    // retention as of 2024-01-03, keep 2 days => drop 2024-01-01
+    assert(dropped == Seq("2024-01-01"))
+    val raw = spark.read.parquet(s"$tmp/raw")
+    assert(raw.select("date").distinct().as[String].collect().sorted.toSeq
+      == Seq("2024-01-02", "2024-01-03"))
+    val hourly = spark.read.parquet(s"$tmp/hourly")
+    assert(hourly.count() == 3) // 3 distinct (hour, symbol) groups
+  }
+
+  test("flushHourly is idempotent (dynamic partition overwrite)") {
+    val tmp = Files.createTempDirectory("graft_flush").toString
+    CryptoIngest.flushHourly(ticksDf(batch), s"$tmp/hourly")
+    CryptoIngest.flushHourly(ticksDf(batch), s"$tmp/hourly") // re-flush same batch
+    val hourly = spark.read.parquet(s"$tmp/hourly")
+    assert(hourly.count() == 3, "re-flush must not duplicate rows")
+  }
+
+  test("OhlcAggregator (typed UDAF) matches the built-in ohlcAgg") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 500).map { i =>
+      (f"2024-01-01 ${10 + i % 3}%02d:${(i * 7) % 60}%02d:${(i * 13) % 60}%02d",
+        s"S${i % 4}", math.rint(rnd.nextDouble() * 1e7) / 100)
+    }.distinctBy(t => (t._1, t._2)) // unique (ts, symbol): tie-break-free
+    val df = ticksDf(rows)
+    // avg excluded from exact compare: builtin rounds HALF_UP, the
+    // aggregator reports the raw mean — checked with tolerance below.
+    val viaAggregator = df
+      .withColumn("hour_ts", date_trunc("hour", col("ts")))
+      .as[(java.sql.Timestamp, String, Double, java.sql.Timestamp)]
+      .groupByKey { case (_, sym, _, hourTs) => (hourTs.getTime, sym) }
+      .mapValues { case (ts, _, price, _) => (ts.getTime * 1000L, price) }
+      .agg(OhlcAggregator.toColumn.name("ohlc"))
+      .collect()
+      .map { case ((hourMs, sym), o) =>
+        (sym, hourMs) -> (o.open_price, o.high_price, o.low_price,
+          o.close_price, o.avg_price, o.sample_count)
+      }.toMap
+    val viaBuiltin = ReferenceOps.ohlcAgg(df).collect().map { r =>
+      val hourMs = java.sql.Timestamp.valueOf(
+        f"${r.getAs[java.sql.Date]("date")} ${r.getAs[Int]("hour")}%02d:00:00")
+        .getTime
+      (r.getAs[String]("symbol"), hourMs) -> (r.getAs[Double]("open_price"),
+        r.getAs[Double]("high_price"), r.getAs[Double]("low_price"),
+        r.getAs[Double]("close_price"), r.getAs[Double]("avg_price"),
+        r.getAs[Long]("sample_count"))
+    }.toMap
+    assert(viaAggregator.keySet == viaBuiltin.keySet)
+    viaAggregator.foreach { case (k, a) =>
+      val b = viaBuiltin(k)
+      assert((a._1, a._2, a._3, a._4, a._6) == (b._1, b._2, b._3, b._4, b._6),
+        s"OHLC mismatch at $k: $a vs $b")
+      assert(math.abs(a._5 - b._5) < 1e-6, s"avg mismatch at $k")
+    }
+  }
+}
