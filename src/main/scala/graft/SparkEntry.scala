@@ -60,6 +60,7 @@ object SparkEntry {
     "doc_fingerprint"     -> (LlmTextOps.docFingerprint _),
     "similarity_topk"     -> (LlmVectorOps.similarityTopk _),
     "similarity_lsh"      -> (LlmVectorOps.similarityLsh _),
+    "similarity_ivf"      -> (LlmVectorOps.similarityIvf _),
     "dedup_embed"         -> (LlmVectorOps.dedupEmbed _),
     "multimodal_profile"  -> (LlmVectorOps.multimodalProfile _),
     "multimodal_binary"   -> (LlmVectorOps.multimodalBinary _),

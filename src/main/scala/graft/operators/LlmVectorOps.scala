@@ -62,24 +62,87 @@ object LlmVectorOps {
     * seedless, reproducible arithmetic instead of RNG state.
     */
   def similarityLsh(s: SparkSession, d: String): DataFrame = {
-    val nPlanes = 12
+    // L=8 hash tables × k=4 hyperplanes: P[collide in ≥1 table] =
+    // 1-(1-p^4)^8 with p = 1-θ/π — measured recall@10 ≈ 0.7 on the
+    // sf0.01 corpus (weakly-similar neighbors, cos ≈ 0.3-0.5) while
+    // scanning ~half the corpus; on true near-dup data the same
+    // parameters prune orders of magnitude harder.
+    val nTables = 8
+    val kPlanes = 4
     val dim = 64
-    val planes: Seq[Column] = (0 until nPlanes).map { b =>
-      typedLit((0 until dim).map { i =>
-        (((i.toLong * 2654435761L + b * 40503L) % 97L).toDouble / 96.0 - 0.5)
-          .toFloat
-      })
-    }
-    val bucketCol = (0 until nPlanes).map { b =>
-      when(VectorExprs.dot(s, col("embedding"), planes(b)) > 0.0,
-        lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    def plane(t: Int, j: Int): Column = typedLit((0 until dim).map { i =>
+      (((i.toLong * 2654435761L + (t * kPlanes + j) * 40503L) % 97L)
+        .toDouble / 96.0 - 0.5).toFloat
+    })
+    // one (table, bucket) key per table per vector
+    val tableKeys = array((0 until nTables).map { t =>
+      val bits = (0 until kPlanes).map { j =>
+        when(VectorExprs.dot(s, col("embedding"), plane(t, j)) > 0.0,
+          lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(t).as("t"), bits.as("b"))
+    }: _*)
+    val base = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
+    val keyed = base
+      .withColumn("tk", explode(tableKeys))
+      .select(col("vec_id"), col("tk.t").as("t"), col("tk.b").as("b"))
+    val probeKeys = keyed.where(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("t"), col("b"))
+    // dedupe candidate id pairs first (a pair may collide in several
+    // tables) — only ids ride the shuffle, embeddings re-attach after
+    val candIds = keyed.join(probeKeys, Seq("t", "b"))
+      .where(col("vec_id") =!= col("probe_id"))
+      .select("probe_id", "vec_id").distinct()
+    val cand = candIds
+      .join(base.select(col("vec_id"), col("embedding"), col("norm")),
+        Seq("vec_id"))
+      .join(broadcast(base.where(col("vec_id") < 5).select(
+        col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+        col("norm").as("probe_norm"))), Seq("probe_id"))
+      .withColumn("score", r6(
+        VectorExprs.dot(s, col("probe_emb"), col("embedding"))
+          / (col("probe_norm") * col("norm"))))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("score").desc, col("vec_id").asc)
+    cand
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 10)
+      .select("probe_id", "rank", "vec_id", "score")
+      .orderBy("probe_id", "rank")
+  }
+
+  /** `similarity_ivf` — IVF-style ANN (no oracle: approximate by
+    * design). Coarse codebook = every 100th vector (deterministic
+    * seed set, k ≈ n/100); each corpus vector is assigned to its
+    * nearest centroid in one broadcast pass; probes search their
+    * nprobe=2 nearest inverted lists, exact cosine re-rank inside.
+    * At 100 TB: the assignment is a map stage over the corpus, the
+    * probe join shuffles only the probed lists (~2/k of the data) —
+    * the classic recall/cost dial.
+    */
+  def similarityIvf(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
-      .withColumn("bucket", bucketCol)
-    val probes = e.where(col("vec_id") < 5)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
-        col("norm").as("probe_norm"), col("bucket"))
-    val cand = e.join(probes, Seq("bucket"))
+    val cents = e.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
+        col("norm").as("cent_norm"))
+    // nearest centroid per corpus vector (broadcast codebook)
+    def assign(df: DataFrame, keep: Int): DataFrame = {
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("cent_sim").desc, col("cent_id").asc)
+      df.join(broadcast(cents), lit(true))
+        .withColumn("cent_sim",
+          VectorExprs.dot(s, col("embedding"), col("cent_emb"))
+            / (col("norm") * col("cent_norm")))
+        .withColumn("cent_rank", row_number().over(w))
+        .where(col("cent_rank") <= keep)
+        .drop("cent_emb", "cent_norm", "cent_sim", "cent_rank")
+    }
+    val corpus = assign(e, keep = 1)
+      .select(col("cent_id"), col("vec_id"), col("embedding"), col("norm"))
+    val probes = assign(e.where(col("vec_id") < 5), keep = 2) // nprobe = 2
+      .select(col("cent_id"), col("vec_id").as("probe_id"),
+        col("embedding").as("probe_emb"), col("norm").as("probe_norm"))
+    val cand = corpus.join(probes, Seq("cent_id"))
       .where(col("vec_id") =!= col("probe_id"))
       .withColumn("score", r6(
         VectorExprs.dot(s, col("probe_emb"), col("embedding"))
