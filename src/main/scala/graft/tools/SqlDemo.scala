@@ -1,0 +1,41 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Drive the SQL-facing surface: session built with
+  * `spark.sql.extensions=graft.GraftExtensions` (the config-string
+  * path a cluster would use), native functions called from pure SQL
+  * over the testdata tables. Usage: runMain graft.tools.SqlDemo [sfDir]
+  */
+object SqlDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    println("[sql] graft_dot: " + spark.sql(
+      """SELECT graft_dot(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>),
+                          CAST(array(3.0, 4.0) AS ARRAY<FLOAT>))""")
+      .collect().head.getDouble(0))
+    println("[sql] graft_simhash64(all-ones): 0x" + java.lang.Long.toHexString(
+      spark.sql("SELECT graft_simhash64(array(CAST(-1 AS BIGINT)))")
+        .collect().head.getLong(0)))
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .createOrReplaceTempView("embeddings")
+    println("[sql] top self-norms via SQL over parquet:")
+    spark.sql(
+      """SELECT vec_id, round(sqrt(graft_dot(embedding, embedding)), 6) AS norm
+         FROM embeddings ORDER BY norm DESC, vec_id LIMIT 3""")
+      .collect().foreach(r => println(s"[sql]   vec ${r.getLong(0)} norm ${r.getDouble(1)}"))
+    val badArgs = try {
+      spark.sql("SELECT graft_dot(1)").collect(); "no error (unexpected)"
+    } catch { case e: Exception => e.getClass.getSimpleName }
+    println(s"[sql] graft_dot(1) with wrong arity/type -> $badArgs")
+    spark.stop()
+  }
+}
