@@ -105,6 +105,12 @@ object LlmTextOps {
       min(pmod(pmod(col("h"), lit(P)) * lit(2654435761L + 2 * p)
         + lit(40503L * p), lit(Q))).as(s"mh$p")
     }
+    // The signature table is referenced four times below (band
+    // self-join x/y + two sig re-attach joins); identical subtrees are
+    // deduplicated by Spark's ReuseExchange, and measured wall-clock is
+    // *worse* with an explicit persist here (cache-fill race between
+    // parallel stages + serialization cost). At 100 TB the signature
+    // table would be written once as a silver table instead.
     val sigs = sh.groupBy(col("doc_id")).agg(minhashCols.head, minhashCols.tail: _*)
       .withColumn("sig", array((0 until nHashes).map(p => col(s"mh$p")): _*))
       .select(col("doc_id"), col("sig"))
