@@ -47,6 +47,12 @@ object SparkEntry {
     "string_funcs"          -> (FunctionOps.stringFuncs _),
     "date_math"             -> (FunctionOps.dateMath _),
     "array_funcs"           -> (FunctionOps.arrayFuncs _),
+    // Analytic extension: percentiles, moments, pivot, range frames
+    "value_percentiles"        -> (AnalyticOps.valuePercentiles _),
+    "value_percentiles_approx" -> (AnalyticOps.valuePercentilesApprox _),
+    "value_stats"              -> (AnalyticOps.valueStats _),
+    "orders_pivot"             -> (AnalyticOps.ordersPivot _),
+    "moving_avg"               -> (AnalyticOps.movingAvg _),
     // E16–E21 + LLM-pipeline surface
     "sessionize"          -> (LlmTextOps.sessionize _),
     "dedup_exact"         -> (LlmTextOps.dedupExact _),
@@ -205,6 +211,43 @@ object SparkEntry {
          SELECT 'except' AS op, n_name FROM (SELECT n_name FROM cn
                                              EXCEPT SELECT n_name FROM sn)
          ORDER BY op, n_name""",
+    "value_percentiles" ->
+      """SELECT event_type,
+                ROUND(quantile_cont(value, 0.5), 6) AS p50,
+                ROUND(quantile_cont(value, 0.9), 6) AS p90,
+                ROUND(quantile_cont(value, 0.99), 6) AS p99,
+                COUNT(*) AS n
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "value_stats" ->
+      """WITH t AS (SELECT event_type, value,
+                CAST(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+                     AS DOUBLE) AS k FROM events)
+         SELECT event_type,
+                ROUND(stddev_samp(value), 6) AS sd_value,
+                ROUND(var_samp(value), 6) AS var_value,
+                ROUND(corr(value, k), 6) AS corr_vk,
+                ROUND(covar_samp(value, k), 6) AS covar_vk,
+                COUNT(*) AS n
+         FROM t GROUP BY 1 ORDER BY 1""",
+    "orders_pivot" ->
+      """SELECT c_mktsegment,
+                CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_f,
+                CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_o,
+                CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_p
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
+    "moving_avg" ->
+      """SELECT ts, event_type AS symbol, CAST(value AS DOUBLE) AS price,
+                ROUND(CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT))
+                        OVER w AS DOUBLE)
+                      / (COUNT(*) OVER w * 100.0), 6) AS mavg
+         FROM events
+         WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+         ORDER BY symbol, ts""",
     "distinct_users" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
                 COUNT(*) AS n_events

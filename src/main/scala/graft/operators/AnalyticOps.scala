@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Determinism.r6
+import graft.engine.Tables
+
+/** Analytic extension beyond the SURVEY §2 core: percentiles,
+  * statistical aggregates, pivot, and time-range window frames — the
+  * rest of the OLAP aggregate catalog a reference user would expect.
+  */
+object AnalyticOps {
+
+  /** `value_percentiles` — exact interpolated percentiles per group
+    * (sort-based; the HLL-style scale path is the approx twin below).
+    */
+  def valuePercentiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        r6(expr("percentile(value, 0.5)")).as("p50"),
+        r6(expr("percentile(value, 0.9)")).as("p90"),
+        r6(expr("percentile(value, 0.99)")).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** `value_percentiles_approx` — approx_percentile (t-digest-style
+    * sketch, constant memory per group; no oracle: approximate).
+    */
+  def valuePercentilesApprox(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("approx_percentile(value, array(0.5, 0.9, 0.99), 1000)")
+          .as("p_approx"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("p_approx")(0).as("p50"),
+        col("p_approx")(1).as("p90"), col("p_approx")(2).as("p99"), col("n"))
+      .orderBy("event_type")
+
+  /** `value_stats` — second-moment aggregates: stddev/variance of the
+    * tick value and correlation/covariance with the JSON payload k.
+    * Merge-order float noise is ~1e-10 at these magnitudes — well
+    * inside the 6 dp round.
+    */
+  def valueStats(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k",
+        get_json_object(col("props"), "$.k").cast("int").cast("double"))
+      .groupBy(col("event_type"))
+      .agg(
+        r6(stddev_samp(col("value"))).as("sd_value"),
+        r6(var_samp(col("value"))).as("var_value"),
+        r6(corr(col("value"), col("k"))).as("corr_vk"),
+        r6(covar_samp(col("value"), col("k"))).as("covar_vk"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** `orders_pivot` — pivot orderstatus into columns per market
+    * segment (fixed pivot values keep the plan a single pass;
+    * `coalesce(..,0)` matches SQL CASE-sum semantics for absent
+    * combinations).
+    */
+  def ordersPivot(s: SparkSession, d: String): DataFrame = {
+    val piv = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+    piv.select(
+      col("c_mktsegment"),
+      coalesce(col("F"), lit(0L)).as("n_f"),
+      coalesce(col("O"), lit(0L)).as("n_o"),
+      coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** `moving_avg` — time-range window frame: mean tick value over the
+    * trailing 1 hour per symbol (RANGE, not ROWS — event-time
+    * semantics). Exact via integer cents like `running_avg`.
+    */
+  def movingAvg(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0L) // 1 hour of microseconds, inclusive
+    Tables.ticks(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("cents", round(col("price") * 100.0, 0).cast("long"))
+      .withColumn("mavg",
+        r6(sum(col("cents")).over(w).cast("double")
+          / (count(lit(1)).over(w) * 100.0)))
+      .select("ts", "symbol", "price", "mavg")
+      .orderBy("symbol", "ts")
+  }
+}
