@@ -93,7 +93,7 @@ object SparkEntry {
                 CAST(EXTRACT(hour FROM h) AS INTEGER) AS hour, symbol,
                 arg_min(price, ts) AS open_price, max(price) AS high_price,
                 min(price) AS low_price, arg_max(price, ts) AS close_price,
-                ROUND(avg(price), 6) AS avg_price, count(*) AS sample_count
+                floor((avg(price)) * 1000000 + 0.5) / 1000000 AS avg_price, count(*) AS sample_count
          FROM t GROUP BY h, symbol ORDER BY date, hour, symbol""",
     "have_samples" ->
       """SELECT event_type AS symbol, count(*) AS sample_count
@@ -104,9 +104,9 @@ object SparkEntry {
          FROM events GROUP BY 1 ORDER BY symbol""",
     "running_avg" ->
       """SELECT ts, event_type AS symbol, CAST(value AS DOUBLE) AS price,
-                ROUND(CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT))
+                floor((CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT))
                         OVER w AS DOUBLE)
-                      / (COUNT(*) OVER w * 100.0), 6) AS running_avg
+                      / (COUNT(*) OVER w * 100.0)) * 1000000 + 0.5) / 1000000 AS running_avg
          FROM events
          WINDOW w AS (PARTITION BY event_type ORDER BY ts
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -125,7 +125,7 @@ object SparkEntry {
                 CAST(EXTRACT(hour FROM h) AS INTEGER) AS hour, symbol,
                 arg_min(price, ts) AS open_price, max(price) AS high_price,
                 min(price) AS low_price, arg_max(price, ts) AS close_price,
-                ROUND(avg(price), 6) AS avg_price, count(*) AS sample_count
+                floor((avg(price)) * 1000000 + 0.5) / 1000000 AS avg_price, count(*) AS sample_count
          FROM t GROUP BY h, symbol ORDER BY date, hour, symbol""",
     "error_tolerant_scan" ->
       """SELECT event_type AS symbol, count(*) AS n_total,
@@ -144,8 +144,8 @@ object SparkEntry {
                   AS sum_base_price,
                 CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
                               AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-                ROUND(AVG(l_quantity), 6) AS avg_qty,
-                ROUND(AVG(l_extendedprice), 6) AS avg_price,
+                floor((AVG(l_quantity)) * 1000000 + 0.5) / 1000000 AS avg_qty,
+                floor((AVG(l_extendedprice)) * 1000000 + 0.5) / 1000000 AS avg_price,
                 COUNT(*) AS count_order
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
     "join_broadcast" ->
@@ -213,9 +213,9 @@ object SparkEntry {
          ORDER BY op, n_name""",
     "value_percentiles" ->
       """SELECT event_type,
-                ROUND(quantile_cont(value, 0.5), 6) AS p50,
-                ROUND(quantile_cont(value, 0.9), 6) AS p90,
-                ROUND(quantile_cont(value, 0.99), 6) AS p99,
+                floor((quantile_cont(value, 0.5)) * 1000000 + 0.5) / 1000000 AS p50,
+                floor((quantile_cont(value, 0.9)) * 1000000 + 0.5) / 1000000 AS p90,
+                floor((quantile_cont(value, 0.99)) * 1000000 + 0.5) / 1000000 AS p99,
                 COUNT(*) AS n
          FROM events GROUP BY 1 ORDER BY 1""",
     "value_stats" ->
@@ -223,10 +223,10 @@ object SparkEntry {
                 CAST(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
                      AS DOUBLE) AS k FROM events)
          SELECT event_type,
-                ROUND(stddev_samp(value), 6) AS sd_value,
-                ROUND(var_samp(value), 6) AS var_value,
-                ROUND(corr(value, k), 6) AS corr_vk,
-                ROUND(covar_samp(value, k), 6) AS covar_vk,
+                floor((stddev_samp(value)) * 1000000 + 0.5) / 1000000 AS sd_value,
+                floor((var_samp(value)) * 1000000 + 0.5) / 1000000 AS var_value,
+                floor((corr(value, k)) * 1000000 + 0.5) / 1000000 AS corr_vk,
+                floor((covar_samp(value, k)) * 1000000 + 0.5) / 1000000 AS covar_vk,
                 COUNT(*) AS n
          FROM t GROUP BY 1 ORDER BY 1""",
     "orders_pivot" ->
@@ -241,9 +241,9 @@ object SparkEntry {
          GROUP BY 1 ORDER BY 1""",
     "moving_avg" ->
       """SELECT ts, event_type AS symbol, CAST(value AS DOUBLE) AS price,
-                ROUND(CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT))
+                floor((CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT))
                         OVER w AS DOUBLE)
-                      / (COUNT(*) OVER w * 100.0), 6) AS mavg
+                      / (COUNT(*) OVER w * 100.0)) * 1000000 + 0.5) / 1000000 AS mavg
          FROM events
          WINDOW w AS (PARTITION BY event_type ORDER BY ts
                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
@@ -257,7 +257,7 @@ object SparkEntry {
                 TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
                     FROM events)
          SELECT event_type, COUNT(k) AS n_with_k,
-                CAST(SUM(k) AS BIGINT) AS sum_k, ROUND(AVG(k), 6) AS avg_k,
+                CAST(SUM(k) AS BIGINT) AS sum_k, floor((AVG(k)) * 1000000 + 0.5) / 1000000 AS avg_k,
                 MIN(k) AS min_k, MAX(k) AS max_k
          FROM t GROUP BY 1 ORDER BY 1""",
     "string_funcs" ->
@@ -281,11 +281,11 @@ object SparkEntry {
          FROM orders ORDER BY o_orderkey""",
     "array_funcs" ->
       """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
-                ROUND(list_aggregate([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
-                        for x in embedding], 'sum'), 6) AS norm_sq,
-                ROUND(list_aggregate([CAST(embedding[i] AS DOUBLE)
+                floor((list_aggregate([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                        for x in embedding], 'sum')) * 1000000 + 0.5) / 1000000 AS norm_sq,
+                floor((list_aggregate([CAST(embedding[i] AS DOUBLE)
                         * CAST(embedding[len(embedding) + 1 - i] AS DOUBLE)
-                        for i in range(1, len(embedding) + 1)], 'sum'), 6)
+                        for i in range(1, len(embedding) + 1)], 'sum')) * 1000000 + 0.5) / 1000000
                   AS dot_rev,
                 CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS vmin,
                 CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS vmax,
@@ -312,24 +312,24 @@ object SparkEntry {
          pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
                    FROM sh_t a JOIN sh_t b
                      ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
-         SELECT i, j, ROUND(inter / (si.sz + sj.sz - inter), 6) AS jaccard
+         SELECT i, j, floor((inter / (si.sz + sj.sz - inter)) * 1000000 + 0.5) / 1000000 AS jaccard
          FROM pairs JOIN sizes si ON si.doc_id = i
                     JOIN sizes sj ON sj.doc_id = j
-         WHERE ROUND(inter / (si.sz + sj.sz - inter), 6) >= 0.8
+         WHERE floor((inter / (si.sz + sj.sz - inter)) * 1000000 + 0.5) / 1000000 >= 0.8
          ORDER BY i, j""",
     "text_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
                 CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-                ROUND(AVG(n_chars), 6) AS avg_chars,
+                floor((AVG(n_chars)) * 1000000 + 0.5) / 1000000 AS avg_chars,
                 CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
                   AS total_tokens,
-                ROUND(AVG(len(string_split(text, ' '))), 6) AS avg_tokens
+                floor((AVG(len(string_split(text, ' ')))) * 1000000 + 0.5) / 1000000 AS avg_tokens
          FROM documents GROUP BY 1 ORDER BY 1""",
     "lang_id" ->
       """WITH t AS (SELECT doc_id, lang,
-                ROUND(len(list_filter(string_split(text, ' '),
+                floor((len(list_filter(string_split(text, ' '),
                         t -> t IN ('the', 'a', 'of', 'and', 'to', 'in')))
-                      / len(string_split(text, ' ')), 6) AS en_ratio
+                      / len(string_split(text, ' '))) * 1000000 + 0.5) / 1000000 AS en_ratio
                     FROM documents)
          SELECT doc_id, lang, en_ratio,
                 CASE WHEN en_ratio >= 0.05 THEN 'en' ELSE 'und' END
@@ -340,19 +340,19 @@ object SparkEntry {
                     FROM documents),
          u AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
                       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
-                      ROUND(len(list_distinct(toks)) / len(toks), 6)
+                      floor((len(list_distinct(toks)) / len(toks)) * 1000000 + 0.5) / 1000000
                         AS distinct_ratio,
-                      ROUND((length(text) - (len(toks) - 1)) / len(toks), 6)
+                      floor(((length(text) - (len(toks) - 1)) / len(toks)) * 1000000 + 0.5) / 1000000
                         AS avg_token_len,
-                      ROUND(len(list_filter(toks, t2 -> t2 IN
+                      floor((len(list_filter(toks, t2 -> t2 IN
                               ('the', 'a', 'of', 'and', 'to', 'in')))
-                            / len(toks), 6) AS stop_ratio
+                            / len(toks)) * 1000000 + 0.5) / 1000000 AS stop_ratio
                FROM t)
          SELECT doc_id, n_tokens, n_distinct, distinct_ratio, avg_token_len,
                 stop_ratio,
-                ROUND(LEAST(n_tokens / 100.0, 1.0) * 0.4
+                floor((LEAST(n_tokens / 100.0, 1.0) * 0.4
                       + distinct_ratio * 0.4
-                      + (1.0 - stop_ratio) * 0.2, 6) AS quality_score
+                      + (1.0 - stop_ratio) * 0.2) * 1000000 + 0.5) / 1000000 AS quality_score
          FROM u ORDER BY doc_id""",
     "token_count" ->
       """SELECT doc_id,
@@ -373,13 +373,13 @@ object SparkEntry {
                          FROM embeddings WHERE vec_id < 5),
          pairs AS (
            SELECT probe_id, vec_id,
-                  ROUND(list_aggregate([CAST(probe_emb[i] AS DOUBLE)
+                  floor((list_aggregate([CAST(probe_emb[i] AS DOUBLE)
                           * CAST(embedding[i] AS DOUBLE)
                           for i in range(1, len(probe_emb) + 1)], 'sum')
                     / (sqrt(list_aggregate([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
                              for x in probe_emb], 'sum'))
                        * sqrt(list_aggregate([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
-                              for x in embedding], 'sum'))), 6) AS score
+                              for x in embedding], 'sum')))) * 1000000 + 0.5) / 1000000 AS score
            FROM embeddings, probes WHERE vec_id <> probe_id),
          ranked AS (SELECT probe_id, vec_id, score,
                   CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
@@ -390,20 +390,20 @@ object SparkEntry {
     "dedup_embed" ->
       """WITH pairs AS (
            SELECT a.vec_id AS i, b.vec_id AS j,
-                  ROUND(list_aggregate([CAST(a.embedding[k] AS DOUBLE)
+                  floor((list_aggregate([CAST(a.embedding[k] AS DOUBLE)
                           * CAST(b.embedding[k] AS DOUBLE)
                           for k in range(1, len(a.embedding) + 1)], 'sum')
                     / (sqrt(list_aggregate([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
                              for x in a.embedding], 'sum'))
                        * sqrt(list_aggregate([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
-                              for x in b.embedding], 'sum'))), 6) AS cos_sim
+                              for x in b.embedding], 'sum')))) * 1000000 + 0.5) / 1000000 AS cos_sim
            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
          SELECT i, j, cos_sim FROM pairs WHERE cos_sim >= 0.4 ORDER BY i, j""",
     "multimodal_profile" ->
       """SELECT lang, label, COUNT(*) AS n,
-                ROUND(AVG(n_chars), 6) AS avg_chars,
-                ROUND(AVG(sqrt(list_aggregate([CAST(x AS DOUBLE)
-                        * CAST(x AS DOUBLE) for x in embedding], 'sum'))), 6)
+                floor((AVG(n_chars)) * 1000000 + 0.5) / 1000000 AS avg_chars,
+                floor((AVG(sqrt(list_aggregate([CAST(x AS DOUBLE)
+                        * CAST(x AS DOUBLE) for x in embedding], 'sum')))) * 1000000 + 0.5) / 1000000
                   AS avg_norm
          FROM documents JOIN embeddings ON doc_id = vec_id
          GROUP BY 1, 2 ORDER BY 1, 2""",

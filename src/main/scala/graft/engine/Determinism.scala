@@ -18,8 +18,15 @@ object Determinism {
   def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast("double")
 
   /** Round a small-magnitude floating aggregate (avg, cosine, ratio)
-    * to 6 dp; accumulation error is ≪ 1e-6 at these magnitudes.
-    * Oracle twin: `ROUND(x, 6)`.
+    * to 6 dp via explicit floor arithmetic — NOT the engine's round().
+    *
+    * Engine round() implementations disagree on exact 6 dp ties
+    * (Spark HALF_UPs the exact decimal expansion; DuckDB multiplies by
+    * 1e6 first and rounds the product), and 2-dp money divided by
+    * power-of-two counts *does* land on exact ties (seen at sf0.1:
+    * avg = 43.4728125). `floor(x*1e6 + 0.5)/1e6` is the same IEEE op
+    * sequence in both engines, so results are identical even on ties.
+    * Oracle twin: `floor((x) * 1000000 + 0.5) / 1000000`.
     */
-  def r6(c: Column): Column = round(c, 6)
+  def r6(c: Column): Column = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
 }

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Locks the 100 TB-relevant physical plan shapes (SURVEY §4): column
+  * pruning at the scan, broadcast for dims, TakeOrderedAndProject for
+  * top-k, no shuffle where none is needed. Regressions here are
+  * invisible to the correctness gate but fatal at scale.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  private def planOf(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+
+  private def planString(name: String): String = planOf(name).toString
+
+  test("pricing_summary prunes the lineitem scan to the 5 needed columns") {
+    val scans = planString("pricing_summary")
+    assert(scans.contains("ReadSchema"))
+    // none of the untouched columns may reach the scan
+    Seq("l_orderkey", "l_partkey", "l_suppkey", "l_shipdate").foreach { c =>
+      assert(!scans.contains(c), s"unpruned column $c in scan")
+    }
+  }
+
+  test("join_broadcast uses BroadcastHashJoin for both dimension joins") {
+    val p = planString("join_broadcast")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("topk_orders lowers to TakeOrderedAndProject (no global sort)") {
+    val p = planString("topk_orders")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("ShuffleExchange") || p.contains("TakeOrderedAndProject"))
+  }
+
+  test("similarity_topk broadcasts the probe side (nested loop, no cartesian shuffle)") {
+    val p = planString("similarity_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("ingest_raw is a scan+project+sort — no aggregation, no join") {
+    val p = planString("ingest_raw")
+    assert(!p.contains("HashAggregate") && !p.contains("Join"))
+  }
+
+  test("ohlc_hourly is a two-phase hash aggregate (map-side partials)") {
+    val p = planString("ohlc_hourly")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final")
+  }
+}
