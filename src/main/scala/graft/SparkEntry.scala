@@ -39,7 +39,9 @@ object SparkEntry {
     "topk_orders"         -> (RelationalOps.topkOrders _),
     "window_rank"         -> (RelationalOps.windowRank _),
     "rollup_report"       -> (RelationalOps.rollupReport _),
+    "cube_report"         -> (RelationalOps.cubeReport _),
     "set_ops"             -> (RelationalOps.setOps _),
+    "set_ops_all"         -> (RelationalOps.setOpsAll _),
     // E11–E15: function catalog
     "distinct_users"        -> (FunctionOps.distinctUsers _),
     "distinct_users_approx" -> (FunctionOps.distinctUsersApprox _),
@@ -197,6 +199,27 @@ object SparkEntry {
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY ROLLUP(c_mktsegment, o_orderstatus)
          ORDER BY mktsegment, orderstatus""",
+    "cube_report" ->
+      """SELECT COALESCE(c_mktsegment, 'ALL') AS mktsegment,
+                COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+                COUNT(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                  AS sum_totalprice
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY CUBE(c_mktsegment, o_orderstatus)
+         ORDER BY mktsegment, orderstatus""",
+    "set_ops_all" ->
+      """WITH cn AS (SELECT c_nationkey AS nk FROM customer),
+              sn AS (SELECT s_nationkey AS nk FROM supplier)
+         SELECT 'union_all' AS op, nk, COUNT(*) AS cnt
+         FROM (SELECT nk FROM cn UNION ALL SELECT nk FROM sn) GROUP BY nk
+         UNION ALL
+         SELECT 'intersect_all' AS op, nk, COUNT(*) AS cnt
+         FROM (SELECT nk FROM cn INTERSECT ALL SELECT nk FROM sn) GROUP BY nk
+         UNION ALL
+         SELECT 'except_all' AS op, nk, COUNT(*) AS cnt
+         FROM (SELECT nk FROM cn EXCEPT ALL SELECT nk FROM sn) GROUP BY nk
+         ORDER BY op, nk""",
     "set_ops" ->
       """WITH cn AS (SELECT DISTINCT n_name FROM customer
                      JOIN nation ON c_nationkey = n_nationkey),

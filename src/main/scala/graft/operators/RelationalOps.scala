@@ -156,6 +156,44 @@ object RelationalOps {
         col("n_orders"), col("sum_totalprice"))
       .orderBy("mktsegment", "orderstatus")
 
+  /** `cube_report` — full grouping-sets lattice over
+    * (c_mktsegment, o_orderstatus): all four grouping combinations in
+    * one pass (Expand + single aggregate), labels via coalesce as in
+    * rollup_report.
+    */
+  def cubeReport(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_totalprice"))
+      .select(
+        coalesce(col("c_mktsegment"), lit("ALL")).as("mktsegment"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+        col("n_orders"), col("sum_totalprice"))
+      .orderBy("mktsegment", "orderstatus")
+
+  /** `set_ops_all` — multiset (bag) set operations: UNION ALL /
+    * INTERSECT ALL / EXCEPT ALL over per-customer vs per-supplier
+    * nation keys — duplicates carry multiplicity, unlike E10.
+    */
+  def setOpsAll(s: SparkSession, d: String): DataFrame = {
+    val custN = Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+    val suppN = Tables.supplier(s, d).select(col("s_nationkey").as("nk"))
+    custN.unionAll(suppN)
+      .groupBy("nk").agg(count(lit(1)).as("cnt"))
+      .withColumn("op", lit("union_all"))
+      .unionByName(custN.intersectAll(suppN)
+        .groupBy("nk").agg(count(lit(1)).as("cnt"))
+        .withColumn("op", lit("intersect_all")))
+      .unionByName(custN.exceptAll(suppN)
+        .groupBy("nk").agg(count(lit(1)).as("cnt"))
+        .withColumn("op", lit("except_all")))
+      .select("op", "nk", "cnt")
+      .orderBy("op", "nk")
+  }
+
   /** E10 `set_ops` — union / intersect / except (distinct forms) of
     * customer nations vs supplier nations, tagged into one result.
     */
