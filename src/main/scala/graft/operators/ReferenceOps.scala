@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.engine.Determinism.{dsum, r6}
+import graft.engine.Determinism.r6
 import graft.engine.Tables
 
 /** R1–R10: the reference's own capabilities (SURVEY.md §2.1),

@@ -60,6 +60,33 @@ object StreamingOhlc {
         col("open_price"), col("high_price"), col("low_price"),
         col("close_price"), col("avg_price"), col("sample_count"))
 
+  /** S3 `streaming_sessionize` — gap-based session windows on a
+    * stream: the E16 batch sessionization as a native
+    * `session_window` aggregation (30 min gap), emitting one row per
+    * closed session once the watermark passes its end.
+    */
+  def sessionizeStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
+  /** S4 `streaming_dedup` — exactly-once tick landing on an
+    * at-least-once transport: drop duplicate (symbol, ts) keys with
+    * bounded state via `dropDuplicatesWithinWatermark` — the
+    * streaming twin of `dedup_exact`, and the fix for the raw-layer
+    * duplication noted on CryptoIngest re-runs.
+    */
+  def dedupStream(ticks: DataFrame): DataFrame =
+    ticks
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("symbol", "ts")
+
   /** S2 `streaming_state` — the reference's state machine made
     * explicit: `flatMapGroupsWithState` keyed by (symbol, hour),
     * carrying `OhlcState` (== the dict at `dataCollector.py:21-29`),

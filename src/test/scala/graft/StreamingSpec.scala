@@ -53,6 +53,56 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("S3 streaming_sessionize: session closes after 30 min gap, one row per session") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Tick]
+    val events = in.toDF().withColumnRenamed("symbol", "user")
+      .selectExpr("ts", "CAST(1 AS BIGINT) AS user_id", "price")
+    val q = StreamingOhlc.sessionizeStream(events)
+      .writeStream.format("memory").queryName("s3_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // session A: two events 5 min apart; then 40 min silence; session B
+      in.addData(
+        Tick(ts("2024-01-01 10:00:00"), "u", 1.0),
+        Tick(ts("2024-01-01 10:05:00"), "u", 1.0),
+        Tick(ts("2024-01-01 10:45:00"), "u", 1.0))
+      q.processAllAvailable()
+      // push watermark far past both sessions
+      in.addData(Tick(ts("2024-01-01 13:00:00"), "u", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM s3_out ORDER BY session_start")
+        .collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[Long]("n_events") == 2L) // 10:00 + 10:05
+      assert(rows(0).getAs[Timestamp]("session_end") == ts("2024-01-01 10:35:00"))
+      assert(rows(1).getAs[Long]("n_events") == 1L) // 10:45
+    } finally q.stop()
+  }
+
+  test("S4 streaming_dedup: duplicate (symbol, ts) dropped within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Tick]
+    val q = StreamingOhlc.dedupStream(in.toDF())
+      .writeStream.format("memory").queryName("s4_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Tick(ts("2024-01-01 10:00:00"), "BTCUSDT", 50000.0),
+        Tick(ts("2024-01-01 10:00:00"), "BTCUSDT", 50000.0), // dup same batch
+        Tick(ts("2024-01-01 10:00:05"), "ETHUSDT", 3000.0))
+      q.processAllAvailable()
+      in.addData( // dup across batches, still inside watermark
+        Tick(ts("2024-01-01 10:00:00"), "BTCUSDT", 50000.0),
+        Tick(ts("2024-01-01 10:01:00"), "BTCUSDT", 50100.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM s4_out").collect()
+      assert(rows.length == 3, rows.mkString("; "))
+    } finally q.stop()
+  }
+
   test("S2 streaming_state: explicit OhlcState flushes on window close (reference state machine)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
