@@ -49,6 +49,7 @@ object SparkEntry {
     "string_funcs"          -> (FunctionOps.stringFuncs _),
     "date_math"             -> (FunctionOps.dateMath _),
     "array_funcs"           -> (FunctionOps.arrayFuncs _),
+    "map_funcs"             -> (FunctionOps.mapFuncs _),
     // Analytic extension: percentiles, moments, pivot, range frames
     "value_percentiles"        -> (AnalyticOps.valuePercentiles _),
     "value_percentiles_approx" -> (AnalyticOps.valuePercentilesApprox _),
@@ -234,6 +235,16 @@ object SparkEntry {
          SELECT 'except' AS op, n_name FROM (SELECT n_name FROM cn
                                              EXCEPT SELECT n_name FROM sn)
          ORDER BY op, n_name""",
+    "map_funcs" ->
+      """WITH c AS (SELECT doc_id, tok, count(*) AS cnt
+                    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                          FROM documents) GROUP BY 1, 2)
+         SELECT doc_id,
+                CAST(COUNT(*) AS INTEGER) AS n_distinct_tokens,
+                MAX(cnt) AS top_token_count,
+                CAST(COALESCE(MAX(CASE WHEN tok = 'data' THEN cnt END), 0)
+                     AS BIGINT) AS count_data
+         FROM c GROUP BY doc_id ORDER BY doc_id""",
     "value_percentiles" ->
       """SELECT event_type,
                 floor((quantile_cont(value, 0.5)) * 1000000 + 0.5) / 1000000 AS p50,

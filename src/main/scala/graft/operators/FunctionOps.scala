@@ -86,6 +86,28 @@ object FunctionOps {
           .as("days_since_epoch"))
       .orderBy("o_orderkey")
 
+  /** `map_funcs` — map-type coverage: per-document token histogram
+    * built as a real MapType column (explode → count → map_from_entries),
+    * then interrogated with map functions. Only scalar projections are
+    * emitted (map column layouts aren't hash-stable across engines).
+    */
+  def mapFuncs(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("tok"), col("cnt"))))
+        .as("histo"))
+      .select(
+        col("doc_id"),
+        size(col("histo")).as("n_distinct_tokens"),
+        array_max(map_values(col("histo"))).as("top_token_count"),
+        coalesce(element_at(col("histo"), "data"), lit(0L)).as("count_data"))
+      .orderBy("doc_id")
+  }
+
   /** E15 `array_funcs` — higher-order array functions over the
     * 64-dim float embeddings: size, fold (sum of squares), zip_with
     * (dot with reversed self), element min/max. All arithmetic is
