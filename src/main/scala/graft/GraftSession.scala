@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Library entry point: a session builder with the engine's canonical
+  * configuration — UTC semantics (oracle parity), AQE on, the graft
+  * SQL functions registered, and shuffle parallelism sized to the
+  * cluster instead of Spark's 200-partition default.
+  */
+object GraftSession {
+
+  /** Pre-configured builder; caller adds master/appName and builds. */
+  def builder(shufflePartitions: Int = Runtime.getRuntime.availableProcessors())
+      : SparkSession.Builder =
+    SparkSession.builder()
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+
+  /** Local session for tests/demos. Functions are also registered
+    * imperatively: `getOrCreate` may return a pre-existing session
+    * whose extensions config is frozen, and registration is
+    * idempotent.
+    */
+  def local(cores: Int = 4): SparkSession = {
+    val s = builder(cores)
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.functions.VectorExprs.register(s)
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -74,6 +74,7 @@ object SparkEntry {
     "multimodal_profile"  -> (LlmVectorOps.multimodalProfile _),
     "multimodal_binary"   -> (LlmVectorOps.multimodalBinary _),
     "multimodal_features" -> (LlmVectorOps.multimodalFeatures _),
+    "multimodal_batch_features" -> (MultimodalKernels.multimodalBatchFeatures _),
   )
 
   /** DuckDB oracle SQL. Omitted (weaker rows-only check) for the

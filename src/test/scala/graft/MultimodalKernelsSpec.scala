@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.MultimodalKernels
+
+/** Batch plumbing invariants for the mapPartitions media kernel. */
+class MultimodalKernelsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def src = Seq(
+    (1L, "a tiny payload"),
+    (2L, "a second considerably longer payload with more bytes in it"),
+    (3L, ""),
+    (4L, "x" * 5000))
+    .toDF("doc_id", "text")
+    .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+
+  test("batch size does not change results (1 vs 3 vs 64)") {
+    def run(bs: Int) = MultimodalKernels.extractFeatures(src, bs)
+      .collect().sortBy(_.doc_id).map(_.toString).toSeq
+    assert(run(1) == run(64))
+    assert(run(3) == run(64))
+  }
+
+  test("kernel output shape: 8 sampled frames max, thumbnail fits 64x64") {
+    val rows = MultimodalKernels.extractFeatures(src).collect()
+    rows.foreach { r =>
+      assert(r.sampled_frames.size <= 8)
+      assert(r.thumb_w <= 64 && r.thumb_h <= 64)
+      assert(r.thumb_w >= 1 && r.thumb_h >= 1)
+    }
+    // empty payload survives (total function, no crash)
+    assert(rows.find(_.doc_id == 3L).get.n_bytes == 0)
+  }
+
+  test("no shuffle in the kernel plan") {
+    val ds = MultimodalKernels.extractFeatures(src)
+    assert(!graft.engine.Bucketing.hasShuffle(ds.toDF()))
+  }
+
+  test("GraftSession.local exposes graft SQL functions") {
+    val s = GraftSession.local(2)
+    val d = s.sql(
+      """SELECT graft_dot(CAST(array(2.0) AS ARRAY<FLOAT>),
+                          CAST(array(3.0) AS ARRAY<FLOAT>))""")
+      .collect().head.getDouble(0)
+    assert(d == 6.0)
+  }
+}
