@@ -96,24 +96,17 @@ object LlmTextOps {
     val nHashes = 32
     val nBands  = 8 // 4 rows/band
     val sh = shingled(s, d).withColumn("h", xxhash64(col("sh")))
-    // 32 cheap linear permutations of the base shingle hash, in a
-    // modular ring so the multiply never overflows Long under ANSI:
-    // h' = ((h mod P) * a_p + b_p) mod Q with P·a_p < 2^63.
-    val P = 1000000007L
-    val Q = 4294967311L // prime > 2^32
-    val minhashCols = (0 until nHashes).map { p =>
-      min(pmod(pmod(col("h"), lit(P)) * lit(2654435761L + 2 * p)
-        + lit(40503L * p), lit(Q))).as(s"mh$p")
-    }
-    // The signature table is referenced four times below (band
-    // self-join x/y + two sig re-attach joins); identical subtrees are
-    // deduplicated by Spark's ReuseExchange, and measured wall-clock is
-    // *worse* with an explicit persist here (cache-fill race between
-    // parallel stages + serialization cost). At 100 TB the signature
-    // table would be written once as a silver table instead.
-    val sigs = sh.groupBy(col("doc_id")).agg(minhashCols.head, minhashCols.tail: _*)
-      .withColumn("sig", array((0 until nHashes).map(p => col(s"mh$p")): _*))
-      .select(col("doc_id"), col("sig"))
+    // Signature = one MinHashAgg pass (TypedImperativeAggregate with a
+    // 32-long buffer, SURVEY §7); permutations are modular so ANSI
+    // mode can't overflow. The signature table is referenced four
+    // times below (band self-join x/y + two sig re-attach joins);
+    // identical subtrees are deduplicated by Spark's ReuseExchange,
+    // and measured wall-clock is *worse* with an explicit persist
+    // (cache-fill race between parallel stages + serialization cost).
+    // At 100 TB the signature table would be written once as a silver
+    // table instead.
+    val sigs = sh.groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashAgg.minhash32(s, col("h")).as("sig"))
     val banded = sigs.select(
       col("doc_id"), col("sig"),
       explode(expr(
