@@ -60,6 +60,8 @@ object SparkEntry {
     "sessionize"          -> (LlmTextOps.sessionize _),
     "dedup_exact"         -> (LlmTextOps.dedupExact _),
     "dedup_near"          -> (LlmTextOps.dedupNear _),
+    "dedup_survivors"     -> (LlmTextOps.dedupSurvivors _),
+    "corpus_filter"       -> (LlmTextOps.corpusFilter _),
     "dedup_minhash"       -> (LlmTextOps.dedupMinhash _),
     "dedup_simhash"       -> (LlmTextOps.dedupSimhash _),
     "text_stats"          -> (LlmTextOps.textStats _),
@@ -352,6 +354,62 @@ object SparkEntry {
                     JOIN sizes sj ON sj.doc_id = j
          WHERE floor((inter / (si.sz + sj.sz - inter)) * 1000000 + 0.5) / 1000000 >= 0.8
          ORDER BY i, j""",
+    "dedup_survivors" ->
+      """WITH sh_t AS (
+           SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1]
+                    || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh_t GROUP BY 1),
+         pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+                   FROM sh_t a JOIN sh_t b
+                     ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         removed AS (SELECT DISTINCT j AS doc_id
+                     FROM pairs JOIN sizes si ON si.doc_id = i
+                                JOIN sizes sj ON sj.doc_id = j
+                     WHERE floor((inter / (si.sz + sj.sz - inter)) * 1000000
+                                 + 0.5) / 1000000 >= 0.8)
+         SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+         ORDER BY doc_id""",
+    "corpus_filter" ->
+      """WITH sh_t AS (
+           SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1]
+                    || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh_t GROUP BY 1),
+         pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+                   FROM sh_t a JOIN sh_t b
+                     ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         removed AS (SELECT DISTINCT j AS doc_id
+                     FROM pairs JOIN sizes si ON si.doc_id = i
+                                JOIN sizes sj ON sj.doc_id = j
+                     WHERE floor((inter / (si.sz + sj.sz - inter)) * 1000000
+                                 + 0.5) / 1000000 >= 0.8),
+         u AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                      floor((len(list_distinct(toks)) / len(toks)) * 1000000
+                            + 0.5) / 1000000 AS distinct_ratio,
+                      floor((len(list_filter(toks, t2 -> t2 IN
+                              ('the', 'a', 'of', 'and', 'to', 'in')))
+                             / len(toks)) * 1000000 + 0.5) / 1000000 AS stop_ratio
+               FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                     FROM documents)),
+         q AS (SELECT doc_id,
+                      floor((LEAST(n_tokens / 100.0, 1.0) * 0.4
+                             + distinct_ratio * 0.4
+                             + (1.0 - stop_ratio) * 0.2) * 1000000 + 0.5)
+                        / 1000000 AS quality_score
+               FROM u),
+         e AS (SELECT vec_id AS doc_id,
+                      floor((sqrt(list_aggregate([CAST(x AS DOUBLE)
+                              * CAST(x AS DOUBLE) for x in embedding], 'sum')))
+                            * 1000000 + 0.5) / 1000000 AS emb_norm
+               FROM embeddings)
+         SELECT d.doc_id, d.source, d.n_chars, q.quality_score, e.emb_norm
+         FROM documents d JOIN q USING (doc_id) JOIN e USING (doc_id)
+         WHERE d.lang = 'en'
+           AND d.doc_id NOT IN (SELECT doc_id FROM removed)
+           AND q.quality_score >= 0.62
+         ORDER BY doc_id""",
     "text_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
                 CAST(SUM(n_chars) AS BIGINT) AS total_chars,

@@ -85,6 +85,20 @@ object LlmTextOps {
       .orderBy("i", "j")
   }
 
+  /** `dedup_survivors` — the dedup *output*: one survivor per
+    * near-dup group, greedy keep-smallest-id policy (a doc survives
+    * iff it has no near-dup with a smaller id). Deterministic and
+    * single-pass over the E18 pair set — the standard corpus-dedup
+    * reduction when full connected components aren't required.
+    */
+  def dedupSurvivors(s: SparkSession, d: String): DataFrame = {
+    val removed = dedupNear(s, d).select(col("j").as("doc_id")).distinct()
+    Tables.documents(s, d)
+      .join(removed, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** `dedup_minhash` — MinHash + banded LSH, the scale path for E18
     * (no oracle: signature permutations are engine-specific).
     * 32 hashes = 8 bands × 4 rows; band-bucket join finds candidates
@@ -222,6 +236,27 @@ object LlmTextOps {
         length(col("text")).as("n_chars_actual"),
         col("n_chars"))
       .orderBy("doc_id")
+
+  /** `corpus_filter` — the assembled training-data selection pass:
+    * near-dup survivors ∩ quality ≥ 0.62 ∩ lang = 'en', joined to
+    * their embedding vectors — the end-to-end "documents in, training
+    * corpus out" composition of E17/E18/quality/lang/E21.
+    */
+  def corpusFilter(s: SparkSession, d: String): DataFrame = {
+    val quality = textQuality(s, d).select("doc_id", "quality_score")
+    val embNorm = graft.engine.Tables.embeddings(s, d).select(
+      col("vec_id").as("doc_id"),
+      graft.engine.Determinism.r6(sqrt(
+        graft.functions.VectorExprs.dot(s, col("embedding"), col("embedding"))))
+        .as("emb_norm"))
+    dedupSurvivors(s, d)
+      .where(col("lang") === "en")
+      .join(quality, Seq("doc_id"))
+      .where(col("quality_score") >= 0.62)
+      .join(embNorm, Seq("doc_id"))
+      .select("doc_id", "source", "n_chars", "quality_score", "emb_norm")
+      .orderBy("doc_id")
+  }
 
   /** `doc_fingerprint` — rolling polynomial hash over the token
     * stream (mod 1e9+7): a cheap content fingerprint for incremental
