@@ -71,9 +71,20 @@ object LlmTextOps {
   def dedupNear(s: SparkSession, d: String): DataFrame = {
     val sh = shingled(s, d)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val a = sh.select(col("doc_id").as("i"), col("sh"))
-    val b = sh.select(col("doc_id").as("j"), col("sh"))
-    val inter = a.join(b, Seq("sh")).where(col("i") < col("j"))
+    // pair generation per shingle posting list instead of a self-join:
+    // one shuffle (groupBy shingle) + map-side C(k,2) explode. Safe
+    // because posting lists are short (hottest shingle: 25 docs at
+    // sf0.1); with real skew, cap/salt the hot lists first (see
+    // engine.Skew.heavyHitters).
+    val inter = sh.groupBy(col("sh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .where(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ds) - 2),
+             i -> transform(sequence(i + 1, size(ds) - 1),
+                            j -> struct(ds[i] AS i, ds[j] AS j))))"""))
+        .as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"))
       .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("doc_id").as("i"), col("sz").as("sz_i")), Seq("i"))
