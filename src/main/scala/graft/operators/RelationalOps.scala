@@ -93,22 +93,33 @@ object RelationalOps {
     */
   def joinAsofNearest(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts"), lit(0).as("tag"),
-        col("ts").as("click_ts"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), lit(1).as("tag"),
-        lit(null).cast("timestamp").as("click_ts"))
+    asofJoin(
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts")),
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts")))
+      .orderBy("user_id", "purchase_ts")
+  }
+
+  /** Core as-of composition: for each right-side row, the latest
+    * left-side ts of the same user with left.ts <= right.ts.
+    * Exposed for unit tests (equal-ts tie semantics: a click at
+    * exactly the purchase ts DOES match, like DuckDB `ASOF ... >=`).
+    */
+  private[graft] def asofJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val l = clicks.select(col("user_id"), col("ts"), lit(0).as("tag"),
+      col("ts").as("click_ts"))
+    val r = purchases.select(col("user_id"), col("ts"), lit(1).as("tag"),
+      lit(null).cast("timestamp").as("click_ts"))
     // tag orders click before purchase at equal ts ⇒ ts <= semantics
     val w = Window.partitionBy("user_id").orderBy("ts", "tag")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    clicks.unionByName(purchases)
+    l.unionByName(r)
       .withColumn("last_click_ts",
         last(col("click_ts"), ignoreNulls = true).over(w))
       .where(col("tag") === 1 && col("last_click_ts").isNotNull)
       .select(col("user_id"), col("ts").as("purchase_ts"),
         col("last_click_ts"))
-      .orderBy("user_id", "purchase_ts")
   }
 
   /** E7 `topk_orders` — global top 10 by totalprice; the

@@ -1,0 +1,59 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.RelationalOps
+
+/** Pins the as-of join composition's edge semantics (E6), which the
+  * oracle only exercises on tie-free data.
+  */
+class AsofJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def df(rows: Seq[(Long, String)]) =
+    rows.toDF("user_id", "tss").selectExpr("user_id", "CAST(tss AS TIMESTAMP) AS ts")
+
+  private def run(clicks: Seq[(Long, String)], purchases: Seq[(Long, String)]) =
+    RelationalOps.asofJoin(df(clicks), df(purchases))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString)).toSet
+
+  test("equal timestamps match (<= semantics, like DuckDB ASOF >=)") {
+    val out = run(
+      clicks = Seq((1L, "2024-01-01 10:00:00")),
+      purchases = Seq((1L, "2024-01-01 10:00:00")))
+    assert(out == Set((1L, "2024-01-01 10:00:00.0", "2024-01-01 10:00:00.0")))
+  }
+
+  test("latest prior click wins; later clicks ignored") {
+    val out = run(
+      clicks = Seq((1L, "2024-01-01 09:00:00"), (1L, "2024-01-01 09:30:00"),
+        (1L, "2024-01-01 11:00:00")),
+      purchases = Seq((1L, "2024-01-01 10:00:00")))
+    assert(out == Set((1L, "2024-01-01 10:00:00.0", "2024-01-01 09:30:00.0")))
+  }
+
+  test("purchase with no prior click is dropped (inner asof); users independent") {
+    val out = run(
+      clicks = Seq((2L, "2024-01-01 09:00:00")),
+      purchases = Seq(
+        (1L, "2024-01-01 10:00:00"), // user 1 has no clicks at all
+        (2L, "2024-01-01 08:00:00"), // before user 2's click
+        (2L, "2024-01-01 10:00:00")))
+    assert(out == Set((2L, "2024-01-01 10:00:00.0", "2024-01-01 09:00:00.0")))
+  }
+
+  test("decimal money sums are partition-count invariant") {
+    import org.apache.spark.sql.functions._
+    import graft.engine.Determinism.dsum
+    val data = (1 to 10000).map(i => math.rint((i * 37.13) % 9999 * 100) / 100)
+    def total(parts: Int) = data.toDF("x").repartition(parts)
+      .agg(dsum(col("x"))).collect().head.getDouble(0)
+    assert(total(1) == total(16))
+    assert(total(3) == total(32))
+  }
+}
