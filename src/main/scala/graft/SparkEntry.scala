@@ -73,6 +73,7 @@ object SparkEntry {
     "similarity_lsh"      -> (LlmVectorOps.similarityLsh _),
     "similarity_ivf"      -> (LlmVectorOps.similarityIvf _),
     "dedup_embed"         -> (LlmVectorOps.dedupEmbed _),
+    "dedup_embed_blocked" -> (LlmVectorOps.dedupEmbedBlocked _),
     "multimodal_profile"  -> (LlmVectorOps.multimodalProfile _),
     "multimodal_binary"   -> (LlmVectorOps.multimodalBinary _),
     "multimodal_features" -> (LlmVectorOps.multimodalFeatures _),
@@ -80,9 +81,12 @@ object SparkEntry {
   )
 
   /** DuckDB oracle SQL. Omitted (weaker rows-only check) for the
-    * approximate / engine-hash-dependent / stub-decode operators:
-    * distinct_users_approx, dedup_minhash, dedup_simhash,
-    * similarity_lsh, multimodal_features.
+    * approximate / engine-hash-dependent / stub-decode operators —
+    * exactly `queries.keySet -- oracleSql.keySet` (pinned by
+    * InventorySpec): distinct_users_approx, value_percentiles_approx,
+    * dedup_minhash, dedup_simhash, dedup_embed_blocked,
+    * similarity_lsh, similarity_ivf, multimodal_features,
+    * multimodal_batch_features.
     */
   def oracleSql: Map[String, String] = Map(
     "ingest_raw" ->

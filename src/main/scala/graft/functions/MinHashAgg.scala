@@ -83,11 +83,15 @@ case class MinHashAgg(
 }
 
 object MinHashAgg {
-  def register(s: SparkSession): Unit =
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_minhash32",
-      exprs => MinHashAgg(exprs.head).toAggregateExpression(),
-      "built-in")
+  def register(s: SparkSession): Unit = {
+    val reg = s.sessionState.functionRegistry
+    // register-once per session (see VectorExprs.register)
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash32")))
+      reg.createOrReplaceTempFunction(
+        "graft_minhash32",
+        exprs => MinHashAgg(exprs.head).toAggregateExpression(),
+        "built-in")
+  }
 
   /** Aggregate column: 32-long MinHash signature of a LongType hash
     * column.

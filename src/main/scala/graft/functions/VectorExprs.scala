@@ -41,13 +41,19 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName everything: with non-nullable inputs the generated
+      // snippet is inlined without a scoping block, so fixed local
+      // names collide when the expression appears twice in one stage
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -93,20 +99,28 @@ case class SimHash64(child: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
+      // freshName locals — see DotProduct.doGenCode
+      val n = ctx.freshName("n")
+      val counts = ctx.freshName("counts")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val b = ctx.freshName("b")
+      val b2 = ctx.freshName("b2")
+      val sig = ctx.freshName("sig")
       s"""
-         |int n = $a.numElements();
-         |int[] counts = new int[64];
-         |for (int i = 0; i < n; i++) {
-         |  long h = $a.getLong(i);
-         |  for (int b = 0; b < 64; b++) {
-         |    if (((h >>> b) & 1L) == 1L) counts[b]++; else counts[b]--;
+         |int $n = $a.numElements();
+         |int[] $counts = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $a.getLong($i);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ((($h >>> $b) & 1L) == 1L) $counts[$b]++; else $counts[$b]--;
          |  }
          |}
-         |long sig = 0L;
-         |for (int b = 0; b < 64; b++) {
-         |  if (counts[b] > 0) sig |= (1L << b);
+         |long $sig = 0L;
+         |for (int $b2 = 0; $b2 < 64; $b2++) {
+         |  if ($counts[$b2] > 0) $sig |= (1L << $b2);
          |}
-         |${ev.value} = sig;
+         |${ev.value} = $sig;
        """.stripMargin
     })
 
@@ -120,10 +134,14 @@ case class SimHash64(child: Expression)
 object VectorExprs {
   def register(s: SparkSession): Unit = {
     val reg = s.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_simhash64", exprs => SimHash64(exprs.head), "built-in")
+    // register-once per session: createOrReplace on every call site
+    // would log a "replaced a previously registered function" warning
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"))) {
+      reg.createOrReplaceTempFunction(
+        "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_simhash64", exprs => SimHash64(exprs.head), "built-in")
+    }
   }
 
   def dot(s: SparkSession, a: Column, b: Column): Column = {

@@ -23,6 +23,10 @@ object LlmTextOps {
   private def shingled(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))
+      // docs with < 3 tokens have no 3-shingles; without this guard
+      // sequence(0, size-3) would auto-step -1 and fabricate shingles
+      // from null-index accesses (the DuckDB oracle yields none).
+      .where(size(col("toks")) >= 3)
       .withColumn("sh", explode(array_distinct(expr(
         """transform(sequence(0, size(toks) - 3),
                      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"""))))
@@ -38,9 +42,12 @@ object LlmTextOps {
     val w = Window.partitionBy("user_id").orderBy("ts")
     Tables.events(s, d)
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      // microsecond gap to match the oracle's epoch_us exactly —
+      // unix_timestamp truncates to whole seconds, so a 1800.9 s gap
+      // would sessionize differently in the two engines.
       .withColumn("new_session",
         when(col("prev_ts").isNull
-          || unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800L,
+          || unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L,
           1L).otherwise(0L))
       .groupBy(col("user_id"))
       .agg(
@@ -165,18 +172,36 @@ object LlmTextOps {
   /** `dedup_simhash` — 64-bit SimHash near-dup detection (no oracle).
     * Signature = sign of the per-bit sum of token-hash bits; near-dups
     * = pairs at Hamming distance ≤ 3. Signature build is one narrow
-    * agg; the pair scan here is brute-force (fine at test sf) — at
-    * scale, block on 4×16-bit signature chunks (pigeonhole) first.
+    * projection; candidate generation blocks on the 4 disjoint 16-bit
+    * signature chunks — EXACT by pigeonhole (≤ 3 differing bits can
+    * touch at most 3 chunks, so every qualifying pair agrees on ≥ 1
+    * chunk) — turning the all-pairs scan into an equi-join on
+    * (chunk#, chunk-value). Only (doc_id, sig) pairs shuffle; the
+    * final Hamming check runs on candidates only.
     */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     val sigs = Tables.documents(s, d)
       .withColumn("th", expr("transform(split(text, ' '), t -> xxhash64(t))"))
       .withColumn("sig", graft.functions.VectorExprs.simhash64(s, col("th")))
       .select(col("doc_id"), col("sig"))
-    sigs.as("x").join(sigs.as("y"), col("x.doc_id") < col("y.doc_id"))
-      .withColumn("hamming", bit_count(col("x.sig").bitwiseXOR(col("y.sig"))))
+    val chunked = sigs.select(
+      col("doc_id"), col("sig"),
+      explode(expr(
+        """transform(sequence(0, 3),
+             c -> struct(c AS c,
+                         shiftright(sig, c * 16) & 65535L AS cv))"""))
+        .as("ck"))
+      .select(col("doc_id"), col("sig"), col("ck.c"), col("ck.cv"))
+    chunked.as("x").join(chunked.as("y"),
+        col("x.c") === col("y.c") && col("x.cv") === col("y.cv")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
+        col("x.sig").as("sig_i"), col("y.sig").as("sig_j"))
+      // a pair agreeing on several chunks surfaces once per chunk
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig_i").bitwiseXOR(col("sig_j"))))
       .where(col("hamming") <= 3)
-      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"), col("hamming"))
+      .select("i", "j", "hamming")
       .orderBy("i", "j")
   }
 

@@ -61,27 +61,34 @@ object LlmVectorOps {
     * Hyperplane h_b[i] = ((i*2654435761 + b*40503) mod 97)/96 - 0.5 —
     * seedless, reproducible arithmetic instead of RNG state.
     */
-  def similarityLsh(s: SparkSession, d: String): DataFrame = {
-    // L=8 hash tables × k=4 hyperplanes: P[collide in ≥1 table] =
-    // 1-(1-p^4)^8 with p = 1-θ/π — measured recall@10 ≈ 0.7 on the
-    // sf0.01 corpus (weakly-similar neighbors, cos ≈ 0.3-0.5) while
-    // scanning ~half the corpus; on true near-dup data the same
-    // parameters prune orders of magnitude harder.
-    val nTables = 8
-    val kPlanes = 4
-    val dim = 64
+  /** Deterministic random-hyperplane LSH keys: one (table, bucket)
+    * struct per table per vector. Hyperplane h_b[i] =
+    * ((i*2654435761 + b*40503) mod 97)/96 - 0.5 — seedless,
+    * reproducible arithmetic instead of RNG state. Shared by
+    * `similarity_lsh` and `dedup_embed_blocked`.
+    */
+  private def lshTableKeys(s: SparkSession, nTables: Int, kPlanes: Int,
+      dim: Int): Column = {
     def plane(t: Int, j: Int): Column = typedLit((0 until dim).map { i =>
       (((i.toLong * 2654435761L + (t * kPlanes + j) * 40503L) % 97L)
         .toDouble / 96.0 - 0.5).toFloat
     })
-    // one (table, bucket) key per table per vector
-    val tableKeys = array((0 until nTables).map { t =>
+    array((0 until nTables).map { t =>
       val bits = (0 until kPlanes).map { j =>
         when(VectorExprs.dot(s, col("embedding"), plane(t, j)) > 0.0,
           lit(1 << j)).otherwise(lit(0))
       }.reduce(_ + _)
       struct(lit(t).as("t"), bits.as("b"))
     }: _*)
+  }
+
+  def similarityLsh(s: SparkSession, d: String): DataFrame = {
+    // L=8 hash tables × k=4 hyperplanes: P[collide in ≥1 table] =
+    // 1-(1-p^4)^8 with p = 1-θ/π — measured recall@10 ≈ 0.7 on the
+    // sf0.01 corpus (weakly-similar neighbors, cos ≈ 0.3-0.5) while
+    // scanning ~half the corpus; on true near-dup data the same
+    // parameters prune orders of magnitude harder.
+    val tableKeys = lshTableKeys(s, nTables = 8, kPlanes = 4, dim = 64)
     val base = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
     val keyed = base
       .withColumn("tk", explode(tableKeys))
@@ -168,6 +175,41 @@ object LlmVectorOps {
     val b = e.select(col("vec_id").as("j"), col("embedding").as("emb_j"),
       col("norm").as("norm_j"))
     a.join(b, col("i") < col("j"))
+      .withColumn("cos_sim", r6(
+        VectorExprs.dot(s, col("emb_i"), col("emb_j"))
+          / (col("norm_i") * col("norm_j"))))
+      .where(col("cos_sim") >= 0.4)
+      .select("i", "j", "cos_sim")
+      .orderBy("i", "j")
+  }
+
+  /** `dedup_embed_blocked` — the 100 TB shape of `dedup_embed` (no
+    * oracle: LSH blocking is approximate-recall by design). Candidate
+    * pairs come from shared random-hyperplane buckets (ids-only
+    * shuffle), then candidates get the *exact* cosine re-score at the
+    * same ≥ 0.4 threshold — so every emitted pair is a true pair; the
+    * approximation is only recall (pairs whose bucket never collides).
+    * Measured vs the exact `dedup_embed` at sf0.01: see BASELINE.md.
+    */
+  def dedupEmbedBlocked(s: SparkSession, d: String): DataFrame = {
+    val tableKeys = lshTableKeys(s, nTables = 8, kPlanes = 4, dim = 64)
+    val base = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
+    val keyed = base
+      .withColumn("tk", explode(tableKeys))
+      .select(col("vec_id"), col("tk.t").as("t"), col("tk.b").as("b"))
+    // ids-only candidate pairs (a pair may collide in several tables);
+    // embeddings re-attach after the distinct so the bucket shuffle
+    // stays narrow.
+    val candIds = keyed.as("x").join(keyed.as("y"),
+        col("x.t") === col("y.t") && col("x.b") === col("y.b")
+          && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("i"), col("y.vec_id").as("j"))
+      .distinct()
+    candIds
+      .join(base.select(col("vec_id").as("i"), col("embedding").as("emb_i"),
+        col("norm").as("norm_i")), Seq("i"))
+      .join(base.select(col("vec_id").as("j"), col("embedding").as("emb_j"),
+        col("norm").as("norm_j")), Seq("j"))
       .withColumn("cos_sim", r6(
         VectorExprs.dot(s, col("emb_i"), col("emb_j"))
           / (col("norm_i") * col("norm_j"))))

@@ -63,10 +63,17 @@ object MultimodalKernels {
 
   /** `multimodal_batch_features` inventory entry: documents' text
     * bytes standing in for media blobs (no oracle: stub decode).
+    * The driver's comparator hashes scalar cells only, so the frame
+    * sample is flattened to a CSV string; the typed
+    * `Dataset[MediaFeatures]` API keeps the array.
     */
   def multimodalBatchFeatures(s: SparkSession, d: String): DataFrame = {
     val src = Tables.documents(s, d)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-    extractFeatures(src).toDF().orderBy("doc_id")
+    extractFeatures(src).toDF()
+      .select(col("doc_id"), col("n_bytes"),
+        concat_ws(",", col("sampled_frames")).as("frames_csv"),
+        col("thumb_w"), col("thumb_h"), col("byte_mean"))
+      .orderBy("doc_id")
   }
 }

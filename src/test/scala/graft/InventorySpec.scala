@@ -18,6 +18,18 @@ class InventorySpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("oracle-less queries are exactly the documented approximate/stub set") {
+    val oracleLess = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val documented = Set(
+      "distinct_users_approx", "value_percentiles_approx",
+      "dedup_minhash", "dedup_simhash", "dedup_embed_blocked",
+      "similarity_lsh", "similarity_ivf",
+      "multimodal_features", "multimodal_batch_features")
+    assert(oracleLess == documented,
+      s"undocumented oracle-less: ${oracleLess -- documented}; " +
+        s"stale documented: ${documented -- oracleLess}")
+  }
+
   test("all queries execute at sf0.001 and are non-empty where expected") {
     // join_anti may legitimately return 0 rows at tiny sf
     val mayBeEmpty = Set("join_anti", "dedup_simhash")
@@ -28,6 +40,35 @@ class InventorySpec extends AnyFunSuite {
       case (n, c) if c == 0 && !mayBeEmpty(n) => n
     }
     assert(empties.isEmpty, s"unexpectedly empty: $empties")
+  }
+
+  test("chunk-blocked dedup_simhash equals the brute-force pair scan at sf0.001") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    // brute-force reference computed inline: all pairs, Hamming <= 3
+    val sigs = graft.engine.Tables.documents(s, TestSpark.sf0001)
+      .withColumn("th", expr("transform(split(text, ' '), t -> xxhash64(t))"))
+      .withColumn("sig", graft.functions.VectorExprs.simhash64(s, col("th")))
+      .select(col("doc_id"), col("sig"))
+    val brute = sigs.as("x").join(sigs.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .withColumn("hamming", bit_count(col("x.sig").bitwiseXOR(col("y.sig"))))
+      .where(col("hamming") <= 3)
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = graft.operators.LlmTextOps.dedupSimhash(s, TestSpark.sf0001)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute,
+      s"pigeonhole blocking diverged: missing=${brute -- blocked} extra=${blocked -- brute}")
+  }
+
+  test("dedup_embed_blocked emits only true pairs (subset of exact dedup_embed)") {
+    val exact = graft.operators.LlmVectorOps.dedupEmbed(spark, TestSpark.sf0001)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = graft.operators.LlmVectorOps
+      .dedupEmbedBlocked(spark, TestSpark.sf0001)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked.subsetOf(exact), s"false positives: ${blocked -- exact}")
+    assert(blocked.nonEmpty, "LSH blocking found no candidate pairs at all")
   }
 
   test("dedup family agrees on the exact-duplicate pair set at sf0.001") {

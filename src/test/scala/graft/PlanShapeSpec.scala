@@ -45,6 +45,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("dedup_simhash is equi-join blocked — no cartesian/nested-loop pair scan") {
+    val p = planString("dedup_simhash")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("dedup_embed_blocked is bucket-join blocked — no cartesian/nested-loop") {
+    val p = planString("dedup_embed_blocked")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("ingest_raw is a scan+project+sort — no aggregation, no join") {
     val p = planString("ingest_raw")
     assert(!p.contains("HashAggregate") && !p.contains("Join"))
