@@ -30,8 +30,12 @@ object CryptoIngest {
       .withColumn("date", to_date(col("ts")))
       .write.partitionBy("date").mode("append").parquet(path)
 
-  /** Downsample ticks to hourly OHLC and flush idempotently
-    * (overwrite only the date partitions present in this batch).
+  /** Downsample ticks to hourly OHLC and flush idempotently.
+    * Partitioned by (date, hour) — the flush unit IS the hour
+    * (`dataCollector.py:140-163` flushes completed hours), so dynamic
+    * overwrite replaces exactly the (date, hour) partitions present in
+    * this batch; a batch covering only some hours of a date leaves that
+    * date's other hours untouched.
     */
   def flushHourly(ticks: DataFrame, path: String): Unit = {
     val spark = ticks.sparkSession
@@ -39,11 +43,54 @@ object CryptoIngest {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try
       ReferenceOps.ohlcAgg(ticks)
-        .write.partitionBy("date").mode("overwrite").parquet(path)
+        .write.partitionBy("date", "hour").mode("overwrite").parquet(path)
     finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
+  }
+
+  /** JDBC twin of `flushHourly` for users migrating straight off the
+    * reference's Postgres sink (`dataCollector.py:140-163`): same
+    * `downsampled_prices` DDL (`dataCollector.py:62-75`), idempotent
+    * via delete-then-insert of the (date, hour) keys present in the
+    * batch — the upsert the reference's bare INSERT lacks. The key
+    * list is metadata-sized (one row per flushed hour), so collecting
+    * it driver-side is O(hours), not O(data); row inserts stream from
+    * executors via `df.write.jdbc`.
+    */
+  def flushHourlyJdbc(ticks: DataFrame, url: String,
+      table: String = "downsampled_prices"): Unit = {
+    val hourly = ReferenceOps.ohlcAgg(ticks)
+    val keys = hourly.select("date", "hour").distinct().collect()
+      .map(r => (r.getDate(0), r.getInt(1)))
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val meta = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
+      val exists = Iterator.continually(meta)
+        .takeWhile(_.next()).exists(_.getString("TABLE_NAME")
+          .equalsIgnoreCase(table))
+      if (!exists) {
+        val st = conn.createStatement()
+        // quoted lower-case names: DATE/HOUR are reserved words, and
+        // Spark's JDBC writer quotes the DataFrame's column names
+        try st.execute(
+          s"""CREATE TABLE $table (
+             |  "date" DATE NOT NULL, "hour" INTEGER NOT NULL,
+             |  "symbol" VARCHAR(64) NOT NULL,
+             |  "open_price" DOUBLE, "high_price" DOUBLE,
+             |  "low_price" DOUBLE, "close_price" DOUBLE,
+             |  "avg_price" DOUBLE, "sample_count" BIGINT,
+             |  PRIMARY KEY ("date", "hour", "symbol"))""".stripMargin)
+        finally st.close()
+      }
+      val del = conn.prepareStatement(
+        s"""DELETE FROM $table WHERE "date" = ? AND "hour" = ?""")
+      try keys.foreach { case (d, h) =>
+        del.setDate(1, d); del.setInt(2, h); del.executeUpdate()
+      } finally del.close()
+    } finally conn.close()
+    hourly.write.mode("append").jdbc(url, table, new java.util.Properties)
   }
 
   /** Drop raw-layer date partitions strictly older than `keepDays`
@@ -75,7 +122,17 @@ object CryptoIngest {
     val spark = ticks.sparkSession
     landRaw(ticks, rawPath)
     flushHourly(ticks, hourlyPath)
-    val maxDay = ticks.agg(max(to_date(col("ts")))).collect().head.getDate(0)
-    applyRetention(spark, rawPath, maxDay.toLocalDate, keepDays)
+    // retention as-of = newest landed date partition, read off the raw
+    // layer's directory names — a driver metadata listing (the same
+    // O(partitions) op applyRetention does), so the pipeline runs no
+    // data-collecting Spark action.
+    val p = new Path(rawPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val days = fs.listStatus(p).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("date=")).map(_.stripPrefix("date="))
+    if (days.isEmpty) Seq.empty
+    else applyRetention(spark, rawPath, java.time.LocalDate.parse(days.max),
+      keepDays)
   }
 }

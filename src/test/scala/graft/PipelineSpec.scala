@@ -47,6 +47,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(hourly.count() == 3, "re-flush must not duplicate rows")
   }
 
+  test("flushHourly of disjoint hours of the same date keeps both (hour-grain overwrite)") {
+    val tmp = Files.createTempDirectory("graft_flush_hours").toString
+    val morning = Seq(
+      ("2024-01-01 10:00:05", "BTCUSDT", 50000.0),
+      ("2024-01-01 10:30:00", "BTCUSDT", 51000.0))
+    val evening = Seq(
+      ("2024-01-01 18:00:00", "BTCUSDT", 52000.0))
+    CryptoIngest.flushHourly(ticksDf(morning), s"$tmp/hourly")
+    CryptoIngest.flushHourly(ticksDf(evening), s"$tmp/hourly")
+    val hourly = spark.read.parquet(s"$tmp/hourly")
+    assert(hourly.select("hour").as[Int].collect().sorted.toSeq == Seq(10, 18),
+      "a later batch of the same date must not delete earlier hours")
+    // and re-flushing an hour replaces, not duplicates, it
+    CryptoIngest.flushHourly(ticksDf(evening), s"$tmp/hourly")
+    assert(spark.read.parquet(s"$tmp/hourly").count() == 2)
+  }
+
+  test("flushHourlyJdbc round-trips through Derby and is idempotent per (date, hour)") {
+    val tmp = Files.createTempDirectory("graft_jdbc").toString
+    System.setProperty("derby.stream.error.file", s"$tmp/derby.log")
+    val url = s"jdbc:derby:$tmp/db;create=true"
+    CryptoIngest.flushHourlyJdbc(ticksDf(batch), url)
+    CryptoIngest.flushHourlyJdbc(ticksDf(batch), url) // re-flush: upsert, no PK violation
+    val back = spark.read.jdbc(url, "downsampled_prices", new java.util.Properties)
+    assert(back.count() == 3, "re-flush must replace, not duplicate")
+    val btc10 = back.where(col("hour") === 10 && col("symbol") === "BTCUSDT")
+      .collect().head
+    assert(btc10.getAs[Double]("open_price") == 50000.0)
+    assert(btc10.getAs[Double]("close_price") == 51000.0)
+    assert(btc10.getAs[Long]("sample_count") == 2L)
+  }
+
   test("OhlcAggregator (typed UDAF) matches the built-in ohlcAgg") {
     val rnd = new scala.util.Random(11)
     val rows = (0 until 500).map { i =>
