@@ -32,6 +32,16 @@ object TickSource {
     StructField("symbol", StringType),
     StructField("price", DoubleType)))
 
+  /** Landing-zone contract for the external 5 s poller (the fetch loop
+    * at `dataCollector.py:97-117`, which this zero-egress library
+    * cannot own): each line records the fetch wall-clock and the raw
+    * API payload string, untouched — parsing and error tolerance stay
+    * inside the engine (`parseApiPayload`).
+    */
+  val landingSchema: StructType = StructType(Seq(
+    StructField("fetch_ts", TimestampType),
+    StructField("payload", StringType)))
+
   /** Parse a column of raw API payload strings into (symbol, price)
     * with the reference's skip-and-continue error semantics: a
     * malformed payload or non-numeric price yields null fields that

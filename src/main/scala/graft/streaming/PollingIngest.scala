@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.sources.TickSource
+
+/** The reference's 5 s poll cadence end-to-end (SURVEY §7 step 6,
+  * `dataCollector.py:17,220` — `time.sleep(5)` around the fetch loop),
+  * re-expressed as Structured Streaming micro-batches: an external
+  * poller drops raw API payload lines into a landing directory
+  * (`TickSource.landingSchema`), and this job picks them up every
+  * 5 seconds with `Trigger.ProcessingTime`, owning everything after
+  * bytes land:
+  *
+  *   landing files → `parseApiPayload` (skip-and-continue, the
+  *   reference's per-symbol error tolerance) → two sinks:
+  *
+  * - raw layer: watermark-deduped ticks (`dataCollector.py:120-128`'s
+  *   append, made exactly-once on an at-least-once landing transport),
+  *   date-partitioned parquet — the streaming twin of
+  *   `CryptoIngest.landRaw`.
+  * - hourly layer: the same deduped stream through the watermarked
+  *   tumbling-window OHLC aggregate (chained stateful operators:
+  *   dedup then window agg).
+  *   Append mode emits each (hour, symbol) row exactly once, when the
+  *   watermark passes the hour end — the engine-managed version of the
+  *   reference's flush-on-rollover + state reset
+  *   (`dataCollector.py:166-191`) — landing (date, hour)-partitioned
+  *   parquet like `CryptoIngest.flushHourly`.
+  *
+  * Each sink is its own query (own checkpoint, own exactly-once
+  * progress); both read one file source, so a landed file feeds both
+  * without coordination. At scale this runs unchanged: the file source
+  * lists incrementally, state is per (window, symbol), and both sinks
+  * write partition-pruned layouts.
+  */
+object PollingIngest {
+
+  /** Handle on the two running queries. */
+  final case class Job(raw: StreamingQuery, hourly: StreamingQuery) {
+    def processAllAvailable(): Unit = {
+      raw.processAllAvailable(); hourly.processAllAvailable()
+    }
+    def stop(): Unit = { raw.stop(); hourly.stop() }
+  }
+
+  def start(
+      spark: SparkSession,
+      landingDir: String,
+      rawPath: String,
+      hourlyPath: String,
+      checkpointRoot: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): Job = {
+    // both sinks consume the watermark-deduped tick stream, so a
+    // repeated (symbol, ts) fetch neither duplicates the raw layer nor
+    // inflates an hourly sample_count — the two layers stay consistent
+    def ticks = StreamingOhlc.dedupStream(TickSource.parseApiPayload(
+      spark.readStream.schema(TickSource.landingSchema).json(landingDir),
+      col("payload"), col("fetch_ts")))
+
+    val raw = ticks
+      .withColumn("date", to_date(col("ts")))
+      .writeStream
+      .format("parquet")
+      .option("path", rawPath)
+      .option("checkpointLocation", s"$checkpointRoot/raw")
+      .partitionBy("date")
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
+
+    val hourly = StreamingOhlc.hourlyOhlcOnWatermarked(ticks)
+      .withColumn("date", to_date(col("window_start")))
+      .withColumn("hour", hour(col("window_start")))
+      .drop("window_start")
+      .writeStream
+      .format("parquet")
+      .option("path", hourlyPath)
+      .option("checkpointLocation", s"$checkpointRoot/hourly")
+      .partitionBy("date", "hour")
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
+
+    Job(raw, hourly)
+  }
+}

@@ -46,8 +46,14 @@ object StreamingOhlc {
     * DataFrame with (ts, symbol, price).
     */
   def hourlyOhlcStream(ticks: DataFrame): DataFrame =
+    hourlyOhlcOnWatermarked(ticks.withWatermark("ts", "10 minutes"))
+
+  /** The S1 aggregation body over a stream whose watermark is already
+    * set upstream (redefining a watermark is disallowed when chaining
+    * stateful operators, e.g. dedup → window agg in PollingIngest).
+    */
+  def hourlyOhlcOnWatermarked(ticks: DataFrame): DataFrame =
     ticks
-      .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("symbol"))
       .agg(
         min_by(col("price"), col("ts")).as("open_price"),
@@ -110,7 +116,9 @@ object StreamingOhlc {
         Iterator.single(OhlcRow(
           key._1, new Timestamp(key._2),
           st.open, st.high, st.low, st.close,
-          math.rint(st.sum / st.count * 1e6) / 1e6, st.count))
+          // Determinism.r6 formula (half-up), NOT rint (half-to-even):
+          // on an exact 6 dp tie the batch twin would disagree
+          math.floor(st.sum / st.count * 1e6 + 0.5) / 1e6, st.count))
       } else {
         var st = state.getOption.getOrElse(
           OhlcState(Long.MaxValue, 0.0, Double.MinValue, Double.MaxValue,

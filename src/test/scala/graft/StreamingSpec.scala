@@ -103,6 +103,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("S5 polling_ingest: 5 s trigger job lands raw and flushes closed hours end-to-end") {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft_poll").toString
+    val landing = s"$tmp/landing"
+    Files.createDirectories(Paths.get(landing))
+    // one landing line: fetch wall-clock + the raw API payload string
+    def line(ts: String, sym: String, price: String): String = {
+      val p = s"""{"symbol":"$sym","price":"$price"}""".replace("\"", "\\\"")
+      s"""{"fetch_ts":"$ts","payload":"$p"}"""
+    }
+    val job = graft.streaming.PollingIngest.start(
+      spark, landing, s"$tmp/raw", s"$tmp/hourly", s"$tmp/ckpt")
+    try {
+      Files.writeString(Paths.get(s"$landing/poll1.json"), Seq(
+        line("2024-01-01 10:00:05", "BTCUSDT", "50000.0"),
+        line("2024-01-01 10:00:10", "BTCUSDT", "51000.0"),
+        line("2024-01-01 10:00:10", "BTCUSDT", "51000.0"), // dup fetch
+        line("2024-01-01 10:00:15", "BTCUSDT", "49000.0"),
+        """{"fetch_ts":"2024-01-01 10:00:20","payload":"not json at all"}""",
+        line("2024-01-01 10:00:25", "ETHUSDT", "not-a-price")
+      ).mkString("\n"))
+      job.processAllAvailable()
+      // raw layer: malformed + non-numeric skipped, duplicate dropped
+      val raw1 = spark.read.parquet(s"$tmp/raw")
+      assert(raw1.count() == 3, "expected 3 deduped well-formed ticks")
+      // hour 10 still open (watermark inside it): nothing flushed yet
+      // a later poll closes hour 10 (watermark = 13:00 - 10 min)
+      Files.writeString(Paths.get(s"$landing/poll2.json"),
+        line("2024-01-01 13:00:00", "BTCUSDT", "48000.0"))
+      job.processAllAvailable()
+      val hourly = spark.read.parquet(s"$tmp/hourly").collect()
+      assert(hourly.length == 1, hourly.mkString("; "))
+      val r = hourly.head
+      assert(r.getAs[Int]("hour") == 10)
+      assert(r.getAs[String]("symbol") == "BTCUSDT")
+      assert(r.getAs[Double]("open_price") == 50000.0)
+      assert(r.getAs[Double]("close_price") == 49000.0)
+      assert(r.getAs[Double]("high_price") == 51000.0)
+      assert(r.getAs[Long]("sample_count") == 3L)
+      assert(spark.read.parquet(s"$tmp/raw").count() == 4)
+    } finally job.stop()
+  }
+
   test("S2 streaming_state: explicit OhlcState flushes on window close (reference state machine)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
