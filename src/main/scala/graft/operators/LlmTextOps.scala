@@ -109,9 +109,18 @@ object LlmTextOps {
     * single-pass over the E18 pair set — the standard corpus-dedup
     * reduction when full connected components aren't required.
     */
-  def dedupSurvivors(s: SparkSession, d: String): DataFrame = {
-    val removed = dedupNear(s, d).select(col("j").as("doc_id")).distinct()
-    Tables.documents(s, d)
+  def dedupSurvivors(s: SparkSession, d: String): DataFrame =
+    survivorsFromPairs(Tables.documents(s, d), dedupNear(s, d))
+
+  /** Survivor selection against an externally supplied (i, j) near-dup
+    * pair set — the entry point for the silver-table pattern
+    * (`pipeline.CorpusSilver`): at 100 TB the pair set is written once
+    * and every consumer anti-joins against it instead of re-running
+    * the shingle pipeline.
+    */
+  def survivorsFromPairs(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val removed = pairs.select(col("j").as("doc_id")).distinct()
+    docs
       .join(removed, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")

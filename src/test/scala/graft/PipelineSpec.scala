@@ -79,6 +79,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(btc10.getAs[Long]("sample_count") == 2L)
   }
 
+  test("CorpusSilver: survivors from a materialized pair table match the inline pipeline") {
+    import graft.pipeline.CorpusSilver
+    val tmp = Files.createTempDirectory("graft_silver").toString
+    CorpusSilver.writeNearDupPairs(spark, TestSpark.sf0001, s"$tmp/pairs")
+    val fromSilver = CorpusSilver.survivors(spark, TestSpark.sf0001, s"$tmp/pairs")
+      .collect().map(_.getLong(0)).toSeq
+    val inline = graft.operators.LlmTextOps.dedupSurvivors(spark, TestSpark.sf0001)
+      .collect().map(_.getLong(0)).toSeq
+    assert(fromSilver == inline)
+    assert(fromSilver.nonEmpty)
+  }
+
   test("OhlcAggregator (typed UDAF) matches the built-in ohlcAgg") {
     val rnd = new scala.util.Random(11)
     val rows = (0 until 500).map { i =>
