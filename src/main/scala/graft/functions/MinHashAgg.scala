@@ -28,8 +28,8 @@ case class MinHashAgg(
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
 
-  private val P = 1000000007L
-  private val Q = 4294967311L
+  private val P = MinHash32.P
+  private val Q = MinHash32.Q
 
   override def createAggregationBuffer(): Array[Long] =
     Array.fill(numHashes)(Long.MaxValue)
@@ -82,15 +82,90 @@ case class MinHashAgg(
     copy(child = newChildren.head)
 }
 
+/** Map-side twin of `MinHashAgg`: the 32-minimum signature computed
+  * directly from a document's (distinct) shingle-string ARRAY in one
+  * compiled per-row pass — zero shuffle, where the aggregate form
+  * needs the shingles exploded and grouped first. Same permutation
+  * family and the same element hash as SQL `xxhash64` (XXH64, seed
+  * 42), so both forms produce identical signatures
+  * (`MinHashAggSpec` pins the equivalence). Use this on array-shaped
+  * corpora (the 100 TB read path: signatures as a projection of the
+  * document scan); use the aggregate when rows arrive pre-exploded
+  * or incrementally (grouped/streaming shapes).
+  */
+case class MinHash32(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash32_arr"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHash32.compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    // the loop lives in compiled Scala (MinHash32.compute); the
+    // generated code makes one static-dispatch call per row, staying
+    // inside whole-stage codegen
+    defineCodeGen(ctx, ev, a => s"graft.functions.MinHash32.compute($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHash32 =
+    copy(child = newChild)
+}
+
+object MinHash32 {
+  val P = 1000000007L
+  val Q = 4294967311L
+
+  /** 32 running minima over the permuted XXH64 hashes of the array's
+    * strings. Null elements are skipped (shingle arrays never carry
+    * them; defensive only).
+    */
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData): GenericArrayData = {
+    val out = Array.fill(32)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUTF8String(s, 42L)
+        val m = h % P
+        val hp = if (m < 0) m + P else m
+        var p = 0
+        while (p < 32) {
+          val perm = (hp * (2654435761L + 2L * p) + 40503L * p) % Q
+          if (perm < out(p)) out(p) = perm
+          p += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def minhash32FromSet(s: SparkSession, shingles: Column): Column = {
+    MinHashAgg.register(s)
+    call_function("graft_minhash32_arr", shingles)
+  }
+}
+
 object MinHashAgg {
   def register(s: SparkSession): Unit = {
     val reg = s.sessionState.functionRegistry
     // register-once per session (see VectorExprs.register)
-    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash32")))
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash32"))) {
       reg.createOrReplaceTempFunction(
         "graft_minhash32",
         exprs => MinHashAgg(exprs.head).toAggregateExpression(),
         "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_minhash32_arr",
+        exprs => MinHash32(exprs.head),
+        "built-in")
+    }
   }
 
   /** Aggregate column: 32-long MinHash signature of a LongType hash

@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text expressions for the shingle hot path.
+  *
+  * `Shingle3` computes the distinct space-joined 3-token shingles of a
+  * token array in one compiled pass — byte-for-byte the same strings,
+  * in the same first-occurrence order, as the declarative form
+  *
+  * {{{ array_distinct(transform(sequence(0, size(toks) - 3),
+  *       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) }}}
+  *
+  * which Spark evaluates as an *interpreted* per-element lambda: on the
+  * dedup corpus that one expression dominated the whole shingle family
+  * (three queries × two plan branches × ~100 lambda evals per doc).
+  * Returns an empty array for arrays with fewer than 3 tokens (the
+  * declarative form needs an explicit size guard to avoid the
+  * descending-sequence trap).
+  */
+case class Shingle3(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingle3"
+
+  override def nullSafeEval(input: Any): Any =
+    Shingle3.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // loop lives in compiled Scala; one static call per row keeps the
+    // expression inside whole-stage codegen
+    defineCodeGen(ctx, ev, a => s"graft.functions.Shingle3.compute($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Shingle3 =
+    copy(child = newChild)
+}
+
+object Shingle3 {
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** Distinct 3-gram join of the token array, first-occurrence order.
+    * `UTF8String.concatWs` skips null inputs — the same semantics as
+    * SQL `concat_ws` (the tokenizer `split` never yields nulls, so
+    * this is parity, not a behavior choice).
+    */
+  def compute(toks: ArrayData): GenericArrayData = {
+    val n = toks.numElements()
+    if (n < 3) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String](n * 2)
+    var i = 0
+    while (i <= n - 3) {
+      seen.add(UTF8String.concatWs(SPACE, toks.getUTF8String(i),
+        toks.getUTF8String(i + 1), toks.getUTF8String(i + 2)))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  def shingle3(s: SparkSession, tokens: Column): Column = {
+    TextExprs.register(s)
+    call_function("graft_shingle3", tokens)
+  }
+}
+
+object TextExprs {
+  def register(s: SparkSession): Unit = {
+    val reg = s.sessionState.functionRegistry
+    // register-once per session (see VectorExprs.register)
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_shingle3")))
+      reg.createOrReplaceTempFunction(
+        "graft_shingle3", exprs => Shingle3(exprs.head), "built-in")
+  }
+}

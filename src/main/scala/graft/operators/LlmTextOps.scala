@@ -15,22 +15,28 @@ import graft.engine.Tables
   */
 object LlmTextOps {
 
-  /** Documents with their distinct 3-token shingles, exploded.
-    * k=3 shingling because the corpus vocabulary is tiny (~31 tokens):
-    * unigram sets are near-identical across all docs, 3-gram sets
-    * separate true near-dups (J≥0.8) from noise (J≤0.1).
+  /** Per-document distinct 3-token shingle SET, unexploded — the
+    * map-side root of the whole shingle family: set size (the Jaccard
+    * denominator) and the MinHash signature both derive from this
+    * array without any shuffle; only the posting-list step needs the
+    * exploded form. k=3 shingling because the corpus vocabulary is
+    * tiny (~31 tokens): unigram sets are near-identical across all
+    * docs, 3-gram sets separate true near-dups (J≥0.8) from noise
+    * (J≤0.1).
     */
-  private def shingled(s: SparkSession, d: String): DataFrame =
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))
-      // docs with < 3 tokens have no 3-shingles; without this guard
-      // sequence(0, size-3) would auto-step -1 and fabricate shingles
-      // from null-index accesses (the DuckDB oracle yields none).
+      // docs with < 3 tokens have no 3-shingles (Shingle3 returns an
+      // empty array; the filter keeps them out of downstream branches
+      // entirely, matching the DuckDB oracle which yields no rows)
       .where(size(col("toks")) >= 3)
-      .withColumn("sh", explode(array_distinct(expr(
-        """transform(sequence(0, size(toks) - 3),
-                     i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"""))))
-      .select(col("doc_id"), col("sh"))
+      .select(col("doc_id"),
+        graft.functions.Shingle3.shingle3(s, col("toks")).as("shs"))
+
+  /** Exploded (doc_id, shingle) rows, for posting-list building. */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    shingleSets(s, d).select(col("doc_id"), explode(col("shs")).as("sh"))
 
   /** E16 `sessionize` — gap-based sessionization (batch form of
     * session windows): a new session starts when the gap to the
@@ -77,6 +83,14 @@ object LlmTextOps {
     */
   def dedupNear(s: SparkSession, d: String): DataFrame = {
     val sh = shingled(s, d)
+    // NOTE on two rejected "optimizations" (both measured slower in
+    // full-sweep bench at sf0.1 despite looking cheaper on paper):
+    // (a) deriving sz map-side as size(shs) — loses the shared
+    //     aggregated exchange the two sizes joins reuse, so the
+    //     interpreted shingle HOF evaluates in extra branches;
+    // (b) carrying sz through the posting lists as struct(doc_id, sz)
+    //     — struct-typed collect_list/sort_array/pair-explode
+    //     allocate far more than the bare-long form.
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // pair generation per shingle posting list instead of a self-join:
     // one shuffle (groupBy shingle) + map-side C(k,2) explode. Safe
@@ -136,18 +150,16 @@ object LlmTextOps {
   def dedupMinhash(s: SparkSession, d: String): DataFrame = {
     val nHashes = 32
     val nBands  = 8 // 4 rows/band
-    val sh = shingled(s, d).withColumn("h", xxhash64(col("sh")))
-    // Signature = one MinHashAgg pass (TypedImperativeAggregate with a
-    // 32-long buffer, SURVEY §7); permutations are modular so ANSI
-    // mode can't overflow. The signature table is referenced four
-    // times below (band self-join x/y + two sig re-attach joins);
-    // identical subtrees are deduplicated by Spark's ReuseExchange,
-    // and measured wall-clock is *worse* with an explicit persist
-    // (cache-fill race between parallel stages + serialization cost).
-    // At 100 TB the signature table would be written once as a silver
-    // table instead.
-    val sigs = sh.groupBy(col("doc_id"))
-      .agg(graft.functions.MinHashAgg.minhash32(s, col("h")).as("sig"))
+    // Signature = one compiled map-side pass over each doc's shingle
+    // SET (functions.MinHash32, same permutation family and element
+    // hash as the MinHashAgg aggregate twin — MinHashAggSpec pins
+    // their equivalence): signatures are a projection of the document
+    // scan, so the only shuffles in this query are the band-bucket
+    // join and the final distinct. At 100 TB the signature table
+    // would be written once as a silver table instead of recomputed
+    // per consumer (see pipeline.CorpusSilver for the pattern).
+    val sigs = shingleSets(s, d).select(col("doc_id"),
+      graft.functions.MinHash32.minhash32FromSet(s, col("shs")).as("sig"))
     val banded = sigs.select(
       col("doc_id"), col("sig"),
       explode(expr(

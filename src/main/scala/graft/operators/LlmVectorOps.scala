@@ -192,18 +192,31 @@ object LlmVectorOps {
     * Measured vs the exact `dedup_embed` at sf0.01: see BASELINE.md.
     */
   def dedupEmbedBlocked(s: SparkSession, d: String): DataFrame = {
-    val tableKeys = lshTableKeys(s, nTables = 8, kPlanes = 4, dim = 64)
+    // k=6 planes (64 buckets/table) vs similarity_lsh's k=4: candidate
+    // volume scales ~ L * n^2 / 2^k, so +2 planes cuts pairs 4x; the
+    // per-table collision prob drops p^4 -> p^6 but L=8 tables keep
+    // whole-corpus recall ~0.6 on this weakly-similar corpus (measured,
+    // BASELINE.md) and near-1 on true near-dup mass (cos >= 0.9).
+    val tableKeys = lshTableKeys(s, nTables = 8, kPlanes = 6, dim = 64)
     val base = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
     val keyed = base
       .withColumn("tk", explode(tableKeys))
       .select(col("vec_id"), col("tk.t").as("t"), col("tk.b").as("b"))
-    // ids-only candidate pairs (a pair may collide in several tables);
-    // embeddings re-attach after the distinct so the bucket shuffle
-    // stays narrow.
-    val candIds = keyed.as("x").join(keyed.as("y"),
-        col("x.t") === col("y.t") && col("x.b") === col("y.b")
-          && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("i"), col("y.vec_id").as("j"))
+    // candidate pairs from bucket member lists (the dedup_near
+    // posting-list pattern): one shuffle on (table, bucket) + map-side
+    // C(k,2) explode, ids-only through the distinct — no self-join.
+    // Bucket population ~ n/2^kPlanes per table; with real skew
+    // (many identical vectors), cap/salt hot buckets first
+    // (engine.Skew.heavyHitters).
+    val candIds = keyed.groupBy(col("t"), col("b"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("vs"))
+      .where(size(col("vs")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(vs) - 2),
+             i -> transform(sequence(i + 1, size(vs) - 1),
+                            j -> struct(vs[i] AS i, vs[j] AS j))))"""))
+        .as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"))
       .distinct()
     candIds
       .join(base.select(col("vec_id").as("i"), col("embedding").as("emb_i"),

@@ -28,6 +28,24 @@ class MinHashAggSpec extends AnyFunSuite {
     viaAgg.foreach { case (g, sig) => assert(sig == viaCols(g), s"group $g") }
   }
 
+  test("map-side MinHash32 over a string array equals the exploded MinHashAgg path") {
+    val docs = Seq(
+      (1L, Seq("the quick fox", "quick fox jumps", "fox jumps over")),
+      (2L, Seq("a b c")),
+      (3L, Seq("the quick fox", "lazy dog sleeps", "dog sleeps now", "x y z")))
+    val viaExpr = docs.toDF("doc_id", "shs")
+      .select(col("doc_id"),
+        graft.functions.MinHash32.minhash32FromSet(spark, col("shs")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaAgg = docs.toDF("doc_id", "shs")
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+      .withColumn("h", xxhash64(col("sh")))
+      .groupBy("doc_id")
+      .agg(MinHashAgg.minhash32(spark, col("h")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaExpr == viaAgg)
+  }
+
   test("merge across partitions == single-partition result") {
     val data = Seq.tabulate(1000)(i => (0L, (i * 7919L) ^ (i << 3).toLong))
     val many = data.toDF("g", "h").repartition(8).groupBy("g")

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Shingle3
+
+/** Shingle3 native expression: byte-exact equivalence with the
+  * declarative array_distinct(transform(...)) form it replaces.
+  */
+class TextExprsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def declarative = array_distinct(expr(
+    """transform(sequence(0, size(toks) - 3),
+                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"""))
+
+  test("Shingle3 equals the declarative HOF form on random token arrays") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("the", "a", "fox", "dog", "jumps", "data", "spark", "x1")
+    val rows = (0 until 300).map { i =>
+      // lengths 3..40, heavy repetition so array_distinct has real work
+      i.toLong -> Seq.fill(3 + rnd.nextInt(38))(vocab(rnd.nextInt(vocab.size)))
+    }
+    val df = rows.toDF("id", "toks")
+    val both = df.select(col("id"),
+        Shingle3.shingle3(spark, col("toks")).as("native"),
+        declarative.as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"id=${r.getLong(0)}")
+    }
+  }
+
+  test("Shingle3 yields an empty array below 3 tokens") {
+    val df = Seq(Seq.empty[String], Seq("a"), Seq("a", "b"), Seq("a", "b", "c"))
+      .toDF("toks")
+    val out = df.select(Shingle3.shingle3(spark, col("toks")).as("s"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(out.toList == List(Nil, Nil, Nil, List("a b c")))
+  }
+
+  test("Shingle3 on the documents table matches the HOF form end-to-end") {
+    val docs = graft.engine.Tables.documents(spark, TestSpark.sf0001)
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= 3)
+    val diff = docs.select(col("doc_id"),
+        Shingle3.shingle3(spark, col("toks")).as("native"),
+        declarative.as("hof"))
+      .where(col("native") =!= col("hof"))
+    assert(diff.count() == 0)
+  }
+}
