@@ -36,6 +36,7 @@ object SparkEntry {
     "join_semi"           -> (RelationalOps.joinSemi _),
     "join_anti"           -> (RelationalOps.joinAnti _),
     "join_asof_nearest"   -> (RelationalOps.joinAsofNearest _),
+    "join_range"          -> (RelationalOps.joinRange _),
     "topk_orders"         -> (RelationalOps.topkOrders _),
     "window_rank"         -> (RelationalOps.windowRank _),
     "rollup_report"       -> (RelationalOps.rollupReport _),
@@ -69,6 +70,9 @@ object SparkEntry {
     "text_quality"        -> (LlmTextOps.textQuality _),
     "token_count"         -> (LlmTextOps.tokenCount _),
     "doc_fingerprint"     -> (LlmTextOps.docFingerprint _),
+    "text_normalize"      -> (LlmTextOps.textNormalize _),
+    "train_val_split"     -> (LlmTextOps.trainValSplit _),
+    "pack_sequences"      -> (LlmTextOps.packSequences _),
     "similarity_topk"     -> (LlmVectorOps.similarityTopk _),
     "similarity_lsh"      -> (LlmVectorOps.similarityLsh _),
     "similarity_ivf"      -> (LlmVectorOps.similarityIvf _),
@@ -186,6 +190,14 @@ object SparkEntry {
          ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
            ON p.user_id = c.user_id AND p.ts >= c.ts
          ORDER BY user_id, purchase_ts""",
+    "join_range" ->
+      """SELECT p.user_id AS user_id, p.ts AS purchase_ts,
+                COUNT(c.ts) AS n_prior_clicks
+         FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+         LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id
+              AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
          FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
@@ -458,6 +470,40 @@ object SparkEntry {
                   AS re_tokens,
                 CAST(length(text) AS INTEGER) AS n_chars_actual, n_chars
          FROM documents ORDER BY doc_id""",
+    "text_normalize" ->
+      """SELECT doc_id,
+                trim(regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+                CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS INTEGER)
+                  AS n_chars_norm,
+                CAST(len(string_split(trim(regexp_replace(regexp_replace(
+                     lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')),
+                     ' ')) AS INTEGER) AS n_tokens_norm
+         FROM documents ORDER BY doc_id""",
+    "train_val_split" ->
+      """WITH t AS (SELECT lang, n_chars,
+                ((doc_id * 2654435761) % 1000000007) % 10 AS bucket
+                    FROM documents)
+         SELECT CASE WHEN bucket < 8 THEN 'train'
+                     WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+                lang, COUNT(*) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         FROM t GROUP BY 1, 2 ORDER BY 1, 2""",
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id, lang,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                    FROM documents),
+         o AS (SELECT doc_id, lang, n_tokens,
+                      COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+                        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS off
+               FROM t)
+         SELECT lang, CAST(FLOOR(off / 512) AS BIGINT) AS bin,
+                COUNT(*) AS n_docs,
+                CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         FROM o GROUP BY 1, 2 ORDER BY 1, 2""",
     "doc_fingerprint" ->
       """SELECT doc_id,
                 list_reduce(list_prepend(0::BIGINT,

@@ -315,6 +315,70 @@ object LlmTextOps {
       .orderBy("doc_id")
   }
 
+  /** `text_normalize` — the canonicalization pass that precedes
+    * exact/near dedup in a training pipeline: lower-case, strip
+    * non-alphanumerics, collapse runs of spaces, trim. Pure per-row
+    * string projection — map-side, codegen'd, no shuffle.
+    */
+  def textNormalize(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", " "), " +", " ")).as("norm_text"))
+      .withColumn("n_chars_norm", length(col("norm_text")))
+      .withColumn("n_tokens_norm", size(split(col("norm_text"), " ")))
+      .orderBy("doc_id")
+
+  /** `train_val_split` — deterministic stratified corpus split
+    * (80/10/10) by a multiplicative hash of doc_id: engine-portable
+    * arithmetic (products stay < 2^63, ANSI-safe) instead of an
+    * engine-specific hash or RNG, so the assignment is reproducible
+    * anywhere and stable under re-runs — the property a training
+    * pipeline needs so val examples never leak into train between
+    * runs. Map-side assignment; one aggregation shuffle for the
+    * report.
+    */
+  def trainValSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("bucket",
+        (col("doc_id") * lit(2654435761L) % lit(1000000007L)) % lit(10))
+      .withColumn("split",
+        when(col("bucket") < 8, lit("train"))
+          .when(col("bucket") === 8, lit("val"))
+          .otherwise(lit("test")))
+      .groupBy(col("split"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("split", "lang")
+
+  /** `pack_sequences` — token-budget sequence packing (the batch
+    * shaping pass of LLM pretraining): stream docs per lang in doc_id
+    * order, accumulate token counts, and cut a new pack every 512
+    * tokens. Expressed as an exclusive prefix sum over a window plus
+    * integer binning — one shuffle on the partition key, no iteration,
+    * works identically at any scale (each lang stream packs
+    * independently; at 100 TB partition by (lang, shard) to bound
+    * window state).
+    */
+  def packSequences(s: SparkSession, d: String): DataFrame = {
+    val budget = 512
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("off") / budget))
+      .groupBy(col("lang"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("lang", "bin")
+  }
+
   /** `doc_fingerprint` — rolling polynomial hash over the token
     * stream (mod 1e9+7): a cheap content fingerprint for incremental
     * dedup ledgers. Pure 64-bit integer folds ⇒ bit-exact in any

@@ -122,6 +122,35 @@ object RelationalOps {
         col("last_click_ts"))
   }
 
+  /** `join_range` — interval (range) join: for each purchase, count
+    * the same user's clicks in the preceding hour. The equi key
+    * (user_id) drives the shuffle/join strategy; the time bounds run
+    * as a residual range predicate inside each key group — so unlike
+    * a pure range cross-join this stays one hash/SMJ shuffle on
+    * user_id at any scale. With heavy per-user history, pre-bucket
+    * both sides by (user_id, hour-bucket) so each row only meets
+    * candidate rows of adjacent buckets (the standard range-bucketing
+    * rewrite; engine.Bucketing has the machinery). Left join keeps
+    * zero-click purchases with count 0.
+    */
+  def joinRange(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    p.join(c,
+        col("user_id") === col("c_user")
+          && col("c_ts") >= col("ts") - expr("INTERVAL 1 HOUR")
+          && col("c_ts") < col("ts"),
+        "left")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(count(col("c_ts")).as("n_prior_clicks"))
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("n_prior_clicks"))
+      .orderBy("user_id", "purchase_ts")
+  }
+
   /** E7 `topk_orders` — global top 10 by totalprice; the
     * orderBy+limit shape lowers to TakeOrderedAndProject: each
     * partition keeps a 10-row heap, only 10×partitions rows move —
