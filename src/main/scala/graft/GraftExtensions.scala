@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, SimHash64}
+import graft.functions.{DotProduct, MinHash32, Shingle3, SimHash64}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * expressions first-class SQL functions in any session built with
@@ -36,6 +36,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 1,
           s"graft_simhash64(array<bigint>) takes 1 argument, got ${exprs.length}")
         SimHash64(exprs.head)
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("graft_shingle3"),
+      new ExpressionInfo(classOf[Shingle3].getName, "graft_shingle3"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"graft_shingle3(array<string>) takes 1 argument, got ${exprs.length}")
+        Shingle3(exprs.head)
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("graft_minhash32_arr"),
+      new ExpressionInfo(classOf[MinHash32].getName, "graft_minhash32_arr"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"graft_minhash32_arr(array<string>) takes 1 argument, got ${exprs.length}")
+        MinHash32(exprs.head)
       }))
   }
 }

@@ -60,6 +60,7 @@ object SparkEntry {
     // E16–E21 + LLM-pipeline surface
     "sessionize"          -> (LlmTextOps.sessionize _),
     "dedup_exact"         -> (LlmTextOps.dedupExact _),
+    "dedup_exact_digest"  -> (LlmTextOps.dedupExactDigest _),
     "dedup_near"          -> (LlmTextOps.dedupNear _),
     "dedup_survivors"     -> (LlmTextOps.dedupSurvivors _),
     "corpus_filter"       -> (LlmTextOps.corpusFilter _),
@@ -354,6 +355,11 @@ object SparkEntry {
                               THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
          FROM t GROUP BY 1 ORDER BY 1""",
     "dedup_exact" ->
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+         FROM documents GROUP BY text ORDER BY doc_id""",
+    // digest variant: identical output absent 64-bit collisions, so
+    // the text-grouping oracle gates it too
+    "dedup_exact_digest" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
          FROM documents GROUP BY text ORDER BY doc_id""",
     "dedup_near" ->

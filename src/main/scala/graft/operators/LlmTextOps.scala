@@ -76,6 +76,23 @@ object LlmTextOps {
       .select("doc_id", "n_copies")
       .orderBy("doc_id")
 
+  /** `dedup_exact_digest` — E17's 100 TB shape: group on a 64-bit
+    * content digest instead of the full text, so the dedup shuffle
+    * carries 8-byte keys instead of document bodies. Output is
+    * identical to `dedup_exact` absent digest collisions
+    * (~n²/2⁶⁵ — at 10¹² docs, expected collisions ≈ 0.03; for
+    * adversarial corpora substitute sha2(text, 256)), which lets the
+    * exact-dedup oracle gate this query too.
+    */
+  def dedupExactDigest(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(xxhash64(col("text")).as("digest"))
+      .agg(
+        min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+      .orderBy("doc_id")
+
   /** E18 `dedup_near` — near-dup pairs by exact 3-shingle Jaccard
     * ≥ 0.8. Exact formulation for the oracle; the LSH twins below are
     * the 100 TB path (this one is quadratic in docs sharing a

@@ -93,6 +93,27 @@ object StreamingOhlc {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("symbol", "ts")
 
+  /** S6 `streaming_range_join` — stream-stream interval join, the
+    * streaming twin of the batch `join_range`: purchases join the same
+    * user's clicks from the preceding hour. Both sides are
+    * watermarked, and the time-range condition bounds exactly how long
+    * click state must be retained (clicks older than purchase-watermark
+    * − 1 h are evicted) — the canonical bounded-state stream-stream
+    * join. Inner join: Spark emits a match as soon as both sides
+    * arrive.
+    */
+  def rangeJoinStream(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.select(col("user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    p.join(c,
+      col("user_id") === col("c_user")
+        && col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR")
+        && col("click_ts") < col("purchase_ts"))
+      .select(col("user_id"), col("purchase_ts"), col("click_ts"))
+  }
+
   /** S2 `streaming_state` — the reference's state machine made
     * explicit: `flatMapGroupsWithState` keyed by (symbol, hour),
     * carrying `OhlcState` (== the dict at `dataCollector.py:21-29`),

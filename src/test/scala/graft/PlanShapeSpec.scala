@@ -57,6 +57,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("join_range keeps the equi key driving the join — no cartesian/nested-loop") {
+    val p = planString("join_range")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("pack_sequences is one window pass + partial/final agg — no join") {
+    val p = planString("pack_sequences")
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
+  }
+
+  test("dedup_exact_digest shuffles 8-byte digests, not document text") {
+    // string form (the AQE wrapper hides Exchange nodes from collect);
+    // the digest alias inlines as _groupingexpression in the agg keys
+    val p = planString("dedup_exact_digest")
+    assert("hashpartitioning\\((digest|_groupingexpression)".r
+      .findFirstIn(p).isDefined, p.take(2000))
+    assert(!p.contains("hashpartitioning(text"), p.take(2000))
+  }
+
   test("ingest_raw is a scan+project+sort — no aggregation, no join") {
     val p = planString("ingest_raw")
     assert(!p.contains("HashAggregate") && !p.contains("Join"))

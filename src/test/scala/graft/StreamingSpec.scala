@@ -103,6 +103,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("S6 streaming_range_join: purchases match same-user clicks from the preceding hour only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val purchases = MemoryStream[Tick]
+    val clicks = MemoryStream[Tick]
+    def evs(m: MemoryStream[Tick]) = m.toDF()
+      .selectExpr("ts", "CAST(substr(symbol, 2) AS BIGINT) AS user_id")
+    val q = StreamingOhlc.rangeJoinStream(evs(purchases), evs(clicks))
+      .writeStream.format("memory").queryName("s6_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(
+        Tick(ts("2024-01-01 09:10:00"), "u1", 0), // 80 min before: outside
+        Tick(ts("2024-01-01 09:45:00"), "u1", 0), // 45 min before: inside
+        Tick(ts("2024-01-01 10:40:00"), "u1", 0), // after purchase: outside
+        Tick(ts("2024-01-01 09:50:00"), "u2", 0)) // other user
+      purchases.addData(Tick(ts("2024-01-01 10:30:00"), "u1", 0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM s6_out").collect()
+      assert(rows.length == 1, rows.mkString("; "))
+      assert(rows.head.getAs[Long]("user_id") == 1L)
+      assert(rows.head.getAs[Timestamp]("click_ts") == ts("2024-01-01 09:45:00"))
+    } finally q.stop()
+  }
+
   test("S5 polling_ingest: 5 s trigger job lands raw and flushes closed hours end-to-end") {
     import java.nio.file.{Files, Paths}
     val tmp = Files.createTempDirectory("graft_poll").toString
