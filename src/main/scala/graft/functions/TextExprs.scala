@@ -72,12 +72,69 @@ object Shingle3 {
   }
 }
 
+/** All C(k,2) ordered index pairs of a (sorted) id array, as an
+  * `array<struct<i,j>>` built in one compiled pass — replaces the
+  * interpreted nested `flatten(transform(sequence…, transform(…)))`
+  * lambda in the posting-list pair generation (dedup_near /
+  * dedup_embed_blocked and their dependents). Given an ascending
+  * input, every emitted struct has i < j, in the same order as the
+  * declarative form (`TextExprsSpec` pins the equivalence).
+  */
+case class PairCombinations(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("i",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("j",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_pairs"
+
+  override def nullSafeEval(input: Any): Any =
+    PairCombinations.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.PairCombinations.compute($a)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PairCombinations = copy(child = newChild)
+}
+
+object PairCombinations {
+  def compute(ds: ArrayData): GenericArrayData = {
+    val n = ds.numElements()
+    val out = new Array[Any](if (n < 2) 0 else n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n - 1) {
+      val a = ds.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](a, ds.getLong(j)))
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def pairs(s: SparkSession, sortedIds: Column): Column = {
+    TextExprs.register(s)
+    call_function("graft_pairs", sortedIds)
+  }
+}
+
 object TextExprs {
   def register(s: SparkSession): Unit = {
     val reg = s.sessionState.functionRegistry
     // register-once per session (see VectorExprs.register)
-    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_shingle3")))
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_shingle3"))) {
       reg.createOrReplaceTempFunction(
         "graft_shingle3", exprs => Shingle3(exprs.head), "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_pairs", exprs => PairCombinations(exprs.head), "built-in")
+    }
   }
 }

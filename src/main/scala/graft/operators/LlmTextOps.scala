@@ -117,11 +117,8 @@ object LlmTextOps {
     val inter = sh.groupBy(col("sh"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .where(size(col("ds")) > 1)
-      .select(explode(expr(
-        """flatten(transform(sequence(0, size(ds) - 2),
-             i -> transform(sequence(i + 1, size(ds) - 1),
-                            j -> struct(ds[i] AS i, ds[j] AS j))))"""))
-        .as("p"))
+      .select(explode(
+        graft.functions.PairCombinations.pairs(s, col("ds"))).as("p"))
       .select(col("p.i").as("i"), col("p.j").as("j"))
       .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
     inter

@@ -211,11 +211,8 @@ object LlmVectorOps {
     val candIds = keyed.groupBy(col("t"), col("b"))
       .agg(sort_array(collect_list(col("vec_id"))).as("vs"))
       .where(size(col("vs")) > 1)
-      .select(explode(expr(
-        """flatten(transform(sequence(0, size(vs) - 2),
-             i -> transform(sequence(i + 1, size(vs) - 1),
-                            j -> struct(vs[i] AS i, vs[j] AS j))))"""))
-        .as("p"))
+      .select(explode(
+        graft.functions.PairCombinations.pairs(s, col("vs"))).as("p"))
       .select(col("p.i").as("i"), col("p.j").as("j"))
       .distinct()
     candIds

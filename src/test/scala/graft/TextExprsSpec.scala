@@ -41,6 +41,33 @@ class TextExprsSpec extends AnyFunSuite {
     assert(out.toList == List(Nil, Nil, Nil, List("a b c")))
   }
 
+  test("PairCombinations equals the declarative flatten/transform form") {
+    val rnd = new scala.util.Random(17)
+    // sizes >= 2 only: the declarative form ANSI-throws on smaller
+    // arrays (descending sequence + ds[i]) — production always
+    // filters size > 1 before pair generation
+    val rows = (0 until 100).map { i =>
+      i.toLong -> Seq.fill(2 + rnd.nextInt(10))(rnd.nextLong()).sorted
+    }
+    val df = rows.toDF("id", "ds")
+    val both = df.select(col("id"),
+        graft.functions.PairCombinations.pairs(spark, col("ds")).as("native"),
+        expr("""flatten(transform(sequence(0, size(ds) - 2),
+                 i -> transform(sequence(i + 1, size(ds) - 1),
+                                j -> struct(ds[i] AS i, ds[j] AS j))))""")
+          .as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[org.apache.spark.sql.Row](1)
+        == r.getSeq[org.apache.spark.sql.Row](2), s"id=${r.getLong(0)}")
+    }
+    // native form is total: empty pairs below 2 elements, no throw
+    val tiny = Seq(0L -> Seq.empty[Long], 1L -> Seq(7L)).toDF("id", "ds")
+      .select(graft.functions.PairCombinations.pairs(spark, col("ds")).as("p"))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0).length).toSeq
+    assert(tiny == Seq(0, 0))
+  }
+
   test("Shingle3 on the documents table matches the HOF form end-to-end") {
     val docs = graft.engine.Tables.documents(spark, TestSpark.sf0001)
       .withColumn("toks", split(col("text"), " "))
