@@ -37,6 +37,7 @@ object SparkEntry {
     "join_anti"           -> (RelationalOps.joinAnti _),
     "join_asof_nearest"   -> (RelationalOps.joinAsofNearest _),
     "join_range"          -> (RelationalOps.joinRange _),
+    "join_skew_salted"    -> (RelationalOps.joinSkewSalted _),
     "topk_orders"         -> (RelationalOps.topkOrders _),
     "window_rank"         -> (RelationalOps.windowRank _),
     "rollup_report"       -> (RelationalOps.rollupReport _),
@@ -199,6 +200,14 @@ object SparkEntry {
            ON p.user_id = c.user_id
               AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // salting is invisible in the result: the plain join is the oracle
+    "join_skew_salted" ->
+      """WITH dim AS (SELECT user_id, COUNT(*) AS user_events
+                      FROM events GROUP BY 1)
+         SELECT event_type, COUNT(*) AS n,
+                CAST(SUM(user_events) AS BIGINT) AS sum_user_events
+         FROM events JOIN dim USING (user_id)
+         GROUP BY 1 ORDER BY 1""",
     "topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
          FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",

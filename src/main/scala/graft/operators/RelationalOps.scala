@@ -151,6 +151,25 @@ object RelationalOps {
       .orderBy("user_id", "purchase_ts")
   }
 
+  /** `join_skew_salted` — the hot-key join pattern as a first-class
+    * query: `events` is pathologically skewed by construction (10k
+    * rows over 5 users), so the per-user dimension join runs through
+    * `engine.Skew.saltedJoin` — the big side salts into 8 buckets, the
+    * 5-row dim replicates 8×, and the hottest user's rows spread over
+    * 8 tasks instead of 1. Output is identical to the unsalted join
+    * (the oracle proves it); only the distribution changes.
+    */
+  def joinSkewSalted(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"))
+    val dim = ev.groupBy(col("user_id")).agg(count(lit(1)).as("user_events"))
+    graft.engine.Skew.saltedJoin(ev, dim, "user_id", factor = 8)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("user_events")).as("sum_user_events"))
+      .orderBy("event_type")
+  }
+
   /** E7 `topk_orders` — global top 10 by totalprice; the
     * orderBy+limit shape lowers to TakeOrderedAndProject: each
     * partition keeps a 10-row heap, only 10×partitions rows move —

@@ -78,6 +78,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning(text"), p.take(2000))
   }
 
+  test("join_skew_salted distributes the join on (user_id, _salt)") {
+    val p = planString("join_skew_salted")
+    assert(p.contains("_salt"), p.take(2000))
+  }
+
   test("ingest_raw is a scan+project+sort — no aggregation, no join") {
     val p = planString("ingest_raw")
     assert(!p.contains("HashAggregate") && !p.contains("Join"))
