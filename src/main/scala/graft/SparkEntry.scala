@@ -22,6 +22,7 @@ object SparkEntry {
     "ingest_raw"          -> (ReferenceOps.ingestRaw _),
     "raw_store_format"    -> (ReferenceOps.rawStoreFormat _),
     "ohlc_hourly"         -> (ReferenceOps.ohlcHourly _),
+    "ohlc_daily"          -> (ReferenceOps.ohlcDaily _),
     "have_samples"        -> (ReferenceOps.haveSamples _),
     "latest_tick"         -> (ReferenceOps.latestTick _),
     "running_avg"         -> (ReferenceOps.runningAvg _),
@@ -111,6 +112,22 @@ object SparkEntry {
                 min(price) AS low_price, arg_max(price, ts) AS close_price,
                 floor((avg(price)) * 1000000 + 0.5) / 1000000 AS avg_price, count(*) AS sample_count
          FROM t GROUP BY h, symbol ORDER BY date, hour, symbol""",
+    "ohlc_daily" ->
+      """WITH t AS (SELECT date_trunc('hour', ts) AS h, event_type AS symbol,
+                           value AS price, ts FROM events),
+         hr AS (SELECT CAST(h AS DATE) AS date,
+                       CAST(EXTRACT(hour FROM h) AS INTEGER) AS hour, symbol,
+                       arg_min(price, ts) AS open_price, max(price) AS high_price,
+                       min(price) AS low_price, arg_max(price, ts) AS close_price,
+                       count(*) AS sample_count
+                FROM t GROUP BY h, symbol)
+         SELECT date, symbol,
+                arg_min(open_price, hour) AS open_price,
+                max(high_price) AS high_price,
+                min(low_price) AS low_price,
+                arg_max(close_price, hour) AS close_price,
+                CAST(SUM(sample_count) AS BIGINT) AS sample_count
+         FROM hr GROUP BY 1, 2 ORDER BY date, symbol""",
     "have_samples" ->
       """SELECT event_type AS symbol, count(*) AS sample_count
          FROM events GROUP BY 1 HAVING count(*) > 0 ORDER BY symbol""",

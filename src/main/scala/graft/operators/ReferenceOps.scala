@@ -68,6 +68,27 @@ object ReferenceOps {
         col("low_price"), col("close_price"), col("avg_price"),
         col("sample_count"))
 
+  /** `ohlc_daily` — hierarchical re-aggregation: daily OHLC derived
+    * FROM the hourly aggregate, not from raw ticks. open/close pick
+    * the first/last hour's open/close (`min_by`/`max_by` on hour),
+    * high/low/count fold exactly — the associative subset of OHLC, so
+    * re-aggregation is lossless. This is the rollup pattern that
+    * matters at 100 TB: the daily layer reads the (tiny) hourly silver
+    * table, never rescanning raw. avg is deliberately excluded: a mean
+    * of means needs the (sum, count) pair, which the hourly layer's
+    * rounded avg no longer carries.
+    */
+  def ohlcDaily(s: SparkSession, d: String): DataFrame =
+    ohlcAgg(Tables.ticks(s, d))
+      .groupBy(col("date"), col("symbol"))
+      .agg(
+        min_by(col("open_price"), col("hour")).as("open_price"),
+        max(col("high_price")).as("high_price"),
+        min(col("low_price")).as("low_price"),
+        max_by(col("close_price"), col("hour")).as("close_price"),
+        sum(col("sample_count")).as("sample_count"))
+      .orderBy("date", "symbol")
+
   /** R4 `have_samples` — post-aggregation filter (HAVING), mirroring
     * `if metrics['sample_count'] > 0` (`dataCollector.py:144`).
     */
