@@ -59,6 +59,8 @@ object SparkEntry {
     "value_stats"              -> (AnalyticOps.valueStats _),
     "orders_pivot"             -> (AnalyticOps.ordersPivot _),
     "moving_avg"               -> (AnalyticOps.movingAvg _),
+    "funnel_steps"             -> (AnalyticOps.funnelSteps _),
+    "heavy_hitters"            -> (AnalyticOps.heavyHitters _),
     // E16–E21 + LLM-pipeline surface
     "sessionize"          -> (LlmTextOps.sessionize _),
     "dedup_exact"         -> (LlmTextOps.dedupExact _),
@@ -328,6 +330,29 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY event_type ORDER BY ts
                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
          ORDER BY symbol, ts""",
+    "funnel_steps" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+         v AS (SELECT user_id, min(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(e.ts) AS t_click
+               FROM events e JOIN v USING (user_id)
+               WHERE e.event_type = 'click' AND e.ts > v.t_view
+                 AND e.ts <= v.t_view + INTERVAL 24 HOUR GROUP BY 1),
+         p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+               FROM events e JOIN c USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+                 AND e.ts <= c.t_click + INTERVAL 24 HOUR GROUP BY 1)
+         SELECT CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+                          WHEN t_click IS NOT NULL THEN 2
+                          WHEN t_view IS NOT NULL THEN 1
+                          ELSE 0 END AS BIGINT) AS steps_completed,
+                COUNT(*) AS n_users
+         FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+                LEFT JOIN p USING (user_id)
+         GROUP BY 1 ORDER BY 1""",
+    "heavy_hitters" ->
+      """SELECT user_id AS key, COUNT(*) AS cnt FROM events
+         GROUP BY 1 ORDER BY cnt DESC, key ASC LIMIT 3""",
     "distinct_users" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
                 COUNT(*) AS n_events

@@ -77,6 +77,51 @@ object AnalyticOps {
       .orderBy("c_mktsegment")
   }
 
+  /** `funnel_steps` — ordered-sequence funnel (view → click →
+    * purchase, 24 h conversion window per step): a user completes
+    * step k only with an event strictly after their step-(k−1) time
+    * and within 24 h of it. Built as a chain of per-step min
+    * aggregations, each joined to the (monotonically shrinking)
+    * previous step — at scale every step table is a per-user scalar,
+    * broadcastable once the funnel narrows. Output: users per
+    * completed-step count.
+    */
+  def funnelSteps(s: SparkSession, d: String): DataFrame = {
+    val window = expr("INTERVAL 24 HOURS")
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val users = ev.select(col("user_id")).distinct()
+    val v = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = ev.where(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .where(col("ts") > col("t_view") && col("ts") <= col("t_view") + window)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = ev.where(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .where(col("ts") > col("t_click") && col("ts") <= col("t_click") + window)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    users
+      .join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .withColumn("steps_completed",
+        when(col("t_purchase").isNotNull, 3L)
+          .when(col("t_click").isNotNull, 2L)
+          .when(col("t_view").isNotNull, 1L)
+          .otherwise(0L))
+      .groupBy(col("steps_completed"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("steps_completed")
+  }
+
+  /** `heavy_hitters` — the observability half of skew handling
+    * (`engine.Skew.heavyHitters`) as an inventory query: top-3 keys by
+    * row count with a deterministic (cnt desc, key asc) tie-break —
+    * what you run to decide which keys `join_skew_salted` must salt.
+    */
+  def heavyHitters(s: SparkSession, d: String): DataFrame =
+    graft.engine.Skew.heavyHitters(Tables.events(s, d), col("user_id"), 3)
+
   /** `moving_avg` — time-range window frame: mean tick value over the
     * trailing 1 hour per symbol (RANGE, not ROWS — event-time
     * semantics). Exact via integer cents like `running_avg`.
