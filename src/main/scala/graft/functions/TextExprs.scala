@@ -126,6 +126,60 @@ object PairCombinations {
   }
 }
 
+/** Count of array elements that belong to a (small) reference set —
+  * the compiled form of `size(filter(arr, t -> t IN (...)))`, which
+  * interprets the lambda per element (the stopword-ratio hot path of
+  * lang_id / text_quality / corpus_filter). The set side is a literal
+  * array; membership is a linear scan, the right shape for
+  * function-word lists of a handful of entries.
+  */
+case class CountInSet(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_count_in_set"
+
+  override def nullSafeEval(arr: Any, set: Any): Any =
+    CountInSet.compute(arr.asInstanceOf[ArrayData], set.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.CountInSet.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CountInSet =
+    copy(left = newLeft, right = newRight)
+}
+
+object CountInSet {
+  def compute(arr: ArrayData, set: ArrayData): Int = {
+    val n = arr.numElements()
+    val m = set.numElements()
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      if (t != null) {
+        var j = 0
+        var found = false
+        while (j < m && !found) {
+          if (t.equals(set.getUTF8String(j))) found = true
+          j += 1
+        }
+        if (found) cnt += 1
+      }
+      i += 1
+    }
+    cnt
+  }
+
+  def countInSet(s: SparkSession, arr: Column, set: Seq[String]): Column = {
+    TextExprs.register(s)
+    call_function("graft_count_in_set", arr,
+      org.apache.spark.sql.functions.typedLit(set))
+  }
+}
+
 object TextExprs {
   def register(s: SparkSession): Unit = {
     val reg = s.sessionState.functionRegistry
@@ -135,6 +189,8 @@ object TextExprs {
         "graft_shingle3", exprs => Shingle3(exprs.head), "built-in")
       reg.createOrReplaceTempFunction(
         "graft_pairs", exprs => PairCombinations(exprs.head), "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_count_in_set", exprs => CountInSet(exprs(0), exprs(1)), "built-in")
     }
   }
 }

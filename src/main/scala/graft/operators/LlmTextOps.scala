@@ -261,11 +261,18 @@ object LlmTextOps {
     * heuristic scores content, not the label — that's the point of a
     * content-based classifier.)
     */
+  /** English function-word list shared by lang_id / text_quality;
+    * membership counting runs through the compiled
+    * `functions.CountInSet` (the interpreted `filter(toks, t IN ...)`
+    * lambda was the family's remaining HOF hot spot).
+    */
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
   def langId(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))
-      .withColumn("en_hits", expr(
-        "size(filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to', 'in')))"))
+      .withColumn("en_hits",
+        graft.functions.CountInSet.countInSet(s, col("toks"), stopwords))
       .withColumn("en_ratio", r6(col("en_hits") / size(col("toks"))))
       .withColumn("predicted_lang",
         when(col("en_ratio") >= 0.05, lit("en")).otherwise(lit("und")))
@@ -284,9 +291,9 @@ object LlmTextOps {
       .withColumn("distinct_ratio", r6(col("n_distinct") / col("n_tokens")))
       .withColumn("avg_token_len",
         r6((length(col("text")) - (col("n_tokens") - 1L)) / col("n_tokens")))
-      .withColumn("stop_ratio", r6(expr(
-        "size(filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to', 'in')))")
-        / col("n_tokens")))
+      .withColumn("stop_ratio", r6(
+        graft.functions.CountInSet.countInSet(s, col("toks"), stopwords)
+          / col("n_tokens")))
       .withColumn("quality_score", r6(
         least(col("n_tokens") / 100.0, lit(1.0)) * 0.4
           + col("distinct_ratio") * 0.4

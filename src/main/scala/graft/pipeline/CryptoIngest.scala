@@ -60,8 +60,15 @@ object CryptoIngest {
     * executors via `df.write.jdbc`.
     */
   def flushHourlyJdbc(ticks: DataFrame, url: String,
+      table: String = "downsampled_prices"): Unit =
+    upsertHourlyRows(ReferenceOps.ohlcAgg(ticks), url, table)
+
+  /** Idempotent landing of already-aggregated hourly OHLC rows
+    * (schema of `ReferenceOps.ohlcAgg`) — the shared core of the batch
+    * `flushHourlyJdbc` and the streaming `PollingIngest` JDBC sink.
+    */
+  def upsertHourlyRows(hourly: DataFrame, url: String,
       table: String = "downsampled_prices"): Unit = {
-    val hourly = ReferenceOps.ohlcAgg(ticks)
     val keys = hourly.select("date", "hour").distinct().collect()
       .map(r => (r.getDate(0), r.getInt(1)))
     val conn = java.sql.DriverManager.getConnection(url)

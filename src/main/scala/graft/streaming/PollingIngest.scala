@@ -86,4 +86,38 @@ object PollingIngest {
 
     Job(raw, hourly)
   }
+
+  /** The direct-migration variant: hourly rows land in the reference's
+    * `downsampled_prices` JDBC table (`dataCollector.py:140-163`)
+    * instead of parquet. Append mode emits each closed (hour, symbol)
+    * exactly once; `foreachBatch` + the delete-then-insert upsert make
+    * a *retried* micro-batch idempotent too, so the sink is
+    * effectively exactly-once end-to-end. Returns the hourly query
+    * only (pair it with `start(...)` for the raw layer, or run both).
+    */
+  def startJdbcHourly(
+      spark: SparkSession,
+      landingDir: String,
+      jdbcUrl: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+      table: String = "downsampled_prices"): StreamingQuery = {
+    val ticks = StreamingOhlc.dedupStream(TickSource.parseApiPayload(
+      spark.readStream.schema(TickSource.landingSchema).json(landingDir),
+      col("payload"), col("fetch_ts")))
+    StreamingOhlc.hourlyOhlcOnWatermarked(ticks)
+      .withColumn("date", to_date(col("window_start")))
+      .withColumn("hour", hour(col("window_start")))
+      .select("date", "hour", "symbol", "open_price", "high_price",
+        "low_price", "close_price", "avg_price", "sample_count")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.pipeline.CryptoIngest.upsertHourlyRows(batch, jdbcUrl, table)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
+  }
 }

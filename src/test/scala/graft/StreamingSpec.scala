@@ -171,6 +171,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally job.stop()
   }
 
+  test("S7 polling ingest lands closed hours into the reference's JDBC table") {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft_poll_jdbc").toString
+    val landing = s"$tmp/landing"
+    Files.createDirectories(Paths.get(landing))
+    System.setProperty("derby.stream.error.file", s"$tmp/derby.log")
+    val url = s"jdbc:derby:$tmp/db;create=true"
+    def line(ts: String, sym: String, price: String): String = {
+      val p = s"""{"symbol":"$sym","price":"$price"}""".replace("\"", "\\\"")
+      s"""{"fetch_ts":"$ts","payload":"$p"}"""
+    }
+    val q = graft.streaming.PollingIngest.startJdbcHourly(
+      spark, landing, url, s"$tmp/ckpt")
+    try {
+      Files.writeString(Paths.get(s"$landing/poll1.json"), Seq(
+        line("2024-01-01 10:00:05", "BTCUSDT", "50000.0"),
+        line("2024-01-01 10:00:10", "BTCUSDT", "51000.0")).mkString("\n"))
+      q.processAllAvailable()
+      Files.writeString(Paths.get(s"$landing/poll2.json"),
+        line("2024-01-01 13:00:00", "BTCUSDT", "48000.0"))
+      q.processAllAvailable()
+      val back = spark.read.jdbc(url, "downsampled_prices",
+        new java.util.Properties).collect()
+      assert(back.length == 1, back.mkString("; "))
+      val r = back.head
+      assert(r.getAs[Int]("hour") == 10)
+      assert(r.getAs[Double]("open_price") == 50000.0)
+      assert(r.getAs[Double]("close_price") == 51000.0)
+      assert(r.getAs[Long]("sample_count") == 2L)
+    } finally q.stop()
+  }
+
   test("S2 streaming_state: explicit OhlcState flushes on window close (reference state machine)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -68,6 +68,25 @@ class TextExprsSpec extends AnyFunSuite {
     assert(tiny == Seq(0, 0))
   }
 
+  test("CountInSet equals the declarative size(filter(IN)) form") {
+    val rnd = new scala.util.Random(19)
+    val vocab = Vector("the", "a", "of", "and", "to", "in", "fox", "dog",
+      "data", "x", "", "THE")
+    val rows = (0 until 200).map { i =>
+      i.toLong -> Seq.fill(rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size)))
+    }
+    val df = rows.toDF("id", "toks")
+    val both = df.select(col("id"),
+        graft.functions.CountInSet.countInSet(spark, col("toks"),
+          Seq("the", "a", "of", "and", "to", "in")).as("native"),
+        expr("size(filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to', 'in')))")
+          .as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getInt(1) == r.getInt(2), s"id=${r.getLong(0)}")
+    }
+  }
+
   test("Shingle3 on the documents table matches the HOF form end-to-end") {
     val docs = graft.engine.Tables.documents(spark, TestSpark.sf0001)
       .withColumn("toks", split(col("text"), " "))
