@@ -100,15 +100,16 @@ object LlmTextOps {
     */
   def dedupNear(s: SparkSession, d: String): DataFrame = {
     val sh = shingled(s, d)
-    // NOTE on two rejected "optimizations" (both measured slower in
-    // full-sweep bench at sf0.1 despite looking cheaper on paper):
-    // (a) deriving sz map-side as size(shs) — loses the shared
-    //     aggregated exchange the two sizes joins reuse, so the
-    //     interpreted shingle HOF evaluates in extra branches;
-    // (b) carrying sz through the posting lists as struct(doc_id, sz)
-    //     — struct-typed collect_list/sort_array/pair-explode
-    //     allocate far more than the bare-long form.
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // sizes map-side from the set array: with the compiled Shingle3
+    // the re-scan per join branch is cheap, vs the explode + groupBy
+    // count this replaces (a full O(shingles) shuffle). In the
+    // interpreted-HOF era this was measured SLOWER (the lambda
+    // re-evaluated per branch dominated); re-measured faster once the
+    // shingle build compiled. A struct-carried (doc_id, sz) posting
+    // list variant stays rejected — struct-typed collect_list /
+    // sort_array / pair-explode allocate far more than bare longs.
+    val sizes = shingleSets(s, d)
+      .select(col("doc_id"), size(col("shs")).cast("long").as("sz"))
     // pair generation per shingle posting list instead of a self-join:
     // one shuffle (groupBy shingle) + map-side C(k,2) explode. Safe
     // because posting lists are short (hottest shingle: 25 docs at
