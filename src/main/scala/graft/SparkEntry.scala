@@ -75,6 +75,8 @@ object SparkEntry {
     "text_quality"        -> (LlmTextOps.textQuality _),
     "token_count"         -> (LlmTextOps.tokenCount _),
     "doc_fingerprint"     -> (LlmTextOps.docFingerprint _),
+    "ngram_stats"         -> (LlmTextOps.ngramStats _),
+    "tfidf_top_terms"     -> (LlmTextOps.tfidfTopTerms _),
     "text_normalize"      -> (LlmTextOps.textNormalize _),
     "train_val_split"     -> (LlmTextOps.trainValSplit _),
     "pack_sequences"      -> (LlmTextOps.packSequences _),
@@ -527,6 +529,31 @@ object SparkEntry {
                   AS re_tokens,
                 CAST(length(text) AS INTEGER) AS n_chars_actual, n_chars
          FROM documents ORDER BY doc_id""",
+    "ngram_stats" ->
+      """WITH b AS (SELECT doc_id,
+                unnest(list_distinct([toks[i] || ' ' || toks[i+1]
+                  for i in range(1, len(toks))])) AS bigram
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents)
+           WHERE len(toks) >= 2)
+         SELECT bigram, COUNT(*) AS doc_freq FROM b GROUP BY 1
+         ORDER BY doc_freq DESC, bigram ASC LIMIT 20""",
+    "tfidf_top_terms" ->
+      """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                        FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+         df AS (SELECT term, COUNT(*) AS df
+                FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+         n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+         sc AS (SELECT doc_id, term,
+                       floor((tf * n / df) * 1000000 + 0.5) / 1000000 AS score
+                FROM tf JOIN df USING (term) CROSS JOIN n),
+         r AS (SELECT doc_id, term, score,
+                      ROW_NUMBER() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, term ASC) AS rk
+               FROM sc)
+         SELECT doc_id, term AS top_term, score FROM r WHERE rk = 1
+         ORDER BY doc_id""",
     "text_normalize" ->
       """SELECT doc_id,
                 trim(regexp_replace(regexp_replace(lower(text),

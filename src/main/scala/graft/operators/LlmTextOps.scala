@@ -401,6 +401,51 @@ object LlmTextOps {
       .orderBy("lang", "bin")
   }
 
+  /** `ngram_stats` — corpus-wide top-20 bigrams by document
+    * frequency: the vocabulary/collocation profile pass of corpus
+    * analysis. Distinct-per-doc explode → count → top-k with a
+    * deterministic (count desc, bigram asc) tie-break; lowers to
+    * TakeOrderedAndProject, so only 20×partitions rows move.
+    */
+  def ngramStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(sequence(0, size(toks) - 2),
+                     i -> concat_ws(' ', toks[i], toks[i+1]))"""))).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("bigram").asc)
+      .limit(20)
+
+  /** `tfidf_top_terms` — each document's most characteristic term by
+    * tf × (N / df) with a *rational* idf (no transcendental: ln is
+    * not bit-standardized across engines, a ratio of counts is).
+    * Shape: per-doc term counts → document frequencies → score +
+    * per-doc argmax. df is a term-keyed aggregate joined back — at
+    * 100 TB that join shuffles only (term, df) pairs.
+    */
+  def tfidfTopTerms(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.agg(countDistinct(col("doc_id")).as("n"))
+    val terms = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(df, Seq("term"))
+      .join(broadcast(nDocs), lit(true))
+      .withColumn("score", r6(col("tf") * col("n") / col("df")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("doc_id"), col("term").as("top_term"), col("score"))
+      .orderBy("doc_id")
+  }
+
   /** `doc_fingerprint` — rolling polynomial hash over the token
     * stream (mod 1e9+7): a cheap content fingerprint for incremental
     * dedup ledgers. Pure 64-bit integer folds ⇒ bit-exact in any
