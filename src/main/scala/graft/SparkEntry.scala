@@ -39,6 +39,7 @@ object SparkEntry {
     "join_asof_nearest"   -> (RelationalOps.joinAsofNearest _),
     "join_range"          -> (RelationalOps.joinRange _),
     "join_skew_salted"    -> (RelationalOps.joinSkewSalted _),
+    "promo_revenue"       -> (RelationalOps.promoRevenue _),
     "topk_orders"         -> (RelationalOps.topkOrders _),
     "window_rank"         -> (RelationalOps.windowRank _),
     "rollup_report"       -> (RelationalOps.rollupReport _),
@@ -221,6 +222,21 @@ object SparkEntry {
            ON p.user_id = c.user_id
               AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "promo_revenue" ->
+      """WITH m AS (
+           SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month_start,
+                  CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                        THEN l_extendedprice * (1.0 - l_discount)
+                        ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS promo_rev,
+                  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                        AS DECIMAL(18,6))) AS DOUBLE) AS total_rev,
+                  COUNT(*) AS n_items
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           GROUP BY 1)
+         SELECT month_start, promo_rev, total_rev, n_items,
+                floor((100.0 * promo_rev / total_rev) * 1000000 + 0.5)
+                  / 1000000 AS promo_pct
+         FROM m ORDER BY month_start""",
     // salting is invisible in the result: the plain join is the oracle
     "join_skew_salted" ->
       """WITH dim AS (SELECT user_id, COUNT(*) AS user_events

@@ -151,6 +151,34 @@ object RelationalOps {
       .orderBy("user_id", "purchase_ts")
   }
 
+  /** `promo_revenue` — TPC-H Q14 shape over the fixture tables: the
+    * monthly share of lineitem revenue from PROMO-type parts. The
+    * 200-row part dimension broadcasts (one lineitem scan, zero
+    * shuffle before the month aggregate); revenue sums ride
+    * DECIMAL(18,6) partials so the group totals are
+    * addition-order-proof, and the percentage divides the two exact
+    * sums once per group.
+    */
+  def promoRevenue(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(
+      col("l_partkey"), col("l_shipdate"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val pt = Tables.part(s, d).select(col("p_partkey"), col("p_type"))
+    li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .groupBy(date_trunc("month", col("l_shipdate")).cast("date")
+        .as("month_start"))
+      .agg(
+        graft.engine.Determinism.dsum(
+          when(col("p_type") === "PROMO", col("rev")).otherwise(lit(0.0)))
+          .as("promo_rev"),
+        graft.engine.Determinism.dsum(col("rev")).as("total_rev"),
+        count(lit(1)).as("n_items"))
+      .withColumn("promo_pct",
+        graft.engine.Determinism.r6(
+          lit(100.0) * col("promo_rev") / col("total_rev")))
+      .orderBy("month_start")
+  }
+
   /** `join_skew_salted` — the hot-key join pattern as a first-class
     * query: `events` is pathologically skewed by construction (10k
     * rows over 5 users), so the per-user dimension join runs through

@@ -78,6 +78,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning(text"), p.take(2000))
   }
 
+  test("promo_revenue broadcasts the part dimension (no pre-agg shuffle)") {
+    val p = planString("promo_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("join_skew_salted distributes the join on (user_id, _salt)") {
     val p = planString("join_skew_salted")
     assert(p.contains("_salt"), p.take(2000))
