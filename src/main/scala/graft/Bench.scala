@@ -10,18 +10,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM/codegen/parquet-footer paths before timing so the
-    // first measured query isn't charged seconds of one-time startup;
-    // one warm query per operator family (relational scan/join, the
-    // shingle/posting-list text pipeline, the LSH/dot vector path)
-    // because each family JIT-compiles distinct generated classes —
-    // measured: unwarmed families show 3-6 s first-execution spikes.
+    // Warm the JVM/codegen/parquet-footer paths before timing so
+    // measured queries aren't charged one-time compilation: every
+    // query runs once at the smallest available sf (whole-stage
+    // codegen caches on generated source text, which is data-size
+    // independent, so the timed run at the real sf hits the compiled
+    // classes). Unwarmed queries showed 0.2-0.5 s compile floors and
+    // 3-6 s first-execution JIT spikes in the heavy families.
     // Fixed name order keeps per-query numbers comparable across runs.
+    val warmDir = {
+      val sibling = new java.io.File(
+        new java.io.File(sfDir).getParentFile, "sf0.001")
+      if (sibling.isDirectory) sibling.getPath else sfDir
+    }
     try {
       spark.range(1000000L).selectExpr("sum(id)").collect()
-      Seq("pricing_summary", "dedup_near", "similarity_lsh")
-        .foreach(q => SparkEntry.queries.get(q)
-          .foreach(fn => fn(spark, sfDir).count()))
+      SparkEntry.queries.values
+        .foreach(fn => try fn(spark, warmDir).count()
+                       catch { case _: Throwable => () })
     } catch { case _: Throwable => () }
     // dev knobs (driver runs with neither set): SPARK_GRAFT_QUERIES
     // comma-list filters the set; SPARK_GRAFT_REPS repeats each query
