@@ -46,6 +46,23 @@ object PollingIngest {
     def stop(): Unit = { raw.stop(); hourly.stop() }
   }
 
+  /** Graceful-teardown twin of the reference's interrupt handler
+    * (`dataCollector.py:222-226` closes both DB connections in
+    * `finally`): register a JVM shutdown hook that stops both
+    * streaming queries, so an interrupted process ends at a committed
+    * micro-batch boundary instead of mid-write (checkpoints make the
+    * restart exactly-once either way; stopping cleanly just avoids
+    * re-running the interrupted batch). Returns the hook thread so
+    * callers/tests can deregister it.
+    */
+  def stopOnShutdown(job: Job): Thread = {
+    val t = new Thread(
+      () => try job.stop() catch { case _: Throwable => () },
+      "graft-polling-shutdown")
+    Runtime.getRuntime.addShutdownHook(t)
+    t
+  }
+
   def start(
       spark: SparkSession,
       landingDir: String,

@@ -168,6 +168,13 @@ class StreamingSpec extends AnyFunSuite {
       assert(r.getAs[Double]("high_price") == 51000.0)
       assert(r.getAs[Long]("sample_count") == 3L)
       assert(spark.read.parquet(s"$tmp/raw").count() == 4)
+      // teardown-on-interrupt twin (dataCollector.py:222-226): the
+      // registered hook stops both queries; run it directly (after
+      // deregistering) to verify the behavior without killing the JVM
+      val hook = graft.streaming.PollingIngest.stopOnShutdown(job)
+      Runtime.getRuntime.removeShutdownHook(hook)
+      hook.run()
+      assert(!job.raw.isActive && !job.hourly.isActive)
     } finally job.stop()
   }
 
