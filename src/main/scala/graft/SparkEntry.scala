@@ -61,6 +61,8 @@ object SparkEntry {
     "orders_pivot"             -> (AnalyticOps.ordersPivot _),
     "moving_avg"               -> (AnalyticOps.movingAvg _),
     "funnel_steps"             -> (AnalyticOps.funnelSteps _),
+    "window_ntile"             -> (AnalyticOps.windowNtile _),
+    "string_agg_statuses"      -> (AnalyticOps.stringAggStatuses _),
     "heavy_hitters"            -> (AnalyticOps.heavyHitters _),
     // E16–E21 + LLM-pipeline surface
     "sessionize"          -> (LlmTextOps.sessionize _),
@@ -348,6 +350,24 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY event_type ORDER BY ts
                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
          ORDER BY symbol, ts""",
+    "window_ntile" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+                CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+                floor((PERCENT_RANK() OVER w) * 1000000 + 0.5) / 1000000
+                  AS pct_rank,
+                floor((CUME_DIST() OVER w) * 1000000 + 0.5) / 1000000
+                  AS cdist
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey ASC)
+         ORDER BY o_custkey, o_orderkey""",
+    "string_agg_statuses" ->
+      """WITH t AS (SELECT DISTINCT c_mktsegment, o_orderstatus
+                    FROM orders JOIN customer ON o_custkey = c_custkey)
+         SELECT c_mktsegment,
+                string_agg(o_orderstatus, ',' ORDER BY o_orderstatus)
+                  AS statuses
+         FROM t GROUP BY 1 ORDER BY 1""",
     "funnel_steps" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
          v AS (SELECT user_id, min(ts) AS t_view FROM events

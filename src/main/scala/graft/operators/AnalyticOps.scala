@@ -77,6 +77,38 @@ object AnalyticOps {
       .orderBy("c_mktsegment")
   }
 
+  /** `window_ntile` — distribution window functions: quartile
+    * (ntile), percent_rank, cume_dist per customer over order value.
+    * percent_rank/cume_dist are rational (rank ratios), so they are
+    * bit-exact across engines without transcendental concerns.
+    */
+  def windowNtile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        r6(percent_rank().over(w)).as("pct_rank"),
+        r6(cume_dist().over(w)).as("cdist"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** `string_agg_statuses` — ordered string aggregation: the distinct
+    * order statuses per market segment as one sorted CSV cell
+    * (listagg/string_agg). Deterministic via the explicit sort inside
+    * the aggregate.
+    */
+  def stringAggStatuses(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderstatus")).distinct()
+      .groupBy(col("c_mktsegment"))
+      .agg(array_join(sort_array(collect_list(col("o_orderstatus"))), ",")
+        .as("statuses"))
+      .orderBy("c_mktsegment")
+
   /** `funnel_steps` — ordered-sequence funnel (view → click →
     * purchase, 24 h conversion window per step): a user completes
     * step k only with an event strictly after their step-(k−1) time
