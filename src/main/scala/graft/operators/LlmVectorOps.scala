@@ -192,12 +192,13 @@ object LlmVectorOps {
     * Measured vs the exact `dedup_embed` at sf0.01: see BASELINE.md.
     */
   def dedupEmbedBlocked(s: SparkSession, d: String): DataFrame = {
-    // k=6 planes (64 buckets/table) vs similarity_lsh's k=4: candidate
-    // volume scales ~ L * n^2 / 2^k, so +2 planes cuts pairs 4x; the
-    // per-table collision prob drops p^4 -> p^6 but L=8 tables keep
-    // whole-corpus recall ~0.6 on this weakly-similar corpus (measured,
-    // BASELINE.md) and near-1 on true near-dup mass (cos >= 0.9).
-    val tableKeys = lshTableKeys(s, nTables = 8, kPlanes = 6, dim = 64)
+    // k=4 planes, L=8 tables — the measured sweet spot: recall at
+    // sf0.01 k=4 → 0.66, k=5 → 0.52, k=6 → 0.44, while wall-clock is
+    // flat across all three (the distinct + re-attach dominates, not
+    // candidate volume, at this sf). Candidate volume still scales
+    // ~ L·n²/2^k, so at much larger corpora raise k and pay the
+    // recall — AnnQualitySpec pins the floor either way.
+    val tableKeys = lshTableKeys(s, nTables = 8, kPlanes = 4, dim = 64)
     val base = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
     val keyed = base
       .withColumn("tk", explode(tableKeys))
