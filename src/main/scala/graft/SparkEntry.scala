@@ -68,6 +68,8 @@ object SparkEntry {
     "sessionize"          -> (LlmTextOps.sessionize _),
     "dedup_exact"         -> (LlmTextOps.dedupExact _),
     "dedup_exact_digest"  -> (LlmTextOps.dedupExactDigest _),
+    "dedup_incremental"   -> (LlmTextOps.dedupIncremental _),
+    "value_histogram"     -> (AnalyticOps.valueHistogram _),
     "dedup_near"          -> (LlmTextOps.dedupNear _),
     "dedup_survivors"     -> (LlmTextOps.dedupSurvivors _),
     "corpus_filter"       -> (LlmTextOps.corpusFilter _),
@@ -451,6 +453,17 @@ object SparkEntry {
     "dedup_exact_digest" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
          FROM documents GROUP BY text ORDER BY doc_id""",
+    "dedup_incremental" ->
+      """SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+         WHERE d.doc_id >= 250 AND NOT EXISTS (
+           SELECT 1 FROM documents e
+           WHERE e.doc_id < 250 AND e.text = d.text)
+         ORDER BY d.doc_id""",
+    "value_histogram" ->
+      """SELECT event_type,
+                CAST(FLOOR(value / 100.0) AS BIGINT) AS bucket,
+                COUNT(*) AS n
+         FROM events GROUP BY 1, 2 ORDER BY event_type, bucket""",
     "dedup_near" ->
       """WITH sh_t AS (
            SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1]

@@ -77,6 +77,18 @@ object AnalyticOps {
       .orderBy("c_mktsegment")
   }
 
+  /** `value_histogram` — fixed-width histogram of event values per
+    * type (bucket = floor(value / 100)): the distribution-profiling
+    * pass. One partial+final aggregate; integer bucketing is
+    * bit-portable where quantile interpolation needs care.
+    */
+  def valueHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"),
+        floor(col("value") / 100.0).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "bucket")
+
   /** `window_ntile` — distribution window functions: quartile
     * (ntile), percent_rank, cume_dist per customer over order value.
     * percent_rank/cume_dist are rational (rank ratios), so they are

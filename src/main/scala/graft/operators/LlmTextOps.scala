@@ -93,6 +93,24 @@ object LlmTextOps {
       .select("doc_id", "n_copies")
       .orderBy("doc_id")
 
+  /** `dedup_incremental` — the continuous-ingestion face of E17: a
+    * new batch (doc_id ≥ 250 stands in for it) keeps only docs whose
+    * content digest is unseen in the existing corpus (doc_id < 250) —
+    * an anti-join on xxhash64(text), so the ledger probe ships 8-byte
+    * digests. This is the nightly-batch dedup pattern: the "existing"
+    * side is the silver digest ledger (`CorpusSilver` posture), and
+    * re-running the batch is idempotent by construction.
+    */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("digest", xxhash64(col("text")))
+    val existing = docs.where(col("doc_id") < 250).select("digest")
+    docs.where(col("doc_id") >= 250)
+      .join(existing, Seq("digest"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** E18 `dedup_near` — near-dup pairs by exact 3-shingle Jaccard
     * ≥ 0.8. Exact formulation for the oracle; the LSH twins below are
     * the 100 TB path (this one is quadratic in docs sharing a
