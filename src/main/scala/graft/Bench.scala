@@ -7,6 +7,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // see GraftSession: keep collect_list aggregates hash-based
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "4000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -16,6 +16,14 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // collect_list/collect_set run as ObjectHashAggregate, whose
+      // sort-based fallback triggers at 128 in-memory keys by default
+      // — the posting-list builds here aggregate tens of thousands of
+      // keys per partition, so the default silently degrades them to
+      // a full sort. Entries are (key, small list) pairs; 4M keys is
+      // still well inside executor memory at our partition sizing.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "4000000")
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
 
   /** Local session for tests/demos. Functions are also registered
