@@ -451,8 +451,10 @@ object LlmTextOps {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = terms.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df derives from tf (one tf row per (doc, term) ⇒ rows per term
+    // = docs containing the term): no second corpus explode, and the
+    // df aggregation reads the already-reduced tf set
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term").asc)
     tf.join(df, Seq("term"))
