@@ -89,6 +89,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("_salt"), p.take(2000))
   }
 
+  test("funnel_steps joins stay broadcast/hash — no cartesian, no nested loop") {
+    val p = planString("funnel_steps")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("window_ntile is a single window pass — one shuffle on o_custkey, no join") {
+    val p = planString("window_ntile")
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
+  }
+
   test("ingest_raw is a scan+project+sort — no aggregation, no join") {
     val p = planString("ingest_raw")
     assert(!p.contains("HashAggregate") && !p.contains("Join"))
