@@ -114,6 +114,26 @@ object StreamingOhlc {
       .select(col("user_id"), col("purchase_ts"), col("click_ts"))
   }
 
+  /** S6b — left-outer variant of `rangeJoinStream`: purchases with NO
+    * qualifying click emit once with a null click_ts, but only after
+    * the click-side watermark passes the end of their match interval
+    * (the engine must prove no match can still arrive before emitting
+    * the null row — the semantics hand-rolled outer stream joins
+    * usually get wrong).
+    */
+  def rangeJoinStreamOuter(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.select(col("user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    p.join(c,
+      col("user_id") === col("c_user")
+        && col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR")
+        && col("click_ts") < col("purchase_ts"),
+      "left_outer")
+      .select(col("user_id"), col("purchase_ts"), col("click_ts"))
+  }
+
   /** S2 `streaming_state` — the reference's state machine made
     * explicit: `flatMapGroupsWithState` keyed by (symbol, hour),
     * carrying `OhlcState` (== the dict at `dataCollector.py:21-29`),

@@ -178,6 +178,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally job.stop()
   }
 
+  test("S6b outer range join: unmatched purchase emits null click only after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val purchases = MemoryStream[Tick]
+    val clicks = MemoryStream[Tick]
+    def evs(m: MemoryStream[Tick]) = m.toDF()
+      .selectExpr("ts", "CAST(substr(symbol, 2) AS BIGINT) AS user_id")
+    val q = StreamingOhlc.rangeJoinStreamOuter(evs(purchases), evs(clicks))
+      .writeStream.format("memory").queryName("s6b_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      purchases.addData(Tick(ts("2024-01-01 10:30:00"), "u1", 0)) // no clicks
+      clicks.addData(Tick(ts("2024-01-01 10:30:00"), "u2", 0))
+      q.processAllAvailable()
+      // match window not yet provably empty: nothing emitted
+      assert(spark.sql("SELECT * FROM s6b_out").count() == 0)
+      // advance BOTH watermarks far past the interval
+      purchases.addData(Tick(ts("2024-01-01 13:00:00"), "u9", 0))
+      clicks.addData(Tick(ts("2024-01-01 13:00:00"), "u9", 0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT * FROM s6b_out WHERE user_id = 1").collect()
+      assert(rows.length == 1, rows.mkString("; "))
+      assert(rows.head.isNullAt(rows.head.fieldIndex("click_ts")),
+        "unmatched purchase must carry a null click_ts")
+    } finally q.stop()
+  }
+
   test("S7 polling ingest lands closed hours into the reference's JDBC table") {
     import java.nio.file.{Files, Paths}
     val tmp = Files.createTempDirectory("graft_poll_jdbc").toString
