@@ -339,14 +339,23 @@ object LlmTextOps {
     * their embedding vectors — the end-to-end "documents in, training
     * corpus out" composition of E17/E18/quality/lang/E21.
     */
-  def corpusFilter(s: SparkSession, d: String): DataFrame = {
+  def corpusFilter(s: SparkSession, d: String): DataFrame =
+    corpusFilterFromSurvivors(s, d, dedupSurvivors(s, d))
+
+  /** The capstone composition over an externally supplied survivor
+    * set — lets `pipeline.CorpusSilver` serve the whole training-data
+    * selection from the materialized pair table instead of re-running
+    * the shingle pipeline.
+    */
+  def corpusFilterFromSurvivors(s: SparkSession, d: String,
+      survivors: DataFrame): DataFrame = {
     val quality = textQuality(s, d).select("doc_id", "quality_score")
     val embNorm = graft.engine.Tables.embeddings(s, d).select(
       col("vec_id").as("doc_id"),
       graft.engine.Determinism.r6(sqrt(
         graft.functions.VectorExprs.dot(s, col("embedding"), col("embedding"))))
         .as("emb_norm"))
-    dedupSurvivors(s, d)
+    survivors
       .where(col("lang") === "en")
       .join(quality, Seq("doc_id"))
       .where(col("quality_score") >= 0.62)

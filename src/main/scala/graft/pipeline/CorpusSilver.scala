@@ -32,4 +32,14 @@ object CorpusSilver {
   def survivors(s: SparkSession, sfDir: String, pairsPath: String): DataFrame =
     LlmTextOps.survivorsFromPairs(
       Tables.documents(s, sfDir), s.read.parquet(pairsPath))
+
+  /** The full `corpus_filter` capstone served from the silver pair
+    * table: one shingle pass ever (at `writeNearDupPairs` time), then
+    * the selection composes quality + language + embeddings against
+    * the parquet — the shape every downstream consumer runs at 100 TB.
+    */
+  def corpusFilter(s: SparkSession, sfDir: String,
+      pairsPath: String): DataFrame =
+    LlmTextOps.corpusFilterFromSurvivors(s, sfDir,
+      survivors(s, sfDir, pairsPath))
 }

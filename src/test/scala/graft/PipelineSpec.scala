@@ -89,6 +89,12 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(fromSilver == inline)
     assert(fromSilver.nonEmpty)
+    // the capstone served from silver matches the inline capstone too
+    val cfSilver = CorpusSilver.corpusFilter(spark, TestSpark.sf0001, s"$tmp/pairs")
+      .collect().map(_.getLong(0)).toSeq
+    val cfInline = graft.operators.LlmTextOps.corpusFilter(spark, TestSpark.sf0001)
+      .collect().map(_.getLong(0)).toSeq
+    assert(cfSilver == cfInline)
   }
 
   test("OhlcAggregator (typed UDAF) matches the built-in ohlcAgg") {
