@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, MinHash32, Shingle3, SimHash64}
+import graft.functions.{CountInSet, DotProduct, MinHash32, MinHashAgg, PairCombinations, Shingle3, SimHash64}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * expressions first-class SQL functions in any session built with
@@ -20,38 +20,42 @@ import graft.functions.{DotProduct, MinHash32, Shingle3, SimHash64}
   * builders per-session for DataFrame callers).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def inject(
+      e: SparkSessionExtensions,
+      name: String,
+      usage: String,
+      arity: Int,
+      clazz: Class[_],
+      build: Seq[Expression] => Expression): Unit =
+    e.injectFunction((
+      new FunctionIdentifier(name),
+      new ExpressionInfo(clazz.getName, name),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == arity,
+          s"$usage takes $arity argument(s), got ${exprs.length}")
+        build(exprs)
+      }))
+
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      new FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => {
-        require(exprs.length == 2,
-          s"graft_dot(array<float>, array<float>) takes 2 arguments, got ${exprs.length}")
-        DotProduct(exprs(0), exprs(1))
-      }))
-    e.injectFunction((
-      new FunctionIdentifier("graft_simhash64"),
-      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
-      (exprs: Seq[Expression]) => {
-        require(exprs.length == 1,
-          s"graft_simhash64(array<bigint>) takes 1 argument, got ${exprs.length}")
-        SimHash64(exprs.head)
-      }))
-    e.injectFunction((
-      new FunctionIdentifier("graft_shingle3"),
-      new ExpressionInfo(classOf[Shingle3].getName, "graft_shingle3"),
-      (exprs: Seq[Expression]) => {
-        require(exprs.length == 1,
-          s"graft_shingle3(array<string>) takes 1 argument, got ${exprs.length}")
-        Shingle3(exprs.head)
-      }))
-    e.injectFunction((
-      new FunctionIdentifier("graft_minhash32_arr"),
-      new ExpressionInfo(classOf[MinHash32].getName, "graft_minhash32_arr"),
-      (exprs: Seq[Expression]) => {
-        require(exprs.length == 1,
-          s"graft_minhash32_arr(array<string>) takes 1 argument, got ${exprs.length}")
-        MinHash32(exprs.head)
-      }))
+    // The COMPLETE graft function set. Every name the Scala-side
+    // register() helpers expose must be injected here too: the
+    // per-session helpers guard per-name, but a session whose only
+    // registration path is spark.sql.extensions gets exactly this list.
+    inject(e, "graft_dot", "graft_dot(array<float>, array<float>)", 2,
+      classOf[DotProduct], exprs => DotProduct(exprs(0), exprs(1)))
+    inject(e, "graft_simhash64", "graft_simhash64(array<bigint>)", 1,
+      classOf[SimHash64], exprs => SimHash64(exprs.head))
+    inject(e, "graft_shingle3", "graft_shingle3(array<string>)", 1,
+      classOf[Shingle3], exprs => Shingle3(exprs.head))
+    inject(e, "graft_minhash32_arr", "graft_minhash32_arr(array<string>)", 1,
+      classOf[MinHash32], exprs => MinHash32(exprs.head))
+    inject(e, "graft_minhash32", "graft_minhash32(bigint)", 1,
+      classOf[MinHashAgg], exprs => MinHashAgg(exprs.head).toAggregateExpression())
+    inject(e, "graft_pairs", "graft_pairs(array<bigint>)", 1,
+      classOf[PairCombinations], exprs => PairCombinations(exprs.head))
+    inject(e, "graft_count_in_set",
+      "graft_count_in_set(array<string>, array<string>)", 2,
+      classOf[CountInSet], exprs => CountInSet(exprs(0), exprs(1)))
   }
 }

@@ -154,18 +154,11 @@ object MinHash32 {
 
 object MinHashAgg {
   def register(s: SparkSession): Unit = {
-    val reg = s.sessionState.functionRegistry
-    // register-once per session (see VectorExprs.register)
-    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash32"))) {
-      reg.createOrReplaceTempFunction(
-        "graft_minhash32",
-        exprs => MinHashAgg(exprs.head).toAggregateExpression(),
-        "built-in")
-      reg.createOrReplaceTempFunction(
-        "graft_minhash32_arr",
-        exprs => MinHash32(exprs.head),
-        "built-in")
-    }
+    // per-name guards — see Registration.registerOnce
+    Registration.registerOnce(s, "graft_minhash32",
+      exprs => MinHashAgg(exprs.head).toAggregateExpression())
+    Registration.registerOnce(s, "graft_minhash32_arr",
+      exprs => MinHash32(exprs.head))
   }
 
   /** Aggregate column: 32-long MinHash signature of a LongType hash

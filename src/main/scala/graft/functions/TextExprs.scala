@@ -182,15 +182,32 @@ object CountInSet {
 
 object TextExprs {
   def register(s: SparkSession): Unit = {
+    // Guard each name individually: a session built via GraftExtensions
+    // already has graft_shingle3 injected but not the other two, so a
+    // single shared guard would short-circuit and leave graft_pairs /
+    // graft_count_in_set unresolvable on the canonical entry point.
+    Registration.registerOnce(s, "graft_shingle3",
+      exprs => Shingle3(exprs.head))
+    Registration.registerOnce(s, "graft_pairs",
+      exprs => PairCombinations(exprs.head))
+    Registration.registerOnce(s, "graft_count_in_set",
+      exprs => CountInSet(exprs(0), exprs(1)))
+  }
+}
+
+/** Per-name register-once helper shared by all graft function families.
+  * `createOrReplaceTempFunction` logs a replace warning on every call,
+  * so each name is guarded by its own `functionExists` probe — never a
+  * sibling's (extension-injected sessions carry partial overlap).
+  */
+object Registration {
+  def registerOnce(
+      s: SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression): Unit = {
     val reg = s.sessionState.functionRegistry
-    // register-once per session (see VectorExprs.register)
-    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_shingle3"))) {
-      reg.createOrReplaceTempFunction(
-        "graft_shingle3", exprs => Shingle3(exprs.head), "built-in")
-      reg.createOrReplaceTempFunction(
-        "graft_pairs", exprs => PairCombinations(exprs.head), "built-in")
-      reg.createOrReplaceTempFunction(
-        "graft_count_in_set", exprs => CountInSet(exprs(0), exprs(1)), "built-in")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name))) {
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
   }
 }

@@ -133,15 +133,11 @@ case class SimHash64(child: Expression)
   */
 object VectorExprs {
   def register(s: SparkSession): Unit = {
-    val reg = s.sessionState.functionRegistry
-    // register-once per session: createOrReplace on every call site
-    // would log a "replaced a previously registered function" warning
-    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"))) {
-      reg.createOrReplaceTempFunction(
-        "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-      reg.createOrReplaceTempFunction(
-        "graft_simhash64", exprs => SimHash64(exprs.head), "built-in")
-    }
+    // per-name guards — see Registration.registerOnce
+    Registration.registerOnce(s, "graft_dot",
+      exprs => DotProduct(exprs(0), exprs(1)))
+    Registration.registerOnce(s, "graft_simhash64",
+      exprs => SimHash64(exprs.head))
   }
 
   def dot(s: SparkSession, a: Column, b: Column): Column = {

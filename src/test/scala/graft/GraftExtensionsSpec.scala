@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression gate for the extensions entry point: a session whose ONLY
+  * registration path is `spark.sql.extensions=graft.GraftExtensions`
+  * must resolve every graft SQL function. Round 2 shipped a bug where
+  * the per-family register() guards short-circuited on a sibling name
+  * the extension had injected, leaving graft_pairs / graft_count_in_set
+  * unresolvable exactly (and only) on the canonical GraftSession path —
+  * tests and Bench built plain sessions, so nothing caught it.
+  *
+  * The raw-SQL assertions here run against a FRESH session (fresh
+  * function registry) before any Scala helper gets a chance to patch
+  * the registry imperatively, so they gate the injection list itself.
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  private def withExtensionsSession[A](f: SparkSession => A): A = {
+    val base = TestSpark.spark // materialize the shared SparkContext
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-extensions-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // the config-string form (`spark.sql.extensions`) is a STATIC
+      // conf read from the SparkContext, so it cannot apply on this
+      // shared test context; withExtensions() runs the exact same
+      // GraftExtensions.apply, which is what this spec gates
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try f(s)
+    finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
+  test("extensions-only session resolves the complete graft function set via SQL") {
+    withExtensionsSession { s =>
+      val row = s.sql(
+        """SELECT
+          |  graft_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)),
+          |            array(CAST(2.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS d,
+          |  graft_simhash64(array(1L, 1L, 2L)) AS sh,
+          |  graft_shingle3(array('a', 'b', 'c', 'd')) AS g3,
+          |  graft_minhash32_arr(array('a', 'b')) AS mh,
+          |  graft_pairs(array(1L, 2L, 3L)) AS prs,
+          |  graft_count_in_set(array('a', 'b', 'a'), array('a')) AS cis
+          |""".stripMargin).head()
+      assert(row.getDouble(0) == 1.5 * 2.0 + 2.0 * 0.5)
+      // bits present in >half the inputs survive: 1L twice, 2L once
+      assert(row.getLong(1) == 1L)
+      assert(row.getSeq[String](2) == Seq("a b c", "b c d"))
+      assert(row.getSeq[Long](3).length == 32)
+      assert(row.getSeq[org.apache.spark.sql.Row](4).map(r =>
+        (r.getLong(0), r.getLong(1))) == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+      assert(row.getInt(5) == 2)
+
+      // the aggregate form injects too
+      val agg = s.sql(
+        "SELECT graft_minhash32(h) AS sig FROM VALUES (1L), (2L), (3L) AS t(h)")
+        .head().getSeq[Long](0)
+      assert(agg.length == 32)
+    }
+  }
+
+  test("previously-broken operators run end-to-end on the extensions session") {
+    withExtensionsSession { s =>
+      // each of these resolved to an undefined function under the
+      // round-2 shared-guard bug (graft_pairs / graft_count_in_set)
+      for (q <- Seq("dedup_near", "dedup_survivors", "corpus_filter",
+                    "lang_id", "text_quality", "dedup_embed_blocked")) {
+        val n = SparkEntry.queries(q)(s, TestSpark.sf0001).count()
+        assert(n > 0, s"$q returned no rows on the extensions session")
+      }
+    }
+  }
+}
