@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CountInSet, DotProduct, MinHash32, MinHashAgg, PairCombinations, Shingle3, SimHash64}
+import graft.functions.{CountInSet, DotProduct, MinHash32, MinHashAgg, PackedPairs, PairCombinations, Shingle3, ShingleHash3, SimHash64}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * expressions first-class SQL functions in any session built with
@@ -57,5 +57,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(e, "graft_count_in_set",
       "graft_count_in_set(array<string>, array<string>)", 2,
       classOf[CountInSet], exprs => CountInSet(exprs(0), exprs(1)))
+    inject(e, "graft_shingle_hash3", "graft_shingle_hash3(array<string>)", 1,
+      classOf[ShingleHash3], exprs => ShingleHash3(exprs.head))
+    inject(e, "graft_packed_pairs", "graft_packed_pairs(array<bigint>)", 1,
+      classOf[PackedPairs], exprs => PackedPairs(exprs.head))
   }
 }

@@ -72,6 +72,126 @@ object Shingle3 {
   }
 }
 
+/** Distinct 3-token shingles as 64-bit XXH64 hashes (seed 42 — the
+  * same element hash as SQL `xxhash64`), in one compiled pass. The
+  * posting-list branch of the near-dup pipeline never needs the
+  * shingle STRINGS — only their identity — so hashing map-side shrinks
+  * the posting-list shuffle key from a ~20-byte string to 8 bytes and
+  * makes the aggregate's key hashing/equality a long compare. Distinct
+  * is taken over the hashes: a same-document collision (~k²/2⁶⁵) would
+  * merge two shingles, the same accepted-odds posture as
+  * `dedup_exact_digest`'s content digest; for adversarial corpora
+  * substitute a 128-bit hash.
+  */
+case class ShingleHash3(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hash3"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHash3.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.ShingleHash3.compute($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash3 =
+    copy(child = newChild)
+}
+
+object ShingleHash3 {
+  private val SPACE = UTF8String.fromString(" ")
+
+  def compute(toks: ArrayData): GenericArrayData = {
+    val n = toks.numElements()
+    if (n < 3) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[java.lang.Long](n * 2)
+    var i = 0
+    while (i <= n - 3) {
+      val sh = UTF8String.concatWs(SPACE, toks.getUTF8String(i),
+        toks.getUTF8String(i + 1), toks.getUTF8String(i + 2))
+      seen.add(org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUTF8String(sh, 42L))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next().longValue(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  def shingleHash3(s: SparkSession, tokens: Column): Column = {
+    TextExprs.register(s)
+    call_function("graft_shingle_hash3", tokens)
+  }
+}
+
+/** All C(k,2) ordered ID pairs of an UNSORTED id array, packed into
+  * single longs `(i << 32) | j` with i < j — the narrow-shuffle form
+  * of [[PairCombinations]]: the pair-count groupBy keys on ONE long
+  * instead of two, and the explode materializes primitive longs
+  * instead of a GenericInternalRow per pair (the struct allocation was
+  * the explode branch's dominant cost). Sorting happens inside the
+  * expression (saves the upstream `sort_array` array copy).
+  *
+  * Precondition: ids must fit in 31 bits (fail-fast otherwise). At a
+  * 100 TB id space, widen to the struct form or partition the id
+  * space; the bench corpus and any per-shard id space fit easily.
+  */
+case class PackedPairs(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_packed_pairs"
+
+  override def nullSafeEval(input: Any): Any =
+    PackedPairs.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.PackedPairs.compute($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): PackedPairs =
+    copy(child = newChild)
+}
+
+object PackedPairs {
+  def compute(ds: ArrayData): GenericArrayData = {
+    val n = ds.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val ids = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val v = ds.getLong(i)
+      if (v < 0L || v > Int.MaxValue.toLong)
+        throw new IllegalArgumentException(
+          s"graft_packed_pairs requires ids in [0, 2^31); got $v — " +
+            "use graft_pairs (struct form) for wider id spaces")
+      ids(i) = v
+      i += 1
+    }
+    java.util.Arrays.sort(ids)
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    i = 0
+    while (i < n - 1) {
+      val hi = ids(i) << 32
+      var j = i + 1
+      while (j < n) {
+        out(k) = hi | ids(j)
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def packedPairs(s: SparkSession, ids: Column): Column = {
+    TextExprs.register(s)
+    call_function("graft_packed_pairs", ids)
+  }
+}
+
 /** All C(k,2) ordered index pairs of a (sorted) id array, as an
   * `array<struct<i,j>>` built in one compiled pass — replaces the
   * interpreted nested `flatten(transform(sequence…, transform(…)))`
@@ -190,6 +310,10 @@ object TextExprs {
       exprs => Shingle3(exprs.head))
     Registration.registerOnce(s, "graft_pairs",
       exprs => PairCombinations(exprs.head))
+    Registration.registerOnce(s, "graft_shingle_hash3",
+      exprs => ShingleHash3(exprs.head))
+    Registration.registerOnce(s, "graft_packed_pairs",
+      exprs => PackedPairs(exprs.head))
     Registration.registerOnce(s, "graft_count_in_set",
       exprs => CountInSet(exprs(0), exprs(1)))
   }

@@ -34,10 +34,6 @@ object LlmTextOps {
       .select(col("doc_id"),
         graft.functions.Shingle3.shingle3(s, col("toks")).as("shs"))
 
-  /** Exploded (doc_id, shingle) rows, for posting-list building. */
-  private def shingled(s: SparkSession, d: String): DataFrame =
-    shingleSets(s, d).select(col("doc_id"), explode(col("shs")).as("sh"))
-
   /** E16 `sessionize` — gap-based sessionization (batch form of
     * session windows): a new session starts when the gap to the
     * previous event of the same user exceeds 30 min. One shuffle on
@@ -117,32 +113,52 @@ object LlmTextOps {
     * shingle). Shuffles: explode → self-join on shingle → pair count.
     */
   def dedupNear(s: SparkSession, d: String): DataFrame = {
-    val sh = shingled(s, d)
-    // sizes map-side from the set array: with the compiled Shingle3
+    // Both branches derive from one map-side pass that HASHES each
+    // distinct shingle to 64 bits (functions.ShingleHash3): the
+    // posting-list shuffle carries 8-byte longs instead of ~20-byte
+    // strings, and Jaccard numerator/denominator are both counted over
+    // the hash sets, so the two sides stay consistent. Collision odds
+    // are the dedup_exact_digest posture (documented there); the DuckDB
+    // oracle computes string-set Jaccard and has hash-matched at every
+    // sf, pinning that no collision perturbs results at test scale.
+    val hashed = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        graft.functions.ShingleHash3.shingleHash3(s, col("toks")).as("hs"))
+    // sizes map-side from the hash array: with the compiled expression
     // the re-scan per join branch is cheap, vs the explode + groupBy
-    // count this replaces (a full O(shingles) shuffle). In the
-    // interpreted-HOF era this was measured SLOWER (the lambda
-    // re-evaluated per branch dominated); re-measured faster once the
-    // shingle build compiled. A struct-carried (doc_id, sz) posting
-    // list variant stays rejected — struct-typed collect_list /
-    // sort_array / pair-explode allocate far more than bare longs.
-    val sizes = shingleSets(s, d)
-      .select(col("doc_id"), size(col("shs")).cast("long").as("sz"))
+    // count this replaces (a full O(shingles) shuffle). A struct-
+    // carried (doc_id, sz) posting-list variant stays rejected —
+    // struct-typed collect_list / pair-explode allocate far more than
+    // bare longs. Small at any doc count relative to the pair stream
+    // ⇒ broadcast both size joins explicitly (at true 100 TB doc
+    // counts, fall back to shuffle joins on the already-tiny
+    // ≥0.8-filtered pair set).
+    val sizes = hashed
+      .select(col("doc_id"), size(col("hs")).cast("long").as("sz"))
     // pair generation per shingle posting list instead of a self-join:
-    // one shuffle (groupBy shingle) + map-side C(k,2) explode. Safe
-    // because posting lists are short (hottest shingle: 25 docs at
-    // sf0.1); with real skew, cap/salt the hot lists first (see
-    // engine.Skew.heavyHitters).
-    val inter = sh.groupBy(col("sh"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+    // one shuffle (groupBy shingle hash) + map-side C(k,2) explode.
+    // Safe because posting lists are short (hottest shingle: 25 docs
+    // at sf0.1); with real skew, cap/salt the hot lists first (see
+    // engine.Skew.heavyHitters). Pairs travel PACKED as one long
+    // (i << 32 | j — functions.PackedPairs sorts internally), halving
+    // the pair-count shuffle key and skipping per-pair struct rows.
+    val inter = hashed
+      .select(col("doc_id"), explode(col("hs")).as("shh"))
+      .groupBy(col("shh"))
+      .agg(collect_list(col("doc_id")).as("ds"))
       .where(size(col("ds")) > 1)
       .select(explode(
-        graft.functions.PairCombinations.pairs(s, col("ds"))).as("p"))
-      .select(col("p.i").as("i"), col("p.j").as("j"))
-      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
+        graft.functions.PackedPairs.packedPairs(s, col("ds"))).as("pp"))
+      .groupBy(col("pp")).agg(count(lit(1)).as("inter"))
+      .select(shiftright(col("pp"), 32).as("i"),
+        col("pp").bitwiseAND(lit(0xffffffffL)).as("j"), col("inter"))
     inter
-      .join(sizes.select(col("doc_id").as("i"), col("sz").as("sz_i")), Seq("i"))
-      .join(sizes.select(col("doc_id").as("j"), col("sz").as("sz_j")), Seq("j"))
+      .join(broadcast(
+        sizes.select(col("doc_id").as("i"), col("sz").as("sz_i"))), Seq("i"))
+      .join(broadcast(
+        sizes.select(col("doc_id").as("j"), col("sz").as("sz_j"))), Seq("j"))
       .withColumn("jaccard",
         r6(col("inter") / (col("sz_i") + col("sz_j") - col("inter"))))
       .where(col("jaccard") >= 0.8)

@@ -68,6 +68,53 @@ class TextExprsSpec extends AnyFunSuite {
     assert(tiny == Seq(0, 0))
   }
 
+  test("ShingleHash3 equals xxhash64 over the Shingle3 string set") {
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("the", "a", "fox", "dog", "jumps", "data", "spark", "x1")
+    val rows = (0 until 200).map { i =>
+      i.toLong -> Seq.fill(rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size)))
+    }
+    val df = rows.toDF("id", "toks")
+    // reference: xxhash64 over the pinned Shingle3 string set
+    val strs = df.select(col("id"),
+        Shingle3.shingle3(spark, col("toks")).as("shs"))
+      .select(col("id"), expr("transform(shs, sh -> xxhash64(sh))").as("hh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    df.select(col("id"),
+        graft.functions.ShingleHash3.shingleHash3(spark, col("toks")).as("hs"))
+      .collect()
+      .foreach { r =>
+        assert(r.getSeq[Long](1) == strs(r.getLong(0)), s"id=${r.getLong(0)}")
+      }
+  }
+
+  test("PackedPairs equals PairCombinations on packed sorted ids") {
+    val rnd = new scala.util.Random(29)
+    val rows = (0 until 100).map { i =>
+      // unsorted ids in [0, 2^31): PackedPairs sorts internally
+      i.toLong -> Seq.fill(2 + rnd.nextInt(10))(rnd.nextInt(Int.MaxValue).toLong)
+    }
+    val df = rows.toDF("id", "ds")
+    df.select(col("id"),
+        graft.functions.PackedPairs.packedPairs(spark, col("ds")).as("packed"),
+        graft.functions.PairCombinations.pairs(
+          spark, sort_array(col("ds"))).as("structs"))
+      .collect()
+      .foreach { r =>
+        val packed = r.getSeq[Long](1)
+        val structs = r.getSeq[org.apache.spark.sql.Row](2)
+          .map(p => (p.getLong(0) << 32) | p.getLong(1))
+        assert(packed == structs, s"id=${r.getLong(0)}")
+      }
+    // fail-fast outside the 31-bit id space
+    val wide = Seq(0L -> Seq(1L, 1L << 40)).toDF("id", "ds")
+    val ex = intercept[Exception] {
+      wide.select(
+        graft.functions.PackedPairs.packedPairs(spark, col("ds"))).collect()
+    }
+    assert(ex.getMessage.contains("graft_packed_pairs"))
+  }
+
   test("CountInSet equals the declarative size(filter(IN)) form") {
     val rnd = new scala.util.Random(19)
     val vocab = Vector("the", "a", "of", "and", "to", "in", "fox", "dog",
