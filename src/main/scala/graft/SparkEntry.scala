@@ -72,6 +72,7 @@ object SparkEntry {
     "value_histogram"     -> (AnalyticOps.valueHistogram _),
     "dedup_near"          -> (LlmTextOps.dedupNear _),
     "dedup_survivors"     -> (LlmTextOps.dedupSurvivors _),
+    "dedup_components"    -> (LlmTextOps.dedupComponents _),
     "corpus_filter"       -> (LlmTextOps.corpusFilter _),
     "dedup_minhash"       -> (LlmTextOps.dedupMinhash _),
     "dedup_simhash"       -> (LlmTextOps.dedupSimhash _),
@@ -495,6 +496,27 @@ object SparkEntry {
          SELECT doc_id, lang, source, n_chars FROM documents
          WHERE doc_id NOT IN (SELECT doc_id FROM removed)
          ORDER BY doc_id""",
+    "dedup_components" ->
+      """WITH RECURSIVE sh_t AS (
+           SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1]
+                    || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh_t GROUP BY 1),
+         pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+                   FROM sh_t a JOIN sh_t b
+                     ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         np AS (SELECT i, j
+                FROM pairs JOIN sizes si ON si.doc_id = i
+                           JOIN sizes sj ON sj.doc_id = j
+                WHERE floor((inter / (si.sz + sj.sz - inter)) * 1000000
+                            + 0.5) / 1000000 >= 0.8),
+         edges AS (SELECT i AS u, j AS v FROM np
+                   UNION SELECT j AS u, i AS v FROM np),
+         reach AS (SELECT u, u AS x FROM (SELECT DISTINCT u FROM edges)
+                   UNION
+                   SELECT r.u, e.v AS x FROM reach r JOIN edges e ON r.x = e.u)
+         SELECT u AS doc_id, MIN(x) AS component_id
+         FROM reach GROUP BY u ORDER BY doc_id""",
     "corpus_filter" ->
       """WITH sh_t AS (
            SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1]

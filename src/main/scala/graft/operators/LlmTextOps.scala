@@ -189,6 +189,97 @@ object LlmTextOps {
       .orderBy("doc_id")
   }
 
+  /** `dedup_components` — connected-components survivor labeling over
+    * the near-dup pair graph: every document in the graph gets the
+    * smallest doc_id reachable through near-dup edges as its
+    * `component_id`. Greedy keep-smallest-id (`dedup_survivors`)
+    * under-merges transitive chains (A–B, B–C with A≁C keeps both A
+    * and C); components merge the full chain. Algorithm: alternating
+    * large-star / small-star (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond") — O(log²) rounds of a few narrow shuffles
+    * each, no driver-side data, which is the 100 TB-honest shape
+    * (Pregel-style propagation needs O(diameter) rounds; a driver
+    * union-find needs the whole edge set on one node).
+    */
+  def dedupComponents(s: SparkSession, d: String): DataFrame =
+    componentsFromPairs(s, dedupNear(s, d).select(col("i"), col("j")))
+
+  /** large-star: every node hands its strictly-larger neighbors to the
+    * minimum of its closed neighborhood. Input orientation free
+    * (symmetrized here); output oriented big → small.
+    */
+  private def largeStar(edges: DataFrame): DataFrame =
+    edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+      .groupBy(col("u")).agg(collect_set(col("v")).as("nbrs"))
+      .select(col("u"), least(array_min(col("nbrs")), col("u")).as("m"),
+        col("nbrs"))
+      .select(explode(expr("filter(nbrs, x -> x > u)")).as("w"), col("m"))
+      .select(col("w").as("u"), col("m").as("v"))
+      .distinct()
+
+  /** small-star: every node links its smaller neighbors (and itself)
+    * to the minimum of those. Input MUST be oriented u > v (large-star
+    * output is); output stays oriented big → small.
+    */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val grouped = edges
+      .groupBy(col("u")).agg(collect_set(col("v")).as("nbrs"))
+      .select(col("u"), array_min(col("nbrs")).as("m"), col("nbrs"))
+    grouped
+      .select(explode(expr("filter(nbrs, x -> x != m)")).as("w"), col("m"))
+      .union(grouped.select(col("u").as("w"), col("m")))
+      .select(col("w").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Component labeling against an externally supplied (i, j) pair set
+    * (the silver-table entry point, like [[survivorsFromPairs]]).
+    * Loops large-star∘small-star to fixpoint; convergence is detected
+    * by an order-insensitive (count, bit_xor of edge hashes) checksum —
+    * a 2⁻⁶⁴ false-convergence posture, same class as the digest
+    * queries. At the fixpoint every tree is a star rooted at its
+    * component minimum, so the edge set IS the labeling.
+    */
+  def componentsFromPairs(s: SparkSession, pairs: DataFrame): DataFrame = {
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(
+        count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // orient big → small so an already-converged input is a fixpoint
+    // of iteration 1 (small-star preserves star graphs). Each round is
+    // localCheckpoint'ed: without lineage truncation the logical plan
+    // nests one level per round and Catalyst/AQE planning goes
+    // super-linear (measured: minutes at round ~10 on a 3-edge input).
+    // On a real cluster use spark.checkpoint (reliable) instead —
+    // localCheckpoint loses blocks on executor death.
+    var edges = pairs
+      .select(greatest(col("i"), col("j")).as("u"),
+        least(col("i"), col("j")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var cs = checksum(edges)
+    var stable = false
+    var iter = 0
+    while (!stable && iter < 50) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val ncs = checksum(next)
+      edges.unpersist()
+      edges = next
+      stable = ncs == cs
+      cs = ncs
+      iter += 1
+    }
+    require(stable, s"componentsFromPairs: no fixpoint after $iter rounds")
+    val members = edges.select(col("u").as("doc_id"), col("v").as("component_id"))
+    val roots = edges.select(col("v").as("doc_id"), col("v").as("component_id"))
+      .distinct()
+    members.union(roots).distinct().orderBy("doc_id")
+  }
+
   /** `dedup_minhash` — MinHash + banded LSH, the scale path for E18
     * (no oracle: signature permutations are engine-specific).
     * 32 hashes = 8 bands × 4 rows; band-bucket join finds candidates

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.LlmTextOps
+
+/** Connected-components labeling (large-star/small-star fixpoint):
+  * transitive chains merge (the case greedy survivor selection
+  * under-merges), labels are component minima, and degenerate inputs
+  * terminate.
+  */
+class ComponentsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def label(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    LlmTextOps.componentsFromPairs(spark, pairs.toDF("i", "j"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("transitive chain A-B, B-C collapses to one component") {
+    // greedy keep-smallest-id would keep both 1 and 3 (1-3 not paired);
+    // components label all three with the chain minimum
+    val got = label(Seq((1L, 2L), (2L, 3L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("disjoint components keep separate minima") {
+    val got = label(Seq((5L, 4L), (10L, 11L), (11L, 12L), (12L, 13L), (2L, 7L)))
+    assert(got == Map(
+      4L -> 4L, 5L -> 4L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      2L -> 2L, 7L -> 2L))
+  }
+
+  test("long path and cycle converge to the minimum") {
+    val path = (0L until 20L).map(k => (k, k + 1)) // 0-1-2-...-20
+    val cycle = Seq((30L, 31L), (31L, 32L), (32L, 30L))
+    val got = label(path ++ cycle)
+    assert((0L to 20L).forall(n => got(n) == 0L))
+    assert((30L to 32L).forall(n => got(n) == 30L))
+  }
+
+  test("empty and self-loop-only inputs yield empty output") {
+    assert(label(Seq.empty) == Map.empty)
+    assert(label(Seq((3L, 3L))) == Map.empty)
+  }
+
+  test("dedup_components at sf0.001 refines dedup_near pairs consistently") {
+    val comps = LlmTextOps.dedupComponents(spark, TestSpark.sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = LlmTextOps.dedupNear(spark, TestSpark.sf0001)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every paired doc is labeled, endpoints of a pair share a label,
+    // and each label is its component's minimum member
+    pairs.foreach { case (i, j) =>
+      assert(comps(i) == comps(j), s"pair ($i,$j) split across components")
+    }
+    comps.groupBy(_._2).foreach { case (root, members) =>
+      assert(members.keys.min == root, s"component $root not rooted at min")
+    }
+  }
+}
