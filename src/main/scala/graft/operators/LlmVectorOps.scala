@@ -191,31 +191,42 @@ object LlmVectorOps {
     * approximation is only recall (pairs whose bucket never collides).
     * Measured vs the exact `dedup_embed` at sf0.01: see BASELINE.md.
     */
-  def dedupEmbedBlocked(s: SparkSession, d: String): DataFrame = {
+  def dedupEmbedBlocked(s: SparkSession, d: String): DataFrame =
+    dedupEmbedBlockedFrom(s, Tables.embeddings(s, d))
+
+  /** Blocked embedding dedup over an externally supplied
+    * (vec_id, embedding) frame — lets quality tests feed a synthetic
+    * high-similarity slice, and is the silver-table entry point.
+    */
+  def dedupEmbedBlockedFrom(s: SparkSession, embs: DataFrame): DataFrame = {
     // k=4 planes, L=8 tables — the measured sweet spot: recall at
     // sf0.01 k=4 → 0.66, k=5 → 0.52, k=6 → 0.44, while wall-clock is
     // flat across all three (the distinct + re-attach dominates, not
     // candidate volume, at this sf). Candidate volume still scales
     // ~ L·n²/2^k, so at much larger corpora raise k and pay the
-    // recall — AnnQualitySpec pins the floor either way.
+    // recall — AnnQualitySpec pins the floor either way. On the slice
+    // that matters (true near-dups at cos ≥ 0.9) recall is ≳ 0.95 —
+    // AnnQualitySpec measures it on a perturbed-copy corpus.
     val tableKeys = lshTableKeys(s, nTables = 8, kPlanes = 4, dim = 64)
-    val base = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
+    val base = withNorm(s, embs, "embedding", "norm")
     val keyed = base
       .withColumn("tk", explode(tableKeys))
       .select(col("vec_id"), col("tk.t").as("t"), col("tk.b").as("b"))
     // candidate pairs from bucket member lists (the dedup_near
     // posting-list pattern): one shuffle on (table, bucket) + map-side
     // C(k,2) explode, ids-only through the distinct — no self-join.
-    // Bucket population ~ n/2^kPlanes per table; with real skew
-    // (many identical vectors), cap/salt hot buckets first
-    // (engine.Skew.heavyHitters).
+    // Pairs travel packed as one long (functions.PackedPairs), so the
+    // dedup distinct hashes a single 8-byte key. Bucket population
+    // ~ n/2^kPlanes per table; with real skew (many identical
+    // vectors), cap/salt hot buckets first (engine.Skew.heavyHitters).
     val candIds = keyed.groupBy(col("t"), col("b"))
-      .agg(sort_array(collect_list(col("vec_id"))).as("vs"))
+      .agg(collect_list(col("vec_id")).as("vs"))
       .where(size(col("vs")) > 1)
       .select(explode(
-        graft.functions.PairCombinations.pairs(s, col("vs"))).as("p"))
-      .select(col("p.i").as("i"), col("p.j").as("j"))
+        graft.functions.PackedPairs.packedPairs(s, col("vs"))).as("pp"))
       .distinct()
+      .select(shiftright(col("pp"), 32).as("i"),
+        col("pp").bitwiseAND(lit(0xffffffffL)).as("j"))
     candIds
       .join(base.select(col("vec_id").as("i"), col("embedding").as("emb_i"),
         col("norm").as("norm_i")), Seq("i"))
