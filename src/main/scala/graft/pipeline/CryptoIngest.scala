@@ -54,23 +54,36 @@ object CryptoIngest {
     * reference's Postgres sink (`dataCollector.py:140-163`): same
     * `downsampled_prices` DDL (`dataCollector.py:62-75`), idempotent
     * via delete-then-insert of the (date, hour) keys present in the
-    * batch — the upsert the reference's bare INSERT lacks. The key
-    * list is metadata-sized (one row per flushed hour), so collecting
-    * it driver-side is O(hours), not O(data); row inserts stream from
-    * executors via `df.write.jdbc`.
+    * batch — the upsert the reference's bare INSERT lacks.
     */
   def flushHourlyJdbc(ticks: DataFrame, url: String,
       table: String = "downsampled_prices"): Unit =
     upsertHourlyRows(ReferenceOps.ohlcAgg(ticks), url, table)
 
+  private val hourlyCols = Seq("date", "hour", "symbol", "open_price",
+    "high_price", "low_price", "close_price", "avg_price", "sample_count")
+
   /** Idempotent landing of already-aggregated hourly OHLC rows
     * (schema of `ReferenceOps.ohlcAgg`) — the shared core of the batch
     * `flushHourlyJdbc` and the streaming `PollingIngest` JDBC sink.
+    *
+    * Shape: executors land the batch in a staging table
+    * (`df.write.jdbc`, no data on the driver at any point), then ONE
+    * connection runs `DELETE ... WHERE EXISTS (stage)` + `INSERT ...
+    * SELECT FROM stage` in a single transaction — so re-flushing an
+    * hour is idempotent AND the swap is atomic: concurrent readers see
+    * the old rows or the new rows, never the between-statements gap a
+    * two-connection delete-then-append exposes. Scales as O(batch) on
+    * executors and O(1) driver statements regardless of how many hours
+    * a backfill covers.
     */
   def upsertHourlyRows(hourly: DataFrame, url: String,
       table: String = "downsampled_prices"): Unit = {
-    val keys = hourly.select("date", "hour").distinct().collect()
-      .map(r => (r.getDate(0), r.getInt(1)))
+    val stage = table + "_stage"
+    // executors write the staging rows; overwrite drops any leftover
+    // stage from a failed previous attempt
+    hourly.write.mode("overwrite").jdbc(url, stage, new java.util.Properties)
+    val cols = hourlyCols.map(c => s""""$c"""").mkString(", ")
     val conn = java.sql.DriverManager.getConnection(url)
     try {
       val meta = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
@@ -80,24 +93,37 @@ object CryptoIngest {
       if (!exists) {
         val st = conn.createStatement()
         // quoted lower-case names: DATE/HOUR are reserved words, and
-        // Spark's JDBC writer quotes the DataFrame's column names
+        // Spark's JDBC writer quotes the DataFrame's column names.
+        // DOUBLE PRECISION, not DOUBLE: valid in both Derby and
+        // PostgreSQL (the documented migration target).
         try st.execute(
           s"""CREATE TABLE $table (
              |  "date" DATE NOT NULL, "hour" INTEGER NOT NULL,
              |  "symbol" VARCHAR(64) NOT NULL,
-             |  "open_price" DOUBLE, "high_price" DOUBLE,
-             |  "low_price" DOUBLE, "close_price" DOUBLE,
-             |  "avg_price" DOUBLE, "sample_count" BIGINT,
+             |  "open_price" DOUBLE PRECISION, "high_price" DOUBLE PRECISION,
+             |  "low_price" DOUBLE PRECISION, "close_price" DOUBLE PRECISION,
+             |  "avg_price" DOUBLE PRECISION, "sample_count" BIGINT,
              |  PRIMARY KEY ("date", "hour", "symbol"))""".stripMargin)
         finally st.close()
       }
-      val del = conn.prepareStatement(
-        s"""DELETE FROM $table WHERE "date" = ? AND "hour" = ?""")
-      try keys.foreach { case (d, h) =>
-        del.setDate(1, d); del.setInt(2, h); del.executeUpdate()
-      } finally del.close()
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      try {
+        st.executeUpdate(
+          s"""DELETE FROM $table WHERE EXISTS (
+             |  SELECT 1 FROM $stage s
+             |  WHERE s."date" = $table."date"
+             |    AND s."hour" = $table."hour")""".stripMargin)
+        st.executeUpdate(
+          s"INSERT INTO $table ($cols) SELECT $cols FROM $stage")
+        conn.commit()
+      } catch {
+        case e: Throwable => conn.rollback(); throw e
+      } finally st.close()
+      conn.setAutoCommit(true)
+      val drop = conn.createStatement()
+      try drop.execute(s"DROP TABLE $stage") finally drop.close()
     } finally conn.close()
-    hourly.write.mode("append").jdbc(url, table, new java.util.Properties)
   }
 
   /** Drop raw-layer date partitions strictly older than `keepDays`
