@@ -5,12 +5,22 @@ import org.apache.spark.sql.functions._
 
 /** Skew-mitigation utilities for hot-key joins at scale.
   *
-  * AQE's skew-join splitting (on by default) covers sort-merge joins;
-  * explicit salting is still the tool when a *build* side must be
-  * replicated against a heavily skewed probe side (e.g. joining 100 TB
-  * of events where 1% of users produce 50% of rows against a per-user
-  * dimension). Salting trades `factor`× replication of the small side
-  * for an even distribution of the hot keys across `factor` tasks.
+  * When to reach for which tool:
+  * - **AQE skew-join first** (`spark.sql.adaptive.skewJoin`, on by
+  *   default): for shuffle sort-merge/hash JOINS it splits oversized
+  *   partitions at runtime with no code change and no replication
+  *   cost — EngineUtilSpec demonstrates the split firing on a hot key.
+  * - **Manual salting** (`saltedJoin`): for the shapes AQE cannot
+  *   rewrite — skewed AGGREGATIONS (salt, partial-agg, then re-agg),
+  *   joins whose build side must broadcast-replicate against a skewed
+  *   probe side, and streaming stateful ops where partition splitting
+  *   isn't available. Salting trades `factor`× replication of the
+  *   small side for an even spread of the hot keys across `factor`
+  *   tasks.
+  * - Salt entropy matters: the salt hashes ALL big-side columns, so
+  *   feed a projection containing a per-row-unique column (an id or
+  *   timestamp) — identical rows get identical salts and collapse the
+  *   intended spread.
   */
 object Skew {
 

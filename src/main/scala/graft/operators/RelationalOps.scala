@@ -188,7 +188,14 @@ object RelationalOps {
     * (the oracle proves it); only the distribution changes.
     */
   def joinSkewSalted(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"))
+    // event_id rides along ONLY as salt entropy: saltedJoin hashes all
+    // big-side columns, so a projection of just (user_id, event_type)
+    // would give identical rows identical salts and collapse the hot
+    // user into #event_types buckets instead of 8. A per-row-unique
+    // column restores the documented 8-way spread (SkewSpec asserts
+    // the distribution).
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"))
     val dim = ev.groupBy(col("user_id")).agg(count(lit(1)).as("user_events"))
     graft.engine.Skew.saltedJoin(ev, dim, "user_id", factor = 8)
       .groupBy(col("event_type"))

@@ -25,6 +25,59 @@ class EngineUtilSpec extends AnyFunSuite {
     assert(plain.size == 902)
   }
 
+  test("salted join_skew_salted projection spreads the hot user across all 8 buckets") {
+    // regression: salting hashes all big-side columns, so a projection
+    // of only (user_id, event_type) collapses the hot user into
+    // #event_types buckets; the query feeds event_id as entropy
+    val ev = graft.engine.Tables.events(spark, TestSpark.sf0001)
+      .select(col("user_id"), col("event_type"), col("event_id"))
+    val hot = ev.groupBy(col("user_id")).count()
+      .orderBy(col("count").desc).first().getLong(0)
+    val buckets = ev.where(col("user_id") === hot)
+      .withColumn("_salt",
+        pmod(xxhash64(struct(col("user_id"), col("event_type"),
+          col("event_id"))), lit(8L)))
+      .select("_salt").distinct().count()
+    assert(buckets == 8L,
+      s"hot user landed in $buckets/8 salt buckets — spread collapsed")
+  }
+
+  test("AQE skew-join splits the hot partition on the unsalted join") {
+    // The other half of the skew story: for shuffle joins AQE's
+    // OptimizeSkewedJoin handles hot keys at runtime with no code
+    // change — manual salting (above) remains for patterns AQE can't
+    // touch (aggregations, broadcast-incompatible buildsides). Shrink
+    // the thresholds so the tiny fixture triggers the same machinery a
+    // 100 TB hot key would.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4096",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4096",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val pad = "x" * 100
+      val big = (1 to 20000)
+        .map(i => (if (i % 10 != 0) "hot" else s"k$i", s"$pad$i"))
+        .toDF("key", "payload")
+      val small = (1 to 2000).map(i => (s"k$i", i)).toDF("key", "w")
+        .union(Seq(("hot", 0)).toDF("key", "w"))
+      val joined = big.join(small, Seq("key"))
+      // collect() executes joined's OWN query execution (count() would
+      // plan a separate query and leave this one un-finalized)
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n${plan.take(1500)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("heavyHitters surfaces the hot key first") {
     val big = (1 to 1000).map(i => (if (i <= 900) "hot" else s"k$i", i))
       .toDF("key", "v")
@@ -33,6 +86,11 @@ class EngineUtilSpec extends AnyFunSuite {
   }
 
   test("GraftExtensions exposes graft_dot / graft_simhash64 to SQL") {
+    val base = TestSpark.spark
+    // getOrCreate returns the active session (extensions silently
+    // skipped) unless both active and default are cleared first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val s2 = SparkSession.builder()
       .master("local[2]")
       .appName("graft-ext-test")
@@ -53,6 +111,9 @@ class EngineUtilSpec extends AnyFunSuite {
     } finally {
       // newSession-style shared context: don't stop the JVM-wide SC
       SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
     }
   }
 }
