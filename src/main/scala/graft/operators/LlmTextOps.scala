@@ -255,17 +255,20 @@ object LlmTextOps {
     // super-linear (measured: minutes at round ~10 on a 3-edge input).
     // On a real cluster use spark.checkpoint (reliable) instead —
     // localCheckpoint loses blocks on executor death.
+    // lazy checkpoints: the checksum action right after is what
+    // materializes each round's edge set, so every round costs ONE
+    // job instead of an eager-checkpoint job plus the checksum job
     var edges = pairs
       .select(greatest(col("i"), col("j")).as("u"),
         least(col("i"), col("j")).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     var cs = checksum(edges)
     var stable = false
     var iter = 0
     while (!stable && iter < 50) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
       val ncs = checksum(next)
       edges.unpersist()
       edges = next

@@ -50,6 +50,10 @@ class EngineUtilSpec extends AnyFunSuite {
     // the thresholds so the tiny fixture triggers the same machinery a
     // 100 TB hot key would.
     val confs = Seq(
+      // pin the partition count: a prior suite may have stamped a
+      // different value onto the shared session, and skew detection
+      // needs several partitions for a meaningful median
+      "spark.sql.shuffle.partitions" -> "4",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",

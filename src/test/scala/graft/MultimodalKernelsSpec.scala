@@ -42,11 +42,25 @@ class MultimodalKernelsSpec extends AnyFunSuite {
   }
 
   test("GraftSession.local exposes graft SQL functions") {
-    val s = GraftSession.local(2)
-    val d = s.sql(
-      """SELECT graft_dot(CAST(array(2.0) AS ARRAY<FLOAT>),
-                          CAST(array(3.0) AS ARRAY<FLOAT>))""")
-      .collect().head.getDouble(0)
-    assert(d == 6.0)
+    // clear first: getOrCreate on the live test session would both
+    // recycle it (GraftSession's configs silently stamped onto the
+    // shared session — shuffle.partitions=2 leaked into later suites)
+    // and dodge the fresh-session registration path this test is for
+    val base = TestSpark.spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s = GraftSession.local(2)
+      val d = s.sql(
+        """SELECT graft_dot(CAST(array(2.0) AS ARRAY<FLOAT>),
+                            CAST(array(3.0) AS ARRAY<FLOAT>))""")
+        .collect().head.getDouble(0)
+      assert(d == 6.0)
+    } finally {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
   }
 }
