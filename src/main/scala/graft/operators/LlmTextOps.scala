@@ -574,14 +574,20 @@ object LlmTextOps {
     // = docs containing the term): no second corpus explode, and the
     // df aggregation reads the already-reduced tf set
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy("doc_id")
-      .orderBy(col("score").desc, col("term").asc)
+    // per-doc argmax as ONE hash aggregation: min over
+    // struct(-score, term, score) is lexicographic, so it picks the
+    // highest score with the term-ascending tie-break — same row the
+    // (score desc, term asc) row_number window selected, without the
+    // window's shuffle+sort pass (scores are > 0, so -score is
+    // ordinary double ordering; map-side partials apply)
     tf.join(df, Seq("term"))
       .join(broadcast(nDocs), lit(true))
       .withColumn("score", r6(col("tf") * col("n") / col("df")))
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") === 1)
-      .select(col("doc_id"), col("term").as("top_term"), col("score"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("score")).as("ns"), col("term"),
+        col("score"))).as("best"))
+      .select(col("doc_id"), col("best.term").as("top_term"),
+        col("best.score").as("score"))
       .orderBy("doc_id")
   }
 
