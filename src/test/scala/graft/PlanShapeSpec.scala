@@ -27,6 +27,28 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_near shuffles hashed shingles and packed pairs; sizes broadcast") {
+    val p = planString("dedup_near")
+    // the posting-list pipeline must key on 8-byte shingle hashes and
+    // single-long packed pairs (compiled expressions in-plan), and the
+    // per-doc size joins must be broadcast, not shuffled
+    assert(p.contains("graft_shingle_hash3"), p.take(1500))
+    assert(p.contains("graft_packed_pairs"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), "size join fell back to SMJ")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("dedup_components rounds are narrow equi-shuffles — no cartesian, no nested loop") {
+    // the fixpoint loop runs before the returned frame materializes;
+    // the output plan (members ∪ roots over the converged edge set)
+    // plus a largeStar/smallStar round must all stay shuffle/broadcast
+    val out = SparkEntry.queries("dedup_components")(spark, sf)
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
   test("join_broadcast uses BroadcastHashJoin for both dimension joins") {
     val p = planString("join_broadcast")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2000))
