@@ -26,6 +26,19 @@ object GraftSession {
         "4000000")
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
 
+  /** Register every graft SQL function family imperatively —
+    * idempotent per name. The safety net for sessions where the
+    * extensions config cannot apply (getOrCreate over an existing
+    * SparkContext freezes static confs): without it, SQL callers
+    * would only see a function after some DataFrame operator happened
+    * to register its family.
+    */
+  def registerAll(s: SparkSession): Unit = {
+    graft.functions.VectorExprs.register(s)
+    graft.functions.TextExprs.register(s)
+    graft.functions.MinHashAgg.register(s)
+  }
+
   /** Local session for tests/demos. Functions are also registered
     * imperatively: `getOrCreate` may return a pre-existing session
     * whose extensions config is frozen, and registration is
@@ -37,7 +50,7 @@ object GraftSession {
       .appName("graft")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    graft.functions.VectorExprs.register(s)
+    registerAll(s)
     s.sparkContext.setLogLevel("WARN")
     s
   }

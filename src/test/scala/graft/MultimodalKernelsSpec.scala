@@ -56,6 +56,15 @@ class MultimodalKernelsSpec extends AnyFunSuite {
                             CAST(array(3.0) AS ARRAY<FLOAT>))""")
         .collect().head.getDouble(0)
       assert(d == 6.0)
+      // registerAll covers every family even when the recycled
+      // SparkContext freezes the extensions conf
+      val pairs = s.sql("SELECT graft_pairs(array(1L, 2L)) AS p")
+        .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      assert(pairs.map(r => (r.getLong(0), r.getLong(1))) == Seq((1L, 2L)))
+      val mh = s.sql(
+        "SELECT graft_minhash32(h) AS sig FROM VALUES (1L), (2L) AS t(h)")
+        .collect().head.getSeq[Long](0)
+      assert(mh.length == 32)
     } finally {
       org.apache.spark.sql.SparkSession.clearActiveSession()
       org.apache.spark.sql.SparkSession.clearDefaultSession()
