@@ -45,6 +45,36 @@ class ComponentsSpec extends AnyFunSuite {
     assert(label(Seq((3L, 3L))) == Map.empty)
   }
 
+  test("random graphs match a reference union-find (20 seeds)") {
+    // property check: the distributed large-star/small-star fixpoint
+    // equals a trivially-correct driver union-find on arbitrary
+    // small graphs (cycles, chains, stars, isolated pairs all arise)
+    def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      nodes.map(n => n -> find(n)).toMap
+    }
+    for (seed <- 1 to 20) {
+      val rnd = new scala.util.Random(seed)
+      val n = 5 + rnd.nextInt(30)
+      val m = 1 + rnd.nextInt(40)
+      val pairs = Seq.fill(m)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val expected = unionFind(pairs)
+      val got = label(pairs)
+      assert(got == expected, s"seed=$seed pairs=$pairs")
+    }
+  }
+
   test("dedup_components at sf0.001 refines dedup_near pairs consistently") {
     val comps = LlmTextOps.dedupComponents(spark, TestSpark.sf0001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
