@@ -207,28 +207,37 @@ object LlmTextOps {
   /** large-star: every node hands its strictly-larger neighbors to the
     * minimum of its closed neighborhood. Input orientation free
     * (symmetrized here); output oriented big → small.
+    *
+    * Neighborhood minima come from a whole-partition window min (ONE
+    * shuffle on u) rather than `collect_set` neighborhoods: a giant
+    * component's hub would otherwise materialize its entire
+    * neighborhood as one in-memory array on one task, while
+    * WindowExec buffers each key group in a spillable sorter — a
+    * 10⁹-member component spills to disk instead of OOMing the task.
     */
-  private def largeStar(edges: DataFrame): DataFrame =
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val w = Window.partitionBy("u")
     edges.select(col("u"), col("v"))
       .union(edges.select(col("v").as("u"), col("u").as("v")))
-      .groupBy(col("u")).agg(collect_set(col("v")).as("nbrs"))
-      .select(col("u"), least(array_min(col("nbrs")), col("u")).as("m"),
-        col("nbrs"))
-      .select(explode(expr("filter(nbrs, x -> x > u)")).as("w"), col("m"))
-      .select(col("w").as("u"), col("m").as("v"))
+      .withColumn("m", least(min(col("v")).over(w), col("u")))
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
       .distinct()
+  }
 
   /** small-star: every node links its smaller neighbors (and itself)
     * to the minimum of those. Input MUST be oriented u > v (large-star
-    * output is); output stays oriented big → small.
+    * output is); output stays oriented big → small. Window-min for the
+    * same giant-component reason as [[largeStar]].
     */
   private def smallStar(edges: DataFrame): DataFrame = {
-    val grouped = edges
-      .groupBy(col("u")).agg(collect_set(col("v")).as("nbrs"))
-      .select(col("u"), array_min(col("nbrs")).as("m"), col("nbrs"))
-    grouped
-      .select(explode(expr("filter(nbrs, x -> x != m)")).as("w"), col("m"))
-      .union(grouped.select(col("u").as("w"), col("m")))
+    val w = Window.partitionBy("u")
+    val withMin = edges
+      .withColumn("m", min(col("v")).over(w))
+    withMin
+      .where(col("v") =!= col("m"))
+      .select(col("v").as("w"), col("m"))
+      .union(withMin.select(col("u").as("w"), col("m")).distinct())
       .select(col("w").as("u"), col("m").as("v"))
       .distinct()
   }
