@@ -217,12 +217,14 @@ object LlmTextOps {
     */
   private def largeStar(edges: DataFrame): DataFrame = {
     val w = Window.partitionBy("u")
+    // no mid-round distinct: small-star's window min tolerates
+    // duplicate edges, and its final distinct canonicalizes the round
+    // for the convergence checksum — one fewer shuffle per round
     edges.select(col("u"), col("v"))
       .union(edges.select(col("v").as("u"), col("u").as("v")))
       .withColumn("m", least(min(col("v")).over(w), col("u")))
       .where(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
-      .distinct()
   }
 
   /** small-star: every node links its smaller neighbors (and itself)
