@@ -70,7 +70,10 @@ class TextExprsSpec extends AnyFunSuite {
 
   test("ShingleHash3 equals xxhash64 over the Shingle3 string set") {
     val rnd = new scala.util.Random(23)
-    val vocab = Vector("the", "a", "fox", "dog", "jumps", "data", "spark", "x1")
+    // multi-byte UTF-8 tokens included: the hash must agree with SQL
+    // xxhash64 on the raw bytes, not only on ASCII
+    val vocab = Vector("the", "a", "fox", "dog", "jumps", "data", "spark",
+      "x1", "naïve", "東京", "µs", "🦊")
     val rows = (0 until 200).map { i =>
       i.toLong -> Seq.fill(rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size)))
     }
