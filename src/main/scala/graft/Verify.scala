@@ -18,7 +18,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRec))
+      f.delete(); ()
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
+      // drop any previous dump FIRST: write-on-success alone would let
+      // a failing query leave the prior run's parquet behind and turn
+      // the oracle compare into a vacuous pass on stale data
+      deleteRec(new java.io.File(s"$outDir/$name"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
