@@ -33,6 +33,16 @@ object CorpusSilver {
     LlmTextOps.survivorsFromPairs(
       Tables.documents(s, sfDir), s.read.parquet(pairsPath))
 
+  /** Connected-components labeling read from the materialized pair
+    * table (the `dedup_components` consumer path): the fixpoint loop
+    * runs over the silver parquet, so relabeling after a threshold or
+    * policy change never re-runs the shingle pipeline.
+    */
+  def components(s: SparkSession, sfDir: String,
+      pairsPath: String): DataFrame =
+    LlmTextOps.componentsFromPairs(s,
+      s.read.parquet(pairsPath).select("i", "j"))
+
   /** The full `corpus_filter` capstone served from the silver pair
     * table: one shingle pass ever (at `writeNearDupPairs` time), then
     * the selection composes quality + language + embeddings against

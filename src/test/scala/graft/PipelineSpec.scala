@@ -95,6 +95,13 @@ class PipelineSpec extends AnyFunSuite {
     val cfInline = graft.operators.LlmTextOps.corpusFilter(spark, TestSpark.sf0001)
       .collect().map(_.getLong(0)).toSeq
     assert(cfSilver == cfInline)
+    // component labeling from silver matches the inline fixpoint too
+    val ccSilver = CorpusSilver.components(spark, TestSpark.sf0001, s"$tmp/pairs")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ccInline = graft.operators.LlmTextOps
+      .dedupComponents(spark, TestSpark.sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ccSilver == ccInline)
   }
 
   test("OhlcAggregator (typed UDAF) matches the built-in ohlcAgg") {
