@@ -37,13 +37,15 @@ object Bench {
           s"[bench] no sf0.001 sibling next to $sfDir — skipping " +
             "full-suite codegen warm pass (JVM-only warm-up)")
     } catch { case _: Throwable => () }
-    // dev knobs (driver runs with neither set): SPARK_GRAFT_QUERIES
-    // comma-list filters the set; SPARK_GRAFT_REPS repeats each query
-    // and keeps the per-query minimum (isolates plan cost from GC /
-    // scheduling noise when iterating on one operator)
+    // dev knobs: SPARK_GRAFT_QUERIES comma-list filters the set;
+    // SPARK_GRAFT_REPS repeats each query and keeps the per-query
+    // minimum. Default is min-of-2: measured external host draw
+    // inflates identical consecutive sweeps up to ~2× (74.8/44.4/36.4 s
+    // recorded in BASELINE.md), and the second rep cuts most of that
+    // exposure for ~35 s of extra wall at sf0.1.
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     // failed queries report -1 and are excluded from the total, so a
     // failure reads as an explicit sentinel instead of skewing the sum
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
