@@ -37,6 +37,7 @@ object SparkEntry {
     "join_semi"           -> (RelationalOps.joinSemi _),
     "join_anti"           -> (RelationalOps.joinAnti _),
     "join_asof_nearest"   -> (RelationalOps.joinAsofNearest _),
+    "join_asof_forward"   -> (RelationalOps.joinAsofForward _),
     "join_range"          -> (RelationalOps.joinRange _),
     "join_skew_salted"    -> (RelationalOps.joinSkewSalted _),
     "promo_revenue"       -> (RelationalOps.promoRevenue _),
@@ -218,6 +219,19 @@ object SparkEntry {
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
          ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
            ON p.user_id = c.user_id AND p.ts >= c.ts
+         ORDER BY user_id, purchase_ts""",
+    "join_asof_forward" ->
+      """WITH clicks AS (SELECT user_id, ts FROM events
+                         WHERE event_type = 'click'),
+            purch AS (SELECT user_id, ts FROM events
+                      WHERE event_type = 'purchase')
+         SELECT p.user_id AS user_id, p.ts AS purchase_ts,
+                (SELECT min(c.ts) FROM clicks c
+                 WHERE c.user_id = p.user_id AND c.ts >= p.ts)
+                  AS next_click_ts
+         FROM purch p
+         WHERE EXISTS (SELECT 1 FROM clicks c
+                       WHERE c.user_id = p.user_id AND c.ts >= p.ts)
          ORDER BY user_id, purchase_ts""",
     "join_range" ->
       """SELECT p.user_id AS user_id, p.ts AS purchase_ts,

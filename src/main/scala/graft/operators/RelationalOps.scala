@@ -122,6 +122,44 @@ object RelationalOps {
         col("last_click_ts"))
   }
 
+  /** `join_asof_forward` — the forward as-of variant: for each
+    * purchase, the EARLIEST click by the same user at ts ≥ purchase
+    * ts (the "next event after" lookup — reaction-time and
+    * next-touch attribution queries). Same single-shuffle union +
+    * window shape as the backward form, with the frame reversed.
+    */
+  def joinAsofForward(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    asofJoinForward(
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts")),
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts")))
+      .orderBy("user_id", "purchase_ts")
+  }
+
+  /** Forward as-of core: for each right-side row, the EARLIEST
+    * left-side ts of the same user with left.ts >= right.ts. Equal-ts
+    * ties match, mirroring the backward form's rule.
+    */
+  private[graft] def asofJoinForward(clicks: DataFrame,
+      purchases: DataFrame): DataFrame = {
+    val l = clicks.select(col("user_id"), col("ts"), lit(1).as("tag"),
+      col("ts").as("click_ts"))
+    val r = purchases.select(col("user_id"), col("ts"), lit(0).as("tag"),
+      lit(null).cast("timestamp").as("click_ts"))
+    // purchase (tag 0) sorts before a click at the SAME ts (tag 1), and
+    // the frame starts at the current row ⇒ equal-ts clicks match
+    val w = Window.partitionBy("user_id").orderBy("ts", "tag")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.unionByName(r)
+      .withColumn("next_click_ts",
+        first(col("click_ts"), ignoreNulls = true).over(w))
+      .where(col("tag") === 0 && col("next_click_ts").isNotNull)
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("next_click_ts"))
+  }
+
   /** `join_range` — interval (range) join: for each purchase, count
     * the same user's clicks in the preceding hour. The equi key
     * (user_id) drives the shuffle/join strategy; the time bounds run

@@ -47,6 +47,37 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(out == Set((2L, "2024-01-01 10:00:00.0", "2024-01-01 09:00:00.0")))
   }
 
+  private def runFwd(clicks: Seq[(Long, String)], purchases: Seq[(Long, String)]) =
+    RelationalOps.asofJoinForward(df(clicks), df(purchases))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString)).toSet
+
+  test("forward: equal timestamps match (>= semantics)") {
+    val out = runFwd(
+      clicks = Seq((1L, "2024-01-01 10:00:00")),
+      purchases = Seq((1L, "2024-01-01 10:00:00")))
+    assert(out == Set((1L, "2024-01-01 10:00:00.0", "2024-01-01 10:00:00.0")))
+  }
+
+  test("forward: earliest later click wins; prior clicks ignored") {
+    val out = runFwd(
+      clicks = Seq((1L, "2024-01-01 09:00:00"), (1L, "2024-01-01 10:30:00"),
+        (1L, "2024-01-01 11:00:00")),
+      purchases = Seq((1L, "2024-01-01 10:00:00")))
+    assert(out == Set((1L, "2024-01-01 10:00:00.0", "2024-01-01 10:30:00.0")))
+  }
+
+  test("forward: purchase with no later click is dropped; users independent") {
+    val out = runFwd(
+      clicks = Seq((2L, "2024-01-01 09:00:00")),
+      purchases = Seq(
+        (1L, "2024-01-01 08:00:00"), // user 1 has no clicks at all
+        (2L, "2024-01-01 10:00:00"), // after user 2's only click
+        (2L, "2024-01-01 08:00:00")))
+    assert(out == Set((2L, "2024-01-01 08:00:00.0", "2024-01-01 09:00:00.0")))
+  }
+
   test("decimal money sums are partition-count invariant") {
     import org.apache.spark.sql.functions._
     import graft.engine.Determinism.dsum
