@@ -652,7 +652,8 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
     "train_val_split" ->
       """WITH t AS (SELECT lang, n_chars,
-                ((doc_id * 2654435761) % 1000000007) % 10 AS bucket
+                (((doc_id % 1000000007) * 2654435761) % 1000000007) % 10
+                  AS bucket
                     FROM documents)
          SELECT CASE WHEN bucket < 8 THEN 'train'
                      WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,

@@ -511,8 +511,13 @@ object LlmTextOps {
     */
   def trainValSplit(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      // reduce doc_id mod P BEFORE the multiply: (id % P) * K stays
+      // < 2^63 for any id, where the bare product ANSI-overflows past
+      // id ≈ 3.5e9 (a real corpus id space). Identical output for
+      // id < P, so the oracle is unchanged.
       .withColumn("bucket",
-        (col("doc_id") * lit(2654435761L) % lit(1000000007L)) % lit(10))
+        ((col("doc_id") % lit(1000000007L)) * lit(2654435761L)
+          % lit(1000000007L)) % lit(10))
       .withColumn("split",
         when(col("bucket") < 8, lit("train"))
           .when(col("bucket") === 8, lit("val"))
