@@ -137,6 +137,44 @@ class TextExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft expressions compile under codegen with fallback disabled") {
+    // codegen compile failures normally only WARN and silently fall
+    // back to interpreted execution (round-2 gotcha: colliding local
+    // names between two instances in one stage). fallback=false makes
+    // any such failure throw. Two instances of each expression share
+    // one projection to exercise exactly the collision case.
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val docs = graft.engine.Tables.documents(spark, TestSpark.sf0001)
+        .withColumn("toks", split(col("text"), " "))
+        .where(size(col("toks")) >= 3)
+      docs.select(
+        graft.functions.Shingle3.shingle3(spark, col("toks")).as("a"),
+        graft.functions.Shingle3.shingle3(spark, reverse(col("toks"))).as("b"),
+        graft.functions.ShingleHash3.shingleHash3(spark, col("toks")).as("c"),
+        graft.functions.ShingleHash3.shingleHash3(spark, reverse(col("toks"))).as("d"),
+        graft.functions.CountInSet.countInSet(spark, col("toks"),
+          Seq("the", "a")).as("e"),
+        graft.functions.CountInSet.countInSet(spark, col("toks"),
+          Seq("of", "to")).as("f"))
+        .collect()
+      val ids = docs.select(col("doc_id")).limit(6)
+        .agg(collect_list(col("doc_id")).as("ds"))
+      ids.select(
+        graft.functions.PairCombinations.pairs(spark, sort_array(col("ds"))).as("p1"),
+        graft.functions.PackedPairs.packedPairs(spark, col("ds")).as("p2"),
+        graft.functions.PackedPairs.packedPairs(spark,
+          slice(col("ds"), 1, 3)).as("p3"))
+        .collect()
+      // the dedup pipeline end-to-end under strict codegen
+      graft.operators.LlmTextOps.dedupNear(spark, TestSpark.sf0001).collect()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("Shingle3 on the documents table matches the HOF form end-to-end") {
     val docs = graft.engine.Tables.documents(spark, TestSpark.sf0001)
       .withColumn("toks", split(col("text"), " "))
