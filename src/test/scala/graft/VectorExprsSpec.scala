@@ -47,6 +47,35 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(e.eval(null).asInstanceOf[Double] == viaDf)
   }
 
+  test("inline-codegen expressions compile with fallback disabled (two per stage)") {
+    // DotProduct/SimHash64 emit inline generated code; without
+    // ctx.freshName'd locals two instances in one stage collide and
+    // silently fall back to interpreted (WARN only). fallback=false
+    // turns that into a test failure.
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val e = graft.engine.Tables.embeddings(spark, TestSpark.sf0001)
+      e.select(
+        graft.functions.VectorExprs.dot(spark, col("embedding"),
+          col("embedding")).as("a"),
+        graft.functions.VectorExprs.dot(spark, col("embedding"),
+          reverse(col("embedding"))).as("b"))
+        .collect()
+      val docs = graft.engine.Tables.documents(spark, TestSpark.sf0001)
+        .withColumn("th", expr("transform(split(text, ' '), t -> xxhash64(t))"))
+      docs.select(
+        graft.functions.VectorExprs.simhash64(spark, col("th")).as("a"),
+        graft.functions.VectorExprs.simhash64(spark,
+          reverse(col("th"))).as("b"))
+        .collect()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("SimHash64: identical token multisets => identical signature, order-invariant") {
     val toks = Seq("spark", "join", "agg", "spark", "window")
     def sig(ts: Seq[String]): Long =
