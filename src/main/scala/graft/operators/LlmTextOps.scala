@@ -323,15 +323,21 @@ object LlmTextOps {
                                          ${nHashes / nBands})) AS bh))"""))
         .as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
-    // candidate pairs carry only (i, j) through the distinct — the
-    // 32-long signatures re-attach afterwards so the shuffle stays
-    // narrow (matters when banding 100 TB of signatures).
-    val bandKeys = banded.select(col("doc_id"), col("band"), col("bh"))
-    val candIds = bandKeys.as("x").join(bandKeys.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+    // candidate pairs via band-bucket posting lists (the same pattern
+    // as dedup_near / dedup_embed_blocked): ONE shuffle on (band, bh),
+    // map-side C(k,2) into packed single longs, distinct on an 8-byte
+    // key — no self-join, so there is no replicated build side to
+    // outgrow broadcast at 100 TB. The 32-long signatures re-attach
+    // afterwards so only ids ride the candidate shuffle.
+    val candIds = banded.select(col("doc_id"), col("band"), col("bh"))
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .where(size(col("ds")) > 1)
+      .select(explode(
+        graft.functions.PackedPairs.packedPairs(s, col("ds"))).as("pp"))
       .distinct()
+      .select(shiftright(col("pp"), 32).as("i"),
+        col("pp").bitwiseAND(lit(0xffffffffL)).as("j"))
     val cand = candIds
       .join(sigs.select(col("doc_id").as("i"), col("sig").as("sig_i")), Seq("i"))
       .join(sigs.select(col("doc_id").as("j"), col("sig").as("sig_j")), Seq("j"))
