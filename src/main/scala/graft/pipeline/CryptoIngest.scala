@@ -53,8 +53,9 @@ object CryptoIngest {
   /** JDBC twin of `flushHourly` for users migrating straight off the
     * reference's Postgres sink (`dataCollector.py:140-163`): same
     * `downsampled_prices` DDL (`dataCollector.py:62-75`), idempotent
-    * via delete-then-insert of the (date, hour) keys present in the
-    * batch — the upsert the reference's bare INSERT lacks.
+    * via a staged, single-transaction delete+insert of the (date,
+    * hour) keys present in the batch — the upsert the reference's
+    * bare INSERT lacks.
     */
   def flushHourlyJdbc(ticks: DataFrame, url: String,
       table: String = "downsampled_prices"): Unit =

@@ -107,7 +107,7 @@ object PollingIngest {
   /** The direct-migration variant: hourly rows land in the reference's
     * `downsampled_prices` JDBC table (`dataCollector.py:140-163`)
     * instead of parquet. Append mode emits each closed (hour, symbol)
-    * exactly once; `foreachBatch` + the delete-then-insert upsert make
+    * exactly once; `foreachBatch` + the staged transactional upsert make
     * a *retried* micro-batch idempotent too, so the sink is
     * effectively exactly-once end-to-end. Returns the hourly query
     * only (pair it with `start(...)` for the raw layer, or run both).
