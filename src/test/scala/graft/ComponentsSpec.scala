@@ -75,6 +75,21 @@ class ComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("labeling is invariant to shuffle partitioning (4 vs 32)") {
+    // the fixpoint loop is iterative — pin that partition count (and
+    // with it task scheduling / round internals) cannot perturb the
+    // final labeling the oracle hashes
+    val at4 = LlmTextOps.dedupComponents(spark, TestSpark.sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      val at32 = LlmTextOps.dedupComponents(spark, TestSpark.sf0001)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(at32 == at4)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("dedup_components at sf0.001 refines dedup_near pairs consistently") {
     val comps = LlmTextOps.dedupComponents(spark, TestSpark.sf0001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
