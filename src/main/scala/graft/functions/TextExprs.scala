@@ -42,21 +42,23 @@ case class Shingle3(child: Expression) extends UnaryExpression {
 }
 
 object Shingle3 {
-  private val SPACE = UTF8String.fromString(" ")
+  private[functions] val SPACE = UTF8String.fromString(" ")
 
-  /** Distinct 3-gram join of the token array, first-occurrence order.
+  /** Distinct n-gram join of the token array, first-occurrence order.
     * `UTF8String.concatWs` skips null inputs — the same semantics as
     * SQL `concat_ws` (the tokenizer `split` never yields nulls, so
     * this is parity, not a behavior choice).
     */
-  def compute(toks: ArrayData): GenericArrayData = {
+  private[functions] def computeN(toks: ArrayData, gram: Int): GenericArrayData = {
     val n = toks.numElements()
-    if (n < 3) return new GenericArrayData(Array.empty[Any])
+    if (n < gram) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[UTF8String](n * 2)
+    val win = new Array[UTF8String](gram)
     var i = 0
-    while (i <= n - 3) {
-      seen.add(UTF8String.concatWs(SPACE, toks.getUTF8String(i),
-        toks.getUTF8String(i + 1), toks.getUTF8String(i + 2)))
+    while (i <= n - gram) {
+      var j = 0
+      while (j < gram) { win(j) = toks.getUTF8String(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(SPACE, win: _*))
       i += 1
     }
     val out = new Array[Any](seen.size)
@@ -66,9 +68,39 @@ object Shingle3 {
     new GenericArrayData(out)
   }
 
+  def compute(toks: ArrayData): GenericArrayData = computeN(toks, 3)
+
   def shingle3(s: SparkSession, tokens: Column): Column = {
     TextExprs.register(s)
     call_function("graft_shingle3", tokens)
+  }
+}
+
+/** Distinct 2-gram (bigram) strings of a token array — the compiled
+  * form of the `array_distinct(transform(sequence…, concat_ws))`
+  * lambda in the collocation-profile pass (`ngram_stats`).
+  */
+case class Bigrams(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bigrams"
+
+  override def nullSafeEval(input: Any): Any =
+    Bigrams.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.Bigrams.compute($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Bigrams =
+    copy(child = newChild)
+}
+
+object Bigrams {
+  def compute(toks: ArrayData): GenericArrayData = Shingle3.computeN(toks, 2)
+
+  def bigrams(s: SparkSession, tokens: Column): Column = {
+    TextExprs.register(s)
+    call_function("graft_bigrams", tokens)
   }
 }
 
@@ -314,6 +346,8 @@ object TextExprs {
       exprs => ShingleHash3(exprs.head))
     Registration.registerOnce(s, "graft_packed_pairs",
       exprs => PackedPairs(exprs.head))
+    Registration.registerOnce(s, "graft_bigrams",
+      exprs => Bigrams(exprs.head))
     Registration.registerOnce(s, "graft_count_in_set",
       exprs => CountInSet(exprs(0), exprs(1)))
   }

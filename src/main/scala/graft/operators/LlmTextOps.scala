@@ -570,9 +570,8 @@ object LlmTextOps {
     Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))
       .where(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        """transform(sequence(0, size(toks) - 2),
-                     i -> concat_ws(' ', toks[i], toks[i+1]))"""))).as("bigram"))
+      .select(col("doc_id"), explode(
+        graft.functions.Bigrams.bigrams(s, col("toks"))).as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("doc_freq"))
       .orderBy(col("doc_freq").desc, col("bigram").asc)

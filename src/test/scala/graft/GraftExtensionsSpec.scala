@@ -52,7 +52,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |  graft_shingle3(array('a', 'b', 'c', 'd')) AS g3,
           |  graft_minhash32_arr(array('a', 'b')) AS mh,
           |  graft_pairs(array(1L, 2L, 3L)) AS prs,
-          |  graft_count_in_set(array('a', 'b', 'a'), array('a')) AS cis
+          |  graft_count_in_set(array('a', 'b', 'a'), array('a')) AS cis,
+          |  graft_shingle_hash3(array('a', 'b', 'c')) AS sh3,
+          |  graft_packed_pairs(array(2L, 1L)) AS pp,
+          |  graft_bigrams(array('a', 'b', 'c')) AS bg
           |""".stripMargin).head()
       assert(row.getDouble(0) == 1.5 * 2.0 + 2.0 * 0.5)
       // bits present in >half the inputs survive: 1L twice, 2L once
@@ -62,6 +65,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(row.getSeq[org.apache.spark.sql.Row](4).map(r =>
         (r.getLong(0), r.getLong(1))) == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
       assert(row.getInt(5) == 2)
+      assert(row.getSeq[Long](6).length == 1)
+      assert(row.getSeq[Long](7) == Seq((1L << 32) | 2L))
+      assert(row.getSeq[String](8) == Seq("a b", "b c"))
 
       // the aggregate form injects too
       val agg = s.sql(

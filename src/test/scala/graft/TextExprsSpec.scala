@@ -68,6 +68,29 @@ class TextExprsSpec extends AnyFunSuite {
     assert(tiny == Seq(0, 0))
   }
 
+  test("Bigrams equals the declarative HOF form") {
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("the", "a", "fox", "dog", "jumps", "data", "東京")
+    val rows = (0 until 200).map { i =>
+      i.toLong -> Seq.fill(2 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size)))
+    }
+    rows.toDF("id", "toks")
+      .select(col("id"),
+        graft.functions.Bigrams.bigrams(spark, col("toks")).as("native"),
+        array_distinct(expr(
+          """transform(sequence(0, size(toks) - 2),
+                       i -> concat_ws(' ', toks[i], toks[i+1]))""")).as("hof"))
+      .collect()
+      .foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2), s"id=${r.getLong(0)}")
+      }
+    // below 2 tokens: empty, no throw
+    val tiny = Seq(Seq.empty[String], Seq("a")).toDF("toks")
+      .select(graft.functions.Bigrams.bigrams(spark, col("toks")).as("b"))
+      .collect().map(_.getSeq[String](0).length).toSeq
+    assert(tiny == Seq(0, 0))
+  }
+
   test("ShingleHash3 equals xxhash64 over the Shingle3 string set") {
     val rnd = new scala.util.Random(23)
     // multi-byte UTF-8 tokens included: the hash must agree with SQL
