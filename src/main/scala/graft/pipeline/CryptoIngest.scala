@@ -77,6 +77,11 @@ object CryptoIngest {
     * two-connection delete-then-append exposes. Scales as O(batch) on
     * executors and O(1) driver statements regardless of how many hours
     * a backfill covers.
+    *
+    * The staging table name derives from the target, so concurrent
+    * upserts into the SAME target are not supported (the streaming
+    * sink serializes batches per query, which satisfies this); a
+    * failed run's leftover stage is reclaimed by the next overwrite.
     */
   def upsertHourlyRows(hourly: DataFrame, url: String,
       table: String = "downsampled_prices"): Unit = {
