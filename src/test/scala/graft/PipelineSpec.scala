@@ -64,6 +64,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$tmp/hourly").count() == 2)
   }
 
+  test("applyRetention keeps the cutoff day and drops strictly older partitions") {
+    val tmp = Files.createTempDirectory("graft_retention").toString
+    val ticks = ticksDf(Seq(
+      ("2024-01-01 10:00:00", "BTCUSDT", 1.0),
+      ("2024-01-02 10:00:00", "BTCUSDT", 2.0),
+      ("2024-01-03 10:00:00", "BTCUSDT", 3.0)))
+    CryptoIngest.landRaw(ticks, s"$tmp/raw")
+    // keepDays=2 as-of Jan 3 ⇒ window = {Jan 2, Jan 3}; only Jan 1 goes
+    val dropped = CryptoIngest.applyRetention(spark, s"$tmp/raw",
+      java.time.LocalDate.parse("2024-01-03"), keepDays = 2)
+    assert(dropped == Seq("2024-01-01"))
+    val left = spark.read.parquet(s"$tmp/raw")
+      .select("date").distinct().collect().map(_.get(0).toString).sorted.toSeq
+    assert(left == Seq("2024-01-02", "2024-01-03"))
+    // idempotent: nothing further to drop
+    assert(CryptoIngest.applyRetention(spark, s"$tmp/raw",
+      java.time.LocalDate.parse("2024-01-03"), keepDays = 2).isEmpty)
+  }
+
   test("flushHourlyJdbc round-trips through Derby and is idempotent per (date, hour)") {
     val tmp = Files.createTempDirectory("graft_jdbc").toString
     System.setProperty("derby.stream.error.file", s"$tmp/derby.log")
