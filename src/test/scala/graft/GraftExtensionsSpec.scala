@@ -77,6 +77,35 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("extension injection and imperative registerAll expose the same function set") {
+    // the round-2 bug class was drift between the two registration
+    // paths; pin them equal so adding a function to one without the
+    // other fails here
+    def graftNames(s: SparkSession): Set[String] =
+      s.sessionState.functionRegistry.listFunction()
+        .map(_.funcName).filter(_.startsWith("graft_")).toSet
+    val injected = withExtensionsSession(graftNames)
+    val base = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val fresh = SparkSession.builder()
+      .master("local[2]").appName("graft-regall-spec")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      GraftSession.registerAll(fresh)
+      val registered = graftNames(fresh)
+      assert(registered == injected,
+        s"drift: only-imperative=${registered -- injected} " +
+          s"only-injected=${injected -- registered}")
+      assert(injected.nonEmpty)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
   test("previously-broken operators run end-to-end on the extensions session") {
     withExtensionsSession { s =>
       // each of these resolved to an undefined function under the
