@@ -99,12 +99,13 @@ object SparkEntry {
   )
 
   /** DuckDB oracle SQL. Omitted (weaker rows-only check) for the
-    * approximate / engine-hash-dependent / stub-decode operators —
-    * exactly `queries.keySet -- oracleSql.keySet` (pinned by
-    * InventorySpec): distinct_users_approx, value_percentiles_approx,
-    * dedup_minhash, dedup_simhash, dedup_embed_blocked,
-    * similarity_lsh, similarity_ivf, multimodal_features,
-    * multimodal_batch_features.
+    * approximate / engine-hash-dependent operators — exactly
+    * `queries.keySet -- oracleSql.keySet` (pinned by InventorySpec):
+    * distinct_users_approx, value_percentiles_approx, dedup_minhash,
+    * dedup_simhash, dedup_embed_blocked, similarity_lsh,
+    * similarity_ivf. The multimodal stub-decode queries ARE
+    * oracle-gated: their fake decode is deterministic byte arithmetic,
+    * mirrored in DuckDB via hex-digit byte extraction.
     */
   def oracleSql: Map[String, String] = Map(
     "ingest_raw" ->
@@ -725,5 +726,55 @@ object SparkEntry {
                 CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
                 substring(hex(encode(text)), 1, 16) AS header_hex, lang, source
          FROM documents ORDER BY doc_id""",
+    // Byte extraction without a blob indexer: byte i of the payload is
+    // the hex-digit pair (2i-1, 2i) of hex(payload), decoded via
+    // strpos on the hex alphabet. The fake decode dims are pure
+    // functions of n_bytes; mean rounding and the thumbnail scale
+    // mirror the engine's exact op order (r6 floor contract,
+    // w * (64/max(w,h))) so the doubles match bit-for-bit.
+    "multimodal_features" ->
+      """WITH b AS (
+           SELECT doc_id, hex(encode(text)) AS hx,
+                  CAST(octet_length(encode(text)) AS INTEGER) AS n
+           FROM documents
+         ), s AS (
+           SELECT doc_id, n,
+             COALESCE(list_aggregate(list_transform(generate_series(1, n),
+               i -> (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1))-1)*16
+                  + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1))-1)), 'sum'), 0) AS byte_sum
+           FROM b
+         )
+         SELECT doc_id, n AS n_bytes,
+           CASE WHEN n = 0 THEN CAST(0 AS DOUBLE)
+                ELSE floor((CAST(byte_sum AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000 END AS byte_mean,
+           CAST(GREATEST(1, n % 640) AS INTEGER) AS fake_width,
+           CAST(GREATEST(1, (n // 7) % 480) AS INTEGER) AS fake_height,
+           3 AS fake_channels
+         FROM s ORDER BY doc_id""",
+    "multimodal_batch_features" ->
+      """WITH b AS (
+           SELECT doc_id, hex(encode(text)) AS hx,
+                  CAST(octet_length(encode(text)) AS INTEGER) AS n
+           FROM documents
+         ), d AS (
+           SELECT doc_id, hx, n,
+             GREATEST(1, n // 8) AS stride,
+             GREATEST(1, n % 640) AS w,
+             GREATEST(1, (n // 7) % 480) AS h,
+             COALESCE(list_aggregate(list_transform(generate_series(1, n),
+               i -> (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1))-1)*16
+                  + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1))-1)), 'sum'), 0) AS byte_sum
+           FROM b
+         )
+         SELECT doc_id, n AS n_bytes,
+           array_to_string(list_transform(
+             list_filter([0, 1, 2, 3, 4, 5, 6, 7], k -> k * stride < n),
+             k -> CAST((strpos('0123456789ABCDEF', substr(hx, 2*k*stride+1, 1))-1)*16
+                     + (strpos('0123456789ABCDEF', substr(hx, 2*k*stride+2, 1))-1) AS VARCHAR)), ',') AS frames_csv,
+           CAST(GREATEST(1, floor(CAST(w AS DOUBLE) * (64.0 / CAST(GREATEST(w, h) AS DOUBLE)) + 0.5)) AS INTEGER) AS thumb_w,
+           CAST(GREATEST(1, floor(CAST(h AS DOUBLE) * (64.0 / CAST(GREATEST(w, h) AS DOUBLE)) + 0.5)) AS INTEGER) AS thumb_h,
+           CASE WHEN n = 0 THEN CAST(0 AS DOUBLE)
+                ELSE floor((CAST(byte_sum AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000 END AS byte_mean
+         FROM d ORDER BY doc_id""",
   )
 }

@@ -128,6 +128,65 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Byte-level feature stats of a binary payload in one compiled pass:
+  * `struct(n_bytes INT, byte_sum BIGINT, frames ARRAY<INT>)` where
+  * `frames` samples every stride-th byte (stride = max(1, n/8), at
+  * most 8 samples, each 0–255) — the frame-sample signal of the
+  * multimodal kernels. Replaces a typed `Dataset.map` +
+  * `Encoders.row` round-trip (full row deserialization per payload)
+  * with a whole-stage-codegen'd scalar: the deterministic arithmetic
+  * is also exactly expressible in the DuckDB oracle (hex-digit byte
+  * extraction), which is what lets `multimodal_features` /
+  * `multimodal_batch_features` be oracle-gated rather than
+  * rows-only-checked.
+  */
+case class ByteStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ByteStats.schema
+  override def prettyName: String = "graft_byte_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    ByteStats.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // loop lives in compiled Scala; one static call per row keeps the
+    // expression inside whole-stage codegen (see Shingle3)
+    defineCodeGen(ctx, ev, a => s"graft.functions.ByteStats.compute($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): ByteStats =
+    copy(child = newChild)
+}
+
+object ByteStats {
+  import org.apache.spark.sql.types.{ArrayType, IntegerType, StructField, StructType}
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("byte_sum", LongType, nullable = false),
+    StructField("frames", ArrayType(IntegerType, containsNull = false),
+      nullable = false)))
+
+  def compute(bytes: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = bytes.length
+    var sum = 0L
+    var i = 0
+    while (i < n) { sum += bytes(i) & 0xff; i += 1 }
+    val stride = math.max(1, n / 8)
+    // number of indices 0, stride, 2*stride, … below n, capped at 8
+    val nf = if (n == 0) 0 else math.min(8, (n + stride - 1) / stride)
+    val frames = new Array[Any](nf)
+    var k = 0
+    while (k < nf) { frames(k) = bytes(k * stride) & 0xff; k += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, sum, new org.apache.spark.sql.catalyst.util.GenericArrayData(frames)))
+  }
+
+  def byteStats(s: SparkSession, payload: Column): Column = {
+    VectorExprs.register(s)
+    call_function("graft_byte_stats", payload)
+  }
+}
+
 /** Column-level entry points. Registered per session (idempotent) so
   * the expressions ride the public `call_function` API.
   */
@@ -138,6 +197,8 @@ object VectorExprs {
       exprs => DotProduct(exprs(0), exprs(1)))
     Registration.registerOnce(s, "graft_simhash64",
       exprs => SimHash64(exprs.head))
+    Registration.registerOnce(s, "graft_byte_stats",
+      exprs => ByteStats(exprs.head))
   }
 
   def dot(s: SparkSession, a: Column, b: Column): Column = {

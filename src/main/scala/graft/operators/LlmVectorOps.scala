@@ -272,41 +272,41 @@ object LlmVectorOps {
         col("lang"), col("source"))
       .orderBy("doc_id")
 
-  /** `multimodal_features` — decode/feature-extract pass over binary
-    * payloads (no oracle: the decode is a STUB). The Spark-side
-    * plumbing is real — binary column in, fixed feature schema out,
-    * executed distributed via a deterministic per-row kernel; swap
-    * `fakeDecode` for a real image/audio decoder (the container has
-    * no codec libs). Runs as a typed map, partition-parallel, no
-    * shuffle.
+  /** Shared byte-feature columns of the multimodal queries: the
+    * native codegen'd [[graft.functions.ByteStats]] scalar over the
+    * payload plus the stub "decode" dims derived from the byte length
+    * (`fakeDecode` arithmetic expressed declaratively — the dims ARE
+    * a function of n_bytes, which is what makes the stub
+    * oracle-expressible). Mean rounding rides the engine-wide `r6`
+    * contract so the DuckDB oracle can mirror it bit-for-bit.
     */
-  def multimodalFeatures(s: SparkSession, d: String): DataFrame = {
-    val src = Tables.documents(s, d)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-    val outSchema = StructType(Seq(
-      StructField("doc_id", LongType, nullable = false),
-      StructField("n_bytes", IntegerType, nullable = false),
-      StructField("byte_mean", DoubleType, nullable = false),
-      StructField("fake_width", IntegerType, nullable = false),
-      StructField("fake_height", IntegerType, nullable = false),
-      StructField("fake_channels", IntegerType, nullable = false)))
-    val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    val out = src.map { row =>
-      val id = row.getLong(0)
-      val bytes = row.getAs[Array[Byte]](1)
-      // STUB decoder: deterministic fake "image" dims + byte stats in
-      // place of a real codec; replace with e.g. javax.imageio /
-      // ffmpeg-cli in a codec-equipped image.
-      val (w, h, c) = fakeDecode(bytes)
-      var sum = 0L
-      var k = 0
-      while (k < bytes.length) { sum += (bytes(k) & 0xff); k += 1 }
-      val mean = if (bytes.length == 0) 0.0
-      else math.rint(sum.toDouble / bytes.length * 1e6) / 1e6
-      Row(id, bytes.length, mean, w, h, c)
-    }(enc)
-    out.orderBy("doc_id")
-  }
+  private def withByteFeatures(s: SparkSession, docs: DataFrame): DataFrame =
+    docs
+      .withColumn("bs",
+        graft.functions.ByteStats.byteStats(s, encode(col("text"), "UTF-8")))
+      .withColumn("n_bytes", col("bs.n_bytes"))
+      .withColumn("byte_mean",
+        when(col("n_bytes") === 0, lit(0.0)).otherwise(
+          r6(col("bs.byte_sum").cast("double") / col("n_bytes").cast("double"))))
+      .withColumn("fake_width", greatest(lit(1), col("n_bytes") % 640))
+      .withColumn("fake_height",
+        greatest(lit(1), expr("CAST(n_bytes div 7 AS INT)") % 480))
+
+  /** `multimodal_features` — decode/feature-extract pass over binary
+    * payloads. The decode is a STUB (deterministic fake dims from the
+    * byte length — this container ships no codec libs) but the
+    * pipeline shape is real: binary column in, fixed feature schema
+    * out, map-only, no shuffle — and because the stub arithmetic is
+    * deterministic byte math it is oracle-gated against DuckDB rather
+    * than rows-only-checked. Runs fully in whole-stage codegen via the
+    * native `graft_byte_stats` expression (the earlier typed
+    * `Dataset.map` deserialized every row).
+    */
+  def multimodalFeatures(s: SparkSession, d: String): DataFrame =
+    withByteFeatures(s, Tables.documents(s, d))
+      .select(col("doc_id"), col("n_bytes"), col("byte_mean"),
+        col("fake_width"), col("fake_height"), lit(3).as("fake_channels"))
+      .orderBy("doc_id")
 
   /** Stubbed binary decoder: pretends the payload is an image whose
     * dims derive from the byte length. Deterministic so tests can pin

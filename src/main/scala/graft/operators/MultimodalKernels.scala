@@ -42,11 +42,15 @@ object MultimodalKernels {
       var sum = 0L
       var i = 0
       while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
+      // floor(x+0.5) rounding, NOT rint: rint rounds half-to-even,
+      // which SQL cannot mirror portably — the engine-wide r6 contract
+      // (Determinism.r6) is floor-based, and the declarative twin
+      // (multimodalBatchFeatures) must match this kernel bit-for-bit
       val mean = if (bytes.isEmpty) 0.0
-      else math.rint(sum.toDouble / bytes.length * 1e6) / 1e6
+      else math.floor(sum.toDouble / bytes.length * 1e6 + 0.5) / 1e6
       MediaFeatures(id, bytes.length, frames,
-        math.max(1, math.rint(w * scale).toInt),
-        math.max(1, math.rint(h * scale).toInt), mean)
+        math.max(1, math.floor(w.toDouble * scale + 0.5).toInt),
+        math.max(1, math.floor(h.toDouble * scale + 0.5).toInt), mean)
     }
 
   /** Run the kernel over any (doc_id: Long, payload: binary) frame,
@@ -62,18 +66,41 @@ object MultimodalKernels {
   }
 
   /** `multimodal_batch_features` inventory entry: documents' text
-    * bytes standing in for media blobs (no oracle: stub decode).
-    * The driver's comparator hashes scalar cells only, so the frame
-    * sample is flattened to a CSV string; the typed
-    * `Dataset[MediaFeatures]` API keeps the array.
+    * bytes standing in for media blobs. Computed declaratively via the
+    * native `graft_byte_stats` expression (whole-stage codegen, no
+    * row deserialization) — `MultimodalKernelsSpec` pins it equal to
+    * the batched `extractFeatures` mapPartitions kernel above, which
+    * stays as the plumbing a REAL codec would ride. The stub
+    * arithmetic is deterministic byte math, so the query is
+    * oracle-gated against DuckDB. The driver's comparator hashes
+    * scalar cells only, so the frame sample is flattened to a CSV
+    * string; the typed `Dataset[MediaFeatures]` API keeps the array.
     */
   def multimodalBatchFeatures(s: SparkSession, d: String): DataFrame = {
-    val src = Tables.documents(s, d)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-    extractFeatures(src).toDF()
-      .select(col("doc_id"), col("n_bytes"),
-        concat_ws(",", col("sampled_frames")).as("frames_csv"),
-        col("thumb_w"), col("thumb_h"), col("byte_mean"))
+    val docs = Tables.documents(s, d)
+      .withColumn("bs", graft.functions.ByteStats.byteStats(
+        s, encode(col("text"), "UTF-8")))
+      .withColumn("n_bytes", col("bs.n_bytes"))
+      .withColumn("w", greatest(lit(1), col("n_bytes") % 640))
+      .withColumn("h",
+        greatest(lit(1), expr("CAST(n_bytes div 7 AS INT)") % 480))
+      // scale as its own column pins the op order (w * (64/max)), the
+      // same sequence the kernel and the DuckDB oracle run
+      .withColumn("scale",
+        lit(64.0) / greatest(col("w"), col("h")).cast("double"))
+    docs.select(
+      col("doc_id"), col("n_bytes"),
+      concat_ws(",", col("bs.frames").cast("array<string>")).as("frames_csv"),
+      greatest(lit(1),
+        floor(col("w").cast("double") * col("scale") + lit(0.5)).cast("int"))
+        .as("thumb_w"),
+      greatest(lit(1),
+        floor(col("h").cast("double") * col("scale") + lit(0.5)).cast("int"))
+        .as("thumb_h"),
+      when(col("n_bytes") === 0, lit(0.0)).otherwise(
+        graft.engine.Determinism.r6(
+          col("bs.byte_sum").cast("double") / col("n_bytes").cast("double")))
+        .as("byte_mean"))
       .orderBy("doc_id")
   }
 }

@@ -55,7 +55,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |  graft_count_in_set(array('a', 'b', 'a'), array('a')) AS cis,
           |  graft_shingle_hash3(array('a', 'b', 'c')) AS sh3,
           |  graft_packed_pairs(array(2L, 1L)) AS pp,
-          |  graft_bigrams(array('a', 'b', 'c')) AS bg
+          |  graft_bigrams(array('a', 'b', 'c')) AS bg,
+          |  graft_byte_stats(encode('ab', 'UTF-8')) AS bs
           |""".stripMargin).head()
       assert(row.getDouble(0) == 1.5 * 2.0 + 2.0 * 0.5)
       // bits present in >half the inputs survive: 1L twice, 2L once
@@ -68,6 +69,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(row.getSeq[Long](6).length == 1)
       assert(row.getSeq[Long](7) == Seq((1L << 32) | 2L))
       assert(row.getSeq[String](8) == Seq("a b", "b c"))
+      val bs = row.getStruct(9)
+      assert(bs.getInt(0) == 2 && bs.getLong(1) == 'a'.toLong + 'b'.toLong)
+      assert(bs.getSeq[Int](2) == Seq('a'.toInt, 'b'.toInt))
 
       // the aggregate form injects too
       val agg = s.sql(

@@ -23,8 +23,7 @@ class InventorySpec extends AnyFunSuite {
     val documented = Set(
       "distinct_users_approx", "value_percentiles_approx",
       "dedup_minhash", "dedup_simhash", "dedup_embed_blocked",
-      "similarity_lsh", "similarity_ivf",
-      "multimodal_features", "multimodal_batch_features")
+      "similarity_lsh", "similarity_ivf")
     assert(oracleLess == documented,
       s"undocumented oracle-less: ${oracleLess -- documented}; " +
         s"stale documented: ${documented -- oracleLess}")

@@ -36,6 +36,25 @@ class MultimodalKernelsSpec extends AnyFunSuite {
     assert(rows.find(_.doc_id == 3L).get.n_bytes == 0)
   }
 
+  test("declarative batch-features query equals the mapPartitions kernel") {
+    // multimodal_batch_features runs through the native graft_byte_stats
+    // expression; extractFeatures is the batched kernel a real codec
+    // would ride — both must produce identical features row-for-row
+    val d = TestSpark.sf0001
+    val src = graft.engine.Tables.documents(spark, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val kernel = MultimodalKernels.extractFeatures(src).toDF()
+      .select(col("doc_id"), col("n_bytes"),
+        concat_ws(",", col("sampled_frames").cast("array<string>"))
+          .as("frames_csv"),
+        col("thumb_w"), col("thumb_h"), col("byte_mean"))
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    val declarative = MultimodalKernels.multimodalBatchFeatures(spark, d)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    assert(kernel.length == declarative.length)
+    kernel.zip(declarative).foreach { case (k, q) => assert(k == q) }
+  }
+
   test("no shuffle in the kernel plan") {
     val ds = MultimodalKernels.extractFeatures(src)
     assert(!graft.engine.Bucketing.hasShuffle(ds.toDF()))

@@ -99,6 +99,46 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(d <= 16, s"hamming $d unexpectedly large for a near-dup")
   }
 
+  test("ByteStats matches a Scala reference fold on random payloads") {
+    val rnd = new scala.util.Random(11)
+    val payloads = (Seq(0, 1, 7, 8, 9, 63, 64, 65, 5000) ++
+      Seq.fill(12)(rnd.nextInt(700))).map { n =>
+      val b = new Array[Byte](n); rnd.nextBytes(b); b
+    }
+    val rows = payloads.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("id", "payload")
+      .select($"id", graft.functions.ByteStats.byteStats(
+        spark, $"payload").as("bs"))
+      .select($"id", $"bs.n_bytes", $"bs.byte_sum", $"bs.frames")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getSeq[Int](3))).toMap
+    payloads.zipWithIndex.foreach { case (b, i) =>
+      val expSum = b.foldLeft(0L)((a, x) => a + (x & 0xff))
+      val stride = math.max(1, b.length / 8)
+      val expFrames = b.indices.by(stride).take(8).map(k => b(k) & 0xff)
+      assert(rows(i.toLong) == ((b.length, expSum, expFrames)),
+        s"payload $i len=${b.length}")
+    }
+  }
+
+  test("ByteStats stays in codegen with fallback disabled") {
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val out = graft.engine.Tables.documents(spark, TestSpark.sf0001)
+        .select(graft.functions.ByteStats.byteStats(spark,
+          encode(col("text"), "UTF-8")).as("a"),
+          graft.functions.ByteStats.byteStats(spark,
+            encode(upper(col("text")), "UTF-8")).as("b"))
+        .collect()
+      assert(out.nonEmpty)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("fakeDecode is deterministic and total") {
     val b = "hello world".getBytes("UTF-8")
     assert(LlmVectorOps.fakeDecode(b) == LlmVectorOps.fakeDecode(b))
