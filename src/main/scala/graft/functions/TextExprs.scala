@@ -167,9 +167,12 @@ object ShingleHash3 {
   * the explode branch's dominant cost). Sorting happens inside the
   * expression (saves the upstream `sort_array` array copy).
   *
-  * Precondition: ids must fit in 31 bits (fail-fast otherwise). At a
-  * 100 TB id space, widen to the struct form or partition the id
-  * space; the bench corpus and any per-shard id space fit easily.
+  * Precondition: ids must fit in 31 bits (fail-fast otherwise).
+  * Callers should not use this directly for arbitrary id spaces —
+  * `engine.Pairs` probes the id space once and automatically falls
+  * back to the struct form ([[PairCombinations]]) past 31-bit ids, so
+  * a 100 TB corpus degrades to the 16-byte pair key instead of
+  * crashing mid-pipeline.
   */
 case class PackedPairs(child: Expression) extends UnaryExpression {
 

@@ -142,18 +142,18 @@ object LlmTextOps {
     // Safe because posting lists are short (hottest shingle: 25 docs
     // at sf0.1); with real skew, cap/salt the hot lists first (see
     // engine.Skew.heavyHitters). Pairs travel PACKED as one long
-    // (i << 32 | j — functions.PackedPairs sorts internally), halving
-    // the pair-count shuffle key and skipping per-pair struct rows.
-    val inter = hashed
+    // (i << 32 | j — engine.Pairs / functions.PackedPairs), halving
+    // the pair-count shuffle key and skipping per-pair struct rows;
+    // past 31-bit doc_ids the generator auto-falls-back to the struct
+    // form instead of crashing (id-space probe = one doc_id min/max).
+    val wide = graft.engine.Pairs.needsWideForm(
+      Tables.documents(s, d), "doc_id")
+    val lists = hashed
       .select(col("doc_id"), explode(col("hs")).as("shh"))
       .groupBy(col("shh"))
       .agg(collect_list(col("doc_id")).as("ds"))
       .where(size(col("ds")) > 1)
-      .select(explode(
-        graft.functions.PackedPairs.packedPairs(s, col("ds"))).as("pp"))
-      .groupBy(col("pp")).agg(count(lit(1)).as("inter"))
-      .select(shiftright(col("pp"), 32).as("i"),
-        col("pp").bitwiseAND(lit(0xffffffffL)).as("j"), col("inter"))
+    val inter = graft.engine.Pairs.countedPairs(s, lists, "ds", "inter", wide)
     inter
       .join(broadcast(
         sizes.select(col("doc_id").as("i"), col("sz").as("sz_i"))), Seq("i"))
@@ -328,16 +328,15 @@ object LlmTextOps {
     // map-side C(k,2) into packed single longs, distinct on an 8-byte
     // key — no self-join, so there is no replicated build side to
     // outgrow broadcast at 100 TB. The 32-long signatures re-attach
-    // afterwards so only ids ride the candidate shuffle.
-    val candIds = banded.select(col("doc_id"), col("band"), col("bh"))
+    // afterwards so only ids ride the candidate shuffle; wide doc_ids
+    // auto-fall-back to the struct pair form (engine.Pairs).
+    val wide = graft.engine.Pairs.needsWideForm(
+      Tables.documents(s, d), "doc_id")
+    val lists = banded.select(col("doc_id"), col("band"), col("bh"))
       .groupBy(col("band"), col("bh"))
       .agg(collect_list(col("doc_id")).as("ds"))
       .where(size(col("ds")) > 1)
-      .select(explode(
-        graft.functions.PackedPairs.packedPairs(s, col("ds"))).as("pp"))
-      .distinct()
-      .select(shiftright(col("pp"), 32).as("i"),
-        col("pp").bitwiseAND(lit(0xffffffffL)).as("j"))
+    val candIds = graft.engine.Pairs.distinctPairs(s, lists, "ds", wide)
     val cand = candIds
       .join(sigs.select(col("doc_id").as("i"), col("sig").as("sig_i")), Seq("i"))
       .join(sigs.select(col("doc_id").as("j"), col("sig").as("sig_j")), Seq("j"))

@@ -215,18 +215,16 @@ object LlmVectorOps {
     // candidate pairs from bucket member lists (the dedup_near
     // posting-list pattern): one shuffle on (table, bucket) + map-side
     // C(k,2) explode, ids-only through the distinct — no self-join.
-    // Pairs travel packed as one long (functions.PackedPairs), so the
-    // dedup distinct hashes a single 8-byte key. Bucket population
+    // Pairs travel packed as one long (engine.Pairs), so the dedup
+    // distinct hashes a single 8-byte key; vec_ids past 31 bits
+    // auto-fall-back to the struct pair form. Bucket population
     // ~ n/2^kPlanes per table; with real skew (many identical
     // vectors), cap/salt hot buckets first (engine.Skew.heavyHitters).
-    val candIds = keyed.groupBy(col("t"), col("b"))
+    val wide = graft.engine.Pairs.needsWideForm(embs, "vec_id")
+    val lists = keyed.groupBy(col("t"), col("b"))
       .agg(collect_list(col("vec_id")).as("vs"))
       .where(size(col("vs")) > 1)
-      .select(explode(
-        graft.functions.PackedPairs.packedPairs(s, col("vs"))).as("pp"))
-      .distinct()
-      .select(shiftright(col("pp"), 32).as("i"),
-        col("pp").bitwiseAND(lit(0xffffffffL)).as("j"))
+    val candIds = graft.engine.Pairs.distinctPairs(s, lists, "vs", wide)
     candIds
       .join(base.select(col("vec_id").as("i"), col("embedding").as("emb_i"),
         col("norm").as("norm_i")), Seq("i"))

@@ -35,6 +35,46 @@ class DedupPropertiesSpec extends AnyFunSuite {
     assert(inside.count() == 0)
   }
 
+  test("wide ids (>= 2^31) auto-fall-back to the struct pair form across the dedup family") {
+    import spark.implicits._
+    val base = 1L << 31 // first id the packed-long form cannot hold
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wide-ids").toString
+    try {
+      Seq(
+        (base + 1, "alpha beta gamma delta epsilon", "en", "web", 30L),
+        (base + 2, "alpha beta gamma delta epsilon", "en", "web", 30L), // dup of +1
+        (5L,       "alpha beta gamma delta zeta",    "en", "web", 27L), // mixed-width id, J=0.5
+        (base + 7, "totally different words entirely here", "en", "web", 37L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$tmp/documents.parquet")
+
+      assert(graft.engine.Pairs.needsWideForm(
+        graft.engine.Tables.documents(spark, tmp), "doc_id"))
+      assert(!graft.engine.Pairs.needsWideForm(
+        graft.engine.Tables.documents(spark, sf), "doc_id"))
+
+      // the packed form would throw IllegalArgumentException here
+      val near = LlmTextOps.dedupNear(spark, tmp)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(near.toSeq == Seq((base + 1, base + 2, 1.0)))
+      val mh = LlmTextOps.dedupMinhash(spark, tmp)
+        .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(mh.toSeq == Seq((base + 1, base + 2)))
+
+      // embedding path: two identical wide-id vectors must pair up
+      val emb = Seq.tabulate(64)(i => (i % 7).toFloat / 7f)
+      val embs = Seq((base + 3, emb), (base + 9, emb),
+        (7L, emb.map(x => 1f - x)))
+        .toDF("vec_id", "embedding")
+      val blocked = graft.operators.LlmVectorOps
+        .dedupEmbedBlockedFrom(spark, embs)
+        .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(blocked.contains((base + 3, base + 9)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("component labels are idempotent: relabeling the star edges is a no-op") {
     val labeled = LlmTextOps.dedupComponents(spark, sf)
     val asPairs = labeled
