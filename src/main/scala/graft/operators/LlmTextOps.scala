@@ -252,7 +252,16 @@ object LlmTextOps {
     * queries. At the fixpoint every tree is a star rooted at its
     * component minimum, so the edge set IS the labeling.
     */
-  def componentsFromPairs(s: SparkSession, pairs: DataFrame): DataFrame = {
+  def componentsFromPairs(s: SparkSession, pairs: DataFrame): DataFrame =
+    componentsFixpoint(s, pairs)._1
+
+  /** [[componentsFromPairs]] plus the number of large∘small rounds the
+    * fixpoint took — exposed so ComponentsSpec can gate the O(log n)
+    * round-count claim on structured graphs (a path of n nodes must
+    * converge in ~2·log₂ n rounds, not O(diameter) = n).
+    */
+  private[graft] def componentsFixpoint(
+      s: SparkSession, pairs: DataFrame): (DataFrame, Int) = {
     def checksum(e: DataFrame): (Long, Long) = {
       val r = e.agg(
         count(lit(1)),
@@ -291,7 +300,7 @@ object LlmTextOps {
     val members = edges.select(col("u").as("doc_id"), col("v").as("component_id"))
     val roots = edges.select(col("v").as("doc_id"), col("v").as("component_id"))
       .distinct()
-    members.union(roots).distinct().orderBy("doc_id")
+    (members.union(roots).distinct().orderBy("doc_id"), iter)
   }
 
   /** `dedup_minhash` — MinHash + banded LSH, the scale path for E18

@@ -75,6 +75,37 @@ class ComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("path graph of 10^4 nodes converges in O(log n) rounds, not O(diameter)") {
+    // the O(log n) claim made for the 100 TB posture, measured: a
+    // path is the deep-diameter adversary (Pregel-style propagation
+    // needs 10^4 rounds here); alternating large-star/small-star must
+    // land within ~2·log2(n) rounds (+ the fixpoint-detection round)
+    val n = 10000L
+    val path = (0L until n - 1).map(k => (k, k + 1))
+    val (labeled, rounds) = LlmTextOps.componentsFixpoint(
+      spark, path.toDF("i", "j"))
+    val bound = 2 * (64 - java.lang.Long.numberOfLeadingZeros(n - 1)) + 2
+    assert(rounds <= bound, s"took $rounds rounds, bound $bound")
+    val got = labeled.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == n)
+    assert(got.forall(_._2 == 0L))
+  }
+
+  test("star of 10^5 members completes without materializing the hub in memory") {
+    // giant-component posture: the hub's neighborhood must flow
+    // through the spillable window-min, never a collect_set array on
+    // one task; a star is already the fixpoint shape, so rounds stay
+    // minimal regardless of member count
+    val n = 100000L
+    val star = (1L until n).map(k => (k, 0L))
+    val (labeled, rounds) = LlmTextOps.componentsFixpoint(
+      spark, star.toDF("i", "j"))
+    assert(rounds <= 4, s"star took $rounds rounds")
+    val labels = labeled.select("component_id").distinct().collect()
+    assert(labels.map(_.getLong(0)).toSeq == Seq(0L))
+    assert(labeled.count() == n)
+  }
+
   test("labeling is invariant to shuffle partitioning (4 vs 32)") {
     // the fixpoint loop is iterative — pin that partition count (and
     // with it task scheduling / round internals) cannot perturb the
