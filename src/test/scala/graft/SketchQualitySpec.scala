@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AnalyticOps, FunctionOps}
+
+/** Accuracy floors for the two sketch aggregates that have no oracle
+  * (approximate by design) and, until now, no quality gate either —
+  * the AnnQualitySpec posture applied to HLL and t-digest: measure
+  * the sketch against its exact twin and fail on degradation, so a
+  * parameter change (rsd, accuracy) that trashes the estimates can't
+  * ship silently.
+  */
+class SketchQualitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf001
+
+  test("distinct_users_approx HLL estimate within 5% of exact per group") {
+    // rsd = 0.01 targets ~1% relative standard deviation; 5% is the
+    // hard floor with generous margin for sketch-seed drift
+    val exact = FunctionOps.distinctUsers(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = FunctionOps.distinctUsersApprox(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (g, n) =>
+      val est = approx(g)
+      val relErr = math.abs(est - n).toDouble / n
+      assert(relErr <= 0.05,
+        f"HLL off by ${relErr * 100}%.2f%% on group $g (exact=$n est=$est)")
+    }
+  }
+
+  test("value_percentiles_approx rank error within 1% of target quantile") {
+    // approx_percentile(accuracy=1000) guarantees rank error <= 1/1000;
+    // gate at 10x that so only a real sketch regression trips it.
+    // Rank of the estimate = fraction of the group's values <= it,
+    // computed exactly against the raw events
+    val values = graft.engine.Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (g, vs) => g -> vs.map(_._2).sorted }
+    val approx = AnalyticOps.valuePercentilesApprox(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        Seq(0.5 -> r.getDouble(1), 0.9 -> r.getDouble(2),
+          0.99 -> r.getDouble(3))).toMap
+    assert(approx.keySet == values.keySet)
+    approx.foreach { case (g, qs) =>
+      val sorted = values(g)
+      qs.foreach { case (q, est) =>
+        // count of values <= est via binary search on the sorted group
+        var lo = 0; var hi = sorted.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (sorted(mid) <= est) lo = mid + 1 else hi = mid
+        }
+        val rank = lo.toDouble / sorted.length
+        assert(math.abs(rank - q) <= 0.01,
+          f"approx p$q on $g landed at rank $rank%.4f (est=$est)")
+      }
+    }
+  }
+}
