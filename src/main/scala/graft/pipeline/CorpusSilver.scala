@@ -1,8 +1,9 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
-import graft.engine.Tables
+import graft.engine.{Bucketing, Tables}
 import graft.operators.LlmTextOps
 
 /** Opt-in silver-table materialization for the corpus-dedup pipeline.
@@ -52,4 +53,39 @@ object CorpusSilver {
       pairsPath: String): DataFrame =
     LlmTextOps.corpusFilterFromSurvivors(s, sfDir,
       survivors(s, sfDir, pairsPath))
+
+  /** Bucketed silver layout: pay the shuffle ONCE at write time.
+    * Pairs bucket on the removal key `j`, documents on `doc_id`, same
+    * bucket count — the consumer's distinct and anti-join then both
+    * reuse the on-disk hash distribution and run with ZERO exchanges
+    * (BucketingSpec asserts it). This is the layout that makes the
+    * silver table not just a recompute-saver but a shuffle-eliminator
+    * at 100 TB: every nightly survivor/relabel pass reads co-located
+    * buckets instead of re-shuffling the corpus.
+    */
+  def writePairsBucketed(s: SparkSession, sfDir: String, table: String,
+      buckets: Int): Unit =
+    Bucketing.writeBucketed(LlmTextOps.dedupNear(s, sfDir), table, "j", buckets)
+
+  /** Documents as a bucketed silver table keyed by doc_id. */
+  def writeDocumentsBucketed(s: SparkSession, sfDir: String, table: String,
+      buckets: Int): Unit =
+    Bucketing.writeBucketed(Tables.documents(s, sfDir), table, "doc_id",
+      buckets)
+
+  /** Survivor selection served entirely from the bucketed silver
+    * tables: distinct-on-j reuses the pair table's bucket
+    * distribution, and the anti-join matches it against the document
+    * table's buckets — no exchange anywhere in the plan. No global
+    * sort either (a sort is a range exchange); consumers that need
+    * presentation order sort their final, already-tiny result.
+    */
+  def survivorsBucketed(s: SparkSession, docsTable: String,
+      pairsTable: String): DataFrame = {
+    val removed = s.table(pairsTable)
+      .select(col("j").as("doc_id")).distinct()
+    s.table(docsTable)
+      .join(removed, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+  }
 }
