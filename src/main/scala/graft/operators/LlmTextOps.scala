@@ -202,7 +202,11 @@ object LlmTextOps {
     * union-find needs the whole edge set on one node).
     */
   def dedupComponents(s: SparkSession, d: String): DataFrame =
-    componentsFromPairs(s, dedupNear(s, d).select(col("i"), col("j")))
+    // dedupNear emits each (i, j) exactly once (pairs are the keys of
+    // its count aggregation), so the fixpoint can skip its defensive
+    // initial distinct — one fewer shuffle over the widest data
+    componentsFromPairs(s, dedupNear(s, d).select(col("i"), col("j")),
+      pairsDistinct = true)
 
   /** large-star: every node hands its strictly-larger neighbors to the
     * minimum of its closed neighborhood. Input orientation free
@@ -252,16 +256,20 @@ object LlmTextOps {
     * queries. At the fixpoint every tree is a star rooted at its
     * component minimum, so the edge set IS the labeling.
     */
-  def componentsFromPairs(s: SparkSession, pairs: DataFrame): DataFrame =
-    componentsFixpoint(s, pairs)._1
+  def componentsFromPairs(s: SparkSession, pairs: DataFrame,
+      pairsDistinct: Boolean = false): DataFrame =
+    componentsFixpoint(s, pairs, pairsDistinct)._1
 
   /** [[componentsFromPairs]] plus the number of large∘small rounds the
     * fixpoint took — exposed so ComponentsSpec can gate the O(log n)
     * round-count claim on structured graphs (a path of n nodes must
     * converge in ~2·log₂ n rounds, not O(diameter) = n).
+    * `pairsDistinct = true` skips the defensive dedup of the input
+    * pair set (correct only when the caller guarantees each undirected
+    * pair appears once, as dedupNear does).
     */
-  private[graft] def componentsFixpoint(
-      s: SparkSession, pairs: DataFrame): (DataFrame, Int) = {
+  private[graft] def componentsFixpoint(s: SparkSession, pairs: DataFrame,
+      pairsDistinct: Boolean = false): (DataFrame, Int) = {
     def checksum(e: DataFrame): (Long, Long) = {
       val r = e.agg(
         count(lit(1)),
@@ -278,11 +286,11 @@ object LlmTextOps {
     // lazy checkpoints: the checksum action right after is what
     // materializes each round's edge set, so every round costs ONE
     // job instead of an eager-checkpoint job plus the checksum job
-    var edges = pairs
+    val oriented = pairs
       .select(greatest(col("i"), col("j")).as("u"),
         least(col("i"), col("j")).as("v"))
       .where(col("u") =!= col("v"))
-      .distinct()
+    var edges = (if (pairsDistinct) oriented else oriented.distinct())
       .localCheckpoint(false)
     var cs = checksum(edges)
     var stable = false
