@@ -64,6 +64,37 @@ object CryptoIngest {
   private val hourlyCols = Seq("date", "hour", "symbol", "open_price",
     "high_price", "low_price", "close_price", "avg_price", "sample_count")
 
+  /** The upsert's SQL, exposed as pure generators so PipelineSpec can
+    * golden-pin the exact statements against the PostgreSQL dialect
+    * (the documented migration target — Derby, the testable sink,
+    * accepts a superset, so dialect drift like bare `DOUBLE` or
+    * unquoted reserved words would otherwise only surface on a user's
+    * first real Postgres run).
+    */
+  private[graft] def createTableSql(table: String): String =
+    // quoted lower-case names: DATE/HOUR are reserved words, and
+    // Spark's JDBC writer quotes the DataFrame's column names.
+    // DOUBLE PRECISION, not DOUBLE: valid in both Derby and
+    // PostgreSQL.
+    s"""CREATE TABLE $table (
+       |  "date" DATE NOT NULL, "hour" INTEGER NOT NULL,
+       |  "symbol" VARCHAR(64) NOT NULL,
+       |  "open_price" DOUBLE PRECISION, "high_price" DOUBLE PRECISION,
+       |  "low_price" DOUBLE PRECISION, "close_price" DOUBLE PRECISION,
+       |  "avg_price" DOUBLE PRECISION, "sample_count" BIGINT,
+       |  PRIMARY KEY ("date", "hour", "symbol"))""".stripMargin
+
+  private[graft] def deleteSql(table: String, stage: String): String =
+    s"""DELETE FROM $table WHERE EXISTS (
+       |  SELECT 1 FROM $stage s
+       |  WHERE s."date" = $table."date"
+       |    AND s."hour" = $table."hour")""".stripMargin
+
+  private[graft] def insertSql(table: String, stage: String): String = {
+    val cols = hourlyCols.map(c => s""""$c"""").mkString(", ")
+    s"INSERT INTO $table ($cols) SELECT $cols FROM $stage"
+  }
+
   /** Idempotent landing of already-aggregated hourly OHLC rows
     * (schema of `ReferenceOps.ohlcAgg`) — the shared core of the batch
     * `flushHourlyJdbc` and the streaming `PollingIngest` JDBC sink.
@@ -89,7 +120,6 @@ object CryptoIngest {
     // executors write the staging rows; overwrite drops any leftover
     // stage from a failed previous attempt
     hourly.write.mode("overwrite").jdbc(url, stage, new java.util.Properties)
-    val cols = hourlyCols.map(c => s""""$c"""").mkString(", ")
     val conn = java.sql.DriverManager.getConnection(url)
     try {
       val meta = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
@@ -98,30 +128,14 @@ object CryptoIngest {
           .equalsIgnoreCase(table))
       if (!exists) {
         val st = conn.createStatement()
-        // quoted lower-case names: DATE/HOUR are reserved words, and
-        // Spark's JDBC writer quotes the DataFrame's column names.
-        // DOUBLE PRECISION, not DOUBLE: valid in both Derby and
-        // PostgreSQL (the documented migration target).
-        try st.execute(
-          s"""CREATE TABLE $table (
-             |  "date" DATE NOT NULL, "hour" INTEGER NOT NULL,
-             |  "symbol" VARCHAR(64) NOT NULL,
-             |  "open_price" DOUBLE PRECISION, "high_price" DOUBLE PRECISION,
-             |  "low_price" DOUBLE PRECISION, "close_price" DOUBLE PRECISION,
-             |  "avg_price" DOUBLE PRECISION, "sample_count" BIGINT,
-             |  PRIMARY KEY ("date", "hour", "symbol"))""".stripMargin)
+        try st.execute(createTableSql(table))
         finally st.close()
       }
       conn.setAutoCommit(false)
       val st = conn.createStatement()
       try {
-        st.executeUpdate(
-          s"""DELETE FROM $table WHERE EXISTS (
-             |  SELECT 1 FROM $stage s
-             |  WHERE s."date" = $table."date"
-             |    AND s."hour" = $table."hour")""".stripMargin)
-        st.executeUpdate(
-          s"INSERT INTO $table ($cols) SELECT $cols FROM $stage")
+        st.executeUpdate(deleteSql(table, stage))
+        st.executeUpdate(insertSql(table, stage))
         conn.commit()
       } catch {
         case e: Throwable => conn.rollback(); throw e

@@ -98,6 +98,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(btc10.getAs[Long]("sample_count") == 2L)
   }
 
+  test("JDBC upsert SQL is PostgreSQL-dialect golden (Derby tests a superset)") {
+    // Derby (the in-container-testable sink) accepts constructs
+    // Postgres rejects — bare DOUBLE shipped in round 2 exactly
+    // because only Derby ever executed the DDL. Pin the generated
+    // statements verbatim so dialect drift is a test diff, not a
+    // user's first-run failure on the documented migration target.
+    assert(CryptoIngest.createTableSql("downsampled_prices") ==
+      """CREATE TABLE downsampled_prices (
+        |  "date" DATE NOT NULL, "hour" INTEGER NOT NULL,
+        |  "symbol" VARCHAR(64) NOT NULL,
+        |  "open_price" DOUBLE PRECISION, "high_price" DOUBLE PRECISION,
+        |  "low_price" DOUBLE PRECISION, "close_price" DOUBLE PRECISION,
+        |  "avg_price" DOUBLE PRECISION, "sample_count" BIGINT,
+        |  PRIMARY KEY ("date", "hour", "symbol"))""".stripMargin)
+    assert(CryptoIngest.deleteSql("downsampled_prices",
+      "downsampled_prices_stage") ==
+      """DELETE FROM downsampled_prices WHERE EXISTS (
+        |  SELECT 1 FROM downsampled_prices_stage s
+        |  WHERE s."date" = downsampled_prices."date"
+        |    AND s."hour" = downsampled_prices."hour")""".stripMargin)
+    assert(CryptoIngest.insertSql("downsampled_prices",
+      "downsampled_prices_stage") ==
+      """INSERT INTO downsampled_prices ("date", "hour", "symbol", """ +
+      """"open_price", "high_price", "low_price", "close_price", """ +
+      """"avg_price", "sample_count") SELECT "date", "hour", "symbol", """ +
+      """"open_price", "high_price", "low_price", "close_price", """ +
+      """"avg_price", "sample_count" FROM downsampled_prices_stage""")
+    // dialect lint on top of the golden text: the two drift classes
+    // that bit before stay structurally impossible
+    val ddl = CryptoIngest.createTableSql("t")
+    assert(!ddl.matches("(?s).*DOUBLE(?! PRECISION).*"),
+      "bare DOUBLE is not valid PostgreSQL")
+    Seq("date", "hour").foreach { kw =>
+      assert(!ddl.matches(s"(?s).*(?<=[(,\\s])$kw\\s.*"),
+        s"reserved word $kw must be quoted")
+    }
+  }
+
   test("CorpusSilver: survivors from a materialized pair table match the inline pipeline") {
     import graft.pipeline.CorpusSilver
     val tmp = Files.createTempDirectory("graft_silver").toString
