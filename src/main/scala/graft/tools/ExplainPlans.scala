@@ -19,11 +19,16 @@ object ExplainPlans {
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "pricing_summary", "join_broadcast", "join_shuffle", "topk_orders",
       "similarity_topk", "ohlc_hourly")
+    // SPARK_GRAFT_EXEC=1: run the query first and print the FINAL
+    // adaptive plan (shows AQE runtime decisions — ReusedExchange,
+    // coalesced partitions, skew splits — that the static plan hides)
+    val exec = sys.env.get("SPARK_GRAFT_EXEC").contains("1")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      println(graft.SparkEntry.queries(n)(spark, sf)
-        .queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode))
+      val df = graft.SparkEntry.queries(n)(spark, sf)
+      if (exec) df.collect()
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()
   }

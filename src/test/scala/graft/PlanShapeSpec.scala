@@ -39,6 +39,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("dedup_near's two size joins share ONE broadcast build (ReusedExchange)") {
+    // the i-side and j-side size joins broadcast the same doc→size
+    // subplan; AQE must dedupe them into a single build (one document
+    // scan + shingle pass, not two) — collect first so the adaptive
+    // plan is final
+    val df = SparkEntry.queries("dedup_near")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      "size broadcast built twice:\n" + p.take(2000))
+  }
+
   test("dedup_components rounds are narrow equi-shuffles — no cartesian, no nested loop") {
     // the fixpoint loop runs before the returned frame materializes;
     // the output plan (members ∪ roots over the converged edge set)
