@@ -120,4 +120,23 @@ class EngineUtilSpec extends AnyFunSuite {
       SparkSession.setActiveSession(base)
     }
   }
+
+  test("Pairs: wide and narrow forms emit identical pair sets on narrow ids") {
+    // the wide-id fallback must be a pure representation change: on an
+    // id space BOTH forms can hold, distinct and counted pair
+    // generation agree exactly (random posting lists, dupes included)
+    val rnd = new scala.util.Random(23)
+    val lists = Seq.fill(40)(
+      Seq.fill(1 + rnd.nextInt(6))(rnd.nextInt(30).toLong).distinct)
+      .map(Tuple1(_)).toDF("ds")
+    def pairsOf(wide: Boolean) =
+      graft.engine.Pairs.distinctPairs(spark, lists, "ds", wide)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsOf(wide = true) == pairsOf(wide = false))
+    assert(pairsOf(wide = false).nonEmpty)
+    def countsOf(wide: Boolean) =
+      graft.engine.Pairs.countedPairs(spark, lists, "ds", "cnt", wide)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(countsOf(wide = true) == countsOf(wide = false))
+  }
 }
