@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Bigrams, ByteStats, CountInSet, DotProduct, MinHash32, MinHashAgg, PackedPairs, PairCombinations, Shingle3, ShingleHash3, SimHash64}
+import graft.functions.{Bigrams, ByteStats, CountInSet, DotProduct, IntersectCount, MinHash32, MinHashAgg, PackedPairs, PairCombinations, Shingle3, ShingleHash3, SimHash64}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * expressions first-class SQL functions in any session built with
@@ -65,5 +65,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[Bigrams], exprs => Bigrams(exprs.head))
     inject(e, "graft_byte_stats", "graft_byte_stats(binary)", 1,
       classOf[ByteStats], exprs => ByteStats(exprs.head))
+    inject(e, "graft_intersect_count",
+      "graft_intersect_count(array<bigint>, array<bigint>)", 2,
+      classOf[IntersectCount], exprs => IntersectCount(exprs(0), exprs(1)))
   }
 }

@@ -335,6 +335,57 @@ object CountInSet {
   }
 }
 
+/** Exact intersection cardinality of two BIGINT-array SETS in one
+  * compiled pass (copy + sort + merge scan — no per-element boxing,
+  * no order assumption on the inputs). The verification step of the
+  * prefix-filtered near-dup join: candidates surviving the prefix
+  * filter get their true overlap counted here, replacing the
+  * full posting-list pair counting (which had to stream EVERY
+  * co-occurrence, the quadratic unit) with a per-candidate O(k log k).
+  * Inputs must be duplicate-free (ShingleHash3 emits distinct hashes);
+  * with duplicates this counts matched occurrences, not set overlap.
+  */
+case class IntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    IntersectCount.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.IntersectCount.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntersectCount {
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val x = a.toLongArray()
+    val y = b.toLongArray()
+    java.util.Arrays.sort(x)
+    java.util.Arrays.sort(y)
+    var i = 0
+    var j = 0
+    var cnt = 0
+    while (i < x.length && j < y.length) {
+      if (x(i) < y(j)) i += 1
+      else if (x(i) > y(j)) j += 1
+      else { cnt += 1; i += 1; j += 1 }
+    }
+    cnt
+  }
+
+  def intersectCount(s: SparkSession, a: Column, b: Column): Column = {
+    TextExprs.register(s)
+    call_function("graft_intersect_count", a, b)
+  }
+}
+
 object TextExprs {
   def register(s: SparkSession): Unit = {
     // Guard each name individually: a session built via GraftExtensions
@@ -353,6 +404,8 @@ object TextExprs {
       exprs => Bigrams(exprs.head))
     Registration.registerOnce(s, "graft_count_in_set",
       exprs => CountInSet(exprs(0), exprs(1)))
+    Registration.registerOnce(s, "graft_intersect_count",
+      exprs => IntersectCount(exprs(0), exprs(1)))
   }
 }
 

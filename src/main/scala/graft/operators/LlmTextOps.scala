@@ -107,34 +107,43 @@ object LlmTextOps {
       .orderBy("doc_id")
   }
 
-  /** E18 `dedup_near` — near-dup pairs by exact 3-shingle Jaccard
-    * ≥ 0.8. Exact formulation for the oracle; the LSH twins below are
-    * the 100 TB path (this one is quadratic in docs sharing a
-    * shingle). Shuffles: explode → self-join on shingle → pair count.
+  /** Per-document distinct 3-shingle HASH sets — the shared map-side
+    * root of both exact near-dup formulations. One compiled pass
+    * (functions.ShingleHash3) hashes each distinct shingle to 64
+    * bits: posting keys are 8-byte longs, and Jaccard numerator and
+    * denominator both derive from the hash sets, so the sides stay
+    * consistent. Collision odds are the dedup_exact_digest posture;
+    * the DuckDB oracle computes string-set Jaccard and hash-matches
+    * at every sf.
     */
-  def dedupNear(s: SparkSession, d: String): DataFrame = {
-    // Both branches derive from one map-side pass that HASHES each
-    // distinct shingle to 64 bits (functions.ShingleHash3): the
-    // posting-list shuffle carries 8-byte longs instead of ~20-byte
-    // strings, and Jaccard numerator/denominator are both counted over
-    // the hash sets, so the two sides stay consistent. Collision odds
-    // are the dedup_exact_digest posture (documented there); the DuckDB
-    // oracle computes string-set Jaccard and has hash-matched at every
-    // sf, pinning that no collision perturbs results at test scale.
-    val hashed = Tables.documents(s, d)
+  private def shingleHashSets(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))
       .where(size(col("toks")) >= 3)
       .select(col("doc_id"),
         graft.functions.ShingleHash3.shingleHash3(s, col("toks")).as("hs"))
+
+  /** E18 `dedup_near` — near-dup pairs by exact 3-shingle Jaccard
+    * ≥ 0.8. Exact formulation for the oracle; `dedupNearPrefix` is
+    * the same exact output with AllPairs-style prefix pruning (the
+    * asymptotic shape), and the LSH twins below are the
+    * recall-trading path. At bench scale THIS counted form wins:
+    * fixed costs dominate and the full pair stream is cheap for 32
+    * cores, while the prefix form's extra document passes cost more
+    * than its pruning saves (measured, see dedupNearPrefix).
+    */
+  def dedupNear(s: SparkSession, d: String): DataFrame = {
+    val hashed = shingleHashSets(s, d)
     // sizes map-side from the hash array: with the compiled expression
     // the re-scan per join branch is cheap, vs the explode + groupBy
     // count this replaces (a full O(shingles) shuffle). A struct-
     // carried (doc_id, sz) posting-list variant stays rejected —
     // struct-typed collect_list / pair-explode allocate far more than
     // bare longs. Small at any doc count relative to the pair stream
-    // ⇒ broadcast both size joins explicitly (at true 100 TB doc
-    // counts, fall back to shuffle joins on the already-tiny
-    // ≥0.8-filtered pair set).
+    // ⇒ broadcast both size joins explicitly (AQE dedupes them into
+    // ONE build — ReusedExchange, PlanShapeSpec-pinned; at true
+    // 100 TB doc counts, fall back to shuffle joins on the
+    // already-tiny ≥0.8-filtered pair set).
     val sizes = hashed
       .select(col("doc_id"), size(col("hs")).cast("long").as("sz"))
     // pair generation per shingle posting list instead of a self-join:
@@ -161,6 +170,62 @@ object LlmTextOps {
         sizes.select(col("doc_id").as("j"), col("sz").as("sz_j"))), Seq("j"))
       .withColumn("jaccard",
         r6(col("inter") / (col("sz_i") + col("sz_j") - col("inter"))))
+      .where(col("jaccard") >= 0.8)
+      .select("i", "j", "jaccard")
+      .orderBy("i", "j")
+  }
+
+  /** Prefix-filtered exact near-dup join (Chaudhuri et al. SSJoin /
+    * Bayardo et al. AllPairs / Xiao et al. PPJoin) — IDENTICAL output
+    * to [[dedupNear]] (DedupPropertiesSpec pins equality), different
+    * asymptotics: the quadratic pair stream runs only over PREFIX
+    * collisions (~4% of the co-occurrence mass at t = 0.8), with
+    * candidates verified by one compiled merge scan
+    * (functions.IntersectCount) against the full hash sets.
+    *
+    * Not the bench-timed form: at sf ≤ 0.1 / local[32] the counted
+    * formulation is faster (measured 1.9 s vs 2.4 s at sf0.1 —
+    * everything fits one machine's shuffle bandwidth and this form
+    * pays two extra document passes for its pruning). The crossover
+    * is where the pair stream stops fitting — BASELINE.md's scale
+    * curve measured it at 90× work per 10× docs, so at 100 TB the
+    * pruned stream is the difference between a job that finishes and
+    * one that doesn't. Library users pick per deployment.
+    */
+  def dedupNearPrefix(s: SparkSession, d: String): DataFrame = {
+    val hashed = shingleHashSets(s, d)
+    // Prefix principle: under ANY global total order on shingles —
+    // ascending hash value here, no frequency pass needed — a pair
+    // with J ≥ t shares an element inside both docs'
+    // (k − ⌈t·k⌉ + 1)-prefixes, so only prefixes are indexed.
+    // ⌈0.8k⌉ is computed as (4k+4) div 5 in INTEGER arithmetic: float
+    // 0.8*k rounds UP at e.g. k=15 (12.000000000000002 → ceil 13),
+    // silently shortening the prefix and dropping true pairs.
+    val prefixed = hashed.select(col("doc_id"), expr(
+      "slice(sort_array(hs), 1, size(hs) - CAST((4 * size(hs) + 4) DIV 5 AS INT) + 1)")
+      .as("pref"))
+    val wide = graft.engine.Pairs.needsWideForm(
+      Tables.documents(s, d), "doc_id")
+    val lists = prefixed
+      .select(col("doc_id"), explode(col("pref")).as("shh"))
+      .groupBy(col("shh"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .where(size(col("ds")) > 1)
+    val cand = graft.engine.Pairs.distinctPairs(s, lists, "ds", wide)
+    // verification: re-attach the FULL hash sets per candidate; set
+    // sizes come free as size(hs). Join strategy left to the
+    // optimizer: at 100 TB both joins shuffle 8-byte ids + one pass
+    // of the (silver) set table; candidates are O(true pairs).
+    cand
+      .join(hashed.select(col("doc_id").as("i"), col("hs").as("hs_i")),
+        Seq("i"))
+      .join(hashed.select(col("doc_id").as("j"), col("hs").as("hs_j")),
+        Seq("j"))
+      .withColumn("inter", graft.functions.IntersectCount
+        .intersectCount(s, col("hs_i"), col("hs_j")).cast("long"))
+      .withColumn("jaccard", r6(col("inter") /
+        (size(col("hs_i")).cast("long") + size(col("hs_j")).cast("long")
+          - col("inter"))))
       .where(col("jaccard") >= 0.8)
       .select("i", "j", "jaccard")
       .orderBy("i", "j")

@@ -35,6 +35,20 @@ class DedupPropertiesSpec extends AnyFunSuite {
     assert(inside.count() == 0)
   }
 
+  test("prefix-filtered near-dup join equals the counted formulation exactly") {
+    // dedupNearPrefix prunes candidate generation (AllPairs prefix
+    // principle) but must emit the identical exact pair set — a
+    // too-short prefix (e.g. the float-ceil bug the integer
+    // arithmetic guards against) would silently DROP true pairs
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val counted = rows(LlmTextOps.dedupNear(spark, sf))
+    val prefixed = rows(LlmTextOps.dedupNearPrefix(spark, sf))
+    assert(counted.nonEmpty)
+    assert(prefixed == counted)
+  }
+
   test("wide ids (>= 2^31) auto-fall-back to the struct pair form across the dedup family") {
     import spark.implicits._
     val base = 1L << 31 // first id the packed-long form cannot hold

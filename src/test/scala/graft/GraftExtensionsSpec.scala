@@ -56,7 +56,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |  graft_shingle_hash3(array('a', 'b', 'c')) AS sh3,
           |  graft_packed_pairs(array(2L, 1L)) AS pp,
           |  graft_bigrams(array('a', 'b', 'c')) AS bg,
-          |  graft_byte_stats(encode('ab', 'UTF-8')) AS bs
+          |  graft_byte_stats(encode('ab', 'UTF-8')) AS bs,
+          |  graft_intersect_count(array(3L, 1L, 2L), array(2L, 9L, 1L)) AS ic
           |""".stripMargin).head()
       assert(row.getDouble(0) == 1.5 * 2.0 + 2.0 * 0.5)
       // bits present in >half the inputs survive: 1L twice, 2L once
@@ -72,6 +73,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val bs = row.getStruct(9)
       assert(bs.getInt(0) == 2 && bs.getLong(1) == 'a'.toLong + 'b'.toLong)
       assert(bs.getSeq[Int](2) == Seq('a'.toInt, 'b'.toInt))
+      assert(row.getInt(10) == 2) // {3,1,2} ∩ {2,9,1}
 
       // the aggregate form injects too
       val agg = s.sql(

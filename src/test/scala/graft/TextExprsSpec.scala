@@ -208,4 +208,27 @@ class TextExprsSpec extends AnyFunSuite {
       .where(col("native") =!= col("hof"))
     assert(diff.count() == 0)
   }
+
+  test("IntersectCount equals reference set intersection on random arrays") {
+    val rnd = new scala.util.Random(31)
+    val cases = Seq(
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq(1L, 2L, 3L), Seq.empty[Long]),
+      (Seq(5L, 1L, 9L), Seq(9L, 5L, 1L)), // same set, different order
+      (Seq(1L, 2L), Seq(3L, 4L))) ++
+      Seq.fill(15) {
+        def set() = Seq.fill(1 + rnd.nextInt(40))(rnd.nextInt(60).toLong)
+          .distinct
+        (set(), set())
+      }
+    val got = cases.zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }
+      .toDF("id", "a", "b")
+      .select(col("id"), graft.functions.IntersectCount
+        .intersectCount(spark, col("a"), col("b")).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    cases.zipWithIndex.foreach { case ((a, b), i) =>
+      assert(got(i) == (a.toSet & b.toSet).size, s"case $i: $a vs $b")
+    }
+  }
 }
