@@ -43,10 +43,12 @@ class DedupPropertiesSpec extends AnyFunSuite {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .sortBy(t => (t._1, t._2)).toSeq
-    val counted = rows(LlmTextOps.dedupNear(spark, sf))
-    val prefixed = rows(LlmTextOps.dedupNearPrefix(spark, sf))
-    assert(counted.nonEmpty)
-    assert(prefixed == counted)
+    for (d <- Seq(sf, TestSpark.sf001)) {
+      val counted = rows(LlmTextOps.dedupNear(spark, d))
+      val prefixed = rows(LlmTextOps.dedupNearPrefix(spark, d))
+      assert(counted.nonEmpty)
+      assert(prefixed == counted, s"diverged at $d")
+    }
   }
 
   test("wide ids (>= 2^31) auto-fall-back to the struct pair form across the dedup family") {
