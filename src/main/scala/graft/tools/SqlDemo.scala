@@ -32,6 +32,18 @@ object SqlDemo {
       """SELECT vec_id, round(sqrt(graft_dot(embedding, embedding)), 6) AS norm
          FROM embeddings ORDER BY norm DESC, vec_id LIMIT 3""")
       .collect().foreach(r => println(s"[sql]   vec ${r.getLong(0)} norm ${r.getDouble(1)}"))
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .createOrReplaceTempView("documents")
+    println("[sql] byte stats + set intersection via SQL:")
+    spark.sql(
+      """SELECT doc_id,
+                graft_byte_stats(encode(text, 'UTF-8')).n_bytes AS n_bytes,
+                graft_intersect_count(
+                  graft_shingle_hash3(split(text, ' ')),
+                  graft_shingle_hash3(split(upper(text), ' '))) AS self_ci
+         FROM documents ORDER BY doc_id LIMIT 3""")
+      .collect().foreach(r => println(
+        s"[sql]   doc ${r.getLong(0)} n_bytes ${r.getInt(1)} case-insensitive-overlap ${r.getInt(2)}"))
     val badArgs = try {
       spark.sql("SELECT graft_dot(1)").collect(); "no error (unexpected)"
     } catch { case e: Exception => e.getClass.getSimpleName }
