@@ -190,8 +190,20 @@ class TextExprsSpec extends AnyFunSuite {
         graft.functions.PackedPairs.packedPairs(spark,
           slice(col("ds"), 1, 3)).as("p3"))
         .collect()
-      // the dedup pipeline end-to-end under strict codegen
+      docs.select(
+        graft.functions.IntersectCount.intersectCount(spark,
+          graft.functions.ShingleHash3.shingleHash3(spark, col("toks")),
+          graft.functions.ShingleHash3.shingleHash3(spark,
+            reverse(col("toks")))).as("g"),
+        graft.functions.IntersectCount.intersectCount(spark,
+          graft.functions.ShingleHash3.shingleHash3(spark, col("toks")),
+          graft.functions.ShingleHash3.shingleHash3(spark,
+            col("toks"))).as("h"))
+        .collect()
+      // both exact dedup pipelines end-to-end under strict codegen
       graft.operators.LlmTextOps.dedupNear(spark, TestSpark.sf0001).collect()
+      graft.operators.LlmTextOps.dedupNearPrefix(spark, TestSpark.sf0001)
+        .collect()
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
       case None => spark.conf.unset("spark.sql.codegen.fallback")
