@@ -1,0 +1,93 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Candidate-pair generation from posting lists, with an automatic
+  * fallback past the packed-long fast path's 31-bit id precondition.
+  *
+  * Every LSH-family candidate pipeline (dedup_near, dedup_minhash,
+  * dedup_embed_blocked) reduces to the same tail: explode the C(k,2)
+  * id pairs of short posting lists, then aggregate per pair (distinct
+  * or co-occurrence count). The fast path packs a pair into ONE long
+  * (`i << 32 | j`, functions.PackedPairs), so the aggregation hashes
+  * an 8-byte key and the explode emits primitive longs — but it
+  * requires ids in [0, 2³¹). A real 100 TB corpus id space overflows
+  * that, and the old fail-fast would CRASH the pipeline there rather
+  * than degrade; instead callers probe the id space once
+  * (`needsWideForm`) and these generators transparently switch to the
+  * struct-pair form (functions.PairCombinations: 16-byte keys, same
+  * plan shape, measured ~25% slower on the pair stage) when the
+  * packed form cannot hold the ids. DedupPropertiesSpec drives the
+  * dedup operators through both forms.
+  */
+object Pairs {
+
+  /** True when the id column cannot ride the packed-long fast path
+    * (any id < 0 or ≥ 2³¹). One min/max aggregation over the source
+    * id column — on parquet a single-column scan, trivial next to the
+    * pair pipeline it guards. Pipelines that know their id-space
+    * bound statically (e.g. ids minted by a ledger) can skip the
+    * probe and pass `wide` to the generators directly.
+    *
+    * Memoized per (session, canonical plan of the probed column):
+    * every dedup-family query probes the same source table, so the
+    * scan runs once per session, not once per query. A stale entry
+    * (source files rewritten in place with wider ids mid-session) can
+    * only under-report width, which degrades to PackedPairs' loud
+    * fail-fast — never to silently wrong pairs.
+    */
+  def needsWideForm(ids: DataFrame, idCol: String): Boolean = {
+    val perSession = probeCache.computeIfAbsent(ids.sparkSession,
+      _ => new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Boolean]())
+    perSession.computeIfAbsent(
+      ids.select(col(idCol)).queryExecution.analyzed.semanticHash(),
+      _ => {
+        val r = ids.agg(
+          min(col(idCol).cast("long")).as("lo"),
+          max(col(idCol).cast("long")).as("hi")).head()
+        !r.isNullAt(0) &&
+          (r.getLong(0) < 0L || r.getLong(1) > Int.MaxValue.toLong)
+      }).booleanValue()
+  }
+
+  private val probeCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[Int, java.lang.Boolean]]())
+
+  /** Distinct (i, j) candidate id pairs (i < j) from posting lists —
+    * `listCol` is an array<long> of the ids sharing one bucket.
+    */
+  def distinctPairs(s: SparkSession, lists: DataFrame, listCol: String,
+      wide: Boolean): DataFrame =
+    if (wide)
+      lists.select(explode(graft.functions.PairCombinations.pairs(
+          s, sort_array(col(listCol)))).as("p"))
+        .distinct()
+        .select(col("p.i").as("i"), col("p.j").as("j"))
+    else
+      lists.select(explode(graft.functions.PackedPairs.packedPairs(
+          s, col(listCol))).as("pp"))
+        .distinct()
+        .select(shiftright(col("pp"), 32).as("i"),
+          col("pp").bitwiseAND(lit(0xffffffffL)).as("j"))
+
+  /** (i, j, `cntName`) pair co-occurrence counts from posting lists —
+    * the Jaccard-numerator shape (a pair appears once per shared
+    * bucket).
+    */
+  def countedPairs(s: SparkSession, lists: DataFrame, listCol: String,
+      cntName: String, wide: Boolean): DataFrame =
+    if (wide)
+      lists.select(explode(graft.functions.PairCombinations.pairs(
+          s, sort_array(col(listCol)))).as("p"))
+        .groupBy(col("p")).agg(count(lit(1)).as(cntName))
+        .select(col("p.i").as("i"), col("p.j").as("j"), col(cntName))
+    else
+      lists.select(explode(graft.functions.PackedPairs.packedPairs(
+          s, col(listCol))).as("pp"))
+        .groupBy(col("pp")).agg(count(lit(1)).as(cntName))
+        .select(shiftright(col("pp"), 32).as("i"),
+          col("pp").bitwiseAND(lit(0xffffffffL)).as("j"), col(cntName))
+}
