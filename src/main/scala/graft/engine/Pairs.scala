@@ -26,22 +26,30 @@ object Pairs {
   /** True when the id column cannot ride the packed-long fast path
     * (any id < 0 or ≥ 2³¹). One min/max aggregation over the source
     * id column — on parquet a single-column scan, trivial next to the
-    * pair pipeline it guards. Pipelines that know their id-space
-    * bound statically (e.g. ids minted by a ledger) can skip the
-    * probe and pass `wide` to the generators directly.
+    * pair pipeline it guards. NOTE this makes *constructing* a
+    * dedup-family DataFrame eager by exactly that one job (plan
+    * inspection without execution still pays it); pipelines that know
+    * their id-space bound statically (e.g. ids minted by a ledger)
+    * keep construction lazy by passing `wide` to the generators
+    * directly.
     *
     * Memoized per (session, canonical plan of the probed column):
     * every dedup-family query probes the same source table, so the
-    * scan runs once per session, not once per query. A stale entry
-    * (source files rewritten in place with wider ids mid-session) can
-    * only under-report width, which degrades to PackedPairs' loud
+    * scan runs once per session, not once per query. The key is the
+    * CANONICALIZED PLAN ITSELF (structural equality), not its int
+    * hash — a hash-collision entry could mis-report in either
+    * direction, while a stale entry for the same plan (source files
+    * rewritten in place with wider ids mid-session) can only
+    * under-report width, which degrades to PackedPairs' loud
     * fail-fast — never to silently wrong pairs.
     */
   def needsWideForm(ids: DataFrame, idCol: String): Boolean = {
     val perSession = probeCache.computeIfAbsent(ids.sparkSession,
-      _ => new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Boolean]())
+      _ => new java.util.concurrent.ConcurrentHashMap[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        java.lang.Boolean]())
     perSession.computeIfAbsent(
-      ids.select(col(idCol)).queryExecution.analyzed.semanticHash(),
+      ids.select(col(idCol)).queryExecution.analyzed.canonicalized,
       _ => {
         val r = ids.agg(
           min(col(idCol).cast("long")).as("lo"),
@@ -54,7 +62,9 @@ object Pairs {
   private val probeCache =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession,
-        java.util.concurrent.ConcurrentHashMap[Int, java.lang.Boolean]]())
+        java.util.concurrent.ConcurrentHashMap[
+          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+          java.lang.Boolean]]())
 
   /** Distinct (i, j) candidate id pairs (i < j) from posting lists —
     * `listCol` is an array<long> of the ids sharing one bucket.

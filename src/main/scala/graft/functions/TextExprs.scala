@@ -336,14 +336,15 @@ object CountInSet {
 }
 
 /** Exact intersection cardinality of two BIGINT-array SETS in one
-  * compiled pass (copy + sort + merge scan — no per-element boxing,
-  * no order assumption on the inputs). The verification step of the
-  * prefix-filtered near-dup join: candidates surviving the prefix
-  * filter get their true overlap counted here, replacing the
-  * full posting-list pair counting (which had to stream EVERY
-  * co-occurrence, the quadratic unit) with a per-candidate O(k log k).
-  * Inputs must be duplicate-free (ShingleHash3 emits distinct hashes);
-  * with duplicates this counts matched occurrences, not set overlap.
+  * compiled pass. Already-ascending inputs (an O(k) check) merge-scan
+  * directly over the array data with ZERO copying or sorting — the
+  * hot path, since a document's set is intersected once per candidate
+  * pair it appears in and callers pre-sort with one `sort_array` per
+  * DOC (dedupNearPrefix does); unsorted inputs fall back to
+  * copy + sort + merge, keeping the SQL-facing function total with no
+  * order assumption. Inputs must be duplicate-free (ShingleHash3
+  * emits distinct hashes); with duplicates this counts matched
+  * occurrences, not set overlap.
   */
 case class IntersectCount(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
@@ -364,21 +365,46 @@ case class IntersectCount(left: Expression, right: Expression)
 }
 
 object IntersectCount {
-  def compute(a: ArrayData, b: ArrayData): Int = {
-    val x = a.toLongArray()
-    val y = b.toLongArray()
-    java.util.Arrays.sort(x)
-    java.util.Arrays.sort(y)
-    var i = 0
-    var j = 0
-    var cnt = 0
-    while (i < x.length && j < y.length) {
-      if (x(i) < y(j)) i += 1
-      else if (x(i) > y(j)) j += 1
-      else { cnt += 1; i += 1; j += 1 }
+  private def isAscending(a: ArrayData): Boolean = {
+    val n = a.numElements()
+    var i = 1
+    while (i < n) {
+      if (a.getLong(i - 1) > a.getLong(i)) return false
+      i += 1
     }
-    cnt
+    true
   }
+
+  def compute(a: ArrayData, b: ArrayData): Int =
+    if (isAscending(a) && isAscending(b)) {
+      val n = a.numElements()
+      val m = b.numElements()
+      var i = 0
+      var j = 0
+      var cnt = 0
+      while (i < n && j < m) {
+        val x = a.getLong(i)
+        val y = b.getLong(j)
+        if (x < y) i += 1
+        else if (x > y) j += 1
+        else { cnt += 1; i += 1; j += 1 }
+      }
+      cnt
+    } else {
+      val x = a.toLongArray()
+      val y = b.toLongArray()
+      java.util.Arrays.sort(x)
+      java.util.Arrays.sort(y)
+      var i = 0
+      var j = 0
+      var cnt = 0
+      while (i < x.length && j < y.length) {
+        if (x(i) < y(j)) i += 1
+        else if (x(i) > y(j)) j += 1
+        else { cnt += 1; i += 1; j += 1 }
+      }
+      cnt
+    }
 
   def intersectCount(s: SparkSession, a: Column, b: Column): Column = {
     TextExprs.register(s)

@@ -132,7 +132,14 @@ object LlmTextOps {
     * cores, while the prefix form's extra document passes cost more
     * than its pruning saves (measured, see dedupNearPrefix).
     */
-  def dedupNear(s: SparkSession, d: String): DataFrame = {
+  def dedupNear(s: SparkSession, d: String): DataFrame =
+    // the global sort is presentation-only — every internal consumer
+    // (survivors, components, the silver-table writers) reads the
+    // sort-free pair set and skips the range exchange
+    dedupNearPairs(s, d).orderBy("i", "j")
+
+  /** The near-dup pair set WITHOUT the final presentation sort. */
+  private[graft] def dedupNearPairs(s: SparkSession, d: String): DataFrame = {
     val hashed = shingleHashSets(s, d)
     // sizes map-side from the hash array: with the compiled expression
     // the re-scan per join branch is cheap, vs the explode + groupBy
@@ -172,7 +179,6 @@ object LlmTextOps {
         r6(col("inter") / (col("sz_i") + col("sz_j") - col("inter"))))
       .where(col("jaccard") >= 0.8)
       .select("i", "j", "jaccard")
-      .orderBy("i", "j")
   }
 
   /** Prefix-filtered exact near-dup join (Chaudhuri et al. SSJoin /
@@ -213,14 +219,18 @@ object LlmTextOps {
       .where(size(col("ds")) > 1)
     val cand = graft.engine.Pairs.distinctPairs(s, lists, "ds", wide)
     // verification: re-attach the FULL hash sets per candidate; set
-    // sizes come free as size(hs). Join strategy left to the
+    // sizes come free as size(hs). Sets are sorted ONCE PER DOC here
+    // (sort_array in the projection) so IntersectCount's
+    // ascending-input fast path runs a pure O(k) merge per candidate
+    // — a doc in m candidate pairs would otherwise be re-sorted m
+    // times inside the expression. Join strategy left to the
     // optimizer: at 100 TB both joins shuffle 8-byte ids + one pass
     // of the (silver) set table; candidates are O(true pairs).
     cand
-      .join(hashed.select(col("doc_id").as("i"), col("hs").as("hs_i")),
-        Seq("i"))
-      .join(hashed.select(col("doc_id").as("j"), col("hs").as("hs_j")),
-        Seq("j"))
+      .join(hashed.select(col("doc_id").as("i"),
+        sort_array(col("hs")).as("hs_i")), Seq("i"))
+      .join(hashed.select(col("doc_id").as("j"),
+        sort_array(col("hs")).as("hs_j")), Seq("j"))
       .withColumn("inter", graft.functions.IntersectCount
         .intersectCount(s, col("hs_i"), col("hs_j")).cast("long"))
       .withColumn("jaccard", r6(col("inter") /
@@ -238,7 +248,7 @@ object LlmTextOps {
     * reduction when full connected components aren't required.
     */
   def dedupSurvivors(s: SparkSession, d: String): DataFrame =
-    survivorsFromPairs(Tables.documents(s, d), dedupNear(s, d))
+    survivorsFromPairs(Tables.documents(s, d), dedupNearPairs(s, d))
 
   /** Survivor selection against an externally supplied (i, j) near-dup
     * pair set — the entry point for the silver-table pattern
@@ -270,7 +280,7 @@ object LlmTextOps {
     // dedupNear emits each (i, j) exactly once (pairs are the keys of
     // its count aggregation), so the fixpoint can skip its defensive
     // initial distinct — one fewer shuffle over the widest data
-    componentsFromPairs(s, dedupNear(s, d).select(col("i"), col("j")),
+    componentsFromPairs(s, dedupNearPairs(s, d).select(col("i"), col("j")),
       pairsDistinct = true)
 
   /** large-star: every node hands its strictly-larger neighbors to the

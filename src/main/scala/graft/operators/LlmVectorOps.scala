@@ -277,7 +277,8 @@ object LlmVectorOps {
     * oracle-expressible). Mean rounding rides the engine-wide `r6`
     * contract so the DuckDB oracle can mirror it bit-for-bit.
     */
-  private def withByteFeatures(s: SparkSession, docs: DataFrame): DataFrame =
+  private[operators] def withByteFeatures(s: SparkSession,
+      docs: DataFrame): DataFrame =
     docs
       .withColumn("bs",
         graft.functions.ByteStats.byteStats(s, encode(col("text"), "UTF-8")))

@@ -77,30 +77,24 @@ object MultimodalKernels {
     * string; the typed `Dataset[MediaFeatures]` API keeps the array.
     */
   def multimodalBatchFeatures(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .withColumn("bs", graft.functions.ByteStats.byteStats(
-        s, encode(col("text"), "UTF-8")))
-      .withColumn("n_bytes", col("bs.n_bytes"))
-      .withColumn("w", greatest(lit(1), col("n_bytes") % 640))
-      .withColumn("h",
-        greatest(lit(1), expr("CAST(n_bytes div 7 AS INT)") % 480))
-      // scale as its own column pins the op order (w * (64/max)), the
-      // same sequence the kernel and the DuckDB oracle run
-      .withColumn("scale",
-        lit(64.0) / greatest(col("w"), col("h")).cast("double"))
+    // byte stats, mean, and the stub decode dims come from the SAME
+    // shared projection multimodal_features uses
+    // (LlmVectorOps.withByteFeatures) — the fake-dims formula lives
+    // once on the declarative side, so a stub change cannot diverge
+    // the two queries (the kernel twin is pinned equal by spec).
+    // `scale` as its own column pins the op order (w * (64/max)), the
+    // same sequence the kernel and the DuckDB oracle run.
+    val docs = LlmVectorOps.withByteFeatures(s, Tables.documents(s, d))
+      .withColumn("scale", lit(64.0) /
+        greatest(col("fake_width"), col("fake_height")).cast("double"))
     docs.select(
       col("doc_id"), col("n_bytes"),
       concat_ws(",", col("bs.frames").cast("array<string>")).as("frames_csv"),
-      greatest(lit(1),
-        floor(col("w").cast("double") * col("scale") + lit(0.5)).cast("int"))
-        .as("thumb_w"),
-      greatest(lit(1),
-        floor(col("h").cast("double") * col("scale") + lit(0.5)).cast("int"))
-        .as("thumb_h"),
-      when(col("n_bytes") === 0, lit(0.0)).otherwise(
-        graft.engine.Determinism.r6(
-          col("bs.byte_sum").cast("double") / col("n_bytes").cast("double")))
-        .as("byte_mean"))
+      greatest(lit(1), floor(col("fake_width").cast("double") * col("scale")
+        + lit(0.5)).cast("int")).as("thumb_w"),
+      greatest(lit(1), floor(col("fake_height").cast("double") * col("scale")
+        + lit(0.5)).cast("int")).as("thumb_h"),
+      col("byte_mean"))
       .orderBy("doc_id")
   }
 }

@@ -25,7 +25,10 @@ object CorpusSilver {
     * (the `dedup_near` result: i, j, jaccard) as a silver parquet.
     */
   def writeNearDupPairs(s: SparkSession, sfDir: String, path: String): Unit =
-    LlmTextOps.dedupNear(s, sfDir).write.mode("overwrite").parquet(path)
+    // the sort-free pair set: dedup_near's global orderBy is
+    // presentation-only, and paying its range exchange before a write
+    // whose consumers never read in order is pure waste at scale
+    LlmTextOps.dedupNearPairs(s, sfDir).write.mode("overwrite").parquet(path)
 
   /** `dedup_survivors` reading the materialized pair table instead of
     * recomputing the shingle pipeline.
@@ -65,7 +68,8 @@ object CorpusSilver {
     */
   def writePairsBucketed(s: SparkSession, sfDir: String, table: String,
       buckets: Int): Unit =
-    Bucketing.writeBucketed(LlmTextOps.dedupNear(s, sfDir), table, "j", buckets)
+    Bucketing.writeBucketed(LlmTextOps.dedupNearPairs(s, sfDir), table, "j",
+      buckets)
 
   /** Documents as a bucketed silver table keyed by doc_id. */
   def writeDocumentsBucketed(s: SparkSession, sfDir: String, table: String,
