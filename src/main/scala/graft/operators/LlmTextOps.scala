@@ -393,19 +393,32 @@ object LlmTextOps {
     * Jaccard estimate. At 100 TB only the band join shuffles, and only
     * doc_id+band keys move.
     */
-  def dedupMinhash(s: SparkSession, d: String): DataFrame = {
+  def dedupMinhash(s: SparkSession, d: String): DataFrame =
+    dedupMinhashFromSignatures(s, minhashSignatures(s, d),
+      wide = graft.engine.Pairs.needsWideForm(
+        Tables.documents(s, d), "doc_id"))
+
+  /** Per-document 32-hash MinHash signatures — one compiled map-side
+    * pass over each doc's shingle SET (functions.MinHash32, same
+    * permutation family and element hash as the MinHashAgg aggregate
+    * twin, MinHashAggSpec-pinned equivalent). This is the write-once
+    * silver projection (`pipeline.CorpusSilver.writeSignatures`): at
+    * 100 TB every LSH consumer reads the materialized 32-long rows
+    * instead of re-shingling the corpus.
+    */
+  def minhashSignatures(s: SparkSession, d: String): DataFrame =
+    shingleSets(s, d).select(col("doc_id"),
+      graft.functions.MinHash32.minhash32FromSet(s, col("shs")).as("sig"))
+
+  /** The LSH band join + verification over an externally supplied
+    * (doc_id, sig) signature frame — the silver-table consumer entry
+    * point. `wide` gates the packed-pair fast path (see engine.Pairs);
+    * callers with a known id bound pass it directly.
+    */
+  def dedupMinhashFromSignatures(s: SparkSession, sigs: DataFrame,
+      wide: Boolean): DataFrame = {
     val nHashes = 32
     val nBands  = 8 // 4 rows/band
-    // Signature = one compiled map-side pass over each doc's shingle
-    // SET (functions.MinHash32, same permutation family and element
-    // hash as the MinHashAgg aggregate twin — MinHashAggSpec pins
-    // their equivalence): signatures are a projection of the document
-    // scan, so the only shuffles in this query are the band-bucket
-    // join and the final distinct. At 100 TB the signature table
-    // would be written once as a silver table instead of recomputed
-    // per consumer (see pipeline.CorpusSilver for the pattern).
-    val sigs = shingleSets(s, d).select(col("doc_id"),
-      graft.functions.MinHash32.minhash32FromSet(s, col("shs")).as("sig"))
     val banded = sigs.select(
       col("doc_id"), col("sig"),
       explode(expr(
@@ -421,9 +434,7 @@ object LlmTextOps {
     // key — no self-join, so there is no replicated build side to
     // outgrow broadcast at 100 TB. The 32-long signatures re-attach
     // afterwards so only ids ride the candidate shuffle; wide doc_ids
-    // auto-fall-back to the struct pair form (engine.Pairs).
-    val wide = graft.engine.Pairs.needsWideForm(
-      Tables.documents(s, d), "doc_id")
+    // ride the struct pair form (engine.Pairs).
     val lists = banded.select(col("doc_id"), col("band"), col("bh"))
       .groupBy(col("band"), col("bh"))
       .agg(collect_list(col("doc_id")).as("ds"))

@@ -57,6 +57,22 @@ object CorpusSilver {
     LlmTextOps.corpusFilterFromSurvivors(s, sfDir,
       survivors(s, sfDir, pairsPath))
 
+  /** Write the per-document MinHash signature table (doc_id, 32-long
+    * sig) — the other write-once silver projection: relabeling
+    * thresholds, re-banding, or any new LSH consumer reads 32 longs
+    * per doc instead of re-shingling the corpus.
+    */
+  def writeSignatures(s: SparkSession, sfDir: String, path: String): Unit =
+    LlmTextOps.minhashSignatures(s, sfDir)
+      .write.mode("overwrite").parquet(path)
+
+  /** `dedup_minhash` served from the materialized signature table. */
+  def dedupMinhash(s: SparkSession, sigsPath: String): DataFrame = {
+    val sigs = s.read.parquet(sigsPath)
+    LlmTextOps.dedupMinhashFromSignatures(s, sigs,
+      wide = graft.engine.Pairs.needsWideForm(sigs, "doc_id"))
+  }
+
   /** Bucketed silver layout: pay the shuffle ONCE at write time.
     * Pairs bucket on the removal key `j`, documents on `doc_id`, same
     * bucket count — the consumer's distinct and anti-join then both

@@ -136,6 +136,19 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("CorpusSilver: dedup_minhash from the signature silver table matches inline") {
+    import graft.pipeline.CorpusSilver
+    val tmp = Files.createTempDirectory("graft_sigs").toString
+    CorpusSilver.writeSignatures(spark, TestSpark.sf0001, s"$tmp/sigs")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val fromSilver = rows(CorpusSilver.dedupMinhash(spark, s"$tmp/sigs"))
+    val inline = rows(graft.operators.LlmTextOps
+      .dedupMinhash(spark, TestSpark.sf0001))
+    assert(fromSilver.nonEmpty)
+    assert(fromSilver == inline)
+  }
+
   test("CorpusSilver: survivors from a materialized pair table match the inline pipeline") {
     import graft.pipeline.CorpusSilver
     val tmp = Files.createTempDirectory("graft_silver").toString
