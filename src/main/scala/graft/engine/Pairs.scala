@@ -44,44 +44,67 @@ object Pairs {
     * fail-fast — never to silently wrong pairs.
     */
   def needsWideForm(ids: DataFrame, idCol: String): Boolean = {
+    // cache key = the file roots of every leaf + the probed column's
+    // schema: session-free strings (a plan object would strongly
+    // reference the SparkSession through its file relations,
+    // defeating the weak keying below) with source identity spelled
+    // out — a plan's toString TRUNCATES the location, so two
+    // different parquet tables would otherwise collide on one key
+    // and reuse the wrong verdict. Plans with any non-file leaf
+    // (in-memory test frames, views over synthetic data) return None
+    // and are probed every call: that probe is cheap exactly when
+    // the data isn't a 100 TB file source. The probe job itself runs
+    // OUTSIDE the map's locks (computeIfAbsent would hold a bin lock
+    // for the job's whole duration — minutes at scale, stalling
+    // unrelated same-bin probes); the race cost is only an
+    // occasional duplicate probe of the same answer.
+    val projected = ids.select(col(idCol))
+    val key = cacheKey(projected.queryExecution.analyzed)
     val perSession = probeCache.computeIfAbsent(ids.sparkSession,
-      _ => new java.util.concurrent.ConcurrentHashMap[
-        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      _ => new java.util.concurrent.ConcurrentHashMap[String,
         java.lang.Boolean]())
-    perSession.computeIfAbsent(
-      ids.select(col(idCol)).queryExecution.analyzed.canonicalized,
-      _ => {
+    key.flatMap(k => Option(perSession.get(k))) match {
+      case Some(cached) => cached.booleanValue()
+      case None =>
         val r = ids.agg(
           min(col(idCol).cast("long")).as("lo"),
           max(col(idCol).cast("long")).as("hi")).head()
-        !r.isNullAt(0) &&
+        val wide = !r.isNullAt(0) &&
           (r.getLong(0) < 0L || r.getLong(1) > Int.MaxValue.toLong)
-      }).booleanValue()
+        key.foreach(k =>
+          perSession.putIfAbsent(k, java.lang.Boolean.valueOf(wide)))
+        wide
+    }
+  }
+
+  private def cacheKey(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[String] = {
+    val roots = plan.collectLeaves().map {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            Some(fs.location.rootPaths.mkString(";"))
+          case _ => None
+        }
+      case _ => None
+    }
+    if (roots.nonEmpty && roots.forall(_.isDefined))
+      Some(roots.flatten.mkString("|") + "#" + plan.schema.catalogString)
+    else None
   }
 
   private val probeCache =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession,
-        java.util.concurrent.ConcurrentHashMap[
-          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-          java.lang.Boolean]]())
+        java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]]())
 
   /** Distinct (i, j) candidate id pairs (i < j) from posting lists —
     * `listCol` is an array<long> of the ids sharing one bucket.
     */
   def distinctPairs(s: SparkSession, lists: DataFrame, listCol: String,
       wide: Boolean): DataFrame =
-    if (wide)
-      lists.select(explode(graft.functions.PairCombinations.pairs(
-          s, sort_array(col(listCol)))).as("p"))
-        .distinct()
-        .select(col("p.i").as("i"), col("p.j").as("j"))
-    else
-      lists.select(explode(graft.functions.PackedPairs.packedPairs(
-          s, col(listCol))).as("pp"))
-        .distinct()
-        .select(shiftright(col("pp"), 32).as("i"),
-          col("pp").bitwiseAND(lit(0xffffffffL)).as("j"))
+    unpack(explodedPairs(s, lists, listCol, wide).distinct(), wide)
 
   /** (i, j, `cntName`) pair co-occurrence counts from posting lists —
     * the Jaccard-numerator shape (a pair appears once per shared
@@ -89,15 +112,29 @@ object Pairs {
     */
   def countedPairs(s: SparkSession, lists: DataFrame, listCol: String,
       cntName: String, wide: Boolean): DataFrame =
+    unpack(explodedPairs(s, lists, listCol, wide)
+      .groupBy(col("p")).agg(count(lit(1)).as(cntName)), wide, col(cntName))
+
+  /** One exploded pair column "p" per C(k,2) combination — a packed
+    * long on the fast path, a struct<i,j> on the wide path. The
+    * aggregation (distinct vs count) goes on top; [[unpack]] recovers
+    * (i, j) either way, so the two public shapes share one pipeline.
+    */
+  private def explodedPairs(s: SparkSession, lists: DataFrame,
+      listCol: String, wide: Boolean): DataFrame =
     if (wide)
       lists.select(explode(graft.functions.PairCombinations.pairs(
-          s, sort_array(col(listCol)))).as("p"))
-        .groupBy(col("p")).agg(count(lit(1)).as(cntName))
-        .select(col("p.i").as("i"), col("p.j").as("j"), col(cntName))
+        s, sort_array(col(listCol)))).as("p"))
     else
       lists.select(explode(graft.functions.PackedPairs.packedPairs(
-          s, col(listCol))).as("pp"))
-        .groupBy(col("pp")).agg(count(lit(1)).as(cntName))
-        .select(shiftright(col("pp"), 32).as("i"),
-          col("pp").bitwiseAND(lit(0xffffffffL)).as("j"), col(cntName))
+        s, col(listCol))).as("p"))
+
+  private def unpack(pairs: DataFrame, wide: Boolean,
+      extra: org.apache.spark.sql.Column*): DataFrame = {
+    val ij =
+      if (wide) Seq(col("p.i").as("i"), col("p.j").as("j"))
+      else Seq(shiftright(col("p"), 32).as("i"),
+        col("p").bitwiseAND(lit(0xffffffffL)).as("j"))
+    pairs.select(ij ++ extra: _*)
+  }
 }

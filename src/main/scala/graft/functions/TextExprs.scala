@@ -180,6 +180,12 @@ case class PackedPairs(child: Expression) extends UnaryExpression {
     org.apache.spark.sql.types.LongType, containsNull = false)
   override def prettyName: String = "graft_packed_pairs"
 
+  // getLong on a narrower array reads misaligned slots — reject at
+  // analysis time instead of emitting garbage pairs
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprs.requireLongArray(prettyName, child.dataType)
+
   override def nullSafeEval(input: Any): Any =
     PackedPairs.compute(input.asInstanceOf[ArrayData])
 
@@ -236,6 +242,10 @@ object PackedPairs {
   * declarative form (`TextExprsSpec` pins the equivalence).
   */
 case class PairCombinations(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprs.requireLongArray(prettyName, child.dataType)
 
   override def dataType: DataType = ArrayType(
     org.apache.spark.sql.types.StructType(Seq(
@@ -352,6 +362,13 @@ case class IntersectCount(left: Expression, right: Expression)
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def prettyName: String = "graft_intersect_count"
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val l = TextExprs.requireLongArray(prettyName, left.dataType)
+    if (l.isSuccess) TextExprs.requireLongArray(prettyName, right.dataType)
+    else l
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any =
     IntersectCount.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
@@ -375,35 +392,32 @@ object IntersectCount {
     true
   }
 
+  // Function1[Int, Long] is @specialized, so the accessor indirection
+  // stays boxing-free in both paths
+  private def mergeCount(n: Int, m: Int,
+      ga: Int => Long, gb: Int => Long): Int = {
+    var i = 0
+    var j = 0
+    var cnt = 0
+    while (i < n && j < m) {
+      val x = ga(i)
+      val y = gb(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { cnt += 1; i += 1; j += 1 }
+    }
+    cnt
+  }
+
   def compute(a: ArrayData, b: ArrayData): Int =
-    if (isAscending(a) && isAscending(b)) {
-      val n = a.numElements()
-      val m = b.numElements()
-      var i = 0
-      var j = 0
-      var cnt = 0
-      while (i < n && j < m) {
-        val x = a.getLong(i)
-        val y = b.getLong(j)
-        if (x < y) i += 1
-        else if (x > y) j += 1
-        else { cnt += 1; i += 1; j += 1 }
-      }
-      cnt
-    } else {
+    if (isAscending(a) && isAscending(b))
+      mergeCount(a.numElements(), b.numElements(), a.getLong, b.getLong)
+    else {
       val x = a.toLongArray()
       val y = b.toLongArray()
       java.util.Arrays.sort(x)
       java.util.Arrays.sort(y)
-      var i = 0
-      var j = 0
-      var cnt = 0
-      while (i < x.length && j < y.length) {
-        if (x(i) < y(j)) i += 1
-        else if (x(i) > y(j)) j += 1
-        else { cnt += 1; i += 1; j += 1 }
-      }
-      cnt
+      mergeCount(x.length, y.length, x(_), y(_))
     }
 
   def intersectCount(s: SparkSession, a: Column, b: Column): Column = {
@@ -413,6 +427,20 @@ object IntersectCount {
 }
 
 object TextExprs {
+  /** Shared analysis-time gate for the expressions that read 8-byte
+    * array slots directly (`getLong`): anything but array<bigint>
+    * would read misaligned data, so reject it loudly instead.
+    */
+  private[functions] def requireLongArray(name: String, dt: DataType)
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    dt match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$name requires array<bigint>, got ${other.catalogString}")
+    }
+
   def register(s: SparkSession): Unit = {
     // Guard each name individually: a session built via GraftExtensions
     // already has graft_shingle3 injected but not the other two, so a

@@ -415,10 +415,16 @@ object LlmTextOps {
     * point. `wide` gates the packed-pair fast path (see engine.Pairs);
     * callers with a known id bound pass it directly.
     */
-  def dedupMinhashFromSignatures(s: SparkSession, sigs: DataFrame,
+  def dedupMinhashFromSignatures(s: SparkSession, rawSigs: DataFrame,
       wide: Boolean): DataFrame = {
     val nHashes = 32
     val nBands  = 8 // 4 rows/band
+    // normalize the id width up front: an externally written silver
+    // table may carry doc_id as INT32, and the packed-pair expressions
+    // read 8-byte slots (they type-check array<bigint> and would
+    // reject the narrower explode otherwise)
+    val sigs = rawSigs.select(
+      col("doc_id").cast("long").as("doc_id"), col("sig"))
     val banded = sigs.select(
       col("doc_id"), col("sig"),
       explode(expr(

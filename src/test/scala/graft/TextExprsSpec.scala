@@ -221,6 +221,22 @@ class TextExprsSpec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("long-array expressions reject narrower element types at analysis time") {
+    // the expressions read 8-byte array slots directly; an INT32 id
+    // column (e.g. an externally written silver table) must fail
+    // analysis loudly, not read misaligned data
+    graft.functions.TextExprs.register(spark)
+    for (sql <- Seq(
+        "SELECT graft_packed_pairs(array(1, 2))",
+        "SELECT graft_pairs(array(1, 2))",
+        "SELECT graft_intersect_count(array(1L), array(1))")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(sql).collect()
+      }
+      assert(e.getMessage.contains("array<bigint>"), s"$sql: ${e.getMessage}")
+    }
+  }
+
   test("IntersectCount equals reference set intersection on random arrays") {
     val rnd = new scala.util.Random(31)
     val cases = Seq(
