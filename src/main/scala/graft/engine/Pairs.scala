@@ -33,17 +33,30 @@ object Pairs {
     * keep construction lazy by passing `wide` to the generators
     * directly.
     *
-    * Memoized per (session, canonical plan of the probed column):
-    * every dedup-family query probes the same source table, so the
-    * scan runs once per session, not once per query. The key is the
-    * CANONICALIZED PLAN ITSELF (structural equality), not its int
-    * hash — a hash-collision entry could mis-report in either
-    * direction, while a stale entry for the same plan (source files
-    * rewritten in place with wider ids mid-session) can only
-    * under-report width, which degrades to PackedPairs' loud
-    * fail-fast — never to silently wrong pairs.
+    * The probe can be skipped entirely (keeping DataFrame
+    * construction fully lazy — e.g. for plan-only inspection) via the
+    * session conf `spark.graft.pairs.wideForm`: `wide` forces the
+    * always-correct struct form, `packed` asserts the caller's ids
+    * fit 31 bits (misassertion degrades to PackedPairs' loud
+    * fail-fast, never wrong pairs), `auto` (default) probes.
+    *
+    * Memoized per (session, file roots + probed schema) — but ONLY
+    * when the plan between the probed column and its file leaves is
+    * row-preserving (projections/aliases): a verdict measured through
+    * a Filter/Limit/Join would describe a subset of the files, and a
+    * later full-table probe of the same root would wrongly reuse its
+    * (possibly narrower) answer. Non-row-preserving plans are probed
+    * every call. A stale cached entry for the same files (rewritten
+    * in place with wider ids mid-session) can only under-report
+    * width, which degrades to PackedPairs' loud fail-fast — never to
+    * silently wrong pairs.
     */
   def needsWideForm(ids: DataFrame, idCol: String): Boolean = {
+    ids.sparkSession.conf.get(WideFormConf, "auto") match {
+      case "wide"   => return true
+      case "packed" => return false
+      case _        => ()
+    }
     // cache key = the file roots of every leaf + the probed column's
     // schema: session-free strings (a plan object would strongly
     // reference the SparkSession through its file relations,
@@ -77,9 +90,24 @@ object Pairs {
     }
   }
 
+  /** Public name of the probe-bypass conf (see [[needsWideForm]]). */
+  val WideFormConf = "spark.graft.pairs.wideForm"
+
   private def cacheKey(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : Option[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Project, SubqueryAlias}
+    // a cached verdict must describe the FILES, so it is only sound
+    // when every row of the leaves reaches the probe: any
+    // row-dropping/row-adding node (Filter, Limit, Join, Sample, …)
+    // above the leaves means a narrow filtered probe could cache
+    // wide=false for the root and a later full-table consumer would
+    // take the packed path into the mid-job fail-fast
+    val rowPreserving = plan.collect {
+      case _: Project | _: SubqueryAlias => ()
+      case lr if lr.children.isEmpty     => ()
+    }.size == plan.collect { case _ => () }.size
+    if (!rowPreserving) return None
     val roots = plan.collectLeaves().map {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         lr.relation match {

@@ -145,6 +145,20 @@ case class ByteStats(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ByteStats.schema
   override def prettyName: String = "graft_byte_stats"
 
+  // the compute helper casts straight to Array[Byte]: anything but
+  // binary would surface as a runtime ClassCastException mid-job —
+  // reject at analysis time instead (same posture as requireLongArray
+  // on the pair expressions)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires binary, got ${other.catalogString}")
+    }
+
   override def nullSafeEval(input: Any): Any =
     ByteStats.compute(input.asInstanceOf[Array[Byte]])
 

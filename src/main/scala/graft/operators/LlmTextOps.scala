@@ -256,12 +256,20 @@ object LlmTextOps {
     * and every consumer anti-joins against it instead of re-running
     * the shingle pipeline.
     */
-  def survivorsFromPairs(docs: DataFrame, pairs: DataFrame): DataFrame = {
+  def survivorsFromPairs(docs: DataFrame, pairs: DataFrame): DataFrame =
+    survivorsCore(docs, pairs).orderBy("doc_id")
+
+  /** The selection rule itself, without the presentation sort — the
+    * single definition both [[survivorsFromPairs]] and the
+    * zero-exchange bucketed consumer (`CorpusSilver.survivorsBucketed`)
+    * share, so the removal-key convention (drop every `j`, i.e. the
+    * larger id of each pair) can never drift between them.
+    */
+  private[graft] def survivorsCore(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val removed = pairs.select(col("j").as("doc_id")).distinct()
     docs
       .join(removed, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source", "n_chars")
-      .orderBy("doc_id")
   }
 
   /** `dedup_components` — connected-components survivor labeling over

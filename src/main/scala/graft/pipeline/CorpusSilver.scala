@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
 
 import graft.engine.{Bucketing, Tables}
 import graft.operators.LlmTextOps
@@ -101,11 +100,10 @@ object CorpusSilver {
     * presentation order sort their final, already-tiny result.
     */
   def survivorsBucketed(s: SparkSession, docsTable: String,
-      pairsTable: String): DataFrame = {
-    val removed = s.table(pairsTable)
-      .select(col("j").as("doc_id")).distinct()
-    s.table(docsTable)
-      .join(removed, Seq("doc_id"), "left_anti")
-      .select("doc_id", "lang", "source", "n_chars")
-  }
+      pairsTable: String): DataFrame =
+    // same selection core as survivorsFromPairs (shared so the
+    // removal-key rule can't drift), minus the presentation sort — a
+    // global sort is a range exchange, and this entry point exists to
+    // plan with zero exchanges off the bucketed layout
+    LlmTextOps.survivorsCore(s.table(docsTable), s.table(pairsTable))
 }

@@ -91,6 +91,45 @@ class DedupPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("a filtered narrow probe does not poison the wide-form cache for the full table") {
+    import spark.implicits._
+    val base = 1L << 31
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wide-cache").toString
+    try {
+      Seq((1L, "a"), (2L, "b"), (base + 5, "c"))
+        .toDF("doc_id", "text")
+        .write.parquet(s"$tmp/documents.parquet")
+      val full = spark.read.parquet(s"$tmp/documents.parquet")
+      // probe a narrow SUBSET of the same files first: were its
+      // verdict cached under the file-root key, the full-table probe
+      // below would reuse wide=false and take the packed path into
+      // PackedPairs' mid-job crash
+      assert(!graft.engine.Pairs.needsWideForm(
+        full.where(col("doc_id") < base), "doc_id"))
+      assert(graft.engine.Pairs.needsWideForm(full, "doc_id"))
+      // and the cached full-table verdict stays correct on re-probe
+      assert(graft.engine.Pairs.needsWideForm(full, "doc_id"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("spark.graft.pairs.wideForm bypasses the construction-time probe") {
+    import spark.implicits._
+    val conf = graft.engine.Pairs.WideFormConf
+    // a frame that CANNOT be probed without failing makes the bypass
+    // observable: if the conf short-circuits, no job ever runs
+    val unprobeable = Seq(1L).toDF("doc_id")
+      .withColumn("doc_id",
+        expr("CASE WHEN doc_id = 1 THEN assert_true(false) ELSE 0L END"))
+    try {
+      spark.conf.set(conf, "wide")
+      assert(graft.engine.Pairs.needsWideForm(unprobeable, "doc_id"))
+      spark.conf.set(conf, "packed")
+      assert(!graft.engine.Pairs.needsWideForm(unprobeable, "doc_id"))
+    } finally spark.conf.unset(conf)
+  }
+
   test("component labels are idempotent: relabeling the star edges is a no-op") {
     val labeled = LlmTextOps.dedupComponents(spark, sf)
     val asPairs = labeled

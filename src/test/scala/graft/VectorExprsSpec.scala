@@ -139,6 +139,23 @@ class VectorExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("ByteStats rejects non-binary input at analysis time") {
+    // without the type gate a string/int child would surface as a
+    // runtime ClassCastException mid-job instead of a clean error
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(("abc", 1)).toDF("s", "n")
+        .select(graft.functions.ByteStats.byteStats(spark, $"s"))
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("graft_byte_stats"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(("abc", 1)).toDF("s", "n")
+        .select(graft.functions.ByteStats.byteStats(spark, $"n"))
+        .collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("binary"))
+  }
+
   test("fakeDecode is deterministic and total") {
     val b = "hello world".getBytes("UTF-8")
     assert(LlmVectorOps.fakeDecode(b) == LlmVectorOps.fakeDecode(b))
