@@ -241,6 +241,41 @@ object LlmTextOps {
       .orderBy("i", "j")
   }
 
+  /** Measured crossover between the counted and prefix-filtered exact
+    * near-dup joins, in average distinct shingles per document (k):
+    * below it the counted form wins (fixed costs dominate, the full
+    * pair stream is cheap — measured 1.9 s vs 2.4 s at sf0.1 where
+    * k ≈ 5); above it the prefix form's pruning pays for its two extra
+    * document passes (prefix length shrinks to ~(1−t)·k ≈ k/5 of the
+    * posting mass at t = 0.8, so the quadratic pair stream collapses
+    * 25×). BASELINE.md's round-4/5 scale tables carry the numbers.
+    */
+  private[graft] val NearDupPrefixCrossoverK = 100.0
+
+  /** Which exact near-dup join form [[dedupNearAuto]] picks for this
+    * corpus: one cheap stats aggregation (avg distinct shingles/doc —
+    * a single-column scan, the same class of construction-time probe
+    * as `engine.Pairs.needsWideForm`) against the measured crossover.
+    */
+  private[graft] def nearDupJoinForm(s: SparkSession, d: String): String = {
+    val avgK = Option(shingleHashSets(s, d)
+      .agg(avg(size(col("hs")))).head().get(0))
+      .map(_.asInstanceOf[Double]).getOrElse(0.0)
+    if (avgK >= NearDupPrefixCrossoverK) "prefix" else "counted"
+  }
+
+  /** [[dedupNear]] with the join form auto-selected per corpus: the
+    * counted formulation below the measured crossover (avg distinct
+    * shingles/doc < 100), the AllPairs prefix formulation above it.
+    * Both forms emit the identical exact pair set
+    * (DedupPropertiesSpec pins all three equal), so the choice is
+    * purely a cost decision — this entry point makes it from corpus
+    * stats instead of asking the user to know the crossover.
+    */
+  def dedupNearAuto(s: SparkSession, d: String): DataFrame =
+    if (nearDupJoinForm(s, d) == "prefix") dedupNearPrefix(s, d)
+    else dedupNear(s, d)
+
   /** `dedup_survivors` — the dedup *output*: one survivor per
     * near-dup group, greedy keep-smallest-id policy (a doc survives
     * iff it has no near-dup with a smaller id). Deterministic and
@@ -338,10 +373,22 @@ object LlmTextOps {
     * a 2⁻⁶⁴ false-convergence posture, same class as the digest
     * queries. At the fixpoint every tree is a star rooted at its
     * component minimum, so the edge set IS the labeling.
+    *
+    * `reliableCheckpoint = true` switches the per-round lineage
+    * truncation from `localCheckpoint` (executor-local blocks — fast,
+    * but a lost executor kills the job past round 1 because earlier
+    * rounds' blocks are unrecoverable) to `Dataset.checkpoint` against
+    * the session's configured checkpoint directory (HDFS/S3 on a real
+    * cluster), which survives executor loss — the setting a multi-hour
+    * 100 TB labeling run should use. Requires
+    * `SparkContext.setCheckpointDir` to have been called; each round
+    * writes one edge-set snapshot there (old rounds are only
+    * auto-removed with `spark.cleaner.referenceTracking.cleanCheckpoints`).
     */
   def componentsFromPairs(s: SparkSession, pairs: DataFrame,
-      pairsDistinct: Boolean = false): DataFrame =
-    componentsFixpoint(s, pairs, pairsDistinct)._1
+      pairsDistinct: Boolean = false,
+      reliableCheckpoint: Boolean = false): DataFrame =
+    componentsFixpoint(s, pairs, pairsDistinct, reliableCheckpoint)._1
 
   /** [[componentsFromPairs]] plus the number of large∘small rounds the
     * fixpoint took — exposed so ComponentsSpec can gate the O(log n)
@@ -352,7 +399,12 @@ object LlmTextOps {
     * pair appears once, as dedupNear does).
     */
   private[graft] def componentsFixpoint(s: SparkSession, pairs: DataFrame,
-      pairsDistinct: Boolean = false): (DataFrame, Int) = {
+      pairsDistinct: Boolean = false,
+      reliableCheckpoint: Boolean = false): (DataFrame, Int) = {
+    if (reliableCheckpoint) require(
+      s.sparkContext.getCheckpointDir.isDefined,
+      "componentsFromPairs(reliableCheckpoint = true) needs " +
+        "SparkContext.setCheckpointDir (a cluster-visible path)")
     def checksum(e: DataFrame): (Long, Long) = {
       val r = e.agg(
         count(lit(1)),
@@ -361,25 +413,30 @@ object LlmTextOps {
     }
     // orient big → small so an already-converged input is a fixpoint
     // of iteration 1 (small-star preserves star graphs). Each round is
-    // localCheckpoint'ed: without lineage truncation the logical plan
-    // nests one level per round and Catalyst/AQE planning goes
-    // super-linear (measured: minutes at round ~10 on a 3-edge input).
-    // On a real cluster use spark.checkpoint (reliable) instead —
-    // localCheckpoint loses blocks on executor death.
-    // lazy checkpoints: the checksum action right after is what
-    // materializes each round's edge set, so every round costs ONE
-    // job instead of an eager-checkpoint job plus the checksum job
+    // checkpointed: without lineage truncation the logical plan nests
+    // one level per round and Catalyst/AQE planning goes super-linear
+    // (measured: minutes at round ~10 on a 3-edge input).
+    // localCheckpoint (default) keeps blocks executor-local — the
+    // single-node/bench shape; reliableCheckpoint writes rounds to the
+    // configured checkpoint dir so a multi-hour cluster run survives
+    // executor death (see componentsFromPairs). Both are LAZY: the
+    // checksum action right after materializes each round's edge set,
+    // so the local path costs ONE job per round. The reliable path
+    // additionally pays Spark's checkpoint-write job after that first
+    // action (the round recomputes once to persist) — the durability
+    // price, worth it exactly when rounds are hours, not seconds.
+    def truncate(e: DataFrame): DataFrame =
+      if (reliableCheckpoint) e.checkpoint(false) else e.localCheckpoint(false)
     val oriented = pairs
       .select(greatest(col("i"), col("j")).as("u"),
         least(col("i"), col("j")).as("v"))
       .where(col("u") =!= col("v"))
-    var edges = (if (pairsDistinct) oriented else oriented.distinct())
-      .localCheckpoint(false)
+    var edges = truncate(if (pairsDistinct) oriented else oriented.distinct())
     var cs = checksum(edges)
     var stable = false
     var iter = 0
     while (!stable && iter < 50) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(false)
+      val next = truncate(smallStar(largeStar(edges)))
       val ncs = checksum(next)
       edges.unpersist()
       edges = next

@@ -40,11 +40,16 @@ object CorpusSilver {
     * table (the `dedup_components` consumer path): the fixpoint loop
     * runs over the silver parquet, so relabeling after a threshold or
     * policy change never re-runs the shingle pipeline.
+    * `reliableCheckpoint` is the cluster setting — per-round snapshots
+    * go to the configured checkpoint dir instead of executor-local
+    * blocks, so the multi-hour relabel survives executor loss (see
+    * `LlmTextOps.componentsFromPairs`).
     */
-  def components(s: SparkSession, sfDir: String,
-      pairsPath: String): DataFrame =
+  def components(s: SparkSession, sfDir: String, pairsPath: String,
+      reliableCheckpoint: Boolean = false): DataFrame =
     LlmTextOps.componentsFromPairs(s,
-      s.read.parquet(pairsPath).select("i", "j"))
+      s.read.parquet(pairsPath).select("i", "j"),
+      reliableCheckpoint = reliableCheckpoint)
 
   /** The full `corpus_filter` capstone served from the silver pair
     * table: one shingle pass ever (at `writeNearDupPairs` time), then

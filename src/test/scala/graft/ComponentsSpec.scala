@@ -106,6 +106,38 @@ class ComponentsSpec extends AnyFunSuite {
     assert(labeled.count() == n)
   }
 
+  test("reliable-checkpoint rounds produce the identical labeling") {
+    // the cluster setting: per-round lineage truncation goes through
+    // Dataset.checkpoint against a checkpoint dir (survives executor
+    // loss) instead of executor-local blocks — same fixpoint, same
+    // rounds, files actually written
+    val pairs = ((0L until 40L).map(k => (k, k + 1)) // path: multi-round
+      ++ Seq((100L, 101L), (101L, 102L))).toDF("i", "j")
+    val expected = LlmTextOps.componentsFromPairs(spark, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // without a checkpoint dir the reliable path must refuse loudly,
+    // not fall back to local blocks
+    assert(spark.sparkContext.getCheckpointDir.isEmpty)
+    intercept[IllegalArgumentException] {
+      LlmTextOps.componentsFromPairs(spark, pairs, reliableCheckpoint = true)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    try {
+      spark.sparkContext.setCheckpointDir(dir)
+      val (labeled, rounds) = LlmTextOps.componentsFixpoint(
+        spark, pairs, reliableCheckpoint = true)
+      val got = labeled.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected)
+      assert(rounds >= 2) // multi-round: the reliable path truncated lineage
+      // the rounds really went through the reliable store
+      val files = org.apache.commons.io.FileUtils.listFiles(
+        new java.io.File(dir), null, true)
+      assert(!files.isEmpty, "no checkpoint files written")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("labeling is invariant to shuffle partitioning (4 vs 32)") {
     // the fixpoint loop is iterative — pin that partition count (and
     // with it task scheduling / round internals) cannot perturb the

@@ -91,6 +91,39 @@ class DedupPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupNearAuto routes by corpus shingle stats and matches both forms") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    // this corpus averages ~5 distinct shingles/doc — far below the
+    // crossover, so auto must pick the counted form and emit the
+    // identical pair set
+    assert(LlmTextOps.nearDupJoinForm(spark, sf) == "counted")
+    assert(rows(LlmTextOps.dedupNearAuto(spark, sf)) ==
+      rows(LlmTextOps.dedupNear(spark, sf)))
+
+    // a long-document corpus (~150 distinct shingles/doc) crosses it:
+    // auto must flip to the prefix form, still the same exact output
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-long-docs").toString
+    try {
+      val a = (0 until 150).map(i => s"tok$i").mkString(" ")
+      val b = ((0 until 149).map(i => s"tok$i") :+ "changed").mkString(" ")
+      val c = (0 until 150).map(i => s"other$i").mkString(" ")
+      Seq((1L, a), (2L, b), (3L, c))
+        .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$tmp/documents.parquet")
+      assert(LlmTextOps.nearDupJoinForm(spark, tmp) == "prefix")
+      val auto = rows(LlmTextOps.dedupNearAuto(spark, tmp))
+      assert(auto == rows(LlmTextOps.dedupNear(spark, tmp)))
+      assert(auto == rows(LlmTextOps.dedupNearPrefix(spark, tmp)))
+      assert(auto.map(t => (t._1, t._2)) == Seq((1L, 2L)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("a filtered narrow probe does not poison the wide-form cache for the full table") {
     import spark.implicits._
     val base = 1L << 31

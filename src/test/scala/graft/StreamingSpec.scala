@@ -53,6 +53,56 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("S1 watermark boundary: window stays open 1 us before close, flushes and drops at exactly it") {
+    // pins the exact drop/keep rule the reference sidesteps (event
+    // time assigned at fetch, dataCollector.py:106, so it can never
+    // see late data): a window [10:00, 11:00) accepts late ticks
+    // while watermark < 11:00:00 — even 1 us less — and at watermark
+    // == 11:00:00.000000 exactly it flushes and every further tick
+    // for it is dropped
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Tick]
+    val q = StreamingOhlc.hourlyOhlcStream(in.toDF())
+      .writeStream.format("memory").queryName("s1b_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Tick(ts("2024-01-01 10:00:05"), "BTCUSDT", 50000.0))
+      q.processAllAvailable()
+      // advance the watermark to 10:59:59.999999 — 1 us BEFORE the
+      // hour-10 window end (delay is 10 min)
+      in.addData(Tick(Timestamp.valueOf("2024-01-01 11:09:59.999999"),
+        "ETHUSDT", 1.0))
+      q.processAllAvailable()
+      // a tick 30 min behind the watermark, but inside the still-open
+      // window: MUST be aggregated, not dropped (lateness is judged
+      // against the window end, not the row timestamp)
+      in.addData(Tick(ts("2024-01-01 10:30:00"), "BTCUSDT", 52000.0))
+      q.processAllAvailable()
+      assert(spark.sql(
+        "SELECT * FROM s1b_out WHERE symbol = 'BTCUSDT'").count() == 0,
+        "window flushed early: watermark is still 1 us before its end")
+      // +1 us: watermark lands EXACTLY on the window end -> flush,
+      // with the late 10:30 tick included
+      in.addData(Tick(Timestamp.valueOf("2024-01-01 11:10:00.0"),
+        "ETHUSDT", 1.0))
+      q.processAllAvailable()
+      val flushed = spark.sql(
+        "SELECT * FROM s1b_out WHERE symbol = 'BTCUSDT'").collect()
+      assert(flushed.length == 1, flushed.mkString("; "))
+      assert(flushed.head.getAs[Long]("sample_count") == 2L,
+        "the 1-us-early late tick must be inside the flush")
+      assert(flushed.head.getAs[Double]("high_price") == 52000.0)
+      // any tick for the closed window — even 1 s inside it — is now
+      // dropped: the no-late-data analog of the reference
+      in.addData(Tick(ts("2024-01-01 10:59:59"), "BTCUSDT", 1.0))
+      q.processAllAvailable()
+      assert(spark.sql(
+        "SELECT * FROM s1b_out WHERE symbol = 'BTCUSDT'").count() == 1,
+        "tick for an exactly-closed window must be dropped")
+    } finally q.stop()
+  }
+
   test("S3 streaming_sessionize: session closes after 30 min gap, one row per session") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
