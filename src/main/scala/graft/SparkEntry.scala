@@ -77,6 +77,7 @@ object SparkEntry {
     "corpus_filter"       -> (LlmTextOps.corpusFilter _),
     "dedup_minhash"       -> (LlmTextOps.dedupMinhash _),
     "dedup_simhash"       -> (LlmTextOps.dedupSimhash _),
+    "dedup_simhash_portable" -> (LlmTextOps.dedupSimhashPortable _),
     "text_stats"          -> (LlmTextOps.textStats _),
     "lang_id"             -> (LlmTextOps.langId _),
     "text_quality"        -> (LlmTextOps.textQuality _),
@@ -105,7 +106,11 @@ object SparkEntry {
     * dedup_simhash, dedup_embed_blocked, similarity_lsh,
     * similarity_ivf. The multimodal stub-decode queries ARE
     * oracle-gated: their fake decode is deterministic byte arithmetic,
-    * mirrored in DuckDB via hex-digit byte extraction.
+    * mirrored in DuckDB via hex-digit byte extraction. dedup_simhash
+    * itself stays oracle-less only because xxhash64 signatures are
+    * engine-specific — its chunk-blocked candidate machinery IS
+    * oracle-verified through dedup_simhash_portable, whose portable
+    * 60-bit signatures DuckDB recomputes and brute-forces.
     */
   def oracleSql: Map[String, String] = Map(
     "ingest_raw" ->
@@ -493,6 +498,30 @@ object SparkEntry {
          FROM pairs JOIN sizes si ON si.doc_id = i
                     JOIN sizes sj ON sj.doc_id = j
          WHERE floor((inter / (si.sz + sj.sz - inter)) * 1000000 + 0.5) / 1000000 >= 0.8
+         ORDER BY i, j""",
+    // the oracle computes the portable 60-bit SimHash signatures in
+    // plain SQL, then BRUTE-FORCES all-pairs Hamming <= 3 — so a
+    // hash match here independently proves the engine's chunk-blocked
+    // candidate generation (pigeonhole) found exactly the full pair set
+    "dedup_simhash_portable" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         th AS (SELECT doc_id,
+                       CAST(ascii(t) * 17161 + ascii(reverse(t)) * 131
+                            + length(t) AS BIGINT) AS h FROM toks),
+         bits AS (
+           SELECT doc_id, b.b AS b,
+                  CASE WHEN SUM(CASE WHEN (h * (2 * b.b + 3)) % 1000003 % 2 = 1
+                                     THEN 1 ELSE -1 END) > 0
+                       THEN 1 ELSE 0 END AS bit
+           FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS b) b
+           GROUP BY doc_id, b.b),
+         sigs AS (SELECT doc_id, CAST(SUM(bit * (1::BIGINT << b)) AS BIGINT) AS sig
+                  FROM bits GROUP BY doc_id)
+         SELECT x.doc_id AS i, y.doc_id AS j,
+                CAST(bit_count(xor(x.sig, y.sig)) AS INTEGER) AS hamming
+         FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+         WHERE bit_count(xor(x.sig, y.sig)) <= 3
          ORDER BY i, j""",
     "dedup_survivors" ->
       """WITH sh_t AS (

@@ -128,6 +128,67 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** 60-bit SimHash over PORTABLE token hashes — the oracle-visible twin
+  * of [[SimHash64]]. Bit b (0 ≤ b < 60) of the signature is the
+  * majority vote over tokens of the derived bit
+  * `(h * (2b+3)) % 1000003 % 2` (ties → 0): every operation is plain
+  * modular integer arithmetic on values far below 2⁶³, so DuckDB
+  * reproduces the signature bit-for-bit in SQL — which is what lets
+  * `dedup_simhash_portable` be hash-gated end-to-end. 60 bits (not
+  * 64) keep the signature positive and every `1 << b` overflow-free
+  * in ANSI engines; the derivation spreads the low-entropy portable
+  * token codes across all 60 bits (raw-bit majority of [[SimHash64]]
+  * would collapse on them: the top 40+ bits of every code are zero).
+  */
+case class PortableSimHash60(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash60_portable"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprs.requireLongArray(prettyName, child.dataType)
+
+  override def nullSafeEval(input: Any): Any =
+    PortableSimHash60.compute(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.PortableSimHash60.compute($a)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PortableSimHash60 = copy(child = newChild)
+}
+
+object PortableSimHash60 {
+  def compute(th: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = th.numElements()
+    var sig = 0L
+    var b = 0
+    while (b < 60) {
+      val m = 2L * b + 3L
+      var count = 0
+      var i = 0
+      while (i < n) {
+        // h ≤ ~4.5e6 (ascii*17161 + ascii*131 + len), m ≤ 121: the
+        // product stays far under 2^63 — identical in ANSI SQL
+        if ((th.getLong(i) * m) % 1000003L % 2L == 1L) count += 1
+        else count -= 1
+        i += 1
+      }
+      if (count > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  def simhash60Portable(s: SparkSession, tokenHashes: Column): Column = {
+    VectorExprs.register(s)
+    call_function("graft_simhash60_portable", tokenHashes)
+  }
+}
+
 /** Byte-level feature stats of a binary payload in one compiled pass:
   * `struct(n_bytes INT, byte_sum BIGINT, frames ARRAY<INT>)` where
   * `frames` samples every stride-th byte (stride = max(1, n/8), at
@@ -211,6 +272,8 @@ object VectorExprs {
       exprs => DotProduct(exprs(0), exprs(1)))
     Registration.registerOnce(s, "graft_simhash64",
       exprs => SimHash64(exprs.head))
+    Registration.registerOnce(s, "graft_simhash60_portable",
+      exprs => PortableSimHash60(exprs.head))
     Registration.registerOnce(s, "graft_byte_stats",
       exprs => ByteStats(exprs.head))
   }

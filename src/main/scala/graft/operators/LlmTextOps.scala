@@ -538,12 +538,54 @@ object LlmTextOps {
       .withColumn("th", expr("transform(split(text, ' '), t -> xxhash64(t))"))
       .withColumn("sig", graft.functions.VectorExprs.simhash64(s, col("th")))
       .select(col("doc_id"), col("sig"))
+    simhashBlockedPairs(sigs, chunkBits = 16, nChunks = 4, maxHamming = 3)
+  }
+
+  /** `dedup_simhash_portable` — [[dedupSimhash]]'s oracle-visible
+    * twin. The blocking/verification machinery is byte-identical (the
+    * shared [[simhashBlockedPairs]]); only the signature changes:
+    * 60 bits of majority vote over PORTABLE token hashes
+    * (`ascii·17161 + ascii(reverse)·131 + length`, spread per bit as
+    * `(h·(2b+3)) % 1000003 % 2` — functions.PortableSimHash60), all
+    * plain modular arithmetic DuckDB reproduces bit-for-bit. The
+    * oracle then checks the BLOCKED pair set against brute-force
+    * all-pairs Hamming ≤ 3 in SQL — i.e. it independently verifies
+    * the pigeonhole exactness claim the engine-specific
+    * `dedup_simhash` can only pin in unit tests. 15-bit × 4 chunks
+    * cover the 60 bits; pigeonhole exactness is unchanged (≤ 3
+    * differing bits touch ≤ 3 chunks).
+    */
+  def dedupSimhashPortable(s: SparkSession, d: String): DataFrame = {
+    val sigs = Tables.documents(s, d)
+      .withColumn("th", expr(
+        """transform(split(text, ' '),
+             t -> CAST(ascii(t) * 17161 + ascii(reverse(t)) * 131
+                       + length(t) AS BIGINT))"""))
+      .withColumn("sig",
+        graft.functions.PortableSimHash60.simhash60Portable(s, col("th")))
+      .select(col("doc_id"), col("sig"))
+    simhashBlockedPairs(sigs, chunkBits = 15, nChunks = 4, maxHamming = 3)
+  }
+
+  /** Chunk-blocked exact Hamming join over (doc_id, sig) signatures —
+    * shared by both SimHash variants. Blocking on the `nChunks`
+    * disjoint `chunkBits`-bit signature chunks is EXACT by pigeonhole
+    * for `maxHamming < nChunks`: a qualifying pair differs in at most
+    * `maxHamming` bits, which can touch at most `maxHamming` chunks,
+    * so the pair agrees on ≥ 1 chunk and surfaces in that equi-join.
+    * Only (doc_id, sig) pairs shuffle; the Hamming check runs on
+    * candidates only.
+    */
+  private def simhashBlockedPairs(sigs: DataFrame, chunkBits: Int,
+      nChunks: Int, maxHamming: Int): DataFrame = {
+    require(maxHamming < nChunks, "pigeonhole needs maxHamming < nChunks")
+    val mask = (1L << chunkBits) - 1
     val chunked = sigs.select(
       col("doc_id"), col("sig"),
       explode(expr(
-        """transform(sequence(0, 3),
-             c -> struct(c AS c,
-                         shiftright(sig, c * 16) & 65535L AS cv))"""))
+        s"""transform(sequence(0, ${nChunks - 1}),
+              c -> struct(c AS c,
+                          shiftright(sig, c * $chunkBits) & ${mask}L AS cv))"""))
         .as("ck"))
       .select(col("doc_id"), col("sig"), col("ck.c"), col("ck.cv"))
     chunked.as("x").join(chunked.as("y"),
@@ -554,7 +596,7 @@ object LlmTextOps {
       // a pair agreeing on several chunks surfaces once per chunk
       .distinct()
       .withColumn("hamming", bit_count(col("sig_i").bitwiseXOR(col("sig_j"))))
-      .where(col("hamming") <= 3)
+      .where(col("hamming") <= maxHamming)
       .select("i", "j", "hamming")
       .orderBy("i", "j")
   }

@@ -31,7 +31,7 @@ class InventorySpec extends AnyFunSuite {
 
   test("all queries execute at sf0.001 and are non-empty where expected") {
     // join_anti may legitimately return 0 rows at tiny sf
-    val mayBeEmpty = Set("join_anti", "dedup_simhash")
+    val mayBeEmpty = Set("join_anti", "dedup_simhash", "dedup_simhash_portable")
     val counts = SparkEntry.queries.map { case (name, fn) =>
       name -> fn(spark, TestSpark.sf0001).count()
     }
@@ -58,6 +58,45 @@ class InventorySpec extends AnyFunSuite {
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(blocked == brute,
       s"pigeonhole blocking diverged: missing=${brute -- blocked} extra=${blocked -- brute}")
+  }
+
+  test("portable SimHash signature matches the DuckDB golden value and brute force") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val s = spark
+    // cross-engine golden: this exact value was computed by the
+    // oracle's SQL formulation in DuckDB for the text 'alpha beta' —
+    // a drifted constant or op-order change on either side breaks it
+    val sig = Seq(Tuple1("alpha beta")).toDF("text")
+      .withColumn("th", expr(
+        """transform(split(text, ' '),
+             t -> CAST(ascii(t) * 17161 + ascii(reverse(t)) * 131
+                       + length(t) AS BIGINT))"""))
+      .select(graft.functions.PortableSimHash60.simhash60Portable(s, col("th")))
+      .collect().head.getLong(0)
+    assert(sig == 244480808483685522L, s"portable signature drifted: $sig")
+
+    // and the 15-bit chunk blocking is exact vs brute-force Hamming
+    // at sf0.01 (sf0.001 has too few portable pairs to be probative)
+    val sigs = graft.engine.Tables.documents(s, TestSpark.sf001)
+      .withColumn("th", expr(
+        """transform(split(text, ' '),
+             t -> CAST(ascii(t) * 17161 + ascii(reverse(t)) * 131
+                       + length(t) AS BIGINT))"""))
+      .withColumn("sig",
+        graft.functions.PortableSimHash60.simhash60Portable(s, col("th")))
+      .select(col("doc_id"), col("sig"))
+    val brute = sigs.as("x").join(sigs.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .withColumn("hamming", bit_count(col("x.sig").bitwiseXOR(col("y.sig"))))
+      .where(col("hamming") <= 3)
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = graft.operators.LlmTextOps
+      .dedupSimhashPortable(s, TestSpark.sf001)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute,
+      s"pigeonhole blocking diverged: missing=${brute -- blocked} extra=${blocked -- brute}")
+    assert(blocked.nonEmpty)
   }
 
   test("dedup_embed_blocked emits only true pairs (subset of exact dedup_embed)") {
