@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Bigrams, ByteStats, CountInSet, DotProduct, IntersectCount, MinHash32, MinHashAgg, PackedPairs, PairCombinations, Shingle3, ShingleHash3, SimHash64}
+import graft.functions.{Bigrams, ByteStats, CountInSet, DotProduct, IntersectCount, MinHash32, MinHashAgg, PackedPairs, PairCombinations, PortableSimHash60, Shingle3, ShingleHash3, SimHash64}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * expressions first-class SQL functions in any session built with
@@ -46,6 +46,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[DotProduct], exprs => DotProduct(exprs(0), exprs(1)))
     inject(e, "graft_simhash64", "graft_simhash64(array<bigint>)", 1,
       classOf[SimHash64], exprs => SimHash64(exprs.head))
+    inject(e, "graft_simhash60_portable",
+      "graft_simhash60_portable(array<bigint>)", 1,
+      classOf[PortableSimHash60], exprs => PortableSimHash60(exprs.head))
     inject(e, "graft_shingle3", "graft_shingle3(array<string>)", 1,
       classOf[Shingle3], exprs => Shingle3(exprs.head))
     inject(e, "graft_minhash32_arr", "graft_minhash32_arr(array<string>)", 1,

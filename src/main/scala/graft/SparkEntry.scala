@@ -72,6 +72,8 @@ object SparkEntry {
     "dedup_incremental"   -> (LlmTextOps.dedupIncremental _),
     "value_histogram"     -> (AnalyticOps.valueHistogram _),
     "dedup_near"          -> (LlmTextOps.dedupNear _),
+    "dedup_near_prefix"   -> (LlmTextOps.dedupNearPrefix _),
+    "dedup_near_auto"     -> (LlmTextOps.dedupNearAuto _),
     "dedup_survivors"     -> (LlmTextOps.dedupSurvivors _),
     "dedup_components"    -> (LlmTextOps.dedupComponents _),
     "corpus_filter"       -> (LlmTextOps.corpusFilter _),
@@ -112,6 +114,25 @@ object SparkEntry {
     * oracle-verified through dedup_simhash_portable, whose portable
     * 60-bit signatures DuckDB recomputes and brute-forces.
     */
+  /** The exact 3-shingle Jaccard near-dup pair set in DuckDB — shared
+    * by the three equivalent engine formulations (counted, prefix,
+    * auto-routed).
+    */
+  private val nearDupPairsOracle =
+    """WITH sh_t AS (
+         SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1]
+                  || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])) AS sh
+         FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM sh_t GROUP BY 1),
+       pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+                 FROM sh_t a JOIN sh_t b
+                   ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       SELECT i, j, floor((inter / (si.sz + sj.sz - inter)) * 1000000 + 0.5) / 1000000 AS jaccard
+       FROM pairs JOIN sizes si ON si.doc_id = i
+                  JOIN sizes sj ON sj.doc_id = j
+       WHERE floor((inter / (si.sz + sj.sz - inter)) * 1000000 + 0.5) / 1000000 >= 0.8
+       ORDER BY i, j"""
+
   def oracleSql: Map[String, String] = Map(
     "ingest_raw" ->
       """SELECT ts, event_type AS symbol, CAST(value AS DOUBLE) AS price
@@ -485,20 +506,12 @@ object SparkEntry {
                 CAST(FLOOR(value / 100.0) AS BIGINT) AS bucket,
                 COUNT(*) AS n
          FROM events GROUP BY 1, 2 ORDER BY event_type, bucket""",
-    "dedup_near" ->
-      """WITH sh_t AS (
-           SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1]
-                    || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])) AS sh
-           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
-         sizes AS (SELECT doc_id, count(*) AS sz FROM sh_t GROUP BY 1),
-         pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
-                   FROM sh_t a JOIN sh_t b
-                     ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
-         SELECT i, j, floor((inter / (si.sz + sj.sz - inter)) * 1000000 + 0.5) / 1000000 AS jaccard
-         FROM pairs JOIN sizes si ON si.doc_id = i
-                    JOIN sizes sj ON sj.doc_id = j
-         WHERE floor((inter / (si.sz + sj.sz - inter)) * 1000000 + 0.5) / 1000000 >= 0.8
-         ORDER BY i, j""",
+    "dedup_near" -> nearDupPairsOracle,
+    // the prefix-filtered and auto-routed forms emit the IDENTICAL
+    // exact pair set (DedupPropertiesSpec pins all three equal), so
+    // one oracle gates all three formulations independently
+    "dedup_near_prefix" -> nearDupPairsOracle,
+    "dedup_near_auto" -> nearDupPairsOracle,
     // the oracle computes the portable 60-bit SimHash signatures in
     // plain SQL, then BRUTE-FORCES all-pairs Hamming <= 3 — so a
     // hash match here independently proves the engine's chunk-blocked

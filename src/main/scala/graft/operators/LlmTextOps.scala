@@ -252,22 +252,53 @@ object LlmTextOps {
     */
   private[graft] val NearDupPrefixCrossoverK = 100.0
 
-  /** Which exact near-dup join form [[dedupNearAuto]] picks for this
-    * corpus: one cheap stats aggregation (avg distinct shingles/doc —
-    * a single-column scan, the same class of construction-time probe
-    * as `engine.Pairs.needsWideForm`) against the measured crossover.
+  /** Pair-stream budget (second routing axis of [[dedupNearAuto]]):
+    * even at small k the counted form's FULL pair stream grows
+    * ~quadratically with corpus size once the shingle space saturates
+    * (ScaleSweep measured 1.3M pairs at 5k docs → 130M at 50k, a tie
+    * → 3.2× prefix win on wall), so past this many estimated pairs
+    * the pruned stream wins regardless of document length. 10M sits
+    * safely above the measured tie zone (~1M) and well below the
+    * measured flip (130M).
     */
-  private[graft] def nearDupJoinForm(s: SparkSession, d: String): String = {
-    val avgK = Option(shingleHashSets(s, d)
-      .agg(avg(size(col("hs")))).head().get(0))
-      .map(_.asInstanceOf[Double]).getOrElse(0.0)
-    if (avgK >= NearDupPrefixCrossoverK) "prefix" else "counted"
+  private[graft] val NearDupPairStreamBudget = 10L * 1000 * 1000
+
+  /** Which exact near-dup join form [[dedupNearAuto]] picks for this
+    * corpus, from two cheap stats aggregations over the shingle-set
+    * projection (the same numbers a silver write computes anyway):
+    *
+    *  - avg distinct shingles/doc k̄ ≥ 100 → prefix (prefix length
+    *    scales as (1−t)·k, so pruning wins at long documents — the
+    *    measured per-document crossover);
+    *  - else estimate the counted form's full pair stream as
+    *    P² / (2·B̂) (P = total postings, B̂ = approx-distinct shingles;
+    *    uniform-occupancy estimate — within 4% of the exact Σ C(k,2)
+    *    on both measured corpora) and take prefix past the budget —
+    *    the corpus-size crossover ScaleSweep measured (skewed posting
+    *    lists make the true mass larger, i.e. the estimate errs
+    *    toward the form that degrades gracefully).
+    */
+  private[graft] def nearDupJoinForm(s: SparkSession, d: String,
+      pairStreamBudget: Long = NearDupPairStreamBudget): String = {
+    val sets = shingleHashSets(s, d)
+    val r = sets.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(size(col("hs")).cast("long")), lit(0L)).as("p")).head()
+    val (n, p) = (r.getLong(0), r.getLong(1))
+    if (n == 0L) return "counted"
+    val avgK = p.toDouble / n
+    if (avgK >= NearDupPrefixCrossoverK) return "prefix"
+    val bHat = math.max(1L,
+      sets.select(explode(col("hs")).as("shh"))
+        .agg(approx_count_distinct(col("shh"))).head().getLong(0))
+    val estPairs = p.toDouble * p.toDouble / (2.0 * bHat)
+    if (estPairs >= pairStreamBudget) "prefix" else "counted"
   }
 
   /** [[dedupNear]] with the join form auto-selected per corpus: the
-    * counted formulation below the measured crossover (avg distinct
-    * shingles/doc < 100), the AllPairs prefix formulation above it.
-    * Both forms emit the identical exact pair set
+    * AllPairs prefix formulation for long documents (k̄ ≥ 100) or
+    * large estimated pair streams (≥ 10M), the counted formulation
+    * otherwise. Both forms emit the identical exact pair set
     * (DedupPropertiesSpec pins all three equal), so the choice is
     * purely a cost decision — this entry point makes it from corpus
     * stats instead of asking the user to know the crossover.

@@ -197,16 +197,27 @@ object LlmVectorOps {
     * (vec_id, embedding) frame — lets quality tests feed a synthetic
     * high-similarity slice, and is the silver-table entry point.
     */
-  def dedupEmbedBlockedFrom(s: SparkSession, embs: DataFrame): DataFrame = {
-    // k=4 planes, L=8 tables — the measured sweet spot: recall at
-    // sf0.01 k=4 → 0.66, k=5 → 0.52, k=6 → 0.44, while wall-clock is
-    // flat across all three (the distinct + re-attach dominates, not
-    // candidate volume, at this sf). Candidate volume still scales
-    // ~ L·n²/2^k, so at much larger corpora raise k and pay the
-    // recall — AnnQualitySpec pins the floor either way. On the slice
-    // that matters (true near-dups at cos ≥ 0.9) recall is ≳ 0.95 —
-    // AnnQualitySpec measures it on a perturbed-copy corpus.
-    val tableKeys = lshTableKeys(s, nTables = 8, kPlanes = 4, dim = 64)
+  def dedupEmbedBlockedFrom(s: SparkSession, embs: DataFrame): DataFrame =
+    // k=4 planes, L=8 tables — the measured sweet spot AT TEST SF:
+    // recall at sf0.01 k=4 → 0.66, k=5 → 0.52, k=6 → 0.44, wall flat
+    // across all three (distinct + re-attach dominates there). On the
+    // slice that matters (true near-dups at cos ≥ 0.9) recall is
+    // ≳ 0.95 — AnnQualitySpec measures it on a perturbed-copy corpus.
+    dedupEmbedBlockedFrom(s, embs, kPlanes = 4)
+
+  /** [[dedupEmbedBlockedFrom]] with the hyperplane depth exposed: the
+    * bucket count per table is 2^kPlanes, FIXED — so candidate volume
+    * scales as L·n²/2^kPlanes and a constant k quietly re-quadratizes
+    * at scale (ScaleSweep measured 6.6× wall for 4× vectors at k=4).
+    * The 100 TB rule is k ≈ log₂(n/targetOccupancy): bucket occupancy
+    * — and with it pair mass per vector — stays constant. For true
+    * near-dups (cos ≥ 0.9, collision p ≈ 0.92/plane) deeper tables
+    * are nearly free in recall: p^k per table compounds to ≥ 0.99
+    * corpus recall at L=8 even at k=7.
+    */
+  def dedupEmbedBlockedFrom(s: SparkSession, embs: DataFrame,
+      kPlanes: Int): DataFrame = {
+    val tableKeys = lshTableKeys(s, nTables = 8, kPlanes = kPlanes, dim = 64)
     val base = withNorm(s, embs, "embedding", "norm")
     val keyed = base
       .withColumn("tk", explode(tableKeys))
@@ -235,6 +246,22 @@ object LlmVectorOps {
       .where(col("cos_sim") >= 0.4)
       .select("i", "j", "cos_sim")
       .orderBy("i", "j")
+  }
+
+  /** [[dedupEmbedBlocked]] with the hyperplane depth sized from the
+    * corpus (k = max(4, ⌈log₂(n/64)⌉) → ~64 vectors per bucket
+    * regardless of n): the scale-adaptive entry point that keeps
+    * candidate volume LINEAR in corpus size where the fixed-k form
+    * re-quadratizes (see [[dedupEmbedBlockedFrom]]). Costs one count
+    * job up front — the same construction-time-probe posture as
+    * `engine.Pairs.needsWideForm`, and negligible against the pair
+    * pipeline it right-sizes.
+    */
+  def dedupEmbedBlockedScaled(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.embeddings(s, d).count()
+    val k = math.max(4,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, (n - 1) / 64)))
+    dedupEmbedBlockedFrom(s, Tables.embeddings(s, d), kPlanes = k)
   }
 
   /** E21 `multimodal_profile` — one profiled row set joining text

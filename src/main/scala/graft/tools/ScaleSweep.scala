@@ -1,0 +1,178 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-more-decade scale evidence (BASELINE.md scale-curve table).
+  *
+  * The driver ships testdata only up to sf0.1 (5k docs / 2k vectors);
+  * every 100 TB claim past that rode plan shape + the measured
+  * sf0.001→0.1 curve. This tool synthesizes a corpus one decade up —
+  * deterministic, Spark-generated, distribution-matched to the driver
+  * tables (uniform 10–100-token docs over the same 30-token vocab,
+  * ~5.1% one-token-perturbed near-dup copies via the `dup` marker
+  * token, ~0.16% exact copies; unit-norm isotropic 64-d embeddings) —
+  * then times the scale-relevant dedup/ANN family on it and prints the
+  * per-query seconds, the engine-independent work units, and the
+  * components-fixpoint round count as one JSON line.
+  *
+  * Usage: runMain graft.tools.ScaleSweep <outDir> [docs] [vecs] [reps]
+  * (defaults 50000 / 8000 / 2 — 10× docs, 4× vectors over sf0.1, the
+  * same per-decade growth the driver corpus uses between sf0.01→0.1).
+  * Generation is idempotent: an existing <outDir>/documents.parquet is
+  * reused, so repeated sweeps time the same bytes.
+  */
+object ScaleSweep {
+
+  private val vocab = Seq(
+    "a", "agg", "batch", "big", "column", "customer", "data", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "the", "value", "vector", "window")
+
+  /** Deterministic document table: same schema/marginals as the driver
+    * generator at sf0.1, nDocs rows. Base docs draw every token from
+    * xxhash64(seed, base_id, position) — fully distributed generation,
+    * no driver-side loops, so the same code generates 50k docs here or
+    * 50B on a cluster. The copy tail reuses its base's token stream
+    * (near copies replace one hash-chosen position with the `dup`
+    * marker; exact copies change nothing), which reproduces the
+    * driver's J = k/(k+1) ≥ 0.8 near-dup pair structure (measured on
+    * sf0.1: near copies append the marker token, so the copy holds
+    * every base shingle plus one — which is why ~every copy pairs).
+    */
+  def genDocuments(s: SparkSession, nDocs: Long): DataFrame = {
+    val nNear = nDocs * 512 / 10000  // 5.12% near-dup copies, as sf0.1
+    val nExact = nDocs * 16 / 10000  // 0.16% exact copies
+    val nBase = nDocs - nNear - nExact
+    val vocabSql = vocab.map(t => s"'$t'").mkString("array(", ", ", ")")
+    s.range(nDocs)
+      .withColumn("base_id",
+        when(col("id") < nBase, col("id"))
+          .otherwise(pmod(xxhash64(lit(1L), col("id")), lit(nBase))))
+      .withColumn("kind",
+        when(col("id") < nBase, lit("base"))
+          .when(col("id") < nBase + nNear, lit("near"))
+          .otherwise(lit("exact")))
+      .withColumn("len",
+        (lit(10) + pmod(xxhash64(lit(2L), col("base_id")), lit(91)))
+          .cast("int"))
+      .withColumn("base_toks", expr(
+        s"""transform(sequence(1, len),
+              i -> element_at($vocabSql,
+                     CAST(pmod(xxhash64(4L, base_id, i), 30) AS INT) + 1))"""))
+      .withColumn("toks", expr(
+        "IF(kind = 'near', concat(base_toks, array('dup')), base_toks)"))
+      .withColumn("lang", expr(
+        """element_at(array('en','en','en','en','en','en','en','en',
+                            'de','de','de','es','es','es',
+                            'fr','fr','fr','zh','zh','zh'),
+             CAST(pmod(xxhash64(5L, base_id), 20) AS INT) + 1)"""))
+      .withColumn("source",
+        concat(lit("src"), pmod(xxhash64(lit(6L), col("base_id")), lit(20))))
+      .withColumn("text", array_join(col("toks"), " "))
+      .select(col("id").as("doc_id"), col("text"), col("lang"),
+        col("source"), length(col("text")).cast("long").as("n_chars"))
+  }
+
+  /** Unit-norm isotropic 64-d float vectors (Box–Muller over hashed
+    * uniforms) — the driver's embedding table has no cluster structure
+    * (measured within-label avg cos ≈ 0.0008), so isotropic is the
+    * faithful reproduction.
+    */
+  def genEmbeddings(s: SparkSession, nVecs: Long): DataFrame =
+    s.range(nVecs)
+      .withColumn("raw", expr(
+        """transform(sequence(0, 63), d ->
+             sqrt(-2.0 * ln((CAST(pmod(xxhash64(7L, id, d), 1000000) AS DOUBLE) + 0.5) / 1000000.0))
+             * cos(2.0 * pi() * (CAST(pmod(xxhash64(8L, id, d), 1000000) AS DOUBLE) + 0.5) / 1000000.0))"""))
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(raw, 0D, (acc, x) -> acc + x * x))"))
+      .select(col("id").as("vec_id"),
+        expr("transform(raw, x -> CAST(x / nrm AS FLOAT))").as("embedding"),
+        pmod(xxhash64(lit(9L), col("id")), lit(10)).cast("int").as("label"))
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse("/tmp/graft_scale/sf1")
+    val nDocs = args.lift(1).map(_.toLong).getOrElse(50000L)
+    val nVecs = args.lift(2).map(_.toLong).getOrElse(8000L)
+    val reps = args.lift(3).map(_.toInt).getOrElse(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "4000000")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docsPath = s"$outDir/documents.parquet"
+    if (!new java.io.File(docsPath).exists()) {
+      genDocuments(spark, nDocs).write.mode("overwrite").parquet(docsPath)
+      genEmbeddings(spark, nVecs).write.mode("overwrite")
+        .parquet(s"$outDir/embeddings.parquet")
+    }
+
+    // engine-independent work units (the scale-curve x-axis)
+    val hashed = graft.engine.Tables.documents(spark, outDir)
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        graft.functions.ShingleHash3.shingleHash3(spark, col("toks")).as("hs"))
+    def pairMass(df: DataFrame, listOf: org.apache.spark.sql.Column) = {
+      val k = df.select(explode(listOf).as("shh"), col("doc_id"))
+        .groupBy("shh").agg(count(lit(1)).as("k")).where(col("k") > 1)
+      k.agg(sum(col("k")).as("postings"),
+        sum(col("k") * (col("k") - 1) / 2).as("pairs")).head()
+    }
+    val full = pairMass(hashed, col("hs"))
+    val pref = pairMass(hashed.select(col("doc_id"), expr(
+      "slice(sort_array(hs), 1, size(hs) - CAST((4 * size(hs) + 4) DIV 5 AS INT) + 1)")
+      .as("pref")), col("pref"))
+
+    // timed family (min of `reps`, post-warm at sf0.001 like Bench)
+    val warm = "/root/testdata/sf0.001"
+    val family: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "dedup_exact_digest" -> (graft.operators.LlmTextOps.dedupExactDigest _),
+      "dedup_near" -> (graft.operators.LlmTextOps.dedupNear _),
+      "dedup_near_prefix" -> (graft.operators.LlmTextOps.dedupNearPrefix _),
+      "dedup_minhash" -> (graft.operators.LlmTextOps.dedupMinhash _),
+      "dedup_simhash" -> (graft.operators.LlmTextOps.dedupSimhash _),
+      "dedup_simhash_portable" ->
+        (graft.operators.LlmTextOps.dedupSimhashPortable _),
+      "dedup_embed_blocked" ->
+        (graft.operators.LlmVectorOps.dedupEmbedBlocked _),
+      "dedup_embed_blocked_scaled" ->
+        (graft.operators.LlmVectorOps.dedupEmbedBlockedScaled _),
+      "similarity_lsh" -> (graft.operators.LlmVectorOps.similarityLsh _),
+      "similarity_ivf" -> (graft.operators.LlmVectorOps.similarityIvf _))
+    family.foreach { case (_, fn) =>
+      try fn(spark, warm).count() catch { case _: Throwable => () }
+    }
+    val times = family.map { case (name, fn) =>
+      System.gc()
+      name -> (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, outDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+
+    // components fixpoint: rounds must stay O(log n) one decade up
+    val (labeled, rounds) = graft.operators.LlmTextOps.componentsFixpoint(
+      spark, graft.operators.LlmTextOps.dedupNearAuto(spark, outDir)
+        .select(col("i"), col("j")), pairsDistinct = true)
+    val nLabeled = labeled.count()
+
+    val qs = times.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    println(s"""{"metric":"scale_sweep","dir":"$outDir","docs":$nDocs,""" +
+      s""""vecs":$nVecs,"postings":${full.getLong(0)},""" +
+      s""""pair_stream":${java.lang.Math.round(full.getDouble(1))},""" +
+      s""""prefix_postings":${pref.getLong(0)},""" +
+      s""""prefix_pair_stream":${java.lang.Math.round(pref.getDouble(1))},""" +
+      s""""fixpoint_rounds":$rounds,"labeled_docs":$nLabeled,""" +
+      s""""queries":{$qs}}""")
+    spark.stop()
+  }
+}

@@ -95,12 +95,17 @@ class DedupPropertiesSpec extends AnyFunSuite {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .sortBy(t => (t._1, t._2)).toSeq
-    // this corpus averages ~5 distinct shingles/doc — far below the
-    // crossover, so auto must pick the counted form and emit the
+    // this corpus sits below both crossovers (k̄ ≈ 50, estimated pair
+    // stream ≪ 10M), so auto must pick the counted form and emit the
     // identical pair set
     assert(LlmTextOps.nearDupJoinForm(spark, sf) == "counted")
     assert(rows(LlmTextOps.dedupNearAuto(spark, sf)) ==
       rows(LlmTextOps.dedupNear(spark, sf)))
+    // the second routing axis: with the pair-stream budget forced to
+    // 1, the SAME corpus must route prefix (the corpus-size crossover
+    // ScaleSweep measured at ~10M estimated pairs)
+    assert(LlmTextOps.nearDupJoinForm(spark, sf, pairStreamBudget = 1L)
+      == "prefix")
 
     // a long-document corpus (~150 distinct shingles/doc) crosses it:
     // auto must flip to the prefix form, still the same exact output

@@ -109,6 +109,18 @@ class InventorySpec extends AnyFunSuite {
     assert(blocked.nonEmpty, "LSH blocking found no candidate pairs at all")
   }
 
+  test("scale-adaptive embed blocking emits only true pairs too") {
+    // the k = log2(n/64) sizing changes candidate generation, never
+    // the exact re-score: output stays a subset of the exact pair set
+    val exact = graft.operators.LlmVectorOps.dedupEmbed(spark, TestSpark.sf0001)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val scaled = graft.operators.LlmVectorOps
+      .dedupEmbedBlockedScaled(spark, TestSpark.sf0001)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(scaled.subsetOf(exact), s"false positives: ${scaled -- exact}")
+    assert(scaled.nonEmpty, "scaled LSH blocking found no pairs at all")
+  }
+
   test("dedup family agrees on the exact-duplicate pair set at sf0.001") {
     import org.apache.spark.sql.functions.col
     val exact = graft.operators.LlmTextOps.dedupNear(spark, TestSpark.sf0001)
