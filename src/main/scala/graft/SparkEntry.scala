@@ -520,8 +520,9 @@ object SparkEntry {
       """WITH toks AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
          th AS (SELECT doc_id,
-                       CAST(ascii(t) * 17161 + ascii(reverse(t)) * 131
-                            + length(t) AS BIGINT) AS h FROM toks),
+                       CAST(ascii(t) AS BIGINT) * 17161
+                       + CAST(ascii(reverse(t)) AS BIGINT) * 131
+                       + length(t) AS h FROM toks),
          bits AS (
            SELECT doc_id, b.b AS b,
                   CASE WHEN SUM(CASE WHEN (h * (2 * b.b + 3)) % 1000003 % 2 = 1

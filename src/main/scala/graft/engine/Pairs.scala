@@ -55,7 +55,9 @@ object Pairs {
     ids.sparkSession.conf.get(WideFormConf, "auto") match {
       case "wide"   => return true
       case "packed" => return false
-      case _        => ()
+      case "auto"   => ()
+      case other    => throw new IllegalArgumentException(
+        s"$WideFormConf must be auto|packed|wide, got '$other'")
     }
     // cache key = the file roots of every leaf + the probed column's
     // schema: session-free strings (a plan object would strongly
@@ -96,18 +98,28 @@ object Pairs {
   private def cacheKey(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : Option[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
     import org.apache.spark.sql.catalyst.plans.logical.{Project, SubqueryAlias}
     // a cached verdict must describe the FILES, so it is only sound
-    // when every row of the leaves reaches the probe: any
+    // when (a) every row of the leaves reaches the probe — any
     // row-dropping/row-adding node (Filter, Limit, Join, Sample, …)
     // above the leaves means a narrow filtered probe could cache
-    // wide=false for the root and a later full-table consumer would
-    // take the packed path into the mid-job fail-fast
-    val rowPreserving = plan.collect {
-      case _: Project | _: SubqueryAlias => ()
-      case lr if lr.children.isEmpty     => ()
-    }.size == plan.collect { case _ => () }.size
-    if (!rowPreserving) return None
+    // wide=false for the root — and (b) the probed VALUES are the
+    // leaf column's values untransformed: a value-mapping projection
+    // (e.g. doc_id % 100) has the same file roots and schema as the
+    // raw table and would otherwise cache its narrowed verdict under
+    // the raw table's key. So only pass-through Projects (attributes
+    // and bare renames) are cacheable; anything else probes per call.
+    val cacheable = plan.collect { case _ => () }.size == plan.collect {
+      case p: Project if p.projectList.forall {
+            case _: AttributeReference => true
+            case a: Alias => a.child.isInstanceOf[AttributeReference]
+            case _ => false
+          } => ()
+      case _: SubqueryAlias => ()
+      case leaf if leaf.children.isEmpty => ()
+    }.size
+    if (!cacheable) return None
     val roots = plan.collectLeaves().map {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         lr.relation match {

@@ -171,8 +171,9 @@ object PortableSimHash60 {
       var count = 0
       var i = 0
       while (i < n) {
-        // h ≤ ~4.5e6 (ascii*17161 + ascii*131 + len), m ≤ 121: the
-        // product stays far under 2^63 — identical in ANSI SQL
+        // h ≤ ~1.9e10 (code points reach 0x10FFFF; the token-hash
+        // arithmetic is widened to 64-bit), m ≤ 121: the product
+        // stays far under 2^63 — identical in ANSI SQL
         if ((th.getLong(i) * m) % 1000003L % 2L == 1L) count += 1
         else count -= 1
         i += 1

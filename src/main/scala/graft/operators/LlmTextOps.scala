@@ -116,7 +116,7 @@ object LlmTextOps {
     * the DuckDB oracle computes string-set Jaccard and hash-matches
     * at every sf.
     */
-  private def shingleHashSets(s: SparkSession, d: String): DataFrame =
+  private[graft] def shingleHashSets(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))
       .where(size(col("toks")) >= 3)
@@ -198,18 +198,24 @@ object LlmTextOps {
     * pruned stream is the difference between a job that finishes and
     * one that doesn't. Library users pick per deployment.
     */
+  /** The t = 0.8 prefix projection over a sorted shingle-hash set.
+    * Prefix principle: under ANY global total order on shingles —
+    * ascending hash value here, no frequency pass needed — a pair
+    * with J ≥ t shares an element inside both docs'
+    * (k − ⌈t·k⌉ + 1)-prefixes, so only prefixes are indexed.
+    * ⌈0.8k⌉ is computed as (4k+4) div 5 in INTEGER arithmetic: float
+    * 0.8*k rounds UP at e.g. k=15 (12.000000000000002 → ceil 13),
+    * silently shortening the prefix and dropping true pairs.
+    * `private[graft]` so tools measuring the prefix work unit
+    * (ScaleSweep) index the EXACT prefix the operator runs.
+    */
+  private[graft] val PrefixSliceSql =
+    "slice(sort_array(hs), 1, size(hs) - CAST((4 * size(hs) + 4) DIV 5 AS INT) + 1)"
+
   def dedupNearPrefix(s: SparkSession, d: String): DataFrame = {
     val hashed = shingleHashSets(s, d)
-    // Prefix principle: under ANY global total order on shingles —
-    // ascending hash value here, no frequency pass needed — a pair
-    // with J ≥ t shares an element inside both docs'
-    // (k − ⌈t·k⌉ + 1)-prefixes, so only prefixes are indexed.
-    // ⌈0.8k⌉ is computed as (4k+4) div 5 in INTEGER arithmetic: float
-    // 0.8*k rounds UP at e.g. k=15 (12.000000000000002 → ceil 13),
-    // silently shortening the prefix and dropping true pairs.
-    val prefixed = hashed.select(col("doc_id"), expr(
-      "slice(sort_array(hs), 1, size(hs) - CAST((4 * size(hs) + 4) DIV 5 AS INT) + 1)")
-      .as("pref"))
+    val prefixed = hashed.select(col("doc_id"),
+      expr(PrefixSliceSql).as("pref"))
     val wide = graft.engine.Pairs.needsWideForm(
       Tables.documents(s, d), "doc_id")
     val lists = prefixed
@@ -587,11 +593,17 @@ object LlmTextOps {
     * differing bits touch ≤ 3 chunks).
     */
   def dedupSimhashPortable(s: SparkSession, d: String): DataFrame = {
+    // ascii() is the full code point (to 0x10FFFF): widen to BIGINT
+    // BEFORE the multiply or a supplementary-plane first character
+    // (emoji, CJK-B) overflows 32-bit INT — an ANSI-mode crash in
+    // both engines. Values are unchanged where INT sufficed, so the
+    // golden signature pin still holds.
     val sigs = Tables.documents(s, d)
       .withColumn("th", expr(
         """transform(split(text, ' '),
-             t -> CAST(ascii(t) * 17161 + ascii(reverse(t)) * 131
-                       + length(t) AS BIGINT))"""))
+             t -> CAST(ascii(t) AS BIGINT) * 17161
+                  + CAST(ascii(reverse(t)) AS BIGINT) * 131
+                  + length(t))"""))
       .withColumn("sig",
         graft.functions.PortableSimHash60.simhash60Portable(s, col("th")))
       .select(col("doc_id"), col("sig"))

@@ -53,29 +53,39 @@ object LlmVectorOps {
 
   /** `similarity_lsh` — random-hyperplane LSH-bucketed ANN (no
     * oracle: approximate by design). Signature = sign bits of the
-    * projection onto 12 deterministic pseudo-random hyperplanes;
+    * projection onto deterministic pseudo-random hyperplanes;
     * candidates share a signature bucket with a probe; exact cosine
     * re-rank inside the bucket. At 100 TB the bucket join replaces
-    * the corpus broadcast-scan with a shuffle on 12-bit keys.
-    * Hyperplane h_b[i] = ((i*2654435761 + b*40503) mod 97)/96 - 0.5 —
-    * seedless, reproducible arithmetic instead of RNG state.
+    * the corpus broadcast-scan with a shuffle on small bucket keys.
     */
   /** Deterministic random-hyperplane LSH keys: one (table, bucket)
-    * struct per table per vector. Hyperplane h_b[i] =
-    * ((i*2654435761 + b*40503) mod 97)/96 - 0.5 — seedless,
-    * reproducible arithmetic instead of RNG state. Shared by
-    * `similarity_lsh` and `dedup_embed_blocked`.
+    * struct per table per vector. Plane components come from a
+    * splitmix64-style mix of (plane#, dim#) — seedless, reproducible
+    * arithmetic with no RNG state AND no short period: the previous
+    * mod-97 lattice made plane m+97 literally equal plane m, which
+    * breaks table independence exactly when `dedupEmbedBlockedScaled`
+    * drives kPlanes past 97/8 planes. Bucket bits are built in LONG
+    * (kPlanes ≤ 62) so deep tables cannot wrap a 32-bit shift.
+    * Shared by `similarity_lsh` and `dedup_embed_blocked`.
     */
   private def lshTableKeys(s: SparkSession, nTables: Int, kPlanes: Int,
       dim: Int): Column = {
+    require(kPlanes >= 1 && kPlanes <= 62,
+      s"kPlanes must be in [1, 62], got $kPlanes")
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4b7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
     def plane(t: Int, j: Int): Column = typedLit((0 until dim).map { i =>
-      (((i.toLong * 2654435761L + (t * kPlanes + j) * 40503L) % 97L)
-        .toDouble / 96.0 - 0.5).toFloat
+      val m = t.toLong * kPlanes + j
+      ((mix(m * 1000003L + i) >>> 11).toDouble / (1L << 53) - 0.5).toFloat
     })
     array((0 until nTables).map { t =>
       val bits = (0 until kPlanes).map { j =>
         when(VectorExprs.dot(s, col("embedding"), plane(t, j)) > 0.0,
-          lit(1 << j)).otherwise(lit(0))
+          lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
       struct(lit(t).as("t"), bits.as("b"))
     }: _*)

@@ -37,9 +37,11 @@ object ScaleSweep {
     * 50B on a cluster. The copy tail reuses its base's token stream
     * (near copies replace one hash-chosen position with the `dup`
     * marker; exact copies change nothing), which reproduces the
-    * driver's J = k/(k+1) ≥ 0.8 near-dup pair structure (measured on
-    * sf0.1: near copies append the marker token, so the copy holds
-    * every base shingle plus one — which is why ~every copy pairs).
+    * driver's near-dup pair structure: a near copy APPENDS the `dup`
+    * marker token (measured on sf0.1 — the copy holds every base
+    * shingle plus one, J = k/(k+1) ≥ 0.8 at any document length,
+    * which is why ~every copy pairs; a mid-document replacement would
+    * instead kill up to 3 shingles and drop short docs below 0.8).
     */
   def genDocuments(s: SparkSession, nDocs: Long): DataFrame = {
     val nNear = nDocs * 512 / 10000  // 5.12% near-dup copies, as sf0.1
@@ -107,19 +109,21 @@ object ScaleSweep {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // idempotence guard covers BOTH tables: a run killed between the
+    // two writes must not leave a half-corpus that later sweeps
+    // silently treat as complete
     val docsPath = s"$outDir/documents.parquet"
-    if (!new java.io.File(docsPath).exists()) {
+    val embsPath = s"$outDir/embeddings.parquet"
+    if (!new java.io.File(docsPath).exists()
+        || !new java.io.File(embsPath).exists()) {
       genDocuments(spark, nDocs).write.mode("overwrite").parquet(docsPath)
-      genEmbeddings(spark, nVecs).write.mode("overwrite")
-        .parquet(s"$outDir/embeddings.parquet")
+      genEmbeddings(spark, nVecs).write.mode("overwrite").parquet(embsPath)
     }
 
-    // engine-independent work units (the scale-curve x-axis)
-    val hashed = graft.engine.Tables.documents(spark, outDir)
-      .withColumn("toks", split(col("text"), " "))
-      .where(size(col("toks")) >= 3)
-      .select(col("doc_id"),
-        graft.functions.ShingleHash3.shingleHash3(spark, col("toks")).as("hs"))
+    // engine-independent work units (the scale-curve x-axis) — the
+    // operator's own shingle projection, so the indexed sets are
+    // exactly what dedup_near runs over
+    val hashed = graft.operators.LlmTextOps.shingleHashSets(spark, outDir)
     def pairMass(df: DataFrame, listOf: org.apache.spark.sql.Column) = {
       val k = df.select(explode(listOf).as("shh"), col("doc_id"))
         .groupBy("shh").agg(count(lit(1)).as("k")).where(col("k") > 1)
@@ -127,9 +131,10 @@ object ScaleSweep {
         sum(col("k") * (col("k") - 1) / 2).as("pairs")).head()
     }
     val full = pairMass(hashed, col("hs"))
-    val pref = pairMass(hashed.select(col("doc_id"), expr(
-      "slice(sort_array(hs), 1, size(hs) - CAST((4 * size(hs) + 4) DIV 5 AS INT) + 1)")
-      .as("pref")), col("pref"))
+    // the operator's own prefix rule — a drifted copy here would
+    // publish a work unit the engine never runs
+    val pref = pairMass(hashed.select(col("doc_id"),
+      expr(graft.operators.LlmTextOps.PrefixSliceSql).as("pref")), col("pref"))
 
     // timed family (min of `reps`, post-warm at sf0.001 like Bench)
     val warm = "/root/testdata/sf0.001"
@@ -147,8 +152,15 @@ object ScaleSweep {
         (graft.operators.LlmVectorOps.dedupEmbedBlockedScaled _),
       "similarity_lsh" -> (graft.operators.LlmVectorOps.similarityLsh _),
       "similarity_ivf" -> (graft.operators.LlmVectorOps.similarityIvf _))
-    family.foreach { case (_, fn) =>
-      try fn(spark, warm).count() catch { case _: Throwable => () }
+    family.foreach { case (name, fn) =>
+      try fn(spark, warm).count() catch {
+        case e: Throwable =>
+          // a silently-cold query would bias the published ratios with
+          // first-run JIT/codegen cost — say so on stderr (stdout is
+          // the JSON line)
+          System.err.println(s"[scale-sweep] warm-up of $name failed " +
+            s"(timings for it are COLD): ${e.getMessage}")
+      }
     }
     val times = family.map { case (name, fn) =>
       System.gc()

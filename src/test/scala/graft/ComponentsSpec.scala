@@ -116,26 +116,28 @@ class ComponentsSpec extends AnyFunSuite {
     val expected = LlmTextOps.componentsFromPairs(spark, pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // without a checkpoint dir the reliable path must refuse loudly,
-    // not fall back to local blocks
-    assert(spark.sparkContext.getCheckpointDir.isEmpty)
-    intercept[IllegalArgumentException] {
-      LlmTextOps.componentsFromPairs(spark, pairs, reliableCheckpoint = true)
+    // not fall back to local blocks (guarded: setCheckpointDir is
+    // JVM-global with no unset, so only provable on a pristine
+    // context — never asserted as a precondition of the whole test)
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      intercept[IllegalArgumentException] {
+        LlmTextOps.componentsFromPairs(spark, pairs, reliableCheckpoint = true)
+      }
     }
+    // NOT deleted afterwards: the shared context keeps pointing at the
+    // dir for the rest of the JVM, and a later checkpoint against a
+    // deleted path would fail — tmpdir cleanup owns it instead
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
-    try {
-      spark.sparkContext.setCheckpointDir(dir)
-      val (labeled, rounds) = LlmTextOps.componentsFixpoint(
-        spark, pairs, reliableCheckpoint = true)
-      val got = labeled.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == expected)
-      assert(rounds >= 2) // multi-round: the reliable path truncated lineage
-      // the rounds really went through the reliable store
-      val files = org.apache.commons.io.FileUtils.listFiles(
-        new java.io.File(dir), null, true)
-      assert(!files.isEmpty, "no checkpoint files written")
-    } finally {
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
-    }
+    spark.sparkContext.setCheckpointDir(dir)
+    val (labeled, rounds) = LlmTextOps.componentsFixpoint(
+      spark, pairs, reliableCheckpoint = true)
+    val got = labeled.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(rounds >= 2) // multi-round: the reliable path truncated lineage
+    // the rounds really went through the reliable store
+    val files = org.apache.commons.io.FileUtils.listFiles(
+      new java.io.File(dir), null, true)
+    assert(!files.isEmpty, "no checkpoint files written")
   }
 
   test("labeling is invariant to shuffle partitioning (4 vs 32)") {

@@ -70,8 +70,9 @@ class InventorySpec extends AnyFunSuite {
     val sig = Seq(Tuple1("alpha beta")).toDF("text")
       .withColumn("th", expr(
         """transform(split(text, ' '),
-             t -> CAST(ascii(t) * 17161 + ascii(reverse(t)) * 131
-                       + length(t) AS BIGINT))"""))
+             t -> CAST(ascii(t) AS BIGINT) * 17161
+                  + CAST(ascii(reverse(t)) AS BIGINT) * 131
+                  + length(t))"""))
       .select(graft.functions.PortableSimHash60.simhash60Portable(s, col("th")))
       .collect().head.getLong(0)
     assert(sig == 244480808483685522L, s"portable signature drifted: $sig")
@@ -81,8 +82,9 @@ class InventorySpec extends AnyFunSuite {
     val sigs = graft.engine.Tables.documents(s, TestSpark.sf001)
       .withColumn("th", expr(
         """transform(split(text, ' '),
-             t -> CAST(ascii(t) * 17161 + ascii(reverse(t)) * 131
-                       + length(t) AS BIGINT))"""))
+             t -> CAST(ascii(t) AS BIGINT) * 17161
+                  + CAST(ascii(reverse(t)) AS BIGINT) * 131
+                  + length(t))"""))
       .withColumn("sig",
         graft.functions.PortableSimHash60.simhash60Portable(s, col("th")))
       .select(col("doc_id"), col("sig"))
