@@ -89,8 +89,11 @@ object SparkEntry {
     "tfidf_top_terms"     -> (LlmTextOps.tfidfTopTerms _),
     "text_normalize"      -> (LlmTextOps.textNormalize _),
     "train_val_split"     -> (LlmTextOps.trainValSplit _),
+    "stratified_sample"   -> (LlmTextOps.stratifiedSample _),
     "pack_sequences"      -> (LlmTextOps.packSequences _),
     "similarity_topk"     -> (LlmVectorOps.similarityTopk _),
+    "similarity_topk_q8"  -> (LlmVectorOps.similarityTopkQ8 _),
+    "embed_quantize"      -> (LlmVectorOps.embedQuantize _),
     "similarity_lsh"      -> (LlmVectorOps.similarityLsh _),
     "similarity_ivf"      -> (LlmVectorOps.similarityIvf _),
     "dedup_embed"         -> (LlmVectorOps.dedupEmbed _),
@@ -704,6 +707,11 @@ object SparkEntry {
                 lang, COUNT(*) AS n_docs,
                 CAST(SUM(n_chars) AS BIGINT) AS total_chars
          FROM t GROUP BY 1, 2 ORDER BY 1, 2""",
+    "stratified_sample" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE (((doc_id % 1000000007) * 2246822519) % 1000000007) % 1000
+               < CASE WHEN lang = 'en' THEN 250 ELSE 750 END
+         ORDER BY doc_id""",
     "pack_sequences" ->
       """WITH t AS (SELECT doc_id, lang,
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -738,6 +746,60 @@ object SparkEntry {
                        * sqrt(list_aggregate([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
                               for x in embedding], 'sum')))) * 1000000 + 0.5) / 1000000 AS score
            FROM embeddings, probes WHERE vec_id <> probe_id),
+         ranked AS (SELECT probe_id, vec_id, score,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                    ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rank
+                    FROM pairs)
+         SELECT probe_id, rank, vec_id, score FROM ranked
+         WHERE rank <= 10 ORDER BY probe_id, rank""",
+    // int8 quantization twins: scale = 127/max|x|, q_i =
+    // floor(x_i*scale + 0.5) — the identical IEEE op sequence as the
+    // engine (see Determinism.r6), and every q_i is integral so all
+    // downstream sums/dots are EXACT; only `scale` needs 6-dp capping.
+    "embed_quantize" ->
+      """WITH b AS (
+           SELECT vec_id, len(embedding) AS dim, embedding,
+                  list_aggregate([abs(CAST(x AS DOUBLE))
+                                  for x in embedding], 'max') AS amax
+           FROM embeddings),
+         q AS (
+           SELECT vec_id, dim,
+                  CASE WHEN amax > 0 THEN 127.0 / amax ELSE 0.0 END AS scal,
+                  [floor(CAST(x AS DOUBLE)
+                     * (CASE WHEN amax > 0 THEN 127.0 / amax ELSE 0.0 END)
+                     + 0.5) for x in embedding] AS qemb
+           FROM b)
+         SELECT vec_id, CAST(dim AS INTEGER) AS dim,
+                floor(scal * 1000000 + 0.5) / 1000000 AS scale,
+                CAST(list_aggregate(qemb, 'min') AS INTEGER) AS q_min,
+                CAST(list_aggregate(qemb, 'max') AS INTEGER) AS q_max,
+                CAST(list_aggregate(qemb, 'sum') AS BIGINT) AS q_sum,
+                CAST(list_aggregate([y * y for y in qemb], 'sum') AS BIGINT)
+                  AS q_normsq
+         FROM q ORDER BY vec_id""",
+    "similarity_topk_q8" ->
+      """WITH b AS (
+           SELECT vec_id, embedding,
+                  list_aggregate([abs(CAST(x AS DOUBLE))
+                                  for x in embedding], 'max') AS amax
+           FROM embeddings),
+         q AS (
+           SELECT vec_id,
+                  [floor(CAST(x AS DOUBLE)
+                     * (CASE WHEN amax > 0 THEN 127.0 / amax ELSE 0.0 END)
+                     + 0.5) for x in embedding] AS qemb
+           FROM b),
+         qn AS (
+           SELECT vec_id, qemb,
+                  list_aggregate([y * y for y in qemb], 'sum') AS qq
+           FROM q WHERE list_aggregate([y * y for y in qemb], 'sum') > 0),
+         pairs AS (
+           SELECT p.vec_id AS probe_id, v.vec_id AS vec_id,
+                  floor((list_aggregate([p.qemb[i] * v.qemb[i]
+                          for i in range(1, len(p.qemb) + 1)], 'sum')
+                    / (sqrt(p.qq) * sqrt(v.qq))) * 1000000 + 0.5) / 1000000
+                    AS score
+           FROM qn p, qn v WHERE p.vec_id < 5 AND v.vec_id <> p.vec_id),
          ranked AS (SELECT probe_id, vec_id, score,
                   CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
                     ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rank

@@ -301,17 +301,33 @@ object LlmTextOps {
     if (estPairs >= pairStreamBudget) "prefix" else "counted"
   }
 
+  /** Session conf overriding [[dedupNearAuto]]'s routing:
+    * `auto` (default) runs the corpus-stats pass; `counted`/`prefix`
+    * pin the form and skip the stats jobs entirely — for plan-only
+    * consumers, and for deployments where the silver write already
+    * measured the corpus (the `spark.graft.pairs.wideForm` pattern).
+    */
+  val NearDupFormConf = "spark.graft.neardup.form"
+
   /** [[dedupNear]] with the join form auto-selected per corpus: the
     * AllPairs prefix formulation for long documents (k̄ ≥ 100) or
     * large estimated pair streams (≥ 10M), the counted formulation
     * otherwise. Both forms emit the identical exact pair set
     * (DedupPropertiesSpec pins all three equal), so the choice is
     * purely a cost decision — this entry point makes it from corpus
-    * stats instead of asking the user to know the crossover.
+    * stats instead of asking the user to know the crossover, with
+    * [[NearDupFormConf]] as the stats-free escape hatch.
     */
   def dedupNearAuto(s: SparkSession, d: String): DataFrame =
-    if (nearDupJoinForm(s, d) == "prefix") dedupNearPrefix(s, d)
-    else dedupNear(s, d)
+    s.conf.get(NearDupFormConf, "auto") match {
+      case "counted" => dedupNear(s, d)
+      case "prefix"  => dedupNearPrefix(s, d)
+      case "auto" =>
+        if (nearDupJoinForm(s, d) == "prefix") dedupNearPrefix(s, d)
+        else dedupNear(s, d)
+      case other => throw new IllegalArgumentException(
+        s"$NearDupFormConf must be auto|counted|prefix, got '$other'")
+    }
 
   /** `dedup_survivors` — the dedup *output*: one survivor per
     * near-dup group, greedy keep-smallest-id policy (a doc survives
@@ -791,6 +807,35 @@ object LlmTextOps {
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"))
       .orderBy("split", "lang")
+
+  /** `stratified_sample` — deterministic per-stratum quota sampling,
+    * the corpus-mixing primitive (cap the head language so the
+    * training mix isn't 'en'-dominated; same shape serves per-source
+    * or per-quality-tier quotas). A document survives iff its
+    * portable multiplicative hash lands under its stratum's
+    * per-mille quota — so the sample is a pure row-local predicate:
+    * no shuffle, no RNG state, reproducible on any engine, and
+    * (unlike `TABLESAMPLE`/`rand()`) STABLE under re-runs and corpus
+    * appends — adding documents never flips the membership of
+    * existing ones, which is what makes the sample safe to
+    * incrementally maintain at 100 TB. Multiplier 2246822519
+    * (xxHash prime 2) decorrelates these buckets from
+    * [[trainValSplit]]'s 2654435761 stream over the same ids, so
+    * sampling composes with splitting without bias; the mod-P-first
+    * reduction keeps products < 2^63 (ANSI-safe past 31-bit ids).
+    * Quotas here: 'en' (the ~2.5× head stratum) capped at 25%,
+    * tails at 75% — which lands all five languages within a few
+    * documents of each other on the driver corpus.
+    */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("bucket",
+        ((col("doc_id") % lit(1000000007L)) * lit(2246822519L)
+          % lit(1000000007L)) % lit(1000))
+      .where(col("bucket") <
+        when(col("lang") === "en", lit(250)).otherwise(lit(750)))
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
 
   /** `pack_sequences` — token-budget sequence packing (the batch
     * shaping pass of LLM pretraining): stream docs per lang in doc_id

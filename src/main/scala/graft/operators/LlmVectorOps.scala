@@ -172,6 +172,82 @@ object LlmVectorOps {
       .orderBy("probe_id", "rank")
   }
 
+  /** Per-vector int8 symmetric scalar quantization — the 4× memory
+    * lever for embedding stores at 100 TB (a 64-d float corpus drops
+    * from 256 B to 64 B + one scale per vector). Row-local map, no
+    * shuffle: `scale = 127 / max|x|`, `q_i = floor(x_i·scale + 0.5)`
+    * — the floor(+0.5) form instead of round() so Spark and the
+    * DuckDB oracle run the identical IEEE op sequence (see
+    * [[graft.engine.Determinism.r6]] for why round() diverges on
+    * ties). Every q_i lands in [-127, 127]; values are integral, so
+    * they ride an `array<float>` losslessly and every downstream
+    * integer dot/sum stays EXACT in double (< 2⁵³) — that exactness
+    * is what lets the quantized path keep a hash-matched oracle
+    * where float ANN paths can't. All-zero vectors get scale = 0 and
+    * an all-zero code (guarded, not NaN).
+    */
+  private[graft] def quantized(embs: DataFrame): DataFrame =
+    embs
+      .withColumn("amax", array_max(transform(col("embedding"),
+        x => abs(x.cast("double")))))
+      .withColumn("scale",
+        when(col("amax") > 0.0, lit(127.0) / col("amax")).otherwise(lit(0.0)))
+      .withColumn("qemb", transform(col("embedding"),
+        x => floor(x.cast("double") * col("scale") + lit(0.5)).cast("float")))
+
+  /** `embed_quantize` — the quantization audit projection: per-vector
+    * scale plus exact integer summaries of the code vector (min, max,
+    * sum, squared norm). The summaries are order-insensitive integer
+    * sums — exact in any engine — so the whole quantization kernel is
+    * oracle-gated bit-for-bit; the pairwise geometry it preserves is
+    * gated separately by `similarity_topk_q8`'s 5×n dot products.
+    */
+  def embedQuantize(s: SparkSession, d: String): DataFrame =
+    quantized(Tables.embeddings(s, d))
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        r6(col("scale")).as("scale"),
+        array_min(col("qemb")).cast("int").as("q_min"),
+        array_max(col("qemb")).cast("int").as("q_max"),
+        aggregate(col("qemb"), lit(0.0),
+          (acc, x) => acc + x).cast("long").as("q_sum"),
+        VectorExprs.dot(s, col("qemb"), col("qemb"))
+          .cast("long").as("q_normsq"))
+      .orderBy("vec_id")
+
+  /** `similarity_topk_q8` — brute-force cosine top-k over the int8
+    * codes: the memory-compressed twin of `similarity_topk` (same
+    * probe set, same ranking rule). Because codes are integral, the
+    * dot and both squared norms are exact integers in double, so the
+    * score is a deterministic two-sqrt-one-divide away — this is the
+    * rare ANN variant an external oracle can hash-match exactly.
+    * QuantizeSpec additionally pins recall@10 vs the float top-k
+    * (int8 on 64-d unit vectors loses almost nothing). At 100 TB the
+    * quantized corpus is what you'd actually scan: 4× more vectors
+    * per executor-byte, integer kernels, identical plan shape.
+    */
+  def similarityTopkQ8(s: SparkSession, d: String): DataFrame = {
+    val q = quantized(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("qemb"))
+      .withColumn("qq", VectorExprs.dot(s, col("qemb"), col("qemb")))
+      .where(col("qq") > 0.0)
+    val probes = q.where(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("qemb").as("probe_q"),
+        col("qq").as("probe_qq"))
+    val pairs = q.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("score", r6(
+        VectorExprs.dot(s, col("probe_q"), col("qemb"))
+          / (sqrt(col("probe_qq")) * sqrt(col("qq")))))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("score").desc, col("vec_id").asc)
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 10)
+      .select("probe_id", "rank", "vec_id", "score")
+      .orderBy("probe_id", "rank")
+  }
+
   /** `dedup_embed` — embedding-cosine near-dup pairs (cos ≥ 0.4,
     * where this corpus's near-dup mass sits). Exact all-pairs at test
     * sf with norms hoisted out of the O(n²) loop; at scale, run

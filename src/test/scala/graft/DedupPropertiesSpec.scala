@@ -129,6 +129,26 @@ class DedupPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("spark.graft.neardup.form pins the join form regardless of corpus stats") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    try {
+      // auto on this corpus picks counted; forcing prefix must still
+      // emit the identical exact pair set (pure cost decision)
+      spark.conf.set(LlmTextOps.NearDupFormConf, "prefix")
+      assert(rows(LlmTextOps.dedupNearAuto(spark, sf)) ==
+        rows(LlmTextOps.dedupNearPrefix(spark, sf)))
+      spark.conf.set(LlmTextOps.NearDupFormConf, "counted")
+      assert(rows(LlmTextOps.dedupNearAuto(spark, sf)) ==
+        rows(LlmTextOps.dedupNear(spark, sf)))
+      spark.conf.set(LlmTextOps.NearDupFormConf, "bogus")
+      intercept[IllegalArgumentException] {
+        LlmTextOps.dedupNearAuto(spark, sf)
+      }
+    } finally spark.conf.unset(LlmTextOps.NearDupFormConf)
+  }
+
   test("a filtered narrow probe does not poison the wide-form cache for the full table") {
     import spark.implicits._
     val base = 1L << 31
