@@ -263,6 +263,81 @@ object ByteStats {
   }
 }
 
+/** Per-vector int8 symmetric quantization in one compiled pass:
+  * `struct(scale DOUBLE, q ARRAY<FLOAT>)` with `scale = 127/max|x|`
+  * (0 for the all-zero vector) and `q_i = floor(x_i·scale + 0.5)`.
+  * Replaces three higher-order-function passes (two `transform`s +
+  * `array_max`) that would sit outside whole-stage codegen in the
+  * quantized-scan hot path — at 100 TB the quantized corpus scan is
+  * the point of quantizing, so the kernel must stay compiled. The
+  * floor(+0.5) form is the same IEEE op sequence as the DuckDB
+  * oracle (Determinism.r6 rationale); codes are integral in
+  * [-127, 127], lossless in FLOAT.
+  */
+case class Int8Quantize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = Int8Quantize.schema
+  override def prettyName: String = "graft_int8_quantize"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    Int8Quantize.compute(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.Int8Quantize.compute($a)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Int8Quantize = copy(child = newChild)
+}
+
+object Int8Quantize {
+  import org.apache.spark.sql.types.{ArrayType, FloatType, StructField, StructType}
+
+  val schema: StructType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("q", ArrayType(FloatType, containsNull = false),
+      nullable = false)))
+
+  def compute(xs: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val n = xs.numElements()
+    var amax = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(xs.getFloat(i).toDouble)
+      if (v > amax) amax = v
+      i += 1
+    }
+    val scale = if (amax > 0.0) 127.0 / amax else 0.0
+    val q = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      q(i) = math.floor(xs.getFloat(i).toDouble * scale + 0.5).toFloat
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](scale,
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(q)))
+  }
+
+  def int8Quantize(s: SparkSession, emb: Column): Column = {
+    VectorExprs.register(s)
+    call_function("graft_int8_quantize", emb)
+  }
+}
+
 /** Column-level entry points. Registered per session (idempotent) so
   * the expressions ride the public `call_function` API.
   */
@@ -277,6 +352,8 @@ object VectorExprs {
       exprs => PortableSimHash60(exprs.head))
     Registration.registerOnce(s, "graft_byte_stats",
       exprs => ByteStats(exprs.head))
+    Registration.registerOnce(s, "graft_int8_quantize",
+      exprs => Int8Quantize(exprs.head))
   }
 
   def dot(s: SparkSession, a: Column, b: Column): Column = {

@@ -186,14 +186,16 @@ object LlmVectorOps {
     * where float ANN paths can't. All-zero vectors get scale = 0 and
     * an all-zero code (guarded, not NaN).
     */
-  private[graft] def quantized(embs: DataFrame): DataFrame =
+  private[graft] def quantized(s: SparkSession, embs: DataFrame): DataFrame =
+    // one compiled pass per row (graft_int8_quantize) instead of the
+    // three interpreted higher-order passes the declarative spelling
+    // costs — the arithmetic contract lives on the expression
     embs
-      .withColumn("amax", array_max(transform(col("embedding"),
-        x => abs(x.cast("double")))))
-      .withColumn("scale",
-        when(col("amax") > 0.0, lit(127.0) / col("amax")).otherwise(lit(0.0)))
-      .withColumn("qemb", transform(col("embedding"),
-        x => floor(x.cast("double") * col("scale") + lit(0.5)).cast("float")))
+      .withColumn("qz",
+        graft.functions.Int8Quantize.int8Quantize(s, col("embedding")))
+      .withColumn("scale", col("qz.scale"))
+      .withColumn("qemb", col("qz.q"))
+      .drop("qz")
 
   /** `embed_quantize` — the quantization audit projection: per-vector
     * scale plus exact integer summaries of the code vector (min, max,
@@ -203,7 +205,7 @@ object LlmVectorOps {
     * gated separately by `similarity_topk_q8`'s 5×n dot products.
     */
   def embedQuantize(s: SparkSession, d: String): DataFrame =
-    quantized(Tables.embeddings(s, d))
+    quantized(s, Tables.embeddings(s, d))
       .select(
         col("vec_id"),
         size(col("embedding")).as("dim"),
@@ -228,7 +230,7 @@ object LlmVectorOps {
     * per executor-byte, integer kernels, identical plan shape.
     */
   def similarityTopkQ8(s: SparkSession, d: String): DataFrame = {
-    val q = quantized(Tables.embeddings(s, d))
+    val q = quantized(s, Tables.embeddings(s, d))
       .select(col("vec_id"), col("qemb"))
       .withColumn("qq", VectorExprs.dot(s, col("qemb"), col("qemb")))
       .where(col("qq") > 0.0)

@@ -17,7 +17,7 @@ class QuantizeSpec extends AnyFunSuite {
   private val sf = TestSpark.sf001
 
   private lazy val q = LlmVectorOps
-    .quantized(graft.engine.Tables.embeddings(spark, sf))
+    .quantized(spark, graft.engine.Tables.embeddings(spark, sf))
     .select(col("vec_id"), col("scale"), col("embedding"), col("qemb"))
     .collect()
 
@@ -75,7 +75,7 @@ class QuantizeSpec extends AnyFunSuite {
     import spark.implicits._
     val z = Seq((1L, Array.fill(64)(0.0f)), (2L, Array.tabulate(64)(_ / 64.0f)))
       .toDF("vec_id", "embedding")
-    val out = LlmVectorOps.quantized(z)
+    val out = LlmVectorOps.quantized(spark, z)
       .select(col("vec_id"), col("scale"), col("qemb")).collect()
       .map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Float](2))).toMap
     assert(out(1L)._1 == 0.0 && out(1L)._2.forall(_ == 0f))
