@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Bigrams, ByteStats, CountInSet, DotProduct, Int8Quantize, IntersectCount, MinHash32, MinHashAgg, PackedPairs, PairCombinations, PortableSimHash60, Shingle3, ShingleHash3, SimHash64}
+import graft.functions.{Bigrams, ByteStats, CountInSet, DotProduct, Int8DotBytes, Int8Pack, Int8Quantize, IntersectCount, MinHash32, MinHashAgg, PackedPairs, PairCombinations, PortableSimHash60, Shingle3, ShingleHash3, SimHash64}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * expressions first-class SQL functions in any session built with
@@ -73,5 +73,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[IntersectCount], exprs => IntersectCount(exprs(0), exprs(1)))
     inject(e, "graft_int8_quantize", "graft_int8_quantize(array<float>)", 1,
       classOf[Int8Quantize], exprs => Int8Quantize(exprs.head))
+    inject(e, "graft_int8_pack", "graft_int8_pack(array<float>)", 1,
+      classOf[Int8Pack], exprs => Int8Pack(exprs.head))
+    inject(e, "graft_int8_dot", "graft_int8_dot(binary, binary)", 2,
+      classOf[Int8DotBytes], exprs => Int8DotBytes(exprs(0), exprs(1)))
   }
 }

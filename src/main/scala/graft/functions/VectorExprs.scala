@@ -338,6 +338,118 @@ object Int8Quantize {
   }
 }
 
+/** Packs integral int8 codes (the `q` array of [[Int8Quantize]],
+  * values in [-127, 127]) into a BINARY of one signed byte per
+  * dimension — the true 4× storage form: a 64-d vector is 64 bytes
+  * on disk instead of 256 (parquet stores array<float> codes at full
+  * float width; binary is what actually shrinks the corpus). The
+  * inverse is implicit: byte i IS code i.
+  */
+case class Int8Pack(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "graft_int8_pack"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    Int8Pack.compute(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.Int8Pack.compute($a)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Int8Pack = copy(child = newChild)
+}
+
+object Int8Pack {
+  def compute(xs: org.apache.spark.sql.catalyst.util.ArrayData): Array[Byte] = {
+    val n = xs.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val v = xs.getFloat(i)
+      // codes are integral in [-127, 127] by construction; clamp
+      // rather than wrap if a caller feeds raw floats
+      val c = if (v > 127f) 127f else if (v < -128f) -128f else v
+      out(i) = c.toByte
+      i += 1
+    }
+    out
+  }
+
+  def int8Pack(s: SparkSession, codes: Column): Column = {
+    VectorExprs.register(s)
+    call_function("graft_int8_pack", codes)
+  }
+}
+
+/** Integer dot product straight over two packed int8 code vectors
+  * ([[Int8Pack]] BINARYs) — the quantized-scan kernel: no unpack, no
+  * float array materialization, one compiled byte loop per pair.
+  * Products ≤ 127² and 64-dim sums stay far under 2⁵³, so the DOUBLE
+  * result is EXACT — which is what keeps the packed silver path
+  * equality-pinned to the oracle-gated `similarity_topk_q8`.
+  */
+case class Int8DotBytes(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_int8_dot"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.BinaryType,
+            org.apache.spark.sql.types.BinaryType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (binary, binary), got " +
+            s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Int8DotBytes.compute(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.Int8DotBytes.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Int8DotBytes =
+    copy(left = newLeft, right = newRight)
+}
+
+object Int8DotBytes {
+  def compute(a: Array[Byte], b: Array[Byte]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0L // integer accumulation — exact, order-free
+    var i = 0
+    while (i < n) {
+      acc += a(i).toLong * b(i).toLong
+      i += 1
+    }
+    acc.toDouble
+  }
+
+  def int8Dot(s: SparkSession, a: Column, b: Column): Column = {
+    VectorExprs.register(s)
+    call_function("graft_int8_dot", a, b)
+  }
+}
+
 /** Column-level entry points. Registered per session (idempotent) so
   * the expressions ride the public `call_function` API.
   */
@@ -354,6 +466,10 @@ object VectorExprs {
       exprs => ByteStats(exprs.head))
     Registration.registerOnce(s, "graft_int8_quantize",
       exprs => Int8Quantize(exprs.head))
+    Registration.registerOnce(s, "graft_int8_pack",
+      exprs => Int8Pack(exprs.head))
+    Registration.registerOnce(s, "graft_int8_dot",
+      exprs => Int8DotBytes(exprs(0), exprs(1)))
   }
 
   def dot(s: SparkSession, a: Column, b: Column): Column = {

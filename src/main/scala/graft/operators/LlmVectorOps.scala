@@ -241,6 +241,37 @@ object LlmVectorOps {
       .withColumn("score", r6(
         VectorExprs.dot(s, col("probe_q"), col("qemb"))
           / (sqrt(col("probe_qq")) * sqrt(col("qq")))))
+    rankTopk(pairs)
+  }
+
+  /** `similarity_topk_q8` served from a PACKED code table
+    * (vec_id, code BINARY — `pipeline.CorpusSilver.writeQuantizedCodes`):
+    * the 100 TB serving shape. The scan reads 1/4 the vector bytes of
+    * the float corpus and the kernel (`graft_int8_dot`) runs the
+    * integer dot straight over the bytes — no unpack, no float array.
+    * Scores are the identical exact integers as the inline query, so
+    * QuantizeSpec equality-pins this path to the oracle-gated one.
+    */
+  def similarityTopkQ8FromCodes(s: SparkSession, codes: DataFrame): DataFrame = {
+    val q = codes.select(col("vec_id"), col("code"))
+      .withColumn("qq",
+        graft.functions.Int8DotBytes.int8Dot(s, col("code"), col("code")))
+      .where(col("qq") > 0.0)
+    val probes = q.where(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("code").as("probe_c"),
+        col("qq").as("probe_qq"))
+    val pairs = q.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("score", r6(
+        graft.functions.Int8DotBytes.int8Dot(s, col("probe_c"), col("code"))
+          / (sqrt(col("probe_qq")) * sqrt(col("qq")))))
+    rankTopk(pairs)
+  }
+
+  /** The shared top-k tail: per-probe rank over (score desc, id asc)
+    * — map-side WindowGroupLimit prunes to ≤10 per partition before
+    * the single window exchange.
+    */
+  private def rankTopk(pairs: DataFrame): DataFrame = {
     val w = Window.partitionBy("probe_id")
       .orderBy(col("score").desc, col("vec_id").asc)
     pairs

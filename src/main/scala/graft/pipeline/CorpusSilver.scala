@@ -77,6 +77,30 @@ object CorpusSilver {
       wide = graft.engine.Pairs.needsWideForm(sigs, "doc_id"))
   }
 
+  /** Write the packed int8 code table (vec_id, scale, code BINARY) —
+    * the quantized embedding store: quantize ONCE, then every search
+    * scans 1-byte-per-dimension codes (a 64-d vector is 64 bytes vs
+    * 256 for floats — array<float> codes would NOT shrink anything,
+    * parquet stores them at full float width). `scale` rides along so
+    * consumers can dequantize or compare across corpora.
+    */
+  def writeQuantizedCodes(s: SparkSession, sfDir: String, path: String): Unit =
+    graft.operators.LlmVectorOps
+      .quantized(s, Tables.embeddings(s, sfDir))
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("scale"),
+        graft.functions.Int8Pack.int8Pack(s,
+          org.apache.spark.sql.functions.col("qemb")).as("code"))
+      .write.mode("overwrite").parquet(path)
+
+  /** `similarity_topk_q8` served from the packed code table — integer
+    * dots straight over the stored bytes, equality-pinned to the
+    * oracle-gated inline query (QuantizeSpec).
+    */
+  def similarityTopkQ8(s: SparkSession, codesPath: String): DataFrame =
+    graft.operators.LlmVectorOps
+      .similarityTopkQ8FromCodes(s, s.read.parquet(codesPath))
+
   /** Bucketed silver layout: pay the shuffle ONCE at write time.
     * Pairs bucket on the removal key `j`, documents on `doc_id`, same
     * bucket count — the consumer's distinct and anti-join then both

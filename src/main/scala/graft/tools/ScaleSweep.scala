@@ -151,7 +151,14 @@ object ScaleSweep {
       "dedup_embed_blocked_scaled" ->
         (graft.operators.LlmVectorOps.dedupEmbedBlockedScaled _),
       "similarity_lsh" -> (graft.operators.LlmVectorOps.similarityLsh _),
-      "similarity_ivf" -> (graft.operators.LlmVectorOps.similarityIvf _))
+      "similarity_ivf" -> (graft.operators.LlmVectorOps.similarityIvf _),
+      // the quantized pair: both are one corpus scan per probe batch,
+      // so their RATIO is the scale-invariant fact (q8 reads 1/4 the
+      // vector bytes; at sf0.1 it is already the faster of the two)
+      "similarity_topk" -> (graft.operators.LlmVectorOps.similarityTopk _),
+      "similarity_topk_q8" ->
+        (graft.operators.LlmVectorOps.similarityTopkQ8 _),
+      "embed_quantize" -> (graft.operators.LlmVectorOps.embedQuantize _))
     family.foreach { case (name, fn) =>
       try fn(spark, warm).count() catch {
         case e: Throwable =>

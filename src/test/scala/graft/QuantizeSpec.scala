@@ -71,6 +71,51 @@ class QuantizeSpec extends AnyFunSuite {
     assert(rows.where(col("q_normsq") > 127L * 127L * 64L).count() == 0)
   }
 
+  test("packed silver codes serve the identical q8 top-k (and 1/4 the bytes)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-codes").toString
+    try {
+      graft.pipeline.CorpusSilver.writeQuantizedCodes(spark, sf, s"$tmp/codes")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+      // integer dots over packed bytes produce the identical exact
+      // scores as the float-array form — not approximately: exactly
+      assert(rows(graft.pipeline.CorpusSilver.similarityTopkQ8(spark, s"$tmp/codes"))
+        == rows(LlmVectorOps.similarityTopkQ8(spark, sf)))
+      // the point of packing: the code table stores ~1 byte/dim.
+      // Compare payload-bearing parquet sizes (codes + scale vs float
+      // embeddings + label); random floats don't compress, so the
+      // ratio lands near 1/4 with parquet overhead on top
+      def bytes(p: String) = {
+        def rec(f: java.io.File): Long =
+          if (f.isDirectory) Option(f.listFiles).map(_.map(rec).sum).getOrElse(0L)
+          else if (f.getName.endsWith(".parquet")) f.length else 0L
+        rec(new java.io.File(p))
+      }
+      val ratio = bytes(s"$tmp/codes").toDouble /
+        bytes(s"$sf/embeddings.parquet")
+      assert(ratio < 0.5, f"packed code table not small: ratio $ratio%.2f")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("int8 pack/dot round-trip: byte dots equal float-array dots exactly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array.tabulate(64)(i => (i - 32) / 32.0f)),
+      (2L, Array.tabulate(64)(i => math.sin(i.toDouble).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = LlmVectorOps.quantized(spark, df)
+      .withColumn("code",
+        graft.functions.Int8Pack.int8Pack(spark, col("qemb")))
+    val both = q.select(
+      graft.functions.VectorExprs.dot(spark, col("qemb"), col("qemb")),
+      graft.functions.Int8DotBytes.int8Dot(spark, col("code"), col("code")))
+      .collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("all-zero vectors quantize to scale 0 and an all-zero code, not NaN") {
     import spark.implicits._
     val z = Seq((1L, Array.fill(64)(0.0f)), (2L, Array.tabulate(64)(_ / 64.0f)))
