@@ -270,8 +270,9 @@ object LlmTextOps {
   private[graft] val NearDupPairStreamBudget = 10L * 1000 * 1000
 
   /** Which exact near-dup join form [[dedupNearAuto]] picks for this
-    * corpus, from two cheap stats aggregations over the shingle-set
-    * projection (the same numbers a silver write computes anyway):
+    * corpus, from ONE stats aggregation over the shingle-set
+    * projection (the same numbers a silver write computes anyway;
+    * n counts shingle-bearing docs — shingle-less docs never join):
     *
     *  - avg distinct shingles/doc k̄ ≥ 100 → prefix (prefix length
     *    scales as (1−t)·k, so pruning wins at long documents — the
@@ -286,17 +287,22 @@ object LlmTextOps {
     */
   private[graft] def nearDupJoinForm(s: SparkSession, d: String,
       pairStreamBudget: Long = NearDupPairStreamBudget): String = {
-    val sets = shingleHashSets(s, d)
-    val r = sets.agg(
-      count(lit(1)).as("n"),
-      coalesce(sum(size(col("hs")).cast("long")), lit(0L)).as("p")).head()
-    val (n, p) = (r.getLong(0), r.getLong(1))
+    // ONE stats job, not two: the dominant cost is the tokenize +
+    // shingle-hash scan feeding the sets, so both routing axes read
+    // from a single exploded pass. n̂ (docs) rides the same HLL as B̂
+    // — a ±2% count cannot move a decision whose crossovers carry
+    // order-of-magnitude margins, and exact n would cost either a
+    // second scan (the old shape) or a count-distinct shuffle.
+    val r = shingleHashSets(s, d)
+      .select(col("doc_id"), explode(col("hs")).as("shh"))
+      .agg(
+        count(lit(1)).as("p"),
+        approx_count_distinct(col("doc_id")).as("n"),
+        approx_count_distinct(col("shh")).as("b")).head()
+    val (p, n, bHat) = (r.getLong(0), r.getLong(1), math.max(1L, r.getLong(2)))
     if (n == 0L) return "counted"
     val avgK = p.toDouble / n
     if (avgK >= NearDupPrefixCrossoverK) return "prefix"
-    val bHat = math.max(1L,
-      sets.select(explode(col("hs")).as("shh"))
-        .agg(approx_count_distinct(col("shh"))).head().getLong(0))
     val estPairs = p.toDouble * p.toDouble / (2.0 * bHat)
     if (estPairs >= pairStreamBudget) "prefix" else "counted"
   }
