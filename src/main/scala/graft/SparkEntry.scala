@@ -65,6 +65,7 @@ object SparkEntry {
     "window_ntile"             -> (AnalyticOps.windowNtile _),
     "string_agg_statuses"      -> (AnalyticOps.stringAggStatuses _),
     "heavy_hitters"            -> (AnalyticOps.heavyHitters _),
+    "corr_matrix"              -> (AnalyticOps.corrMatrix _),
     // E16–E21 + LLM-pipeline surface
     "sessionize"          -> (LlmTextOps.sessionize _),
     "dedup_exact"         -> (LlmTextOps.dedupExact _),
@@ -438,6 +439,53 @@ object SparkEntry {
     "heavy_hitters" ->
       """SELECT user_id AS key, COUNT(*) AS cnt FROM events
          GROUP BY 1 ORDER BY cnt DESC, key ASC LIMIT 3""",
+    // corr from decimal-exact moments (NOT corr(): double fold order
+    // is engine-dependent); the closed form runs once in double with
+    // the identical op sequence as the Spark side
+    "corr_matrix" ->
+      """WITH m AS (SELECT
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_px,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s_dc,
+           CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS s_tax,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS p_qty_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS p_qty_px,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS p_qty_dc,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS p_qty_tax,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS p_px_px,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS p_px_dc,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS p_px_tax,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS p_dc_dc,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS p_dc_tax,
+           CAST(SUM(CAST(l_tax AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS p_tax_tax
+         FROM lineitem)
+         SELECT col_a, col_b, corr FROM (
+           SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                  floor(((n * p_qty_px - s_qty * s_px) /
+                    (sqrt(n * p_qty_qty - s_qty * s_qty) * sqrt(n * p_px_px - s_px * s_px))) * 1000000 + 0.5) / 1000000 AS corr
+           FROM m
+           UNION ALL SELECT 'l_quantity', 'l_discount',
+                  floor(((n * p_qty_dc - s_qty * s_dc) /
+                    (sqrt(n * p_qty_qty - s_qty * s_qty) * sqrt(n * p_dc_dc - s_dc * s_dc))) * 1000000 + 0.5) / 1000000
+           FROM m
+           UNION ALL SELECT 'l_quantity', 'l_tax',
+                  floor(((n * p_qty_tax - s_qty * s_tax) /
+                    (sqrt(n * p_qty_qty - s_qty * s_qty) * sqrt(n * p_tax_tax - s_tax * s_tax))) * 1000000 + 0.5) / 1000000
+           FROM m
+           UNION ALL SELECT 'l_extendedprice', 'l_discount',
+                  floor(((n * p_px_dc - s_px * s_dc) /
+                    (sqrt(n * p_px_px - s_px * s_px) * sqrt(n * p_dc_dc - s_dc * s_dc))) * 1000000 + 0.5) / 1000000
+           FROM m
+           UNION ALL SELECT 'l_extendedprice', 'l_tax',
+                  floor(((n * p_px_tax - s_px * s_tax) /
+                    (sqrt(n * p_px_px - s_px * s_px) * sqrt(n * p_tax_tax - s_tax * s_tax))) * 1000000 + 0.5) / 1000000
+           FROM m
+           UNION ALL SELECT 'l_discount', 'l_tax',
+                  floor(((n * p_dc_tax - s_dc * s_tax) /
+                    (sqrt(n * p_dc_dc - s_dc * s_dc) * sqrt(n * p_tax_tax - s_tax * s_tax))) * 1000000 + 0.5) / 1000000
+           FROM m)
+         ORDER BY col_a, col_b""",
     "distinct_users" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
                 COUNT(*) AS n_events

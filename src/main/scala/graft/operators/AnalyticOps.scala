@@ -182,4 +182,42 @@ object AnalyticOps {
       .select("ts", "symbol", "price", "mavg")
       .orderBy("symbol", "ts")
   }
+
+  /** `corr_matrix` — pairwise Pearson correlation of lineitem's four
+    * numeric measures, from DECIMAL-EXACT moment sums. The built-in
+    * `corr()` folds doubles in partition order, so its last few bits
+    * are shuffle-dependent and an external oracle can't hash-match it;
+    * instead every moment (Σx, Σxy) accumulates in decimal — the
+    * measures are exact at 2 dp, so products are exact at 4 dp and
+    * decimal addition is associative ⇒ order-proof — then the closed
+    * form n·Σxy−ΣxΣy / √(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²) runs once in
+    * double with the identical op sequence as the DuckDB twin. One
+    * aggregation job (10 decimal sums in a single pass, map-side
+    * partials), scalar math after — the same single-shuffle shape at
+    * any scale.
+    */
+  def corrMatrix(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    def dec(c: String) = col(c).cast(DecimalType(18, 2))
+    val aggExprs = Seq(count(lit(1)).cast("double").as("n")) ++
+      cols.map(c => sum(dec(c)).cast("double").as(s"s_$c")) ++
+      (for { i <- cols.indices; j <- i until cols.length } yield {
+        val (a, b) = (cols(i), cols(j))
+        sum(dec(a) * dec(b)).cast("double").as(s"p_${a}_$b")
+      })
+    val m = Tables.lineitem(s, d).agg(aggExprs.head, aggExprs.tail: _*)
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.length }
+      yield {
+        val (a, b) = (cols(i), cols(j))
+        struct(lit(a).as("col_a"), lit(b).as("col_b"),
+          r6((col("n") * col(s"p_${a}_$b") - col(s"s_$a") * col(s"s_$b")) /
+            (sqrt(col("n") * col(s"p_${a}_$a") - col(s"s_$a") * col(s"s_$a"))
+              * sqrt(col("n") * col(s"p_${b}_$b")
+                  - col(s"s_$b") * col(s"s_$b")))).as("corr"))
+      }
+    m.select(explode(array(pairs: _*)).as("kv"))
+      .select(col("kv.col_a"), col("kv.col_b"), col("kv.corr"))
+      .orderBy("col_a", "col_b")
+  }
 }
