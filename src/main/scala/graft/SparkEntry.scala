@@ -97,6 +97,7 @@ object SparkEntry {
     "embed_quantize"      -> (LlmVectorOps.embedQuantize _),
     "similarity_lsh"      -> (LlmVectorOps.similarityLsh _),
     "similarity_ivf"      -> (LlmVectorOps.similarityIvf _),
+    "similarity_ivf_trained" -> (LlmVectorOps.similarityIvfTrained _),
     "dedup_embed"         -> (LlmVectorOps.dedupEmbed _),
     "dedup_embed_blocked" -> (LlmVectorOps.dedupEmbedBlocked _),
     "multimodal_profile"  -> (LlmVectorOps.multimodalProfile _),
@@ -110,7 +111,8 @@ object SparkEntry {
     * `queries.keySet -- oracleSql.keySet` (pinned by InventorySpec):
     * distinct_users_approx, value_percentiles_approx, dedup_minhash,
     * dedup_simhash, dedup_embed_blocked, similarity_lsh,
-    * similarity_ivf. The multimodal stub-decode queries ARE
+    * similarity_ivf, similarity_ivf_trained. The multimodal
+    * stub-decode queries ARE
     * oracle-gated: their fake decode is deterministic byte arithmetic,
     * mirrored in DuckDB via hex-digit byte extraction. dedup_simhash
     * itself stays oracle-less only because xxhash64 signatures are

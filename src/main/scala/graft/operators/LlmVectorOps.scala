@@ -138,24 +138,77 @@ object LlmVectorOps {
     */
   def similarityIvf(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
-    val cents = e.where(col("vec_id") % 100 === 0)
+    ivfSearch(s, e, seedCentroids(e))
+  }
+
+  /** `similarity_ivf_trained` — IVF with the codebook refined by two
+    * rounds of spherical k-means (Lloyd) before indexing: assign every
+    * vector to its nearest centroid, recompute each centroid as its
+    * members' elementwise mean (cosine is scale-invariant, so the raw
+    * mean serves unnormalized), repeat. Training is the part every
+    * production IVF has and the seed-only variant skips; each round is
+    * one broadcast assignment pass + one (cent_id, dim) aggregation —
+    * both linear in corpus size, and the codebook stays driver-small
+    * (k ≈ n/100 rows broadcast, never the corpus). No oracle
+    * (approximate by design); AnnQualitySpec holds it to the same
+    * recall floor as the seed variant.
+    */
+  def similarityIvfTrained(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
+    val trained = (1 to 2).foldLeft(seedCentroids(e)) {
+      (cents, _) => lloydStep(s, e, cents)
+    }
+    ivfSearch(s, e, trained)
+  }
+
+  /** Deterministic seed codebook: every 100th vector (k ≈ n/100). */
+  private def seedCentroids(e: DataFrame): DataFrame =
+    e.where(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
         col("norm").as("cent_norm"))
-    // nearest centroid per corpus vector (broadcast codebook)
-    def assign(df: DataFrame, keep: Int): DataFrame = {
-      val w = Window.partitionBy("vec_id")
-        .orderBy(col("cent_sim").desc, col("cent_id").asc)
-      df.join(broadcast(cents), lit(true))
-        .withColumn("cent_sim",
-          VectorExprs.dot(s, col("embedding"), col("cent_emb"))
-            / (col("norm") * col("cent_norm")))
-        .withColumn("cent_rank", row_number().over(w))
-        .where(col("cent_rank") <= keep)
-        .drop("cent_emb", "cent_norm", "cent_sim", "cent_rank")
-    }
-    val corpus = assign(e, keep = 1)
+
+  /** Nearest-`keep` centroids per vector (broadcast codebook pass). */
+  private def assignToCentroids(s: SparkSession, df: DataFrame,
+      cents: DataFrame, keep: Int): DataFrame = {
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cent_sim").desc, col("cent_id").asc)
+    df.join(broadcast(cents), lit(true))
+      .withColumn("cent_sim",
+        VectorExprs.dot(s, col("embedding"), col("cent_emb"))
+          / (col("norm") * col("cent_norm")))
+      .withColumn("cent_rank", row_number().over(w))
+      .where(col("cent_rank") <= keep)
+      .drop("cent_emb", "cent_norm", "cent_sim", "cent_rank")
+  }
+
+  /** One Lloyd round: members' elementwise mean per centroid, via a
+    * (cent_id, dim) aggregation — no collect, no per-centroid loop; a
+    * centroid whose member mean degenerates to zero norm is dropped
+    * (a NaN cosine would otherwise sort above every real candidate).
+    */
+  private def lloydStep(s: SparkSession, e: DataFrame,
+      cents: DataFrame): DataFrame = {
+    val means = assignToCentroids(s, e, cents, keep = 1)
+      .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("cent_id", "pos").agg(avg(col("v")).as("m"))
+      .groupBy("cent_id")
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(pos, m)))," +
+          " x -> CAST(x.m AS FLOAT))").as("cent_emb"))
+    withNorm(s, means, "cent_emb", "cent_norm")
+      .where(col("cent_norm") > 0.0)
+  }
+
+  /** The IVF search tail shared by the seed and trained codebooks:
+    * corpus → inverted lists (keep=1), probes → nprobe=2 lists, exact
+    * cosine re-rank inside the probed lists only.
+    */
+  private def ivfSearch(s: SparkSession, e: DataFrame,
+      cents: DataFrame): DataFrame = {
+    val corpus = assignToCentroids(s, e, cents, keep = 1)
       .select(col("cent_id"), col("vec_id"), col("embedding"), col("norm"))
-    val probes = assign(e.where(col("vec_id") < 5), keep = 2) // nprobe = 2
+    val probes = assignToCentroids(s, e.where(col("vec_id") < 5), cents,
+        keep = 2) // nprobe = 2
       .select(col("cent_id"), col("vec_id").as("probe_id"),
         col("embedding").as("probe_emb"), col("norm").as("probe_norm"))
     val cand = corpus.join(probes, Seq("cent_id"))
@@ -163,13 +216,7 @@ object LlmVectorOps {
       .withColumn("score", r6(
         VectorExprs.dot(s, col("probe_emb"), col("embedding"))
           / (col("probe_norm") * col("norm"))))
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("score").desc, col("vec_id").asc)
-    cand
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 10)
-      .select("probe_id", "rank", "vec_id", "score")
-      .orderBy("probe_id", "rank")
+    rankTopk(cand)
   }
 
   /** Per-vector int8 symmetric scalar quantization — the 4× memory

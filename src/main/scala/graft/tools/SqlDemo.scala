@@ -44,6 +44,16 @@ object SqlDemo {
          FROM documents ORDER BY doc_id LIMIT 3""")
       .collect().foreach(r => println(
         s"[sql]   doc ${r.getLong(0)} n_bytes ${r.getInt(1)} case-insensitive-overlap ${r.getInt(2)}"))
+    println("[sql] int8 quantization round-trip via SQL:")
+    spark.sql(
+      """SELECT vec_id,
+                round(graft_int8_quantize(embedding).scale, 4) AS scale,
+                graft_int8_dot(
+                  graft_int8_pack(graft_int8_quantize(embedding).q),
+                  graft_int8_pack(graft_int8_quantize(embedding).q)) AS qq
+         FROM embeddings ORDER BY vec_id LIMIT 3""")
+      .collect().foreach(r => println(
+        s"[sql]   vec ${r.getLong(0)} scale ${r.getDouble(1)} |q|^2 ${r.getDouble(2)}"))
     val badArgs = try {
       spark.sql("SELECT graft_dot(1)").collect(); "no error (unexpected)"
     } catch { case e: Exception => e.getClass.getSimpleName }

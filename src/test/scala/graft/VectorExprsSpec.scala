@@ -161,4 +161,65 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(LlmVectorOps.fakeDecode(b) == LlmVectorOps.fakeDecode(b))
     assert(LlmVectorOps.fakeDecode(Array.emptyByteArray) == (1, 1, 3))
   }
+
+  test("Int8DotBytes matches a Scala reference fold on random codes") {
+    val rnd = new scala.util.Random(13)
+    def codes(n: Int): Array[Byte] =
+      Array.fill(n)((rnd.nextInt(255) - 127).toByte)
+    val pairs = (Seq((0, 0), (1, 1), (64, 64), (64, 63), (3, 64)) ++
+      Seq.fill(10)((rnd.nextInt(100), rnd.nextInt(100))))
+      .map { case (n, m) => (codes(n), codes(m)) }
+    val rows = pairs.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("id", "a", "b")
+      .select($"id", graft.functions.Int8DotBytes.int8Dot(
+        spark, $"a", $"b").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    pairs.zipWithIndex.foreach { case ((a, b), i) =>
+      val exp = a.zip(b).foldLeft(0L) { case (acc, (x, y)) =>
+        acc + x.toLong * y.toLong
+      }.toDouble
+      assert(rows(i.toLong) == exp, s"pair $i (${a.length}×${b.length})")
+    }
+  }
+
+  test("the int8 family stays in codegen with fallback disabled (two per stage)") {
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val q = graft.engine.Tables.embeddings(spark, TestSpark.sf0001)
+        .select(
+          graft.functions.Int8Quantize.int8Quantize(spark,
+            col("embedding")).as("qa"),
+          graft.functions.Int8Quantize.int8Quantize(spark,
+            reverse(col("embedding"))).as("qb"))
+        .select(
+          graft.functions.Int8Pack.int8Pack(spark, col("qa.q")).as("ca"),
+          graft.functions.Int8Pack.int8Pack(spark, col("qb.q")).as("cb"))
+        .select(
+          graft.functions.Int8DotBytes.int8Dot(spark,
+            col("ca"), col("ca")).as("da"),
+          graft.functions.Int8DotBytes.int8Dot(spark,
+            col("ca"), col("cb")).as("db"))
+        .collect()
+      assert(q.nonEmpty)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
+  test("the int8 family rejects wrong input types at analysis time") {
+    def analysisError(f: => Unit): Unit = {
+      val e = intercept[org.apache.spark.sql.AnalysisException](f)
+      assert(e.getMessage.toLowerCase.contains("graft_int8"))
+    }
+    val df = Seq((Seq(1.0, 2.0), "abc")).toDF("darr", "s")
+    analysisError(df.select(graft.functions.Int8Quantize
+      .int8Quantize(spark, $"darr")).collect())       // double array
+    analysisError(df.select(graft.functions.Int8Pack
+      .int8Pack(spark, $"s")).collect())              // string
+    analysisError(df.select(graft.functions.Int8DotBytes
+      .int8Dot(spark, $"s", $"s")).collect())         // string, string
+  }
 }
