@@ -385,4 +385,44 @@ class StreamingSpec extends AnyFunSuite {
       assert(eth.getAs[Long]("sample_count") == 1L)
     } finally q.stop()
   }
+
+  test("S8 streaming_similarity: probe window closes with the exact ranked top-k") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingSimilarity
+    import graft.streaming.StreamingSimilarity.Probe
+    def axis(dims: (Int, Float)*): Array[Float] = {
+      val v = Array.fill(8)(0.0f); dims.foreach { case (i, x) => v(i) = x }; v
+    }
+    // corpus with hand-rankable geometry against an e0 probe:
+    // v1 = e0 (cos 1), v2 = (e0+e1)/√2 (cos ≈ 0.7071), v3 = e1 (cos 0)
+    val corpus = Seq(
+      (1L, axis(0 -> 1.0f)),
+      (2L, axis(0 -> 0.70710678f, 1 -> 0.70710678f)),
+      (3L, axis(1 -> 1.0f)))
+      .toDF("vec_id", "embedding")
+    val in = MemoryStream[Probe]
+    val q = StreamingSimilarity.topkStream(spark, in.toDF(), corpus, k = 2)
+      .writeStream.format("memory").queryName("s8_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Probe(ts("2024-01-01 10:00:05"), 100L, axis(0 -> 1.0f)))
+      q.processAllAvailable()
+      // probe's window still open: nothing emitted yet
+      assert(spark.sql("SELECT * FROM s8_out").count() == 0)
+      // a later probe advances the watermark past the window close
+      in.addData(Probe(ts("2024-01-01 13:00:00"), 101L, axis(1 -> 1.0f)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM s8_out").collect()
+      assert(rows.length == 1)
+      val r = rows.head
+      assert(r.getAs[java.sql.Timestamp]("window_start")
+        == ts("2024-01-01 10:00:00"))
+      assert(r.getAs[Long]("probe_id") == 100L)
+      val topk = r.getSeq[org.apache.spark.sql.Row](2)
+        .map(x => (x.getLong(0), x.getDouble(1)))
+      // k=2 of 3: exact ranking, integer-exact quantized scores
+      assert(topk == Seq((1L, 1.0), (2L, 0.707107)))
+    } finally q.stop()
+  }
 }
