@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Bigrams, ByteStats, CountInSet, DotProduct, Int8DotBytes, Int8Pack, Int8Quantize, IntersectCount, MinHash32, MinHashAgg, PackedPairs, PairCombinations, PortableSimHash60, Shingle3, ShingleHash3, SimHash64}
+import graft.functions.{Bigrams, ByteStats, CountInSet, DotProduct, Int8DotBytes, Int8Pack, Int8Quantize, IntersectCount, MinHash32, MinHashAgg, PackedPairs, PairCombinations, PortableSimHash60, Shingle3, ShingleHash3, SimHash64, TopKAgg}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * expressions first-class SQL functions in any session built with
@@ -77,5 +77,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[Int8Pack], exprs => Int8Pack(exprs.head))
     inject(e, "graft_int8_dot", "graft_int8_dot(binary, binary)", 2,
       classOf[Int8DotBytes], exprs => Int8DotBytes(exprs(0), exprs(1)))
+    inject(e, "graft_topk", "graft_topk(score, id, k)", 3,
+      classOf[TopKAgg], exprs => TopKAgg(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression())
   }
 }

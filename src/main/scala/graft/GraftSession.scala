@@ -37,6 +37,7 @@ object GraftSession {
     graft.functions.VectorExprs.register(s)
     graft.functions.TextExprs.register(s)
     graft.functions.MinHashAgg.register(s)
+    graft.functions.TopKAgg.register(s)
   }
 
   /** Local session for tests/demos. Functions are also registered

@@ -277,6 +277,9 @@ object ByteStats {
 case class Int8Quantize(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = Int8Quantize.schema
+  // null elements propagate to a null result (see compute), so the
+  // expression is nullable even over a non-nullable child
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_int8_quantize"
 
   override def checkInputDataTypes()
@@ -295,8 +298,10 @@ case class Int8Quantize(child: Expression) extends UnaryExpression {
       input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      a => s"graft.functions.Int8Quantize.compute($a)")
+    nullSafeCodeGen(ctx, ev, a => s"""
+       |${ev.value} = graft.functions.Int8Quantize.compute($a);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
 
   override protected def withNewChildInternal(
       newChild: Expression): Int8Quantize = copy(child = newChild)
@@ -316,12 +321,20 @@ object Int8Quantize {
     var amax = 0.0
     var i = 0
     while (i < n) {
+      // a null element would silently read as 0.0f through getFloat —
+      // propagate null for the whole result instead (the built-in
+      // array-function contract); parquet list schemas are
+      // containsNull=true even when data never is, so an
+      // analysis-time reject would break every real table
+      if (xs.isNullAt(i)) return null
       val v = math.abs(xs.getFloat(i).toDouble)
       if (v > amax) amax = v
       i += 1
     }
     val scale = if (amax > 0.0) 127.0 / amax else 0.0
-    val q = new Array[Any](n)
+    // primitive float[] → UnsafeArrayData: no per-element boxing on
+    // the quantized-scan hot path
+    val q = new Array[Float](n)
     i = 0
     while (i < n) {
       q(i) = math.floor(xs.getFloat(i).toDouble * scale + 0.5).toFloat
@@ -329,7 +342,8 @@ object Int8Quantize {
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](scale,
-        new org.apache.spark.sql.catalyst.util.GenericArrayData(q)))
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(q)))
   }
 
   def int8Quantize(s: SparkSession, emb: Column): Column = {
@@ -348,6 +362,8 @@ object Int8Quantize {
 case class Int8Pack(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  // null elements propagate to a null result (see compute)
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_int8_pack"
 
   override def checkInputDataTypes()
@@ -366,7 +382,10 @@ case class Int8Pack(child: Expression) extends UnaryExpression {
       input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a => s"graft.functions.Int8Pack.compute($a)")
+    nullSafeCodeGen(ctx, ev, a => s"""
+       |${ev.value} = graft.functions.Int8Pack.compute($a);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
 
   override protected def withNewChildInternal(
       newChild: Expression): Int8Pack = copy(child = newChild)
@@ -378,10 +397,13 @@ object Int8Pack {
     val out = new Array[Byte](n)
     var i = 0
     while (i < n) {
+      if (xs.isNullAt(i)) return null // null element → null result
       val v = xs.getFloat(i)
-      // codes are integral in [-127, 127] by construction; clamp
-      // rather than wrap if a caller feeds raw floats
-      val c = if (v > 127f) 127f else if (v < -128f) -128f else v
+      // codes are integral in [-127, 127] by construction; clamp to
+      // the SAME symmetric envelope rather than wrap if a caller
+      // feeds raw floats (-128 would escape the documented range and
+      // over-range symmetric dequantization)
+      val c = if (v > 127f) 127f else if (v < -127f) -127f else v
       out(i) = c.toByte
       i += 1
     }

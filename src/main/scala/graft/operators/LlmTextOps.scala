@@ -289,16 +289,17 @@ object LlmTextOps {
       pairStreamBudget: Long = NearDupPairStreamBudget): String = {
     // ONE stats job, not two: the dominant cost is the tokenize +
     // shingle-hash scan feeding the sets, so both routing axes read
-    // from a single exploded pass. n̂ (docs) rides the same HLL as B̂
-    // — a ±2% count cannot move a decision whose crossovers carry
-    // order-of-magnitude margins, and exact n would cost either a
-    // second scan (the old shape) or a count-distinct shuffle.
+    // from a single exploded pass. n̂ (docs) rides an HLL at
+    // rsd = 0.02 (explicit — the default is 5%) — a ±2% count cannot
+    // move a decision whose crossovers carry order-of-magnitude
+    // margins, and exact n would cost either a second scan (the old
+    // shape) or a count-distinct shuffle.
     val r = shingleHashSets(s, d)
       .select(col("doc_id"), explode(col("hs")).as("shh"))
       .agg(
         count(lit(1)).as("p"),
-        approx_count_distinct(col("doc_id")).as("n"),
-        approx_count_distinct(col("shh")).as("b")).head()
+        approx_count_distinct(col("doc_id"), 0.02).as("n"),
+        approx_count_distinct(col("shh"), 0.02).as("b")).head()
     val (p, n, bHat) = (r.getLong(0), r.getLong(1), math.max(1L, r.getLong(2)))
     if (n == 0L) return "counted"
     val avgK = p.toDouble / n

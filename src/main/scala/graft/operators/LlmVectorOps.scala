@@ -185,12 +185,22 @@ object LlmVectorOps {
     * (cent_id, dim) aggregation — no collect, no per-centroid loop; a
     * centroid whose member mean degenerates to zero norm is dropped
     * (a NaN cosine would otherwise sort above every real candidate).
+    * The mean runs in 2⁻²⁰ fixed point — member coordinates round to
+    * an integer grid BEFORE summing, so the fold is order-free and
+    * the trained codebook is bit-stable across partitionings (a plain
+    * avg() of doubles folds in partition order; a last-bit wobble on
+    * a borderline assignment would make the emitted top-k rows differ
+    * between runs). The grid rounds unit-vector coordinates at ~1e-6
+    * — noise-level next to the k-means objective itself.
     */
   private def lloydStep(s: SparkSession, e: DataFrame,
       cents: DataFrame): DataFrame = {
+    val grid = (1L << 20).toDouble
     val means = assignToCentroids(s, e, cents, keep = 1)
       .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy("cent_id", "pos").agg(avg(col("v")).as("m"))
+      .groupBy("cent_id", "pos")
+      .agg((sum(floor(col("v") * grid + 0.5).cast("long")).cast("double")
+        / (count(lit(1)) * grid)).as("m"))
       .groupBy("cent_id")
       .agg(expr(
         "transform(array_sort(collect_list(struct(pos, m)))," +
@@ -259,8 +269,14 @@ object LlmVectorOps {
         r6(col("scale")).as("scale"),
         array_min(col("qemb")).cast("int").as("q_min"),
         array_max(col("qemb")).cast("int").as("q_max"),
-        aggregate(col("qemb"), lit(0.0),
-          (acc, x) => acc + x).cast("long").as("q_sum"),
+        // compiled dot against a ones vector instead of the
+        // interpreted aggregate() HOF (the ~50× cost center the
+        // module header warns about); 64 is the corpus embedding
+        // contract (lshTableKeys pins the same dim) and a dim
+        // mismatch can't pass silently — the oracle's true sum
+        // would hash-mismatch a truncated one
+        VectorExprs.dot(s, col("qemb"),
+          typedLit(Array.fill(64)(1.0f))).cast("long").as("q_sum"),
         VectorExprs.dot(s, col("qemb"), col("qemb"))
           .cast("long").as("q_normsq"))
       .orderBy("vec_id")
@@ -276,20 +292,11 @@ object LlmVectorOps {
     * quantized corpus is what you'd actually scan: 4× more vectors
     * per executor-byte, integer kernels, identical plan shape.
     */
-  def similarityTopkQ8(s: SparkSession, d: String): DataFrame = {
-    val q = quantized(s, Tables.embeddings(s, d))
-      .select(col("vec_id"), col("qemb"))
-      .withColumn("qq", VectorExprs.dot(s, col("qemb"), col("qemb")))
-      .where(col("qq") > 0.0)
-    val probes = q.where(col("vec_id") < 5)
-      .select(col("vec_id").as("probe_id"), col("qemb").as("probe_q"),
-        col("qq").as("probe_qq"))
-    val pairs = q.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
-      .withColumn("score", r6(
-        VectorExprs.dot(s, col("probe_q"), col("qemb"))
-          / (sqrt(col("probe_qq")) * sqrt(col("qq")))))
-    rankTopk(pairs)
-  }
+  def similarityTopkQ8(s: SparkSession, d: String): DataFrame =
+    q8Topk(
+      quantized(s, Tables.embeddings(s, d))
+        .select(col("vec_id"), col("qemb")),
+      "qemb", (a, b) => VectorExprs.dot(s, a, b))
 
   /** `similarity_topk_q8` served from a PACKED code table
     * (vec_id, code BINARY — `pipeline.CorpusSilver.writeQuantizedCodes`):
@@ -299,17 +306,28 @@ object LlmVectorOps {
     * Scores are the identical exact integers as the inline query, so
     * QuantizeSpec equality-pins this path to the oracle-gated one.
     */
-  def similarityTopkQ8FromCodes(s: SparkSession, codes: DataFrame): DataFrame = {
-    val q = codes.select(col("vec_id"), col("code"))
-      .withColumn("qq",
-        graft.functions.Int8DotBytes.int8Dot(s, col("code"), col("code")))
+  def similarityTopkQ8FromCodes(s: SparkSession, codes: DataFrame): DataFrame =
+    q8Topk(codes.select(col("vec_id"), col("code")), "code",
+      (a, b) => graft.functions.Int8DotBytes.int8Dot(s, a, b))
+
+  /** The one quantized top-k pipeline behind both code
+    * representations (float-array codes / packed bytes): self-dot →
+    * zero-norm guard → probe broadcast → exact integer scores →
+    * shared rank tail. Parameterized by the code column and dot
+    * kernel so the two entry points cannot drift apart (their
+    * equality is spec-pinned).
+    */
+  private def q8Topk(codes: DataFrame, codeCol: String,
+      dot: (Column, Column) => Column): DataFrame = {
+    val q = codes
+      .withColumn("qq", dot(col(codeCol), col(codeCol)))
       .where(col("qq") > 0.0)
     val probes = q.where(col("vec_id") < 5)
-      .select(col("vec_id").as("probe_id"), col("code").as("probe_c"),
+      .select(col("vec_id").as("probe_id"), col(codeCol).as("probe_c"),
         col("qq").as("probe_qq"))
     val pairs = q.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
       .withColumn("score", r6(
-        graft.functions.Int8DotBytes.int8Dot(s, col("probe_c"), col("code"))
+        dot(col("probe_c"), col(codeCol))
           / (sqrt(col("probe_qq")) * sqrt(col("qq")))))
     rankTopk(pairs)
   }

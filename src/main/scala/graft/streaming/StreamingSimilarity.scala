@@ -14,15 +14,20 @@ import graft.operators.LlmVectorOps
   *
   * Shape: the corpus is quantized once (int8 codes — the same
   * `graft_int8_quantize` kernel as `similarity_topk_q8`, so scores
-  * are the identical exact integers) and broadcast to the stream side;
-  * each micro-batch is a map-side nested loop over probe×codes, and
-  * the per-probe top-k folds through a windowed `collect_list` +
-  * sort/slice aggregation — append mode, state bounded by the
-  * watermark, no stream-side shuffle beyond the windowed agg. At
-  * 100 TB the static side outgrows a broadcast and the corpus scan
-  * becomes the `similarity_lsh`-style bucket join per micro-batch;
-  * the stream-side contract (watermark, windowed top-k, append) is
-  * unchanged — which is exactly the part this module pins.
+  * are the identical exact integers), persisted so micro-batches
+  * don't re-run the quantization scan, and broadcast to the stream
+  * side; each micro-batch is a map-side nested loop over
+  * probe×codes, and the per-probe top-k folds through the bounded
+  * `graft_topk` aggregate (`functions/TopKAgg`) — append mode,
+  * state O(k) per (probe, window) at every partial, merge, and
+  * state-store write (a collect_list+sort fold would checkpoint one
+  * struct per corpus vector per probe until the watermark fires).
+  * At 100 TB the static side outgrows a broadcast and the corpus
+  * scan becomes the `similarity_lsh`-style bucket join per
+  * micro-batch (or reads `CorpusSilver.writeQuantizedCodes` packed
+  * bytes); the stream-side contract (watermark, windowed bounded
+  * top-k, append) is unchanged — which is exactly the part this
+  * module pins.
   *
   * The reference (a 5 s polling daemon) has no query-serving path at
   * all; this is the mandated-extension streaming analog of E19.
@@ -44,6 +49,11 @@ object StreamingSimilarity {
       .select(col("vec_id"), col("qemb"))
       .withColumn("qq", VectorExprs.dot(s, col("qemb"), col("qemb")))
       .where(col("qq") > 0.0)
+    // the static side of a stream-static join is re-evaluated every
+    // micro-batch: persist so the quantization scan runs once, not
+    // per trigger (a long-lived deployment serves the packed
+    // CorpusSilver code table instead and skips this entirely)
+    codes.persist()
     val pq = LlmVectorOps.quantized(s, probes)
       .select(col("ts"), col("probe_id"), col("qemb").as("p_q"))
       .withColumn("p_qq", VectorExprs.dot(s, col("p_q"), col("p_q")))
@@ -55,14 +65,9 @@ object StreamingSimilarity {
           / (sqrt(col("p_qq")) * sqrt(col("qq")))))
     scored
       .groupBy(window(col("ts"), "1 hour"), col("probe_id"))
-      // (-score, vec_id) sorts descending-score with ascending-id
-      // tie-break — same ranking rule as the batch top-k family
-      .agg(expr(
-        s"""transform(
-              slice(array_sort(collect_list(struct(-score AS ns,
-                                                   vec_id, score))),
-                    1, $k),
-              x -> struct(x.vec_id AS vec_id, x.score AS score))""")
+      // bounded top-k aggregate — O(k) state; same (score desc,
+      // vec_id asc) ranking rule as the batch top-k family
+      .agg(graft.functions.TopKAgg.topk(s, col("score"), col("vec_id"), k)
         .as("topk"))
       .select(col("window.start").as("window_start"), col("probe_id"),
         col("topk"))

@@ -57,6 +57,34 @@ class MinHashAggSpec extends AnyFunSuite {
     assert(many == one)
   }
 
+  test("TopKAgg equals the window-rank top-k under any partitioning") {
+    // same ranking rule as the window family: score desc, id asc —
+    // including a deliberate score tie (ids 40/41 share a score)
+    val rows = Seq.tabulate(200)(i =>
+      (i % 5L, i.toLong, ((i * 37) % 100).toDouble / 10.0))
+    val df = rows.toDF("g", "id", "score").repartition(8)
+    val viaAgg = df.groupBy("g")
+      .agg(graft.functions.TopKAgg.topk(spark, col("score"), col("id"), 3)
+        .as("topk"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => (x.getLong(0), x.getDouble(1)))).toMap
+    val expected = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(r => (r._2, r._3))
+        .sortBy { case (id, sc) => (-sc, id) }.take(3).toSeq
+    }
+    assert(viaAgg.keySet == expected.keySet)
+    viaAgg.foreach { case (g, tk) => assert(tk == expected(g), s"group $g") }
+    // single-partition result identical (merge path == update path)
+    val one = rows.toDF("g", "id", "score").coalesce(1).groupBy("g")
+      .agg(graft.functions.TopKAgg.topk(spark, col("score"), col("id"), 3)
+        .as("topk"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => (x.getLong(0), x.getDouble(1)))).toMap
+    assert(one == viaAgg)
+  }
+
   test("estimated jaccard of identical sets is 1, disjoint sets low") {
     def sig(hs: Seq[Long]) = hs.map((0L, _)).toDF("g", "h")
       .groupBy("g").agg(MinHashAgg.minhash32(spark, col("h")).as("sig"))
