@@ -136,6 +136,12 @@ object ScaleSweep {
     val pref = pairMass(hashed.select(col("doc_id"),
       expr(graft.operators.LlmTextOps.PrefixSliceSql).as("pref")), col("pref"))
 
+    // packed int8 code table for the silver-serving row (write-once,
+    // same idempotence rule as the corpus tables)
+    val codesPath = s"$outDir/codes.parquet"
+    if (!new java.io.File(codesPath).exists())
+      graft.pipeline.CorpusSilver.writeQuantizedCodes(spark, outDir, codesPath)
+
     // timed family (min of `reps`, post-warm at sf0.001 like Bench)
     val warm = "/root/testdata/sf0.001"
     val family: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -158,6 +164,12 @@ object ScaleSweep {
       "similarity_topk" -> (graft.operators.LlmVectorOps.similarityTopk _),
       "similarity_topk_q8" ->
         (graft.operators.LlmVectorOps.similarityTopkQ8 _),
+      // the packed silver consumer: integer dots over the stored
+      // 1-byte-per-dim codes — no quantization pass in the plan
+      "similarity_topk_q8_codes" -> ((s: SparkSession, _: String) =>
+        graft.pipeline.CorpusSilver.similarityTopkQ8(s, codesPath)),
+      "similarity_ivf_trained" ->
+        (graft.operators.LlmVectorOps.similarityIvfTrained _),
       "embed_quantize" -> (graft.operators.LlmVectorOps.embedQuantize _))
     family.foreach { case (name, fn) =>
       try fn(spark, warm).count() catch {
