@@ -144,4 +144,44 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = planString("ohlc_hourly")
     assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final")
   }
+
+  test("similarity_topk_q8 broadcasts probes and prunes top-k map-side") {
+    val p = planString("similarity_topk_q8")
+    // probe filter must reach the scan; the probe side must broadcast
+    // (5 rows, never shuffled); WindowGroupLimit must prune each
+    // partition to <=10 rows BEFORE the single window exchange — the
+    // shape that keeps the corpus scan the only full-data stage
+    assert(p.contains("PushedFilters"), p.take(1500))
+    assert(p.contains("Broadcast"), p.take(1500))
+    assert(p.contains("WindowGroupLimit"), p.take(1500))
+    assert(p.contains("graft_int8_quantize"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("embed_quantize and stratified_sample are shuffle-free maps (plus final sort)") {
+    // both are row-local passes: the ONLY exchange allowed is the
+    // presentation sort's range partitioning — a groupBy/join shuffle
+    // appearing here means the map op silently grew a wide stage
+    Seq("embed_quantize", "stratified_sample").foreach { q =>
+      val p = planString(q)
+      assert(!p.contains("Join"), s"$q grew a join:\n" + p.take(1500))
+      assert(!p.contains("HashAggregate"), s"$q grew an aggregate")
+      assert("Exchange".r.findAllIn(p).size <= 1,
+        s"$q has more than the presentation-sort exchange:\n" + p.take(1500))
+    }
+  }
+
+  test("corr_matrix is ONE two-phase aggregation — 10 moments in a single pass") {
+    val p = planString("corr_matrix")
+    // all 15 moment sums ride one partial+final aggregate pair; a
+    // second aggregation pair would mean the moments split into
+    // multiple corpus scans
+    assert("HashAggregate".r.findAllIn(p).size == 2,
+      "moments split across aggregations:\n" + p.take(1500))
+    assert(!p.contains("Join"), p.take(1500))
+    // scan pruned to exactly the four measure columns
+    Seq("l_orderkey", "l_shipdate", "l_returnflag").foreach { c =>
+      assert(!p.contains(c), s"unpruned column $c in corr_matrix scan")
+    }
+  }
 }

@@ -116,6 +116,44 @@ class QuantizeSpec extends AnyFunSuite {
     both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("quantization invariants hold across extreme magnitudes (seeded random)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // magnitudes from denormal-adjacent to near-overflow, mixed signs,
+    // varied dims — the envelope/saturation/reconstruction contract
+    // must be scale-free because scale divides out
+    val vecs = (0 until 40).map { i =>
+      val dim = 1 + rnd.nextInt(96)
+      val mag = math.pow(10, rnd.nextInt(60) - 30).toFloat
+      (i.toLong, Array.fill(dim)((rnd.nextFloat() - 0.5f) * 2f * mag))
+    }
+    val out = LlmVectorOps.quantized(spark, vecs.toDF("vec_id", "embedding"))
+      .select(col("vec_id"), col("scale"), col("embedding"), col("qemb"))
+      .collect()
+    assert(out.length == vecs.length)
+    out.foreach { r =>
+      val scale = r.getDouble(1)
+      val xs = r.getSeq[Float](2)
+      val codes = r.getSeq[Float](3)
+      assert(codes.forall(c => c == c.floor && c.abs <= 127f))
+      if (xs.exists(_ != 0f)) {
+        assert(codes.map(_.abs).max == 127f, s"vec ${r.getLong(0)} no saturation")
+        xs.zip(codes).foreach { case (x, c) =>
+          assert(math.abs(x.toDouble * scale - c) <= 0.5 + 1e-6)
+        }
+      } else assert(scale == 0.0 && codes.forall(_ == 0f))
+      // pack → byte-dot round-trip stays exactly equal to the
+      // float-code dot at every magnitude
+    }
+    val dots = LlmVectorOps.quantized(spark, vecs.toDF("vec_id", "embedding"))
+      .withColumn("code", graft.functions.Int8Pack.int8Pack(spark, col("qemb")))
+      .select(
+        graft.functions.VectorExprs.dot(spark, col("qemb"), col("qemb")),
+        graft.functions.Int8DotBytes.int8Dot(spark, col("code"), col("code")))
+      .collect()
+    dots.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("all-zero vectors quantize to scale 0 and an all-zero code, not NaN") {
     import spark.implicits._
     val z = Seq((1L, Array.fill(64)(0.0f)), (2L, Array.tabulate(64)(_ / 64.0f)))
