@@ -92,6 +92,9 @@ object SparkEntry {
     "train_val_split"     -> (LlmTextOps.trainValSplit _),
     "stratified_sample"   -> (LlmTextOps.stratifiedSample _),
     "pack_sequences"      -> (LlmTextOps.packSequences _),
+    "decontaminate"       -> (LlmTextOps.decontaminate _),
+    "repetition_stats"    -> (LlmTextOps.repetitionStats _),
+    "chunk_documents"     -> (LlmTextOps.chunkDocuments _),
     "similarity_topk"     -> (LlmVectorOps.similarityTopk _),
     "similarity_topk_q8"  -> (LlmVectorOps.similarityTopkQ8 _),
     "embed_quantize"      -> (LlmVectorOps.embedQuantize _),
@@ -776,6 +779,51 @@ object SparkEntry {
                 CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
                 MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          FROM o GROUP BY 1, 2 ORDER BY 1, 2""",
+    "decontaminate" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+                    FROM documents),
+         g AS (SELECT doc_id, source,
+                      unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+                                            for i in range(1, len(toks) - 6)]))
+                        AS gram
+               FROM t WHERE len(toks) >= 8),
+         bench AS (SELECT DISTINCT gram FROM g
+                   WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+         cand AS (SELECT doc_id, gram FROM g
+                  WHERE source NOT IN ('src0', 'src1', 'src2', 'src3'))
+         SELECT doc_id, COUNT(*) AS n_shared_grams
+         FROM cand JOIN bench USING (gram)
+         GROUP BY 1 ORDER BY 1""",
+    "repetition_stats" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+         base AS (SELECT doc_id,
+                         CAST(len(toks) AS BIGINT) AS n_tokens,
+                         len(list_distinct(toks)) AS n_distinct,
+                         [toks[i] || ' ' || toks[i+1]
+                          for i in range(1, len(toks))] AS bg
+                  FROM t WHERE len(toks) >= 2),
+         bgc AS (SELECT doc_id, b, COUNT(*) AS c
+                 FROM (SELECT doc_id, unnest(bg) AS b FROM base)
+                 GROUP BY 1, 2),
+         top AS (SELECT doc_id, MAX(c) AS top_c FROM bgc GROUP BY 1)
+         SELECT b.doc_id, n_tokens,
+                floor((1 - n_distinct / CAST(n_tokens AS DOUBLE)) * 1000000
+                      + 0.5) / 1000000 AS dup_token_frac,
+                floor((top_c / CAST(n_tokens - 1 AS DOUBLE)) * 1000000
+                      + 0.5) / 1000000 AS top_bigram_frac
+         FROM base b JOIN top USING (doc_id) ORDER BY doc_id""",
+    "chunk_documents" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+         st AS (SELECT doc_id, toks,
+                       unnest(range(0, len(toks), 24)) AS s
+                FROM t)
+         SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_idx,
+                CAST(least(32, len(toks) - s) AS INTEGER) AS chunk_len,
+                array_to_string(toks[s+1 : least(s+32, len(toks))], ' ')
+                  AS chunk_text
+         FROM st ORDER BY doc_id, chunk_idx""",
     "doc_fingerprint" ->
       """SELECT doc_id,
                 list_reduce(list_prepend(0::BIGINT,

@@ -935,4 +935,111 @@ object LlmTextOps {
         "aggregate(codes, 0L, (acc, v) -> (acc * 131 + v) % 1000000007)"))
       .select("doc_id", "fingerprint")
       .orderBy("doc_id")
+
+  /** The benchmark slice for [[decontaminate]]: four named sources
+    * stand in for held-out evaluation sets. At 100 TB the benchmark
+    * side is a separate small table (eval suites are MBs), which is
+    * why its distinct-gram set is broadcast below.
+    */
+  private val benchmarkSources = Seq("src0", "src1", "src2", "src3")
+
+  /** `decontaminate` — benchmark-contamination detection, the
+    * eval-leakage gate every pretraining pipeline runs before
+    * training: flag every candidate document that shares at least one
+    * contiguous 8-token shingle with the benchmark slice, with the
+    * count of distinct shared shingles as evidence. 8 tokens over a
+    * ~30-token vocabulary is far past the random-collision horizon
+    * (30⁸ ≈ 6.5·10¹¹ possible grams vs ~2·10⁵ realized at sf0.1), so
+    * every hit is true leakage — here the injected near-dup copies
+    * whose source landed outside the benchmark slice.
+    *
+    * Scale shape: grams ship as 8-byte xxhash64 keys, never strings
+    * (the dedup_exact_digest collision posture); the benchmark gram
+    * set is distinct-reduced then BROADCAST — the corpus side never
+    * shuffles, the whole query is scan → hash-semi-probe → per-doc
+    * count, embarrassingly parallel over corpus splits. The oracle
+    * joins the raw gram strings, independently confirming the hashed
+    * join loses nothing.
+    */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= 8)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(expr(
+          """transform(sequence(0, size(toks) - 8),
+               i -> xxhash64(array_join(slice(toks, i + 1, 8), ' ')))""")))
+          .as("gk"))
+    val bench = grams
+      .where(col("source").isin(benchmarkSources: _*))
+      .select("gk").distinct()
+    grams
+      .where(!col("source").isin(benchmarkSources: _*))
+      .join(broadcast(bench), Seq("gk"))
+      // gram keys are distinct per doc and distinct in bench, so each
+      // join row IS one distinct shared shingle
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy("doc_id")
+  }
+
+  /** `repetition_stats` — Gopher-style repetition quality metrics per
+    * document: duplicate-token fraction and the fraction of bigram
+    * slots occupied by the single most frequent bigram (boilerplate /
+    * degenerate-generation signals used to filter pretraining data).
+    *
+    * The per-doc bigram mode is computed ENTIRELY map-side: sort the
+    * doc's bigram array and take the longest equal-adjacent run with
+    * one `aggregate` fold — no explode, no shuffle, the whole query is
+    * a single codegen'd projection over the scan (documents are
+    * bounded at ~100 tokens, so the per-row sort is O(k log k) on a
+    * tiny k). The exploded groupBy(doc, bigram) alternative shuffles
+    * every bigram occurrence in the corpus — at 100 TB that's the
+    * difference between a map-only pass and the corpus's largest
+    * shuffle.
+    */
+  def repetitionStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= 2)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("bg", expr(
+        """array_sort(transform(sequence(0, size(toks) - 2),
+             i -> concat(toks[i], ' ', toks[i + 1])))"""))
+      .withColumn("top_c", expr(
+        """CASE WHEN size(bg) < 2 THEN 1L ELSE
+             aggregate(sequence(1, size(bg) - 1),
+               named_struct('run', 1L, 'best', 1L),
+               (acc, i) -> IF(bg[i] = bg[i - 1],
+                 named_struct('run', acc.run + 1L,
+                              'best', greatest(acc.best, acc.run + 1L)),
+                 named_struct('run', 1L, 'best', acc.best)),
+               acc -> acc.best)
+           END"""))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        r6(lit(1.0) - size(array_distinct(col("toks"))) / col("n_tokens"))
+          .as("dup_token_frac"),
+        r6(col("top_c") / (col("n_tokens") - 1L)).as("top_bigram_frac"))
+      .orderBy("doc_id")
+
+  /** `chunk_documents` — fixed-size sliding-window chunking (32-token
+    * windows, stride 24 ⇒ 8-token overlap): the context-window
+    * preparation step that turns documents into training sequences,
+    * the inverse of `pack_sequences`' short-doc binning. Row-local
+    * explode of per-doc start offsets — no shuffle beyond the
+    * presentation sort, chunk count scales with corpus tokens.
+    */
+  def chunkDocuments(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(expr("sequence(0, size(toks) - 1, 24)")).as("st"))
+      .select(
+        col("doc_id"),
+        expr("CAST(st DIV 24 AS BIGINT)").as("chunk_idx"),
+        least(lit(32), col("n") - col("st")).cast("int").as("chunk_len"),
+        expr("array_join(slice(toks, st + 1, 32), ' ')").as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
 }
