@@ -71,6 +71,7 @@ object SparkEntry {
     "dedup_exact"         -> (LlmTextOps.dedupExact _),
     "dedup_exact_digest"  -> (LlmTextOps.dedupExactDigest _),
     "dedup_incremental"   -> (LlmTextOps.dedupIncremental _),
+    "dedup_incremental_bloom" -> (LlmTextOps.dedupIncrementalBloom _),
     "value_histogram"     -> (AnalyticOps.valueHistogram _),
     "dedup_near"          -> (LlmTextOps.dedupNear _),
     "dedup_near_prefix"   -> (LlmTextOps.dedupNearPrefix _),
@@ -102,6 +103,8 @@ object SparkEntry {
     "similarity_ivf"      -> (LlmVectorOps.similarityIvf _),
     "similarity_ivf_trained" -> (LlmVectorOps.similarityIvfTrained _),
     "dedup_embed"         -> (LlmVectorOps.dedupEmbed _),
+    "embed_gram"          -> (LlmVectorOps.embedGram _),
+    "embed_pca_project"   -> (LlmVectorOps.embedPcaProject _),
     "dedup_embed_blocked" -> (LlmVectorOps.dedupEmbedBlocked _),
     "multimodal_profile"  -> (LlmVectorOps.multimodalProfile _),
     "multimodal_binary"   -> (LlmVectorOps.multimodalBinary _),
@@ -114,7 +117,9 @@ object SparkEntry {
     * `queries.keySet -- oracleSql.keySet` (pinned by InventorySpec):
     * distinct_users_approx, value_percentiles_approx, dedup_minhash,
     * dedup_simhash, dedup_embed_blocked, similarity_lsh,
-    * similarity_ivf, similarity_ivf_trained. The multimodal
+    * similarity_ivf, similarity_ivf_trained, embed_pca_project (the
+    * eigendecomposition runs driver-side; PcaSpec quality-gates it
+    * against an independently computed covariance). The multimodal
     * stub-decode queries ARE
     * oracle-gated: their fake decode is deterministic byte arithmetic,
     * mirrored in DuckDB via hex-digit byte extraction. dedup_simhash
@@ -557,6 +562,15 @@ object SparkEntry {
            SELECT 1 FROM documents e
            WHERE e.doc_id < 250 AND e.text = d.text)
          ORDER BY d.doc_id""",
+    // the Bloom prefilter never changes the result set (no false
+    // negatives; positives are exact-confirmed), so the bloom form
+    // shares the incremental-dedup oracle verbatim
+    "dedup_incremental_bloom" ->
+      """SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+         WHERE d.doc_id >= 250 AND NOT EXISTS (
+           SELECT 1 FROM documents e
+           WHERE e.doc_id < 250 AND e.text = d.text)
+         ORDER BY d.doc_id""",
     "value_histogram" ->
       """SELECT event_type,
                 CAST(FLOOR(value / 100.0) AS BIGINT) AS bucket,
@@ -916,6 +930,22 @@ object SparkEntry {
                               for x in b.embedding], 'sum')))) * 1000000 + 0.5) / 1000000 AS cos_sim
            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
          SELECT i, j, cos_sim FROM pairs WHERE cos_sim >= 0.4 ORDER BY i, j""",
+    // products quantized to integral nano-units so the cell sums are
+    // associative (order-proof) and bit-identical cross-engine — the
+    // corr_matrix decimal recipe adapted to float vectors
+    "embed_gram" ->
+      """WITH idx AS (SELECT vec_id, embedding,
+                             unnest(generate_series(1, len(embedding))) AS i
+                      FROM embeddings),
+         cells AS (SELECT CAST(a.i - 1 AS INTEGER) AS i,
+                          CAST(b.i - 1 AS INTEGER) AS j,
+                          CAST(floor(CAST(a.embedding[a.i] AS DOUBLE)
+                                     * CAST(b.embedding[b.i] AS DOUBLE)
+                                     * 1000000000 + 0.5) AS DECIMAL(38,0)) AS p
+                   FROM idx a JOIN idx b
+                     ON a.vec_id = b.vec_id AND a.i <= b.i)
+         SELECT i, j, CAST(SUM(p) AS DOUBLE) / 1000000000 AS gram
+         FROM cells GROUP BY 1, 2 ORDER BY 1, 2""",
     "multimodal_profile" ->
       """SELECT lang, label, COUNT(*) AS n,
                 floor((AVG(n_chars)) * 1000000 + 0.5) / 1000000 AS avg_chars,

@@ -107,6 +107,44 @@ object LlmTextOps {
       .orderBy("doc_id")
   }
 
+  /** `dedup_incremental_bloom` — [[dedupIncremental]] with a
+    * Bloom-filter prefilter, the shape that survives when the digest
+    * ledger is billions of rows: the ledger aggregates once into a
+    * driver-small Bloom sketch (1 MiB here; Spark's own
+    * `BloomFilterAggregate` kernel, map-side partials, no row
+    * traffic), and the batch probes it as a row-local predicate.
+    * Batch rows the filter rejects are DEFINITELY new (no false
+    * negatives) and skip the anti-join entirely; only the accepted
+    * sliver — true dups plus the FPP tail — joins the ledger for
+    * exact confirmation. False positives therefore cost only join
+    * work, never correctness, so the output is bit-identical to
+    * `dedup_incremental` and shares its oracle. At 100 TB the
+    * anti-join probe side shrinks from the whole batch to ~dup-rate ×
+    * batch; the sketch swaps for per-partition blooms when the ledger
+    * outgrows one (est·10 bits).
+    */
+  def dedupIncrementalBloom(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("digest", xxhash64(col("text")))
+    val ledger = docs.where(col("doc_id") < 250).select("digest")
+    // driver-collected sketch literal (the IVF-codebook pattern): one
+    // scalar read of an aggregation result, never row data
+    val bloom: Array[Byte] = ledger
+      .agg(graft.functions.BloomFns.bloomAgg(s, col("digest"),
+        lit(1000000L), lit(8000000L)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val batch = docs.where(col("doc_id") >= 250)
+      .withColumn("maybe_dup",
+        graft.functions.BloomFns.mightContain(s, lit(bloom), col("digest")))
+    val survivors = batch.where(!col("maybe_dup"))
+      .unionByName(
+        batch.where(col("maybe_dup"))
+          .join(ledger, Seq("digest"), "left_anti"))
+    survivors
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** Per-document distinct 3-shingle HASH sets — the shared map-side
     * root of both exact near-dup formulations. One compiled pass
     * (functions.ShingleHash3) hashes each distinct shingle to 64

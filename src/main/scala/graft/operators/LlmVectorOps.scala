@@ -525,4 +525,65 @@ object LlmVectorOps {
     val n = bytes.length
     (math.max(1, n % 640), math.max(1, (n / 7) % 480), 3)
   }
+
+  /** `embed_gram` — the upper triangle of the corpus second-moment
+    * matrix XᵀX (d=64 ⇒ 2080 cells), the one-pass statistic under
+    * PCA, whitening, and data-aware LSH plane selection. Cross-engine
+    * exactness follows the corr_matrix recipe adapted to float inputs:
+    * each pairwise product (exact in double) is quantized to integral
+    * NANO-units — `floor(p·10⁹ + 0.5)` — so every summand is an
+    * integer-valued DECIMAL(38,0) and the sum is associative ⇒
+    * shuffle-order-proof; DuckDB runs the identical op sequence and
+    * hash-matches bit-for-bit. The 10⁻⁹ quantization biases each cell
+    * by ≤ n·5·10⁻¹⁰ — four orders below the smallest covariance
+    * eigenvalue here.
+    *
+    * Shape: explode d(d+1)/2 cells per row, partial hash-agg on 2080
+    * keys inside the scan stage ⇒ the shuffle carries 2080 rows per
+    * partition regardless of corpus size. The per-row explode is pure
+    * CPU (no materialized amplification past the partial agg), linear
+    * in corpus size.
+    */
+  def embedGram(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(embedding) - 1),
+             i -> transform(sequence(i, size(embedding) - 1),
+               j -> named_struct(
+                 'i', i, 'j', j,
+                 'p', CAST(floor(CAST(embedding[i] AS DOUBLE)
+                                 * CAST(embedding[j] AS DOUBLE)
+                                 * 1000000000 + 0.5) AS DECIMAL(38,0))))))"""))
+        .as("c"))
+      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
+      .agg((sum(col("c.p")).cast("double") / 1e9).as("gram"))
+      .orderBy("i", "j")
+
+  /** `embed_pca_project` — dimensionality reduction for the vector
+    * corpus: project every embedding onto the top-2 principal
+    * components of the corpus covariance (no oracle: the
+    * eigendecomposition runs on the driver — `engine.Pca`, one O(d²)
+    * moment pass + Jacobi — which DuckDB can't reproduce; PcaSpec
+    * holds residuals, orthonormality, and projected-variance = λ
+    * instead). The projection itself is a row-local dot against the
+    * broadcast component literals — map-only over the corpus, the
+    * standard recipe for whitening / data-aware LSH planes / 2-D
+    * corpus maps.
+    */
+  def embedPcaProject(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val model = graft.engine.Pca.fit(s, e, "embedding", k = 2)
+    def proj(m: Int): Column = {
+      val v = model.components(m)
+      // (x − μ)·v = x·v − μ·v: fold the mean term into one constant
+      val center = model.mean.zip(v).map { case (a, b) => a * b }.sum
+      val dotV = aggregate(
+        zip_with(col("embedding"), typedLit(v.toSeq),
+          (x, c) => x.cast("double") * c),
+        lit(0.0), (acc, z) => acc + z)
+      r6(dotV - lit(center))
+    }
+    e.select(col("vec_id"), proj(0).as("pc1"), proj(1).as("pc2"))
+      .orderBy("vec_id")
+  }
 }

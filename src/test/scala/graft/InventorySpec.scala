@@ -23,7 +23,8 @@ class InventorySpec extends AnyFunSuite {
     val documented = Set(
       "distinct_users_approx", "value_percentiles_approx",
       "dedup_minhash", "dedup_simhash", "dedup_embed_blocked",
-      "similarity_lsh", "similarity_ivf", "similarity_ivf_trained")
+      "similarity_lsh", "similarity_ivf", "similarity_ivf_trained",
+      "embed_pca_project")
     assert(oracleLess == documented,
       s"undocumented oracle-less: ${oracleLess -- documented}; " +
         s"stale documented: ${documented -- oracleLess}")

@@ -68,4 +68,34 @@ class SketchQualitySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("dedup_incremental_bloom equals dedup_incremental exactly") {
+    val exact = graft.operators.LlmTextOps.dedupIncremental(spark, sf)
+      .collect().toSeq
+    val bloom = graft.operators.LlmTextOps.dedupIncrementalBloom(spark, sf)
+      .collect().toSeq
+    assert(bloom == exact)
+  }
+
+  test("bloom prefilter prunes the anti-join probe to dups + a small FP tail") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.engine.Tables.documents(spark, sf)
+      .withColumn("digest", xxhash64(col("text")))
+    val ledger = docs.where(col("doc_id") < 250).select("digest")
+    val bloomBytes = ledger
+      .agg(graft.functions.BloomFns.bloomAgg(spark, col("digest"),
+        lit(1000000L), lit(8000000L)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val batch = docs.where(col("doc_id") >= 250)
+    val nBatch = batch.count()
+    val nMaybe = batch.where(graft.functions.BloomFns.mightContain(spark,
+      lit(bloomBytes), col("digest"))).count()
+    val nTrueDups = batch.join(ledger, Seq("digest"), "left_semi").count()
+    // no false negatives: every true dup passes the filter
+    assert(nMaybe >= nTrueDups)
+    // the 1 MiB sketch over a small ledger should be near-exact: allow
+    // a 1% FP tail before calling the prefilter broken
+    assert(nMaybe <= nTrueDups + math.ceil(nBatch * 0.01).toLong,
+      s"bloom passes $nMaybe of $nBatch batch rows but only $nTrueDups are dups")
+  }
 }
