@@ -37,45 +37,28 @@ object Pca {
     * driver-small by contract).
     */
   def fit(s: SparkSession, df: DataFrame, embCol: String, k: Int): Model = {
-    // one pass: upper-triangle product cells + per-dim sums + count.
-    // i == -1 rows carry the coordinate sums (j = dim index). Every
-    // summand is quantized to integral nano-units and summed in
-    // DECIMAL (the embed_gram / corr_matrix recipe): decimal addition
+    // one compiled pass (functions.GramAgg): count + per-dim sums +
+    // upper-triangle second-moment cells, every summand quantized to
+    // integral nano-units and accumulated in exact longs — addition
     // is associative, so the fit is bit-identical across shuffle
-    // orders and re-runs — double sums would make the model depend on
-    // task completion order. The 10⁻⁹ quantization perturbs each
-    // moment by ≤ 5·10⁻¹⁰, orders below the gated residual floor.
-    val cells = df.select(explode(expr(
-      s"""concat(
-            flatten(transform(sequence(0, size($embCol) - 1),
-              i -> transform(sequence(i, size($embCol) - 1),
-                j -> named_struct('i', i, 'j', j,
-                  'v', CAST(floor(CAST($embCol[i] AS DOUBLE)
-                                  * CAST($embCol[j] AS DOUBLE)
-                                  * 1000000000 + 0.5) AS DECIMAL(38,0)))))),
-            transform(sequence(0, size($embCol) - 1),
-              j -> named_struct('i', -1, 'j', j,
-                'v', CAST(floor(CAST($embCol[j] AS DOUBLE)
-                                * 1000000000 + 0.5) AS DECIMAL(38,0)))))"""))
-        .as("c"))
-      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
-      .agg((sum(col("c.v")).cast("double") / 1e9).as("s"),
-        count(lit(1)).as("n"))
-      .collect()
-
-    val dim = cells.iterator.map(_.getAs[Int]("j")).max + 1
-    val n = cells.iterator
-      .collectFirst { case r if r.getAs[Int]("i") == 0 => r.getAs[Long]("n") }
-      .getOrElse(0L)
+    // orders and re-runs (double sums would make the model depend on
+    // task completion order). The 10⁻⁹ quantization perturbs each
+    // moment by ≤ 5·10⁻¹⁰, orders below PcaSpec's residual floor.
+    val row = df
+      .agg(graft.functions.GramAgg.gramAgg(s, col(embCol)).as("g"))
+      .select(col("g.n"), col("g.sums"), col("g.cells"))
+      .head()
+    val n = row.getLong(0)
     require(n > 1, s"PCA needs at least 2 rows, got $n")
+    val sums = row.getSeq[Long](1)
+    val dim = sums.length
 
-    val mean = new Array[Double](dim)
+    val mean = Array.tabulate(dim)(i => sums(i) / 1e9 / n)
     val c = Array.ofDim[Double](dim, dim)
-    cells.foreach { r =>
-      val (i, j, sv) = (r.getAs[Int]("i"), r.getAs[Int]("j"),
-        r.getAs[Double]("s"))
-      if (i == -1) mean(j) = sv / n
-      else { c(i)(j) = sv / n; c(j)(i) = sv / n }
+    row.getSeq[org.apache.spark.sql.Row](2).foreach { cell =>
+      val (i, j, v) = (cell.getInt(0), cell.getInt(1), cell.getLong(2))
+      val sv = v / 1e9
+      c(i)(j) = sv / n; c(j)(i) = sv / n
     }
     var i = 0
     while (i < dim) {

@@ -538,13 +538,31 @@ object LlmVectorOps {
     * by ≤ n·5·10⁻¹⁰ — four orders below the smallest covariance
     * eigenvalue here.
     *
-    * Shape: explode d(d+1)/2 cells per row, partial hash-agg on 2080
-    * keys inside the scan stage ⇒ the shuffle carries 2080 rows per
-    * partition regardless of corpus size. The per-row explode is pure
-    * CPU (no materialized amplification past the partial agg), linear
-    * in corpus size.
+    * Shape: ONE compiled aggregation pass (`functions.GramAgg`,
+    * Array[Long] nano-unit state — the Shingle3 story applied to
+    * moments: the declarative explode-2080-struct-cells-per-row twin
+    * runs its nested `transform` lambdas interpreted and measured
+    * 2.1 s vs ~0.4 s at sf0.1). State is ~17 KiB per partial,
+    * independent of corpus size; exact long sums make the kernel
+    * bit-identical to the decimal-summed explode form
+    * ([[embedGramExploded]], GramKernelSpec-pinned), so the same
+    * DuckDB oracle hash-gates both.
     */
   def embedGram(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .agg(graft.functions.GramAgg.gramAgg(s, col("embedding")).as("g"))
+      .select(explode(col("g.cells")).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"),
+        (col("c.v").cast("double") / 1e9).as("gram"))
+      .orderBy("i", "j")
+
+  /** [[embedGram]]'s declarative twin: explode d(d+1)/2 quantized
+    * product cells per row, sum as integral DECIMAL(38,0) (associative
+    * ⇒ order-proof). Kept as the oracle-visible formulation the
+    * compiled kernel is equality-pinned against — this is lexically
+    * the DuckDB oracle query, translated.
+    */
+  private[graft] def embedGramExploded(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(explode(expr(
         """flatten(transform(sequence(0, size(embedding) - 1),
