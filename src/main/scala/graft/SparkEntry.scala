@@ -96,12 +96,14 @@ object SparkEntry {
     "decontaminate"       -> (LlmTextOps.decontaminate _),
     "repetition_stats"    -> (LlmTextOps.repetitionStats _),
     "chunk_documents"     -> (LlmTextOps.chunkDocuments _),
+    "dedup_chunks"        -> (LlmTextOps.dedupChunks _),
     "similarity_topk"     -> (LlmVectorOps.similarityTopk _),
     "similarity_topk_q8"  -> (LlmVectorOps.similarityTopkQ8 _),
     "embed_quantize"      -> (LlmVectorOps.embedQuantize _),
     "similarity_lsh"      -> (LlmVectorOps.similarityLsh _),
     "similarity_ivf"      -> (LlmVectorOps.similarityIvf _),
     "similarity_ivf_trained" -> (LlmVectorOps.similarityIvfTrained _),
+    "similarity_topk_pq"  -> (LlmVectorOps.similarityTopkPq _),
     "dedup_embed"         -> (LlmVectorOps.dedupEmbed _),
     "embed_gram"          -> (LlmVectorOps.embedGram _),
     "embed_pca_project"   -> (LlmVectorOps.embedPcaProject _),
@@ -117,7 +119,8 @@ object SparkEntry {
     * `queries.keySet -- oracleSql.keySet` (pinned by InventorySpec):
     * distinct_users_approx, value_percentiles_approx, dedup_minhash,
     * dedup_simhash, dedup_embed_blocked, similarity_lsh,
-    * similarity_ivf, similarity_ivf_trained, embed_pca_project (the
+    * similarity_ivf, similarity_ivf_trained, similarity_topk_pq,
+    * embed_pca_project (the
     * eigendecomposition runs driver-side; PcaSpec quality-gates it
     * against an independently computed covariance). The multimodal
     * stub-decode queries ARE
@@ -838,6 +841,23 @@ object SparkEntry {
                 array_to_string(toks[s+1 : least(s+32, len(toks))], ' ')
                   AS chunk_text
          FROM st ORDER BY doc_id, chunk_idx""",
+    "dedup_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+         st AS (SELECT doc_id, toks,
+                       unnest(range(0, len(toks), 24)) AS s
+                FROM t),
+         ch AS (SELECT doc_id, CAST(s // 24 AS BIGINT) AS ci,
+                       array_to_string(toks[s+1 : least(s+32, len(toks))], ' ')
+                         AS ct
+                FROM st),
+         keeper AS (SELECT ct, MIN(ROW(doc_id, ci)) AS k
+                    FROM ch GROUP BY ct)
+         SELECT doc_id, COUNT(*) AS n_chunks,
+                CAST(SUM(CASE WHEN ROW(doc_id, ci) <> k THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_dup_chunks
+         FROM ch JOIN keeper USING (ct)
+         GROUP BY 1 ORDER BY 1""",
     "doc_fingerprint" ->
       """SELECT doc_id,
                 list_reduce(list_prepend(0::BIGINT,

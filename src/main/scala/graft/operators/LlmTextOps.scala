@@ -1069,6 +1069,14 @@ object LlmTextOps {
     * presentation sort, chunk count scales with corpus tokens.
     */
   def chunkDocuments(s: SparkSession, d: String): DataFrame =
+    chunks(s, d).orderBy("doc_id", "chunk_idx")
+
+  /** [[chunkDocuments]] without the presentation sort — the form
+    * internal consumers compose over (the near-dup-pair lesson:
+    * every consumer that re-aggregates must not inherit a range
+    * exchange it immediately destroys).
+    */
+  private def chunks(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n", size(col("toks")))
@@ -1079,5 +1087,35 @@ object LlmTextOps {
         expr("CAST(st DIV 24 AS BIGINT)").as("chunk_idx"),
         least(lit(32), col("n") - col("st")).cast("int").as("chunk_len"),
         expr("array_join(slice(toks, st + 1, 32), ' ')").as("chunk_text"))
-      .orderBy("doc_id", "chunk_idx")
+
+  /** `dedup_chunks` — cross-corpus chunk-granularity dedup (the
+    * C4-style "drop repeated spans" pass, at `chunk_documents`'
+    * window granularity): a chunk is a duplicate when an identical
+    * chunk exists earlier in the corpus; the survivor is the
+    * lexicographically first (doc_id, chunk_idx). Reports per-doc
+    * chunk and duplicate counts — the mass a span-level dedup would
+    * remove beyond whole-document dedup.
+    *
+    * Scale shape: chunk text reduces to an 8-byte xxhash64 digest
+    * BEFORE any shuffle (the dedup_exact_digest posture — the
+    * groupBy and the keeper join both move 24-byte rows, never
+    * text); the oracle recomputes over raw chunk strings, proving
+    * the digest join loses nothing.
+    */
+  def dedupChunks(s: SparkSession, d: String): DataFrame = {
+    val ch = chunks(s, d)
+      .select(col("doc_id"), col("chunk_idx"),
+        xxhash64(col("chunk_text")).as("digest"))
+    val keeper = ch.groupBy("digest")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("k"))
+    ch.join(keeper, Seq("digest"))
+      .withColumn("is_dup",
+        col("doc_id") =!= col("k.doc_id")
+          || col("chunk_idx") =!= col("k.chunk_idx"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_chunks"))
+      .orderBy("doc_id")
+  }
 }

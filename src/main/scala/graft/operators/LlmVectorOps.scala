@@ -556,6 +556,139 @@ object LlmVectorOps {
         (col("c.v").cast("double") / 1e9).as("gram"))
       .orderBy("i", "j")
 
+  // ---- product quantization (PQ) ----------------------------------
+
+  private val pqSubs = 8    // subspaces
+  private val pqSubDim = 8  // dims per subspace (8×8 = 64)
+  private val pqK = 16      // centroids per subspace ⇒ 4-bit codes
+
+  /** (vec_id, sub, subemb): the embedding split into [[pqSubs]]
+    * contiguous subvectors — the row shape every PQ stage works on.
+    */
+  private def subspaceRows(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), posexplode(expr(
+      s"""transform(sequence(0, ${pqSubs - 1}),
+            t -> slice(embedding, t * $pqSubDim + 1, $pqSubDim))"""))
+      .as(Seq("sub", "subemb")))
+
+  /** Nearest centroid per (vec_id, sub) against a broadcast
+    * per-subspace codebook — |x−c|² expanded to xx − 2·x·c + cc so
+    * all three terms ride the compiled `graft_dot`; argmin via the
+    * min-struct trick (no window shuffle), (dist, cent_id) ordering
+    * makes ties deterministic. Keeps `subemb` (constant within the
+    * group) for the Lloyd update.
+    */
+  private def pqAssign(s: SparkSession, rows: DataFrame,
+      book: DataFrame): DataFrame =
+    rows
+      .withColumn("xx", VectorExprs.dot(s, col("subemb"), col("subemb")))
+      .join(broadcast(book), Seq("sub"))
+      .withColumn("dist",
+        col("xx") - VectorExprs.dot(s, col("subemb"), col("cent_emb")) * 2.0
+          + col("cc"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("dist"), col("cent_id"))).as("b"),
+        first(col("subemb")).as("subemb"))
+      .select(col("vec_id"), col("sub"), col("b.cent_id").as("cent_id"),
+        col("subemb"))
+
+  /** One per-subspace Lloyd round — the `lloydStep` recipe on
+    * subvectors: members' elementwise mean per (sub, centroid) in
+    * 2⁻²⁰ fixed point (order-free sums ⇒ bit-stable codebooks across
+    * partitionings). Emptied centroids vanish; their members reassign
+    * to survivors next pass.
+    */
+  private def pqLloyd(s: SparkSession, rows: DataFrame,
+      book: DataFrame): DataFrame = {
+    val grid = (1L << 20).toDouble
+    val means = pqAssign(s, rows, book)
+      .select(col("sub"), col("cent_id"),
+        posexplode(col("subemb")).as(Seq("pos", "v")))
+      .groupBy("sub", "cent_id", "pos")
+      .agg((sum(floor(col("v") * grid + 0.5).cast("long")).cast("double")
+        / (count(lit(1)) * grid)).as("m"))
+      .groupBy("sub", "cent_id")
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(pos, m)))," +
+          " x -> CAST(x.m AS FLOAT))").as("cent_emb"))
+    means.withColumn("cc",
+      VectorExprs.dot(s, col("cent_emb"), col("cent_emb")))
+  }
+
+  /** Trained per-subspace PQ codebook: seed = subvectors of the
+    * [[pqK]] lowest vec_ids, two Lloyd rounds, then centroids
+    * renumbered 0..k−1 per subspace (codes must fit 4 bits for
+    * packing). Codebook is pqSubs·pqK·pqSubDim floats — driver-small
+    * at any corpus size.
+    */
+  private def pqCodebook(s: SparkSession, e: DataFrame): DataFrame = {
+    val rows = subspaceRows(e)
+    val seed = subspaceRows(e.where(col("vec_id") < pqK))
+      .select(col("sub"), col("vec_id").as("cent_id"),
+        col("subemb").as("cent_emb"))
+      .withColumn("cc", VectorExprs.dot(s, col("cent_emb"), col("cent_emb")))
+    val trained = (1 to 2).foldLeft(seed)((b, _) => pqLloyd(s, rows, b))
+    trained.withColumn("code",
+      (row_number().over(
+        Window.partitionBy("sub").orderBy("cent_id")) - 1).cast("int"))
+      .select("sub", "code", "cent_emb", "cc")
+  }
+
+  /** `similarity_topk_pq` — product-quantized ANN with asymmetric
+    * distance (ADC) + exact re-rank: the 64× memory lever of the
+    * quantization family (4-bit code per subspace ⇒ 4 B/vector vs
+    * 256 B float — int8 is the 4× rung, PQ is the 64×). No oracle
+    * (codebook training is approximate by design); AnnQualitySpec
+    * holds recall@10 against the exact `similarity_topk`.
+    *
+    * Serving shape: corpus encodes ONCE to (vec_id, sub, code) rows
+    * (8-byte-ish rows, never embeddings); each probe's 8×16
+    * dot-product LUT materializes as 128 rows and BROADCASTS; the
+    * approx score is a map-side join + 8-term sum per (probe, vec) —
+    * LUT entries quantized to 2⁻²⁰ fixed point so the partial sums
+    * are order-free longs and the candidate cut is reproducible.
+    * Top-50 approx candidates per probe re-rank with the EXACT
+    * cosine, so emitted scores are true similarities (the r6/oracle
+    * formulation); only recall is approximate. At 100 TB the code
+    * table is the only corpus-sized scan (4 B/vec), embeddings are
+    * touched for ≤ 50 rows per probe.
+    */
+  def similarityTopkPq(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
+    val book = pqCodebook(s, e)
+    val codes = pqAssign(s, subspaceRows(e),
+        book.select(col("sub"), col("code").as("cent_id"), col("cent_emb"),
+          col("cc")))
+      .select(col("vec_id"), col("sub"), col("cent_id").as("code"))
+    val grid = (1L << 20).toDouble
+    val lut = subspaceRows(e.where(col("vec_id") < 5))
+      .join(broadcast(book), Seq("sub"))
+      .select(col("vec_id").as("probe_id"), col("sub"), col("code"),
+        floor(VectorExprs.dot(s, col("subemb"), col("cent_emb")) * grid
+          + 0.5).cast("long").as("lutq"))
+    val cand = codes.join(broadcast(lut), Seq("sub", "code"))
+      .where(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(sum(col("lutq")).as("approx_q"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("approx_q").desc, col("vec_id").asc)
+    val top50 = cand
+      .withColumn("crk", row_number().over(w))
+      .where(col("crk") <= 50)
+      .select("probe_id", "vec_id")
+    val probes = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+        col("norm").as("probe_norm"))
+    val exact = top50
+      .join(e.select(col("vec_id"), col("embedding"), col("norm")),
+        Seq("vec_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .withColumn("score", r6(
+        VectorExprs.dot(s, col("probe_emb"), col("embedding"))
+          / (col("probe_norm") * col("norm"))))
+    rankTopk(exact)
+  }
+
   /** [[embedGram]]'s declarative twin: explode d(d+1)/2 quantized
     * product cells per row, sum as integral DECIMAL(38,0) (associative
     * ⇒ order-proof). Kept as the oracle-visible formulation the

@@ -42,6 +42,25 @@ class AnnQualitySpec extends AnyFunSuite {
     assert(recall >= 0.55, f"trained IVF recall@10 degraded: $recall%.3f")
   }
 
+  test("similarity_topk_pq recall@10 vs brute force, and exact re-rank scores") {
+    val pq = LlmVectorOps.similarityTopkPq(spark, sf)
+    val recall = (exact & topkSet(pq)).size.toDouble / exact.size
+    // 4-bit codes on an isotropic corpus are the hard case for PQ;
+    // the 50-candidate exact re-rank carries the floor
+    assert(recall >= 0.5, f"PQ recall@10 degraded: $recall%.3f")
+    // every emitted score must be the TRUE cosine (re-rank is exact):
+    // compare against the brute-force score for the same (probe, vec)
+    val exactScores = LlmVectorOps.similarityTopk(spark, sf)
+      .select("probe_id", "vec_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    pq.select("probe_id", "vec_id", "score").collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      exactScores.get(key).foreach { es =>
+        assert(r.getDouble(2) == es, s"PQ emitted a non-exact score at $key")
+      }
+    }
+  }
+
   test("dedup_embed_blocked recall >= 0.5 vs exact pairs at sf0.01") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

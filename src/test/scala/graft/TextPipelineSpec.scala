@@ -108,6 +108,24 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(mismatched.count() == 0)
   }
 
+  test("dedup_chunks: every chunk of a non-survivor exact copy is a duplicate") {
+    val res = LlmTextOps.dedupChunks(spark, d)
+    assert(res.where(col("n_dup_chunks") > col("n_chunks")).count() == 0)
+    assert(res.agg(sum("n_dup_chunks")).head.getLong(0) > 0)
+    // an exact-copy doc that is not its group's survivor repeats every
+    // chunk of the survivor, so all its chunks must be flagged
+    val docs = Tables.documents(spark, d)
+    val nonSurvivors = docs.groupBy("text")
+      .agg(min("doc_id").as("keep"), count(lit(1)).as("n"))
+      .where(col("n") > 1)
+      .join(docs, Seq("text"))
+      .where(col("doc_id") =!= col("keep"))
+      .select("doc_id")
+    val incomplete = res.join(nonSurvivors, Seq("doc_id"))
+      .where(col("n_dup_chunks") =!= col("n_chunks"))
+    assert(incomplete.count() == 0)
+  }
+
   test("chunk_documents lengths and indices are consistent") {
     val chunks = LlmTextOps.chunkDocuments(spark, d)
       .withColumn("actual_len", size(split(col("chunk_text"), " ")))
