@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Bigrams, ByteStats, CountInSet, DotProduct, Int8DotBytes, Int8Pack, Int8Quantize, IntersectCount, MinHash32, MinHashAgg, PackedPairs, PairCombinations, PortableSimHash60, Shingle3, ShingleHash3, SimHash64, TopKAgg}
+import graft.functions.{Bigrams, ByteStats, CountInSet, DotProduct, GramAgg, Int8DotBytes, Int8Pack, Int8Quantize, IntersectCount, MinHash32, MinHashAgg, PackedPairs, PairCombinations, PortableSimHash60, Shingle3, ShingleHash3, SimHash64, TopKAgg}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * expressions first-class SQL functions in any session built with
@@ -81,5 +81,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[TopKAgg], exprs => TopKAgg(exprs(0), exprs(1),
         exprs(2).eval().asInstanceOf[Number].intValue())
         .toAggregateExpression())
+    inject(e, "graft_gram_agg", "graft_gram_agg(array<float>)", 1,
+      classOf[GramAgg], exprs => GramAgg(exprs.head).toAggregateExpression())
+    // Spark's own Bloom expressions, surfaced under graft names (they
+    // ship unregistered — Catalyst only builds them inside runtime
+    // filter rules)
+    inject(e, "graft_bloom_agg", "graft_bloom_agg(bigint, est, numBits)", 3,
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate],
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+        .toAggregateExpression())
+    inject(e, "graft_bloom_might_contain",
+      "graft_bloom_might_contain(binary, bigint)", 2,
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain],
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)))
   }
 }

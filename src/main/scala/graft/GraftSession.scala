@@ -38,6 +38,8 @@ object GraftSession {
     graft.functions.TextExprs.register(s)
     graft.functions.MinHashAgg.register(s)
     graft.functions.TopKAgg.register(s)
+    graft.functions.GramAgg.register(s)
+    graft.functions.BloomFns.register(s)
   }
 
   /** Local session for tests/demos. Functions are also registered

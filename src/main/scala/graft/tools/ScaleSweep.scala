@@ -70,8 +70,13 @@ object ScaleSweep {
                             'de','de','de','es','es','es',
                             'fr','fr','fr','zh','zh','zh'),
              CAST(pmod(xxhash64(5L, base_id), 20) AS INT) + 1)"""))
+      // source hashes the COPY id, not base_id: the driver corpus
+      // assigns source independently of the duplicate structure
+      // (measured: near-dup copies land in other sources, which is
+      // what makes decontaminate non-vacuous there), so a copy
+      // inheriting its base's source would be the unfaithful choice
       .withColumn("source",
-        concat(lit("src"), pmod(xxhash64(lit(6L), col("base_id")), lit(20))))
+        concat(lit("src"), pmod(xxhash64(lit(6L), col("id")), lit(20))))
       .withColumn("text", array_join(col("toks"), " "))
       .select(col("id").as("doc_id"), col("text"), col("lang"),
         col("source"), length(col("text")).cast("long").as("n_chars"))
@@ -170,7 +175,23 @@ object ScaleSweep {
         graft.pipeline.CorpusSilver.similarityTopkQ8(s, codesPath)),
       "similarity_ivf_trained" ->
         (graft.operators.LlmVectorOps.similarityIvfTrained _),
-      "embed_quantize" -> (graft.operators.LlmVectorOps.embedQuantize _))
+      "embed_quantize" -> (graft.operators.LlmVectorOps.embedQuantize _),
+      // round-5-continuation family
+      "decontaminate" -> (graft.operators.LlmTextOps.decontaminate _),
+      "repetition_stats" -> (graft.operators.LlmTextOps.repetitionStats _),
+      "dedup_chunks" -> (graft.operators.LlmTextOps.dedupChunks _),
+      "embed_gram" -> (graft.operators.LlmVectorOps.embedGram _),
+      "embed_pca_project" ->
+        (graft.operators.LlmVectorOps.embedPcaProject _),
+      "similarity_topk_pq" ->
+        (graft.operators.LlmVectorOps.similarityTopkPq _))
+      .filter { case (name, _) =>
+        // SPARK_GRAFT_QUERIES narrows the sweep (same contract as
+        // Bench) — re-measuring one family shouldn't pay for all
+        sys.env.get("SPARK_GRAFT_QUERIES")
+          .map(_.split(",").map(_.trim).toSet)
+          .forall(_.contains(name))
+      }
     family.foreach { case (name, fn) =>
       try fn(spark, warm).count() catch {
         case e: Throwable =>

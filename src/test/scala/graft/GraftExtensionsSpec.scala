@@ -80,6 +80,31 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT graft_minhash32(h) AS sig FROM VALUES (1L), (2L), (3L) AS t(h)")
         .head().getSeq[Long](0)
       assert(agg.length == 32)
+
+      // gram aggregate: one 2-d vector (1, 2) ⇒ n=1, nano-unit sums
+      val gram = s.sql(
+        """SELECT graft_gram_agg(v) AS g FROM VALUES
+          |  (array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS t(v)"""
+          .stripMargin).head().getStruct(0)
+      assert(gram.getLong(0) == 1L)
+      assert(gram.getSeq[Long](1) == Seq(1000000000L, 2000000000L))
+      assert(gram.getSeq[org.apache.spark.sql.Row](2).map(c =>
+        (c.getInt(0), c.getInt(1), c.getLong(2)))
+        == Seq((0, 0, 1000000000L), (0, 1, 2000000000L), (1, 1, 4000000000L)))
+
+      // bloom pair: a built filter recognizes its members and rejects
+      // an absent digest (the sketch side must be a constant or scalar
+      // subquery — Spark's might_contain contract)
+      val bloom = s.sql(
+        """SELECT
+          |  graft_bloom_might_contain(
+          |    (SELECT graft_bloom_agg(h, 1000L, 8000L)
+          |     FROM VALUES (1L), (2L) AS t(h)), 1L),
+          |  graft_bloom_might_contain(
+          |    (SELECT graft_bloom_agg(h, 1000L, 8000L)
+          |     FROM VALUES (1L), (2L) AS t(h)), 99L)"""
+          .stripMargin).head()
+      assert(bloom.getBoolean(0) && !bloom.getBoolean(1))
     }
   }
 
