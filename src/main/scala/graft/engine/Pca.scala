@@ -48,6 +48,9 @@ object Pca {
       .agg(graft.functions.GramAgg.gramAgg(s, col(embCol)).as("g"))
       .select(col("g.n"), col("g.sums"), col("g.cells"))
       .head()
+    // the aggregate of zero rows is null — report it as the row-count
+    // failure it is, not a NullPointerException
+    require(!row.isNullAt(0), "PCA needs at least 2 rows, got 0")
     val n = row.getLong(0)
     require(n > 1, s"PCA needs at least 2 rows, got $n")
     val sums = row.getSeq[Long](1)

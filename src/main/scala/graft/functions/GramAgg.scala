@@ -4,12 +4,13 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType,
-  StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType,
+  LongType, StructField, StructType}
 
 /** Corpus moment sums in ONE compiled aggregation pass: row count,
   * per-dimension coordinate sums, and the d(d+1)/2 upper-triangle
@@ -40,6 +41,12 @@ case class GramAgg(
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
 
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_gram_agg requires array<float>, got ${other.simpleString}")
+  }
+
   // buffer layout: [0] = n; [1..d] = coordinate sums; then the upper
   // triangle row-major: (0,0)..(0,d-1),(1,1)..(1,d-1),...,(d-1,d-1).
   // Sized lazily on first update (d isn't known until data arrives);
@@ -55,7 +62,17 @@ case class GramAgg(
     val d = arr.numElements()
     val x = new Array[Double](d)
     var i = 0
-    while (i < d) { x(i) = arr.getFloat(i).toDouble; i += 1 }
+    while (i < d) {
+      // fail-fast on null ELEMENTS (getFloat would silently read 0.0
+      // — the Int8Quantize lesson): a null coordinate has no moment
+      // semantics the twin and oracle agree on (their SUM silently
+      // drops per-cell products, itself a statistical footgun), so a
+      // malformed vector is an error, not a guess
+      require(!arr.isNullAt(i),
+        s"graft_gram_agg: null element at position $i — moment sums " +
+          "need fully-populated vectors (filter or impute first)")
+      x(i) = arr.getFloat(i).toDouble; i += 1
+    }
     val b =
       if (buf.length != 0) {
         require(buf.length == 1 + d + d * (d + 1) / 2,

@@ -123,9 +123,15 @@ object LlmTextOps {
     * batch; the sketch swaps for per-partition blooms when the ledger
     * outgrows one (est·10 bits).
     */
-  def dedupIncrementalBloom(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .withColumn("digest", xxhash64(col("text")))
+  def dedupIncrementalBloom(s: SparkSession, d: String): DataFrame =
+    dedupIncrementalBloomFrom(s, Tables.documents(s, d))
+
+  /** [[dedupIncrementalBloom]] over an externally supplied documents
+    * frame — lets tests feed the empty-ledger edge.
+    */
+  private[graft] def dedupIncrementalBloomFrom(s: SparkSession,
+      documents: DataFrame): DataFrame = {
+    val docs = documents.withColumn("digest", xxhash64(col("text")))
     val ledger = docs.where(col("doc_id") < 250).select("digest")
     // driver-collected sketch literal (the IVF-codebook pattern): one
     // scalar read of an aggregation result, never row data
@@ -134,12 +140,21 @@ object LlmTextOps {
         lit(1000000L), lit(8000000L)).as("bf"))
       .head().getAs[Array[Byte]]("bf")
     val batch = docs.where(col("doc_id") >= 250)
-      .withColumn("maybe_dup",
-        graft.functions.BloomFns.mightContain(s, lit(bloom), col("digest")))
-    val survivors = batch.where(!col("maybe_dup"))
-      .unionByName(
-        batch.where(col("maybe_dup"))
-          .join(ledger, Seq("digest"), "left_anti"))
+    // empty ledger ⇒ BloomFilterAggregate yields null ⇒ might_contain
+    // would be null for every row and BOTH union legs would drop
+    // everything; the correct answer is the whole batch (nothing can
+    // be a duplicate of an empty ledger)
+    val survivors =
+      if (bloom == null) batch
+      else {
+        val probed = batch.withColumn("maybe_dup",
+          graft.functions.BloomFns.mightContain(s, lit(bloom),
+            col("digest")))
+        probed.where(!col("maybe_dup"))
+          .unionByName(
+            probed.where(col("maybe_dup"))
+              .join(ledger, Seq("digest"), "left_anti"))
+      }
     survivors
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")

@@ -575,22 +575,30 @@ object LlmVectorOps {
     * per-subspace codebook — |x−c|² expanded to xx − 2·x·c + cc so
     * all three terms ride the compiled `graft_dot`; argmin via the
     * min-struct trick (no window shuffle), (dist, cent_id) ordering
-    * makes ties deterministic. Keeps `subemb` (constant within the
-    * group) for the Lloyd update.
+    * makes ties deterministic. `keepSubemb` carries the (group-
+    * constant) subvector through for the Lloyd update; the encode
+    * path turns it off so the corpus-sized aggregation exchanges
+    * (vec_id, sub, code) rows only — never embeddings.
     */
   private def pqAssign(s: SparkSession, rows: DataFrame,
-      book: DataFrame): DataFrame =
-    rows
+      book: DataFrame, keepSubemb: Boolean): DataFrame = {
+    val scored = rows
       .withColumn("xx", VectorExprs.dot(s, col("subemb"), col("subemb")))
       .join(broadcast(book), Seq("sub"))
       .withColumn("dist",
         col("xx") - VectorExprs.dot(s, col("subemb"), col("cent_emb")) * 2.0
           + col("cc"))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min(struct(col("dist"), col("cent_id"))).as("b"),
+    val aggCols =
+      if (keepSubemb) Seq(min(struct(col("dist"), col("cent_id"))).as("b"),
         first(col("subemb")).as("subemb"))
-      .select(col("vec_id"), col("sub"), col("b.cent_id").as("cent_id"),
-        col("subemb"))
+      else Seq(min(struct(col("dist"), col("cent_id"))).as("b"))
+    val outCols = Seq(col("vec_id"), col("sub"),
+      col("b.cent_id").as("cent_id")) ++
+      (if (keepSubemb) Seq(col("subemb")) else Nil)
+    scored.groupBy(col("vec_id"), col("sub"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(outCols: _*)
+  }
 
   /** One per-subspace Lloyd round — the `lloydStep` recipe on
     * subvectors: members' elementwise mean per (sub, centroid) in
@@ -601,7 +609,7 @@ object LlmVectorOps {
   private def pqLloyd(s: SparkSession, rows: DataFrame,
       book: DataFrame): DataFrame = {
     val grid = (1L << 20).toDouble
-    val means = pqAssign(s, rows, book)
+    val means = pqAssign(s, rows, book, keepSubemb = true)
       .select(col("sub"), col("cent_id"),
         posexplode(col("subemb")).as(Seq("pos", "v")))
       .groupBy("sub", "cent_id", "pos")
@@ -658,7 +666,8 @@ object LlmVectorOps {
     val book = pqCodebook(s, e)
     val codes = pqAssign(s, subspaceRows(e),
         book.select(col("sub"), col("code").as("cent_id"), col("cent_emb"),
-          col("cc")))
+          col("cc")),
+        keepSubemb = false)
       .select(col("vec_id"), col("sub"), col("cent_id").as("code"))
     val grid = (1L << 20).toDouble
     val lut = subspaceRows(e.where(col("vec_id") < 5))

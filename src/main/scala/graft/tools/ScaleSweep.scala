@@ -114,15 +114,28 @@ object ScaleSweep {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // idempotence guard covers BOTH tables: a run killed between the
-    // two writes must not leave a half-corpus that later sweeps
-    // silently treat as complete
+    // idempotence guard covers BOTH tables plus a generator-version
+    // marker: a run killed between the two writes must not leave a
+    // half-corpus that later sweeps silently treat as complete, and a
+    // generator change must not silently keep timing a stale corpus
+    // (the source-column fix would otherwise never apply to an
+    // existing outDir and decontaminate would measure vacuous)
     val docsPath = s"$outDir/documents.parquet"
     val embsPath = s"$outDir/embeddings.parquet"
-    if (!new java.io.File(docsPath).exists()
+    val genVersion = "v2-source-hashes-copy-id"
+    val versionFile = java.nio.file.Paths.get(s"$outDir/_gen_version")
+    val versionOk = java.nio.file.Files.exists(versionFile) &&
+      java.nio.file.Files.readString(versionFile).trim == genVersion
+    if (!versionOk || !new java.io.File(docsPath).exists()
         || !new java.io.File(embsPath).exists()) {
+      java.nio.file.Files.deleteIfExists(versionFile)
       genDocuments(spark, nDocs).write.mode("overwrite").parquet(docsPath)
       genEmbeddings(spark, nVecs).write.mode("overwrite").parquet(embsPath)
+      // derived tables must not outlive the corpus they derive from
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$outDir/codes.parquet"))
+      java.nio.file.Files.createDirectories(versionFile.getParent)
+      java.nio.file.Files.writeString(versionFile, genVersion)
     }
 
     // engine-independent work units (the scale-curve x-axis) — the

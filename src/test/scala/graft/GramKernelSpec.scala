@@ -64,4 +64,37 @@ class GramKernelSpec extends AnyFunSuite {
       .agg(GramAgg.gramAgg(spark, col("emb")).as("g")).head()
     assert(empty.isNullAt(0))
   }
+
+  test("kernel fails loudly on null elements and non-float arrays") {
+    import spark.implicits._
+    // a null ELEMENT must throw (getFloat would silently read 0.0 and
+    // corrupt the moments), with the operator's own message
+    val nullElem = Seq(Seq(Some(1.0f), None)).toDF("emb")
+    val e = intercept[Exception] {
+      nullElem.agg(GramAgg.gramAgg(spark, col("emb"))).collect()
+    }
+    assert(e.getMessage != null)
+    assert(exceptionChain(e).exists(_.contains("null element")),
+      s"unexpected error: ${e.getMessage}")
+    // a non-float array must fail analysis, not reinterpret bytes
+    val doubles = Seq(Seq(1.0, 2.0)).toDF("emb")
+    val ae = intercept[Exception] {
+      doubles.agg(GramAgg.gramAgg(spark, col("emb"))).collect()
+    }
+    assert(exceptionChain(ae).exists(_.contains("array<float>")),
+      s"unexpected error: ${ae.getMessage}")
+  }
+
+  private def exceptionChain(t: Throwable): Seq[String] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).toSeq
+
+  test("Pca.fit reports the empty input as a row-count failure") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.engine.Pca.fit(spark, empty, "embedding", k = 2)
+    }
+    assert(e.getMessage.contains("at least 2 rows"))
+  }
 }

@@ -77,6 +77,17 @@ class SketchQualitySpec extends AnyFunSuite {
     assert(bloom == exact)
   }
 
+  test("bloom incremental dedup passes the whole batch through an empty ledger") {
+    // an empty ledger aggregates to a NULL bloom; the operator must
+    // return every batch row (dedup_incremental semantics), not drop
+    // them all through a null probe
+    val docs = graft.engine.Tables.documents(spark, TestSpark.sf0001)
+      .where(org.apache.spark.sql.functions.col("doc_id") >= 250)
+    val out = graft.operators.LlmTextOps
+      .dedupIncrementalBloomFrom(spark, docs)
+    assert(out.count() == docs.count())
+  }
+
   test("bloom prefilter prunes the anti-join probe to dups + a small FP tail") {
     import org.apache.spark.sql.functions._
     val docs = graft.engine.Tables.documents(spark, sf)
