@@ -664,11 +664,27 @@ object LlmVectorOps {
   def similarityTopkPq(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
     val book = pqCodebook(s, e)
-    val codes = pqAssign(s, subspaceRows(e),
-        book.select(col("sub"), col("code").as("cent_id"), col("cent_emb"),
-          col("cc")),
-        keepSubemb = false)
+    val codes = pqEncode(s, e, book)
+    pqServe(s, e, book, codes)
+  }
+
+  /** Encode a corpus against a trained codebook: one assignment pass
+    * emitting (vec_id, sub, code) rows — never embeddings.
+    */
+  private[graft] def pqEncode(s: SparkSession, e: DataFrame,
+      book: DataFrame): DataFrame =
+    pqAssign(s, subspaceRows(e),
+      book.select(col("sub"), col("code").as("cent_id"), col("cent_emb"),
+        col("cc")),
+      keepSubemb = false)
       .select(col("vec_id"), col("sub"), col("cent_id").as("code"))
+
+  /** The ADC serving tail shared by the inline query and the silver
+    * index: broadcast per-probe LUT, fixed-point approx sums over the
+    * code rows, top-50 candidate cut, exact cosine re-rank.
+    */
+  private[graft] def pqServe(s: SparkSession, e: DataFrame,
+      book: DataFrame, codes: DataFrame): DataFrame = {
     val grid = (1L << 20).toDouble
     val lut = subspaceRows(e.where(col("vec_id") < 5))
       .join(broadcast(book), Seq("sub"))
@@ -696,6 +712,27 @@ object LlmVectorOps {
         VectorExprs.dot(s, col("probe_emb"), col("embedding"))
           / (col("probe_norm") * col("norm"))))
     rankTopk(exact)
+  }
+
+  /** Trained PQ codebook over a (vec_id, embedding, norm) frame —
+    * exposed for the silver index writer. */
+  private[graft] def pqTrain(s: SparkSession, e: DataFrame): DataFrame =
+    pqCodebook(s, e)
+
+  /** Serve the PQ top-k from a silver index: `book` as stored by
+    * `CorpusSilver.writePqIndex`, `packed` as (vec_id, pq_code) with
+    * the 8 4-bit codes packed little-nibble-first. Unpacking is a
+    * row-local explode of shift/mask — the corpus-sized input stays
+    * 12 bytes per vector.
+    */
+  private[graft] def similarityTopkPqFromIndex(s: SparkSession, d: String,
+      book: DataFrame, packed: DataFrame): DataFrame = {
+    val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
+    val codes = packed.select(col("vec_id"), posexplode(expr(
+      s"""transform(sequence(0, ${pqSubs - 1}),
+            t -> CAST(shiftright(pq_code, t * 4) & 15 AS INT))"""))
+      .as(Seq("sub", "code")))
+    pqServe(s, e, book, codes)
   }
 
   /** [[embedGram]]'s declarative twin: explode d(d+1)/2 quantized

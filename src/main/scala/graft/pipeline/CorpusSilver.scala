@@ -101,6 +101,37 @@ object CorpusSilver {
     graft.operators.LlmVectorOps
       .similarityTopkQ8FromCodes(s, s.read.parquet(codesPath))
 
+  /** PQ silver index: the trained per-subspace codebook plus every
+    * vector's 8 4-bit codes packed little-nibble-first into one
+    * integer — 4 logical bytes per vector, the 64× rung of the
+    * quantization storage ladder (the int8 code table above is the 4×
+    * rung). Training happens ONCE at write time; serving reads the
+    * two tables and never re-runs Lloyd.
+    */
+  def writePqIndex(s: SparkSession, sfDir: String, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(s, sfDir)
+      .withColumn("norm", sqrt(graft.functions.VectorExprs.dot(s,
+        col("embedding"), col("embedding"))))
+    val book = graft.operators.LlmVectorOps.pqTrain(s, e)
+    book.write.mode("overwrite").parquet(s"$dir/codebook.parquet")
+    graft.operators.LlmVectorOps
+      .pqEncode(s, e, s.read.parquet(s"$dir/codebook.parquet"))
+      // codes are 0..15 and subs 0..7 ⇒ the packed value uses 32 bits
+      .groupBy(col("vec_id"))
+      .agg(sum(expr("shiftleft(CAST(code AS BIGINT), sub * 4)"))
+        .as("pq_code"))
+      .write.mode("overwrite").parquet(s"$dir/codes.parquet")
+  }
+
+  /** `similarity_topk_pq` served from the silver index —
+    * equality-pinned to the inline trained query (PqIndexSpec). */
+  def similarityTopkPq(s: SparkSession, sfDir: String,
+      dir: String): DataFrame =
+    graft.operators.LlmVectorOps.similarityTopkPqFromIndex(s, sfDir,
+      s.read.parquet(s"$dir/codebook.parquet"),
+      s.read.parquet(s"$dir/codes.parquet"))
+
   /** Bucketed silver layout: pay the shuffle ONCE at write time.
     * Pairs bucket on the removal key `j`, documents on `doc_id`, same
     * bucket count — the consumer's distinct and anti-join then both

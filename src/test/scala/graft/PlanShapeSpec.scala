@@ -184,4 +184,53 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!p.contains(c), s"unpruned column $c in corr_matrix scan")
     }
   }
+
+  test("decontaminate pushes both source filters to the scan and broadcasts the benchmark") {
+    val p = planString("decontaminate")
+    // benchmark gram set is the build side — the corpus side must
+    // probe a broadcast, never shuffle into a sort-merge join
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), "benchmark join fell back to SMJ")
+    // the source predicate reaches the parquet scan on BOTH branches
+    assert(p.contains("PushedFilters: [In(source"), p.take(1500))
+    assert(p.contains("PushedFilters: [Not(In(source"), p.take(1500))
+    // grams travel as 8-byte hashes: the join key is the xxhash64
+    // column, and document text must not survive past the Generate
+    assert(p.contains("xxhash64"), p.take(1500))
+  }
+
+  test("repetition_stats is a shuffle-free map (plus final sort)") {
+    val p = planString("repetition_stats")
+    assert(!p.contains("Join"), p.take(1500))
+    assert(!p.contains("HashAggregate"),
+      "the map-side run-length fold grew a corpus aggregate:\n"
+        + p.take(1500))
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"more than the presentation-sort exchange:\n" + p.take(1500))
+  }
+
+  test("embed_gram is ONE object-hash aggregation pair over the pruned embedding scan") {
+    val p = planString("embed_gram")
+    // the compiled gram kernel is a TypedImperativeAggregate: one
+    // partial+final ObjectHashAggregate pair, no explode-side
+    // HashAggregate on 2080 keys, no join
+    assert("ObjectHashAggregate".r.findAllIn(p).size == 2,
+      "gram moments split across aggregations:\n" + p.take(1500))
+    assert(!p.contains("Join"), p.take(1500))
+    assert(p.contains("graft_gram_agg"), p.take(1500))
+    assert(!p.contains("vec_id"), "unpruned vec_id in embed_gram scan")
+  }
+
+  test("dedup_chunks shuffles 8-byte digests, never chunk text") {
+    val df = SparkEntry.queries("dedup_chunks")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // every exchange must carry digest/count rows only — chunk_text
+    // reduces to xxhash64 before the first shuffle
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("chunk_text")),
+      "chunk text crossed a shuffle:\n" + exchanges.mkString("\n"))
+  }
 }

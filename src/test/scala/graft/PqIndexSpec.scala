@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.LlmVectorOps
+import graft.pipeline.CorpusSilver
+
+/** The PQ silver index (trained codebook + nibble-packed codes)
+  * serves the identical top-k as the inline trained query: training
+  * is deterministic (fixed-point Lloyd), packing/unpacking is exact,
+  * so any divergence is an index bug.
+  */
+class PqIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val d = TestSpark.sf0001
+
+  test("silver PQ index serves the same rows as the inline trained query") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pq-index").toString
+    CorpusSilver.writePqIndex(spark, d, dir)
+    val inline = LlmVectorOps.similarityTopkPq(spark, d).collect().toSeq
+    val silver = CorpusSilver.similarityTopkPq(spark, d, dir)
+      .collect().toSeq
+    assert(silver == inline)
+    // the packed column really is one small integer per vector — the
+    // 4-byte claim (32 bits used; stored as BIGINT, parquet bit-packs)
+    val packed = spark.read.parquet(s"$dir/codes.parquet")
+    import org.apache.spark.sql.functions._
+    val bad = packed.where(col("pq_code") < 0L
+      || col("pq_code") > ((1L << 32) - 1))
+    assert(bad.count() == 0)
+    assert(packed.count() ==
+      graft.engine.Tables.embeddings(spark, d).count())
+  }
+}
