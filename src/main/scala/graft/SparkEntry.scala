@@ -66,6 +66,8 @@ object SparkEntry {
     "string_agg_statuses"      -> (AnalyticOps.stringAggStatuses _),
     "heavy_hitters"            -> (AnalyticOps.heavyHitters _),
     "corr_matrix"              -> (AnalyticOps.corrMatrix _),
+    "top_docs_per_lang"        -> (AnalyticOps.topDocsPerLang _),
+    "lineitem_unpivot"         -> (AnalyticOps.lineitemUnpivot _),
     // E16–E21 + LLM-pipeline surface
     "sessionize"          -> (LlmTextOps.sessionize _),
     "dedup_exact"         -> (LlmTextOps.dedupExact _),
@@ -455,6 +457,26 @@ object SparkEntry {
     // corr from decimal-exact moments (NOT corr(): double fold order
     // is engine-dependent); the closed form runs once in double with
     // the identical op sequence as the Spark side
+    "top_docs_per_lang" ->
+      """SELECT lang, CAST(rk AS INTEGER) AS rank, doc_id, n_chars FROM (
+           SELECT lang, doc_id, n_chars,
+                  ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY n_chars DESC, doc_id ASC) AS rk
+           FROM documents)
+         WHERE rk <= 5 ORDER BY lang, rank""",
+    "lineitem_unpivot" ->
+      """WITH src AS (SELECT * FROM lineitem WHERE l_orderkey % 100 = 0),
+         long AS (
+           SELECT l_orderkey, l_linenumber,
+                  'discount' AS measure, l_discount AS value FROM src
+           UNION ALL
+           SELECT l_orderkey, l_linenumber,
+                  'extendedprice', l_extendedprice FROM src
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'quantity', l_quantity FROM src
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM src)
+         SELECT * FROM long ORDER BY l_orderkey, l_linenumber, measure""",
     "corr_matrix" ->
       """WITH m AS (SELECT
            CAST(COUNT(*) AS DOUBLE) AS n,

@@ -183,6 +183,46 @@ object AnalyticOps {
       .orderBy("symbol", "ts")
   }
 
+  /** `top_docs_per_lang` — per-group bounded top-k through the
+    * `graft_topk` aggregate (functions/TopKAgg) instead of a window:
+    * the aggregate keeps O(k) state at every map-side partial, so the
+    * exchange carries one ≤k-entry buffer per (partition, group)
+    * where the window formulation shuffles and sorts EVERY corpus row
+    * inside each group. Same (score desc, id asc) ranking rule —
+    * the oracle is the window formulation, which is what pins the
+    * bounded aggregate's semantics inside the gated set (the specs
+    * pin it too; this row makes DuckDB a second witness).
+    */
+  def topDocsPerLang(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(graft.functions.TopKAgg.topk(s,
+        col("n_chars").cast("double"), col("doc_id"), 5).as("tk"))
+      .select(col("lang"), posexplode(col("tk")).as(Seq("r", "e")))
+      .select(col("lang"), (col("r") + 1).cast("int").as("rank"),
+        col("e.vec_id").as("doc_id"),
+        // n_chars round-trips the double score exactly (< 2^53)
+        col("e.score").cast("long").as("n_chars"))
+      .orderBy("lang", "rank")
+
+  /** `lineitem_unpivot` — wide→long reshape (melt) of the four
+    * lineitem measures via `stack`: the standard feature-table →
+    * (entity, measure, value) normalization. Row-local (4 output rows
+    * per input, no shuffle beyond the presentation sort); restricted
+    * to a deterministic order slice so the gated result stays
+    * compare-sized.
+    */
+  def lineitemUnpivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .where(col("l_orderkey") % 100 === 0)
+      .selectExpr("l_orderkey", "l_linenumber",
+        """stack(4,
+             'discount', l_discount,
+             'extendedprice', l_extendedprice,
+             'quantity', l_quantity,
+             'tax', l_tax) AS (measure, value)""")
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+
   /** `corr_matrix` — pairwise Pearson correlation of lineitem's four
     * numeric measures, from DECIMAL-EXACT moment sums. The built-in
     * `corr()` folds doubles in partition order, so its last few bits

@@ -221,6 +221,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("vec_id"), "unpruned vec_id in embed_gram scan")
   }
 
+  test("top_docs_per_lang is a bounded aggregate — no Window, no per-group sort") {
+    val p = planString("top_docs_per_lang")
+    // the graft_topk aggregate replaces the window top-k: partial
+    // buffers are O(k), so no WindowExec and no corpus-wide sort may
+    // appear (the only sort is the presentation orderBy)
+    assert(p.contains("graft_topk"), p.take(1500))
+    assert("ObjectHashAggregate".r.findAllIn(p).size == 2, p.take(1500))
+    assert(!p.contains("Window"), "bounded top-k fell back to a window:\n"
+      + p.take(1500))
+  }
+
+  test("lineitem_unpivot pushes the order filter and stays join/agg-free") {
+    val p = planString("lineitem_unpivot")
+    assert(!p.contains("Join"), p.take(1500))
+    assert(!p.contains("HashAggregate"), p.take(1500))
+    // the slice predicate reaches the scan stage (modulo isn't a
+    // parquet-pushable filter, but it must sit directly on the scan,
+    // before the 4× generate)
+    assert(p.contains("Filter"), p.take(1500))
+  }
+
   test("dedup_chunks shuffles 8-byte digests, never chunk text") {
     val df = SparkEntry.queries("dedup_chunks")(spark, sf)
     df.collect()
