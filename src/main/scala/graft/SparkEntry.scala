@@ -106,6 +106,7 @@ object SparkEntry {
     "similarity_ivf"      -> (LlmVectorOps.similarityIvf _),
     "similarity_ivf_trained" -> (LlmVectorOps.similarityIvfTrained _),
     "similarity_topk_pq"  -> (LlmVectorOps.similarityTopkPq _),
+    "similarity_ivf_pq"   -> (LlmVectorOps.similarityIvfPq _),
     "dedup_embed"         -> (LlmVectorOps.dedupEmbed _),
     "embed_gram"          -> (LlmVectorOps.embedGram _),
     "embed_pca_project"   -> (LlmVectorOps.embedPcaProject _),
@@ -122,7 +123,7 @@ object SparkEntry {
     * distinct_users_approx, value_percentiles_approx, dedup_minhash,
     * dedup_simhash, dedup_embed_blocked, similarity_lsh,
     * similarity_ivf, similarity_ivf_trained, similarity_topk_pq,
-    * embed_pca_project (the
+    * similarity_ivf_pq, embed_pca_project (the
     * eigendecomposition runs driver-side; PcaSpec quality-gates it
     * against an independently computed covariance). The multimodal
     * stub-decode queries ARE

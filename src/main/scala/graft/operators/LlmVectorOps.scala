@@ -719,6 +719,68 @@ object LlmVectorOps {
   private[graft] def pqTrain(s: SparkSession, e: DataFrame): DataFrame =
     pqCodebook(s, e)
 
+  /** `similarity_ivf_pq` — the production ANN composition (the
+    * Faiss-IVFPQ shape): coarse k-means lists route each probe to
+    * nprobe=2 inverted lists, PQ codes score ONLY the vectors in
+    * those lists (broadcast LUT, fixed-point sums), and the top-50
+    * survivors re-rank with the exact cosine. The two approximations
+    * multiply where they're cheap and cancel where it matters:
+    * candidate recall comes from the coarse lists (scan nprobe/k of
+    * the corpus), score fidelity from the exact re-rank — the code
+    * scan in between touches 4 B/vector for just the routed lists.
+    * This codebook encodes raw vectors; the classical refinement
+    * (encode residuals x − centroid per list) drops quantization
+    * error further and slots into the same plan. No oracle
+    * (doubly-approximate by design); AnnQualitySpec recall floor.
+    */
+  def similarityIvfPq(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
+    // coarse router: the trained-IVF codebook (2 Lloyd rounds)
+    val coarse = (1 to 2).foldLeft(seedCentroids(e)) {
+      (cents, _) => lloydStep(s, e, cents)
+    }
+    val corpusLists = assignToCentroids(s, e, coarse, keep = 1)
+      .select(col("cent_id"), col("vec_id"))
+    val probeLists = assignToCentroids(s, e.where(col("vec_id") < 5),
+        coarse, keep = 2)
+      .select(col("cent_id"), col("vec_id").as("probe_id"))
+    // per-probe candidate pairs from shared lists (ids only)
+    val candPairs = corpusLists.join(broadcast(probeLists), Seq("cent_id"))
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"))
+    // PQ scoring restricted to the candidates
+    val book = pqCodebook(s, e)
+    val codes = pqEncode(s, e, book)
+    val grid = (1L << 20).toDouble
+    val lut = subspaceRows(e.where(col("vec_id") < 5))
+      .join(broadcast(book), Seq("sub"))
+      .select(col("vec_id").as("probe_id"), col("sub"), col("code"),
+        floor(VectorExprs.dot(s, col("subemb"), col("cent_emb")) * grid
+          + 0.5).cast("long").as("lutq"))
+    val approx = candPairs
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(lut), Seq("probe_id", "sub", "code"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(sum(col("lutq")).as("approx_q"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("approx_q").desc, col("vec_id").asc)
+    val top50 = approx
+      .withColumn("crk", row_number().over(w))
+      .where(col("crk") <= 50)
+      .select("probe_id", "vec_id")
+    val probes = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+        col("norm").as("probe_norm"))
+    val exact = top50
+      .join(e.select(col("vec_id"), col("embedding"), col("norm")),
+        Seq("vec_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .withColumn("score", r6(
+        VectorExprs.dot(s, col("probe_emb"), col("embedding"))
+          / (col("probe_norm") * col("norm"))))
+    rankTopk(exact)
+  }
+
   /** Serve the PQ top-k from a silver index: `book` as stored by
     * `CorpusSilver.writePqIndex`, `packed` as (vec_id, pq_code) with
     * the 8 4-bit codes packed little-nibble-first. Unpacking is a

@@ -61,6 +61,24 @@ class AnnQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("similarity_ivf_pq recall@10 >= 0.4 and candidate set within the IVF lists") {
+    val ivfpq = LlmVectorOps.similarityIvfPq(spark, sf)
+    val recall = (exact & topkSet(ivfpq)).size.toDouble / exact.size
+    // doubly approximate (coarse routing × PQ scoring): the floor is
+    // necessarily below both single-approximation paths; measured
+    // value recorded in BASELINE.md
+    assert(recall >= 0.4, f"IVF-PQ recall@10 degraded: $recall%.3f")
+    // exact re-rank: emitted scores must be true cosines
+    val exactScores = LlmVectorOps.similarityTopk(spark, sf)
+      .select("probe_id", "vec_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ivfpq.select("probe_id", "vec_id", "score").collect().foreach { r =>
+      exactScores.get((r.getLong(0), r.getLong(1))).foreach { es =>
+        assert(r.getDouble(2) == es)
+      }
+    }
+  }
+
   test("dedup_embed_blocked recall >= 0.5 vs exact pairs at sf0.01") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

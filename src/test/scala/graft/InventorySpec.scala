@@ -24,7 +24,7 @@ class InventorySpec extends AnyFunSuite {
       "distinct_users_approx", "value_percentiles_approx",
       "dedup_minhash", "dedup_simhash", "dedup_embed_blocked",
       "similarity_lsh", "similarity_ivf", "similarity_ivf_trained",
-      "similarity_topk_pq", "embed_pca_project")
+      "similarity_topk_pq", "similarity_ivf_pq", "embed_pca_project")
     assert(oracleLess == documented,
       s"undocumented oracle-less: ${oracleLess -- documented}; " +
         s"stale documented: ${documented -- oracleLess}")
