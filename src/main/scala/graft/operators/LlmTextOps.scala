@@ -996,6 +996,16 @@ object LlmTextOps {
     */
   private val benchmarkSources = Seq("src0", "src1", "src2", "src3")
 
+  /** Distinct 8-token contiguous shingles of a `toks` array, hashed to
+    * 8-byte keys — shared by batch [[decontaminate]] and the S9
+    * streaming twin (`streaming/StreamingDecontaminate`): the two
+    * sides must shingle identically or the streaming gate would pass
+    * what the batch gate catches.
+    */
+  private[graft] val GramHashExpr =
+    """transform(sequence(0, size(toks) - 8),
+         i -> xxhash64(array_join(slice(toks, i + 1, 8), ' ')))"""
+
   /** `decontaminate` — benchmark-contamination detection, the
     * eval-leakage gate every pretraining pipeline runs before
     * training: flag every candidate document that shares at least one
@@ -1019,10 +1029,7 @@ object LlmTextOps {
       .withColumn("toks", split(col("text"), " "))
       .where(size(col("toks")) >= 8)
       .select(col("doc_id"), col("source"),
-        explode(array_distinct(expr(
-          """transform(sequence(0, size(toks) - 8),
-               i -> xxhash64(array_join(slice(toks, i + 1, 8), ' ')))""")))
-          .as("gk"))
+        explode(array_distinct(expr(GramHashExpr))).as("gk"))
     val bench = grams
       .where(col("source").isin(benchmarkSources: _*))
       .select("gk").distinct()

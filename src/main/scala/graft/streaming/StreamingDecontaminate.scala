@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.LlmTextOps
+
+/** S9 `streaming_decontaminate` — the contamination gate on the
+  * ingest path: a watermarked stream of incoming documents is checked
+  * against a STATIC benchmark table as the documents arrive, so
+  * eval-leaking text is flagged before it lands in the training
+  * corpus (the batch `decontaminate` is the retroactive sweep; this
+  * is the front door).
+  *
+  * Shape mirrors the batch operator exactly: the benchmark side
+  * reduces to a distinct 8-byte gram-hash set once and BROADCASTS
+  * (stream-static join — the static side is never shuffled, and
+  * micro-batches probe it map-side); the stream side shingles
+  * row-locally with the SAME shared expression
+  * ([[LlmTextOps.GramHashExpr]] — the two gates must agree on what a
+  * shingle is), and per-(window, doc) overlap counts emit in append
+  * mode when the event-time window closes. Documents with no overlap
+  * produce no row (inner join): the common case costs state only for
+  * true hits.
+  */
+object StreamingDecontaminate {
+
+  /** `docs` is a streaming frame with (ts TIMESTAMP, doc_id LONG,
+    * text STRING); `benchmark` a static frame with a text column.
+    * Output: (window_start, doc_id, n_shared_grams), one append-mode
+    * row per contaminated doc per closed 1 h window, 10 min
+    * watermark.
+    */
+  def contaminationStream(docs: DataFrame, benchmark: DataFrame): DataFrame = {
+    val benchGrams = benchmark
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= 8)
+      .select(explode(array_distinct(expr(LlmTextOps.GramHashExpr)))
+        .as("gk"))
+      .distinct()
+    docs
+      .withWatermark("ts", "10 minutes")
+      .withColumn("toks", split(col("text"), " "))
+      // the short-doc guard lives INSIDE the expression, not in a
+      // where(): Catalyst pushes a deterministic filter BELOW the
+      // EventTimeWatermark node, so a where(size >= 8) would stop
+      // sub-8-token documents from ever advancing the watermark — a
+      // stream of short docs would hold every window open forever.
+      // An empty gram array explodes to zero rows AFTER the watermark
+      // node instead.
+      .select(col("ts"), col("doc_id"),
+        explode(array_distinct(expr(
+          s"""CASE WHEN size(toks) < 8 THEN CAST(array() AS ARRAY<BIGINT>)
+                   ELSE ${LlmTextOps.GramHashExpr} END"""))).as("gk"))
+      .join(broadcast(benchGrams), Seq("gk"))
+      .groupBy(window(col("ts"), "1 hour"), col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .select(col("window.start").as("window_start"), col("doc_id"),
+        col("n_shared_grams"))
+  }
+}

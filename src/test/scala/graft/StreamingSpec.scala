@@ -425,4 +425,45 @@ class StreamingSpec extends AnyFunSuite {
       assert(topk == Seq((1L, 1.0), (2L, 0.707107)))
     } finally q.stop()
   }
+
+  test("S9 streaming_decontaminate: only docs sharing a benchmark 8-gram emit, on window close") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingDecontaminate
+    // benchmark: one doc of tokens b1..b12 (5 distinct 8-grams)
+    val benchmark = Seq(
+      (1 to 12).map(i => s"b$i").mkString(" ")).toDF("text")
+    val in = MemoryStream[StreamingSpec.Doc]
+    val q = StreamingDecontaminate.contaminationStream(in.toDF(), benchmark)
+      .writeStream.format("memory").queryName("s9_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // doc 10: contains benchmark tokens b3..b10 (exactly ONE shared
+      // 8-gram) padded by non-benchmark tokens; doc 11: same length,
+      // no overlap; doc 12: a verbatim benchmark copy (all 5 grams)
+      in.addData(
+        StreamingSpec.Doc(ts("2024-01-01 10:00:05"), 10L,
+          "x1 x2 " + (3 to 10).map(i => s"b$i").mkString(" ") + " x3 x4"),
+        StreamingSpec.Doc(ts("2024-01-01 10:00:06"), 11L,
+          (1 to 12).map(i => s"y$i").mkString(" ")),
+        StreamingSpec.Doc(ts("2024-01-01 10:00:07"), 12L,
+          (1 to 12).map(i => s"b$i").mkString(" ")))
+      q.processAllAvailable()
+      // window still open — nothing emitted
+      assert(spark.sql("SELECT * FROM s9_out").count() == 0)
+      // even a sub-8-token doc advances the watermark (the short-doc
+      // guard is inside the shingle expression, NOT a where() that
+      // Catalyst would push below the watermark node)
+      in.addData(StreamingSpec.Doc(ts("2024-01-01 13:00:00"), 99L, "z z"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, n_shared_grams FROM s9_out")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // clean doc 11 emits NO row; doc 10 one gram; doc 12 all five
+      assert(rows == Map(10L -> 1L, 12L -> 5L), rows.toString)
+    } finally q.stop()
+  }
+}
+
+object StreamingSpec {
+  case class Doc(ts: Timestamp, doc_id: Long, text: String)
 }
