@@ -455,9 +455,6 @@ object SparkEntry {
     "heavy_hitters" ->
       """SELECT user_id AS key, COUNT(*) AS cnt FROM events
          GROUP BY 1 ORDER BY cnt DESC, key ASC LIMIT 3""",
-    // corr from decimal-exact moments (NOT corr(): double fold order
-    // is engine-dependent); the closed form runs once in double with
-    // the identical op sequence as the Spark side
     "top_docs_per_lang" ->
       """SELECT lang, CAST(rk AS INTEGER) AS rank, doc_id, n_chars FROM (
            SELECT lang, doc_id, n_chars,
@@ -478,6 +475,9 @@ object SparkEntry {
            UNION ALL
            SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM src)
          SELECT * FROM long ORDER BY l_orderkey, l_linenumber, measure""",
+    // corr from decimal-exact moments (NOT corr(): double fold order
+    // is engine-dependent); the closed form runs once in double with
+    // the identical op sequence as the Spark side
     "corr_matrix" ->
       """WITH m AS (SELECT
            CAST(COUNT(*) AS DOUBLE) AS n,

@@ -679,20 +679,30 @@ object LlmVectorOps {
       keepSubemb = false)
       .select(col("vec_id"), col("sub"), col("cent_id").as("code"))
 
-  /** The ADC serving tail shared by the inline query and the silver
-    * index: broadcast per-probe LUT, fixed-point approx sums over the
-    * code rows, top-50 candidate cut, exact cosine re-rank.
+  /** The ADC serving tail shared by the inline query, the silver
+    * index, and the IVF-PQ composition: broadcast per-probe LUT,
+    * fixed-point approx sums over the code rows, top-50 candidate
+    * cut, exact cosine re-rank. `candPairs` (probe_id, vec_id)
+    * restricts scoring to routed candidates (the IVF path); None
+    * scores the full code table.
     */
   private[graft] def pqServe(s: SparkSession, e: DataFrame,
-      book: DataFrame, codes: DataFrame): DataFrame = {
+      book: DataFrame, codes: DataFrame,
+      candPairs: Option[DataFrame] = None): DataFrame = {
     val grid = (1L << 20).toDouble
     val lut = subspaceRows(e.where(col("vec_id") < 5))
       .join(broadcast(book), Seq("sub"))
       .select(col("vec_id").as("probe_id"), col("sub"), col("code"),
         floor(VectorExprs.dot(s, col("subemb"), col("cent_emb")) * grid
           + 0.5).cast("long").as("lutq"))
-    val cand = codes.join(broadcast(lut), Seq("sub", "code"))
-      .where(col("vec_id") =!= col("probe_id"))
+    val scored = candPairs match {
+      case Some(pairs) => pairs
+        .join(codes, Seq("vec_id"))
+        .join(broadcast(lut), Seq("probe_id", "sub", "code"))
+      case None => codes.join(broadcast(lut), Seq("sub", "code"))
+        .where(col("vec_id") =!= col("probe_id"))
+    }
+    val cand = scored
       .groupBy(col("probe_id"), col("vec_id"))
       .agg(sum(col("lutq")).as("approx_q"))
     val w = Window.partitionBy("probe_id")
@@ -714,8 +724,8 @@ object LlmVectorOps {
     rankTopk(exact)
   }
 
-  /** Trained PQ codebook over a (vec_id, embedding, norm) frame —
-    * exposed for the silver index writer. */
+  /** Trained PQ codebook over a (vec_id, embedding) frame — the
+    * silver index writer's entry point to the private trainer. */
   private[graft] def pqTrain(s: SparkSession, e: DataFrame): DataFrame =
     pqCodebook(s, e)
 
@@ -748,37 +758,9 @@ object LlmVectorOps {
     val candPairs = corpusLists.join(broadcast(probeLists), Seq("cent_id"))
       .where(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"))
-    // PQ scoring restricted to the candidates
+    // PQ scoring restricted to the candidates — the shared ADC tail
     val book = pqCodebook(s, e)
-    val codes = pqEncode(s, e, book)
-    val grid = (1L << 20).toDouble
-    val lut = subspaceRows(e.where(col("vec_id") < 5))
-      .join(broadcast(book), Seq("sub"))
-      .select(col("vec_id").as("probe_id"), col("sub"), col("code"),
-        floor(VectorExprs.dot(s, col("subemb"), col("cent_emb")) * grid
-          + 0.5).cast("long").as("lutq"))
-    val approx = candPairs
-      .join(codes, Seq("vec_id"))
-      .join(broadcast(lut), Seq("probe_id", "sub", "code"))
-      .groupBy(col("probe_id"), col("vec_id"))
-      .agg(sum(col("lutq")).as("approx_q"))
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("approx_q").desc, col("vec_id").asc)
-    val top50 = approx
-      .withColumn("crk", row_number().over(w))
-      .where(col("crk") <= 50)
-      .select("probe_id", "vec_id")
-    val probes = e.where(col("vec_id") < 5)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
-        col("norm").as("probe_norm"))
-    val exact = top50
-      .join(e.select(col("vec_id"), col("embedding"), col("norm")),
-        Seq("vec_id"))
-      .join(broadcast(probes), Seq("probe_id"))
-      .withColumn("score", r6(
-        VectorExprs.dot(s, col("probe_emb"), col("embedding"))
-          / (col("probe_norm") * col("norm"))))
-    rankTopk(exact)
+    pqServe(s, e, book, pqEncode(s, e, book), Some(candPairs))
   }
 
   /** Serve the PQ top-k from a silver index: `book` as stored by

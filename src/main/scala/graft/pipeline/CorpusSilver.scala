@@ -110,9 +110,8 @@ object CorpusSilver {
     */
   def writePqIndex(s: SparkSession, sfDir: String, dir: String): Unit = {
     import org.apache.spark.sql.functions._
+    // training and encoding read only (vec_id, embedding)
     val e = Tables.embeddings(s, sfDir)
-      .withColumn("norm", sqrt(graft.functions.VectorExprs.dot(s,
-        col("embedding"), col("embedding"))))
     val book = graft.operators.LlmVectorOps.pqTrain(s, e)
     book.write.mode("overwrite").parquet(s"$dir/codebook.parquet")
     graft.operators.LlmVectorOps

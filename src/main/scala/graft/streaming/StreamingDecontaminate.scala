@@ -32,12 +32,18 @@ object StreamingDecontaminate {
     * watermark.
     */
   def contaminationStream(docs: DataFrame, benchmark: DataFrame): DataFrame = {
+    // the static side of a stream-static join re-evaluates every
+    // micro-batch: persist so the benchmark shingle+distinct pass and
+    // broadcast build run once, not per trigger (the
+    // StreamingSimilarity corpus-codes precedent; a long-lived
+    // deployment reads a pre-materialized gram silver table instead)
     val benchGrams = benchmark
       .withColumn("toks", split(col("text"), " "))
       .where(size(col("toks")) >= 8)
       .select(explode(array_distinct(expr(LlmTextOps.GramHashExpr)))
         .as("gk"))
       .distinct()
+      .persist()
     docs
       .withWatermark("ts", "10 minutes")
       .withColumn("toks", split(col("text"), " "))

@@ -61,7 +61,7 @@ class AnnQualitySpec extends AnyFunSuite {
     }
   }
 
-  test("similarity_ivf_pq recall@10 >= 0.4 and candidate set within the IVF lists") {
+  test("similarity_ivf_pq recall@10 >= 0.4 with exact re-ranked scores") {
     val ivfpq = LlmVectorOps.similarityIvfPq(spark, sf)
     val recall = (exact & topkSet(ivfpq)).size.toDouble / exact.size
     // doubly approximate (coarse routing × PQ scoring): the floor is
