@@ -67,6 +67,7 @@ object SparkEntry {
     "heavy_hitters"            -> (AnalyticOps.heavyHitters _),
     "corr_matrix"              -> (AnalyticOps.corrMatrix _),
     "top_docs_per_lang"        -> (AnalyticOps.topDocsPerLang _),
+    "value_anomalies"          -> (AnalyticOps.valueAnomalies _),
     "lineitem_unpivot"         -> (AnalyticOps.lineitemUnpivot _),
     // E16–E21 + LLM-pipeline surface
     "sessionize"          -> (LlmTextOps.sessionize _),
@@ -455,6 +456,22 @@ object SparkEntry {
     "heavy_hitters" ->
       """SELECT user_id AS key, COUNT(*) AS cnt FROM events
          GROUP BY 1 ORDER BY cnt DESC, key ASC LIMIT 3""",
+    // same decimal-exact-moments recipe as corr_matrix: the 3σ cut
+    // must land on identical doubles in both engines
+    "value_anomalies" ->
+      """WITH stats AS (SELECT event_type,
+                CAST(COUNT(*) AS DOUBLE) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+                CAST(SUM(CAST(value AS DECIMAL(18,6))
+                         * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+         FROM events GROUP BY 1),
+         z AS (SELECT event_id, e.event_type, value,
+                      (value - s1 / n)
+                        / sqrt(s2 / n - (s1 / n) * (s1 / n)) AS zr
+               FROM events e JOIN stats USING (event_type))
+         SELECT event_id, event_type, value,
+                floor(zr * 1000000 + 0.5) / 1000000 AS z
+         FROM z WHERE abs(zr) > 3 ORDER BY event_id""",
     "top_docs_per_lang" ->
       """SELECT lang, CAST(rk AS INTEGER) AS rank, doc_id, n_chars FROM (
            SELECT lang, doc_id, n_chars,
