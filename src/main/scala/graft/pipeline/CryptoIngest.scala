@@ -166,6 +166,45 @@ object CryptoIngest {
     dropped.map(_.getName.stripPrefix("date="))
   }
 
+  /** Compact one landed partition directory: rewrite its many small
+    * files (the 5 s-cadence append pattern — one file per micro-batch
+    * per executor, `dataCollector.py:220`'s poll loop made durable)
+    * into ⌈bytes / targetBytes⌉ right-sized files. The 100 TB lake
+    * needs this nightly: a day of 5 s appends is ~17k files per
+    * partition, and every downstream scan pays open/footer cost per
+    * file. Write-then-swap: the rewrite lands in a sibling temp dir
+    * and replaces the partition only after its job commits, so a
+    * failed compaction leaves the original intact; a crash between
+    * delete and rename loses no data (the temp dir holds the full
+    * rewrite) but needs a manual rename — the lake-format ledger
+    * (Delta/Iceberg) is the production answer, this is the
+    * plain-parquet shape of it.
+    *
+    * Returns (filesBefore, filesAfter).
+    */
+  def compactPartition(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no such partition dir: $dir")
+    val dataFiles = fs.listStatus(p).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    if (dataFiles.size <= nOut) return (dataFiles.size, dataFiles.size)
+    val tmp = new Path(p.getParent, s".${p.getName}.compact-tmp")
+    fs.delete(tmp, true)
+    // coalesce, not repartition: narrow (no shuffle) — compaction
+    // must not pay a corpus shuffle to merge files
+    spark.read.parquet(dir).coalesce(nOut)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(p, true)
+    require(fs.rename(tmp, p), s"rename $tmp -> $p failed")
+    val after = fs.listStatus(p).toSeq
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    (dataFiles.size, after)
+  }
+
   /** One full pipeline pass over a landed tick batch: raw append,
     * hourly flush, retention. The batch twin of the reference's
     * `run()` loop iteration (`dataCollector.py:179-220`).

@@ -39,6 +39,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(hourly.count() == 3) // 3 distinct (hour, symbol) groups
   }
 
+  test("compactPartition merges small files, preserves rows, and is size-aware") {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graft_compact").toString
+    val dir = s"$tmp/part"
+    // 20 micro-batch-sized files, the 5 s append pattern
+    spark.range(10000).select(col("id"), (col("id") % 97).as("v"))
+      .repartition(20).write.parquet(dir)
+    val before = spark.read.parquet(dir)
+      .select(sum(col("id")), count(lit(1))).head()
+    val (nBefore, nAfter) =
+      CryptoIngest.compactPartition(spark, dir, targetBytes = 64L * 1024)
+    assert(nBefore == 20 && nAfter < nBefore && nAfter >= 1,
+      s"before=$nBefore after=$nAfter")
+    val after = spark.read.parquet(dir)
+      .select(sum(col("id")), count(lit(1))).head()
+    assert(after == before)
+    // repeated passes at the same target reach a fixpoint (merging
+    // files sheds per-file overhead, so byte totals can shrink once
+    // more) and the fixpoint pass is a no-op — no rewrite churn
+    val counts = Iterator.continually(
+      CryptoIngest.compactPartition(spark, dir, targetBytes = 64L * 1024))
+      .take(5).toSeq
+    val (bLast, aLast) = counts.last
+    assert(bLast == aLast, s"no fixpoint in 5 passes: $counts")
+    assert(spark.read.parquet(dir)
+      .select(sum(col("id")), count(lit(1))).head() == before)
+  }
+
   test("flushHourly is idempotent (dynamic partition overwrite)") {
     val tmp = Files.createTempDirectory("graft_flush").toString
     CryptoIngest.flushHourly(ticksDf(batch), s"$tmp/hourly")

@@ -462,6 +462,34 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows == Map(10L -> 1L, 12L -> 5L), rows.toString)
     } finally q.stop()
   }
+
+  test("S10 streaming_anomalies: 3σ tick flagged immediately, flat symbols never flag") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingAnomalies
+    // history: BTC prices 90..110 (μ=100, σ≈8.16); FLAT constant 5.0
+    val history = ((Seq(90.0, 95.0, 100.0, 105.0, 110.0).map("BTC" -> _))
+      ++ Seq.fill(5)("FLAT" -> 5.0)).toDF("symbol", "price")
+    val stats = StreamingAnomalies.symbolStats(history)
+    val in = MemoryStream[Tick]
+    val q = StreamingAnomalies
+      .anomalyStream(in.toDF().selectExpr("ts", "symbol", "price"), stats)
+      .writeStream.format("memory").queryName("s10_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Tick(ts("2024-01-01 10:00:00"), "BTC", 101.0),  // |z| ≈ 0.12
+        Tick(ts("2024-01-01 10:00:05"), "BTC", 400.0),  // |z| ≈ 37 → flag
+        Tick(ts("2024-01-01 10:00:10"), "FLAT", 9999.0)) // σ=0 → never
+      q.processAllAvailable()
+      // stateless: emitted in the SAME micro-batch, no watermark wait
+      val rows = spark.sql("SELECT symbol, price, z FROM s10_out").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getString(0) == "BTC"
+        && rows.head.getDouble(1) == 400.0
+        && rows.head.getDouble(2) > 3.0)
+    } finally q.stop()
+  }
 }
 
 object StreamingSpec {
