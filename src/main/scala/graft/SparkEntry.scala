@@ -456,19 +456,28 @@ object SparkEntry {
     "heavy_hitters" ->
       """SELECT user_id AS key, COUNT(*) AS cnt FROM events
          GROUP BY 1 ORDER BY cnt DESC, key ASC LIMIT 3""",
-    // same decimal-exact-moments recipe as corr_matrix: the 3σ cut
-    // must land on identical doubles in both engines
+    // Determinism.muSigma's oracle twin: moments in DECIMAL with the
+    // variance numerator n·Σv²−(Σv)² kept in decimal (exact, ≥ 0) so
+    // σ is never NaN and degenerate groups drop out at exactly 0
     "value_anomalies" ->
       """WITH stats AS (SELECT event_type,
                 CAST(COUNT(*) AS DOUBLE) AS n,
-                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
-                CAST(SUM(CAST(value AS DECIMAL(18,6))
-                         * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+                CAST(CAST(SUM(CAST(value AS DECIMAL(16,2)))
+                          AS DECIMAL(16,2)) AS DOUBLE) / COUNT(*) AS mu,
+                sqrt(CAST(CAST(COUNT(*) AS DECIMAL(10,0))
+                            * CAST(SUM(CAST(value AS DECIMAL(16,2))
+                                       * CAST(value AS DECIMAL(16,2)))
+                                   AS DECIMAL(22,4))
+                          - CAST(SUM(CAST(value AS DECIMAL(16,2)))
+                                 AS DECIMAL(16,2))
+                            * CAST(SUM(CAST(value AS DECIMAL(16,2)))
+                                   AS DECIMAL(16,2)) AS DOUBLE))
+                  / COUNT(*) AS sigma
          FROM events GROUP BY 1),
          z AS (SELECT event_id, e.event_type, value,
-                      (value - s1 / n)
-                        / sqrt(s2 / n - (s1 / n) * (s1 / n)) AS zr
-               FROM events e JOIN stats USING (event_type))
+                      (value - mu) / sigma AS zr
+               FROM events e JOIN stats USING (event_type)
+               WHERE sigma > 0)
          SELECT event_id, event_type, value,
                 floor(zr * 1000000 + 0.5) / 1000000 AS z
          FROM z WHERE abs(zr) > 3 ORDER BY event_id""",

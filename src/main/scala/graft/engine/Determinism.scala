@@ -29,4 +29,54 @@ object Determinism {
     * Oracle twin: `floor((x) * 1000000 + 0.5) / 1000000`.
     */
   def r6(c: Column): Column = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+
+  /** Exact per-group (n, mu, sigma) over a ≤2-dp value column — the
+    * moments recipe hardened against catastrophic cancellation: the
+    * population-variance NUMERATOR n·Σv² − (Σv)² is computed entirely
+    * IN DECIMAL, where it is exact and ≥ 0 by Cauchy–Schwarz, so
+    * `sigma` is NEVER NaN and is exactly 0.0 for a constant group.
+    * The double form s2/n − (s1/n)² instead rounds to ±1e-18 on flat
+    * groups: sqrt(negative) = NaN, and in Spark `NaN > 0.0` is TRUE
+    * (NaN sorts greatest), so a `sigma > 0` guard silently passes and
+    * flags every row of the group — while DuckDB *errors* on the
+    * negative sqrt. Exact decimal kills both failure modes at the
+    * source.
+    *
+    * Width budget (every op exact AND under precision 38 in BOTH
+    * engines, including Spark's result-precision+1 rule on the
+    * subtraction): values cast at scale 2 (the ≤2-dp contract),
+    * |Σv| < 10¹⁴, Σv² < 10¹⁸, n < 10¹⁰ — beyond that, re-derive the
+    * widths. Oracle twin, byte-for-byte the same op sequence:
+    * {{{
+    * SELECT g, CAST(COUNT(*) AS DOUBLE) AS n,
+    *        CAST(CAST(SUM(CAST(v AS DECIMAL(16,2))) AS DECIMAL(16,2))
+    *             AS DOUBLE) / COUNT(*) AS mu,
+    *        sqrt(CAST(CAST(COUNT(*) AS DECIMAL(10,0))
+    *                    * CAST(SUM(CAST(v AS DECIMAL(16,2))
+    *                               * CAST(v AS DECIMAL(16,2)))
+    *                           AS DECIMAL(22,4))
+    *                  - CAST(SUM(CAST(v AS DECIMAL(16,2)))
+    *                         AS DECIMAL(16,2))
+    *                    * CAST(SUM(CAST(v AS DECIMAL(16,2)))
+    *                           AS DECIMAL(16,2)) AS DOUBLE))
+    *          / COUNT(*) AS sigma
+    * FROM t GROUP BY g
+    * }}}
+    */
+  def muSigma(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      valueCol: String): org.apache.spark.sql.DataFrame = {
+    def dec(c: Column) = c.cast(DecimalType(16, 2))
+    val v = col(valueCol)
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(dec(v)).cast(DecimalType(16, 2)).as("s1d"),
+        sum(dec(v) * dec(v)).cast(DecimalType(22, 4)).as("s2d"))
+      .select(col(groupCol),
+        col("n"),
+        (col("s1d").cast("double") / col("n")).as("mu"),
+        (sqrt((col("n").cast(DecimalType(10, 0)) * col("s2d")
+            - col("s1d") * col("s1d")).cast("double"))
+          / col("n")).as("sigma"))
+  }
 }

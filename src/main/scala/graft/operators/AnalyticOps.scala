@@ -186,29 +186,23 @@ object AnalyticOps {
   /** `value_anomalies` — per-group z-score outlier detection (the
     * tick-monitoring pass the reference's crypto domain wants):
     * events whose value sits more than 3σ from their type's mean.
-    * Group moments (n, Σv, Σv²) accumulate in DECIMAL (exact,
-    * associative — the corr_matrix recipe), the closed-form μ/σ and
-    * every z run once in double with the identical op sequence as
-    * the oracle, so the >3σ cut lands on identical doubles in both
-    * engines. One aggregation pass over the corpus; the 5-row stats
-    * frame broadcasts back onto the scan — two corpus reads, zero
-    * wide shuffles.
+    * μ/σ come from `Determinism.muSigma`: moments in DECIMAL (exact,
+    * associative), with the variance numerator kept in decimal so a
+    * degenerate group gets σ = exactly 0 (never NaN from
+    * cancellation, never a DIVIDE_BY_ZERO under ANSI mode — such
+    * groups are excluded by the σ > 0 guard, which is sound only
+    * because the zero is exact). The z computation runs the identical
+    * double op sequence as the oracle, so the >3σ cut lands on
+    * identical values in both engines. One aggregation pass over the
+    * corpus; the 5-row stats frame broadcasts back onto the scan.
     */
   def valueAnomalies(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 6))
-    val stats = Tables.events(s, d)
-      .groupBy(col("event_type"))
-      .agg(
-        count(lit(1)).cast("double").as("n"),
-        sum(dec(col("value"))).cast("double").as("s1"),
-        sum(dec(col("value")) * dec(col("value"))).cast("double").as("s2"))
+    val stats = graft.engine.Determinism
+      .muSigma(Tables.events(s, d), "event_type", "value")
+      .where(col("sigma") > 0.0)
     Tables.events(s, d)
       .join(broadcast(stats), Seq("event_type"))
-      .withColumn("z",
-        (col("value") - col("s1") / col("n"))
-          / sqrt(col("s2") / col("n")
-            - (col("s1") / col("n")) * (col("s1") / col("n"))))
+      .withColumn("z", (col("value") - col("mu")) / col("sigma"))
       .where(abs(col("z")) > 3.0)
       .select(col("event_id"), col("event_type"), col("value"),
         r6(col("z")).as("z"))

@@ -198,7 +198,25 @@ object CryptoIngest {
     // must not pay a corpus shuffle to merge files
     spark.read.parquet(dir).coalesce(nOut)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(p, true)
+    // concurrent-append guard: compaction targets SEALED partitions
+    // (yesterday's dates), but a misrouted call on today's hot
+    // partition would silently drop any file landed after the
+    // rewrite's snapshot — re-list and abort instead of losing rows
+    // (plain-parquet best effort; a lake-format ledger makes this
+    // transactional)
+    val now = fs.listStatus(p).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(f => f.getPath.getName -> f.getLen).toMap
+    val snapshot = dataFiles.map(f => f.getPath.getName -> f.getLen).toMap
+    if (now != snapshot) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"$dir changed during compaction (live appends?) — aborted, " +
+          "original files untouched; compact only sealed partitions")
+    }
+    // a false return here (lease/permission) with rename-into-existing
+    // would nest tmp INSIDE the surviving dir and hide the rewrite
+    require(fs.delete(p, true), s"delete of $p failed — rewrite left at $tmp")
     require(fs.rename(tmp, p), s"rename $tmp -> $p failed")
     val after = fs.listStatus(p).toSeq
       .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))

@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** S10 `streaming_anomalies` — the batch `value_anomalies` gate on
   * the live tick path: flag ticks more than 3σ from their symbol's
@@ -21,31 +20,34 @@ import org.apache.spark.sql.types.DecimalType
 object StreamingAnomalies {
 
   /** Per-symbol (mu, sigma) from a static history frame with
-    * (symbol, price) — DECIMAL-exact moments, the corr_matrix /
-    * value_anomalies recipe. Persisted: the static side of a
+    * (symbol, price) — `Determinism.muSigma`: decimal-exact moments
+    * with the variance numerator kept IN DECIMAL, so a flat-history
+    * symbol gets σ = exactly 0 (the double form rounds to ±1e-18 on
+    * constant groups; sqrt of the negative side is NaN, and Spark's
+    * `NaN > 0.0` is TRUE, so a σ > 0 guard would silently pass and
+    * flag every tick of the symbol). Persisted: the static side of a
     * stream-static join re-evaluates every micro-batch.
     */
-  def symbolStats(history: DataFrame): DataFrame = {
-    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 6))
-    history
-      .groupBy(col("symbol"))
-      .agg(
-        count(lit(1)).cast("double").as("n"),
-        sum(dec(col("price"))).cast("double").as("s1"),
-        sum(dec(col("price")) * dec(col("price"))).cast("double").as("s2"))
-      .select(col("symbol"),
-        (col("s1") / col("n")).as("mu"),
-        sqrt(col("s2") / col("n")
-          - (col("s1") / col("n")) * (col("s1") / col("n"))).as("sigma"))
+  def symbolStats(history: DataFrame): DataFrame =
+    graft.engine.Determinism
+      .muSigma(history.withColumnRenamed("price", "value"),
+        "symbol", "value")
+      .select(col("symbol"), col("mu"), col("sigma"))
       .persist()
-  }
 
   /** `ticks` is a streaming frame with (ts, symbol, price); `stats` a
     * static (symbol, mu, sigma) frame from [[symbolStats]]. Emits
     * (ts, symbol, price, z) for |z| > 3 immediately — append mode,
-    * zero state. Symbols with σ = 0 (constant history) never flag:
-    * a division by zero would yield ±Infinity and flag every tick of
-    * a flat-but-moved symbol, so they're filtered explicitly.
+    * zero state.
+    *
+    * Monitoring scope is EXACTLY the stats frame's symbols (inner
+    * join): σ = 0 symbols (constant history — the exact-decimal zero
+    * makes this guard sound) and symbols absent from the history both
+    * pass unscored. The latter matters operationally — a newly listed
+    * symbol is unmonitored until the nightly stats refresh — so route
+    * `ticks.join(stats, Seq("symbol"), "left_anti")` to a coverage
+    * alarm; silently widening this join would instead flag every tick
+    * of an unknown symbol or emit NaN z-scores.
     */
   def anomalyStream(ticks: DataFrame, stats: DataFrame): DataFrame =
     ticks

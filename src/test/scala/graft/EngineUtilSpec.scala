@@ -139,4 +139,24 @@ class EngineUtilSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(countsOf(wide = true) == countsOf(wide = false))
   }
+
+  test("muSigma: flat groups get sigma EXACTLY 0, never NaN from cancellation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 0.1 is the cancellation repro: five copies summed as doubles
+    // give variance -1.4e-18 ⇒ sqrt = NaN, and NaN > 0.0 is TRUE in
+    // Spark — the decimal-exact numerator must return exactly 0.0
+    val df = (Seq.fill(5)("flat" -> 0.1)
+      ++ Seq("vary" -> 1.0, "vary" -> 3.0)
+      ++ Seq.fill(1102)("flat2" -> 56920.387483)).toDF("g", "v")
+    val m = graft.engine.Determinism.muSigma(df, "g", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("mu"), r.getAs[Double]("sigma"))).toMap
+    assert(m("flat")._2 == 0.0, s"flat sigma: ${m("flat")._2}")
+    // the positive-rounding direction of the same bug: a large
+    // constant whose double-form variance rounds to +tiny
+    assert(m("flat2")._2 == 0.0, s"flat2 sigma: ${m("flat2")._2}")
+    assert(!m.values.exists(v => v._1.isNaN || v._2.isNaN))
+    assert(m("vary")._1 == 2.0 && m("vary")._2 == 1.0)
+  }
 }

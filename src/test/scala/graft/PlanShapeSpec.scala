@@ -242,6 +242,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Filter"), p.take(1500))
   }
 
+  test("value_anomalies broadcasts the stats side — no sort-merge, one agg pair") {
+    val p = planString("value_anomalies")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), "stats join fell back to SMJ")
+    // the moment aggregation is one partial+final pair
+    assert("HashAggregate".r.findAllIn(p).size == 2, p.take(1500))
+  }
+
   test("dedup_chunks shuffles 8-byte digests, never chunk text") {
     val df = SparkEntry.queries("dedup_chunks")(spark, sf)
     df.collect()

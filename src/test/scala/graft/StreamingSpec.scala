@@ -467,10 +467,17 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     import graft.streaming.StreamingAnomalies
-    // history: BTC prices 90..110 (μ=100, σ≈8.16); FLAT constant 5.0
+    import org.apache.spark.sql.functions.col
+    // history: BTC prices 90..110 (μ=100, σ≈8.16); FLAT constant 0.1 —
+    // the cancellation repro: double-form variance of five 0.1s rounds
+    // to -1.4e-18 ⇒ σ = NaN, and NaN > 0.0 is TRUE in Spark, so the
+    // old guard passed and flagged every FLAT tick. The decimal-exact
+    // numerator makes σ exactly 0.0 and the guard sound.
     val history = ((Seq(90.0, 95.0, 100.0, 105.0, 110.0).map("BTC" -> _))
-      ++ Seq.fill(5)("FLAT" -> 5.0)).toDF("symbol", "price")
+      ++ Seq.fill(5)("FLAT" -> 0.1)).toDF("symbol", "price")
     val stats = StreamingAnomalies.symbolStats(history)
+    assert(stats.where(col("symbol") === "FLAT")
+      .head().getAs[Double]("sigma") == 0.0)
     val in = MemoryStream[Tick]
     val q = StreamingAnomalies
       .anomalyStream(in.toDF().selectExpr("ts", "symbol", "price"), stats)
@@ -480,7 +487,10 @@ class StreamingSpec extends AnyFunSuite {
       in.addData(
         Tick(ts("2024-01-01 10:00:00"), "BTC", 101.0),  // |z| ≈ 0.12
         Tick(ts("2024-01-01 10:00:05"), "BTC", 400.0),  // |z| ≈ 37 → flag
-        Tick(ts("2024-01-01 10:00:10"), "FLAT", 9999.0)) // σ=0 → never
+        Tick(ts("2024-01-01 10:00:10"), "FLAT", 9999.0), // σ=0 → never
+        // unknown symbol: unscored by contract (inner join) — the
+        // coverage gap the scaladoc tells deployments to alarm on
+        Tick(ts("2024-01-01 10:00:15"), "NEWCOIN", 1e9))
       q.processAllAvailable()
       // stateless: emitted in the SAME micro-batch, no watermark wait
       val rows = spark.sql("SELECT symbol, price, z FROM s10_out").collect()
