@@ -197,7 +197,9 @@ object ScaleSweep {
       "embed_pca_project" ->
         (graft.operators.LlmVectorOps.embedPcaProject _),
       "similarity_topk_pq" ->
-        (graft.operators.LlmVectorOps.similarityTopkPq _))
+        (graft.operators.LlmVectorOps.similarityTopkPq _),
+      "similarity_ivf_pq" ->
+        (graft.operators.LlmVectorOps.similarityIvfPq _))
       .filter { case (name, _) =>
         // SPARK_GRAFT_QUERIES narrows the sweep (same contract as
         // Bench) — re-measuring one family shouldn't pay for all
