@@ -42,11 +42,22 @@ object Determinism {
     * negative sqrt. Exact decimal kills both failure modes at the
     * source.
     *
+    * `scale` picks the quantization of the value column — inputs with
+    * more decimals than `scale` are HALF_UP-rounded before any math,
+    * so choose it to cover the data (sub-cent crypto prices need
+    * scale 6; a scale-2 cast would flatten their variance to exactly
+    * 0 and silently drop them from any σ > 0 consumer).
+    *
     * Width budget (every op exact AND under precision 38 in BOTH
     * engines, including Spark's result-precision+1 rule on the
-    * subtraction): values cast at scale 2 (the ≤2-dp contract),
-    * |Σv| < 10¹⁴, Σv² < 10¹⁸, n < 10¹⁰ — beyond that, re-derive the
-    * widths. Oracle twin, byte-for-byte the same op sequence:
+    * subtraction), per supported scale:
+    *  - scale 2: |Σv| < 10¹⁴, Σv² < 10¹⁸, n < 10¹⁰
+    *  - scale 6: |v| < 10¹⁰, |Σv| < 10¹⁰, Σv² < 10¹³, n < 10¹⁰
+    *    (narrower sums — bound the history window, e.g. per-day stats)
+    * Past a bound, ANSI decimal overflow throws loudly rather than
+    * silently corrupting. Oracle twin for scale 2 (for scale 6
+    * substitute DECIMAL(16,6)/DECIMAL(25,12)), byte-for-byte the same
+    * op sequence:
     * {{{
     * SELECT g, CAST(COUNT(*) AS DOUBLE) AS n,
     *        CAST(CAST(SUM(CAST(v AS DECIMAL(16,2))) AS DECIMAL(16,2))
@@ -64,14 +75,21 @@ object Determinism {
     * }}}
     */
   def muSigma(df: org.apache.spark.sql.DataFrame, groupCol: String,
-      valueCol: String): org.apache.spark.sql.DataFrame = {
-    def dec(c: Column) = c.cast(DecimalType(16, 2))
+      valueCol: String, scale: Int = 2): org.apache.spark.sql.DataFrame = {
+    val p2 = scale match {
+      case 2 => 22
+      case 6 => 25
+      case other => throw new IllegalArgumentException(
+        s"muSigma supports scale 2 or 6 (width budgets derived in the " +
+          s"scaladoc), got $other")
+    }
+    def dec(c: Column) = c.cast(DecimalType(16, scale))
     val v = col(valueCol)
     df.groupBy(col(groupCol))
       .agg(
         count(lit(1)).cast("double").as("n"),
-        sum(dec(v)).cast(DecimalType(16, 2)).as("s1d"),
-        sum(dec(v) * dec(v)).cast(DecimalType(22, 4)).as("s2d"))
+        sum(dec(v)).cast(DecimalType(16, scale)).as("s1d"),
+        sum(dec(v) * dec(v)).cast(DecimalType(p2, 2 * scale)).as("s2d"))
       .select(col(groupCol),
         col("n"),
         (col("s1d").cast("double") / col("n")).as("mu"),

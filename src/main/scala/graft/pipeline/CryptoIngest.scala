@@ -180,10 +180,13 @@ object CryptoIngest {
     * (Delta/Iceberg) is the production answer, this is the
     * plain-parquet shape of it.
     *
-    * Returns (filesBefore, filesAfter).
+    * Returns (filesBefore, filesAfter). `afterRewrite` is a test seam
+    * invoked between the rewrite and the concurrent-append re-check —
+    * production callers leave it default.
     */
   def compactPartition(spark: SparkSession, dir: String,
-      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      afterRewrite: () => Unit = () => ()): (Int, Int) = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p), s"no such partition dir: $dir")
@@ -198,6 +201,7 @@ object CryptoIngest {
     // must not pay a corpus shuffle to merge files
     spark.read.parquet(dir).coalesce(nOut)
       .write.mode("overwrite").parquet(tmp.toString)
+    afterRewrite()
     // concurrent-append guard: compaction targets SEALED partitions
     // (yesterday's dates), but a misrouted call on today's hot
     // partition would silently drop any file landed after the

@@ -30,8 +30,13 @@ object StreamingAnomalies {
     */
   def symbolStats(history: DataFrame): DataFrame =
     graft.engine.Determinism
+      // scale 6, not the default 2: sub-cent crypto prices (ALT coins
+      // at $0.03xx) would flatten to a constant at 2 dp, zero their
+      // variance, and silently vanish from monitoring through the
+      // σ > 0 guard. The scale-6 width budget bounds Σv² < 10¹³ —
+      // window the history (per-day stats) rather than feeding years
       .muSigma(history.withColumnRenamed("price", "value"),
-        "symbol", "value")
+        "symbol", "value", scale = 6)
       .select(col("symbol"), col("mu"), col("sigma"))
       .persist()
 

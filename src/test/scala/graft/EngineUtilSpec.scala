@@ -145,18 +145,37 @@ class EngineUtilSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.col
     // 0.1 is the cancellation repro: five copies summed as doubles
     // give variance -1.4e-18 ⇒ sqrt = NaN, and NaN > 0.0 is TRUE in
-    // Spark — the decimal-exact numerator must return exactly 0.0
+    // Spark — the decimal-exact numerator must return exactly 0.0.
+    // flat2 is the positive-rounding direction of the same bug (a
+    // large constant whose double-form variance rounds to +tiny);
+    // 56920.39 is exactly representable at the scale-2 cast, so the
+    // variance math — not input quantization — is what's exercised
     val df = (Seq.fill(5)("flat" -> 0.1)
       ++ Seq("vary" -> 1.0, "vary" -> 3.0)
-      ++ Seq.fill(1102)("flat2" -> 56920.387483)).toDF("g", "v")
+      ++ Seq.fill(1102)("flat2" -> 56920.39)).toDF("g", "v")
     val m = graft.engine.Determinism.muSigma(df, "g", "v")
       .collect().map(r => r.getString(0) ->
         (r.getAs[Double]("mu"), r.getAs[Double]("sigma"))).toMap
     assert(m("flat")._2 == 0.0, s"flat sigma: ${m("flat")._2}")
-    // the positive-rounding direction of the same bug: a large
-    // constant whose double-form variance rounds to +tiny
     assert(m("flat2")._2 == 0.0, s"flat2 sigma: ${m("flat2")._2}")
     assert(!m.values.exists(v => v._1.isNaN || v._2.isNaN))
     assert(m("vary")._1 == 2.0 && m("vary")._2 == 1.0)
+  }
+
+  test("muSigma scale 6 preserves sub-cent variance that scale 2 flattens") {
+    import spark.implicits._
+    // ALT-coin prices: distinct at 4 dp, identical at 2 dp — the
+    // monitoring regression scale parametrization exists to prevent
+    val df = Seq("ALT" -> 0.0312, "ALT" -> 0.0318, "ALT" -> 0.0325)
+      .toDF("g", "v")
+    val at2 = graft.engine.Determinism.muSigma(df, "g", "v", scale = 2)
+      .head().getAs[Double]("sigma")
+    val at6 = graft.engine.Determinism.muSigma(df, "g", "v", scale = 6)
+      .head().getAs[Double]("sigma")
+    assert(at2 == 0.0, "scale 2 must flatten sub-cent values (documented)")
+    assert(at6 > 0.0, s"scale 6 lost sub-cent variance: $at6")
+    intercept[IllegalArgumentException] {
+      graft.engine.Determinism.muSigma(df, "g", "v", scale = 3)
+    }
   }
 }

@@ -67,6 +67,26 @@ class PipelineSpec extends AnyFunSuite {
       .select(sum(col("id")), count(lit(1))).head() == before)
   }
 
+  test("compactPartition aborts on concurrent appends, originals untouched") {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graft_compact_race").toString
+    val dir = s"$tmp/part"
+    spark.range(5000).select(col("id")).repartition(10).write.parquet(dir)
+    val before = spark.read.parquet(dir).agg(sum("id"), count(lit(1))).head()
+    val e = intercept[IllegalStateException] {
+      CryptoIngest.compactPartition(spark, dir, targetBytes = 64L * 1024,
+        afterRewrite = () =>
+          // a 5 s micro-batch lands one more file mid-compaction
+          spark.range(5000, 5100).select(col("id"))
+            .coalesce(1).write.mode("append").parquet(dir))
+    }
+    assert(e.getMessage.contains("changed during compaction"))
+    // originals + the late append both survive; the rewrite temp is gone
+    val after = spark.read.parquet(dir).agg(sum("id"), count(lit(1))).head()
+    assert(after.getLong(1) == before.getLong(1) + 100)
+    assert(!new java.io.File(s"$tmp/.part.compact-tmp").exists())
+  }
+
   test("flushHourly is idempotent (dynamic partition overwrite)") {
     val tmp = Files.createTempDirectory("graft_flush").toString
     CryptoIngest.flushHourly(ticksDf(batch), s"$tmp/hourly")

@@ -468,7 +468,8 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     import graft.streaming.StreamingAnomalies
     import org.apache.spark.sql.functions.col
-    // history: BTC prices 90..110 (μ=100, σ≈8.16); FLAT constant 0.1 —
+    // history: BTC prices 90..110 step 5 (μ=100, population σ=√50
+    // ≈ 7.07); FLAT constant 0.1 —
     // the cancellation repro: double-form variance of five 0.1s rounds
     // to -1.4e-18 ⇒ σ = NaN, and NaN > 0.0 is TRUE in Spark, so the
     // old guard passed and flagged every FLAT tick. The decimal-exact
@@ -485,8 +486,8 @@ class StreamingSpec extends AnyFunSuite {
       .outputMode(OutputMode.Append).start()
     try {
       in.addData(
-        Tick(ts("2024-01-01 10:00:00"), "BTC", 101.0),  // |z| ≈ 0.12
-        Tick(ts("2024-01-01 10:00:05"), "BTC", 400.0),  // |z| ≈ 37 → flag
+        Tick(ts("2024-01-01 10:00:00"), "BTC", 101.0),  // |z| ≈ 0.14
+        Tick(ts("2024-01-01 10:00:05"), "BTC", 400.0),  // |z| ≈ 42 → flag
         Tick(ts("2024-01-01 10:00:10"), "FLAT", 9999.0), // σ=0 → never
         // unknown symbol: unscored by contract (inner join) — the
         // coverage gap the scaladoc tells deployments to alarm on
