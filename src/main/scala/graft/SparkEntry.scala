@@ -100,6 +100,7 @@ object SparkEntry {
     "repetition_stats"    -> (LlmTextOps.repetitionStats _),
     "chunk_documents"     -> (LlmTextOps.chunkDocuments _),
     "dedup_chunks"        -> (LlmTextOps.dedupChunks _),
+    "bigram_novelty"      -> (LlmTextOps.bigramNovelty _),
     "similarity_topk"     -> (LlmVectorOps.similarityTopk _),
     "similarity_topk_q8"  -> (LlmVectorOps.similarityTopkQ8 _),
     "embed_quantize"      -> (LlmVectorOps.embedQuantize _),
@@ -890,6 +891,19 @@ object SparkEntry {
                 array_to_string(toks[s+1 : least(s+32, len(toks))], ' ')
                   AS chunk_text
          FROM st ORDER BY doc_id, chunk_idx""",
+    "bigram_novelty" ->
+      """WITH b AS (SELECT doc_id,
+                unnest(list_distinct([toks[i] || ' ' || toks[i+1]
+                  for i in range(1, len(toks))])) AS bg
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents)
+           WHERE len(toks) >= 2),
+         dfq AS (SELECT bg, COUNT(*) AS df FROM b GROUP BY 1)
+         SELECT doc_id, COUNT(*) AS n_bigrams,
+                floor((CAST(SUM(df) AS DOUBLE) / COUNT(*)) * 1000000
+                      + 0.5) / 1000000 AS mean_df
+         FROM b JOIN dfq USING (bg)
+         GROUP BY 1 ORDER BY 1""",
     "dedup_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                     FROM documents),

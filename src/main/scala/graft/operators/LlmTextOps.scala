@@ -1110,6 +1110,39 @@ object LlmTextOps {
         least(lit(32), col("n") - col("st")).cast("int").as("chunk_len"),
         expr("array_join(slice(toks, st + 1, 32), ' ')").as("chunk_text"))
 
+  /** `bigram_novelty` — cross-corpus rarity scoring: each document's
+    * mean corpus document-frequency over its distinct bigrams. The
+    * language-model-free perplexity proxy: a LOW mean-df document is
+    * built from bigrams few other documents use (novel — or noise),
+    * a HIGH one from boilerplate-common ones; both tails get routed
+    * to review in a pretraining mix. Deliberately avoids log-space
+    * (a true logprob score): `ln` is libm-dependent and not
+    * bit-reproducible across engines, while integer df sums and one
+    * double division are — which is what keeps this row hash-gated.
+    * Complements `repetition_stats` (intra-doc signal) with the
+    * cross-doc one.
+    *
+    * Scale shape: the df table is vocabulary²-bounded (not
+    * corpus-bounded) and broadcasts; the per-doc re-join is map-side.
+    * One bigram-keyed aggregation is the only corpus shuffle.
+    */
+  def bigramNovelty(s: SparkSession, d: String): DataFrame = {
+    val bg = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          """transform(sequence(0, size(toks) - 2),
+               i -> concat(toks[i], ' ', toks[i + 1]))"""))).as("bg"))
+    val dfTable = bg.groupBy(col("bg")).agg(count(lit(1)).as("df"))
+    bg.join(broadcast(dfTable), Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        r6(sum(col("df")).cast("double") / count(lit(1))).as("mean_df"))
+      .orderBy("doc_id")
+  }
+
   /** `dedup_chunks` — cross-corpus chunk-granularity dedup (the
     * C4-style "drop repeated spans" pass, at `chunk_documents`'
     * window granularity): a chunk is a duplicate when an identical
