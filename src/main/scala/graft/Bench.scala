@@ -67,7 +67,21 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The stdout line is the driver contract, but at 90+ queries it
+    // exceeds the driver's tail capture (BENCH_r04/r05 both recorded
+    // "parsed": null with the line truncated mid-record). Mirror the
+    // full JSON to a small file named for the measured sf so the
+    // round-over-round comparison stays machine-readable regardless
+    // of how much of stdout survives.
+    val sfName = new java.io.File(sfDir).getName
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"bench_$sfName.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_$sfName.json: $e") }
     spark.stop()
   }
 }

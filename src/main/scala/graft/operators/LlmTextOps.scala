@@ -1122,9 +1122,15 @@ object LlmTextOps {
     * Complements `repetition_stats` (intra-doc signal) with the
     * cross-doc one.
     *
-    * Scale shape: the df table is vocabulary²-bounded (not
-    * corpus-bounded) and broadcasts; the per-doc re-join is map-side.
-    * One bigram-keyed aggregation is the only corpus shuffle.
+    * Scale shape: the df table is vocabulary²-bounded, which on THIS
+    * corpus's ~30-token vocabulary makes it tiny — but on natural
+    * text the distinct-bigram count grows roughly with corpus size,
+    * so the join strategy is deliberately left to AQE rather than
+    * force-broadcast: a small df table still broadcasts at runtime
+    * (AQE sees the post-aggregation size), a large one falls back to
+    * a partitioned join on `bg` — the key the aggregation already
+    * hashed on. One bigram-keyed aggregation is the only guaranteed
+    * corpus shuffle.
     */
   def bigramNovelty(s: SparkSession, d: String): DataFrame = {
     val bg = Tables.documents(s, d)
@@ -1135,7 +1141,7 @@ object LlmTextOps {
           """transform(sequence(0, size(toks) - 2),
                i -> concat(toks[i], ' ', toks[i + 1]))"""))).as("bg"))
     val dfTable = bg.groupBy(col("bg")).agg(count(lit(1)).as("df"))
-    bg.join(broadcast(dfTable), Seq("bg"))
+    bg.join(dfTable, Seq("bg"))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_bigrams"),

@@ -218,10 +218,26 @@ object CryptoIngest {
         s"$dir changed during compaction (live appends?) — aborted, " +
           "original files untouched; compact only sealed partitions")
     }
-    // a false return here (lease/permission) with rename-into-existing
-    // would nest tmp INSIDE the surviving dir and hide the rewrite
-    require(fs.delete(p, true), s"delete of $p failed — rewrite left at $tmp")
-    require(fs.rename(tmp, p), s"rename $tmp -> $p failed")
+    // promote via rename-aside, not delete-then-rename: a file
+    // appended between the re-check above and a delete would be
+    // silently destroyed, and a crash between delete and rename would
+    // leave the partition with ZERO copies at the canonical path.
+    // With p -> .old first, a late append lands in the renamed-aside
+    // dir (recoverable, not lost) and every crash window leaves the
+    // data at .old and/or tmp. The .old dir is removed LAST, once the
+    // compacted copy is live. (A false rename return — lease /
+    // permission — with rename-into-existing would nest tmp INSIDE
+    // the surviving dir, hence the hard requires.)
+    val old = new Path(p.getParent, s".${p.getName}.compact-old")
+    fs.delete(old, true)
+    require(fs.rename(p, old), s"rename $p -> $old failed — rewrite left at $tmp")
+    if (!fs.rename(tmp, p)) {
+      // restore the original before failing: no window with an absent
+      // canonical path survives this function
+      fs.rename(old, p)
+      throw new IllegalStateException(s"rename $tmp -> $p failed — original restored")
+    }
+    fs.delete(old, true)
     val after = fs.listStatus(p).toSeq
       .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     (dataFiles.size, after)

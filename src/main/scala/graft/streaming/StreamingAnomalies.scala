@@ -27,6 +27,12 @@ object StreamingAnomalies {
     * `NaN > 0.0` is TRUE, so a σ > 0 guard would silently pass and
     * flag every tick of the symbol). Persisted: the static side of a
     * stream-static join re-evaluates every micro-batch.
+    *
+    * Lifecycle is CALLER-OWNED: the returned frame stays pinned in
+    * the block manager until `unpersist()`. For the nightly-refresh
+    * pattern, build the new stats frame, swap it into the stream's
+    * enrichment side, then unpersist the PREVIOUS frame — otherwise
+    * each refresh leaks one cached copy of the stats table.
     */
   def symbolStats(history: DataFrame): DataFrame =
     graft.engine.Determinism

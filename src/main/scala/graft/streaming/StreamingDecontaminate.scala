@@ -25,25 +25,49 @@ import graft.operators.LlmTextOps
   */
 object StreamingDecontaminate {
 
-  /** `docs` is a streaming frame with (ts TIMESTAMP, doc_id LONG,
-    * text STRING); `benchmark` a static frame with a text column.
-    * Output: (window_start, doc_id, n_shared_grams), one append-mode
-    * row per contaminated doc per closed 1 h window, 10 min
-    * watermark.
+  /** The benchmark side reduced to its distinct 8-byte gram-hash set,
+    * PERSISTED — the static side of a stream-static join re-evaluates
+    * every micro-batch, so without the persist the shingle+distinct
+    * pass and broadcast build would run once per trigger (the
+    * StreamingSimilarity corpus-codes precedent; a long-lived
+    * deployment reads a pre-materialized gram silver table instead).
+    *
+    * Lifecycle is CALLER-OWNED: the returned frame stays pinned in
+    * the block manager until `unpersist()`. A one-stream app can
+    * ignore that (process exit frees it); an app that refreshes the
+    * benchmark set (nightly rebuild) must unpersist the previous
+    * frame when swapping in the new one, or cached partitions
+    * accumulate across refreshes.
     */
-  def contaminationStream(docs: DataFrame, benchmark: DataFrame): DataFrame = {
-    // the static side of a stream-static join re-evaluates every
-    // micro-batch: persist so the benchmark shingle+distinct pass and
-    // broadcast build run once, not per trigger (the
-    // StreamingSimilarity corpus-codes precedent; a long-lived
-    // deployment reads a pre-materialized gram silver table instead)
-    val benchGrams = benchmark
+  def benchmarkGrams(benchmark: DataFrame): DataFrame =
+    benchmark
       .withColumn("toks", split(col("text"), " "))
       .where(size(col("toks")) >= 8)
       .select(explode(array_distinct(expr(LlmTextOps.GramHashExpr)))
         .as("gk"))
       .distinct()
       .persist()
+
+  /** `docs` is a streaming frame with (ts TIMESTAMP, doc_id LONG,
+    * text STRING); `benchmark` a static frame with a text column.
+    * Output: (window_start, doc_id, n_shared_grams), one append-mode
+    * row per contaminated doc per closed 1 h window, 10 min
+    * watermark.
+    *
+    * Convenience form: builds and persists [[benchmarkGrams]]
+    * internally, so the cached gram set lives until process exit.
+    * Long-lived apps that refresh the benchmark should call
+    * [[benchmarkGrams]] themselves, pass the frame to
+    * [[contaminationStreamFromGrams]], and unpersist the old frame on
+    * swap.
+    */
+  def contaminationStream(docs: DataFrame, benchmark: DataFrame): DataFrame =
+    contaminationStreamFromGrams(docs, benchmarkGrams(benchmark))
+
+  /** [[contaminationStream]] against a caller-managed gram set (from
+    * [[benchmarkGrams]] or a gram silver table read). */
+  def contaminationStreamFromGrams(docs: DataFrame,
+      benchGrams: DataFrame): DataFrame = {
     docs
       .withWatermark("ts", "10 minutes")
       .withColumn("toks", split(col("text"), " "))
