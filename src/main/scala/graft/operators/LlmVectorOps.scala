@@ -561,6 +561,10 @@ object LlmVectorOps {
   private val pqSubs = 8    // subspaces
   private val pqSubDim = 8  // dims per subspace (8×8 = 64)
   private val pqK = 16      // centroids per subspace ⇒ 4-bit codes
+  // 2⁻²⁰ fixed-point grid shared by every PQ quantization step: LUT
+  // entries, Lloyd means, and the residual base terms all round to
+  // this grid so partial sums are order-free longs
+  private val pqGrid = (1L << 20).toDouble
 
   /** (vec_id, sub, subemb): the embedding split into [[pqSubs]]
     * contiguous subvectors — the row shape every PQ stage works on.
@@ -642,6 +646,36 @@ object LlmVectorOps {
       .select("sub", "code", "cent_emb", "cc")
   }
 
+  /** Session conf pointing the PQ inventory rows at a silver ANN
+    * index BASE directory (`pipeline.CorpusSilver.writeAnnIndex`
+    * writes one): when set, `similarity_topk_pq` and
+    * `similarity_ivf_pq` skip inline codebook training and serve from
+    * the stored index at `<base>/<corpus-dir-basename>` — the
+    * write-once/serve-many production shape, and what the timed bench
+    * path measures. Unset (default — Verify, the quality specs), the
+    * queries train inline and are fully self-contained. An index
+    * trained on one corpus must never serve another: the basename
+    * keying is what lets one conf cover multiple scale factors.
+    * Missing index for a corpus ⇒ inline fallback, never an error.
+    */
+  val AnnIndexConf = "spark.graft.ann.index"
+
+  /** Resolve the per-corpus index dir under [[AnnIndexConf]], gated
+    * on `marker` existing (driver-side metadata probe, no job). */
+  private def annIndexDir(s: SparkSession, d: String,
+      marker: String): Option[String] = {
+    val base = s.conf.get(AnnIndexConf, "")
+    if (base.isEmpty) None
+    else {
+      val dir = new org.apache.hadoop.fs.Path(base,
+        new java.io.File(d).getName)
+      val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(new org.apache.hadoop.fs.Path(dir, marker)))
+        Some(dir.toString)
+      else None
+    }
+  }
+
   /** `similarity_topk_pq` — product-quantized ANN with asymmetric
     * distance (ADC) + exact re-rank: the 64× memory lever of the
     * quantization family (4-bit code per subspace ⇒ 4 B/vector vs
@@ -661,12 +695,17 @@ object LlmVectorOps {
     * table is the only corpus-sized scan (4 B/vec), embeddings are
     * touched for ≤ 50 rows per probe.
     */
-  def similarityTopkPq(s: SparkSession, d: String): DataFrame = {
-    val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
-    val book = pqCodebook(s, e)
-    val codes = pqEncode(s, e, book)
-    pqServe(s, e, book, codes)
-  }
+  def similarityTopkPq(s: SparkSession, d: String): DataFrame =
+    annIndexDir(s, d, "codebook.parquet") match {
+      case Some(dir) => similarityTopkPqFromIndex(s, d,
+        s.read.parquet(s"$dir/codebook.parquet"),
+        s.read.parquet(s"$dir/codes.parquet"))
+      case None =>
+        val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
+        val book = pqCodebook(s, e)
+        val codes = pqEncode(s, e, book)
+        pqServe(s, e, book, codes)
+    }
 
   /** Encode a corpus against a trained codebook: one assignment pass
     * emitting (vec_id, sub, code) rows — never embeddings.
@@ -684,12 +723,16 @@ object LlmVectorOps {
     * fixed-point approx sums over the code rows, top-50 candidate
     * cut, exact cosine re-rank. `candPairs` (probe_id, vec_id)
     * restricts scoring to routed candidates (the IVF path); None
-    * scores the full code table.
+    * scores the full code table. When `candPairs` carries a `base_q`
+    * column (the residual-encoded IVF path: base_q = ⌊q·c_list·2²⁰⌉,
+    * the probe-×-coarse-centroid term of q·x̂ = q·c + q·r̂), it is
+    * added to the LUT sum so the candidate cut ranks the full
+    * reconstructed dot, not just the residual part.
     */
   private[graft] def pqServe(s: SparkSession, e: DataFrame,
       book: DataFrame, codes: DataFrame,
       candPairs: Option[DataFrame] = None): DataFrame = {
-    val grid = (1L << 20).toDouble
+    val grid = pqGrid
     val lut = subspaceRows(e.where(col("vec_id") < 5))
       .join(broadcast(book), Seq("sub"))
       .select(col("vec_id").as("probe_id"), col("sub"), col("code"),
@@ -702,9 +745,13 @@ object LlmVectorOps {
       case None => codes.join(broadcast(lut), Seq("sub", "code"))
         .where(col("vec_id") =!= col("probe_id"))
     }
+    val hasBase = candPairs.exists(_.columns.contains("base_q"))
+    val approx =
+      if (hasBase) (sum(col("lutq")) + first(col("base_q"))).as("approx_q")
+      else sum(col("lutq")).as("approx_q")
     val cand = scored
       .groupBy(col("probe_id"), col("vec_id"))
-      .agg(sum(col("lutq")).as("approx_q"))
+      .agg(approx)
     val w = Window.partitionBy("probe_id")
       .orderBy(col("approx_q").desc, col("vec_id").asc)
     val top50 = cand
@@ -729,38 +776,133 @@ object LlmVectorOps {
   private[graft] def pqTrain(s: SparkSession, e: DataFrame): DataFrame =
     pqCodebook(s, e)
 
-  /** `similarity_ivf_pq` — the production ANN composition (the
-    * Faiss-IVFPQ shape): coarse k-means lists route each probe to
-    * nprobe=2 inverted lists, PQ codes score ONLY the vectors in
-    * those lists (broadcast LUT, fixed-point sums), and the top-50
-    * survivors re-rank with the exact cosine. The two approximations
-    * multiply where they're cheap and cancel where it matters:
-    * candidate recall comes from the coarse lists (scan nprobe/k of
-    * the corpus), score fidelity from the exact re-rank — the code
-    * scan in between touches 4 B/vector for just the routed lists.
-    * This codebook encodes raw vectors; the classical refinement
-    * (encode residuals x − centroid per list) drops quantization
-    * error further and slots into the same plan. No oracle
-    * (doubly-approximate by design); AnnQualitySpec recall floor.
-    */
-  def similarityIvfPq(s: SparkSession, d: String): DataFrame = {
-    val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
-    // coarse router: the trained-IVF codebook (2 Lloyd rounds)
-    val coarse = (1 to 2).foldLeft(seedCentroids(e)) {
+  /** The trained coarse router shared by the IVF-PQ paths: the
+    * `similarity_ivf_trained` codebook (seed + 2 Lloyd rounds). */
+  private[graft] def coarseTrained(s: SparkSession, e: DataFrame): DataFrame =
+    (1 to 2).foldLeft(seedCentroids(e)) {
       (cents, _) => lloydStep(s, e, cents)
     }
-    val corpusLists = assignToCentroids(s, e, coarse, keep = 1)
-      .select(col("cent_id"), col("vec_id"))
-    val probeLists = assignToCentroids(s, e.where(col("vec_id") < 5),
-        coarse, keep = 2)
-      .select(col("cent_id"), col("vec_id").as("probe_id"))
-    // per-probe candidate pairs from shared lists (ids only)
-    val candPairs = corpusLists.join(broadcast(probeLists), Seq("cent_id"))
+
+  /** Per-vector residuals against the coarse router: each vector's
+    * keep=1 list assignment joined back to its (broadcast) centroid,
+    * residual = x − c_list elementwise. The classical IVF-PQ
+    * refinement: residual norms are a fraction of vector norms, so
+    * the SAME 4-bit-per-subspace budget spends its 16 cells on a much
+    * smaller cube — quantization error (and with it candidate-cut
+    * inversions) drops accordingly. Emits (cent_id, vec_id,
+    * embedding=residual); downstream PQ stages consume it unchanged
+    * because they only ever read (vec_id, embedding).
+    */
+  private def residuals(s: SparkSession, e: DataFrame,
+      coarse: DataFrame): DataFrame =
+    assignToCentroids(s, e, coarse, keep = 1)
+      .join(broadcast(coarse.select(col("cent_id"), col("cent_emb"))),
+        Seq("cent_id"))
+      .select(col("cent_id"), col("vec_id"),
+        zip_with(col("embedding"), col("cent_emb"),
+          (x, c) => (x - c).cast("float")).as("embedding"))
+
+  /** Probe routing with the residual base terms: each probe's
+    * `nprobe` nearest lists, each carrying base_q = ⌊q·c_list·2²⁰⌉ —
+    * the coarse-centroid half of the reconstructed dot
+    * q·x̂ = q·c_list + q·r̂ that the ADC tail adds to its LUT sum.
+    */
+  private def probeRouting(s: SparkSession, e: DataFrame,
+      coarse: DataFrame, nprobe: Int): DataFrame =
+    assignToCentroids(s, e.where(col("vec_id") < 5), coarse, keep = nprobe)
+      .join(broadcast(coarse.select(col("cent_id"), col("cent_emb"))),
+        Seq("cent_id"))
+      .select(col("cent_id"), col("vec_id").as("probe_id"),
+        floor(VectorExprs.dot(s, col("embedding"), col("cent_emb")) * pqGrid
+          + 0.5).cast("long").as("base_q"))
+
+  /** `similarity_ivf_pq` — the production ANN composition (the
+    * Faiss-IVFPQ shape, residual-encoded): coarse k-means lists route
+    * each probe to its nprobe nearest inverted lists, PQ codes score
+    * ONLY the vectors in those lists (broadcast LUT, fixed-point
+    * sums), and the top-50 survivors re-rank with the exact cosine.
+    * The two approximations multiply where they're cheap and cancel
+    * where it matters: candidate recall comes from the coarse lists
+    * (scan nprobe/k of the corpus), score fidelity from the exact
+    * re-rank — the code scan in between touches 4 B/vector for just
+    * the routed lists.
+    *
+    * The PQ codebook encodes RESIDUALS x − c_list (see [[residuals]])
+    * — the classical refinement over raw-vector codes: the ADC score
+    * becomes q·c_list (exact, rides the routing pass as `base_q`)
+    * plus the LUT sum over residual centroids, so quantization error
+    * applies only to the small residual term. nprobe=3: routing is
+    * the recall ceiling of the whole composition (code fidelity can
+    * only recover UP TO what the probed lists contain — measured
+    * ceiling 0.68 at nprobe=2 on this corpus), so the dial that buys
+    * recall is one more list per probe (+k/n corpus scanned), not
+    * more code bits. No oracle (doubly-approximate by design);
+    * AnnQualitySpec holds recall@10 ≥ 0.6 with exact re-ranked
+    * scores.
+    */
+  def similarityIvfPq(s: SparkSession, d: String): DataFrame =
+    annIndexDir(s, d, "coarse.parquet") match {
+      case Some(dir) => similarityIvfPqFromIndex(s, d, dir)
+      case None =>
+        val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
+        val coarse = coarseTrained(s, e)
+        val resid = residuals(s, e, coarse)
+        val probeLists = probeRouting(s, e, coarse, nprobe = 3)
+        // per-probe candidate pairs from shared lists: ids + base term
+        val candPairs = resid.select(col("cent_id"), col("vec_id"))
+          .join(broadcast(probeLists), Seq("cent_id"))
+          .where(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"), col("base_q"))
+        // residual-PQ scoring restricted to candidates — shared ADC tail
+        val book = pqCodebook(s, resid)
+        pqServe(s, e, book, pqEncode(s, resid, book), Some(candPairs))
+    }
+
+  /** `similarity_ivf_pq` served from the silver index
+    * (`CorpusSilver.writeAnnIndex`): coarse router, inverted lists,
+    * residual codebook, and packed residual codes all READ — the only
+    * per-query work is routing 5 probes against the broadcast coarse
+    * codebook, the routed 4 B/vector code scan, and the exact top-50
+    * re-rank. Bit-equal to the inline form (PqIndexSpec): training is
+    * deterministic, so stored and inline codebooks are identical.
+    */
+  private[graft] def similarityIvfPqFromIndex(s: SparkSession, d: String,
+      dir: String): DataFrame = {
+    val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
+    val coarse = s.read.parquet(s"$dir/coarse.parquet")
+    val probeLists = probeRouting(s, e, coarse, nprobe = 3)
+    val candPairs = s.read.parquet(s"$dir/lists.parquet")
+      .join(broadcast(probeLists), Seq("cent_id"))
       .where(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id"))
-    // PQ scoring restricted to the candidates — the shared ADC tail
-    val book = pqCodebook(s, e)
-    pqServe(s, e, book, pqEncode(s, e, book), Some(candPairs))
+      .select(col("probe_id"), col("vec_id"), col("base_q"))
+    pqServe(s, e, s.read.parquet(s"$dir/rbook.parquet"),
+      unpackCodes(s.read.parquet(s"$dir/rcodes.parquet")),
+      Some(candPairs))
+  }
+
+  /** Train and store the full IVF-PQ index for a corpus: coarse
+    * router (`coarse.parquet`), inverted lists (`lists.parquet`),
+    * residual PQ codebook (`rbook.parquet`) and packed per-vector
+    * residual codes (`rcodes.parquet`). Each stage reads the
+    * previously STORED artifact rather than its training lineage, so
+    * the write pays each pass once. Driver-small artifacts (coarse
+    * codebook, rbook) and two corpus-linear passes (assignment,
+    * encode) — the write-once cost the serving path amortizes.
+    */
+  private[graft] def writeIvfPqIndex(s: SparkSession, d: String,
+      dir: String): Unit = {
+    val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
+    coarseTrained(s, e).write.mode("overwrite").parquet(s"$dir/coarse.parquet")
+    val coarse = s.read.parquet(s"$dir/coarse.parquet")
+    val resid = residuals(s, e, coarse)
+    resid.select("cent_id", "vec_id")
+      .write.mode("overwrite").parquet(s"$dir/lists.parquet")
+    pqCodebook(s, resid).write.mode("overwrite").parquet(s"$dir/rbook.parquet")
+    pqEncode(s, resid, s.read.parquet(s"$dir/rbook.parquet"))
+      .groupBy(col("vec_id"))
+      .agg(sum(expr("shiftleft(CAST(code AS BIGINT), sub * 4)"))
+        .as("pq_code"))
+      .write.mode("overwrite").parquet(s"$dir/rcodes.parquet")
   }
 
   /** Serve the PQ top-k from a silver index: `book` as stored by
@@ -772,12 +914,17 @@ object LlmVectorOps {
   private[graft] def similarityTopkPqFromIndex(s: SparkSession, d: String,
       book: DataFrame, packed: DataFrame): DataFrame = {
     val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
-    val codes = packed.select(col("vec_id"), posexplode(expr(
+    pqServe(s, e, book, unpackCodes(packed))
+  }
+
+  /** Unpack (vec_id, pq_code) little-nibble-first into the (vec_id,
+    * sub, code) rows the ADC tail consumes — a row-local explode of
+    * shift/mask; the corpus-sized input stays 12 bytes per vector. */
+  private def unpackCodes(packed: DataFrame): DataFrame =
+    packed.select(col("vec_id"), posexplode(expr(
       s"""transform(sequence(0, ${pqSubs - 1}),
             t -> CAST(shiftright(pq_code, t * 4) & 15 AS INT))"""))
       .as(Seq("sub", "code")))
-    pqServe(s, e, book, codes)
-  }
 
   /** [[embedGram]]'s declarative twin: explode d(d+1)/2 quantized
     * product cells per row, sum as integral DECIMAL(38,0) (associative

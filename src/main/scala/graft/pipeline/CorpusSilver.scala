@@ -131,6 +131,21 @@ object CorpusSilver {
       s.read.parquet(s"$dir/codebook.parquet"),
       s.read.parquet(s"$dir/codes.parquet"))
 
+  /** The full silver ANN index for one corpus under `dir`: the raw
+    * PQ index ([[writePqIndex]] — `similarity_topk_pq`'s serving
+    * tables) plus the residual-encoded IVF-PQ index (coarse router,
+    * inverted lists, residual codebook, packed residual codes —
+    * `similarity_ivf_pq`'s). Point `spark.graft.ann.index`
+    * ([[graft.operators.LlmVectorOps.AnnIndexConf]]) at the PARENT of
+    * per-corpus dirs named like the corpus directory and both
+    * inventory rows serve from storage instead of training inline —
+    * train once at write time, serve many.
+    */
+  def writeAnnIndex(s: SparkSession, sfDir: String, dir: String): Unit = {
+    writePqIndex(s, sfDir, dir)
+    graft.operators.LlmVectorOps.writeIvfPqIndex(s, sfDir, dir)
+  }
+
   /** Bucketed silver layout: pay the shuffle ONCE at write time.
     * Pairs bucket on the removal key `j`, documents on `doc_id`, same
     * bucket count — the consumer's distinct and anti-join then both

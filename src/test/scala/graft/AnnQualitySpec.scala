@@ -61,13 +61,13 @@ class AnnQualitySpec extends AnyFunSuite {
     }
   }
 
-  test("similarity_ivf_pq recall@10 >= 0.4 with exact re-ranked scores") {
+  test("similarity_ivf_pq recall@10 >= 0.6 with exact re-ranked scores") {
     val ivfpq = LlmVectorOps.similarityIvfPq(spark, sf)
     val recall = (exact & topkSet(ivfpq)).size.toDouble / exact.size
-    // doubly approximate (coarse routing × PQ scoring): the floor is
-    // necessarily below both single-approximation paths; measured
-    // value recorded in BASELINE.md
-    assert(recall >= 0.4, f"IVF-PQ recall@10 degraded: $recall%.3f")
+    // residual-encoded codes + nprobe=3 routing measured 0.74 at
+    // sf0.01 (raw-code nprobe=2 form measured 0.62 — BASELINE.md);
+    // floor at 0.6 with margin for small corpus shifts
+    assert(recall >= 0.6, f"IVF-PQ recall@10 degraded: $recall%.3f")
     // exact re-rank: emitted scores must be true cosines
     val exactScores = LlmVectorOps.similarityTopk(spark, sf)
       .select("probe_id", "vec_id", "score").collect()

@@ -32,4 +32,29 @@ class PqIndexSpec extends AnyFunSuite {
     assert(packed.count() ==
       graft.engine.Tables.embeddings(spark, d).count())
   }
+
+  test("spark.graft.ann.index routes both PQ inventory rows to the stored index") {
+    // full index under <base>/<corpus-basename> — the Bench layout
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ann-index").toString
+    val corpus = new java.io.File(d).getName
+    // inline baselines FIRST (conf unset)
+    val inlineTopk = LlmVectorOps.similarityTopkPq(spark, d).collect().toSeq
+    val inlineIvf = LlmVectorOps.similarityIvfPq(spark, d).collect().toSeq
+    CorpusSilver.writeAnnIndex(spark, d,
+      new java.io.File(base, corpus).getPath)
+    spark.conf.set(LlmVectorOps.AnnIndexConf, base)
+    try {
+      // the SAME inventory entry points now serve from storage, and
+      // deterministic training makes stored == inline bit-for-bit
+      assert(LlmVectorOps.similarityTopkPq(spark, d).collect().toSeq
+        == inlineTopk)
+      assert(LlmVectorOps.similarityIvfPq(spark, d).collect().toSeq
+        == inlineIvf)
+      // an unindexed corpus under the same conf falls back inline
+      // (resolver probes the marker file) rather than erroring
+      val missing = new java.io.File(base, "no-such-corpus")
+      assert(!missing.exists())
+    } finally spark.conf.unset(LlmVectorOps.AnnIndexConf)
+  }
 }
