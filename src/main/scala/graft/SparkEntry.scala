@@ -121,20 +121,21 @@ object SparkEntry {
 
   /** DuckDB oracle SQL. Omitted (weaker rows-only check) for the
     * approximate / engine-hash-dependent operators — exactly
-    * `queries.keySet -- oracleSql.keySet` (pinned by InventorySpec):
+    * `queries.keySet -- oracleSql.keySet -- dynamicOracleSql.keySet`
+    * (pinned by InventorySpec):
     * distinct_users_approx, value_percentiles_approx, dedup_minhash,
     * dedup_simhash, dedup_embed_blocked, similarity_lsh,
     * similarity_ivf, similarity_ivf_trained, similarity_topk_pq,
-    * similarity_ivf_pq, embed_pca_project (the
-    * eigendecomposition runs driver-side; PcaSpec quality-gates it
-    * against an independently computed covariance). The multimodal
-    * stub-decode queries ARE
+    * similarity_ivf_pq. The multimodal stub-decode queries ARE
     * oracle-gated: their fake decode is deterministic byte arithmetic,
     * mirrored in DuckDB via hex-digit byte extraction. dedup_simhash
     * itself stays oracle-less only because xxhash64 signatures are
     * engine-specific — its chunk-blocked candidate machinery IS
     * oracle-verified through dedup_simhash_portable, whose portable
     * 60-bit signatures DuckDB recomputes and brute-forces.
+    * embed_pca_project is gated through [[dynamicOracleSql]]: its
+    * oracle embeds the (deterministically fitted) component literals,
+    * so the SQL is generated per corpus at Verify time.
     */
   /** The exact 3-shingle Jaccard near-dup pair set in DuckDB — shared
     * by the three equivalent engine formulations (counted, prefix,
@@ -1092,5 +1093,18 @@ object SparkEntry {
            CASE WHEN n = 0 THEN CAST(0 AS DOUBLE)
                 ELSE floor((CAST(byte_sum AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000 END AS byte_mean
          FROM d ORDER BY doc_id""",
+  )
+
+  /** Oracle SQL that must be generated against a concrete corpus —
+    * data-dependent literals the static [[oracleSql]] map cannot
+    * hold. Verify merges these into `oracle_sql.json` after running
+    * the queries; the driver's DuckDB gate treats them identically to
+    * static entries. Generation must be deterministic per corpus so
+    * the literals match what the Spark query computed (see
+    * `LlmVectorOps.pcaPinned`).
+    */
+  def dynamicOracleSql(s: SparkSession,
+      sfDir: String): Map[String, String] = Map(
+    "embed_pca_project" -> LlmVectorOps.pcaOracleSql(s, sfDir),
   )
 }

@@ -947,31 +947,79 @@ object LlmVectorOps {
       .agg((sum(col("c.p")).cast("double") / 1e9).as("gram"))
       .orderBy("i", "j")
 
+  /** Fit + pin: the top-2 components rounded onto the 10⁻⁶ grid,
+    * plus the folded center terms μ·v (driver doubles). This pinned
+    * literal set is what BOTH the Spark projection and the generated
+    * DuckDB oracle consume — rounding makes every literal a short
+    * decimal whose parse is the identical correctly-rounded double in
+    * either engine, which is what turns the projection from a
+    * no-oracle row into a hash-gated one. The fit itself is
+    * bit-deterministic (exact-long moment pass + cyclic Jacobi —
+    * `engine.Pca`), so re-fitting at oracle-generation time yields
+    * the same literals the query used.
+    */
+  private def pcaPinned(s: SparkSession,
+      d: String): (Array[Array[Double]], Array[Double]) = {
+    val model = graft.engine.Pca.fit(s, Tables.embeddings(s, d),
+      "embedding", k = 2)
+    val vr = model.components.map(_.map(v => math.floor(v * 1e6 + 0.5) / 1e6))
+    val centers = vr.map(v =>
+      model.mean.zip(v).map { case (a, b) => a * b }.sum)
+    (vr, centers)
+  }
+
   /** `embed_pca_project` — dimensionality reduction for the vector
     * corpus: project every embedding onto the top-2 principal
-    * components of the corpus covariance (no oracle: the
-    * eigendecomposition runs on the driver — `engine.Pca`, one O(d²)
-    * moment pass + Jacobi — which DuckDB can't reproduce; PcaSpec
-    * holds residuals, orthonormality, and projected-variance = λ
-    * instead). The projection itself is a row-local dot against the
-    * broadcast component literals — map-only over the corpus, the
-    * standard recipe for whitening / data-aware LSH planes / 2-D
-    * corpus maps.
+    * components of the corpus covariance. The eigendecomposition runs
+    * on the driver (`engine.Pca`: one O(d²) exact-moment pass +
+    * Jacobi — PcaSpec holds residuals, orthonormality,
+    * projected-variance = λ, and refit determinism); the projection
+    * itself is a row-local dot against the PINNED component literals
+    * ([[pcaPinned]]) — map-only over the corpus, the standard recipe
+    * for whitening / data-aware LSH planes / 2-D corpus maps.
+    *
+    * Oracle-gated: DuckDB can't run Jacobi, but it CAN verify the
+    * projection given the pinned components — [[pcaOracleSql]] embeds
+    * them as literals and recomputes every row's (pc1, pc2) from the
+    * raw parquet with the identical IEEE op sequence (ascending-index
+    * fold, literal center subtraction, r6), so the row hashes match
+    * bit-for-bit. The oracle SQL is corpus-dependent by construction
+    * and is generated at Verify time (`SparkEntry.dynamicOracleSql`).
     */
   def embedPcaProject(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val model = graft.engine.Pca.fit(s, e, "embedding", k = 2)
+    val (vr, centers) = pcaPinned(s, d)
     def proj(m: Int): Column = {
-      val v = model.components(m)
-      // (x − μ)·v = x·v − μ·v: fold the mean term into one constant
-      val center = model.mean.zip(v).map { case (a, b) => a * b }.sum
+      // (x − μ)·v = x·v − μ·v: the mean term folded into one constant
       val dotV = aggregate(
-        zip_with(col("embedding"), typedLit(v.toSeq),
+        zip_with(col("embedding"), typedLit(vr(m).toSeq),
           (x, c) => x.cast("double") * c),
         lit(0.0), (acc, z) => acc + z)
-      r6(dotV - lit(center))
+      r6(dotV - lit(centers(m)))
     }
     e.select(col("vec_id"), proj(0).as("pc1"), proj(1).as("pc2"))
       .orderBy("vec_id")
+  }
+
+  /** The DuckDB oracle for `embed_pca_project`, generated against a
+    * concrete corpus: pinned components and center terms as literals
+    * (`Double.toString` — shortest round-trip form; both engines'
+    * strtod parse it to the same double), the dot as the ascending
+    * list_aggregate sum the hash-matched `similarity_topk` oracle
+    * already proves equivalent to Spark's fold, then the engine-wide
+    * r6 rounding.
+    */
+  private[graft] def pcaOracleSql(s: SparkSession, d: String): String = {
+    val (vr, centers) = pcaPinned(s, d)
+    def lst(v: Array[Double]) = v.mkString("[", ", ", "]")
+    s"""WITH comps AS (SELECT ${lst(vr(0))} AS v1, ${lst(vr(1))} AS v2)
+       SELECT vec_id,
+              floor((list_aggregate([CAST(embedding[i] AS DOUBLE) * v1[i]
+                      for i in range(1, len(embedding) + 1)], 'sum')
+                - (${centers(0)})) * 1000000 + 0.5) / 1000000 AS pc1,
+              floor((list_aggregate([CAST(embedding[i] AS DOUBLE) * v2[i]
+                      for i in range(1, len(embedding) + 1)], 'sum')
+                - (${centers(1)})) * 1000000 + 0.5) / 1000000 AS pc2
+       FROM embeddings, comps ORDER BY vec_id"""
   }
 }

@@ -14,17 +14,23 @@ class InventorySpec extends AnyFunSuite {
   }
 
   test("every oracleSql key has a queries entry") {
-    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    val dynamic = SparkEntry.dynamicOracleSql(spark, TestSpark.sf0001).keySet
+    val missing =
+      (SparkEntry.oracleSql.keySet ++ dynamic) -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
+    val overlap = SparkEntry.oracleSql.keySet & dynamic
+    assert(overlap.isEmpty, s"key in both static and dynamic maps: $overlap")
   }
 
   test("oracle-less queries are exactly the documented approximate/stub set") {
-    val oracleLess = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val oracleLess = SparkEntry.queries.keySet --
+      SparkEntry.oracleSql.keySet --
+      SparkEntry.dynamicOracleSql(spark, TestSpark.sf0001).keySet
     val documented = Set(
       "distinct_users_approx", "value_percentiles_approx",
       "dedup_minhash", "dedup_simhash", "dedup_embed_blocked",
       "similarity_lsh", "similarity_ivf", "similarity_ivf_trained",
-      "similarity_topk_pq", "similarity_ivf_pq", "embed_pca_project")
+      "similarity_topk_pq", "similarity_ivf_pq")
     assert(oracleLess == documented,
       s"undocumented oracle-less: ${oracleLess -- documented}; " +
         s"stale documented: ${documented -- oracleLess}")
