@@ -115,11 +115,18 @@ object CryptoIngest {
     * failed run's leftover stage is reclaimed by the next overwrite.
     */
   def upsertHourlyRows(hourly: DataFrame, url: String,
-      table: String = "downsampled_prices"): Unit = {
+      table: String = "downsampled_prices",
+      afterStage: () => Unit = () => ()): Unit = {
     val stage = table + "_stage"
     // executors write the staging rows; overwrite drops any leftover
     // stage from a failed previous attempt
     hourly.write.mode("overwrite").jdbc(url, stage, new java.util.Properties)
+    // test seam (the compactPartition afterRewrite precedent): a kill
+    // between the stage landing and the delete+insert transaction is
+    // the worst-case crash point — stage written, target untouched,
+    // no checkpoint commit. StreamingSpec injects a crash here and
+    // proves the replayed epoch converges to exactly-once.
+    afterStage()
     val conn = java.sql.DriverManager.getConnection(url)
     try {
       val meta = conn.getMetaData.getTables(null, null, null, Array("TABLE"))

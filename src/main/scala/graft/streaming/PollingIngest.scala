@@ -118,7 +118,8 @@ object PollingIngest {
       jdbcUrl: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
-      table: String = "downsampled_prices"): StreamingQuery = {
+      table: String = "downsampled_prices",
+      afterStage: () => Unit = () => ()): StreamingQuery = {
     val ticks = StreamingOhlc.dedupStream(TickSource.parseApiPayload(
       spark.readStream.schema(TickSource.landingSchema).json(landingDir),
       col("payload"), col("fetch_ts")))
@@ -130,7 +131,8 @@ object PollingIngest {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty)
-          graft.pipeline.CryptoIngest.upsertHourlyRows(batch, jdbcUrl, table)
+          graft.pipeline.CryptoIngest.upsertHourlyRows(batch, jdbcUrl, table,
+            afterStage)
       }
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")

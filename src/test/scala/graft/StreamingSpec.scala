@@ -355,6 +355,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getAs[Long]("sample_count") == 2L)
   }
 
+  test("S7c mid-upsert crash (between stage and swap) converges to exactly-once on restart") {
+    // S7b replays a COMPLETED epoch; this kills the sink at the worst
+    // point INSIDE one — after the staging table lands, before the
+    // delete+insert transaction runs. The crash leaves: stage written,
+    // target never created, no checkpoint commit. A restart must
+    // replay the epoch, reclaim the leftover stage (overwrite), run
+    // the transaction once, and leave exactly the closed hour's rows.
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft_poll_crash").toString
+    val landing = s"$tmp/landing"
+    Files.createDirectories(Paths.get(landing))
+    System.setProperty("derby.stream.error.file", s"$tmp/derby.log")
+    val url = s"jdbc:derby:$tmp/db;create=true"
+    def line(ts: String, sym: String, price: String): String = {
+      val p = s"""{"symbol":"$sym","price":"$price"}""".replace("\"", "\\\"")
+      s"""{"fetch_ts":"$ts","payload":"$p"}"""
+    }
+    val q1 = graft.streaming.PollingIngest.startJdbcHourly(
+      spark, landing, url, s"$tmp/ckpt",
+      afterStage = () => throw new RuntimeException("crash between stage and swap"))
+    val crashed =
+      try {
+        Files.writeString(Paths.get(s"$landing/poll1.json"), Seq(
+          line("2024-01-01 10:00:05", "BTCUSDT", "50000.0"),
+          line("2024-01-01 10:00:10", "BTCUSDT", "51000.0")).mkString("\n"))
+        q1.processAllAvailable() // hour 10 open: upsert never invoked
+        Files.writeString(Paths.get(s"$landing/poll2.json"),
+          line("2024-01-01 13:00:00", "BTCUSDT", "48000.0"))
+        q1.processAllAvailable() // eviction epoch → upsert → crash
+        false
+      } catch { case _: Throwable => true }
+      finally q1.stop()
+    assert(crashed, "the poisoned upsert should have failed the query")
+    val props = new java.util.Properties
+    // the stage survived the crash; the target was never created
+    // (the transaction — and even the DDL — sits after the kill point)
+    assert(spark.read.jdbc(url, "downsampled_prices_stage", props)
+      .count() == 1, "stage table should hold the crashed epoch's row")
+    assert(intercept[Exception](
+      spark.read.jdbc(url, "downsampled_prices", props).collect())
+      != null, "target must not exist before the transaction ever ran")
+    // wait out the checkpoint registration release (S7b precedent)
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (spark.streams.active.exists(_.id == q1.id)
+        && System.nanoTime() < deadline) Thread.sleep(100)
+    // healthy restart on the same checkpoint: the uncommitted epoch
+    // replays, the stage overwrite reclaims the leftover, the
+    // transaction runs exactly once
+    val q2 = graft.streaming.PollingIngest.startJdbcHourly(
+      spark, landing, url, s"$tmp/ckpt")
+    try q2.processAllAvailable() finally q2.stop()
+    val after = spark.read.jdbc(url, "downsampled_prices", props).collect()
+    assert(after.length == 1,
+      s"crash+replay must yield exactly-once rows: ${after.mkString("; ")}")
+    val r = after.head
+    assert(r.getAs[Int]("hour") == 10)
+    assert(r.getAs[Double]("open_price") == 50000.0)
+    assert(r.getAs[Double]("close_price") == 51000.0)
+    assert(r.getAs[Long]("sample_count") == 2L)
+    // and the recovered run dropped its stage
+    assert(intercept[Exception](
+      spark.read.jdbc(url, "downsampled_prices_stage", props).collect())
+      != null, "stage should be dropped after the recovered upsert")
+  }
+
   test("S2 streaming_state: explicit OhlcState flushes on window close (reference state machine)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
