@@ -84,6 +84,7 @@ object SparkEntry {
     "corpus_filter"       -> (LlmTextOps.corpusFilter _),
     "dedup_minhash"       -> (LlmTextOps.dedupMinhash _),
     "dedup_simhash"       -> (LlmTextOps.dedupSimhash _),
+    "dedup_simhash_scaled" -> (LlmTextOps.dedupSimhashScaled _),
     "dedup_simhash_portable" -> (LlmTextOps.dedupSimhashPortable _),
     "text_stats"          -> (LlmTextOps.textStats _),
     "lang_id"             -> (LlmTextOps.langId _),
@@ -124,8 +125,9 @@ object SparkEntry {
     * `queries.keySet -- oracleSql.keySet -- dynamicOracleSql.keySet`
     * (pinned by InventorySpec):
     * distinct_users_approx, value_percentiles_approx, dedup_minhash,
-    * dedup_simhash, dedup_embed_blocked, similarity_lsh,
-    * similarity_ivf, similarity_ivf_trained, similarity_topk_pq,
+    * dedup_simhash, dedup_simhash_scaled, dedup_embed_blocked,
+    * similarity_lsh, similarity_ivf, similarity_ivf_trained,
+    * similarity_topk_pq,
     * similarity_ivf_pq. The multimodal stub-decode queries ARE
     * oracle-gated: their fake decode is deterministic byte arithmetic,
     * mirrored in DuckDB via hex-digit byte extraction. dedup_simhash

@@ -646,12 +646,59 @@ object LlmTextOps {
     * (chunk#, chunk-value). Only (doc_id, sig) pairs shuffle; the
     * final Hamming check runs on candidates only.
     */
-  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    val sigs = Tables.documents(s, d)
+  def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    simhashBlockedPairs(simhashSigs(s, d), sigBits = 64, nBlocks = 4,
+      maxHamming = 3)
+
+  /** The 64-bit xxhash SimHash signature projection shared by the
+    * fixed-depth, scaled, and candidate-mass entry points. */
+  private[graft] def simhashSigs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .withColumn("th", expr("transform(split(text, ' '), t -> xxhash64(t))"))
       .withColumn("sig", graft.functions.VectorExprs.simhash64(s, col("th")))
       .select(col("doc_id"), col("sig"))
-    simhashBlockedPairs(sigs, chunkBits = 16, nChunks = 4, maxHamming = 3)
+
+  /** [[dedupSimhash]] with the block count sized from the corpus — the
+    * SimHash twin of `dedupEmbedBlockedScaled`'s k ≈ log₂(n) rule.
+    * The fixed 4-block scheme joins on 16-bit keys, so its
+    * random-collision candidate mass grows as n²/2¹⁶ — the round-5
+    * scale sweep measured exactly that super-linear curve on the
+    * low-entropy synthetic corpus. Deeper blocking
+    * ([[simhashBlocksFor]]) keeps C(B,B−3)·n²/2^keyBits ≲ O(n) by
+    * moving to 32/36/40-bit combination keys as n grows; output is
+    * UNCHANGED at any depth (pigeonhole exactness + the exact Hamming
+    * filter — InventorySpec pins every depth equal to brute force).
+    * Costs one count job up front, negligible against the pair
+    * pipeline it right-sizes.
+    */
+  def dedupSimhashScaled(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.documents(s, d).count()
+    simhashBlockedPairs(simhashSigs(s, d), sigBits = 64,
+      nBlocks = simhashBlocksFor(n, sigBits = 64, maxHamming = 3),
+      maxHamming = 3)
+  }
+
+  /** Block count in [4, 8] sized from the corpus, one depth step per
+    * ~4× documents past the 4k-doc anchor. The calibration is
+    * MEASURED, not modeled: a uniform-random-bits model says 16-bit
+    * keys absorb 50k docs, but real signatures inherit the corpus's
+    * token structure — at 50k low-entropy docs the fixed B=4 scheme
+    * produced 23.6M pre-Hamming candidates (~470/doc, growing ~n²)
+    * while each +1 block cut mass only ~3–4× (B=5 → 5.8M, B=6 →
+    * 1.8M, B=8 → 0.42M; BASELINE.md round-6 curve). A ~4× mass cut
+    * per step against ~n² fixed-depth growth ⇒ one step per 4×
+    * corpus holds candidates/doc roughly constant. Calibrated for
+    * 64-bit signatures at maxHamming = 3 (the only shipped config).
+    * True near-dup clusters are unaffected by depth — identical
+    * signatures collide at every depth, and that candidate mass is
+    * the output's own size, not overhead.
+    */
+  private[graft] def simhashBlocksFor(n: Long, sigBits: Int,
+      maxHamming: Int): Int = {
+    // ⌈log₄(n/4096)⌉ extra depth steps over the B=4 anchor
+    val x = math.max(1L, n / 4096L)
+    val log2 = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    math.min(4 + (log2 + 1) / 2, math.min(8, sigBits / 4))
   }
 
   /** `dedup_simhash_portable` — [[dedupSimhash]]'s oracle-visible
@@ -683,41 +730,76 @@ object LlmTextOps {
       .withColumn("sig",
         graft.functions.PortableSimHash60.simhash60Portable(s, col("th")))
       .select(col("doc_id"), col("sig"))
-    simhashBlockedPairs(sigs, chunkBits = 15, nChunks = 4, maxHamming = 3)
+    simhashBlockedPairs(sigs, sigBits = 60, nBlocks = 4, maxHamming = 3)
   }
 
-  /** Chunk-blocked exact Hamming join over (doc_id, sig) signatures —
-    * shared by both SimHash variants. Blocking on the `nChunks`
-    * disjoint `chunkBits`-bit signature chunks is EXACT by pigeonhole
-    * for `maxHamming < nChunks`: a qualifying pair differs in at most
-    * `maxHamming` bits, which can touch at most `maxHamming` chunks,
-    * so the pair agrees on ≥ 1 chunk and surfaces in that equi-join.
-    * Only (doc_id, sig) pairs shuffle; the Hamming check runs on
-    * candidates only.
+  /** Block-combination-keyed exact Hamming join over (doc_id, sig)
+    * signatures — shared by every SimHash variant. The signature
+    * splits into `nBlocks` disjoint bit blocks; each doc is indexed
+    * under every size-(nBlocks − maxHamming) COMBINATION of its block
+    * values (the multi-block scheme of Manku et al., WWW'07 §3).
+    * Exact by pigeonhole: ≤ maxHamming differing bits touch ≤
+    * maxHamming blocks, so ≥ nBlocks − maxHamming blocks agree — the
+    * combination made of those agreeing blocks is shared and the pair
+    * surfaces in that equi-join. nBlocks = maxHamming + 1 degenerates
+    * to the classic one-block-per-key scheme (combinations of size 1);
+    * LARGER nBlocks trade keys/doc — C(B, B−h) — for key width
+    * (B−h)·sigBits/B, the candidate-mass dial [[simhashBlocksFor]]
+    * turns with corpus size. Combination values compress to one
+    * xxhash64 key before the shuffle (equal values ⇒ equal hash, so
+    * no pair is lost; a hash collision only adds a candidate the
+    * exact Hamming filter removes). Only (doc_id, sig, key) rows
+    * shuffle; the Hamming check runs on candidates only.
     */
-  private def simhashBlockedPairs(sigs: DataFrame, chunkBits: Int,
-      nChunks: Int, maxHamming: Int): DataFrame = {
-    require(maxHamming < nChunks, "pigeonhole needs maxHamming < nChunks")
-    val mask = (1L << chunkBits) - 1
-    val chunked = sigs.select(
-      col("doc_id"), col("sig"),
-      explode(expr(
-        s"""transform(sequence(0, ${nChunks - 1}),
-              c -> struct(c AS c,
-                          shiftright(sig, c * $chunkBits) & ${mask}L AS cv))"""))
-        .as("ck"))
-      .select(col("doc_id"), col("sig"), col("ck.c"), col("ck.cv"))
-    chunked.as("x").join(chunked.as("y"),
-        col("x.c") === col("y.c") && col("x.cv") === col("y.cv")
-          && col("x.doc_id") < col("y.doc_id"))
+  private[graft] def simhashBlockedPairs(sigs: DataFrame, sigBits: Int,
+      nBlocks: Int, maxHamming: Int): DataFrame = {
+    val keyed = simhashComboKeyed(sigs, sigBits, nBlocks, maxHamming)
+    keyed.as("x").join(keyed.as("y"),
+        col("x.k") === col("y.k") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
         col("x.sig").as("sig_i"), col("y.sig").as("sig_j"))
-      // a pair agreeing on several chunks surfaces once per chunk
+      // a pair agreeing on several combinations surfaces once per combo
       .distinct()
       .withColumn("hamming", bit_count(col("sig_i").bitwiseXOR(col("sig_j"))))
       .where(col("hamming") <= maxHamming)
       .select("i", "j", "hamming")
       .orderBy("i", "j")
+  }
+
+  /** (doc_id, sig, k): each signature exploded to its C(B, B−h)
+    * combination keys. Block widths split sigBits as evenly as
+    * integer division allows (uneven widths don't affect pigeonhole).
+    */
+  private def simhashComboKeyed(sigs: DataFrame, sigBits: Int,
+      nBlocks: Int, maxHamming: Int): DataFrame = {
+    require(maxHamming < nBlocks, "pigeonhole needs maxHamming < nBlocks")
+    val m = nBlocks - maxHamming
+    val w = sigBits / nBlocks
+    val r = sigBits % nBlocks
+    def blockVal(b: Int): String = {
+      val off = b * w + math.min(b, r)
+      val width = w + (if (b < r) 1 else 0)
+      s"(shiftright(sig, $off) & ${(1L << width) - 1}L)"
+    }
+    val keyExprs = (0 until nBlocks).combinations(m).zipWithIndex
+      .map { case (combo, cid) =>
+        s"xxhash64(${cid}L, ${combo.map(blockVal).mkString(", ")})"
+      }
+    sigs.select(col("doc_id"), col("sig"),
+      explode(expr(keyExprs.mkString("array(", ", ", ")"))).as("k"))
+  }
+
+  /** Distinct candidate-pair count BEFORE the Hamming filter at a
+    * given block depth — the engine-independent work unit behind the
+    * scale-curve table (ScaleSweep publishes it for the fixed and
+    * scaled depths side by side).
+    */
+  private[graft] def simhashCandidateMass(sigs: DataFrame, sigBits: Int,
+      nBlocks: Int, maxHamming: Int): Long = {
+    val keyed = simhashComboKeyed(sigs, sigBits, nBlocks, maxHamming)
+    keyed.as("x").join(keyed.as("y"),
+        col("x.k") === col("y.k") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id")).distinct().count()
   }
 
   /** E20 `text_stats` — corpus stats per language: doc count, char

@@ -168,6 +168,8 @@ object ScaleSweep {
       "dedup_near_prefix" -> (graft.operators.LlmTextOps.dedupNearPrefix _),
       "dedup_minhash" -> (graft.operators.LlmTextOps.dedupMinhash _),
       "dedup_simhash" -> (graft.operators.LlmTextOps.dedupSimhash _),
+      "dedup_simhash_scaled" ->
+        (graft.operators.LlmTextOps.dedupSimhashScaled _),
       "dedup_simhash_portable" ->
         (graft.operators.LlmTextOps.dedupSimhashPortable _),
       "dedup_embed_blocked" ->
@@ -226,6 +228,19 @@ object ScaleSweep {
       }.min
     }
 
+    // SimHash candidate mass (distinct pairs BEFORE the Hamming
+    // filter) at the fixed 4-block depth vs the corpus-sized depth —
+    // the sub-quadratic-curve evidence for the blocking dial
+    val simSigs = graft.operators.LlmTextOps.simhashSigs(spark, outDir)
+    val simMass = Seq(4, 5, 6, 8).map { b =>
+      b -> graft.operators.LlmTextOps.simhashCandidateMass(simSigs, 64, b, 3)
+    }
+    val simBScaled = graft.operators.LlmTextOps
+      .simhashBlocksFor(nDocs, 64, 3)
+    val simScaled = simMass.toMap.getOrElse(simBScaled,
+      graft.operators.LlmTextOps
+        .simhashCandidateMass(simSigs, 64, simBScaled, 3))
+
     // components fixpoint: rounds must stay O(log n) one decade up
     val (labeled, rounds) = graft.operators.LlmTextOps.componentsFixpoint(
       spark, graft.operators.LlmTextOps.dedupNearAuto(spark, outDir)
@@ -239,6 +254,10 @@ object ScaleSweep {
       s""""prefix_postings":${pref.getLong(0)},""" +
       s""""prefix_pair_stream":${java.lang.Math.round(pref.getDouble(1))},""" +
       s""""fixpoint_rounds":$rounds,"labeled_docs":$nLabeled,""" +
+      simMass.map { case (b, mass) => s""""simhash_cand_b$b":$mass""" }
+        .mkString("", ",", ",") +
+      s""""simhash_blocks_scaled":$simBScaled,""" +
+      s""""simhash_cand_scaled":$simScaled,""" +
       s""""queries":{$qs}}""")
     spark.stop()
   }

@@ -28,7 +28,8 @@ class InventorySpec extends AnyFunSuite {
       SparkEntry.dynamicOracleSql(spark, TestSpark.sf0001).keySet
     val documented = Set(
       "distinct_users_approx", "value_percentiles_approx",
-      "dedup_minhash", "dedup_simhash", "dedup_embed_blocked",
+      "dedup_minhash", "dedup_simhash", "dedup_simhash_scaled",
+      "dedup_embed_blocked",
       "similarity_lsh", "similarity_ivf", "similarity_ivf_trained",
       "similarity_topk_pq", "similarity_ivf_pq")
     assert(oracleLess == documented,
@@ -38,7 +39,8 @@ class InventorySpec extends AnyFunSuite {
 
   test("all queries execute at sf0.001 and are non-empty where expected") {
     // join_anti may legitimately return 0 rows at tiny sf
-    val mayBeEmpty = Set("join_anti", "dedup_simhash", "dedup_simhash_portable")
+    val mayBeEmpty = Set("join_anti", "dedup_simhash", "dedup_simhash_scaled",
+      "dedup_simhash_portable")
     val counts = SparkEntry.queries.map { case (name, fn) =>
       name -> fn(spark, TestSpark.sf0001).count()
     }
@@ -65,6 +67,31 @@ class InventorySpec extends AnyFunSuite {
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(blocked == brute,
       s"pigeonhole blocking diverged: missing=${brute -- blocked} extra=${blocked -- brute}")
+  }
+
+  test("deeper combination blocking emits the identical pair set (every depth)") {
+    // the candidate-mass dial must never change the OUTPUT: pigeonhole
+    // exactness holds at any nBlocks > maxHamming, and the exact
+    // Hamming filter removes hash-collision extras. Pin B = 6 and
+    // B = 8 (the 32- and 40-bit key depths the scaled rule selects at
+    // large n) against the classic B = 4 scheme at sf0.01, plus the
+    // corpus-sized entry point itself.
+    import graft.operators.LlmTextOps
+    val sigs = LlmTextOps.simhashSigs(spark, TestSpark.sf001)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b4 = pairs(LlmTextOps.simhashBlockedPairs(sigs, 64, 4, 3))
+    for (b <- Seq(6, 8)) {
+      val deep = pairs(LlmTextOps.simhashBlockedPairs(sigs, 64, b, 3))
+      assert(deep == b4,
+        s"B=$b diverged: missing=${b4 -- deep} extra=${deep -- b4}")
+    }
+    assert(pairs(LlmTextOps.dedupSimhashScaled(spark, TestSpark.sf001)) == b4)
+    // and deeper keys strictly shrink the pre-Hamming candidate mass
+    // on this low-entropy corpus (the dial's whole point)
+    val m4 = LlmTextOps.simhashCandidateMass(sigs, 64, 4, 3)
+    val m6 = LlmTextOps.simhashCandidateMass(sigs, 64, 6, 3)
+    assert(m6 <= m4, s"B=6 candidates $m6 > B=4 candidates $m4")
   }
 
   test("portable SimHash signature matches the DuckDB golden value and brute force") {
