@@ -83,6 +83,7 @@ object SparkEntry {
     "dedup_components"    -> (LlmTextOps.dedupComponents _),
     "corpus_filter"       -> (LlmTextOps.corpusFilter _),
     "dedup_minhash"       -> (LlmTextOps.dedupMinhash _),
+    "dedup_minhash_portable" -> (LlmTextOps.dedupMinhashPortable _),
     "dedup_simhash"       -> (LlmTextOps.dedupSimhash _),
     "dedup_simhash_scaled" -> (LlmTextOps.dedupSimhashScaled _),
     "dedup_simhash_portable" -> (LlmTextOps.dedupSimhashPortable _),
@@ -638,6 +639,45 @@ object SparkEntry {
     // one oracle gates all three formulations independently
     "dedup_near_prefix" -> nearDupPairsOracle,
     "dedup_near_auto" -> nearDupPairsOracle,
+    // the oracle recomputes the portable 16-perm MinHash signatures,
+    // the 4x4 band keys, the band-bucket candidate join, AND the
+    // est_jaccard filter from raw text — an independent engine running
+    // the whole banded-LSH machinery end-to-end (every step is
+    // deterministic modular arithmetic, so the approximate OPERATOR
+    // has an exact output); this is the cross-engine proof the
+    // xxhash64-based dedup_minhash row can only get from unit tests
+    "dedup_minhash_portable" ->
+      """WITH docs AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           WHERE len(string_split(text, ' ')) >= 3),
+         th AS (SELECT doc_id,
+                  [CAST(ascii(t) AS BIGINT) * 17161
+                   + CAST(ascii(reverse(t)) AS BIGINT) * 131
+                   + length(t) for t in toks] AS th FROM docs),
+         shs AS (SELECT doc_id, list_distinct(
+                  [(th[i] * 131 + th[i + 1]) * 131 + th[i + 2]
+                   for i in range(1, len(th) - 1)]) AS shs FROM th),
+         sigs AS (SELECT doc_id,
+                  [list_aggregate([((2 * m + 3) * h + 7 * m + 1) % 1000000000037
+                                   for h in shs], 'min')
+                   for m in range(0, 16)] AS sig FROM shs),
+         banded AS (SELECT doc_id, b,
+                  list_reduce(list_prepend(0::BIGINT,
+                      [sig[b * 4 + r] for r in range(1, 5)]),
+                    (acc, v) -> (acc * 131 + v) % 1000000000000037) AS bk
+                  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t),
+         cand AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+                  FROM banded x JOIN banded y
+                    ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id),
+         est AS (SELECT i, j,
+                  floor((list_aggregate([CASE WHEN si.sig[m] = sj.sig[m]
+                                              THEN 1 ELSE 0 END
+                                         for m in range(1, 17)], 'sum') / 16.0)
+                        * 1000000 + 0.5) / 1000000 AS est_jaccard
+                 FROM cand JOIN sigs si ON si.doc_id = i
+                           JOIN sigs sj ON sj.doc_id = j)
+         SELECT i, j, est_jaccard FROM est
+         WHERE est_jaccard >= 0.8 ORDER BY i, j""",
     // the oracle computes the portable 60-bit SimHash signatures in
     // plain SQL, then BRUTE-FORCES all-pairs Hamming <= 3 — so a
     // hash match here independently proves the engine's chunk-blocked

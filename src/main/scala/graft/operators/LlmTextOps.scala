@@ -588,6 +588,69 @@ object LlmTextOps {
     shingleSets(s, d).select(col("doc_id"),
       graft.functions.MinHash32.minhash32FromSet(s, col("shs")).as("sig"))
 
+  /** `dedup_minhash_portable` — [[dedupMinhash]]'s oracle-visible
+    * twin (the `dedup_simhash_portable` precedent applied to the
+    * OTHER LSH family). The band-bucket machinery is the same shape;
+    * every hash is portable modular arithmetic both engines run
+    * bit-for-bit: token hash `ascii·17161 + ascii(reverse)·131 +
+    * length` (≤ ~1.9·10¹⁰), 3-shingle combine `(t₁·131 + t₂)·131 +
+    * t₃` (≤ ~3.4·10¹⁴), 16 permutations `(2m+3)·h + 7m+1 mod
+    * 10¹²+37` (products ≤ ~1.1·10¹⁶ — every intermediate is budgeted
+    * under 2⁶³ for ANSI mode), band key = degree-4 polynomial fold
+    * mod 10¹⁵+37 over each of 4 bands × 4 rows. The DuckDB oracle
+    * recomputes signatures, band keys, the candidate join, and the
+    * est_jaccard filter from raw text — i.e. it independently
+    * verifies the banded-LSH candidate generation that the
+    * xxhash64-based `dedup_minhash` can only pin in unit tests.
+    * Every step is deterministic, so the approximate OPERATOR has an
+    * exact, hash-gateable OUTPUT. Verification query: the scale path
+    * stays `dedup_minhash`'s compiled 32-perm kernel.
+    */
+  def dedupMinhashPortable(s: SparkSession, d: String): DataFrame = {
+    val permMod = 1000000000037L      // ~10¹², permuted hash range
+    val bandMod = 1000000000000037L   // ~10¹⁵, band polynomial range
+    val sigs = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= 3)
+      .withColumn("th", expr(
+        """transform(toks, t -> CAST(ascii(t) AS BIGINT) * 17161
+                                + CAST(ascii(reverse(t)) AS BIGINT) * 131
+                                + length(t))"""))
+      .withColumn("shs", expr(
+        """array_distinct(transform(sequence(0, size(th) - 3),
+             i -> (th[i] * 131 + th[i + 1]) * 131 + th[i + 2]))"""))
+      .withColumn("sig", expr(
+        s"""transform(sequence(0, 15), m ->
+              aggregate(shs, 9223372036854775807L,
+                (acc, h) -> least(acc,
+                  ((2 * m + 3) * h + 7 * m + 1) % ${permMod}L)))"""))
+      .select(col("doc_id"), col("sig"))
+    val banded = sigs.select(col("doc_id"),
+      explode(expr(
+        s"""transform(sequence(0, 3), b -> struct(b AS band,
+              aggregate(slice(sig, b * 4 + 1, 4), 0L,
+                (acc, v) -> (acc * 131 + v) % ${bandMod}L) AS bk))"""))
+        .as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bk"))
+    val wide = graft.engine.Pairs.needsWideForm(
+      Tables.documents(s, d), "doc_id")
+    val lists = banded.groupBy(col("band"), col("bk"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .where(size(col("ds")) > 1)
+    val candIds = graft.engine.Pairs.distinctPairs(s, lists, "ds", wide)
+    candIds
+      .join(sigs.select(col("doc_id").as("i"), col("sig").as("sig_i")),
+        Seq("i"))
+      .join(sigs.select(col("doc_id").as("j"), col("sig").as("sig_j")),
+        Seq("j"))
+      .withColumn("est_jaccard", r6(expr(
+        """aggregate(zip_with(sig_i, sig_j, (a, b) -> IF(a = b, 1, 0)),
+                     0, (acc, v) -> acc + v) / 16.0""")))
+      .where(col("est_jaccard") >= 0.8)
+      .select("i", "j", "est_jaccard")
+      .orderBy("i", "j")
+  }
+
   /** The LSH band join + verification over an externally supplied
     * (doc_id, sig) signature frame — the silver-table consumer entry
     * point. `wide` gates the packed-pair fast path (see engine.Pairs);

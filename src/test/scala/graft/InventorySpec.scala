@@ -167,5 +167,13 @@ class InventorySpec extends AnyFunSuite {
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.subsetOf(mh),
       s"MinHash missed exact dups: ${exact -- mh}")
+    // the portable twin must find them too: identical texts produce
+    // identical portable signatures, which collide in every band
+    val mp = graft.operators.LlmTextOps
+      .dedupMinhashPortable(spark, TestSpark.sf0001)
+      .where(col("est_jaccard") >= 0.999)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(mp),
+      s"portable MinHash missed exact dups: ${exact -- mp}")
   }
 }
