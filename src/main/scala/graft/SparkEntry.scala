@@ -122,20 +122,24 @@ object SparkEntry {
   )
 
   /** DuckDB oracle SQL. Omitted (weaker rows-only check) for the
-    * approximate / engine-hash-dependent operators — exactly
+    * engine-hash-dependent or training-iterated operators — exactly
     * `queries.keySet -- oracleSql.keySet -- dynamicOracleSql.keySet`
     * (pinned by InventorySpec):
-    * distinct_users_approx, value_percentiles_approx, dedup_minhash,
-    * dedup_simhash, dedup_simhash_scaled, dedup_embed_blocked,
-    * similarity_lsh, similarity_ivf, similarity_ivf_trained,
-    * similarity_topk_pq,
-    * similarity_ivf_pq. The multimodal stub-decode queries ARE
-    * oracle-gated: their fake decode is deterministic byte arithmetic,
-    * mirrored in DuckDB via hex-digit byte extraction. dedup_simhash
-    * itself stays oracle-less only because xxhash64 signatures are
-    * engine-specific — its chunk-blocked candidate machinery IS
-    * oracle-verified through dedup_simhash_portable, whose portable
-    * 60-bit signatures DuckDB recomputes and brute-forces.
+    * distinct_users_approx, value_percentiles_approx (engine sketch
+    * internals), dedup_minhash, dedup_simhash, dedup_simhash_scaled
+    * (xxhash64 signatures are engine-specific — but each family's
+    * candidate machinery IS oracle-proven through its portable twin:
+    * dedup_simhash_portable brute-force-verifies the chunk blocking,
+    * dedup_minhash_portable replicates the full banded-LSH pipeline),
+    * and similarity_ivf_trained / similarity_topk_pq /
+    * similarity_ivf_pq (Lloyd-trained codebooks; their shared
+    * serving machinery is gated through similarity_ivf and the
+    * PqIndexSpec equality pins). The hyperplane-LSH rows
+    * (similarity_lsh, dedup_embed_blocked) and seed-codebook IVF ARE
+    * gated: their "approximation" lives in recall — given the
+    * constant planes / seed centroids the output is deterministic,
+    * and the generated oracles replicate it. The multimodal
+    * stub-decode queries are gated via hex-digit byte extraction.
     * embed_pca_project is gated through [[dynamicOracleSql]]: its
     * oracle embeds the (deterministically fitted) component literals,
     * so the SQL is generated per corpus at Verify time.
@@ -1135,6 +1139,14 @@ object SparkEntry {
            CASE WHEN n = 0 THEN CAST(0 AS DOUBLE)
                 ELSE floor((CAST(byte_sum AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000 END AS byte_mean
          FROM d ORDER BY doc_id""",
+    // the hyperplane family is a deterministic constant (one shared
+    // Scala definition serializes each coordinate into these literals),
+    // so the LSH rows are approximate only in RECALL — their outputs
+    // are exact functions of (corpus, planes) and DuckDB replicates
+    // bucket keys, candidate joins, and re-scores bit-for-bit
+    "similarity_lsh" -> LlmVectorOps.lshOracleSql,
+    "dedup_embed_blocked" -> LlmVectorOps.dedupEmbedBlockedOracleSql,
+    "similarity_ivf" -> LlmVectorOps.ivfOracleSql,
   )
 
   /** Oracle SQL that must be generated against a concrete corpus —

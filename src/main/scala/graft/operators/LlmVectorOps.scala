@@ -51,12 +51,15 @@ object LlmVectorOps {
       .orderBy("probe_id", "rank")
   }
 
-  /** `similarity_lsh` — random-hyperplane LSH-bucketed ANN (no
-    * oracle: approximate by design). Signature = sign bits of the
-    * projection onto deterministic pseudo-random hyperplanes;
-    * candidates share a signature bucket with a probe; exact cosine
-    * re-rank inside the bucket. At 100 TB the bucket join replaces
-    * the corpus broadcast-scan with a shuffle on small bucket keys.
+  /** `similarity_lsh` — random-hyperplane LSH-bucketed ANN.
+    * Signature = sign bits of the projection onto deterministic
+    * pseudo-random hyperplanes; candidates share a signature bucket
+    * with a probe; exact cosine re-rank inside the bucket. At 100 TB
+    * the bucket join replaces the corpus broadcast-scan with a
+    * shuffle on small bucket keys. Oracle-gated since round 6: the
+    * planes are constants, so the approximation lives in RECALL only
+    * — the output is an exact function of (corpus, planes) and
+    * [[lshOracleSql]] replicates it bit-for-bit in DuckDB.
     */
   /** Deterministic random-hyperplane LSH keys: one (table, bucket)
     * struct per table per vector. Plane components come from a
@@ -68,19 +71,29 @@ object LlmVectorOps {
     * (kPlanes ≤ 62) so deep tables cannot wrap a 32-bit shift.
     * Shared by `similarity_lsh` and `dedup_embed_blocked`.
     */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4b7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** The i-th coordinate of hyperplane (t, j) — the ONE definition
+    * both the Spark key expression and the generated DuckDB oracle
+    * literals read, so the two engines can never disagree on what a
+    * plane is. */
+  private[graft] def lshPlaneVal(t: Int, j: Int, i: Int,
+      kPlanes: Int): Float = {
+    val m = t.toLong * kPlanes + j
+    ((mix64(m * 1000003L + i) >>> 11).toDouble / (1L << 53) - 0.5).toFloat
+  }
+
   private def lshTableKeys(s: SparkSession, nTables: Int, kPlanes: Int,
       dim: Int): Column = {
     require(kPlanes >= 1 && kPlanes <= 62,
       s"kPlanes must be in [1, 62], got $kPlanes")
-    def mix(z0: Long): Long = {
-      var z = z0 + 0x9e3779b97f4b7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
     def plane(t: Int, j: Int): Column = typedLit((0 until dim).map { i =>
-      val m = t.toLong * kPlanes + j
-      ((mix(m * 1000003L + i) >>> 11).toDouble / (1L << 53) - 0.5).toFloat
+      lshPlaneVal(t, j, i, kPlanes)
     })
     array((0 until nTables).map { t =>
       val bits = (0 until kPlanes).map { j =>
@@ -127,14 +140,134 @@ object LlmVectorOps {
       .orderBy("probe_id", "rank")
   }
 
-  /** `similarity_ivf` — IVF-style ANN (no oracle: approximate by
-    * design). Coarse codebook = every 100th vector (deterministic
-    * seed set, k ≈ n/100); each corpus vector is assigned to its
-    * nearest centroid in one broadcast pass; probes search their
-    * nprobe=2 nearest inverted lists, exact cosine re-rank inside.
-    * At 100 TB: the assignment is a map stage over the corpus, the
-    * probe join shuffles only the probed lists (~2/k of the data) —
-    * the classic recall/cost dial.
+  /** The shared CTE prefix of the hyperplane-LSH oracles: norms, the
+    * 8×4 plane family as DuckDB list literals (each coordinate from
+    * [[lshPlaneVal]] — the same definition the Spark expression
+    * reads, serialized via `Double.toString` so both engines parse
+    * the identical double), sign bits, and per-(vector, table)
+    * bucket keys. The planes are data-INDEPENDENT constants, so
+    * these oracles are static SQL — the LSH output is approximate
+    * only in RECALL; given the planes it is fully deterministic,
+    * which is what makes the rows hash-gateable.
+    */
+  private def lshKeysCtes: String = {
+    val values = (for { t <- 0 until 8; j <- 0 until 4 } yield {
+      val lst = (0 until 64)
+        .map(i => lshPlaneVal(t, j, i, kPlanes = 4).toDouble.toString)
+        .mkString("[", ", ", "]")
+      s"($t, $j, $lst)"
+    }).mkString(",\n           ")
+    s"""base AS (SELECT vec_id, embedding,
+                  sqrt(list_aggregate([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                         for x in embedding], 'sum')) AS norm
+                FROM embeddings),
+         planes(t, j, p) AS (VALUES $values),
+         bits AS (SELECT b.vec_id, p.t, p.j,
+                  CASE WHEN list_aggregate(
+                         [CAST(b.embedding[i] AS DOUBLE) * p.p[i]
+                          for i in range(1, 65)], 'sum') > 0.0
+                       THEN (1::BIGINT << p.j) ELSE 0 END AS bit
+                  FROM base b CROSS JOIN planes p),
+         keys AS (SELECT vec_id, t, CAST(SUM(bit) AS BIGINT) AS bkt
+                  FROM bits GROUP BY vec_id, t)"""
+  }
+
+  /** The DuckDB oracle for `similarity_lsh`: replicate the bucket
+    * keys, the candidate join, and the exact-cosine top-10 tail. */
+  private[graft] def lshOracleSql: String =
+    s"""WITH $lshKeysCtes,
+         cand AS (SELECT DISTINCT kp.vec_id AS probe_id, kc.vec_id AS vec_id
+                  FROM keys kc JOIN keys kp ON kc.t = kp.t AND kc.bkt = kp.bkt
+                  WHERE kp.vec_id < 5 AND kc.vec_id <> kp.vec_id),
+         pairs AS (SELECT c.probe_id, c.vec_id,
+                  floor((list_aggregate([CAST(pe.embedding[i] AS DOUBLE)
+                           * CAST(ce.embedding[i] AS DOUBLE)
+                           for i in range(1, len(pe.embedding) + 1)], 'sum')
+                    / (pe.norm * ce.norm)) * 1000000 + 0.5) / 1000000 AS score
+                  FROM cand c JOIN base pe ON pe.vec_id = c.probe_id
+                              JOIN base ce ON ce.vec_id = c.vec_id),
+         ranked AS (SELECT probe_id, vec_id, score,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                    ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rank
+                  FROM pairs)
+         SELECT probe_id, rank, vec_id, score FROM ranked
+         WHERE rank <= 10 ORDER BY probe_id, rank"""
+
+  /** The DuckDB oracle for `similarity_ivf` (the seed-codebook
+    * variant): centroids, keep-1 corpus assignment, keep-2 probe
+    * routing, and the exact-cosine rank tail are all deterministic
+    * relational ops over identically-computed doubles, so the row is
+    * hash-gateable — the IVF approximation, like LSH's, lives in
+    * recall, not in the output function. (The TRAINED variant stays
+    * no-oracle: replicating two fixed-point Lloyd rounds in SQL is
+    * possible but its machinery is already pinned by AnnQualitySpec
+    * and the shared `assignToCentroids`/`ivfSearch` path this oracle
+    * proves.)
+    */
+  private[graft] def ivfOracleSql: String =
+    s"""WITH base AS (SELECT vec_id, embedding,
+                  sqrt(list_aggregate([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                         for x in embedding], 'sum')) AS norm
+                FROM embeddings),
+         cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb,
+                          norm AS cent_norm
+                   FROM base WHERE vec_id % 100 = 0),
+         sims AS (SELECT b.vec_id, c.cent_id,
+                  list_aggregate([CAST(b.embedding[i] AS DOUBLE)
+                       * CAST(c.cent_emb[i] AS DOUBLE)
+                       for i in range(1, len(b.embedding) + 1)], 'sum')
+                    / (b.norm * c.cent_norm) AS cent_sim
+                  FROM base b CROSS JOIN cents c),
+         ranked_c AS (SELECT vec_id, cent_id,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY cent_sim DESC, cent_id ASC) AS r FROM sims),
+         corpus AS (SELECT vec_id, cent_id FROM ranked_c WHERE r = 1),
+         probes AS (SELECT vec_id AS probe_id, cent_id
+                    FROM ranked_c WHERE r <= 2 AND vec_id < 5),
+         cand AS (SELECT p.probe_id, c.vec_id
+                  FROM corpus c JOIN probes p ON c.cent_id = p.cent_id
+                  WHERE c.vec_id <> p.probe_id),
+         pairs AS (SELECT c.probe_id, c.vec_id,
+                  floor((list_aggregate([CAST(pe.embedding[i] AS DOUBLE)
+                           * CAST(ce.embedding[i] AS DOUBLE)
+                           for i in range(1, len(pe.embedding) + 1)], 'sum')
+                    / (pe.norm * ce.norm)) * 1000000 + 0.5) / 1000000 AS score
+                  FROM cand c JOIN base pe ON pe.vec_id = c.probe_id
+                              JOIN base ce ON ce.vec_id = c.vec_id),
+         ranked AS (SELECT probe_id, vec_id, score,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                    ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rank
+                  FROM pairs)
+         SELECT probe_id, rank, vec_id, score FROM ranked
+         WHERE rank <= 10 ORDER BY probe_id, rank"""
+
+  /** The DuckDB oracle for `dedup_embed_blocked`: same bucket keys,
+    * i < j candidate pairs, exact cosine re-score at ≥ 0.4. */
+  private[graft] def dedupEmbedBlockedOracleSql: String =
+    s"""WITH $lshKeysCtes,
+         cand AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+                  FROM keys a JOIN keys b ON a.t = b.t AND a.bkt = b.bkt
+                  WHERE a.vec_id < b.vec_id),
+         scored AS (SELECT i, j,
+                  floor((list_aggregate([CAST(ei.embedding[x] AS DOUBLE)
+                           * CAST(ej.embedding[x] AS DOUBLE)
+                           for x in range(1, len(ei.embedding) + 1)], 'sum')
+                    / (ei.norm * ej.norm)) * 1000000 + 0.5) / 1000000 AS cos_sim
+                  FROM cand JOIN base ei ON ei.vec_id = i
+                            JOIN base ej ON ej.vec_id = j)
+         SELECT i, j, cos_sim FROM scored
+         WHERE cos_sim >= 0.4 ORDER BY i, j"""
+
+  /** `similarity_ivf` — IVF-style ANN. Coarse codebook = every 100th
+    * vector (deterministic seed set, k ≈ n/100); each corpus vector
+    * is assigned to its nearest centroid in one broadcast pass;
+    * probes search their nprobe=2 nearest inverted lists, exact
+    * cosine re-rank inside. At 100 TB: the assignment is a map stage
+    * over the corpus, the probe join shuffles only the probed lists
+    * (~2/k of the data) — the classic recall/cost dial. Oracle-gated
+    * since round 6 ([[ivfOracleSql]] — the seed codebook and both
+    * assignment ranks are deterministic relational ops, so the
+    * approximation lives in recall, not the output function).
     */
   def similarityIvf(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
@@ -366,13 +499,15 @@ object LlmVectorOps {
       .orderBy("i", "j")
   }
 
-  /** `dedup_embed_blocked` — the 100 TB shape of `dedup_embed` (no
-    * oracle: LSH blocking is approximate-recall by design). Candidate
-    * pairs come from shared random-hyperplane buckets (ids-only
-    * shuffle), then candidates get the *exact* cosine re-score at the
-    * same ≥ 0.4 threshold — so every emitted pair is a true pair; the
-    * approximation is only recall (pairs whose bucket never collides).
-    * Measured vs the exact `dedup_embed` at sf0.01: see BASELINE.md.
+  /** `dedup_embed_blocked` — the 100 TB shape of `dedup_embed`.
+    * Candidate pairs come from shared random-hyperplane buckets
+    * (ids-only shuffle), then candidates get the *exact* cosine
+    * re-score at the same ≥ 0.4 threshold — so every emitted pair is
+    * a true pair; the approximation is only recall (pairs whose
+    * bucket never collides). Measured vs the exact `dedup_embed` at
+    * sf0.01: see BASELINE.md. Oracle-gated since round 6
+    * ([[dedupEmbedBlockedOracleSql]] — constant planes make the
+    * output deterministic, same as `similarity_lsh`).
     */
   def dedupEmbedBlocked(s: SparkSession, d: String): DataFrame =
     dedupEmbedBlockedFrom(s, Tables.embeddings(s, d))

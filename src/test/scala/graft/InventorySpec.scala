@@ -29,8 +29,7 @@ class InventorySpec extends AnyFunSuite {
     val documented = Set(
       "distinct_users_approx", "value_percentiles_approx",
       "dedup_minhash", "dedup_simhash", "dedup_simhash_scaled",
-      "dedup_embed_blocked",
-      "similarity_lsh", "similarity_ivf", "similarity_ivf_trained",
+      "similarity_ivf_trained",
       "similarity_topk_pq", "similarity_ivf_pq")
     assert(oracleLess == documented,
       s"undocumented oracle-less: ${oracleLess -- documented}; " +
