@@ -121,28 +121,30 @@ object SparkEntry {
     "multimodal_batch_features" -> (MultimodalKernels.multimodalBatchFeatures _),
   )
 
-  /** DuckDB oracle SQL. Omitted (weaker rows-only check) for the
-    * engine-hash-dependent or training-iterated operators — exactly
+  /** DuckDB oracle SQL. Omitted (weaker rows-only check) ONLY for
+    * the operators whose output depends on engine-internal hashing or
+    * sketch state — exactly
     * `queries.keySet -- oracleSql.keySet -- dynamicOracleSql.keySet`
-    * (pinned by InventorySpec):
-    * distinct_users_approx, value_percentiles_approx (engine sketch
-    * internals), dedup_minhash, dedup_simhash, dedup_simhash_scaled
-    * (xxhash64 signatures are engine-specific — but each family's
-    * candidate machinery IS oracle-proven through its portable twin:
+    * (pinned by InventorySpec): distinct_users_approx,
+    * value_percentiles_approx (engine sketch internals),
+    * dedup_minhash, dedup_simhash, dedup_simhash_scaled (xxhash64
+    * signatures are engine-specific — but each family's candidate
+    * machinery IS oracle-proven through its portable twin:
     * dedup_simhash_portable brute-force-verifies the chunk blocking,
-    * dedup_minhash_portable replicates the full banded-LSH pipeline),
-    * and similarity_ivf_trained / similarity_topk_pq /
-    * similarity_ivf_pq (Lloyd-trained codebooks; their shared
-    * serving machinery is gated through similarity_ivf and the
-    * PqIndexSpec equality pins). The hyperplane-LSH rows
-    * (similarity_lsh, dedup_embed_blocked) and seed-codebook IVF ARE
-    * gated: their "approximation" lives in recall — given the
-    * constant planes / seed centroids the output is deterministic,
-    * and the generated oracles replicate it. The multimodal
-    * stub-decode queries are gated via hex-digit byte extraction.
-    * embed_pca_project is gated through [[dynamicOracleSql]]: its
-    * oracle embeds the (deterministically fitted) component literals,
-    * so the SQL is generated per corpus at Verify time.
+    * dedup_minhash_portable replicates the full banded-LSH pipeline).
+    *
+    * EVERY other "approximate" operator is hash-gated, because its
+    * approximation lives in RECALL, not in the output function: the
+    * hyperplane-LSH rows (constant planes as generated literals),
+    * seed and Lloyd-TRAINED IVF (order-free fixed-point means), and
+    * both product-quantization rows (grid means, integer LUT sums,
+    * id tie-breaks ⇒ DuckDB re-trains the codebooks, re-encodes the
+    * corpus, and re-serves the ADC + exact-rerank tail bit-for-bit).
+    * The multimodal stub-decode queries are gated via hex-digit byte
+    * extraction. embed_pca_project is gated through
+    * [[dynamicOracleSql]]: its oracle embeds the (deterministically
+    * fitted) component literals, so the SQL is generated per corpus
+    * at Verify time.
     */
   /** The exact 3-shingle Jaccard near-dup pair set in DuckDB — shared
     * by the three equivalent engine formulations (counted, prefix,
@@ -1147,6 +1149,9 @@ object SparkEntry {
     "similarity_lsh" -> LlmVectorOps.lshOracleSql,
     "dedup_embed_blocked" -> LlmVectorOps.dedupEmbedBlockedOracleSql,
     "similarity_ivf" -> LlmVectorOps.ivfOracleSql,
+    "similarity_ivf_trained" -> LlmVectorOps.ivfTrainedOracleSql,
+    "similarity_topk_pq" -> LlmVectorOps.topkPqOracleSql,
+    "similarity_ivf_pq" -> LlmVectorOps.ivfPqOracleSql,
   )
 
   /** Oracle SQL that must be generated against a concrete corpus —

@@ -241,6 +241,277 @@ object LlmVectorOps {
          SELECT probe_id, rank, vec_id, score FROM ranked
          WHERE rank <= 10 ORDER BY probe_id, rank"""
 
+  /** One Lloyd round as DuckDB CTEs: keep-1 assignment against
+    * `inCte`, fixed-point member means per (centroid, pos), rebuilt
+    * centroid lists with zero-norm drop — the SQL transliteration of
+    * [[lloydStep]], possible ONLY because the engine's means run on
+    * the 2⁻²⁰ integer grid (exact long sums ⇒ order-free ⇒ the same
+    * value in any engine; a plain avg() of doubles would fold in
+    * Spark's partition order and be unreproducible outside it).
+    */
+  private def lloydRoundSql(inCte: String, outCte: String): String = {
+    val grid = "1048576.0" // 2^20, the lloydStep grid
+    s"""asg_$outCte AS (SELECT vec_id, cent_id FROM (
+              SELECT b.vec_id, c.cent_id,
+                ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                  ORDER BY list_aggregate([CAST(b.embedding[i] AS DOUBLE)
+                             * CAST(c.cent_emb[i] AS DOUBLE)
+                             for i in range(1, 65)], 'sum')
+                           / (b.norm * c.cent_norm) DESC,
+                         c.cent_id ASC) AS r
+              FROM base b CROSS JOIN $inCte c) WHERE r = 1),
+         mean_$outCte AS (SELECT a.cent_id, t.pos,
+              CAST(SUM(CAST(floor(CAST(b.embedding[t.pos] AS DOUBLE)
+                     * $grid + 0.5) AS BIGINT)) AS DOUBLE)
+                / (COUNT(*) * $grid) AS m
+              FROM asg_$outCte a JOIN base b ON b.vec_id = a.vec_id
+              CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) t
+              GROUP BY 1, 2),
+         emb_$outCte AS (SELECT cent_id,
+                list(CAST(m AS REAL) ORDER BY pos) AS cent_emb
+              FROM mean_$outCte GROUP BY cent_id),
+         $outCte AS (SELECT cent_id, cent_emb,
+                sqrt(list_aggregate([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                       for x in cent_emb], 'sum')) AS cent_norm
+              FROM emb_$outCte
+              WHERE sqrt(list_aggregate([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                      for x in cent_emb], 'sum')) > 0.0)"""
+  }
+
+  /** The DuckDB oracle for `similarity_ivf_trained`: the seed
+    * codebook, TWO full Lloyd rounds ([[lloydRoundSql]] — exact
+    * fixed-point means), and the shared keep-1/keep-2 search tail.
+    * Like the other round-6 conversions, the training is approximate
+    * only in RECALL: every step is deterministic, so the trained
+    * codebook — and with it the emitted top-k — is an exact function
+    * of the corpus that a second engine reproduces bit-for-bit.
+    */
+  private[graft] def ivfTrainedOracleSql: String =
+    s"""WITH base AS (SELECT vec_id, embedding,
+                  sqrt(list_aggregate([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                         for x in embedding], 'sum')) AS norm
+                FROM embeddings),
+         cents0 AS (SELECT vec_id AS cent_id, embedding AS cent_emb,
+                           norm AS cent_norm
+                    FROM base WHERE vec_id % 100 = 0),
+         ${lloydRoundSql("cents0", "cents1")},
+         ${lloydRoundSql("cents1", "cents2")},
+         sims AS (SELECT b.vec_id, c.cent_id,
+                  list_aggregate([CAST(b.embedding[i] AS DOUBLE)
+                       * CAST(c.cent_emb[i] AS DOUBLE)
+                       for i in range(1, 65)], 'sum')
+                    / (b.norm * c.cent_norm) AS cent_sim
+                  FROM base b CROSS JOIN cents2 c),
+         ranked_c AS (SELECT vec_id, cent_id,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY cent_sim DESC, cent_id ASC) AS r FROM sims),
+         corpus AS (SELECT vec_id, cent_id FROM ranked_c WHERE r = 1),
+         probes AS (SELECT vec_id AS probe_id, cent_id
+                    FROM ranked_c WHERE r <= 2 AND vec_id < 5),
+         cand AS (SELECT p.probe_id, c.vec_id
+                  FROM corpus c JOIN probes p ON c.cent_id = p.cent_id
+                  WHERE c.vec_id <> p.probe_id),
+         pairs AS (SELECT c.probe_id, c.vec_id,
+                  floor((list_aggregate([CAST(pe.embedding[i] AS DOUBLE)
+                           * CAST(ce.embedding[i] AS DOUBLE)
+                           for i in range(1, len(pe.embedding) + 1)], 'sum')
+                    / (pe.norm * ce.norm)) * 1000000 + 0.5) / 1000000 AS score
+                  FROM cand c JOIN base pe ON pe.vec_id = c.probe_id
+                              JOIN base ce ON ce.vec_id = c.vec_id),
+         ranked AS (SELECT probe_id, vec_id, score,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                    ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rank
+                  FROM pairs)
+         SELECT probe_id, rank, vec_id, score FROM ranked
+         WHERE rank <= 10 ORDER BY probe_id, rank"""
+
+  // ---- PQ oracles (generated SQL) ---------------------------------
+  // The product-quantization rows are deterministic end-to-end for
+  // the same reason the trained IVF is: seeds are fixed id sets,
+  // Lloyd means run on the 2⁻²⁰ integer grid (order-free), argmins
+  // tie-break on centroid id, LUT entries quantize to integer longs,
+  // and the candidate cut orders on (integer approx, id). So DuckDB
+  // can re-train the codebooks, re-encode the corpus, and re-serve
+  // the ADC tail from raw parquet — the strongest correctness
+  // statement available for an ANN operator: not "recall is above a
+  // floor" but "the produced rows are bit-identical".
+
+  /** dot over a DuckDB list pair, ascending index fold. */
+  private def dotSql(a: String, b: String, n: Int): String =
+    s"""list_aggregate([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)
+            for i in range(1, ${n + 1})], 'sum')"""
+
+  /** One per-subspace Lloyd round over `rowsCte` (vec_id, sub,
+    * subemb) against codebook `inCte` (sub, cent_id, cent_emb, cc) →
+    * `outCte`. Transliterates [[pqLloyd]]: |x−c|² expanded argmin
+    * with (dist, cent_id) tie-break, fixed-point member means.
+    */
+  private def pqRoundSql(rowsCte: String, inCte: String,
+      outCte: String): String =
+    s"""asg_$outCte AS (SELECT vec_id, sub, cent_id, subemb FROM (
+              SELECT r.vec_id, r.sub, c.cent_id, r.subemb,
+                ROW_NUMBER() OVER (PARTITION BY r.vec_id, r.sub
+                  ORDER BY ((${dotSql("r.subemb", "r.subemb", pqSubDim)}
+                             - ${dotSql("r.subemb", "c.cent_emb", pqSubDim)}
+                               * 2.0) + c.cc) ASC,
+                           c.cent_id ASC) AS rk
+              FROM $rowsCte r JOIN $inCte c ON c.sub = r.sub) WHERE rk = 1),
+         mean_$outCte AS (SELECT a.sub, a.cent_id, t.pos,
+              CAST(SUM(CAST(floor(CAST(a.subemb[t.pos] AS DOUBLE)
+                     * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                / (COUNT(*) * 1048576.0) AS m
+              FROM asg_$outCte a
+              CROSS JOIN (SELECT unnest(range(1, ${pqSubDim + 1})) AS pos) t
+              GROUP BY 1, 2, 3),
+         emb_$outCte AS (SELECT sub, cent_id,
+                list(CAST(m AS REAL) ORDER BY pos) AS cent_emb
+              FROM mean_$outCte GROUP BY 1, 2),
+         $outCte AS (SELECT sub, cent_id, cent_emb,
+                ${dotSql("cent_emb", "cent_emb", pqSubDim)} AS cc
+              FROM emb_$outCte)"""
+
+  /** Codebook training + corpus encode as CTEs over `baseCte`
+    * (vec_id, embedding): subspace rows, seed (vec_id < pqK), two
+    * Lloyd rounds, 4-bit renumbering, and the (vec_id, sub, code)
+    * encode — [[pqCodebook]] + [[pqEncode]] in SQL. Emits CTEs
+    * `subr_$tag`, `book_$tag`, `codes_$tag`.
+    */
+  private def pqTrainCtes(baseCte: String, tag: String): String =
+    s"""subr_$tag AS (SELECT vec_id, t.sub,
+                list_slice(embedding, t.sub * $pqSubDim + 1,
+                           t.sub * $pqSubDim + $pqSubDim) AS subemb
+              FROM $baseCte
+              CROSS JOIN (SELECT unnest(range(0, $pqSubs)) AS sub) t),
+         seed_$tag AS (SELECT sub, vec_id AS cent_id, subemb AS cent_emb,
+                ${dotSql("subemb", "subemb", pqSubDim)} AS cc
+              FROM subr_$tag WHERE vec_id < $pqK),
+         ${pqRoundSql(s"subr_$tag", s"seed_$tag", s"pq1_$tag")},
+         ${pqRoundSql(s"subr_$tag", s"pq1_$tag", s"pq2_$tag")},
+         book_$tag AS (SELECT sub,
+                CAST(ROW_NUMBER() OVER (PARTITION BY sub ORDER BY cent_id)
+                     - 1 AS INT) AS code, cent_emb, cc
+              FROM pq2_$tag),
+         codes_$tag AS (SELECT vec_id, sub, code FROM (
+              SELECT r.vec_id, r.sub, c.code,
+                ROW_NUMBER() OVER (PARTITION BY r.vec_id, r.sub
+                  ORDER BY ((${dotSql("r.subemb", "r.subemb", pqSubDim)}
+                             - ${dotSql("r.subemb", "c.cent_emb", pqSubDim)}
+                               * 2.0) + c.cc) ASC,
+                           c.code ASC) AS rk
+              FROM subr_$tag r JOIN book_$tag c ON c.sub = r.sub)
+              WHERE rk = 1)"""
+
+  /** The probe LUT + exact-rerank serving tail shared by both PQ
+    * oracles — [[pqServe]] in SQL. `candCte` is empty for the full
+    * code-table scan, or the name of a (probe_id, vec_id, base_q)
+    * CTE for the routed IVF path.
+    */
+  private def pqServeSql(tag: String, candCte: Option[String]): String = {
+    val scored = candCte match {
+      case Some(cand) =>
+        s"""SELECT c.probe_id, k.vec_id, l.lutq, c.base_q
+            FROM $cand c JOIN codes_$tag k ON k.vec_id = c.vec_id
+            JOIN lut_$tag l ON l.probe_id = c.probe_id
+              AND l.sub = k.sub AND l.code = k.code"""
+      case None =>
+        s"""SELECT l.probe_id, k.vec_id, l.lutq, 0 AS base_q
+            FROM codes_$tag k
+            JOIN lut_$tag l ON l.sub = k.sub AND l.code = k.code
+            WHERE k.vec_id <> l.probe_id"""
+    }
+    s"""lut_$tag AS (SELECT p.vec_id AS probe_id, p.sub, c.code,
+                CAST(floor(${dotSql("p.subemb", "c.cent_emb", pqSubDim)}
+                     * 1048576.0 + 0.5) AS BIGINT) AS lutq
+              FROM (SELECT * FROM subr_base WHERE vec_id < 5) p
+              JOIN book_$tag c ON c.sub = p.sub),
+         scored_$tag AS ($scored),
+         approx_$tag AS (SELECT probe_id, vec_id,
+                CAST(SUM(lutq) AS BIGINT) + MIN(base_q) AS approx_q
+              FROM scored_$tag GROUP BY 1, 2),
+         top50_$tag AS (SELECT probe_id, vec_id FROM (
+              SELECT probe_id, vec_id,
+                ROW_NUMBER() OVER (PARTITION BY probe_id
+                  ORDER BY approx_q DESC, vec_id ASC) AS crk
+              FROM approx_$tag) WHERE crk <= 50),
+         pairs_$tag AS (SELECT t.probe_id, t.vec_id,
+                floor((${dotSql("pe.embedding", "ce.embedding", 64)}
+                  / (pe.norm * ce.norm)) * 1000000 + 0.5) / 1000000 AS score
+              FROM top50_$tag t JOIN base pe ON pe.vec_id = t.probe_id
+                                JOIN base ce ON ce.vec_id = t.vec_id),
+         ranked_$tag AS (SELECT probe_id, vec_id, score,
+                CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                  ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rank
+              FROM pairs_$tag)"""
+  }
+
+  /** The DuckDB oracle for `similarity_topk_pq`: re-trains the
+    * per-subspace codebooks, re-encodes the corpus, rebuilds the
+    * probe LUTs, and re-runs the candidate cut + exact re-rank —
+    * the full 64×-compression ANN pipeline replayed by a second
+    * engine. Bit-identical because every stage was built order-free
+    * (grid means, integer LUT sums, id tie-breaks).
+    */
+  private[graft] def topkPqOracleSql: String =
+    s"""WITH base AS (SELECT vec_id, embedding,
+                  sqrt(${dotSql("embedding", "embedding", 64)}) AS norm
+                FROM embeddings),
+         ${pqTrainCtes("base", "t")},
+         subr_base AS (SELECT * FROM subr_t),
+         ${pqServeSql("t", None)}
+         SELECT probe_id, rank, vec_id, score FROM ranked_t
+         WHERE rank <= 10 ORDER BY probe_id, rank"""
+
+  /** The DuckDB oracle for `similarity_ivf_pq` — the full
+    * composition: coarse codebook (two [[lloydRoundSql]] rounds),
+    * keep-1 residuals, residual-PQ training + encode
+    * ([[pqTrainCtes]]), nprobe=3 routing with the q·c_list base
+    * terms, and the shared ADC + exact-rerank tail. The doubly
+    * approximate production ANN, hash-gated.
+    */
+  private[graft] def ivfPqOracleSql: String =
+    s"""WITH base AS (SELECT vec_id, embedding,
+                  sqrt(${dotSql("embedding", "embedding", 64)}) AS norm
+                FROM embeddings),
+         cents0 AS (SELECT vec_id AS cent_id, embedding AS cent_emb,
+                           norm AS cent_norm
+                    FROM base WHERE vec_id % 100 = 0),
+         ${lloydRoundSql("cents0", "cents1")},
+         ${lloydRoundSql("cents1", "cents2")},
+         casg AS (SELECT vec_id, cent_id FROM (
+              SELECT b.vec_id, c.cent_id,
+                ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                  ORDER BY ${dotSql("b.embedding", "c.cent_emb", 64)}
+                           / (b.norm * c.cent_norm) DESC,
+                         c.cent_id ASC) AS r
+              FROM base b CROSS JOIN cents2 c) WHERE r = 1),
+         resid AS (SELECT a.vec_id, a.cent_id,
+                [b.embedding[i] - c.cent_emb[i]
+                 for i in range(1, 65)] AS embedding
+              FROM casg a JOIN base b ON b.vec_id = a.vec_id
+                          JOIN cents2 c ON c.cent_id = a.cent_id),
+         ${pqTrainCtes("resid", "r")},
+         subr_base AS (SELECT vec_id, t.sub,
+                list_slice(embedding, t.sub * $pqSubDim + 1,
+                           t.sub * $pqSubDim + $pqSubDim) AS subemb
+              FROM base
+              CROSS JOIN (SELECT unnest(range(0, $pqSubs)) AS sub) t),
+         probes_r AS (SELECT cent_id, probe_id, base_q FROM (
+              SELECT c.cent_id, b.vec_id AS probe_id,
+                CAST(floor(${dotSql("b.embedding", "c.cent_emb", 64)}
+                     * 1048576.0 + 0.5) AS BIGINT) AS base_q,
+                ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                  ORDER BY ${dotSql("b.embedding", "c.cent_emb", 64)}
+                           / (b.norm * c.cent_norm) DESC,
+                         c.cent_id ASC) AS r
+              FROM base b CROSS JOIN cents2 c WHERE b.vec_id < 5)
+              WHERE r <= 3),
+         cand_r AS (SELECT p.probe_id, l.vec_id, p.base_q
+              FROM resid l JOIN probes_r p ON l.cent_id = p.cent_id
+              WHERE l.vec_id <> p.probe_id),
+         ${pqServeSql("r", Some("cand_r"))}
+         SELECT probe_id, rank, vec_id, score FROM ranked_r
+         WHERE rank <= 10 ORDER BY probe_id, rank"""
+
   /** The DuckDB oracle for `dedup_embed_blocked`: same bucket keys,
     * i < j candidate pairs, exact cosine re-score at ≥ 0.4. */
   private[graft] def dedupEmbedBlockedOracleSql: String =
@@ -282,9 +553,10 @@ object LlmVectorOps {
     * production IVF has and the seed-only variant skips; each round is
     * one broadcast assignment pass + one (cent_id, dim) aggregation —
     * both linear in corpus size, and the codebook stays driver-small
-    * (k ≈ n/100 rows broadcast, never the corpus). No oracle
-    * (approximate by design); AnnQualitySpec holds it to the same
-    * recall floor as the seed variant.
+    * (k ≈ n/100 rows broadcast, never the corpus). Oracle-gated
+    * since round 6 ([[ivfTrainedOracleSql]] — the fixed-point Lloyd
+    * means are order-free, so DuckDB re-trains the identical
+    * codebook); AnnQualitySpec additionally holds the recall floor.
     */
   def similarityIvfTrained(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
@@ -814,9 +1086,12 @@ object LlmVectorOps {
   /** `similarity_topk_pq` — product-quantized ANN with asymmetric
     * distance (ADC) + exact re-rank: the 64× memory lever of the
     * quantization family (4-bit code per subspace ⇒ 4 B/vector vs
-    * 256 B float — int8 is the 4× rung, PQ is the 64×). No oracle
-    * (codebook training is approximate by design); AnnQualitySpec
-    * holds recall@10 against the exact `similarity_topk`.
+    * 256 B float — int8 is the 4× rung, PQ is the 64×). Oracle-gated
+    * since round 6 ([[topkPqOracleSql]] — DuckDB re-trains the
+    * codebooks, re-encodes the corpus, and replays the ADC +
+    * exact-rerank tail bit-for-bit; the approximation lives in
+    * recall, which AnnQualitySpec additionally floors against the
+    * exact `similarity_topk`).
     *
     * Serving shape: corpus encodes ONCE to (vec_id, sub, code) rows
     * (8-byte-ish rows, never embeddings); each probe's 8×16
@@ -971,9 +1246,10 @@ object LlmVectorOps {
     * only recover UP TO what the probed lists contain — measured
     * ceiling 0.68 at nprobe=2 on this corpus), so the dial that buys
     * recall is one more list per probe (+k/n corpus scanned), not
-    * more code bits. No oracle (doubly-approximate by design);
-    * AnnQualitySpec holds recall@10 ≥ 0.6 with exact re-ranked
-    * scores.
+    * more code bits. Oracle-gated since round 6 ([[ivfPqOracleSql]]
+    * — coarse Lloyd, residuals, residual-PQ training, routing, and
+    * the ADC tail all replayed by DuckDB); AnnQualitySpec
+    * additionally holds recall@10 ≥ 0.6 with exact re-ranked scores.
     */
   def similarityIvfPq(s: SparkSession, d: String): DataFrame =
     annIndexDir(s, d, "coarse.parquet") match {

@@ -28,9 +28,7 @@ class InventorySpec extends AnyFunSuite {
       SparkEntry.dynamicOracleSql(spark, TestSpark.sf0001).keySet
     val documented = Set(
       "distinct_users_approx", "value_percentiles_approx",
-      "dedup_minhash", "dedup_simhash", "dedup_simhash_scaled",
-      "similarity_ivf_trained",
-      "similarity_topk_pq", "similarity_ivf_pq")
+      "dedup_minhash", "dedup_simhash", "dedup_simhash_scaled")
     assert(oracleLess == documented,
       s"undocumented oracle-less: ${oracleLess -- documented}; " +
         s"stale documented: ${documented -- oracleLess}")
