@@ -97,6 +97,7 @@ object SparkEntry {
     "text_normalize"      -> (LlmTextOps.textNormalize _),
     "train_val_split"     -> (LlmTextOps.trainValSplit _),
     "stratified_sample"   -> (LlmTextOps.stratifiedSample _),
+    "mixture_sample"      -> (LlmTextOps.mixtureSample _),
     "pack_sequences"      -> (LlmTextOps.packSequences _),
     "decontaminate"       -> (LlmTextOps.decontaminate _),
     "repetition_stats"    -> (LlmTextOps.repetitionStats _),
@@ -880,6 +881,27 @@ object SparkEntry {
       """SELECT doc_id, lang, source, n_chars FROM documents
          WHERE (((doc_id % 1000000007) * 2246822519) % 1000000007) % 1000
                < CASE WHEN lang = 'en' THEN 250 ELSE 750 END
+         ORDER BY doc_id""",
+    // z rides the 2^-20 grid (integer summands => associative), p_s
+    // uses sqrt not pow (IEEE-portable), and the membership cut is an
+    // integer compare — the whole mixing computation replays exactly
+    "mixture_sample" ->
+      """WITH counts AS (SELECT source, COUNT(*) AS n_s
+                         FROM documents GROUP BY 1),
+         totals AS (SELECT SUM(n_s) AS n,
+                CAST(SUM(CAST(floor(sqrt(CAST(n_s AS DOUBLE)) * 1048576.0
+                       + 0.5) AS BIGINT)) AS DOUBLE) / 1048576.0 AS z
+              FROM counts),
+         thresh AS (SELECT source, n_s,
+                LEAST(1.0, 0.5 * CAST(n AS DOUBLE) / z
+                  / sqrt(CAST(n_s AS DOUBLE))) AS p_s
+              FROM counts CROSS JOIN totals)
+         SELECT d.doc_id, d.source, t.n_s,
+                floor(t.p_s * 1000000 + 0.5) / 1000000 AS p_s
+         FROM documents d JOIN thresh t USING (source)
+         WHERE ((d.doc_id % 1048573) * 2654435761
+                + (d.doc_id % 8191) * 131) % 2147483648
+               < CAST(floor(t.p_s * 2147483648.0 + 0.5) AS BIGINT)
          ORDER BY doc_id""",
     "pack_sequences" ->
       """WITH t AS (SELECT doc_id, lang,

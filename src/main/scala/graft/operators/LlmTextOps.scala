@@ -1042,6 +1042,50 @@ object LlmTextOps {
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
 
+  /** `mixture_sample` — temperature-weighted source mixing, the
+    * data-mixing pass of pretraining corpus assembly: subsample each
+    * source with probability ∝ n_s^(τ−1) so kept mass per source is
+    * ∝ n_s^τ — large sources downweighted, small ones kept nearly
+    * whole. τ = 1/2 deliberately: n^0.5 needs only `sqrt` (IEEE
+    * correctly-rounded in every engine) where the textbook τ = 0.7
+    * needs libm `pow`, which is NOT bit-reproducible across engines —
+    * the same portability rule that keeps `bigram_novelty` out of
+    * log-space. p_s = min(1, f·N/Z / √n_s) with Z = Σ√n_s and
+    * target fraction f = 1/2; membership is a deterministic modular
+    * hash of doc_id against the integer threshold ⌊p_s·2³¹⌉ —
+    * append-stable like `stratified_sample`, and integer-compared so
+    * the cut is exact cross-engine. Scale shape: one tiny per-source
+    * aggregate broadcast back onto the scan; the corpus itself never
+    * shuffles (row-local predicate). Oracle replicates the whole
+    * computation from raw rows.
+    */
+  def mixtureSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_s"))
+    // z = Σ√n_s on the 2⁻²⁰ grid: a plain double sum would fold in
+    // partition order (the lloydStep lesson) — integer summands make
+    // it associative, so both engines get the same z
+    val totals = counts.agg(
+      sum(col("n_s")).as("n"),
+      (sum(floor(sqrt(col("n_s").cast("double")) * lit(1048576.0) + 0.5)
+        .cast("long")).cast("double") / lit(1048576.0)).as("z"))
+    val thresh = counts.crossJoin(broadcast(totals))
+      .withColumn("p_s", least(lit(1.0),
+        lit(0.5) * col("n").cast("double") / col("z")
+          / sqrt(col("n_s").cast("double"))))
+      .withColumn("ht", floor(col("p_s") * lit(2147483648.0) + 0.5)
+        .cast("long"))
+      .select(col("source"), col("n_s"), r6(col("p_s")).as("p_s"),
+        col("ht"))
+    docs.join(broadcast(thresh), Seq("source"))
+      .where(pmod(pmod(col("doc_id"), lit(1048573L)) * lit(2654435761L)
+        + pmod(col("doc_id"), lit(8191L)) * lit(131L),
+        lit(2147483648L)) < col("ht"))
+      .select(col("doc_id"), col("source"), col("n_s"), col("p_s"))
+      .orderBy("doc_id")
+  }
+
   /** `pack_sequences` — token-budget sequence packing (the batch
     * shaping pass of LLM pretraining): stream docs per lang in doc_id
     * order, accumulate token counts, and cut a new pack every 512

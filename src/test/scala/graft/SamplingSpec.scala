@@ -46,6 +46,33 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("mixture_sample: smaller sources keep a strictly higher fraction (temperature)") {
+    import org.apache.spark.sql.functions._
+    val kept = LlmTextOps.mixtureSample(spark, TestSpark.sf001)
+      .groupBy("source").agg(count(lit(1)).as("kept"),
+        first(col("n_s")).as("n_s"))
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("kept"), r.getAs[Long]("n_s")))
+    assert(kept.nonEmpty)
+    // kept mass ∝ √n_s ⇒ kept RATE ∝ 1/√n_s: the largest source must
+    // keep a lower fraction than the smallest (that's the whole point
+    // of temperature mixing); equal-size sources make this vacuous,
+    // so require a real size spread first
+    val bySize = kept.sortBy(_._3)
+    val (small, large) = (bySize.head, bySize.last)
+    if (large._3 > 2 * small._3) {
+      val smallRate = small._2.toDouble / small._3
+      val largeRate = large._2.toDouble / large._3
+      assert(smallRate > largeRate,
+        s"temperature inverted: $small keeps $smallRate, $large keeps $largeRate")
+    }
+    // global kept fraction lands near the f = 0.5 target (hash noise
+    // and the p_s ≤ 1 cap both push it off a little)
+    val total = kept.map(_._3).sum.toDouble
+    val frac = kept.map(_._2).sum / total
+    assert(frac > 0.3 && frac < 0.7, s"global kept fraction $frac")
+  }
+
   test("membership is stable under corpus append (incremental-safety)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-sample").toString
