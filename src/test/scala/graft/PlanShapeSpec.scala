@@ -262,4 +262,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!exchanges.exists(_.contains("chunk_text")),
       "chunk text crossed a shuffle:\n" + exchanges.mkString("\n"))
   }
+
+  test("mixture_sample: thresholds broadcast, the corpus side never shuffles") {
+    val df = SparkEntry.queries("mixture_sample")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(1500))
+    // the only exchanges allowed carry the tiny per-source aggregate
+    // (or the presentation sort) — document text must never shuffle
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(!exchanges.exists(_.contains("text#")),
+      "document text crossed a shuffle:\n" + exchanges.mkString("\n"))
+  }
 }
