@@ -35,6 +35,11 @@ object Bench {
     try {
       val idxBase = java.nio.file.Files
         .createTempDirectory("graft_ann_index").toString
+      // the index tree is per-run scratch — clean it up on exit so
+      // repeated sweeps don't accumulate abandoned copies in /tmp
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(idxBase))))
       (Seq(sfDir) ++ (if (warmSibling.isDirectory) Seq(warmSibling.getPath)
                       else Nil))
         .foreach { d =>

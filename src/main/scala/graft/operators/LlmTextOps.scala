@@ -758,6 +758,11 @@ object LlmTextOps {
     */
   private[graft] def simhashBlocksFor(n: Long, sigBits: Int,
       maxHamming: Int): Int = {
+    // the depth schedule (anchor, step rate, cap) was measured at
+    // maxHamming = 3 — make the contract loud instead of returning a
+    // miscalibrated depth (or one simhashComboKeyed would reject)
+    require(maxHamming == 3,
+      s"depth schedule calibrated for maxHamming = 3, got $maxHamming")
     // ⌈log₄(n/4096)⌉ extra depth steps over the B=4 anchor
     val x = math.max(1L, n / 4096L)
     val log2 = 63 - java.lang.Long.numberOfLeadingZeros(x)

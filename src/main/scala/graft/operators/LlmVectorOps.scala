@@ -1305,15 +1305,25 @@ object LlmVectorOps {
     val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
     coarseTrained(s, e).write.mode("overwrite").parquet(s"$dir/coarse.parquet")
     val coarse = s.read.parquet(s"$dir/coarse.parquet")
+    // the residual frame feeds the lists write, the codebook trainer
+    // (seed + two Lloyd passes), AND the encode — six consumers of
+    // the same corpus-wide assignment lineage. Persist it for the
+    // duration of the write so the assignment pass runs once
+    // (MEMORY_AND_DISK: an index build may exceed executor memory at
+    // full corpus scale; spilling beats recomputing five times).
     val resid = residuals(s, e, coarse)
-    resid.select("cent_id", "vec_id")
-      .write.mode("overwrite").parquet(s"$dir/lists.parquet")
-    pqCodebook(s, resid).write.mode("overwrite").parquet(s"$dir/rbook.parquet")
-    pqEncode(s, resid, s.read.parquet(s"$dir/rbook.parquet"))
-      .groupBy(col("vec_id"))
-      .agg(sum(expr("shiftleft(CAST(code AS BIGINT), sub * 4)"))
-        .as("pq_code"))
-      .write.mode("overwrite").parquet(s"$dir/rcodes.parquet")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      resid.select("cent_id", "vec_id")
+        .write.mode("overwrite").parquet(s"$dir/lists.parquet")
+      pqCodebook(s, resid).write.mode("overwrite")
+        .parquet(s"$dir/rbook.parquet")
+      pqEncode(s, resid, s.read.parquet(s"$dir/rbook.parquet"))
+        .groupBy(col("vec_id"))
+        .agg(sum(expr("shiftleft(CAST(code AS BIGINT), sub * 4)"))
+          .as("pq_code"))
+        .write.mode("overwrite").parquet(s"$dir/rcodes.parquet")
+    } finally resid.unpersist()
   }
 
   /** Serve the PQ top-k from a silver index: `book` as stored by

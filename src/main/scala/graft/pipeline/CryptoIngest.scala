@@ -230,20 +230,39 @@ object CryptoIngest {
     // silently destroyed, and a crash between delete and rename would
     // leave the partition with ZERO copies at the canonical path.
     // With p -> .old first, a late append lands in the renamed-aside
-    // dir (recoverable, not lost) and every crash window leaves the
-    // data at .old and/or tmp. The .old dir is removed LAST, once the
-    // compacted copy is live. (A false rename return — lease /
-    // permission — with rename-into-existing would nest tmp INSIDE
-    // the surviving dir, hence the hard requires.)
+    // dir and is MOVED BACK into the live dir before .old is removed
+    // — recovered, not lost. Every crash window leaves the data at
+    // .old and/or tmp.
     val old = new Path(p.getParent, s".${p.getName}.compact-old")
-    fs.delete(old, true)
+    // a stale .old that fails to delete would make rename(p, old)
+    // nest the live dir INSIDE it (Hadoop rename-into-existing
+    // returns true), and the final cleanup would then destroy the
+    // original — so the delete result is load-bearing, same as tmp's
+    if (fs.exists(old))
+      require(fs.delete(old, true),
+        s"stale $old could not be removed — aborting before promote")
     require(fs.rename(p, old), s"rename $p -> $old failed — rewrite left at $tmp")
     if (!fs.rename(tmp, p)) {
       // restore the original before failing: no window with an absent
-      // canonical path survives this function
-      fs.rename(old, p)
-      throw new IllegalStateException(s"rename $tmp -> $p failed — original restored")
+      // canonical path survives this function — and if even the
+      // restore fails, say where the data actually is
+      val restored = fs.rename(old, p)
+      throw new IllegalStateException(
+        if (restored) s"rename $tmp -> $p failed — original restored"
+        else s"rename $tmp -> $p failed AND restore failed — " +
+          s"original at $old, rewrite at $tmp, canonical path absent")
     }
+    // recover any file that landed between the re-check and the
+    // rename-aside: it rode p into .old and is not in the snapshot —
+    // move it into the promoted dir instead of deleting it
+    fs.listStatus(old).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .filterNot(f => snapshot.contains(f.getPath.getName))
+      .foreach { f =>
+        require(fs.rename(f.getPath, new Path(p, f.getPath.getName)),
+          s"late append ${f.getPath} could not be moved into $p — " +
+            s"left in $old")
+      }
     fs.delete(old, true)
     val after = fs.listStatus(p).toSeq
       .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))

@@ -231,7 +231,11 @@ object ScaleSweep {
     // SimHash candidate mass (distinct pairs BEFORE the Hamming
     // filter) at the fixed 4-block depth vs the corpus-sized depth —
     // the sub-quadratic-curve evidence for the blocking dial
+    // persist the tiny (doc_id, sig) frame: each depth's mass count
+    // would otherwise re-run the tokenize+hash signature pass — the
+    // most expensive map stage — once per measured depth
     val simSigs = graft.operators.LlmTextOps.simhashSigs(spark, outDir)
+      .persist()
     val simMass = Seq(4, 5, 6, 8).map { b =>
       b -> graft.operators.LlmTextOps.simhashCandidateMass(simSigs, 64, b, 3)
     }
@@ -240,6 +244,7 @@ object ScaleSweep {
     val simScaled = simMass.toMap.getOrElse(simBScaled,
       graft.operators.LlmTextOps
         .simhashCandidateMass(simSigs, 64, simBScaled, 3))
+    simSigs.unpersist()
 
     // components fixpoint: rounds must stay O(log n) one decade up
     val (labeled, rounds) = graft.operators.LlmTextOps.componentsFixpoint(

@@ -51,10 +51,15 @@ class PqIndexSpec extends AnyFunSuite {
         == inlineTopk)
       assert(LlmVectorOps.similarityIvfPq(spark, d).collect().toSeq
         == inlineIvf)
-      // an unindexed corpus under the same conf falls back inline
-      // (resolver probes the marker file) rather than erroring
-      val missing = new java.io.File(base, "no-such-corpus")
-      assert(!missing.exists())
+      // an unindexed corpus under the same conf must fall back to the
+      // inline path (resolver probes the marker file), not error:
+      // sf0.01's basename has no index under `base`, so this RUNS the
+      // fallback rather than merely asserting a directory is absent
+      val other = TestSpark.sf001
+      assert(!new java.io.File(base, new java.io.File(other).getName)
+        .exists())
+      assert(LlmVectorOps.similarityTopkPq(spark, other).collect()
+        .nonEmpty)
     } finally spark.conf.unset(LlmVectorOps.AnnIndexConf)
   }
 }
