@@ -50,6 +50,7 @@ object SparkEntry {
     // E11–E15: function catalog
     "distinct_users"        -> (FunctionOps.distinctUsers _),
     "distinct_users_approx" -> (FunctionOps.distinctUsersApprox _),
+    "distinct_users_kmv"  -> (FunctionOps.distinctUsersKmv _),
     "json_extract"          -> (FunctionOps.jsonExtract _),
     "string_funcs"          -> (FunctionOps.stringFuncs _),
     "date_math"             -> (FunctionOps.dateMath _),
@@ -882,6 +883,26 @@ object SparkEntry {
          WHERE (((doc_id % 1000000007) * 2246822519) % 1000000007) % 1000
                < CASE WHEN lang = 'en' THEN 250 ELSE 750 END
          ORDER BY doc_id""",
+    // the portable-sketch twin of the HLL row: k smallest distinct
+    // modular hashes per group, n-hat = (k-1)*M/h_k — pure arithmetic
+    // a second engine replays, so the ESTIMATE itself hash-gates
+    "distinct_users_kmv" ->
+      """WITH hs AS (SELECT DISTINCT event_type,
+                ((user_id % 1048573) * 2654435761
+                 + (user_id % 8191) * 131) % 2147483647 + 1 AS h
+              FROM events),
+         r AS (SELECT event_type, h,
+                ROW_NUMBER() OVER (PARTITION BY event_type
+                  ORDER BY h ASC) AS rk,
+                COUNT(*) OVER (PARTITION BY event_type) AS n_h
+              FROM hs)
+         SELECT event_type,
+                CASE WHEN n_h < 64 THEN CAST(n_h AS BIGINT)
+                     ELSE CAST(floor(63.0 * 2147483647.0
+                            / CAST(h AS DOUBLE) + 0.5) AS BIGINT)
+                END AS n_users_kmv
+         FROM r WHERE rk = LEAST(CAST(n_h AS BIGINT), 64)
+         ORDER BY event_type""",
     // z rides the 2^-20 grid (integer summands => associative), p_s
     // uses sqrt not pow (IEEE-portable), and the membership cut is an
     // integer compare — the whole mixing computation replays exactly

@@ -37,6 +37,49 @@ object FunctionOps {
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
+  /** E11c `distinct_users_kmv` — K-minimum-values cardinality
+    * estimate: the PORTABLE sketch twin of `distinct_users_approx`.
+    * HLL internals are engine-specific (that row stays rows-only
+    * gated); KMV is pure arithmetic — keep the k smallest distinct
+    * portable hashes per group, estimate n̂ = (k−1)·M/h₍ₖ₎ — so a
+    * second engine reproduces the ESTIMATE bit-for-bit and the row
+    * is hash-gated like any exact query. Groups under k distinct
+    * values degenerate to the exact count (the kept set IS the
+    * distinct set — standard KMV rule).
+    *
+    * Scale shape: the distinct shuffles 16-byte (group, hash) rows —
+    * the same exchange an exact count-distinct pays — and the sketch
+    * itself is the bounded `graft_topk` aggregate (score = −h):
+    * O(k) state at every partial/merge, so the post-distinct
+    * aggregation never buffers a group's full hash set. k = 64 here
+    * so the estimator branch is exercised at test cardinalities
+    * (~150 users); production sizes k into the thousands for ~2%
+    * error (1/√(k−2)). SketchQualitySpec holds the estimate within
+    * 25% of the exact count at this k.
+    */
+  def distinctUsersKmv(s: SparkSession, d: String): DataFrame = {
+    val k = 64
+    val h = pmod(
+      pmod(col("user_id"), lit(1048573L)) * lit(2654435761L)
+        + pmod(col("user_id"), lit(8191L)) * lit(131L),
+      lit(2147483647L)) + lit(1L)
+    Tables.events(s, d)
+      .select(col("event_type"), h.as("h"))
+      .distinct()
+      .groupBy(col("event_type"))
+      .agg(graft.functions.TopKAgg.topk(s,
+        -col("h").cast("double"), col("h"), k).as("t"))
+      .select(col("event_type"),
+        when(size(col("t")) < k, size(col("t")).cast("long"))
+          .otherwise(floor(
+            lit((k - 1).toDouble) * lit(2147483647.0)
+              / expr("""CAST(aggregate(t, CAST(0 AS BIGINT),
+                          (acc, x) -> greatest(acc, x.vec_id)) AS DOUBLE)""")
+              + 0.5).cast("long"))
+          .as("n_users_kmv"))
+      .orderBy("event_type")
+  }
+
   /** E12 `json_extract` — JSON scalar path extraction from
     * `events.props` ('{"k": <int>}') + grouped stats over it.
     */

@@ -31,6 +31,31 @@ class SketchQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("distinct_users_kmv estimate within 25% of exact, exact below k") {
+    import org.apache.spark.sql.functions.col
+    val exact = graft.operators.FunctionOps
+      .distinctUsers(spark, TestSpark.sf001)
+      .select("event_type", "n_users").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kmv = graft.operators.FunctionOps
+      .distinctUsersKmv(spark, TestSpark.sf001)
+      .select("event_type", "n_users_kmv").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kmv.keySet == exact.keySet)
+    val k = 64
+    kmv.foreach { case (g, est) =>
+      val ex = exact(g)
+      if (ex < k) assert(est == ex,
+        s"$g: below-k group must report the exact count ($est vs $ex)")
+      else assert(math.abs(est - ex) <= 0.25 * ex,
+        s"$g: KMV estimate $est vs exact $ex exceeds 25% (k=$k)")
+    }
+    // the estimator branch must actually run at this sf — otherwise
+    // the oracle only ever checks the degenerate path
+    assert(exact.values.exists(_ >= k),
+      "no group reaches k distinct users; raise sf or lower k")
+  }
+
   test("value_percentiles_approx rank error within 1% of target quantile") {
     // approx_percentile(accuracy=1000) guarantees rank error <= 1/1000;
     // gate at 10x that so only a real sketch regression trips it.
