@@ -51,6 +51,7 @@ object SparkEntry {
     "distinct_users"        -> (FunctionOps.distinctUsers _),
     "distinct_users_approx" -> (FunctionOps.distinctUsersApprox _),
     "distinct_users_kmv"  -> (FunctionOps.distinctUsersKmv _),
+    "value_percentiles_sampled" -> (AnalyticOps.valuePercentilesSampled _),
     "json_extract"          -> (FunctionOps.jsonExtract _),
     "string_funcs"          -> (FunctionOps.stringFuncs _),
     "date_math"             -> (FunctionOps.dateMath _),
@@ -398,6 +399,18 @@ object SparkEntry {
                 floor((quantile_cont(value, 0.99)) * 1000000 + 0.5) / 1000000 AS p99,
                 COUNT(*) AS n
          FROM events GROUP BY 1 ORDER BY 1""",
+    // the portable approximate-quantile path: a deterministic 20%
+    // hash sample + the same exact interpolated percentile as above
+    "value_percentiles_sampled" ->
+      """SELECT event_type,
+                floor((quantile_cont(value, 0.5)) * 1000000 + 0.5) / 1000000 AS p50,
+                floor((quantile_cont(value, 0.9)) * 1000000 + 0.5) / 1000000 AS p90,
+                floor((quantile_cont(value, 0.99)) * 1000000 + 0.5) / 1000000 AS p99,
+                COUNT(*) AS n_sampled
+         FROM events
+         WHERE ((event_id % 1048573) * 2654435761
+                + (event_id % 8191) * 131) % 2147483647 < 429496729
+         GROUP BY 1 ORDER BY 1""",
     "value_stats" ->
       """WITH t AS (SELECT event_type, value,
                 CAST(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)

@@ -40,6 +40,34 @@ object AnalyticOps {
         col("p_approx")(1).as("p90"), col("p_approx")(2).as("p99"), col("n"))
       .orderBy("event_type")
 
+  /** `value_percentiles_sampled` — deterministic hash-sampled exact
+    * percentiles: the PORTABLE approximate-quantile path beside the
+    * engine-internal t-digest row (`value_percentiles_approx`, which
+    * can only be rows-gated). A ~20% sample selected by a modular
+    * hash of the unique event_id against a fixed integer threshold —
+    * append-stable membership, the `mixture_sample` recipe — then the
+    * SAME exact interpolated percentile the gated `value_percentiles`
+    * row computes, over the sample. Every step replays in DuckDB, so
+    * this approximate-quantile row hash-gates; SketchQualitySpec pins
+    * its rank error against the full data. At 100 TB the sort/agg
+    * runs over 1/5 of the rows and the sample fraction is the
+    * accuracy-vs-cost dial (rank se ≈ √(p(1−p)/m) for sample size m).
+    */
+  def valuePercentilesSampled(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      // threshold = ⌊0.2·(2³¹−1)⌋: ~20% of the hash ring
+      .where(pmod(
+        pmod(col("event_id"), lit(1048573L)) * lit(2654435761L)
+          + pmod(col("event_id"), lit(8191L)) * lit(131L),
+        lit(2147483647L)) < lit(429496729L))
+      .groupBy(col("event_type"))
+      .agg(
+        r6(expr("percentile(value, 0.5)")).as("p50"),
+        r6(expr("percentile(value, 0.9)")).as("p90"),
+        r6(expr("percentile(value, 0.99)")).as("p99"),
+        count(lit(1)).as("n_sampled"))
+      .orderBy("event_type")
+
   /** `value_stats` — second-moment aggregates: stddev/variance of the
     * tick value and correlation/covariance with the JSON payload k.
     * Merge-order float noise is ~1e-10 at these magnitudes — well

@@ -56,6 +56,28 @@ class SketchQualitySpec extends AnyFunSuite {
       "no group reaches k distinct users; raise sf or lower k")
   }
 
+  test("value_percentiles_sampled rank error within 8% of target quantile") {
+    // a deterministic 20% sample of ~2000-row groups gives m ≈ 400:
+    // rank se ≈ √(0.5·0.5/400) ≈ 2.5% at the median — gate at ~3×
+    val values = graft.engine.Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (g, vs) => g -> vs.map(_._2).sorted }
+    val sampled = AnalyticOps.valuePercentilesSampled(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        Seq(0.5 -> r.getDouble(1), 0.9 -> r.getDouble(2),
+          0.99 -> r.getDouble(3))).toMap
+    assert(sampled.keySet == values.keySet)
+    sampled.foreach { case (g, ests) =>
+      val vs = values(g)
+      ests.foreach { case (q, est) =>
+        val rank = vs.count(_ <= est).toDouble / vs.length
+        assert(math.abs(rank - q) <= 0.08,
+          f"$g p$q: sampled estimate $est sits at exact rank $rank%.3f")
+      }
+    }
+  }
+
   test("value_percentiles_approx rank error within 1% of target quantile") {
     // approx_percentile(accuracy=1000) guarantees rank error <= 1/1000;
     // gate at 10x that so only a real sketch regression trips it.
