@@ -420,6 +420,52 @@ class StreamingSpec extends AnyFunSuite {
       != null, "stage should be dropped after the recovered upsert")
   }
 
+  test("S11 streaming_kmv: windowed cardinality — dedup bounded by watermark, sketch O(k)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Tick]
+    // Tick(ts, symbol, price) stands in for (ts, event_type, user_id)
+    def evs = in.toDF().selectExpr("ts", "symbol AS event_type",
+      "CAST(price AS BIGINT) AS user_id")
+    // k=4 so BOTH branches run: 'view' gets 6 distinct users (the
+    // estimator), 'click' gets 2 (exact below-k)
+    val q = graft.streaming.StreamingCardinality.kmvStream(spark, evs, k = 4)
+      .writeStream.format("memory").queryName("s11_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Tick(ts("2024-01-01 10:00:05"), "view", 1), // 6 distinct viewers
+        Tick(ts("2024-01-01 10:05:00"), "view", 2),
+        Tick(ts("2024-01-01 10:10:00"), "view", 3),
+        Tick(ts("2024-01-01 10:15:00"), "view", 4),
+        Tick(ts("2024-01-01 10:20:00"), "view", 5),
+        Tick(ts("2024-01-01 10:25:00"), "view", 6),
+        Tick(ts("2024-01-01 10:30:00"), "view", 1), // dups must not
+        Tick(ts("2024-01-01 10:35:00"), "view", 2), // inflate anything
+        Tick(ts("2024-01-01 10:40:00"), "click", 1),
+        Tick(ts("2024-01-01 10:41:00"), "click", 2),
+        Tick(ts("2024-01-01 10:42:00"), "click", 2))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM s11_out").count() == 0,
+        "hour 10 still open: nothing may emit")
+      in.addData(Tick(ts("2024-01-01 13:00:00"), "view", 9))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM s11_out").collect()
+        .map(r => r.getAs[String]("event_type")
+          -> r.getAs[Long]("n_users_kmv")).toMap
+      // below-k group: exact
+      assert(rows("click") == 2L, s"click: ${rows.get("click")}")
+      // estimator group: replicate the KMV arithmetic on the known ids
+      def h(u: Long): Long =
+        ((u % 1048573L) * 2654435761L + (u % 8191L) * 131L) % 2147483647L + 1
+      val h4 = Seq(1L, 2L, 3L, 4L, 5L, 6L).map(h).sorted.apply(3)
+      val expected =
+        math.floor(3.0 * 2147483647.0 / h4.toDouble + 0.5).toLong
+      assert(rows("view") == expected,
+        s"view: ${rows("view")} vs expected KMV estimate $expected")
+    } finally q.stop()
+  }
+
   test("S2 streaming_state: explicit OhlcState flushes on window close (reference state machine)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
