@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Bigrams, ByteStats, CountInSet, DotProduct, GramAgg, Int8DotBytes, Int8Pack, Int8Quantize, IntersectCount, MinHash32, MinHashAgg, PackedPairs, PairCombinations, PortableSimHash60, Shingle3, ShingleHash3, SimHash64, TopKAgg}
+import graft.functions.{Bigrams, ByteStats, CorrMomentsAgg, CountInSet, DotProduct, GramAgg, Int8DotBytes, Int8Pack, Int8Quantize, IntersectCount, MinHash32, MinHashAgg, PackedPairs, PairCombinations, PortableMinHash16, PortableSimHash60, Shingle3, ShingleHash3, SimHash64, TopKAgg}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * expressions first-class SQL functions in any session built with
@@ -64,6 +64,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[ShingleHash3], exprs => ShingleHash3(exprs.head))
     inject(e, "graft_packed_pairs", "graft_packed_pairs(array<bigint>)", 1,
       classOf[PackedPairs], exprs => PackedPairs(exprs.head))
+    inject(e, "graft_minhash16_portable",
+      "graft_minhash16_portable(array<bigint>)", 1,
+      classOf[PortableMinHash16], exprs => PortableMinHash16(exprs.head))
     inject(e, "graft_bigrams", "graft_bigrams(array<string>)", 1,
       classOf[Bigrams], exprs => Bigrams(exprs.head))
     inject(e, "graft_byte_stats", "graft_byte_stats(binary)", 1,
@@ -83,6 +86,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         .toAggregateExpression())
     inject(e, "graft_gram_agg", "graft_gram_agg(array<float>)", 1,
       classOf[GramAgg], exprs => GramAgg(exprs.head).toAggregateExpression())
+    inject(e, "graft_corr_moments",
+      "graft_corr_moments(double, double, double, double)", 4,
+      classOf[CorrMomentsAgg],
+      exprs => CorrMomentsAgg(exprs).toAggregateExpression())
     // Spark's own Bloom expressions, surfaced under graft names (they
     // ship unregistered — Catalyst only builds them inside runtime
     // filter rules)

@@ -159,6 +159,79 @@ object ShingleHash3 {
   }
 }
 
+/** The portable 16-permutation MinHash signature of a token-hash
+  * array, in one compiled pass — the native twin of the interpreted
+  * HOF chain in `dedup_minhash_portable`
+  * (`operators/LlmTextOps.scala`): 3-shingle combine
+  * `(th[i]·131 + th[i+1])·131 + th[i+2]` then, per permutation
+  * m ∈ [0,16), `min((2m+3)·sh + 7m+1 mod 10¹²+37)` over all
+  * shingles. Two deliberate equivalences to the SQL form (pinned
+  * byte-equal in TextExprsSpec, and the DuckDB oracle still replays
+  * the SQL formulation independently):
+  *   - no `array_distinct`: min over duplicates equals min over the
+  *     distinct set, so the dedupe pass is pure overhead here;
+  *   - shingle and perm arithmetic use the same budgeted ranges
+  *     (sh ≤ ~3.4·10¹⁴, products ≤ ~1.1·10¹⁶ < 2⁶³), so plain Java
+  *     `%` on non-negative operands matches ANSI `mod` exactly.
+  * The interpreted form invoked a lambda per token per permutation
+  * (16× per-element overhead); this is a tight primitive double loop
+  * inside whole-stage codegen. Token hashes stay in SQL: their
+  * `ascii`/`length` semantics belong to the engine dialect and cost
+  * one lambda per token, not sixteen.
+  */
+case class PortableMinHash16(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash16_portable"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprs.requireLongArray(prettyName, child.dataType)
+
+  override def nullSafeEval(input: Any): Any =
+    PortableMinHash16.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.PortableMinHash16.compute($a)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PortableMinHash16 = copy(child = newChild)
+}
+
+object PortableMinHash16 {
+  private val PermMod = 1000000000037L // ~10¹², permuted hash range
+
+  def compute(th: ArrayData): GenericArrayData = {
+    val n = th.numElements()
+    // init = the SQL aggregate's 2⁶³−1 seed: a doc with no complete
+    // shingle (n < 3 — filtered upstream, but total here) yields the
+    // same sentinel signature the SQL form would
+    val mins = Array.fill[Long](16)(Long.MaxValue)
+    var i = 0
+    while (i <= n - 3) {
+      val sh = (th.getLong(i) * 131L + th.getLong(i + 1)) * 131L +
+        th.getLong(i + 2)
+      var m = 0
+      while (m < 16) {
+        val p = ((2L * m + 3L) * sh + 7L * m + 1L) % PermMod
+        if (p < mins(m)) mins(m) = p
+        m += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](16)
+    var k = 0
+    while (k < 16) { out(k) = mins(k); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  def minhash16Portable(s: SparkSession, tokenHashes: Column): Column = {
+    TextExprs.register(s)
+    call_function("graft_minhash16_portable", tokenHashes)
+  }
+}
+
 /** All C(k,2) ordered ID pairs of an UNSORTED id array, packed into
   * single longs `(i << 32) | j` with i < j — the narrow-shuffle form
   * of [[PairCombinations]]: the pair-count groupBy keys on ONE long
@@ -454,6 +527,8 @@ object TextExprs {
       exprs => ShingleHash3(exprs.head))
     Registration.registerOnce(s, "graft_packed_pairs",
       exprs => PackedPairs(exprs.head))
+    Registration.registerOnce(s, "graft_minhash16_portable",
+      exprs => PortableMinHash16(exprs.head))
     Registration.registerOnce(s, "graft_bigrams",
       exprs => Bigrams(exprs.head))
     Registration.registerOnce(s, "graft_count_in_set",

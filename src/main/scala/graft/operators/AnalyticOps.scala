@@ -286,21 +286,30 @@ object AnalyticOps {
     * decimal addition is associative ⇒ order-proof — then the closed
     * form n·Σxy−ΣxΣy / √(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²) runs once in
     * double with the identical op sequence as the DuckDB twin. One
-    * aggregation job (10 decimal sums in a single pass, map-side
-    * partials), scalar math after — the same single-shuffle shape at
-    * any scale.
+    * aggregation job (all 15 moments in a single compiled
+    * `graft_corr_moments` pass, map-side partials — see
+    * functions.CorrMomentsAgg for the fixed-point equivalence proof),
+    * scalar math after — the same single-shuffle shape at any scale.
     */
   def corrMatrix(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-    def dec(c: String) = col(c).cast(DecimalType(18, 2))
-    val aggExprs = Seq(count(lit(1)).cast("double").as("n")) ++
-      cols.map(c => sum(dec(c)).cast("double").as(s"s_$c")) ++
-      (for { i <- cols.indices; j <- i until cols.length } yield {
-        val (a, b) = (cols(i), cols(j))
-        sum(dec(a) * dec(b)).cast("double").as(s"p_${a}_$b")
-      })
-    val m = Tables.lineitem(s, d).agg(aggExprs.head, aggExprs.tail: _*)
+    // all 15 moments ride ONE compiled CorrMomentsAgg buffer (fixed
+    // 25-long state, 4 quantizations + 14 primitive adds per row)
+    // instead of 14 boxed-BigDecimal SUM columns; the kernel's
+    // fixed-point arithmetic is pinned bit-identical to the decimal
+    // formulation in CorrMomentsSpec, so the closed form below and
+    // the DuckDB oracle are unchanged
+    val mm = Tables.lineitem(s, d)
+      .agg(graft.functions.CorrMomentsAgg.corrMoments(s,
+        col(cols(0)), col(cols(1)), col(cols(2)), col(cols(3))).as("mm"))
+    val cellIdx = (for { i <- cols.indices; j <- i until cols.length }
+      yield (cols(i), cols(j))).zipWithIndex.toMap
+    val m = mm.select(
+      Seq(col("mm.n").as("n")) ++
+        cols.zipWithIndex.map { case (c, i) =>
+          col("mm.s").getItem(i).as(s"s_$c") } ++
+        cellIdx.toSeq.map { case ((a, b), k) =>
+          col("mm.p").getItem(k).as(s"p_${a}_$b") }: _*)
     val pairs = for { i <- cols.indices; j <- (i + 1) until cols.length }
       yield {
         val (a, b) = (cols(i), cols(j))

@@ -607,8 +607,14 @@ object LlmTextOps {
     * stays `dedup_minhash`'s compiled 32-perm kernel.
     */
   def dedupMinhashPortable(s: SparkSession, d: String): DataFrame = {
-    val permMod = 1000000000037L      // ~10¹², permuted hash range
     val bandMod = 1000000000000037L   // ~10¹⁵, band polynomial range
+    // token hashes stay interpreted SQL (one lambda per token — the
+    // ascii/length dialect semantics live with the engine); the
+    // shingle + 16-perm signature build, formerly a per-token
+    // per-perm interpreted lambda chain and the most expensive step
+    // of the whole sweep, is the compiled PortableMinHash16 kernel
+    // (TextExprsSpec pins it byte-equal to the SQL HOF formulation;
+    // the DuckDB oracle still replays the SQL form independently)
     val sigs = Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))
       .where(size(col("toks")) >= 3)
@@ -616,14 +622,8 @@ object LlmTextOps {
         """transform(toks, t -> CAST(ascii(t) AS BIGINT) * 17161
                                 + CAST(ascii(reverse(t)) AS BIGINT) * 131
                                 + length(t))"""))
-      .withColumn("shs", expr(
-        """array_distinct(transform(sequence(0, size(th) - 3),
-             i -> (th[i] * 131 + th[i + 1]) * 131 + th[i + 2]))"""))
-      .withColumn("sig", expr(
-        s"""transform(sequence(0, 15), m ->
-              aggregate(shs, 9223372036854775807L,
-                (acc, h) -> least(acc,
-                  ((2 * m + 3) * h + 7 * m + 1) % ${permMod}L)))"""))
+      .withColumn("sig",
+        graft.functions.PortableMinHash16.minhash16Portable(s, col("th")))
       .select(col("doc_id"), col("sig"))
     val banded = sigs.select(col("doc_id"),
       explode(expr(

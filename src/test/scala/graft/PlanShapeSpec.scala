@@ -171,13 +171,15 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("corr_matrix is ONE two-phase aggregation — 10 moments in a single pass") {
+  test("corr_matrix is ONE two-phase aggregation — 15 moments in a single pass") {
     val p = planString("corr_matrix")
-    // all 15 moment sums ride one partial+final aggregate pair; a
+    // all 15 moment sums ride one partial+final aggregate pair (the
+    // compiled graft_corr_moments buffer → ObjectHashAggregate); a
     // second aggregation pair would mean the moments split into
     // multiple corpus scans
-    assert("HashAggregate".r.findAllIn(p).size == 2,
+    assert("ObjectHashAggregate".r.findAllIn(p).size == 2,
       "moments split across aggregations:\n" + p.take(1500))
+    assert(p.contains("graft_corr_moments"), p.take(1500))
     assert(!p.contains("Join"), p.take(1500))
     // scan pruned to exactly the four measure columns
     Seq("l_orderkey", "l_shipdate", "l_returnflag").foreach { c =>
@@ -261,6 +263,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges.nonEmpty)
     assert(!exchanges.exists(_.contains("chunk_text")),
       "chunk text crossed a shuffle:\n" + exchanges.mkString("\n"))
+  }
+
+  test("bigram_novelty: AQE broadcasts the df table — no sort-merge join") {
+    // the df-table join is deliberately left to AQE (the table is
+    // vocab²-bounded but corpus-growing); this pin proves AQE's
+    // runtime choice at a post-aggregation size representative of the
+    // bench scale is a broadcast build, so the bg side never shuffles
+    // for the join — the bigram aggregation stays the only corpus
+    // shuffle. If this ever flips to SortMergeJoin at test scale, the
+    // AQE-deferred strategy has regressed and a size-conditional hint
+    // is warranted.
+    val df = SparkEntry.queries("bigram_novelty")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "df-table join fell back to SMJ:\n" + p.take(2000))
   }
 
   test("mixture_sample: thresholds broadcast, the corpus side never shuffles") {

@@ -237,6 +237,50 @@ class TextExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("PortableMinHash16 equals the interpreted HOF signature chain") {
+    // the exact SQL formulation dedup_minhash_portable used before the
+    // kernel was compiled (and which the DuckDB oracle still replays):
+    // distinct 3-shingle combine, then per-perm aggregate-min — the
+    // native twin must be byte-equal including the no-distinct
+    // shortcut (min over duplicates == min over the distinct set) and
+    // the 2⁶³−1 seed for shingle-free arrays
+    val hof = expr(
+      s"""transform(sequence(0, 15), m ->
+            aggregate(
+              array_distinct(transform(sequence(0, size(th) - 3),
+                i -> (th[i] * 131 + th[i + 1]) * 131 + th[i + 2])),
+              9223372036854775807L,
+              (acc, h) -> least(acc,
+                ((2 * m + 3) * h + 7 * m + 1) % 1000000000037L)))""")
+    val rnd = new scala.util.Random(23)
+    // token-hash range matches production: ascii ≤ 0x10FFFF so
+    // th ≤ ~1.9e10; include heavy duplication and the minimum length
+    val rows = (0 until 200).map { i =>
+      i.toLong -> Seq.fill(3 + rnd.nextInt(60))(
+        rnd.nextLong(19000000000L))
+    }
+    val both = rows.toDF("id", "th")
+      .select(col("id"),
+        graft.functions.PortableMinHash16
+          .minhash16Portable(spark, col("th")).as("native"),
+        hof.as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"id=${r.getLong(0)}")
+    }
+  }
+
+  test("PortableMinHash16 yields the seed signature below 3 hashes") {
+    val out = Seq(Seq.empty[Long], Seq(1L), Seq(1L, 2L))
+      .toDF("th")
+      .select(graft.functions.PortableMinHash16
+        .minhash16Portable(spark, col("th")).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    out.foreach { sig =>
+      assert(sig == Seq.fill(16)(Long.MaxValue))
+    }
+  }
+
   test("IntersectCount equals reference set intersection on random arrays") {
     val rnd = new scala.util.Random(31)
     val cases = Seq(
