@@ -21,6 +21,20 @@ import graft.functions.VectorExprs
   */
 object LlmVectorOps {
 
+  /** Constants shared by the Spark queries AND the generated DuckDB
+    * oracles. Every literal here appears on both sides of a
+    * hash-gate; a change to one side's copy would silently break
+    * gating and surface only at Verify time — deriving both from ONE
+    * named val (the `lshPlaneVal` precedent, applied to the scalar
+    * knobs) makes the drift impossible.
+    */
+  private[graft] val embDim = 64     // fixture embedding dimensionality
+  private[graft] val nProbes = 5     // probe set: vec_id < nProbes
+  private[graft] val lshTables = 8   // L hash tables
+  private[graft] val lshKPlanes = 4  // k hyperplanes per table
+  private[graft] val ivfStride = 100 // seed centroids: vec_id % stride = 0
+  private[graft] val ivfNprobe = 2   // probed lists in the plain IVF rows
+
   private def withNorm(s: SparkSession, df: DataFrame, emb: String,
       normName: String): DataFrame =
     df.withColumn(normName,
@@ -35,7 +49,7 @@ object LlmVectorOps {
     */
   def similarityTopk(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
-    val probes = e.where(col("vec_id") < 5)
+    val probes = e.where(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
         col("norm").as("probe_norm"))
     val pairs = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
@@ -110,12 +124,12 @@ object LlmVectorOps {
     // sf0.01 corpus (weakly-similar neighbors, cos ≈ 0.3-0.5) while
     // scanning ~half the corpus; on true near-dup data the same
     // parameters prune orders of magnitude harder.
-    val tableKeys = lshTableKeys(s, nTables = 8, kPlanes = 4, dim = 64)
+    val tableKeys = lshTableKeys(s, nTables = lshTables, kPlanes = lshKPlanes, dim = embDim)
     val base = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
     val keyed = base
       .withColumn("tk", explode(tableKeys))
       .select(col("vec_id"), col("tk.t").as("t"), col("tk.b").as("b"))
-    val probeKeys = keyed.where(col("vec_id") < 5)
+    val probeKeys = keyed.where(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("t"), col("b"))
     // dedupe candidate id pairs first (a pair may collide in several
     // tables) — only ids ride the shuffle, embeddings re-attach after
@@ -125,7 +139,7 @@ object LlmVectorOps {
     val cand = candIds
       .join(base.select(col("vec_id"), col("embedding"), col("norm")),
         Seq("vec_id"))
-      .join(broadcast(base.where(col("vec_id") < 5).select(
+      .join(broadcast(base.where(col("vec_id") < nProbes).select(
         col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
         col("norm").as("probe_norm"))), Seq("probe_id"))
       .withColumn("score", r6(
@@ -151,9 +165,9 @@ object LlmVectorOps {
     * which is what makes the rows hash-gateable.
     */
   private def lshKeysCtes: String = {
-    val values = (for { t <- 0 until 8; j <- 0 until 4 } yield {
-      val lst = (0 until 64)
-        .map(i => lshPlaneVal(t, j, i, kPlanes = 4).toDouble.toString)
+    val values = (for { t <- 0 until lshTables; j <- 0 until lshKPlanes } yield {
+      val lst = (0 until embDim)
+        .map(i => lshPlaneVal(t, j, i, kPlanes = lshKPlanes).toDouble.toString)
         .mkString("[", ", ", "]")
       s"($t, $j, $lst)"
     }).mkString(",\n           ")
@@ -165,7 +179,7 @@ object LlmVectorOps {
          bits AS (SELECT b.vec_id, p.t, p.j,
                   CASE WHEN list_aggregate(
                          [CAST(b.embedding[i] AS DOUBLE) * p.p[i]
-                          for i in range(1, 65)], 'sum') > 0.0
+                          for i in range(1, ${embDim + 1})], 'sum') > 0.0
                        THEN (1::BIGINT << p.j) ELSE 0 END AS bit
                   FROM base b CROSS JOIN planes p),
          keys AS (SELECT vec_id, t, CAST(SUM(bit) AS BIGINT) AS bkt
@@ -178,7 +192,7 @@ object LlmVectorOps {
     s"""WITH $lshKeysCtes,
          cand AS (SELECT DISTINCT kp.vec_id AS probe_id, kc.vec_id AS vec_id
                   FROM keys kc JOIN keys kp ON kc.t = kp.t AND kc.bkt = kp.bkt
-                  WHERE kp.vec_id < 5 AND kc.vec_id <> kp.vec_id),
+                  WHERE kp.vec_id < $nProbes AND kc.vec_id <> kp.vec_id),
          pairs AS (SELECT c.probe_id, c.vec_id,
                   floor((list_aggregate([CAST(pe.embedding[i] AS DOUBLE)
                            * CAST(ce.embedding[i] AS DOUBLE)
@@ -211,7 +225,7 @@ object LlmVectorOps {
                 FROM embeddings),
          cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb,
                           norm AS cent_norm
-                   FROM base WHERE vec_id % 100 = 0),
+                   FROM base WHERE vec_id % $ivfStride = 0),
          sims AS (SELECT b.vec_id, c.cent_id,
                   list_aggregate([CAST(b.embedding[i] AS DOUBLE)
                        * CAST(c.cent_emb[i] AS DOUBLE)
@@ -223,7 +237,7 @@ object LlmVectorOps {
                     ORDER BY cent_sim DESC, cent_id ASC) AS r FROM sims),
          corpus AS (SELECT vec_id, cent_id FROM ranked_c WHERE r = 1),
          probes AS (SELECT vec_id AS probe_id, cent_id
-                    FROM ranked_c WHERE r <= 2 AND vec_id < 5),
+                    FROM ranked_c WHERE r <= $ivfNprobe AND vec_id < $nProbes),
          cand AS (SELECT p.probe_id, c.vec_id
                   FROM corpus c JOIN probes p ON c.cent_id = p.cent_id
                   WHERE c.vec_id <> p.probe_id),
@@ -256,7 +270,7 @@ object LlmVectorOps {
                 ROW_NUMBER() OVER (PARTITION BY b.vec_id
                   ORDER BY list_aggregate([CAST(b.embedding[i] AS DOUBLE)
                              * CAST(c.cent_emb[i] AS DOUBLE)
-                             for i in range(1, 65)], 'sum')
+                             for i in range(1, ${embDim + 1})], 'sum')
                            / (b.norm * c.cent_norm) DESC,
                          c.cent_id ASC) AS r
               FROM base b CROSS JOIN $inCte c) WHERE r = 1),
@@ -265,7 +279,7 @@ object LlmVectorOps {
                      * $grid + 0.5) AS BIGINT)) AS DOUBLE)
                 / (COUNT(*) * $grid) AS m
               FROM asg_$outCte a JOIN base b ON b.vec_id = a.vec_id
-              CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) t
+              CROSS JOIN (SELECT unnest(range(1, ${embDim + 1})) AS pos) t
               GROUP BY 1, 2),
          emb_$outCte AS (SELECT cent_id,
                 list(CAST(m AS REAL) ORDER BY pos) AS cent_emb
@@ -293,13 +307,13 @@ object LlmVectorOps {
                 FROM embeddings),
          cents0 AS (SELECT vec_id AS cent_id, embedding AS cent_emb,
                            norm AS cent_norm
-                    FROM base WHERE vec_id % 100 = 0),
+                    FROM base WHERE vec_id % $ivfStride = 0),
          ${lloydRoundSql("cents0", "cents1")},
          ${lloydRoundSql("cents1", "cents2")},
          sims AS (SELECT b.vec_id, c.cent_id,
                   list_aggregate([CAST(b.embedding[i] AS DOUBLE)
                        * CAST(c.cent_emb[i] AS DOUBLE)
-                       for i in range(1, 65)], 'sum')
+                       for i in range(1, ${embDim + 1})], 'sum')
                     / (b.norm * c.cent_norm) AS cent_sim
                   FROM base b CROSS JOIN cents2 c),
          ranked_c AS (SELECT vec_id, cent_id,
@@ -307,7 +321,7 @@ object LlmVectorOps {
                     ORDER BY cent_sim DESC, cent_id ASC) AS r FROM sims),
          corpus AS (SELECT vec_id, cent_id FROM ranked_c WHERE r = 1),
          probes AS (SELECT vec_id AS probe_id, cent_id
-                    FROM ranked_c WHERE r <= 2 AND vec_id < 5),
+                    FROM ranked_c WHERE r <= $ivfNprobe AND vec_id < $nProbes),
          cand AS (SELECT p.probe_id, c.vec_id
                   FROM corpus c JOIN probes p ON c.cent_id = p.cent_id
                   WHERE c.vec_id <> p.probe_id),
@@ -422,7 +436,7 @@ object LlmVectorOps {
     s"""lut_$tag AS (SELECT p.vec_id AS probe_id, p.sub, c.code,
                 CAST(floor(${dotSql("p.subemb", "c.cent_emb", pqSubDim)}
                      * 1048576.0 + 0.5) AS BIGINT) AS lutq
-              FROM (SELECT * FROM subr_base WHERE vec_id < 5) p
+              FROM (SELECT * FROM subr_base WHERE vec_id < $nProbes) p
               JOIN book_$tag c ON c.sub = p.sub),
          scored_$tag AS ($scored),
          approx_$tag AS (SELECT probe_id, vec_id,
@@ -474,7 +488,7 @@ object LlmVectorOps {
                 FROM embeddings),
          cents0 AS (SELECT vec_id AS cent_id, embedding AS cent_emb,
                            norm AS cent_norm
-                    FROM base WHERE vec_id % 100 = 0),
+                    FROM base WHERE vec_id % $ivfStride = 0),
          ${lloydRoundSql("cents0", "cents1")},
          ${lloydRoundSql("cents1", "cents2")},
          casg AS (SELECT vec_id, cent_id FROM (
@@ -486,7 +500,7 @@ object LlmVectorOps {
               FROM base b CROSS JOIN cents2 c) WHERE r = 1),
          resid AS (SELECT a.vec_id, a.cent_id,
                 [b.embedding[i] - c.cent_emb[i]
-                 for i in range(1, 65)] AS embedding
+                 for i in range(1, ${embDim + 1})] AS embedding
               FROM casg a JOIN base b ON b.vec_id = a.vec_id
                           JOIN cents2 c ON c.cent_id = a.cent_id),
          ${pqTrainCtes("resid", "r")},
@@ -503,7 +517,7 @@ object LlmVectorOps {
                   ORDER BY ${dotSql("b.embedding", "c.cent_emb", 64)}
                            / (b.norm * c.cent_norm) DESC,
                          c.cent_id ASC) AS r
-              FROM base b CROSS JOIN cents2 c WHERE b.vec_id < 5)
+              FROM base b CROSS JOIN cents2 c WHERE b.vec_id < $nProbes)
               WHERE r <= 3),
          cand_r AS (SELECT p.probe_id, l.vec_id, p.base_q
               FROM resid l JOIN probes_r p ON l.cent_id = p.cent_id
@@ -568,7 +582,7 @@ object LlmVectorOps {
 
   /** Deterministic seed codebook: every 100th vector (k ≈ n/100). */
   private def seedCentroids(e: DataFrame): DataFrame =
-    e.where(col("vec_id") % 100 === 0)
+    e.where(col("vec_id") % ivfStride === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
         col("norm").as("cent_norm"))
 
@@ -622,8 +636,8 @@ object LlmVectorOps {
       cents: DataFrame): DataFrame = {
     val corpus = assignToCentroids(s, e, cents, keep = 1)
       .select(col("cent_id"), col("vec_id"), col("embedding"), col("norm"))
-    val probes = assignToCentroids(s, e.where(col("vec_id") < 5), cents,
-        keep = 2) // nprobe = 2
+    val probes = assignToCentroids(s, e.where(col("vec_id") < nProbes), cents,
+        keep = ivfNprobe)
       .select(col("cent_id"), col("vec_id").as("probe_id"),
         col("embedding").as("probe_emb"), col("norm").as("probe_norm"))
     val cand = corpus.join(probes, Seq("cent_id"))
@@ -727,7 +741,7 @@ object LlmVectorOps {
     val q = codes
       .withColumn("qq", dot(col(codeCol), col(codeCol)))
       .where(col("qq") > 0.0)
-    val probes = q.where(col("vec_id") < 5)
+    val probes = q.where(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col(codeCol).as("probe_c"),
         col("qq").as("probe_qq"))
     val pairs = q.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
@@ -794,7 +808,7 @@ object LlmVectorOps {
     // across all three (distinct + re-attach dominates there). On the
     // slice that matters (true near-dups at cos ≥ 0.9) recall is
     // ≳ 0.95 — AnnQualitySpec measures it on a perturbed-copy corpus.
-    dedupEmbedBlockedFrom(s, embs, kPlanes = 4)
+    dedupEmbedBlockedFrom(s, embs, kPlanes = lshKPlanes)
 
   /** [[dedupEmbedBlockedFrom]] with the hyperplane depth exposed: the
     * bucket count per table is 2^kPlanes, FIXED — so candidate volume
@@ -808,7 +822,7 @@ object LlmVectorOps {
     */
   def dedupEmbedBlockedFrom(s: SparkSession, embs: DataFrame,
       kPlanes: Int): DataFrame = {
-    val tableKeys = lshTableKeys(s, nTables = 8, kPlanes = kPlanes, dim = 64)
+    val tableKeys = lshTableKeys(s, nTables = lshTables, kPlanes = kPlanes, dim = embDim)
     val base = withNorm(s, embs, "embedding", "norm")
     val keyed = base
       .withColumn("tk", explode(tableKeys))
@@ -1062,13 +1076,23 @@ object LlmVectorOps {
     * path measures. Unset (default — Verify, the quality specs), the
     * queries train inline and are fully self-contained. An index
     * trained on one corpus must never serve another: the basename
-    * keying is what lets one conf cover multiple scale factors.
-    * Missing index for a corpus ⇒ inline fallback, never an error.
+    * keying is what lets one conf cover multiple scale factors, and
+    * the corpus fingerprint written at build time (canonical corpus
+    * path — `CorpusSilver.writeAnnIndex`) is what makes the contract
+    * hold when two distinct corpora share a basename. Missing index,
+    * missing fingerprint, or fingerprint mismatch for a corpus ⇒
+    * inline fallback, never an error.
     */
   val AnnIndexConf = "spark.graft.ann.index"
 
+  /** Fingerprint file binding a silver ANN index to its training
+    * corpus (first line: canonical corpus path; second: row count at
+    * build, diagnostic only). */
+  val CorpusFingerprintFile = "corpus.fingerprint"
+
   /** Resolve the per-corpus index dir under [[AnnIndexConf]], gated
-    * on `marker` existing (driver-side metadata probe, no job). */
+    * on `marker` existing AND the stored corpus fingerprint matching
+    * `d` (both driver-side metadata probes, no job). */
   private def annIndexDir(s: SparkSession, d: String,
       marker: String): Option[String] = {
     val base = s.conf.get(AnnIndexConf, "")
@@ -1077,9 +1101,24 @@ object LlmVectorOps {
       val dir = new org.apache.hadoop.fs.Path(base,
         new java.io.File(d).getName)
       val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(new org.apache.hadoop.fs.Path(dir, marker)))
-        Some(dir.toString)
-      else None
+      val fp = new org.apache.hadoop.fs.Path(dir, CorpusFingerprintFile)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(dir, marker))
+          || !fs.exists(fp)) None
+      else {
+        // an unreadable/corrupt fingerprint counts as a mismatch:
+        // inline fallback is always corpus-correct, serving an
+        // unverified index never is
+        val storedCorpus =
+          try {
+            val in = fs.open(fp)
+            try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+              .nextOption().getOrElse("")
+            finally in.close()
+          } catch { case scala.util.control.NonFatal(_) => "" }
+        if (storedCorpus == new java.io.File(d).getCanonicalPath)
+          Some(dir.toString)
+        else None
+      }
     }
   }
 
@@ -1143,7 +1182,7 @@ object LlmVectorOps {
       book: DataFrame, codes: DataFrame,
       candPairs: Option[DataFrame] = None): DataFrame = {
     val grid = pqGrid
-    val lut = subspaceRows(e.where(col("vec_id") < 5))
+    val lut = subspaceRows(e.where(col("vec_id") < nProbes))
       .join(broadcast(book), Seq("sub"))
       .select(col("vec_id").as("probe_id"), col("sub"), col("code"),
         floor(VectorExprs.dot(s, col("subemb"), col("cent_emb")) * grid
@@ -1156,8 +1195,12 @@ object LlmVectorOps {
         .where(col("vec_id") =!= col("probe_id"))
     }
     val hasBase = candPairs.exists(_.columns.contains("base_q"))
+    // min, not first: keep=1 list assignment makes base_q unique per
+    // (probe_id, vec_id) today, but the oracle aggregates with MIN —
+    // a deterministic aggregate costs nothing and stays equal to the
+    // oracle even if a hand-built lists table ever carries duplicates
     val approx =
-      if (hasBase) (sum(col("lutq")) + first(col("base_q"))).as("approx_q")
+      if (hasBase) (sum(col("lutq")) + min(col("base_q"))).as("approx_q")
       else sum(col("lutq")).as("approx_q")
     val cand = scored
       .groupBy(col("probe_id"), col("vec_id"))
@@ -1168,7 +1211,7 @@ object LlmVectorOps {
       .withColumn("crk", row_number().over(w))
       .where(col("crk") <= 50)
       .select("probe_id", "vec_id")
-    val probes = e.where(col("vec_id") < 5)
+    val probes = e.where(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
         col("norm").as("probe_norm"))
     val exact = top50
@@ -1219,7 +1262,7 @@ object LlmVectorOps {
     */
   private def probeRouting(s: SparkSession, e: DataFrame,
       coarse: DataFrame, nprobe: Int): DataFrame =
-    assignToCentroids(s, e.where(col("vec_id") < 5), coarse, keep = nprobe)
+    assignToCentroids(s, e.where(col("vec_id") < nProbes), coarse, keep = nprobe)
       .join(broadcast(coarse.select(col("cent_id"), col("cent_emb"))),
         Seq("cent_id"))
       .select(col("cent_id"), col("vec_id").as("probe_id"),

@@ -144,6 +144,23 @@ object CorpusSilver {
   def writeAnnIndex(s: SparkSession, sfDir: String, dir: String): Unit = {
     writePqIndex(s, sfDir, dir)
     graft.operators.LlmVectorOps.writeIvfPqIndex(s, sfDir, dir)
+    // bind the index to its training corpus: serving resolution
+    // verifies this fingerprint before routing a query here, so two
+    // distinct corpora whose dirs share a basename (/a/sf0.01 vs
+    // /b/sf0.01) under one index base can never silently serve each
+    // other's neighbors — mismatch falls back to inline training.
+    // Canonical path is the driver-cheap identity check; the row
+    // count is recorded for diagnostics (a content check at serve
+    // time would cost a per-query job).
+    val fp = new org.apache.hadoop.fs.Path(dir,
+      graft.operators.LlmVectorOps.CorpusFingerprintFile)
+    val fs = fp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(fp, true)
+    try out.write(
+      (new java.io.File(sfDir).getCanonicalPath + "\n" +
+        Tables.embeddings(s, sfDir).count())
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Bucketed silver layout: pay the shuffle ONCE at write time.

@@ -197,6 +197,15 @@ object CryptoIngest {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p), s"no such partition dir: $dir")
+    // heal a stranded .old from a PRIOR run that crashed after its
+    // promote but before its late-append recovery finished: the .old
+    // holds the pre-compaction originals (whose rows live on in the
+    // promoted files — by-name comparison against the live dir cannot
+    // identify them, which is why the promote persists a snapshot
+    // manifest) plus any late appends that rode the rename-aside.
+    // Runs on EVERY invocation, before the size early-return, so a
+    // partition that never needs compacting again still recovers.
+    recoverStaleOld(fs, p)
     val dataFiles = fs.listStatus(p).toSeq
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     val totalBytes = dataFiles.map(_.getLen).sum
@@ -234,14 +243,24 @@ object CryptoIngest {
     // — recovered, not lost. Every crash window leaves the data at
     // .old and/or tmp.
     val old = new Path(p.getParent, s".${p.getName}.compact-old")
-    // a stale .old that fails to delete would make rename(p, old)
+    // a lingering .old that fails to delete would make rename(p, old)
     // nest the live dir INSIDE it (Hadoop rename-into-existing
     // returns true), and the final cleanup would then destroy the
-    // original — so the delete result is load-bearing, same as tmp's
+    // original — so the delete result is load-bearing, same as tmp's.
+    // (recoverStaleOld already healed any crash leftovers at entry;
+    // one appearing HERE means a concurrent compaction — fail either
+    // way rather than race it.)
     if (fs.exists(old))
       require(fs.delete(old, true),
         s"stale $old could not be removed — aborting before promote")
     require(fs.rename(p, old), s"rename $p -> $old failed — rewrite left at $tmp")
+    // persist the pre-compaction file list INTO .old before promoting:
+    // if this run crashes after the promote below but before its
+    // recovery loop completes, the next invocation's recoverStaleOld
+    // needs this manifest to tell compacted-away originals (safe to
+    // drop) from late appends (must move back) — the live dir alone
+    // can't distinguish them
+    writeSnapshotManifest(fs, old, snapshot.keys.toSeq.sorted)
     if (!fs.rename(tmp, p)) {
       // restore the original before failing: no window with an absent
       // canonical path survives this function — and if even the
@@ -267,6 +286,56 @@ object CryptoIngest {
     val after = fs.listStatus(p).toSeq
       .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     (dataFiles.size, after)
+  }
+
+  /** Name of the pre-compaction file-list manifest written into the
+    * rename-aside dir (see [[compactPartition]]'s promote).
+    */
+  private val SnapshotManifest = "_COMPACT_SNAPSHOT"
+
+  private def writeSnapshotManifest(fs: org.apache.hadoop.fs.FileSystem,
+      old: Path, names: Seq[String]): Unit = {
+    val out = fs.create(new Path(old, SnapshotManifest), true)
+    try out.write(names.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Heal a `.compact-old` stranded by a prior run that crashed after
+    * promoting its rewrite: move late appends (files absent from the
+    * persisted snapshot manifest) back into the live dir, then drop
+    * the dir with the compacted-away originals. A manifest-less .old
+    * is refused loudly — without the manifest there is no way to tell
+    * an original (whose rows the promoted files already carry — moving
+    * it back would duplicate data) from a late append (whose rows
+    * exist nowhere else — deleting it would lose data).
+    */
+  private def recoverStaleOld(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Unit = {
+    val old = new Path(p.getParent, s".${p.getName}.compact-old")
+    if (!fs.exists(old)) return
+    val mf = new Path(old, SnapshotManifest)
+    require(fs.exists(mf),
+      s"stale $old has no $SnapshotManifest — cannot tell originals " +
+        s"from late appends; reconcile against $p manually")
+    val in = fs.open(mf)
+    val names =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSet
+      finally in.close()
+    fs.listStatus(old).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .filterNot(f => names.contains(f.getPath.getName))
+      .foreach { f =>
+        val dest = new Path(p, f.getPath.getName)
+        require(!fs.exists(dest),
+          s"late append ${f.getPath} collides with existing $dest — " +
+            "reconcile manually")
+        require(fs.rename(f.getPath, dest),
+          s"late append ${f.getPath} could not be moved into $p — " +
+            s"left in $old")
+      }
+    require(fs.delete(old, true),
+      s"recovered $old could not be removed")
   }
 
   /** One full pipeline pass over a landed tick batch: raw append,

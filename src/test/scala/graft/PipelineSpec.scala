@@ -87,6 +87,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$tmp/.part.compact-tmp").exists())
   }
 
+  test("compactPartition heals a stranded .compact-old from a crashed promote") {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graft_compact_heal").toString
+    val dir = s"$tmp/part"
+    spark.range(5000).select(col("id")).repartition(10).write.parquet(dir)
+    CryptoIngest.compactPartition(spark, dir, targetBytes = 64L * 1024)
+    val before = spark.read.parquet(dir).agg(sum("id"), count(lit(1))).head()
+    // reconstruct the crash-after-promote state: .old holds an
+    // "original" named in the manifest (rows already in the promoted
+    // files — must NOT come back) and a late append absent from it
+    // (rows exist nowhere else — MUST come back)
+    val old = new java.io.File(s"$tmp/.part.compact-old")
+    spark.range(9000, 9100).select(col("id"))
+      .coalesce(1).write.parquet(old.getPath)
+    val files = old.listFiles.filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 1)
+    val lateName = files.head.getName
+    val originalName = "part-original-stale.parquet"
+    java.nio.file.Files.copy(files.head.toPath,
+      new java.io.File(old, originalName).toPath)
+    java.nio.file.Files.write(
+      new java.io.File(old, "_COMPACT_SNAPSHOT").toPath,
+      originalName.getBytes("UTF-8"))
+    old.listFiles.filter(_.getName == "_SUCCESS").foreach(_.delete())
+    // any later invocation heals, even one that won't compact — the
+    // 1-byte target forces the size early-return, proving recovery
+    // runs before it (and leaving file names intact to assert on)
+    CryptoIngest.compactPartition(spark, dir, targetBytes = 1L)
+    assert(!old.exists(), "stranded .old not cleaned up")
+    val after = spark.read.parquet(dir).agg(sum("id"), count(lit(1))).head()
+    assert(after.getLong(1) == before.getLong(1) + 100,
+      "late append rows not recovered (or originals duplicated)")
+    assert(new java.io.File(dir).listFiles.exists(_.getName == lateName))
+    assert(!new java.io.File(dir).listFiles.exists(_.getName == originalName),
+      "compacted-away original resurrected — rows now duplicated")
+  }
+
+  test("compactPartition refuses a manifest-less .compact-old") {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graft_compact_nomf").toString
+    val dir = s"$tmp/part"
+    spark.range(1000).select(col("id")).repartition(4).write.parquet(dir)
+    val old = new java.io.File(s"$tmp/.part.compact-old")
+    spark.range(100).select(col("id"))
+      .coalesce(1).write.parquet(old.getPath)
+    val e = intercept[IllegalArgumentException] {
+      CryptoIngest.compactPartition(spark, dir, targetBytes = 64L * 1024)
+    }
+    assert(e.getMessage.contains("_COMPACT_SNAPSHOT"))
+    // nothing was deleted: both dirs intact for manual reconciliation
+    assert(old.exists())
+    assert(spark.read.parquet(dir).count() == 1000)
+  }
+
   test("flushHourly is idempotent (dynamic partition overwrite)") {
     val tmp = Files.createTempDirectory("graft_flush").toString
     CryptoIngest.flushHourly(ticksDf(batch), s"$tmp/hourly")

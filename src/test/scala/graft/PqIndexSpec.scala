@@ -62,4 +62,48 @@ class PqIndexSpec extends AnyFunSuite {
         .nonEmpty)
     } finally spark.conf.unset(LlmVectorOps.AnnIndexConf)
   }
+
+  test("a basename-colliding index for a DIFFERENT corpus is refused") {
+    // two distinct corpora whose dirs share a basename under one index
+    // base: the fingerprint (canonical training-corpus path) must stop
+    // the index trained on corpus A from serving corpus B — the
+    // resolver falls back to inline, whose output is corpus-B-correct
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ann-collide").toString
+    // build a real index for THIS corpus, then rewrite its fingerprint
+    // as if it had been trained elsewhere — the by-name layout is
+    // identical, only the recorded identity differs
+    val dir = new java.io.File(base, new java.io.File(d).getName)
+    CorpusSilver.writeAnnIndex(spark, d, dir.getPath)
+    val fp = new java.io.File(dir, LlmVectorOps.CorpusFingerprintFile)
+    // drop Hadoop LocalFileSystem's checksum sidecar: the tampered
+    // writes below go through java.nio and would otherwise read back
+    // as ChecksumException (which the resolver treats as mismatch —
+    // correct in production, but phase 2 needs a READABLE restore)
+    val crc = new java.io.File(dir,
+      "." + LlmVectorOps.CorpusFingerprintFile + ".crc")
+    if (crc.exists()) assert(crc.delete())
+    java.nio.file.Files.write(fp.toPath,
+      "/somewhere/else/sf0.001\n500".getBytes("UTF-8"))
+    // gut the serving table (marker codebook.parquet stays): ACCEPTING
+    // this index now fails loudly, so inline success below proves the
+    // resolver REFUSED it — stored == inline bit-for-bit would make a
+    // pure output comparison vacuous
+    val codes = new java.io.File(dir, "codes.parquet")
+    assert(codes.exists())
+    org.apache.commons.io.FileUtils.deleteDirectory(codes)
+    val inline = LlmVectorOps.similarityTopkPq(spark, d).collect().toSeq
+    spark.conf.set(LlmVectorOps.AnnIndexConf, base)
+    try {
+      assert(LlmVectorOps.similarityTopkPq(spark, d).collect().toSeq
+        == inline)
+      // restoring the true fingerprint re-routes to the (gutted) index
+      // and fails — the fingerprint, not luck, is what gated above
+      java.nio.file.Files.write(fp.toPath,
+        (new java.io.File(d).getCanonicalPath + "\n500").getBytes("UTF-8"))
+      intercept[Exception] {
+        LlmVectorOps.similarityTopkPq(spark, d).collect()
+      }
+    } finally spark.conf.unset(LlmVectorOps.AnnIndexConf)
+  }
 }
