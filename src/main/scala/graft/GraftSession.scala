@@ -39,6 +39,7 @@ object GraftSession {
     graft.functions.MinHashAgg.register(s)
     graft.functions.TopKAgg.register(s)
     graft.functions.GramAgg.register(s)
+    graft.functions.CorrMomentsAgg.register(s)
     graft.functions.BloomFns.register(s)
   }
 

@@ -114,6 +114,12 @@ object SparkEntry {
     "similarity_ivf_trained" -> (LlmVectorOps.similarityIvfTrained _),
     "similarity_topk_pq"  -> (LlmVectorOps.similarityTopkPq _),
     "similarity_ivf_pq"   -> (LlmVectorOps.similarityIvfPq _),
+    // the stored-index serving paths as their own gated rows: the
+    // plain rows above train inline under Verify (conf unset), so
+    // these twins are what puts the code path Bench times — read the
+    // silver index, serve — under the driver's DuckDB gate
+    "similarity_topk_pq_served" -> (LlmVectorOps.similarityTopkPqServed _),
+    "similarity_ivf_pq_served"  -> (LlmVectorOps.similarityIvfPqServed _),
     "dedup_embed"         -> (LlmVectorOps.dedupEmbed _),
     "embed_gram"          -> (LlmVectorOps.embedGram _),
     "embed_pca_project"   -> (LlmVectorOps.embedPcaProject _),
@@ -1208,6 +1214,10 @@ object SparkEntry {
     "similarity_ivf_trained" -> LlmVectorOps.ivfTrainedOracleSql,
     "similarity_topk_pq" -> LlmVectorOps.topkPqOracleSql,
     "similarity_ivf_pq" -> LlmVectorOps.ivfPqOracleSql,
+    // deterministic training makes the stored index a pure
+    // materialization: the SAME oracles gate the index-served twins
+    "similarity_topk_pq_served" -> LlmVectorOps.topkPqOracleSql,
+    "similarity_ivf_pq_served" -> LlmVectorOps.ivfPqOracleSql,
   )
 
   /** Oracle SQL that must be generated against a concrete corpus —

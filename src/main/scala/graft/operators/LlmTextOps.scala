@@ -15,6 +15,17 @@ import graft.engine.Tables
   */
 object LlmTextOps {
 
+  /** Session conf opting the banded-LSH candidate generation into
+    * hot-bucket splitting (engine.Pairs.distinctPairsFromMembers):
+    * band buckets with more members than this cap salt into disjoint
+    * groups so no single task computes a viral bucket's C(k,2)
+    * pairs. 0 (default) = off — the detection pass isn't free, and
+    * every measured corpus's hottest bucket is far below any sane
+    * cap; deployments on boilerplate-heavy crawls set it to the
+    * member count one task should own (e.g. 4096).
+    */
+  val HotBucketCapConf = "spark.graft.lsh.hotBucketCap"
+
   /** Per-document distinct 3-token shingle SET, unexploded — the
     * map-side root of the whole shingle family: set size (the Jaccard
     * denominator) and the MinHash signature both derive from this
@@ -209,8 +220,10 @@ object LlmTextOps {
     // pair generation per shingle posting list instead of a self-join:
     // one shuffle (groupBy shingle hash) + map-side C(k,2) explode.
     // Safe because posting lists are short (hottest shingle: 25 docs
-    // at sf0.1); with real skew, cap/salt the hot lists first (see
-    // engine.Skew.heavyHitters). Pairs travel PACKED as one long
+    // at sf0.1); with real skew, route through the hot-bucket-split
+    // generator instead (engine.Pairs.countedPairsFromMembers — built
+    // for the banded-LSH twin, output-identical, HotBucketSpec-pinned;
+    // here the shingle hash is the bucket). Pairs travel PACKED as one long
     // (i << 32 | j — engine.Pairs / functions.PackedPairs), halving
     // the pair-count shuffle key and skipping per-pair struct rows;
     // past 31-bit doc_ids the generator auto-falls-back to the struct
@@ -681,12 +694,26 @@ object LlmTextOps {
     // key — no self-join, so there is no replicated build side to
     // outgrow broadcast at 100 TB. The 32-long signatures re-attach
     // afterwards so only ids ride the candidate shuffle; wide doc_ids
-    // ride the struct pair form (engine.Pairs).
-    val lists = banded.select(col("doc_id"), col("band"), col("bh"))
-      .groupBy(col("band"), col("bh"))
-      .agg(collect_list(col("doc_id")).as("ds"))
-      .where(size(col("ds")) > 1)
-    val candIds = graft.engine.Pairs.distinctPairs(s, lists, "ds", wide)
+    // ride the struct pair form (engine.Pairs). Corpora with viral
+    // band buckets (boilerplate-heavy crawls: one bucket holding k of
+    // the corpus makes ONE task compute C(k,2) pairs) opt into
+    // hot-bucket splitting via [[HotBucketCapConf]] — members of
+    // buckets past the cap salt into disjoint groups whose
+    // intra+cross chunks spread across tasks, output-identical
+    // (HotBucketSpec) at the price of the bucket-size detection pass.
+    val members = banded.select(col("doc_id"), col("band"), col("bh"))
+    val hotCap = s.conf.get(HotBucketCapConf, "0").toInt
+    val candIds =
+      if (hotCap > 0)
+        graft.engine.Pairs.distinctPairsFromMembers(s, members,
+          Seq("band", "bh"), "doc_id", wide, hotCap)
+      else {
+        val lists = members
+          .groupBy(col("band"), col("bh"))
+          .agg(collect_list(col("doc_id")).as("ds"))
+          .where(size(col("ds")) > 1)
+        graft.engine.Pairs.distinctPairs(s, lists, "ds", wide)
+      }
     val cand = candIds
       .join(sigs.select(col("doc_id").as("i"), col("sig").as("sig_i")), Seq("i"))
       .join(sigs.select(col("doc_id").as("j"), col("sig").as("sig_j")), Seq("j"))
