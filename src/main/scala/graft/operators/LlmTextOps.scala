@@ -682,25 +682,36 @@ object LlmTextOps {
     * point. `wide` gates the packed-pair fast path (see engine.Pairs);
     * callers with a known id bound pass it directly.
     */
+  private[graft] val minhashHashes = 32
+  private[graft] val minhashBands = 8 // 4 rows/band
+
+  /** The (doc_id, band, bh) band-bucket membership of a (doc_id, sig)
+    * signature frame — the LSH blocking projection shared by the
+    * candidate join and the ScaleSweep occupancy probe (which
+    * measures exactly the bucket distribution the join shuffles on,
+    * the hot-bucket evidence feeding [[HotBucketCapConf]]).
+    */
+  private[graft] def minhashBandMembers(sigs: DataFrame): DataFrame =
+    sigs.select(
+      col("doc_id"),
+      explode(expr(
+        s"""transform(sequence(0, ${minhashBands - 1}),
+              b -> struct(b AS band,
+                          xxhash64(slice(sig,
+                            b * ${minhashHashes / minhashBands} + 1,
+                            ${minhashHashes / minhashBands})) AS bh))"""))
+        .as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+
   def dedupMinhashFromSignatures(s: SparkSession, rawSigs: DataFrame,
       wide: Boolean): DataFrame = {
-    val nHashes = 32
-    val nBands  = 8 // 4 rows/band
     // normalize the id width up front: an externally written silver
     // table may carry doc_id as INT32, and the packed-pair expressions
     // read 8-byte slots (they type-check array<bigint> and would
     // reject the narrower explode otherwise)
     val sigs = rawSigs.select(
       col("doc_id").cast("long").as("doc_id"), col("sig"))
-    val banded = sigs.select(
-      col("doc_id"), col("sig"),
-      explode(expr(
-        s"""transform(sequence(0, ${nBands - 1}),
-              b -> struct(b AS band,
-                          xxhash64(slice(sig, b * ${nHashes / nBands} + 1,
-                                         ${nHashes / nBands})) AS bh))"""))
-        .as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
+    val banded = minhashBandMembers(sigs)
     // candidate pairs via band-bucket posting lists (the same pattern
     // as dedup_near / dedup_embed_blocked): ONE shuffle on (band, bh),
     // map-side C(k,2) into packed single longs, distinct on an 8-byte
@@ -733,7 +744,7 @@ object LlmTextOps {
     cand
       .withColumn("est_jaccard", r6(expr(
         s"""aggregate(zip_with(sig_i, sig_j, (a, b) -> IF(a = b, 1, 0)),
-                      0, (acc, v) -> acc + v) / CAST($nHashes AS DOUBLE)""")))
+                      0, (acc, v) -> acc + v) / CAST($minhashHashes AS DOUBLE)""")))
       .where(col("est_jaccard") >= 0.8)
       .select("i", "j", "est_jaccard")
       .orderBy("i", "j")

@@ -236,20 +236,57 @@ object ScaleSweep {
     // most expensive map stage — once per measured depth
     val simSigs = graft.operators.LlmTextOps.simhashSigs(spark, outDir)
       .persist()
-    val simMass = Seq(4, 5, 6, 8).map { b =>
-      b -> graft.operators.LlmTextOps.simhashCandidateMass(simSigs, 64, b, 3)
-    }
     val simBScaled = graft.operators.LlmTextOps
       .simhashBlocksFor(nDocs, 64, 3)
+    // shallow depths stop being countable past ~150k docs on this
+    // low-entropy corpus: B=4's 16-bit keys give ~n²/2¹⁶ candidates
+    // (≈2.3 BILLION distinct pairs at 500k — the round-6 curve
+    // extrapolated), and counting them IS running the quadratic
+    // collapse the dial exists to avoid. Past that size measure only
+    // the depths the rule would actually pick (scaled−1, scaled) —
+    // the operating tail of the curve, which is also the evidence
+    // that one step shallower is already explosive.
+    val simDepths =
+      if (nDocs <= 150000L) Seq(4, 5, 6, 8)
+      else Seq(simBScaled - 1, simBScaled).distinct.filter(_ >= 4)
+    val simMass = simDepths.map { b =>
+      b -> graft.operators.LlmTextOps.simhashCandidateMass(simSigs, 64, b, 3)
+    }
     val simScaled = simMass.toMap.getOrElse(simBScaled,
       graft.operators.LlmTextOps
         .simhashCandidateMass(simSigs, 64, simBScaled, 3))
     simSigs.unpersist()
 
-    // components fixpoint: rounds must stay O(log n) one decade up
+    // band-bucket occupancy of the minhash LSH blocking: the
+    // distribution the candidate join shuffles on, and the evidence
+    // feeding the hot-bucket cap (a max far below any sane cap means
+    // the default-off conf is the right posture at this corpus shape)
+    val occ = graft.operators.LlmTextOps.minhashBandMembers(
+        graft.operators.LlmTextOps.minhashSignatures(spark, outDir)
+          .select(col("doc_id").cast("long").as("doc_id"), col("sig")))
+      .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("k"))
+      .agg(count(lit(1)).as("buckets"),
+        sum(when(col("k") > 1, 1L).otherwise(0L)).as("multi"),
+        max(col("k")).as("kmax"),
+        expr("CAST(approx_percentile(k, 0.99) AS BIGINT)").as("kp99"),
+        avg(col("k")).as("kmean")).head()
+
+    // components fixpoint: rounds must stay O(log n) one decade up.
+    // Pair source: `near` (default) composes with the exact pair set —
+    // right up to ~100k docs; `minhash` composes with the banded-LSH
+    // candidates, the pairing a 100 TB deployment actually feeds the
+    // labeler (the exact forms' pair stream grows ~90x per decade and
+    // stops terminating around half a million docs — which is the
+    // measured POINT of the routing, not a defect)
+    val compSource = sys.env.getOrElse("SPARK_GRAFT_COMPONENTS_SOURCE", "near")
+    val compPairs = compSource match {
+      case "minhash" => graft.operators.LlmTextOps
+        .dedupMinhash(spark, outDir).select(col("i"), col("j"))
+      case _ => graft.operators.LlmTextOps.dedupNearAuto(spark, outDir)
+        .select(col("i"), col("j"))
+    }
     val (labeled, rounds) = graft.operators.LlmTextOps.componentsFixpoint(
-      spark, graft.operators.LlmTextOps.dedupNearAuto(spark, outDir)
-        .select(col("i"), col("j")), pairsDistinct = true)
+      spark, compPairs, pairsDistinct = true)
     val nLabeled = labeled.count()
 
     val qs = times.map { case (k, v) => s""""$k":$v""" }.mkString(",")
@@ -259,6 +296,10 @@ object ScaleSweep {
       s""""prefix_postings":${pref.getLong(0)},""" +
       s""""prefix_pair_stream":${java.lang.Math.round(pref.getDouble(1))},""" +
       s""""fixpoint_rounds":$rounds,"labeled_docs":$nLabeled,""" +
+      s""""components_source":"$compSource",""" +
+      s""""band_buckets":${occ.getLong(0)},"band_multi":${occ.getLong(1)},""" +
+      s""""band_kmax":${occ.getLong(2)},"band_kp99":${occ.getLong(3)},""" +
+      s""""band_kmean":${math.round(occ.getDouble(4) * 1000) / 1000.0},""" +
       simMass.map { case (b, mass) => s""""simhash_cand_b$b":$mass""" }
         .mkString("", ",", ",") +
       s""""simhash_blocks_scaled":$simBScaled,""" +
