@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Bigrams, ByteStats, CorrMomentsAgg, CountInSet, DotProduct, GramAgg, Int8DotBytes, Int8Pack, Int8Quantize, IntersectCount, MinHash32, MinHashAgg, PackedPairs, PairCombinations, PortableMinHash16, PortableSimHash60, Shingle3, ShingleHash3, SimHash64, TopKAgg}
+import graft.functions.{Bigrams, ByteStats, CorrMomentsAgg, CountInSet, DotProduct, GramAgg, Int8DotBytes, Int8Pack, Int8Quantize, IntersectCount, MinHash32, MinHashAgg, PackedPairs, PairCombinations, PortableMinHash16, PortableSimHash60, PortableTokenHash, Shingle3, ShingleHash3, SimHash64, TopKAgg}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * expressions first-class SQL functions in any session built with
@@ -67,6 +67,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(e, "graft_minhash16_portable",
       "graft_minhash16_portable(array<bigint>)", 1,
       classOf[PortableMinHash16], exprs => PortableMinHash16(exprs.head))
+    inject(e, "graft_token_hash_portable",
+      "graft_token_hash_portable(array<string>)", 1,
+      classOf[PortableTokenHash], exprs => PortableTokenHash(exprs.head))
     inject(e, "graft_bigrams", "graft_bigrams(array<string>)", 1,
       classOf[Bigrams], exprs => Bigrams(exprs.head))
     inject(e, "graft_byte_stats", "graft_byte_stats(binary)", 1,

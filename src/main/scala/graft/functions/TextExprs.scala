@@ -232,6 +232,76 @@ object PortableMinHash16 {
   }
 }
 
+/** The portable per-token hash array of a token-string array, in one
+  * compiled pass — the native twin of the interpreted
+  * `transform(toks, t -> ascii(t)·17161 + ascii(reverse(t))·131 +
+  * length(t))` chain both portable-signature rows
+  * (`dedup_minhash_portable`, `dedup_simhash_portable`) feed their
+  * signature kernels. Replicated SQL semantics, probed against the
+  * engine and spec-pinned byte-equal (TextExprsSpec, incl.
+  * supplementary-plane chars):
+  *   - `ascii(t)` = FULL code point of the first character (to
+  *     0x10FFFF — `String.codePointAt`, surrogate-aware);
+  *   - `ascii(reverse(t))` = code point of the LAST character
+  *     (`codePointBefore` — Spark's reverse is code-point-aware, so
+  *     the reversal itself never needs to materialize);
+  *   - `length(t)` = CHARACTER count (`codePointCount`, not UTF-16
+  *     units — an emoji counts 1);
+  *   - empty token → 0 (ascii('') = 0 in both engines).
+  * One expression call per row (loop inside) instead of one lambda
+  * invocation per token.
+  */
+case class PortableTokenHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_token_hash_portable"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    PortableTokenHash.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.PortableTokenHash.compute($a)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PortableTokenHash = copy(child = newChild)
+}
+
+object PortableTokenHash {
+  def compute(toks: ArrayData): GenericArrayData = {
+    val n = toks.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val str = toks.getUTF8String(i).toString
+      out(i) =
+        if (str.isEmpty) 0L
+        else
+          str.codePointAt(0).toLong * 17161L +
+            str.codePointBefore(str.length).toLong * 131L +
+            str.codePointCount(0, str.length).toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def tokenHashPortable(s: SparkSession, tokens: Column): Column = {
+    TextExprs.register(s)
+    call_function("graft_token_hash_portable", tokens)
+  }
+}
+
 /** All C(k,2) ordered ID pairs of an UNSORTED id array, packed into
   * single longs `(i << 32) | j` with i < j — the narrow-shuffle form
   * of [[PairCombinations]]: the pair-count groupBy keys on ONE long
@@ -529,6 +599,8 @@ object TextExprs {
       exprs => PackedPairs(exprs.head))
     Registration.registerOnce(s, "graft_minhash16_portable",
       exprs => PortableMinHash16(exprs.head))
+    Registration.registerOnce(s, "graft_token_hash_portable",
+      exprs => PortableTokenHash(exprs.head))
     Registration.registerOnce(s, "graft_bigrams",
       exprs => Bigrams(exprs.head))
     Registration.registerOnce(s, "graft_count_in_set",

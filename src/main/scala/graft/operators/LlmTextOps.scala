@@ -644,10 +644,8 @@ object LlmTextOps {
     val sigs = Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))
       .where(size(col("toks")) >= 3)
-      .withColumn("th", expr(
-        """transform(toks, t -> CAST(ascii(t) AS BIGINT) * 17161
-                                + CAST(ascii(reverse(t)) AS BIGINT) * 131
-                                + length(t))"""))
+      .withColumn("th",
+        graft.functions.PortableTokenHash.tokenHashPortable(s, col("toks")))
       .withColumn("sig",
         graft.functions.PortableMinHash16.minhash16Portable(s, col("th")))
       .select(col("doc_id"), col("sig"))
@@ -835,17 +833,14 @@ object LlmTextOps {
     * differing bits touch ≤ 3 chunks).
     */
   def dedupSimhashPortable(s: SparkSession, d: String): DataFrame = {
-    // ascii() is the full code point (to 0x10FFFF): widen to BIGINT
-    // BEFORE the multiply or a supplementary-plane first character
-    // (emoji, CJK-B) overflows 32-bit INT — an ANSI-mode crash in
-    // both engines. Values are unchanged where INT sufficed, so the
-    // golden signature pin still holds.
+    // token hashes via the compiled PortableTokenHash kernel (full
+    // code-point ascii to 0x10FFFF, widened to 64-bit — a
+    // supplementary-plane first char would overflow 32-bit INT under
+    // ANSI in both engines; TextExprsSpec pins byte-equality to the
+    // interpreted transform the oracle still replays)
     val sigs = Tables.documents(s, d)
-      .withColumn("th", expr(
-        """transform(split(text, ' '),
-             t -> CAST(ascii(t) AS BIGINT) * 17161
-                  + CAST(ascii(reverse(t)) AS BIGINT) * 131
-                  + length(t))"""))
+      .withColumn("th", graft.functions.PortableTokenHash
+        .tokenHashPortable(s, split(col("text"), " ")))
       .withColumn("sig",
         graft.functions.PortableSimHash60.simhash60Portable(s, col("th")))
       .select(col("doc_id"), col("sig"))

@@ -281,6 +281,39 @@ class TextExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("PortableTokenHash equals the interpreted ascii/reverse/length chain") {
+    // the SQL formulation both portable-signature rows fed their
+    // kernels before this was compiled (and which the DuckDB oracles
+    // still replay). Adversarial set: empty token, 1-char ASCII,
+    // Latin-1 (é, ÿ), BMP CJK, supplementary-plane emoji (surrogate
+    // pair — code-point ascii, code-point length, code-point-aware
+    // reverse are all load-bearing), mixed-script multi-char tokens
+    val hof = expr(
+      """transform(toks, t -> CAST(ascii(t) AS BIGINT) * 17161
+                              + CAST(ascii(reverse(t)) AS BIGINT) * 131
+                              + length(t))""")
+    val adversarial = Seq(
+      Seq("", "a", "Z", "the", "spark"),
+      Seq("é", "ÿ", "éx", "xé"),
+      Seq("中", "中文", "x中y"),
+      Seq("😀", "😀x", "x😀", "a😀b"),
+      Seq("mixed中é😀", "😀😀😀"))
+    val rnd = new scala.util.Random(29)
+    val vocab = Vector("the", "a", "fox", "é", "中文", "😀ab", "x😀")
+    val rows = adversarial ++ Seq.fill(100)(
+      Seq.fill(1 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))))
+    val both = rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "toks")
+      .select(col("id"),
+        graft.functions.PortableTokenHash
+          .tokenHashPortable(spark, col("toks")).as("native"),
+        hof.as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"id=${r.getLong(0)}")
+    }
+  }
+
   test("IntersectCount equals reference set intersection on random arrays") {
     val rnd = new scala.util.Random(31)
     val cases = Seq(
