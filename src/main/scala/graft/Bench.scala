@@ -73,6 +73,14 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    // SPARK_GRAFT_CONF="k=v,k2=v2" sets session confs before the
+    // sweep — the A/B lever for conf-gated paths (hot-bucket cap,
+    // wide-form probe bypass, ANN index override) without code edits
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").map(_.trim)
+      .filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     // failed queries report -1 and are excluded from the total, so a
     // failure reads as an explicit sentinel instead of skewing the sum
     val results = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -353,6 +353,30 @@ object LlmTextOps {
     */
   private[graft] def nearDupJoinForm(s: SparkSession, d: String,
       pairStreamBudget: Long = NearDupPairStreamBudget): String = {
+    // memoized per (session, canonical corpus dir, budget): the
+    // routing verdict is a property of the corpus, and re-paying the
+    // tokenize+shingle stats scan on every invocation is exactly what
+    // a 100 TB deployment wouldn't do (the needsWideForm cache
+    // posture — a corpus rewritten in place mid-session can yield a
+    // stale form, which only costs the measured wall difference
+    // between two output-identical formulations, never correctness)
+    val key = new java.io.File(d).getCanonicalPath + "#" + pairStreamBudget
+    val per = formCache.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
+    val cached = per.get(key)
+    if (cached != null) return cached
+    val form = nearDupJoinFormUncached(s, d, pairStreamBudget)
+    per.putIfAbsent(key, form)
+    form
+  }
+
+  private val formCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, String]]())
+
+  private def nearDupJoinFormUncached(s: SparkSession, d: String,
+      pairStreamBudget: Long): String = {
     // ONE stats job, not two: the dominant cost is the tokenize +
     // shingle-hash scan feeding the sets, so both routing axes read
     // from a single exploded pass. n̂ (docs) rides an HLL at

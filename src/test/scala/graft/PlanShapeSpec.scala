@@ -282,6 +282,24 @@ class PlanShapeSpec extends AnyFunSuite {
       "df-table join fell back to SMJ:\n" + p.take(2000))
   }
 
+  test("the _served PQ rows plan over the stored index, the plain rows inline") {
+    // the gate rows exist to put the index-served code path under the
+    // oracle — their plans must SCAN the managed gate index (file
+    // sources under graft_ann_gate), while the plain rows with the
+    // conf unset must not touch any index (self-contained inline
+    // training, the Verify posture)
+    for (name <- Seq("similarity_topk_pq_served", "similarity_ivf_pq_served")) {
+      val p = planString(name)
+      assert(p.contains("graft_ann_gate"),
+        s"$name does not read the gate index:\n" + p.take(1500))
+    }
+    for (name <- Seq("similarity_topk_pq", "similarity_ivf_pq")) {
+      val p = planString(name)
+      assert(!p.contains("graft_ann_gate"),
+        s"$name leaked the gate index into the inline path:\n" + p.take(1500))
+    }
+  }
+
   test("mixture_sample: thresholds broadcast, the corpus side never shuffles") {
     val df = SparkEntry.queries("mixture_sample")(spark, sf)
     df.collect()
