@@ -100,6 +100,9 @@ object SparkEntry {
     "train_val_split"     -> (LlmTextOps.trainValSplit _),
     "stratified_sample"   -> (LlmTextOps.stratifiedSample _),
     "mixture_sample"      -> (LlmTextOps.mixtureSample _),
+    "sample_per_source"   -> (LlmTextOps.samplePerSource _),
+    "corpus_shuffle"      -> (LlmTextOps.corpusShuffle _),
+    "importance_weights"  -> (LlmTextOps.importanceWeights _),
     "pack_sequences"      -> (LlmTextOps.packSequences _),
     "decontaminate"       -> (LlmTextOps.decontaminate _),
     "repetition_stats"    -> (LlmTextOps.repetitionStats _),
@@ -107,6 +110,7 @@ object SparkEntry {
     "dedup_chunks"        -> (LlmTextOps.dedupChunks _),
     "bigram_novelty"      -> (LlmTextOps.bigramNovelty _),
     "similarity_topk"     -> (LlmVectorOps.similarityTopk _),
+    "knn_label"           -> (LlmVectorOps.knnLabel _),
     "similarity_topk_q8"  -> (LlmVectorOps.similarityTopkQ8 _),
     "embed_quantize"      -> (LlmVectorOps.embedQuantize _),
     "similarity_lsh"      -> (LlmVectorOps.similarityLsh _),
@@ -1002,6 +1006,43 @@ object SparkEntry {
                 array_to_string(toks[s+1 : least(s+32, len(toks))], ' ')
                   AS chunk_text
          FROM st ORDER BY doc_id, chunk_idx""",
+    "sample_per_source" ->
+      """WITH t AS (SELECT source, doc_id,
+                ((doc_id % 1000000007) * 3266489917) % 1000000007 AS h
+              FROM documents),
+         r AS (SELECT source, doc_id, h,
+                CAST(ROW_NUMBER() OVER (PARTITION BY source
+                  ORDER BY h ASC, doc_id ASC) AS INTEGER) AS rank
+              FROM t)
+         SELECT source, rank, doc_id, h FROM r
+         WHERE rank <= 20 ORDER BY source, rank""",
+    "corpus_shuffle" ->
+      """WITH t AS (SELECT doc_id,
+                ((doc_id % 1000000007) * 668265263) % 1000000007 AS h
+              FROM documents)
+         SELECT doc_id, h,
+                CAST(ROW_NUMBER() OVER (ORDER BY h ASC, doc_id ASC) - 1
+                     AS BIGINT) AS pos
+         FROM t ORDER BY pos""",
+    "importance_weights" ->
+      """WITH b AS (SELECT doc_id, source,
+                unnest(list_distinct([toks[i] || ' ' || toks[i+1]
+                  for i in range(1, len(toks))])) AS bg
+           FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+                 FROM documents)
+           WHERE len(toks) >= 2),
+         dfq AS (SELECT bg, COUNT(*) AS df_all,
+                CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS df_target
+              FROM b GROUP BY 1)
+         SELECT doc_id, COUNT(*) AS n_bigrams,
+                CAST(SUM(df_target) AS BIGINT) AS sum_target_df,
+                CAST(SUM(df_all) AS BIGINT) AS sum_df,
+                floor((CAST(SUM(df_target) AS DOUBLE)
+                       / CAST(SUM(df_all) AS DOUBLE)) * 1000000 + 0.5)
+                  / 1000000 AS weight
+         FROM b JOIN dfq USING (bg)
+         GROUP BY 1 ORDER BY 1""",
     "bigram_novelty" ->
       """WITH b AS (SELECT doc_id,
                 unnest(list_distinct([toks[i] || ' ' || toks[i+1]
@@ -1058,6 +1099,32 @@ object SparkEntry {
                     FROM pairs)
          SELECT probe_id, rank, vec_id, score FROM ranked
          WHERE rank <= 10 ORDER BY probe_id, rank""",
+    "knn_label" ->
+      """WITH probes AS (SELECT vec_id AS probe_id, embedding AS probe_emb,
+                                label AS true_label
+                         FROM embeddings WHERE vec_id < 5),
+         pairs AS (
+           SELECT probe_id, true_label, vec_id, label,
+                  floor((list_aggregate([CAST(probe_emb[i] AS DOUBLE)
+                          * CAST(embedding[i] AS DOUBLE)
+                          for i in range(1, len(probe_emb) + 1)], 'sum')
+                    / (sqrt(list_aggregate([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                             for x in probe_emb], 'sum'))
+                       * sqrt(list_aggregate([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                              for x in embedding], 'sum')))) * 1000000 + 0.5) / 1000000 AS score
+           FROM embeddings, probes WHERE vec_id <> probe_id),
+         ranked AS (SELECT probe_id, true_label, vec_id, label, score,
+                  ROW_NUMBER() OVER (PARTITION BY probe_id
+                    ORDER BY score DESC, vec_id ASC) AS rank
+                    FROM pairs),
+         votes AS (SELECT probe_id, true_label, label, COUNT(*) AS votes
+                   FROM ranked WHERE rank <= 10 GROUP BY 1, 2, 3),
+         win AS (SELECT probe_id, true_label, label, votes,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                     ORDER BY votes DESC, label ASC) AS r
+                 FROM votes)
+         SELECT probe_id, true_label, label AS predicted_label, votes
+         FROM win WHERE r = 1 ORDER BY probe_id""",
     // int8 quantization twins: scale = 127/max|x|, q_i =
     // floor(x_i*scale + 0.5) — the identical IEEE op sequence as the
     // engine (see Determinism.r6), and every q_i is integral so all

@@ -1161,6 +1161,112 @@ object LlmTextOps {
       .orderBy("doc_id")
   }
 
+  /** `sample_per_source` — deterministic k-per-group uniform sample
+    * (the distributed reservoir: rank every document by a portable
+    * hash and keep each source's k smallest). Classic reservoir
+    * sampling is sequential; the order-free reformulation — k
+    * minimal hash ranks — is what distributes: the bounded
+    * `graft_topk` aggregate carries an O(k) buffer through every
+    * map-side partial and merge, so the exchange moves one ≤k-entry
+    * state per (partition, source) no matter the corpus size, where
+    * a window row_number would shuffle and sort every row. Hash
+    * multiplier 3266489917 (xxHash prime 3) decorrelates the rank
+    * stream from [[trainValSplit]] (2654435761) and
+    * [[stratifiedSample]] (2246822519) over the same ids, so the
+    * sample composes with both without bias; mod-P-first keeps
+    * products < 2⁶³. Append-stable in the reservoir sense: a new
+    * document displaces at most the current max rank, never
+    * reshuffles the whole sample.
+    */
+  def samplePerSource(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("h",
+        (col("doc_id") % lit(1000000007L)) * lit(3266489917L)
+          % lit(1000000007L))
+      .groupBy(col("source"))
+      // negate: topk keeps (score desc, id asc) = (h asc, doc_id asc);
+      // h < 2³⁰ round-trips the double score exactly
+      .agg(graft.functions.TopKAgg.topk(s,
+        -col("h").cast("double"), col("doc_id"), 20).as("tk"))
+      .select(col("source"), posexplode(col("tk")).as(Seq("r", "e")))
+      .select(col("source"), (col("r") + 1).cast("int").as("rank"),
+        col("e.vec_id").as("doc_id"),
+        (-col("e.score")).cast("long").as("h"))
+      .orderBy("source", "rank")
+
+  /** `corpus_shuffle` — global training-order assignment: every
+    * document gets a unique position `pos` in the deterministic
+    * pseudo-random permutation ordered by (portable hash, doc_id).
+    * Pretraining needs the corpus globally shuffled, but a global
+    * `row_number` is a single-partition sort — the one shape that
+    * cannot scale. Instead the hash space is cut into fixed RANGES
+    * (order-preserving, and uniform because the hash is): positions
+    * are `bucket offset + within-bucket rank`, where the offsets come
+    * from one 64-row count aggregate prefix-summed and broadcast
+    * back, and the within-bucket ranks from a window partitioned by
+    * bucket — ONE data shuffle (the range partitioning itself), with
+    * per-partition sorts, exactly how a 100 TB sort distributes. The
+    * oracle is the naive global row_number, which is what proves the
+    * two-phase decomposition exact.
+    */
+  def corpusShuffle(s: SparkSession, d: String): DataFrame = {
+    val p = 1000000007L
+    val width = 15625001L // ceil(P / 64) — 64 order-preserving ranges
+    val hashed = Tables.documents(s, d)
+      .select(col("doc_id"),
+        ((col("doc_id") % lit(p)) * lit(668265263L) % lit(p)).as("h"))
+      .withColumn("bucket", expr(s"h DIV $width"))
+    val offsets = hashed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      // 64 rows: the unpartitioned window is driver-scale by design
+      .withColumn("offset", coalesce(
+        sum(col("cnt")).over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    val wb = Window.partitionBy("bucket")
+      .orderBy(col("h").asc, col("doc_id").asc)
+    hashed.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("pos", col("offset") + row_number().over(wb) - 1L)
+      .select(col("doc_id"), col("h"), col("pos"))
+      .orderBy("pos")
+  }
+
+  /** `importance_weights` — n-gram importance weighting for targeted
+    * data selection (the DSIR idea — Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling" — in rational
+    * form): score each document by how much its bigram mass comes
+    * from a target slice (here source `src0`, standing in for the
+    * high-quality target distribution). weight =
+    * Σ df_target / Σ df_corpus over the doc's distinct bigrams —
+    * integer document-frequency sums and ONE double division
+    * (IEEE-exact both engines) instead of the textbook log-likelihood
+    * ratio, the same no-transcendentals portability rule as
+    * `tfidf_top_terms` and `bigram_novelty`. Scale shape: both df
+    * counters ride one conditional aggregate over one bigram-keyed
+    * shuffle (the corpus never moves twice), df table re-joined on
+    * the same key — identical plan to `bigram_novelty`, which holds
+    * linear through the measured decades.
+    */
+  def importanceWeights(s: SparkSession, d: String): DataFrame = {
+    val bg = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("source"), explode(
+        graft.functions.Bigrams.bigrams(s, col("toks"))).as("bg"))
+    val dfTable = bg.groupBy(col("bg")).agg(
+      count(lit(1)).as("df_all"),
+      sum(when(col("source") === "src0", 1L).otherwise(0L)).as("df_target"))
+    bg.join(dfTable, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("df_target")).as("sum_target_df"),
+        sum(col("df_all")).as("sum_df"),
+        r6(sum(col("df_target")).cast("double")
+          / sum(col("df_all")).cast("double")).as("weight"))
+      .orderBy("doc_id")
+  }
+
   /** `pack_sequences` — token-budget sequence packing (the batch
     * shaping pass of LLM pretraining): stream docs per lang in doc_id
     * order, accumulate token counts, and cut a new pack every 512

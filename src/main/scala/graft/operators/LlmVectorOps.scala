@@ -65,6 +65,46 @@ object LlmVectorOps {
       .orderBy("probe_id", "rank")
   }
 
+  /** `knn_label` — k-nearest-neighbor majority-vote classification
+    * over the embedding space: each probe takes the modal `label`
+    * of its 10 exact-cosine nearest neighbors (vote ties break to
+    * the smaller label, neighbor-rank ties to the smaller vec_id —
+    * total order, so the prediction is deterministic). This is the
+    * label-propagation pass of training-data curation: spread a
+    * small set of human labels (quality tiers, domains, topics)
+    * onto unlabeled corpus members by embedding proximity. Scale
+    * shape: identical to [[similarityTopk]] (broadcast probes, one
+    * corpus scan, per-probe bounded rank) plus two tiny aggregates
+    * over ≤ 10·|probes| vote rows — the neighbor search dominates,
+    * and swapping in any ANN row above (IVF-PQ at 100 TB) keeps the
+    * voting tail unchanged.
+    */
+  def knnLabel(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
+    val probes = e.where(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+        col("norm").as("probe_norm"), col("label").as("true_label"))
+    val pairs = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("score", r6(
+        VectorExprs.dot(s, col("probe_emb"), col("embedding"))
+          / (col("probe_norm") * col("norm"))))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val votes = pairs
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 10)
+      .groupBy(col("probe_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val wv = Window.partitionBy("probe_id")
+      .orderBy(col("votes").desc, col("label").asc)
+    votes
+      .withColumn("r", row_number().over(wv))
+      .where(col("r") === 1)
+      .select(col("probe_id"), col("true_label"),
+        col("label").as("predicted_label"), col("votes"))
+      .orderBy("probe_id")
+  }
+
   /** `similarity_lsh` — random-hyperplane LSH-bucketed ANN.
     * Signature = sign bits of the projection onto deterministic
     * pseudo-random hyperplanes; candidates share a signature bucket
