@@ -22,16 +22,25 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
 
-  /** `events.ts` is TIMESTAMP(NANOS) in the parquet footer, which
-    * Spark's reader rejects. Read it as raw INT64 nanos (legacy conf)
-    * and truncate to µs — exactly what DuckDB does when it casts the
-    * same column to its µs TIMESTAMP, so the oracle agrees.
+  /** `events.ts` arrives in one of two physical layouts depending on
+    * the testdata generator vintage: TIMESTAMP(NANOS) footers (which
+    * Spark's reader rejects — read as raw INT64 nanos via the legacy
+    * conf and truncate to µs) or plain µs timestamps (which Spark
+    * reads as TIMESTAMP_NTZ). Both normalize here to the session
+    * (UTC) TIMESTAMP, the µs precision DuckDB's TIMESTAMP carries —
+    * so every operator and every oracle sees one `ts` type no matter
+    * which footer the corpus was written with.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts").cast("timestamp")
+    }
+    raw.withColumn("ts", ts)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
