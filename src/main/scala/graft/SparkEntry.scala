@@ -70,6 +70,7 @@ object SparkEntry {
     "corr_matrix"              -> (AnalyticOps.corrMatrix _),
     "top_docs_per_lang"        -> (AnalyticOps.topDocsPerLang _),
     "value_anomalies"          -> (AnalyticOps.valueAnomalies _),
+    "winsorized_stats"         -> (AnalyticOps.winsorizedStats _),
     "lineitem_unpivot"         -> (AnalyticOps.lineitemUnpivot _),
     // E16–E21 + LLM-pipeline surface
     "sessionize"          -> (LlmTextOps.sessionize _),
@@ -108,6 +109,7 @@ object SparkEntry {
     "repetition_stats"    -> (LlmTextOps.repetitionStats _),
     "chunk_documents"     -> (LlmTextOps.chunkDocuments _),
     "dedup_chunks"        -> (LlmTextOps.dedupChunks _),
+    "duplicate_passages"  -> (LlmTextOps.duplicatePassages _),
     "bigram_novelty"      -> (LlmTextOps.bigramNovelty _),
     "similarity_topk"     -> (LlmVectorOps.similarityTopk _),
     "knn_label"           -> (LlmVectorOps.knnLabel _),
@@ -125,6 +127,7 @@ object SparkEntry {
     "similarity_topk_pq_served" -> (LlmVectorOps.similarityTopkPqServed _),
     "similarity_ivf_pq_served"  -> (LlmVectorOps.similarityIvfPqServed _),
     "dedup_embed"         -> (LlmVectorOps.dedupEmbed _),
+    "dedup_embed_ann"     -> (LlmVectorOps.dedupEmbedAnn _),
     "embed_gram"          -> (LlmVectorOps.embedGram _),
     "embed_pca_project"   -> (LlmVectorOps.embedPcaProject _),
     "dedup_embed_blocked" -> (LlmVectorOps.dedupEmbedBlocked _),
@@ -517,6 +520,42 @@ object SparkEntry {
          SELECT event_id, event_type, value,
                 floor(zr * 1000000 + 0.5) / 1000000 AS z
          FROM z WHERE abs(zr) > 3 ORDER BY event_id""",
+    // winsorization: bounds r6-rounded BEFORE use (both engines hold
+    // identical doubles), mid-mass in exact DECIMAL, tails as the
+    // closed-form n_low*p05 / n_high*p95 terms in a fixed op order —
+    // the Spark side mirrors this expression shape token for token
+    "winsorized_stats" ->
+      """WITH bounds AS (SELECT event_type,
+                floor((quantile_cont(value, 0.05)) * 1000000 + 0.5) / 1000000
+                  AS p05,
+                floor((quantile_cont(value, 0.95)) * 1000000 + 0.5) / 1000000
+                  AS p95
+              FROM events GROUP BY 1),
+         agg AS (SELECT e.event_type,
+                COUNT(*) AS n,
+                CAST(SUM(CASE WHEN value < p05 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_low,
+                CAST(SUM(CASE WHEN value > p95 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_high,
+                CAST(CAST(SUM(CASE WHEN value >= p05 AND value <= p95
+                          THEN CAST(value AS DECIMAL(16,2)) END)
+                     AS DECIMAL(16,2)) AS DOUBLE) AS sum_mid,
+                CAST(CAST(SUM(CASE WHEN value >= p05 AND value <= p95
+                          THEN CAST(value AS DECIMAL(16,2))
+                               * CAST(value AS DECIMAL(16,2)) END)
+                     AS DECIMAL(22,4)) AS DOUBLE) AS ssq_mid,
+                MAX(p05) AS p05, MAX(p95) AS p95
+              FROM events e JOIN bounds USING (event_type) GROUP BY 1),
+         fin AS (SELECT event_type, n, n_low, n_high, p05, p95,
+                (sum_mid + n_low * p05 + n_high * p95) / n AS mean_raw,
+                ssq_mid + n_low * (p05 * p05) + n_high * (p95 * p95) AS ssq_w
+              FROM agg)
+         SELECT event_type, n, n_low, n_high, p05, p95,
+                floor(mean_raw * 1000000 + 0.5) / 1000000 AS mean_w,
+                floor((sqrt(greatest(
+                    (ssq_w - n * mean_raw * mean_raw) / (n - 1), 0.0)))
+                  * 1000000 + 0.5) / 1000000 AS sd_w
+         FROM fin ORDER BY event_type""",
     "top_docs_per_lang" ->
       """SELECT lang, CAST(rk AS INTEGER) AS rank, doc_id, n_chars FROM (
            SELECT lang, doc_id, n_chars,
@@ -1073,6 +1112,33 @@ object SparkEntry {
                      AS BIGINT) AS n_dup_chunks
          FROM ch JOIN keeper USING (ct)
          GROUP BY 1 ORDER BY 1""",
+    // replays the portable token-hash chain and the 8-token
+    // polynomial fold from raw text — same dialect as the
+    // dedup_minhash_portable oracle, one window granularity up
+    "duplicate_passages" ->
+      """WITH docs AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           WHERE len(string_split(text, ' ')) >= 8),
+         th AS (SELECT doc_id,
+                  [CAST(ascii(t) AS BIGINT) * 17161
+                   + CAST(ascii(reverse(t)) AS BIGINT) * 131
+                   + length(t) for t in toks] AS th FROM docs),
+         shp AS (SELECT doc_id, unnest(
+                  [list_reduce(list_prepend(0::BIGINT, th[i : i + 7]),
+                     (acc, v) -> (acc * 131 + v) % 1000000000000037)
+                   for i in range(1, len(th) - 6)]) AS sh FROM th),
+         per_doc AS (SELECT doc_id, sh, COUNT(*) AS n_pos
+                     FROM shp GROUP BY 1, 2),
+         df AS (SELECT sh, COUNT(*) AS n_docs FROM per_doc GROUP BY 1),
+         agg AS (SELECT p.doc_id,
+                  CAST(SUM(p.n_pos) AS BIGINT) AS n_windows,
+                  CAST(SUM(CASE WHEN d.n_docs >= 2 THEN p.n_pos ELSE 0 END)
+                       AS BIGINT) AS n_shared
+                 FROM per_doc p JOIN df d USING (sh) GROUP BY 1)
+         SELECT doc_id, n_windows, n_shared,
+                floor((CAST(n_shared AS DOUBLE) / n_windows) * 1000000 + 0.5)
+                  / 1000000 AS shared_frac
+         FROM agg ORDER BY doc_id""",
     "doc_fingerprint" ->
       """SELECT doc_id,
                 list_reduce(list_prepend(0::BIGINT,
@@ -1277,6 +1343,7 @@ object SparkEntry {
     // bucket keys, candidate joins, and re-scores bit-for-bit
     "similarity_lsh" -> LlmVectorOps.lshOracleSql,
     "dedup_embed_blocked" -> LlmVectorOps.dedupEmbedBlockedOracleSql,
+    "dedup_embed_ann" -> LlmVectorOps.dedupEmbedAnnOracleSql,
     "similarity_ivf" -> LlmVectorOps.ivfOracleSql,
     "similarity_ivf_trained" -> LlmVectorOps.ivfTrainedOracleSql,
     "similarity_topk_pq" -> LlmVectorOps.topkPqOracleSql,

@@ -323,4 +323,71 @@ object AnalyticOps {
       .select(col("kv.col_a"), col("kv.col_b"), col("kv.corr"))
       .orderBy("col_a", "col_b")
   }
+
+  /** `winsorized_stats` — robust per-type moments with the tails
+    * clamped to the exact interpolated [p05, p95] bounds
+    * (winsorization: tail rows are KEPT at the bound, unlike a
+    * trimmed mean which drops them — n never changes, so the
+    * statistic stays comparable across groups with different outlier
+    * mass). The recipe keeps every step engine-portable:
+    *
+    *  - bounds are the exact interpolated percentiles ROUNDED to the
+    *    shared 6-dp grid (`r6`) before any downstream use — the same
+    *    arithmetic `value_percentiles` hash-gates, so both engines
+    *    hold bit-identical bound doubles and every comparison /
+    *    product below is over identical inputs;
+    *  - the untouched mid-mass is summed in DECIMAL (exact,
+    *    order-free — the [[graft.engine.Determinism.muSigma]]
+    *    posture), while the clamped tails contribute the closed-form
+    *    terms n_low·p05 and n_high·p95: three IEEE ops in a fixed
+    *    written order instead of a shuffle-order-dependent double
+    *    fold, so the winsorized mean/σ are deterministic cross-engine
+    *    without weakening to an approximate gate.
+    *
+    * Scale shape: one groupBy for bounds (5 groups, broadcast back),
+    * one aggregation pass for the moments — no window, no sort of the
+    * full data beyond `percentile`'s internal per-group sort (whose
+    * scale path is `value_percentiles_sampled`'s hash-sample dial).
+    * Reference analog: the robust-stats companion to `value_stats` /
+    * `value_anomalies` (dataCollector.py:83-118's min/max/avg row).
+    */
+  def winsorizedStats(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ev = Tables.events(s, d)
+    val bounds = ev.groupBy(col("event_type")).agg(
+      r6(expr("percentile(value, 0.05)")).as("p05"),
+      r6(expr("percentile(value, 0.95)")).as("p95"))
+    val dec = col("value").cast(DecimalType(16, 2))
+    val mid = col("value") >= col("p05") && col("value") <= col("p95")
+    val agg = ev.join(broadcast(bounds), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value") < col("p05"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("value") > col("p95"), 1L).otherwise(0L)).as("n_high"),
+        sum(when(mid, dec)).cast("double").as("sum_mid"),
+        sum(when(mid, (dec * dec).cast(DecimalType(22, 4))))
+          .cast("double").as("ssq_mid"),
+        max(col("p05")).as("p05"),
+        max(col("p95")).as("p95"))
+      // mean computed ONCE and reused — the oracle mirrors the same
+      // shape so the variance sees the identical mean double
+      .withColumn("mean_raw",
+        (col("sum_mid") + col("n_low") * col("p05")
+          + col("n_high") * col("p95")) / col("n"))
+      .withColumn("ssq_w",
+        col("ssq_mid") + col("n_low") * (col("p05") * col("p05"))
+          + col("n_high") * (col("p95") * col("p95")))
+    agg.select(
+      col("event_type"), col("n"), col("n_low"), col("n_high"),
+      col("p05"), col("p95"),
+      r6(col("mean_raw")).as("mean_w"),
+      // greatest(..,0): the ssq−n·µ² form can round a hair negative
+      // on near-constant groups; Spark would emit NaN while DuckDB
+      // ERRORS on sqrt(negative) — clamp identically in both engines
+      r6(sqrt(greatest(
+        (col("ssq_w") - col("n") * col("mean_raw") * col("mean_raw"))
+          / (col("n") - 1), lit(0.0)))).as("sd_w"))
+      .orderBy("event_type")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1136,6 +1136,20 @@ object LlmTextOps {
     */
   def mixtureSample(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    docs.join(broadcast(mixtureThresholds(docs)), Seq("source"))
+      .where(mixtureMember(col("doc_id"), col("ht")))
+      .select(col("doc_id"), col("source"), col("n_s"), col("p_s"))
+      .orderBy("doc_id")
+  }
+
+  /** The per-source threshold table (source, n_s, p_s, ht) behind
+    * [[mixtureSample]] — factored out so S12
+    * [[graft.streaming.StreamingMixture]] applies the IDENTICAL
+    * weights to an arriving stream (the two gates must agree on what
+    * the mixture is, the `GramHashExpr` sharing rule). Driver-small:
+    * one row per source.
+    */
+  private[graft] def mixtureThresholds(docs: DataFrame): DataFrame = {
     val counts = docs.groupBy("source")
       .agg(count(lit(1)).as("n_s"))
     // z = Σ√n_s on the 2⁻²⁰ grid: a plain double sum would fold in
@@ -1145,7 +1159,7 @@ object LlmTextOps {
       sum(col("n_s")).as("n"),
       (sum(floor(sqrt(col("n_s").cast("double")) * lit(1048576.0) + 0.5)
         .cast("long")).cast("double") / lit(1048576.0)).as("z"))
-    val thresh = counts.crossJoin(broadcast(totals))
+    counts.crossJoin(broadcast(totals))
       .withColumn("p_s", least(lit(1.0),
         lit(0.5) * col("n").cast("double") / col("z")
           / sqrt(col("n_s").cast("double"))))
@@ -1153,13 +1167,18 @@ object LlmTextOps {
         .cast("long"))
       .select(col("source"), col("n_s"), r6(col("p_s")).as("p_s"),
         col("ht"))
-    docs.join(broadcast(thresh), Seq("source"))
-      .where(pmod(pmod(col("doc_id"), lit(1048573L)) * lit(2654435761L)
-        + pmod(col("doc_id"), lit(8191L)) * lit(131L),
-        lit(2147483648L)) < col("ht"))
-      .select(col("doc_id"), col("source"), col("n_s"), col("p_s"))
-      .orderBy("doc_id")
   }
+
+  /** The append-stable membership cut shared by the batch and
+    * streaming mixture gates: modular hash of the id against the
+    * integer threshold ⌊p_s·2³¹⌉. A document's verdict is a pure
+    * function of (id, source threshold) — re-ingesting it, replaying
+    * a micro-batch, or growing the corpus never flips it.
+    */
+  private[graft] def mixtureMember(id: Column, ht: Column): Column =
+    pmod(pmod(id, lit(1048573L)) * lit(2654435761L)
+      + pmod(id, lit(8191L)) * lit(131L),
+      lit(2147483648L)) < ht
 
   /** `sample_per_source` — deterministic k-per-group uniform sample
     * (the distributed reservoir: rank every document by a portable
@@ -1547,6 +1566,62 @@ object LlmTextOps {
       .agg(
         count(lit(1)).as("n_chunks"),
         sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_chunks"))
+      .orderBy("doc_id")
+  }
+
+  /** Modulus for the 8-token passage-shingle polynomial fold: the
+    * running value stays < 10¹⁵+37, so each `acc·131 + th` step peaks
+    * at ~1.3·10¹⁷ + 1.9·10¹⁰ — comfortably inside 2⁶³ under ANSI
+    * mode, and identical arithmetic in DuckDB's BIGINT. */
+  private val passageMod = 1000000000000037L
+
+  /** `duplicate_passages` — per-document CROSS-corpus passage
+    * duplication profile (the Lee et al. "Deduplicating Training
+    * Data Makes Language Models Better" diagnostic): for every
+    * 8-token window, does that exact passage occur in any OTHER
+    * document? Reports, per doc, the window count, how many windows
+    * are shared, and the shared fraction — the statistic an exact
+    * substring-dedup pass cuts on. Complements the whole-doc and
+    * chunk granularities (`dedup_exact`, `dedup_chunks`): a boilerplate
+    * header repeated across thousands of crawl pages shows up here
+    * long before whole documents or 200-char chunks collide.
+    * Intra-doc repetition deliberately does NOT count (that is
+    * `repetition_stats`' job): a window's occurrences across
+    * DISTINCT docs must be ≥ 2.
+    *
+    * Scale shape: windows reduce to an 8-token polynomial hash over
+    * the portable token-hash chain ([[graft.functions.PortableTokenHash]]
+    * — the compiled kernel both portable LSH rows ride), so nothing
+    * wider than (doc_id, 8-byte key) crosses an exchange: one
+    * map-side-combined groupBy on (doc_id, key), one df count on key
+    * reusing the same hash partitioning, one groupBy back on doc_id.
+    * The DuckDB oracle replays the full hash arithmetic from raw
+    * text, so the row hash-gates like the other portable-family ops.
+    */
+  def duplicatePassages(s: SparkSession, d: String): DataFrame = {
+    val shp = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= 8)
+      .withColumn("th",
+        graft.functions.PortableTokenHash.tokenHashPortable(s, col("toks")))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(th) - 7),
+              i -> aggregate(slice(th, i, 8), 0L,
+                (acc, v) -> (acc * 131 + v) % ${passageMod}L))"""))
+        .as("sh"))
+    val perDoc = shp.groupBy(col("doc_id"), col("sh"))
+      .agg(count(lit(1)).as("n_pos"))
+    val docsPerSh = perDoc.groupBy(col("sh"))
+      .agg(count(lit(1)).as("n_docs"))
+    perDoc.join(docsPerSh, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n_pos")).as("n_windows"),
+        sum(when(col("n_docs") >= 2, col("n_pos")).otherwise(0L))
+          .as("n_shared"))
+      .select(col("doc_id"), col("n_windows"), col("n_shared"),
+        r6(col("n_shared").cast("double") / col("n_windows"))
+          .as("shared_frac"))
       .orderBy("doc_id")
   }
 }

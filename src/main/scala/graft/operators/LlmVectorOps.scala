@@ -295,6 +295,43 @@ object LlmVectorOps {
          SELECT probe_id, rank, vec_id, score FROM ranked
          WHERE rank <= 10 ORDER BY probe_id, rank"""
 
+  /** The DuckDB oracle for `dedup_embed_ann`: the same seed
+    * codebook + keep-1 assignment CTEs as [[ivfOracleSql]], then the
+    * within-list self-join and the exact r6 cosine cut. Constants
+    * come from the shared named vals, so the Spark side and this SQL
+    * cannot drift.
+    */
+  private[graft] def dedupEmbedAnnOracleSql: String =
+    s"""WITH base AS (SELECT vec_id, embedding,
+                  sqrt(list_aggregate([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                         for x in embedding], 'sum')) AS norm
+                FROM embeddings),
+         cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb,
+                          norm AS cent_norm
+                   FROM base WHERE vec_id % $ivfStride = 0),
+         sims AS (SELECT b.vec_id, c.cent_id,
+                  list_aggregate([CAST(b.embedding[i] AS DOUBLE)
+                       * CAST(c.cent_emb[i] AS DOUBLE)
+                       for i in range(1, len(b.embedding) + 1)], 'sum')
+                    / (b.norm * c.cent_norm) AS cent_sim
+                  FROM base b CROSS JOIN cents c),
+         ranked_c AS (SELECT vec_id, cent_id,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY cent_sim DESC, cent_id ASC) AS r FROM sims),
+         corpus AS (SELECT vec_id, cent_id FROM ranked_c WHERE r = 1),
+         pairs AS (SELECT x.vec_id AS i, y.vec_id AS j,
+                  floor((list_aggregate([CAST(bi.embedding[p] AS DOUBLE)
+                           * CAST(bj.embedding[p] AS DOUBLE)
+                           for p in range(1, len(bi.embedding) + 1)], 'sum')
+                    / (bi.norm * bj.norm)) * 1000000 + 0.5) / 1000000
+                    AS cos_sim
+                  FROM corpus x JOIN corpus y
+                    ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id
+                  JOIN base bi ON bi.vec_id = x.vec_id
+                  JOIN base bj ON bj.vec_id = y.vec_id)
+         SELECT i, j, cos_sim FROM pairs
+         WHERE cos_sim >= 0.4 ORDER BY i, j"""
+
   /** One Lloyd round as DuckDB CTEs: keep-1 assignment against
     * `inCte`, fixed-point member means per (centroid, pos), rebuilt
     * centroid lists with zero-norm drop — the SQL transliteration of
@@ -817,6 +854,44 @@ object LlmVectorOps {
     val b = e.select(col("vec_id").as("j"), col("embedding").as("emb_j"),
       col("norm").as("norm_j"))
     a.join(b, col("i") < col("j"))
+      .withColumn("cos_sim", r6(
+        VectorExprs.dot(s, col("emb_i"), col("emb_j"))
+          / (col("norm_i") * col("norm_j"))))
+      .where(col("cos_sim") >= 0.4)
+      .select("i", "j", "cos_sim")
+      .orderBy("i", "j")
+  }
+
+  /** `dedup_embed_ann` — embedding near-dup with the candidate set
+    * blocked by the IVF coarse quantizer instead of random planes:
+    * every vector is assigned to its nearest seed centroid (keep=1,
+    * the same inverted-list build `similarity_ivf` serves from) and
+    * pairs are generated only WITHIN a list, then cut by the same
+    * exact cosine ≥ 0.4 the brute-force row uses. This is the third
+    * blocking family for semantic dedup beside `dedup_embed`
+    * (all-pairs truth) and `dedup_embed_blocked` (random-hyperplane
+    * LSH): data-adaptive lists concentrate near-dups into the same
+    * block wherever the corpus clusters, where oblivious planes split
+    * boundary-straddling pairs — the trade AnnQualitySpec measures as
+    * pair recall against the exact row.
+    *
+    * Scale shape: one broadcast codebook pass (k ≈ n/stride rows),
+    * one shuffle on cent_id, quadratic only within a list (mean list
+    * size ≈ stride, so pair work is n·stride/2, not n²/2). Every
+    * step is deterministic — seed centroids are a fixed stride, the
+    * keep-1 argmax breaks ties on cent_id — so the approximate
+    * operator has an exact output the DuckDB oracle
+    * ([[dedupEmbedAnnOracleSql]]) replays bit-for-bit.
+    */
+  def dedupEmbedAnn(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
+    val corpus = assignToCentroids(s, e, seedCentroids(e), keep = 1)
+    val a = corpus.select(col("cent_id"), col("vec_id").as("i"),
+      col("embedding").as("emb_i"), col("norm").as("norm_i"))
+    val b = corpus.select(col("cent_id"), col("vec_id").as("j"),
+      col("embedding").as("emb_j"), col("norm").as("norm_j"))
+    a.join(b, Seq("cent_id"))
+      .where(col("i") < col("j"))
       .withColumn("cos_sim", r6(
         VectorExprs.dot(s, col("emb_i"), col("emb_j"))
           / (col("norm_i") * col("norm_j"))))

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AnalyticOps, LlmTextOps, LlmVectorOps}
+
+/** Round-7 additions: winsorized moments, cross-doc passage
+  * duplication, and IVF-blocked embedding dedup — each new scalable
+  * formulation pinned to a naive twin, plus the semantic edges the
+  * oracle can't see (intra-doc passages, blocking recall).
+  */
+class RobustOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("winsorized_stats == the naive clamp-then-aggregate twin") {
+    val s = spark
+    val got = AnalyticOps.winsorizedStats(s, TestSpark.sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    // naive: materialize the clamped column and aggregate doubles
+    // directly — same bounds arithmetic (r6'd exact percentiles), so
+    // count fields must be EXACT and the float fields agree to well
+    // under the 6-dp grid (decimal-vs-double ordering noise only)
+    val ev = graft.engine.Tables.events(s, TestSpark.sf0001)
+    val bounds = ev.groupBy(col("event_type")).agg(
+      graft.engine.Determinism.r6(expr("percentile(value, 0.05)")).as("p05"),
+      graft.engine.Determinism.r6(expr("percentile(value, 0.95)")).as("p95"))
+    val want = ev.join(broadcast(bounds), Seq("event_type"))
+      .withColumn("w", least(greatest(col("value"), col("p05")), col("p95")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < col("p05"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("value") > col("p95"), 1L).otherwise(0L)).as("n_high"),
+        max(col("p05")).as("p05"), max(col("p95")).as("p95"),
+        avg(col("w")).as("mean_w"),
+        stddev_samp(col("w")).as("sd_w"))
+      .orderBy("event_type")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2 && g._3 == w._3 && g._4 == w._4,
+        s"count fields: $g vs $w")
+      assert(g._5 == w._5 && g._6 == w._6, s"bounds: $g vs $w")
+      assert(math.abs(g._7 - w._7) < 1e-6, s"mean_w: $g vs $w")
+      assert(math.abs(g._8 - w._8) < 1e-6, s"sd_w: $g vs $w")
+    }
+    // winsorization properties: ~5% in each tail, robust sd ≤ raw sd,
+    // mean inside the clamp interval
+    val rawSd = ev.groupBy(col("event_type"))
+      .agg(stddev_samp(col("value")).as("sd")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    got.foreach { case (et, n, nLow, nHigh, p05, p95, meanW, sdW) =>
+      assert(nLow <= n * 0.06 && nHigh <= n * 0.06, s"$et tails too fat")
+      assert(nLow >= n * 0.03 && nHigh >= n * 0.03, s"$et tails too thin")
+      assert(sdW < rawSd(et), s"$et winsorized sd must shrink")
+      assert(meanW >= p05 && meanW <= p95, s"$et mean outside clamp")
+    }
+  }
+
+  test("duplicate_passages == the string-shingle twin (hash fold is faithful)") {
+    val s = spark
+    val got = LlmTextOps.duplicatePassages(s, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // naive twin over raw 8-token STRING windows — verifies the
+    // polynomial fold introduced no collisions on this corpus and
+    // the window/count bookkeeping is right
+    val shp = graft.engine.Tables.documents(s, TestSpark.sf0001)
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(toks) - 8),
+             i -> array_join(slice(toks, i + 1, 8), ' '))""")).as("sh"))
+    val perDoc = shp.groupBy("doc_id", "sh").agg(count(lit(1)).as("n_pos"))
+    val dfTab = perDoc.groupBy("sh").agg(count(lit(1)).as("n_docs"))
+    val want = perDoc.join(dfTab, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(sum(col("n_pos")).as("n_windows"),
+        sum(when(col("n_docs") >= 2, col("n_pos")).otherwise(0L))
+          .as("n_shared"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet == want.toSet)
+    assert(got.exists(_._3 > 0), "corpus has near-dups; some doc must share")
+    assert(got.exists(_._3 == 0), "some doc must be fully novel")
+  }
+
+  test("duplicate_passages counts CROSS-doc sharing only, >=8-token docs only") {
+    val s = spark
+    val tmp = java.nio.file.Files
+      .createTempDirectory("passages").toString
+    try {
+      import s.implicits._
+      val eight = "alpha beta gamma delta epsilon zeta eta theta"
+      Seq(
+        // A and B share the same single 8-token window
+        (1L, eight, "en", "web", 47L),
+        (2L, eight + " tail", "en", "web", 52L),
+        // C repeats its own window twice but shares with nobody:
+        // intra-doc repetition must contribute ZERO to n_shared
+        (3L, "one two three four five six seven eight nine " +
+          "one two three four five six seven eight nine", "en", "web", 89L),
+        // D is under 8 tokens: excluded entirely
+        (4L, "too short for any window", "en", "web", 24L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$tmp/documents.parquet")
+      val got = LlmTextOps.duplicatePassages(s, tmp)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      // A: 1 window, shared; B: 2 windows, the first shared with A;
+      // C: 11 windows, all values repeat intra-doc only => 0 shared
+      assert(got.map(t => (t._1, t._2, t._3)) ==
+        Seq((1L, 1L, 1L), (2L, 2L, 1L), (3L, 11L, 0L)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("dedup_embed_ann emits a subset of the exact pairs, same scores, recall floor") {
+    val s = spark
+    val ann = LlmVectorOps.dedupEmbedAnn(s, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exact = LlmVectorOps.dedupEmbed(s, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exactMap = exact.map(t => (t._1, t._2) -> t._3).toMap
+    // same cosine, same cut => every ANN pair is an exact pair with
+    // the identical r6 score (blocking can only LOSE pairs)
+    ann.foreach { case (i, j, c) =>
+      assert(exactMap.get((i, j)).contains(c), s"pair ($i,$j,$c) not exact")
+    }
+    // data-adaptive blocking must find a usable share of the true
+    // pairs on this clustered corpus (AnnQualitySpec posture: a
+    // measured floor, not a tautology). Measured 23/66 at sf0.001.
+    val recall = ann.length.toDouble / exact.length
+    assert(recall >= 0.25, s"IVF-blocked pair recall $recall below floor")
+    assert(ann.nonEmpty)
+  }
+}

@@ -612,8 +612,59 @@ class StreamingSpec extends AnyFunSuite {
         && rows.head.getDouble(2) > 3.0)
     } finally q.stop()
   }
+
+  test("S12 streaming_mixture: stream verdicts == batch mixture, unknown source dropped, replay stable") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.StreamingMixture
+    import StreamingSpec.MixDoc
+    // weights from the static sf0.001 reference corpus — the batch
+    // operator's decisions over the same corpus are the ground truth
+    val weights = StreamingMixture.mixtureWeights(
+      graft.engine.Tables.documents(spark, TestSpark.sf0001))
+    val batchKept = graft.operators.LlmTextOps
+      .mixtureSample(spark, TestSpark.sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val srcOf = graft.engine.Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // stream the first 40 corpus docs + one from a source the
+    // reference corpus has never seen
+    val streamed = (0L until 40L).map(id =>
+      MixDoc(ts("2024-01-01 10:00:05"), id, srcOf(id)))
+    val in = MemoryStream[MixDoc]
+    val q = StreamingMixture.mixtureStream(in.toDF(), weights)
+      .writeStream.format("memory").queryName("s12_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(streamed: _*)
+      in.addData(MixDoc(ts("2024-01-01 10:00:06"), 99999L, "srcUNKNOWN"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id FROM s12_out")
+        .collect().map(_.getLong(0)).toSet
+      // verdict-for-verdict agreement with the batch gate, stateless
+      // same-micro-batch emission
+      assert(got == batchKept.intersect((0L until 40L).toSet))
+      assert(got.nonEmpty && got.size < 40, "gate must both keep and drop")
+      assert(!got.contains(99999L), "unknown source must be dropped")
+      // replay: re-adding the same micro-batch re-emits identical
+      // verdicts (append-stable membership — no dedup state needed
+      // for exactly-once OUTPUT SEMANTICS per doc)
+      in.addData(streamed.take(10): _*)
+      q.processAllAvailable()
+      val replay = spark.sql("SELECT doc_id, COUNT(*) AS c FROM s12_out " +
+        "GROUP BY doc_id HAVING COUNT(*) > 1")
+        .collect().map(_.getLong(0)).toSet
+      assert(replay == batchKept.intersect((0L until 10L).toSet),
+        "replayed docs emit the same verdicts, and only them")
+    } finally {
+      q.stop(); weights.unpersist(); ()
+    }
+  }
 }
 
 object StreamingSpec {
   case class Doc(ts: Timestamp, doc_id: Long, text: String)
+  case class MixDoc(ts: Timestamp, doc_id: Long, source: String)
 }
