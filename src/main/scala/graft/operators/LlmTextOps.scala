@@ -1592,9 +1592,14 @@ object LlmTextOps {
     * Scale shape: windows reduce to an 8-token polynomial hash over
     * the portable token-hash chain ([[graft.functions.PortableTokenHash]]
     * — the compiled kernel both portable LSH rows ride), so nothing
-    * wider than (doc_id, 8-byte key) crosses an exchange: one
-    * map-side-combined groupBy on (doc_id, key), one df count on key
-    * reusing the same hash partitioning, one groupBy back on doc_id.
+    * wider than (doc_id, 8-byte key) crosses an exchange, and the
+    * text column is scanned + tokenized exactly ONCE: the document
+    * frequency rides a count-over-window on the (doc_id, key) rows
+    * (partition by key — groups are posting lists, small) instead of
+    * a separate aggregate joined back, which would re-derive the
+    * postings from a second full scan (at 100 TB the text scan IS
+    * the cost; plan-pinned single-scan in PlanShapeSpec). Exchanges:
+    * (doc_id, key) → key → doc_id, all 16-byte rows.
     * The DuckDB oracle replays the full hash arithmetic from raw
     * text, so the row hash-gates like the other portable-family ops.
     */
@@ -1611,9 +1616,9 @@ object LlmTextOps {
         .as("sh"))
     val perDoc = shp.groupBy(col("doc_id"), col("sh"))
       .agg(count(lit(1)).as("n_pos"))
-    val docsPerSh = perDoc.groupBy(col("sh"))
-      .agg(count(lit(1)).as("n_docs"))
-    perDoc.join(docsPerSh, Seq("sh"))
+    perDoc
+      .withColumn("n_docs",
+        count(lit(1)).over(Window.partitionBy(col("sh"))))
       .groupBy(col("doc_id"))
       .agg(
         sum(col("n_pos")).as("n_windows"),

@@ -313,4 +313,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!exchanges.exists(_.contains("text#")),
       "document text crossed a shuffle:\n" + exchanges.mkString("\n"))
   }
+
+  test("duplicate_passages scans + tokenizes the text exactly once") {
+    val p = planString("duplicate_passages")
+    // the df count must ride the postings (count-over-window), not a
+    // second scan of documents joined back — at 100 TB the second
+    // text scan would double the dominant cost
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") || l.contains("FileScan parquet"))
+    assert(scans == 1, s"expected 1 documents scan, got $scans:\n" + p.take(2000))
+    // and nothing wider than (doc_id, 8-byte key [, count]) shuffles
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(!exchanges.exists(_.contains("text#")),
+      "document text crossed a shuffle:\n" + exchanges.mkString("\n"))
+  }
 }
