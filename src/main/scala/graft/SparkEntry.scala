@@ -70,7 +70,9 @@ object SparkEntry {
     "corr_matrix"              -> (AnalyticOps.corrMatrix _),
     "top_docs_per_lang"        -> (AnalyticOps.topDocsPerLang _),
     "value_anomalies"          -> (AnalyticOps.valueAnomalies _),
+    "anomaly_mad"              -> (AnalyticOps.anomalyMad _),
     "winsorized_stats"         -> (AnalyticOps.winsorizedStats _),
+    "data_profile"             -> (FunctionOps.dataProfile _),
     "lineitem_unpivot"         -> (AnalyticOps.lineitemUnpivot _),
     // E16–E21 + LLM-pipeline surface
     "sessionize"          -> (LlmTextOps.sessionize _),
@@ -556,6 +558,66 @@ object SparkEntry {
                     (ssq_w - n * mean_raw * mean_raw) / (n - 1), 0.0)))
                   * 1000000 + 0.5) / 1000000 AS sd_w
          FROM fin ORDER BY event_type""",
+    // MAD: both medians r6-rounded BEFORE use (the winsorized-bounds
+    // posture) so every downstream op runs over identical doubles;
+    // 1.4826 is the same literal in both engines
+    "anomaly_mad" ->
+      """WITH med AS (SELECT event_type,
+                floor((quantile_cont(value, 0.5)) * 1000000 + 0.5) / 1000000
+                  AS med
+              FROM events GROUP BY 1),
+         dev AS (SELECT e.event_id, e.event_type, e.value, m.med,
+                        abs(e.value - m.med) AS adev
+                 FROM events e JOIN med m USING (event_type)),
+         mad AS (SELECT event_type,
+                floor((quantile_cont(adev, 0.5)) * 1000000 + 0.5) / 1000000
+                  AS mad
+              FROM dev GROUP BY 1)
+         SELECT d.event_id, d.event_type, d.value,
+                floor(((d.value - d.med) / (1.4826 * m.mad))
+                  * 1000000 + 0.5) / 1000000 AS rz
+         FROM dev d JOIN mad m USING (event_type)
+         WHERE m.mad > 0
+           AND abs((d.value - d.med) / (1.4826 * m.mad)) > 3.5
+         ORDER BY event_id""",
+    // min/max as DOUBLE for numeric/timestamp columns (the int64 →
+    // double cast is correctly rounded in both engines), NULL for
+    // strings (collation is not hash-stable cross-engine)
+    "data_profile" ->
+      """WITH p AS (
+           SELECT 'event_id' AS col_name, COUNT(*) AS n,
+                  COUNT(*) - COUNT(event_id) AS n_null,
+                  COUNT(DISTINCT event_id) AS n_distinct,
+                  CAST(MIN(event_id) AS DOUBLE) AS min_v,
+                  CAST(MAX(event_id) AS DOUBLE) AS max_v
+           FROM events
+           UNION ALL
+           SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+                  COUNT(DISTINCT event_type),
+                  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+           FROM events
+           UNION ALL
+           SELECT 'props', COUNT(*), COUNT(*) - COUNT(props),
+                  COUNT(DISTINCT props),
+                  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+           FROM events
+           UNION ALL
+           SELECT 'ts', COUNT(*), COUNT(*) - COUNT(ts),
+                  COUNT(DISTINCT ts),
+                  CAST(epoch_us(MIN(ts)) AS DOUBLE),
+                  CAST(epoch_us(MAX(ts)) AS DOUBLE)
+           FROM events
+           UNION ALL
+           SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+                  COUNT(DISTINCT user_id),
+                  CAST(MIN(user_id) AS DOUBLE), CAST(MAX(user_id) AS DOUBLE)
+           FROM events
+           UNION ALL
+           SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+                  COUNT(DISTINCT value),
+                  MIN(value), MAX(value)
+           FROM events)
+         SELECT * FROM p ORDER BY col_name""",
     "top_docs_per_lang" ->
       """SELECT lang, CAST(rk AS INTEGER) AS rank, doc_id, n_chars FROM (
            SELECT lang, doc_id, n_chars,

@@ -351,6 +351,51 @@ object AnalyticOps {
     * Reference analog: the robust-stats companion to `value_stats` /
     * `value_anomalies` (dataCollector.py:83-118's min/max/avg row).
     */
+  /** `anomaly_mad` — robust outlier detection by median absolute
+    * deviation: the breakdown-resistant twin of `value_anomalies`
+    * (whose μ/σ an adversarial 1% of rows can drag arbitrarily —
+    * median/MAD tolerate 50% contamination, the textbook reason
+    * data-quality pipelines flag on MAD before training). Rows whose
+    * modified z-score (value − med)/(1.4826·MAD) exceeds ±3.5 (the
+    * Iglewicz–Hoaglin cut) are emitted.
+    *
+    * Portability recipe: both medians are exact interpolated
+    * percentiles ROUNDED to the 6-dp grid BEFORE downstream use (the
+    * `winsorized_stats` bounds posture), so both engines hold
+    * bit-identical med/MAD doubles; |value − med| and the final score
+    * are then single correctly-rounded IEEE ops over identical inputs
+    * in a fixed written order — the whole statistic hash-gates with no
+    * approximate weakening. 1.4826 enters as the same literal in both
+    * engines (consistency constant: 1/Φ⁻¹(3/4), makes MAD estimate σ
+    * under normality).
+    *
+    * Scale shape: two aggregation passes (median, then MAD over the
+    * deviations) with 5-row broadcast joins back onto the scan — no
+    * window, no full sort; `percentile`'s per-group sort is the cost,
+    * and `value_percentiles_sampled`'s hash-sample dial is the
+    * documented scale path for both passes. Degenerate groups (MAD=0,
+    * >50% identical values) are excluded by the guard rather than
+    * dividing by zero — exact because the grid round makes the zero
+    * exact.
+    */
+  def anomalyMad(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val med = ev.groupBy(col("event_type"))
+      .agg(r6(expr("percentile(value, 0.5)")).as("med"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(r6(expr("percentile(adev, 0.5)")).as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .where(col("mad") > 0.0)
+      .withColumn("rz",
+        (col("value") - col("med")) / (lit(1.4826) * col("mad")))
+      .where(abs(col("rz")) > 3.5)
+      .select(col("event_id"), col("event_type"), col("value"),
+        r6(col("rz")).as("rz"))
+      .orderBy("event_id")
+  }
+
   def winsorizedStats(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val ev = Tables.events(s, d)

@@ -151,6 +151,76 @@ object FunctionOps {
       .orderBy("doc_id")
   }
 
+  /** `data_profile` — per-column data-quality profile of the events
+    * table: row count, null count, exact distinct count, and typed
+    * min/max per column, one output row per column. The pass every
+    * ingest pipeline runs before training jobs trust a new drop —
+    * schema drift, null floods, and constant columns all surface here
+    * (the engine-side generalization of the reference's `have_samples`
+    * freshness check, dataCollector.py:83-94).
+    *
+    * One scan, one aggregation: all six columns' stats ride a single
+    * agg (Spark plans the multi-distinct via one expand — 6× the scan
+    * rows through the aggregate, still one pass over the parquet),
+    * then the single result row unpivots via `stack` into the
+    * (column, stats) long form. Min/max are emitted as DOUBLE for
+    * numeric/timestamp columns (int64→double and epoch-µs→double are
+    * the same correctly-rounded cast in any engine — deterministic
+    * even where µs counts exceed 2⁵³) and NULL for strings, whose
+    * cross-engine collation is not hash-stable. At 100 TB the exact
+    * distinct is the cost dial: swap `countDistinct` for the KMV/HLL
+    * sketch rows' machinery (`distinct_users_kmv`) per column when the
+    * expand shuffle stops paying.
+    */
+  def dataProfile(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val agg = ev.agg(
+      count(lit(1)).as("n"),
+      // event_id
+      count(col("event_id")).as("nn_event_id"),
+      countDistinct(col("event_id")).as("nd_event_id"),
+      min(col("event_id")).cast("double").as("mn_event_id"),
+      max(col("event_id")).cast("double").as("mx_event_id"),
+      // ts
+      count(col("ts")).as("nn_ts"),
+      countDistinct(col("ts")).as("nd_ts"),
+      unix_micros(min(col("ts"))).cast("double").as("mn_ts"),
+      unix_micros(max(col("ts"))).cast("double").as("mx_ts"),
+      // user_id
+      count(col("user_id")).as("nn_user_id"),
+      countDistinct(col("user_id")).as("nd_user_id"),
+      min(col("user_id")).cast("double").as("mn_user_id"),
+      max(col("user_id")).cast("double").as("mx_user_id"),
+      // event_type
+      count(col("event_type")).as("nn_event_type"),
+      countDistinct(col("event_type")).as("nd_event_type"),
+      // value
+      count(col("value")).as("nn_value"),
+      countDistinct(col("value")).as("nd_value"),
+      min(col("value")).as("mn_value"),
+      max(col("value")).as("mx_value"),
+      // props
+      count(col("props")).as("nn_props"),
+      countDistinct(col("props")).as("nd_props"))
+    agg.selectExpr(
+      """stack(6,
+           'event_id',   n - nn_event_id,   nd_event_id,
+             mn_event_id, mx_event_id,
+           'event_type', n - nn_event_type, nd_event_type,
+             CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           'props',      n - nn_props,      nd_props,
+             CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           'ts',         n - nn_ts,         nd_ts,   mn_ts,   mx_ts,
+           'user_id',    n - nn_user_id,    nd_user_id,
+             mn_user_id, mx_user_id,
+           'value',      n - nn_value,      nd_value, mn_value, mx_value
+         ) AS (col_name, n_null, n_distinct, min_v, max_v)""",
+      "n")
+      .select(col("col_name"), col("n"), col("n_null"),
+        col("n_distinct"), col("min_v"), col("max_v"))
+      .orderBy("col_name")
+  }
+
   /** E15 `array_funcs` — higher-order array functions over the
     * 64-dim float embeddings: size, fold (sum of squares), zip_with
     * (dot with reversed self), element min/max. All arithmetic is

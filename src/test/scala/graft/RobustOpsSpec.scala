@@ -136,4 +136,63 @@ class RobustOpsSpec extends AnyFunSuite {
     assert(recall >= 0.25, s"IVF-blocked pair recall $recall below floor")
     assert(ann.nonEmpty)
   }
+
+  test("anomaly_mad == local median/MAD recomputation; robust to contamination") {
+    val s = spark
+    import s.implicits._
+    val got = AnalyticOps.anomalyMad(s, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3)))
+    // local recomputation of the full flag set from raw values — the
+    // operator's two-pass broadcast shape must reproduce the direct
+    // per-group definition exactly (same r6 grid on med and MAD)
+    def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    def medianOf(xs: Seq[Double]): Double = {
+      val v = xs.sorted
+      val h = (v.length - 1) * 0.5
+      val lo = v(h.toInt)
+      val hi = v(math.ceil(h).toInt)
+      lo + (hi - lo) * (h - h.toInt)
+    }
+    val raw = graft.engine.Tables.events(s, TestSpark.sf0001)
+      .select("event_id", "event_type", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val want = raw.groupBy(_._2).toSeq.flatMap { case (et, rows) =>
+      val med = r6d(medianOf(rows.map(_._3).toSeq))
+      val mad = r6d(medianOf(rows.map(t => math.abs(t._3 - med)).toSeq))
+      if (mad <= 0.0) Seq.empty
+      else rows.filter(t => math.abs((t._3 - med) / (1.4826 * mad)) > 3.5)
+        .map(t => (t._1, et, t._3, r6d((t._3 - med) / (1.4826 * mad))))
+    }.sortBy(_._1)
+    assert(got.toSeq == want, s"${got.length} vs ${want.length} flagged")
+    assert(got.nonEmpty)
+    // robustness: med/MAD of a contaminated group (1% of rows pushed
+    // to 100×) must keep flagging the ORIGINAL outliers — the property
+    // that breaks for mean/σ (value_anomalies), where the contamination
+    // inflates σ and hides them
+    val vals = raw.filter(_._2 == raw.head._2).map(_._3).toSeq
+    val med0 = r6d(medianOf(vals))
+    val mad0 = r6d(medianOf(vals.map(v => math.abs(v - med0))))
+    val contaminated = vals ++ Seq.fill(vals.length / 100)(vals.max * 100)
+    val med1 = r6d(medianOf(contaminated))
+    val mad1 = r6d(medianOf(contaminated.map(v => math.abs(v - med1))))
+    assert(math.abs(med1 - med0) / med0 < 0.05, "median moved under 1% contamination")
+    assert(math.abs(mad1 - mad0) / mad0 < 0.10, "MAD moved under 1% contamination")
+  }
+
+  test("data_profile matches per-column direct aggregates") {
+    val s = spark
+    val got = graft.operators.FunctionOps.dataProfile(s, TestSpark.sf0001)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val ev = graft.engine.Tables.events(s, TestSpark.sf0001)
+    val n = ev.count()
+    for (c <- Seq("event_id", "ts", "user_id", "event_type", "value", "props")) {
+      val nn = ev.where(col(c).isNotNull).count()
+      val nd = ev.select(col(c)).distinct().count()
+      assert(got(c) == ((n, n - nn, nd)), s"column $c: ${got(c)}")
+    }
+    assert(got.size == 6)
+  }
 }
