@@ -73,6 +73,7 @@ object SparkEntry {
     "anomaly_mad"              -> (AnalyticOps.anomalyMad _),
     "winsorized_stats"         -> (AnalyticOps.winsorizedStats _),
     "data_profile"             -> (FunctionOps.dataProfile _),
+    "gapfill_resample"         -> (AnalyticOps.gapfillResample _),
     "lineitem_unpivot"         -> (AnalyticOps.lineitemUnpivot _),
     // E16–E21 + LLM-pipeline surface
     "sessionize"          -> (LlmTextOps.sessionize _),
@@ -99,6 +100,7 @@ object SparkEntry {
     "doc_fingerprint"     -> (LlmTextOps.docFingerprint _),
     "ngram_stats"         -> (LlmTextOps.ngramStats _),
     "tfidf_top_terms"     -> (LlmTextOps.tfidfTopTerms _),
+    "bm25_rank"           -> (LlmTextOps.bm25Rank _),
     "text_normalize"      -> (LlmTextOps.textNormalize _),
     "train_val_split"     -> (LlmTextOps.trainValSplit _),
     "stratified_sample"   -> (LlmTextOps.stratifiedSample _),
@@ -130,6 +132,7 @@ object SparkEntry {
     "similarity_ivf_pq_served"  -> (LlmVectorOps.similarityIvfPqServed _),
     "dedup_embed"         -> (LlmVectorOps.dedupEmbed _),
     "dedup_embed_ann"     -> (LlmVectorOps.dedupEmbedAnn _),
+    "diversity_sample"    -> (LlmVectorOps.diversitySample _),
     "embed_gram"          -> (LlmVectorOps.embedGram _),
     "embed_pca_project"   -> (LlmVectorOps.embedPcaProject _),
     "dedup_embed_blocked" -> (LlmVectorOps.dedupEmbedBlocked _),
@@ -618,6 +621,75 @@ object SparkEntry {
                   MIN(value), MAX(value)
            FROM events)
          SELECT * FROM p ORDER BY col_name""",
+    // the as-of fill replayed as a DuckDB ASOF join over the same
+    // per-symbol minute grid; price carries with no arithmetic
+    "gapfill_resample" ->
+      """WITH b AS (SELECT event_type AS symbol,
+                date_trunc('minute', min(ts)) AS t0,
+                date_trunc('minute', max(ts)) AS t1
+              FROM events GROUP BY 1),
+         grid AS (SELECT symbol,
+                  unnest(generate_series(t0, t1, INTERVAL 1 MINUTE)) AS m
+                  FROM b),
+         t AS (SELECT event_type AS symbol, ts,
+                      CAST(value AS DOUBLE) AS price FROM events)
+         SELECT g.symbol, g.m, t.price, t.ts AS last_tick_ts
+         FROM grid g ASOF JOIN t
+           ON g.symbol = t.symbol AND g.m >= t.ts
+         ORDER BY g.symbol, g.m""",
+    // BM25: each term's idf lands on the 6-dp grid BEFORE use (3
+    // fixed points absorb any last-ulp ln() disagreement); the term
+    // sum is written left-to-right, never a shuffle-order fold
+    "bm25_rank" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+         tf AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+                  CAST(len(list_filter(toks, x -> x = 'spark')) AS BIGINT)
+                    AS tf_spark,
+                  CAST(len(list_filter(toks, x -> x = 'merge')) AS BIGINT)
+                    AS tf_merge,
+                  CAST(len(list_filter(toks, x -> x = 'window')) AS BIGINT)
+                    AS tf_window
+                FROM base),
+         c AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens,
+                  SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+                  SUM(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS df_merge,
+                  SUM(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window
+               FROM tf),
+         s AS (SELECT t.doc_id, t.dl,
+                  t.tf_spark, t.tf_merge, t.tf_window,
+                  CAST(total_tokens AS DOUBLE) / n_docs AS avgdl,
+                  floor(ln((n_docs - df_spark + 0.5) / (df_spark + 0.5)
+                      + 1.0) * 1000000 + 0.5) / 1000000 AS idf_spark,
+                  floor(ln((n_docs - df_merge + 0.5) / (df_merge + 0.5)
+                      + 1.0) * 1000000 + 0.5) / 1000000 AS idf_merge,
+                  floor(ln((n_docs - df_window + 0.5) / (df_window + 0.5)
+                      + 1.0) * 1000000 + 0.5) / 1000000 AS idf_window
+               FROM tf t CROSS JOIN c),
+         sc AS (SELECT doc_id,
+                  (CASE WHEN tf_spark > 0 THEN
+                     idf_spark * (CAST(tf_spark AS DOUBLE) * 2.2)
+                       / (CAST(tf_spark AS DOUBLE)
+                          + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+                   ELSE 0.0 END
+                   + CASE WHEN tf_merge > 0 THEN
+                     idf_merge * (CAST(tf_merge AS DOUBLE) * 2.2)
+                       / (CAST(tf_merge AS DOUBLE)
+                          + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+                   ELSE 0.0 END
+                   + CASE WHEN tf_window > 0 THEN
+                     idf_window * (CAST(tf_window AS DOUBLE) * 2.2)
+                       / (CAST(tf_window AS DOUBLE)
+                          + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+                   ELSE 0.0 END) AS score
+                FROM s),
+         r AS (SELECT doc_id, score,
+                  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+                    AS INTEGER) AS rank
+               FROM sc WHERE score > 0)
+         SELECT rank, doc_id,
+                floor(score * 1000000 + 0.5) / 1000000 AS score
+         FROM r WHERE rank <= 20 ORDER BY rank""",
     "top_docs_per_lang" ->
       """SELECT lang, CAST(rk AS INTEGER) AS rank, doc_id, n_chars FROM (
            SELECT lang, doc_id, n_chars,
@@ -1406,6 +1478,7 @@ object SparkEntry {
     "similarity_lsh" -> LlmVectorOps.lshOracleSql,
     "dedup_embed_blocked" -> LlmVectorOps.dedupEmbedBlockedOracleSql,
     "dedup_embed_ann" -> LlmVectorOps.dedupEmbedAnnOracleSql,
+    "diversity_sample" -> LlmVectorOps.diversitySampleOracleSql,
     "similarity_ivf" -> LlmVectorOps.ivfOracleSql,
     "similarity_ivf_trained" -> LlmVectorOps.ivfTrainedOracleSql,
     "similarity_topk_pq" -> LlmVectorOps.topkPqOracleSql,

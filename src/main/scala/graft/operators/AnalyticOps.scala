@@ -351,6 +351,58 @@ object AnalyticOps {
     * Reference analog: the robust-stats companion to `value_stats` /
     * `value_anomalies` (dataCollector.py:83-118's min/max/avg row).
     */
+  /** `gapfill_resample` — regularize the irregular tick stream onto a
+    * 1-minute grid per symbol, forward-filling the last known price
+    * (and its observation time) into empty slots: the resample +
+    * locf pass every time-series consumer of the reference's raw
+    * store runs before modeling (`dataCollector.py:120-128` lands
+    * ticks at arbitrary 5 s offsets; charts/features want a uniform
+    * grid). Grid slots before a symbol's first tick are dropped
+    * (nothing to fill), matching the oracle's inner ASOF join.
+    *
+    * Shape: the grid is generated per symbol from its min/max tick
+    * minute (`sequence` + explode — no driver loop), then ONE
+    * union + window pass does the fill: ticks and grid rows interleave
+    * sorted by (time, kind, event_id), and `last(price, ignoreNulls)`
+    * over the unbounded-preceding frame carries the newest tick
+    * forward — the single-sort formulation of an as-of join against
+    * the whole grid (per-slot backward joins would be a range join
+    * per grid point). At 100 TB the symbol partition is the skew
+    * unit; the production variant buckets by (symbol, day) and hands
+    * the last pre-boundary tick to the next bucket — same window
+    * logic, bounded partitions. event_id breaks equal-timestamp tick
+    * ties deterministically (unique by construction).
+    */
+  def gapfillResample(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type").as("symbol"), col("ts"),
+        col("value").cast("double").as("price"), col("event_id"))
+    val grid = ev.groupBy(col("symbol"))
+      .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+      .select(col("symbol"), explode(expr(
+        """sequence(date_trunc('minute', t0), date_trunc('minute', t1),
+             interval 1 minute)""")).as("ord"))
+      .withColumn("pt", lit(null).cast("timestamp"))
+      .withColumn("price", lit(null).cast("double"))
+      .withColumn("event_id", lit(null).cast("long"))
+      .withColumn("is_grid", lit(1))
+    val ticks = ev
+      .select(col("symbol"), col("ts").as("ord"), col("ts").as("pt"),
+        col("price"), col("event_id"), lit(0).as("is_grid"))
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("ord"), col("is_grid"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ticks.unionByName(grid.select(
+        col("symbol"), col("ord"), col("pt"), col("price"),
+        col("event_id"), col("is_grid")))
+      .withColumn("fill_price", last(col("price"), ignoreNulls = true).over(w))
+      .withColumn("fill_ts", last(col("pt"), ignoreNulls = true).over(w))
+      .where(col("is_grid") === 1 && col("fill_price").isNotNull)
+      .select(col("symbol"), col("ord").as("m"),
+        col("fill_price").as("price"), col("fill_ts").as("last_tick_ts"))
+      .orderBy("symbol", "m")
+  }
+
   /** `anomaly_mad` — robust outlier detection by median absolute
     * deviation: the breakdown-resistant twin of `value_anomalies`
     * (whose μ/σ an adversarial 1% of rows can drag arbitrarily —

@@ -1364,6 +1364,76 @@ object LlmTextOps {
       .orderBy("doc_id")
   }
 
+  /** `bm25_rank` — Okapi BM25 retrieval (Robertson et al., TREC-3)
+    * over the corpus for a fixed 3-term query: the ranking function
+    * behind benchmark-decontamination lookups and quality-filter
+    * retrieval where `tfidf_top_terms`'s raw tf·N/df over-weights
+    * long documents and unsaturated term counts. k1 = 1.2, b = 0.75
+    * (the standard operating point); idf is the Lucene-style
+    * ln(1 + (N − df + 0.5)/(df + 0.5)), always positive.
+    *
+    * Portability: BM25 is the repo's one transcendental-bearing gated
+    * row, and the ln is fenced the same way `winsorized_stats` fences
+    * its percentile bounds — each term's idf (3 values total, from
+    * integer N/df) is rounded to the shared 6-dp grid BEFORE use, so
+    * any last-ulp ln() disagreement between engines is absorbed at
+    * three fixed points rather than per row; every downstream op is a
+    * correctly-rounded IEEE step over identical doubles in one
+    * written order, and the per-document term sum runs in FIXED query
+    * order (three conditional columns added left to right — never a
+    * shuffle-order double fold). avgdl = Σdl/N is one exact-int
+    * division.
+    *
+    * Scale shape: per-term tf comes from a row-local array scan of
+    * the already-split tokens (a 3-term query never justifies the
+    * corpus-wide explode — `tfidf_top_terms` pays that because it
+    * scores EVERY term); the (N, Σdl, df) constants ride ONE 1-row
+    * aggregate broadcast back; the global top-20 is the bounded
+    * `graft_topk` aggregate (O(k) state, no global sort).
+    */
+  def bm25Rank(s: SparkSession, d: String): DataFrame = {
+    val qTerms = Seq("spark", "merge", "window")
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val withTf = qTerms.foldLeft(base) { (df, t) =>
+      df.withColumn(s"tf_$t",
+        size(filter(col("toks"), x => x === lit(t))).cast("long"))
+    }.drop("toks")
+    val constAggs =
+      Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens")) ++
+        qTerms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val consts = withTf.agg(constAggs.head, constAggs.tail: _*)
+    val scored0 = withTf.join(broadcast(consts), lit(true))
+      .withColumn("avgdl",
+        col("total_tokens").cast("double") / col("n_docs"))
+    val scored = qTerms.foldLeft(scored0) { (df, t) =>
+      // idf on the 6-dp grid BEFORE use (see scaladoc)
+      df.withColumn(s"idf_$t", r6(log(
+          (col("n_docs") - col(s"df_$t") + lit(0.5))
+            / (col(s"df_$t") + lit(0.5)) + lit(1.0))))
+        .withColumn(s"c_$t", when(col(s"tf_$t") > 0,
+          col(s"idf_$t") * (col(s"tf_$t").cast("double") * lit(2.2))
+            / (col(s"tf_$t").cast("double")
+              + lit(1.2) * (lit(0.25)
+                + lit(0.75) * (col("dl").cast("double") / col("avgdl")))))
+          .otherwise(lit(0.0)))
+    }
+    // fixed-order sum: c_spark + c_merge + c_window, never a fold
+    val withScore = scored.withColumn("score",
+      qTerms.map(t => col(s"c_$t")).reduceLeft(_ + _))
+      .where(col("score") > 0.0)
+    withScore
+      .groupBy()
+      .agg(graft.functions.TopKAgg.topk(s,
+        col("score"), col("doc_id"), 20).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("r", "e")))
+      .select((col("r") + 1).cast("int").as("rank"),
+        col("e.vec_id").as("doc_id"), r6(col("e.score")).as("score"))
+      .orderBy("rank")
+  }
+
   /** `doc_fingerprint` — rolling polynomial hash over the token
     * stream (mod 1e9+7): a cheap content fingerprint for incremental
     * dedup ledgers. Pure 64-bit integer folds ⇒ bit-exact in any

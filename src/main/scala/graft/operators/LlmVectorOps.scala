@@ -900,6 +900,81 @@ object LlmVectorOps {
       .orderBy("i", "j")
   }
 
+  /** `diversity_sample` — cluster-balanced corpus sampling: k
+    * documents per IVF coarse cell instead of k per metadata group.
+    * Metadata-stratified samplers (`stratified_sample`,
+    * `sample_per_source`) balance what the corpus SAYS it is;
+    * training-data curation also needs balance over what the corpus
+    * IS — embedding-space coverage, so a duplicated-topic crawl can't
+    * flood the sample no matter how many sources it spans. The cells
+    * are the same deterministic keep-1 seed-codebook assignment
+    * `similarity_ivf` serves from and `dedup_embed_ann` blocks on;
+    * within each cell the pick is the k minimal portable-hash ranks
+    * through the bounded `graft_topk` aggregate (the order-free
+    * distributed reservoir of `sample_per_source` — O(k) state per
+    * partial, no per-cell window sort). Hash multiplier 374761393
+    * (xxHash prime 5) decorrelates this sampler from the other three
+    * hash streams over the same id space, so the four compose
+    * without bias.
+    *
+    * Scale shape: one broadcast codebook pass + ONE shuffle of
+    * (cell, id, hash) triples into the bounded aggregate — sampling
+    * cost is independent of k·cells until the output itself is big.
+    * Every step is deterministic (stride seeds, id tie-breaks,
+    * integer hash), so the row hash-gates: the DuckDB oracle replays
+    * assignment and ranks from raw parquet.
+    */
+  def diversitySample(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
+    val corpus = assignToCentroids(s, e, seedCentroids(e), keep = 1)
+    corpus
+      .withColumn("h",
+        (col("vec_id") % lit(1000000007L)) * lit(374761393L)
+          % lit(1000000007L))
+      .groupBy(col("cent_id"))
+      // negate: topk keeps (score desc, id asc) = (h asc, vec_id asc);
+      // h < 2³⁰ round-trips the double score exactly
+      .agg(graft.functions.TopKAgg.topk(s,
+        -col("h").cast("double"), col("vec_id"), 8).as("tk"))
+      .select(col("cent_id"), posexplode(col("tk")).as(Seq("r", "e")))
+      .select(col("cent_id"), (col("r") + 1).cast("int").as("rank"),
+        col("e.vec_id").as("vec_id"),
+        (-col("e.score")).cast("long").as("h"))
+      .orderBy("cent_id", "rank")
+  }
+
+  /** The DuckDB oracle for `diversity_sample`: the shared seed
+    * codebook + keep-1 assignment CTEs, then the modular hash rank
+    * per cell. Constants come from the shared named vals.
+    */
+  private[graft] def diversitySampleOracleSql: String =
+    s"""WITH base AS (SELECT vec_id, embedding,
+                  sqrt(list_aggregate([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                         for x in embedding], 'sum')) AS norm
+                FROM embeddings),
+         cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb,
+                          norm AS cent_norm
+                   FROM base WHERE vec_id % $ivfStride = 0),
+         sims AS (SELECT b.vec_id, c.cent_id,
+                  list_aggregate([CAST(b.embedding[i] AS DOUBLE)
+                       * CAST(c.cent_emb[i] AS DOUBLE)
+                       for i in range(1, len(b.embedding) + 1)], 'sum')
+                    / (b.norm * c.cent_norm) AS cent_sim
+                  FROM base b CROSS JOIN cents c),
+         ranked_c AS (SELECT vec_id, cent_id,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY cent_sim DESC, cent_id ASC) AS r FROM sims),
+         corpus AS (SELECT vec_id, cent_id FROM ranked_c WHERE r = 1),
+         hashed AS (SELECT cent_id, vec_id,
+                  ((vec_id % 1000000007) * 374761393) % 1000000007 AS h
+                  FROM corpus),
+         rk AS (SELECT cent_id, vec_id, h,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY cent_id
+                    ORDER BY h ASC, vec_id ASC) AS INTEGER) AS rank
+                FROM hashed)
+         SELECT cent_id, rank, vec_id, h FROM rk
+         WHERE rank <= 8 ORDER BY cent_id, rank"""
+
   /** `dedup_embed_blocked` — the 100 TB shape of `dedup_embed`.
     * Candidate pairs come from shared random-hyperplane buckets
     * (ids-only shuffle), then candidates get the *exact* cosine

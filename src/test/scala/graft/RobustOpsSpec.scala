@@ -180,6 +180,104 @@ class RobustOpsSpec extends AnyFunSuite {
     assert(math.abs(mad1 - mad0) / mad0 < 0.10, "MAD moved under 1% contamination")
   }
 
+  test("bm25_rank == local BM25 recomputation; ranking properties hold") {
+    val s = spark
+    val got = LlmTextOps.bm25Rank(s, TestSpark.sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    // local recomputation from raw text — same constants, same grid
+    def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val qTerms = Seq("spark", "merge", "window")
+    val k1 = 1.2; val b = 0.75
+    val docs = graft.engine.Tables.documents(s, TestSpark.sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val nDocs = docs.length.toLong
+    val avgdl = docs.map(_._2.length.toLong).sum.toDouble / nDocs
+    val dfT = qTerms.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+    val idfT = qTerms.map { t =>
+      t -> r6d(math.log((nDocs - dfT(t) + 0.5) / (dfT(t) + 0.5) + 1.0))
+    }.toMap
+    val want = docs.map { case (id, toks) =>
+      val dl = toks.length.toDouble
+      val score = qTerms.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf > 0)
+          idfT(t) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+        else 0.0
+      }.reduceLeft(_ + _)
+      (id, score)
+    }.filter(_._2 > 0.0)
+      .sortBy { case (id, sc) => (-sc, id) }
+      .take(20).zipWithIndex
+      .map { case ((id, sc), i) => (i + 1, id, r6d(sc)) }
+    assert(got.toSeq == want.toSeq)
+    assert(got.length == 20)
+    // scores non-increasing with rank
+    got.sliding(2).foreach { case Array(a, c) => assert(a._3 >= c._3) }
+  }
+
+  test("gapfill_resample forward-fills the latest tick at or before each minute") {
+    val s = spark
+    val got = AnalyticOps.gapfillResample(s, TestSpark.sf0001)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1),
+        r.getDouble(2), r.getTimestamp(3)))
+    assert(got.nonEmpty)
+    val ticks = graft.engine.Tables.events(s, TestSpark.sf0001)
+      .select("event_type", "ts", "value").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+      .groupBy(_._1)
+    got.groupBy(_._1).foreach { case (sym, rows) =>
+      val symTicks = ticks(sym).sortBy(_._2.getTime)
+      rows.foreach { case (_, m, price, lts) =>
+        // the filled value is the price of the newest tick ≤ m
+        val expect = symTicks.takeWhile(_._2.getTime <= m.getTime).last
+        assert(price == expect._3 && lts == expect._2,
+          s"$sym @ $m: got ($price,$lts), want (${expect._3},${expect._2})")
+        assert(lts.getTime <= m.getTime)
+      }
+      // grid is a dense minute sequence from the first tick's minute
+      val minutes = rows.map(_._2.getTime).sorted
+      minutes.sliding(2).filter(_.length == 2).foreach { w =>
+        assert(w(1) - w(0) == 60000L, s"$sym grid gap ${w(1) - w(0)}")
+      }
+      assert(minutes.length >= symTicks.length / 2,
+        s"$sym grid suspiciously small")
+    }
+  }
+
+  test("diversity_sample == local assignment + hash-rank recomputation") {
+    val s = spark
+    val got = LlmVectorOps.diversitySample(s, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3)))
+    // local twin: keep-1 nearest seed centroid (cosine, cent_id
+    // tie-break), then the 8 smallest (h, vec_id) per cell
+    val embs = graft.engine.Tables.embeddings(s, TestSpark.sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def norm(v: Array[Float]): Double =
+      math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+    val cents = embs.filter(_._1 % 100 == 0)
+    val assigned = embs.map { case (id, v) =>
+      val nv = norm(v)
+      val best = cents.map { case (cid, cv) =>
+        val dot = v.zip(cv).map { case (a, c) => a.toDouble * c.toDouble }.sum
+        (cid, dot / (nv * norm(cv)))
+      }.maxBy { case (cid, sim) => (sim, -cid) }
+      (id, best._1)
+    }
+    val want = assigned.groupBy(_._2).toSeq.flatMap { case (cell, members) =>
+      members.map { case (id, _) => (id, (id % 1000000007L) * 374761393L % 1000000007L) }
+        .sortBy { case (id, h) => (h, id) }
+        .take(8).zipWithIndex
+        .map { case ((id, h), i) => (cell, i + 1, id, h) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want.toSeq)
+    assert(got.nonEmpty)
+    // balance property: no cell contributes more than 8
+    got.groupBy(_._1).values.foreach(g => assert(g.length <= 8))
+  }
+
   test("data_profile matches per-column direct aggregates") {
     val s = spark
     val got = graft.operators.FunctionOps.dataProfile(s, TestSpark.sf0001)
