@@ -67,6 +67,7 @@ object SparkEntry {
     "window_ntile"             -> (AnalyticOps.windowNtile _),
     "string_agg_statuses"      -> (AnalyticOps.stringAggStatuses _),
     "heavy_hitters"            -> (AnalyticOps.heavyHitters _),
+    "heavy_hitters_mg"         -> (AnalyticOps.heavyHittersMg _),
     "corr_matrix"              -> (AnalyticOps.corrMatrix _),
     "top_docs_per_lang"        -> (AnalyticOps.topDocsPerLang _),
     "value_anomalies"          -> (AnalyticOps.valueAnomalies _),
@@ -561,6 +562,18 @@ object SparkEntry {
                     (ssq_w - n * mean_raw * mean_raw) / (n - 1), 0.0)))
                   * 1000000 + 0.5) / 1000000 AS sd_w
          FROM fin ORDER BY event_type""",
+    // MG in the no-eviction regime (capacity ≥ distinct keys) has
+    // exact partition-order-free counts — the oracle is the plain
+    // count/rank formulation
+    "heavy_hitters_mg" ->
+      """WITH c AS (SELECT event_type, user_id, COUNT(*) AS cnt
+                    FROM events GROUP BY 1, 2),
+         r AS (SELECT event_type, user_id, cnt,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                    ORDER BY cnt DESC, user_id ASC) AS INTEGER) AS rank
+               FROM c)
+         SELECT event_type, rank, user_id, cnt FROM r
+         WHERE rank <= 3 ORDER BY event_type, rank""",
     // MAD: both medians r6-rounded BEFORE use (the winsorized-bounds
     // posture) so every downstream op runs over identical doubles;
     // 1.4826 is the same literal in both engines

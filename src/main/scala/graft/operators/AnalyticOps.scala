@@ -194,6 +194,29 @@ object AnalyticOps {
   def heavyHitters(s: SparkSession, d: String): DataFrame =
     graft.engine.Skew.heavyHitters(Tables.events(s, d), col("user_id"), 3)
 
+  /** `heavy_hitters_mg` — per-group frequent items through the
+    * bounded Misra–Gries summary (`functions.MisraGriesAgg`): top-3
+    * users per event type from an aggregate whose state is O(capacity)
+    * at every partial, merge, and (in the S13 streaming twin) state-
+    * store write — where the exact `heavy_hitters` plan's count map
+    * is O(distinct keys). Run here in the no-eviction regime
+    * (capacity 256 ≥ 150 distinct users), where MG counts are exact
+    * and partition-order-free, so the row hash-gates against the
+    * plain count/rank oracle — the gate proves the summary's
+    * update/merge/serialize machinery cross-engine (the KMV below-k
+    * posture); SketchQualitySpec separately measures the eviction
+    * regime's guaranteed error bound on a skewed stream.
+    */
+  def heavyHittersMg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.MisraGriesAgg.mg(s, col("user_id"), 256).as("mg"))
+      .select(col("event_type"),
+        posexplode(expr("slice(mg, 1, 3)")).as(Seq("r", "e")))
+      .select(col("event_type"), (col("r") + 1).cast("int").as("rank"),
+        col("e.key").as("user_id"), col("e.cnt").as("cnt"))
+      .orderBy("event_type", "rank")
+
   /** `moving_avg` — time-range window frame: mean tick value over the
     * trailing 1 hour per symbol (RANGE, not ROWS — event-time
     * semantics). Exact via integer cents like `running_avg`.

@@ -156,4 +156,48 @@ class SketchQualitySpec extends AnyFunSuite {
     assert(nMaybe <= nTrueDups + math.ceil(nBatch * 0.01).toLong,
       s"bloom passes $nMaybe of $nBatch batch rows but only $nTrueDups are dups")
   }
+
+  test("MG summary is exact below capacity, regardless of partitioning") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.engine.Tables.events(spark, sf)
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // capacity 256 ≥ 150 distinct users ⇒ zero evictions ⇒ the FULL
+    // summary equals the exact count map, under any partitioning
+    for (parts <- Seq(1, 7, 32)) {
+      val got = ev.repartition(parts)
+        .agg(graft.functions.MisraGriesAgg.mg(spark, col("user_id"), 256)
+          .as("mg"))
+        .selectExpr("explode(mg) AS e").select("e.key", "e.cnt")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == exact, s"parts=$parts: MG below capacity must be exact")
+    }
+  }
+
+  test("MG eviction regime honors the n/(capacity+1) guarantees on a skewed stream") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // heavy key 0 at 500 rows, 200 tail keys at 2 rows each: n = 900
+    val rows = Seq.fill(500)(0L) ++ (1L to 200L).flatMap(k => Seq(k, k))
+    val df = spark.sparkContext.parallelize(rows, 13).toDF("user_id")
+    val cap = 8
+    val got = df.agg(graft.functions.MisraGriesAgg.mg(spark,
+        col("user_id"), cap).as("mg"))
+      .selectExpr("explode(mg) AS e").select("e.key", "e.cnt")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = rows.length
+    val maxUndercount = n / (cap + 1) // 100
+    // any key with true frequency > n/(cap+1) must survive: key 0
+    // (500 > 100) — and its reported count undercounts by ≤ n/(cap+1)
+    assert(got.contains(0L), s"heavy hitter evicted: $got")
+    assert(got(0L) >= 500L - maxUndercount && got(0L) <= 500L,
+      s"count ${got(0L)} outside [${500L - maxUndercount}, 500]")
+    // bounded summary: never more than capacity counters
+    assert(got.size <= cap)
+    // no tail key may report above its true frequency
+    got.foreach { case (k, c) =>
+      val truth = if (k == 0L) 500L else 2L
+      assert(c <= truth, s"key $k over-reports $c > $truth")
+    }
+  }
 }

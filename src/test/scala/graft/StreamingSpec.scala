@@ -466,6 +466,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("S13 streaming_topk: windowed heavy hitters emit at close, MG-exact below capacity") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Tick]
+    def evs = in.toDF().selectExpr("ts", "CAST(price AS BIGINT) AS user_id")
+    val q = graft.streaming.StreamingTopk
+      .topkStream(spark, evs, capacity = 16, n = 3)
+      .writeStream.format("memory").queryName("s13_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Tick(ts("2024-01-01 10:00:05"), "x", 7),
+        Tick(ts("2024-01-01 10:05:00"), "x", 7),
+        Tick(ts("2024-01-01 10:10:00"), "x", 7),
+        Tick(ts("2024-01-01 10:15:00"), "x", 8),
+        Tick(ts("2024-01-01 10:20:00"), "x", 8),
+        Tick(ts("2024-01-01 10:25:00"), "x", 9),
+        Tick(ts("2024-01-01 10:30:00"), "x", 10),
+        Tick(ts("2024-01-01 10:35:00"), "x", 11))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM s13_out").count() == 0,
+        "hour 10 still open: nothing may emit")
+      // watermark past hour 10 closes the window
+      in.addData(Tick(ts("2024-01-01 13:00:00"), "x", 99))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM s13_out ORDER BY rank").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("window_start"),
+          r.getAs[Int]("rank"), r.getAs[Long]("user_id"),
+          r.getAs[Long]("cnt")))
+      val w10 = ts("2024-01-01 10:00:00")
+      // capacity 16 > 5 distinct ⇒ exact counts, (cnt desc, key asc)
+      assert(rows.toSeq == Seq(
+        (w10, 1, 7L, 3L), (w10, 2, 8L, 2L), (w10, 3, 9L, 1L)),
+        rows.mkString(","))
+    } finally q.stop()
+  }
+
   test("S2 streaming_state: explicit OhlcState flushes on window close (reference state machine)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
