@@ -72,6 +72,7 @@ object SparkEntry {
     "top_docs_per_lang"        -> (AnalyticOps.topDocsPerLang _),
     "value_anomalies"          -> (AnalyticOps.valueAnomalies _),
     "anomaly_mad"              -> (AnalyticOps.anomalyMad _),
+    "quantile_bins"            -> (AnalyticOps.quantileBins _),
     "winsorized_stats"         -> (AnalyticOps.winsorizedStats _),
     "data_profile"             -> (FunctionOps.dataProfile _),
     "gapfill_resample"         -> (AnalyticOps.gapfillResample _),
@@ -102,6 +103,7 @@ object SparkEntry {
     "ngram_stats"         -> (LlmTextOps.ngramStats _),
     "tfidf_top_terms"     -> (LlmTextOps.tfidfTopTerms _),
     "bm25_rank"           -> (LlmTextOps.bm25Rank _),
+    "entropy_stats"       -> (LlmTextOps.entropyStats _),
     "text_normalize"      -> (LlmTextOps.textNormalize _),
     "train_val_split"     -> (LlmTextOps.trainValSplit _),
     "stratified_sample"   -> (LlmTextOps.stratifiedSample _),
@@ -634,6 +636,38 @@ object SparkEntry {
                   MIN(value), MAX(value)
            FROM events)
          SELECT * FROM p ORDER BY col_name""",
+    // equi-depth bins: bounds r6-rounded BEFORE use; bin = 1 +
+    // #{bounds strictly below}, ties land low in both engines
+    "quantile_bins" ->
+      """WITH b AS (SELECT event_type,
+                list_transform(
+                  quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                        0.6, 0.7, 0.8, 0.9]),
+                  x -> floor(x * 1000000 + 0.5) / 1000000) AS bs
+              FROM events GROUP BY 1)
+         SELECT e.event_id, e.event_type, e.value,
+                CAST(len(list_filter(b.bs, x -> e.value > x)) + 1
+                  AS INTEGER) AS decile
+         FROM events e JOIN b USING (event_type)
+         ORDER BY event_id""",
+    // entropy: the sum term rides integer-quantized c*floor(log2(c)*1e6)
+    // contributions (order-free 64-bit sums), log2 fenced on the 6-dp
+    // grid like bm25's idf
+    "entropy_stats" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+         c AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+         a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dl,
+                  COUNT(*) AS n_distinct,
+                  CAST(SUM(c * CAST(floor(log2(CAST(c AS DOUBLE))
+                      * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS q
+               FROM c GROUP BY 1)
+         SELECT doc_id, dl, n_distinct,
+                floor((floor(log2(CAST(dl AS DOUBLE)) * 1000000 + 0.5)
+                    / 1000000
+                  - (CAST(q AS DOUBLE) / 1000000.0) / CAST(dl AS DOUBLE))
+                  * 1000000 + 0.5) / 1000000 AS token_entropy
+         FROM a ORDER BY doc_id""",
     // the as-of fill replayed as a DuckDB ASOF join over the same
     // per-symbol minute grid; price carries with no arithmetic
     "gapfill_resample" ->

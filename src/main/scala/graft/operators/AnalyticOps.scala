@@ -194,6 +194,34 @@ object AnalyticOps {
   def heavyHitters(s: SparkSession, d: String): DataFrame =
     graft.engine.Skew.heavyHitters(Tables.events(s, d), col("user_id"), 3)
 
+  /** `quantile_bins` — equi-depth discretization: every event gets
+    * its within-type decile. The SCALABLE twin of `window_ntile`'s
+    * window formulation: ntile sorts every row inside its partition
+    * (a full per-group sort at every refresh), while this computes
+    * the 9 interior decile bounds in ONE aggregation pass, broadcasts
+    * the 5×9 bound table, and assigns bins with a row-local array
+    * scan — no sort, no window, map-side after the one stats pass
+    * (and the stats pass itself hash-samples at scale via the
+    * `value_percentiles_sampled` dial). Boundary semantics: bin =
+    * 1 + #{bounds strictly below value}, so ties land in the lower
+    * bin in both engines; bounds are r6-rounded BEFORE use (the
+    * shared winsorized-bounds posture), making the comparisons
+    * identical cross-engine.
+    */
+  def quantileBins(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val bounds = ev.groupBy(col("event_type"))
+      .agg(expr(
+        """transform(
+             percentile(value, array(0.1, 0.2, 0.3, 0.4, 0.5,
+                                     0.6, 0.7, 0.8, 0.9)),
+             b -> floor(b * 1000000 + 0.5) / 1000000)""").as("bs"))
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        (size(expr("filter(bs, b -> value > b)")) + 1).as("decile"))
+      .orderBy("event_id")
+  }
+
   /** `heavy_hitters_mg` — per-group frequent items through the
     * bounded Misra–Gries summary (`functions.MisraGriesAgg`): top-3
     * users per event type from an aggregate whose state is O(capacity)

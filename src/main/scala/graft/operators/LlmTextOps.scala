@@ -1364,6 +1364,44 @@ object LlmTextOps {
       .orderBy("doc_id")
   }
 
+  /** `entropy_stats` — per-document token Shannon entropy: the
+    * information-density quality signal (near-zero entropy = keyword
+    * stuffing / boilerplate loops, the gibberish axis `text_quality`'s
+    * ratio features miss). H = log₂(dl) − (Σ c·log₂ c)/dl over the
+    * token histogram — the standard plug-in estimator in its
+    * grouped form.
+    *
+    * Portability: the Σ c·log₂ c term would be a shuffle-order double
+    * fold; instead each distinct count contributes the INTEGER
+    * c·⌊log₂(c)·10⁶⌉, so the sum is exact 64-bit arithmetic (order-
+    * free in any engine) and the two log₂ calls per output row land
+    * on the shared 6-dp grid before use — the `bm25_rank` ln fence
+    * applied to entropy. Counts are small ints, so the quantized
+    * products stay far under 2⁶³ (ANSI-safe).
+    *
+    * Scale shape: one explode + (doc, token) count — the same
+    * exchange `map_funcs`/`tfidf_top_terms` pay — then a per-doc
+    * aggregation of 16-byte rows. The per-doc histogram never
+    * materializes as a map column.
+    */
+  def entropyStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("dl"),
+        count(lit(1)).as("n_distinct"),
+        sum(expr("c * CAST(floor(log2(CAST(c AS DOUBLE)) * 1000000 + 0.5)" +
+          " AS BIGINT)")).as("q"))
+      .select(col("doc_id"), col("dl"), col("n_distinct"),
+        r6(expr(
+          """floor(log2(CAST(dl AS DOUBLE)) * 1000000 + 0.5) / 1000000
+             - (CAST(q AS DOUBLE) / 1000000.0) / CAST(dl AS DOUBLE)"""))
+          .as("token_entropy"))
+      .orderBy("doc_id")
+
   /** `bm25_rank` — Okapi BM25 retrieval (Robertson et al., TREC-3)
     * over the corpus for a fixed 3-term query: the ranking function
     * behind benchmark-decontamination lookups and quality-filter

@@ -278,6 +278,71 @@ class RobustOpsSpec extends AnyFunSuite {
     got.groupBy(_._1).values.foreach(g => assert(g.length <= 8))
   }
 
+  test("entropy_stats == local plug-in entropy; degenerate docs at zero") {
+    val s = spark
+    def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    def lgQ(x: Double): Double =
+      math.floor(math.log(x) / math.log(2.0) * 1e6 + 0.5)
+    val got = LlmTextOps.entropyStats(s, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val want = graft.engine.Tables.documents(s, TestSpark.sf0001)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).split(" ", -1).toSeq
+        val counts = toks.groupBy(identity).map(_._2.size.toLong)
+        val dl = toks.length.toLong
+        val q = counts.map(c => c * lgQ(c.toDouble).toLong).sum
+        (r.getLong(0), dl, counts.size.toLong,
+          r6d(lgQ(dl.toDouble) / 1e6 - (q.toDouble / 1e6) / dl))
+      }.sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // plug-in entropy bounds: 0 ≤ H ≤ log2(dl)
+    got.foreach { case (id, dl, _, h) =>
+      assert(h >= -1e-6 && h <= math.log(dl.toDouble) / math.log(2.0) + 1e-6,
+        s"doc $id entropy $h out of range")
+    }
+    // a single-token-repeated doc must score exactly 0
+    val tmp = java.nio.file.Files.createTempDirectory("entropy").toString
+    try {
+      import s.implicits._
+      Seq((1L, "a a a a a a", "en", "web", 11L),
+        (2L, "b c d e f g", "en", "web", 11L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$tmp/documents.parquet")
+      val e = LlmTextOps.entropyStats(s, tmp).collect()
+        .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      assert(e(1L) == 0.0, s"constant doc: ${e(1L)}")
+      assert(math.abs(e(2L) - math.log(6.0) / math.log(2.0)) < 1e-5,
+        s"uniform doc: ${e(2L)}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("quantile_bins matches ntile-style depth balance and bound semantics") {
+    val s = spark
+    val got = AnalyticOps.quantileBins(s, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getInt(3)))
+    assert(got.nonEmpty)
+    // every decile in [1, 10]; within each type the bins are
+    // monotone in value and near-balanced (equi-depth ±1 on ties)
+    got.groupBy(_._2).foreach { case (et, rows) =>
+      assert(rows.forall(r => r._4 >= 1 && r._4 <= 10))
+      val sorted = rows.sortBy(_._3)
+      sorted.sliding(2).filter(_.length == 2).foreach { w =>
+        assert(w(0)._4 <= w(1)._4, s"$et: bins not monotone in value")
+      }
+      val byBin = rows.groupBy(_._4).view.mapValues(_.size)
+      val n = rows.size.toDouble
+      byBin.foreach { case (b, cnt) =>
+        assert(cnt <= n * 0.2, s"$et bin $b holds $cnt of $n — not equi-depth")
+      }
+      assert(byBin.size >= 9, s"$et uses only ${byBin.size} bins")
+    }
+  }
+
   test("data_profile matches per-column direct aggregates") {
     val s = spark
     val got = graft.operators.FunctionOps.dataProfile(s, TestSpark.sf0001)
