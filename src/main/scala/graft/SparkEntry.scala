@@ -46,6 +46,7 @@ object SparkEntry {
     "rollup_report"       -> (RelationalOps.rollupReport _),
     "cube_report"         -> (RelationalOps.cubeReport _),
     "set_ops"             -> (RelationalOps.setOps _),
+    "zorder_layout"       -> (RelationalOps.zorderLayout _),
     "set_ops_all"         -> (RelationalOps.setOpsAll _),
     // E11–E15: function catalog
     "distinct_users"        -> (FunctionOps.distinctUsers _),
@@ -636,6 +637,20 @@ object SparkEntry {
                   MIN(value), MAX(value)
            FROM events)
          SELECT * FROM p ORDER BY col_name""",
+    // the Morton interleave replayed as a 21-term shift/mask sum —
+    // disjoint bit positions make the sum equal the OR
+    "zorder_layout" ->
+      """WITH t AS (SELECT event_id,
+                (user_id & 2097151) AS x,
+                (((epoch_us(ts) - 1704067200000000) % 125829120000000
+                  + 125829120000000) % 125829120000000) // 60000000 AS y
+              FROM events)
+         SELECT event_id, x, y,
+                CAST(list_aggregate(
+                  [(((x >> i) & 1) << (2 * i))
+                     + (((y >> i) & 1) << (2 * i + 1))
+                   for i in range(0, 21)], 'sum') AS BIGINT) AS zkey
+         FROM t ORDER BY event_id""",
     // equi-depth bins: bounds r6-rounded BEFORE use; bin = 1 +
     // #{bounds strictly below}, ties land low in both engines
     "quantile_bins" ->

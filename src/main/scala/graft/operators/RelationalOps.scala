@@ -326,6 +326,35 @@ object RelationalOps {
       .orderBy("op", "nk")
   }
 
+  /** `zorder_layout` — the multi-dimensional clustering key for
+    * 100 TB data layout: each event's Morton z-key over
+    * (user_id, minute-of-epoch), the key a layout job sorts or
+    * range-partitions by so that predicate boxes on EITHER OR BOTH
+    * dimensions prune files (`functions.ZOrderExpr` — the Delta/
+    * Iceberg OPTIMIZE ZORDER scheme; ZOrderSpec measures the
+    * partitions-touched win over a single-column sort layout on the
+    * same data). Emitted as a query row so the key arithmetic itself
+    * is under the DuckDB gate: the oracle replays the interleave as
+    * a 21-term shift/mask sum. The minute dimension wraps on a
+    * 2²¹-minute (~4 year) period through pmod so both engines floor
+    * identically regardless of the corpus epoch; row-local map —
+    * no shuffle, layout jobs pay only their own range exchange.
+    */
+  def zorderLayout(s: SparkSession, d: String): DataFrame = {
+    val origin = 1704067200000000L // 2024-01-01T00:00Z, micros
+    val period = (1L << 21) * 60000000L
+    Tables.events(s, d)
+      .select(col("event_id"),
+        col("user_id").bitwiseAND(lit((1L << 21) - 1)).as("x"),
+        // pmod keeps the dividend positive, so DIV == floor in both
+        // engines; result < 2^21 by construction
+        expr(s"pmod(unix_micros(ts) - ${origin}L, ${period}L)" +
+          " DIV 60000000").as("y"))
+      .withColumn("zkey",
+        graft.functions.ZOrderExpr.zorder(s, col("x"), col("y")))
+      .orderBy("event_id")
+  }
+
   /** E10 `set_ops` — union / intersect / except (distinct forms) of
     * customer nations vs supplier nations, tagged into one result.
     */
