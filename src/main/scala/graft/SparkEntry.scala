@@ -105,6 +105,7 @@ object SparkEntry {
     "tfidf_top_terms"     -> (LlmTextOps.tfidfTopTerms _),
     "bm25_rank"           -> (LlmTextOps.bm25Rank _),
     "entropy_stats"       -> (LlmTextOps.entropyStats _),
+    "cooccurrence_pmi"    -> (LlmTextOps.cooccurrencePmi _),
     "text_normalize"      -> (LlmTextOps.textNormalize _),
     "train_val_split"     -> (LlmTextOps.trainValSplit _),
     "stratified_sample"   -> (LlmTextOps.stratifiedSample _),
@@ -665,6 +666,36 @@ object SparkEntry {
                   AS INTEGER) AS decile
          FROM events e JOIN b USING (event_type)
          ORDER BY event_id""",
+    // PMI: ranked by the exact rational ratio (log2 is monotone, so
+    // the order is log-free); the displayed pmi is log2 of an
+    // already-identical double, r6'd
+    "cooccurrence_pmi" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
+         uni AS (SELECT unnest(toks) AS w FROM d),
+         cx AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY 1),
+         nt AS (SELECT COUNT(*) AS n_tok FROM uni),
+         pr AS (SELECT unnest([toks[i] || ' ' || toks[i+1]
+                  for i in range(1, len(toks))]) AS bg
+                FROM d WHERE len(toks) >= 2),
+         cxy AS (SELECT bg, COUNT(*) AS c_xy FROM pr GROUP BY 1),
+         np AS (SELECT COUNT(*) AS n_pairs FROM pr),
+         j AS (SELECT string_split(bg, ' ')[1] AS w1,
+                      string_split(bg, ' ')[2] AS w2, c_xy
+               FROM cxy WHERE c_xy >= 5),
+         sc AS (SELECT j.w1, j.w2, j.c_xy,
+                  CAST(j.c_xy AS DOUBLE) * CAST(nt.n_tok AS DOUBLE)
+                    * CAST(nt.n_tok AS DOUBLE) / CAST(np.n_pairs AS DOUBLE)
+                    / CAST(a.c * b.c AS DOUBLE) AS ratio
+                FROM j JOIN cx a ON a.w = j.w1
+                       JOIN cx b ON b.w = j.w2
+                       CROSS JOIN nt CROSS JOIN np),
+         r AS (SELECT w1, w2, c_xy, ratio,
+                  ROW_NUMBER() OVER (ORDER BY ratio DESC, w1 ASC, w2 ASC)
+                    AS rk
+               FROM sc)
+         SELECT w1, w2, c_xy,
+                floor(log2(ratio) * 1000000 + 0.5) / 1000000 AS pmi
+         FROM r WHERE rk <= 20 ORDER BY w1, w2""",
     // entropy: the sum term rides integer-quantized c*floor(log2(c)*1e6)
     // contributions (order-free 64-bit sums), log2 fenced on the 6-dp
     // grid like bm25's idf

@@ -104,6 +104,49 @@ object Bigrams {
   }
 }
 
+/** ALL adjacent bigram occurrences, space-joined, in document order —
+  * the non-distinct sibling of [[Bigrams]] for operators that count
+  * OCCURRENCES rather than document frequencies (`cooccurrence_pmi`'s
+  * joint counts). Same compiled one-call-per-row shape as the rest of
+  * the shingle family; an interpreted `transform(sequence…)` lambda
+  * here would re-open the hot-loop cost the family was compiled to
+  * close.
+  */
+case class BigramsAll(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bigrams_all"
+
+  override def nullSafeEval(input: Any): Any =
+    BigramsAll.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.BigramsAll.compute($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): BigramsAll =
+    copy(child = newChild)
+}
+
+object BigramsAll {
+  def compute(toks: ArrayData): GenericArrayData = {
+    val n = toks.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      out(i) = UTF8String.concatWs(Shingle3.SPACE,
+        toks.getUTF8String(i), toks.getUTF8String(i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def bigramsAll(s: SparkSession, tokens: Column): Column = {
+    TextExprs.register(s)
+    call_function("graft_bigrams_all", tokens)
+  }
+}
+
 /** Distinct 3-token shingles as 64-bit XXH64 hashes (seed 42 — the
   * same element hash as SQL `xxhash64`), in one compiled pass. The
   * posting-list branch of the near-dup pipeline never needs the
@@ -603,6 +646,8 @@ object TextExprs {
       exprs => PortableTokenHash(exprs.head))
     Registration.registerOnce(s, "graft_bigrams",
       exprs => Bigrams(exprs.head))
+    Registration.registerOnce(s, "graft_bigrams_all",
+      exprs => BigramsAll(exprs.head))
     Registration.registerOnce(s, "graft_count_in_set",
       exprs => CountInSet(exprs(0), exprs(1)))
     Registration.registerOnce(s, "graft_intersect_count",

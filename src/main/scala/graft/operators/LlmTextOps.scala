@@ -1364,6 +1364,62 @@ object LlmTextOps {
       .orderBy("doc_id")
   }
 
+  /** `cooccurrence_pmi` — top-20 collocations by pointwise mutual
+    * information (Church & Hanks '90): adjacent token pairs whose
+    * joint occurrence beats the independence expectation —
+    * pmi = log₂( (c_xy/N_pairs) / ((c_x/N_tok)·(c_y/N_tok)) ), with a
+    * c_xy ≥ 5 floor against singleton noise. The association-strength
+    * layer over `ngram_stats`' raw counts (which surface frequency,
+    * not attraction).
+    *
+    * Portability posture: the RANKING never touches the log — rows
+    * order by the exact rational ratio (log₂ is monotone, so the
+    * order is identical), built from integer counts with one fixed
+    * double op sequence; the displayed pmi applies log₂ to that
+    * already-identical double and lands on the r6 grid. So unlike
+    * `bm25_rank` (where the fenced idf feeds further arithmetic), a
+    * last-ulp log disagreement here cannot even reorder rows.
+    *
+    * Scale shape: occurrence bigrams come from one compiled pass
+    * (`graft_bigrams_all` — the non-distinct sibling of the shingle
+    * family), counts ride two (key, count) aggregations; the marginal
+    * joins are vocab-sized (AQE picks broadcast at any realistic
+    * vocab; a web-scale vocab shuffles 16-byte pairs), the two 1-row
+    * totals broadcast, and the final top-20 is a
+    * TakeOrderedAndProject — no global sort materializes.
+    */
+  def cooccurrencePmi(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(split(col("text"), " ").as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+    val cx = uni.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nTok = uni.agg(count(lit(1)).as("n_tok"))
+    val pairs = toks
+      .select(explode(
+        graft.functions.BigramsAll.bigramsAll(s, col("toks"))).as("bg"))
+    val cxy = pairs.groupBy(col("bg")).agg(count(lit(1)).as("c_xy"))
+    val nPairs = pairs.agg(count(lit(1)).as("n_pairs"))
+    cxy.where(col("c_xy") >= 5)
+      .withColumn("w1", split(col("bg"), " ")(0))
+      .withColumn("w2", split(col("bg"), " ")(1))
+      .join(cx.select(col("w").as("w1"), col("c").as("c_x")), Seq("w1"))
+      .join(cx.select(col("w").as("w2"), col("c").as("c_y")), Seq("w2"))
+      .join(broadcast(nTok), lit(true))
+      .join(broadcast(nPairs), lit(true))
+      // fixed op order; c_x*c_y stays exact in long (< 2^62)
+      .withColumn("ratio",
+        col("c_xy").cast("double") * col("n_tok").cast("double")
+          * col("n_tok").cast("double") / col("n_pairs").cast("double")
+          / (col("c_x") * col("c_y")).cast("double"))
+      .orderBy(col("ratio").desc, col("w1").asc, col("w2").asc)
+      .limit(20)
+      .select(col("w1"), col("w2"), col("c_xy"),
+        r6(log2(col("ratio"))).as("pmi"))
+      // presentation order over the 20 kept rows (the top-k cut
+      // itself ordered on the exact ratio above)
+      .orderBy("w1", "w2")
+  }
+
   /** `entropy_stats` — per-document token Shannon entropy: the
     * information-density quality signal (near-zero entropy = keyword
     * stuffing / boilerplate loops, the gibberish axis `text_quality`'s

@@ -320,6 +320,33 @@ class RobustOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cooccurrence_pmi == local PMI recomputation over occurrence counts") {
+    val s = spark
+    def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val got = LlmTextOps.cooccurrencePmi(s, TestSpark.sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    val docs = graft.engine.Tables.documents(s, TestSpark.sf0001)
+      .select("text").collect().map(_.getString(0).split(" ", -1).toSeq)
+    val unis = docs.flatten
+    val cx = unis.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nTok = unis.size.toLong
+    val prs = docs.filter(_.length >= 2).flatMap(t => t.zip(t.tail))
+    val cxy = prs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nPairs = prs.size.toLong
+    val want = cxy.toSeq.filter(_._2 >= 5).map { case ((w1, w2), c) =>
+      val ratio = c.toDouble * nTok.toDouble * nTok.toDouble /
+        nPairs.toDouble / (cx(w1) * cx(w2)).toDouble
+      (w1, w2, c, ratio)
+    }.sortBy { case (w1, w2, _, ratio) => (-ratio, w1, w2) }
+      .take(20)
+      .map { case (w1, w2, c, ratio) =>
+        (w1, w2, c, r6d(math.log(ratio) / math.log(2.0))) }
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want.toSeq)
+    assert(got.length == 20)
+  }
+
   test("quantile_bins matches ntile-style depth balance and bound semantics") {
     val s = spark
     val got = AnalyticOps.quantileBins(s, TestSpark.sf0001)
