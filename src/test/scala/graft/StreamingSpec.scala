@@ -503,6 +503,75 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("S14 streaming_gapfill: grid minutes emit once final, stream == batch on the closed range") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingGapfill
+    import graft.streaming.StreamingGapfill.PricedEvent
+    val in = MemoryStream[PricedEvent]
+    val q = StreamingGapfill.gapfillStream(in.toDS())
+      .writeStream.format("memory").queryName("s14_out")
+      .outputMode(OutputMode.Append).start()
+    def rowsA = spark.sql("SELECT * FROM s14_out WHERE symbol = 'A' ORDER BY m")
+      .collect().map(r => (r.getTimestamp(1), r.getDouble(2),
+        r.getTimestamp(3)))
+    try {
+      // two A ticks land; watermark still behind — nothing final yet
+      in.addData(
+        PricedEvent(ts("2024-01-01 10:00:30"), "A", 100.0, 1L),
+        PricedEvent(ts("2024-01-01 10:03:10"), "A", 101.0, 2L))
+      q.processAllAvailable()
+      assert(rowsA.isEmpty, "watermark has not passed any A minute")
+      // a third A tick (within the lateness allowance) extends the
+      // grid; the B event pushes the watermark to 10:10 AFTER this
+      // batch — still nothing final during it
+      in.addData(
+        PricedEvent(ts("2024-01-01 10:07:00"), "A", 102.0, 5L),
+        PricedEvent(ts("2024-01-01 10:20:00"), "B", 1.0, 3L))
+      // the B event moves the watermark to 10:10 after the data
+      // batch; the trailing no-data micro-batch then fires the A
+      // group's event-time timeout with NO new A rows — the
+      // timeout-wake path — and every now-final minute emits, gap
+      // minutes filling from the preceding tick
+      q.processAllAvailable()
+      assert(rowsA.toSeq == Seq(
+        (ts("2024-01-01 10:01:00"), 100.0, ts("2024-01-01 10:00:30")),
+        (ts("2024-01-01 10:02:00"), 100.0, ts("2024-01-01 10:00:30")),
+        (ts("2024-01-01 10:03:00"), 100.0, ts("2024-01-01 10:00:30")),
+        (ts("2024-01-01 10:04:00"), 101.0, ts("2024-01-01 10:03:10")),
+        (ts("2024-01-01 10:05:00"), 101.0, ts("2024-01-01 10:03:10")),
+        (ts("2024-01-01 10:06:00"), 101.0, ts("2024-01-01 10:03:10")),
+        (ts("2024-01-01 10:07:00"), 102.0, ts("2024-01-01 10:07:00"))),
+        s"after timeout wake: ${rowsA.mkString(",")}")
+      // push the watermark far past everything; A's grid must still
+      // stop at its last tick minute (10:07), matching the batch cap
+      in.addData(PricedEvent(ts("2024-01-01 13:00:00"), "B", 1.0, 6L))
+      q.processAllAvailable()
+      in.addData(PricedEvent(ts("2024-01-01 13:01:00"), "B", 1.0, 7L))
+      q.processAllAvailable()
+      val streamed = rowsA
+      assert(streamed.map(_._1).last == ts("2024-01-01 10:07:00"),
+        s"grid must cap at the last A tick: ${streamed.mkString(",")}")
+      // stream == batch: the batch operator over the same A ticks
+      val tmp = java.nio.file.Files.createTempDirectory("s14").toString
+      try {
+        Seq(
+          (1L, ts("2024-01-01 10:00:30"), 1L, "A", 100.0, "{}"),
+          (2L, ts("2024-01-01 10:03:10"), 1L, "A", 101.0, "{}"),
+          (5L, ts("2024-01-01 10:07:00"), 1L, "A", 102.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .write.parquet(s"$tmp/events.parquet")
+        val batch = graft.operators.AnalyticOps.gapfillResample(spark, tmp)
+          .collect().map(r => (r.getTimestamp(1), r.getDouble(2),
+            r.getTimestamp(3)))
+        assert(streamed.toSeq == batch.toSeq,
+          s"stream ${streamed.mkString(",")} vs batch ${batch.mkString(",")}")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
+    } finally q.stop()
+  }
+
   test("S2 streaming_state: explicit OhlcState flushes on window close (reference state machine)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
