@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Bigrams, ByteStats, CorrMomentsAgg, CountInSet, DotProduct, GramAgg, Int8DotBytes, Int8Pack, Int8Quantize, IntersectCount, MinHash32, MinHashAgg, PackedPairs, PairCombinations, PortableMinHash16, PortableSimHash60, PortableTokenHash, Shingle3, ShingleHash3, SimHash64, TopKAgg}
+import graft.functions.{Bigrams, BigramsAll, ByteStats, CorrMomentsAgg, CountInSet, DotProduct, GramAgg, Int8DotBytes, Int8Pack, Int8Quantize, IntersectCount, MinHash32, MinHashAgg, MisraGriesAgg, PackedPairs, PairCombinations, PortableMinHash16, PortableSimHash60, PortableTokenHash, Shingle3, ShingleHash3, SimHash64, TopKAgg, ZOrderExpr}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * expressions first-class SQL functions in any session built with
@@ -72,6 +72,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[PortableTokenHash], exprs => PortableTokenHash(exprs.head))
     inject(e, "graft_bigrams", "graft_bigrams(array<string>)", 1,
       classOf[Bigrams], exprs => Bigrams(exprs.head))
+    inject(e, "graft_bigrams_all", "graft_bigrams_all(array<string>)", 1,
+      classOf[BigramsAll], exprs => BigramsAll(exprs.head))
+    inject(e, "graft_zorder", "graft_zorder(bigint, bigint)", 2,
+      classOf[ZOrderExpr], exprs => ZOrderExpr(exprs(0), exprs(1)))
+    inject(e, "graft_mg", "graft_mg(key, capacity)", 2,
+      classOf[MisraGriesAgg],
+      exprs => MisraGriesAgg(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression())
     inject(e, "graft_byte_stats", "graft_byte_stats(binary)", 1,
       classOf[ByteStats], exprs => ByteStats(exprs.head))
     inject(e, "graft_intersect_count",

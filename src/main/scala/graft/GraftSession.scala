@@ -41,6 +41,8 @@ object GraftSession {
     graft.functions.GramAgg.register(s)
     graft.functions.CorrMomentsAgg.register(s)
     graft.functions.BloomFns.register(s)
+    graft.functions.MisraGriesAgg.register(s)
+    graft.functions.ZOrderExpr.register(s)
   }
 
   /** Local session for tests/demos. Functions are also registered

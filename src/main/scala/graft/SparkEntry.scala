@@ -40,6 +40,7 @@ object SparkEntry {
     "join_asof_forward"   -> (RelationalOps.joinAsofForward _),
     "join_range"          -> (RelationalOps.joinRange _),
     "join_skew_salted"    -> (RelationalOps.joinSkewSalted _),
+    "join_bloom_pruned"   -> (RelationalOps.joinBloomPruned _),
     "promo_revenue"       -> (RelationalOps.promoRevenue _),
     "topk_orders"         -> (RelationalOps.topkOrders _),
     "window_rank"         -> (RelationalOps.windowRank _),
@@ -106,6 +107,7 @@ object SparkEntry {
     "bm25_rank"           -> (LlmTextOps.bm25Rank _),
     "entropy_stats"       -> (LlmTextOps.entropyStats _),
     "cooccurrence_pmi"    -> (LlmTextOps.cooccurrencePmi _),
+    "vocab_drift"         -> (LlmTextOps.vocabDrift _),
     "text_normalize"      -> (LlmTextOps.textNormalize _),
     "train_val_split"     -> (LlmTextOps.trainValSplit _),
     "stratified_sample"   -> (LlmTextOps.stratifiedSample _),
@@ -638,6 +640,47 @@ object SparkEntry {
                   MIN(value), MAX(value)
            FROM events)
          SELECT * FROM p ORDER BY col_name""",
+    // the Bloom prefilter only drops guaranteed non-matches; the
+    // exact join removes the FP tail, so the oracle is the plain join
+    "join_bloom_pruned" ->
+      """SELECT o_orderkey, o_custkey, c_name, o_totalprice
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+         ORDER BY o_orderkey""",
+    // two-sample chi-square per token between the deterministic
+    // train/val hash slices — fully rational, no transcendental fence
+    "vocab_drift" ->
+      """WITH d AS (SELECT ((doc_id % 1000000007) * 2654435761)
+                      % 1000000007 % 10 AS bucket,
+                    string_split(text, ' ') AS toks
+              FROM documents),
+         t AS (SELECT CASE WHEN bucket = 8 THEN 1 ELSE 0 END AS is_val,
+                      unnest(toks) AS tok
+               FROM d WHERE bucket <= 8),
+         c AS (SELECT tok,
+                  CAST(SUM(CASE WHEN is_val = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS o_t,
+                  CAST(SUM(CASE WHEN is_val = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS o_v
+               FROM t GROUP BY 1),
+         n AS (SELECT CAST(SUM(o_t) AS BIGINT) AS n_t,
+                      CAST(SUM(o_v) AS BIGINT) AS n_v FROM c),
+         sc AS (SELECT tok, o_t, o_v,
+                  CAST(o_t + o_v AS DOUBLE) * CAST(n_t AS DOUBLE)
+                    / CAST(n_t + n_v AS DOUBLE) AS e_t,
+                  CAST(o_t + o_v AS DOUBLE) * CAST(n_v AS DOUBLE)
+                    / CAST(n_t + n_v AS DOUBLE) AS e_v
+                FROM c CROSS JOIN n WHERE o_t + o_v >= 20),
+         x AS (SELECT tok, o_t, o_v,
+                  (o_t - e_t) * (o_t - e_t) / e_t
+                    + (o_v - e_v) * (o_v - e_v) / e_v AS chi2
+               FROM sc),
+         r AS (SELECT tok, o_t, o_v, chi2,
+                  ROW_NUMBER() OVER (ORDER BY chi2 DESC, tok ASC) AS rk
+               FROM x)
+         SELECT tok, o_t, o_v,
+                floor(chi2 * 1000000 + 0.5) / 1000000 AS chi2
+         FROM r WHERE rk <= 20 ORDER BY tok""",
     // the Morton interleave replayed as a 21-term shift/mask sum —
     // disjoint bit positions make the sum equal the OR
     "zorder_layout" ->

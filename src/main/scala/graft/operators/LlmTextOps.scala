@@ -1364,6 +1364,55 @@ object LlmTextOps {
       .orderBy("doc_id")
   }
 
+  /** `vocab_drift` — distribution drift between two corpus slices as
+    * a per-token two-sample chi-square: the data-drift monitor a
+    * training pipeline runs between yesterday's and today's drop (or
+    * here, between the deterministic train and val splits — the same
+    * hash buckets `train_val_split` carves, so the slices are
+    * reproducible). For each token with ≥ 20 total occurrences,
+    * χ² = (o_t − e_t)²/e_t + (o_v − e_v)²/e_v against the pooled
+    * expectation; the top-20 by (χ², token) are the vocabulary's most
+    * drifted items. Entirely RATIONAL arithmetic (counts, one fixed
+    * double op sequence) — no log anywhere, so the row hash-gates
+    * with no transcendental fence at all: the cheapest-to-port member
+    * of the drift/association family (`cooccurrence_pmi` needs the
+    * monotone-ratio trick, `bm25_rank` the idf fence; this needs
+    * nothing).
+    *
+    * Scale shape: one corpus explode → (token, slice) counts → a
+    * token-keyed 24-byte-row aggregation; totals ride a 1-row
+    * broadcast; top-20 via TakeOrderedAndProject.
+    */
+  def vocabDrift(s: SparkSession, d: String): DataFrame = {
+    val p = 1000000007L
+    val toks = Tables.documents(s, d)
+      .withColumn("bucket",
+        (col("doc_id") % p) * lit(2654435761L) % p % 10)
+      .where(col("bucket") <= 8) // train (0-7) vs val (8); test held out
+      .withColumn("is_val", (col("bucket") === 8).cast("int"))
+      .select(col("is_val"), explode(split(col("text"), " ")).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(
+      sum(when(col("is_val") === 0, 1L).otherwise(0L)).as("o_t"),
+      sum(when(col("is_val") === 1, 1L).otherwise(0L)).as("o_v"))
+    val totals = counts.agg(
+      sum(col("o_t")).as("n_t"), sum(col("o_v")).as("n_v"))
+    counts.where(col("o_t") + col("o_v") >= 20)
+      .join(broadcast(totals), lit(true))
+      .withColumn("e_t",
+        (col("o_t") + col("o_v")).cast("double") * col("n_t").cast("double")
+          / (col("n_t") + col("n_v")).cast("double"))
+      .withColumn("e_v",
+        (col("o_t") + col("o_v")).cast("double") * col("n_v").cast("double")
+          / (col("n_t") + col("n_v")).cast("double"))
+      .withColumn("chi2",
+        (col("o_t") - col("e_t")) * (col("o_t") - col("e_t")) / col("e_t")
+          + (col("o_v") - col("e_v")) * (col("o_v") - col("e_v")) / col("e_v"))
+      .orderBy(col("chi2").desc, col("tok").asc)
+      .limit(20)
+      .select(col("tok"), col("o_t"), col("o_v"), r6(col("chi2")).as("chi2"))
+      .orderBy("tok")
+  }
+
   /** `cooccurrence_pmi` — top-20 collocations by pointwise mutual
     * information (Church & Hanks '90): adjacent token pairs whose
     * joint occurrence beats the independence expectation —

@@ -326,6 +326,43 @@ object RelationalOps {
       .orderBy("op", "nk")
   }
 
+  /** `join_bloom_pruned` — the runtime-filter join pattern made
+    * first-class: the small side's keys build a Bloom sketch
+    * (driver-collected scalar, the `dedup_incremental_bloom`
+    * posture) that prefilters the BIG side map-side BEFORE its
+    * shuffle; the exact join then removes the false-positive tail,
+    * so the output is bit-identical to the plain join (the oracle is
+    * that plain join). At 100 TB this is the difference between
+    * shuffling every order and shuffling only the ~selectivity
+    * fraction that can possibly match — the pattern engines call
+    * runtime filter / sideways information passing, expressed
+    * explicitly so it survives any planner (Spark's own
+    * spark.sql.optimizer.runtimeFilter covers only favorable
+    * shapes). A 1 MiB sketch absorbs ~10⁶ keys at <1% FP; the FP
+    * tail only costs shuffle bytes, never correctness.
+    */
+  def joinBloomPruned(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_name"))
+    val bloom: Array[Byte] = cust
+      .agg(graft.functions.BloomFns.bloomAgg(s, col("c_custkey"),
+        lit(100000L), lit(800000L)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val orders = Tables.orders(s, d)
+    // empty build side ⇒ null sketch ⇒ nothing can match (the join
+    // below would drop everything anyway; skip the probe)
+    val pruned =
+      if (bloom == null) orders.where(lit(false))
+      else orders.where(graft.functions.BloomFns.mightContain(s,
+        lit(bloom), col("o_custkey")))
+    pruned
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+        col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   /** `zorder_layout` — the multi-dimensional clustering key for
     * 100 TB data layout: each event's Morton z-key over
     * (user_id, minute-of-epoch), the key a layout job sorts or

@@ -314,6 +314,36 @@ class PlanShapeSpec extends AnyFunSuite {
       "document text crossed a shuffle:\n" + exchanges.mkString("\n"))
   }
 
+  test("zorder_layout is a row-local map: no exchange except the presentation sort") {
+    val p = planString("zorder_layout")
+    assert(p.contains("graft_zorder"), p.take(1500))
+    // one range exchange for the ORDER BY, nothing else — the key
+    // computation itself must never shuffle
+    val exchanges = p.linesIterator.filter(l =>
+      l.contains("Exchange") && !l.contains("rangepartitioning")).toSeq
+    assert(exchanges.isEmpty,
+      "zkey computation shuffled:\n" + exchanges.mkString("\n"))
+  }
+
+  test("quantile_bins broadcasts the bounds; assignment is map-side") {
+    val df = SparkEntry.queries("quantile_bins")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), "bounds join fell back to SMJ")
+  }
+
+  test("bm25_rank: constants ride ONE 1-row broadcast; no corpus explode") {
+    val p = planString("bm25_rank")
+    // per-term tf is a row-local array scan — an explode of the token
+    // stream would be the corpus explode the scaladoc forbids for a
+    // 3-term query (the only Generate allowed is the 20-row
+    // posexplode of the top-k buffer)
+    assert(!p.contains("Generate explode"),
+      "corpus explode in bm25:\n" + p.take(2000))
+    assert(p.contains("graft_topk"), p.take(1500))
+  }
+
   test("duplicate_passages scans + tokenizes the text exactly once") {
     val p = planString("duplicate_passages")
     // the df count must ride the postings (count-over-window), not a

@@ -370,6 +370,75 @@ class RobustOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("join_bloom_pruned == plain join; the prefilter actually prunes") {
+    val s = spark
+    import org.apache.spark.sql.functions.col
+    val got = graft.operators.RelationalOps
+      .joinBloomPruned(s, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3)))
+    val cust = graft.engine.Tables.customer(s, TestSpark.sf0001)
+      .where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_name"))
+    val want = graft.engine.Tables.orders(s, TestSpark.sf0001)
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+        col("o_totalprice"))
+      .orderBy("o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3)))
+    assert(got.toSeq == want.toSeq)
+    assert(got.nonEmpty)
+    // the sketch must do real work: the pruned big side is a strict
+    // subset (non-matching segments exist), within a 1% FP tail of
+    // the true match count
+    val orders = graft.engine.Tables.orders(s, TestSpark.sf0001)
+    val bloom = cust.agg(graft.functions.BloomFns.bloomAgg(s,
+        col("c_custkey"), org.apache.spark.sql.functions.lit(100000L),
+        org.apache.spark.sql.functions.lit(800000L)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val nAll = orders.count()
+    val nPruned = orders.where(graft.functions.BloomFns.mightContain(s,
+      org.apache.spark.sql.functions.lit(bloom), col("o_custkey"))).count()
+    val nTrue = want.length.toLong
+    assert(nPruned >= nTrue, "Bloom dropped a true match")
+    assert(nPruned <= nTrue + math.ceil(nAll * 0.01).toLong,
+      s"prefilter too weak: $nPruned of $nAll pass for $nTrue matches")
+    assert(nPruned < nAll, "prefilter pruned nothing")
+  }
+
+  test("vocab_drift == local chi-square recomputation over the hash slices") {
+    val s = spark
+    def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val got = LlmTextOps.vocabDrift(s, TestSpark.sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val docs = graft.engine.Tables.documents(s, TestSpark.sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val sliced = docs.flatMap { case (id, toks) =>
+      val bucket = id % 1000000007L * 2654435761L % 1000000007L % 10L
+      if (bucket <= 8) toks.map(t => (t, bucket == 8L)) else Seq.empty
+    }
+    val counts = sliced.groupBy(_._1).view.mapValues { xs =>
+      (xs.count(!_._2).toLong, xs.count(_._2).toLong)
+    }.toMap
+    val nT = counts.values.map(_._1).sum
+    val nV = counts.values.map(_._2).sum
+    val want = counts.toSeq.filter { case (_, (t, v)) => t + v >= 20 }
+      .map { case (tok, (oT, oV)) =>
+        val eT = (oT + oV).toDouble * nT.toDouble / (nT + nV).toDouble
+        val eV = (oT + oV).toDouble * nV.toDouble / (nT + nV).toDouble
+        val chi2 = (oT - eT) * (oT - eT) / eT + (oV - eV) * (oV - eV) / eV
+        (tok, oT, oV, chi2)
+      }.sortBy { case (tok, _, _, chi2) => (-chi2, tok) }
+      .take(20)
+      .map { case (tok, oT, oV, chi2) => (tok, oT, oV, r6d(chi2)) }
+      .sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    assert(got.length == 20)
+  }
+
   test("data_profile matches per-column direct aggregates") {
     val s = spark
     val got = graft.operators.FunctionOps.dataProfile(s, TestSpark.sf0001)
