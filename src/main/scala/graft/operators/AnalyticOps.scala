@@ -227,18 +227,28 @@ object AnalyticOps {
     * users per event type from an aggregate whose state is O(capacity)
     * at every partial, merge, and (in the S13 streaming twin) state-
     * store write — where the exact `heavy_hitters` plan's count map
-    * is O(distinct keys). Run here in the no-eviction regime
-    * (capacity 256 ≥ 150 distinct users), where MG counts are exact
-    * and partition-order-free, so the row hash-gates against the
-    * plain count/rank oracle — the gate proves the summary's
-    * update/merge/serialize machinery cross-engine (the KMV below-k
-    * posture); SketchQualitySpec separately measures the eviction
-    * regime's guaranteed error bound on a skewed stream.
+    * is O(distinct keys). Run here in the no-eviction regime, where
+    * MG counts are exact and partition-order-free, so the row
+    * hash-gates against the plain count/rank oracle — the gate proves
+    * the summary's update/merge/serialize machinery cross-engine (the
+    * KMV below-k posture); SketchQualitySpec separately measures the
+    * eviction regime's guaranteed error bound on a skewed stream.
+    *
+    * The regime is an assumption about the corpus, so it is pinned,
+    * not hoped: [[HhMgCapacity]] = 4096 sits 2.7× above the 1,500
+    * distinct users at the largest shipped sf (cardinality grows with
+    * sf — 15/150/1500 — which bit the round-7 first cut at 256), and
+    * SketchQualitySpec asserts distinct < capacity AT sf0.1 so a
+    * regenerated corpus fails the suite loudly instead of silently
+    * flipping this row into the eviction regime under the exact
+    * oracle.
     */
+  val HhMgCapacity = 4096
   def heavyHittersMg(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("event_type"))
-      .agg(graft.functions.MisraGriesAgg.mg(s, col("user_id"), 256).as("mg"))
+      .agg(graft.functions.MisraGriesAgg.mg(s, col("user_id"),
+        HhMgCapacity).as("mg"))
       .select(col("event_type"),
         posexplode(expr("slice(mg, 1, 3)")).as(Seq("r", "e")))
       .select(col("event_type"), (col("r") + 1).cast("int").as("rank"),

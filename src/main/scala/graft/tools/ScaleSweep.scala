@@ -176,6 +176,12 @@ object ScaleSweep {
         (graft.operators.LlmVectorOps.dedupEmbedBlocked _),
       "dedup_embed_blocked_scaled" ->
         (graft.operators.LlmVectorOps.dedupEmbedBlockedScaled _),
+      // the round-7 linear text family: one explode + keyed counts
+      // each — swept to confirm the linear claim holds a decade up
+      "entropy_stats" -> (graft.operators.LlmTextOps.entropyStats _),
+      "cooccurrence_pmi" -> (graft.operators.LlmTextOps.cooccurrencePmi _),
+      "vocab_drift" -> (graft.operators.LlmTextOps.vocabDrift _),
+      "bm25_rank" -> (graft.operators.LlmTextOps.bm25Rank _),
       "similarity_lsh" -> (graft.operators.LlmVectorOps.similarityLsh _),
       "similarity_ivf" -> (graft.operators.LlmVectorOps.similarityIvf _),
       // the quantized pair: both are one corpus scan per probe batch,

@@ -162,8 +162,8 @@ class SketchQualitySpec extends AnyFunSuite {
     val ev = graft.engine.Tables.events(spark, sf)
     val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // capacity 256 ≥ 150 distinct users ⇒ zero evictions ⇒ the FULL
-    // summary equals the exact count map, under any partitioning
+    // capacity ≥ distinct users ⇒ zero evictions ⇒ the FULL summary
+    // equals the exact count map, under any partitioning
     for (parts <- Seq(1, 7, 32)) {
       val got = ev.repartition(parts)
         .agg(graft.functions.MisraGriesAgg.mg(spark, col("user_id"), 256)
@@ -172,6 +172,21 @@ class SketchQualitySpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == exact, s"parts=$parts: MG below capacity must be exact")
     }
+  }
+
+  test("heavy_hitters_mg regime guard: capacity clears sf0.1 cardinality") {
+    import org.apache.spark.sql.functions._
+    // the gated row's exact-count oracle is valid ONLY while no
+    // eviction fires; this pins the assumption against the LARGEST
+    // shipped corpus so a regenerated testdata drop fails loudly
+    // (user cardinality grows with sf: 15/150/1500)
+    val distinct01 = graft.engine.Tables.events(spark, "/root/testdata/sf0.1")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("c"))
+      .agg(max(col("c"))).head().getLong(0)
+    assert(distinct01 * 2 <= AnalyticOps.HhMgCapacity,
+      s"per-group cardinality $distinct01 too close to MG capacity " +
+        s"${AnalyticOps.HhMgCapacity} — raise it or the gate breaks")
   }
 
   test("MG eviction regime honors the n/(capacity+1) guarantees on a skewed stream") {
