@@ -108,6 +108,7 @@ object SparkEntry {
     "entropy_stats"       -> (LlmTextOps.entropyStats _),
     "cooccurrence_pmi"    -> (LlmTextOps.cooccurrencePmi _),
     "vocab_drift"         -> (LlmTextOps.vocabDrift _),
+    "source_quality"      -> (LlmTextOps.sourceQuality _),
     "text_normalize"      -> (LlmTextOps.textNormalize _),
     "train_val_split"     -> (LlmTextOps.trainValSplit _),
     "stratified_sample"   -> (LlmTextOps.stratifiedSample _),
@@ -140,6 +141,7 @@ object SparkEntry {
     "dedup_embed"         -> (LlmVectorOps.dedupEmbed _),
     "dedup_embed_ann"     -> (LlmVectorOps.dedupEmbedAnn _),
     "diversity_sample"    -> (LlmVectorOps.diversitySample _),
+    "label_centroids"     -> (LlmVectorOps.labelCentroids _),
     "embed_gram"          -> (LlmVectorOps.embedGram _),
     "embed_pca_project"   -> (LlmVectorOps.embedPcaProject _),
     "dedup_embed_blocked" -> (LlmVectorOps.dedupEmbedBlocked _),
@@ -709,6 +711,31 @@ object SparkEntry {
                   AS INTEGER) AS decile
          FROM events e JOIN b USING (event_type)
          ORDER BY event_id""",
+    // duplicates grouped on raw text in the oracle vs the 8-byte
+    // digest in Spark — the dedup_exact_digest collision posture
+    "source_quality" ->
+      """WITH base AS (SELECT source, lang, n_chars, text,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+              FROM documents),
+         dups AS (SELECT source, CAST(SUM(k - 1) AS BIGINT) AS n_dups
+                  FROM (SELECT source, text, COUNT(*) AS k
+                        FROM base GROUP BY 1, 2)
+                  GROUP BY 1),
+         agg AS (SELECT source, COUNT(*) AS n_docs,
+                  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                  CAST(SUM(n_toks) AS BIGINT) AS total_toks,
+                  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_en
+               FROM base GROUP BY 1)
+         SELECT a.source, a.n_docs, a.total_chars,
+                floor((CAST(total_toks AS DOUBLE) / n_docs)
+                  * 1000000 + 0.5) / 1000000 AS mean_toks,
+                floor((CAST(n_en AS DOUBLE) / n_docs)
+                  * 1000000 + 0.5) / 1000000 AS pct_en,
+                d.n_dups,
+                floor((CAST(n_dups AS DOUBLE) / n_docs)
+                  * 1000000 + 0.5) / 1000000 AS dup_rate
+         FROM agg a JOIN dups d USING (source) ORDER BY source""",
     // PMI: ranked by the exact rational ratio (log2 is monotone, so
     // the order is log-free); the displayed pmi is log2 of an
     // already-identical double, r6'd
@@ -1615,6 +1642,7 @@ object SparkEntry {
     "dedup_embed_blocked" -> LlmVectorOps.dedupEmbedBlockedOracleSql,
     "dedup_embed_ann" -> LlmVectorOps.dedupEmbedAnnOracleSql,
     "diversity_sample" -> LlmVectorOps.diversitySampleOracleSql,
+    "label_centroids" -> LlmVectorOps.labelCentroidsOracleSql,
     "similarity_ivf" -> LlmVectorOps.ivfOracleSql,
     "similarity_ivf_trained" -> LlmVectorOps.ivfTrainedOracleSql,
     "similarity_topk_pq" -> LlmVectorOps.topkPqOracleSql,

@@ -1364,6 +1364,44 @@ object LlmTextOps {
       .orderBy("doc_id")
   }
 
+  /** `source_quality` — the per-source corpus report card: document
+    * count, total characters, mean document length in tokens, share
+    * of English documents, and the within-source exact-duplicate rate
+    * — the one-page summary a curation run reads before deciding
+    * per-source mixture weights (`mixture_sample`) and filters
+    * (`corpus_filter`). Counts are exact integers; the two ratios are
+    * fixed-op-order IEEE over exact ints, r6'd — fully hash-gated.
+    *
+    * Scale shape: token counts are a row-local `size(split(...))`;
+    * the duplicate rate rides a (source, digest) count (8-byte digest
+    * keys, the `dedup_exact_digest` posture — text never shuffles);
+    * one final 5-row aggregation per source.
+    */
+  def sourceQuality(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+      .withColumn("digest", xxhash64(col("text")))
+    val dupRows = docs.groupBy(col("source"), col("digest"))
+      .agg(count(lit(1)).as("k"))
+      .groupBy(col("source"))
+      // duplicates = rows beyond each digest's first occurrence
+      .agg(sum(col("k") - 1L).as("n_dups"))
+    docs.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_toks")).as("total_toks"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+      .join(dupRows, Seq("source"))
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        r6(col("total_toks").cast("double") / col("n_docs"))
+          .as("mean_toks"),
+        r6(col("n_en").cast("double") / col("n_docs")).as("pct_en"),
+        col("n_dups"),
+        r6(col("n_dups").cast("double") / col("n_docs")).as("dup_rate"))
+      .orderBy("source")
+  }
+
   /** `vocab_drift` — distribution drift between two corpus slices as
     * a per-token two-sample chi-square: the data-drift monitor a
     * training pipeline runs between yesterday's and today's drop (or

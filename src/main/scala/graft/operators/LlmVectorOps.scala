@@ -943,6 +943,20 @@ object LlmVectorOps {
       .orderBy("cent_id", "rank")
   }
 
+  /** The DuckDB oracle for `label_centroids`: the [[lloydRoundSql]]
+    * fixed-point mean replayed per (label, dim) — exact long sums on
+    * the 2⁻²⁰ grid, so the mean is order-free in any engine.
+    */
+  private[graft] def labelCentroidsOracleSql: String =
+    s"""WITH t AS (SELECT label, p.pos - 1 AS dim,
+                CAST(floor(CAST(embedding[p.pos] AS DOUBLE) * 1048576.0
+                    + 0.5) AS BIGINT) AS q
+              FROM embeddings
+              CROSS JOIN (SELECT unnest(range(1, ${embDim + 1})) AS pos) p)
+         SELECT label, CAST(dim AS INTEGER) AS dim, COUNT(*) AS n,
+                CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1048576.0) AS m
+         FROM t GROUP BY label, dim ORDER BY label, dim"""
+
   /** The DuckDB oracle for `diversity_sample`: the shared seed
     * codebook + keep-1 assignment CTEs, then the modular hash rank
     * per cell. Constants come from the shared named vals.
@@ -974,6 +988,30 @@ object LlmVectorOps {
                 FROM hashed)
          SELECT cent_id, rank, vec_id, h FROM rk
          WHERE rank <= 8 ORDER BY cent_id, rank"""
+
+  /** `label_centroids` — per-class prototype vectors in long form
+    * (label, dim, mean): the embedding-space health check a labeled
+    * corpus gets before anyone trains on it — collapsed or duplicated
+    * prototypes flag label noise, and the prototypes feed
+    * nearest-centroid probes (`knn_label`'s cheap sibling). The mean
+    * runs on the same 2⁻²⁰ fixed-point grid as the Lloyd trainer
+    * ([[lloydStep]]): coordinates round to an integer grid BEFORE
+    * summing, so the fold is order-free and the row hash-gates — a
+    * plain avg() of floats would fold in partition order and no
+    * external engine could reproduce its last bits. One (label, dim)
+    * aggregation over posexploded coordinates; 16-byte rows on the
+    * one exchange.
+    */
+  def labelCentroids(s: SparkSession, d: String): DataFrame = {
+    val grid = (1L << 20).toDouble
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("v").cast("double") * grid + 0.5).cast("long"))
+          .cast("double") / (count(lit(1)) * grid)).as("m"))
+      .orderBy("label", "dim")
+  }
 
   /** `dedup_embed_blocked` — the 100 TB shape of `dedup_embed`.
     * Candidate pairs come from shared random-hyperplane buckets

@@ -439,6 +439,59 @@ class RobustOpsSpec extends AnyFunSuite {
     assert(got.length == 20)
   }
 
+  test("label_centroids: grid means partition-stable and within 2^-20 of float avg") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val base = LlmVectorOps.labelCentroids(s, TestSpark.sf0001)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(base.nonEmpty)
+    // the fixed-point mean must be bit-stable under any partitioning
+    // (the property a plain float avg() lacks)
+    val reparted = graft.engine.Tables.embeddings(s, TestSpark.sf0001)
+      .repartition(13)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("v").cast("double") * 1048576.0 + 0.5).cast("long"))
+          .cast("double") / (count(lit(1)) * 1048576.0)).as("m"))
+      .orderBy("label", "dim")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(base.toSeq == reparted.toSeq, "grid mean not partition-stable")
+    // and it approximates the true mean to the grid resolution
+    val floatAvg = graft.engine.Tables.embeddings(s, TestSpark.sf0001)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim")).agg(avg(col("v")).as("m"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    base.foreach { case (l, dim, _, m) =>
+      assert(math.abs(m - floatAvg((l, dim))) < 1.0 / (1 << 20) + 1e-9,
+        s"($l, $dim) grid mean drifted from the float mean")
+    }
+  }
+
+  test("source_quality == local per-source recomputation") {
+    val s = spark
+    def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val got = LlmTextOps.sourceQuality(s, TestSpark.sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5), r.getDouble(6)))
+    val docs = graft.engine.Tables.documents(s, TestSpark.sf0001)
+      .select("source", "lang", "n_chars", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val want = docs.groupBy(_._1).toSeq.map { case (src, rows) =>
+      val nDocs = rows.length.toLong
+      val totalChars = rows.map(_._3).sum
+      val totalToks = rows.map(_._4.split(" ", -1).length.toLong).sum
+      val nEn = rows.count(_._2 == "en").toLong
+      val nDups = rows.groupBy(_._4).values.map(_.size - 1L).sum
+      (src, nDocs, totalChars, r6d(totalToks.toDouble / nDocs),
+        r6d(nEn.toDouble / nDocs), nDups, r6d(nDups.toDouble / nDocs))
+    }.sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    assert(got.nonEmpty)
+  }
+
   test("data_profile matches per-column direct aggregates") {
     val s = spark
     val got = graft.operators.FunctionOps.dataProfile(s, TestSpark.sf0001)
