@@ -78,6 +78,8 @@ object SparkEntry {
     "winsorized_stats"         -> (AnalyticOps.winsorizedStats _),
     "data_profile"             -> (FunctionOps.dataProfile _),
     "gapfill_resample"         -> (AnalyticOps.gapfillResample _),
+    "ks_drift"                 -> (AnalyticOps.ksDrift _),
+    "value_bands"              -> (AnalyticOps.valueBands _),
     "lineitem_unpivot"         -> (AnalyticOps.lineitemUnpivot _),
     // E16–E21 + LLM-pipeline surface
     "sessionize"          -> (LlmTextOps.sessionize _),
@@ -125,6 +127,7 @@ object SparkEntry {
     "bigram_novelty"      -> (LlmTextOps.bigramNovelty _),
     "similarity_topk"     -> (LlmVectorOps.similarityTopk _),
     "knn_label"           -> (LlmVectorOps.knnLabel _),
+    "rrf_fusion"          -> (LlmVectorOps.rrfFusion _),
     "similarity_topk_q8"  -> (LlmVectorOps.similarityTopkQ8 _),
     "embed_quantize"      -> (LlmVectorOps.embedQuantize _),
     "similarity_lsh"      -> (LlmVectorOps.similarityLsh _),
@@ -853,6 +856,146 @@ object SparkEntry {
          SELECT rank, doc_id,
                 floor(score * 1000000 + 0.5) / 1000000 AS score
          FROM r WHERE rank <= 20 ORDER BY rank""",
+    // two-sample KS per type between early/late halves: cumulative
+    // integer counts + one division each — rational, no fence
+    "ks_drift" ->
+      """WITH e AS (SELECT event_type, value, epoch_us(ts) AS us
+                    FROM events),
+         m AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid_us FROM e),
+         c AS (SELECT event_type, value,
+                  CAST(SUM(CASE WHEN us <= mid_us THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c_a,
+                  CAST(SUM(CASE WHEN us > mid_us THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c_b
+               FROM e CROSS JOIN m GROUP BY 1, 2),
+         t AS (SELECT event_type, CAST(SUM(c_a) AS BIGINT) AS n_a,
+                      CAST(SUM(c_b) AS BIGINT) AS n_b
+               FROM c GROUP BY 1),
+         w AS (SELECT event_type, value,
+                  CAST(SUM(c_a) OVER win AS BIGINT) AS cum_a,
+                  CAST(SUM(c_b) OVER win AS BIGINT) AS cum_b
+               FROM c
+               WINDOW win AS (PARTITION BY event_type ORDER BY value
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         g AS (SELECT w.event_type, t.n_a, t.n_b,
+                  abs(CAST(cum_a AS DOUBLE) / n_a
+                    - CAST(cum_b AS DOUBLE) / n_b) AS gap
+               FROM w JOIN t USING (event_type)
+               WHERE t.n_a > 0 AND t.n_b > 0)
+         SELECT event_type, MAX(n_a) AS n_early, MAX(n_b) AS n_late,
+                floor(MAX(gap) * 1000000 + 0.5) / 1000000 AS ks
+         FROM g GROUP BY event_type ORDER BY event_type""",
+    // Bollinger bands: the muSigma decimal recipe inside a 20-row
+    // frame pinned by the (us, event_id) total order
+    "value_bands" ->
+      """WITH t AS (SELECT event_id, epoch_us(ts) AS us,
+                event_type AS symbol, CAST(value AS DOUBLE) AS price,
+                CAST(value AS DECIMAL(16,2)) AS vd
+              FROM events),
+         w AS (SELECT event_id, symbol, price,
+                  COUNT(*) OVER win AS n,
+                  CAST(SUM(vd) OVER win AS DECIMAL(16,2)) AS s1d,
+                  CAST(SUM(vd * vd) OVER win AS DECIMAL(22,4)) AS s2d
+               FROM t
+               WINDOW win AS (PARTITION BY symbol
+                 ORDER BY us ASC, event_id ASC
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+         b AS (SELECT event_id, symbol, price,
+                  CAST(n AS BIGINT) AS n_window,
+                  CAST(s1d AS DOUBLE) / n AS mid_raw,
+                  sqrt(CAST(CAST(n AS DECIMAL(10,0)) * s2d - s1d * s1d
+                    AS DOUBLE)) / n AS sigma_raw
+               FROM w)
+         SELECT event_id, symbol, price, n_window,
+                floor(mid_raw * 1000000 + 0.5) / 1000000 AS mid,
+                floor((mid_raw + 2.0 * sigma_raw) * 1000000 + 0.5)
+                  / 1000000 AS upper_band,
+                floor((mid_raw - 2.0 * sigma_raw) * 1000000 + 0.5)
+                  / 1000000 AS lower_band
+         FROM b ORDER BY event_id""",
+    // RRF: BM25 leg (the bm25_rank chain, top-100) + cosine leg
+    // (vec_id-0 probe, top-100); reciprocals of small ints, written
+    // two-term sum — rational end-to-end
+    "rrf_fusion" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+         tf AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+                  CAST(len(list_filter(toks, x -> x = 'spark')) AS BIGINT)
+                    AS tf_spark,
+                  CAST(len(list_filter(toks, x -> x = 'merge')) AS BIGINT)
+                    AS tf_merge,
+                  CAST(len(list_filter(toks, x -> x = 'window')) AS BIGINT)
+                    AS tf_window
+                FROM base),
+         c AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens,
+                  SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+                  SUM(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS df_merge,
+                  SUM(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window
+               FROM tf),
+         s AS (SELECT t.doc_id, t.dl,
+                  t.tf_spark, t.tf_merge, t.tf_window,
+                  CAST(total_tokens AS DOUBLE) / n_docs AS avgdl,
+                  floor(ln((n_docs - df_spark + 0.5) / (df_spark + 0.5)
+                      + 1.0) * 1000000 + 0.5) / 1000000 AS idf_spark,
+                  floor(ln((n_docs - df_merge + 0.5) / (df_merge + 0.5)
+                      + 1.0) * 1000000 + 0.5) / 1000000 AS idf_merge,
+                  floor(ln((n_docs - df_window + 0.5) / (df_window + 0.5)
+                      + 1.0) * 1000000 + 0.5) / 1000000 AS idf_window
+               FROM tf t CROSS JOIN c),
+         sc AS (SELECT doc_id,
+                  (CASE WHEN tf_spark > 0 THEN
+                     idf_spark * (CAST(tf_spark AS DOUBLE) * 2.2)
+                       / (CAST(tf_spark AS DOUBLE)
+                          + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+                   ELSE 0.0 END
+                   + CASE WHEN tf_merge > 0 THEN
+                     idf_merge * (CAST(tf_merge AS DOUBLE) * 2.2)
+                       / (CAST(tf_merge AS DOUBLE)
+                          + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+                   ELSE 0.0 END
+                   + CASE WHEN tf_window > 0 THEN
+                     idf_window * (CAST(tf_window AS DOUBLE) * 2.2)
+                       / (CAST(tf_window AS DOUBLE)
+                          + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+                   ELSE 0.0 END) AS score
+                FROM s),
+         lr0 AS (SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+                     AS INTEGER) AS lex_rank
+                 FROM sc WHERE score > 0),
+         lr AS (SELECT * FROM lr0 WHERE lex_rank <= 100),
+         pr AS (SELECT embedding AS probe_emb FROM embeddings
+                WHERE vec_id = 0),
+         sp AS (SELECT vec_id,
+                  floor((list_aggregate([CAST(probe_emb[i] AS DOUBLE)
+                          * CAST(embedding[i] AS DOUBLE)
+                          for i in range(1, len(probe_emb) + 1)], 'sum')
+                    / (sqrt(list_aggregate([CAST(x AS DOUBLE)
+                             * CAST(x AS DOUBLE)
+                             for x in probe_emb], 'sum'))
+                       * sqrt(list_aggregate([CAST(x AS DOUBLE)
+                              * CAST(x AS DOUBLE)
+                              for x in embedding], 'sum'))))
+                    * 1000000 + 0.5) / 1000000 AS score
+                FROM embeddings, pr WHERE vec_id <> 0),
+         sr0 AS (SELECT vec_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC)
+                     AS INTEGER) AS sem_rank
+                 FROM sp),
+         sr AS (SELECT * FROM sr0 WHERE sem_rank <= 100),
+         f AS (SELECT COALESCE(l.doc_id, s2.vec_id) AS doc_id,
+                  l.lex_rank, s2.sem_rank,
+                  COALESCE(1.0 / CAST(l.lex_rank + 60 AS DOUBLE), 0.0)
+                    + COALESCE(1.0 / CAST(s2.sem_rank + 60 AS DOUBLE), 0.0)
+                    AS rrf_raw
+               FROM lr l FULL OUTER JOIN sr s2 ON l.doc_id = s2.vec_id),
+         r2 AS (SELECT doc_id, lex_rank, sem_rank, rrf_raw,
+                  ROW_NUMBER() OVER (ORDER BY rrf_raw DESC, doc_id ASC)
+                    AS rk
+                FROM f)
+         SELECT doc_id, lex_rank, sem_rank,
+                floor(rrf_raw * 1000000 + 0.5) / 1000000 AS rrf_score
+         FROM r2 WHERE rk <= 20 ORDER BY doc_id""",
     "top_docs_per_lang" ->
       """SELECT lang, CAST(rk AS INTEGER) AS rank, doc_id, n_chars FROM (
            SELECT lang, doc_id, n_chars,

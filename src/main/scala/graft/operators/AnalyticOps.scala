@@ -548,4 +548,102 @@ object AnalyticOps {
           / (col("n") - 1), lit(0.0)))).as("sd_w"))
       .orderBy("event_type")
   }
+
+  /** `ks_drift` — two-sample Kolmogorov–Smirnov statistic per event
+    * type between the EARLY and LATE halves of the stream (split at
+    * the midpoint of the observed time range): the distribution-drift
+    * monitor for the tick domain, and the nonparametric complement to
+    * `vocab_drift`'s per-token chi-square — KS sees a shifted VALUE
+    * distribution that per-category counts cannot.
+    *
+    * D = sup_v |F_early(v) − F_late(v)|, evaluated at every distinct
+    * observed value (the ECDFs only jump there, so the sup over the
+    * merged sample points is the true sup). Entirely rational: the
+    * cumulative counts are integers from one ordered prefix sum, each
+    * ECDF value is one correctly-rounded division, and max() over
+    * identical doubles is order-free — no transcendental anywhere, so
+    * the row hash-gates with no fence (the `vocab_drift` posture).
+    *
+    * Scale shape: one (type, value) count aggregation (the same
+    * exchange `value_histogram` pays), a per-type window prefix sum
+    * over DISTINCT values (bounded by value cardinality, not row
+    * count), and a 5-row final aggregate. The midpoint constant rides
+    * a 1-row broadcast.
+    */
+  def ksDrift(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+    // integer midpoint: (min+max) div 2 — exact, overflow-free for
+    // µs epochs (< 2^62 summed)
+    val mid = e.agg(expr("(min(us) + max(us)) div 2").as("mid_us"))
+    val counts = e.join(broadcast(mid), lit(true))
+      .groupBy(col("event_type"), col("value"))
+      .agg(
+        sum(when(col("us") <= col("mid_us"), 1L).otherwise(0L)).as("c_a"),
+        sum(when(col("us") > col("mid_us"), 1L).otherwise(0L)).as("c_b"))
+    val totals = counts.groupBy(col("event_type"))
+      .agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"))
+    val w = Window.partitionBy("event_type").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("cum_a", sum(col("c_a")).over(w))
+      .withColumn("cum_b", sum(col("c_b")).over(w))
+      .join(broadcast(totals), Seq("event_type"))
+      // a type living entirely in one half has no two-sample statistic
+      .where(col("n_a") > 0 && col("n_b") > 0)
+      .withColumn("gap", abs(
+        col("cum_a").cast("double") / col("n_a")
+          - col("cum_b").cast("double") / col("n_b")))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_a")).as("n_early"), max(col("n_b")).as("n_late"),
+        max(col("gap")).as("gap"))
+      .select(col("event_type"), col("n_early"), col("n_late"),
+        r6(col("gap")).as("ks"))
+      .orderBy("event_type")
+  }
+
+  /** `value_bands` — Bollinger bands per symbol: the 20-tick moving
+    * mean ± 2σ envelope over the tick stream (the volatility-band
+    * monitor of the reference's crypto domain; `moving_avg` is the
+    * mean alone, `value_anomalies` the full-history z-score — this is
+    * the LOCAL-window regime detector between them).
+    *
+    * Portability: the frame moments ride the `muSigma` decimal recipe
+    * inside a ROWS window — Σv and Σv² exact in DECIMAL over the
+    * 20-row frame (order-free), the variance numerator n·Σv² − (Σv)²
+    * computed in decimal (exact, ≥ 0 ⇒ sqrt never sees a negative),
+    * and mean/σ/bands evaluated in one written double op order. The
+    * frame is pinned by (ts, event_id) — a total order, so both
+    * engines fill it with the same 20 rows.
+    *
+    * Scale shape: one shuffle on symbol + per-partition sort (the
+    * standard window plan); no broadcast, no second pass. At 100 TB
+    * the symbol partitioning matches the tick layout, so the window
+    * runs map-side over sorted partitions.
+    */
+  def valueBands(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("us").asc, col("event_id").asc)
+      .rowsBetween(-19, 0)
+    Tables.events(s, d)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type").as("symbol"),
+        col("value").cast("double").as("price"))
+      .withColumn("vd", col("price").cast(DecimalType(16, 2)))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s1d", sum(col("vd")).over(w).cast(DecimalType(16, 2)))
+      .withColumn("s2d",
+        sum(col("vd") * col("vd")).over(w).cast(DecimalType(22, 4)))
+      .withColumn("mid_raw", col("s1d").cast("double") / col("n"))
+      .withColumn("sigma_raw",
+        sqrt((col("n").cast(DecimalType(10, 0)) * col("s2d")
+          - col("s1d") * col("s1d")).cast("double")) / col("n"))
+      .select(col("event_id"), col("symbol"), col("price"),
+        col("n").as("n_window"),
+        r6(col("mid_raw")).as("mid"),
+        r6(col("mid_raw") + lit(2.0) * col("sigma_raw")).as("upper_band"),
+        r6(col("mid_raw") - lit(2.0) * col("sigma_raw")).as("lower_band"))
+      .orderBy("event_id")
+  }
 }

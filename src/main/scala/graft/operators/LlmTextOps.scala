@@ -1572,7 +1572,22 @@ object LlmTextOps {
     * aggregate broadcast back; the global top-20 is the bounded
     * `graft_topk` aggregate (O(k) state, no global sort).
     */
-  def bm25Rank(s: SparkSession, d: String): DataFrame = {
+  def bm25Rank(s: SparkSession, d: String): DataFrame =
+    bm25Scored(s, d)
+      .groupBy()
+      .agg(graft.functions.TopKAgg.topk(s,
+        col("score"), col("doc_id"), 20).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("r", "e")))
+      .select((col("r") + 1).cast("int").as("rank"),
+        col("e.vec_id").as("doc_id"), r6(col("e.score")).as("score"))
+      .orderBy("rank")
+
+  /** The BM25 scoring pass behind [[bm25Rank]] (and the lexical leg
+    * of `rrf_fusion`): every doc with score > 0 for the fixed 3-term
+    * query, raw (un-r6'd) scores — cross-engine identical doubles by
+    * the idf-fence argument in [[bm25Rank]]'s scaladoc.
+    */
+  private[graft] def bm25Scored(s: SparkSession, d: String): DataFrame = {
     val qTerms = Seq("spark", "merge", "window")
     val base = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -1602,17 +1617,10 @@ object LlmTextOps {
           .otherwise(lit(0.0)))
     }
     // fixed-order sum: c_spark + c_merge + c_window, never a fold
-    val withScore = scored.withColumn("score",
+    scored.withColumn("score",
       qTerms.map(t => col(s"c_$t")).reduceLeft(_ + _))
       .where(col("score") > 0.0)
-    withScore
-      .groupBy()
-      .agg(graft.functions.TopKAgg.topk(s,
-        col("score"), col("doc_id"), 20).as("tk"))
-      .select(posexplode(col("tk")).as(Seq("r", "e")))
-      .select((col("r") + 1).cast("int").as("rank"),
-        col("e.vec_id").as("doc_id"), r6(col("e.score")).as("score"))
-      .orderBy("rank")
+      .select(col("doc_id"), col("score"))
   }
 
   /** `doc_fingerprint` — rolling polynomial hash over the token

@@ -105,6 +105,61 @@ object LlmVectorOps {
       .orderBy("probe_id")
   }
 
+  /** `rrf_fusion` — reciprocal-rank fusion (Cormack et al., SIGIR'09)
+    * of a lexical and a semantic ranking: the hybrid-retrieval
+    * primitive every RAG / decontamination-lookup stack runs. Leg 1
+    * is BM25 for the fixed 3-term query ([[LlmTextOps.bm25Scored]]);
+    * leg 2 is exact cosine against the vec_id-0 embedding as the
+    * query vector. Each leg keeps its top-100 via the bounded
+    * `graft_topk` aggregate (O(k) state — neither leg pays a global
+    * sort), then score(d) = Σ_legs 1/(60 + rank_leg(d)) with the
+    * standard k=60, missing legs contributing 0, and the fused
+    * top-20 cut on (score desc, doc_id asc).
+    *
+    * Portability: ranks are small integers, each reciprocal is one
+    * correctly-rounded division, and the two-term sum is written
+    * order — fully hash-gated with no fence (the ranking never
+    * touches BM25's ln output raw: leg-1 ranks inherit the idf-fenced
+    * score order the gated `bm25_rank` row already proves).
+    *
+    * Scale shape: leg 1 = one documents scan + a 1-row constants
+    * broadcast; leg 2 = one embeddings scan with a broadcast probe;
+    * both legs reduce to ≤100-row frames, so the fusion join and the
+    * final cut are driver-trivial and the whole query is two
+    * corpus-linear passes.
+    */
+  def rrfFusion(s: SparkSession, d: String): DataFrame = {
+    def ranked(scored: DataFrame, idCol: String, rankName: String) =
+      scored
+        .groupBy()
+        .agg(graft.functions.TopKAgg.topk(s,
+          col("score"), col(idCol), 100).as("tk"))
+        .select(posexplode(col("tk")).as(Seq("r", "e")))
+        .select(col("e.vec_id").as("doc_id"),
+          (col("r") + 1).cast("int").as(rankName))
+    val lex = ranked(LlmTextOps.bm25Scored(s, d), "doc_id", "lex_rank")
+    val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
+    val probe = e.where(col("vec_id") === 0)
+      .select(col("embedding").as("probe_emb"), col("norm").as("probe_norm"))
+    val semScored = e.where(col("vec_id") =!= 0)
+      .join(broadcast(probe), lit(true))
+      .withColumn("score", r6(
+        VectorExprs.dot(s, col("probe_emb"), col("embedding"))
+          / (col("probe_norm") * col("norm"))))
+    val sem = ranked(semScored, "vec_id", "sem_rank")
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_raw",
+        coalesce(lit(1.0) / (col("lex_rank") + lit(60)).cast("double"),
+          lit(0.0))
+          + coalesce(lit(1.0) / (col("sem_rank") + lit(60)).cast("double"),
+            lit(0.0)))
+      .orderBy(col("rrf_raw").desc, col("doc_id").asc)
+      .limit(20)
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+        r6(col("rrf_raw")).as("rrf_score"))
+      .orderBy("doc_id")
+  }
+
   /** `similarity_lsh` — random-hyperplane LSH-bucketed ANN.
     * Signature = sign bits of the projection onto deterministic
     * pseudo-random hyperplanes; candidates share a signature bucket
