@@ -80,6 +80,9 @@ object SparkEntry {
     "gapfill_resample"         -> (AnalyticOps.gapfillResample _),
     "ks_drift"                 -> (AnalyticOps.ksDrift _),
     "value_bands"              -> (AnalyticOps.valueBands _),
+    "hourly_profile"           -> (AnalyticOps.hourlyProfile _),
+    "fuzzy_name_match"         -> (RelationalOps.fuzzyNameMatch _),
+    "pagerank_docs"            -> (LlmVectorOps.pagerankDocs _),
     "lineitem_unpivot"         -> (AnalyticOps.lineitemUnpivot _),
     // E16–E21 + LLM-pipeline surface
     "sessionize"          -> (LlmTextOps.sessionize _),
@@ -885,6 +888,94 @@ object SparkEntry {
          SELECT event_type, MAX(n_a) AS n_early, MAX(n_b) AS n_late,
                 floor(MAX(gap) * 1000000 + 0.5) / 1000000 AS ks
          FROM g GROUP BY event_type ORDER BY event_type""",
+    // hour-of-day seasonality: the muSigma decimal recipe per
+    // (symbol, hour 0-23) cell
+    "hourly_profile" ->
+      """WITH t AS (SELECT event_type AS symbol,
+                CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hod,
+                CAST(value AS DOUBLE) AS price,
+                CAST(value AS DECIMAL(16,2)) AS vd
+              FROM events)
+         SELECT symbol, hod, COUNT(*) AS n,
+                floor((CAST(CAST(SUM(vd) AS DECIMAL(16,2)) AS DOUBLE)
+                    / COUNT(*)) * 1000000 + 0.5) / 1000000 AS mean_price,
+                floor((sqrt(CAST(CAST(COUNT(*) AS DECIMAL(10,0))
+                      * CAST(SUM(vd * vd) AS DECIMAL(22,4))
+                    - CAST(SUM(vd) AS DECIMAL(16,2))
+                      * CAST(SUM(vd) AS DECIMAL(16,2)) AS DOUBLE))
+                    / COUNT(*)) * 1000000 + 0.5) / 1000000 AS sd_price,
+                MIN(price) AS min_price, MAX(price) AS max_price
+         FROM t GROUP BY 1, 2 ORDER BY symbol, hod""",
+    // symmetric-delete blocking replayed + exact levenshtein verify;
+    // the spec brute-forces all pairs at sf0.001
+    "fuzzy_name_match" ->
+      """WITH n AS (SELECT c_custkey, c_name FROM customer
+                    WHERE c_custkey < 2000),
+         kd AS (SELECT c_custkey, c_name,
+                  unnest(list_append(
+                    [substr(c_name, 1, i - 1) || substr(c_name, i + 1)
+                     for i in range(1, len(c_name) + 1)], c_name)) AS k
+                FROM n),
+         cand AS (SELECT DISTINCT
+                    a.c_custkey AS custkey_a, a.c_name AS name_a,
+                    b.c_custkey AS custkey_b, b.c_name AS name_b
+                  FROM kd a JOIN kd b
+                    ON a.k = b.k AND a.c_name < b.c_name)
+         SELECT custkey_a, name_a, custkey_b, name_b
+         FROM cand WHERE levenshtein(name_a, name_b) = 1
+         ORDER BY name_a, name_b""",
+    // LexRank: three unrolled PageRank rounds over the directed
+    // top-3 cosine kNN graph; per-round neighbor sums ride the 2^40
+    // integer grid (order-free), zero-in-degree docs take the 0.15
+    // floor via the same left-join-coalesce
+    "pagerank_docs" ->
+      """WITH nr AS (SELECT vec_id,
+                  sqrt(list_aggregate([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                       for x in embedding], 'sum')) AS nrm
+               FROM embeddings),
+         sc AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                  floor((list_aggregate([CAST(a.embedding[i] AS DOUBLE)
+                          * CAST(b.embedding[i] AS DOUBLE)
+                          for i in range(1, len(a.embedding) + 1)], 'sum')
+                    / (na.nrm * nb.nrm)) * 1000000 + 0.5) / 1000000
+                    AS score
+                FROM embeddings a JOIN embeddings b
+                  ON a.vec_id <> b.vec_id
+                JOIN nr na ON na.vec_id = a.vec_id
+                JOIN nr nb ON nb.vec_id = b.vec_id),
+         rk AS (SELECT src, dst,
+                  ROW_NUMBER() OVER (PARTITION BY src
+                    ORDER BY score DESC, dst ASC) AS rk
+                FROM sc),
+         e AS (SELECT src, dst FROM rk WHERE rk <= 3),
+         nodes AS (SELECT vec_id AS id FROM embeddings),
+         it0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS s FROM nodes),
+         c1 AS (SELECT e.dst, CAST(SUM(CAST(floor(
+                    p.s / 3 * 1099511627776.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS qs
+                FROM e JOIN it0 p ON p.id = e.src GROUP BY 1),
+         it1 AS (SELECT n.id, 0.15 + 0.85 * (CAST(COALESCE(c.qs, 0)
+                   AS DOUBLE) / 1099511627776.0) AS s
+                 FROM nodes n LEFT JOIN c1 c ON c.dst = n.id),
+         c2 AS (SELECT e.dst, CAST(SUM(CAST(floor(
+                    p.s / 3 * 1099511627776.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS qs
+                FROM e JOIN it1 p ON p.id = e.src GROUP BY 1),
+         it2 AS (SELECT n.id, 0.15 + 0.85 * (CAST(COALESCE(c.qs, 0)
+                   AS DOUBLE) / 1099511627776.0) AS s
+                 FROM nodes n LEFT JOIN c2 c ON c.dst = n.id),
+         c3 AS (SELECT e.dst, CAST(SUM(CAST(floor(
+                    p.s / 3 * 1099511627776.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS qs
+                FROM e JOIN it2 p ON p.id = e.src GROUP BY 1),
+         it3 AS (SELECT n.id, 0.15 + 0.85 * (CAST(COALESCE(c.qs, 0)
+                   AS DOUBLE) / 1099511627776.0) AS s
+                 FROM nodes n LEFT JOIN c3 c ON c.dst = n.id),
+         dg AS (SELECT dst, COUNT(*) AS ind FROM e GROUP BY 1)
+         SELECT p.id AS doc_id,
+                CAST(COALESCE(dg.ind, 0) AS BIGINT) AS in_degree,
+                floor(p.s * 1000000 + 0.5) / 1000000 AS pagerank
+         FROM it3 p LEFT JOIN dg ON dg.dst = p.id ORDER BY doc_id""",
     // Bollinger bands: the muSigma decimal recipe inside a 20-row
     // frame pinned by the (us, event_id) total order
     "value_bands" ->

@@ -646,4 +646,39 @@ object AnalyticOps {
         r6(col("mid_raw") - lit(2.0) * col("sigma_raw")).as("lower_band"))
       .orderBy("event_id")
   }
+
+  /** `hourly_profile` — hour-of-day seasonality per symbol: sample
+    * count, mean, σ, and range for each (symbol, hour 0–23) cell.
+    * The intraday-pattern profile the reference's OHLC rollup can't
+    * see (it buckets by ABSOLUTE hour; this folds all days onto one
+    * 24-hour clock — the volatility-by-time-of-day view a trading
+    * domain reads first). μ/σ ride the muSigma decimal recipe
+    * (exact, order-free, σ exactly 0 for constant cells); min/max
+    * are order-free by definition. One aggregation pass, ≤ 24·|symbols|
+    * output rows at any scale — the partial aggregate does all the
+    * work map-side.
+    */
+  def hourlyProfile(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(16, 2))
+    Tables.events(s, d)
+      .select(col("event_type").as("symbol"),
+        hour(col("ts")).as("hod"),
+        col("value").cast("double").as("price"))
+      .groupBy(col("symbol"), col("hod"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("price"))).cast(DecimalType(16, 2)).as("s1d"),
+        sum(dec(col("price")) * dec(col("price")))
+          .cast(DecimalType(22, 4)).as("s2d"),
+        min(col("price")).as("min_price"),
+        max(col("price")).as("max_price"))
+      .select(col("symbol"), col("hod"), col("n"),
+        r6(col("s1d").cast("double") / col("n")).as("mean_price"),
+        r6(sqrt((col("n").cast(DecimalType(10, 0)) * col("s2d")
+          - col("s1d") * col("s1d")).cast("double")) / col("n"))
+          .as("sd_price"),
+        col("min_price"), col("max_price"))
+      .orderBy("symbol", "hod")
+  }
 }

@@ -1888,4 +1888,5 @@ object LlmTextOps {
           .as("shared_frac"))
       .orderBy("doc_id")
   }
+
 }

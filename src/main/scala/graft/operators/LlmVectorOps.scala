@@ -160,6 +160,72 @@ object LlmVectorOps {
       .orderBy("doc_id")
   }
 
+  /** `pagerank_docs` — LexRank-style representativeness (Erkan &
+    * Radev '04, PageRank over a similarity graph): 3 rounds of
+    * PageRank (d = 0.85) over the DIRECTED top-3 cosine kNN graph of
+    * the embedding corpus. A doc that many other docs count among
+    * their nearest neighbors sits in a dense region of embedding
+    * space — the "representative exemplar" signal curation uses to
+    * pick coverage anchors (the inverse of `diversity_sample`'s
+    * spread; `knn_label` propagates labels along the same edges).
+    *
+    * Portability: out-degree is exactly 3, so each round's neighbor
+    * sum — the one shuffle-order-sensitive fold — quantizes each
+    * contribution to floor(s/3·2⁴⁰ + 0.5) and sums in INTEGER
+    * (order-free, exact); scores stay in the scaled form s = pr·N
+    * (init 1.0, O(1) magnitude at any corpus size), and the damping
+    * step 0.15 + 0.85·(Σq/2⁴⁰) is one written double op sequence.
+    * Zero-in-degree docs (nobody's neighbor) take the floor 0.15 via
+    * the same left-join-coalesce both engines run. The kNN edges
+    * rank on the r6 cosine grid with vec_id tie-breaks — the
+    * `similarity_topk` determinism contract — so DuckDB rebuilds the
+    * identical graph and replays the three unrolled rounds.
+    *
+    * Scale shape: the all-pairs kNN build is the documented
+    * quadratic baseline (the `dedup_embed` shape — swap in any ANN
+    * row's candidate generation at 100 TB; the PageRank tail is
+    * unchanged). Edges are lineage-truncated once (localCheckpoint,
+    * the components idiom) so the three rounds and the degree pass
+    * reuse materialized blocks; each round is one edge join + one
+    * integer aggregation over 3N edge rows.
+    */
+  def pagerankDocs(s: SparkSession, d: String): DataFrame = {
+    val Q = 1099511627776.0 // 2^40 fixed-point grid for the edge sums
+    val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
+      .select(col("vec_id"), col("embedding"), col("norm"))
+    val b = e.select(col("vec_id").as("dst"),
+      col("embedding").as("demb"), col("norm").as("dnorm"))
+    val edges = e.join(b, col("vec_id") =!= col("dst"))
+      .withColumn("score", r6(
+        VectorExprs.dot(s, col("embedding"), col("demb"))
+          / (col("norm") * col("dnorm"))))
+      .groupBy(col("vec_id").as("src"))
+      .agg(graft.functions.TopKAgg.topk(s,
+        col("score"), col("dst"), 3).as("tk"))
+      .select(col("src"), explode(col("tk.vec_id")).as("dst"))
+      .localCheckpoint(false)
+    val nodes = e.select(col("vec_id").as("id"))
+    var pr = nodes.withColumn("s", lit(1.0))
+    for (_ <- 1 to 3) {
+      val contrib = edges.join(pr, col("src") === col("id"))
+        .select(col("dst"),
+          floor(col("s") / lit(3) * lit(Q) + lit(0.5)).cast("long").as("q"))
+        .groupBy(col("dst"))
+        .agg(sum(col("q")).as("qs"))
+      pr = nodes.join(contrib, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit(0.15) + lit(0.85)
+            * (coalesce(col("qs"), lit(0L)).cast("double") / lit(Q)))
+            .as("s"))
+    }
+    val indeg = edges.groupBy(col("dst")).agg(count(lit(1)).as("ind"))
+    pr.join(indeg, col("id") === col("dst"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("ind"), lit(0L)).as("in_degree"),
+        r6(col("s")).as("pagerank"))
+      .orderBy("doc_id")
+  }
+
   /** `similarity_lsh` — random-hyperplane LSH-bucketed ANN.
     * Signature = sign bits of the projection onto deterministic
     * pseudo-random hyperplanes; candidates share a signature bucket

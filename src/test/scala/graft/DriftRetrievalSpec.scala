@@ -122,4 +122,106 @@ class DriftRetrievalSpec extends AnyFunSuite {
       assert(gotSem == semRank.get(id), s"doc $id sem rank")
     }
   }
+
+  test("fuzzy_name_match == brute-force levenshtein-1 over all pairs") {
+    val s = spark
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length)
+    }
+    val names = graft.engine.Tables.customer(s, TestSpark.sf0001)
+      .where(col("c_custkey") < 2000)
+      .select(col("c_custkey"), col("c_name")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = (for {
+      (ka, na) <- names; (kb, nb) <- names
+      if na < nb && lev(na, nb) == 1
+    } yield (ka, na, kb, nb)).sortBy(t => (t._2, t._4))
+    val got = graft.operators.RelationalOps
+      .fuzzyNameMatch(s, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == want.toSeq)
+    assert(got.nonEmpty, "slice must contain distance-1 name pairs")
+  }
+
+  test("pagerank_docs == local power iteration over the local kNN graph") {
+    val s = spark
+    val Q = 1099511627776.0
+    val emb = graft.engine.Tables.embeddings(s, TestSpark.sf0001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val norms = emb.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val edges = emb.flatMap { case (src, v) =>
+      emb.filter(_._1 != src)
+        .map { case (dst, w) =>
+          (dst, r6d(dot(v, w) / (norms(src) * norms(dst))))
+        }
+        .sortBy { case (dst, sc) => (-sc, dst) }.take(3)
+        .map { case (dst, _) => (src, dst) }
+    }
+    val nodes = emb.map(_._1)
+    val indeg = edges.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    var pr: Map[Long, Double] = nodes.map(_ -> 1.0).toMap
+    for (_ <- 1 to 3) {
+      val qs = edges.groupBy(_._2).view.mapValues { es =>
+        es.map { case (src, _) =>
+          math.floor(pr(src) / 3 * Q + 0.5).toLong
+        }.sum
+      }.toMap
+      pr = nodes.map { id =>
+        id -> (0.15 + 0.85 * (qs.getOrElse(id, 0L).toDouble / Q))
+      }.toMap
+    }
+    val got = LlmVectorOps.pagerankDocs(s, TestSpark.sf0001).collect()
+    assert(got.length == nodes.length && got.nonEmpty)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == indeg.getOrElse(id, 0L), s"doc $id in-degree")
+      assert(r.getDouble(2) == r6d(pr(id)), s"doc $id pagerank")
+    }
+    // the kNN graph's in-degrees vary by construction, so centrality
+    // must actually discriminate (unlike a clique family graph)
+    assert(got.map(_.getDouble(2)).distinct.length > 1)
+  }
+
+  test("hourly_profile == local per-(symbol, hour) recomputation") {
+    val s = spark
+    val rows = graft.engine.Tables.events(s, TestSpark.sf0001)
+      .select(col("event_type"), hour(col("ts")), col("value")).collect()
+      .map(r => ((r.getString(0), r.getInt(1)), r.getDouble(2)))
+    val want = rows.groupBy(_._1).map { case (key, xs) =>
+      val vs = xs.map(_._2)
+      def d2(x: Double) =
+        BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      val n = vs.length
+      val s1 = vs.map(d2).sum
+      val s2 = vs.map(v => { val q = d2(v); q * q }).sum
+      val mu = s1.toDouble / n
+      val sd = math.sqrt((BigDecimal(n) * s2 - s1 * s1).toDouble) / n
+      key -> ((n.toLong, r6d(mu), r6d(sd), vs.min, vs.max))
+    }
+    val got = AnalyticOps.hourlyProfile(s, TestSpark.sf0001).collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { r =>
+      val key = (r.getString(0), r.getInt(1))
+      val (n, mu, sd, mn, mx) = want(key)
+      assert(r.getLong(2) == n, s"$key n")
+      assert(r.getDouble(3) == mu && r.getDouble(4) == sd, s"$key moments")
+      assert(r.getDouble(5) == mn && r.getDouble(6) == mx, s"$key range")
+    }
+  }
 }
