@@ -81,6 +81,10 @@ object SparkEntry {
     "ks_drift"                 -> (AnalyticOps.ksDrift _),
     "value_bands"              -> (AnalyticOps.valueBands _),
     "hourly_profile"           -> (AnalyticOps.hourlyProfile _),
+    "lag_features"             -> (AnalyticOps.lagFeatures _),
+    "pair_correlation"         -> (AnalyticOps.pairCorrelation _),
+    "user_features"            -> (AnalyticOps.userFeatures _),
+    "cohort_retention"         -> (AnalyticOps.cohortRetention _),
     "fuzzy_name_match"         -> (RelationalOps.fuzzyNameMatch _),
     "pagerank_docs"            -> (LlmVectorOps.pagerankDocs _),
     "lineitem_unpivot"         -> (AnalyticOps.lineitemUnpivot _),
@@ -96,6 +100,7 @@ object SparkEntry {
     "dedup_near_auto"     -> (LlmTextOps.dedupNearAuto _),
     "dedup_survivors"     -> (LlmTextOps.dedupSurvivors _),
     "dedup_components"    -> (LlmTextOps.dedupComponents _),
+    "component_stats"     -> (LlmTextOps.componentStats _),
     "corpus_filter"       -> (LlmTextOps.corpusFilter _),
     "dedup_minhash"       -> (LlmTextOps.dedupMinhash _),
     "dedup_minhash_portable" -> (LlmTextOps.dedupMinhashPortable _),
@@ -116,6 +121,9 @@ object SparkEntry {
     "source_quality"      -> (LlmTextOps.sourceQuality _),
     "text_normalize"      -> (LlmTextOps.textNormalize _),
     "train_val_split"     -> (LlmTextOps.trainValSplit _),
+    "group_split"         -> (LlmTextOps.groupSplit _),
+    "split_leakage"       -> (LlmTextOps.splitLeakage _),
+    "target_encoding"     -> (AnalyticOps.targetEncoding _),
     "stratified_sample"   -> (LlmTextOps.stratifiedSample _),
     "mixture_sample"      -> (LlmTextOps.mixtureSample _),
     "sample_per_source"   -> (LlmTextOps.samplePerSource _),
@@ -148,6 +156,7 @@ object SparkEntry {
     "dedup_embed_ann"     -> (LlmVectorOps.dedupEmbedAnn _),
     "diversity_sample"    -> (LlmVectorOps.diversitySample _),
     "label_centroids"     -> (LlmVectorOps.labelCentroids _),
+    "cluster_top_terms"   -> (LlmVectorOps.clusterTopTerms _),
     "embed_gram"          -> (LlmVectorOps.embedGram _),
     "embed_pca_project"   -> (LlmVectorOps.embedPcaProject _),
     "dedup_embed_blocked" -> (LlmVectorOps.dedupEmbedBlocked _),
@@ -976,6 +985,80 @@ object SparkEntry {
                 CAST(COALESCE(dg.ind, 0) AS BIGINT) AS in_degree,
                 floor(p.s * 1000000 + 0.5) / 1000000 AS pagerank
          FROM it3 p LEFT JOIN dg ON dg.dst = p.id ORDER BY doc_id""",
+    // per-symbol lag/return/envelope feature frame; value-preserving
+    // row moves + one fenced division under the (us, event_id) order
+    "lag_features" ->
+      """WITH t AS (SELECT event_id, epoch_us(ts) AS us,
+                event_type AS symbol, CAST(value AS DOUBLE) AS price
+              FROM events)
+         SELECT event_id, symbol, price,
+                lag(price, 1) OVER w AS lag1,
+                lag(price, 5) OVER w AS lag5,
+                price - lag(price, 1) OVER w AS delta1,
+                floor(((price - lag(price, 1) OVER w)
+                    / NULLIF(lag(price, 1) OVER w, 0.0))
+                  * 1000000 + 0.5) / 1000000 AS ret1,
+                MIN(price) OVER w10 AS min10,
+                MAX(price) OVER w10 AS max10
+         FROM t
+         WINDOW w AS (PARTITION BY symbol ORDER BY us ASC, event_id ASC),
+                w10 AS (PARTITION BY symbol ORDER BY us ASC, event_id ASC
+                  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+    // cross-asset Pearson r over joint hourly means: 6-dp-gridded
+    // series, exact decimal moments, one written double op order
+    "pair_correlation" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hr,
+                event_type AS symbol, COUNT(*) AS n_ticks,
+                CAST(SUM(CAST(value AS DECIMAL(16,2))) AS DECIMAL(16,2))
+                  AS s1d
+              FROM events GROUP BY 1, 2),
+         g AS (SELECT hr, symbol,
+                 CAST(floor((CAST(s1d AS DOUBLE) / n_ticks)
+                     * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS m
+               FROM h),
+         p AS (SELECT a.symbol AS sym_a, b.symbol AS sym_b,
+                 a.m AS ma, b.m AS mb
+               FROM g a JOIN g b
+                 ON a.hr = b.hr AND a.symbol < b.symbol),
+         s AS (SELECT sym_a, sym_b, COUNT(*) AS n_hours,
+                 CAST(SUM(ma) AS DECIMAL(28,6)) AS sx,
+                 CAST(SUM(mb) AS DECIMAL(28,6)) AS sy,
+                 CAST(SUM(ma * ma) AS DECIMAL(38,12)) AS sxx,
+                 CAST(SUM(mb * mb) AS DECIMAL(38,12)) AS syy,
+                 CAST(SUM(ma * mb) AS DECIMAL(38,12)) AS sxy
+               FROM p GROUP BY 1, 2)
+         SELECT sym_a, sym_b, n_hours,
+                floor(((CAST(n_hours AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / NULLIF(
+                        sqrt(CAST(n_hours AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * sqrt(CAST(n_hours AS DOUBLE) * CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)),
+                        0.0))
+                  * 1000000 + 0.5) / 1000000 AS corr
+         FROM s ORDER BY sym_a, sym_b""",
+    // per-user feature-store row: one scan, exact decimal value sum,
+    // two fenced divisions, multi-distinct via the expand
+    "user_features" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+                CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                    ELSE 0 END) AS BIGINT) AS n_purchase,
+                CAST(SUM(CASE WHEN event_type = 'error' THEN 1
+                    ELSE 0 END) AS BIGINT) AS n_error,
+                CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+                CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                  AS active_days,
+                CAST(CAST(SUM(CAST(value AS DECIMAL(16,2)))
+                  AS DECIMAL(16,2)) AS DOUBLE) AS total_value,
+                floor((CAST(CAST(SUM(CAST(value AS DECIMAL(16,2)))
+                      AS DECIMAL(16,2)) AS DOUBLE) / COUNT(*))
+                  * 1000000 + 0.5) / 1000000 AS mean_value,
+                floor(((MAX(epoch_us(ts)) - MIN(epoch_us(ts)))
+                    / 3600000000.0) * 1000000 + 0.5) / 1000000
+                  AS span_hours
+         FROM events GROUP BY user_id ORDER BY user_id""",
     // Bollinger bands: the muSigma decimal recipe inside a 20-row
     // frame pinned by the (us, event_id) total order
     "value_bands" ->
@@ -1342,6 +1425,33 @@ object SparkEntry {
                    SELECT r.u, e.v AS x FROM reach r JOIN edges e ON r.x = e.u)
          SELECT u AS doc_id, MIN(x) AS component_id
          FROM reach GROUP BY u ORDER BY doc_id""",
+    // cluster-size histogram over the same transitive closure
+    "component_stats" ->
+      """WITH RECURSIVE sh_t AS (
+           SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1]
+                    || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh_t GROUP BY 1),
+         pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+                   FROM sh_t a JOIN sh_t b
+                     ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         np AS (SELECT i, j
+                FROM pairs JOIN sizes si ON si.doc_id = i
+                           JOIN sizes sj ON sj.doc_id = j
+                WHERE floor((inter / (si.sz + sj.sz - inter)) * 1000000
+                            + 0.5) / 1000000 >= 0.8),
+         edges AS (SELECT i AS u, j AS v FROM np
+                   UNION SELECT j AS u, i AS v FROM np),
+         reach AS (SELECT u, u AS x FROM (SELECT DISTINCT u FROM edges)
+                   UNION
+                   SELECT r.u, e.v AS x FROM reach r JOIN edges e ON r.x = e.u),
+         comp AS (SELECT u AS doc_id, MIN(x) AS component_id
+                  FROM reach GROUP BY u),
+         cs AS (SELECT component_id, COUNT(*) AS cluster_size
+                FROM comp GROUP BY 1)
+         SELECT cluster_size, COUNT(*) AS n_clusters,
+                CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+         FROM cs GROUP BY 1 ORDER BY cluster_size""",
     "corpus_filter" ->
       """WITH sh_t AS (
            SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1]
@@ -1471,6 +1581,110 @@ object SparkEntry {
                 lang, COUNT(*) AS n_docs,
                 CAST(SUM(n_chars) AS BIGINT) AS total_chars
          FROM t GROUP BY 1, 2 ORDER BY 1, 2""",
+    // group-aware split: bucket hashed from the SOURCE (portable
+    // first/last-codepoint token hash) so provenances never straddle
+    "group_split" ->
+      """WITH d AS (SELECT source, n_chars,
+                CAST(ascii(source) AS BIGINT) * 17161
+                  + CAST(ascii(reverse(source)) AS BIGINT) * 131
+                  + length(source) AS hsrc
+              FROM documents),
+         b AS (SELECT source, n_chars,
+                 (((hsrc % 1000000007) * 2654435761) % 1000000007) % 10
+                   AS bucket
+               FROM d),
+         sp AS (SELECT source, n_chars,
+                  CASE WHEN bucket < 8 THEN 'train'
+                       WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+                FROM b)
+         SELECT split, CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+                COUNT(*) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         FROM sp GROUP BY split ORDER BY split""",
+    // cross-split contamination audit: the doc_fingerprint fold +
+    // the train_val_split stream, content groups straddling >= 2 sides
+    "split_leakage" ->
+      """WITH f AS (SELECT doc_id,
+                list_reduce(list_prepend(0::BIGINT,
+                    [CAST(ascii(t) * 31 + length(t) AS BIGINT)
+                     for t in string_split(text, ' ')]),
+                  (acc, v) -> (acc * 131 + v) % 1000000007) AS fp,
+                (((doc_id % 1000000007) * 2654435761) % 1000000007) % 10
+                  AS bucket
+              FROM documents),
+         sp AS (SELECT doc_id, fp,
+                  CASE WHEN bucket < 8 THEN 'train'
+                       WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+                FROM f),
+         g AS (SELECT fp, CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits,
+                 COUNT(*) AS group_size
+               FROM sp GROUP BY 1
+               HAVING COUNT(DISTINCT split) >= 2)
+         SELECT s.doc_id, s.split, g.n_splits, g.group_size
+         FROM sp s JOIN g USING (fp) ORDER BY s.doc_id""",
+    // weekly cohort triangle: ISO-Monday weeks, (user, week)-deduped
+    // activity, integer day-diff div 7, one fenced division
+    "cohort_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+                CAST(date_trunc('week', ts) AS DATE) AS wk
+              FROM events),
+         f AS (SELECT user_id, MIN(wk) AS cohort_week
+               FROM e GROUP BY 1),
+         sz AS (SELECT cohort_week, COUNT(*) AS cohort_size
+                FROM f GROUP BY 1),
+         a AS (SELECT f.cohort_week,
+                 CAST(date_diff('day', f.cohort_week, e.wk) // 7
+                   AS BIGINT) AS weeks_since,
+                 COUNT(*) AS n_active
+               FROM e JOIN f USING (user_id) GROUP BY 1, 2)
+         SELECT a.cohort_week, a.weeks_since, a.n_active, sz.cohort_size,
+                floor((CAST(a.n_active AS DOUBLE) / sz.cohort_size)
+                  * 1000000 + 0.5) / 1000000 AS retention
+         FROM a JOIN sz USING (cohort_week)
+         ORDER BY cohort_week, weeks_since""",
+    // per-label distinctive terms: label-tf / corpus-df rational
+    // relevance, total rank order (score desc, token asc)
+    "cluster_top_terms" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' '))
+                  AS token
+                FROM documents),
+         dfp AS (SELECT token, COUNT(*) AS doc_freq
+                 FROM (SELECT DISTINCT doc_id, token FROM toks)
+                 GROUP BY 1),
+         tfp AS (SELECT e.label, t.token, COUNT(*) AS term_freq
+                 FROM toks t JOIN embeddings e ON e.vec_id = t.doc_id
+                 GROUP BY 1, 2),
+         sc AS (SELECT label, token, term_freq, doc_freq,
+                  floor((CAST(term_freq AS DOUBLE) / doc_freq)
+                    * 1000000 + 0.5) / 1000000 AS score
+                FROM tfp JOIN dfp USING (token)),
+         rk AS (SELECT label, token, term_freq, doc_freq, score,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY label
+                    ORDER BY score DESC, token ASC) AS INTEGER) AS rank
+                FROM sc)
+         SELECT label, rank, token, term_freq, doc_freq, score
+         FROM rk WHERE rank <= 5 ORDER BY label, rank""",
+    // m-estimate target encoding in rational form: exact integer
+    // decimals up to ONE fenced division per row
+    "target_encoding" ->
+      """WITH g AS (SELECT
+                CAST(CAST(SUM(CAST(value AS DECIMAL(16,2)))
+                  AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS sg,
+                CAST(COUNT(*) AS DECIMAL(12,0)) AS ng
+              FROM events),
+         t AS (SELECT event_type, COUNT(*) AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(16,2)))
+                   AS DECIMAL(18,2)) AS sv
+               FROM events GROUP BY 1)
+         SELECT event_type, n,
+                floor((CAST(sv AS DOUBLE) / n) * 1000000 + 0.5)
+                  / 1000000 AS raw_mean,
+                floor((CAST(CAST(sv * ng + CAST(10 AS DECIMAL(2,0)) * sg
+                      AS DECIMAL(38,2)) AS DOUBLE)
+                    / CAST(CAST(ng * CAST(n + 10 AS DECIMAL(12,0))
+                      AS DECIMAL(25,0)) AS DOUBLE))
+                  * 1000000 + 0.5) / 1000000 AS smoothed_mean
+         FROM t CROSS JOIN g ORDER BY event_type""",
     "stratified_sample" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
          WHERE (((doc_id % 1000000007) * 2246822519) % 1000000007) % 1000

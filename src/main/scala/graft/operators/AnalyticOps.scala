@@ -681,4 +681,220 @@ object AnalyticOps {
         col("min_price"), col("max_price"))
       .orderBy("symbol", "hod")
   }
+
+  /** `lag_features` — the supervised-learning feature frame over the
+    * tick stream: per-symbol lags, first difference, one-step return,
+    * and the 10-tick rolling envelope. This is the forecasting /
+    * anomaly-model input matrix a training pipeline materializes from
+    * raw series (lag-k + return + local range is the canonical
+    * feature triplet).
+    *
+    * Portability: lags are row-moves under the (us, event_id) total
+    * order — value-preserving, no arithmetic; `delta1` is one IEEE
+    * subtraction of identical operands; `ret1` is one division fenced
+    * on the 6-dp grid with a NULLIF zero guard; min/max are
+    * order-free. Nothing here depends on aggregation order.
+    *
+    * Scale shape: ONE shuffle on symbol + per-partition sort serves
+    * every window column (all share the frame spec) — the same plan
+    * whether 10⁵ or 10¹² ticks, with per-symbol partitions spilling
+    * independently. No joins, no broadcast, no second pass.
+    */
+  def lagFeatures(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("us").asc, col("event_id").asc)
+    val w10 = w.rowsBetween(-9, 0)
+    Tables.events(s, d)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type").as("symbol"),
+        col("value").cast("double").as("price"))
+      .withColumn("lag1", lag(col("price"), 1).over(w))
+      .withColumn("lag5", lag(col("price"), 5).over(w))
+      .withColumn("delta1", col("price") - col("lag1"))
+      .withColumn("ret1",
+        r6((col("price") - col("lag1"))
+          / nullif(col("lag1"), lit(0.0))))
+      .withColumn("min10", min(col("price")).over(w10))
+      .withColumn("max10", max(col("price")).over(w10))
+      .select("event_id", "symbol", "price", "lag1", "lag5",
+        "delta1", "ret1", "min10", "max10")
+      .orderBy("event_id")
+  }
+
+  /** `pair_correlation` — cross-asset correlation: Pearson r between
+    * every symbol pair's HOURLY mean-price series, over the hours
+    * both traded (the co-movement matrix a portfolio/regime monitor
+    * reads; `corr_matrix` correlates columns of one row — this
+    * correlates two resampled time series per pair).
+    *
+    * Portability is the proven `corr_matrix` posture lifted onto a
+    * derived series: each hourly mean lands on the 6-dp grid BEFORE
+    * use (both engines hold the identical double, hence the identical
+    * DECIMAL(18,6)), all five moment sums run exact in decimal
+    * (products DECIMAL(37,12) — order-free), each is cast
+    * correctly-rounded to double ONCE, and the closed form evaluates
+    * in one written op order. σ=0 series yield NULL via the zero
+    * denominator guard rather than an engine-dependent ±Inf.
+    *
+    * Scale shape: the hourly resample is the big-data pass (one
+    * aggregation, map-side partials); the pair self-join runs on the
+    * RESAMPLED series — |hours|·|symbols| rows, millions at a decade
+    * of 100 TB tick history — and broadcasts, never shuffling the
+    * raw ticks twice. Output is |symbols|²/2 rows.
+    */
+  def pairCorrelation(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val hourly = Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hr"),
+        col("event_type").as("symbol"))
+      .agg(count(lit(1)).as("n_ticks"),
+        sum(col("value").cast(DecimalType(16, 2)))
+          .cast(DecimalType(16, 2)).as("s1d"))
+      .select(col("hr"), col("symbol"),
+        r6(col("s1d").cast("double") / col("n_ticks"))
+          .cast(DecimalType(18, 6)).as("m"))
+    val a = hourly.select(col("hr"), col("symbol").as("sym_a"),
+      col("m").as("ma"))
+    val b = hourly.select(col("hr"), col("symbol").as("sym_b"),
+      col("m").as("mb"))
+    a.join(b, Seq("hr"))
+      .where(col("sym_a") < col("sym_b"))
+      .groupBy(col("sym_a"), col("sym_b"))
+      .agg(
+        count(lit(1)).as("n_hours"),
+        sum(col("ma")).cast(DecimalType(28, 6)).as("sx"),
+        sum(col("mb")).cast(DecimalType(28, 6)).as("sy"),
+        sum(col("ma") * col("ma")).cast(DecimalType(38, 12)).as("sxx"),
+        sum(col("mb") * col("mb")).cast(DecimalType(38, 12)).as("syy"),
+        sum(col("ma") * col("mb")).cast(DecimalType(38, 12)).as("sxy"))
+      .select(col("sym_a"), col("sym_b"), col("n_hours"),
+        r6((col("n_hours").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+          / nullif(
+            sqrt(col("n_hours").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))
+            * sqrt(col("n_hours").cast("double") * col("syy").cast("double")
+              - col("sy").cast("double") * col("sy").cast("double")),
+            lit(0.0))).as("corr"))
+      .orderBy("sym_a", "sym_b")
+  }
+
+  /** `user_features` — the per-entity feature-store materialization:
+    * one row per user with activity counts, per-type counts, distinct
+    * active days, exact value sums/means, and the activity time span.
+    * This is the "wide profile" every ranking / churn / abuse model
+    * trains on, built in ONE scan of the event log.
+    *
+    * Portability: counts and conditional counts are integers; the
+    * value sum is exact decimal cast once to double; the mean and
+    * span are single fenced divisions. The two DISTINCT aggregates
+    * (event types, active days) ride one expand — still one source
+    * scan (the `data_profile` posture). Everything is order-free.
+    *
+    * Scale shape: one shuffle on user_id with map-side partials;
+    * output is |users| rows. At 100 TB this is the bronze→feature
+    * silver job, and the user_id partitioning it produces is exactly
+    * the layout downstream point-lookups and joins want.
+    */
+  def userFeatures(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchase"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_error"),
+        countDistinct(col("event_type")).as("n_types"),
+        countDistinct(to_date(col("ts"))).as("active_days"),
+        sum(col("value").cast(DecimalType(16, 2)))
+          .cast(DecimalType(16, 2)).as("s1d"),
+        min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"))
+      .select(col("user_id"), col("n_events"), col("n_purchase"),
+        col("n_error"), col("n_types"), col("active_days"),
+        col("s1d").cast("double").as("total_value"),
+        r6(col("s1d").cast("double") / col("n_events")).as("mean_value"),
+        r6((col("last_us") - col("first_us")).cast("double")
+          / lit(3600000000.0)).as("span_hours"))
+      .orderBy("user_id")
+  }
+
+  /** `target_encoding` — m-estimate smoothed mean encoding of a
+    * categorical (event_type → mean value, m=10): the leakage-safe
+    * categorical feature every tabular model uses where one-hot
+    * explodes. Rare categories shrink toward the global mean, head
+    * categories keep their own.
+    *
+    * Portability: the statistic is evaluated in RATIONAL form —
+    * enc = (Sv·Ng + m·Sg) / (Ng·(n+m)) with every term an exact
+    * integer-valued decimal (no intermediate mean is ever a rounded
+    * double), so both engines divide the identical numerator by the
+    * identical denominator: one correctly-rounded division, fenced at
+    * 6 dp. The naive form (n·mean + m·μ)/(n+m) would compound two
+    * rounded doubles.
+    *
+    * Scale shape: one aggregation on the category key (map-side
+    * partials), a 1-row global aggregate broadcast into the final
+    * projection. Output is |categories| rows; no second data pass.
+    */
+  def targetEncoding(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = Tables.events(s, d)
+    val g = e.agg(
+      sum(col("value").cast(DecimalType(16, 2)))
+        .cast(DecimalType(18, 2)).as("sg"),
+      count(lit(1)).cast(DecimalType(12, 0)).as("ng"))
+    e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(16, 2)))
+          .cast(DecimalType(18, 2)).as("sv"))
+      .join(broadcast(g), lit(true))
+      .select(col("event_type"), col("n"),
+        r6(col("sv").cast("double") / col("n")).as("raw_mean"),
+        r6((col("sv") * col("ng") + lit(10).cast(DecimalType(2, 0)) * col("sg"))
+            .cast(DecimalType(38, 2)).cast("double")
+          / (col("ng") * (col("n") + lit(10)).cast(DecimalType(12, 0)))
+            .cast(DecimalType(25, 0)).cast("double")).as("smoothed_mean"))
+      .orderBy("event_type")
+  }
+
+  /** `cohort_retention` — the weekly cohort-retention triangle: users
+    * grouped by first-activity ISO week, and for each (cohort,
+    * weeks-since) cell the share of the cohort still active. The
+    * product-health query every event warehouse serves daily, and a
+    * good stress of calendar arithmetic + self-referential
+    * aggregation staying distributed.
+    *
+    * Portability: ISO-Monday `date_trunc('week')` agrees between
+    * engines, weeks-since is exact integer day-diff div 7, activity
+    * is deduped at (user, week) BEFORE counting, and the rate is one
+    * fenced division. Scale shape: one aggregation to first-weeks
+    * (|users| rows), one (user, week) dedup riding the same shuffle
+    * key, a user-keyed join (AQE-broadcast when cohort table is
+    * small, shuffle otherwise — both correct), and a final
+    * cohort-cell aggregate. No window over raw events, no explode.
+    */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("wk"))
+      .distinct()
+    val first = e.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_week"))
+    val sizes = first.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    e.join(first, Seq("user_id"))
+      .withColumn("weeks_since",
+        expr("datediff(wk, cohort_week) div 7").cast("long"))
+      .groupBy(col("cohort_week"), col("weeks_since"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, Seq("cohort_week"))
+      .select(col("cohort_week"), col("weeks_since"), col("n_active"),
+        col("cohort_size"),
+        r6(col("n_active").cast("double") / col("cohort_size"))
+          .as("retention"))
+      .orderBy("cohort_week", "weeks_since")
+  }
 }

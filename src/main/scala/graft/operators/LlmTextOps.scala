@@ -1889,4 +1889,104 @@ object LlmTextOps {
       .orderBy("doc_id")
   }
 
+  /** `component_stats` — the near-dup cluster-size histogram: how
+    * many clusters of each size the connected-components pass found,
+    * and how many documents they absorb. This is the first diagnostic
+    * a dedup review reads — a heavy tail here means templated spam
+    * (one giant component) rather than organic pairwise dups, and
+    * decides whether survivors should be kept per-component or the
+    * whole component dropped.
+    *
+    * Pure composition over [[dedupComponents]]'s fixpoint (reused
+    * without its presentation sort): two integer aggregations over
+    * the |graph| rows the fixpoint already produced — negligible atop
+    * the components cost at any scale, and the histogram is ≤
+    * max-cluster-size rows.
+    */
+  def componentStats(s: SparkSession, d: String): DataFrame =
+    componentsFromPairs(s,
+      dedupNearPairs(s, d).select(col("i"), col("j")),
+      pairsDistinct = true)
+      .groupBy(col("component_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"))
+      .orderBy("cluster_size")
+
+  /** `group_split` — group-aware train/val/test split: the bucket is
+    * hashed from the SOURCE, not the document, so every document of
+    * one provenance lands on one side (sklearn's GroupShuffleSplit).
+    * This is the split that actually prevents leakage when documents
+    * within a source are correlated (same site, same author, same
+    * crawl) — [[trainValSplit]]'s per-doc hash puts near-identical
+    * siblings on both sides.
+    *
+    * The source key is hashed with the portable first/last-codepoint
+    * formula ([[graft.functions.PortableTokenHash]]'s per-token hash,
+    * already DuckDB-replayed by `duplicate_passages`), then routed
+    * through the same mod-P multiplicative stream as the doc-level
+    * split — a row-local predicate: no shuffle to assign, stable
+    * under corpus appends, and any engine reproduces it.
+    */
+  def groupSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("hsrc",
+        ascii(col("source")).cast("long") * lit(17161L)
+          + ascii(reverse(col("source"))).cast("long") * lit(131L)
+          + length(col("source")).cast("long"))
+      .withColumn("bucket",
+        ((col("hsrc") % lit(1000000007L)) * lit(2654435761L)
+          % lit(1000000007L)) % lit(10))
+      .withColumn("split",
+        when(col("bucket") < 8, lit("train"))
+          .when(col("bucket") === 8, lit("val"))
+          .otherwise(lit("test")))
+      .groupBy(col("split"))
+      .agg(
+        countDistinct(col("source")).as("n_sources"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("split")
+
+  /** `split_leakage` — the cross-split contamination audit: documents
+    * whose CONTENT (portable polynomial fingerprint) appears in two
+    * or more sides of the [[trainValSplit]] assignment. A per-doc
+    * hash split guarantees id-level disjointness but nothing about
+    * content-level disjointness when the corpus carries exact
+    * duplicates — this query measures exactly that residual, which is
+    * the number eval-integrity reviews ask for before trusting a
+    * held-out score.
+    *
+    * Portability: the fingerprint is `doc_fingerprint`'s integer
+    * fold, the split is `train_val_split`'s mod-P stream — both
+    * already oracle-replayed; the audit itself is count-distinct +
+    * join, all integer. Scale shape: one aggregation keyed by the
+    * 8-byte fingerprint (never the text), one join back — the same
+    * digest-ledger plan as `dedup_exact_digest`, linear at 100 TB.
+    */
+  def splitLeakage(s: SparkSession, d: String): DataFrame = {
+    val f = Tables.documents(s, d)
+      .withColumn("fp", expr(
+        """aggregate(
+             transform(split(text, ' '),
+               t -> CAST(ascii(t) * 31 + length(t) AS BIGINT)),
+             0L, (acc, v) -> (acc * 131 + v) % 1000000007)"""))
+      .withColumn("bucket",
+        ((col("doc_id") % lit(1000000007L)) * lit(2654435761L)
+          % lit(1000000007L)) % lit(10))
+      .withColumn("split",
+        when(col("bucket") < 8, lit("train"))
+          .when(col("bucket") === 8, lit("val"))
+          .otherwise(lit("test")))
+    val groups = f.groupBy(col("fp"))
+      .agg(countDistinct(col("split")).as("n_splits"),
+        count(lit(1)).as("group_size"))
+      .where(col("n_splits") >= 2)
+    f.join(groups, Seq("fp"))
+      .select(col("doc_id"), col("split"), col("n_splits"),
+        col("group_size"))
+      .orderBy("doc_id")
+  }
+
 }

@@ -1134,6 +1134,45 @@ object LlmVectorOps {
       .orderBy("label", "dim")
   }
 
+  /** `cluster_top_terms` — the 5 most DISTINCTIVE tokens per
+    * embedding-cluster label, scored by label-tf / corpus-df: the
+    * "what is this cluster about" readout every semantic-clustering
+    * review runs (per-label relevance over raw counts — a pure count
+    * ranking returns the corpus head for every label). The tf/df
+    * ratio is the rational core of tf-idf with the log dropped —
+    * same ranking on a single corpus, zero transcendental to fence.
+    *
+    * Portability: tf and df are integers, the score is one fenced
+    * division, rank order (score desc, token asc) is total. Scale
+    * shape: one token explode feeding BOTH counters (df via a
+    * (doc, token) dedup, tf via a doc-keyed label join — AQE
+    * broadcasts the label map at test scale and shuffles it when the
+    * corpus outgrows that), a vocab-keyed join for the ratio, and a
+    * per-label top-5 window over |labels|·|vocab| scored rows —
+    * never the corpus.
+    */
+  def clusterTopTerms(s: SparkSession, d: String): DataFrame = {
+    val labels = Tables.embeddings(s, d)
+      .select(col("vec_id").as("doc_id"), col("label"))
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val dfTab = toks.distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
+    val tfTab = toks.join(labels, Seq("doc_id"))
+      .groupBy(col("label"), col("token"))
+      .agg(count(lit(1)).as("term_freq"))
+    val w = Window.partitionBy("label")
+      .orderBy(col("score").desc, col("token").asc)
+    tfTab.join(dfTab, Seq("token"))
+      .withColumn("score",
+        r6(col("term_freq").cast("double") / col("doc_freq")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("label"), col("rank"), col("token"),
+        col("term_freq"), col("doc_freq"), col("score"))
+      .orderBy("label", "rank")
+  }
+
   /** `dedup_embed_blocked` — the 100 TB shape of `dedup_embed`.
     * Candidate pairs come from shared random-hyperplane buckets
     * (ids-only shuffle), then candidates get the *exact* cosine

@@ -1,0 +1,216 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Tables
+import graft.operators.{AnalyticOps, LlmTextOps, LlmVectorOps}
+
+/** Round-7 third wave: feature-engineering and audit operators. Each
+  * test pins the distributed formulation against an independent naive
+  * recomputation (driver-side Scala or a formulation sharing no code),
+  * mirroring the DuckDB gate locally at sf0.001.
+  */
+class FeatureOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("lag_features == driver-side recomputation per symbol") {
+    val s = spark
+    val got = AnalyticOps.lagFeatures(s, TestSpark.sf0001).collect()
+    val events = Tables.events(s, TestSpark.sf0001)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value").cast("double"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val bySym = events.groupBy(_._3).map { case (sym, rows) =>
+      sym -> rows.sortBy(r => (r._2, r._1))
+    }
+    val expected = bySym.toSeq.flatMap { case (sym, rows) =>
+      rows.zipWithIndex.map { case ((id, _, _, price), i) =>
+        val lag1 = if (i >= 1) Some(rows(i - 1)._4) else None
+        val lag5 = if (i >= 5) Some(rows(i - 5)._4) else None
+        val win = rows.slice(math.max(0, i - 9), i + 1).map(_._4)
+        (id, sym, price, lag1, lag5, win.min, win.max)
+      }
+    }.map(t => t._1 -> t).toMap
+    assert(got.length == events.length)
+    got.foreach { r =>
+      val e = expected(r.getLong(0))
+      assert(r.getString(1) == e._2 && r.getDouble(2) == e._3)
+      assert(Option(r.get(3)).map(_.asInstanceOf[Double]) == e._4, "lag1")
+      assert(Option(r.get(4)).map(_.asInstanceOf[Double]) == e._5, "lag5")
+      assert(r.getDouble(7) == e._6 && r.getDouble(8) == e._7, "min10/max10")
+      // delta1 = price - lag1 when lag1 exists
+      e._4.foreach(l1 => assert(r.getDouble(5) == r.getDouble(2) - l1))
+    }
+  }
+
+  test("pair_correlation tracks Spark's built-in corr on the joint hourly series") {
+    val s = spark
+    val hourly = Tables.events(s, TestSpark.sf001)
+      .groupBy(date_trunc("hour", col("ts")).as("hr"),
+        col("event_type").as("sym"))
+      .agg(avg(col("value")).as("m"))
+    val a = hourly.select(col("hr"), col("sym").as("sym_a"), col("m").as("ma"))
+    val b = hourly.select(col("hr"), col("sym").as("sym_b"), col("m").as("mb"))
+    val want = a.join(b, Seq("hr")).where(col("sym_a") < col("sym_b"))
+      .groupBy("sym_a", "sym_b").agg(corr(col("ma"), col("mb")).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    val got = AnalyticOps.pairCorrelation(s, TestSpark.sf001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      // gridded means differ from raw means by <1e-6 per point; the
+      // correlation of ~constant-shifted series stays within 1e-4
+      assert(math.abs(r.getDouble(3) - want(key)) < 1e-4, s"corr $key")
+    }
+  }
+
+  test("user_features == driver-side recomputation") {
+    val s = spark
+    val got = AnalyticOps.userFeatures(s, TestSpark.sf0001).collect()
+    val events = Tables.events(s, TestSpark.sf0001)
+      .select(col("user_id"), col("event_type"),
+        to_date(col("ts")).cast("string"), col("value"),
+        unix_micros(col("ts")))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getDouble(3), r.getLong(4)))
+    val byUser = events.groupBy(_._1)
+    assert(got.length == byUser.size)
+    got.foreach { r =>
+      val rows = byUser(r.getLong(0))
+      assert(r.getLong(1) == rows.length, "n_events")
+      assert(r.getLong(2) == rows.count(_._2 == "purchase"), "n_purchase")
+      assert(r.getLong(3) == rows.count(_._2 == "error"), "n_error")
+      assert(r.getLong(4) == rows.map(_._2).distinct.length, "n_types")
+      assert(r.getLong(5) == rows.map(_._3).distinct.length, "active_days")
+      val total = rows.map(e => BigDecimal(e._4).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP)).sum
+      assert(math.abs(r.getDouble(6) - total.toDouble) < 1e-9, "total_value")
+      assert(r.getDouble(8) >= 0.0, "span_hours")
+    }
+  }
+
+  test("target_encoding shrinks each category toward the global mean") {
+    val s = spark
+    val rows = AnalyticOps.targetEncoding(s, TestSpark.sf0001).collect()
+    val e = Tables.events(s, TestSpark.sf0001)
+      .select(col("value")).collect().map(_.getDouble(0))
+    val globalMean = e.sum / e.length
+    rows.foreach { r =>
+      val (n, raw, smooth) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      // smoothed lies between raw and global (within rounding slack)
+      val lo = math.min(raw, globalMean) - 1e-6
+      val hi = math.max(raw, globalMean) + 1e-6
+      assert(smooth >= lo && smooth <= hi, s"${r.getString(0)}")
+      // and matches the m-estimate closed form
+      val want = (raw * n + 10.0 * globalMean) / (n + 10.0)
+      assert(math.abs(smooth - want) < 1e-4, s"${r.getString(0)} formula")
+    }
+  }
+
+  test("cohort_retention cells are consistent and bounded") {
+    val s = spark
+    val rows = AnalyticOps.cohortRetention(s, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    val users = Tables.events(s, TestSpark.sf0001)
+      .select(col("user_id")).distinct().count()
+    // cohort sizes partition the user base
+    val sizes = rows.map(r => r.getDate(0).toString -> r.getLong(3)).toMap
+    assert(sizes.values.sum <= users * sizes.size) // sanity on types
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0, "weeks_since >= 0")
+      assert(r.getLong(2) <= r.getLong(3), "n_active <= cohort_size")
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0, "retention in (0,1]")
+    }
+    // week 0 is fully retained by construction (first activity week)
+    rows.filter(_.getLong(1) == 0L).foreach { r =>
+      assert(r.getDouble(4) == 1.0, s"cohort ${r.getDate(0)} week0")
+    }
+    assert(sizes.values.sum == users, "cohorts partition users")
+  }
+
+  test("group_split never splits a source across sides") {
+    val s = spark
+    val perSplit = LlmTextOps.groupSplit(s, TestSpark.sf001).collect()
+    val docs = Tables.documents(s, TestSpark.sf001)
+    val nSources = docs.select(col("source")).distinct().count()
+    val nDocs = docs.count()
+    assert(perSplit.map(_.getLong(2)).sum == nDocs, "docs partitioned")
+    assert(perSplit.map(_.getLong(1)).sum == nSources,
+      "each source in exactly one split")
+  }
+
+  test("split_leakage covers every exact-text group that straddles splits") {
+    val s = spark
+    val leaked = LlmTextOps.splitLeakage(s, TestSpark.sf001).collect()
+      .map(_.getLong(0)).toSet
+    // brute force on raw text (no fingerprint): any text appearing in
+    // >= 2 split buckets must be reported (fp groups ⊇ text groups)
+    val byText = Tables.documents(s, TestSpark.sf001)
+      .withColumn("bucket",
+        ((col("doc_id") % lit(1000000007L)) * lit(2654435761L)
+          % lit(1000000007L)) % lit(10))
+      .withColumn("split",
+        when(col("bucket") < 8, lit("train"))
+          .when(col("bucket") === 8, lit("val")).otherwise(lit("test")))
+      .select(col("doc_id"), col("text"), col("split"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val straddling = byText.groupBy(_._2)
+      .filter(_._2.map(_._3).distinct.length >= 2)
+      .values.flatten.map(_._1).toSet
+    assert(straddling.subsetOf(leaked),
+      s"missing ${(straddling -- leaked).take(5)}")
+  }
+
+  test("component_stats histogram reconciles with dedup_components") {
+    val s = spark
+    val comp = LlmTextOps.dedupComponents(s, TestSpark.sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val wantHist = comp.groupBy(_._2).map(_._2.length.toLong)
+      .groupBy(identity).map { case (sz, xs) => sz -> xs.size.toLong }
+    val got = LlmTextOps.componentStats(s, TestSpark.sf001).collect()
+    assert(got.map(r => r.getLong(0) -> r.getLong(1)).toMap == wantHist)
+    assert(got.map(_.getLong(2)).sum == comp.length, "n_docs total")
+    got.foreach(r =>
+      assert(r.getLong(2) == r.getLong(0) * r.getLong(1), "n_docs = sz * n"))
+  }
+
+  test("cluster_top_terms ranks by tf/df with total tie order") {
+    val s = spark
+    val rows = LlmVectorOps.clusterTopTerms(s, TestSpark.sf0001).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (label, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length).toSeq,
+        s"label $label dense ranks")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._6 > b._6 || (a._6 == b._6 && a._3 < b._3),
+            s"label $label order")
+        case _ =>
+      }
+    }
+    // spot-check one label against a driver-side recompute
+    val docs = Tables.documents(s, TestSpark.sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val labels = Tables.embeddings(s, TestSpark.sf0001)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val dfm = docs.flatMap { case (id, ts) => ts.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (t, xs) => t -> xs.length.toLong }
+    val label0 = rows.filter(_._1 == 0)
+    val tf0 = docs.filter(d => labels.get(d._1).contains(0))
+      .flatMap(_._2).groupBy(identity)
+      .map { case (t, xs) => t -> xs.length.toLong }
+    val best = tf0.map { case (t, tf) =>
+      (t, math.floor(tf.toDouble / dfm(t) * 1e6 + 0.5) / 1e6)
+    }.toSeq.sortBy { case (t, sc) => (-sc, t) }.take(label0.length)
+    assert(label0.sortBy(_._2).map(t => (t._3, t._6)).toSeq == best.toSeq)
+  }
+}
