@@ -85,6 +85,9 @@ object SparkEntry {
     "pair_correlation"         -> (AnalyticOps.pairCorrelation _),
     "user_features"            -> (AnalyticOps.userFeatures _),
     "cohort_retention"         -> (AnalyticOps.cohortRetention _),
+    "rfm_scores"               -> (AnalyticOps.rfmScores _),
+    "window_cume"              -> (AnalyticOps.windowCume _),
+    "ewma_smooth"              -> (AnalyticOps.ewmaSmooth _),
     "fuzzy_name_match"         -> (RelationalOps.fuzzyNameMatch _),
     "pagerank_docs"            -> (LlmVectorOps.pagerankDocs _),
     "lineitem_unpivot"         -> (AnalyticOps.lineitemUnpivot _),
@@ -1622,6 +1625,71 @@ object SparkEntry {
                HAVING COUNT(DISTINCT split) >= 2)
          SELECT s.doc_id, s.split, g.n_splits, g.group_size
          FROM sp s JOIN g USING (fp) ORDER BY s.doc_id""",
+    // RFM quintiles: NTILE(5) under total orders (metric, user_id);
+    // monetary ranks on the exact decimal sum
+    "rfm_scores" ->
+      """WITH u AS (SELECT user_id, MAX(epoch_us(ts)) AS last_us,
+                COUNT(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(16,2))) AS DECIMAL(16,2))
+                  AS md
+              FROM events GROUP BY 1),
+         t AS (SELECT user_id, last_us, n_events, md,
+                 CAST(NTILE(5) OVER (ORDER BY last_us DESC, user_id ASC)
+                   AS INTEGER) AS r_score,
+                 CAST(NTILE(5) OVER (ORDER BY n_events DESC, user_id ASC)
+                   AS INTEGER) AS f_score,
+                 CAST(NTILE(5) OVER (ORDER BY md DESC, user_id ASC)
+                   AS INTEGER) AS m_score
+               FROM u)
+         SELECT user_id, last_us, n_events, CAST(md AS DOUBLE) AS monetary,
+                r_score, f_score, m_score,
+                r_score * 100 + f_score * 10 + m_score AS rfm
+         FROM t ORDER BY user_id""",
+    // rank-based distribution positions: tie-insensitive, one fenced
+    // division each
+    "window_cume" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+                floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000
+                  AS pr,
+                floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000
+                  AS cd
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+         ORDER BY o_orderkey""",
+    // dyadic EWMA-8: power-of-two weights make every product exact;
+    // one written left-to-right sum, one fenced renormalization
+    "ewma_smooth" ->
+      """WITH t AS (SELECT event_id, epoch_us(ts) AS us,
+                event_type AS symbol, CAST(value AS DOUBLE) AS price
+              FROM events),
+         l AS (SELECT event_id, symbol, price,
+                 lag(price, 1) OVER w AS l1, lag(price, 2) OVER w AS l2,
+                 lag(price, 3) OVER w AS l3, lag(price, 4) OVER w AS l4,
+                 lag(price, 5) OVER w AS l5, lag(price, 6) OVER w AS l6,
+                 lag(price, 7) OVER w AS l7
+               FROM t
+               WINDOW w AS (PARTITION BY symbol
+                 ORDER BY us ASC, event_id ASC))
+         SELECT event_id, symbol, price,
+                floor(((price * 0.5
+                      + COALESCE(l1, 0.0) * 0.25
+                      + COALESCE(l2, 0.0) * 0.125
+                      + COALESCE(l3, 0.0) * 0.0625
+                      + COALESCE(l4, 0.0) * 0.03125
+                      + COALESCE(l5, 0.0) * 0.015625
+                      + COALESCE(l6, 0.0) * 0.0078125
+                      + COALESCE(l7, 0.0) * 0.00390625)
+                    / (0.5
+                      + CASE WHEN l1 IS NOT NULL THEN 0.25 ELSE 0.0 END
+                      + CASE WHEN l2 IS NOT NULL THEN 0.125 ELSE 0.0 END
+                      + CASE WHEN l3 IS NOT NULL THEN 0.0625 ELSE 0.0 END
+                      + CASE WHEN l4 IS NOT NULL THEN 0.03125 ELSE 0.0 END
+                      + CASE WHEN l5 IS NOT NULL THEN 0.015625 ELSE 0.0 END
+                      + CASE WHEN l6 IS NOT NULL THEN 0.0078125 ELSE 0.0 END
+                      + CASE WHEN l7 IS NOT NULL THEN 0.00390625 ELSE 0.0
+                        END))
+                  * 1000000 + 0.5) / 1000000 AS ewma
+         FROM l ORDER BY event_id""",
     // weekly cohort triangle: ISO-Monday weeks, (user, week)-deduped
     // activity, integer day-diff div 7, one fenced division
     "cohort_retention" ->

@@ -897,4 +897,100 @@ object AnalyticOps {
           .as("retention"))
       .orderBy("cohort_week", "weeks_since")
   }
+
+  /** `rfm_scores` — recency/frequency/monetary quintile scoring per
+    * user: the classic customer-value segmentation (and the bucketed
+    * categorical feature its ML successor models consume). Each
+    * dimension is NTILE(5) under a TOTAL order (metric, then user_id)
+    * so bucket assignment is deterministic in any engine — NTILE's
+    * bucket-size formula (first n mod k buckets take one extra row)
+    * is standard SQL and engine-agreed; ties are broken by user_id
+    * before NTILE ever sees the rows. Monetary ranks on the EXACT
+    * decimal sum, never a rounded double.
+    *
+    * Scale shape: one user aggregation, then three ntile windows over
+    * the |users| aggregate (single partition by design — quintiles
+    * are a global statistic; at 100 TB swap in `quantile_bins`'
+    * bounds-broadcast form, which this row's spec pins as the
+    * scalable twin for deciles). Output |users| rows.
+    */
+  def rfmScores(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val u = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(16, 2)))
+          .cast(DecimalType(16, 2)).as("monetary"))
+    u.withColumn("r_score",
+        ntile(5).over(Window.orderBy(col("last_us").desc, col("user_id").asc)))
+      .withColumn("f_score",
+        ntile(5).over(Window.orderBy(col("n_events").desc, col("user_id").asc)))
+      .withColumn("m_score",
+        ntile(5).over(Window.orderBy(col("monetary").desc, col("user_id").asc)))
+      .select(col("user_id"), col("last_us"), col("n_events"),
+        col("monetary").cast("double").as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+          .as("rfm"))
+      .orderBy("user_id")
+  }
+
+  /** `window_cume` — percent_rank and cume_dist of order value within
+    * each order priority: the distribution-position features
+    * (rank-based, hence insensitive to value scale and outliers —
+    * what makes them robust model inputs). Both statistics are
+    * RANK-based, so duplicate values receive identical positions and
+    * the result is deterministic without any tie-break: percent_rank
+    * = (rank−1)/(n−1), cume_dist = |peers ≤ v|/n — integer counts,
+    * one fenced division each. One shuffle on the partition key +
+    * per-partition sort; no joins.
+    */
+  def windowCume(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("pr", r6(percent_rank().over(w)))
+      .withColumn("cd", r6(cume_dist().over(w)))
+      .orderBy("o_orderkey")
+  }
+
+  /** `ewma_smooth` — dyadic exponentially-weighted moving average per
+    * symbol: weights 2⁻¹…2⁻⁸ over the last 8 ticks, renormalized over
+    * the lags that exist. EWMA is the standard low-latency smoother;
+    * the DYADIC truncation is what makes it hash-gateable — every
+    * weight is a power of two, so each product is EXACT in IEEE, and
+    * the single written left-to-right sum gives both engines the
+    * identical double before the one fenced renormalizing division.
+    * (A general-α EWMA needs pow(), whose last ulp is
+    * implementation-defined — this is the fence-free formulation.)
+    *
+    * Scale shape: identical to [[lagFeatures]] — ONE shuffle+sort per
+    * symbol serves all eight lag columns; no recursion, no state, so
+    * the operator parallelizes like any window, unlike the textbook
+    * recursive EWMA which is inherently sequential per key.
+    */
+  def ewmaSmooth(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("us").asc, col("event_id").asc)
+    val base = Tables.events(s, d)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type").as("symbol"),
+        col("value").cast("double").as("price"))
+    val lagged = (1 to 7).foldLeft(base) { (df, k) =>
+      df.withColumn(s"l$k", lag(col("price"), k).over(w))
+    }
+    // written fold order: price/2 + l1/4 + ... + l7/256; absent lags
+    // contribute 0 to the sum and 0 to the weight mass
+    val (num, den) = (1 to 7).foldLeft(
+      (col("price") * lit(0.5), lit(0.5))) { case ((n, m), k) =>
+      val wt = 1.0 / (1L << (k + 1)).toDouble
+      (n + coalesce(col(s"l$k"), lit(0.0)) * lit(wt),
+        m + when(col(s"l$k").isNotNull, lit(wt)).otherwise(lit(0.0)))
+    }
+    lagged
+      .select(col("event_id"), col("symbol"), col("price"),
+        r6(num / den).as("ewma"))
+      .orderBy("event_id")
+  }
 }

@@ -178,6 +178,76 @@ class FeatureOpsSpec extends AnyFunSuite {
       assert(r.getLong(2) == r.getLong(0) * r.getLong(1), "n_docs = sz * n"))
   }
 
+  test("rfm_scores quintiles are balanced and rank-consistent") {
+    val s = spark
+    val rows = AnalyticOps.rfmScores(s, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7)))
+    assert(rows.nonEmpty)
+    // each dimension's buckets are 1..5 and balanced to within one row
+    Seq[((Long, Long, Long, Double, Int, Int, Int, Int)) => Int](
+      _._5, _._6, _._7).foreach { dim =>
+      val sizes = rows.groupBy(dim).view.mapValues(_.length).toMap
+      assert(sizes.keySet.subsetOf((1 to 5).toSet))
+      assert(sizes.values.max - sizes.values.min <= 1, s"balance $sizes")
+    }
+    // the most recent user is in R bucket 1; the top spender in M 1
+    assert(rows.maxBy(r => (r._2, -r._1))._5 == 1)
+    assert(rows.maxBy(r => (r._4, -r._1.toDouble))._7 == 1)
+    rows.foreach(r => assert(r._8 == r._5 * 100 + r._6 * 10 + r._7))
+  }
+
+  test("window_cume is tie-consistent and bounded") {
+    val s = spark
+    val rows = AnalyticOps.windowCume(s, TestSpark.sf0001).collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, pr, cd) =>
+      assert(pr >= 0.0 && pr <= 1.0 && cd > 0.0 && cd <= 1.0)
+    }
+    // equal values in a partition share identical pr and cd
+    rows.groupBy(t => (t._1, t._2)).values.foreach { g =>
+      assert(g.map(_._3).distinct.length == 1)
+      assert(g.map(_._4).distinct.length == 1)
+    }
+    // the minimum value of each partition has pr == 0
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.minBy(_._2)._3 == 0.0)
+    }
+  }
+
+  test("ewma_smooth == driver-side dyadic recomputation") {
+    val s = spark
+    val got = AnalyticOps.ewmaSmooth(s, TestSpark.sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val events = Tables.events(s, TestSpark.sf0001)
+      .select(col("event_id"), unix_micros(col("ts")),
+        col("event_type"), col("value").cast("double"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    events.groupBy(_._3).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._1))
+      sorted.zipWithIndex.foreach { case ((id, _, _, _), i) =>
+        var num = 0.0; var den = 0.0
+        (0 to 7).foreach { k =>
+          if (i - k >= 0) {
+            val wt = 1.0 / (1L << (k + 1)).toDouble
+            num += sorted(i - k)._4 * wt
+            den += wt
+          }
+        }
+        val want = math.floor(num / den * 1e6 + 0.5) / 1e6
+        assert(math.abs(got(id)._3 - want) < 1e-9, s"event $id")
+      }
+    }
+    // a symbol's first tick smooths to exactly itself
+    events.groupBy(_._3).foreach { case (_, rs) =>
+      val first = rs.minBy(r => (r._2, r._1))
+      assert(got(first._1)._3 == math.floor(first._4 * 1e6 + 0.5) / 1e6)
+    }
+  }
+
   test("cluster_top_terms ranks by tf/df with total tie order") {
     val s = spark
     val rows = LlmVectorOps.clusterTopTerms(s, TestSpark.sf0001).collect()
