@@ -88,6 +88,8 @@ object SparkEntry {
     "rfm_scores"               -> (AnalyticOps.rfmScores _),
     "window_cume"              -> (AnalyticOps.windowCume _),
     "ewma_smooth"              -> (AnalyticOps.ewmaSmooth _),
+    "interarrival_stats"       -> (AnalyticOps.interarrivalStats _),
+    "basket_pairs"             -> (RelationalOps.basketPairs _),
     "fuzzy_name_match"         -> (RelationalOps.fuzzyNameMatch _),
     "pagerank_docs"            -> (LlmVectorOps.pagerankDocs _),
     "lineitem_unpivot"         -> (AnalyticOps.lineitemUnpivot _),
@@ -104,6 +106,7 @@ object SparkEntry {
     "dedup_survivors"     -> (LlmTextOps.dedupSurvivors _),
     "dedup_components"    -> (LlmTextOps.dedupComponents _),
     "component_stats"     -> (LlmTextOps.componentStats _),
+    "degree_stats"        -> (LlmTextOps.degreeStats _),
     "corpus_filter"       -> (LlmTextOps.corpusFilter _),
     "dedup_minhash"       -> (LlmTextOps.dedupMinhash _),
     "dedup_minhash_portable" -> (LlmTextOps.dedupMinhashPortable _),
@@ -1428,6 +1431,26 @@ object SparkEntry {
                    SELECT r.u, e.v AS x FROM reach r JOIN edges e ON r.x = e.u)
          SELECT u AS doc_id, MIN(x) AS component_id
          FROM reach GROUP BY u ORDER BY doc_id""",
+    // degree histogram over the near-dup pair graph
+    "degree_stats" ->
+      """WITH sh_t AS (
+           SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1]
+                    || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh_t GROUP BY 1),
+         pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+                   FROM sh_t a JOIN sh_t b
+                     ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         np AS (SELECT i, j
+                FROM pairs JOIN sizes si ON si.doc_id = i
+                           JOIN sizes sj ON sj.doc_id = j
+                WHERE floor((inter / (si.sz + sj.sz - inter)) * 1000000
+                            + 0.5) / 1000000 >= 0.8),
+         nodes AS (SELECT i AS node FROM np
+                   UNION ALL SELECT j AS node FROM np),
+         deg AS (SELECT node, COUNT(*) AS degree FROM nodes GROUP BY 1)
+         SELECT degree, COUNT(*) AS n_docs
+         FROM deg GROUP BY 1 ORDER BY degree""",
     // cluster-size histogram over the same transitive closure
     "component_stats" ->
       """WITH RECURSIVE sh_t AS (
@@ -1625,6 +1648,54 @@ object SparkEntry {
                HAVING COUNT(DISTINCT split) >= 2)
          SELECT s.doc_id, s.split, g.n_splits, g.group_size
          FROM sp s JOIN g USING (fp) ORDER BY s.doc_id""",
+    // per-symbol inter-arrival profile + Goh-Barabási burstiness:
+    // integer gaps, exact decimal moments, written double op order
+    "interarrival_stats" ->
+      """WITH t AS (SELECT event_id, epoch_us(ts) AS us,
+                event_type AS symbol FROM events),
+         g AS (SELECT symbol, us - lag(us) OVER (PARTITION BY symbol
+                 ORDER BY us ASC, event_id ASC) AS gap FROM t),
+         gg AS (SELECT symbol, gap FROM g WHERE gap IS NOT NULL),
+         a AS (SELECT symbol, COUNT(*) AS n_gaps,
+                 CAST(SUM(CAST(gap AS DECIMAL(19,0))) AS DECIMAL(19,0))
+                   AS s1,
+                 CAST(SUM(CAST(gap AS DECIMAL(19,0))
+                   * CAST(gap AS DECIMAL(19,0))) AS DECIMAL(30,0)) AS s2,
+                 MAX(gap) AS max_gap_us
+               FROM gg GROUP BY 1),
+         b AS (SELECT symbol, n_gaps, max_gap_us,
+                 CAST(s1 AS DOUBLE) / n_gaps AS mean_raw,
+                 sqrt(CAST(CAST(n_gaps AS DECIMAL(8,0)) * s2 - s1 * s1
+                   AS DOUBLE)) / n_gaps AS sd_raw
+               FROM a)
+         SELECT symbol, n_gaps,
+                floor(mean_raw * 1000000 + 0.5) / 1000000 AS mean_gap_us,
+                floor(sd_raw * 1000000 + 0.5) / 1000000 AS sd_gap_us,
+                max_gap_us,
+                floor(((sd_raw - mean_raw)
+                    / NULLIF(sd_raw + mean_raw, 0.0))
+                  * 1000000 + 0.5) / 1000000 AS burstiness
+         FROM b ORDER BY symbol""",
+    // market-basket top-20 by integer support; lift rational to one
+    // fenced division
+    "basket_pairs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+         pc AS (SELECT l_partkey, COUNT(*) AS c FROM li GROUP BY 1),
+         pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                  COUNT(*) AS support
+                FROM li a JOIN li b
+                  ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2)
+         SELECT part_a, part_b, support, ca.c AS c_a, cb.c AS c_b,
+                floor((CAST(support * n.n_orders AS DOUBLE)
+                    / CAST(ca.c * cb.c AS DOUBLE)) * 1000000 + 0.5)
+                  / 1000000 AS lift
+         FROM pr JOIN pc ca ON ca.l_partkey = part_a
+                 JOIN pc cb ON cb.l_partkey = part_b
+                 CROSS JOIN n
+         ORDER BY support DESC, part_a, part_b LIMIT 20""",
     // RFM quintiles: NTILE(5) under total orders (metric, user_id);
     // monetary ranks on the exact decimal sum
     "rfm_scores" ->

@@ -993,4 +993,49 @@ object AnalyticOps {
         r6(num / den).as("ewma"))
       .orderBy("event_id")
   }
+
+  /** `interarrival_stats` — per-symbol inter-arrival profile: gap
+    * count, mean/σ of the µs gaps, max gap, and the Goh–Barabási
+    * burstiness B = (σ−μ)/(σ+μ) (B→−1 periodic, 0 Poisson, →1
+    * bursty). The traffic-model readout that sizes stream capacity
+    * and spots dying feeds — the reference's 5 s poll should score
+    * B ≈ −1, which is how you'd detect the daemon's cadence from its
+    * data alone.
+    *
+    * Portability: gaps are exact integer µs differences; Σgap and
+    * Σgap² ride DECIMAL(19/30,0) (order-free, exact), μ and σ are
+    * the muSigma double recipe, and B is one written expression over
+    * those two doubles with a NULLIF(σ+μ) guard. One window pass for
+    * gaps (the lag_features shuffle) + one aggregation.
+    */
+  def interarrivalStats(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("us").asc, col("event_id").asc)
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(19, 0))
+    Tables.events(s, d)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type").as("symbol"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .where(col("gap").isNotNull)
+      .groupBy(col("symbol"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        sum(dec(col("gap"))).cast(DecimalType(19, 0)).as("s1"),
+        sum(dec(col("gap")) * dec(col("gap")))
+          .cast(DecimalType(30, 0)).as("s2"),
+        max(col("gap")).as("max_gap_us"))
+      .withColumn("mean_raw", col("s1").cast("double") / col("n_gaps"))
+      .withColumn("sd_raw",
+        sqrt((col("n_gaps").cast(DecimalType(8, 0)) * col("s2")
+          - col("s1") * col("s1")).cast("double")) / col("n_gaps"))
+      .select(col("symbol"), col("n_gaps"),
+        r6(col("mean_raw")).as("mean_gap_us"),
+        r6(col("sd_raw")).as("sd_gap_us"),
+        col("max_gap_us"),
+        r6((col("sd_raw") - col("mean_raw"))
+          / nullif(col("sd_raw") + col("mean_raw"), lit(0.0)))
+          .as("burstiness"))
+      .orderBy("symbol")
+  }
 }

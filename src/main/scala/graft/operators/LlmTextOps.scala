@@ -1914,6 +1914,26 @@ object LlmTextOps {
         sum(col("cluster_size")).as("n_docs"))
       .orderBy("cluster_size")
 
+  /** `degree_stats` — degree distribution of the near-dup pair
+    * graph: for each degree d, how many documents have exactly d
+    * near-duplicate partners. Reads alongside [[componentStats]]:
+    * a fat degree tail with small components means star-shaped
+    * template reuse; fat components with thin degrees mean long
+    * chains — different cleanup policies. Pure integer composition
+    * over the pair stream: symmetrize, count per node, histogram —
+    * two narrow aggregations atop the pairs the dedup already built.
+    */
+  def degreeStats(s: SparkSession, d: String): DataFrame = {
+    val pairs = dedupNearPairs(s, d).select(col("i"), col("j"))
+    pairs.select(col("i").as("node"))
+      .union(pairs.select(col("j").as("node")))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("degree")
+  }
+
   /** `group_split` — group-aware train/val/test split: the bucket is
     * hashed from the SOURCE, not the document, so every document of
     * one provenance lands on one side (sklearn's GroupShuffleSplit).

@@ -454,4 +454,45 @@ object RelationalOps {
       .where(levenshtein(col("name_a"), col("name_b")) === 1)
       .orderBy("name_a", "name_b")
   }
+
+  /** `basket_pairs` — market-basket association mining: the top-20
+    * part pairs co-purchased within an order, with per-pair support
+    * and lift = P(a,b)/(P(a)·P(b)) — the recommender / cross-sell
+    * primitive, and the transactional cousin of `cooccurrence_pmi`
+    * (same rational-ratio posture: lift = support·N / (c_a·c_b),
+    * integer products, ONE fenced division).
+    *
+    * Scale shape: the pair join is keyed on l_orderkey, so candidate
+    * volume is Σ items-per-order², bounded by the basket size (≤ 7
+    * in TPC-H-shaped data) — LINEAR in orders, never parts². The
+    * per-part counts join is vocab-sized (AQE broadcasts it), the
+    * global N rides a 1-row broadcast, and the top-20 is a
+    * TakeOrderedAndProject under the total (support desc, part_a,
+    * part_b) order — ranked by integer support, so no float ever
+    * orders rows.
+    */
+  def basketPairs(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val n = li.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val pc = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+    li.as("a")
+      .join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey")
+          && col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"),
+        col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .join(pc.select(col("l_partkey").as("part_a"), col("c").as("c_a")),
+        Seq("part_a"))
+      .join(pc.select(col("l_partkey").as("part_b"), col("c").as("c_b")),
+        Seq("part_b"))
+      .join(broadcast(n), lit(true))
+      .select(col("part_a"), col("part_b"), col("support"),
+        col("c_a"), col("c_b"),
+        r6((col("support") * col("n_orders")).cast("double")
+          / (col("c_a") * col("c_b")).cast("double")).as("lift"))
+      .orderBy(col("support").desc, col("part_a").asc, col("part_b").asc)
+      .limit(20)
+  }
 }

@@ -248,6 +248,75 @@ class FeatureOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("interarrival_stats == driver-side gap recomputation") {
+    val s = spark
+    val got = AnalyticOps.interarrivalStats(s, TestSpark.sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    val events = Tables.events(s, TestSpark.sf0001)
+      .select(col("event_id"), unix_micros(col("ts")), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    events.groupBy(_._3).foreach { case (sym, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._1)).map(_._2)
+      val gaps = sorted.sliding(2).collect { case Array(a, b) => b - a }.toSeq
+      if (gaps.nonEmpty) {
+        val (n, mean, sd, mx, b) = got(sym)
+        assert(n == gaps.length, s"$sym n_gaps")
+        assert(mx == gaps.max, s"$sym max")
+        def f6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+        val mu = gaps.map(BigDecimal(_)).sum.toDouble / gaps.length
+        assert(f6(mu) == mean, s"$sym mean")
+        val s1 = gaps.map(BigInt(_)).sum
+        val s2 = gaps.map(g => BigInt(g) * BigInt(g)).sum
+        val sig = math.sqrt((BigInt(gaps.length) * s2 - s1 * s1).toDouble) /
+          gaps.length
+        assert(f6(sig) == sd, s"$sym sd")
+        assert(math.abs(b - (sig - mu) / (sig + mu)) < 1e-5, s"$sym burstiness")
+      } else assert(!got.contains(sym), s"$sym should be absent")
+    }
+  }
+
+  test("basket_pairs == driver-side support/lift recomputation") {
+    val s = spark
+    val rows = graft.operators.RelationalOps.basketPairs(s, TestSpark.sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val li = Tables.lineitem(s, TestSpark.sf0001)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nOrders = li.map(_._1).distinct.length
+    val partC = li.groupBy(_._2).map { case (p, xs) => p -> xs.length.toLong }
+    val pairSupport = li.groupBy(_._1).values.flatMap { order =>
+      val parts = order.map(_._2).sorted
+      for (i <- parts.indices; j <- i + 1 until parts.length)
+        yield (parts(i), parts(j))
+    }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val want = pairSupport.toSeq
+      .sortBy { case ((a, b), sup) => (-sup, a, b) }.take(rows.length)
+    assert(rows.map(r => ((r._1, r._2), r._3)).toSeq == want)
+    rows.foreach { case (a, b, sup, ca, cb, lift) =>
+      assert(ca == partC(a) && cb == partC(b))
+      val wantLift =
+        math.floor(sup.toDouble * nOrders / (ca * cb).toDouble * 1e6 + 0.5) / 1e6
+      assert(lift == wantLift, s"pair ($a,$b)")
+    }
+  }
+
+  test("degree_stats reconciles with the near-dup pair stream") {
+    val s = spark
+    val pairs = LlmTextOps.dedupNear(s, TestSpark.sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val wantHist = (pairs.map(_._1) ++ pairs.map(_._2))
+      .groupBy(identity).map(_._2.length.toLong)
+      .groupBy(identity).map { case (d, xs) => d -> xs.size.toLong }
+    val got = LlmTextOps.degreeStats(s, TestSpark.sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == wantHist)
+  }
+
   test("cluster_top_terms ranks by tf/df with total tie order") {
     val s = spark
     val rows = LlmVectorOps.clusterTopTerms(s, TestSpark.sf0001).collect()

@@ -572,6 +572,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("S15 streaming_ewma: ticks score once final, out-of-order repair, stream == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingEwma
+    import graft.streaming.StreamingEwma.PricedTick
+    val in = MemoryStream[PricedTick]
+    val q = StreamingEwma.ewmaStream(in.toDS())
+      .writeStream.format("memory").queryName("s15_out")
+      .outputMode(OutputMode.Append).start()
+    def rowsA = spark.sql(
+      "SELECT * FROM s15_out WHERE symbol = 'A' ORDER BY ts, event_id")
+      .collect().map(r => (r.getLong(2), r.getDouble(4)))
+    try {
+      // three A ticks arrive OUT of event-time order; watermark is
+      // still behind them, so nothing may score yet
+      in.addData(
+        PricedTick(ts("2024-01-01 10:02:00"), "A", 104.0, 3L),
+        PricedTick(ts("2024-01-01 10:00:00"), "A", 100.0, 1L),
+        PricedTick(ts("2024-01-01 10:01:00"), "A", 102.0, 2L))
+      q.processAllAvailable()
+      assert(rowsA.isEmpty, "nothing final before the watermark moves")
+      // a B tick drives the watermark past every A tick (10:20 - 10m
+      // lateness = 10:10); the trailing micro-batch fires A's timeout
+      // and the buffer drains IN EVENT-TIME ORDER despite arrival order
+      in.addData(PricedTick(ts("2024-01-01 10:20:00"), "B", 1.0, 9L))
+      q.processAllAvailable()
+      val streamed = rowsA
+      assert(streamed.map(_._1).toSeq == Seq(1L, 2L, 3L), "event-time order")
+      // first tick smooths to itself; later ticks match the dyadic fold
+      assert(streamed(0)._2 == 100.0)
+      assert(streamed(1)._2 ==
+        math.floor((102.0 * 0.5 + 100.0 * 0.25) / 0.75 * 1e6 + 0.5) / 1e6)
+      // stream == batch over the same ticks
+      val tmp = java.nio.file.Files.createTempDirectory("s15").toString
+      try {
+        Seq(
+          (1L, ts("2024-01-01 10:00:00"), 1L, "A", 100.0, "{}"),
+          (2L, ts("2024-01-01 10:01:00"), 1L, "A", 102.0, "{}"),
+          (3L, ts("2024-01-01 10:02:00"), 1L, "A", 104.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .write.parquet(s"$tmp/events.parquet")
+        val batch = graft.operators.AnalyticOps.ewmaSmooth(spark, tmp)
+          .collect().map(r => (r.getLong(0), r.getDouble(3)))
+        assert(streamed.toSeq == batch.toSeq,
+          s"stream ${streamed.mkString(",")} vs batch ${batch.mkString(",")}")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
+    } finally q.stop()
+  }
+
   test("S2 streaming_state: explicit OhlcState flushes on window close (reference state machine)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
