@@ -90,6 +90,8 @@ object SparkEntry {
     "ewma_smooth"              -> (AnalyticOps.ewmaSmooth _),
     "interarrival_stats"       -> (AnalyticOps.interarrivalStats _),
     "basket_pairs"             -> (RelationalOps.basketPairs _),
+    "max_drawdown"             -> (AnalyticOps.maxDrawdown _),
+    "embed_norm_stats"         -> (LlmVectorOps.embedNormStats _),
     "fuzzy_name_match"         -> (RelationalOps.fuzzyNameMatch _),
     "pagerank_docs"            -> (LlmVectorOps.pagerankDocs _),
     "lineitem_unpivot"         -> (AnalyticOps.lineitemUnpivot _),
@@ -110,6 +112,7 @@ object SparkEntry {
     "corpus_filter"       -> (LlmTextOps.corpusFilter _),
     "dedup_minhash"       -> (LlmTextOps.dedupMinhash _),
     "dedup_minhash_portable" -> (LlmTextOps.dedupMinhashPortable _),
+    "minhash_calibration" -> (LlmTextOps.minhashCalibration _),
     "dedup_simhash"       -> (LlmTextOps.dedupSimhash _),
     "dedup_simhash_scaled" -> (LlmTextOps.dedupSimhashScaled _),
     "dedup_simhash_portable" -> (LlmTextOps.dedupSimhashPortable _),
@@ -1368,6 +1371,53 @@ object SparkEntry {
                            JOIN sigs sj ON sj.doc_id = j)
          SELECT i, j, est_jaccard FROM est
          WHERE est_jaccard >= 0.8 ORDER BY i, j""",
+    // the same banded pipeline UNthresholded, each candidate scored
+    // by both the 16-perm estimate and exact Jaccard over the same
+    // distinct shingle-hash sets
+    "minhash_calibration" ->
+      """WITH docs AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           WHERE len(string_split(text, ' ')) >= 3),
+         th AS (SELECT doc_id,
+                  [CAST(ascii(t) AS BIGINT) * 17161
+                   + CAST(ascii(reverse(t)) AS BIGINT) * 131
+                   + length(t) for t in toks] AS th FROM docs),
+         shs AS (SELECT doc_id, list_distinct(
+                  [(th[i] * 131 + th[i + 1]) * 131 + th[i + 2]
+                   for i in range(1, len(th) - 1)]) AS shs FROM th),
+         sigs AS (SELECT doc_id,
+                  [list_aggregate([((2 * m + 3) * h + 7 * m + 1) % 1000000000037
+                                   for h in shs], 'min')
+                   for m in range(0, 16)] AS sig FROM shs),
+         banded AS (SELECT doc_id, b,
+                  list_reduce(list_prepend(0::BIGINT,
+                      [sig[b * 4 + r] for r in range(1, 5)]),
+                    (acc, v) -> (acc * 131 + v) % 1000000000000037) AS bk
+                  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t),
+         cand AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+                  FROM banded x JOIN banded y
+                    ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id),
+         est AS (SELECT i, j,
+                  floor((list_aggregate([CASE WHEN si.sig[m] = sj.sig[m]
+                                              THEN 1 ELSE 0 END
+                                         for m in range(1, 17)], 'sum') / 16.0)
+                        * 1000000 + 0.5) / 1000000 AS est_jaccard
+                 FROM cand JOIN sigs si ON si.doc_id = i
+                           JOIN sigs sj ON sj.doc_id = j),
+         ex AS (SELECT e.i, e.j, e.est_jaccard,
+                  len(list_filter(sa.shs, x -> list_contains(sb.shs, x)))
+                    AS inter,
+                  len(sa.shs) AS na, len(sb.shs) AS nb
+                FROM est e JOIN shs sa ON sa.doc_id = e.i
+                           JOIN shs sb ON sb.doc_id = e.j),
+         jc AS (SELECT i, j, est_jaccard,
+                  floor((inter / (na + nb - inter)) * 1000000 + 0.5)
+                    / 1000000 AS jaccard
+                FROM ex)
+         SELECT i, j, est_jaccard, jaccard,
+                floor(abs(est_jaccard - jaccard) * 1000000 + 0.5)
+                  / 1000000 AS est_err
+         FROM jc ORDER BY i, j""",
     // the oracle computes the portable 60-bit SimHash signatures in
     // plain SQL, then BRUTE-FORCES all-pairs Hamming <= 3 — so a
     // hash match here independently proves the engine's chunk-blocked
@@ -1696,6 +1746,40 @@ object SparkEntry {
                  JOIN pc cb ON cb.l_partkey = part_b
                  CROSS JOIN n
          ORDER BY support DESC, part_a, part_b LIMIT 20""",
+    // per-symbol max peak-to-trough loss: running max consumed by a
+    // fenced per-row ratio, re-aggregated order-free
+    "max_drawdown" ->
+      """WITH t AS (SELECT event_id, epoch_us(ts) AS us,
+                event_type AS symbol, CAST(value AS DOUBLE) AS price
+              FROM events),
+         p AS (SELECT event_id, symbol, price,
+                 MAX(price) OVER (PARTITION BY symbol
+                   ORDER BY us ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS peak
+               FROM t),
+         dd AS (SELECT symbol, price, peak,
+                  floor(((peak - price) / NULLIF(peak, 0.0))
+                    * 1000000 + 0.5) / 1000000 AS d
+                FROM p)
+         SELECT symbol, COUNT(*) AS n_ticks, MAX(peak) AS peak_price,
+                MIN(price) AS low_price, MAX(d) AS max_drawdown
+         FROM dd GROUP BY symbol ORDER BY symbol""",
+    // per-label embedding norm band: ascending exact dot, norms
+    // fenced to the grid BEFORE the exact decimal mean
+    "embed_norm_stats" ->
+      """WITH nr AS (SELECT label,
+                floor(sqrt(list_aggregate(
+                    [CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                     for x in embedding], 'sum'))
+                  * 1000000 + 0.5) / 1000000 AS nrm
+              FROM embeddings)
+         SELECT label, COUNT(*) AS n,
+                floor((CAST(CAST(SUM(CAST(nrm AS DECIMAL(18,6)))
+                      AS DECIMAL(24,6)) AS DOUBLE) / COUNT(*))
+                  * 1000000 + 0.5) / 1000000 AS mean_norm,
+                MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+         FROM nr GROUP BY label ORDER BY label""",
     // RFM quintiles: NTILE(5) under total orders (metric, user_id);
     // monetary ranks on the exact decimal sum
     "rfm_scores" ->

@@ -1038,4 +1038,35 @@ object AnalyticOps {
           .as("burstiness"))
       .orderBy("symbol")
   }
+
+  /** `max_drawdown` — per-symbol maximum peak-to-trough loss: the
+    * risk metric every trading report leads with, and a window shape
+    * the OHLC family doesn't cover (a running extremum CONSUMED by a
+    * per-row ratio, then re-aggregated). drawdown_i =
+    * (peak_i − price_i)/peak_i with peak_i the running max.
+    *
+    * Portability: the running max is order-free and exact; each
+    * drawdown is one division fenced to the 6-dp grid; the final max
+    * compares identical doubles. The NULLIF guard covers a
+    * non-positive peak (defensive — prices here are positive).
+    * Scale: the one symbol-keyed window shuffle + a tiny aggregate.
+    */
+  def maxDrawdown(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type").as("symbol"),
+        col("value").cast("double").as("price"))
+      .withColumn("peak", max(col("price")).over(w))
+      .withColumn("dd", r6((col("peak") - col("price"))
+        / nullif(col("peak"), lit(0.0))))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_ticks"),
+        max(col("peak")).as("peak_price"),
+        min(col("price")).as("low_price"),
+        max(col("dd")).as("max_drawdown"))
+      .orderBy("symbol")
+  }
 }

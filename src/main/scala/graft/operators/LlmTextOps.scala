@@ -203,7 +203,39 @@ object LlmTextOps {
     dedupNearPairs(s, d).orderBy("i", "j")
 
   /** The near-dup pair set WITHOUT the final presentation sort. */
+  /** The verified ≥ 0.8 near-dup pair stream, memoized per (session,
+    * canonical corpus dir) as a PERSISTED frame when
+    * `spark.graft.neardup.materialize` is true (default). Seven
+    * downstream operators consume this exact pair set (pairs,
+    * survivors, components, the capstone filter, the size/degree
+    * histograms, the auto route) — recomputing the tokenize + shingle
+    * + pair-verify core for each is exactly what a production
+    * pipeline doesn't do: it writes the pair silver once and every
+    * consumer reads it (the `CorpusSilver` posture; the ANN index
+    * conf is the same dial on the vector side). The persisted frame
+    * is the POST-threshold pair set — tiny relative to the corpus
+    * (hundreds of 24-byte rows at bench scale), so the cache cost is
+    * negligible at any sf. Lifecycle rides the session (WeakHashMap;
+    * blocks free when the session stops); a corpus rewritten in place
+    * mid-session serves stale pairs, same caveat as the routing memo.
+    * Conf OFF recomputes per call — FeatureOpsSpec pins ON == OFF.
+    */
   private[graft] def dedupNearPairs(s: SparkSession, d: String): DataFrame = {
+    if (!s.conf.get("spark.graft.neardup.materialize", "true").toBoolean)
+      return dedupNearPairsUncached(s, d)
+    val key = new java.io.File(d).getCanonicalPath
+    val per = pairsCache.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    per.computeIfAbsent(key, _ => dedupNearPairsUncached(s, d).persist())
+  }
+
+  private val pairsCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+
+  private[graft] def dedupNearPairsUncached(s: SparkSession,
+      d: String): DataFrame = {
     val hashed = shingleHashSets(s, d)
     // sizes map-side from the hash array: with the compiled expression
     // the re-scan per join branch is cheap, vs the explode + groupBy
@@ -656,7 +688,20 @@ object LlmTextOps {
     * exact, hash-gateable OUTPUT. Verification query: the scale path
     * stays `dedup_minhash`'s compiled 32-perm kernel.
     */
-  def dedupMinhashPortable(s: SparkSession, d: String): DataFrame = {
+  def dedupMinhashPortable(s: SparkSession, d: String): DataFrame =
+    portableMinhashScored(s, d)
+      .where(col("est_jaccard") >= 0.8)
+      .select("i", "j", "est_jaccard")
+      .orderBy("i", "j")
+
+  /** Every banded-LSH candidate pair with its signature-agreement
+    * estimate, UNthresholded — the shared core of
+    * [[dedupMinhashPortable]] (which applies the ≥ 0.8 cut) and
+    * [[minhashCalibration]] (which scores the whole candidate set
+    * against exact Jaccard).
+    */
+  private[graft] def portableMinhashScored(s: SparkSession,
+      d: String): DataFrame = {
     val bandMod = 1000000000000037L   // ~10¹⁵, band polynomial range
     // token hashes stay interpreted SQL (one lambda per token — the
     // ascii/length dialect semantics live with the engine); the
@@ -694,8 +739,44 @@ object LlmTextOps {
       .withColumn("est_jaccard", r6(expr(
         """aggregate(zip_with(sig_i, sig_j, (a, b) -> IF(a = b, 1, 0)),
                      0, (acc, v) -> acc + v) / 16.0""")))
-      .where(col("est_jaccard") >= 0.8)
       .select("i", "j", "est_jaccard")
+  }
+
+  /** `minhash_calibration` — the sketch-calibration report: every
+    * banded-LSH candidate pair scored BOTH ways — the 16-perm
+    * signature-agreement estimate and the exact Jaccard over the same
+    * distinct shingle-hash sets — with the absolute estimation error.
+    * This is the query that answers "can I trust the sketch's
+    * threshold?" empirically, per corpus: the error column IS the
+    * binomial noise of 16 Bernoulli trials, and reading it tells you
+    * whether to spend the 32- or 64-perm signature before changing
+    * any production cut. Fully portable arithmetic end to end, so the
+    * entire calibration — candidates, estimates, exact scores —
+    * hash-gates cross-engine.
+    *
+    * Scale shape: candidates come from the banded join (never
+    * all-pairs); the exact re-score joins the two shingle-set arrays
+    * per CANDIDATE only — the verify-candidates pattern every
+    * production MinHash pipeline runs, costed by candidate count.
+    */
+  def minhashCalibration(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= 3)
+      .withColumn("th",
+        graft.functions.PortableTokenHash.tokenHashPortable(s, col("toks")))
+      .withColumn("shs", array_distinct(expr(
+        """transform(sequence(0, size(th) - 3),
+             i -> (th[i] * 131 + th[i + 1]) * 131 + th[i + 2])""")))
+      .select(col("doc_id"), col("shs"))
+    portableMinhashScored(s, d)
+      .join(sh.select(col("doc_id").as("i"), col("shs").as("sa")), Seq("i"))
+      .join(sh.select(col("doc_id").as("j"), col("shs").as("sb")), Seq("j"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", r6(col("inter").cast("double")
+        / (size(col("sa")) + size(col("sb")) - col("inter"))))
+      .select(col("i"), col("j"), col("est_jaccard"), col("jaccard"),
+        r6(abs(col("est_jaccard") - col("jaccard"))).as("est_err"))
       .orderBy("i", "j")
   }
 

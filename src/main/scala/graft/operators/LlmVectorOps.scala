@@ -1173,6 +1173,34 @@ object LlmVectorOps {
       .orderBy("label", "rank")
   }
 
+  /** `embed_norm_stats` — per-label L2-norm distribution of the
+    * embedding space: count, mean, min, max of vector norms. The
+    * first corpus-health check an embedding pipeline runs — a label
+    * whose norm band collapses (dead encoder) or drifts (unnormalized
+    * ingest batch) shows here before any similarity metric moves.
+    *
+    * Portability: each norm is sqrt of the ascending-index exact dot
+    * (the repo-wide cosine recipe), fenced to the 6-dp grid BEFORE
+    * aggregation; the mean sums those grid values in DECIMAL(18,6)
+    * (exact, order-free) with one fenced division, min/max compare
+    * identical doubles. One scan, one |labels|-row aggregate.
+    */
+  def embedNormStats(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
+      .withColumn("nr", r6(col("norm")))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("nr").cast(DecimalType(18, 6)))
+          .cast(DecimalType(24, 6)).as("s1"),
+        min(col("nr")).as("min_norm"),
+        max(col("nr")).as("max_norm"))
+      .select(col("label"), col("n"),
+        r6(col("s1").cast("double") / col("n")).as("mean_norm"),
+        col("min_norm"), col("max_norm"))
+      .orderBy("label")
+  }
+
   /** `dedup_embed_blocked` — the 100 TB shape of `dedup_embed`.
     * Candidate pairs come from shared random-hyperplane buckets
     * (ids-only shuffle), then candidates get the *exact* cosine

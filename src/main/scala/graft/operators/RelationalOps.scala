@@ -462,27 +462,30 @@ object RelationalOps {
     * (same rational-ratio posture: lift = support·N / (c_a·c_b),
     * integer products, ONE fenced division).
     *
-    * Scale shape: the pair join is keyed on l_orderkey, so candidate
-    * volume is Σ items-per-order², bounded by the basket size (≤ 7
-    * in TPC-H-shaped data) — LINEAR in orders, never parts². The
-    * per-part counts join is vocab-sized (AQE broadcasts it), the
-    * global N rides a 1-row broadcast, and the top-20 is a
+    * Scale shape: pair generation runs as map-side C(k,2) explode
+    * over per-order part SETS (`engine.Pairs.countedPairs`, packed
+    * longs) — ONE shuffle of the lineitem table builds the baskets
+    * (collect_set dedups in the aggregate, replacing a separate
+    * distinct shuffle + self-join), candidate volume is Σ basket²
+    * (≤ 7 items in TPC-H-shaped data — linear in orders, never
+    * parts²), the per-part counts and global N derive from the
+    * already-deduped baskets, and the top-20 is a
     * TakeOrderedAndProject under the total (support desc, part_a,
     * part_b) order — ranked by integer support, so no float ever
     * orders rows.
     */
   def basketPairs(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val n = li.agg(countDistinct(col("l_orderkey")).as("n_orders"))
-    val pc = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
-    li.as("a")
-      .join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey")
-          && col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("part_a"),
-        col("b.l_partkey").as("part_b"))
-      .agg(count(lit(1)).as("support"))
+    val wide = graft.engine.Pairs.needsWideForm(
+      Tables.lineitem(s, d), "l_partkey")
+    val baskets = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ds"))
+    val n = baskets.agg(count(lit(1)).as("n_orders"))
+    val pc = baskets.select(explode(col("ds")).as("l_partkey"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+    graft.engine.Pairs.countedPairs(s,
+      baskets.where(size(col("ds")) > 1), "ds", "support", wide)
+      .select(col("i").as("part_a"), col("j").as("part_b"), col("support"))
       .join(pc.select(col("l_partkey").as("part_a"), col("c").as("c_a")),
         Seq("part_a"))
       .join(pc.select(col("l_partkey").as("part_b"), col("c").as("c_b")),

@@ -317,6 +317,100 @@ class FeatureOpsSpec extends AnyFunSuite {
     assert(got == wantHist)
   }
 
+  test("max_drawdown == driver-side running-peak recomputation") {
+    val s = spark
+    val got = AnalyticOps.maxDrawdown(s, TestSpark.sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val events = Tables.events(s, TestSpark.sf0001)
+      .select(col("event_id"), unix_micros(col("ts")),
+        col("event_type"), col("value").cast("double"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    events.groupBy(_._3).foreach { case (sym, rs) =>
+      val prices = rs.sortBy(r => (r._2, r._1)).map(_._4)
+      var peak = Double.MinValue
+      var maxDd = Double.MinValue
+      prices.foreach { p =>
+        peak = math.max(peak, p)
+        maxDd = math.max(maxDd,
+          math.floor((peak - p) / peak * 1e6 + 0.5) / 1e6)
+      }
+      val (n, pk, lo, dd) = got(sym)
+      assert(n == prices.length && pk == prices.max && lo == prices.min)
+      assert(dd == maxDd, s"$sym drawdown")
+    }
+  }
+
+  test("embed_norm_stats == driver-side norm recomputation") {
+    val s = spark
+    val got = LlmVectorOps.embedNormStats(s, TestSpark.sf0001).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val embs = Tables.embeddings(s, TestSpark.sf0001)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    embs.groupBy(_._1).foreach { case (label, rs) =>
+      val norms = rs.map { case (_, v) =>
+        var acc = 0.0
+        v.foreach(x => acc += x.toDouble * x.toDouble)
+        math.floor(math.sqrt(acc) * 1e6 + 0.5) / 1e6
+      }
+      val (n, mean, mn, mx) = got(label)
+      assert(n == norms.length && mn == norms.min && mx == norms.max)
+      val s1 = norms.map(BigDecimal(_).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP)).sum
+      assert(mean ==
+        math.floor(s1.toDouble / norms.length * 1e6 + 0.5) / 1e6,
+        s"label $label mean")
+    }
+  }
+
+  test("minhash_calibration: thresholded slice == dedup_minhash_portable, exact dups estimate 1.0") {
+    val s = spark
+    val cal = LlmTextOps.minhashCalibration(s, TestSpark.sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(cal.nonEmpty)
+    val gate = LlmTextOps.dedupMinhashPortable(s, TestSpark.sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cal.filter(_._3 >= 0.8).map(t => (t._1, t._2, t._3)).toSet == gate,
+      "the >= 0.8 slice of the calibration IS the gated dedup row")
+    cal.foreach { case (i, j, est, jac, err) =>
+      assert(err == math.floor(math.abs(est - jac) * 1e6 + 0.5) / 1e6)
+      // identical shingle sets agree on every permutation minimum
+      if (jac == 1.0) assert(est == 1.0, s"pair ($i,$j)")
+      assert(est >= 0.0 && est <= 1.0 && jac >= 0.0 && jac <= 1.0)
+    }
+  }
+
+  test("near-dup pair memoization: conf ON == OFF for pairs and components") {
+    val s = spark
+    val conf = "spark.graft.neardup.materialize"
+    val prev = s.conf.getOption(conf)
+    try {
+      s.conf.set(conf, "false")
+      val pairsOff = LlmTextOps.dedupNear(s, TestSpark.sf001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val compOff = LlmTextOps.dedupComponents(s, TestSpark.sf001).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      s.conf.set(conf, "true")
+      val pairsOn = LlmTextOps.dedupNear(s, TestSpark.sf001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val compOn = LlmTextOps.dedupComponents(s, TestSpark.sf001).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(pairsOn == pairsOff)
+      assert(compOn == compOff)
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(conf, v)
+        case None => s.conf.unset(conf)
+      }
+    }
+  }
+
   test("cluster_top_terms ranks by tf/df with total tie order") {
     val s = spark
     val rows = LlmVectorOps.clusterTopTerms(s, TestSpark.sf0001).collect()
