@@ -92,6 +92,8 @@ object SparkEntry {
     "basket_pairs"             -> (RelationalOps.basketPairs _),
     "max_drawdown"             -> (AnalyticOps.maxDrawdown _),
     "embed_norm_stats"         -> (LlmVectorOps.embedNormStats _),
+    "activity_heatmap"         -> (AnalyticOps.activityHeatmap _),
+    "dsir_sample"              -> (LlmTextOps.dsirSample _),
     "fuzzy_name_match"         -> (RelationalOps.fuzzyNameMatch _),
     "pagerank_docs"            -> (LlmVectorOps.pagerankDocs _),
     "lineitem_unpivot"         -> (AnalyticOps.lineitemUnpivot _),
@@ -1746,6 +1748,16 @@ object SparkEntry {
                  JOIN pc cb ON cb.l_partkey = part_b
                  CROSS JOIN n
          ORDER BY support DESC, part_a, part_b LIMIT 20""",
+    // weekly seasonality matrix: isodow x hour, both engines on the
+    // ISO Monday=1 numbering
+    "activity_heatmap" ->
+      """SELECT CAST(isodow(ts) AS INTEGER) AS dow_iso,
+                CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hod,
+                COUNT(*) AS n,
+                floor((CAST(CAST(SUM(CAST(value AS DECIMAL(16,2)))
+                      AS DECIMAL(16,2)) AS DOUBLE) / COUNT(*))
+                  * 1000000 + 0.5) / 1000000 AS mean_value
+         FROM events GROUP BY 1, 2 ORDER BY dow_iso, hod""",
     // per-symbol max peak-to-trough loss: running max consumed by a
     // fenced per-row ratio, re-aggregated order-free
     "max_drawdown" ->
@@ -2050,6 +2062,33 @@ object SparkEntry {
                   / 1000000 AS weight
          FROM b JOIN dfq USING (bg)
          GROUP BY 1 ORDER BY 1""",
+    // the DSIR draw: exact integer cross-multiplied acceptance
+    // u < 5w over a fresh decorrelated hash stream
+    "dsir_sample" ->
+      """WITH b AS (SELECT doc_id, source,
+                unnest(list_distinct([toks[i] || ' ' || toks[i+1]
+                  for i in range(1, len(toks))])) AS bg
+           FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+                 FROM documents)
+           WHERE len(toks) >= 2),
+         dfq AS (SELECT bg, COUNT(*) AS df_all,
+                CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS df_target
+              FROM b GROUP BY 1),
+         wts AS (SELECT doc_id,
+                CAST(SUM(df_target) AS BIGINT) AS sum_target_df,
+                CAST(SUM(df_all) AS BIGINT) AS sum_df,
+                floor((CAST(SUM(df_target) AS DOUBLE)
+                       / CAST(SUM(df_all) AS DOUBLE)) * 1000000 + 0.5)
+                  / 1000000 AS weight
+              FROM b JOIN dfq USING (bg) GROUP BY 1),
+         hs AS (SELECT d.doc_id, d.source, d.lang, w.weight,
+                  w.sum_target_df, w.sum_df,
+                  ((d.doc_id % 1000000007) * 1779033703) % 1000000007 AS h
+                FROM documents d JOIN wts w USING (doc_id))
+         SELECT doc_id, source, lang, weight FROM hs
+         WHERE h * sum_df < 5 * sum_target_df * 1000000007
+         ORDER BY doc_id""",
     "bigram_novelty" ->
       """WITH b AS (SELECT doc_id,
                 unnest(list_distinct([toks[i] || ' ' || toks[i+1]

@@ -1039,6 +1039,28 @@ object AnalyticOps {
       .orderBy("symbol")
   }
 
+  /** `activity_heatmap` — the (ISO weekday × hour) activity matrix:
+    * tick count and exact mean value per cell, folding all history
+    * onto one week — the weekly-seasonality twin of
+    * [[hourlyProfile]]'s daily clock (`DAYOFWEEK_ISO`/`isodow` agree
+    * between engines where the bare day-of-week numberings do not —
+    * Spark counts Sunday=1, DuckDB Sunday=0). One aggregation pass,
+    * ≤ 168 output rows at any scale; the muSigma decimal mean.
+    */
+  def activityHeatmap(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    Tables.events(s, d)
+      .select(expr("extract(DAYOFWEEK_ISO FROM ts)").cast("int").as("dow_iso"),
+        hour(col("ts")).as("hod"),
+        col("value").cast(DecimalType(16, 2)).as("vd"))
+      .groupBy(col("dow_iso"), col("hod"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("vd")).cast(DecimalType(16, 2)).as("s1d"))
+      .select(col("dow_iso"), col("hod"), col("n"),
+        r6(col("s1d").cast("double") / col("n")).as("mean_value"))
+      .orderBy("dow_iso", "hod")
+  }
+
   /** `max_drawdown` — per-symbol maximum peak-to-trough loss: the
     * risk metric every trading report leads with, and a window shape
     * the OHLC family doesn't cover (a running extremum CONSUMED by a

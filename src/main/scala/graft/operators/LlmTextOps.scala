@@ -1367,6 +1367,33 @@ object LlmTextOps {
       .orderBy("doc_id")
   }
 
+  /** `dsir_sample` — the resampling half of DSIR (Xie et al. 2023):
+    * [[importanceWeights]] scores target-likeness; this row DRAWS the
+    * sample — accept document d iff u(d) < w(d)/τ with τ = 1/5, via a
+    * fresh decorrelated hash stream (multiplier 1779033703, odd,
+    * disjoint from the five xxHash-prime streams, so acceptance is
+    * independent of the split/sample/shuffle/mixture buckets over the
+    * same ids). The acceptance test is evaluated in EXACT integer
+    * form — u < 5w  ⟺  h·Σdf < 5·Σdf_target·P — one cross-multiplied
+    * comparison, no float anywhere, so the sampled set hash-gates.
+    * Row-local once the weights exist, append-stable, reproducible on
+    * any engine. Integer budget: h·Σdf < 2⁶³ up to per-doc df mass
+    * ~9·10⁹ — beyond that, pre-reduce both sides by a common shift
+    * (documented, not needed at any measured sf).
+    */
+  def dsirSample(s: SparkSession, d: String): DataFrame = {
+    val p = 1000000007L
+    Tables.documents(s, d).select(col("doc_id"), col("source"), col("lang"))
+      .join(importanceWeights(s, d)
+        .select(col("doc_id"), col("sum_target_df"), col("sum_df"),
+          col("weight")), Seq("doc_id"))
+      .withColumn("h", (col("doc_id") % lit(p)) * lit(1779033703L) % lit(p))
+      .where(col("h") * col("sum_df")
+        < lit(5L) * col("sum_target_df") * lit(p))
+      .select(col("doc_id"), col("source"), col("lang"), col("weight"))
+      .orderBy("doc_id")
+  }
+
   /** `pack_sequences` — token-budget sequence packing (the batch
     * shaping pass of LLM pretraining): stream docs per lang in doc_id
     * order, accumulate token counts, and cut a new pack every 512

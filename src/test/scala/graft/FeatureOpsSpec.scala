@@ -411,6 +411,45 @@ class FeatureOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dsir_sample accepts exactly the cross-multiplied predicate over the weights") {
+    val s = spark
+    val accepted = LlmTextOps.dsirSample(s, TestSpark.sf001).collect()
+      .map(_.getLong(0)).toSet
+    val weights = LlmTextOps.importanceWeights(s, TestSpark.sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(accepted.nonEmpty && accepted.size < weights.length,
+      "a proper nonempty subset")
+    val p = 1000000007L
+    weights.foreach { case (id, target, all) =>
+      val h = id % p * 1779033703L % p
+      val want = h * all < 5L * target * p
+      assert(accepted.contains(id) == want, s"doc $id")
+    }
+    // target-affine sources are over-represented relative to the corpus
+    val bySource = LlmTextOps.dsirSample(s, TestSpark.sf001).collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(bySource.getOrElse("src0", 0) > 0, "target source survives")
+  }
+
+  test("activity_heatmap == driver-side weekday/hour recomputation") {
+    val s = spark
+    val got = AnalyticOps.activityHeatmap(s, TestSpark.sf0001).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val events = Tables.events(s, TestSpark.sf0001)
+      .select(expr("extract(DAYOFWEEK_ISO FROM ts)").cast("int"),
+        hour(col("ts")), col("value"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val want = events.groupBy(t => (t._1, t._2))
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, rows) =>
+      assert(got(k)._1 == rows.length)
+      val mean = rows.map(r => BigDecimal(r._3).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / rows.length
+      assert(got(k)._2 == math.floor(mean * 1e6 + 0.5) / 1e6, s"cell $k")
+    }
+  }
+
   test("cluster_top_terms ranks by tf/df with total tie order") {
     val s = spark
     val rows = LlmVectorOps.clusterTopTerms(s, TestSpark.sf0001).collect()
