@@ -61,6 +61,20 @@ class PlanShapeSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
   }
 
+  test("basket_pairs: posting-list pair explode, no self-join of lineitem") {
+    // baskets build inside ONE collect_set aggregate over lineitem;
+    // pair candidates explode map-side from the basket arrays (packed
+    // longs). The single BroadcastNestedLoopJoin is the INTENDED
+    // 1-row global-N broadcast (lit(true) join against a 1-row agg) —
+    // what must not appear is a cartesian pair scan or a second
+    // lineitem-vs-lineitem join
+    val p = planString("basket_pairs")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("graft_packed_pairs"), "map-side packed pair explode")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must not global-sort")
+    assert(p.contains("collect_set"), "baskets built in the aggregate")
+  }
+
   test("join_broadcast uses BroadcastHashJoin for both dimension joins") {
     val p = planString("join_broadcast")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2000))
