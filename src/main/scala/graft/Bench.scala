@@ -111,12 +111,16 @@ object Bench {
     // full JSON to a small file named for the measured sf so the
     // round-over-round comparison stays machine-readable regardless
     // of how much of stdout survives.
+    // Filtered dev runs (SPARK_GRAFT_QUERIES) must NOT clobber the
+    // full-sweep mirror — a 3-query A/B would otherwise overwrite the
+    // round's machine-readable record with a fragment.
     val sfName = new java.io.File(sfDir).getName
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"bench_$sfName.json"),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write bench_$sfName.json: $e") }
+    if (only.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"bench_$sfName.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write bench_$sfName.json: $e") }
     spark.stop()
   }
 }
