@@ -23,6 +23,7 @@ object SparkEntry {
     "raw_store_format"    -> (ReferenceOps.rawStoreFormat _),
     "ohlc_hourly"         -> (ReferenceOps.ohlcHourly _),
     "ohlc_daily"          -> (ReferenceOps.ohlcDaily _),
+    "ohlc_merge"          -> (ReferenceOps.ohlcMerge _),
     "have_samples"        -> (ReferenceOps.haveSamples _),
     "latest_tick"         -> (ReferenceOps.latestTick _),
     "running_avg"         -> (ReferenceOps.runningAvg _),
@@ -230,6 +231,17 @@ object SparkEntry {
                 event_type AS symbol, CAST(value AS DOUBLE) AS price
          FROM events ORDER BY timestamp_str, symbol""",
     "ohlc_hourly" ->
+      """WITH t AS (SELECT date_trunc('hour', ts) AS h, event_type AS symbol,
+                           value AS price, ts FROM events)
+         SELECT CAST(h AS DATE) AS date,
+                CAST(EXTRACT(hour FROM h) AS INTEGER) AS hour, symbol,
+                arg_min(price, ts) AS open_price, max(price) AS high_price,
+                min(price) AS low_price, arg_max(price, ts) AS close_price,
+                floor((avg(price)) * 1000000 + 0.5) / 1000000 AS avg_price, count(*) AS sample_count
+         FROM t GROUP BY h, symbol ORDER BY date, hour, symbol""",
+    // incremental-merge row: the oracle is the FULL recompute — the
+    // driver gate itself checks merge(partials) == recompute per cell
+    "ohlc_merge" ->
       """WITH t AS (SELECT date_trunc('hour', ts) AS h, event_type AS symbol,
                            value AS price, ts FROM events)
          SELECT CAST(h AS DATE) AS date,

@@ -89,6 +89,63 @@ object ReferenceOps {
         sum(col("sample_count")).as("sample_count"))
       .orderBy("date", "symbol")
 
+  /** `ohlc_merge` — incremental view maintenance of the hourly OHLC
+    * silver, oracle-proven: the tick stream splits into an "existing"
+    * load and a "late batch" (a deterministic hash slice stands in
+    * for it), each side aggregates to mergeable OHLC PARTIALS (open +
+    * its timestamp, close + its timestamp, high, low, exact decimal
+    * sum, count), and the merge layer folds partials with the OHLC
+    * merge algebra — min_by over open timestamps, max_by over close
+    * timestamps, max/min/sum. The gate then hash-compares the merged
+    * result against the FULL-recompute oracle (the `ohlc_hourly` SQL
+    * verbatim): the algebraic claim "merge(partials) == recompute" is
+    * itself driver-checked, per cell, cross-engine.
+    *
+    * This is the nightly-delta pattern at 100 TB: the silver layer
+    * stores partial tuples (open_ts/close_ts/sum/count alongside the
+    * display columns), a late batch aggregates alone, and only
+    * affected (hour, symbol) groups rewrite — never a raw rescan.
+    * The mean merges exactly because the partial carries the DECIMAL
+    * sum, not the rounded average (the `ohlc_daily` doc explains why
+    * a rounded avg cannot re-aggregate).
+    */
+  def ohlcMerge(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val t = Tables.ticks(s, d)
+      .withColumn("late",
+        pmod(unix_micros(col("ts")), lit(5L)) === 0L)
+    def partials(df: DataFrame): DataFrame =
+      df.groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("symbol"))
+        .agg(
+          min(col("ts")).as("open_ts"),
+          min_by(col("price"), col("ts")).as("open_price"),
+          max(col("ts")).as("close_ts"),
+          max_by(col("price"), col("ts")).as("close_price"),
+          max(col("price")).as("high_price"),
+          min(col("price")).as("low_price"),
+          sum(col("price").cast(DecimalType(18, 6)))
+            .cast(DecimalType(24, 6)).as("sdec"),
+          count(lit(1)).as("n"))
+    partials(t.where(!col("late")))
+      .union(partials(t.where(col("late"))))
+      .groupBy(col("hour_ts"), col("symbol"))
+      .agg(
+        min_by(col("open_price"), col("open_ts")).as("open_price"),
+        max(col("high_price")).as("high_price"),
+        min(col("low_price")).as("low_price"),
+        max_by(col("close_price"), col("close_ts")).as("close_price"),
+        r6(sum(col("sdec")).cast(DecimalType(24, 6)).cast("double")
+          / sum(col("n"))).as("avg_price"),
+        sum(col("n")).as("sample_count"))
+      .select(
+        to_date(col("hour_ts")).as("date"),
+        hour(col("hour_ts")).as("hour"),
+        col("symbol"), col("open_price"), col("high_price"),
+        col("low_price"), col("close_price"), col("avg_price"),
+        col("sample_count"))
+      .orderBy("date", "hour", "symbol")
+  }
+
   /** R4 `have_samples` — post-aggregation filter (HAVING), mirroring
     * `if metrics['sample_count'] > 0` (`dataCollector.py:144`).
     */

@@ -450,6 +450,28 @@ class FeatureOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ohlc_merge: merged partials == full recompute on every cell") {
+    val s = spark
+    import graft.operators.ReferenceOps
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getDate(0).toString, r.getInt(1), r.getString(2))
+    val full = ReferenceOps.ohlcHourly(s, TestSpark.sf001).collect()
+      .map(r => key(r) -> (r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getDouble(6), r.getDouble(7), r.getLong(8))).toMap
+    val merged = ReferenceOps.ohlcMerge(s, TestSpark.sf001).collect()
+      .map(r => key(r) -> (r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getDouble(6), r.getDouble(7), r.getLong(8))).toMap
+    assert(merged.keySet == full.keySet)
+    merged.foreach { case (k, m) =>
+      val f = full(k)
+      assert(m._1 == f._1 && m._2 == f._2 && m._3 == f._3 && m._4 == f._4,
+        s"OHLC $k")
+      assert(m._6 == f._6, s"count $k")
+      // decimal-sum mean vs double mean, both on the 6-dp grid
+      assert(math.abs(m._5 - f._5) < 2e-6, s"avg $k")
+    }
+  }
+
   test("cluster_top_terms ranks by tf/df with total tie order") {
     val s = spark
     val rows = LlmVectorOps.clusterTopTerms(s, TestSpark.sf0001).collect()
