@@ -95,6 +95,8 @@ object SparkEntry {
     "embed_norm_stats"         -> (LlmVectorOps.embedNormStats _),
     "activity_heatmap"         -> (AnalyticOps.activityHeatmap _),
     "dsir_sample"              -> (LlmTextOps.dsirSample _),
+    "psi_drift"                -> (AnalyticOps.psiDrift _),
+    "score_auc"                -> (LlmVectorOps.scoreAuc _),
     "fuzzy_name_match"         -> (RelationalOps.fuzzyNameMatch _),
     "pagerank_docs"            -> (LlmVectorOps.pagerankDocs _),
     "lineitem_unpivot"         -> (AnalyticOps.lineitemUnpivot _),
@@ -240,7 +242,12 @@ object SparkEntry {
                 floor((avg(price)) * 1000000 + 0.5) / 1000000 AS avg_price, count(*) AS sample_count
          FROM t GROUP BY h, symbol ORDER BY date, hour, symbol""",
     // incremental-merge row: the oracle is the FULL recompute — the
-    // driver gate itself checks merge(partials) == recompute per cell
+    // driver gate itself checks merge(partials) == recompute per cell.
+    // The mean uses the exact-decimal recipe on BOTH sides (the
+    // merged partial carries the decimal sum): sf0.1 has 25 cells
+    // whose true mean lands exactly ON the 5e-7 half-grid boundary,
+    // where an IEEE double AVG sits one ulp below and rounds the
+    // other way — the decimal formulation is boundary-exact.
     "ohlc_merge" ->
       """WITH t AS (SELECT date_trunc('hour', ts) AS h, event_type AS symbol,
                            value AS price, ts FROM events)
@@ -248,7 +255,10 @@ object SparkEntry {
                 CAST(EXTRACT(hour FROM h) AS INTEGER) AS hour, symbol,
                 arg_min(price, ts) AS open_price, max(price) AS high_price,
                 min(price) AS low_price, arg_max(price, ts) AS close_price,
-                floor((avg(price)) * 1000000 + 0.5) / 1000000 AS avg_price, count(*) AS sample_count
+                floor((CAST(CAST(SUM(CAST(price AS DECIMAL(18,6)))
+                      AS DECIMAL(24,6)) AS DOUBLE) / count(*))
+                  * 1000000 + 0.5) / 1000000 AS avg_price,
+                count(*) AS sample_count
          FROM t GROUP BY h, symbol ORDER BY date, hour, symbol""",
     "ohlc_daily" ->
       """WITH t AS (SELECT date_trunc('hour', ts) AS h, event_type AS symbol,
@@ -1760,6 +1770,82 @@ object SparkEntry {
                  JOIN pc cb ON cb.l_partkey = part_b
                  CROSS JOIN n
          ORDER BY support DESC, part_a, part_b LIMIT 20""",
+    // PSI per symbol: early-half decile bounds (6-dp grid), Laplace
+    // shares, ln input fenced, terms 1e-6-quantized into order-free
+    // long sums (the entropy_stats posture)
+    "psi_drift" ->
+      """WITH e AS (SELECT event_type AS symbol, value,
+                epoch_us(ts) AS us FROM events),
+         m AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid_us FROM e),
+         ev AS (SELECT symbol, value, us > mid_us AS late
+                FROM e CROSS JOIN m),
+         bounds AS (SELECT symbol,
+                 [floor(b * 1000000 + 0.5) / 1000000
+                  for b in quantile_cont(value,
+                    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])] AS bs
+               FROM ev WHERE NOT late GROUP BY 1),
+         binned AS (SELECT ev.symbol, ev.late,
+                 len(list_filter(bs, b -> ev.value > b)) + 1 AS bin
+               FROM ev JOIN bounds ON bounds.symbol = ev.symbol),
+         c AS (SELECT symbol, bin,
+                 CAST(SUM(CASE WHEN late THEN 0 ELSE 1 END) AS BIGINT)
+                   AS c_p,
+                 CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c_q
+               FROM binned GROUP BY 1, 2),
+         t AS (SELECT symbol, CAST(SUM(c_p) AS BIGINT) AS n_p,
+                 CAST(SUM(c_q) AS BIGINT) AS n_q
+               FROM c GROUP BY 1),
+         terms AS (SELECT c.symbol, t.n_p, t.n_q,
+                 floor((CAST(c_p + 1 AS DOUBLE) / (n_p + 10))
+                   * 1000000 + 0.5) / 1000000 AS p,
+                 floor((CAST(c_q + 1 AS DOUBLE) / (n_q + 10))
+                   * 1000000 + 0.5) / 1000000 AS q
+               FROM c JOIN t USING (symbol)),
+         qt AS (SELECT symbol, n_p, n_q,
+                 CAST(floor(((q - p)
+                     * ln(floor((q / p) * 1000000 + 0.5) / 1000000))
+                   * 1000000 + 0.5) AS BIGINT) AS term_q
+               FROM terms)
+         SELECT symbol, MAX(n_p) AS n_early, MAX(n_q) AS n_late,
+                floor((CAST(SUM(term_q) AS DOUBLE) / 1000000)
+                  * 1000000 + 0.5) / 1000000 AS psi
+         FROM qt GROUP BY symbol ORDER BY symbol""",
+    // rank-based AUC with average-rank ties in pure integers to ONE
+    // division: 2*avgrank = 2*minrank + ties - 1
+    "score_auc" ->
+      """WITH nr AS (SELECT vec_id, label,
+                sqrt(list_aggregate([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                     for x in embedding], 'sum')) AS nrm
+              FROM embeddings),
+         pr AS (SELECT e.embedding AS pe, nr.nrm AS pn, e.label AS pl
+                FROM embeddings e JOIN nr ON nr.vec_id = e.vec_id
+                WHERE e.vec_id = 0),
+         sc AS (SELECT e.vec_id,
+                  CASE WHEN e.label = pr.pl THEN 1 ELSE 0 END AS pos,
+                  floor((list_aggregate(
+                      [CAST(pr.pe[i] AS DOUBLE)
+                        * CAST(e.embedding[i] AS DOUBLE)
+                       for i in range(1, len(e.embedding) + 1)], 'sum')
+                    / (pr.pn * nr.nrm)) * 1000000 + 0.5) / 1000000
+                    AS score
+                FROM embeddings e JOIN nr ON nr.vec_id = e.vec_id
+                CROSS JOIN pr WHERE e.vec_id <> 0),
+         rk AS (SELECT pos,
+                  CAST(RANK() OVER (ORDER BY score ASC) AS BIGINT) AS rk,
+                  CAST(COUNT(*) OVER (PARTITION BY score) AS BIGINT)
+                    AS ties
+                FROM sc)
+         SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+                CAST(SUM(1 - pos) AS BIGINT) AS n_neg,
+                floor(((CAST(SUM(CASE WHEN pos = 1
+                        THEN 2 * rk + ties - 1 ELSE 0 END) AS DOUBLE)
+                    - CAST(SUM(pos) AS DOUBLE)
+                      * (CAST(SUM(pos) AS DOUBLE) + 1))
+                  / (2.0 * CAST(SUM(pos) AS DOUBLE)
+                    * CAST(SUM(1 - pos) AS DOUBLE)))
+                  * 1000000 + 0.5) / 1000000 AS auc
+         FROM rk""",
     // weekly seasonality matrix: isodow x hour, both engines on the
     // ISO Monday=1 numbering
     "activity_heatmap" ->

@@ -1061,6 +1061,62 @@ object AnalyticOps {
       .orderBy("dow_iso", "hod")
   }
 
+  /** `psi_drift` — Population Stability Index per symbol: the
+    * industry-standard ML monitoring drift score (`ks_drift` is the
+    * statistician's sup-gap; PSI is what model-risk reviews ask for).
+    * Reference bins are the EARLY half's deciles (bounds on the 6-dp
+    * grid — the `quantile_bins` recipe), both halves' bin shares are
+    * Laplace-smoothed (c+1)/(n+10) so empty bins stay finite and the
+    * shares remain exact rationals, and
+    * PSI = Σ (q−p)·ln(q/p) with the ln INPUT fenced to the grid and
+    * each term integer-quantized at 10⁻⁶ before an ORDER-FREE 64-bit
+    * sum (the `entropy_stats` log-fencing posture — a groupBy sum of
+    * raw doubles would be fold-order-dependent).
+    *
+    * Scale shape: one midpoint broadcast, one bounds aggregate over
+    * the early half broadcast back, one counting aggregation on
+    * (symbol, bin), a 10-row-per-symbol fold. No window over raw
+    * rows, no second corpus pass beyond the bounds job.
+    */
+  def psiDrift(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("event_type").as("symbol"), col("value"),
+        unix_micros(col("ts")).as("us"))
+    val mid = e.agg(expr("(min(us) + max(us)) div 2").as("mid_us"))
+    val ev = e.join(broadcast(mid), lit(true))
+      .withColumn("late", col("us") > col("mid_us"))
+    val bounds = ev.where(!col("late"))
+      .groupBy(col("symbol"))
+      .agg(expr(
+        """transform(
+             percentile(value, array(0.1, 0.2, 0.3, 0.4, 0.5,
+                                     0.6, 0.7, 0.8, 0.9)),
+             b -> floor(b * 1000000 + 0.5) / 1000000)""").as("bs"))
+    val binned = ev.join(broadcast(bounds), Seq("symbol"))
+      .select(col("symbol"), col("late"),
+        (size(expr("filter(bs, b -> value > b)")) + 1).as("bin"))
+      .groupBy(col("symbol"), col("bin"))
+      .agg(
+        sum(when(!col("late"), 1L).otherwise(0L)).as("c_p"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("c_q"))
+    val totals = binned.groupBy(col("symbol"))
+      .agg(sum(col("c_p")).as("n_p"), sum(col("c_q")).as("n_q"))
+    binned.join(broadcast(totals), Seq("symbol"))
+      // Laplace-smoothed shares; ln input fenced to the 6-dp grid,
+      // each term quantized to 1e-6 BEFORE the order-free long sum
+      .withColumn("p", r6((col("c_p") + 1).cast("double")
+        / (col("n_p") + 10).cast("double")))
+      .withColumn("q", r6((col("c_q") + 1).cast("double")
+        / (col("n_q") + 10).cast("double")))
+      .withColumn("term_q",
+        floor(((col("q") - col("p")) * log(r6(col("q") / col("p"))))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy(col("symbol"))
+      .agg(max(col("n_p")).as("n_early"), max(col("n_q")).as("n_late"),
+        r6(sum(col("term_q")).cast("double") / lit(1000000.0)).as("psi"))
+      .orderBy("symbol")
+  }
+
   /** `max_drawdown` — per-symbol maximum peak-to-trough loss: the
     * risk metric every trading report leads with, and a window shape
     * the OHLC family doesn't cover (a running extremum CONSUMED by a

@@ -1201,6 +1201,50 @@ object LlmVectorOps {
       .orderBy("label")
   }
 
+  /** `score_auc` — embedding-quality AUC: how well cosine similarity
+    * to a probe vector separates its OWN label from the rest (the
+    * Mann–Whitney/AUC of "same-label detection by similarity" — the
+    * single number an embedding-model eval reports before anything
+    * ships). Computed rank-based with AVERAGE ranks for ties, in
+    * PURE INTEGERS to the last step: 2·avgrank = 2·minrank+ties−1
+    * per row, so AUC = (Σ2avgrank_pos − n⁺(n⁺+1)) / (2·n⁺·n⁻) needs
+    * exactly ONE division of exact-integer doubles — no fence beyond
+    * the score grid, fully hash-gateable.
+    *
+    * The global rank is a single-partition window here (|corpus|
+    * rows); at 100 TB rank with the `corpus_shuffle` two-phase
+    * range/offset machinery instead — the AUC fold itself is
+    * order-free integer sums either way.
+    */
+  def scoreAuc(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
+    val probe = e.where(col("vec_id") === 0)
+      .select(col("embedding").as("probe_emb"),
+        col("norm").as("probe_norm"), col("label").as("probe_label"))
+    val scored = e.where(col("vec_id") =!= 0)
+      .join(broadcast(probe), lit(true))
+      .withColumn("score", r6(
+        VectorExprs.dot(s, col("probe_emb"), col("embedding"))
+          / (col("probe_norm") * col("norm"))))
+      .withColumn("pos",
+        (col("label") === col("probe_label")).cast("long"))
+    val ranked = scored
+      .withColumn("rk", rank().over(Window.orderBy(col("score").asc))
+        .cast("long"))
+      .withColumn("ties",
+        count(lit(1)).over(Window.partitionBy(col("score"))))
+    ranked.agg(
+        sum(col("pos")).as("n_pos"),
+        sum(lit(1L) - col("pos")).as("n_neg"),
+        sum(when(col("pos") === 1L,
+          lit(2L) * col("rk") + col("ties") - 1L).otherwise(0L)).as("r2"))
+      .select(col("n_pos"), col("n_neg"),
+        r6((col("r2").cast("double")
+            - col("n_pos").cast("double") * (col("n_pos").cast("double") + 1))
+          / (lit(2.0) * col("n_pos").cast("double")
+            * col("n_neg").cast("double"))).as("auc"))
+  }
+
   /** `dedup_embed_blocked` — the 100 TB shape of `dedup_embed`.
     * Candidate pairs come from shared random-hyperplane buckets
     * (ids-only shuffle), then candidates get the *exact* cosine

@@ -472,6 +472,57 @@ class FeatureOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("score_auc == driver-side Mann-Whitney recomputation") {
+    val s = spark
+    val row = LlmVectorOps.scoreAuc(s, TestSpark.sf0001).collect().head
+    val embs = Tables.embeddings(s, TestSpark.sf0001)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2)))
+    def norm(v: Seq[Float]) = {
+      var a = 0.0; v.foreach(x => a += x.toDouble * x.toDouble); math.sqrt(a)
+    }
+    val probe = embs.find(_._1 == 0L).get
+    val pn = norm(probe._3)
+    val scored = embs.filter(_._1 != 0L).map { case (_, l, v) =>
+      var dot = 0.0
+      v.indices.foreach(i => dot += probe._3(i).toDouble * v(i).toDouble)
+      (l == probe._2,
+        math.floor(dot / (pn * norm(v)) * 1e6 + 0.5) / 1e6)
+    }
+    // average ranks ascending by score
+    val byScore = scored.map(_._2).sorted
+    val minRank = byScore.zipWithIndex.groupBy(_._1)
+      .map { case (sc, xs) => sc -> (xs.map(_._2).min + 1) }
+    val ties = byScore.groupBy(identity).map { case (sc, xs) => sc -> xs.length }
+    val nPos = scored.count(_._1)
+    val nNeg = scored.length - nPos
+    val r2 = scored.filter(_._1)
+      .map { case (_, sc) => 2L * minRank(sc) + ties(sc) - 1L }.sum
+    val auc = (r2.toDouble - nPos.toDouble * (nPos + 1)) /
+      (2.0 * nPos * nNeg)
+    assert(row.getLong(0) == nPos && row.getLong(1) == nNeg)
+    assert(row.getDouble(2) == math.floor(auc * 1e6 + 0.5) / 1e6)
+  }
+
+  test("psi_drift: identical halves score ~0, all symbols covered") {
+    val s = spark
+    val rows = AnalyticOps.psiDrift(s, TestSpark.sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val symbols = Tables.events(s, TestSpark.sf001)
+      .select(col("event_type")).distinct().count()
+    assert(rows.length == symbols, "every symbol scored")
+    rows.foreach { case (sym, np, nq, psi) =>
+      assert(np > 0 && nq > 0, s"$sym halves populated")
+      // PSI is a sum of (q-p)·ln(q/p) terms, each individually >= 0
+      // (same sign factors), so the total must be non-negative
+      assert(psi >= 0.0, s"$sym psi >= 0")
+      // the driver corpus is stationary by construction — the two
+      // halves draw from one distribution, so PSI sits far below the
+      // 0.25 "significant shift" alarm threshold
+      assert(psi < 0.25, s"$sym stationary corpus drifted: $psi")
+    }
+  }
+
   test("cluster_top_terms ranks by tf/df with total tie order") {
     val s = spark
     val rows = LlmVectorOps.clusterTopTerms(s, TestSpark.sf0001).collect()
