@@ -623,6 +623,69 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("S16 streaming_psi: windowed drift vs static reference, emit at close, batch-recipe-exact") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingDrift
+    // static reference: symbol A uniform-ish 1..100
+    val history = (1 to 100).map(i => ("A", i.toDouble))
+      .toDF("symbol", "price")
+    val ref = StreamingDrift.referenceProfile(history)
+    try {
+      val in = MemoryStream[Tick]
+      val q = StreamingDrift.psiStream(
+        in.toDF().selectExpr("ts", "symbol", "price"), ref)
+        .writeStream.format("memory").queryName("s16_out")
+        .outputMode(OutputMode.Append).start()
+      try {
+        // window 1 (10:00): matches the reference; window 2 (11:00):
+        // collapsed into the top decile — must alarm
+        val w1 = (1 to 100).map(i =>
+          Tick(ts(f"2024-01-01 10:${(i % 50) + 1}%02d:00"), "A",
+            i.toDouble))
+        val w2 = (1 to 100).map(i =>
+          Tick(ts(f"2024-01-01 11:${(i % 50) + 1}%02d:00"), "A",
+            95.0 + (i % 5)))
+        in.addData(w1: _*)
+        q.processAllAvailable()
+        assert(spark.sql("SELECT * FROM s16_out").count() == 0,
+          "window 1 still open (watermark at 10:40)")
+        in.addData(w2: _*)
+        q.processAllAvailable()
+        assert(spark.sql("SELECT * FROM s16_out").count() == 1,
+          "window 1 closes when window 2's data advances the watermark")
+        in.addData(Tick(ts("2024-01-01 14:00:00"), "A", 50.0))
+        q.processAllAvailable()
+        val rows = spark.sql(
+          "SELECT window_start, n, psi FROM s16_out ORDER BY window_start")
+          .collect().map(r => (r.getTimestamp(0), r.getLong(1),
+            r.getDouble(2)))
+        assert(rows.length == 2, rows.mkString(","))
+        assert(rows(0)._2 == 100 && rows(1)._2 == 100)
+        val (psiStable, psiShifted) = (rows(0)._3, rows(1)._3)
+        assert(psiStable < 0.25, s"matching window must not alarm: $psiStable")
+        assert(psiShifted > 1.0, s"collapsed window must alarm: $psiShifted")
+        // exact recompute of the shifted window with the batch recipe
+        val refRow = ref.collect().head
+        val bs = refRow.getSeq[Double](1)
+        val ps = (1 to 10).map(b => refRow.getDouble(1 + b))
+        val counts = Array.fill(10)(0L)
+        w2.foreach { t =>
+          counts(bs.count(t.price > _)) += 1
+        }
+        val expected = (1 to 10).map { b =>
+          val qb = math.floor((counts(b - 1) + 1).toDouble / 110.0 * 1e6
+            + 0.5) / 1e6
+          val ratio = math.floor(qb / ps(b - 1) * 1e6 + 0.5) / 1e6
+          math.floor((qb - ps(b - 1)) * math.log(ratio) * 1e6 + 0.5).toLong
+        }.sum
+        assert(psiShifted ==
+          math.floor(expected.toDouble / 1e6 * 1e6 + 0.5) / 1e6,
+          "bit-exact vs the batch recipe")
+      } finally q.stop()
+    } finally { ref.unpersist(); () }
+  }
+
   test("S2 streaming_state: explicit OhlcState flushes on window close (reference state machine)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
