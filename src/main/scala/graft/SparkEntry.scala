@@ -97,6 +97,9 @@ object SparkEntry {
     "dsir_sample"              -> (LlmTextOps.dsirSample _),
     "psi_drift"                -> (AnalyticOps.psiDrift _),
     "score_auc"                -> (LlmVectorOps.scoreAuc _),
+    "mutual_information"       -> (AnalyticOps.mutualInformation _),
+    "cross_corr_lag"           -> (AnalyticOps.crossCorrLag _),
+    "calibration_curve"        -> (LlmVectorOps.calibrationCurve _),
     "fuzzy_name_match"         -> (RelationalOps.fuzzyNameMatch _),
     "pagerank_docs"            -> (LlmVectorOps.pagerankDocs _),
     "lineitem_unpivot"         -> (AnalyticOps.lineitemUnpivot _),
@@ -1811,6 +1814,108 @@ object SparkEntry {
                 floor((CAST(SUM(term_q) AS DOUBLE) / 1000000)
                   * 1000000 + 0.5) / 1000000 AS psi
          FROM qt GROUP BY symbol ORDER BY symbol""",
+    // MI(type; global value decile): exact-integer probabilities,
+    // fenced ln input, 1e-9-quantized order-free term sum
+    "mutual_information" ->
+      """WITH b AS (SELECT [floor(x * 1000000 + 0.5) / 1000000
+                for x in quantile_cont(value,
+                  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])] AS bs
+              FROM events),
+         cells AS (SELECT event_type AS t,
+                 len(list_filter(bs, x -> value > x)) + 1 AS dec,
+                 COUNT(*) AS c_td
+               FROM events CROSS JOIN b GROUP BY 1, 2),
+         tt AS (SELECT t, CAST(SUM(c_td) AS BIGINT) AS c_t
+                FROM cells GROUP BY 1),
+         dt AS (SELECT dec, CAST(SUM(c_td) AS BIGINT) AS c_d
+                FROM cells GROUP BY 1),
+         n AS (SELECT CAST(SUM(c_td) AS BIGINT) AS n_total FROM cells),
+         terms AS (SELECT
+                 CAST(floor(((CAST(c_td AS DOUBLE) / n_total)
+                     * ln(floor((CAST(c_td * n_total AS DOUBLE)
+                         / CAST(c_t * c_d AS DOUBLE))
+                       * 1000000 + 0.5) / 1000000))
+                   * 1000000000 + 0.5) AS BIGINT) AS term_q,
+                 n_total
+               FROM cells JOIN tt USING (t) JOIN dt USING (dec)
+               CROSS JOIN n)
+         SELECT MAX(n_total) AS n,
+                floor((CAST(SUM(term_q) AS DOUBLE) / 1000000000)
+                  * 1000000 + 0.5) / 1000000 AS mi_nats
+         FROM terms""",
+    // lead-lag scanner: pair_correlation's decimal moments per
+    // (pair, lag in -2..2), winner under (|r| desc, lag asc)
+    "cross_corr_lag" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hr,
+                event_type AS symbol, COUNT(*) AS n_ticks,
+                CAST(SUM(CAST(value AS DECIMAL(16,2))) AS DECIMAL(16,2))
+                  AS s1d
+              FROM events GROUP BY 1, 2),
+         g AS (SELECT epoch_us(hr) // 3600000000 AS hid, symbol,
+                 CAST(floor((CAST(s1d AS DOUBLE) / n_ticks)
+                     * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS m
+               FROM h),
+         lags AS (SELECT unnest(range(-2, 3)) AS lag),
+         p AS (SELECT a.symbol AS sym_a, b.symbol AS sym_b, l.lag,
+                 a.m AS ma, b.m AS mb
+               FROM g a CROSS JOIN lags l
+               JOIN g b ON b.hid = a.hid + l.lag
+                 AND a.symbol < b.symbol),
+         s AS (SELECT sym_a, sym_b, lag, COUNT(*) AS n_hours,
+                 CAST(SUM(ma) AS DECIMAL(28,6)) AS sx,
+                 CAST(SUM(mb) AS DECIMAL(28,6)) AS sy,
+                 CAST(SUM(ma * ma) AS DECIMAL(38,12)) AS sxx,
+                 CAST(SUM(mb * mb) AS DECIMAL(38,12)) AS syy,
+                 CAST(SUM(ma * mb) AS DECIMAL(38,12)) AS sxy
+               FROM p GROUP BY 1, 2, 3 HAVING COUNT(*) >= 8),
+         c AS (SELECT sym_a, sym_b, lag, n_hours,
+                 floor(((CAST(n_hours AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / NULLIF(
+                         sqrt(CAST(n_hours AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * sqrt(CAST(n_hours AS DOUBLE)
+                             * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)),
+                         0.0))
+                   * 1000000 + 0.5) / 1000000 AS corr
+               FROM s),
+         r AS (SELECT sym_a, sym_b, lag, n_hours, corr,
+                 ROW_NUMBER() OVER (PARTITION BY sym_a, sym_b
+                   ORDER BY abs(corr) DESC, lag ASC) AS rk
+               FROM c WHERE corr IS NOT NULL)
+         SELECT sym_a, sym_b, CAST(lag AS BIGINT) AS best_lag,
+                n_hours, corr
+         FROM r WHERE rk = 1 ORDER BY sym_a, sym_b""",
+    // reliability diagram: fixed 0.2-wide score bins, integer counts,
+    // one fenced division per bin
+    "calibration_curve" ->
+      """WITH nr AS (SELECT vec_id, label,
+                sqrt(list_aggregate([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                     for x in embedding], 'sum')) AS nrm
+              FROM embeddings),
+         pr AS (SELECT e.embedding AS pe, nr.nrm AS pn, e.label AS pl
+                FROM embeddings e JOIN nr ON nr.vec_id = e.vec_id
+                WHERE e.vec_id = 0),
+         sc AS (SELECT e.label, pr.pl,
+                  floor((list_aggregate(
+                      [CAST(pr.pe[i] AS DOUBLE)
+                        * CAST(e.embedding[i] AS DOUBLE)
+                       for i in range(1, len(e.embedding) + 1)], 'sum')
+                    / (pr.pn * nr.nrm)) * 1000000 + 0.5) / 1000000
+                    AS score
+                FROM embeddings e JOIN nr ON nr.vec_id = e.vec_id
+                CROSS JOIN pr WHERE e.vec_id <> 0),
+         bn AS (SELECT CAST(least(greatest(
+                    CAST(floor((score + 1.0) * 5.0) AS INTEGER), 0), 9)
+                  AS INTEGER) AS bin,
+                  CASE WHEN label = pl THEN 1 ELSE 0 END AS pos
+                FROM sc)
+         SELECT bin, COUNT(*) AS n,
+                CAST(SUM(pos) AS BIGINT) AS n_pos,
+                floor((CAST(SUM(pos) AS DOUBLE) / COUNT(*))
+                  * 1000000 + 0.5) / 1000000 AS pos_rate
+         FROM bn GROUP BY bin ORDER BY bin""",
     // rank-based AUC with average-rank ties in pure integers to ONE
     // division: 2*avgrank = 2*minrank + ties - 1
     "score_auc" ->

@@ -1117,6 +1117,113 @@ object AnalyticOps {
       .orderBy("symbol")
   }
 
+  /** `mutual_information` — MI between event type and value decile:
+    * the feature-relevance score for a categorical↔numeric pair
+    * (`corr_matrix` covers numeric↔numeric; this is the other half a
+    * feature-selection pass needs). Deciles are global, bounds on the
+    * 6-dp grid; MI = Σ (c_td/N)·ln(c_td·N/(c_t·c_d)) with every
+    * probability an exact-integer division (correctly rounded
+    * identically in both engines), the ln INPUT fenced to the grid,
+    * and each term quantized at 10⁻⁹ into an order-free long sum —
+    * finer than the PSI grid because MI terms are O(10⁻⁴) each.
+    * One bounds pass + one (type, decile) count aggregation.
+    */
+  def mutualInformation(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val bounds = ev.agg(expr(
+      """transform(
+           percentile(value, array(0.1, 0.2, 0.3, 0.4, 0.5,
+                                   0.6, 0.7, 0.8, 0.9)),
+           b -> floor(b * 1000000 + 0.5) / 1000000)""").as("bs"))
+    val cells = ev.join(broadcast(bounds), lit(true))
+      .select(col("event_type").as("t"),
+        (size(expr("filter(bs, b -> value > b)")) + 1).as("dec"))
+      .groupBy(col("t"), col("dec"))
+      .agg(count(lit(1)).as("c_td"))
+    val tTot = cells.groupBy(col("t")).agg(sum(col("c_td")).as("c_t"))
+    val dTot = cells.groupBy(col("dec")).agg(sum(col("c_td")).as("c_d"))
+    val n = cells.agg(sum(col("c_td")).as("n_total"))
+    cells
+      .join(broadcast(tTot), Seq("t"))
+      .join(broadcast(dTot), Seq("dec"))
+      .join(broadcast(n), lit(true))
+      .withColumn("term_q",
+        floor(((col("c_td").cast("double") / col("n_total"))
+          * log(r6((col("c_td") * col("n_total")).cast("double")
+            / (col("c_t") * col("c_d")).cast("double"))))
+          * lit(1000000000.0) + lit(0.5)).cast("long"))
+      .agg(max(col("n_total")).as("n"),
+        r6(sum(col("term_q")).cast("double") / lit(1000000000.0))
+          .as("mi_nats"))
+  }
+
+  /** `cross_corr_lag` — lead–lag scanner: for every symbol pair, the
+    * Pearson r between a's hourly mean series and b's series shifted
+    * by L ∈ {−2..2} hours, reporting the lag with the strongest
+    * |r| — the signal a pairs-trading / causality screen looks for
+    * ([[pairCorrelation]] is the L = 0 slice). Hours become integer
+    * epoch-hour ids so the shift is an exact integer join key.
+    *
+    * Portability: the 6-dp-gridded means and exact decimal moments
+    * of `pair_correlation` per (pair, lag); the winner is picked
+    * under a TOTAL order (|r| fenced to the grid desc, then lag asc)
+    * so engines agree even when two lags tie to the micro-digit.
+    * Scale shape: the resample is the only corpus pass; the 5-lag
+    * pair join runs on the resampled series crossed with a 5-row
+    * literal — |hours|·|symbols|·5 rows, still broadcast-sized
+    * relative to the ticks.
+    */
+  def crossCorrLag(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val hourly = Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hr"),
+        col("event_type").as("symbol"))
+      .agg(count(lit(1)).as("n_ticks"),
+        sum(col("value").cast(DecimalType(16, 2)))
+          .cast(DecimalType(16, 2)).as("s1d"))
+      .select(expr("unix_micros(hr) div 3600000000").as("hid"),
+        col("symbol"),
+        r6(col("s1d").cast("double") / col("n_ticks"))
+          .cast(DecimalType(18, 6)).as("m"))
+    val lags = (-2 to 2).map(l => s"($l)").mkString(
+      "SELECT * FROM (VALUES ", ", ", ") AS t(lag)")
+    val lagTab = s.sql(lags)
+    val a = hourly.select(col("hid"), col("symbol").as("sym_a"),
+      col("m").as("ma"))
+    val b = hourly.select(col("hid").as("hid_b"), col("symbol").as("sym_b"),
+      col("m").as("mb"))
+    val joint = a.join(broadcast(lagTab), lit(true))
+      .join(b, col("hid_b") === col("hid") + col("lag"))
+      .where(col("sym_a") < col("sym_b"))
+    val mom = joint.groupBy(col("sym_a"), col("sym_b"), col("lag"))
+      .agg(
+        count(lit(1)).as("n_hours"),
+        sum(col("ma")).cast(DecimalType(28, 6)).as("sx"),
+        sum(col("mb")).cast(DecimalType(28, 6)).as("sy"),
+        sum(col("ma") * col("ma")).cast(DecimalType(38, 12)).as("sxx"),
+        sum(col("mb") * col("mb")).cast(DecimalType(38, 12)).as("syy"),
+        sum(col("ma") * col("mb")).cast(DecimalType(38, 12)).as("sxy"))
+      .where(col("n_hours") >= 8)
+      .withColumn("corr",
+        r6((col("n_hours").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+          / nullif(
+            sqrt(col("n_hours").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))
+            * sqrt(col("n_hours").cast("double") * col("syy").cast("double")
+              - col("sy").cast("double") * col("sy").cast("double")),
+            lit(0.0))))
+      .where(col("corr").isNotNull)
+    val w = Window.partitionBy("sym_a", "sym_b")
+      .orderBy(abs(col("corr")).desc, col("lag").asc)
+    mom.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("sym_a"), col("sym_b"),
+        col("lag").cast("long").as("best_lag"),
+        col("n_hours"), col("corr"))
+      .orderBy("sym_a", "sym_b")
+  }
+
   /** `max_drawdown` — per-symbol maximum peak-to-trough loss: the
     * risk metric every trading report leads with, and a window shape
     * the OHLC family doesn't cover (a running extremum CONSUMED by a

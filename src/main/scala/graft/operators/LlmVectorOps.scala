@@ -1245,6 +1245,38 @@ object LlmVectorOps {
             * col("n_neg").cast("double"))).as("auc"))
   }
 
+  /** `calibration_curve` — the reliability diagram for
+    * [[scoreAuc]]'s similarity score: cosine-to-probe bucketed into
+    * ten fixed-width bins on [−1, 1], with each bin's observed
+    * same-label rate. AUC says the score RANKS well; calibration
+    * says whether a given score VALUE means what a threshold-picker
+    * assumes — the pair of plots every model eval shows side by
+    * side. Entirely rational: fixed bin edges (width 0.2, bin =
+    * ⌊(score+1)·5⌋ clamped — integer arithmetic on the gridded
+    * score), integer counts, one fenced division per bin.
+    */
+  def calibrationCurve(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
+    val probe = e.where(col("vec_id") === 0)
+      .select(col("embedding").as("probe_emb"),
+        col("norm").as("probe_norm"), col("label").as("probe_label"))
+    e.where(col("vec_id") =!= 0)
+      .join(broadcast(probe), lit(true))
+      .withColumn("score", r6(
+        VectorExprs.dot(s, col("probe_emb"), col("embedding"))
+          / (col("probe_norm") * col("norm"))))
+      .withColumn("bin",
+        least(greatest(floor((col("score") + 1.0) * 5.0).cast("int"),
+          lit(0)), lit(9)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("label") === col("probe_label"), 1L).otherwise(0L))
+          .as("n_pos"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        r6(col("n_pos").cast("double") / col("n")).as("pos_rate"))
+      .orderBy("bin")
+  }
+
   /** `dedup_embed_blocked` — the 100 TB shape of `dedup_embed`.
     * Candidate pairs come from shared random-hyperplane buckets
     * (ids-only shuffle), then candidates get the *exact* cosine

@@ -523,6 +523,53 @@ class FeatureOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mutual_information is non-negative and bounded by min entropy") {
+    val s = spark
+    val row = AnalyticOps.mutualInformation(s, TestSpark.sf001)
+      .collect().head
+    val (n, mi) = (row.getLong(0), row.getDouble(1))
+    assert(n > 0)
+    // MI >= 0 up to the 1e-9 term-quantization slack
+    assert(mi >= -1e-5, s"mi $mi")
+    // MI <= H(type) <= ln(|types|); MI <= H(decile) <= ln(10)
+    val types = Tables.events(s, TestSpark.sf001)
+      .select(col("event_type")).distinct().count()
+    assert(mi <= math.log(math.min(types.toDouble, 10.0)) + 1e-6)
+  }
+
+  test("cross_corr_lag: lag 0 slice agrees with pair_correlation; winner maximizes |r|") {
+    val s = spark
+    val best = AnalyticOps.crossCorrLag(s, TestSpark.sf001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(best.nonEmpty)
+    val pc = AnalyticOps.pairCorrelation(s, TestSpark.sf001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    best.foreach { case (a, b, lag, _, corr) =>
+      assert(lag >= -2 && lag <= 2)
+      // the winning |r| must be at least the lag-0 |r| (same moment
+      // recipe, same pairs — lag 0 is always a candidate when the
+      // joint-hours floor is met)
+      pc.get((a, b)).foreach { r0 =>
+        assert(math.abs(corr) + 1e-9 >= math.abs(r0) ||
+          math.abs(math.abs(corr) - math.abs(r0)) < 1e-6,
+          s"pair ($a,$b): best $corr vs lag0 $r0")
+      }
+    }
+  }
+
+  test("calibration_curve: bins partition the scored corpus, rates are exact") {
+    val s = spark
+    val rows = LlmVectorOps.calibrationCurve(s, TestSpark.sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val corpus = Tables.embeddings(s, TestSpark.sf0001).count() - 1
+    assert(rows.map(_._2).sum == corpus, "bins partition the non-probe corpus")
+    rows.foreach { case (bin, n, pos, rate) =>
+      assert(bin >= 0 && bin <= 9 && pos <= n)
+      assert(rate == math.floor(pos.toDouble / n * 1e6 + 0.5) / 1e6)
+    }
+  }
+
   test("cluster_top_terms ranks by tf/df with total tie order") {
     val s = spark
     val rows = LlmVectorOps.clusterTopTerms(s, TestSpark.sf0001).collect()
