@@ -117,6 +117,8 @@ object SparkEntry {
     "dedup_components"    -> (LlmTextOps.dedupComponents _),
     "component_stats"     -> (LlmTextOps.componentStats _),
     "degree_stats"        -> (LlmTextOps.degreeStats _),
+    "triangle_count"      -> (LlmTextOps.triangleCount _),
+    "source_overlap"      -> (LlmTextOps.sourceOverlap _),
     "corpus_filter"       -> (LlmTextOps.corpusFilter _),
     "dedup_minhash"       -> (LlmTextOps.dedupMinhash _),
     "dedup_minhash_portable" -> (LlmTextOps.dedupMinhashPortable _),
@@ -1528,6 +1530,56 @@ object SparkEntry {
          deg AS (SELECT node, COUNT(*) AS degree FROM nodes GROUP BY 1)
          SELECT degree, COUNT(*) AS n_docs
          FROM deg GROUP BY 1 ORDER BY degree""",
+    // triangle census + clustering coefficient over the same pairs:
+    // oriented edge join (i<j<k), wedges from the degree fold
+    "triangle_count" ->
+      """WITH sh_t AS (
+           SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1]
+                    || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh_t GROUP BY 1),
+         pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+                   FROM sh_t a JOIN sh_t b
+                     ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         np AS (SELECT i, j
+                FROM pairs JOIN sizes si ON si.doc_id = i
+                           JOIN sizes sj ON sj.doc_id = j
+                WHERE floor((inter / (si.sz + sj.sz - inter)) * 1000000
+                            + 0.5) / 1000000 >= 0.8),
+         nodes AS (SELECT i AS node FROM np
+                   UNION ALL SELECT j AS node FROM np),
+         deg AS (SELECT node, COUNT(*) AS dg FROM nodes GROUP BY 1),
+         st AS (SELECT COUNT(*) AS n_nodes,
+                  CAST(SUM((dg * (dg - 1)) // 2) AS BIGINT) AS n_wedges
+                FROM deg),
+         ed AS (SELECT COUNT(*) AS n_edges FROM np),
+         tr AS (SELECT COUNT(*) AS n_triangles
+                FROM np e1 JOIN np e2 ON e1.j = e2.i
+                JOIN np e3 ON e3.i = e1.i AND e3.j = e2.j)
+         SELECT n_nodes, n_edges, n_wedges, n_triangles,
+                floor((3.0 * n_triangles
+                    / NULLIF(CAST(n_wedges AS DOUBLE), 0.0))
+                  * 1000000 + 0.5) / 1000000 AS clustering
+         FROM st CROSS JOIN ed CROSS JOIN tr""",
+    // vocabulary Jaccard between source pairs over distinct token
+    // sets; integers to one fenced division
+    "source_overlap" ->
+      """WITH st AS (SELECT DISTINCT source, token FROM (
+                SELECT source, unnest(string_split(text, ' ')) AS token
+                FROM documents)),
+         sz AS (SELECT source, COUNT(*) AS sz FROM st GROUP BY 1),
+         iv AS (SELECT a.source AS src_a, b.source AS src_b,
+                  COUNT(*) AS n_shared
+                FROM st a JOIN st b
+                  ON a.token = b.token AND a.source < b.source
+                GROUP BY 1, 2)
+         SELECT src_a, src_b, n_shared, za.sz AS sz_a, zb.sz AS sz_b,
+                floor((CAST(n_shared AS DOUBLE)
+                    / (za.sz + zb.sz - n_shared)) * 1000000 + 0.5)
+                  / 1000000 AS jaccard
+         FROM iv JOIN sz za ON za.source = src_a
+                 JOIN sz zb ON zb.source = src_b
+         ORDER BY src_a, src_b""",
     // cluster-size histogram over the same transitive closure
     "component_stats" ->
       """WITH RECURSIVE sh_t AS (

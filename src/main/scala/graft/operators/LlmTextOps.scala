@@ -2042,6 +2042,73 @@ object LlmTextOps {
       .orderBy("degree")
   }
 
+  /** `triangle_count` — global triangle census of the near-dup
+    * graph, plus the global clustering coefficient 3T/W (W = open
+    * wedges Σ C(deg,2)): triangles mean MUTUALLY near-identical
+    * triples (template clusters), while a trianglefree pair set is
+    * chains — with [[componentStats]] and [[degreeStats]] this
+    * completes the shape diagnostics. The classic oriented
+    * edge-join: with every edge stored i < j, path (i→j→k) joined
+    * against closing edge (i, k) counts each triangle EXACTLY once —
+    * two equi-joins on the (memoized) pair silver, no explosion
+    * beyond real wedges. Integers until one fenced division.
+    */
+  def triangleCount(s: SparkSession, d: String): DataFrame = {
+    val e = dedupNearPairs(s, d).select(col("i"), col("j"))
+    val deg = e.select(col("i").as("node"))
+      .union(e.select(col("j").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+    val stats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      sum(expr("(dg * (dg - 1)) div 2")).cast("long").as("n_wedges"))
+    val paths = e.select(col("i").as("a"), col("j").as("b"))
+      .join(e.select(col("i").as("b"), col("j").as("c")), Seq("b"))
+    val tris = paths
+      .join(e.select(col("i").as("a"), col("j").as("c")), Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val edges = e.agg(count(lit(1)).as("n_edges"))
+    stats.join(broadcast(edges), lit(true))
+      .join(broadcast(tris), lit(true))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        r6(lit(3.0) * col("n_triangles")
+          / nullif(col("n_wedges").cast("double"), lit(0.0)))
+          .as("clustering"))
+  }
+
+  /** `source_overlap` — vocabulary Jaccard between every source
+    * pair: |V_a ∩ V_b| / |V_a ∪ V_b| over distinct token sets — the
+    * corpus-comparison matrix that answers "are these two crawls the
+    * same content" BEFORE any document-level dedup runs. One
+    * distinct (source, token) projection; the intersection counts
+    * ride a token-keyed self-join of that deduped posting table
+    * (|vocab|·k² rows for k sources sharing a token — k is the
+    * source count, single digits, so the join is vocab-bounded);
+    * union sizes come from the same projection. Integers to one
+    * fenced division.
+    */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val st = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .distinct()
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+    val inter = st.select(col("token"), col("source").as("src_a"))
+      .join(st.select(col("token"), col("source").as("src_b")), Seq("token"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.select(col("source").as("src_a"), col("sz").as("sz_a")),
+        Seq("src_a"))
+      .join(sizes.select(col("source").as("src_b"), col("sz").as("sz_b")),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        col("sz_a"), col("sz_b"),
+        r6(col("n_shared").cast("double")
+          / (col("sz_a") + col("sz_b") - col("n_shared"))).as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** `group_split` — group-aware train/val/test split: the bucket is
     * hashed from the SOURCE, not the document, so every document of
     * one provenance lands on one side (sklearn's GroupShuffleSplit).

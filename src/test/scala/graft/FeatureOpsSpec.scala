@@ -570,6 +570,51 @@ class FeatureOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("triangle_count == driver-side brute-force census") {
+    val s = spark
+    val row = LlmTextOps.triangleCount(s, TestSpark.sf001).collect().head
+    val pairs = LlmTextOps.dedupNear(s, TestSpark.sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = (pairs.map(_._1) ++ pairs.map(_._2)).toSeq.distinct
+    val deg = nodes.map(n =>
+      n -> pairs.count(p => p._1 == n || p._2 == n)).toMap
+    val wedges = deg.values.map(d => d.toLong * (d - 1) / 2).sum
+    val tris = (for {
+      (a, b) <- pairs.toSeq
+      c <- nodes if c > b
+      if pairs.contains((b, c)) && pairs.contains((a, c))
+    } yield 1).size
+    assert(row.getLong(0) == nodes.length && row.getLong(1) == pairs.size)
+    assert(row.getLong(2) == wedges, "wedges")
+    assert(row.getLong(3) == tris, "triangles")
+    if (wedges > 0)
+      assert(row.getDouble(4) ==
+        math.floor(3.0 * tris / wedges * 1e6 + 0.5) / 1e6)
+  }
+
+  test("source_overlap == driver-side vocabulary Jaccard") {
+    val s = spark
+    val got = LlmTextOps.sourceOverlap(s, TestSpark.sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    val docs = Tables.documents(s, TestSpark.sf0001)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val vocab = docs.groupBy(_._1).view
+      .mapValues(_.flatMap(_._2.split(" ")).toSet).toMap
+    val sources = vocab.keys.toSeq.sorted
+    for (a <- sources; b <- sources if a < b) {
+      val inter = (vocab(a) & vocab(b)).size.toLong
+      if (inter > 0) {
+        val (ns, za, zb, j) = got((a, b))
+        assert(ns == inter && za == vocab(a).size && zb == vocab(b).size)
+        assert(j == math.floor(
+          inter.toDouble / (za + zb - inter) * 1e6 + 0.5) / 1e6)
+      } else assert(!got.contains((a, b)))
+    }
+  }
+
   test("cluster_top_terms ranks by tf/df with total tie order") {
     val s = spark
     val rows = LlmVectorOps.clusterTopTerms(s, TestSpark.sf0001).collect()
