@@ -155,6 +155,8 @@ object SparkEntry {
     "dedup_chunks"        -> (LlmTextOps.dedupChunks _),
     "duplicate_passages"  -> (LlmTextOps.duplicatePassages _),
     "bigram_novelty"      -> (LlmTextOps.bigramNovelty _),
+    "token_surprisal"     -> (LlmTextOps.tokenSurprisal _),
+    "freq_cms"            -> (LlmTextOps.freqCms _),
     "similarity_topk"     -> (LlmVectorOps.similarityTopk _),
     "knn_label"           -> (LlmVectorOps.knnLabel _),
     "rrf_fusion"          -> (LlmVectorOps.rrfFusion _),
@@ -175,6 +177,7 @@ object SparkEntry {
     "dedup_embed_ann"     -> (LlmVectorOps.dedupEmbedAnn _),
     "diversity_sample"    -> (LlmVectorOps.diversitySample _),
     "label_centroids"     -> (LlmVectorOps.labelCentroids _),
+    "embed_outliers"      -> (LlmVectorOps.embedOutliers _),
     "cluster_top_terms"   -> (LlmVectorOps.clusterTopTerms _),
     "embed_gram"          -> (LlmVectorOps.embedGram _),
     "embed_pca_project"   -> (LlmVectorOps.embedPcaProject _),
@@ -2357,6 +2360,26 @@ object SparkEntry {
                       + 0.5) / 1000000 AS mean_df
          FROM b JOIN dfq USING (bg)
          GROUP BY 1 ORDER BY 1""",
+    // per-doc mean unigram surprisal: exact-integer df/D division,
+    // fenced ln input, 1e-6-quantized order-free term sum, one
+    // fenced final mean (the psi_drift ln posture)
+    "token_surprisal" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents),
+         dfq AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                 FROM toks GROUP BY 1),
+         n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         terms AS (SELECT t.doc_id,
+                CAST(floor(-ln(floor((CAST(df AS DOUBLE) / n_docs)
+                      * 1000000 + 0.5) / 1000000)
+                    * 1000000 + 0.5) AS BIGINT) AS term_q
+              FROM toks t JOIN dfq USING (token) CROSS JOIN n)
+         SELECT doc_id, COUNT(*) AS n_tokens,
+                floor((CAST(SUM(term_q) AS DOUBLE)
+                    / (COUNT(*) * 1000000.0)) * 1000000 + 0.5)
+                  / 1000000 AS mean_surprisal
+         FROM terms GROUP BY doc_id ORDER BY doc_id""",
+    "freq_cms" -> LlmTextOps.freqCmsOracleSql,
     "dedup_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                     FROM documents),
@@ -2608,6 +2631,7 @@ object SparkEntry {
     "dedup_embed_ann" -> LlmVectorOps.dedupEmbedAnnOracleSql,
     "diversity_sample" -> LlmVectorOps.diversitySampleOracleSql,
     "label_centroids" -> LlmVectorOps.labelCentroidsOracleSql,
+    "embed_outliers" -> LlmVectorOps.embedOutliersOracleSql,
     "similarity_ivf" -> LlmVectorOps.ivfOracleSql,
     "similarity_ivf_trained" -> LlmVectorOps.ivfTrainedOracleSql,
     "similarity_topk_pq" -> LlmVectorOps.topkPqOracleSql,

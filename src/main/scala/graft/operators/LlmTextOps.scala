@@ -2184,4 +2184,146 @@ object LlmTextOps {
       .orderBy("doc_id")
   }
 
+  /** `token_surprisal` — per-document mean unigram surprisal: the
+    * log-space corpus-LM quality score (the CCNet filter of Wenzek
+    * et al. 2020, with the corpus's own unigram document-frequency
+    * distribution standing in for the external LM). Each token
+    * occurrence contributes −ln(df_t / D); a LOW mean means the doc
+    * is built from tokens everyone uses (boilerplate), a HIGH mean
+    * from tokens almost nobody does (novel — or OCR noise). The
+    * log-space complement of `bigram_novelty`'s rational mean-df:
+    * surprisal compresses the head and stretches the tail the way a
+    * real LM logprob does, which is why pretraining filters cut on
+    * this shape.
+    *
+    * Portability (the `psi_drift` ln posture): df/D is one
+    * correctly-rounded integer division, the ln INPUT is fenced to
+    * the 6-dp grid, each term is quantized at 10⁻⁶ into an
+    * order-free 64-bit sum, and the final mean divides by n·10⁶ in
+    * one fenced step — so the row hash-gates despite the
+    * transcendental.
+    *
+    * Scale shape: one token explode feeds both the df aggregation
+    * and the per-doc fold; the df table is vocabulary-bounded (AQE
+    * broadcasts it small, shuffles on `token` when a natural-text
+    * vocabulary outgrows that — the `bigram_novelty` join posture);
+    * the only guaranteed corpus shuffle is the token-keyed df join.
+    */
+  def tokenSurprisal(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val dfTab = toks.distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    toks.join(dfTab, Seq("token"))
+      .join(broadcast(nDocs), lit(true))
+      .withColumn("term_q",
+        floor(-log(r6(col("df").cast("double") / col("n_docs")))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        r6(sum(col("term_q")).cast("double")
+          / (count(lit(1)) * lit(1000000.0))).as("mean_surprisal"))
+      .orderBy("doc_id")
+  }
+
+  /** Count-Min row-hash constants: 4 independent affine maps over
+    * the portable token hash, mod-P then mod-width. The multipliers
+    * are the xxhash32 primes already used as decorrelated hash
+    * streams elsewhere in the engine. */
+  private val cmsHashA = Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
+  private val cmsHashB = Seq(1L, 7L, 31L, 127L)
+  private val cmsWidth = 1024
+
+  /** `freq_cms` — Count-Min sketch frequency estimation (Cormode &
+    * Muthukrishnan 2005) over token occurrences: the third sketch
+    * family beside Misra–Gries (`heavy_hitters_mg`, top-k) and KMV
+    * (`distinct_users_kmv`, cardinality) — CMS answers POINT
+    * queries ("how often does this token occur") from d·w counters
+    * regardless of corpus size, with one-sided error (never an
+    * undercount). Reports the 10 true-most-frequent tokens with
+    * exact count, CMS estimate, and the overcount — the
+    * collision-error readout that calibrates the sketch width the
+    * way `minhash_calibration` calibrates the Jaccard estimate.
+    *
+    * Fully deterministic — counters are integer sums over fixed
+    * affine maps of the portable token hash ([[graft.functions.PortableTokenHash]],
+    * the compiled kernel the portable LSH rows ride), so the DuckDB
+    * oracle replays sketch build, point queries, and the min fold
+    * exactly and the row hash-gates (no engine-internal state, the
+    * `distinct_users_approx` limitation this family exists to
+    * escape).
+    *
+    * Scale shape: the sketch build is ONE map-side-combinable
+    * aggregation into ≤ d·w = 4096 cells — partials are O(d·w) per
+    * partition no matter how many tokens stream through (the
+    * mergeable-summary property; this is what a 100 TB frequency
+    * profile actually runs). The truth side (exact counts + top-10)
+    * exists only because the row reports calibration; a production
+    * deployment keeps the sketch and drops the truth pass.
+    */
+  def freqCms(s: SparkSession, d: String): DataFrame = {
+    val p = 1000000007L
+    val toks = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .withColumn("th",
+        element_at(graft.functions.PortableTokenHash
+          .tokenHashPortable(s, array(col("token"))), 1) % lit(p))
+    val cells = toks
+      .select(posexplode(array(cmsHashA.zip(cmsHashB).map { case (a, b) =>
+        (((col("th") * lit(a) + lit(b)) % lit(p)) % lit(cmsWidth.toLong))
+          .cast("int")
+      }: _*)).as(Seq("r", "c")))
+      .groupBy(col("r"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val top10 = toks.groupBy(col("token"), col("th"))
+      .agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("token").asc)
+      .limit(10)
+    top10
+      .select(col("token"), col("exact_n"),
+        posexplode(array(cmsHashA.zip(cmsHashB).map { case (a, b) =>
+          (((col("th") * lit(a) + lit(b)) % lit(p)) % lit(cmsWidth.toLong))
+            .cast("int")
+        }: _*)).as(Seq("r", "c")))
+      .join(cells, Seq("r", "c"))
+      .groupBy(col("token"), col("exact_n"))
+      .agg(min(col("cnt")).as("est_n"))
+      .select(col("token"), col("exact_n"), col("est_n"),
+        (col("est_n") - col("exact_n")).as("overcount"))
+      .orderBy(col("exact_n").desc, col("token").asc)
+  }
+
+  /** The DuckDB oracle for `freq_cms`: sketch build, truth top-10,
+    * and the min-over-rows point query replayed from raw text with
+    * the same affine row hashes.
+    */
+  private[graft] def freqCmsOracleSql: String = {
+    val hp = cmsHashA.zip(cmsHashB).zipWithIndex
+      .map { case ((a, b), r) => s"($r, ${a}::BIGINT, ${b}::BIGINT)" }
+      .mkString(", ")
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token
+              FROM documents),
+       th AS (SELECT token,
+                (CAST(ascii(token) AS BIGINT) * 17161
+                 + CAST(ascii(reverse(token)) AS BIGINT) * 131
+                 + length(token)) % 1000000007 AS thm FROM toks),
+       hp AS (SELECT * FROM (VALUES $hp) AS t(r, a, b)),
+       cells AS (SELECT r, ((thm * a + b) % 1000000007) % $cmsWidth AS c,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM th CROSS JOIN hp GROUP BY 1, 2),
+       truth AS (SELECT token, MAX(thm) AS thm,
+                CAST(COUNT(*) AS BIGINT) AS exact_n
+              FROM th GROUP BY 1),
+       top10 AS (SELECT * FROM truth
+              ORDER BY exact_n DESC, token ASC LIMIT 10),
+       probes AS (SELECT t.token, t.exact_n, h.r,
+                ((t.thm * h.a + h.b) % 1000000007) % $cmsWidth AS c
+              FROM top10 t CROSS JOIN hp h),
+       est AS (SELECT token, exact_n, MIN(cnt) AS est_n
+              FROM probes JOIN cells USING (r, c) GROUP BY 1, 2)
+       SELECT token, exact_n, est_n, est_n - exact_n AS overcount
+       FROM est ORDER BY exact_n DESC, token ASC"""
+  }
+
 }

@@ -1134,6 +1134,86 @@ object LlmVectorOps {
       .orderBy("label", "dim")
   }
 
+  /** `embed_outliers` — the 3 vectors FARTHEST from their own
+    * label's centroid, per label: the mislabeled-data detector a
+    * labeled corpus runs right after [[labelCentroids]] — a point
+    * sitting far from its class prototype is either labeled wrong,
+    * an encoder failure, or genuinely hard, and all three go to
+    * review before training. (Confident-learning pipelines rank by
+    * exactly this statistic; the centroid form is its
+    * embedding-space instance.)
+    *
+    * Portability: centroids come from the same 2⁻²⁰ fixed-point
+    * grid as the Lloyd trainer (order-free integer sums, one exact
+    * division), each squared-residual term (v−m)² is one written
+    * IEEE expression quantized at 10⁻⁹ into an order-free 64-bit
+    * per-vector sum, and ranking runs on the INTEGER sum (vec_id
+    * tie-break) — so the row hash-gates end to end.
+    *
+    * Scale shape: one posexplode feeds both the centroid aggregate
+    * and the residual join (centroid table is |labels|·dim rows —
+    * broadcast at any corpus size); per-vector fold is one
+    * (label, vec_id)-keyed aggregation of 16-byte rows; the
+    * per-label top-3 rides the bounded `graft_topk` aggregate
+    * (O(k) state, no per-label sort — the `diversity_sample`
+    * posture).
+    */
+  def embedOutliers(s: SparkSession, d: String): DataFrame = {
+    val grid = (1L << 20).toDouble
+    val coords = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("vd", col("v").cast("double"))
+    val cents = coords.groupBy(col("label"), col("dim"))
+      .agg((sum(floor(col("vd") * grid + 0.5).cast("long"))
+        .cast("double") / (count(lit(1)) * grid)).as("m"))
+    coords.join(broadcast(cents), Seq("label", "dim"))
+      .withColumn("term_q",
+        floor((col("vd") - col("m")) * (col("vd") - col("m"))
+          * lit(1.0e9) + lit(0.5)).cast("long"))
+      .groupBy(col("label"), col("vec_id"))
+      .agg(sum(col("term_q")).as("d2q"))
+      .groupBy(col("label"))
+      // d2q < 2^53 round-trips the double score exactly; topk keeps
+      // (score desc, id asc) = (farthest first, vec_id tie-break)
+      .agg(graft.functions.TopKAgg.topk(s,
+        col("d2q").cast("double"), col("vec_id"), 3).as("tk"))
+      .select(col("label"), posexplode(col("tk")).as(Seq("r", "e")))
+      .select(col("label"), (col("r") + 1).cast("int").as("rank"),
+        col("e.vec_id").as("vec_id"),
+        r6(col("e.score") / lit(1.0e9)).as("dist2"))
+      .orderBy("label", "rank")
+  }
+
+  /** The DuckDB oracle for `embed_outliers`: grid centroids, the
+    * quantized residual fold, and the integer ranking replayed from
+    * raw parquet (dim constant shared with the Spark side).
+    */
+  private[graft] def embedOutliersOracleSql: String =
+    s"""WITH t AS (SELECT vec_id, label, p.pos - 1 AS dim,
+                CAST(embedding[p.pos] AS DOUBLE) AS vd,
+                CAST(floor(CAST(embedding[p.pos] AS DOUBLE) * 1048576.0
+                    + 0.5) AS BIGINT) AS q
+              FROM embeddings
+              CROSS JOIN (SELECT unnest(range(1, ${embDim + 1})) AS pos) p),
+         c AS (SELECT label, dim,
+                CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1048576.0) AS m
+               FROM t GROUP BY 1, 2),
+         terms AS (SELECT t.vec_id, t.label,
+                CAST(floor((vd - m) * (vd - m) * 1000000000.0 + 0.5)
+                  AS BIGINT) AS term_q
+              FROM t JOIN c ON c.label = t.label AND c.dim = t.dim),
+         d2 AS (SELECT label, vec_id, CAST(SUM(term_q) AS BIGINT) AS d2q
+                FROM terms GROUP BY 1, 2),
+         rk AS (SELECT label, vec_id, d2q,
+                CAST(ROW_NUMBER() OVER (PARTITION BY label
+                  ORDER BY d2q DESC, vec_id ASC) AS INTEGER) AS rank
+                FROM d2)
+         SELECT label, rank, vec_id,
+                floor((CAST(d2q AS DOUBLE) / 1000000000.0) * 1000000 + 0.5)
+                  / 1000000 AS dist2
+         FROM rk WHERE rank <= 3 ORDER BY label, rank"""
+
   /** `cluster_top_terms` — the 5 most DISTINCTIVE tokens per
     * embedding-cluster label, scored by label-tf / corpus-df: the
     * "what is this cluster about" readout every semantic-clustering

@@ -650,4 +650,108 @@ class FeatureOpsSpec extends AnyFunSuite {
     }.toSeq.sortBy { case (t, sc) => (-sc, t) }.take(label0.length)
     assert(label0.sortBy(_._2).map(t => (t._3, t._6)).toSeq == best.toSeq)
   }
+
+  test("token_surprisal == driver-side recomputation with the same quantization") {
+    val s = spark
+    val got = LlmTextOps.tokenSurprisal(s, TestSpark.sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val docs = Tables.documents(s, TestSpark.sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val nDocs = docs.length.toLong
+    val dfm = docs.flatMap { case (id, ts) => ts.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (t, xs) => t -> xs.length.toLong }
+    assert(got.size == docs.length)
+    docs.foreach { case (id, toks) =>
+      val sumQ = toks.map { t =>
+        val p = math.floor(dfm(t).toDouble / nDocs * 1e6 + 0.5) / 1e6
+        math.floor(-math.log(p) * 1e6 + 0.5).toLong
+      }.sum
+      val mean = math.floor(
+        sumQ.toDouble / (toks.length * 1e6) * 1e6 + 0.5) / 1e6
+      val (n, m) = got(id)
+      assert(n == toks.length.toLong && m == mean, s"doc $id")
+    }
+    // every-token-everywhere doc scores 0-ish only if all tokens are
+    // corpus-wide; sanity: all surprisals are non-negative
+    got.values.foreach { case (_, m) => assert(m >= 0.0) }
+  }
+
+  test("embed_outliers == driver-side recomputation; distances descend per label") {
+    val s = spark
+    val got = LlmVectorOps.embedOutliers(s, TestSpark.sf0001).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val embs = Tables.embeddings(s, TestSpark.sf0001)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val grid = (1L << 20).toDouble
+    val byLabel = embs.groupBy(_._2)
+    val expected = byLabel.toSeq.flatMap { case (label, vs) =>
+      val dim = vs.head._3.length
+      val cent = (0 until dim).map { d =>
+        val qs = vs.map(v => math.floor(v._3(d) * grid + 0.5).toLong)
+        qs.sum.toDouble / (qs.length * grid)
+      }.toArray
+      vs.map { case (id, _, v) =>
+        val d2q = (0 until dim).map { d =>
+          val r = v(d) - cent(d)
+          math.floor(r * r * 1e9 + 0.5).toLong
+        }.sum
+        (label, id, d2q)
+      }.sortBy(t => (-t._3, t._2)).take(3).zipWithIndex.map {
+        case ((l, id, d2q), i) =>
+          (l, i + 1, id, math.floor(d2q.toDouble / 1e9 * 1e6 + 0.5) / 1e6)
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq.sortBy(t => (t._1, t._2)) == expected)
+    // ranks strictly descend in distance within a label (ties by id)
+    got.groupBy(_._1).values.foreach { rs =>
+      rs.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(a._4 >= b._4)
+        case _ =>
+      }
+    }
+  }
+
+  test("freq_cms: estimates are one-sided and match a driver-side sketch replay") {
+    val s = spark
+    val got = LlmTextOps.freqCms(s, TestSpark.sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 10)
+    // CMS never undercounts
+    got.foreach { case (t, exact, est, over) =>
+      assert(est >= exact, s"token $t undercounted")
+      assert(over == est - exact)
+    }
+    // replay the sketch on the driver with the same hash chain
+    val p = 1000000007L
+    val as = Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
+    val bs = Seq(1L, 7L, 31L, 127L)
+    def th(t: String): Long =
+      (if (t.isEmpty) 0L
+       else t.codePointAt(0).toLong * 17161L +
+         t.codePointBefore(t.length).toLong * 131L +
+         t.codePointCount(0, t.length).toLong) % p
+    val toks = Tables.documents(s, TestSpark.sf0001)
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ", -1))
+    val cells = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    toks.foreach { t =>
+      val h = th(t)
+      as.indices.foreach { r =>
+        val c = ((h * as(r) + bs(r)) % p) % 1024
+        cells((r, c)) = cells.getOrElse((r, c), 0L) + 1
+      }
+    }
+    val truth = toks.groupBy(identity)
+      .map { case (t, xs) => t -> xs.length.toLong }
+    val top = truth.toSeq.sortBy { case (t, n) => (-n, t) }.take(10)
+    val want = top.map { case (t, n) =>
+      val h = th(t)
+      val est = as.indices.map(r => cells((r, ((h * as(r) + bs(r)) % p) % 1024))).min
+      (t, n, est, est - n)
+    }
+    assert(got.toSeq == want)
+  }
 }
