@@ -150,6 +150,7 @@ object SparkEntry {
     "importance_weights"  -> (LlmTextOps.importanceWeights _),
     "pack_sequences"      -> (LlmTextOps.packSequences _),
     "decontaminate"       -> (LlmTextOps.decontaminate _),
+    "decontaminate_fuzzy" -> (LlmTextOps.decontaminateFuzzy _),
     "repetition_stats"    -> (LlmTextOps.repetitionStats _),
     "chunk_documents"     -> (LlmTextOps.chunkDocuments _),
     "dedup_chunks"        -> (LlmTextOps.dedupChunks _),
@@ -2380,6 +2381,7 @@ object SparkEntry {
                   / 1000000 AS mean_surprisal
          FROM terms GROUP BY doc_id ORDER BY doc_id""",
     "freq_cms" -> LlmTextOps.freqCmsOracleSql,
+    "decontaminate_fuzzy" -> LlmTextOps.decontaminateFuzzyOracleSql,
     "dedup_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                     FROM documents),

@@ -759,7 +759,22 @@ object LlmTextOps {
     * per CANDIDATE only — the verify-candidates pattern every
     * production MinHash pipeline runs, costed by candidate count.
     */
-  def minhashCalibration(s: SparkSession, d: String): DataFrame = {
+  def minhashCalibration(s: SparkSession, d: String): DataFrame =
+    portableCandidatesExact(s, d)
+      .select(col("i"), col("j"), col("est_jaccard"), col("jaccard"),
+        r6(abs(col("est_jaccard") - col("jaccard"))).as("est_err"))
+      .orderBy("i", "j")
+
+  /** Every banded-LSH candidate pair scored by BOTH the 16-perm
+    * estimate and the exact Jaccard over the same distinct
+    * shingle-hash sets — the shared core of [[minhashCalibration]]
+    * (which adds the error column) and [[decontaminateFuzzy]] (which
+    * filters to cross-benchmark pairs). The exact re-score joins the
+    * two shingle arrays per CANDIDATE only — verify-candidates, the
+    * production MinHash shape, costed by candidate count.
+    */
+  private[graft] def portableCandidatesExact(s: SparkSession,
+      d: String): DataFrame = {
     val sh = Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))
       .where(size(col("toks")) >= 3)
@@ -775,9 +790,7 @@ object LlmTextOps {
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard", r6(col("inter").cast("double")
         / (size(col("sa")) + size(col("sb")) - col("inter"))))
-      .select(col("i"), col("j"), col("est_jaccard"), col("jaccard"),
-        r6(abs(col("est_jaccard") - col("jaccard"))).as("est_err"))
-      .orderBy("i", "j")
+      .select(col("i"), col("j"), col("est_jaccard"), col("jaccard"))
   }
 
   /** The LSH band join + verification over an externally supplied
@@ -1797,6 +1810,112 @@ object LlmTextOps {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared_grams"))
       .orderBy("doc_id")
+  }
+
+  /** `decontaminate_fuzzy` — NEAR-match benchmark contamination (the
+    * fuzzy half of the eval-leakage gate): a paraphrased or
+    * lightly-edited benchmark item shares no exact 8-token shingle
+    * with its source, so [[decontaminate]] misses it — but its
+    * 3-shingle Jaccard against the benchmark doc stays high. This is
+    * the MinHash decontamination pass the open-data pipelines run
+    * beside the exact-gram one (Dolma and FineWeb both ship exactly
+    * this pair of gates). Candidates come from the banded
+    * portable-MinHash buckets ([[portableMinhashScored]]), are
+    * confirmed by exact Jaccard ≥ 0.5 over the same portable
+    * shingle-hash sets, and only corpus↔benchmark pairs count —
+    * corpus-internal near-dups are [[dedupNear]]'s business. Reports,
+    * per contaminated corpus doc: how many benchmark docs it matches
+    * and the best match (highest Jaccard, smallest bench_id on ties).
+    *
+    * Fully portable arithmetic end to end (the
+    * `dedup_minhash_portable` posture), so the fuzzy gate itself
+    * hash-gates cross-engine. Scale shape: the candidate join is the
+    * banded-LSH bucket join (never corpus×benchmark), the exact
+    * re-score touches candidates only, and the per-doc best rides the
+    * bounded `graft_topk` aggregate. At 100 TB the benchmark side is
+    * MBs, so nearly every band bucket is corpus-only and prunes
+    * before the pair stage.
+    */
+  def decontaminateFuzzy(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    def isB(c: Column): Column = c.isin(benchmarkSources: _*)
+    portableCandidatesExact(s, d)
+      .join(src.select(col("doc_id").as("i"), col("source").as("src_i")),
+        Seq("i"))
+      .join(src.select(col("doc_id").as("j"), col("source").as("src_j")),
+        Seq("j"))
+      .where(isB(col("src_i")) =!= isB(col("src_j")))
+      .where(col("jaccard") >= 0.5)
+      .select(
+        when(isB(col("src_i")), col("j")).otherwise(col("i")).as("doc_id"),
+        when(isB(col("src_i")), col("i")).otherwise(col("j")).as("bench_id"),
+        col("jaccard"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bench_matches"),
+        graft.functions.TopKAgg.topk(s,
+          col("jaccard"), col("bench_id"), 1).as("tk"))
+      .select(col("doc_id"), col("n_bench_matches"),
+        col("tk").getItem(0).getField("vec_id").as("bench_id"),
+        col("tk").getItem(0).getField("score").as("jaccard"))
+      .orderBy("doc_id")
+  }
+
+  /** The DuckDB oracle for `decontaminate_fuzzy`: the full portable
+    * MinHash pipeline (signatures, band keys, candidate join, exact
+    * Jaccard) replayed from raw text, then the cross-benchmark
+    * filter and per-doc best-match fold. Benchmark sources and the
+    * 0.5 cut are shared with the Spark side via this generator.
+    */
+  private[graft] def decontaminateFuzzyOracleSql: String = {
+    val bset = benchmarkSources.map(x => s"'$x'").mkString(", ")
+    s"""WITH docs AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           WHERE len(string_split(text, ' ')) >= 3),
+         th AS (SELECT doc_id,
+                  [CAST(ascii(t) AS BIGINT) * 17161
+                   + CAST(ascii(reverse(t)) AS BIGINT) * 131
+                   + length(t) for t in toks] AS th FROM docs),
+         shs AS (SELECT doc_id, list_distinct(
+                  [(th[i] * 131 + th[i + 1]) * 131 + th[i + 2]
+                   for i in range(1, len(th) - 1)]) AS shs FROM th),
+         sigs AS (SELECT doc_id,
+                  [list_aggregate([((2 * m + 3) * h + 7 * m + 1) % 1000000000037
+                                   for h in shs], 'min')
+                   for m in range(0, 16)] AS sig FROM shs),
+         banded AS (SELECT doc_id, b,
+                  list_reduce(list_prepend(0::BIGINT,
+                      [sig[b * 4 + r] for r in range(1, 5)]),
+                    (acc, v) -> (acc * 131 + v) % 1000000000000037) AS bk
+                  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t),
+         cand AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+                  FROM banded x JOIN banded y
+                    ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id),
+         ex AS (SELECT c.i, c.j,
+                  len(list_filter(sa.shs, x -> list_contains(sb.shs, x)))
+                    AS inter,
+                  len(sa.shs) AS na, len(sb.shs) AS nb
+                FROM cand c JOIN shs sa ON sa.doc_id = c.i
+                            JOIN shs sb ON sb.doc_id = c.j),
+         jc AS (SELECT i, j,
+                  floor((inter / (na + nb - inter)) * 1000000 + 0.5)
+                    / 1000000 AS jaccard
+                FROM ex),
+         lab AS (SELECT doc_id, source IN ($bset) AS isb FROM documents),
+         cj AS (SELECT CASE WHEN li.isb THEN p.j ELSE p.i END AS doc_id,
+                  CASE WHEN li.isb THEN p.i ELSE p.j END AS bench_id,
+                  p.jaccard
+                FROM jc p JOIN lab li ON li.doc_id = p.i
+                          JOIN lab lj ON lj.doc_id = p.j
+                WHERE li.isb <> lj.isb AND p.jaccard >= 0.5),
+         n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bench_matches
+               FROM cj GROUP BY 1),
+         rk AS (SELECT doc_id, bench_id, jaccard,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY jaccard DESC, bench_id ASC) AS r FROM cj)
+         SELECT n.doc_id AS doc_id, n.n_bench_matches, rk.bench_id,
+                rk.jaccard
+         FROM n JOIN rk ON rk.doc_id = n.doc_id AND rk.r = 1
+         ORDER BY n.doc_id"""
   }
 
   /** `repetition_stats` — Gopher-style repetition quality metrics per

@@ -199,4 +199,37 @@ class DedupPropertiesSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(relabeled == original)
   }
+
+  test("decontaminate_fuzzy: sides are correct and scores agree with the calibration slice") {
+    val s = spark
+    val bench = Set("src0", "src1", "src2", "src3")
+    val srcOf = graft.engine.Tables.documents(s, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = LlmTextOps.decontaminateFuzzy(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty, "fixture should contain fuzzy contamination")
+    // every flagged doc is corpus-side, every best match benchmark-side
+    got.foreach { case (docId, _, benchId, j) =>
+      assert(!bench.contains(srcOf(docId)), s"doc $docId is benchmark-side")
+      assert(bench.contains(srcOf(benchId)), s"bench $benchId is corpus-side")
+      assert(j >= 0.5)
+    }
+    // the reported best-match jaccard is exactly the calibration
+    // slice's exact jaccard for that candidate pair
+    val cal = LlmTextOps.minhashCalibration(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    got.foreach { case (docId, _, benchId, j) =>
+      val key = if (docId < benchId) (docId, benchId) else (benchId, docId)
+      assert(cal(key) == j, s"pair $key")
+    }
+    // n_bench_matches counts exactly the >= 0.5 cross-side candidates
+    val crossCount = cal.toSeq.map { case ((i, jj), jac) =>
+      val bi = bench.contains(srcOf(i)); val bj = bench.contains(srcOf(jj))
+      if (bi != bj && jac >= 0.5) Some(if (bi) jj else i) else None
+    }.flatten.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    got.foreach { case (docId, n, _, _) =>
+      assert(crossCount(docId) == n, s"doc $docId match count")
+    }
+  }
 }
