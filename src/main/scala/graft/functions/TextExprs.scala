@@ -343,6 +343,16 @@ object PortableTokenHash {
     TextExprs.register(s)
     call_function("graft_token_hash_portable", tokens)
   }
+
+  /** The same per-token hash for a driver-side literal — probe
+    * tokens baked into streaming plans (S17) and test replays share
+    * one formula with the compiled kernel. */
+  def computeOne(t: String): Long =
+    if (t.isEmpty) 0L
+    else
+      t.codePointAt(0).toLong * 17161L +
+        t.codePointBefore(t.length).toLong * 131L +
+        t.codePointCount(0, t.length).toLong
 }
 
 /** All C(k,2) ordered ID pairs of an UNSORTED id array, packed into

@@ -2350,9 +2350,11 @@ object LlmTextOps {
     * the portable token hash, mod-P then mod-width. The multipliers
     * are the xxhash32 primes already used as decorrelated hash
     * streams elsewhere in the engine. */
-  private val cmsHashA = Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
-  private val cmsHashB = Seq(1L, 7L, 31L, 127L)
-  private val cmsWidth = 1024
+  private[graft] val cmsHashA =
+    Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
+  private[graft] val cmsHashB = Seq(1L, 7L, 31L, 127L)
+  private[graft] val cmsWidth = 1024
+  private[graft] val cmsMod = 1000000007L
 
   /** `freq_cms` — Count-Min sketch frequency estimation (Cormode &
     * Muthukrishnan 2005) over token occurrences: the third sketch
@@ -2382,7 +2384,7 @@ object LlmTextOps {
     * deployment keeps the sketch and drops the truth pass.
     */
   def freqCms(s: SparkSession, d: String): DataFrame = {
-    val p = 1000000007L
+    val p = cmsMod
     val toks = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("token"))
       .withColumn("th",

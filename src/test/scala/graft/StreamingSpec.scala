@@ -794,6 +794,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("S17 streaming_cms: probe estimates emit at close, one-sided, batch-recipe-exact") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingFreq
+    val probes = Seq("alpha", "beta", "missing")
+    val in = MemoryStream[StreamingSpec.Doc]
+    val q = StreamingFreq.cmsStream(spark, in.toDF(), probes)
+      .writeStream.format("memory").queryName("s17_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        StreamingSpec.Doc(ts("2024-01-01 10:00:05"), 1L,
+          "alpha beta alpha gamma delta"),
+        StreamingSpec.Doc(ts("2024-01-01 10:20:00"), 2L,
+          "beta beta epsilon alpha zeta"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM s17_out").count() == 0,
+        "window still open")
+      in.addData(StreamingSpec.Doc(ts("2024-01-01 13:00:00"), 3L, "x y"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT token, exact_n, est_n, overcount FROM s17_out").collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(rows.keySet == probes.toSet)
+      assert(rows("alpha")._1 == 3L && rows("beta")._1 == 3L
+        && rows("missing")._1 == 0L)
+      // CMS never undercounts, overcount is the difference
+      rows.values.foreach { case (exact, est, over) =>
+        assert(est >= exact && over == est - exact)
+      }
+      // bit-exact vs the batch CMS recipe over the closed window
+      val toks = Seq("alpha", "beta", "alpha", "gamma", "delta",
+        "beta", "beta", "epsilon", "alpha", "zeta")
+      val p = 1000000007L
+      val as = Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
+      val bs = Seq(1L, 7L, 31L, 127L)
+      def th(t: String): Long =
+        graft.functions.PortableTokenHash.computeOne(t) % p
+      val cells = scala.collection.mutable.Map.empty[(Int, Long), Long]
+      toks.foreach { t =>
+        as.indices.foreach { r =>
+          val c = ((th(t) * as(r) + bs(r)) % p) % 1024
+          cells((r, c)) = cells.getOrElse((r, c), 0L) + 1
+        }
+      }
+      probes.foreach { t =>
+        val want = as.indices
+          .map(r => cells.getOrElse((r, ((th(t) * as(r) + bs(r)) % p) % 1024), 0L))
+          .min
+        assert(rows(t)._2 == want, s"probe $t estimate")
+      }
+    } finally q.stop()
+  }
+
   test("S10 streaming_anomalies: 3σ tick flagged immediately, flat symbols never flag") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
