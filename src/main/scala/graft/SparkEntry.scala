@@ -92,6 +92,9 @@ object SparkEntry {
     "interarrival_stats"       -> (AnalyticOps.interarrivalStats _),
     "basket_pairs"             -> (RelationalOps.basketPairs _),
     "max_drawdown"             -> (AnalyticOps.maxDrawdown _),
+    "rsi_indicator"            -> (AnalyticOps.rsiIndicator _),
+    "ab_test_z"                -> (AnalyticOps.abTestZ _),
+    "gini_concentration"       -> (LlmTextOps.giniConcentration _),
     "embed_norm_stats"         -> (LlmVectorOps.embedNormStats _),
     "activity_heatmap"         -> (AnalyticOps.activityHeatmap _),
     "dsir_sample"              -> (LlmTextOps.dsirSample _),
@@ -2036,6 +2039,89 @@ object SparkEntry {
          SELECT symbol, COUNT(*) AS n_ticks, MAX(peak) AS peak_price,
                 MIN(price) AS low_price, MAX(d) AS max_drawdown
          FROM dd GROUP BY symbol ORDER BY symbol""",
+    // trailing-14 RSI: moves quantized to the 6-dp grid as integers
+    // BEFORE the frame sums (order-free), one fenced division
+    "rsi_indicator" ->
+      """WITH t AS (SELECT event_id, epoch_us(ts) AS us,
+                event_type AS symbol, CAST(value AS DOUBLE) AS price
+              FROM events),
+         d AS (SELECT *, CAST(floor((price - lag(price) OVER w)
+                     * 1000000.0 + 0.5) AS BIGINT) AS dq,
+                 row_number() OVER w AS rn
+               FROM t WINDOW w AS (PARTITION BY symbol
+                 ORDER BY us ASC, event_id ASC)),
+         f AS (SELECT symbol, event_id, us, price, rn,
+                 CAST(SUM(CASE WHEN dq > 0 THEN dq ELSE 0 END)
+                   OVER fr AS BIGINT) AS gains,
+                 CAST(SUM(CASE WHEN dq < 0 THEN -dq ELSE 0 END)
+                   OVER fr AS BIGINT) AS losses
+               FROM d WINDOW fr AS (PARTITION BY symbol
+                 ORDER BY us ASC, event_id ASC
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+         g AS (SELECT *, row_number() OVER (PARTITION BY symbol
+                 ORDER BY us DESC, event_id DESC) AS rdesc
+               FROM f WHERE rn >= 15)
+         SELECT symbol, event_id, price, gains, losses,
+                floor(100.0 * CAST(gains AS DOUBLE)
+                  / NULLIF(CAST(gains + losses AS DOUBLE), 0.0)
+                  * 1000000.0 + 0.5) / 1000000.0 AS rsi14
+         FROM g WHERE rdesc <= 20 ORDER BY symbol, event_id""",
+    // two-proportion z-test: integer counts, one written IEEE op
+    // sequence (correctly-rounded divisions + sqrt), 6-dp fence
+    "ab_test_z" ->
+      """WITH per AS (SELECT user_id,
+                CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                    THEN 1 ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS conv
+              FROM events GROUP BY user_id),
+         armed AS (SELECT ((user_id % 1000000007) * 3432918353
+                     % 1000000007) % 2 AS arm, conv
+                   FROM per),
+         a AS (SELECT
+                 CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_a,
+                 CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_b,
+                 CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END)
+                   AS BIGINT) AS conv_a,
+                 CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END)
+                   AS BIGINT) AS conv_b
+               FROM armed)
+         SELECT n_a, n_b, conv_a, conv_b,
+                floor(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                  * 1000000.0 + 0.5) / 1000000.0 AS rate_a,
+                floor(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                  * 1000000.0 + 0.5) / 1000000.0 AS rate_b,
+                floor((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                    - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                  / NULLIF(sqrt((CAST(conv_a + conv_b AS DOUBLE)
+                      / CAST(n_a + n_b AS DOUBLE))
+                    * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                      / CAST(n_a + n_b AS DOUBLE))
+                    * (1.0 / CAST(n_a AS DOUBLE)
+                      + 1.0 / CAST(n_b AS DOUBLE))), 0.0)
+                  * 1000000.0 + 0.5) / 1000000.0 AS z_score
+         FROM a""",
+    // per-source token-frequency Gini: pure-integer numerator and
+    // denominator over ascending (count, token) ranks, one division
+    "gini_concentration" ->
+      """WITH t AS (SELECT source,
+                unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+         f AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+               FROM t WHERE len(tok) > 0 GROUP BY 1, 2),
+         r AS (SELECT *, row_number() OVER (PARTITION BY source
+                 ORDER BY c ASC, tok ASC) AS rn
+               FROM f),
+         a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types,
+                 CAST(SUM(c) AS BIGINT) AS total_tokens,
+                 CAST(SUM(rn * c) AS BIGINT) AS wsum
+               FROM r GROUP BY 1)
+         SELECT source, n_types, total_tokens,
+                floor(CAST(2 * wsum - (n_types + 1) * total_tokens
+                    AS DOUBLE)
+                  / CAST(n_types * total_tokens AS DOUBLE)
+                  * 1000000.0 + 0.5) / 1000000.0 AS gini
+         FROM a ORDER BY source""",
     // per-label embedding norm band: ascending exact dot, norms
     // fenced to the grid BEFORE the exact decimal mean
     "embed_norm_stats" ->

@@ -22,7 +22,14 @@ object Verify {
       if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRec))
       f.delete(); ()
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev knob (mirrors Bench): SPARK_GRAFT_QUERIES comma-list limits
+    // the dump for fast local oracle iteration; the driver sets no env
+    // and always gets the full sweep
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // drop any previous dump FIRST: write-on-success alone would let
       // a failing query leave the prior run's parquet behind and turn
       // the oracle compare into a vacuous pass on stale data

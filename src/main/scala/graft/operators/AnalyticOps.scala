@@ -1254,4 +1254,101 @@ object AnalyticOps {
         max(col("dd")).as("max_drawdown"))
       .orderBy("symbol")
   }
+
+  /** `rsi_indicator` — trailing-14 Relative Strength Index per
+    * symbol (Wilder '78, SMA form): RSI = 100·G/(G+L) where G/L are
+    * the summed gains/losses over the last 14 tick-to-tick moves.
+    * The momentum oscillator every price feed consumer computes —
+    * the natural companion to [[maxDrawdown]] and `value_bands` on
+    * the reference's OHLC stream.
+    *
+    * Portability: the Wilder-smoothed form is recursive (inherently
+    * sequential per key, like a general-α EWMA); the SMA form is a
+    * pure ROWS frame. Each move is an exact IEEE double difference,
+    * quantized to the 6-dp grid as an INTEGER before the frame sums —
+    * so G and L are order-free integer folds (a windowed sum may
+    * fold in segment-tree order in one engine and sequentially in
+    * the other; integers make the order irrelevant), and the only
+    * float op is the final fenced 100·G/(G+L) division. Output is
+    * the last 20 full-frame ticks per symbol (bounded at any scale).
+    *
+    * Scale shape: the [[lagFeatures]] plan — ONE shuffle+sort per
+    * symbol serves the lag, both frame sums, and both row_numbers.
+    */
+  def rsiIndicator(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("us").asc, col("event_id").asc)
+    val fr = w.rowsBetween(-13, 0)
+    val wd = Window.partitionBy("symbol")
+      .orderBy(col("us").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type").as("symbol"),
+        col("value").cast("double").as("price"))
+      .withColumn("dq",
+        floor((col("price") - lag(col("price"), 1).over(w))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("gains",
+        sum(when(col("dq") > 0, col("dq")).otherwise(lit(0L))).over(fr))
+      .withColumn("losses",
+        sum(when(col("dq") < 0, -col("dq")).otherwise(lit(0L))).over(fr))
+      .where(col("rn") >= 15)
+      .withColumn("rdesc", row_number().over(wd))
+      .where(col("rdesc") <= 20)
+      .select(col("symbol"), col("event_id"), col("price"),
+        col("gains"), col("losses"),
+        r6(lit(100.0) * col("gains").cast("double")
+          / nullif((col("gains") + col("losses")).cast("double"),
+            lit(0.0))).as("rsi14"))
+      .orderBy("symbol", "event_id")
+  }
+
+  /** `ab_test_z` — two-proportion z-test between hash-assigned
+    * experiment arms: per-user conversion (≥ 14 purchase events — a
+    * median split of this corpus's per-user purchase depth, chosen
+    * so both rates are interior; "≥ 1 purchase" is degenerate here,
+    * every user converts and the pooled variance collapses to 0), arms
+    * split by a decorrelated multiplicative hash of user_id
+    * (Murmur3 c1; append-stable like every sampler here — a user's
+    * arm never flips as events accrue, the property a real
+    * experiment assignment must have). The canonical experimentation
+    * readout beside the ML-monitoring rows (`psi_drift`,
+    * `score_auc`, `calibration_curve`).
+    *
+    * Portability: counts are integers; rates and the z statistic are
+    * ONE written IEEE op sequence over those integers (divisions and
+    * sqrt are correctly-rounded ops, so both engines produce the
+    * identical doubles), fenced on the 6-dp grid. Scale: one
+    * user-keyed aggregate + a single global fold to one row.
+    */
+  def abTestZ(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(when(sum(when(col("event_type") === "purchase", lit(1))
+        .otherwise(lit(0))) >= 14, lit(1)).otherwise(lit(0)).as("conv"))
+      .withColumn("arm",
+        ((col("user_id") % lit(1000000007L)) * lit(3432918353L)
+          % lit(1000000007L)) % lit(2))
+    val pooled = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    per.agg(
+      sum(when(col("arm") === 0, lit(1)).otherwise(lit(0))).as("n_a"),
+      sum(when(col("arm") === 1, lit(1)).otherwise(lit(0))).as("n_b"),
+      sum(when(col("arm") === 0, col("conv")).otherwise(lit(0)))
+        .as("conv_a"),
+      sum(when(col("arm") === 1, col("conv")).otherwise(lit(0)))
+        .as("conv_b"))
+      .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        r6(col("conv_a").cast("double") / col("n_a").cast("double"))
+          .as("rate_a"),
+        r6(col("conv_b").cast("double") / col("n_b").cast("double"))
+          .as("rate_b"),
+        r6((col("conv_a").cast("double") / col("n_a").cast("double")
+          - col("conv_b").cast("double") / col("n_b").cast("double"))
+          / nullif(sqrt(pooled * (lit(1.0) - pooled)
+            * (lit(1.0) / col("n_a").cast("double")
+              + lit(1.0) / col("n_b").cast("double"))), lit(0.0)))
+          .as("z_score"))
+  }
 }

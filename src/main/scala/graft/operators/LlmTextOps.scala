@@ -2447,4 +2447,44 @@ object LlmTextOps {
        FROM est ORDER BY exact_n DESC, token ASC"""
   }
 
+  /** `gini_concentration` — per-source Gini coefficient of the token
+    * frequency distribution: 0 = every type equally frequent, → 1 =
+    * mass concentrated on a few types. The corpus-balance scalar the
+    * heavy-tail diagnostics (`heavy_hitters_mg`, `freq_cms`) imply
+    * but never state — a crawl whose Gini jumps between snapshots
+    * changed its content mix (template flood or boilerplate
+    * takeover) even when volume and vocabulary look stable.
+    *
+    * Portability: with type counts c₁ ≤ … ≤ cₙ ranked ascending
+    * (ties broken by token text — plain-ASCII byte order, the one
+    * string collation both engines agree on),
+    * G = (2·Σ i·cᵢ − (n+1)·Σc) / (n·Σc) — numerator and denominator
+    * are pure integers, one fenced division at the end. Scale: one
+    * token-keyed aggregate (map-side combinable), one per-source
+    * rank window over VOCABULARY rows (types, not tokens — bounded),
+    * one tiny per-source fold.
+    */
+  def giniConcentration(s: SparkSession, d: String): DataFrame = {
+    val freq = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("c").asc, col("tok").asc)
+    freq
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("c")).as("total_tokens"),
+        sum(col("rn") * col("c")).as("wsum"))
+      .select(col("source"), col("n_types"), col("total_tokens"),
+        r6((lit(2) * col("wsum")
+          - (col("n_types") + lit(1)) * col("total_tokens"))
+          .cast("double")
+          / (col("n_types") * col("total_tokens")).cast("double"))
+          .as("gini"))
+      .orderBy("source")
+  }
+
 }

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Tables
+import graft.operators.{AnalyticOps, LlmTextOps}
+
+/** Round-7 fourth wave: market-indicator, experimentation, and
+  * concentration operators. Each test pins the distributed
+  * formulation against an independent driver-side recomputation,
+  * mirroring the DuckDB gate locally at sf0.001.
+  */
+class IndicatorOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def q6(x: Double): Double =
+    math.floor(x * 1e6 + 0.5) / 1e6
+
+  test("rsi_indicator == driver-side trailing-14 recomputation") {
+    val s = spark
+    val got = AnalyticOps.rsiIndicator(s, TestSpark.sf0001).collect()
+    val events = Tables.events(s, TestSpark.sf0001)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value").cast("double"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val expected = events.groupBy(_._3).toSeq.flatMap { case (sym, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._1))
+      val dq = sorted.indices.map { i =>
+        if (i == 0) None
+        else Some(math.floor((sorted(i)._4 - sorted(i - 1)._4) * 1e6
+          + 0.5).toLong)
+      }
+      val full = sorted.indices.filter(_ >= 14).map { i =>
+        val frame = (math.max(1, i - 13) to i).map(dq(_).get)
+        val g = frame.filter(_ > 0).sum
+        val l = frame.filter(_ < 0).map(-_).sum
+        (sorted(i)._1, sym, sorted(i)._4, g, l,
+          if (g + l == 0) None
+          else Some(q6(100.0 * g.toDouble / (g + l).toDouble)))
+      }
+      full.takeRight(20)
+    }.map(t => t._1 -> t).toMap
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val e = expected(r.getLong(1))
+      assert(r.getString(0) == e._2)
+      assert(r.getDouble(2) == e._3, "price")
+      assert(r.getLong(3) == e._4, "gains")
+      assert(r.getLong(4) == e._5, "losses")
+      assert(Option(r.get(5)).map(_.asInstanceOf[Double]) == e._6, "rsi14")
+    }
+  }
+
+  test("rsi_indicator frame is exactly 14 moves (pinned on a synthetic ramp)") {
+    val s = spark
+    import s.implicits._
+    // strictly increasing prices: every move is a gain => RSI 100
+    val n = 40
+    val dir = java.nio.file.Files.createTempDirectory("rsi").toString
+    (1 to n).map(i => (i.toLong,
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(i * 60L)),
+      1L, "ramp", i * 1.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = AnalyticOps.rsiIndicator(s, dir).collect()
+    assert(out.length == 20)
+    assert(out.forall(_.getDouble(5) == 100.0))
+    // each gain sum = 14 moves of +1.5 on the 6-dp integer grid
+    assert(out.forall(_.getLong(3) == 14L * 1500000L))
+    assert(out.forall(_.getLong(4) == 0L))
+  }
+
+  test("ab_test_z == driver-side two-proportion recomputation") {
+    val s = spark
+    val got = AnalyticOps.abTestZ(s, TestSpark.sf001).collect()
+    assert(got.length == 1)
+    val per = Tables.events(s, TestSpark.sf001)
+      .select(col("user_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1)
+      .map { case (u, evs) =>
+        (u, if (evs.count(_._2 == "purchase") >= 14) 1 else 0)
+      }
+    val arm = (u: Long) => ((u % 1000000007L) * 3432918353L % 1000000007L) % 2
+    val a = per.filter(kv => arm(kv._1) == 0)
+    val b = per.filter(kv => arm(kv._1) == 1)
+    val (na, nb) = (a.size.toLong, b.size.toLong)
+    val (xa, xb) = (a.values.sum.toLong, b.values.sum.toLong)
+    val r = got.head
+    assert(r.getLong(0) == na && r.getLong(1) == nb)
+    assert(r.getLong(2) == xa && r.getLong(3) == xb)
+    assert(r.getDouble(4) == q6(xa.toDouble / na.toDouble))
+    assert(r.getDouble(5) == q6(xb.toDouble / nb.toDouble))
+    val pp = (xa + xb).toDouble / (na + nb).toDouble
+    val z = (xa.toDouble / na.toDouble - xb.toDouble / nb.toDouble) /
+      math.sqrt(pp * (1.0 - pp) * (1.0 / na.toDouble + 1.0 / nb.toDouble))
+    assert(r.getDouble(6) == q6(z))
+    // both arms populated: the hash split actually splits
+    assert(na > 0 && nb > 0)
+  }
+
+  test("gini_concentration == driver-side recomputation; extremes behave") {
+    val s = spark
+    val got = LlmTextOps.giniConcentration(s, TestSpark.sf0001).collect()
+    val docs = Tables.documents(s, TestSpark.sf0001)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expected = docs.groupBy(_._1).map { case (src, ds) =>
+      val counts = ds.flatMap(_._2.split(" ", -1)).filter(_.nonEmpty)
+        .groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }
+      val sorted = counts.toSeq.sortBy { case (t, c) => (c, t) }
+      val n = sorted.length.toLong
+      val total = sorted.map(_._2).sum
+      val wsum = sorted.zipWithIndex.map { case ((_, c), i) =>
+        (i + 1) * c
+      }.sum
+      src -> (n, total,
+        q6((2 * wsum - (n + 1) * total).toDouble / (n * total).toDouble))
+    }
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val e = expected(r.getString(0))
+      assert(r.getLong(1) == e._1, "n_types")
+      assert(r.getLong(2) == e._2, "total_tokens")
+      assert(r.getDouble(3) == e._3, "gini")
+    }
+    // uniform counts => gini ~ 0; all have 0 <= gini < 1
+    got.foreach(r => assert(r.getDouble(3) >= -1e-6 && r.getDouble(3) < 1.0))
+  }
+}
