@@ -95,6 +95,9 @@ object SparkEntry {
     "rsi_indicator"            -> (AnalyticOps.rsiIndicator _),
     "ab_test_z"                -> (AnalyticOps.abTestZ _),
     "gini_concentration"       -> (LlmTextOps.giniConcentration _),
+    "zipf_slope"               -> (LlmTextOps.zipfSlope _),
+    "bootstrap_ci"             -> (AnalyticOps.bootstrapCi _),
+    "contrastive_pairs"        -> (LlmVectorOps.contrastivePairs _),
     "embed_norm_stats"         -> (LlmVectorOps.embedNormStats _),
     "activity_heatmap"         -> (AnalyticOps.activityHeatmap _),
     "dsir_sample"              -> (LlmTextOps.dsirSample _),
@@ -2122,6 +2125,111 @@ object SparkEntry {
                   / CAST(n_types * total_tokens AS DOUBLE)
                   * 1000000.0 + 0.5) / 1000000.0 AS gini
          FROM a ORDER BY source""",
+    // Zipf exponent: integer regressor inputs, ln outputs quantized
+    // to 1e-6-grid integers, five order-free sums, HUGEINT combine
+    // (mirrors Spark's DECIMAL(38,0)), one fenced division each
+    "zipf_slope" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+         f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+               FROM t WHERE len(tok) > 0 GROUP BY 1),
+         top AS (SELECT c, row_number() OVER
+                   (ORDER BY c DESC, tok ASC) AS rank
+                 FROM f ORDER BY c DESC, tok ASC LIMIT 500),
+         q AS (SELECT
+                 CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000.0 + 0.5)
+                   AS BIGINT) AS xq,
+                 CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5)
+                   AS BIGINT) AS yq
+               FROM top),
+         a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(xq) AS HUGEINT) AS sx,
+                 CAST(SUM(yq) AS HUGEINT) AS sy,
+                 CAST(SUM(xq * xq) AS HUGEINT) AS sxx,
+                 CAST(SUM(xq * yq) AS HUGEINT) AS sxy
+               FROM q)
+         SELECT n,
+                floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE)
+                  * 1000000.0 + 0.5) / 1000000.0 AS slope,
+                floor(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE)
+                  / 1000000.0
+                  * 1000000.0 + 0.5) / 1000000.0 AS intercept
+         FROM a""",
+    // subsample bootstrap: hash-predicate replicate membership,
+    // exact decimal replicate means, order-statistic interpolation
+    "bootstrap_ci" ->
+      """WITH p AS (SELECT event_id, CAST(value AS DECIMAL(18,6)) AS vd
+              FROM events WHERE event_type = 'purchase'),
+         reps AS (SELECT g.b, p.event_id, p.vd
+                  FROM p CROSS JOIN generate_series(0, 31) AS g(b)
+                  WHERE ((((event_id % 1000000007) * 31 + g.b)
+                      % 1000000007) * 1566083941
+                      % 1000000007) % 2 = 0),
+         m AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nb,
+                 CAST(SUM(vd) AS DECIMAL(28,6)) AS sb
+               FROM reps GROUP BY 1),
+         mm AS (SELECT b,
+                  floor(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)
+                    * 1000000.0 + 0.5) / 1000000.0 AS mb
+                FROM m),
+         r AS (SELECT mb, row_number() OVER
+                 (ORDER BY mb ASC, b ASC) AS rn
+               FROM mm),
+         st AS (SELECT
+                  MAX(CASE WHEN rn = 1 THEN mb END) AS m1,
+                  MAX(CASE WHEN rn = 2 THEN mb END) AS m2,
+                  MAX(CASE WHEN rn = 31 THEN mb END) AS m31,
+                  MAX(CASE WHEN rn = 32 THEN mb END) AS m32,
+                  CAST(COUNT(*) AS BIGINT) AS n_replicates
+                FROM r),
+         allp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
+                    CAST(SUM(vd) AS DECIMAL(28,6)) AS sv
+                  FROM p)
+         SELECT n_purchases, n_replicates,
+                floor(CAST(sv AS DOUBLE) / CAST(n_purchases AS DOUBLE)
+                  * 1000000.0 + 0.5) / 1000000.0 AS mean_value,
+                floor((m1 + 0.775 * (m2 - m1))
+                  * 1000000.0 + 0.5) / 1000000.0 AS ci_lo,
+                floor((m31 + 0.225 * (m32 - m31))
+                  * 1000000.0 + 0.5) / 1000000.0 AS ci_hi
+         FROM st CROSS JOIN allp""",
+    // triplet mining: same exact-cosine contract as similarity_topk,
+    // one top-1 per label class per anchor
+    "contrastive_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding, label,
+                sqrt(list_aggregate([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                     for x in embedding], 'sum')) AS norm
+              FROM embeddings),
+         anchors AS (SELECT vec_id AS anchor_id, embedding AS a_emb,
+                            norm AS a_norm, label AS a_label
+                     FROM e WHERE vec_id < 32),
+         pairs AS (
+           SELECT anchor_id, a_label, e.vec_id, e.label,
+                  floor((list_aggregate([CAST(a_emb[i] AS DOUBLE)
+                          * CAST(embedding[i] AS DOUBLE)
+                          for i in range(1, len(a_emb) + 1)], 'sum')
+                    / (a_norm * norm)) * 1000000 + 0.5) / 1000000
+                    AS score
+           FROM e, anchors WHERE e.vec_id <> anchor_id),
+         pos AS (SELECT anchor_id, a_label AS label, vec_id AS pos_id,
+                        score AS pos_sim
+                 FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                         ORDER BY score DESC, vec_id ASC) AS r
+                       FROM pairs WHERE label = a_label)
+                 WHERE r = 1),
+         neg AS (SELECT anchor_id, vec_id AS neg_id, score AS neg_sim
+                 FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                         ORDER BY score DESC, vec_id ASC) AS r
+                       FROM pairs WHERE label <> a_label)
+                 WHERE r = 1)
+         SELECT p.anchor_id, p.label, p.pos_id, p.pos_sim,
+                n.neg_id, n.neg_sim,
+                floor((p.pos_sim - n.neg_sim) * 1000000.0 + 0.5)
+                  / 1000000.0 AS margin
+         FROM pos p JOIN neg n USING (anchor_id)
+         ORDER BY p.anchor_id""",
     // per-label embedding norm band: ascending exact dot, norms
     // fenced to the grid BEFORE the exact decimal mean
     "embed_norm_stats" ->

@@ -1304,6 +1304,70 @@ object AnalyticOps {
       .orderBy("symbol", "event_id")
   }
 
+  /** `bootstrap_ci` — deterministic subsample bootstrap of the mean
+    * purchase value: 32 half-rate replicates drawn by a decorrelated
+    * per-(row, replicate) hash predicate, a 95% CI from the sorted
+    * replicate means by linear order-statistic interpolation. The
+    * error-bar companion to [[valueStats]]' point estimates — and
+    * the bootstrap a DISTRIBUTED engine can actually run: classic
+    * with-replacement resampling needs per-row RNG multiplicities
+    * (irreproducible across engines and re-runs), while the
+    * hash-predicate subsample is a pure row-local membership test —
+    * append-stable, shuffle-free at draw time, identical on any
+    * engine.
+    *
+    * Portability: replicate membership is modular-integer arithmetic
+    * (replicate index folded into the hash input, so the 32 draws
+    * decorrelate); each replicate mean is an exact DECIMAL sum over
+    * one fenced division; the CI interpolates between r6-fenced
+    * order statistics (ranks 1,2 and 31,32 for p2.5/p97.5 over B=32,
+    * ties broken by replicate id) with one written op sequence.
+    * Scale: the explode is a map-side ×32 row multiply feeding ONE
+    * map-side-combinable aggregate to 32 partials — no extra
+    * shuffle, no RNG state, no driver loop.
+    */
+  def bootstrapCi(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val p = Tables.events(s, d)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"),
+        col("value").cast(DecimalType(18, 6)).as("vd"))
+    val reps = p
+      .select(col("event_id"), col("vd"),
+        explode(sequence(lit(0), lit(31))).as("b"))
+      .where(
+        ((((col("event_id") % lit(1000000007L)) * lit(31) + col("b"))
+          % lit(1000000007L)) * lit(1566083941L)
+          % lit(1000000007L)) % lit(2) === 0)
+    val means = reps.groupBy(col("b"))
+      .agg(count(lit(1)).as("nb"),
+        sum(col("vd")).cast(DecimalType(28, 6)).as("sb"))
+      .select(col("b"),
+        r6(col("sb").cast("double") / col("nb").cast("double"))
+          .as("mb"))
+    val w = Window.orderBy(col("mb").asc, col("b").asc)
+    val stats = means
+      .withColumn("rn", row_number().over(w))
+      .agg(
+        max(when(col("rn") === 1, col("mb"))).as("m1"),
+        max(when(col("rn") === 2, col("mb"))).as("m2"),
+        max(when(col("rn") === 31, col("mb"))).as("m31"),
+        max(when(col("rn") === 32, col("mb"))).as("m32"),
+        count(lit(1)).as("n_replicates"))
+    val full = p.agg(count(lit(1)).as("n_purchases"),
+      sum(col("vd")).cast(DecimalType(28, 6)).as("sv"))
+    // p2.5 rank over B=32 (0-based): 0.025·31 = 0.775 between order
+    // stats 1 and 2; p97.5: 30.225 between 31 and 32
+    stats.crossJoin(full)
+      .select(col("n_purchases"), col("n_replicates"),
+        r6(col("sv").cast("double") / col("n_purchases").cast("double"))
+          .as("mean_value"),
+        r6(col("m1") + lit(0.775) * (col("m2") - col("m1")))
+          .as("ci_lo"),
+        r6(col("m31") + lit(0.225) * (col("m32") - col("m31")))
+          .as("ci_hi"))
+  }
+
   /** `ab_test_z` — two-proportion z-test between hash-assigned
     * experiment arms: per-user conversion (≥ 14 purchase events — a
     * median split of this corpus's per-user purchase depth, chosen

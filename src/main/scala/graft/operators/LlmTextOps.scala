@@ -2447,6 +2447,63 @@ object LlmTextOps {
        FROM est ORDER BY exact_n DESC, token ASC"""
   }
 
+  /** `zipf_slope` — OLS fit of ln(frequency) on ln(rank) over the
+    * top-500 corpus tokens: the Zipf exponent (slope ≈ −1 for
+    * natural language; a corpus drifting toward 0 is losing its
+    * long tail — template/boilerplate flood — while a steepening
+    * slope means a few tokens are eating the distribution). The
+    * scalar summary of the rank-frequency curve the concentration
+    * diagnostics ([[giniConcentration]], `heavy_hitters_mg`) view
+    * pointwise.
+    *
+    * Portability: the ln posture of `psi_drift`/`token_surprisal` —
+    * both regressors take EXACT integer inputs (rank i, count cᵢ),
+    * the ln outputs are quantized to the 1e-6 grid as integers, and
+    * all five OLS sums are order-free integer folds; the closed-form
+    * slope/intercept numerators and denominators combine those sums
+    * in DECIMAL (n·Sxy overflows a long at this grid), with one
+    * fenced double division each. Scale: token-keyed aggregate →
+    * TakeOrderedAndProject top-500 (per-partition heads + one
+    * driver-side merge of 500-row heads, never a global sort) → a
+    * 500-row rank window → one scalar fold.
+    */
+  def zipfSlope(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val top = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc)
+      .limit(500)
+    val w = Window.orderBy(col("c").desc, col("tok").asc)
+    val q = top
+      .withColumn("rank", row_number().over(w))
+      .select(
+        floor(log(col("rank").cast("double")) * lit(1000000.0)
+          + lit(0.5)).cast("long").as("xq"),
+        floor(log(col("c").cast("double")) * lit(1000000.0)
+          + lit(0.5)).cast("long").as("yq"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+    q.agg(count(lit(1)).as("n"),
+      sum(col("xq")).as("sx"), sum(col("yq")).as("sy"),
+      sum(col("xq") * col("xq")).as("sxx"),
+      sum(col("xq") * col("yq")).as("sxy"))
+      .select(col("n"),
+        r6((dec(col("n")) * dec(col("sxy"))
+          - dec(col("sx")) * dec(col("sy"))).cast("double")
+          / (dec(col("n")) * dec(col("sxx"))
+            - dec(col("sx")) * dec(col("sx"))).cast("double"))
+          .as("slope"),
+        // slope is scale-free (x and y share the 1e6 grid); the
+        // intercept carries y's scale, so divide it back out
+        r6((dec(col("sy")) * dec(col("sxx"))
+          - dec(col("sx")) * dec(col("sxy"))).cast("double")
+          / (dec(col("n")) * dec(col("sxx"))
+            - dec(col("sx")) * dec(col("sx"))).cast("double")
+          / lit(1000000.0))
+          .as("intercept"))
+  }
+
   /** `gini_concentration` — per-source Gini coefficient of the token
     * frequency distribution: 0 = every type equally frequent, → 1 =
     * mass concentrated on a few types. The corpus-balance scalar the

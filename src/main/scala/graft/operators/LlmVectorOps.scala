@@ -105,6 +105,52 @@ object LlmVectorOps {
       .orderBy("probe_id")
   }
 
+  /** `contrastive_pairs` — (anchor, positive, hard negative) triplet
+    * mining over the embedding corpus: for each anchor (vec_id < 32),
+    * the positive is its exact-cosine nearest SAME-label neighbor and
+    * the negative its nearest DIFFERENT-label neighbor — the "hardest
+    * negative", the one an embedding model most needs to push away
+    * (Schroff et al. '15 semi-hard mining's deterministic batch-global
+    * form). This is the training-data GENERATION side of the
+    * embedding stack: `score_auc`/`calibration_curve` evaluate a
+    * space, this row manufactures the triplets that improve it. A
+    * margin ≤ 0 flags an anchor whose nearest impostor beats its
+    * nearest genuine — exactly the label-noise candidates
+    * `embed_outliers` ranks by a different statistic.
+    *
+    * Portability: the [[similarityTopk]] contract — r6-fenced exact
+    * cosine, (score desc, vec_id asc) total order, one top-1 per
+    * label class. Scale shape: broadcast anchors, ONE corpus scan
+    * scores both classes, per-anchor bounded rank; any ANN row swaps
+    * in for candidate generation with the mining tail unchanged.
+    */
+  def contrastivePairs(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
+    val anchors = e.where(col("vec_id") < 32)
+      .select(col("vec_id").as("anchor_id"),
+        col("embedding").as("a_emb"), col("norm").as("a_norm"),
+        col("label").as("a_label"))
+    val pairs = e.join(broadcast(anchors), col("vec_id") =!= col("anchor_id"))
+      .withColumn("score", r6(
+        VectorExprs.dot(s, col("a_emb"), col("embedding"))
+          / (col("a_norm") * col("norm"))))
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val pos = pairs.where(col("label") === col("a_label"))
+      .withColumn("r", row_number().over(w)).where(col("r") === 1)
+      .select(col("anchor_id"), col("a_label").as("label"),
+        col("vec_id").as("pos_id"), col("score").as("pos_sim"))
+    val neg = pairs.where(col("label") =!= col("a_label"))
+      .withColumn("r", row_number().over(w)).where(col("r") === 1)
+      .select(col("anchor_id"), col("vec_id").as("neg_id"),
+        col("score").as("neg_sim"))
+    pos.join(neg, Seq("anchor_id"))
+      .select(col("anchor_id"), col("label"),
+        col("pos_id"), col("pos_sim"), col("neg_id"), col("neg_sim"),
+        r6(col("pos_sim") - col("neg_sim")).as("margin"))
+      .orderBy("anchor_id")
+  }
+
   /** `rrf_fusion` — reciprocal-rank fusion (Cormack et al., SIGIR'09)
     * of a lexical and a semantic ranking: the hybrid-retrieval
     * primitive every RAG / decontamination-lookup stack runs. Leg 1

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.engine.Tables
-import graft.operators.{AnalyticOps, LlmTextOps}
+import graft.operators.{AnalyticOps, LlmTextOps, LlmVectorOps}
 
 /** Round-7 fourth wave: market-indicator, experimentation, and
   * concentration operators. Each test pins the distributed
@@ -129,5 +129,102 @@ class IndicatorOpsSpec extends AnyFunSuite {
     }
     // uniform counts => gini ~ 0; all have 0 <= gini < 1
     got.foreach(r => assert(r.getDouble(3) >= -1e-6 && r.getDouble(3) < 1.0))
+  }
+
+  test("zipf_slope == driver-side quantized OLS; slope is negative") {
+    val s = spark
+    val got = LlmTextOps.zipfSlope(s, TestSpark.sf001).collect()
+    assert(got.length == 1)
+    val counts = Tables.documents(s, TestSpark.sf001)
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ", -1)).filter(_.nonEmpty)
+      .groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }
+    val top = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(500)
+    val q = top.zipWithIndex.map { case ((_, c), i) =>
+      (math.floor(math.log((i + 1).toDouble) * 1e6 + 0.5).toLong,
+        math.floor(math.log(c.toDouble) * 1e6 + 0.5).toLong)
+    }
+    val n = BigInt(q.length)
+    val sx = BigInt(q.map(_._1).sum); val sy = BigInt(q.map(_._2).sum)
+    val sxx = q.map(p => BigInt(p._1) * BigInt(p._1)).sum
+    val sxy = q.map(p => BigInt(p._1) * BigInt(p._2)).sum
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    val icept = (sy * sxx - sx * sxy).toDouble / (n * sxx - sx * sx).toDouble / 1e6
+    val r = got.head
+    assert(r.getLong(0) == q.length.toLong)
+    assert(r.getDouble(1) == q6(slope), "slope")
+    assert(r.getDouble(2) == q6(icept), "intercept")
+    assert(r.getDouble(1) < 0.0, "rank-frequency slope must be negative")
+  }
+
+  test("bootstrap_ci == driver-side replicate recomputation; CI brackets the mean") {
+    val s = spark
+    val got = AnalyticOps.bootstrapCi(s, TestSpark.sf001).collect()
+    assert(got.length == 1)
+    val p = Tables.events(s, TestSpark.sf001)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"),
+        col("value").cast(org.apache.spark.sql.types.DataTypes
+          .createDecimalType(18, 6)))
+      .collect()
+      .map(r => (r.getLong(0), r.getDecimal(1)))
+    val means = (0 until 32).map { b =>
+      val sel = p.filter { case (id, _) =>
+        ((((id % 1000000007L) * 31 + b) % 1000000007L) * 1566083941L
+          % 1000000007L) % 2 == 0
+      }
+      val sum = sel.map(v => BigDecimal(v._2)).sum
+      b -> q6(sum.toDouble / sel.length.toDouble)
+    }
+    val sorted = means.sortBy { case (b, m) => (m, b) }.map(_._2)
+    val lo = q6(sorted(0) + 0.775 * (sorted(1) - sorted(0)))
+    val hi = q6(sorted(30) + 0.225 * (sorted(31) - sorted(30)))
+    val r = got.head
+    assert(r.getLong(0) == p.length.toLong, "n_purchases")
+    assert(r.getLong(1) == 32L, "n_replicates")
+    assert(r.getDouble(3) == lo, "ci_lo")
+    assert(r.getDouble(4) == hi, "ci_hi")
+    // half-rate subsample means concentrate around the full mean
+    assert(r.getDouble(3) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(4),
+      "CI must bracket the point estimate")
+  }
+
+  test("contrastive_pairs: positives share the label, negatives don't, margin checks out") {
+    val s = spark
+    val got = LlmVectorOps.contrastivePairs(s, TestSpark.sf001).collect()
+    assert(got.length == 32)
+    val vecs = Tables.embeddings(s, TestSpark.sf001)
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val byId = vecs.map(v => v._1 -> v).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    got.foreach { r =>
+      val (aid, lbl) = (r.getLong(0), r.getInt(1))
+      val a = byId(aid)
+      assert(a._3 == lbl, "anchor label")
+      val pos = byId(r.getLong(2)); val neg = byId(r.getLong(4))
+      assert(pos._3 == lbl, "positive must share the anchor label")
+      assert(neg._3 != lbl, "negative must not share the anchor label")
+      // best same/diff-label neighbor on the r6 grid with id tie-break
+      val scored = vecs.filter(_._1 != aid)
+        .map(v => (v._1, v._3, q6(cos(a._2, v._2))))
+      val bestPos = scored.filter(_._2 == lbl)
+        .sortBy { case (id, _, sc) => (-sc, id) }.head
+      val bestNeg = scored.filter(_._2 != lbl)
+        .sortBy { case (id, _, sc) => (-sc, id) }.head
+      assert(r.getLong(2) == bestPos._1 && r.getDouble(3) == bestPos._3)
+      assert(r.getLong(4) == bestNeg._1 && r.getDouble(5) == bestNeg._3)
+      assert(r.getDouble(6) == q6(r.getDouble(3) - r.getDouble(5)), "margin")
+    }
   }
 }
