@@ -937,6 +937,70 @@ class StreamingSpec extends AnyFunSuite {
       q.stop(); weights.unpersist(); ()
     }
   }
+
+  test("S18 streaming_funnel: steps settle below the watermark, out-of-order repair, stream == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingFunnel
+    import graft.streaming.StreamingFunnel.FunnelEvent
+    val in = MemoryStream[FunnelEvent]
+    val q = StreamingFunnel.funnelStream(in.toDS())
+      .writeStream.format("memory").queryName("s18_out")
+      .outputMode(OutputMode.Append).start()
+    def rows = spark.sql(
+      "SELECT user_id, step, ts FROM s18_out ORDER BY user_id, step")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2)))
+    try {
+      // user 1's click arrives BEFORE its view (out of event-time
+      // order); user 2 clicks with no prior view; nothing is final
+      // while the watermark sits behind them
+      in.addData(
+        FunnelEvent(ts("2024-01-01 10:05:00"), 1L, "click", 2L),
+        FunnelEvent(ts("2024-01-01 10:00:00"), 1L, "view", 1L),
+        FunnelEvent(ts("2024-01-01 10:01:00"), 2L, "click", 3L),
+        FunnelEvent(ts("2024-01-01 10:06:00"), 1L, "purchase", 4L))
+      q.processAllAvailable()
+      assert(rows.isEmpty, "nothing settles before the watermark moves")
+      // a user-3 event at 11:00 drives the watermark to 10:50: the
+      // buffers drain in event-time order — the view is folded FIRST
+      // even though the click arrived first, so the click qualifies
+      in.addData(FunnelEvent(ts("2024-01-01 11:00:00"), 3L, "view", 9L))
+      q.processAllAvailable()
+      val settled = rows
+      assert(settled.map(t => (t._1, t._2)).toSeq ==
+        Seq((1L, 1), (1L, 2), (1L, 3)),
+        s"user 1 completes all three steps, user 2 none: ${settled.mkString(",")}")
+      // stream histogram == batch funnel_steps on the same closed data
+      val tmp = java.nio.file.Files.createTempDirectory("s18").toString
+      try {
+        Seq(
+          (2L, ts("2024-01-01 10:05:00"), 1L, "click", 1.0, "{}"),
+          (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+          (3L, ts("2024-01-01 10:01:00"), 2L, "click", 1.0, "{}"),
+          (4L, ts("2024-01-01 10:06:00"), 1L, "purchase", 1.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .write.parquet(s"$tmp/events.parquet")
+        val batch = graft.operators.AnalyticOps.funnelSteps(spark, tmp)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        // batch: user 1 completed 3 steps, user 2 completed 0
+        assert(batch == Map(3L -> 1L, 0L -> 1L))
+        val streamMax = settled.groupBy(_._1).view
+          .mapValues(_.map(_._2).max).toMap
+        assert(streamMax == Map(1L -> 3), "stream agrees: only user 1 progressed")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
+      // a LATE view for user 2 (behind the watermark) is dropped by
+      // the engine before the stateful operator — it cannot resurrect
+      // the already-folded click, so settled steps never rewrite
+      in.addData(FunnelEvent(ts("2024-01-01 10:00:30"), 2L, "view", 10L))
+      q.processAllAvailable()
+      in.addData(FunnelEvent(ts("2024-01-01 12:00:00"), 3L, "view", 11L))
+      q.processAllAvailable()
+      assert(rows.filter(_._1 == 2L).isEmpty,
+        "the watermark-late view is dropped; user 2 stays at zero steps")
+    } finally q.stop()
+  }
 }
 
 object StreamingSpec {
