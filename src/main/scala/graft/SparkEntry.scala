@@ -98,6 +98,9 @@ object SparkEntry {
     "zipf_slope"               -> (LlmTextOps.zipfSlope _),
     "bootstrap_ci"             -> (AnalyticOps.bootstrapCi _),
     "contrastive_pairs"        -> (LlmVectorOps.contrastivePairs _),
+    "best_trade"               -> (AnalyticOps.bestTrade _),
+    "attribution_last_touch"   -> (AnalyticOps.attributionLastTouch _),
+    "self_similarity"          -> (LlmTextOps.selfSimilarity _),
     "embed_norm_stats"         -> (LlmVectorOps.embedNormStats _),
     "activity_heatmap"         -> (AnalyticOps.activityHeatmap _),
     "dsir_sample"              -> (LlmTextOps.dsirSample _),
@@ -2125,6 +2128,98 @@ object SparkEntry {
                   / CAST(n_types * total_tokens AS DOUBLE)
                   * 1000000.0 + 0.5) / 1000000.0 AS gini
          FROM a ORDER BY source""",
+    // best single-transaction profit: exact running min + profit on
+    // the r6 grid, winner under a total order
+    "best_trade" ->
+      """WITH t AS (SELECT event_id, epoch_us(ts) AS us,
+                event_type AS symbol, CAST(value AS DOUBLE) AS price
+              FROM events),
+         p AS (SELECT *, MIN(price) OVER (PARTITION BY symbol
+                 ORDER BY us ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS trough
+               FROM t),
+         q AS (SELECT symbol, event_id, us, trough, price,
+                 floor((price - trough) * 1000000.0 + 0.5) / 1000000.0
+                   AS profit
+               FROM p),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY symbol
+                  ORDER BY profit DESC, us ASC, event_id ASC) AS rn
+                FROM q)
+         SELECT symbol, event_id AS sell_event_id, trough AS buy_price,
+                price AS sell_price, profit AS max_profit
+         FROM rk WHERE rn = 1 ORDER BY symbol""",
+    // last-touch attribution: carried last-click as-of via one
+    // window pass, integer gap sums, fenced hourly mean
+    "attribution_last_touch" ->
+      """WITH t AS (SELECT event_id, user_id, ts, epoch_us(ts) AS us,
+                event_type
+              FROM events WHERE event_type IN ('click', 'purchase')),
+         c AS (SELECT *, last_value(CASE WHEN event_type = 'click'
+                   THEN us END IGNORE NULLS) OVER (PARTITION BY user_id
+                 ORDER BY us ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS last_click_us
+               FROM t),
+         p AS (SELECT *, (last_click_us IS NOT NULL
+                 AND last_click_us < us
+                 AND us - last_click_us <= 86400000000) AS attributed
+               FROM c WHERE event_type = 'purchase'),
+         g AS (SELECT date_trunc('hour', ts) AS hour,
+                 CAST(COUNT(*) AS BIGINT) AS n_purchases,
+                 CAST(SUM(CASE WHEN attributed THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_attributed,
+                 CAST(SUM(CASE WHEN NOT attributed THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_direct,
+                 CAST(SUM(CASE WHEN attributed
+                   THEN us - last_click_us END) AS DECIMAL(19,0))
+                   AS gap_sum
+               FROM p GROUP BY 1)
+         SELECT hour, n_purchases, n_attributed, n_direct,
+                floor(CAST(gap_sum AS DOUBLE)
+                  / NULLIF(CAST(n_attributed AS DOUBLE), 0.0)
+                  / 60000000.0
+                  * 1000000.0 + 0.5) / 1000000.0 AS mean_gap_min
+         FROM g ORDER BY hour""",
+    // Self-BLEU-style diversity: 40-doc hash sample, pairwise
+    // distinct-bigram Jaccard on the 1e-6 grid, C(n,2) denominator
+    "self_similarity" ->
+      """WITH sample AS (SELECT doc_id, text FROM documents
+              ORDER BY (doc_id % 1000000007) * 1181783497 % 1000000007
+                ASC, doc_id ASC
+              LIMIT 40),
+         g AS (SELECT doc_id,
+                 unnest(list_distinct([toks[i] || ' ' || toks[i+1]
+                   for i in range(1, len(toks))])) AS bigram
+               FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                     FROM sample)
+               WHERE len(toks) >= 2),
+         sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+                FROM g GROUP BY 1),
+         x AS (SELECT a.doc_id AS i, b.doc_id AS j,
+                 CAST(COUNT(*) AS BIGINT) AS inter
+               FROM g a JOIN g b ON a.bigram = b.bigram
+                 AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+         sc AS (SELECT CAST(floor(CAST(x.inter AS DOUBLE)
+                    / CAST(si.sz + sj.sz - x.inter AS DOUBLE)
+                    * 1000000.0 + 0.5) AS BIGINT) AS jq
+                FROM x JOIN sz si ON si.doc_id = x.i
+                  JOIN sz sj ON sj.doc_id = x.j),
+         nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM sample),
+         agg AS (SELECT CAST(SUM(jq) AS BIGINT) AS jsum,
+                   CAST(COUNT(*) AS BIGINT) AS n_overlapping,
+                   MAX(jq) AS maxq
+                 FROM sc)
+         SELECT n_docs, n_overlapping,
+                floor(CAST(COALESCE(jsum, 0) AS DOUBLE)
+                  / CAST(n_docs * (n_docs - 1) / 2 AS DOUBLE)
+                  / 1000000.0
+                  * 1000000.0 + 0.5) / 1000000.0
+                  AS mean_pairwise_jaccard,
+                CAST(COALESCE(maxq, 0) AS DOUBLE) / 1000000.0
+                  AS max_pairwise_jaccard
+         FROM agg CROSS JOIN nd""",
     // Zipf exponent: integer regressor inputs, ln outputs quantized
     // to 1e-6-grid integers, five order-free sums, HUGEINT combine
     // (mirrors Spark's DECIMAL(38,0)), one fenced division each

@@ -1304,6 +1304,93 @@ object AnalyticOps {
       .orderBy("symbol", "event_id")
   }
 
+  /** `best_trade` — maximum single-transaction profit per symbol:
+    * the (buy, sell) pair maximizing sell − buy with buy strictly
+    * before sell, i.e. each tick's profit against the running
+    * minimum so far, maximized. The classic one-pass market scan
+    * completing the risk pair with [[maxDrawdown]] (drawdown looks
+    * down from the running peak; this looks up from the running
+    * trough).
+    *
+    * Portability: the running min and the profit difference are
+    * exact IEEE ops on the raw prices; the winning sell is chosen
+    * under the total order (r6 profit desc, us asc, event_id asc) so
+    * both engines pick the identical row even among equal-profit
+    * sells. One window pass + one per-symbol rank — the
+    * [[maxDrawdown]] plan exactly.
+    */
+  def bestTrade(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wr = Window.partitionBy("symbol")
+      .orderBy(col("profit").desc, col("us").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type").as("symbol"),
+        col("value").cast("double").as("price"))
+      .withColumn("trough", min(col("price")).over(w))
+      .withColumn("profit", r6(col("price") - col("trough")))
+      .withColumn("r", row_number().over(wr))
+      .where(col("r") === 1)
+      .select(col("symbol"), col("event_id").as("sell_event_id"),
+        col("trough").as("buy_price"), col("price").as("sell_price"),
+        col("profit").as("max_profit"))
+      .orderBy("symbol")
+  }
+
+  /** `attribution_last_touch` — last-touch conversion attribution:
+    * every purchase credits the user's most recent click within the
+    * 24 h lookback, or counts as "direct" if none exists. The
+    * marketing-analytics sibling of [[funnelSteps]] — the funnel
+    * asks "did the user progress", attribution asks "which touch
+    * gets the credit". Reported as the hourly attribution mix
+    * (purchases, attributed, direct, and the mean click→purchase
+    * gap), the shape a reporting layer actually consumes.
+    *
+    * Portability & scale: the carried last-click is the
+    * `gapfill_resample` single-sort formulation of a per-row as-of
+    * join — ONE window pass over (user, time)-sorted events carries
+    * `last(click ts, ignoreNulls)` forward, so the purchase rows
+    * read their answer in place (no per-purchase range join, no
+    * second shuffle). Gap sums ride exact integer µs; the mean is
+    * one fenced division per hour bucket.
+    */
+  def attributionLastTouch(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("last_click_us",
+        last(when(col("event_type") === "click", col("us")),
+          ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .withColumn("attributed",
+        col("last_click_us").isNotNull &&
+          col("last_click_us") < col("us") &&
+          col("us") - col("last_click_us") <= lit(86400000000L))
+      .withColumn("gap_us",
+        when(col("attributed"), col("us") - col("last_click_us")))
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("attributed"), lit(1)).otherwise(lit(0)))
+          .as("n_attributed"),
+        sum(when(!col("attributed"), lit(1)).otherwise(lit(0)))
+          .as("n_direct"),
+        sum(col("gap_us").cast(DecimalType(19, 0)))
+          .cast(DecimalType(19, 0)).as("gap_sum"))
+      .select(col("hour"), col("n_purchases"), col("n_attributed"),
+        col("n_direct"),
+        r6(col("gap_sum").cast("double")
+          / nullif(col("n_attributed").cast("double"), lit(0.0))
+          / lit(60000000.0)).as("mean_gap_min"))
+      .orderBy("hour")
+  }
+
   /** `bootstrap_ci` — deterministic subsample bootstrap of the mean
     * purchase value: 32 half-rate replicates drawn by a decorrelated
     * per-(row, replicate) hash predicate, a 95% CI from the sorted

@@ -2447,6 +2447,64 @@ object LlmTextOps {
        FROM est ORDER BY exact_n DESC, token ASC"""
   }
 
+  /** `self_similarity` — corpus diversity as mean pairwise bigram
+    * Jaccard over a deterministic 40-doc hash sample: the Self-BLEU
+    * idea (Zhu et al. '18 — how much does a corpus resemble itself)
+    * in the engine's portable-set vocabulary. A rising mean says the
+    * corpus is collapsing toward templates even when no single pair
+    * crosses the near-dup threshold — the aggregate early-warning
+    * beside [[dedupNear]]'s pairwise gate. Zero-overlap pairs COUNT
+    * in the mean (they are the diversity), which is why the
+    * denominator is C(n,2), not the intersecting-pair count.
+    *
+    * Portability: the sample is the k-smallest-hash-rank reservoir
+    * (`sample_per_source`'s order-free bounded draw, seventh
+    * decorrelated multiplier); intersections are integer counts from
+    * one distinct-bigram self-join; Jaccard terms land on the 1e-6
+    * grid as integers and sum order-free, one fenced division at the
+    * end. Scale: the quadratic lives on 40 sampled docs — C(40,2)
+    * pairs — while the corpus is touched once for the hash ranks,
+    * so the operator costs the same at any corpus size.
+    */
+  def selfSimilarity(s: SparkSession, d: String): DataFrame = {
+    val sample = Tables.documents(s, d)
+      .withColumn("h",
+        (col("doc_id") % lit(1000000007L)) * lit(1181783497L)
+          % lit(1000000007L))
+      .orderBy(col("h").asc, col("doc_id").asc)
+      .limit(40)
+      .select(col("doc_id"), col("text"))
+    val grams = sample
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(
+        graft.functions.Bigrams.bigrams(s, col("toks"))).as("bigram"))
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = grams.as("a")
+      .join(grams.as("b"),
+        col("a.bigram") === col("b.bigram")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("inter"))
+    val scored = inter
+      .join(sizes.select(col("doc_id").as("i"), col("sz").as("szi")), Seq("i"))
+      .join(sizes.select(col("doc_id").as("j"), col("sz").as("szj")), Seq("j"))
+      .select(floor(col("inter").cast("double")
+        / (col("szi") + col("szj") - col("inter")).cast("double")
+        * lit(1000000.0) + lit(0.5)).cast("long").as("jq"))
+    val nDocs = sample.agg(count(lit(1)).as("n_docs"))
+    scored.agg(sum(col("jq")).as("jsum"),
+      count(lit(1)).as("n_overlapping"),
+      max(col("jq")).as("maxq"))
+      .crossJoin(nDocs)
+      .select(col("n_docs"), col("n_overlapping"),
+        r6(coalesce(col("jsum"), lit(0L)).cast("double")
+          / (col("n_docs") * (col("n_docs") - 1) / lit(2)).cast("double")
+          / lit(1000000.0)).as("mean_pairwise_jaccard"),
+        (coalesce(col("maxq"), lit(0L)).cast("double") / lit(1000000.0))
+          .as("max_pairwise_jaccard"))
+  }
+
   /** `zipf_slope` — OLS fit of ln(frequency) on ln(rank) over the
     * top-500 corpus tokens: the Zipf exponent (slope ≈ −1 for
     * natural language; a corpus drifting toward 0 is losing its

@@ -189,6 +189,113 @@ class IndicatorOpsSpec extends AnyFunSuite {
       "CI must bracket the point estimate")
   }
 
+  test("best_trade == driver-side running-trough scan per symbol") {
+    val s = spark
+    val got = AnalyticOps.bestTrade(s, TestSpark.sf001).collect()
+    val events = Tables.events(s, TestSpark.sf001)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value").cast("double"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val expected = events.groupBy(_._3).map { case (sym, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._1))
+      var trough = Double.MaxValue
+      val scored = sorted.map { case (id, us, _, p) =>
+        trough = math.min(trough, p)
+        (id, us, p, trough, q6(p - trough))
+      }
+      val best = scored.minBy { case (id, us, _, _, pr) => (-pr, us, id) }
+      sym -> best
+    }
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val e = expected(r.getString(0))
+      assert(r.getLong(1) == e._1, "sell_event_id")
+      assert(r.getDouble(2) == e._4, "buy_price")
+      assert(r.getDouble(3) == e._3, "sell_price")
+      assert(r.getDouble(4) == e._5, "max_profit")
+      assert(r.getDouble(4) >= 0.0)
+    }
+  }
+
+  test("attribution_last_touch == driver-side carried-click recomputation") {
+    val s = spark
+    val got = AnalyticOps.attributionLastTouch(s, TestSpark.sf0001).collect()
+    val events = Tables.events(s, TestSpark.sf0001)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    case class P(us: Long, attributed: Boolean, gap: Long)
+    val purchases = events.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._1))
+      var lastClick = Option.empty[Long]
+      sorted.flatMap { case (_, _, us, typ) =>
+        if (typ == "click") { lastClick = Some(us); None }
+        else {
+          val attr = lastClick.exists(c =>
+            c < us && us - c <= 86400000000L)
+          Some(P(us, attr, if (attr) us - lastClick.get else 0L))
+        }
+      }
+    }
+    val byHour = purchases.groupBy(p => p.us / 3600000000L)
+    assert(got.map(_.getLong(1)).sum == purchases.length.toLong)
+    assert(got.map(_.getLong(2)).sum ==
+      purchases.count(_.attributed).toLong, "total attributed")
+    assert(got.map(_.getLong(3)).sum ==
+      purchases.count(!_.attributed).toLong, "total direct")
+    assert(got.length == byHour.size, "one row per active hour")
+    // mean gap per hour matches on the fenced grid
+    got.foreach { r =>
+      val hourUs = r.getTimestamp(0).getTime * 1000L
+      val ps = byHour(hourUs / 3600000000L)
+      val attr = ps.filter(_.attributed)
+      if (attr.nonEmpty) {
+        val mean = q6(attr.map(_.gap).sum.toDouble / attr.length.toDouble
+          / 60000000.0)
+        assert(r.getDouble(4) == mean, "mean_gap_min")
+      } else assert(r.isNullAt(4))
+    }
+  }
+
+  test("self_similarity == driver-side pairwise bigram Jaccard over the hash sample") {
+    val s = spark
+    val got = LlmTextOps.selfSimilarity(s, TestSpark.sf001).collect()
+    assert(got.length == 1)
+    val docs = Tables.documents(s, TestSpark.sf001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val sample = docs.sortBy { case (id, _) =>
+      ((id % 1000000007L) * 1181783497L % 1000000007L, id)
+    }.take(40)
+    val gramSets = sample.map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      id -> toks.sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    val pairs = for {
+      i <- gramSets.indices; j <- gramSets.indices if i < j
+    } yield {
+      val (a, b) = (gramSets(i)._2, gramSets(j)._2)
+      val inter = a.intersect(b).size
+      if (inter > 0)
+        Some(math.floor(inter.toDouble / (a.size + b.size - inter).toDouble
+          * 1e6 + 0.5).toLong)
+      else None
+    }
+    val jqs = pairs.flatten
+    val n = sample.length.toLong
+    val r = got.head
+    assert(r.getLong(0) == n, "n_docs")
+    assert(r.getLong(1) == jqs.length.toLong, "n_overlapping")
+    assert(r.getDouble(2) ==
+      q6(jqs.sum.toDouble / (n * (n - 1) / 2).toDouble / 1e6), "mean")
+    assert(r.getDouble(3) ==
+      (if (jqs.isEmpty) 0.0 else jqs.max.toDouble / 1e6), "max")
+  }
+
   test("contrastive_pairs: positives share the label, negatives don't, margin checks out") {
     val s = spark
     val got = LlmVectorOps.contrastivePairs(s, TestSpark.sf001).collect()
