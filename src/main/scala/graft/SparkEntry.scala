@@ -101,6 +101,8 @@ object SparkEntry {
     "best_trade"               -> (AnalyticOps.bestTrade _),
     "attribution_last_touch"   -> (AnalyticOps.attributionLastTouch _),
     "self_similarity"          -> (LlmTextOps.selfSimilarity _),
+    "similarity_topk_b1"       -> (LlmVectorOps.similarityTopkB1 _),
+    "seasonality_strength"     -> (AnalyticOps.seasonalityStrength _),
     "embed_norm_stats"         -> (LlmVectorOps.embedNormStats _),
     "activity_heatmap"         -> (AnalyticOps.activityHeatmap _),
     "dsir_sample"              -> (LlmTextOps.dsirSample _),
@@ -2128,6 +2130,81 @@ object SparkEntry {
                   / CAST(n_types * total_tokens AS DOUBLE)
                   * 1000000.0 + 0.5) / 1000000.0 AS gini
          FROM a ORDER BY source""",
+    // 1-bit binary quantization: sign-bit signatures in two packed
+    // longs, pure-integer Hamming rank, r6 cosine for calibration
+    "similarity_topk_b1" ->
+      """WITH sig AS (SELECT vec_id, embedding,
+                CAST(list_aggregate([CASE WHEN embedding[i] > 0
+                    THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END
+                  for i in range(1, 33)], 'sum') AS BIGINT) AS lo,
+                CAST(list_aggregate([CASE WHEN embedding[i + 32] > 0
+                    THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END
+                  for i in range(1, 33)], 'sum') AS BIGINT) AS hi
+              FROM embeddings),
+         probes AS (SELECT vec_id AS probe_id, embedding AS p_emb,
+                           lo AS plo, hi AS phi
+                    FROM sig WHERE vec_id < 5),
+         pairs AS (
+           SELECT probe_id, s.vec_id,
+                  CAST(bit_count(xor(s.lo, plo))
+                    + bit_count(xor(s.hi, phi)) AS INTEGER) AS hamming,
+                  floor((list_aggregate([CAST(p_emb[i] AS DOUBLE)
+                          * CAST(s.embedding[i] AS DOUBLE)
+                          for i in range(1, len(p_emb) + 1)], 'sum')
+                    / (sqrt(list_aggregate([CAST(x AS DOUBLE)
+                             * CAST(x AS DOUBLE)
+                             for x in p_emb], 'sum'))
+                       * sqrt(list_aggregate([CAST(x AS DOUBLE)
+                              * CAST(x AS DOUBLE)
+                              for x in s.embedding], 'sum'))))
+                    * 1000000 + 0.5) / 1000000 AS score
+           FROM sig s, probes WHERE s.vec_id <> probe_id),
+         ranked AS (SELECT probe_id, vec_id, hamming, score,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                    ORDER BY hamming ASC, vec_id ASC) AS INTEGER) AS rank
+                    FROM pairs)
+         SELECT probe_id, rank, vec_id, hamming, score FROM ranked
+         WHERE rank <= 10 ORDER BY probe_id, rank""",
+    // hour-of-day ANOVA R^2: exact integer group sums on the 1e-2
+    // grid, per-group between term quantized once, one fenced ratio
+    "seasonality_strength" ->
+      """WITH b AS (SELECT event_type AS symbol,
+                CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hod,
+                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vq
+              FROM events),
+         ph AS (SELECT symbol, hod, CAST(COUNT(*) AS BIGINT) AS nh,
+                  CAST(SUM(vq) AS BIGINT) AS sh,
+                  CAST(SUM(CAST(vq AS HUGEINT) * CAST(vq AS HUGEINT))
+                    AS HUGEINT) AS qh
+                FROM b GROUP BY 1, 2),
+         pt AS (SELECT *,
+                  CAST(floor(CAST(CAST(sh AS HUGEINT)
+                      * CAST(sh AS HUGEINT) AS DOUBLE)
+                    / CAST(nh AS DOUBLE) + 0.5) AS BIGINT) AS bterm,
+                  floor(CAST(sh AS DOUBLE) / CAST(nh AS DOUBLE)
+                    / 100.0 * 1000000.0 + 0.5) / 1000000.0 AS mh_r6
+                FROM ph),
+         pk AS (SELECT symbol, hod AS peak_hod, mh_r6 AS peak_mean
+                FROM (SELECT *, row_number() OVER (PARTITION BY symbol
+                        ORDER BY mh_r6 DESC, hod ASC) AS pr
+                      FROM pt)
+                WHERE pr = 1),
+         ag AS (SELECT symbol, CAST(SUM(nh) AS BIGINT) AS n,
+                  CAST(SUM(sh) AS BIGINT) AS sv,
+                  CAST(SUM(qh) AS HUGEINT) AS ssq,
+                  CAST(SUM(bterm) AS BIGINT) AS bsum
+                FROM pt GROUP BY 1),
+         cg AS (SELECT *,
+                  CAST(floor(CAST(CAST(sv AS HUGEINT)
+                      * CAST(sv AS HUGEINT) AS DOUBLE)
+                    / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS corr_q
+                FROM ag)
+         SELECT symbol, n, peak_hod, peak_mean,
+                floor(CAST(bsum - corr_q AS DOUBLE)
+                  / NULLIF(CAST(ssq AS DOUBLE)
+                    - CAST(corr_q AS DOUBLE), 0.0)
+                  * 1000000.0 + 0.5) / 1000000.0 AS seasonality_r2
+         FROM cg JOIN pk USING (symbol) ORDER BY symbol""",
     // best single-transaction profit: exact running min + profit on
     // the r6 grid, winner under a total order
     "best_trade" ->

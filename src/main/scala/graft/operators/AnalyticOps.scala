@@ -1304,6 +1304,66 @@ object AnalyticOps {
       .orderBy("symbol", "event_id")
   }
 
+  /** `seasonality_strength` — how much of a symbol's price variance
+    * the hour-of-day clock explains: R² = SSB/SST from the one-way
+    * ANOVA decomposition over 24 hour-of-day groups, plus the peak
+    * hour. The scalar that says whether [[hourlyProfile]]'s curve is
+    * signal or noise — a symbol near 0 has no daily rhythm, near 1
+    * is almost a function of the clock (the intraday-seasonality
+    * readout market and load-forecasting pipelines key on).
+    *
+    * Portability: values land on the 1e-2 grid as integers, so the
+    * per-group sums S_h, ΣS_h, and Σv² are exact; the between-group
+    * term S_h²/n_h is IEEE-divided per group and quantized to an
+    * integer (absolute ½-unit rounding on the vq² scale — far below
+    * the variance magnitudes), then the ≤ 24 terms sum order-free;
+    * R² combines the three integers in one fenced division. The
+    * grand-mean correction S²/n is quantized ONCE and reused in
+    * numerator and denominator, so both engines subtract the
+    * identical integer. Scale: one (symbol, hod) aggregate → one
+    * 24-row-per-symbol fold; nothing touches row order.
+    */
+  def seasonalityStrength(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+    val perHour = Tables.events(s, d)
+      .select(col("event_type").as("symbol"), hour(col("ts")).as("hod"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("vq"))
+      .groupBy(col("symbol"), col("hod"))
+      .agg(count(lit(1)).as("nh"),
+        sum(col("vq")).as("sh"),
+        sum(dec(col("vq")) * dec(col("vq"))).cast(DecimalType(38, 0))
+          .as("qh"))
+      .withColumn("bterm",
+        floor((dec(col("sh")) * dec(col("sh"))).cast("double")
+          / col("nh").cast("double") + lit(0.5)).cast("long"))
+      .withColumn("mh_r6",
+        r6(col("sh").cast("double") / col("nh").cast("double")
+          / lit(100.0)))
+    val wp = Window.partitionBy("symbol")
+      .orderBy(col("mh_r6").desc, col("hod").asc)
+    val peaks = perHour.withColumn("pr", row_number().over(wp))
+      .where(col("pr") === 1)
+      .select(col("symbol"), col("hod").as("peak_hod"),
+        col("mh_r6").as("peak_mean"))
+    perHour
+      .groupBy(col("symbol"))
+      .agg(sum(col("nh")).as("n"),
+        sum(col("sh")).as("sv"),
+        sum(col("qh")).cast(DecimalType(38, 0)).as("ssq"),
+        sum(col("bterm")).as("bsum"))
+      .withColumn("corr_q",
+        floor((dec(col("sv")) * dec(col("sv"))).cast("double")
+          / col("n").cast("double") + lit(0.5)).cast("long"))
+      .join(peaks, Seq("symbol"))
+      .select(col("symbol"), col("n"), col("peak_hod"), col("peak_mean"),
+        r6((col("bsum") - col("corr_q")).cast("double")
+          / nullif((col("ssq").cast("double")
+            - col("corr_q").cast("double")), lit(0.0)))
+          .as("seasonality_r2"))
+      .orderBy("symbol")
+  }
+
   /** `best_trade` — maximum single-transaction profit per symbol:
     * the (buy, sell) pair maximizing sell − buy with buy strictly
     * before sell, i.e. each tick's profit against the running

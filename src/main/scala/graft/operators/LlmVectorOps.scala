@@ -151,6 +151,51 @@ object LlmVectorOps {
       .orderBy("anchor_id")
   }
 
+  /** `similarity_topk_b1` — 1-bit binary-quantized similarity: each
+    * 64-dim float vector collapses to its 64 SIGN bits (two packed
+    * 32-bit halves in longs), candidates rank by Hamming distance
+    * (popcount of XOR — the binary-quantization serving rung vector
+    * stores ship between scalar int8 and PQ: 32× memory, distance =
+    * 2 machine instructions), exact cosine attached for calibration.
+    * Completes the engine's quantization ladder: f32 exact → int8
+    * (4×, `similarity_topk_q8`) → PQ (64×, ADC) → 1-bit (32×,
+    * XOR+popcount, no codebook at all).
+    *
+    * Portability: the signature build is a sign test + integer
+    * shift-sum (bit-exact on any engine), Hamming is pure integer,
+    * and the (hamming asc, vec_id asc) rank is a total order — the
+    * whole row hash-gates with no float fence except the attached r6
+    * cosine. Scale shape: [[similarityTopk]]'s broadcast-probe
+    * corpus scan, but each candidate costs 16 bytes and two
+    * popcounts instead of a 64-term float dot — the brute-force scan
+    * that stays affordable 32× longer before ANN routing is needed.
+    */
+  def similarityTopkB1(s: SparkSession, d: String): DataFrame = {
+    def half(offset: Int) = expr(
+      s"aggregate(transform(sequence(1, 32), i -> " +
+        s"IF(embedding[i + $offset - 1] > 0, shiftleft(1L, i - 1), 0L)), " +
+        "0L, (a, x) -> a + x)")
+    val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
+      .withColumn("lo", half(0)).withColumn("hi", half(32))
+    val probes = e.where(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+        col("norm").as("probe_norm"), col("lo").as("plo"),
+        col("hi").as("phi"))
+    val pairs = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("hamming",
+        expr("bit_count(lo ^ plo) + bit_count(hi ^ phi)"))
+      .withColumn("score", r6(
+        VectorExprs.dot(s, col("probe_emb"), col("embedding"))
+          / (col("probe_norm") * col("norm"))))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("hamming").asc, col("vec_id").asc)
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 10)
+      .select("probe_id", "rank", "vec_id", "hamming", "score")
+      .orderBy("probe_id", "rank")
+  }
+
   /** `rrf_fusion` — reciprocal-rank fusion (Cormack et al., SIGIR'09)
     * of a lexical and a semantic ranking: the hybrid-retrieval
     * primitive every RAG / decontamination-lookup stack runs. Leg 1

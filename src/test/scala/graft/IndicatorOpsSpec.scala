@@ -296,6 +296,91 @@ class IndicatorOpsSpec extends AnyFunSuite {
       (if (jqs.isEmpty) 0.0 else jqs.max.toDouble / 1e6), "max")
   }
 
+  test("similarity_topk_b1 == driver-side sign-bit Hamming ranking; recall floor vs exact") {
+    val s = spark
+    val got = LlmVectorOps.similarityTopkB1(s, TestSpark.sf001).collect()
+    val vecs = Tables.embeddings(s, TestSpark.sf001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def sig(v: Array[Float]): (Long, Long) = {
+      var lo = 0L; var hi = 0L
+      (0 until 32).foreach { i =>
+        if (v(i) > 0) lo |= (1L << i)
+        if (v(i + 32) > 0) hi |= (1L << i)
+      }
+      (lo, hi)
+    }
+    val sigs = vecs.map { case (id, v) => id -> sig(v) }.toMap
+    got.foreach { r =>
+      val (pid, vid) = (r.getLong(0), r.getLong(2))
+      val (plo, phi) = sigs(pid); val (lo, hi) = sigs(vid)
+      val ham = java.lang.Long.bitCount(lo ^ plo) +
+        java.lang.Long.bitCount(hi ^ phi)
+      assert(r.getInt(3) == ham, s"hamming($pid,$vid)")
+    }
+    // per probe the ranking is exactly (hamming asc, vec_id asc)
+    got.groupBy(_.getLong(0)).foreach { case (pid, rows) =>
+      val byRank = rows.sortBy(_.getInt(1))
+      val keys = byRank.map(r => (r.getInt(3), r.getLong(2)))
+      assert(keys.sorted.toSeq == keys.toSeq, s"total order for probe $pid")
+      val expected = vecs.filter(_._1 != pid).map { case (id, _) =>
+        val (plo, phi) = sigs(pid); val (lo, hi) = sigs(id)
+        (java.lang.Long.bitCount(lo ^ plo) +
+          java.lang.Long.bitCount(hi ^ phi), id)
+      }.sorted.take(10)
+      assert(keys.toSeq == expected.toSeq, s"top-10 for probe $pid")
+    }
+    // quantization quality: binary top-10 retains a measured share of
+    // the exact cosine top-10 (1 bit/dim keeps coarse direction info)
+    val exact = LlmVectorOps.similarityTopk(s, TestSpark.sf001).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    val recalls = got.groupBy(_.getLong(0)).map { case (pid, rows) =>
+      rows.map(_.getLong(2)).toSet.intersect(exact(pid)).size / 10.0
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.2,
+      f"mean recall@10 $meanRecall%.2f below the measured floor")
+  }
+
+  test("seasonality_strength == driver-side ANOVA recomputation; R2 in [0,1]") {
+    val s = spark
+    val got = AnalyticOps.seasonalityStrength(s, TestSpark.sf001).collect()
+    val events = Tables.events(s, TestSpark.sf001)
+      .select(col("event_type"), hour(col("ts")), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1),
+        math.floor(r.getDouble(2) * 100.0 + 0.5).toLong))
+    val expected = events.groupBy(_._1).map { case (sym, rows) =>
+      val byH = rows.groupBy(_._2)
+      val terms = byH.map { case (_, hs) =>
+        val sh = hs.map(_._3).sum
+        math.floor((BigInt(sh) * BigInt(sh)).toDouble
+          / hs.length.toDouble + 0.5).toLong
+      }
+      val n = rows.length.toLong
+      val sv = rows.map(_._3).sum
+      val ssq = rows.map(r => BigInt(r._3) * BigInt(r._3)).sum
+      val corrQ = math.floor((BigInt(sv) * BigInt(sv)).toDouble
+        / n.toDouble + 0.5).toLong
+      val r2 = q6((terms.sum - corrQ).toDouble
+        / (ssq.toDouble - corrQ.toDouble))
+      val peak = byH.map { case (h, hs) =>
+        (h, q6(hs.map(_._3).sum.toDouble / hs.length.toDouble / 100.0))
+      }.toSeq.minBy { case (h, m) => (-m, h) }
+      sym -> (n, peak._1, peak._2, r2)
+    }
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val e = expected(r.getString(0))
+      assert(r.getLong(1) == e._1, "n")
+      assert(r.getInt(2) == e._2, "peak_hod")
+      assert(r.getDouble(3) == e._3, "peak_mean")
+      assert(r.getDouble(4) == e._4, "seasonality_r2")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
   test("contrastive_pairs: positives share the label, negatives don't, margin checks out") {
     val s = spark
     val got = LlmVectorOps.contrastivePairs(s, TestSpark.sf001).collect()
