@@ -103,6 +103,9 @@ object SparkEntry {
     "self_similarity"          -> (LlmTextOps.selfSimilarity _),
     "similarity_topk_b1"       -> (LlmVectorOps.similarityTopkB1 _),
     "seasonality_strength"     -> (AnalyticOps.seasonalityStrength _),
+    "markov_transitions"       -> (AnalyticOps.markovTransitions _),
+    "cusum_changepoint"        -> (AnalyticOps.cusumChangepoint _),
+    "autocorrelation"          -> (AnalyticOps.autocorrelation _),
     "embed_norm_stats"         -> (LlmVectorOps.embedNormStats _),
     "activity_heatmap"         -> (AnalyticOps.activityHeatmap _),
     "dsir_sample"              -> (LlmTextOps.dsirSample _),
@@ -2205,6 +2208,101 @@ object SparkEntry {
                     - CAST(corr_q AS DOUBLE), 0.0)
                   * 1000000.0 + 0.5) / 1000000.0 AS seasonality_r2
          FROM cg JOIN pk USING (symbol) ORDER BY symbol""",
+    // first-order event-type Markov chain: integer transition counts
+    // from one lag window, fenced row-normalized probabilities
+    "markov_transitions" ->
+      """WITH t AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+                event_type
+              FROM events),
+         l AS (SELECT event_type AS to_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY us ASC, event_id ASC) AS from_type
+               FROM t),
+         c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+               FROM l WHERE from_type IS NOT NULL GROUP BY 1, 2),
+         g AS (SELECT *, CAST(SUM(n) OVER (PARTITION BY from_type)
+                 AS BIGINT) AS from_n
+               FROM c)
+         SELECT from_type, to_type, n,
+                floor(CAST(n AS DOUBLE) / CAST(from_n AS DOUBLE)
+                  * 1000000.0 + 0.5) / 1000000.0 AS prob
+         FROM g ORDER BY from_type, to_type""",
+    // CUSUM change point: the argmax ranks the EXACT integer
+    // numerator n*P_k - k*S (common positive denominator n), so the
+    // location is float-free; only the magnitude is fenced
+    "cusum_changepoint" ->
+      """WITH t AS (SELECT event_id, epoch_us(ts) AS us, ts,
+                event_type AS symbol,
+                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vq
+              FROM events),
+         p AS (SELECT *,
+                 CAST(SUM(vq) OVER w AS BIGINT) AS pk,
+                 CAST(row_number() OVER w AS BIGINT) AS k
+               FROM t WINDOW w AS (PARTITION BY symbol
+                 ORDER BY us ASC, event_id ASC)),
+         tot AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(vq) AS BIGINT) AS sv
+                 FROM t GROUP BY 1),
+         q AS (SELECT p.symbol, p.event_id, p.us, p.ts, p.k, tot.n,
+                 CAST(tot.n AS HUGEINT) * CAST(p.pk AS HUGEINT)
+                   - CAST(p.k AS HUGEINT) * CAST(tot.sv AS HUGEINT)
+                   AS num
+               FROM p JOIN tot USING (symbol)),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY symbol
+                  ORDER BY abs(num) DESC, us ASC, event_id ASC) AS rn
+                FROM q)
+         SELECT symbol, n, event_id AS change_event_id,
+                ts AS change_ts, k AS change_index,
+                floor(CAST(num AS DOUBLE) / CAST(n AS DOUBLE)
+                  / 100.0 * 1000000.0 + 0.5) / 1000000.0 AS cusum_value
+         FROM rk WHERE rn = 1 ORDER BY symbol""",
+    // ACF lags 1-5: the pair_correlation decimal recipe on the
+    // lag-k self-pair stream, one window sort serves all lags
+    "autocorrelation" ->
+      """WITH t AS (SELECT event_id, epoch_us(ts) AS us,
+                event_type AS symbol,
+                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x
+              FROM events),
+         l AS (SELECT symbol, x,
+                 lag(x, 1) OVER w AS l1, lag(x, 2) OVER w AS l2,
+                 lag(x, 3) OVER w AS l3, lag(x, 4) OVER w AS l4,
+                 lag(x, 5) OVER w AS l5
+               FROM t WINDOW w AS (PARTITION BY symbol
+                 ORDER BY us ASC, event_id ASC)),
+         st AS (
+           SELECT symbol, CAST(1 AS INTEGER) AS lag, x, l1 AS y
+             FROM l WHERE l1 IS NOT NULL
+           UNION ALL SELECT symbol, CAST(2 AS INTEGER), x, l2
+             FROM l WHERE l2 IS NOT NULL
+           UNION ALL SELECT symbol, CAST(3 AS INTEGER), x, l3
+             FROM l WHERE l3 IS NOT NULL
+           UNION ALL SELECT symbol, CAST(4 AS INTEGER), x, l4
+             FROM l WHERE l4 IS NOT NULL
+           UNION ALL SELECT symbol, CAST(5 AS INTEGER), x, l5
+             FROM l WHERE l5 IS NOT NULL),
+         a AS (SELECT symbol, lag, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT))
+                   AS HUGEINT) AS sxy,
+                 CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+                   AS HUGEINT) AS sxx,
+                 CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT))
+                   AS HUGEINT) AS syy
+               FROM st GROUP BY 1, 2)
+         SELECT symbol, lag, n,
+                floor(CAST(CAST(n AS HUGEINT) * sxy
+                    - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT)
+                    AS DOUBLE)
+                  / NULLIF(
+                    sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                      - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)
+                      AS DOUBLE))
+                    * sqrt(CAST(CAST(n AS HUGEINT) * syy
+                      - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT)
+                      AS DOUBLE)), 0.0)
+                  * 1000000.0 + 0.5) / 1000000.0 AS acf
+         FROM a ORDER BY symbol, lag""",
     // best single-transaction profit: exact running min + profit on
     // the r6 grid, winner under a total order
     "best_trade" ->

@@ -1304,6 +1304,137 @@ object AnalyticOps {
       .orderBy("symbol", "event_id")
   }
 
+  /** `markov_transitions` — the first-order behavioral Markov chain:
+    * transition counts and probabilities between consecutive event
+    * types per user, ordered by event time. The "what do users do
+    * NEXT" matrix — [[funnelSteps]] checks one scripted path,
+    * [[attributionLastTouch]] credits one edge; this is the full
+    * ≤ |types|² transition structure those two are slices of.
+    *
+    * Portability: counts are integers from one lag window over the
+    * (user, time) sort (the same single shuffle the funnel family
+    * rides); row-normalized probabilities are one fenced division
+    * per matrix cell. Output is vocabulary-bounded (≤ 25 cells) at
+    * any scale.
+    */
+  def markovTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us").asc, col("event_id").asc)
+    val trans = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("from_type"),
+        col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTotals = Window.partitionBy("from_type")
+    trans
+      .withColumn("from_n", sum(col("n")).over(fromTotals))
+      .select(col("from_type"), col("to_type"), col("n"),
+        r6(col("n").cast("double") / col("from_n").cast("double"))
+          .as("prob"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** `cusum_changepoint` — CUSUM change-point scan per symbol: the
+    * index maximizing |Σ_{i≤k}(xᵢ − x̄)|, the classic single-change
+    * location estimate (Page '54). The "WHEN did this series shift"
+    * answer beside the distribution-level drift rows (`ks_drift`,
+    * `psi_drift`) — those say the window changed, this points at the
+    * tick.
+    *
+    * Portability: the whole argmax is EXACT INTEGER arithmetic — with
+    * prices on the 1e-2 grid, Σ_{i≤k}(xᵢ − S/n) = (n·P_k − k·S)/n
+    * shares the positive denominator n, so ranking |n·P_k − k·S|
+    * (DECIMAL product, exact) ranks the true CUSUM with zero float
+    * ops; ties break earliest (us, event_id). Only the reported
+    * magnitude is divided back and fenced. Scale: one per-symbol
+    * sort window (prefix sum + index ride it) + a rank — the
+    * [[maxDrawdown]] plan.
+    */
+  def cusumChangepoint(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("us").asc, col("event_id").asc)
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = Tables.events(s, d)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("ts"), col("event_type").as("symbol"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("vq"))
+      .withColumn("pk", sum(col("vq")).over(wf))
+      .withColumn("k", row_number().over(w).cast("long"))
+    val totals = base.groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n"), sum(col("vq")).as("sv"))
+    val wr = Window.partitionBy("symbol")
+      .orderBy(col("absnum").desc, col("us").asc, col("event_id").asc)
+    base.join(totals, Seq("symbol"))
+      .withColumn("num", dec(col("n")) * dec(col("pk"))
+        - dec(col("k")) * dec(col("sv")))
+      .withColumn("absnum", abs(col("num")))
+      .withColumn("r", row_number().over(wr))
+      .where(col("r") === 1)
+      .select(col("symbol"), col("n"),
+        col("event_id").as("change_event_id"), col("ts").as("change_ts"),
+        col("k").as("change_index"),
+        r6(col("num").cast("double") / col("n").cast("double")
+          / lit(100.0)).as("cusum_value"))
+      .orderBy("symbol")
+  }
+
+  /** `autocorrelation` — the ACF at lags 1–5 per symbol: Pearson r
+    * between the series and its k-step-lagged self, the
+    * memory-structure readout behind every ARIMA order choice (and
+    * the formal generalization of [[crossCorrLag]]'s cross-series
+    * scan to the self-pair at tick granularity).
+    *
+    * Portability: the `pair_correlation` decimal recipe — prices on
+    * the 1e-2 integer grid, all five moments exact DECIMAL sums over
+    * the lag-k pair stream, one written double expression with the
+    * n·Σ − Σ·Σ closed form and two correctly-rounded sqrts, fenced.
+    * Scale: ONE per-symbol sort window materializes all five lag
+    * columns; the stack explode is map-side; one aggregate per
+    * (symbol, lag) cell — 25 cells at any scale.
+    */
+  def autocorrelation(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("us").asc, col("event_id").asc)
+    val lagged = (1 to 5).foldLeft(
+      Tables.events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"),
+          col("event_type").as("symbol"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+            .as("x"))) { (df, k) =>
+      df.withColumn(s"l$k", lag(col("x"), k).over(w))
+    }
+    val stacked = lagged.select(col("symbol"), col("x"),
+      expr("stack(5, 1, l1, 2, l2, 3, l3, 4, l4, 5, l5) AS (lag, y)"))
+      .where(col("y").isNotNull)
+    stacked
+      .groupBy(col("symbol"), col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(dec(col("x")) * dec(col("y"))).cast(DecimalType(38, 0))
+          .as("sxy"),
+        sum(dec(col("x")) * dec(col("x"))).cast(DecimalType(38, 0))
+          .as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).cast(DecimalType(38, 0))
+          .as("syy"))
+      .select(col("symbol"), col("lag"), col("n"),
+        r6((dec(col("n")) * col("sxy") - dec(col("sx")) * dec(col("sy")))
+          .cast("double")
+          / nullif(
+            sqrt((dec(col("n")) * col("sxx")
+              - dec(col("sx")) * dec(col("sx"))).cast("double"))
+              * sqrt((dec(col("n")) * col("syy")
+                - dec(col("sy")) * dec(col("sy"))).cast("double")),
+            lit(0.0))).as("acf"))
+      .orderBy("symbol", "lag")
+  }
+
   /** `seasonality_strength` — how much of a symbol's price variance
     * the hour-of-day clock explains: R² = SSB/SST from the one-way
     * ANOVA decomposition over 24 hour-of-day groups, plus the peak

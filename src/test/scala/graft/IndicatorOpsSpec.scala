@@ -381,6 +381,109 @@ class IndicatorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("markov_transitions == driver-side transition recomputation; rows normalize") {
+    val s = spark
+    val got = AnalyticOps.markovTransitions(s, TestSpark.sf0001).collect()
+    val events = Tables.events(s, TestSpark.sf0001)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val trans = events.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._1)).map(_._4)
+      sorted.sliding(2).filter(_.length == 2).map(p => (p(0), p(1)))
+    }
+    val counts = trans.groupBy(identity).map { case (k, v) =>
+      k -> v.length.toLong
+    }
+    val fromN = trans.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    assert(got.length == counts.size)
+    got.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == counts(key), s"n for $key")
+      assert(r.getDouble(3) ==
+        q6(counts(key).toDouble / fromN(key._1).toDouble), s"prob for $key")
+    }
+    // probabilities from one source sum to ~1 (each cell is fenced)
+    got.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val sum = rows.map(_.getDouble(3)).sum
+      assert(math.abs(sum - 1.0) < 1e-4)
+    }
+  }
+
+  test("cusum_changepoint == driver-side exact-integer argmax per symbol") {
+    val s = spark
+    val got = AnalyticOps.cusumChangepoint(s, TestSpark.sf001).collect()
+    val events = Tables.events(s, TestSpark.sf001)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        math.floor(r.getDouble(3) * 100.0 + 0.5).toLong))
+    val expected = events.groupBy(_._3).map { case (sym, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._1))
+      val n = BigInt(sorted.length)
+      val sv = BigInt(sorted.map(_._4).sum)
+      var pk = BigInt(0)
+      val scored = sorted.zipWithIndex.map { case ((id, us, _, vq), i) =>
+        pk += vq
+        val num = n * pk - BigInt(i + 1) * sv
+        (id, us, i + 1, num)
+      }
+      val best = scored.minBy { case (id, us, _, num) =>
+        (-num.abs, us, id)
+      }
+      sym -> (sorted.length.toLong, best._1, best._3.toLong,
+        q6(best._4.toDouble / n.toDouble / 100.0))
+    }
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val e = expected(r.getString(0))
+      assert(r.getLong(1) == e._1, "n")
+      assert(r.getLong(2) == e._2, "change_event_id")
+      assert(r.getLong(4) == e._3, "change_index")
+      assert(r.getDouble(5) == e._4, "cusum_value")
+    }
+  }
+
+  test("autocorrelation == driver-side decimal-moment recomputation at every lag") {
+    val s = spark
+    val got = AnalyticOps.autocorrelation(s, TestSpark.sf0001).collect()
+    val events = Tables.events(s, TestSpark.sf0001)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        math.floor(r.getDouble(3) * 100.0 + 0.5).toLong))
+    val expected = events.groupBy(_._3).toSeq.flatMap { case (sym, rows) =>
+      val xs = rows.sortBy(r => (r._2, r._1)).map(_._4)
+      (1 to 5).flatMap { k =>
+        val pairs = xs.drop(k).zip(xs.dropRight(k))
+        if (pairs.isEmpty) None
+        else {
+          val n = BigInt(pairs.length)
+          val sx = BigInt(pairs.map(_._1).sum)
+          val sy = BigInt(pairs.map(_._2).sum)
+          val sxy = pairs.map(p => BigInt(p._1) * BigInt(p._2)).sum
+          val sxx = pairs.map(p => BigInt(p._1) * BigInt(p._1)).sum
+          val syy = pairs.map(p => BigInt(p._2) * BigInt(p._2)).sum
+          val den = math.sqrt((n * sxx - sx * sx).toDouble) *
+            math.sqrt((n * syy - sy * sy).toDouble)
+          val acf = if (den == 0.0) None
+            else Some(q6((n * sxy - sx * sy).toDouble / den))
+          Some((sym, k) -> (pairs.length.toLong, acf))
+        }
+      }
+    }.toMap
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val e = expected((r.getString(0), r.getInt(1)))
+      assert(r.getLong(2) == e._1, "n")
+      assert(Option(r.get(3)).map(_.asInstanceOf[Double]) == e._2, "acf")
+      e._2.foreach(a => assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9))
+    }
+  }
+
   test("contrastive_pairs: positives share the label, negatives don't, margin checks out") {
     val s = spark
     val got = LlmVectorOps.contrastivePairs(s, TestSpark.sf001).collect()
