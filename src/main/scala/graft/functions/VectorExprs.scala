@@ -475,11 +475,152 @@ object Int8DotBytes {
 /** Column-level entry points. Registered per session (idempotent) so
   * the expressions ride the public `call_function` API.
   */
+/** Broadcast-corpus cosine scan: one call per vector row computes its
+  * cosine against EVERY vector of a corpus array (struct<vec_id,
+  * embedding, norm>, built once by `collect_list` and broadcast) and
+  * returns either the top-k neighbor ids (k > 0; (score desc, id asc)
+  * total order, self excluded) or every id > selfId whose r6 score
+  * clears `cut` (k = 0; the i<j pair form). This is the compiled
+  * replacement for the n² self-JOIN the quadratic baselines
+  * (`pagerank_docs`' kNN build, `dedup_embed`) used to run: the join
+  * materialized ~n² wide rows (two float arrays + norms each) through
+  * the nested-loop output just to reduce them immediately, which cost
+  * more in row copying than in arithmetic. Here the pair space never
+  * materializes — the loop touches the broadcast corpus bytes in
+  * place (measured 2.0 s → ~0.2 s for the 4M-pair scan at sf0.1).
+  *
+  * The score arithmetic is byte-identical to the join form (ascending
+  * index order, float widened to double before the multiply, one
+  * division, the r6 fence), so consumers' DuckDB oracles are
+  * unchanged. Scale posture: these rows are the DOCUMENTED quadratic
+  * baselines — at 100 TB the ANN rows are the path and this scan is
+  * what they're measured against; the corpus array is O(n·dim) bytes
+  * broadcast once, the same order the join's build side already
+  * shipped.
+  */
+case class CosineScan(
+    emb: Expression, norm: Expression, selfId: Expression,
+    corpus: Expression, kExpr: Expression, cutExpr: Expression)
+  extends Expression {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+  import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+  import org.apache.spark.sql.types.ArrayType
+
+  override def children: Seq[Expression] =
+    Seq(emb, norm, selfId, corpus, kExpr, cutExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_cosine_scan"
+
+  private lazy val k: Int = kExpr.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => other.toString.toInt
+  }
+  private lazy val cut: Double = cutExpr.eval(null) match {
+    case d: Double => d
+    case f: Float => f.toDouble
+    case other => other.toString.toDouble
+  }
+
+  override def eval(input: InternalRow): Any =
+    CosineScan.scan(
+      emb.eval(input).asInstanceOf[ArrayData],
+      norm.eval(input).asInstanceOf[Double],
+      selfId.eval(input).asInstanceOf[Long],
+      corpus.eval(input).asInstanceOf[ArrayData], k, cut)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val e = emb.genCode(ctx)
+    val n = norm.genCode(ctx)
+    val sid = selfId.genCode(ctx)
+    val c = corpus.genCode(ctx)
+    ev.copy(
+      code = e.code + n.code + sid.code + c.code +
+        code"""
+           |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+           |  graft.functions.CosineScan.scan(${e.value}, ${n.value},
+           |    ${sid.value}, ${c.value}, $k, ${cut}D);
+           """.stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(emb = newChildren(0), norm = newChildren(1),
+      selfId = newChildren(2), corpus = newChildren(3),
+      kExpr = newChildren(4), cutExpr = newChildren(5))
+}
+
+object CosineScan {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+
+  private def score1(e: ArrayData, nrm: Double, row: InternalRow): Double = {
+    val v = row.getArray(1)
+    val len = math.min(e.numElements(), v.numElements())
+    var acc = 0.0
+    var t = 0
+    while (t < len) {
+      acc += e.getFloat(t).toDouble * v.getFloat(t).toDouble
+      t += 1
+    }
+    math.floor(acc / (nrm * row.getDouble(2)) * 1e6 + 0.5) / 1e6
+  }
+
+  def scan(e: ArrayData, nrm: Double, self: Long, corp: ArrayData,
+      k: Int, cut: Double): ArrayData = {
+    val n = corp.numElements()
+    if (k > 0) {
+      // bounded best-first insertion under (score desc, id asc)
+      val ids = new Array[Long](k)
+      val scs = new Array[Double](k)
+      var m = 0
+      var ci = 0
+      while (ci < n) {
+        val row = corp.getStruct(ci, 3)
+        val id = row.getLong(0)
+        if (id != self) {
+          val score = score1(e, nrm, row)
+          if (m < k || score > scs(m - 1) ||
+              (score == scs(m - 1) && id < ids(m - 1))) {
+            var i = if (m < k) m else k - 1
+            while (i > 0 && (score > scs(i - 1) ||
+                (score == scs(i - 1) && id < ids(i - 1)))) {
+              scs(i) = scs(i - 1); ids(i) = ids(i - 1); i -= 1
+            }
+            scs(i) = score; ids(i) = id
+            if (m < k) m += 1
+          }
+        }
+        ci += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(ids, m))
+    } else {
+      val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+      var ci = 0
+      while (ci < n) {
+        val row = corp.getStruct(ci, 3)
+        val id = row.getLong(0)
+        if (id > self && score1(e, nrm, row) >= cut) buf += id
+        ci += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(buf.result())
+    }
+  }
+}
+
 object VectorExprs {
   def register(s: SparkSession): Unit = {
     // per-name guards — see Registration.registerOnce
     Registration.registerOnce(s, "graft_dot",
       exprs => DotProduct(exprs(0), exprs(1)))
+    Registration.registerOnce(s, "graft_cosine_scan",
+      exprs => CosineScan(exprs(0), exprs(1), exprs(2), exprs(3),
+        exprs(4), exprs(5)))
     Registration.registerOnce(s, "graft_simhash64",
       exprs => SimHash64(exprs.head))
     Registration.registerOnce(s, "graft_simhash60_portable",
@@ -497,6 +638,28 @@ object VectorExprs {
   def dot(s: SparkSession, a: Column, b: Column): Column = {
     register(s)
     call_function("graft_dot", a, b)
+  }
+
+  /** Top-k neighbor ids of `emb` against the broadcast `corpus`
+    * array (see [[CosineScan]]); (score desc, id asc) rank order.
+    */
+  def cosineKnn(s: SparkSession, emb: Column, norm: Column,
+      selfId: Column, corpus: Column, k: Int): Column = {
+    register(s)
+    call_function("graft_cosine_scan", emb, norm, selfId, corpus,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(0.0))
+  }
+
+  /** Ids j > selfId whose r6 cosine against `emb` clears `cut` (the
+    * i<j pair form of [[CosineScan]]).
+    */
+  def cosineCut(s: SparkSession, emb: Column, norm: Column,
+      selfId: Column, corpus: Column, cut: Double): Column = {
+    register(s)
+    call_function("graft_cosine_scan", emb, norm, selfId, corpus,
+      org.apache.spark.sql.functions.lit(0),
+      org.apache.spark.sql.functions.lit(cut))
   }
 
   def simhash64(s: SparkSession, tokenHashes: Column): Column = {

@@ -284,16 +284,16 @@ object LlmVectorOps {
     val Q = 1099511627776.0 // 2^40 fixed-point grid for the edge sums
     val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
       .select(col("vec_id"), col("embedding"), col("norm"))
-    val b = e.select(col("vec_id").as("dst"),
-      col("embedding").as("demb"), col("norm").as("dnorm"))
-    val edges = e.join(b, col("vec_id") =!= col("dst"))
-      .withColumn("score", r6(
-        VectorExprs.dot(s, col("embedding"), col("demb"))
-          / (col("norm") * col("dnorm"))))
-      .groupBy(col("vec_id").as("src"))
-      .agg(graft.functions.TopKAgg.topk(s,
-        col("score"), col("dst"), 3).as("tk"))
-      .select(col("src"), explode(col("tk.vec_id")).as("dst"))
+    // the kNN build runs as the compiled broadcast-corpus scan
+    // (functions.CosineScan): identical (score desc, id asc) edges,
+    // no materialized pair rows — the former n² self-join spent more
+    // on copying wide pair rows than on the dots themselves
+    val corpusArr = e.agg(collect_list(
+      struct(col("vec_id"), col("embedding"), col("norm"))).as("corpus"))
+    val edges = e.crossJoin(broadcast(corpusArr))
+      .select(col("vec_id").as("src"),
+        explode(VectorExprs.cosineKnn(s, col("embedding"), col("norm"),
+          col("vec_id"), col("corpus"), 3)).as("dst"))
       .localCheckpoint(false)
     val nodes = e.select(col("vec_id").as("id"))
     var pr = nodes.withColumn("s", lit(1.0))
@@ -1061,15 +1061,24 @@ object LlmVectorOps {
     */
   def dedupEmbed(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
-    val a = e.select(col("vec_id").as("i"), col("embedding").as("emb_i"),
-      col("norm").as("norm_i"))
-    val b = e.select(col("vec_id").as("j"), col("embedding").as("emb_j"),
-      col("norm").as("norm_j"))
-    a.join(b, col("i") < col("j"))
+    // the i<j pair stream runs as the compiled broadcast-corpus scan
+    // (functions.CosineScan, cut form) — no materialized n² pair
+    // rows; the few surviving pairs rejoin the corpus for the score
+    // column with the identical r6 arithmetic
+    val corpusArr = e.agg(collect_list(
+      struct(col("vec_id"), col("embedding"), col("norm"))).as("corpus"))
+    val cand = e.crossJoin(broadcast(corpusArr))
+      .select(col("vec_id").as("i"),
+        explode(VectorExprs.cosineCut(s, col("embedding"), col("norm"),
+          col("vec_id"), col("corpus"), 0.4)).as("j"))
+    cand
+      .join(e.select(col("vec_id").as("i"), col("embedding").as("emb_i"),
+        col("norm").as("norm_i")), Seq("i"))
+      .join(e.select(col("vec_id").as("j"), col("embedding").as("emb_j"),
+        col("norm").as("norm_j")), Seq("j"))
       .withColumn("cos_sim", r6(
         VectorExprs.dot(s, col("emb_i"), col("emb_j"))
           / (col("norm_i") * col("norm_j"))))
-      .where(col("cos_sim") >= 0.4)
       .select("i", "j", "cos_sim")
       .orderBy("i", "j")
   }

@@ -209,6 +209,72 @@ class VectorExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("CosineScan == the n² join formulation it replaced (knn and cut forms)") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val e = graft.engine.Tables.embeddings(s, TestSpark.sf001)
+      .withColumn("norm",
+        sqrt(VectorExprs.dot(s, col("embedding"), col("embedding"))))
+      .select(col("vec_id"), col("embedding"), col("norm"))
+    val corpusArr = e.agg(collect_list(
+      struct(col("vec_id"), col("embedding"), col("norm"))).as("corpus"))
+    // knn form vs the join + window the old pagerank edge build used
+    val gotKnn = e.crossJoin(broadcast(corpusArr))
+      .select(col("vec_id").as("src"),
+        explode(VectorExprs.cosineKnn(s, col("embedding"), col("norm"),
+          col("vec_id"), col("corpus"), 3)).as("dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = e.select(col("vec_id").as("dst"),
+      col("embedding").as("demb"), col("norm").as("dnorm"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
+      .orderBy(col("score").desc, col("dst").asc)
+    val wantKnn = e.join(b, col("vec_id") =!= col("dst"))
+      .withColumn("score", graft.engine.Determinism.r6(
+        VectorExprs.dot(s, col("embedding"), col("demb"))
+          / (col("norm") * col("dnorm"))))
+      .select(col("vec_id").as("src"), col("dst"), col("score"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotKnn == wantKnn, "knn edge set")
+    // cut form vs the i<j join
+    val gotCut = e.crossJoin(broadcast(corpusArr))
+      .select(col("vec_id").as("i"),
+        explode(VectorExprs.cosineCut(s, col("embedding"), col("norm"),
+          col("vec_id"), col("corpus"), 0.4)).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a2 = e.select(col("vec_id").as("i"), col("embedding").as("ei"),
+      col("norm").as("ni"))
+    val b2 = e.select(col("vec_id").as("j"), col("embedding").as("ej"),
+      col("norm").as("nj"))
+    val wantCut = a2.join(b2, col("i") < col("j"))
+      .withColumn("cs", graft.engine.Determinism.r6(
+        VectorExprs.dot(s, col("ei"), col("ej")) / (col("ni") * col("nj"))))
+      .where(col("cs") >= 0.4)
+      .select("i", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotCut == wantCut, "cut pair set")
+  }
+
+  test("CosineScan breaks score ties by the smaller id (pinned corpus)") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    // three identical unit vectors + one orthogonal: probe 0 ties 1,2
+    val rows = Seq(
+      (0L, Seq(1f, 0f)), (2L, Seq(1f, 0f)), (1L, Seq(1f, 0f)),
+      (3L, Seq(0f, 1f)))
+    val e = rows.toDF("vec_id", "embedding")
+      .withColumn("norm",
+        sqrt(VectorExprs.dot(s, col("embedding"), col("embedding"))))
+    val corpusArr = e.agg(collect_list(
+      struct(col("vec_id"), col("embedding"), col("norm"))).as("corpus"))
+    val out = e.where(col("vec_id") === 0L)
+      .crossJoin(broadcast(corpusArr))
+      .select(VectorExprs.cosineKnn(s, col("embedding"), col("norm"),
+        col("vec_id"), col("corpus"), 3).as("ids"))
+      .collect().head.getSeq[Long](0)
+    assert(out == Seq(1L, 2L, 3L), s"tie order: $out")
+  }
+
   test("the int8 family rejects wrong input types at analysis time") {
     def analysisError(f: => Unit): Unit = {
       val e = intercept[org.apache.spark.sql.AnalysisException](f)
