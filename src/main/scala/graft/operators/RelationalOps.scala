@@ -483,9 +483,16 @@ object RelationalOps {
     val n = baskets.agg(count(lit(1)).as("n_orders"))
     val pc = baskets.select(explode(col("ds")).as("l_partkey"))
       .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+    // the (support desc, part_a, part_b) top-20 needs nothing from
+    // the frequency tables, so take it FIRST (TakeOrderedAndProject
+    // over the pair stream) and join c_a/c_b/n onto 20 rows — the
+    // former plan shuffled the full deduped pair stream through two
+    // part-count joins just to decorate rows the limit then dropped
     graft.engine.Pairs.countedPairs(s,
       baskets.where(size(col("ds")) > 1), "ds", "support", wide)
       .select(col("i").as("part_a"), col("j").as("part_b"), col("support"))
+      .orderBy(col("support").desc, col("part_a").asc, col("part_b").asc)
+      .limit(20)
       .join(pc.select(col("l_partkey").as("part_a"), col("c").as("c_a")),
         Seq("part_a"))
       .join(pc.select(col("l_partkey").as("part_b"), col("c").as("c_b")),
@@ -496,6 +503,5 @@ object RelationalOps {
         r6((col("support") * col("n_orders")).cast("double")
           / (col("c_a") * col("c_b")).cast("double")).as("lift"))
       .orderBy(col("support").desc, col("part_a").asc, col("part_b").asc)
-      .limit(20)
   }
 }
