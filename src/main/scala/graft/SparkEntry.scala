@@ -104,6 +104,8 @@ object SparkEntry {
     "similarity_topk_b1"       -> (LlmVectorOps.similarityTopkB1 _),
     "seasonality_strength"     -> (AnalyticOps.seasonalityStrength _),
     "markov_transitions"       -> (AnalyticOps.markovTransitions _),
+    "benford_deviation"        -> (AnalyticOps.benfordDeviation _),
+    "ab_test_power"            -> (AnalyticOps.abTestPower _),
     "cusum_changepoint"        -> (AnalyticOps.cusumChangepoint _),
     "autocorrelation"          -> (AnalyticOps.autocorrelation _),
     "embed_norm_stats"         -> (LlmVectorOps.embedNormStats _),
@@ -2208,6 +2210,92 @@ object SparkEntry {
                     - CAST(corr_q AS DOUBLE), 0.0)
                   * 1000000.0 + 0.5) / 1000000.0 AS seasonality_r2
          FROM cg JOIN pk USING (symbol) ORDER BY symbol""",
+    // Benford first-digit screen: pure-integer digit ladder (no
+    // log10 — its decade-boundary ulp is where floor flips), 6-dp
+    // literal expected shares, fenced observed shares
+    "benford_deviation" ->
+      """WITH t AS (SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                AS vq
+              FROM events),
+         dg AS (SELECT CASE
+                  WHEN vq < 10 THEN vq
+                  WHEN vq < 100 THEN vq // 10
+                  WHEN vq < 1000 THEN vq // 100
+                  WHEN vq < 10000 THEN vq // 1000
+                  WHEN vq < 100000 THEN vq // 10000
+                  WHEN vq < 1000000 THEN vq // 100000
+                  WHEN vq < 10000000 THEN vq // 1000000
+                  WHEN vq < 100000000 THEN vq // 10000000
+                  WHEN vq < 1000000000 THEN vq // 100000000
+                  WHEN vq < 10000000000 THEN vq // 1000000000
+                  WHEN vq < 100000000000 THEN vq // 10000000000
+                  WHEN vq < 1000000000000 THEN vq // 100000000000
+                  WHEN vq < 10000000000000 THEN vq // 1000000000000
+                  WHEN vq < 100000000000000 THEN vq // 10000000000000
+                  WHEN vq < 1000000000000000 THEN vq // 100000000000000
+                  WHEN vq < 10000000000000000 THEN vq // 1000000000000000
+                  WHEN vq < 100000000000000000 THEN vq // 10000000000000000
+                  WHEN vq < 1000000000000000000 THEN vq // 100000000000000000
+                  ELSE vq // 1000000000000000000 END AS digit
+               FROM t WHERE vq >= 1),
+         c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+               FROM dg GROUP BY 1),
+         g AS (SELECT *, CAST(SUM(n) OVER () AS BIGINT) AS total FROM c)
+         SELECT digit, n,
+                floor(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+                  * 1000000.0 + 0.5) / 1000000.0 AS obs_share,
+                CASE digit WHEN 1 THEN 0.301030 WHEN 2 THEN 0.176091
+                  WHEN 3 THEN 0.124939 WHEN 4 THEN 0.096910
+                  WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947
+                  WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153
+                  WHEN 9 THEN 0.045757 END AS benford_share,
+                floor((floor(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+                      * 1000000.0 + 0.5) / 1000000.0
+                    - CASE digit WHEN 1 THEN 0.301030 WHEN 2 THEN 0.176091
+                      WHEN 3 THEN 0.124939 WHEN 4 THEN 0.096910
+                      WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947
+                      WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153
+                      WHEN 9 THEN 0.045757 END)
+                  * 1000000.0 + 0.5) / 1000000.0 AS deviation
+         FROM g ORDER BY digit""",
+    // two-proportion power: the abArms integers + 6-dp z literals
+    // through one written IEEE op sequence, ceil to the per-arm n
+    "ab_test_power" ->
+      """WITH per AS (SELECT user_id,
+                CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                    THEN 1 ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS conv
+              FROM events GROUP BY user_id),
+         armed AS (SELECT ((user_id % 1000000007) * 3432918353
+                     % 1000000007) % 2 AS arm, conv
+                   FROM per),
+         a AS (SELECT
+                 CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_a,
+                 CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_b,
+                 CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END)
+                   AS BIGINT) AS conv_a,
+                 CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END)
+                   AS BIGINT) AS conv_b
+               FROM armed),
+         r AS (SELECT n_a, n_b,
+                 CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p1,
+                 CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p2,
+                 CAST(conv_a + conv_b AS DOUBLE)
+                   / CAST(n_a + n_b AS DOUBLE) AS pbar
+               FROM a)
+         SELECT n_a, n_b,
+                floor(p1 * 1000000.0 + 0.5) / 1000000.0 AS rate_a,
+                floor(p2 * 1000000.0 + 0.5) / 1000000.0 AS rate_b,
+                floor((p1 - p2) * 1000000.0 + 0.5) / 1000000.0 AS delta,
+                CAST(ceil(
+                  (1.959964 * sqrt(2.0 * pbar * (1.0 - pbar))
+                    + 0.841621 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+                  * (1.959964 * sqrt(2.0 * pbar * (1.0 - pbar))
+                    + 0.841621 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+                  / NULLIF((p1 - p2) * (p1 - p2), 0.0)) AS BIGINT)
+                  AS n_required_per_arm
+         FROM r""",
     // first-order event-type Markov chain: integer transition counts
     // from one lag window, fenced row-normalized probabilities
     "markov_transitions" ->

@@ -1582,6 +1582,103 @@ object AnalyticOps {
       .orderBy("hour")
   }
 
+  /** `benford_deviation` — first-significant-digit distribution of
+    * event values against Benford's law: the forensic data-quality
+    * screen (fabricated, clipped, or unit-mangled numeric feeds bend
+    * the leading-digit curve long before summary stats move). Joins
+    * the audit family (`data_profile`, `anomaly_mad`) as the
+    * "is this column's SHAPE natural" check.
+    *
+    * Portability: the first digit comes from a pure-integer CASE
+    * ladder over the 1e-2-grid value (no log10 — its last ulp at
+    * decade boundaries is exactly where floor would flip), counts
+    * are integers, the nine Benford shares are identical 6-dp
+    * literals on both engines, and each share/deviation is one
+    * fenced op. One aggregate to ≤ 9 rows at any scale.
+    */
+  def benfordDeviation(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.events(s, d)
+      .select(floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+        .as("vq"))
+      .where(col("vq") >= 1)
+    var digit = when(col("vq") < 10, col("vq"))
+    var p = 10L
+    (2 to 18).foreach { _ =>
+      digit = digit.when(col("vq") < p * 10, expr(s"vq DIV ${p}L"))
+      p = p * 10
+    }
+    val benford = Seq(
+      1 -> 0.301030, 2 -> 0.176091, 3 -> 0.124939, 4 -> 0.096910,
+      5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992, 8 -> 0.051153,
+      9 -> 0.045757)
+    val bshare = benford.tail.foldLeft(
+      when(col("digit") === 1, lit(benford.head._2))) {
+      case (acc, (dg, sh)) => acc.when(col("digit") === dg, lit(sh))
+    }
+    base
+      .select(digit.as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .select(col("digit"), col("n"),
+        r6(col("n").cast("double") / col("total").cast("double"))
+          .as("obs_share"),
+        bshare.as("benford_share"))
+      .withColumn("deviation",
+        r6(col("obs_share") - col("benford_share")))
+      .orderBy("digit")
+  }
+
+  /** `ab_test_power` — the sample-size side of [[abTestZ]]: given the
+    * two arms' observed rates, the per-arm n needed to detect that
+    * delta at α = 0.05 (two-sided) with 80% power — the standard
+    * two-proportion power formula (Fleiss): n = (z₁₋α/₂·√(2p̄q̄) +
+    * z₁₋β·√(p₁q₁+p₂q₂))² / δ². The "is this experiment even big
+    * enough" readout an experimentation platform prints beside the
+    * z-test.
+    *
+    * Portability: the arm integers are shared with [[abTestZ]]; the
+    * two z quantiles are identical 6-dp literals on both engines, and
+    * the whole formula is one written IEEE op sequence (divisions,
+    * sqrt, ceil — all correctly rounded) from those integers. One
+    * row out.
+    */
+  def abTestPower(s: SparkSession, d: String): DataFrame = {
+    val arms = abArms(s, d)
+    val p1 = col("conv_a").cast("double") / col("n_a").cast("double")
+    val p2 = col("conv_b").cast("double") / col("n_b").cast("double")
+    val pbar = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val num = lit(1.959964) * sqrt(lit(2.0) * pbar * (lit(1.0) - pbar)) +
+      lit(0.841621) * sqrt(p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2))
+    arms.select(
+      col("n_a"), col("n_b"),
+      r6(p1).as("rate_a"), r6(p2).as("rate_b"),
+      r6(p1 - p2).as("delta"),
+      ceil(num * num
+        / nullif((p1 - p2) * (p1 - p2), lit(0.0))).cast("long")
+        .as("n_required_per_arm"))
+  }
+
+  /** The shared per-arm conversion aggregate behind [[abTestZ]] and
+    * [[abTestPower]] — one row: n and converters per hash arm.
+    */
+  private def abArms(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(when(sum(when(col("event_type") === "purchase", lit(1))
+        .otherwise(lit(0))) >= 14, lit(1)).otherwise(lit(0)).as("conv"))
+      .withColumn("arm",
+        ((col("user_id") % lit(1000000007L)) * lit(3432918353L)
+          % lit(1000000007L)) % lit(2))
+      .agg(
+        sum(when(col("arm") === 0, lit(1)).otherwise(lit(0))).as("n_a"),
+        sum(when(col("arm") === 1, lit(1)).otherwise(lit(0))).as("n_b"),
+        sum(when(col("arm") === 0, col("conv")).otherwise(lit(0)))
+          .as("conv_a"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(lit(0)))
+          .as("conv_b"))
+
   /** `bootstrap_ci` — deterministic subsample bootstrap of the mean
     * purchase value: 32 half-rate replicates drawn by a decorrelated
     * per-(row, replicate) hash predicate, a 95% CI from the sorted
@@ -1665,22 +1762,9 @@ object AnalyticOps {
     * user-keyed aggregate + a single global fold to one row.
     */
   def abTestZ(s: SparkSession, d: String): DataFrame = {
-    val per = Tables.events(s, d)
-      .groupBy(col("user_id"))
-      .agg(when(sum(when(col("event_type") === "purchase", lit(1))
-        .otherwise(lit(0))) >= 14, lit(1)).otherwise(lit(0)).as("conv"))
-      .withColumn("arm",
-        ((col("user_id") % lit(1000000007L)) * lit(3432918353L)
-          % lit(1000000007L)) % lit(2))
     val pooled = (col("conv_a") + col("conv_b")).cast("double") /
       (col("n_a") + col("n_b")).cast("double")
-    per.agg(
-      sum(when(col("arm") === 0, lit(1)).otherwise(lit(0))).as("n_a"),
-      sum(when(col("arm") === 1, lit(1)).otherwise(lit(0))).as("n_b"),
-      sum(when(col("arm") === 0, col("conv")).otherwise(lit(0)))
-        .as("conv_a"),
-      sum(when(col("arm") === 1, col("conv")).otherwise(lit(0)))
-        .as("conv_b"))
+    abArms(s, d)
       .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
         r6(col("conv_a").cast("double") / col("n_a").cast("double"))
           .as("rate_a"),

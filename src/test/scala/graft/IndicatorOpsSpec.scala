@@ -484,6 +484,56 @@ class IndicatorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("benford_deviation == driver-side digit census; shares sum to 1") {
+    val s = spark
+    val got = AnalyticOps.benfordDeviation(s, TestSpark.sf001).collect()
+    val benford = Map(1 -> 0.301030, 2 -> 0.176091, 3 -> 0.124939,
+      4 -> 0.096910, 5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992,
+      8 -> 0.051153, 9 -> 0.045757)
+    val digits = Tables.events(s, TestSpark.sf001)
+      .select(col("value")).collect()
+      .map(r => math.floor(r.getDouble(0) * 100.0 + 0.5).toLong)
+      .filter(_ >= 1)
+      .map { vq =>
+        var v = vq
+        while (v >= 10) v /= 10
+        v
+      }
+    val counts = digits.groupBy(identity).map { case (k, v) =>
+      k -> v.length.toLong
+    }
+    val total = digits.length.toLong
+    assert(got.length == counts.size)
+    got.foreach { r =>
+      val dg = r.getLong(0)
+      assert(r.getLong(1) == counts(dg), s"n for digit $dg")
+      val obs = q6(counts(dg).toDouble / total.toDouble)
+      assert(r.getDouble(2) == obs, "obs_share")
+      assert(r.getDouble(3) == benford(dg.toInt), "benford_share")
+      assert(r.getDouble(4) == q6(obs - benford(dg.toInt)), "deviation")
+    }
+    assert(math.abs(got.map(_.getDouble(2)).sum - 1.0) < 1e-4)
+  }
+
+  test("ab_test_power agrees with the z-test arms and the Fleiss formula") {
+    val s = spark
+    val z = AnalyticOps.abTestZ(s, TestSpark.sf001).collect().head
+    val p = AnalyticOps.abTestPower(s, TestSpark.sf001).collect().head
+    assert(p.getLong(0) == z.getLong(0) && p.getLong(1) == z.getLong(1),
+      "same arms")
+    assert(p.getDouble(2) == z.getDouble(4) && p.getDouble(3) == z.getDouble(5),
+      "same fenced rates")
+    val (na, nb) = (z.getLong(0).toDouble, z.getLong(1).toDouble)
+    val (xa, xb) = (z.getLong(2).toDouble, z.getLong(3).toDouble)
+    val (p1, p2) = (xa / na, xb / nb)
+    val pbar = (xa + xb) / (na + nb)
+    val num = 1.959964 * math.sqrt(2.0 * pbar * (1.0 - pbar)) +
+      0.841621 * math.sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))
+    val want = math.ceil(num * num / ((p1 - p2) * (p1 - p2))).toLong
+    assert(p.getLong(5) == want, "n_required_per_arm")
+    assert(p.getLong(5) > 0)
+  }
+
   test("contrastive_pairs: positives share the label, negatives don't, margin checks out") {
     val s = spark
     val got = LlmVectorOps.contrastivePairs(s, TestSpark.sf001).collect()

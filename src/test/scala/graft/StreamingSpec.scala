@@ -1001,6 +1001,70 @@ class StreamingSpec extends AnyFunSuite {
         "the watermark-late view is dropped; user 2 stays at zero steps")
     } finally q.stop()
   }
+
+  test("S19 streaming_attribution: purchases settle with the batch verdict, equal-ts click rejected") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingAttribution
+    import graft.streaming.StreamingAttribution.TouchEvent
+    val in = MemoryStream[TouchEvent]
+    val q = StreamingAttribution.attributionStream(in.toDS())
+      .writeStream.format("memory").queryName("s19_out")
+      .outputMode(OutputMode.Append).start()
+    def rows = spark.sql(
+      "SELECT user_id, purchase_event_id, attributed, gap_us FROM s19_out " +
+        "ORDER BY user_id, purchase_event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getLong(3)))
+    try {
+      // user 1: click then purchase 5 min later (attributed, arrives
+      // out of order); user 2: purchase with a click at the SAME
+      // timestamp (strict < rejects it); user 3: purchase 25 h after
+      // its click (outside the 24 h lookback)
+      in.addData(
+        TouchEvent(ts("2024-01-01 10:05:00"), 1L, "purchase", 2L),
+        TouchEvent(ts("2024-01-01 10:00:00"), 1L, "click", 1L),
+        TouchEvent(ts("2024-01-01 10:00:00"), 2L, "click", 3L),
+        TouchEvent(ts("2024-01-01 10:00:00"), 2L, "purchase", 4L),
+        TouchEvent(ts("2024-01-01 09:00:00"), 3L, "click", 5L))
+      q.processAllAvailable()
+      assert(rows.isEmpty, "nothing settles before the watermark moves")
+      in.addData(TouchEvent(ts("2024-01-02 10:30:00"), 3L, "purchase", 6L))
+      q.processAllAvailable()
+      // push the watermark past user 3's purchase too
+      in.addData(TouchEvent(ts("2024-01-02 12:00:00"), 9L, "view", 7L))
+      q.processAllAvailable()
+      val settled = rows
+      assert(settled.length == 3, s"three purchases settle: ${settled.mkString(",")}")
+      val byId = settled.map(t => t._2 -> t).toMap
+      assert(byId(2L)._3 && byId(2L)._4 == 5L * 60L * 1000000L,
+        "user 1 attributed with a 5 min gap")
+      assert(!byId(4L)._3, "equal-timestamp click is strictly before? no — rejected")
+      assert(!byId(6L)._3, "25 h gap is outside the lookback")
+      // stream verdicts == the batch operator's per-purchase logic on
+      // the same closed data
+      val tmp = java.nio.file.Files.createTempDirectory("s19").toString
+      try {
+        Seq(
+          (2L, ts("2024-01-01 10:05:00"), 1L, "purchase", 1.0, "{}"),
+          (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, "{}"),
+          (3L, ts("2024-01-01 10:00:00"), 2L, "click", 1.0, "{}"),
+          (4L, ts("2024-01-01 10:00:00"), 2L, "purchase", 1.0, "{}"),
+          (5L, ts("2024-01-01 09:00:00"), 3L, "click", 1.0, "{}"),
+          (6L, ts("2024-01-02 10:30:00"), 3L, "purchase", 1.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .write.parquet(s"$tmp/events.parquet")
+        val batch = graft.operators.AnalyticOps
+          .attributionLastTouch(spark, tmp).collect()
+        val nAttr = batch.map(_.getLong(2)).sum
+        val nDirect = batch.map(_.getLong(3)).sum
+        assert(nAttr == settled.count(_._3).toLong, "attributed totals agree")
+        assert(nDirect == settled.count(!_._3).toLong, "direct totals agree")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
+    } finally q.stop()
+  }
 }
 
 object StreamingSpec {
