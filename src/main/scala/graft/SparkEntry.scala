@@ -106,6 +106,9 @@ object SparkEntry {
     "markov_transitions"       -> (AnalyticOps.markovTransitions _),
     "benford_deviation"        -> (AnalyticOps.benfordDeviation _),
     "ab_test_power"            -> (AnalyticOps.abTestPower _),
+    "survival_km"              -> (AnalyticOps.survivalKm _),
+    "session_stats"            -> (LlmTextOps.sessionStats _),
+    "ann_recall_b1"            -> (LlmVectorOps.annRecallB1 _),
     "cusum_changepoint"        -> (AnalyticOps.cusumChangepoint _),
     "autocorrelation"          -> (AnalyticOps.autocorrelation _),
     "embed_norm_stats"         -> (LlmVectorOps.embedNormStats _),
@@ -2210,6 +2213,143 @@ object SparkEntry {
                     - CAST(corr_q AS DOUBLE), 0.0)
                   * 1000000.0 + 0.5) / 1000000.0 AS seasonality_r2
          FROM cg JOIN pk USING (symbol) ORDER BY symbol""",
+    // Kaplan-Meier: exact rational per-time factors, 1e-6-quantized
+    // ln terms, integer cumulative sums; terminal S=0 row gets NULL
+    "survival_km" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
+              FROM events),
+         pu AS (SELECT user_id,
+                  MIN(CASE WHEN event_type = 'signup' THEN us END) AS t0,
+                  MAX(us) AS t_last
+                FROM ev GROUP BY 1),
+         pu2 AS (SELECT * FROM pu WHERE t0 IS NOT NULL),
+         fp AS (SELECT e.user_id, MIN(e.us) AS t_purch
+                FROM ev e JOIN pu2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.us > pu2.t0
+                GROUP BY 1),
+         obs AS (SELECT
+                   CASE WHEN t_purch IS NOT NULL THEN t_purch - t0
+                     ELSE t_last - t0 END AS dur_us,
+                   CASE WHEN t_purch IS NOT NULL THEN 1 ELSE 0 END
+                     AS event
+                 FROM pu2 LEFT JOIN fp USING (user_id)),
+         bd AS (SELECT dur_us, CAST(SUM(event) AS BIGINT) AS d,
+                  CAST(SUM(1 - event) AS BIGINT) AS c
+                FROM obs GROUP BY 1),
+         rk AS (SELECT *, CAST(SUM(d + c) OVER (ORDER BY dur_us DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS n_risk
+                FROM bd),
+         dd AS (SELECT * FROM rk WHERE d > 0),
+         tq AS (SELECT *, CASE WHEN n_risk > d THEN
+                  CAST(floor(ln(CAST(n_risk - d AS DOUBLE)
+                    / CAST(n_risk AS DOUBLE)) * 1000000.0 + 0.5)
+                    AS BIGINT) END AS term_q
+                FROM dd),
+         cs AS (SELECT *, CAST(SUM(term_q) OVER (ORDER BY dur_us ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS ln_surv_q
+                FROM tq)
+         SELECT dur_us, n_risk, d AS n_events,
+                floor(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                  * 1000000.0 + 0.5) / 1000000.0 AS hazard,
+                CASE WHEN n_risk > d
+                  THEN CAST(ln_surv_q AS DOUBLE) / 1000000.0 END
+                  AS ln_survival
+         FROM cs ORDER BY dur_us""",
+    // per-session distribution on the sessionize cut: integer µs
+    // durations, the value_percentiles interpolation contract
+    "session_stats" ->
+      """WITH t AS (SELECT user_id, ts, epoch_us(ts) AS us FROM events),
+         l AS (SELECT *, lag(us) OVER (PARTITION BY user_id
+                 ORDER BY ts) AS prev_us
+               FROM t),
+         m AS (SELECT *, CASE WHEN prev_us IS NULL
+                 OR us - prev_us > 1800000000 THEN 1 ELSE 0 END
+                 AS new_session
+               FROM l),
+         sid AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND
+                   CURRENT ROW) AS session_id
+                 FROM m),
+         ses AS (SELECT user_id, session_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   MAX(us) - MIN(us) AS dur_us
+                 FROM sid GROUP BY 1, 2),
+         a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                 CAST(SUM(n_events) AS BIGINT) AS total_events,
+                 CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_bounce,
+                 quantile_cont(dur_us, 0.5) AS p50_raw,
+                 quantile_cont(dur_us, 0.9) AS p90_raw,
+                 quantile_cont(n_events, 0.5) AS pe_raw
+               FROM ses)
+         SELECT n_sessions,
+                floor(CAST(total_events AS DOUBLE)
+                  / CAST(n_sessions AS DOUBLE)
+                  * 1000000.0 + 0.5) / 1000000.0 AS mean_events,
+                floor(CAST(n_bounce AS DOUBLE)
+                  / CAST(n_sessions AS DOUBLE)
+                  * 1000000.0 + 0.5) / 1000000.0 AS bounce_share,
+                floor(p50_raw * 1000000.0 + 0.5) / 1000000.0
+                  AS p50_dur_us,
+                floor(p90_raw * 1000000.0 + 0.5) / 1000000.0
+                  AS p90_dur_us,
+                floor(pe_raw * 1000000.0 + 0.5) / 1000000.0
+                  AS p50_events
+         FROM a""",
+    // recall@10 of the 1-bit rung vs exact: both rankings are total
+    // orders, so approximation quality itself hash-gates
+    "ann_recall_b1" ->
+      """WITH probes AS (SELECT vec_id AS probe_id, embedding AS probe_emb
+                         FROM embeddings WHERE vec_id < 5),
+         xp AS (
+           SELECT probe_id, vec_id,
+                  floor((list_aggregate([CAST(probe_emb[i] AS DOUBLE)
+                          * CAST(embedding[i] AS DOUBLE)
+                          for i in range(1, len(probe_emb) + 1)], 'sum')
+                    / (sqrt(list_aggregate([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                             for x in probe_emb], 'sum'))
+                       * sqrt(list_aggregate([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                              for x in embedding], 'sum')))) * 1000000 + 0.5)
+                    / 1000000 AS score
+           FROM embeddings, probes WHERE vec_id <> probe_id),
+         ex AS (SELECT probe_id, vec_id FROM
+                  (SELECT probe_id, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY probe_id
+                       ORDER BY score DESC, vec_id ASC) AS rank
+                   FROM xp)
+                WHERE rank <= 10),
+         sig AS (SELECT vec_id,
+                CAST(list_aggregate([CASE WHEN embedding[i] > 0
+                    THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END
+                  for i in range(1, 33)], 'sum') AS BIGINT) AS lo,
+                CAST(list_aggregate([CASE WHEN embedding[i + 32] > 0
+                    THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END
+                  for i in range(1, 33)], 'sum') AS BIGINT) AS hi
+              FROM embeddings),
+         bprobes AS (SELECT vec_id AS probe_id, lo AS plo, hi AS phi
+                     FROM sig WHERE vec_id < 5),
+         bp AS (SELECT probe_id, s.vec_id,
+                  bit_count(xor(s.lo, plo)) + bit_count(xor(s.hi, phi))
+                    AS hamming
+                FROM sig s, bprobes WHERE s.vec_id <> probe_id),
+         bb AS (SELECT probe_id, vec_id FROM
+                  (SELECT probe_id, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY probe_id
+                       ORDER BY hamming ASC, vec_id ASC) AS rank
+                   FROM bp)
+                WHERE rank <= 10),
+         h AS (SELECT e.probe_id, CAST(COUNT(*) AS BIGINT) AS hits
+               FROM ex e JOIN bb USING (probe_id, vec_id) GROUP BY 1),
+         ne AS (SELECT probe_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+                FROM ex GROUP BY 1)
+         SELECT ne.probe_id,
+                CAST(COALESCE(hits, 0) AS BIGINT) AS n_hit, n_exact,
+                floor(CAST(COALESCE(hits, 0) AS DOUBLE)
+                  / CAST(n_exact AS DOUBLE)
+                  * 1000000.0 + 0.5) / 1000000.0 AS recall_at_10
+         FROM ne LEFT JOIN h USING (probe_id) ORDER BY ne.probe_id""",
     // Benford first-digit screen: pure-integer digit ladder (no
     // log10 — its decade-boundary ulp is where floor flips), 6-dp
     // literal expected shares, fenced observed shares

@@ -1582,6 +1582,72 @@ object AnalyticOps {
       .orderBy("hour")
   }
 
+  /** `survival_km` — Kaplan–Meier survival of signup→purchase
+    * conversion time: for each user, the µs from their FIRST signup
+    * to their first purchase AFTER it (users with no qualifying
+    * purchase are right-censored at their last event). The
+    * time-to-event readout behind activation dashboards — "how long
+    * until half the signups convert" is the p50 of THIS curve, which
+    * naive mean-gap stats get wrong exactly because of censoring.
+    *
+    * Portability: the ln posture — every per-time factor
+    * (nᵢ−dᵢ)/nᵢ is an exact rational whose double quotient is
+    * identical cross-engine, its ln is quantized to a 1e-6-grid
+    * integer, and the survival curve is the cumulative INTEGER sum
+    * of those terms in duration order (reported as ln S; exp is the
+    * one op fenced away). Risk sets are integer window cumsums.
+    * Scale: one user-keyed fold to one observation per user, then
+    * windows over DISTINCT event times — rows bounded by the
+    * distinct-duration count.
+    */
+  def survivalKm(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("us"))).as("t0"),
+        max(col("us")).as("t_last"))
+      .where(col("t0").isNotNull)
+    val firstPurch = ev.where(col("event_type") === "purchase")
+      .join(perUser, Seq("user_id"))
+      .where(col("us") > col("t0"))
+      .groupBy(col("user_id"))
+      .agg(min(col("us")).as("t_purch"))
+    val obs = perUser.join(firstPurch, Seq("user_id"), "left")
+      .select(
+        when(col("t_purch").isNotNull, col("t_purch") - col("t0"))
+          .otherwise(col("t_last") - col("t0")).as("dur_us"),
+        when(col("t_purch").isNotNull, lit(1L)).otherwise(lit(0L))
+          .as("event"))
+    val byDur = obs.groupBy(col("dur_us"))
+      .agg(sum(col("event")).as("d"),
+        sum(lit(1L) - col("event")).as("c"))
+    val wDesc = Window.orderBy(col("dur_us").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy(col("dur_us").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDur
+      .withColumn("n_risk", sum(col("d") + col("c")).over(wDesc))
+      .where(col("d") > 0)
+      // a time where everyone at risk converts drives S to exactly 0
+      // (ln S = −∞); that can only be the LAST row — its ln_survival
+      // reports NULL rather than a non-finite double
+      .withColumn("term_q",
+        when(col("n_risk") > col("d"),
+          floor(log((col("n_risk") - col("d")).cast("double")
+            / col("n_risk").cast("double")) * lit(1000000.0) + lit(0.5))
+            .cast("long")))
+      .withColumn("ln_surv_q", sum(col("term_q")).over(wAsc))
+      .select(col("dur_us"), col("n_risk"), col("d").as("n_events"),
+        r6(col("d").cast("double") / col("n_risk").cast("double"))
+          .as("hazard"),
+        when(col("n_risk") > col("d"),
+          col("ln_surv_q").cast("double") / lit(1000000.0))
+          .as("ln_survival"))
+      .orderBy("dur_us")
+  }
+
   /** `benford_deviation` — first-significant-digit distribution of
     * event values against Benford's law: the forensic data-quality
     * screen (fabricated, clipped, or unit-mangled numeric feeds bend

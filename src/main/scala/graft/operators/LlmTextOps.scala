@@ -69,6 +69,51 @@ object LlmTextOps {
       .orderBy("user_id")
   }
 
+  /** `session_stats` — the per-session distribution behind
+    * [[sessionize]]'s per-user counts: sessions cut at the same
+    * 1800 s µs-exact gap, then duration and event-count percentiles
+    * plus the bounce share (single-event sessions) — the
+    * engagement-shape report a product dashboard renders from the
+    * session table. One extra window (the running session-id cumsum
+    * rides the SAME user-sort shuffle sessionize already pays) + one
+    * session-keyed aggregate + one global fold.
+    *
+    * Portability: durations are exact integer µs; percentiles use
+    * the `value_percentiles` interpolation contract; the mean and
+    * bounce share are fenced divisions from integer sums.
+    */
+  def sessionStats(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull
+          || unix_micros(col("ts")) - unix_micros(col("prev_ts"))
+            > 1800000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          .as("dur_us"))
+    sessions.agg(
+      count(lit(1)).as("n_sessions"),
+      sum(col("n_events")).as("total_events"),
+      sum(when(col("n_events") === 1, lit(1)).otherwise(lit(0)))
+        .as("n_bounce"),
+      expr("percentile(dur_us, 0.5)").as("p50_raw"),
+      expr("percentile(dur_us, 0.9)").as("p90_raw"),
+      expr("percentile(n_events, 0.5)").as("pe_raw"))
+      .select(col("n_sessions"),
+        r6(col("total_events").cast("double")
+          / col("n_sessions").cast("double")).as("mean_events"),
+        r6(col("n_bounce").cast("double")
+          / col("n_sessions").cast("double")).as("bounce_share"),
+        r6(col("p50_raw")).as("p50_dur_us"),
+        r6(col("p90_raw")).as("p90_dur_us"),
+        r6(col("pe_raw")).as("p50_events"))
+  }
+
   /** E17 `dedup_exact` — exact dedup on text: hash-groupBy on the
     * content, deterministic survivor = min doc_id. At 100 TB, group
     * on a content digest (xxhash64/sha2) instead of the full text to

@@ -196,6 +196,32 @@ object LlmVectorOps {
       .orderBy("probe_id", "rank")
   }
 
+  /** `ann_recall_b1` — recall@10 of the 1-bit Hamming rung against
+    * the exact cosine ranking, per probe, AS A QUERY: both rankings
+    * are fully deterministic (total orders over gridded scores), so
+    * the quality of the approximation is itself an oracle-gateable
+    * number — the in-engine form of the recall measurements the ANN
+    * specs run, servable to a dashboard on every corpus snapshot
+    * ("is 1-bit still good enough on TODAY's data" is a monitoring
+    * question, not a one-off benchmark). Scale: two broadcast-probe
+    * corpus scans + a 50-row join.
+    */
+  def annRecallB1(s: SparkSession, d: String): DataFrame = {
+    val exact = similarityTopk(s, d)
+      .select(col("probe_id"), col("vec_id"))
+    val b1 = similarityTopkB1(s, d)
+      .select(col("probe_id"), col("vec_id"))
+    val hits = exact.join(b1, Seq("probe_id", "vec_id"), "left_semi")
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("hits"))
+    exact.groupBy(col("probe_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("hits"), lit(0L)).as("n_hit"), col("n_exact"),
+        r6(coalesce(col("hits"), lit(0L)).cast("double")
+          / col("n_exact").cast("double")).as("recall_at_10"))
+      .orderBy("probe_id")
+  }
+
   /** `rrf_fusion` — reciprocal-rank fusion (Cormack et al., SIGIR'09)
     * of a lexical and a semantic ranking: the hybrid-retrieval
     * primitive every RAG / decontamination-lookup stack runs. Leg 1

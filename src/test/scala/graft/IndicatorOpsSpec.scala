@@ -534,6 +534,114 @@ class IndicatorOpsSpec extends AnyFunSuite {
     assert(p.getLong(5) > 0)
   }
 
+  test("survival_km == driver-side KM recomputation; ln-survival is non-increasing") {
+    val s = spark
+    val got = AnalyticOps.survivalKm(s, TestSpark.sf001).collect()
+    val events = Tables.events(s, TestSpark.sf001)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val obs = events.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val signups = rows.filter(_._2 == "signup").map(_._3)
+      if (signups.isEmpty) None
+      else {
+        val t0 = signups.min
+        val purch = rows.filter(r => r._2 == "purchase" && r._3 > t0)
+          .map(_._3)
+        if (purch.nonEmpty) Some((purch.min - t0, 1L))
+        else Some((rows.map(_._3).max - t0, 0L))
+      }
+    }
+    val byDur = obs.groupBy(_._1).map { case (dur, xs) =>
+      (dur, xs.count(_._2 == 1L).toLong, xs.count(_._2 == 0L).toLong)
+    }.toSeq.sortBy(_._1)
+    val totalObs = obs.length.toLong
+    var seen = 0L
+    var lnQ = 0L
+    val expected = byDur.flatMap { case (dur, d, c) =>
+      val nRisk = totalObs - seen
+      seen += d + c
+      if (d == 0) None
+      else {
+        val term = if (nRisk > d)
+          Some(math.floor(math.log((nRisk - d).toDouble / nRisk.toDouble)
+            * 1e6 + 0.5).toLong)
+        else None
+        term.foreach(lnQ += _)
+        Some((dur, nRisk, d, q6(d.toDouble / nRisk.toDouble),
+          if (nRisk > d) Some(lnQ.toDouble / 1e6) else None))
+      }
+    }
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (r, e) =>
+      assert(r.getLong(0) == e._1, "dur_us")
+      assert(r.getLong(1) == e._2, "n_risk")
+      assert(r.getLong(2) == e._3, "n_events")
+      assert(r.getDouble(3) == e._4, "hazard")
+      assert(Option(r.get(4)).map(_.asInstanceOf[Double]) == e._5,
+        "ln_survival")
+    }
+    val lns = got.flatMap(r => Option(r.get(4)).map(_.asInstanceOf[Double]))
+    assert(lns.sameElements(lns.sorted.reverse), "ln S non-increasing")
+  }
+
+  test("session_stats == driver-side session recomputation") {
+    val s = spark
+    val got = LlmTextOps.sessionStats(s, TestSpark.sf001).collect()
+    assert(got.length == 1)
+    val events = Tables.events(s, TestSpark.sf001)
+      .select(col("user_id"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sessions = events.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val ts = rows.map(_._2).sorted
+      val cuts = ts.zipWithIndex.map { case (t, i) =>
+        i == 0 || t - ts(i - 1) > 1800000000L
+      }
+      val ids = cuts.scanLeft(0L)((acc, c) => if (c) acc + 1 else acc).tail
+      ts.zip(ids).groupBy(_._2).toSeq.map { case (_, xs) =>
+        (xs.length.toLong, xs.map(_._1).max - xs.map(_._1).min)
+      }
+    }
+    def pct(xs: Seq[Double], p: Double): Double = {
+      val sorted = xs.sorted
+      val r = p * (sorted.length - 1)
+      val lo = sorted(r.toInt)
+      val hi = sorted(math.min(r.toInt + 1, sorted.length - 1))
+      lo + (r - r.toInt) * (hi - lo)
+    }
+    val n = sessions.length.toLong
+    val r = got.head
+    assert(r.getLong(0) == n, "n_sessions")
+    assert(r.getDouble(1) ==
+      q6(sessions.map(_._1).sum.toDouble / n.toDouble), "mean_events")
+    assert(r.getDouble(2) ==
+      q6(sessions.count(_._1 == 1L).toDouble / n.toDouble), "bounce_share")
+    assert(r.getDouble(3) ==
+      q6(pct(sessions.map(_._2.toDouble), 0.5)), "p50_dur")
+    assert(r.getDouble(4) ==
+      q6(pct(sessions.map(_._2.toDouble), 0.9)), "p90_dur")
+    assert(r.getDouble(5) ==
+      q6(pct(sessions.map(_._1.toDouble), 0.5)), "p50_events")
+  }
+
+  test("ann_recall_b1 is consistent with the two rankings it compares") {
+    val s = spark
+    val got = LlmVectorOps.annRecallB1(s, TestSpark.sf001).collect()
+    val exact = LlmVectorOps.similarityTopk(s, TestSpark.sf001).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet)
+    val b1 = LlmVectorOps.similarityTopkB1(s, TestSpark.sf001).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet)
+    assert(got.length == exact.size)
+    got.foreach { r =>
+      val pid = r.getLong(0)
+      val hit = exact(pid).intersect(b1(pid)).size.toLong
+      assert(r.getLong(1) == hit, s"n_hit for $pid")
+      assert(r.getLong(2) == exact(pid).size.toLong)
+      assert(r.getDouble(3) == q6(hit.toDouble / exact(pid).size.toDouble))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("contrastive_pairs: positives share the label, negatives don't, margin checks out") {
     val s = spark
     val got = LlmVectorOps.contrastivePairs(s, TestSpark.sf001).collect()
