@@ -109,6 +109,8 @@ object SparkEntry {
     "survival_km"              -> (AnalyticOps.survivalKm _),
     "session_stats"            -> (LlmTextOps.sessionStats _),
     "ann_recall_b1"            -> (LlmVectorOps.annRecallB1 _),
+    "ship_delay_stats"         -> (RelationalOps.shipDelayStats _),
+    "revenue_concentration"    -> (RelationalOps.revenueConcentration _),
     "cusum_changepoint"        -> (AnalyticOps.cusumChangepoint _),
     "autocorrelation"          -> (AnalyticOps.autocorrelation _),
     "embed_norm_stats"         -> (LlmVectorOps.embedNormStats _),
@@ -2213,6 +2215,57 @@ object SparkEntry {
                     - CAST(corr_q AS DOUBLE), 0.0)
                   * 1000000.0 + 0.5) / 1000000.0 AS seasonality_r2
          FROM cg JOIN pk USING (symbol) ORDER BY symbol""",
+    // order-to-ship latency per priority: integer day diffs on
+    // dates, decimal mean, percentile contract
+    "ship_delay_stats" ->
+      """WITH j AS (SELECT o.o_orderpriority,
+                date_diff('day', CAST(o.o_orderdate AS DATE),
+                  CAST(l.l_shipdate AS DATE)) AS delay_days
+              FROM lineitem l JOIN orders o
+                ON l.l_orderkey = o.o_orderkey)
+         SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                CAST(MIN(delay_days) AS BIGINT) AS min_days,
+                CAST(MAX(delay_days) AS BIGINT) AS max_days,
+                floor(CAST(CAST(SUM(delay_days) AS BIGINT) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE)
+                  * 1000000.0 + 0.5) / 1000000.0 AS mean_days,
+                floor(quantile_cont(delay_days, 0.5)
+                  * 1000000.0 + 0.5) / 1000000.0 AS p50_days,
+                floor(quantile_cont(delay_days, 0.9)
+                  * 1000000.0 + 0.5) / 1000000.0 AS p90_days
+         FROM j GROUP BY 1 ORDER BY 1""",
+    // revenue Pareto: exact integer cents, pure-integer decile cut
+    // and Gini closed form, two fenced divisions
+    "revenue_concentration" ->
+      """WITH pc AS (SELECT o_custkey,
+                CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(20,2)) * 100 AS BIGINT) AS cents
+              FROM orders GROUP BY 1),
+         t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM pc),
+         r AS (SELECT *,
+                 row_number() OVER (ORDER BY cents ASC, o_custkey ASC)
+                   AS rn,
+                 row_number() OVER (ORDER BY cents DESC, o_custkey ASC)
+                   AS rd
+               FROM pc),
+         a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+                 CAST(SUM(cents) AS BIGINT) AS total_cents,
+                 CAST(SUM(CAST(rn AS HUGEINT) * CAST(cents AS HUGEINT))
+                   AS HUGEINT) AS wsum,
+                 CAST(SUM(CASE WHEN rd <= (n_all + 9) // 10
+                   THEN cents ELSE 0 END) AS BIGINT) AS topk_cents
+               FROM r CROSS JOIN t)
+         SELECT n_customers, total_cents,
+                floor(CAST(topk_cents AS DOUBLE)
+                  / CAST(total_cents AS DOUBLE)
+                  * 1000000.0 + 0.5) / 1000000.0 AS top_decile_share,
+                floor(CAST(2 * wsum
+                    - (CAST(n_customers AS HUGEINT) + 1)
+                      * CAST(total_cents AS HUGEINT) AS DOUBLE)
+                  / CAST(CAST(n_customers AS HUGEINT)
+                    * CAST(total_cents AS HUGEINT) AS DOUBLE)
+                  * 1000000.0 + 0.5) / 1000000.0 AS gini
+         FROM a""",
     // Kaplan-Meier: exact rational per-time factors, 1e-6-quantized
     // ln terms, integer cumulative sums; terminal S=0 row gets NULL
     "survival_km" ->

@@ -504,4 +504,88 @@ object RelationalOps {
           / (col("c_a") * col("c_b")).cast("double")).as("lift"))
       .orderBy(col("support").desc, col("part_a").asc, col("part_b").asc)
   }
+
+  /** `ship_delay_stats` — order-to-ship latency distribution per
+    * priority class: the fulfillment-SLA report card over the TPC-H
+    * fact pair (does 1-URGENT actually ship faster?). Delay is an
+    * exact integer DAY difference on both engines (timestamps cast
+    * to dates first — a µs-level datediff would disagree on partial
+    * days); moments ride the decimal recipe, percentiles the
+    * `value_percentiles` interpolation contract. Scale: one
+    * orderkey-keyed fact-fact shuffle join (AQE-skew-safe) + one
+    * priority-keyed aggregate to 5 rows.
+    */
+  def shipDelayStats(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship_d"))
+      .join(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          to_date(col("o_orderdate")).as("order_d")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay_days",
+        datediff(col("ship_d"), col("order_d")).cast("long"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        min(col("delay_days")).as("min_days"),
+        max(col("delay_days")).as("max_days"),
+        sum(col("delay_days")).as("sum_days"),
+        expr("percentile(delay_days, 0.5)").as("p50_raw"),
+        expr("percentile(delay_days, 0.9)").as("p90_raw"))
+      .select(col("o_orderpriority"), col("n_lines"), col("min_days"),
+        col("max_days"),
+        r6(col("sum_days").cast("double") / col("n_lines").cast("double"))
+          .as("mean_days"),
+        r6(col("p50_raw")).as("p50_days"),
+        r6(col("p90_raw")).as("p90_days"))
+      .orderBy("o_orderpriority")
+
+  /** `revenue_concentration` — how concentrated is revenue across
+    * customers: the top-decile revenue share plus the Gini
+    * coefficient of the per-customer revenue distribution — the
+    * Pareto ("do 10% of customers carry the book") readout, the
+    * relational sibling of `gini_concentration`'s token curve.
+    *
+    * Portability: per-customer revenue is an exact DECIMAL(18,2) sum
+    * converted once to integer CENTS, so ranks, the decile cut
+    * k = ⌈n/10⌉ (pure-integer (n+9) div 10), the top-k cents sum,
+    * and the Gini numerator/denominator are all exact integers (the
+    * rank-weighted sum in DECIMAL — rn·cents overflows a long at
+    * scale); two fenced divisions at the end. Scale: one custkey
+    * aggregate, one rank window over CUSTOMER rows, one fold. The
+    * global rank is a single-partition window here; at 100 TB swap
+    * in `corpus_shuffle`'s range-bucket rank (order-preserving
+    * ranges + broadcast prefix offsets — identical positions, one
+    * data shuffle).
+    */
+  def revenueConcentration(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+    val perCust = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2)))
+        .cast(DecimalType(20, 2)) * lit(100))
+        .cast(DecimalType(22, 0)).cast("long").as("cents"))
+    val wAsc = Window.orderBy(col("cents").asc, col("o_custkey").asc)
+    val wDesc = Window.orderBy(col("cents").desc, col("o_custkey").asc)
+    val totals = perCust.agg(count(lit(1)).as("n_all"))
+    perCust
+      .withColumn("rn", row_number().over(wAsc))
+      .withColumn("rd", row_number().over(wDesc))
+      .crossJoin(broadcast(totals))
+      .groupBy()
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("total_cents"),
+        sum(dec(col("rn")) * dec(col("cents")))
+          .cast(DecimalType(38, 0)).as("wsum"),
+        sum(when(col("rd") <= expr("(n_all + 9) DIV 10"), col("cents"))
+          .otherwise(lit(0L))).as("topk_cents"))
+      .select(col("n_customers"), col("total_cents"),
+        r6(col("topk_cents").cast("double")
+          / col("total_cents").cast("double")).as("top_decile_share"),
+        r6((lit(2) * col("wsum")
+          - (dec(col("n_customers")) + lit(1)) * dec(col("total_cents")))
+          .cast("double")
+          / (dec(col("n_customers")) * dec(col("total_cents")))
+            .cast("double")).as("gini"))
+  }
 }

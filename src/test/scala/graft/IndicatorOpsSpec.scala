@@ -642,6 +642,81 @@ class IndicatorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ship_delay_stats == driver-side day-diff recomputation per priority") {
+    val s = spark
+    val got = graft.operators.RelationalOps
+      .shipDelayStats(s, TestSpark.sf001).collect()
+    val li = Tables.lineitem(s, TestSpark.sf001)
+      .select(col("l_orderkey"), to_date(col("l_shipdate"))).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val ord = Tables.orders(s, TestSpark.sf001)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        to_date(col("o_orderdate"))).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDate(2).toLocalDate))
+      .toMap
+    val delays = li.flatMap { case (ok, ship) =>
+      ord.get(ok).map { case (pri, od) =>
+        (pri, java.time.temporal.ChronoUnit.DAYS.between(od, ship))
+      }
+    }
+    def pct(xs: Seq[Double], p: Double): Double = {
+      val sorted = xs.sorted
+      val r = p * (sorted.length - 1)
+      val lo = sorted(r.toInt)
+      val hi = sorted(math.min(r.toInt + 1, sorted.length - 1))
+      lo + (r - r.toInt) * (hi - lo)
+    }
+    val expected = delays.groupBy(_._1).map { case (pri, xs) =>
+      val ds = xs.map(_._2)
+      pri -> (ds.length.toLong, ds.min, ds.max,
+        q6(ds.sum.toDouble / ds.length.toDouble),
+        q6(pct(ds.map(_.toDouble), 0.5)), q6(pct(ds.map(_.toDouble), 0.9)))
+    }
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val e = expected(r.getString(0))
+      assert(r.getLong(1) == e._1 && r.getLong(2) == e._2
+        && r.getLong(3) == e._3)
+      assert(r.getDouble(4) == e._4, "mean_days")
+      assert(r.getDouble(5) == e._5, "p50_days")
+      assert(r.getDouble(6) == e._6, "p90_days")
+    }
+  }
+
+  test("revenue_concentration == driver-side Pareto recomputation") {
+    val s = spark
+    val got = graft.operators.RelationalOps
+      .revenueConcentration(s, TestSpark.sf001).collect()
+    assert(got.length == 1)
+    val perCust = Tables.orders(s, TestSpark.sf001)
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), BigDecimal(r.getDouble(1)).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1)
+      .map { case (ck, xs) =>
+        (ck, (xs.map(_._2).sum * 100).toLongExact)
+      }.toSeq
+    val n = perCust.length.toLong
+    val total = perCust.map(_._2).sum
+    val asc = perCust.sortBy { case (ck, c) => (c, ck) }
+    val wsum = asc.zipWithIndex.map { case ((_, c), i) =>
+      BigInt(i + 1) * BigInt(c)
+    }.sum
+    val k = (n + 9) / 10
+    val topk = perCust.sortBy { case (ck, c) => (-c, ck) }
+      .take(k.toInt).map(_._2).sum
+    val r = got.head
+    assert(r.getLong(0) == n, "n_customers")
+    assert(r.getLong(1) == total, "total_cents")
+    assert(r.getDouble(2) == q6(topk.toDouble / total.toDouble),
+      "top_decile_share")
+    assert(r.getDouble(3) ==
+      q6((BigInt(2) * wsum - BigInt(n + 1) * BigInt(total)).toDouble
+        / (BigInt(n) * BigInt(total)).toDouble), "gini")
+    assert(r.getDouble(2) >= 0.1 - 1e-6 && r.getDouble(2) <= 1.0)
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0)
+  }
+
   test("contrastive_pairs: positives share the label, negatives don't, margin checks out") {
     val s = spark
     val got = LlmVectorOps.contrastivePairs(s, TestSpark.sf001).collect()
