@@ -111,6 +111,7 @@ object SparkEntry {
     "ann_recall_b1"            -> (LlmVectorOps.annRecallB1 _),
     "ship_delay_stats"         -> (RelationalOps.shipDelayStats _),
     "revenue_concentration"    -> (RelationalOps.revenueConcentration _),
+    "market_hhi"               -> (RelationalOps.marketHhi _),
     "cusum_changepoint"        -> (AnalyticOps.cusumChangepoint _),
     "autocorrelation"          -> (AnalyticOps.autocorrelation _),
     "embed_norm_stats"         -> (LlmVectorOps.embedNormStats _),
@@ -2234,6 +2235,32 @@ object SparkEntry {
                 floor(quantile_cont(delay_days, 0.9)
                   * 1000000.0 + 0.5) / 1000000.0 AS p90_days
          FROM j GROUP BY 1 ORDER BY 1""",
+    // supplier HHI: exact-cents squares in DECIMAL, three fenced
+    // divisions, no per-supplier division and no window
+    "market_hhi" ->
+      """WITH pc AS (SELECT l_suppkey,
+                CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DECIMAL(20,2)) * 100 AS BIGINT) AS cents
+              FROM lineitem GROUP BY 1),
+         a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+                 CAST(SUM(cents) AS BIGINT) AS total_cents,
+                 CAST(SUM(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT))
+                   AS HUGEINT) AS sq_sum,
+                 CAST(MAX(cents) AS BIGINT) AS max_cents
+               FROM pc)
+         SELECT n_suppliers, total_cents,
+                floor(CAST(sq_sum AS DOUBLE)
+                  / CAST(CAST(total_cents AS HUGEINT)
+                    * CAST(total_cents AS HUGEINT) AS DOUBLE)
+                  * 1000000.0 + 0.5) / 1000000.0 AS hhi,
+                floor(CAST(CAST(total_cents AS HUGEINT)
+                    * CAST(total_cents AS HUGEINT) AS DOUBLE)
+                  / CAST(sq_sum AS DOUBLE)
+                  * 1000000.0 + 0.5) / 1000000.0 AS effective_n,
+                floor(CAST(max_cents AS DOUBLE)
+                  / CAST(total_cents AS DOUBLE)
+                  * 1000000.0 + 0.5) / 1000000.0 AS top_share
+         FROM a""",
     // revenue Pareto: exact integer cents, pure-integer decile cut
     // and Gini closed form, two fenced divisions
     "revenue_concentration" ->

@@ -1662,23 +1662,35 @@ object AnalyticOps {
     * literals on both engines, and each share/deviation is one
     * fenced op. One aggregate to ≤ 9 rows at any scale.
     */
+  /** First significant digit of a positive 1e-2-grid integer via a
+    * pure-integer CASE ladder — shared by the batch Benford screen
+    * and S20's live twin so the two digit rules cannot drift.
+    * `vqName` must reference a LONG column ≥ 1.
+    */
+  private[graft] def firstDigit(vqName: String): org.apache.spark.sql.Column = {
+    var digit = when(col(vqName) < 10, col(vqName))
+    var p = 10L
+    (2 to 18).foreach { _ =>
+      digit = digit.when(col(vqName) < p * 10, expr(s"$vqName DIV ${p}L"))
+      p = p * 10
+    }
+    digit
+  }
+
+  /** The nine Benford leading-digit shares, 6-dp literals. */
+  private[graft] val benfordShares: Seq[(Int, Double)] = Seq(
+    1 -> 0.301030, 2 -> 0.176091, 3 -> 0.124939, 4 -> 0.096910,
+    5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992, 8 -> 0.051153,
+    9 -> 0.045757)
+
   def benfordDeviation(s: SparkSession, d: String): DataFrame = {
     val base = Tables.events(s, d)
       .select(floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
         .as("vq"))
       .where(col("vq") >= 1)
-    var digit = when(col("vq") < 10, col("vq"))
-    var p = 10L
-    (2 to 18).foreach { _ =>
-      digit = digit.when(col("vq") < p * 10, expr(s"vq DIV ${p}L"))
-      p = p * 10
-    }
-    val benford = Seq(
-      1 -> 0.301030, 2 -> 0.176091, 3 -> 0.124939, 4 -> 0.096910,
-      5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992, 8 -> 0.051153,
-      9 -> 0.045757)
-    val bshare = benford.tail.foldLeft(
-      when(col("digit") === 1, lit(benford.head._2))) {
+    val digit = firstDigit("vq")
+    val bshare = benfordShares.tail.foldLeft(
+      when(col("digit") === 1, lit(benfordShares.head._2))) {
       case (acc, (dg, sh)) => acc.when(col("digit") === dg, lit(sh))
     }
     base

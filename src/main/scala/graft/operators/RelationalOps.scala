@@ -539,6 +539,44 @@ object RelationalOps {
         r6(col("p90_raw")).as("p90_days"))
       .orderBy("o_orderpriority")
 
+  /** `market_hhi` — supplier concentration of lineitem revenue as
+    * the Herfindahl–Hirschman index: HHI = Σ shareᵢ², plus the top
+    * supplier's share and the effective competitor count 1/HHI. The
+    * antitrust-grade concentration scalar beside
+    * [[revenueConcentration]]'s customer Pareto — same family,
+    * opposite side of the market.
+    *
+    * Portability: HHI's closed form Σcᵢ²/T² needs NO per-supplier
+    * division — Σcᵢ² rides an exact DECIMAL sum of integer-cent
+    * squares and T² is one DECIMAL product, so the index, its
+    * inverse, and the top share are three fenced divisions from
+    * exact integers. Scale: one suppkey aggregate + one scalar fold;
+    * no window at all (max share via max, not rank).
+    */
+  def marketHhi(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+    Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey"))
+      .agg((sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+        .cast(DecimalType(20, 2)) * lit(100))
+        .cast(DecimalType(22, 0)).cast("long").as("cents"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("cents")).as("total_cents"),
+        sum(dec(col("cents")) * dec(col("cents")))
+          .cast(DecimalType(38, 0)).as("sq_sum"),
+        max(col("cents")).as("max_cents"))
+      .select(col("n_suppliers"), col("total_cents"),
+        r6(col("sq_sum").cast("double")
+          / (dec(col("total_cents")) * dec(col("total_cents")))
+            .cast("double")).as("hhi"),
+        r6((dec(col("total_cents")) * dec(col("total_cents")))
+          .cast("double") / col("sq_sum").cast("double"))
+          .as("effective_n"),
+        r6(col("max_cents").cast("double")
+          / col("total_cents").cast("double")).as("top_share"))
+  }
+
   /** `revenue_concentration` — how concentrated is revenue across
     * customers: the top-decile revenue share plus the Gini
     * coefficient of the per-customer revenue distribution — the

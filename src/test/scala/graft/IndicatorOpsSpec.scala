@@ -717,6 +717,35 @@ class IndicatorOpsSpec extends AnyFunSuite {
     assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0)
   }
 
+  test("market_hhi == driver-side concentration recomputation") {
+    val s = spark
+    val got = graft.operators.RelationalOps
+      .marketHhi(s, TestSpark.sf001).collect()
+    assert(got.length == 1)
+    val cents = Tables.lineitem(s, TestSpark.sf001)
+      .select(col("l_suppkey"), col("l_extendedprice")).collect()
+      .map(r => (r.getLong(0), BigDecimal(r.getDouble(1)).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1)
+      .map { case (_, xs) => (xs.map(_._2).sum * 100).toLongExact }
+      .toSeq
+    val n = cents.length.toLong
+    val total = cents.sum
+    val sq = cents.map(c => BigInt(c) * BigInt(c)).sum
+    val r = got.head
+    assert(r.getLong(0) == n && r.getLong(1) == total)
+    assert(r.getDouble(2) ==
+      q6(sq.toDouble / (BigInt(total) * BigInt(total)).toDouble), "hhi")
+    assert(r.getDouble(3) ==
+      q6((BigInt(total) * BigInt(total)).toDouble / sq.toDouble),
+      "effective_n")
+    assert(r.getDouble(4) ==
+      q6(cents.max.toDouble / total.toDouble), "top_share")
+    // sanity: 1/n <= hhi <= 1 and effective_n <= n
+    assert(r.getDouble(2) >= 1.0 / n - 1e-9 && r.getDouble(2) <= 1.0)
+    assert(r.getDouble(3) <= n + 1e-6)
+  }
+
   test("contrastive_pairs: positives share the label, negatives don't, margin checks out") {
     val s = spark
     val got = LlmVectorOps.contrastivePairs(s, TestSpark.sf001).collect()

@@ -1065,6 +1065,64 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("S20 streaming_benford: live digit screen emits at close, alarms on a bent feed") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingBenford
+    val in = MemoryStream[(Timestamp, Double)]
+    val q = StreamingBenford.benfordStream(
+      in.toDF().toDF("ts", "value"))
+      .writeStream.format("memory").queryName("s20_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // window 1 (10:00): a roughly-Benford feed — leading digit d
+      // appears ~30/18/12/10/8/7/6/5/5 times; window 2 (11:00): every
+      // value leads with 9 — maximally bent
+      val counts = Seq(1 -> 30, 2 -> 18, 3 -> 12, 4 -> 10, 5 -> 8,
+        6 -> 7, 7 -> 6, 8 -> 5, 9 -> 5)
+      val w1 = counts.flatMap { case (dg, n) =>
+        (1 to n).map(i =>
+          (ts(f"2024-01-01 10:${i % 50}%02d:00"), dg * 10.0 + (i % 7)))
+      }
+      val w2 = (1 to 80).map(i =>
+        (ts(f"2024-01-01 11:${i % 50}%02d:00"), 900.0 + (i % 90)))
+      in.addData(w1: _*)
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM s20_out").count() == 0,
+        "window 1 still open")
+      in.addData(w2: _*)
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 13:00:00"), 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT window_start, n, max_abs_deviation, alarm FROM s20_out " +
+          "ORDER BY window_start").collect()
+      assert(rows.length == 2, s"two closed windows: ${rows.length}")
+      val (okWin, badWin) = (rows(0), rows(1))
+      assert(okWin.getLong(1) == w1.length.toLong)
+      assert(!okWin.getBoolean(3), "near-Benford window must not alarm")
+      assert(badWin.getLong(1) == 80L)
+      assert(badWin.getBoolean(3), "all-9s window must alarm")
+      // the bad window's worst deviation is digit 9's: |1.0 - 0.045757|
+      assert(badWin.getDouble(2) ==
+        math.floor((1.0 - 0.045757) * 1e6 + 0.5) / 1e6)
+      // batch recipe agreement on the closed window-1 data
+      val batchDev = {
+        val digits = w1.map(_._2).map(v =>
+          math.floor(v * 100.0 + 0.5).toLong).filter(_ >= 1).map { vq =>
+          var x = vq; while (x >= 10) x /= 10; x.toInt
+        }
+        val n = digits.length.toDouble
+        val shares = graft.operators.AnalyticOps.benfordShares.toMap
+        (1 to 9).map { dg =>
+          val obs = math.floor(digits.count(_ == dg) / n * 1e6 + 0.5) / 1e6
+          math.abs(math.floor((obs - shares(dg)) * 1e6 + 0.5) / 1e6)
+        }.max
+      }
+      assert(okWin.getDouble(2) == batchDev, "stream == batch digit recipe")
+    } finally q.stop()
+  }
 }
 
 object StreamingSpec {
