@@ -371,4 +371,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!exchanges.exists(_.contains("text#")),
       "document text crossed a shuffle:\n" + exchanges.mkString("\n"))
   }
+
+  // pagerank_docs' edge build is localCheckpoint-ed (lineage truncated),
+  // so its corpus-scan plan is not visible from the final query's
+  // executedPlan — the CosineScan machinery pin lives in
+  // VectorExprsSpec's join-twin equality tests instead.
+
+  test("dedup_embed runs the cut-form corpus scan; pair rows never materialize") {
+    val p = planString("dedup_embed")
+    assert(p.contains("graft_cosine_scan"), p.take(2000))
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"expected at most the 1-row corpus crossJoin, got $bnlj")
+  }
+
+  test("basket_pairs takes its top-20 before the part-count decoration joins") {
+    // in the plan tree string, parents print before children: the
+    // decoration joins (above) must appear BEFORE the
+    // TakeOrderedAndProject (below) — the reverse order would shuffle
+    // the full pair stream through two joins just to drop it
+    val p = planString("basket_pairs")
+    val toap = p.indexOf("TakeOrderedAndProject")
+    val firstJoin = p.indexOf("Join")
+    assert(toap >= 0, "limit must lower to TakeOrderedAndProject")
+    assert(firstJoin >= 0 && firstJoin < toap,
+      "the decoration joins must sit above the limit")
+  }
 }
