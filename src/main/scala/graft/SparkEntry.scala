@@ -112,6 +112,8 @@ object SparkEntry {
     "ship_delay_stats"         -> (RelationalOps.shipDelayStats _),
     "revenue_concentration"    -> (RelationalOps.revenueConcentration _),
     "market_hhi"               -> (RelationalOps.marketHhi _),
+    "lang_confusion"           -> (LlmTextOps.langConfusion _),
+    "centroid_drift"           -> (LlmVectorOps.centroidDrift _),
     "cusum_changepoint"        -> (AnalyticOps.cusumChangepoint _),
     "autocorrelation"          -> (AnalyticOps.autocorrelation _),
     "embed_norm_stats"         -> (LlmVectorOps.embedNormStats _),
@@ -3405,6 +3407,30 @@ object SparkEntry {
     "dedup_embed_ann" -> LlmVectorOps.dedupEmbedAnnOracleSql,
     "diversity_sample" -> LlmVectorOps.diversitySampleOracleSql,
     "label_centroids" -> LlmVectorOps.labelCentroidsOracleSql,
+    "centroid_drift" -> LlmVectorOps.centroidDriftOracleSql,
+    // lang_id confusion matrix: counts over the heuristic's
+    // prediction CTE, fenced per-true-class shares
+    "lang_confusion" ->
+      """WITH t AS (SELECT doc_id, lang,
+                floor((len(list_filter(string_split(text, ' '),
+                        t -> t IN ('the', 'a', 'of', 'and', 'to', 'in')))
+                      / len(string_split(text, ' '))) * 1000000 + 0.5)
+                  / 1000000 AS en_ratio
+              FROM documents),
+         p AS (SELECT lang AS true_lang,
+                 CASE WHEN en_ratio >= 0.05 THEN 'en' ELSE 'und' END
+                   AS predicted_lang
+               FROM t),
+         c AS (SELECT true_lang, predicted_lang,
+                 CAST(COUNT(*) AS BIGINT) AS n
+               FROM p GROUP BY 1, 2),
+         g AS (SELECT *, CAST(SUM(n) OVER (PARTITION BY true_lang)
+                 AS BIGINT) AS true_n
+               FROM c)
+         SELECT true_lang, predicted_lang, n,
+                floor(CAST(n AS DOUBLE) / CAST(true_n AS DOUBLE)
+                  * 1000000.0 + 0.5) / 1000000.0 AS share_of_true
+         FROM g ORDER BY true_lang, predicted_lang""",
     "embed_outliers" -> LlmVectorOps.embedOutliersOracleSql,
     "similarity_ivf" -> LlmVectorOps.ivfOracleSql,
     "similarity_ivf_trained" -> LlmVectorOps.ivfTrainedOracleSql,

@@ -1118,6 +1118,27 @@ object LlmTextOps {
       .select("doc_id", "lang", "en_ratio", "predicted_lang")
       .orderBy("doc_id")
 
+  /** `lang_confusion` — the confusion matrix of the n-gram
+    * language-ID heuristic against the labeled `lang` column, with
+    * per-cell share of the true class: the eval that says whether
+    * [[langId]]'s 0.05 stopword-ratio threshold actually separates
+    * the corpus ("the heuristic is 99% right on en, but calls half
+    * of und en" is an actionable row; raw per-doc predictions are
+    * not). Vocabulary-bounded output (|langs|² cells), one count
+    * aggregate over [[langId]]'s map-side prediction.
+    */
+  def langConfusion(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("true_lang")
+    langId(s, d)
+      .groupBy(col("lang").as("true_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("true_n", sum(col("n")).over(w))
+      .select(col("true_lang"), col("predicted_lang"), col("n"),
+        r6(col("n").cast("double") / col("true_n").cast("double"))
+          .as("share_of_true"))
+      .orderBy("true_lang", "predicted_lang")
+  }
+
   /** `text_quality` — per-doc quality features + a deterministic
     * composite score (length, lexical diversity, stopword ratio) of
     * the kind used to filter LLM pretraining data.

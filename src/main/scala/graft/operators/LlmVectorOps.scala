@@ -1260,6 +1260,93 @@ object LlmVectorOps {
       .orderBy("label", "dim")
   }
 
+  /** `centroid_drift` — per-label L2 distance between the train and
+    * val slices' class centroids (slices by the `train_val_split`
+    * hash stream on vec_id, so membership is append-stable): the
+    * "did my split shear a class" audit — a label whose two halves
+    * sit apart in embedding space will train on one mode and
+    * validate on another, the silent eval-inflation failure
+    * `split_leakage` can't see because no CONTENT leaks.
+    *
+    * Portability: per-(label, split, dim) sums ride the Lloyd 2⁻²⁰
+    * integer grid (order-free, exact; the [[labelCentroids]]
+    * recipe), each per-dim squared difference of the two exact
+    * rational means is one written IEEE expression quantized at
+    * 10⁻⁹ into an order-free long sum (the `embed_outliers`
+    * posture), and the final sqrt is fenced. Scale: one explode
+    * aggregate to labels × splits × dims rows, one join, one fold.
+    */
+  def centroidDrift(s: SparkSession, d: String): DataFrame = {
+    val grid = (1L << 20).toDouble
+    val byDim = Tables.embeddings(s, d)
+      .withColumn("split",
+        when(((col("vec_id") % lit(1000000007L)) * lit(2654435761L)
+          % lit(1000000007L)) % lit(10) < 8, lit("train"))
+          .otherwise(lit("val")))
+      .select(col("label"), col("split"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("split"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("v").cast("double") * grid + 0.5).cast("long"))
+          .as("sq"))
+    val t = byDim.where(col("split") === "train")
+      .select(col("label"), col("dim"), col("n").as("n_t"),
+        col("sq").as("sq_t"))
+    val v = byDim.where(col("split") === "val")
+      .select(col("label"), col("dim"), col("n").as("n_v"),
+        col("sq").as("sq_v"))
+    t.join(v, Seq("label", "dim"))
+      .withColumn("mt", col("sq_t").cast("double") / (col("n_t") * grid))
+      .withColumn("mv", col("sq_v").cast("double") / (col("n_v") * grid))
+      .withColumn("dq",
+        floor((col("mt") - col("mv")) * (col("mt") - col("mv"))
+          * lit(1.0e9) + lit(0.5)).cast("long"))
+      .groupBy(col("label"))
+      .agg(max(col("n_t")).as("n_train"), max(col("n_v")).as("n_val"),
+        sum(col("dq")).as("dsum"))
+      .select(col("label"), col("n_train"), col("n_val"),
+        r6(sqrt(col("dsum").cast("double") / lit(1.0e9))).as("drift_l2"))
+      .orderBy("label")
+  }
+
+  /** The DuckDB oracle for [[centroidDrift]] — dims and grid from
+    * the shared named vals so the two sides cannot drift.
+    */
+  private[graft] def centroidDriftOracleSql: String =
+    s"""WITH b AS (SELECT vec_id, label, embedding,
+                CASE WHEN ((vec_id % 1000000007) * 2654435761
+                    % 1000000007) % 10 < 8
+                  THEN 'train' ELSE 'val' END AS split
+              FROM embeddings),
+         t AS (SELECT label, split, p.pos - 1 AS dim,
+                 CAST(floor(CAST(embedding[p.pos] AS DOUBLE) * 1048576.0
+                     + 0.5) AS BIGINT) AS q
+               FROM b CROSS JOIN
+                 (SELECT unnest(range(1, ${embDim + 1})) AS pos) p),
+         g AS (SELECT label, split, dim, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(q) AS BIGINT) AS sq
+               FROM t GROUP BY 1, 2, 3),
+         j AS (SELECT tr.label, tr.dim, tr.n AS n_t, tr.sq AS sq_t,
+                 va.n AS n_v, va.sq AS sq_v
+               FROM g tr JOIN g va ON tr.label = va.label
+                 AND tr.dim = va.dim
+                 AND tr.split = 'train' AND va.split = 'val'),
+         dq AS (SELECT label, n_t, n_v,
+                 CAST(floor((CAST(sq_t AS DOUBLE) / (n_t * 1048576.0)
+                       - CAST(sq_v AS DOUBLE) / (n_v * 1048576.0))
+                     * (CAST(sq_t AS DOUBLE) / (n_t * 1048576.0)
+                       - CAST(sq_v AS DOUBLE) / (n_v * 1048576.0))
+                     * 1000000000.0 + 0.5) AS BIGINT) AS dterm
+                FROM j),
+         a AS (SELECT label, CAST(MAX(n_t) AS BIGINT) AS n_train,
+                 CAST(MAX(n_v) AS BIGINT) AS n_val,
+                 CAST(SUM(dterm) AS BIGINT) AS dsum
+               FROM dq GROUP BY 1)
+         SELECT label, n_train, n_val,
+                floor(sqrt(CAST(dsum AS DOUBLE) / 1000000000.0)
+                  * 1000000.0 + 0.5) / 1000000.0 AS drift_l2
+         FROM a ORDER BY label"""
+
   /** `embed_outliers` — the 3 vectors FARTHEST from their own
     * label's centroid, per label: the mislabeled-data detector a
     * labeled corpus runs right after [[labelCentroids]] — a point

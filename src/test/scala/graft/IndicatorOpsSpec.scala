@@ -746,6 +746,70 @@ class IndicatorOpsSpec extends AnyFunSuite {
     assert(r.getDouble(3) <= n + 1e-6)
   }
 
+  test("lang_confusion == the langId predictions regrouped; shares normalize") {
+    val s = spark
+    val got = LlmTextOps.langConfusion(s, TestSpark.sf0001).collect()
+    val preds = LlmTextOps.langId(s, TestSpark.sf0001).collect()
+      .map(r => (r.getString(1), r.getString(3)))
+    val counts = preds.groupBy(identity).map { case (k, v) =>
+      k -> v.length.toLong
+    }
+    val trueN = preds.groupBy(_._1).map { case (k, v) =>
+      k -> v.length.toLong
+    }
+    assert(got.length == counts.size)
+    got.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == counts(key))
+      assert(r.getDouble(3) ==
+        q6(counts(key).toDouble / trueN(key._1).toDouble))
+    }
+    got.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-4,
+        "per-true-class shares sum to ~1")
+    }
+  }
+
+  test("centroid_drift == driver-side split-centroid recomputation") {
+    val s = spark
+    val got = LlmVectorOps.centroidDrift(s, TestSpark.sf0001).collect()
+    val grid = (1L << 20).toDouble
+    val vecs = Tables.embeddings(s, TestSpark.sf0001)
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def split(id: Long): String =
+      if ((id % 1000000007L) * 2654435761L % 1000000007L % 10 < 8) "train"
+      else "val"
+    val expected = vecs.groupBy(_._3).flatMap { case (lbl, xs) =>
+      val tr = xs.filter(v => split(v._1) == "train")
+      val va = xs.filter(v => split(v._1) == "val")
+      if (tr.isEmpty || va.isEmpty) None
+      else {
+        val dims = tr.head._2.length
+        var dsum = 0L
+        (0 until dims).foreach { dim =>
+          def mean(part: Array[(Long, Array[Float], Int)]): Double = {
+            val sq = part.map(v =>
+              math.floor(v._2(dim).toDouble * grid + 0.5).toLong).sum
+            sq.toDouble / (part.length * grid)
+          }
+          val dd = mean(tr) - mean(va)
+          dsum += math.floor(dd * dd * 1.0e9 + 0.5).toLong
+        }
+        Some(lbl -> (tr.length.toLong, va.length.toLong,
+          q6(math.sqrt(dsum.toDouble / 1.0e9))))
+      }
+    }
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val e = expected(r.getInt(0))
+      assert(r.getLong(1) == e._1, "n_train")
+      assert(r.getLong(2) == e._2, "n_val")
+      assert(r.getDouble(3) == e._3, "drift_l2")
+      assert(r.getDouble(3) >= 0.0)
+    }
+  }
+
   test("contrastive_pairs: positives share the label, negatives don't, margin checks out") {
     val s = spark
     val got = LlmVectorOps.contrastivePairs(s, TestSpark.sf001).collect()
