@@ -114,6 +114,8 @@ object SparkEntry {
     "market_hhi"               -> (RelationalOps.marketHhi _),
     "lang_confusion"           -> (LlmTextOps.langConfusion _),
     "centroid_drift"           -> (LlmVectorOps.centroidDrift _),
+    "ngram_lm_score"           -> (LlmTextOps.ngramLmScore _),
+    "quality_vs_dup"           -> (LlmTextOps.qualityVsDup _),
     "cusum_changepoint"        -> (AnalyticOps.cusumChangepoint _),
     "autocorrelation"          -> (AnalyticOps.autocorrelation _),
     "embed_norm_stats"         -> (LlmVectorOps.embedNormStats _),
@@ -3408,6 +3410,67 @@ object SparkEntry {
     "diversity_sample" -> LlmVectorOps.diversitySampleOracleSql,
     "label_centroids" -> LlmVectorOps.labelCentroidsOracleSql,
     "centroid_drift" -> LlmVectorOps.centroidDriftOracleSql,
+    // add-one bigram LM cross-entropy of the val slice: exact
+    // rational p, 1e-6-quantized ln terms, order-free sum
+    "ngram_lm_score" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                ((doc_id % 1000000007) * 2654435761 % 1000000007) % 10
+                  AS bucket
+              FROM documents),
+         d2 AS (SELECT * FROM d WHERE len(toks) >= 2),
+         tb AS (SELECT unnest([toks[i] || ' ' || toks[i+1]
+                  for i in range(1, len(toks))]) AS bigram
+                FROM d2 WHERE bucket < 8),
+         c2 AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c2
+                FROM tb GROUP BY 1),
+         tu AS (SELECT unnest(toks) AS w1 FROM d2 WHERE bucket < 8),
+         c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+                FROM tu GROUP BY 1),
+         vv AS (SELECT CAST(COUNT(DISTINCT w1) AS BIGINT) AS v FROM tu),
+         vb AS (SELECT unnest([toks[i] || ' ' || toks[i+1]
+                  for i in range(1, len(toks))]) AS bigram
+                FROM d2 WHERE bucket = 8),
+         sc AS (SELECT CAST(floor(ln(
+                    CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE)
+                    / CAST(COALESCE(c1.c1, 0) + vv.v AS DOUBLE))
+                  * 1000000.0 + 0.5) AS BIGINT) AS lq
+                FROM vb LEFT JOIN c2 USING (bigram)
+                  LEFT JOIN c1 ON c1.w1 = split_part(vb.bigram, ' ', 1)
+                  CROSS JOIN vv),
+         a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                 CAST(SUM(lq) AS BIGINT) AS lsum
+               FROM sc)
+         SELECT n_bigrams, v AS vocab,
+                floor(CAST(-lsum AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+                  / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS ln_ppl
+         FROM a CROSS JOIN vv""",
+    // duplicate-vs-unique quality comparison: the fenced quality
+    // score regrouped by the digest-duplicate flag, decimal means
+    "quality_vs_dup" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+              FROM documents),
+         u AS (SELECT doc_id, text,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 floor((len(list_distinct(toks)) / len(toks))
+                   * 1000000 + 0.5) / 1000000 AS distinct_ratio,
+                 floor((len(list_filter(toks, t2 -> t2 IN
+                     ('the', 'a', 'of', 'and', 'to', 'in')))
+                   / len(toks)) * 1000000 + 0.5) / 1000000 AS stop_ratio
+               FROM t),
+         q AS (SELECT doc_id, text,
+                 floor((LEAST(n_tokens / 100.0, 1.0) * 0.4
+                     + distinct_ratio * 0.4
+                     + (1.0 - stop_ratio) * 0.2) * 1000000 + 0.5)
+                   / 1000000 AS qs
+               FROM u),
+         f AS (SELECT qs,
+                 (COUNT(*) OVER (PARTITION BY text)) > 1 AS is_dup
+               FROM q)
+         SELECT is_dup, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                floor(CAST(SUM(CAST(qs AS DECIMAL(18,6)))
+                    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                  * 1000000.0 + 0.5) / 1000000.0 AS mean_quality
+         FROM f GROUP BY 1 ORDER BY 1""",
     // lang_id confusion matrix: counts over the heuristic's
     // prediction CTE, fenced per-true-class shares
     "lang_confusion" ->

@@ -1118,6 +1118,86 @@ object LlmTextOps {
       .select("doc_id", "lang", "en_ratio", "predicted_lang")
       .orderBy("doc_id")
 
+  /** `ngram_lm_score` — add-one-smoothed bigram language-model
+    * cross-entropy of the val slice under counts trained on the
+    * train slice: the KenLM-style corpus-quality eval (CCNet ranks
+    * documents by exactly this statistic; `token_surprisal` is its
+    * unigram little sibling). Reported as ln-perplexity
+    * −(Σ ln p(w₂|w₁))/N — a held-out slice drifting away from the
+    * training distribution raises it before any token-level stat
+    * moves.
+    *
+    * Portability: p = (c₂+1)/(c₁+V) is an exact rational from
+    * integer counts (c₂/c₁ via left joins, absent → 0), each ln is
+    * quantized to the 1e-6 grid as an integer (the `psi_drift`
+    * posture), the corpus sum is order-free, and the final division
+    * is fenced. Scale: counts are bigram-keyed aggregates, scoring
+    * is two equi-joins on bigram/unigram keys — everything shuffles
+    * small keys, never documents.
+    */
+  def ngramLmScore(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("bucket",
+        ((col("doc_id") % lit(1000000007L)) * lit(2654435761L)
+          % lit(1000000007L)) % lit(10))
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= 2)
+    def bigramsOf(df: DataFrame) = df.select(col("doc_id"), explode(
+      graft.functions.BigramsAll.bigramsAll(s, col("toks"))).as("bigram"))
+    val train = docs.where(col("bucket") < 8)
+    val value = docs.where(col("bucket") === 8)
+    val c2 = bigramsOf(train).groupBy(col("bigram"))
+      .agg(count(lit(1)).as("c2"))
+    val c1 = train
+      .select(explode(col("toks")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = train.select(explode(col("toks")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val scored = bigramsOf(value)
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .join(c2, Seq("bigram"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(
+        floor(log((coalesce(col("c2"), lit(0L)) + lit(1)).cast("double")
+          / (coalesce(col("c1"), lit(0L)) + col("v")).cast("double"))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("lq"))
+    scored.agg(count(lit(1)).as("n_bigrams"), sum(col("lq")).as("lsum"))
+      .crossJoin(broadcast(vocab))
+      .select(col("n_bigrams"), col("v").as("vocab"),
+        r6((-col("lsum")).cast("double") / col("n_bigrams").cast("double")
+          / lit(1000000.0)).as("ln_ppl"))
+  }
+
+  /** `quality_vs_dup` — do exact duplicates score worse on the
+    * quality heuristic? Joins [[textQuality]]'s composite score with
+    * the digest-duplicate flag and compares the two groups' means —
+    * the one-row answer to "is dedup also a quality filter here"
+    * that decides whether the near-dup pass can double as scoring.
+    * Exact decimal mean of the (already-fenced) scores per group,
+    * one fenced difference. One digest aggregate + one join.
+    */
+  def qualityVsDup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dupDocs = Tables.documents(s, d)
+      .groupBy(col("text")).agg(count(lit(1)).as("copies"),
+        collect_list(col("doc_id")).as("ids"))
+      .select(explode(col("ids")).as("doc_id"),
+        (col("copies") > 1).as("is_dup"))
+    val byGroup = textQuality(s, d)
+      .select(col("doc_id"), col("quality_score"))
+      .join(dupDocs, Seq("doc_id"))
+      .groupBy(col("is_dup"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("quality_score").cast(DecimalType(18, 6)))
+          .cast(DecimalType(28, 6)).as("qsum"))
+      .select(col("is_dup"), col("n_docs"),
+        r6(col("qsum").cast("double") / col("n_docs").cast("double"))
+          .as("mean_quality"))
+      .orderBy("is_dup")
+    byGroup
+  }
+
   /** `lang_confusion` — the confusion matrix of the n-gram
     * language-ID heuristic against the labeled `lang` column, with
     * per-cell share of the true class: the eval that says whether

@@ -810,6 +810,63 @@ class IndicatorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram_lm_score == driver-side smoothed-bigram recomputation") {
+    val s = spark
+    val got = LlmTextOps.ngramLmScore(s, TestSpark.sf001).collect()
+    assert(got.length == 1)
+    val docs = Tables.documents(s, TestSpark.sf001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+      .filter(_._2.length >= 2)
+    def bucket(id: Long) =
+      (id % 1000000007L) * 2654435761L % 1000000007L % 10
+    val train = docs.filter(d => bucket(d._1) < 8)
+    val vals = docs.filter(d => bucket(d._1) == 8)
+    val c2 = train.flatMap(_._2.sliding(2).map(_.mkString(" ")))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val c1 = train.flatMap(_._2)
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val v = train.flatMap(_._2).distinct.length.toLong
+    val lqs = vals.flatMap(_._2.sliding(2).filter(_.length == 2)).map { bg =>
+      val big = bg.mkString(" ")
+      val w1 = bg(0)
+      math.floor(math.log(
+        (c2.getOrElse(big, 0L) + 1).toDouble
+          / (c1.getOrElse(w1, 0L) + v).toDouble) * 1e6 + 0.5).toLong
+    }
+    val r = got.head
+    assert(r.getLong(0) == lqs.length.toLong, "n_bigrams")
+    assert(r.getLong(1) == v, "vocab")
+    assert(r.getDouble(2) ==
+      q6(-lqs.sum.toDouble / lqs.length.toDouble / 1e6), "ln_ppl")
+    assert(r.getDouble(2) > 0.0, "cross-entropy is positive")
+  }
+
+  test("quality_vs_dup splits dup/unique correctly on a pinned corpus") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("qvd").toString
+    // two copies of a low-diversity doc, two distinct richer docs
+    val dupText = "the the the the the the the the"
+    Seq(
+      (1L, dupText, "en", "srcA", dupText.length.toLong),
+      (2L, dupText, "en", "srcA", dupText.length.toLong),
+      (3L, "a quick brown fox jumps over the lazy dog", "en", "srcB", 41L),
+      (4L, "spark shuffles partitions of columnar batches", "en", "srcB", 45L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = LlmTextOps.qualityVsDup(s, dir).collect()
+      .map(r => r.getBoolean(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val quality = LlmTextOps.textQuality(s, dir)
+      .select(col("doc_id"), col("quality_score")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(true)._1 == 2L && got(false)._1 == 2L)
+    assert(got(true)._2 == q6((quality(1L) + quality(2L)) / 2.0))
+    assert(got(false)._2 == q6((quality(3L) + quality(4L)) / 2.0))
+    // the repeated-token duplicate scores below the diverse uniques
+    assert(got(true)._2 < got(false)._2)
+  }
+
   test("contrastive_pairs: positives share the label, negatives don't, margin checks out") {
     val s = spark
     val got = LlmVectorOps.contrastivePairs(s, TestSpark.sf001).collect()
