@@ -116,6 +116,8 @@ object SparkEntry {
     "centroid_drift"           -> (LlmVectorOps.centroidDrift _),
     "ngram_lm_score"           -> (LlmTextOps.ngramLmScore _),
     "quality_vs_dup"           -> (LlmTextOps.qualityVsDup _),
+    "first_touch_mix"          -> (AnalyticOps.firstTouchMix _),
+    "top_dup_clusters"         -> (LlmTextOps.topDupClusters _),
     "cusum_changepoint"        -> (AnalyticOps.cusumChangepoint _),
     "autocorrelation"          -> (AnalyticOps.autocorrelation _),
     "embed_norm_stats"         -> (LlmVectorOps.embedNormStats _),
@@ -3410,6 +3412,59 @@ object SparkEntry {
     "diversity_sample" -> LlmVectorOps.diversitySampleOracleSql,
     "label_centroids" -> LlmVectorOps.labelCentroidsOracleSql,
     "centroid_drift" -> LlmVectorOps.centroidDriftOracleSql,
+    // first-event-type distribution: min-(us, event_id) first touch,
+    // integer counts, fenced shares
+    "first_touch_mix" ->
+      """WITH t AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+                event_type
+              FROM events),
+         f AS (SELECT event_type AS first_type FROM
+                 (SELECT *, row_number() OVER (PARTITION BY user_id
+                    ORDER BY us ASC, event_id ASC) AS rn
+                  FROM t)
+               WHERE rn = 1),
+         c AS (SELECT first_type, CAST(COUNT(*) AS BIGINT) AS n_users
+               FROM f GROUP BY 1),
+         g AS (SELECT *, CAST(SUM(n_users) OVER () AS BIGINT) AS total
+               FROM c)
+         SELECT first_type, n_users,
+                floor(CAST(n_users AS DOUBLE) / CAST(total AS DOUBLE)
+                  * 1000000.0 + 0.5) / 1000000.0 AS share
+         FROM g ORDER BY first_type""",
+    // the five largest near-dup components over the same recursive
+    // closure the components oracle replays, decorated with sources
+    "top_dup_clusters" ->
+      """WITH RECURSIVE sh_t AS (
+           SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1]
+                    || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh_t GROUP BY 1),
+         pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+                   FROM sh_t a JOIN sh_t b
+                     ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         np AS (SELECT i, j
+                FROM pairs JOIN sizes si ON si.doc_id = i
+                           JOIN sizes sj ON sj.doc_id = j
+                WHERE floor((inter / (si.sz + sj.sz - inter)) * 1000000
+                            + 0.5) / 1000000 >= 0.8),
+         edges AS (SELECT i AS u, j AS v FROM np
+                   UNION SELECT j AS u, i AS v FROM np),
+         reach AS (SELECT u, u AS x FROM (SELECT DISTINCT u FROM edges)
+                   UNION
+                   SELECT r.u, e.v AS x FROM reach r JOIN edges e ON r.x = e.u),
+         comp AS (SELECT u AS doc_id, MIN(x) AS component_id
+                  FROM reach GROUP BY u),
+         j2 AS (SELECT c.component_id, c.doc_id, d.source
+                FROM comp c JOIN documents d USING (doc_id)),
+         a AS (SELECT component_id,
+                 CAST(COUNT(*) AS BIGINT) AS cluster_size,
+                 CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+                 MIN(doc_id) AS representative,
+                 MAX(doc_id) AS sample_member
+               FROM j2 GROUP BY 1)
+         SELECT component_id, cluster_size, n_sources, representative,
+                sample_member
+         FROM a ORDER BY cluster_size DESC, component_id ASC LIMIT 5""",
     // add-one bigram LM cross-entropy of the val slice: exact
     // rational p, 1e-6-quantized ln terms, order-free sum
     "ngram_lm_score" ->

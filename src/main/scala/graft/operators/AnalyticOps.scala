@@ -1304,6 +1304,34 @@ object AnalyticOps {
       .orderBy("symbol", "event_id")
   }
 
+  /** `first_touch_mix` — the distribution of each user's FIRST event
+    * type: the acquisition-integrity check for the funnel family — a
+    * cohort whose first touch is "purchase" never saw the top of the
+    * funnel (tracking gap or bot traffic), and the mix shifting
+    * between snapshots means the entry channel changed.
+    * Deterministic first = min (us, event_id) per user; integer
+    * counts; one fenced share. One user-keyed rank + one ≤ |types|
+    * aggregate.
+    */
+  def firstTouchMix(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us").asc, col("event_id").asc)
+    val firsts = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+    val totals = Window.partitionBy()
+    firsts
+      .groupBy(col("event_type").as("first_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("total", sum(col("n_users")).over(totals))
+      .select(col("first_type"), col("n_users"),
+        r6(col("n_users").cast("double") / col("total").cast("double"))
+          .as("share"))
+      .orderBy("first_type")
+  }
+
   /** `markov_transitions` — the first-order behavioral Markov chain:
     * transition counts and probabilities between consecutive event
     * types per user, ordered by event time. The "what do users do

@@ -2287,6 +2287,30 @@ object LlmTextOps {
         sum(col("cluster_size")).as("n_docs"))
       .orderBy("cluster_size")
 
+  /** `top_dup_clusters` — the five largest near-dup components with
+    * their representative, source spread, and a sample member: the
+    * "show me the worst offenders" drill-down on
+    * [[componentStats]]' histogram — the first thing a curator
+    * opens after the dedup report, because the biggest cluster is
+    * usually a template or boilerplate family with a nameable fix.
+    * Rides the same memoized pair silver + fixpoint as the other
+    * component consumers; the top-5 is a TakeOrderedAndProject over
+    * COMPONENT rows (already aggregated — tiny at any scale).
+    */
+  def topDupClusters(s: SparkSession, d: String): DataFrame =
+    componentsFromPairs(s,
+      dedupNearPairs(s, d).select(col("i"), col("j")),
+      pairsDistinct = true)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .groupBy(col("component_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("representative"),
+        max(col("doc_id")).as("sample_member"))
+      .orderBy(col("cluster_size").desc, col("component_id").asc)
+      .limit(5)
+
   /** `degree_stats` — degree distribution of the near-dup pair
     * graph: for each degree d, how many documents have exactly d
     * near-duplicate partners. Reads alongside [[componentStats]]:

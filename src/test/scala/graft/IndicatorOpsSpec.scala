@@ -867,6 +867,53 @@ class IndicatorOpsSpec extends AnyFunSuite {
     assert(got(true)._2 < got(false)._2)
   }
 
+  test("first_touch_mix == driver-side first-event recomputation") {
+    val s = spark
+    val got = AnalyticOps.firstTouchMix(s, TestSpark.sf001).collect()
+    val firsts = Tables.events(s, TestSpark.sf001)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._2)
+      .map { case (_, rows) => rows.minBy(r => (r._3, r._1))._4 }
+      .toSeq
+    val counts = firsts.groupBy(identity).map { case (k, v) =>
+      k -> v.length.toLong
+    }
+    assert(got.length == counts.size)
+    got.foreach { r =>
+      assert(r.getLong(1) == counts(r.getString(0)))
+      assert(r.getDouble(2) ==
+        q6(counts(r.getString(0)).toDouble / firsts.length.toDouble))
+    }
+    assert(math.abs(got.map(_.getDouble(2)).sum - 1.0) < 1e-4)
+  }
+
+  test("top_dup_clusters matches the component membership it summarizes") {
+    val s = spark
+    val got = LlmTextOps.topDupClusters(s, TestSpark.sf0001).collect()
+    val comp = SparkEntry.queries("dedup_components")(s, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sources = Tables.documents(s, TestSpark.sf0001)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = comp.groupBy(_._2).map { case (cid, xs) =>
+      val ids = xs.map(_._1)
+      cid -> (ids.length.toLong,
+        ids.map(sources).distinct.length.toLong, ids.min, ids.max)
+    }.toSeq.sortBy { case (cid, (sz, _, _, _)) => (-sz, cid) }.take(5)
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (r, (cid, e)) =>
+      assert(r.getLong(0) == cid, "component_id")
+      assert(r.getLong(1) == e._1, "cluster_size")
+      assert(r.getLong(2) == e._2, "n_sources")
+      assert(r.getLong(3) == e._3, "representative")
+      assert(r.getLong(4) == e._4, "sample_member")
+      assert(r.getLong(0) == e._3, "representative IS the component id")
+    }
+  }
+
   test("contrastive_pairs: positives share the label, negatives don't, margin checks out") {
     val s = spark
     val got = LlmVectorOps.contrastivePairs(s, TestSpark.sf001).collect()
