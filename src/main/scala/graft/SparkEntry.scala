@@ -118,6 +118,7 @@ object SparkEntry {
     "quality_vs_dup"           -> (LlmTextOps.qualityVsDup _),
     "first_touch_mix"          -> (AnalyticOps.firstTouchMix _),
     "top_dup_clusters"         -> (LlmTextOps.topDupClusters _),
+    "dedup_impact"             -> (LlmTextOps.dedupImpact _),
     "cusum_changepoint"        -> (AnalyticOps.cusumChangepoint _),
     "autocorrelation"          -> (AnalyticOps.autocorrelation _),
     "embed_norm_stats"         -> (LlmVectorOps.embedNormStats _),
@@ -3431,6 +3432,48 @@ object SparkEntry {
                 floor(CAST(n_users AS DOUBLE) / CAST(total AS DOUBLE)
                   * 1000000.0 + 0.5) / 1000000.0 AS share
          FROM g ORDER BY first_type""",
+    // dedup funnel: raw / exact / near survivor counts with fenced
+    // shares; the near stage replays the >= 0.8 pair cut + the
+    // drop-larger-id removal rule (no recursion needed)
+    "dedup_impact" ->
+      """WITH docs AS (SELECT doc_id, text,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+              FROM documents),
+         raw AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+                 FROM docs),
+         ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(nt) AS BIGINT) AS n_tokens
+                FROM (SELECT MIN(n_toks) AS nt FROM docs GROUP BY text)),
+         sh_t AS (
+           SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1]
+                    || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh_t GROUP BY 1),
+         pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+                   FROM sh_t a JOIN sh_t b
+                     ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         np AS (SELECT i, j
+                FROM pairs JOIN sizes si ON si.doc_id = i
+                           JOIN sizes sj ON sj.doc_id = j
+                WHERE floor((inter / (si.sz + sj.sz - inter)) * 1000000
+                            + 0.5) / 1000000 >= 0.8),
+         removed AS (SELECT DISTINCT j AS doc_id FROM np),
+         nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+                FROM docs WHERE doc_id NOT IN
+                  (SELECT doc_id FROM removed)),
+         u AS (SELECT '1_raw' AS stage, n_docs, n_tokens FROM raw
+               UNION ALL SELECT '2_exact', n_docs, n_tokens FROM ex
+               UNION ALL SELECT '3_near', n_docs, n_tokens FROM nr)
+         SELECT stage, n_docs, n_tokens,
+                floor(CAST(n_docs AS DOUBLE)
+                  / CAST((SELECT n_docs FROM raw) AS DOUBLE)
+                  * 1000000.0 + 0.5) / 1000000.0 AS pct_docs,
+                floor(CAST(n_tokens AS DOUBLE)
+                  / CAST((SELECT n_tokens FROM raw) AS DOUBLE)
+                  * 1000000.0 + 0.5) / 1000000.0 AS pct_tokens
+         FROM u ORDER BY stage""",
     // the five largest near-dup components over the same recursive
     // closure the components oracle replays, decorated with sources
     "top_dup_clusters" ->

@@ -2287,6 +2287,46 @@ object LlmTextOps {
         sum(col("cluster_size")).as("n_docs"))
       .orderBy("cluster_size")
 
+  /** `dedup_impact` — the dedup cascade as a funnel: docs and tokens
+    * surviving at each stage (raw → exact dedup → near-dup
+    * survivors), with shares of raw. The pipeline-observability
+    * one-pager: how much of the corpus each gate actually removes is
+    * the number that justifies (or kills) its compute budget, and a
+    * share that MOVES between snapshots is a crawl-composition
+    * alarm. Exact stage = one doc per distinct text; near stage =
+    * the `dedup_survivors` removal rule (drop every pair's larger
+    * id) against the same verified ≥ 0.8 pair stream every
+    * component consumer reads (memoized silver). Integer counts,
+    * fenced shares; three rows at any scale.
+    */
+  def dedupImpact(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+    def summarize(df: DataFrame, stage: String) =
+      df.agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+        .withColumn("stage", lit(stage))
+    val raw = summarize(docs, "1_raw")
+    val exact = summarize(
+      docs.groupBy(col("text")).agg(min(col("n_toks")).as("n_toks")),
+      "2_exact")
+    // the survivorsCore removal rule (drop each pair's larger id),
+    // inlined because its projection drops the token-count column
+    val removed = dedupNearPairs(s, d)
+      .select(col("j").as("doc_id")).distinct()
+    val near = summarize(
+      docs.join(removed, Seq("doc_id"), "left_anti"), "3_near")
+    val rawTotals = raw.select(col("n_docs").as("raw_docs"),
+      col("n_tokens").as("raw_tokens"))
+    raw.unionByName(exact).unionByName(near)
+      .crossJoin(broadcast(rawTotals))
+      .select(col("stage"), col("n_docs"), col("n_tokens"),
+        r6(col("n_docs").cast("double") / col("raw_docs").cast("double"))
+          .as("pct_docs"),
+        r6(col("n_tokens").cast("double")
+          / col("raw_tokens").cast("double")).as("pct_tokens"))
+      .orderBy("stage")
+  }
+
   /** `top_dup_clusters` — the five largest near-dup components with
     * their representative, source spread, and a sample member: the
     * "show me the worst offenders" drill-down on

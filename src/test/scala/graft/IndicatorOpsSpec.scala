@@ -914,6 +914,31 @@ class IndicatorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_impact stages nest and agree with the ops they summarize") {
+    val s = spark
+    val got = LlmTextOps.dedupImpact(s, TestSpark.sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet == Set("1_raw", "2_exact", "3_near"))
+    val docs = Tables.documents(s, TestSpark.sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val rawDocs = docs.length.toLong
+    val rawToks = docs.map(_._2.split(" ", -1).length.toLong).sum
+    assert(got("1_raw")._1 == rawDocs && got("1_raw")._2 == rawToks)
+    assert(got("1_raw")._3 == 1.0 && got("1_raw")._4 == 1.0)
+    // exact stage == one doc per distinct text
+    assert(got("2_exact")._1 == docs.map(_._2).distinct.length.toLong)
+    // near stage == the dedup_survivors row count
+    val survivors = SparkEntry.queries("dedup_survivors")(
+      s, TestSpark.sf0001).count()
+    assert(got("3_near")._1 == survivors, "near stage == survivors")
+    // the funnel narrows monotonically
+    assert(got("1_raw")._1 >= got("2_exact")._1)
+    assert(got("2_exact")._1 >= got("3_near")._1
+      || got("3_near")._1 <= got("1_raw")._1)
+  }
+
   test("contrastive_pairs: positives share the label, negatives don't, margin checks out") {
     val s = spark
     val got = LlmVectorOps.contrastivePairs(s, TestSpark.sf001).collect()
