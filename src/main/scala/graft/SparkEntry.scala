@@ -42,6 +42,8 @@ object SparkEntry {
     "join_range"          -> (RelationalOps.joinRange _),
     "join_skew_salted"    -> (RelationalOps.joinSkewSalted _),
     "join_bloom_pruned"   -> (RelationalOps.joinBloomPruned _),
+    "join_full_outer"     -> (RelationalOps.joinFullOuter _),
+    "grouping_sets_report" -> (RelationalOps.groupingSetsReport _),
     "promo_revenue"       -> (RelationalOps.promoRevenue _),
     "topk_orders"         -> (RelationalOps.topkOrders _),
     "window_rank"         -> (RelationalOps.windowRank _),
@@ -92,6 +94,7 @@ object SparkEntry {
     "interarrival_stats"       -> (AnalyticOps.interarrivalStats _),
     "basket_pairs"             -> (RelationalOps.basketPairs _),
     "max_drawdown"             -> (AnalyticOps.maxDrawdown _),
+    "vwap_hourly"              -> (AnalyticOps.vwapHourly _),
     "rsi_indicator"            -> (AnalyticOps.rsiIndicator _),
     "ab_test_z"                -> (AnalyticOps.abTestZ _),
     "gini_concentration"       -> (LlmTextOps.giniConcentration _),
@@ -469,6 +472,34 @@ object SparkEntry {
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY CUBE(c_mktsegment, o_orderstatus)
          ORDER BY mktsegment, orderstatus""",
+    "grouping_sets_report" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+                COALESCE(l_linestatus, 'ALL') AS linestatus,
+                CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+                CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+                COUNT(*) AS n_items,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                  AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                 (l_returnflag, l_linestatus))
+         ORDER BY returnflag, linestatus, g_flag""",
+    // full-outer reconciliation: aggregate-then-join keeps both join
+    // inputs tiny; COALESCE fills the genuine outer legs
+    "join_full_outer" ->
+      """WITH c AS (SELECT CAST(floor(CAST(c_acctbal AS DOUBLE) / 25.0)
+                      AS BIGINT) AS band, COUNT(*) AS n_cust
+                    FROM customer GROUP BY 1),
+              s AS (SELECT CAST(floor(CAST(s_acctbal AS DOUBLE) / 25.0)
+                      AS BIGINT) AS band, COUNT(*) AS n_supp
+                    FROM supplier GROUP BY 1)
+         SELECT COALESCE(c.band, s.band) AS band,
+                COALESCE(n_cust, 0) AS n_cust,
+                COALESCE(n_supp, 0) AS n_supp,
+                CAST(n_cust IS NOT NULL AND n_supp IS NOT NULL
+                  AS INTEGER) AS in_both
+         FROM c FULL OUTER JOIN s ON c.band = s.band
+         ORDER BY band""",
     "set_ops_all" ->
       """WITH cn AS (SELECT c_nationkey AS nk FROM customer),
               sn AS (SELECT s_nationkey AS nk FROM supplier)
@@ -2065,6 +2096,26 @@ object SparkEntry {
          SELECT symbol, COUNT(*) AS n_ticks, MAX(peak) AS peak_price,
                 MIN(price) AS low_price, MAX(d) AS max_drawdown
          FROM dd GROUP BY symbol ORDER BY symbol""",
+    // VWAP: centi-price × volume products and both sums are integer
+    // folds; the ONLY float op is the final fenced division
+    "vwap_hourly" ->
+      """WITH t AS (SELECT date_trunc('hour', ts) AS hour_ts,
+                event_type AS symbol,
+                CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5)
+                  AS BIGINT) AS centi,
+                TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                  AS vol
+              FROM events)
+         SELECT CAST(hour_ts AS DATE) AS date,
+                CAST(EXTRACT(hour FROM hour_ts) AS INTEGER) AS hour,
+                symbol, COUNT(*) AS n_ticks,
+                CAST(SUM(vol) AS BIGINT) AS total_vol,
+                floor(CAST(SUM(centi * vol) AS DOUBLE)
+                  / (100.0 * CAST(SUM(vol) AS DOUBLE))
+                  * 1000000 + 0.5) / 1000000 AS vwap
+         FROM t WHERE vol IS NOT NULL AND vol > 0
+         GROUP BY hour_ts, symbol
+         ORDER BY date, hour, symbol""",
     // trailing-14 RSI: moves quantized to the 6-dp grid as integers
     // BEFORE the frame sums (order-free), one fenced division
     "rsi_indicator" ->

@@ -1883,4 +1883,38 @@ object AnalyticOps {
               + lit(1.0) / col("n_b").cast("double"))), lit(0.0)))
           .as("z_score"))
   }
+
+  /** `vwap_hourly` — volume-weighted average price per (date, hour,
+    * symbol): VWAP = Σ(price·vol)/Σ(vol), the execution benchmark
+    * every trading desk compares fills against and the weighted
+    * companion to R3's unweighted `avg_price` (the reference's tick
+    * payload carries only price, `dataCollector.py:105`; the `props`
+    * JSON `k` field stands in as the per-tick size, read with the
+    * same extraction `json_extract` gates).
+    *
+    * Portability: prices on the 2-dp data grid quantize to integer
+    * centi-price; centi·vol products and both sums are pure integer
+    * folds (order-free), so the ONLY float op is the final fenced
+    * division by 100·Σvol. Scale shape: identical to `ohlc_hourly` —
+    * one hash aggregate with map-side partials, no window, no join.
+    */
+  def vwapHourly(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("ts"), col("event_type").as("symbol"),
+        floor(col("value").cast("double") * lit(100.0) + lit(0.5))
+          .cast("long").as("centi"),
+        get_json_object(col("props"), "$.k").cast("long").as("vol"))
+      .where(col("vol").isNotNull && col("vol") > 0)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("symbol"))
+      .agg(
+        sum(col("centi") * col("vol")).as("pv_centi"),
+        sum(col("vol")).as("total_vol"),
+        count(lit(1)).as("n_ticks"))
+      .select(
+        to_date(col("hour_ts")).as("date"),
+        hour(col("hour_ts")).as("hour"),
+        col("symbol"), col("n_ticks"), col("total_vol"),
+        r6(col("pv_centi").cast("double")
+          / (lit(100.0) * col("total_vol").cast("double"))).as("vwap"))
+      .orderBy("date", "hour", "symbol")
 }

@@ -626,4 +626,61 @@ object RelationalOps {
           / (dec(col("n_customers")) * dec(col("total_cents")))
             .cast("double")).as("gini"))
   }
+
+  /** `join_full_outer` — the one join type the E2–E5 inventory didn't
+    * time: per-band reconciliation of the customer vs supplier
+    * account-balance distributions via FULL OUTER join. Bands present
+    * on only one side surface as genuine outer rows (the 1k-supplier
+    * side leaves gaps against 15k customers at 25-unit bands), so
+    * both null legs are exercised and coalesced — the
+    * two-ledger-reconciliation shape (ours vs theirs, rows missing
+    * from either side must still appear).
+    *
+    * Scale shape: both sides pre-aggregate to ≤ ~450 band rows BEFORE
+    * the join (aggregate-then-join, never join-then-aggregate — at
+    * 100 TB the outer join runs on two tiny summaries), and AQE
+    * broadcasts the build side. Integer counts; no float anywhere.
+    */
+  def joinFullOuter(s: SparkSession, d: String): DataFrame = {
+    def bands(t: DataFrame, bal: String, n: String) = t
+      .groupBy(floor(col(bal).cast("double") / lit(25.0))
+        .cast("long").as("band"))
+      .agg(count(lit(1)).as(n))
+    val c = bands(Tables.customer(s, d), "c_acctbal", "n_cust")
+    val sup = bands(Tables.supplier(s, d), "s_acctbal", "n_supp")
+    c.join(sup, Seq("band"), "full_outer")
+      .select(col("band"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+        (col("n_cust").isNotNull && col("n_supp").isNotNull)
+          .cast("int").as("in_both"))
+      .orderBy("band")
+  }
+
+  /** `grouping_sets_report` — explicit GROUPING SETS((flag),
+    * (status), (flag, status)): the lattice subset neither `rollup`
+    * (prefix chain) nor `cube` (full lattice) expresses — the report
+    * that wants both one-dimensional margins plus the cross table but
+    * NOT the grand total. Uses Spark 4's `Dataset.groupingSets` API
+    * (one Expand + one hash aggregate, same plan family as
+    * rollup_report); `grouping()` flags disambiguate margin rows from
+    * data rows exactly, and the coalesce-to-'ALL' labels keep the
+    * cross-engine sort away from engine-specific NULL ordering.
+    */
+  def groupingSetsReport(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")),
+          Seq(col("l_returnflag"), col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"),
+        count(lit(1)).as("n_items"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("g_flag"), col("g_status"), col("n_items"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus", "g_flag")
 }

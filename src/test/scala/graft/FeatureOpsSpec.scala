@@ -754,4 +754,50 @@ class FeatureOpsSpec extends AnyFunSuite {
     }
     assert(got.toSeq == want)
   }
+
+  test("join_full_outer reconciles both ledgers and exercises the outer legs") {
+    val s = spark
+    val got = graft.operators.RelationalOps
+      .joinFullOuter(s, TestSpark.sf001).collect()
+    val nCust = Tables.customer(s, TestSpark.sf001).count()
+    val nSupp = Tables.supplier(s, TestSpark.sf001).count()
+    // every row of either ledger lands in exactly one band
+    assert(got.map(_.getLong(1)).sum == nCust)
+    assert(got.map(_.getLong(2)).sum == nSupp)
+    // the outer join is genuinely outer: the 100-supplier side cannot
+    // fill the ~440 bands the 1500 customers cover at sf0.01
+    assert(got.exists(r => r.getLong(2) == 0L && r.getInt(3) == 0))
+    // in_both == both sides non-zero (zero count only arises from the
+    // coalesced null leg — a present band always counts ≥ 1)
+    got.foreach { r =>
+      assert((r.getInt(3) == 1) == (r.getLong(1) > 0 && r.getLong(2) > 0))
+    }
+    // bands are unique and sorted
+    val bands = got.map(_.getLong(0))
+    assert(bands.toSeq == bands.toSeq.sorted && bands.distinct.length == bands.length)
+  }
+
+  test("grouping_sets_report == the cross table plus both margins, no grand total") {
+    val s = spark
+    val got = graft.operators.RelationalOps
+      .groupingSetsReport(s, TestSpark.sf001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getDouble(5)))
+    val cross = got.filter(t => t._3 == 0 && t._4 == 0)
+    val flagM = got.filter(t => t._3 == 0 && t._4 == 1)
+    val statusM = got.filter(t => t._3 == 1 && t._4 == 0)
+    // exactly the three declared sets — no () grand-total row
+    assert(cross.nonEmpty && flagM.nonEmpty && statusM.nonEmpty)
+    assert(cross.length + flagM.length + statusM.length == got.length)
+    assert(!got.exists(t => t._3 == 1 && t._4 == 1))
+    // margins label the grouped-out side 'ALL' and fold the cross rows
+    flagM.foreach { m =>
+      assert(m._2 == "ALL")
+      assert(m._5 == cross.filter(_._1 == m._1).map(_._5).sum, m._1)
+    }
+    statusM.foreach { m =>
+      assert(m._1 == "ALL")
+      assert(m._5 == cross.filter(_._2 == m._2).map(_._5).sum, m._2)
+    }
+  }
 }

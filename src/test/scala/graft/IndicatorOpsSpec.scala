@@ -977,4 +977,39 @@ class IndicatorOpsSpec extends AnyFunSuite {
       assert(r.getDouble(6) == q6(r.getDouble(3) - r.getDouble(5)), "margin")
     }
   }
+
+  test("vwap_hourly == driver-side integer-fold recomputation") {
+    val s = spark
+    val got = AnalyticOps.vwapHourly(s, TestSpark.sf0001).collect()
+    val events = Tables.events(s, TestSpark.sf0001)
+      .select(date_trunc("hour", col("ts")).cast("long").as("h"),
+        col("event_type"),
+        floor(col("value").cast("double") * lit(100.0) + lit(0.5))
+          .cast("long"),
+        get_json_object(col("props"), "$.k").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+    val expected = events
+      .filter(e => e._4.exists(_ > 0))
+      .groupBy(e => (e._1, e._2))
+      .map { case (k, rows) =>
+        val pv = rows.map(e => e._3 * e._4.get).sum
+        val v = rows.map(_._4.get).sum
+        k -> (rows.length.toLong, v, q6(pv.toDouble / (100.0 * v.toDouble)))
+      }
+    assert(got.length == expected.size)
+    // re-key the Spark rows on (hour epoch-µs, symbol) via the same cast
+    val gotKeyed = AnalyticOps.vwapHourly(s, TestSpark.sf0001)
+      .withColumn("h",
+        col("date").cast("timestamp").cast("long") + col("hour") * 3600L)
+      .select("h", "symbol", "n_ticks", "total_vol", "vwap")
+      .collect()
+    gotKeyed.foreach { r =>
+      val e = expected((r.getLong(0), r.getString(1)))
+      assert(r.getLong(2) == e._1, "n_ticks")
+      assert(r.getLong(3) == e._2, "total_vol")
+      assert(r.getDouble(4) == e._3, "vwap")
+    }
+  }
 }
