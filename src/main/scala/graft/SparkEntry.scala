@@ -95,6 +95,8 @@ object SparkEntry {
     "basket_pairs"             -> (RelationalOps.basketPairs _),
     "max_drawdown"             -> (AnalyticOps.maxDrawdown _),
     "vwap_hourly"              -> (AnalyticOps.vwapHourly _),
+    "obv_indicator"            -> (AnalyticOps.obvIndicator _),
+    "bollinger_bands"          -> (AnalyticOps.bollingerBands _),
     "rsi_indicator"            -> (AnalyticOps.rsiIndicator _),
     "ab_test_z"                -> (AnalyticOps.abTestZ _),
     "gini_concentration"       -> (LlmTextOps.giniConcentration _),
@@ -2116,6 +2118,64 @@ object SparkEntry {
          FROM t WHERE vol IS NOT NULL AND vol > 0
          GROUP BY hour_ts, symbol
          ORDER BY date, hour, symbol""",
+    // On-Balance Volume: sign on the exact centi grid, integer flows,
+    // integer prefix sum — no float op anywhere in the query
+    "obv_indicator" ->
+      """WITH t AS (SELECT event_id, epoch_us(ts) AS us,
+                event_type AS symbol, CAST(value AS DOUBLE) AS price,
+                CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5)
+                  AS BIGINT) AS centi,
+                COALESCE(TRY_CAST(json_extract_string(props, '$.k')
+                  AS BIGINT), 0) AS vol
+              FROM events),
+         d AS (SELECT *, centi - lag(centi) OVER w AS dc,
+                 row_number() OVER (PARTITION BY symbol
+                   ORDER BY us DESC, event_id DESC) AS rdesc
+               FROM t WINDOW w AS (PARTITION BY symbol
+                 ORDER BY us ASC, event_id ASC)),
+         f AS (SELECT symbol, event_id, price, vol, rdesc,
+                 CAST(SUM(CASE WHEN dc > 0 THEN vol
+                               WHEN dc < 0 THEN -vol
+                               ELSE 0 END)
+                   OVER (PARTITION BY symbol
+                     ORDER BY us ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS obv
+               FROM d)
+         SELECT symbol, event_id, price, vol, obv
+         FROM f WHERE rdesc <= 20 ORDER BY symbol, event_id""",
+    // Bollinger: integer frame moments, exact integer variance
+    // numerator, one correctly-rounded sqrt + fixed divisions — the
+    // flags compare the UNfenced envelope exactly as Spark does
+    "bollinger_bands" ->
+      """WITH t AS (SELECT event_id, epoch_us(ts) AS us,
+                event_type AS symbol, CAST(value AS DOUBLE) AS price,
+                CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5)
+                  AS BIGINT) AS centi
+              FROM events),
+         f AS (SELECT symbol, event_id, us, price, centi,
+                 row_number() OVER w AS rn,
+                 CAST(SUM(centi) OVER fr AS BIGINT) AS sc,
+                 CAST(SUM(centi * centi) OVER fr AS BIGINT) AS sc2
+               FROM t WINDOW
+                 w AS (PARTITION BY symbol ORDER BY us ASC, event_id ASC),
+                 fr AS (PARTITION BY symbol ORDER BY us ASC, event_id ASC
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+         g AS (SELECT *, row_number() OVER (PARTITION BY symbol
+                 ORDER BY us DESC, event_id DESC) AS rdesc,
+                 CAST(sc AS DOUBLE) / 2000.0 AS mid,
+                 sqrt(CAST(20 * sc2 - sc * sc AS DOUBLE)) / 2000.0 AS sd
+               FROM f WHERE rn >= 20)
+         SELECT symbol, event_id, price,
+                floor(mid * 1000000 + 0.5) / 1000000 AS mid,
+                floor(sd * 1000000 + 0.5) / 1000000 AS sd20,
+                floor((mid - 2.0 * sd) * 1000000 + 0.5) / 1000000 AS lower,
+                floor((mid + 2.0 * sd) * 1000000 + 0.5) / 1000000 AS upper,
+                CAST(CAST(centi AS DOUBLE) / 100.0 > mid + 2.0 * sd
+                  AS INTEGER) AS above_upper,
+                CAST(CAST(centi AS DOUBLE) / 100.0 < mid - 2.0 * sd
+                  AS INTEGER) AS below_lower
+         FROM g WHERE rdesc <= 20 ORDER BY symbol, event_id""",
     // trailing-14 RSI: moves quantized to the 6-dp grid as integers
     // BEFORE the frame sums (order-free), one fenced division
     "rsi_indicator" ->

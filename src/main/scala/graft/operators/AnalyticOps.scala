@@ -1884,6 +1884,102 @@ object AnalyticOps {
           .as("z_score"))
   }
 
+  /** `obv_indicator` — On-Balance Volume per symbol (Granville '63):
+    * OBV_t = Σ_{i≤t} sign(Δprice_i)·vol_i — volume flows "into" the
+    * asset on up-ticks and "out" on down-ticks; the classic
+    * volume-confirmation companion to [[rsiIndicator]]'s price
+    * momentum, on the same tick stream (`props` JSON `k` as per-tick
+    * size, the [[vwapHourly]] precedent).
+    *
+    * Portability: the tick-to-tick move is compared on the exact
+    * centi-price integer grid (2-dp data), sign and volume are
+    * integers, and the running OBV is an integer prefix sum — the
+    * ENTIRE query is integer arithmetic, no float fence anywhere.
+    * Output is the last 20 ticks per symbol (bounded at any scale).
+    *
+    * Scale shape: one shuffle+sort per symbol serves the lag, the
+    * prefix sum, and both row_numbers — the [[rsiIndicator]] plan.
+    */
+  def obvIndicator(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("us").asc, col("event_id").asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wd = Window.partitionBy("symbol")
+      .orderBy(col("us").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type").as("symbol"),
+        col("value").cast("double").as("price"),
+        floor(col("value").cast("double") * lit(100.0) + lit(0.5))
+          .cast("long").as("centi"),
+        coalesce(get_json_object(col("props"), "$.k").cast("long"),
+          lit(0L)).as("vol"))
+      .withColumn("dc", col("centi") - lag(col("centi"), 1).over(w))
+      .withColumn("flow",
+        when(col("dc") > 0, col("vol"))
+          .when(col("dc") < 0, -col("vol"))
+          .otherwise(lit(0L)))
+      .withColumn("obv", sum(col("flow")).over(run))
+      .withColumn("rdesc", row_number().over(wd))
+      .where(col("rdesc") <= 20)
+      .select(col("symbol"), col("event_id"), col("price"),
+        col("vol"), col("obv"))
+      .orderBy("symbol", "event_id")
+  }
+
+  /** `bollinger_bands` — 20-tick Bollinger bands per symbol
+    * (Bollinger '80s): moving mean ± 2σ over the trailing-20 frame,
+    * the volatility envelope read alongside [[rsiIndicator]] on every
+    * trading chart. Emitted for the last 20 full-frame ticks per
+    * symbol with the band width and a position flag (price above /
+    * below the envelope).
+    *
+    * Portability: the frame moments are INTEGER sums of centi-prices
+    * (Σc, Σc² — c ≤ ~10⁶ ⇒ Σc² ≤ ~2×10¹³, well inside long), the
+    * variance numerator n·Σc² − (Σc)² is exact integer arithmetic,
+    * and the only float ops are one correctly-rounded sqrt of an
+    * integer and the fixed divisions by 100n — a single written IEEE
+    * op sequence both engines reproduce bit-for-bit, then the 6-dp
+    * fence. Σ over the frame is an integer fold, so segment-tree vs
+    * sequential window evaluation order cannot differ.
+    *
+    * Scale shape: the [[rsiIndicator]] plan — one shuffle+sort per
+    * symbol serves both frame sums and both row_numbers.
+    */
+  def bollingerBands(s: SparkSession, d: String): DataFrame = {
+    val n = 20
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("us").asc, col("event_id").asc)
+    val fr = w.rowsBetween(-(n - 1), 0)
+    val wd = Window.partitionBy("symbol")
+      .orderBy(col("us").desc, col("event_id").desc)
+    val mid = col("sc").cast("double") / lit(100.0 * n)
+    val sd = sqrt((lit(n.toLong) * col("sc2") - col("sc") * col("sc"))
+      .cast("double")) / lit(100.0 * n)
+    Tables.events(s, d)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type").as("symbol"),
+        col("value").cast("double").as("price"),
+        floor(col("value").cast("double") * lit(100.0) + lit(0.5))
+          .cast("long").as("centi"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("sc", sum(col("centi")).over(fr))
+      .withColumn("sc2", sum(col("centi") * col("centi")).over(fr))
+      .where(col("rn") >= n)
+      .withColumn("rdesc", row_number().over(wd))
+      .where(col("rdesc") <= 20)
+      .select(col("symbol"), col("event_id"), col("price"),
+        r6(mid).as("mid"),
+        r6(sd).as("sd20"),
+        r6(mid - lit(2.0) * sd).as("lower"),
+        r6(mid + lit(2.0) * sd).as("upper"),
+        (col("centi").cast("double") / lit(100.0) >
+          mid + lit(2.0) * sd).cast("int").as("above_upper"),
+        (col("centi").cast("double") / lit(100.0) <
+          mid - lit(2.0) * sd).cast("int").as("below_lower"))
+      .orderBy("symbol", "event_id")
+  }
+
   /** `vwap_hourly` — volume-weighted average price per (date, hour,
     * symbol): VWAP = Σ(price·vol)/Σ(vol), the execution benchmark
     * every trading desk compares fills against and the weighted

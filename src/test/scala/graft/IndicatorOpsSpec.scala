@@ -978,6 +978,83 @@ class IndicatorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("obv_indicator == driver-side signed-flow prefix sum") {
+    val s = spark
+    val got = AnalyticOps.obvIndicator(s, TestSpark.sf0001).collect()
+    val events = Tables.events(s, TestSpark.sf0001)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value").cast("double"),
+        floor(col("value").cast("double") * lit(100.0) + lit(0.5))
+          .cast("long"),
+        coalesce(get_json_object(col("props"), "$.k").cast("long"),
+          lit(0L)))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5)))
+    val expected = events.groupBy(_._3).toSeq.flatMap { case (sym, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._1))
+      var obv = 0L
+      val series = sorted.indices.map { i =>
+        val flow =
+          if (i == 0) 0L
+          else {
+            val dc = sorted(i)._5 - sorted(i - 1)._5
+            if (dc > 0) sorted(i)._6
+            else if (dc < 0) -sorted(i)._6
+            else 0L
+          }
+        obv += flow
+        (sorted(i)._1, sym, sorted(i)._4, sorted(i)._6, obv)
+      }
+      series.takeRight(20)
+    }.map(t => t._1 -> t).toMap
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val e = expected(r.getLong(1))
+      assert(r.getString(0) == e._2 && r.getDouble(2) == e._3)
+      assert(r.getLong(3) == e._4, "vol")
+      assert(r.getLong(4) == e._5, "obv")
+    }
+  }
+
+  test("bollinger_bands == driver-side integer-moment recomputation") {
+    val s = spark
+    val got = AnalyticOps.bollingerBands(s, TestSpark.sf0001).collect()
+    val events = Tables.events(s, TestSpark.sf0001)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value").cast("double"),
+        floor(col("value").cast("double") * lit(100.0) + lit(0.5))
+          .cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3), r.getLong(4)))
+    val expected = events.groupBy(_._3).toSeq.flatMap { case (sym, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._1))
+      val full = sorted.indices.filter(_ >= 19).map { i =>
+        val frame = sorted.slice(i - 19, i + 1).map(_._5)
+        val sc = frame.sum
+        val sc2 = frame.map(c => c * c).sum
+        val mid = sc.toDouble / 2000.0
+        val sd = math.sqrt((20L * sc2 - sc * sc).toDouble) / 2000.0
+        (sorted(i)._1, sym, sorted(i)._4, q6(mid), q6(sd),
+          q6(mid - 2.0 * sd), q6(mid + 2.0 * sd),
+          if (sorted(i)._5.toDouble / 100.0 > mid + 2.0 * sd) 1 else 0,
+          if (sorted(i)._5.toDouble / 100.0 < mid - 2.0 * sd) 1 else 0)
+      }
+      full.takeRight(20)
+    }.map(t => t._1 -> t).toMap
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val e = expected(r.getLong(1))
+      assert(r.getString(0) == e._2 && r.getDouble(2) == e._3)
+      assert(r.getDouble(3) == e._4, "mid")
+      assert(r.getDouble(4) == e._5, "sd20")
+      assert(r.getDouble(5) == e._6, "lower")
+      assert(r.getDouble(6) == e._7, "upper")
+      assert(r.getInt(7) == e._8 && r.getInt(8) == e._9, "flags")
+    }
+  }
+
   test("vwap_hourly == driver-side integer-fold recomputation") {
     val s = spark
     val got = AnalyticOps.vwapHourly(s, TestSpark.sf0001).collect()
