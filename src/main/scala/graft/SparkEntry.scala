@@ -97,6 +97,7 @@ object SparkEntry {
     "vwap_hourly"              -> (AnalyticOps.vwapHourly _),
     "obv_indicator"            -> (AnalyticOps.obvIndicator _),
     "bollinger_bands"          -> (AnalyticOps.bollingerBands _),
+    "stochastic_oscillator"    -> (AnalyticOps.stochasticOscillator _),
     "rsi_indicator"            -> (AnalyticOps.rsiIndicator _),
     "ab_test_z"                -> (AnalyticOps.abTestZ _),
     "gini_concentration"       -> (LlmTextOps.giniConcentration _),
@@ -2175,6 +2176,32 @@ object SparkEntry {
                   AS INTEGER) AS above_upper,
                 CAST(CAST(centi AS DOUBLE) / 100.0 < mid - 2.0 * sd
                   AS INTEGER) AS below_lower
+         FROM g WHERE rdesc <= 20 ORDER BY symbol, event_id""",
+    // stochastic %K: frame MIN/MAX of exact centi integers, integer
+    // differences, one nullif-guarded fenced division
+    "stochastic_oscillator" ->
+      """WITH t AS (SELECT event_id, epoch_us(ts) AS us,
+                event_type AS symbol, CAST(value AS DOUBLE) AS price,
+                CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5)
+                  AS BIGINT) AS centi
+              FROM events),
+         f AS (SELECT symbol, event_id, us, price, centi,
+                 row_number() OVER w AS rn,
+                 CAST(MIN(centi) OVER fr AS BIGINT) AS l14,
+                 CAST(MAX(centi) OVER fr AS BIGINT) AS h14
+               FROM t WINDOW
+                 w AS (PARTITION BY symbol ORDER BY us ASC, event_id ASC),
+                 fr AS (PARTITION BY symbol ORDER BY us ASC, event_id ASC
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+         g AS (SELECT *, row_number() OVER (PARTITION BY symbol
+                 ORDER BY us DESC, event_id DESC) AS rdesc
+               FROM f WHERE rn >= 14)
+         SELECT symbol, event_id, price,
+                CAST(l14 AS DOUBLE) / 100.0 AS low14,
+                CAST(h14 AS DOUBLE) / 100.0 AS high14,
+                floor(100.0 * CAST(centi - l14 AS DOUBLE)
+                  / NULLIF(CAST(h14 - l14 AS DOUBLE), 0.0)
+                  * 1000000 + 0.5) / 1000000 AS pct_k
          FROM g WHERE rdesc <= 20 ORDER BY symbol, event_id""",
     // trailing-14 RSI: moves quantized to the 6-dp grid as integers
     // BEFORE the frame sums (order-free), one fenced division

@@ -1980,6 +1980,50 @@ object AnalyticOps {
       .orderBy("symbol", "event_id")
   }
 
+  /** `stochastic_oscillator` — trailing-14 stochastic %K per symbol
+    * (Lane '50s): %K = 100·(close − L14)/(H14 − L14), the position of
+    * the current price inside its recent range — with
+    * [[rsiIndicator]] (momentum), [[obvIndicator]] (volume flow) and
+    * [[bollingerBands]] (volatility envelope) this completes the
+    * classical chart-indicator quartet on the reference's tick
+    * stream.
+    *
+    * Portability: L14/H14 are frame MIN/MAX of the exact centi-price
+    * integers (order-free by construction), the numerator and
+    * denominator are integer differences, and the ONLY float op is
+    * the final fenced division (nullif-guarded for a flat frame).
+    * Output is the last 20 full-frame ticks per symbol.
+    *
+    * Scale shape: the [[rsiIndicator]] plan — one shuffle+sort per
+    * symbol serves both frame extrema and both row_numbers.
+    */
+  def stochasticOscillator(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("us").asc, col("event_id").asc)
+    val fr = w.rowsBetween(-13, 0)
+    val wd = Window.partitionBy("symbol")
+      .orderBy(col("us").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type").as("symbol"),
+        col("value").cast("double").as("price"),
+        floor(col("value").cast("double") * lit(100.0) + lit(0.5))
+          .cast("long").as("centi"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("l14", min(col("centi")).over(fr))
+      .withColumn("h14", max(col("centi")).over(fr))
+      .where(col("rn") >= 14)
+      .withColumn("rdesc", row_number().over(wd))
+      .where(col("rdesc") <= 20)
+      .select(col("symbol"), col("event_id"), col("price"),
+        (col("l14").cast("double") / lit(100.0)).as("low14"),
+        (col("h14").cast("double") / lit(100.0)).as("high14"),
+        r6(lit(100.0) * (col("centi") - col("l14")).cast("double")
+          / nullif((col("h14") - col("l14")).cast("double"), lit(0.0)))
+          .as("pct_k"))
+      .orderBy("symbol", "event_id")
+  }
+
   /** `vwap_hourly` — volume-weighted average price per (date, hour,
     * symbol): VWAP = Σ(price·vol)/Σ(vol), the execution benchmark
     * every trading desk compares fills against and the weighted

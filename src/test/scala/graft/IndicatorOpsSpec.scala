@@ -1055,6 +1055,40 @@ class IndicatorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("stochastic_oscillator == driver-side frame-extrema recomputation") {
+    val s = spark
+    val got = AnalyticOps.stochasticOscillator(s, TestSpark.sf0001).collect()
+    val events = Tables.events(s, TestSpark.sf0001)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value").cast("double"),
+        floor(col("value").cast("double") * lit(100.0) + lit(0.5))
+          .cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3), r.getLong(4)))
+    val expected = events.groupBy(_._3).toSeq.flatMap { case (sym, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._1))
+      val full = sorted.indices.filter(_ >= 13).map { i =>
+        val frame = sorted.slice(math.max(0, i - 13), i + 1).map(_._5)
+        val l = frame.min; val h = frame.max
+        (sorted(i)._1, sym, sorted(i)._4,
+          l.toDouble / 100.0, h.toDouble / 100.0,
+          if (h == l) None
+          else Some(q6(100.0 * (sorted(i)._5 - l).toDouble
+            / (h - l).toDouble)))
+      }
+      full.takeRight(20)
+    }.map(t => t._1 -> t).toMap
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val e = expected(r.getLong(1))
+      assert(r.getString(0) == e._2 && r.getDouble(2) == e._3)
+      assert(r.getDouble(3) == e._4, "low14")
+      assert(r.getDouble(4) == e._5, "high14")
+      assert(Option(r.get(5)).map(_.asInstanceOf[Double]) == e._6, "pct_k")
+    }
+  }
+
   test("vwap_hourly == driver-side integer-fold recomputation") {
     val s = spark
     val got = AnalyticOps.vwapHourly(s, TestSpark.sf0001).collect()
