@@ -138,6 +138,10 @@ object SparkEntry {
     "fuzzy_name_match"         -> (RelationalOps.fuzzyNameMatch _),
     "pagerank_docs"            -> (LlmVectorOps.pagerankDocs _),
     "lineitem_unpivot"         -> (AnalyticOps.lineitemUnpivot _),
+    "regional_revenue"         -> (RelationalOps.regionalRevenue _),
+    "shipping_priority"        -> (RelationalOps.shippingPriority _),
+    "returned_items"           -> (RelationalOps.returnedItems _),
+    "top_supplier"             -> (RelationalOps.topSupplier _),
     // E16–E21 + LLM-pipeline surface
     "sessionize"          -> (LlmTextOps.sessionize _),
     "dedup_exact"         -> (LlmTextOps.dedupExact _),
@@ -2406,6 +2410,74 @@ object SparkEntry {
                   / CAST(total_cents AS DOUBLE)
                   * 1000000.0 + 0.5) / 1000000.0 AS top_share
          FROM a""",
+    // TPC-H Q5 shape: 6-way join with the supplier-locality
+    // constraint, exact decimal revenue partials
+    "regional_revenue" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_lines,
+                CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                      AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+         FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+                           AND c_nationkey = s_nationkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY 1, 2 ORDER BY revenue DESC, n_name ASC""",
+    // TPC-H Q3 shape: revenue-in-flight top-10, deterministic set
+    // under the (revenue desc, orderkey asc) tie-break
+    "shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+                CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                      AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+         FROM customer
+              JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1999-07-01'
+           AND l_shipdate > TIMESTAMP '1999-07-01'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+    // TPC-H Q10 shape: top-20 returned-revenue customers, nation
+    // decorated after the cut
+    "returned_items" ->
+      """WITH agg AS (
+           SELECT c_custkey, c_name, c_acctbal, c_nationkey,
+                  COUNT(*) AS n_returned,
+                  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                        AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+           FROM orders
+                JOIN lineitem ON o_orderkey = l_orderkey
+                JOIN customer ON o_custkey = c_custkey
+           WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+             AND o_orderdate < TIMESTAMP '1997-07-01'
+             AND l_returnflag = 'R'
+           GROUP BY 1, 2, 3, 4
+           ORDER BY revenue DESC, c_custkey ASC LIMIT 20)
+         SELECT c_custkey, c_name, n_name, c_acctbal, n_returned,
+                revenue
+         FROM agg JOIN nation ON c_nationkey = n_nationkey
+         ORDER BY revenue DESC, c_custkey ASC""",
+    // TPC-H Q15 shape: aggregate-then-join-on-max; the equality
+    // compares exact decimals, never doubles
+    "top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+                  SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                    AS DECIMAL(18,6))) AS rev_dec
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+             AND l_shipdate < TIMESTAMP '1998-04-01'
+           GROUP BY 1),
+         t AS (SELECT MAX(rev_dec) AS max_dec FROM rev)
+         SELECT s_suppkey, s_name,
+                CAST(rev_dec AS DOUBLE) AS total_revenue
+         FROM rev CROSS JOIN t
+              JOIN supplier ON l_suppkey = s_suppkey
+         WHERE rev_dec = max_dec
+         ORDER BY s_suppkey""",
     // revenue Pareto: exact integer cents, pure-integer decile cut
     // and Gini closed form, two fenced divisions
     "revenue_concentration" ->

@@ -683,4 +683,122 @@ object RelationalOps {
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
         col("g_flag"), col("g_status"), col("n_items"), col("sum_qty"))
       .orderBy("returnflag", "linestatus", "g_flag")
+
+  /** `regional_revenue` — the TPC-H Q5 shape on this schema: local
+    * supplier volume per nation (revenue where the supplier sits in
+    * the customer's own nation) over a one-year order slice. The
+    * canonical 6-way join-ordering showcase: two true fact-fact
+    * shuffles (orders⋈lineitem on orderkey, then suppkey) with every
+    * dimension broadcast (supplier is 100·sf rows, nation 25, region
+    * 5) and the `c_nationkey = s_nationkey` locality constraint
+    * applied as a post-join filter-free equi-key (it rides the
+    * supplier broadcast join condition, so no extra pass). Revenue
+    * rides the exact DECIMAL(18,6) partial-sum recipe.
+    *
+    * Scale: the orderdate predicate is pushed to the orders scan
+    * (partition-prunable under a date-partitioned layout); Catalyst
+    * reorders so the filtered orders side builds first, and AQE
+    * handles orderkey skew. Output is ≤ 25 rows.
+    */
+  def regionalRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_lines"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+
+  /** `shipping_priority` — the TPC-H Q3 shape: the 10 highest-value
+    * orders from one market segment placed before a cutoff whose
+    * lines ship after it (revenue still in flight at the date). The
+    * classic filter-pushdown + top-k pattern: both date predicates
+    * and the segment predicate reach their scans (`PushedFilters`),
+    * the grouped revenue ranks through TakeOrderedAndProject — no
+    * global sort materializes. The tie-break (revenue desc, orderkey
+    * asc) makes the top-10 SET deterministic cross-engine: revenue
+    * is an exact decimal sum cast once to double, so equal values
+    * are bit-equal on both engines.
+    */
+  def shippingPriority(s: SparkSession, d: String): DataFrame = {
+    val cut = lit("1999-07-01").cast("timestamp")
+    Tables.customer(s, d)
+      .where(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, d).where(col("o_orderdate") < cut),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d).where(col("l_shipdate") > cut),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** `returned_items` — the TPC-H Q10 shape: the 20 customers who
+    * returned the most revenue in a one-quarter order slice, with
+    * their nation attached. Fact-fact shuffle on orderkey with the
+    * returnflag predicate pushed to the lineitem scan, custkey
+    * aggregate, nation broadcast onto the 20 survivors — the
+    * decorate-AFTER-the-cut discipline (`basket_pairs` learned it
+    * the hard way): nation names join to 20 rows, not to every
+    * customer.
+    */
+  def returnedItems(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+      .join(Tables.lineitem(s, d).where(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_nationkey"))
+      .agg(count(lit(1)).as("n_returned"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("c_acctbal"), col("n_returned"), col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+
+  /** `top_supplier` — the TPC-H Q15 shape: the supplier(s) whose
+    * revenue over a quarter equals the maximum such revenue — the
+    * aggregate-then-join-on-max pattern (a self-referencing view in
+    * the original). The per-supplier aggregate computes once; its
+    * 1-row max broadcasts back onto it, so the "subquery" costs one
+    * reused exchange, not a recompute. Revenue compares exactly:
+    * both sides of the equality are the same DECIMAL(18,6) sum
+    * (compared BEFORE any double cast — max-of-double equality
+    * would be bit-fragile cross-engine only if the sums weren't
+    * already exact decimals).
+    */
+  def topSupplier(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val rev = Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 6))).as("rev_dec"))
+    val top = rev.agg(max(col("rev_dec")).as("max_dec"))
+    rev.join(broadcast(top), col("rev_dec") === col("max_dec"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev_dec").cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey").asc)
+  }
 }

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Tables
+import graft.operators.RelationalOps
+
+/** Round-7 fifth wave: the classic TPC-H multi-join shapes (Q5, Q3,
+  * Q10, Q15) adapted to this schema. Each test pins the distributed
+  * formulation against an independent driver-side recomputation at
+  * sf0.001, plus the plan shapes that matter at 100 TB (dimension
+  * broadcasts, TakeOrderedAndProject for the limits).
+  */
+class RelationalClassicsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  // Spark's double→DECIMAL(18,6) cast goes through the shortest
+  // decimal rendering (BigDecimal.valueOf) then HALF_UP — the same
+  // path scala.BigDecimal(d) takes (see CorrMomentsSpec).
+  private def d6(x: Double): BigDecimal =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+
+  // orders/lineitem timestamps are TIMESTAMP_NTZ → collect as
+  // java.time.LocalDateTime
+  private def ts(s: String): java.time.LocalDateTime =
+    java.time.LocalDateTime.parse(s + "T00:00:00")
+
+  private lazy val lineitem = Tables.lineitem(spark, sf)
+    .select(col("l_orderkey"), col("l_suppkey"),
+      col("l_extendedprice"), col("l_discount"), col("l_returnflag"),
+      col("l_shipdate"))
+    .collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+      r.getString(4), r.getAs[java.time.LocalDateTime](5)))
+  private lazy val orders = Tables.orders(spark, sf)
+    .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    .collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getAs[java.time.LocalDateTime](2)))
+  private def lv(r: org.apache.spark.sql.Row, i: Int): Long =
+    r.getAs[Number](i).longValue
+  private lazy val custNation = Tables.customer(spark, sf)
+    .select(col("c_custkey"), col("c_nationkey"))
+    .collect().map(r => lv(r, 0) -> lv(r, 1)).toMap
+  private lazy val suppNation = Tables.supplier(spark, sf)
+    .select(col("s_suppkey"), col("s_nationkey"))
+    .collect().map(r => lv(r, 0) -> lv(r, 1)).toMap
+  private lazy val nationName = Tables.nation(spark, sf)
+    .select(col("n_nationkey"), col("n_name"))
+    .collect().map(r => lv(r, 0) -> r.getString(1)).toMap
+
+  test("regional_revenue == driver-side 6-way join recomputation") {
+    val got = RelationalOps.regionalRevenue(spark, sf).collect()
+    val orderIdx = orders
+      .filter(o => !o._3.isBefore(ts("1996-01-01")) && o._3.isBefore(ts("1997-01-01")))
+      .map(o => o._1 -> o._2).toMap
+    val terms = lineitem.flatMap { l =>
+      orderIdx.get(l._1).flatMap { custkey =>
+        val cn = custNation(custkey)
+        suppNation.get(l._2).filter(_ == cn)
+          .map(sn => nationName(sn) -> d6(l._3 * (1.0 - l._4)))
+      }
+    }
+    val expected = terms.groupBy(_._1)
+      .map { case (n, ts0) => n -> (ts0.length, ts0.map(_._2).sum) }
+    assert(got.nonEmpty && got.length == expected.size)
+    got.foreach { r =>
+      val (n, rev) = expected(r.getString(1))
+      assert(r.getLong(2) == n, s"n_lines for ${r.getString(1)}")
+      assert(r.getDouble(3) == rev.toDouble, s"revenue for ${r.getString(1)}")
+    }
+    // locality: every nation in the output must have ≥1 supplier
+    got.foreach { r =>
+      assert(nationName.values.toSet.contains(r.getString(1)))
+    }
+  }
+
+  test("regional_revenue broadcasts supplier/nation/region — no dim shuffle") {
+    val df = RelationalOps.regionalRevenue(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("shipping_priority == driver-side top-10 in-flight revenue") {
+    val got = RelationalOps.shippingPriority(spark, sf).collect()
+    val cut = ts("1999-07-01")
+    val buildingCust = Tables.customer(spark, sf)
+      .where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+    val okOrders = orders
+      .filter(o => buildingCust.contains(o._2) && o._3.isBefore(cut))
+      .map(o => o._1 -> o._3).toMap
+    val grouped = lineitem
+      .filter(l => l._6.isAfter(cut) && okOrders.contains(l._1))
+      .groupBy(_._1)
+      .map { case (ok, ls) => (ok, okOrders(ok), ls.map(l => d6(l._3 * (1.0 - l._4))).sum) }
+      .toSeq
+      .sortBy { case (ok, _, rev) => (-rev.toDouble, ok) }
+      .take(10)
+    assert(got.length == grouped.length)
+    got.zip(grouped).foreach { case (r, (ok, od, rev)) =>
+      assert(r.getLong(0) == ok)
+      assert(r.getAs[java.time.LocalDateTime](1) == od)
+      assert(r.getDouble(3) == rev.toDouble)
+    }
+  }
+
+  test("shipping_priority lowers to TakeOrderedAndProject — no global sort") {
+    val p = RelationalOps.shippingPriority(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("returned_items == driver-side top-20 returned revenue, nation attached") {
+    val got = RelationalOps.returnedItems(spark, sf).collect()
+    val sliceOrders = orders
+      .filter(o => !o._3.isBefore(ts("1997-01-01")) && o._3.isBefore(ts("1997-07-01")))
+      .map(o => o._1 -> o._2).toMap
+    val perCust = lineitem
+      .filter(l => l._5 == "R" && sliceOrders.contains(l._1))
+      .map(l => (sliceOrders(l._1), d6(l._3 * (1.0 - l._4))))
+      .groupBy(_._1)
+      .map { case (ck, ts0) => (ck, ts0.length.toLong, ts0.map(_._2).sum) }
+      .toSeq
+      .sortBy { case (ck, _, rev) => (-rev.toDouble, ck) }
+      .take(20)
+    assert(got.length == perCust.length && got.nonEmpty)
+    got.zip(perCust).foreach { case (r, (ck, n, rev)) =>
+      assert(r.getLong(0) == ck)
+      assert(r.getString(2) == nationName(custNation(ck)))
+      assert(r.getLong(4) == n)
+      assert(r.getDouble(5) == rev.toDouble)
+    }
+  }
+
+  test("top_supplier == the exact-decimal max; all ties returned") {
+    val got = RelationalOps.topSupplier(spark, sf).collect()
+    val perSupp = lineitem
+      .filter(l => !l._6.isBefore(ts("1998-01-01")) && l._6.isBefore(ts("1998-04-01")))
+      .groupBy(_._2)
+      .map { case (sk, ls) => sk -> ls.map(l => d6(l._3 * (1.0 - l._4))).sum }
+    val mx = perSupp.values.max
+    val winners = perSupp.filter(_._2 == mx).keys.toSeq.sorted
+    assert(got.map(_.getLong(0)).toSeq == winners)
+    got.foreach(r => assert(r.getDouble(2) == mx.toDouble))
+  }
+}
