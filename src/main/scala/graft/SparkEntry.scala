@@ -142,6 +142,9 @@ object SparkEntry {
     "shipping_priority"        -> (RelationalOps.shippingPriority _),
     "returned_items"           -> (RelationalOps.returnedItems _),
     "top_supplier"             -> (RelationalOps.topSupplier _),
+    "dq_audit"                 -> (AuditOps.dqAudit _),
+    "cdc_snapshot_diff"        -> (AuditOps.cdcSnapshotDiff _),
+    "forecast_backtest"        -> (AnalyticOps.forecastBacktest _),
     // E16–E21 + LLM-pipeline surface
     "sessionize"          -> (LlmTextOps.sessionize _),
     "dedup_exact"         -> (LlmTextOps.dedupExact _),
@@ -2410,6 +2413,135 @@ object SparkEntry {
                   / CAST(total_cents AS DOUBLE)
                   * 1000000.0 + 0.5) / 1000000.0 AS top_share
          FROM a""",
+    // rule-based DQ sweep: one conditional-sum pass per table for
+    // row-local rules, NOT EXISTS == left_anti for the referential
+    // edges (both keep NULL keys as violations-eligible rows)
+    "dq_audit" ->
+      """WITH li AS (
+           SELECT SUM(CASE WHEN l_orderkey IS NULL OR l_partkey IS NULL
+                    OR l_suppkey IS NULL THEN 1 ELSE 0 END) AS v1,
+                  SUM(CASE WHEN l_extendedprice <= 0.0
+                    THEN 1 ELSE 0 END) AS v2,
+                  SUM(CASE WHEN l_discount < 0.0 OR l_discount > 1.0
+                    THEN 1 ELSE 0 END) AS v3,
+                  SUM(CASE WHEN l_returnflag NOT IN ('A','N','R')
+                    THEN 1 ELSE 0 END) AS v4,
+                  COUNT(*) AS n
+           FROM lineitem),
+         o AS (
+           SELECT SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS v1,
+                  SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+                    THEN 1 ELSE 0 END) AS v2,
+                  COUNT(*) AS n
+           FROM orders),
+         pk AS (
+           SELECT SUM(c - 1) AS v, SUM(c) AS n
+           FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)),
+         r1 AS (
+           SELECT COUNT(*) AS v FROM lineitem l
+           WHERE NOT EXISTS (SELECT 1 FROM orders o2
+                             WHERE o2.o_orderkey = l.l_orderkey)),
+         r2 AS (
+           SELECT COUNT(*) AS v FROM orders o3
+           WHERE NOT EXISTS (SELECT 1 FROM customer c
+                             WHERE c.c_custkey = o3.o_custkey)),
+         u AS (
+           SELECT 'lineitem_null_keys' AS rule,
+                  CAST(v1 AS BIGINT) AS violations,
+                  CAST(n AS BIGINT) AS checked FROM li
+           UNION ALL
+           SELECT 'lineitem_nonpositive_price', CAST(v2 AS BIGINT),
+                  CAST(n AS BIGINT) FROM li
+           UNION ALL
+           SELECT 'lineitem_discount_range', CAST(v3 AS BIGINT),
+                  CAST(n AS BIGINT) FROM li
+           UNION ALL
+           SELECT 'lineitem_returnflag_domain', CAST(v4 AS BIGINT),
+                  CAST(n AS BIGINT) FROM li
+           UNION ALL
+           SELECT 'orders_null_custkey', CAST(v1 AS BIGINT),
+                  CAST(n AS BIGINT) FROM o
+           UNION ALL
+           SELECT 'orders_status_domain', CAST(v2 AS BIGINT),
+                  CAST(n AS BIGINT) FROM o
+           UNION ALL
+           SELECT 'orders_dup_pk', CAST(v AS BIGINT),
+                  CAST(n AS BIGINT) FROM pk
+           UNION ALL
+           SELECT 'lineitem_orphan_orderkey', CAST(r1.v AS BIGINT),
+                  CAST(ln.n AS BIGINT) FROM r1
+             CROSS JOIN (SELECT COUNT(*) AS n FROM lineitem) ln
+           UNION ALL
+           SELECT 'orders_orphan_custkey', CAST(r2.v AS BIGINT),
+                  CAST(o.n AS BIGINT) FROM r2 CROSS JOIN o)
+         SELECT rule, violations, checked,
+                CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END
+                  AS status
+         FROM u ORDER BY rule""",
+    // CDC reconciliation: portable-hash snapshot slices, full-outer
+    // classification, exact-cents checksums
+    "cdc_snapshot_diff" ->
+      """WITH base AS (
+           SELECT o_orderkey,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS cents,
+                  ((o_orderkey % 1000000007) * 2654435761
+                    % 1000000007) % 10 AS h10,
+                  ((o_orderkey % 1000000007) * 1779033703
+                    % 1000000007) % 7 AS h7
+           FROM orders),
+         old AS (SELECT o_orderkey AS k, cents AS cents_old
+                 FROM base WHERE h10 <> 0),
+         neu AS (SELECT o_orderkey AS k,
+                   cents + CASE WHEN h7 = 0 THEN cents // 10
+                     ELSE 0 END AS cents_new
+                 FROM base WHERE h10 <> 9),
+         cls AS (
+           SELECT CASE WHEN o.k IS NULL THEN 'insert'
+                       WHEN n.k IS NULL THEN 'delete'
+                       WHEN o.cents_old <> n.cents_new THEN 'update'
+                       ELSE 'unchanged' END AS change_type,
+                  COALESCE(o.cents_old, 0) AS co,
+                  COALESCE(n.cents_new, 0) AS cn
+           FROM old o FULL OUTER JOIN neu n ON o.k = n.k)
+         SELECT change_type, COUNT(*) AS n_rows,
+                CAST(SUM(co) AS BIGINT) AS old_cents,
+                CAST(SUM(cn) AS BIGINT) AS new_cents
+         FROM cls GROUP BY 1 ORDER BY 1""",
+    // seasonal-naive backtest: integer-cents closes, exact integer
+    // error sums, quantized APE terms, fenced means
+    "forecast_backtest" ->
+      """WITH hourly AS (
+           SELECT date_trunc('hour', ts) AS h, event_type AS symbol,
+                  arg_max(CAST(floor(CAST(value AS DOUBLE) * 100.0
+                    + 0.5) AS BIGINT), ts) AS close_centi
+           FROM events GROUP BY 1, 2),
+         j AS (
+           SELECT a.symbol, a.close_centi, p.close_centi AS pred_centi
+           FROM hourly a JOIN hourly p
+             ON a.symbol = p.symbol
+            AND p.h + INTERVAL 24 HOUR = a.h),
+         t AS (
+           SELECT symbol,
+                  abs(close_centi - pred_centi) AS abs_err,
+                  close_centi - pred_centi AS err,
+                  CASE WHEN close_centi > 0 THEN
+                    CAST(floor(CAST(abs(close_centi - pred_centi)
+                        AS DOUBLE) / CAST(close_centi AS DOUBLE)
+                      * 1000000.0 + 0.5) AS BIGINT) END AS ape_q
+           FROM j)
+         SELECT symbol, COUNT(*) AS n_pred, COUNT(ape_q) AS n_ape,
+                floor(CAST(SUM(abs_err) AS DOUBLE)
+                  / (100.0 * CAST(COUNT(*) AS DOUBLE))
+                  * 1000000 + 0.5) / 1000000 AS mae,
+                floor(CAST(SUM(err) AS DOUBLE)
+                  / (100.0 * CAST(COUNT(*) AS DOUBLE))
+                  * 1000000 + 0.5) / 1000000 AS bias,
+                floor(CAST(SUM(ape_q) AS DOUBLE) / 10000.0
+                  / CAST(COUNT(ape_q) AS DOUBLE)
+                  * 1000000 + 0.5) / 1000000 AS mape_pct
+         FROM t GROUP BY 1 ORDER BY 1""",
     // TPC-H Q5 shape: 6-way join with the supplier-locality
     // constraint, exact decimal revenue partials
     "regional_revenue" ->

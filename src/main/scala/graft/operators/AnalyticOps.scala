@@ -2057,4 +2057,63 @@ object AnalyticOps {
         r6(col("pv_centi").cast("double")
           / (lit(100.0) * col("total_vol").cast("double"))).as("vwap"))
       .orderBy("date", "hour", "symbol")
+
+  /** `forecast_backtest` — seasonal-naive forecast evaluation per
+    * symbol: predict each hour's close as the close 24 hours
+    * earlier, score MAE / MAPE / bias over every hour that HAS a
+    * same-hour-yesterday predecessor. The day-ahead baseline every
+    * forecasting stack must beat — and the backtest harness shape
+    * (build prediction frame → join actuals → error reduction)
+    * that any model slot reuses.
+    *
+    * Determinism: hourly close is arg_max(price, ts) on the exact
+    * centi grid (an INTEGER — ts is unique per symbol, so the pick
+    * is total-ordered); absolute errors are integer cents, MAE is
+    * ONE fenced division of an exact integer sum; MAPE's per-row
+    * |err|/actual terms are 1e-6-quantized into an order-free long
+    * sum (the psi_drift recipe) before their fenced mean.
+    *
+    * Scale: one hash aggregate to hourly closes (map-side partials),
+    * one self equi-join on (symbol, hour−24h) — hourly rows are
+    * corpus-size/3600, so at 100 TB this joins MB-scale frames; AQE
+    * broadcasts them. No window over raw ticks.
+    */
+  def forecastBacktest(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.ticks(s, d)
+      .select(date_trunc("hour", col("ts")).as("h"), col("symbol"),
+        col("ts"),
+        floor(col("price") * lit(100.0) + lit(0.5)).cast("long")
+          .as("centi"))
+      .groupBy(col("h"), col("symbol"))
+      .agg(max_by(col("centi"), col("ts")).as("close_centi"))
+    val pred = hourly.select(
+      (col("h") + expr("INTERVAL 24 HOURS")).as("h"),
+      col("symbol"), col("close_centi").as("pred_centi"))
+    hourly.join(pred, Seq("h", "symbol"))
+      .select(col("symbol"),
+        abs(col("close_centi") - col("pred_centi")).as("abs_err"),
+        (col("close_centi") - col("pred_centi")).as("err"),
+        // a zero actual (value 0.0 exists in the feed) would be a
+        // div-by-zero → ANSI throw: MAPE conventionally excludes
+        // zero actuals, so the term is NULL there and n_ape counts
+        // only scored rows
+        when(col("close_centi") > 0L,
+          floor(abs(col("close_centi") - col("pred_centi")).cast("double")
+            / col("close_centi").cast("double") * lit(1000000.0)
+            + lit(0.5)).cast("long")).as("ape_q"))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_pred"),
+        sum(col("abs_err")).as("sum_abs_err"),
+        sum(col("err")).as("sum_err"),
+        count(col("ape_q")).as("n_ape"),
+        sum(col("ape_q")).as("sum_ape_q"))
+      .select(col("symbol"), col("n_pred"), col("n_ape"),
+        r6(col("sum_abs_err").cast("double")
+          / (lit(100.0) * col("n_pred").cast("double"))).as("mae"),
+        r6(col("sum_err").cast("double")
+          / (lit(100.0) * col("n_pred").cast("double"))).as("bias"),
+        r6(col("sum_ape_q").cast("double") / lit(10000.0)
+          / col("n_ape").cast("double")).as("mape_pct"))
+      .orderBy("symbol")
+  }
 }

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Tables
+import graft.operators.{AnalyticOps, AuditOps}
+
+/** Round-7 sixth wave: the data-engineering audit surface. The gated
+  * corpus is clean, so beyond mirroring the DuckDB gate these tests
+  * prove the rules FIRE: every dq rule on an injected violation, the
+  * CDC classes against a driver-side replay of the hash slices, the
+  * backtest against a driver-side seasonal-naive fold.
+  */
+class AuditOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  test("dq_audit on the clean corpus: every rule passes, checked counts exact") {
+    val got = AuditOps.dqAudit(spark, sf).collect()
+    assert(got.length == 9)
+    assert(got.forall(_.getString(3) == "pass"))
+    assert(got.forall(_.getLong(1) == 0L))
+    val nLi = Tables.lineitem(spark, sf).count()
+    val nOrd = Tables.orders(spark, sf).count()
+    got.foreach { r =>
+      val expect = if (r.getString(0).startsWith("lineitem")) nLi else nOrd
+      assert(r.getLong(2) == expect, r.getString(0))
+    }
+  }
+
+  test("dq_audit: every rule fires on an injected violation") {
+    val s = spark
+    import s.implicits._
+    val li = Seq(
+      // clean row
+      (Some(1L), Some(10L), Some(5L), 100.0, 0.05, "A"),
+      // null part key                         → lineitem_null_keys
+      (Some(1L), None, Some(5L), 100.0, 0.05, "N"),
+      // nonpositive price
+      (Some(1L), Some(11L), Some(5L), 0.0, 0.05, "R"),
+      // discount out of range
+      (Some(1L), Some(12L), Some(5L), 100.0, 1.5, "A"),
+      // bad returnflag domain
+      (Some(1L), Some(13L), Some(5L), 100.0, 0.05, "X"),
+      // orphan orderkey
+      (Some(99L), Some(14L), Some(5L), 100.0, 0.05, "A"))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount", "l_returnflag")
+    val ord = Seq(
+      (Some(1L), Some(7L), "F"),   // clean
+      (Some(2L), None, "O"),       // null custkey
+      (Some(3L), Some(7L), "Z"),   // bad status
+      (Some(3L), Some(7L), "F"),   // dup pk (with previous row)
+      (Some(4L), Some(999L), "O")) // orphan custkey
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus")
+    val cust = Seq(7L).toDF("c_custkey")
+    val got = AuditOps.dqAuditFrames(li, ord, cust).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(3))).toMap
+    assert(got("lineitem_null_keys") == ((1L, "fail")))
+    assert(got("lineitem_nonpositive_price") == ((1L, "fail")))
+    assert(got("lineitem_discount_range") == ((1L, "fail")))
+    assert(got("lineitem_returnflag_domain") == ((1L, "fail")))
+    assert(got("lineitem_orphan_orderkey") == ((1L, "fail")))
+    assert(got("orders_null_custkey") == ((1L, "fail")))
+    assert(got("orders_status_domain") == ((1L, "fail")))
+    assert(got("orders_dup_pk") == ((1L, "fail")))
+    // orphan custkey: null custkey row is NOT an orphan (left_anti
+    // keeps it — counted), plus custkey 999: the anti join keeps
+    // both the null row and 999 → 2
+    assert(got("orders_orphan_custkey") == ((2L, "fail")))
+  }
+
+  test("cdc_snapshot_diff == driver-side hash-slice replay") {
+    val got = AuditOps.cdcSnapshotDiff(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val P = 1000000007L
+    val rows = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map { r =>
+        val k = r.getLong(0)
+        val cents = (BigDecimal(r.getDouble(1))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+        val h10 = ((k % P) * 2654435761L % P) % 10
+        val h7 = ((k % P) * 1779033703L % P) % 7
+        (k, cents, h10, h7)
+      }
+    var ins = (0L, 0L, 0L); var del = (0L, 0L, 0L)
+    var upd = (0L, 0L, 0L); var unc = (0L, 0L, 0L)
+    rows.foreach { case (_, cents, h10, h7) =>
+      val newCents = cents + (if (h7 == 0) cents / 10 else 0L)
+      if (h10 == 0) ins = (ins._1 + 1, ins._2, ins._3 + newCents)
+      else if (h10 == 9) del = (del._1 + 1, del._2 + cents, del._3)
+      else if (newCents != cents)
+        upd = (upd._1 + 1, upd._2 + cents, upd._3 + newCents)
+      else unc = (unc._1 + 1, unc._2 + cents, unc._3 + newCents)
+    }
+    assert(got("insert") == ins)
+    assert(got("delete") == del)
+    assert(got("update") == upd)
+    assert(got("unchanged") == unc)
+    // class partition covers every key exactly once
+    assert(got.values.map(_._1).sum == rows.length)
+  }
+
+  test("forecast_backtest == driver-side seasonal-naive fold") {
+    val got = AnalyticOps.forecastBacktest(spark, sf).collect()
+    val ticks = Tables.ticks(spark, sf)
+      .select(unix_micros(col("ts")).as("us"), col("symbol"), col("price"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val hourly = ticks.groupBy(t => (t._2, t._1 / 3600000000L))
+      .map { case ((sym, h), ts0) =>
+        val close = ts0.maxBy(_._1)._3
+        ((sym, h), math.floor(close * 100.0 + 0.5).toLong)
+      }
+    val scored = hourly.toSeq.flatMap { case ((sym, h), close) =>
+      hourly.get((sym, h - 24)).map { pred =>
+        val ape = if (close > 0)
+          Some(math.floor(math.abs(close - pred).toDouble / close.toDouble
+            * 1e6 + 0.5).toLong)
+        else None
+        (sym, math.abs(close - pred), close - pred, ape)
+      }
+    }
+    val expected = scored.groupBy(_._1).map { case (sym, xs) =>
+      val n = xs.length.toLong
+      val nApe = xs.count(_._4.isDefined).toLong
+      sym -> (n, nApe,
+        math.floor(xs.map(_._2).sum.toDouble / (100.0 * n) * 1e6 + 0.5) / 1e6,
+        math.floor(xs.map(_._3).sum.toDouble / (100.0 * n) * 1e6 + 0.5) / 1e6,
+        math.floor(xs.flatMap(_._4).sum.toDouble / 10000.0 / nApe
+          * 1e6 + 0.5) / 1e6)
+    }
+    assert(got.length == expected.size && got.nonEmpty)
+    got.foreach { r =>
+      val e = expected(r.getString(0))
+      assert(r.getLong(1) == e._1, s"n_pred ${r.getString(0)}")
+      assert(r.getLong(2) == e._2, s"n_ape ${r.getString(0)}")
+      assert(r.getDouble(3) == e._3, s"mae ${r.getString(0)}")
+      assert(r.getDouble(4) == e._4, s"bias ${r.getString(0)}")
+      assert(r.getDouble(5) == e._5, s"mape ${r.getString(0)}")
+    }
+  }
+}
