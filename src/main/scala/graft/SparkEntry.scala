@@ -145,6 +145,8 @@ object SparkEntry {
     "dq_audit"                 -> (AuditOps.dqAudit _),
     "cdc_snapshot_diff"        -> (AuditOps.cdcSnapshotDiff _),
     "forecast_backtest"        -> (AnalyticOps.forecastBacktest _),
+    "pareto_frontier"          -> (RelationalOps.paretoFrontier _),
+    "open_orders_profile"      -> (RelationalOps.openOrdersProfile _),
     // E16–E21 + LLM-pipeline surface
     "sessionize"          -> (LlmTextOps.sessionize _),
     "dedup_exact"         -> (LlmTextOps.dedupExact _),
@@ -2413,6 +2415,47 @@ object SparkEntry {
                   / CAST(total_cents AS DOUBLE)
                   * 1000000.0 + 0.5) / 1000000.0 AS top_share
          FROM a""",
+    // skyline via the INDEPENDENT NOT-EXISTS formulation — the gate
+    // cross-checks the Spark side's range-window algebra
+    "pareto_frontier" ->
+      """WITH p AS (
+           SELECT p_partkey, p_name, p_size,
+                  CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT)
+                    AS price_cents
+           FROM part)
+         SELECT p_partkey, p_name, price_cents, p_size
+         FROM p a
+         WHERE NOT EXISTS (
+           SELECT 1 FROM p b
+           WHERE b.price_cents <= a.price_cents
+             AND b.p_size >= a.p_size
+             AND (b.price_cents < a.price_cents
+                  OR b.p_size > a.p_size))
+         ORDER BY price_cents, p_partkey""",
+    // sweep-line interval concurrency: ±1 deltas collapsed per day,
+    // integer prefix sum
+    "open_orders_profile" ->
+      """WITH closes AS (
+           SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS close_d
+           FROM lineitem GROUP BY 1),
+         ev AS (
+           SELECT CAST(o_orderdate AS DATE) AS d, 1 AS delta
+           FROM orders
+           UNION ALL
+           SELECT close_d + 1, -1 FROM closes),
+         deltas AS (
+           SELECT d, SUM(delta) AS net_delta,
+                  SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END)
+                    AS n_opened,
+                  SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END)
+                    AS n_closed
+           FROM ev GROUP BY 1)
+         SELECT d, CAST(n_opened AS BIGINT) AS n_opened,
+                CAST(n_closed AS BIGINT) AS n_closed,
+                CAST(SUM(net_delta) OVER (ORDER BY d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS open_at_eod
+         FROM deltas ORDER BY d""",
     // rule-based DQ sweep: one conditional-sum pass per table for
     // row-local rules, NOT EXISTS == left_anti for the referential
     // edges (both keep NULL keys as violations-eligible rows)

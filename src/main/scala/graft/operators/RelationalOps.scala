@@ -774,6 +774,88 @@ object RelationalOps {
         col("c_acctbal"), col("n_returned"), col("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey").asc)
 
+  /** `pareto_frontier` — the skyline operator (Börzsönyi et al., ICDE
+    * 2001): parts not dominated on (price low, size high). q
+    * dominates p iff q.price ≤ p.price ∧ q.size ≥ p.size with at
+    * least one strict — the multi-objective shortlist ("no part is
+    * both cheaper and bigger") that no single ORDER BY expresses.
+    *
+    * Formulation: two RANGE windows over integer price-cents instead
+    * of the textbook NOT-EXISTS self-join — p survives iff
+    * max(size) over strictly-cheaper parts < p.size AND max(size)
+    * among equal-price parts ≤ p.size. RANGE frames are
+    * order-insensitive within peers, so the result is deterministic
+    * with no tie-break column; the DuckDB oracle runs the genuinely
+    * independent NOT-EXISTS formulation, so the gate cross-checks
+    * the window algebra itself. Equal (price, size) duplicates
+    * dominate neither other and both survive — both formulations
+    * agree by construction.
+    *
+    * Scale: part is dimension-sized, one global range window. At
+    * fact scale the same algebra range-partitions: per-bucket local
+    * frontier + broadcast per-bucket prefix maxima (the
+    * `corpus_shuffle` range-bucket discipline) — skylines merge
+    * because a bucket's survivors only need the running max from
+    * strictly-cheaper buckets.
+    */
+  def paretoFrontier(s: SparkSession, d: String): DataFrame = {
+    val cheaper = Window.orderBy(col("price_cents"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val peers = Window.partitionBy(col("price_cents"))
+    Tables.part(s, d)
+      .select(col("p_partkey"), col("p_name"), col("p_size"),
+        floor(col("p_retailprice") * lit(100.0) + lit(0.5)).cast("long")
+          .as("price_cents"))
+      .withColumn("best_cheaper", max(col("p_size")).over(cheaper))
+      .withColumn("best_peer", max(col("p_size")).over(peers))
+      .where((col("best_cheaper").isNull ||
+        col("best_cheaper") < col("p_size")) &&
+        col("best_peer") <= col("p_size"))
+      .select(col("p_partkey"), col("p_name"), col("price_cents"),
+        col("p_size"))
+      .orderBy(col("price_cents").asc, col("p_partkey").asc)
+  }
+
+  /** `open_orders_profile` — sweep-line interval aggregation: how
+    * many orders are "open" (placed, not yet fully shipped) at the
+    * end of each day the count changes. The interval-concurrency
+    * pattern (room occupancy, session concurrency, WIP inventory)
+    * that a naive per-day × per-order range join makes quadratic;
+    * the sweep line makes it one aggregate + one prefix sum over
+    * ±1 deltas.
+    *
+    * An order's interval is [orderdate, last l_shipdate]; days with
+    * no boundary events don't emit (the count is constant there).
+    * All integers end-to-end. Scale: the orderkey aggregate for
+    * close dates is one shuffle; deltas collapse to ≤ one row per
+    * distinct date BEFORE the prefix sum, so the running-sum window
+    * orders a few thousand rows at any corpus size (same posture as
+    * `activity_heatmap`'s bounded output).
+    */
+  def openOrdersProfile(s: SparkSession, d: String): DataFrame = {
+    val closes = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("close_d"))
+    val opens = Tables.orders(s, d)
+      .select(to_date(col("o_orderdate")).as("d"), lit(1L).as("delta"))
+    // the order closes AT END of close_d → still open on close_d,
+    // the −1 takes effect the following day
+    val deltas = opens.unionAll(
+      closes.select(date_add(col("close_d"), 1).as("d"),
+        lit(-1L).as("delta")))
+      .groupBy(col("d"))
+      .agg(sum(col("delta")).as("net_delta"),
+        sum(when(col("delta") > 0, 1L).otherwise(0L)).as("n_opened"),
+        sum(when(col("delta") < 0, 1L).otherwise(0L)).as("n_closed"))
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("open_at_eod", sum(col("net_delta")).over(w))
+      .select(col("d"), col("n_opened"), col("n_closed"),
+        col("open_at_eod"))
+      .orderBy("d")
+  }
+
   /** `top_supplier` — the TPC-H Q15 shape: the supplier(s) whose
     * revenue over a quarter equals the maximum such revenue — the
     * aggregate-then-join-on-max pattern (a self-referencing view in

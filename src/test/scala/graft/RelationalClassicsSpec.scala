@@ -136,6 +136,58 @@ class RelationalClassicsSpec extends AnyFunSuite {
     }
   }
 
+  test("pareto_frontier == brute-force NOT-EXISTS skyline; sizes strictly increase along the frontier") {
+    val got = RelationalOps.paretoFrontier(spark, sf).collect()
+      .map(r => (lv(r, 0), r.getLong(2), r.getAs[Number](3).intValue))
+    val parts = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .collect()
+      .map(r => (lv(r, 0),
+        math.floor(r.getDouble(1) * 100.0 + 0.5).toLong,
+        r.getAs[Number](2).intValue))
+    val expected = parts.filter { case (_, pc, sz) =>
+      !parts.exists { case (_, qc, qz) =>
+        qc <= pc && qz >= sz && (qc < pc || qz > sz)
+      }
+    }.sortBy(p => (p._2, p._1))
+    assert(got.toSeq == expected.toSeq)
+    // along ascending price, survivor size strictly increases
+    // (except equal-price duplicates, which tie exactly)
+    got.sliding(2).foreach {
+      case Array((_, pc1, sz1), (_, pc2, sz2)) =>
+        if (pc2 > pc1) assert(sz2 > sz1)
+        else assert(pc2 == pc1 && sz2 == sz1)
+      case _ =>
+    }
+  }
+
+  test("open_orders_profile == driver-side sweep line; ends at zero open") {
+    val got = RelationalOps.openOrdersProfile(spark, sf).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val openDays = orders.map(_._3.toLocalDate)
+    val closeDays = Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("cd"))
+      .collect().map(_.getDate(1).toLocalDate.plusDays(1))
+    val byDay = (openDays.map(d => d -> 1L) ++ closeDays.map(d => d -> -1L))
+      .groupBy(_._1).toSeq.sortBy(_._1.toEpochDay)
+      .map { case (d, ds) =>
+        (d, ds.count(_._2 > 0).toLong, ds.count(_._2 < 0).toLong,
+          ds.map(_._2).sum)
+      }
+    var run = 0L
+    val expected = byDay.map { case (d, o, c, net) =>
+      run += net; (d, o, c, run)
+    }
+    assert(got.toSeq == expected)
+    // orders with no lineitem never close: the final running count
+    // equals exactly that population
+    assert(got.last._4 == (orders.length - closeDays.length).toLong,
+      "final open count == lineitem-less orders")
+    assert(got.map(_._2).sum == orders.length.toLong)
+  }
+
   test("top_supplier == the exact-decimal max; all ties returned") {
     val got = RelationalOps.topSupplier(spark, sf).collect()
     val perSupp = lineitem

@@ -1123,6 +1123,49 @@ class StreamingSpec extends AnyFunSuite {
       assert(okWin.getDouble(2) == batchDev, "stream == batch digit recipe")
     } finally q.stop()
   }
+
+  test("S21 streaming_vwap: closed cells emit the batch integer-fold VWAP; volume-less ticks still advance the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingVwap
+    val in = MemoryStream[(Timestamp, String, Double, String)]
+    val q = StreamingVwap.vwapStream(
+      in.toDF().toDF("ts", "event_type", "value", "props"))
+      .writeStream.format("memory").queryName("s21_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        (ts("2024-01-01 10:00:05"), "BTC", 100.00, """{"k": 2}"""),
+        (ts("2024-01-01 10:10:00"), "BTC", 101.50, """{"k": 3}"""),
+        // zero volume and missing volume: excluded from the folds,
+        // but the rows still flow through the watermark operator
+        (ts("2024-01-01 10:20:00"), "BTC", 999.99, """{"k": 0}"""),
+        (ts("2024-01-01 10:30:00"), "BTC", 888.88, """{"q": 5}"""),
+        (ts("2024-01-01 10:05:00"), "ETH", 50.25, """{"k": 4}"""))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM s21_out").count() == 0,
+        "hour 10 still open")
+      // the watermark pusher itself has NO volume — if exclusion
+      // were a row filter it would be pushed below the watermark
+      // operator and hour 10 would never close
+      in.addData((ts("2024-01-01 13:00:00"), "BTC", 1.0, "{}"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT symbol, n_ticks, total_vol, vwap FROM s21_out " +
+          "ORDER BY symbol").collect()
+      assert(rows.length == 2, s"two closed cells: ${rows.length}")
+      val btc = rows(0); val eth = rows(1)
+      assert(btc.getString(0) == "BTC" && btc.getLong(1) == 2L &&
+        btc.getLong(2) == 5L)
+      // pv = 10000·2 + 10150·3 = 50450 → 50450/(100·5) = 100.9
+      assert(btc.getDouble(3) ==
+        math.floor(50450.0 / 500.0 * 1e6 + 0.5) / 1e6)
+      assert(eth.getString(0) == "ETH" && eth.getLong(1) == 1L &&
+        eth.getLong(2) == 4L)
+      assert(eth.getDouble(3) ==
+        math.floor(20100.0 / 400.0 * 1e6 + 0.5) / 1e6)
+    } finally q.stop()
+  }
 }
 
 object StreamingSpec {
