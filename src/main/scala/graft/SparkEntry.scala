@@ -147,6 +147,9 @@ object SparkEntry {
     "forecast_backtest"        -> (AnalyticOps.forecastBacktest _),
     "pareto_frontier"          -> (RelationalOps.paretoFrontier _),
     "open_orders_profile"      -> (RelationalOps.openOrdersProfile _),
+    "rolling_median"           -> (AnalyticOps.rollingMedian _),
+    "large_orders"             -> (RelationalOps.largeOrders _),
+    "dormant_customers"        -> (RelationalOps.dormantCustomers _),
     // E16–E21 + LLM-pipeline surface
     "sessionize"          -> (LlmTextOps.sessionize _),
     "dedup_exact"         -> (LlmTextOps.dedupExact _),
@@ -2415,6 +2418,73 @@ object SparkEntry {
                   / CAST(total_cents AS DOUBLE)
                   * 1000000.0 + 0.5) / 1000000.0 AS top_share
          FROM a""",
+    // windowed exact quantiles: integer centi frames, dyadic
+    // interpolation weights (both engines interpolate at p·(n−1)),
+    // fenced /100 presentation; the rsi emit discipline
+    "rolling_median" ->
+      """WITH t AS (SELECT event_id, epoch_us(ts) AS us,
+                event_type AS symbol,
+                CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5)
+                  AS BIGINT) AS centi
+              FROM events),
+         f AS (SELECT symbol, event_id, us, centi,
+                 row_number() OVER w AS rn,
+                 quantile_cont(centi, 0.25) OVER fr AS p25,
+                 quantile_cont(centi, 0.50) OVER fr AS p50,
+                 quantile_cont(centi, 0.75) OVER fr AS p75
+               FROM t
+               WINDOW w AS (PARTITION BY symbol
+                 ORDER BY us ASC, event_id ASC),
+               fr AS (PARTITION BY symbol
+                 ORDER BY us ASC, event_id ASC
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+         g AS (SELECT *, row_number() OVER (PARTITION BY symbol
+                 ORDER BY us DESC, event_id DESC) AS rdesc
+               FROM f WHERE rn >= 20)
+         SELECT symbol, event_id,
+                floor(CAST(centi AS DOUBLE) / 100.0
+                  * 1000000.0 + 0.5) / 1000000.0 AS price,
+                floor(p50 / 100.0 * 1000000.0 + 0.5) / 1000000.0
+                  AS median20,
+                floor(p25 / 100.0 * 1000000.0 + 0.5) / 1000000.0
+                  AS q1_20,
+                floor(p75 / 100.0 * 1000000.0 + 0.5) / 1000000.0
+                  AS q3_20,
+                floor((p75 - p25) / 100.0 * 1000000.0 + 0.5)
+                  / 1000000.0 AS iqr20
+         FROM g WHERE rdesc <= 20 ORDER BY symbol, event_id""",
+    // TPC-H Q18 shape: integer quantity HAVING, survivors decorated
+    "large_orders" ->
+      """WITH big AS (
+           SELECT l_orderkey,
+                  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                    AS total_qty,
+                  COUNT(*) AS n_lines
+           FROM lineitem GROUP BY 1
+           HAVING SUM(CAST(l_quantity AS BIGINT)) > 300)
+         SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+                total_qty, n_lines
+         FROM big
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+         ORDER BY total_qty DESC, o_orderkey ASC""",
+    // TPC-H Q22 shape: scalar-avg cut by exact cross-multiplication,
+    // NOT EXISTS == left_anti on date-filtered keys
+    "dormant_customers" ->
+      """WITH ps AS (
+           SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS bal_sum,
+                  COUNT(*) AS n_pos
+           FROM customer WHERE c_acctbal > 0.0)
+         SELECT c_mktsegment, COUNT(*) AS n_dormant,
+                CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                  AS total_acctbal
+         FROM customer CROSS JOIN ps
+         WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_pos > bal_sum
+           AND NOT EXISTS (
+             SELECT 1 FROM orders o
+             WHERE o.o_custkey = c_custkey
+               AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+         GROUP BY 1 ORDER BY 1""",
     // skyline via the INDEPENDENT NOT-EXISTS formulation — the gate
     // cross-checks the Spark side's range-window algebra
     "pareto_frontier" ->

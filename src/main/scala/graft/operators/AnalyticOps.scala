@@ -1304,6 +1304,50 @@ object AnalyticOps {
       .orderBy("symbol", "event_id")
   }
 
+  /** `rolling_median` — windowed EXACT quantiles: trailing-20-tick
+    * median and IQR band per symbol — the robust twin of
+    * [[bollingerBands]]'s mean±2σ envelope (a single flash-crash
+    * tick drags a 20-tick mean ~5%, the median not at all). The
+    * capability on show is an exact order-statistic aggregate inside
+    * a ROWS window frame — a sort-based per-frame computation no
+    * running-sum trick expresses.
+    *
+    * Determinism: quantiles interpolate at p·(n−1) over the INTEGER
+    * centi frame — Spark `percentile` and DuckDB `quantile_cont`
+    * share that formula, and on a 20-int frame every interpolation
+    * weight is dyadic (0.25/0.5/0.75), so the values are IEEE-exact
+    * on both engines before the single fenced /100 presentation
+    * division. Frame membership is total-ordered by (us, event_id).
+    * Output bounded: last 20 full-frame ticks per symbol (the
+    * `rsi_indicator` emit discipline).
+    */
+  def rollingMedian(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("us").asc, col("event_id").asc)
+    val fr = w.rowsBetween(-19, 0)
+    val wd = Window.partitionBy("symbol")
+      .orderBy(col("us").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type").as("symbol"),
+        floor(col("value").cast("double") * lit(100.0) + lit(0.5))
+          .cast("long").as("centi"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("p25", percentile(col("centi"), lit(0.25)).over(fr))
+      .withColumn("p50", percentile(col("centi"), lit(0.5)).over(fr))
+      .withColumn("p75", percentile(col("centi"), lit(0.75)).over(fr))
+      .where(col("rn") >= 20)
+      .withColumn("rdesc", row_number().over(wd))
+      .where(col("rdesc") <= 20)
+      .select(col("symbol"), col("event_id"),
+        r6(col("centi").cast("double") / lit(100.0)).as("price"),
+        r6(col("p50") / lit(100.0)).as("median20"),
+        r6(col("p25") / lit(100.0)).as("q1_20"),
+        r6(col("p75") / lit(100.0)).as("q3_20"),
+        r6((col("p75") - col("p25")) / lit(100.0)).as("iqr20"))
+      .orderBy("symbol", "event_id")
+  }
+
   /** `first_touch_mix` — the distribution of each user's FIRST event
     * type: the acquisition-integrity check for the funnel family — a
     * cohort whose first touch is "purchase" never saw the top of the

@@ -774,6 +774,58 @@ object RelationalOps {
         col("c_acctbal"), col("n_returned"), col("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey").asc)
 
+  /** `large_orders` — the TPC-H Q18 shape: orders whose total line
+    * quantity exceeds a threshold, decorated with their customer —
+    * the IN-(grouped-HAVING-subquery) pattern, planned as
+    * aggregate-then-semi-equi-join. Quantities are integral doubles
+    * → cast to long so the HAVING sum and the reported total are
+    * pure integers (no float sum order-sensitivity at any scale).
+    * Scale: the quantity aggregate shuffles 8-byte (key, qty) pairs
+    * once; the ~0.3%-selectivity survivor set joins orders, then
+    * customer decorates the survivors.
+    */
+  def largeOrders(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"),
+        count(lit(1)).as("n_lines"))
+      .where(col("total_qty") > 300L)
+    big.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("total_qty"), col("n_lines"))
+      .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+  }
+
+  /** `dormant_customers` — the TPC-H Q22 shape: well-funded
+    * customers gone quiet (above-average balance, no order in the
+    * trailing 3 years), summarized per market segment. Two classic
+    * subquery lowerings in one query: the scalar AVG subquery
+    * becomes a 1-row broadcast compared by exact CROSS-MULTIPLICATION
+    * (bal·n > Σbal on DECIMAL — no division, no float average, so
+    * the cut is bit-portable); the NOT-EXISTS becomes a LEFT ANTI
+    * join against the date-filtered orders keys (filter pushed to
+    * the orders scan; only 8-byte keys shuffle).
+    */
+  def dormantCustomers(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cust = Tables.customer(s, d)
+    val posStats = cust.where(col("c_acctbal") > 0.0)
+      .agg(sum(col("c_acctbal").cast(DecimalType(18, 2))).as("bal_sum"),
+        count(lit(1)).as("n_pos"))
+    val recent = Tables.orders(s, d)
+      .where(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(posStats))
+      .where(col("c_acctbal").cast(DecimalType(18, 2)) * col("n_pos")
+        > col("bal_sum"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_dormant"),
+        dsum(col("c_acctbal")).as("total_acctbal"))
+      .orderBy("c_mktsegment")
+  }
+
   /** `pareto_frontier` — the skyline operator (Börzsönyi et al., ICDE
     * 2001): parts not dominated on (price low, size high). q
     * dominates p iff q.price ≤ p.price ∧ q.size ≥ p.size with at

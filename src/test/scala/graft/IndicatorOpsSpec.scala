@@ -1123,4 +1123,41 @@ class IndicatorOpsSpec extends AnyFunSuite {
       assert(r.getDouble(4) == e._3, "vwap")
     }
   }
+
+  test("rolling_median == driver-side p·(n−1) interpolation over the centi frame") {
+    val s = spark
+    val got = AnalyticOps.rollingMedian(s, TestSpark.sf0001).collect()
+    val events = Tables.events(s, TestSpark.sf0001)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value").cast("double"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        math.floor(r.getDouble(3) * 100.0 + 0.5).toLong))
+    def interp(sorted: IndexedSeq[Long], p: Double): Double = {
+      val pos = p * (sorted.length - 1)
+      val lo = pos.toInt
+      val frac = pos - lo
+      if (frac == 0.0) sorted(lo).toDouble
+      else sorted(lo) * (1.0 - frac) + sorted(lo + 1) * frac
+    }
+    val expected = events.groupBy(_._3).toSeq.flatMap { case (sym, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._1))
+      val full = sorted.indices.filter(_ >= 19).map { i =>
+        val frame = ((i - 19) to i).map(sorted(_)._4).sorted
+        (sorted(i)._1, sym, sorted(i)._4,
+          interp(frame, 0.25), interp(frame, 0.5), interp(frame, 0.75))
+      }
+      full.takeRight(20)
+    }.map(t => t._1 -> t).toMap
+    assert(got.length == expected.size && got.nonEmpty)
+    got.foreach { r =>
+      val e = expected(r.getLong(1))
+      assert(r.getString(0) == e._2)
+      assert(r.getDouble(2) == q6(e._3.toDouble / 100.0), "price")
+      assert(r.getDouble(3) == q6(e._5 / 100.0), "median")
+      assert(r.getDouble(4) == q6(e._4 / 100.0), "q1")
+      assert(r.getDouble(5) == q6(e._6 / 100.0), "q3")
+      assert(r.getDouble(6) == q6((e._6 - e._4) / 100.0), "iqr")
+    }
+  }
 }

@@ -188,6 +188,49 @@ class RelationalClassicsSpec extends AnyFunSuite {
     assert(got.map(_._2).sum == orders.length.toLong)
   }
 
+  test("large_orders == driver-side integer-quantity HAVING recomputation") {
+    val got = RelationalOps.largeOrders(spark, sf).collect()
+    val qty = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_quantity").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1)
+      .map { case (ok, ls) => (ok, ls.map(_._2).sum, ls.length.toLong) }
+      .filter(_._2 > 300L)
+    val custOf = orders.map(o => o._1 -> o._2).toMap
+    val expected = qty.toSeq
+      .sortBy { case (ok, tq, _) => (-tq, ok) }
+    assert(got.length == expected.length && got.nonEmpty)
+    got.zip(expected).foreach { case (r, (ok, tq, nl)) =>
+      assert(r.getLong(2) == ok)
+      assert(lv(r, 0) == custOf(ok))
+      assert(r.getLong(4) == tq && r.getLong(5) == nl)
+    }
+  }
+
+  test("dormant_customers == cross-multiplied scalar cut + anti join replay") {
+    val got = RelationalOps.dormantCustomers(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      .collect().map(r => (lv(r, 0), r.getDouble(1), r.getString(2)))
+    def d2(x: Double) = BigDecimal(x).setScale(2,
+      BigDecimal.RoundingMode.HALF_UP)
+    val pos = cust.filter(_._2 > 0.0)
+    val balSum = pos.map(c => d2(c._2)).sum
+    val nPos = pos.length
+    val active = orders
+      .filter(o => !o._3.isBefore(ts("1999-01-01"))).map(_._2).toSet
+    val dormant = cust.filter { case (ck, bal, _) =>
+      d2(bal) * nPos > balSum && !active.contains(ck)
+    }
+    val expected = dormant.groupBy(_._3).map { case (seg, cs) =>
+      seg -> (cs.length.toLong,
+        cs.map(c => BigDecimal(c._2).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)
+    }
+    assert(got == expected)
+  }
+
   test("top_supplier == the exact-decimal max; all ties returned") {
     val got = RelationalOps.topSupplier(spark, sf).collect()
     val perSupp = lineitem
