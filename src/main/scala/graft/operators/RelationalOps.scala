@@ -438,11 +438,15 @@ object RelationalOps {
     val names = Tables.customer(s, d)
       .where(col("c_custkey") < 2000)
       .select(col("c_custkey"), col("c_name"))
+    // deletion keys travel as 8-byte xxhash64, not strings — a hash
+    // collision can only ADD a candidate pair, and the levenshtein
+    // verification filters it, so the output is provably unchanged
+    // while the join shuffles fixed-width longs
     val keyed = names.withColumn("k", explode(expr(
-      """concat(
+      """transform(concat(
            transform(sequence(1, length(c_name)),
              i -> concat(substr(c_name, 1, i - 1), substr(c_name, i + 1))),
-           array(c_name))""")))
+           array(c_name)), v -> xxhash64(v))""")))
     keyed.as("a")
       .join(keyed.as("b"),
         col("a.k") === col("b.k") && col("a.c_name") < col("b.c_name"))
