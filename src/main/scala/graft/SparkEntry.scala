@@ -150,6 +150,9 @@ object SparkEntry {
     "rolling_median"           -> (AnalyticOps.rollingMedian _),
     "large_orders"             -> (RelationalOps.largeOrders _),
     "dormant_customers"        -> (RelationalOps.dormantCustomers _),
+    "item_neighbors"           -> (RelationalOps.itemNeighbors _),
+    "peak_detection"           -> (AnalyticOps.peakDetection _),
+    "runs_test"                -> (AnalyticOps.runsTest _),
     // E16–E21 + LLM-pipeline surface
     "sessionize"          -> (LlmTextOps.sessionize _),
     "dedup_exact"         -> (LlmTextOps.dedupExact _),
@@ -2418,6 +2421,110 @@ object SparkEntry {
                   / CAST(total_cents AS DOUBLE)
                   * 1000000.0 + 0.5) / 1000000.0 AS top_share
          FROM a""",
+    // item-item CF neighborhoods: integer head/neighbor ranking,
+    // cosine presentation-only from exact integers
+    "item_neighbors" ->
+      """WITH dp AS (SELECT DISTINCT l_orderkey, l_partkey
+              FROM lineitem),
+         pc AS (SELECT l_partkey AS pk, COUNT(*) AS c
+                FROM dp GROUP BY 1),
+         head AS (SELECT pk AS part, c AS c_part FROM pc
+                  ORDER BY c DESC, pk ASC LIMIT 10),
+         co AS (SELECT a.l_partkey AS part, b.l_partkey AS nbr,
+                  COUNT(*) AS support
+                FROM dp a JOIN dp b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey <> b.l_partkey
+                GROUP BY 1, 2),
+         ranked AS (SELECT h.part, h.c_part, co.nbr, co.support,
+                  row_number() OVER (PARTITION BY h.part
+                    ORDER BY co.support DESC, co.nbr ASC) AS rk
+                FROM head h JOIN co ON co.part = h.part)
+         SELECT r.part, r.c_part, CAST(r.rk AS INTEGER) AS rk, r.nbr,
+                pc.c AS c_nbr, r.support,
+                floor(CAST(r.support AS DOUBLE)
+                  / sqrt(CAST(r.c_part * pc.c AS DOUBLE))
+                  * 1000000.0 + 0.5) / 1000000.0 AS cosine
+         FROM ranked r JOIN pc ON pc.pk = r.nbr
+         WHERE r.rk <= 3 ORDER BY r.part, r.rk""",
+    // strict local maxima + prominence; the mean gap telescopes to
+    // two integers and one fenced division
+    "peak_detection" ->
+      """WITH t AS (SELECT event_id, epoch_us(ts) AS us,
+                event_type AS symbol,
+                CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5)
+                  AS BIGINT) AS centi
+              FROM events),
+         d AS (SELECT *, lag(centi) OVER w AS prev,
+                 lead(centi) OVER w AS next
+               FROM t WINDOW w AS (PARTITION BY symbol
+                 ORDER BY us ASC, event_id ASC)),
+         p AS (SELECT symbol, us,
+                 (prev IS NOT NULL AND next IS NOT NULL
+                  AND centi > prev AND centi > next) AS is_peak,
+                 CASE WHEN prev IS NOT NULL AND next IS NOT NULL
+                       AND centi > prev AND centi > next
+                      THEN least(centi - prev, centi - next)
+                 END AS prom
+               FROM d)
+         SELECT symbol, COUNT(*) AS n_ticks,
+                CAST(SUM(CASE WHEN is_peak THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_peaks,
+                floor(CAST(MAX(prom) AS DOUBLE) / 100.0
+                  * 1000000.0 + 0.5) / 1000000.0 AS max_prominence,
+                floor(CAST(SUM(prom) AS DOUBLE) / 100.0
+                  / CAST(SUM(CASE WHEN is_peak THEN 1 ELSE 0 END)
+                    AS DOUBLE)
+                  * 1000000.0 + 0.5) / 1000000.0 AS mean_prominence,
+                floor(CAST(MAX(CASE WHEN is_peak THEN us END)
+                    - MIN(CASE WHEN is_peak THEN us END) AS DOUBLE)
+                  / 1000000.0
+                  / NULLIF(CAST(SUM(CASE WHEN is_peak THEN 1 ELSE 0
+                    END) - 1 AS DOUBLE), 0.0)
+                  * 1000000.0 + 0.5) / 1000000.0 AS mean_gap_sec
+         FROM p GROUP BY 1 ORDER BY 1""",
+    // Wald–Wolfowitz runs: exact integer R/n₊/n₋, one written
+    // double expression, one fence
+    "runs_test" ->
+      """WITH t AS (SELECT event_id, epoch_us(ts) AS us,
+                event_type AS symbol,
+                CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5)
+                  AS BIGINT) AS centi
+              FROM events),
+         m AS (SELECT symbol, us, event_id,
+                 centi - lag(centi) OVER (PARTITION BY symbol
+                   ORDER BY us ASC, event_id ASC) AS mv
+               FROM t),
+         f AS (SELECT symbol, us, event_id,
+                 CASE WHEN mv > 0 THEN 1 ELSE -1 END AS sgn
+               FROM m WHERE mv IS NOT NULL AND mv <> 0),
+         g AS (SELECT symbol, sgn,
+                 CASE WHEN lag(sgn) OVER w IS NULL THEN 0
+                      WHEN sgn <> lag(sgn) OVER w THEN 1
+                      ELSE 0 END AS chg
+               FROM f WINDOW w AS (PARTITION BY symbol
+                 ORDER BY us ASC, event_id ASC)),
+         a AS (SELECT symbol, COUNT(*) AS n,
+                 CAST(SUM(CASE WHEN sgn > 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_up,
+                 CAST(SUM(CASE WHEN sgn < 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_down,
+                 CAST(SUM(chg) + 1 AS BIGINT) AS runs
+               FROM g GROUP BY 1)
+         SELECT symbol, n, n_up, n_down, runs,
+                floor((CAST(runs AS DOUBLE)
+                    - (2.0 * CAST(n_up AS DOUBLE)
+                       * CAST(n_down AS DOUBLE) / CAST(n AS DOUBLE)
+                       + 1.0))
+                  / sqrt(2.0 * CAST(n_up AS DOUBLE)
+                      * CAST(n_down AS DOUBLE)
+                      * (2.0 * CAST(n_up AS DOUBLE)
+                         * CAST(n_down AS DOUBLE)
+                         - CAST(n AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                       * (CAST(n AS DOUBLE) - 1.0)))
+                  * 1000000.0 + 0.5) / 1000000.0 AS z
+         FROM a ORDER BY 1""",
     // windowed exact quantiles: integer centi frames, dyadic
     // interpolation weights (both engines interpolate at p·(n−1)),
     // fenced /100 presentation; the rsi emit discipline

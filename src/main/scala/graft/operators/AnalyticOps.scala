@@ -1348,6 +1348,99 @@ object AnalyticOps {
       .orderBy("symbol", "event_id")
   }
 
+  /** `peak_detection` — strict local maxima per symbol with
+    * prominence: a tick is a peak iff its centi price strictly
+    * exceeds both neighbors; prominence is the smaller drop to a
+    * neighbor. The signal-processing census (how spiky is this
+    * series) beside [[cusumChangepoint]]'s level-shift locator.
+    *
+    * All-integer core: peak predicate and prominence compare exact
+    * centi; the mean inter-peak gap TELESCOPES to
+    * (last−first)/(n−1) — no per-gap pass, two exact integers and
+    * one fenced division. One sort per symbol serves lag and lead;
+    * the reduction is a 5-row aggregate.
+    */
+  def peakDetection(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("us").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type").as("symbol"),
+        floor(col("value").cast("double") * lit(100.0) + lit(0.5))
+          .cast("long").as("centi"))
+      .withColumn("prev", lag(col("centi"), 1).over(w))
+      .withColumn("next", lead(col("centi"), 1).over(w))
+      .withColumn("is_peak", col("prev").isNotNull &&
+        col("next").isNotNull && col("centi") > col("prev") &&
+        col("centi") > col("next"))
+      .withColumn("prom", when(col("is_peak"),
+        least(col("centi") - col("prev"), col("centi") - col("next"))))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_ticks"),
+        sum(when(col("is_peak"), 1L).otherwise(0L)).as("n_peaks"),
+        max(col("prom")).as("max_prom_centi"),
+        sum(col("prom")).as("sum_prom_centi"),
+        min(when(col("is_peak"), col("us"))).as("first_us"),
+        max(when(col("is_peak"), col("us"))).as("last_us"))
+      .select(col("symbol"), col("n_ticks"), col("n_peaks"),
+        r6(col("max_prom_centi").cast("double") / lit(100.0))
+          .as("max_prominence"),
+        r6(col("sum_prom_centi").cast("double") / lit(100.0)
+          / col("n_peaks").cast("double")).as("mean_prominence"),
+        r6((col("last_us") - col("first_us")).cast("double")
+          / lit(1000000.0)
+          / nullif((col("n_peaks") - 1L).cast("double"), lit(0.0)))
+          .as("mean_gap_sec"))
+      .orderBy("symbol")
+  }
+
+  /** `runs_test` — the Wald–Wolfowitz randomness screen per symbol:
+    * are up/down moves independent, or does the series trend /
+    * mean-revert more than chance allows? Counts runs R of equal
+    * move signs over the NONZERO centi moves, then z-scores R
+    * against the exact null moments μ = 2·n₊·n₋/n + 1,
+    * σ² = 2·n₊·n₋·(2·n₊·n₋ − n) / (n²·(n−1)).
+    *
+    * Portability: R, n₊, n₋ are exact integers (one lag window for
+    * moves, one more for sign changes); μ, σ², z evaluate as ONE
+    * written double expression from those integers — identical op
+    * sequence in the oracle — then the single r6 fence. The
+    * zero-move exclusion is a row filter (batch: no watermark to
+    * protect). Scale: two narrow windows per symbol + a 5-row
+    * aggregate.
+    */
+  def runsTest(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("us").asc, col("event_id").asc)
+    val moves = Tables.events(s, d)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type").as("symbol"),
+        floor(col("value").cast("double") * lit(100.0) + lit(0.5))
+          .cast("long").as("centi"))
+      .withColumn("mv", col("centi") - lag(col("centi"), 1).over(w))
+      .where(col("mv").isNotNull && col("mv") =!= 0L)
+      .withColumn("sgn", when(col("mv") > 0, 1).otherwise(-1))
+    val agg = moves
+      .withColumn("chg",
+        when(lag(col("sgn"), 1).over(w).isNull, 0L)
+          .when(col("sgn") =!= lag(col("sgn"), 1).over(w), 1L)
+          .otherwise(0L))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("sgn") > 0, 1L).otherwise(0L)).as("n_up"),
+        sum(when(col("sgn") < 0, 1L).otherwise(0L)).as("n_down"),
+        (sum(col("chg")) + lit(1L)).as("runs"))
+    val nD = col("n").cast("double")
+    val twoPN = lit(2.0) * col("n_up").cast("double") *
+      col("n_down").cast("double")
+    val mu = twoPN / nD + lit(1.0)
+    val sigma = sqrt(twoPN * (twoPN - nD) / (nD * nD * (nD - lit(1.0))))
+    agg.select(col("symbol"), col("n"), col("n_up"), col("n_down"),
+      col("runs"),
+      r6((col("runs").cast("double") - mu) / sigma).as("z"))
+      .orderBy("symbol")
+  }
+
   /** `first_touch_mix` — the distribution of each user's FIRST event
     * type: the acquisition-integrity check for the funnel family — a
     * cohort whose first touch is "purchase" never saw the top of the

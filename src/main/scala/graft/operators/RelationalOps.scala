@@ -778,6 +778,54 @@ object RelationalOps {
         col("c_acctbal"), col("n_returned"), col("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey").asc)
 
+  /** `item_neighbors` — the item-item collaborative-filtering
+    * neighborhood (Sarwar et al., WWW'01): for each of the 10
+    * most-purchased parts, its top-3 co-purchase neighbors with
+    * cosine similarity over the order×part incidence — the
+    * "customers also bought" primitive beside [[basketPairs]]'s
+    * association ranking.
+    *
+    * Determinism: head parts rank by INTEGER purchase count, and
+    * neighbors rank by INTEGER co-support (tie-broken by partner
+    * key) — cosine support/√(c_a·c_b) is presentation only, one
+    * fenced expression from exact integers, so no float ever orders
+    * rows. Scale: pair stream = map-side C(k,2) over per-order part
+    * sets (one lineitem shuffle, `engine.Pairs`); the 10-row head
+    * frame broadcast-prunes it before the per-part top-3 window runs
+    * over ≤ 10 bounded neighbor lists.
+    */
+  def itemNeighbors(s: SparkSession, d: String): DataFrame = {
+    val wide = graft.engine.Pairs.needsWideForm(
+      Tables.lineitem(s, d), "l_partkey")
+    val baskets = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ds"))
+    val pc = baskets.select(explode(col("ds")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("c"))
+    val head = pc
+      .orderBy(col("c").desc, col("pk").asc).limit(10)
+      .select(col("pk").as("part"), col("c").as("c_part"))
+    val pairs = graft.engine.Pairs.countedPairs(s,
+      baskets.where(size(col("ds")) > 1), "ds", "support", wide)
+    val sym = pairs.select(col("i").as("part"), col("j").as("nbr"),
+        col("support"))
+      .unionAll(pairs.select(col("j").as("part"), col("i").as("nbr"),
+        col("support")))
+    val w = Window.partitionBy(col("part"))
+      .orderBy(col("support").desc, col("nbr").asc)
+    sym.join(broadcast(head), Seq("part"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .join(pc.select(col("pk").as("nbr"), col("c").as("c_nbr")),
+        Seq("nbr"))
+      .select(col("part"), col("c_part"), col("rk"), col("nbr"),
+        col("c_nbr"), col("support"),
+        r6(col("support").cast("double")
+          / sqrt((col("c_part") * col("c_nbr")).cast("double")))
+          .as("cosine"))
+      .orderBy(col("part").asc, col("rk").asc)
+  }
+
   /** `large_orders` — the TPC-H Q18 shape: orders whose total line
     * quantity exceeds a threshold, decorated with their customer —
     * the IN-(grouped-HAVING-subquery) pattern, planned as

@@ -1124,6 +1124,78 @@ class IndicatorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("peak_detection == driver-side strict-maxima census") {
+    val s = spark
+    val got = AnalyticOps.peakDetection(s, TestSpark.sf0001).collect()
+    val events = Tables.events(s, TestSpark.sf0001)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value").cast("double"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        math.floor(r.getDouble(3) * 100.0 + 0.5).toLong))
+    val expected = events.groupBy(_._3).map { case (sym, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._1))
+      val peaks = sorted.indices.drop(1).dropRight(1).filter { i =>
+        sorted(i)._4 > sorted(i - 1)._4 && sorted(i)._4 > sorted(i + 1)._4
+      }
+      val proms = peaks.map(i => math.min(sorted(i)._4 - sorted(i - 1)._4,
+        sorted(i)._4 - sorted(i + 1)._4))
+      val gap = if (peaks.length > 1)
+        Some(q6((sorted(peaks.last)._2 - sorted(peaks.head)._2).toDouble
+          / 1e6 / (peaks.length - 1).toDouble))
+      else None
+      sym -> (sorted.length.toLong, peaks.length.toLong,
+        q6(proms.max.toDouble / 100.0),
+        q6(proms.sum.toDouble / 100.0 / peaks.length.toDouble), gap)
+    }
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val e = expected(r.getString(0))
+      assert(r.getLong(1) == e._1 && r.getLong(2) == e._2)
+      assert(r.getDouble(3) == e._3, "max_prominence")
+      assert(r.getDouble(4) == e._4, "mean_prominence")
+      e._5.foreach(g => assert(r.getDouble(5) == g, "mean_gap"))
+    }
+  }
+
+  test("runs_test == driver-side Wald–Wolfowitz recomputation; |z| sane") {
+    val s = spark
+    val got = AnalyticOps.runsTest(s, TestSpark.sf0001).collect()
+    val events = Tables.events(s, TestSpark.sf0001)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value").cast("double"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        math.floor(r.getDouble(3) * 100.0 + 0.5).toLong))
+    val expected = events.groupBy(_._3).map { case (sym, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._1))
+      val sgns = sorted.indices.drop(1)
+        .map(i => sorted(i)._4 - sorted(i - 1)._4)
+        .filter(_ != 0L).map(m => if (m > 0) 1 else -1)
+      val n = sgns.length
+      val nUp = sgns.count(_ > 0).toLong
+      val nDown = sgns.count(_ < 0).toLong
+      val runs = 1L + sgns.sliding(2).count {
+        case Seq(a, b) => a != b
+        case _ => false
+      }
+      val nD = n.toDouble
+      val twoPN = 2.0 * nUp.toDouble * nDown.toDouble
+      val mu = twoPN / nD + 1.0
+      val sigma = math.sqrt(twoPN * (twoPN - nD) / (nD * nD * (nD - 1.0)))
+      sym -> (n.toLong, nUp, nDown, runs, q6((runs.toDouble - mu) / sigma))
+    }
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val e = expected(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+        ((e._1, e._2, e._3, e._4)))
+      assert(r.getDouble(5) == e._5, s"z for ${r.getString(0)}")
+      // a random-walk synthetic feed should not be wildly non-random
+      assert(math.abs(r.getDouble(5)) < 30.0)
+    }
+  }
+
   test("rolling_median == driver-side p·(n−1) interpolation over the centi frame") {
     val s = spark
     val got = AnalyticOps.rollingMedian(s, TestSpark.sf0001).collect()

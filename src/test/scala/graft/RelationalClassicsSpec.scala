@@ -231,6 +231,37 @@ class RelationalClassicsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("item_neighbors == brute-force co-purchase neighborhood recomputation") {
+    val got = RelationalOps.itemNeighbors(spark, sf).collect()
+    val dp = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pc = dp.groupBy(_._2).map { case (pk, xs) => pk -> xs.length.toLong }
+    val head = pc.toSeq.sortBy { case (pk, c) => (-c, pk) }.take(10)
+    val byOrder = dp.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val co = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    byOrder.values.foreach { parts =>
+      val ps = parts.toSeq
+      for (a <- ps; b <- ps if a != b)
+        co((a, b)) = co.getOrElse((a, b), 0L) + 1L
+    }
+    val expected = head.flatMap { case (part, cPart) =>
+      co.toSeq.collect { case ((a, b), sup) if a == part => (b, sup) }
+        .sortBy { case (nbr, sup) => (-sup, nbr) }
+        .take(3).zipWithIndex
+        .map { case ((nbr, sup), i) =>
+          (part, cPart, i + 1, nbr, pc(nbr), sup,
+            math.floor(sup.toDouble / math.sqrt((cPart * pc(nbr)).toDouble)
+              * 1e6 + 0.5) / 1e6)
+        }
+    }.sortBy(e => (e._1, e._3))
+    assert(got.length == expected.length && got.nonEmpty)
+    got.zip(expected).foreach { case (r, e) =>
+      assert((r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)) == e)
+    }
+  }
+
   test("top_supplier == the exact-decimal max; all ties returned") {
     val got = RelationalOps.topSupplier(spark, sf).collect()
     val perSupp = lineitem
