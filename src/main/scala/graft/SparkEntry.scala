@@ -153,6 +153,7 @@ object SparkEntry {
     "item_neighbors"           -> (RelationalOps.itemNeighbors _),
     "peak_detection"           -> (AnalyticOps.peakDetection _),
     "runs_test"                -> (AnalyticOps.runsTest _),
+    "pii_scrub"                -> (LlmTextOps.piiScrub _),
     // E16–E21 + LLM-pipeline surface
     "sessionize"          -> (LlmTextOps.sessionize _),
     "dedup_exact"         -> (LlmTextOps.dedupExact _),
@@ -2421,6 +2422,30 @@ object SparkEntry {
                   / CAST(total_cents AS DOUBLE)
                   * 1000000.0 + 0.5) / 1000000.0 AS top_share
          FROM a""",
+    // PII census: patterns interpolated from the SAME vals the Spark
+    // side compiles (RE2 ∩ Java dialect), so the two sides cannot
+    // drift; counts and redaction volumes are pure integers
+    "pii_scrub" -> {
+      val Seq(em, ph, ip) = graft.operators.LlmTextOps.piiPatterns.map(_._2)
+      s"""WITH t AS (
+           SELECT source,
+                  len(regexp_extract_all(text, '$em')) AS e,
+                  len(regexp_extract_all(text, '$ph')) AS p,
+                  len(regexp_extract_all(text, '$ip')) AS i,
+                  length(text) - length(
+                    regexp_replace(regexp_replace(regexp_replace(
+                      text, '$em', '', 'g'), '$ph', '', 'g'),
+                      '$ip', '', 'g')) AS redacted
+           FROM documents)
+         SELECT source, COUNT(*) AS n_docs,
+                CAST(SUM(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS docs_with_pii,
+                CAST(SUM(e) AS BIGINT) AS emails,
+                CAST(SUM(p) AS BIGINT) AS phones,
+                CAST(SUM(i) AS BIGINT) AS ipv4s,
+                CAST(SUM(redacted) AS BIGINT) AS chars_redacted
+         FROM t GROUP BY 1 ORDER BY 1"""
+    },
     // item-item CF neighborhoods: integer head/neighbor ranking,
     // cosine presentation-only from exact integers
     "item_neighbors" ->

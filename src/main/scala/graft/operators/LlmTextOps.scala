@@ -2812,4 +2812,54 @@ object LlmTextOps {
       .orderBy("source")
   }
 
+  /** The PII patterns shared by the batch rule sweep and its spec —
+    * written in the RE2 ∩ java.util.regex common dialect (character
+    * classes, bounded quantifiers, ASCII \b; no backreferences, no
+    * lookaround) so Spark (Java regex) and DuckDB (RE2) match
+    * identically.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""",
+    "phone" -> """\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}""",
+    "ipv4" -> """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b""")
+
+  /** `pii_scrub` — the PII detection/redaction census every
+    * training-data pipeline runs before release (the Dolma/FineWeb
+    * anonymization gate): per source, documents containing an email
+    * / phone / IPv4 pattern, match counts per rule, and the exact
+    * character volume redaction would remove (sequential
+    * replace-with-empty over the three patterns).
+    *
+    * The gated corpus is synthetic vocabulary and carries no PII —
+    * the sweep proves the zero; the spec injects each PII class and
+    * proves every pattern FIRES and the redaction arithmetic holds
+    * (the `dq_audit` posture). Row-local regex work over one corpus
+    * scan + one small aggregate: the 100 TB cost is the scan itself,
+    * embarrassingly parallel, no shuffle beyond the ≤ sources
+    * reduction.
+    */
+  def piiScrub(s: SparkSession, d: String): DataFrame =
+    piiScrubFrames(Tables.documents(s, d))
+
+  /** Frame-parameterized core of [[piiScrub]] — the injection seam
+    * for the spec. */
+  def piiScrubFrames(docs: DataFrame): DataFrame = {
+    val Seq(email, phone, ipv4) = piiPatterns.map(_._2)
+    def cnt(p: String) = regexp_count(col("text"), lit(p))
+    val scrubbed = regexp_replace(regexp_replace(regexp_replace(
+      col("text"), email, ""), phone, ""), ipv4, "")
+    docs
+      .select(col("source"),
+        cnt(email).as("e"), cnt(phone).as("p"), cnt(ipv4).as("i"),
+        (length(col("text")) - length(scrubbed)).as("redacted"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("e") + col("p") + col("i") > 0, 1L).otherwise(0L))
+          .as("docs_with_pii"),
+        sum(col("e").cast("long")).as("emails"),
+        sum(col("p").cast("long")).as("phones"),
+        sum(col("i").cast("long")).as("ipv4s"),
+        sum(col("redacted").cast("long")).as("chars_redacted"))
+      .orderBy("source")
+  }
 }

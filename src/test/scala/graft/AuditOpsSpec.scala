@@ -104,6 +104,60 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(got.values.map(_._1).sum == rows.length)
   }
 
+  test("pii_scrub: clean corpus reports zero; every pattern fires on injected PII with exact redaction volume") {
+    val clean = graft.operators.LlmTextOps.piiScrub(spark, sf).collect()
+    assert(clean.nonEmpty)
+    clean.foreach { r =>
+      assert(r.getLong(2) == 0L && r.getLong(3) == 0L &&
+        r.getLong(4) == 0L && r.getLong(5) == 0L && r.getLong(6) == 0L,
+        s"synthetic corpus must be PII-free: $r")
+    }
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      ("web", "no pii here at all"),
+      ("web", "contact bob.smith+x@example.co.uk today"),
+      ("web", "call +1 555-867-5309 or 555 123-4567"),
+      ("books", "server at 10.0.255.3 and 192.168.1.1 up"),
+      ("books", "mix: a@b.io via 8.8.8.8 at 555-000-1111"))
+      .toDF("source", "text")
+    val got = graft.operators.LlmTextOps.piiScrubFrames(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // independent driver-side recomputation with java.util.regex —
+    // the same engine family Spark compiles, but a separate code path
+    val pats = graft.operators.LlmTextOps.piiPatterns.map {
+      case (n, p) => n -> p.r
+    }.toMap
+    def census(rows: Seq[(String, String)]) = {
+      val n = rows.length.toLong
+      val per = rows.map { case (_, t) =>
+        val e = pats("email").findAllIn(t).length
+        val p = pats("phone").findAllIn(t).length
+        val i = pats("ipv4").findAllIn(t).length
+        val scrubbed = pats("ipv4").replaceAllIn(
+          pats("phone").replaceAllIn(
+            pats("email").replaceAllIn(t, ""), ""), "")
+        (e, p, i, t.length - scrubbed.length)
+      }
+      (n, per.count(x => x._1 + x._2 + x._3 > 0).toLong,
+        per.map(_._1).sum.toLong, per.map(_._2).sum.toLong,
+        per.map(_._3).sum.toLong, per.map(_._4).sum.toLong)
+    }
+    val docRows = Seq(
+      ("web", "no pii here at all"),
+      ("web", "contact bob.smith+x@example.co.uk today"),
+      ("web", "call +1 555-867-5309 or 555 123-4567"),
+      ("books", "server at 10.0.255.3 and 192.168.1.1 up"),
+      ("books", "mix: a@b.io via 8.8.8.8 at 555-000-1111"))
+    assert(got("web") == census(docRows.filter(_._1 == "web")))
+    assert(got("books") == census(docRows.filter(_._1 == "books")))
+    // each class individually fired somewhere
+    assert(got.values.map(_._3).sum > 0, "emails fired")
+    assert(got.values.map(_._4).sum > 0, "phones fired")
+    assert(got.values.map(_._5).sum > 0, "ipv4s fired")
+  }
+
   test("forecast_backtest == driver-side seasonal-naive fold") {
     val got = AnalyticOps.forecastBacktest(spark, sf).collect()
     val ticks = Tables.ticks(spark, sf)

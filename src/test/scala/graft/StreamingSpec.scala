@@ -1166,6 +1166,42 @@ class StreamingSpec extends AnyFunSuite {
         math.floor(20100.0 / 400.0 * 1e6 + 0.5) / 1e6)
     } finally q.stop()
   }
+
+  test("S22 streaming_dq: rule counters per closed window; violating rows advance the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingDq
+    val in = MemoryStream[(Timestamp, Option[Double], String)]
+    val q = StreamingDq.dqStream(
+      in.toDF().toDF("ts", "value", "props"))
+      .writeStream.format("memory").queryName("s22_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        (ts("2024-01-01 10:00:01"), Some(10.0), """{"k": 3}"""),
+        (ts("2024-01-01 10:00:02"), None, """{"k": 2}"""),
+        (ts("2024-01-01 10:00:03"), Some(-5.0), """{"k": 1}"""),
+        (ts("2024-01-01 10:00:04"), Some(7.0), """{"k": 0}"""),
+        (ts("2024-01-01 10:00:05"), Some(8.0), """{"q": 9}"""))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM s22_out").count() == 0,
+        "hour 10 still open")
+      // the watermark pusher is itself a violating row (null value):
+      // violations must flow through the watermark operator
+      in.addData((ts("2024-01-01 13:00:00"), None, "{}"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT n_events, null_value, negative_value, bad_volume, clean " +
+          "FROM s22_out").collect()
+      assert(rows.length == 1)
+      val r = rows(0)
+      assert(r.getLong(0) == 5L)
+      assert(r.getLong(1) == 1L, "null value")
+      assert(r.getLong(2) == 1L, "negative value")
+      assert(r.getLong(3) == 2L, "zero-k and missing-k rows lack volume")
+      assert(!r.getBoolean(4))
+    } finally q.stop()
+  }
 }
 
 object StreamingSpec {
