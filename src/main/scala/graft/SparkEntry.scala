@@ -154,6 +154,7 @@ object SparkEntry {
     "peak_detection"           -> (AnalyticOps.peakDetection _),
     "runs_test"                -> (AnalyticOps.runsTest _),
     "pii_scrub"                -> (LlmTextOps.piiScrub _),
+    "weighted_percentiles"     -> (AnalyticOps.weightedPercentiles _),
     // E16–E21 + LLM-pipeline surface
     "sessionize"          -> (LlmTextOps.sessionize _),
     "dedup_exact"         -> (LlmTextOps.dedupExact _),
@@ -2422,6 +2423,36 @@ object SparkEntry {
                   / CAST(total_cents AS DOUBLE)
                   * 1000000.0 + 0.5) / 1000000.0 AS top_share
          FROM a""",
+    // weighted quantiles: the oracle EXPANDS the multiset via
+    // generate_series and runs the unweighted quantile — an
+    // independent formulation of the same p·(N−1) interpolation
+    "weighted_percentiles" ->
+      """WITH t AS (SELECT event_type AS symbol,
+                CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5)
+                  AS BIGINT) AS centi,
+                TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                  AS vol
+              FROM events),
+         f AS (SELECT symbol, centi, vol FROM t
+               WHERE vol IS NOT NULL AND vol > 0),
+         e AS (SELECT symbol, centi
+               FROM f CROSS JOIN unnest(generate_series(1, f.vol))),
+         agg AS (SELECT symbol, COUNT(*) AS n_ticks,
+                   CAST(SUM(vol) AS BIGINT) AS total_vol
+                 FROM f GROUP BY 1),
+         q AS (SELECT symbol,
+                 quantile_cont(centi, 0.1) AS wq10,
+                 quantile_cont(centi, 0.5) AS wq50,
+                 quantile_cont(centi, 0.9) AS wq90
+               FROM e GROUP BY 1)
+         SELECT a.symbol, a.n_ticks, a.total_vol,
+                floor(wq10 / 100.0 * 1000000.0 + 0.5) / 1000000.0
+                  AS wp10,
+                floor(wq50 / 100.0 * 1000000.0 + 0.5) / 1000000.0
+                  AS wp50,
+                floor(wq90 / 100.0 * 1000000.0 + 0.5) / 1000000.0
+                  AS wp90
+         FROM agg a JOIN q USING (symbol) ORDER BY a.symbol""",
     // PII census: patterns interpolated from the SAME vals the Spark
     // side compiles (RE2 ∩ Java dialect), so the two sides cannot
     // drift; counts and redaction volumes are pure integers

@@ -1348,6 +1348,44 @@ object AnalyticOps {
       .orderBy("symbol", "event_id")
   }
 
+  /** `weighted_percentiles` — volume-weighted price percentiles per
+    * symbol: where did the MONEY trade, not where did the ticks
+    * print (a thin 2-lot print away from the market should barely
+    * move the distribution; tick-weighted percentiles let it). The
+    * capability: Spark's `percentile(col, p, frequency)` runs the
+    * weighted quantile in O(distinct values) — while the DuckDB
+    * oracle materializes the multiset by `generate_series` expansion
+    * (~Σvol rows) and runs the UNWEIGHTED quantile over it. Two
+    * genuinely independent formulations; they agree exactly because
+    * both interpolate at p·(N−1) over the same expanded multiset and
+    * the centi values are integers (the `rolling_median` dyadic
+    * argument, here at N = Σvol).
+    *
+    * Scale: one hash aggregate per symbol over (value, weight)
+    * pairs; the weighted path never expands — at 100 TB the oracle's
+    * expansion is impossible and the weighted algebra is the ONLY
+    * viable plan, which is exactly why the small-scale cross-check
+    * earns its keep.
+    */
+  def weightedPercentiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type").as("symbol"),
+        floor(col("value").cast("double") * lit(100.0) + lit(0.5))
+          .cast("long").as("centi"),
+        get_json_object(col("props"), "$.k").cast("long").as("vol"))
+      .where(col("vol").isNotNull && col("vol") > 0)
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_ticks"),
+        sum(col("vol")).as("total_vol"),
+        percentile(col("centi"), lit(0.1), col("vol")).as("wq10"),
+        percentile(col("centi"), lit(0.5), col("vol")).as("wq50"),
+        percentile(col("centi"), lit(0.9), col("vol")).as("wq90"))
+      .select(col("symbol"), col("n_ticks"), col("total_vol"),
+        r6(col("wq10") / lit(100.0)).as("wp10"),
+        r6(col("wq50") / lit(100.0)).as("wp50"),
+        r6(col("wq90") / lit(100.0)).as("wp90"))
+      .orderBy("symbol")
+
   /** `peak_detection` — strict local maxima per symbol with
     * prominence: a tick is a peak iff its centi price strictly
     * exceeds both neighbors; prominence is the smaller drop to a

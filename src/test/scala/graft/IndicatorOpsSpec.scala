@@ -1124,6 +1124,40 @@ class IndicatorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted_percentiles == driver-side multiset expansion") {
+    val s = spark
+    val got = AnalyticOps.weightedPercentiles(s, TestSpark.sf0001).collect()
+    val rows = Tables.events(s, TestSpark.sf0001)
+      .select(col("event_type"), col("value").cast("double"),
+        get_json_object(col("props"), "$.k").cast("long"))
+      .collect()
+      .filter(r => !r.isNullAt(2) && r.getLong(2) > 0)
+      .map(r => (r.getString(0),
+        math.floor(r.getDouble(1) * 100.0 + 0.5).toLong, r.getLong(2)))
+    def interp(sorted: IndexedSeq[Long], p: Double): Double = {
+      val pos = p * (sorted.length - 1)
+      val lo = pos.toInt; val frac = pos - lo
+      if (frac == 0.0) sorted(lo).toDouble
+      else sorted(lo) * (1.0 - frac) + sorted(lo + 1) * frac
+    }
+    val expected = rows.groupBy(_._1).map { case (sym, rs) =>
+      val expanded = rs.flatMap(r => Seq.fill(r._3.toInt)(r._2))
+        .sorted.toIndexedSeq
+      sym -> (rs.length.toLong, rs.map(_._3).sum,
+        q6(interp(expanded, 0.1) / 100.0),
+        q6(interp(expanded, 0.5) / 100.0),
+        q6(interp(expanded, 0.9) / 100.0))
+    }
+    assert(got.length == expected.size && got.nonEmpty)
+    got.foreach { r =>
+      val e = expected(r.getString(0))
+      assert(r.getLong(1) == e._1 && r.getLong(2) == e._2)
+      assert(r.getDouble(3) == e._3, "wp10")
+      assert(r.getDouble(4) == e._4, "wp50")
+      assert(r.getDouble(5) == e._5, "wp90")
+    }
+  }
+
   test("peak_detection == driver-side strict-maxima census") {
     val s = spark
     val got = AnalyticOps.peakDetection(s, TestSpark.sf0001).collect()
