@@ -155,6 +155,7 @@ object SparkEntry {
     "runs_test"                -> (AnalyticOps.runsTest _),
     "pii_scrub"                -> (LlmTextOps.piiScrub _),
     "weighted_percentiles"     -> (AnalyticOps.weightedPercentiles _),
+    "bitext_mining"            -> (LlmVectorOps.bitextMining _),
     // E16–E21 + LLM-pipeline surface
     "sessionize"          -> (LlmTextOps.sessionize _),
     "dedup_exact"         -> (LlmTextOps.dedupExact _),
@@ -2423,6 +2424,54 @@ object SparkEntry {
                   / CAST(total_cents AS DOUBLE)
                   * 1000000.0 + 0.5) / 1000000.0 AS top_share
          FROM a""",
+    // margin-based bitext mining: integer micro-cosines, exact 4-NN
+    // sums, one fenced margin division ranked on identical bits
+    "bitext_mining" ->
+      """WITH e AS (
+           SELECT vec_id, label, embedding,
+                  sqrt(list_aggregate([CAST(x AS DOUBLE)
+                    * CAST(x AS DOUBLE) for x in embedding], 'sum'))
+                    AS norm
+           FROM embeddings),
+         src AS (SELECT vec_id AS src_id, embedding AS src_emb,
+                   norm AS src_norm
+                 FROM e WHERE label < 5 AND vec_id < 32),
+         tgt AS (SELECT vec_id AS tgt_id, embedding, norm
+                 FROM e WHERE label >= 5),
+         pairs AS (
+           SELECT src_id, tgt_id,
+                  CAST(floor(
+                    list_aggregate([CAST(src_emb[i] AS DOUBLE)
+                        * CAST(embedding[i] AS DOUBLE)
+                        for i in range(1, len(src_emb) + 1)], 'sum')
+                      / (src_norm * norm) * 1000000.0 + 0.5)
+                    AS BIGINT) AS q
+           FROM tgt, src),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY src_id
+                  ORDER BY q DESC, tgt_id ASC) AS rx,
+                row_number() OVER (PARTITION BY tgt_id
+                  ORDER BY q DESC, src_id ASC) AS ry
+           FROM pairs),
+         sxs AS (SELECT src_id, CAST(SUM(q) AS BIGINT) AS sx
+                 FROM ranked WHERE rx <= 4 GROUP BY 1),
+         sys AS (SELECT tgt_id, CAST(SUM(q) AS BIGINT) AS sy
+                 FROM ranked WHERE ry <= 4 GROUP BY 1),
+         m AS (
+           SELECT r.src_id, r.tgt_id, r.q,
+                  floor(8.0 * CAST(r.q AS DOUBLE)
+                    / NULLIF(CAST(sxs.sx + sys.sy AS DOUBLE), 0.0)
+                    * 1000000.0 + 0.5) / 1000000.0 AS margin
+           FROM ranked r JOIN sxs USING (src_id)
+                JOIN sys USING (tgt_id)),
+         best AS (SELECT *, row_number() OVER (PARTITION BY src_id
+                    ORDER BY margin DESC, tgt_id ASC) AS rm
+                  FROM m)
+         SELECT src_id, tgt_id,
+                floor(CAST(q AS DOUBLE) / 1000000.0
+                  * 1000000.0 + 0.5) / 1000000.0 AS cosine,
+                margin, margin > 1.0 AS mined
+         FROM best WHERE rm = 1 ORDER BY src_id""",
     // weighted quantiles: the oracle EXPANDS the multiset via
     // generate_series and runs the unweighted quantile — an
     // independent formulation of the same p·(N−1) interpolation

@@ -2334,4 +2334,66 @@ object LlmVectorOps {
                 - (${centers(1)})) * 1000000 + 0.5) / 1000000 AS pc2
        FROM embeddings, comps ORDER BY vec_id"""
   }
+
+  /** `bitext_mining` — margin-based parallel-pair mining (Artetxe &
+    * Schwenk, ACL'19 — the WikiMatrix/CCMatrix recipe): treat labels
+    * 0–4 as the source language and 5–9 as the target, and for each
+    * source vector pick the target whose MARGIN — cosine divided by
+    * the mean of both sides' 4-NN cosines — is highest. Raw cosine
+    * retrieves hubs (vectors near everything); the margin denominator
+    * cancels hubness, which is why production bitext pipelines rank
+    * by margin, not similarity.
+    *
+    * Determinism: cosines quantize to integer micro-units (q6) at
+    * birth, so the 4-NN sums sx/sy are exact integers and the margin
+    * is ONE fenced division 8·q/(sx+sy) — both engines rank on
+    * bit-identical doubles. Source side bounded to vec_id < 32 (the
+    * `contrastive_pairs` probe convention); sy averages over the
+    * same probe set, documented.
+    *
+    * Scale: probes broadcast over one corpus scan (the
+    * `similarity_topk` shape); both rank windows partition on
+    * bounded keys. At 100 TB the pair stream swaps for the ANN
+    * candidate lists (IVF-PQ rows above) with the margin tail
+    * unchanged.
+    */
+  def bitextMining(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
+    val src = e.where(col("label") < 5 && col("vec_id") < 32)
+      .select(col("vec_id").as("src_id"), col("embedding").as("src_emb"),
+        col("norm").as("src_norm"))
+    val tgt = e.where(col("label") >= 5)
+      .select(col("vec_id").as("tgt_id"), col("embedding"), col("norm"))
+    val pairs = tgt.join(broadcast(src), lit(true))
+      .withColumn("q", floor(
+        VectorExprs.dot(s, col("src_emb"), col("embedding"))
+          / (col("src_norm") * col("norm")) * lit(1000000.0) + lit(0.5))
+        .cast("long"))
+      .select(col("src_id"), col("tgt_id"), col("q"))
+    val wx = Window.partitionBy("src_id")
+      .orderBy(col("q").desc, col("tgt_id").asc)
+    val wy = Window.partitionBy("tgt_id")
+      .orderBy(col("q").desc, col("src_id").asc)
+    val ranked = pairs
+      .withColumn("rx", row_number().over(wx))
+      .withColumn("ry", row_number().over(wy))
+    val sx = ranked.where(col("rx") <= 4)
+      .groupBy(col("src_id")).agg(sum(col("q")).as("sx"))
+    val sy = ranked.where(col("ry") <= 4)
+      .groupBy(col("tgt_id")).agg(sum(col("q")).as("sy"))
+    val wm = Window.partitionBy("src_id")
+      .orderBy(col("margin").desc, col("tgt_id").asc)
+    ranked
+      .join(broadcast(sx), Seq("src_id"))
+      .join(broadcast(sy), Seq("tgt_id"))
+      .withColumn("margin", r6(lit(8.0) * col("q").cast("double")
+        / nullif((col("sx") + col("sy")).cast("double"), lit(0.0))))
+      .withColumn("rm", row_number().over(wm))
+      .where(col("rm") === 1)
+      .select(col("src_id"), col("tgt_id"),
+        r6(col("q").cast("double") / lit(1000000.0)).as("cosine"),
+        col("margin"),
+        (col("margin") > lit(1.0)).as("mined"))
+      .orderBy("src_id")
+  }
 }

@@ -143,4 +143,59 @@ class AnnQualitySpec extends AnyFunSuite {
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exactDups.subsetOf(mh), s"MinHash missed: ${exactDups -- mh}")
   }
+
+  test("bitext_mining == driver-side margin replay; margin reranks vs raw cosine") {
+    import org.apache.spark.sql.functions.col
+    val sfd = TestSpark.sf0001
+    val got = LlmVectorOps.bitextMining(spark, sfd).collect()
+    val embs = graft.engine.Tables.embeddings(spark, sfd)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).intValue,
+        r.getSeq[Float](2).toArray))
+    // exact ascending-index dot, the VectorExprs contract
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def q6v(x: Double) = math.floor(x * 1e6 + 0.5)
+    val src = embs.filter(e => e._2 < 5 && e._1 < 32)
+    val tgt = embs.filter(_._2 >= 5)
+    val norm = embs.map(e => e._1 -> math.sqrt(dot(e._3, e._3))).toMap
+    val q = (for (x <- src; y <- tgt) yield
+      ((x._1, y._1), q6v(dot(x._3, y._3) / (norm(x._1) * norm(y._1)))
+        .toLong)).toMap
+    val sx = src.map { x =>
+      x._1 -> tgt.map(y => (q((x._1, y._1)), y._1))
+        .sortBy(t => (-t._1, t._2)).take(4).map(_._1).sum
+    }.toMap
+    val sy = tgt.map { y =>
+      y._1 -> src.map(x => (q((x._1, y._1)), x._1))
+        .sortBy(t => (-t._1, t._2)).take(4).map(_._1).sum
+    }.toMap
+    val expected = src.map { x =>
+      val best = tgt.map { y =>
+        val m = math.floor(8.0 * q((x._1, y._1)).toDouble
+          / (sx(x._1) + sy(y._1)).toDouble * 1e6 + 0.5) / 1e6
+        (y._1, m)
+      }.minBy(t => (-t._2, t._1))
+      x._1 -> best
+    }.toMap
+    assert(got.length == expected.size && got.nonEmpty)
+    got.foreach { r =>
+      val (tgtId, margin) = expected(r.getLong(0))
+      assert(r.getLong(1) == tgtId, s"mined partner for src ${r.getLong(0)}")
+      assert(r.getDouble(3) == margin, "margin")
+      assert(r.getBoolean(4) == (margin > 1.0))
+    }
+    // the margin must actually rerank somewhere on this corpus —
+    // otherwise the denominator is dead code
+    val rawBest = src.map { x =>
+      x._1 -> tgt.map(y => (q((x._1, y._1)), y._1))
+        .maxBy(t => (t._1, -t._2))._2
+    }.toMap
+    assert(src.exists(x => rawBest(x._1) != expected(x._1)._1),
+      "margin never disagreed with raw cosine — denominator inert")
+  }
 }
