@@ -156,6 +156,7 @@ object SparkEntry {
     "pii_scrub"                -> (LlmTextOps.piiScrub _),
     "weighted_percentiles"     -> (AnalyticOps.weightedPercentiles _),
     "bitext_mining"            -> (LlmVectorOps.bitextMining _),
+    "silhouette_score"         -> (LlmVectorOps.silhouetteScore _),
     // E16–E21 + LLM-pipeline surface
     "sessionize"          -> (LlmTextOps.sessionize _),
     "dedup_exact"         -> (LlmTextOps.dedupExact _),
@@ -4260,6 +4261,7 @@ object SparkEntry {
                   * 1000000.0 + 0.5) / 1000000.0 AS share_of_true
          FROM g ORDER BY true_lang, predicted_lang""",
     "embed_outliers" -> LlmVectorOps.embedOutliersOracleSql,
+    "silhouette_score" -> LlmVectorOps.silhouetteOracleSql,
     "similarity_ivf" -> LlmVectorOps.ivfOracleSql,
     "similarity_ivf_trained" -> LlmVectorOps.ivfTrainedOracleSql,
     "similarity_topk_pq" -> LlmVectorOps.topkPqOracleSql,

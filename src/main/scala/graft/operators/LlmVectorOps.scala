@@ -1427,6 +1427,92 @@ object LlmVectorOps {
                   / 1000000 AS dist2
          FROM rk WHERE rank <= 3 ORDER BY label, rank"""
 
+  /** `silhouette_score` — simplified (centroid) silhouette per
+    * label: s(i) = (b−a)/max(a,b) with a = squared distance to the
+    * own-label centroid and b = the nearest OTHER centroid — the
+    * cluster-quality verdict (are these labels actually separated in
+    * embedding space?) that closes the clustering diagnostics next
+    * to [[centroidDrift]] (stability) and [[embedOutliers]]
+    * (mislabeled points). The full Rousseeuw silhouette is O(n²)
+    * pairwise; the centroid form is the one that scales, and at
+    * 100 TB it is the only choice — same reduction discipline as
+    * the Lloyd assignment pass itself.
+    *
+    * Portability: centroids on the 2⁻²⁰ Lloyd grid, per-dim residual
+    * terms 1e-9-quantized into order-free longs, so a and b are
+    * EXACT integers and min/max/compare are integer ops; per-row s
+    * quantizes at 1e-6 before the order-free sum, one fenced mean at
+    * the end. Scale: one posexplode pass, the 640-row centroid frame
+    * broadcasts, one (vec × label) aggregate, one label reduction.
+    */
+  def silhouetteScore(s: SparkSession, d: String): DataFrame = {
+    val grid = (1L << 20).toDouble
+    val coords = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("vd", col("v").cast("double"))
+    val cents = coords.groupBy(col("label").as("clabel"), col("dim"))
+      .agg((sum(floor(col("vd") * grid + 0.5).cast("long"))
+        .cast("double") / (count(lit(1)) * grid)).as("m"))
+    val d2 = coords.join(broadcast(cents), Seq("dim"))
+      .withColumn("term_q",
+        floor((col("vd") - col("m")) * (col("vd") - col("m"))
+          * lit(1.0e9) + lit(0.5)).cast("long"))
+      .groupBy(col("vec_id"), col("label"), col("clabel"))
+      .agg(sum(col("term_q")).as("d2q"))
+    val ab = d2.groupBy(col("vec_id"), col("label"))
+      .agg(min(when(col("clabel") === col("label"), col("d2q"))).as("a"),
+        min(when(col("clabel") =!= col("label"), col("d2q"))).as("b"))
+      .withColumn("s_q",
+        floor((col("b") - col("a")).cast("double")
+          / nullif(greatest(col("a"), col("b")).cast("double"), lit(0.0))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+    ab.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        count(col("s_q")).as("n_scored"),
+        sum(when(col("s_q") < 0L, 1L).otherwise(0L)).as("n_negative"),
+        sum(col("s_q")).as("sum_sq"))
+      .select(col("label"), col("n_vecs"), col("n_scored"),
+        col("n_negative"),
+        r6(col("sum_sq").cast("double") / lit(1000000.0)
+          / col("n_scored").cast("double")).as("mean_silhouette"))
+      .orderBy("label")
+  }
+
+  /** The DuckDB oracle for `silhouette_score` — grid centroids and
+    * the quantized a/b fold replayed from raw parquet. */
+  private[graft] def silhouetteOracleSql: String =
+    s"""WITH t AS (SELECT vec_id, label, p.pos - 1 AS dim,
+                CAST(embedding[p.pos] AS DOUBLE) AS vd,
+                CAST(floor(CAST(embedding[p.pos] AS DOUBLE) * 1048576.0
+                    + 0.5) AS BIGINT) AS q
+              FROM embeddings
+              CROSS JOIN (SELECT unnest(range(1, ${embDim + 1})) AS pos) p),
+         c AS (SELECT label AS clabel, dim,
+                CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1048576.0) AS m
+               FROM t GROUP BY 1, 2),
+         d2 AS (SELECT t.vec_id, t.label, c.clabel,
+                CAST(SUM(CAST(floor((vd - m) * (vd - m) * 1000000000.0
+                  + 0.5) AS BIGINT)) AS BIGINT) AS d2q
+              FROM t JOIN c ON c.dim = t.dim GROUP BY 1, 2, 3),
+         ab AS (SELECT vec_id, label,
+                MIN(CASE WHEN clabel = label THEN d2q END) AS a,
+                MIN(CASE WHEN clabel <> label THEN d2q END) AS b
+              FROM d2 GROUP BY 1, 2),
+         sq AS (SELECT label,
+                CAST(floor(CAST(b - a AS DOUBLE)
+                  / NULLIF(CAST(greatest(a, b) AS DOUBLE), 0.0)
+                  * 1000000.0 + 0.5) AS BIGINT) AS s_q
+              FROM ab)
+         SELECT label, COUNT(*) AS n_vecs,
+                COUNT(s_q) AS n_scored,
+                CAST(SUM(CASE WHEN s_q < 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_negative,
+                floor(CAST(SUM(s_q) AS DOUBLE) / 1000000.0
+                  / CAST(COUNT(s_q) AS DOUBLE)
+                  * 1000000 + 0.5) / 1000000 AS mean_silhouette
+         FROM sq GROUP BY 1 ORDER BY 1"""
+
   /** `cluster_top_terms` — the 5 most DISTINCTIVE tokens per
     * embedding-cluster label, scored by label-tf / corpus-df: the
     * "what is this cluster about" readout every semantic-clustering

@@ -144,6 +144,51 @@ class AnnQualitySpec extends AnyFunSuite {
     assert(exactDups.subsetOf(mh), s"MinHash missed: ${exactDups -- mh}")
   }
 
+  test("silhouette_score == driver-side centroid replay; bounds hold") {
+    import org.apache.spark.sql.functions.col
+    val sfd = TestSpark.sf0001
+    val got = LlmVectorOps.silhouetteScore(spark, sfd).collect()
+    val embs = graft.engine.Tables.embeddings(spark, sfd)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).intValue,
+        r.getSeq[Float](2).toArray.map(_.toDouble)))
+    val grid = (1L << 20).toDouble
+    val byLabel = embs.groupBy(_._2)
+    val cents = byLabel.map { case (l, vs) =>
+      l -> Array.tabulate(vs.head._3.length) { d =>
+        vs.map(v => math.floor(v._3(d) * grid + 0.5).toLong).sum
+          .toDouble / (vs.length * grid)
+      }
+    }
+    def d2q(v: Array[Double], m: Array[Double]): Long =
+      v.indices.map(i =>
+        math.floor((v(i) - m(i)) * (v(i) - m(i)) * 1e9 + 0.5).toLong).sum
+    val perVec = embs.map { case (_, l, v) =>
+      val a = d2q(v, cents(l))
+      val b = cents.filter(_._1 != l).values.map(m => d2q(v, m)).min
+      val mx = math.max(a, b)
+      (l, if (mx == 0) None
+      else Some(math.floor((b - a).toDouble / mx.toDouble * 1e6 + 0.5)
+        .toLong))
+    }
+    val expected = perVec.groupBy(_._1).map { case (l, xs) =>
+      val scored = xs.flatMap(_._2)
+      l -> (xs.length.toLong, scored.length.toLong,
+        scored.count(_ < 0L).toLong,
+        math.floor(scored.sum.toDouble / 1e6 / scored.length.toDouble
+          * 1e6 + 0.5) / 1e6)
+    }
+    assert(got.length == expected.size && got.nonEmpty)
+    got.foreach { r =>
+      val e = expected(r.getAs[Number](0).intValue)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) ==
+        ((e._1, e._2, e._3)))
+      assert(r.getDouble(4) == e._4, s"mean_silhouette label ${r.get(0)}")
+      assert(r.getDouble(4) >= -1.0 - 1e-6 && r.getDouble(4) <= 1.0 + 1e-6)
+    }
+  }
+
   test("bitext_mining == driver-side margin replay; margin reranks vs raw cosine") {
     import org.apache.spark.sql.functions.col
     val sfd = TestSpark.sf0001
