@@ -157,6 +157,9 @@ object SparkEntry {
     "weighted_percentiles"     -> (AnalyticOps.weightedPercentiles _),
     "bitext_mining"            -> (LlmVectorOps.bitextMining _),
     "silhouette_score"         -> (LlmVectorOps.silhouetteScore _),
+    "cohort_ltv"               -> (AnalyticOps.cohortLtv _),
+    "above_avg_orders"         -> (AnalyticOps.aboveAvgOrders _),
+    "active_users_7d"          -> (AnalyticOps.activeUsers7d _),
     // E16–E21 + LLM-pipeline surface
     "sessionize"          -> (LlmTextOps.sessionize _),
     "dedup_exact"         -> (LlmTextOps.dedupExact _),
@@ -2425,6 +2428,63 @@ object SparkEntry {
                   / CAST(total_cents AS DOUBLE)
                   * 1000000.0 + 0.5) / 1000000.0 AS top_share
          FROM a""",
+    // cumulative cohort revenue: exact cents, integer quarter ages,
+    // bounded collapse-then-window grid
+    "cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey,
+                CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q,
+                CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT) AS cents
+              FROM orders),
+         fst AS (SELECT o_custkey, MIN(q) AS cohort_q
+                 FROM o GROUP BY 1),
+         sizes AS (SELECT cohort_q, COUNT(*) AS cohort_size
+                   FROM fst GROUP BY 1),
+         aged AS (SELECT f.cohort_q,
+                  date_diff('month', f.cohort_q, o.q) // 3 AS age_q,
+                  CAST(SUM(cents) AS BIGINT) AS rev_cents,
+                  COUNT(*) AS n_orders
+                FROM o JOIN fst f USING (o_custkey) GROUP BY 1, 2),
+         c AS (SELECT *, CAST(SUM(rev_cents) OVER (
+                  PARTITION BY cohort_q ORDER BY age_q
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_cents
+               FROM aged)
+         SELECT cohort_q, CAST(age_q AS BIGINT) AS age_q, cohort_size,
+                n_orders, rev_cents, cum_cents,
+                floor(CAST(cum_cents AS DOUBLE) / 100.0
+                  / CAST(cohort_size AS DOUBLE)
+                  * 1000000 + 0.5) / 1000000 AS ltv_per_customer
+         FROM c JOIN sizes USING (cohort_q) ORDER BY 1, 2""",
+    // correlated-subquery decorrelation: per-customer mean cut by
+    // exact DECIMAL cross-multiplication
+    "above_avg_orders" ->
+      """WITH o AS (SELECT o_custkey,
+                CAST(o_totalprice AS DECIMAL(18,2)) AS p
+              FROM orders),
+         st AS (SELECT o_custkey, SUM(p) AS psum, COUNT(*) AS n
+                FROM o GROUP BY 1)
+         SELECT c_mktsegment, COUNT(*) AS n_above,
+                CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE)
+                  AS above_revenue
+         FROM o JOIN st USING (o_custkey)
+              JOIN customer ON o_custkey = c_custkey
+         WHERE p * n > psum
+         GROUP BY 1 ORDER BY 1""",
+    // rolling 7-day distinct users: presence rows explode into the
+    // ≤ 7 window-days they support — linear ×7, one distinct
+    "active_users_7d" ->
+      """WITH pres AS (SELECT DISTINCT user_id, CAST(ts AS DATE)
+                  AS day FROM events),
+         dau AS (SELECT day, COUNT(*) AS dau FROM pres GROUP BY 1),
+         expl AS (SELECT DISTINCT user_id,
+                    day + CAST(x.i AS INTEGER) AS wday
+                  FROM pres CROSS JOIN
+                    (SELECT unnest(range(0, 7)) AS i) x),
+         wau AS (SELECT wday AS day, COUNT(*) AS wau_7d
+                 FROM expl GROUP BY 1)
+         SELECT day, dau, wau_7d
+         FROM dau JOIN wau USING (day) ORDER BY day""",
     // margin-based bitext mining: integer micro-cosines, exact 4-NN
     // sums, one fenced margin division ranked on identical bits
     "bitext_mining" ->

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.engine.Determinism.r6
+import graft.engine.Determinism.{dsum, r6}
 import graft.engine.Tables
 
 /** Analytic extension beyond the SURVEY §2 core: percentiles,
@@ -1346,6 +1346,96 @@ object AnalyticOps {
         r6(col("p75") / lit(100.0)).as("q3_20"),
         r6((col("p75") - col("p25")) / lit(100.0)).as("iqr20"))
       .orderBy("symbol", "event_id")
+  }
+
+  /** `cohort_ltv` — the cumulative-revenue-by-cohort-age curve (the
+    * LTV readout next to [[cohortRetention]]'s presence matrix):
+    * customers cohorted by first-order quarter, revenue accumulated
+    * over quarter age, reported as exact cents plus the
+    * per-customer running average. The payback-period table every
+    * growth model reads off.
+    *
+    * All-integer core: revenue as exact cents, ages as integer
+    * quarter diffs, the cumulative sum an integer window over the
+    * ≤ cohorts × ages grid (bounded at any corpus size — the same
+    * collapse-then-window discipline as `open_orders_profile`).
+    */
+  def cohortLtv(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val o = Tables.orders(s, d).select(col("o_custkey"),
+      to_date(date_trunc("quarter", col("o_orderdate"))).as("q"),
+      (col("o_totalprice").cast(DecimalType(18, 2))
+        .cast(DecimalType(20, 2)) * lit(100))
+        .cast(DecimalType(22, 0)).cast("long").as("cents"))
+    val first = o.groupBy(col("o_custkey"))
+      .agg(min(col("q")).as("cohort_q"))
+    val sizes = first.groupBy(col("cohort_q"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val aged = o.join(first, Seq("o_custkey"))
+      .withColumn("age_q",
+        ((months_between(col("q"), col("cohort_q"))) / lit(3.0))
+          .cast("long"))
+      .groupBy(col("cohort_q"), col("age_q"))
+      .agg(sum(col("cents")).as("rev_cents"), count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy(col("cohort_q")).orderBy(col("age_q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    aged
+      .withColumn("cum_cents", sum(col("rev_cents")).over(w))
+      .join(broadcast(sizes), Seq("cohort_q"))
+      .select(col("cohort_q"), col("age_q"), col("cohort_size"),
+        col("n_orders"), col("rev_cents"), col("cum_cents"),
+        r6(col("cum_cents").cast("double") / lit(100.0)
+          / col("cohort_size").cast("double")).as("ltv_per_customer"))
+      .orderBy("cohort_q", "age_q")
+  }
+
+  /** `above_avg_orders` — the correlated-subquery decorrelation
+    * pattern: orders strictly above their OWN customer's average
+    * order value, summarized per segment. The textbook form runs a
+    * correlated scalar subquery per row; the engine form computes
+    * each customer's (sum, count) once and compares by exact
+    * DECIMAL cross-multiplication price·n > Σprice — no division,
+    * no float average, one groupBy + one key join.
+    */
+  def aboveAvgOrders(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val o = Tables.orders(s, d).select(col("o_custkey"),
+      col("o_totalprice").cast(DecimalType(18, 2)).as("p"))
+    val stats = o.groupBy(col("o_custkey"))
+      .agg(sum(col("p")).as("psum"), count(lit(1)).as("n"))
+    o.join(stats, Seq("o_custkey"))
+      .where(col("p") * col("n") > col("psum"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_above"),
+        dsum(col("p")).as("above_revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** `active_users_7d` — DAU and rolling 7-day distinct users per
+    * day: THE engagement metric, and the batch shape of
+    * sliding-window COUNT DISTINCT (each (user, day) presence row
+    * explodes into the ≤ 7 window-days it supports, then one
+    * distinct + count per window-day — linear ×7, never a per-day
+    * rescan). Pure integers.
+    */
+  def activeUsers7d(s: SparkSession, d: String): DataFrame = {
+    val presence = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val dau = presence.groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"))
+    val wau = presence
+      .select(col("user_id"), explode(sequence(col("day"),
+        date_add(col("day"), 6))).as("wday"))
+      .distinct()
+      .groupBy(col("wday").as("day"))
+      .agg(count(lit(1)).as("wau_7d"))
+    // report only days that actually have activity (inner join):
+    // trailing ghost days from the +6 explode drop out
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau_7d"))
+      .orderBy("day")
   }
 
   /** `weighted_percentiles` — volume-weighted price percentiles per

@@ -158,6 +158,95 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(got.values.map(_._5).sum > 0, "ipv4s fired")
   }
 
+  test("cohort_ltv == driver-side cumulative cohort replay; curve monotone") {
+    val got = AnalyticOps.cohortLtv(spark, sf).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6))).toMap
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      .collect()
+      .map { r =>
+        val d = r.getAs[java.time.LocalDateTime](1).toLocalDate
+        val q = d.withDayOfMonth(1).withMonth((d.getMonthValue - 1) / 3 * 3 + 1)
+        (r.getLong(0), q,
+          (BigDecimal(r.getDouble(2)).setScale(2,
+            BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact)
+      }
+    val cohortOf = orders.groupBy(_._1).map { case (ck, os) =>
+      ck -> os.map(_._2).minBy(_.toEpochDay)
+    }
+    val sizes = cohortOf.values.groupBy(identity).map { case (q, xs) =>
+      q -> xs.size.toLong
+    }
+    val aged = orders.groupBy { o =>
+      val cq = cohortOf(o._1)
+      (cq, java.time.temporal.ChronoUnit.MONTHS.between(cq, o._2) / 3)
+    }.map { case (k, os) =>
+      k -> (os.map(_._3).sum, os.size.toLong)
+    }
+    val expected = aged.keys.toSeq.sortBy(k => (k._1.toEpochDay, k._2))
+      .groupBy(_._1).flatMap { case (cq, ks) =>
+        var run = 0L
+        ks.sortBy(_._2).map { k =>
+          run += aged(k)._1
+          k -> (sizes(cq), aged(k)._2, aged(k)._1, run,
+            math.floor(run.toDouble / 100.0 / sizes(cq).toDouble
+              * 1e6 + 0.5) / 1e6)
+        }
+      }
+    assert(got == expected)
+    // cumulative revenue is monotone non-decreasing along each curve
+    got.groupBy(_._1._1).foreach { case (_, rows) =>
+      val curve = rows.toSeq.sortBy(_._1._2).map(_._2._4)
+      assert(curve == curve.sorted)
+    }
+  }
+
+  test("above_avg_orders == driver-side cross-multiplied cut replay") {
+    val got = AnalyticOps.aboveAvgOrders(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def d2(x: Double) = BigDecimal(x).setScale(2,
+      BigDecimal.RoundingMode.HALF_UP)
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), d2(r.getDouble(1))))
+    val stats = orders.groupBy(_._1).map { case (ck, os) =>
+      ck -> (os.map(_._2).sum, os.length)
+    }
+    val seg = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val above = orders.filter { case (ck, p) =>
+      val (psum, n) = stats(ck); p * n > psum
+    }
+    val expected = above.groupBy(o => seg(o._1)).map { case (sg, os) =>
+      sg -> (os.length.toLong,
+        os.map(o => o._2.setScale(6)).sum.toDouble)
+    }
+    assert(got == expected)
+  }
+
+  test("active_users_7d == driver-side rolling distinct replay") {
+    val got = AnalyticOps.activeUsers7d(spark, sf).collect()
+      .map(r => r.getDate(0).toLocalDate -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val pres = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate)).toSet
+    val days = pres.map(_._2)
+    val expected = days.map { d =>
+      val dau = pres.count(_._2 == d).toLong
+      val wau = pres.filter { case (_, pd) =>
+        !pd.isAfter(d) && !pd.isBefore(d.minusDays(6))
+      }.map(_._1).size.toLong
+      d -> (dau, wau)
+    }.toMap
+    assert(got == expected)
+    // WAU dominates DAU everywhere
+    got.values.foreach { case (dau, wau) => assert(wau >= dau) }
+  }
+
   test("forecast_backtest == driver-side seasonal-naive fold") {
     val got = AnalyticOps.forecastBacktest(spark, sf).collect()
     val ticks = Tables.ticks(spark, sf)
