@@ -158,6 +158,8 @@ object SparkEntry {
     "bitext_mining"            -> (LlmVectorOps.bitextMining _),
     "silhouette_score"         -> (LlmVectorOps.silhouetteScore _),
     "cohort_ltv"               -> (AnalyticOps.cohortLtv _),
+    "delayed_orders"           -> (RelationalOps.delayedOrders _),
+    "customer_order_dist"      -> (RelationalOps.customerOrderDist _),
     "above_avg_orders"         -> (AnalyticOps.aboveAvgOrders _),
     "active_users_7d"          -> (AnalyticOps.activeUsers7d _),
     // E16–E21 + LLM-pipeline surface
@@ -2428,6 +2430,29 @@ object SparkEntry {
                   / CAST(total_cents AS DOUBLE)
                   * 1000000.0 + 0.5) / 1000000.0 AS top_share
          FROM a""",
+    // TPC-H Q4 shape: EXISTS as left_semi so each order counts once
+    "delayed_orders" ->
+      """SELECT o_orderpriority, COUNT(*) AS delayed_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate < TIMESTAMP '1997-04-01'
+           AND EXISTS (
+             SELECT 1 FROM lineitem
+             WHERE l_orderkey = o_orderkey
+               AND CAST(l_shipdate AS DATE) >
+                   CAST(o_orderdate AS DATE) + 90)
+         GROUP BY 1 ORDER BY 1""",
+    // TPC-H Q13 shape: count-of-counts with the zero bucket via the
+    // left-outer leg
+    "customer_order_dist" ->
+      """WITH per AS (
+           SELECT c_custkey, COUNT(o_orderkey) AS c_count
+           FROM customer LEFT OUTER JOIN orders
+             ON c_custkey = o_custkey
+           GROUP BY 1)
+         SELECT c_count, COUNT(*) AS custdist
+         FROM per GROUP BY 1
+         ORDER BY custdist DESC, c_count DESC""",
     // cumulative cohort revenue: exact cents, integer quarter ages,
     // bounded collapse-then-window grid
     "cohort_ltv" ->

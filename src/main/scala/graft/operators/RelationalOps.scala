@@ -882,6 +882,45 @@ object RelationalOps {
       .orderBy("c_mktsegment")
   }
 
+  /** `delayed_orders` — the TPC-H Q4 shape: per priority, how many
+    * orders in a quarter had at least one line shipping more than
+    * 90 days after the order date — the EXISTS-subquery lowered to
+    * a LEFT SEMI join (each order counts ONCE however many lines
+    * qualify — the bug a plain inner join + count would introduce).
+    * Date arithmetic in whole integer days on both engines.
+    */
+  def delayedOrders(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+    val late = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship_d"))
+    o.join(late,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("ship_d") > date_add(to_date(col("o_orderdate")), 90),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("delayed_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** `customer_order_dist` — the TPC-H Q13 shape: the distribution
+    * of customers BY order count, zero bucket included — the
+    * count-of-counts double aggregation whose left-outer leg is the
+    * whole point (an inner join silently drops the never-ordered
+    * customers, and "how many customers never ordered" is usually
+    * the number the report exists for).
+    */
+  def customerOrderDist(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+        "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
   /** `pareto_frontier` — the skyline operator (Börzsönyi et al., ICDE
     * 2001): parts not dominated on (price low, size high). q
     * dominates p iff q.price ≤ p.price ∧ q.size ≥ p.size with at

@@ -262,6 +262,43 @@ class RelationalClassicsSpec extends AnyFunSuite {
     }
   }
 
+  test("delayed_orders == driver-side EXISTS replay; multi-line orders count once") {
+    val got = RelationalOps.delayedOrders(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val slice = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getAs[java.time.LocalDateTime](2)))
+      .filter(o => !o._3.isBefore(ts("1997-01-01")) &&
+        o._3.isBefore(ts("1997-04-01")))
+    val lateKeys = lineitem.groupBy(_._1).view.mapValues(_.map(_._6)).toMap
+    val delayed = slice.filter { case (ok, _, od) =>
+      lateKeys.get(ok).exists(_.exists(sd =>
+        sd.toLocalDate.isAfter(od.toLocalDate.plusDays(90))))
+    }
+    val expected = delayed.groupBy(_._2).map { case (p, os) =>
+      p -> os.length.toLong
+    }
+    assert(got == expected && got.values.sum > 0)
+    // each delayed order counted exactly once regardless of how many
+    // of its lines qualify
+    assert(got.values.sum == delayed.map(_._1).distinct.length.toLong)
+  }
+
+  test("customer_order_dist == driver-side count-of-counts; zero bucket present") {
+    val got = RelationalOps.customerOrderDist(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val allCust = custNation.keySet
+    val perCust = orders.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expected = allCust.toSeq
+      .map(ck => perCust.getOrElse(ck, 0L))
+      .groupBy(identity).map { case (c, xs) => c -> xs.length.toLong }
+    assert(got == expected)
+    assert(got.contains(0L) == allCust.exists(!perCust.contains(_)))
+    assert(got.values.sum == allCust.size.toLong)
+  }
+
   test("top_supplier == the exact-decimal max; all ties returned") {
     val got = RelationalOps.topSupplier(spark, sf).collect()
     val perSupp = lineitem
