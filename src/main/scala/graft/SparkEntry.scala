@@ -160,6 +160,7 @@ object SparkEntry {
     "cohort_ltv"               -> (AnalyticOps.cohortLtv _),
     "delayed_orders"           -> (RelationalOps.delayedOrders _),
     "customer_order_dist"      -> (RelationalOps.customerOrderDist _),
+    "corpus_datacard"          -> (LlmTextOps.corpusDatacard _),
     "above_avg_orders"         -> (AnalyticOps.aboveAvgOrders _),
     "active_users_7d"          -> (AnalyticOps.activeUsers7d _),
     // E16–E21 + LLM-pipeline surface
@@ -2430,6 +2431,46 @@ object SparkEntry {
                   / CAST(total_cents AS DOUBLE)
                   * 1000000.0 + 0.5) / 1000000.0 AS top_share
          FROM a""",
+    // datasheet metric block: integers + two fenced divisions, all
+    // derived with the dedicated operators' arithmetic
+    "corpus_datacard" ->
+      """WITH base AS (
+           SELECT COUNT(*) AS n_docs,
+                  COUNT(DISTINCT source) AS n_sources,
+                  COUNT(DISTINCT lang) AS n_langs,
+                  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                  CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                    AS total_tokens,
+                  COUNT(*) - COUNT(DISTINCT text) AS dup_n
+           FROM documents),
+         vocab AS (
+           SELECT COUNT(DISTINCT tok) AS vocab_n
+           FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                 FROM documents)),
+         u AS (
+           SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value
+             FROM base
+           UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE)
+             FROM base
+           UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE)
+             FROM base
+           UNION ALL SELECT 'total_chars', CAST(total_chars AS DOUBLE)
+             FROM base
+           UNION ALL SELECT 'total_tokens',
+             CAST(total_tokens AS DOUBLE) FROM base
+           UNION ALL SELECT 'vocab_size', CAST(vocab_n AS DOUBLE)
+             FROM vocab
+           UNION ALL SELECT 'exact_dup_docs', CAST(dup_n AS DOUBLE)
+             FROM base
+           UNION ALL SELECT 'mean_doc_tokens',
+             floor(CAST(total_tokens AS DOUBLE)
+               / CAST(n_docs AS DOUBLE) * 1000000 + 0.5) / 1000000
+             FROM base
+           UNION ALL SELECT 'exact_dup_pct',
+             floor(100.0 * CAST(dup_n AS DOUBLE)
+               / CAST(n_docs AS DOUBLE) * 1000000 + 0.5) / 1000000
+             FROM base)
+         SELECT metric, value FROM u ORDER BY metric""",
     // TPC-H Q4 shape: EXISTS as left_semi so each order counts once
     "delayed_orders" ->
       """SELECT o_orderpriority, COUNT(*) AS delayed_count

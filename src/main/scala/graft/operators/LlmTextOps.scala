@@ -2812,6 +2812,51 @@ object LlmTextOps {
       .orderBy("source")
   }
 
+  /** `corpus_datacard` — the datasheet-for-datasets metric block
+    * (Gebru et al., CACM'21; every released corpus ships one): a
+    * (metric, value) frame of the headline numbers — volume, source
+    * and language spread, token economy, duplication rate — each
+    * derived with the same exact arithmetic its dedicated operator
+    * uses, so the card can never disagree with the detailed reports
+    * beside it.
+    *
+    * Two bounded jobs: one documents pass (conditional + distinct
+    * aggregates; the exact-dup count is n_docs − distinct texts,
+    * no digest needed) and one token explode for vocabulary; every
+    * value is an integer or ONE fenced division, presented as
+    * DOUBLE for the uniform card schema.
+    */
+  def corpusDatacard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(col("n_chars")).as("total_chars"),
+      sum(size(split(col("text"), " "))).as("total_tokens"),
+      (count(lit(1)) - countDistinct(col("text"))).as("dup_n"))
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(countDistinct(col("tok")).as("n"))
+    def row(name: String, v: org.apache.spark.sql.Column) =
+      struct(lit(name).as("metric"), v.cast("double").as("value"))
+    base.crossJoin(broadcast(vocab.select(col("n").as("vocab_n"))))
+      .select(explode(array(
+        row("n_docs", col("n_docs")),
+        row("n_sources", col("n_sources")),
+        row("n_langs", col("n_langs")),
+        row("total_chars", col("total_chars")),
+        row("total_tokens", col("total_tokens")),
+        row("vocab_size", col("vocab_n")),
+        row("exact_dup_docs", col("dup_n")),
+        row("mean_doc_tokens", r6(col("total_tokens").cast("double")
+          / col("n_docs").cast("double"))),
+        row("exact_dup_pct", r6(lit(100.0) * col("dup_n").cast("double")
+          / col("n_docs").cast("double"))))).as("r"))
+      .select(col("r.metric").as("metric"), col("r.value").as("value"))
+      .orderBy("metric")
+  }
+
   /** The PII patterns shared by the batch rule sweep and its spec —
     * written in the RE2 ∩ java.util.regex common dialect (character
     * classes, bounded quantifiers, ASCII \b; no backreferences, no

@@ -247,6 +247,32 @@ class AuditOpsSpec extends AnyFunSuite {
     got.values.foreach { case (dau, wau) => assert(wau >= dau) }
   }
 
+  test("corpus_datacard == driver-side metric replay; card consistent with itself") {
+    val got = graft.operators.LlmTextOps.corpusDatacard(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("lang"), col("n_chars"), col("text"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getAs[Number](2).longValue, r.getString(3)))
+    val toks = docs.map(_._4.split(" ", -1).length.toLong)
+    assert(got("n_docs") == docs.length.toDouble)
+    assert(got("n_sources") == docs.map(_._1).distinct.length.toDouble)
+    assert(got("n_langs") == docs.map(_._2).distinct.length.toDouble)
+    assert(got("total_chars") == docs.map(_._3).sum.toDouble)
+    assert(got("total_tokens") == toks.sum.toDouble)
+    assert(got("vocab_size") ==
+      docs.flatMap(_._4.split(" ", -1)).distinct.length.toDouble)
+    assert(got("exact_dup_docs") ==
+      (docs.length - docs.map(_._4).distinct.length).toDouble)
+    // internal consistency: derived rows recompute from the card
+    def q6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(got("mean_doc_tokens") ==
+      q6d(got("total_tokens") / got("n_docs")))
+    assert(got("exact_dup_pct") ==
+      q6d(100.0 * got("exact_dup_docs") / got("n_docs")))
+  }
+
   test("forecast_backtest == driver-side seasonal-naive fold") {
     val got = AnalyticOps.forecastBacktest(spark, sf).collect()
     val ticks = Tables.ticks(spark, sf)
