@@ -478,12 +478,35 @@ object RelationalOps {
     * part_b) order — ranked by integer support, so no float ever
     * orders rows.
     */
+  /** Per-order part baskets, memoized per (session, canonical corpus
+    * dir) when `spark.graft.baskets.materialize` is true (default) —
+    * the market-basket silver: [[basketPairs]] and [[itemNeighbors]]
+    * both start from this exact aggregate, and a production pipeline
+    * writes it once (the pair-silver / ANN-index posture). The
+    * persisted frame is one small array row per order. Conf OFF
+    * recomputes per call — RelationalClassicsSpec pins ON == OFF.
+    */
+  private[graft] def orderBaskets(s: SparkSession, d: String): DataFrame = {
+    def build = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ds"))
+    if (!s.conf.get("spark.graft.baskets.materialize", "true").toBoolean)
+      return build
+    val key = new java.io.File(d).getCanonicalPath
+    val per = basketsCache.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    per.computeIfAbsent(key, _ => build.persist())
+  }
+
+  private val basketsCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+
   def basketPairs(s: SparkSession, d: String): DataFrame = {
     val wide = graft.engine.Pairs.needsWideForm(
       Tables.lineitem(s, d), "l_partkey")
-    val baskets = Tables.lineitem(s, d)
-      .groupBy(col("l_orderkey"))
-      .agg(collect_set(col("l_partkey")).as("ds"))
+    val baskets = orderBaskets(s, d)
     val n = baskets.agg(count(lit(1)).as("n_orders"))
     val pc = baskets.select(explode(col("ds")).as("l_partkey"))
       .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
@@ -795,9 +818,7 @@ object RelationalOps {
     * over ≤ 10 bounded neighbor lists.
     */
   def itemNeighbors(s: SparkSession, d: String): DataFrame = {
-    val baskets = Tables.lineitem(s, d)
-      .groupBy(col("l_orderkey"))
-      .agg(collect_set(col("l_partkey")).as("ds"))
+    val baskets = orderBaskets(s, d)
     val pc = baskets.select(explode(col("ds")).as("pk"))
       .groupBy(col("pk")).agg(count(lit(1)).as("c"))
     val head = pc

@@ -299,6 +299,20 @@ class RelationalClassicsSpec extends AnyFunSuite {
     assert(got.values.sum == allCust.size.toLong)
   }
 
+  test("basket silver: materialize ON == OFF for both consumers") {
+    val conf = "spark.graft.baskets.materialize"
+    def collectBoth() = (
+      RelationalOps.basketPairs(spark, sf).collect().toSeq,
+      RelationalOps.itemNeighbors(spark, sf).collect().toSeq)
+    spark.conf.set(conf, "true")
+    val on = collectBoth()
+    try {
+      spark.conf.set(conf, "false")
+      val off = collectBoth()
+      assert(on == off)
+    } finally spark.conf.set(conf, "true")
+  }
+
   test("top_supplier == the exact-decimal max; all ties returned") {
     val got = RelationalOps.topSupplier(spark, sf).collect()
     val perSupp = lineitem
