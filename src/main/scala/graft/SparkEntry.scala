@@ -161,6 +161,8 @@ object SparkEntry {
     "delayed_orders"           -> (RelationalOps.delayedOrders _),
     "customer_order_dist"      -> (RelationalOps.customerOrderDist _),
     "corpus_datacard"          -> (LlmTextOps.corpusDatacard _),
+    "zone_map_stats"           -> (RelationalOps.zoneMapStats _),
+    "cumulative_reach"         -> (AnalyticOps.cumulativeReach _),
     "above_avg_orders"         -> (AnalyticOps.aboveAvgOrders _),
     "active_users_7d"          -> (AnalyticOps.activeUsers7d _),
     // E16–E21 + LLM-pipeline surface
@@ -2431,6 +2433,36 @@ object SparkEntry {
                   / CAST(total_cents AS DOUBLE)
                   * 1000000.0 + 0.5) / 1000000.0 AS top_share
          FROM a""",
+    // zone-map audit: per-partition min/max + band skippability
+    "zone_map_stats" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+                COUNT(*) AS n_rows,
+                CAST(MIN(l_orderkey) AS BIGINT) AS min_okey,
+                CAST(MAX(l_orderkey) AS BIGINT) AS max_okey,
+                CAST(MIN(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS min_cents,
+                CAST(MAX(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS max_cents,
+                (MAX(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                   AS BIGINT)) < 2000000
+                 OR MIN(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                   AS BIGINT)) > 4000000) AS skippable_for_band
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    // cumulative distinct users via the first-appearance identity
+    "cumulative_reach" ->
+      """WITH pres AS (SELECT user_id, CAST(ts AS DATE) AS day
+                       FROM events),
+         fst AS (SELECT day, COUNT(*) AS new_users
+                 FROM (SELECT user_id, MIN(day) AS day
+                       FROM pres GROUP BY 1)
+                 GROUP BY 1),
+         act AS (SELECT DISTINCT day FROM pres)
+         SELECT a.day, COALESCE(f.new_users, 0) AS new_users,
+                CAST(SUM(COALESCE(f.new_users, 0)) OVER (
+                  ORDER BY a.day ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS BIGINT) AS total_reach
+         FROM act a LEFT OUTER JOIN fst f ON f.day = a.day
+         ORDER BY a.day""",
     // datasheet metric block: integers + two fenced divisions, all
     // derived with the dedicated operators' arithmetic
     "corpus_datacard" ->

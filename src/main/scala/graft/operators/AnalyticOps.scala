@@ -1438,6 +1438,35 @@ object AnalyticOps {
       .orderBy("day")
   }
 
+  /** `cumulative_reach` — total distinct users ever seen, by day:
+    * the growth curve beside [[activeUsers7d]]'s rolling window.
+    * The naive form re-distincts an ever-growing prefix per day
+    * (quadratic); the engine form reduces each user to their FIRST
+    * day (one aggregate), counts first-appearances per day, and
+    * prefix-sums over the bounded day grid — the running-distinct
+    * identity that makes the curve one linear pass at any scale.
+    * Days with no new users still appear (reach is a step function
+    * defined on every active day), carried by the activity-day
+    * frame with a zero new-user leg.
+    */
+  def cumulativeReach(s: SparkSession, d: String): DataFrame = {
+    val pres = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val firstDay = pres.groupBy(col("user_id"))
+      .agg(min(col("day")).as("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("new_users"))
+    val activeDays = pres.select(col("day")).distinct()
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    activeDays
+      .join(firstDay, Seq("day"), "left_outer")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .withColumn("total_reach", sum(col("new_users")).over(w))
+      .select(col("day"), col("new_users"), col("total_reach"))
+      .orderBy("day")
+  }
+
   /** `weighted_percentiles` — volume-weighted price percentiles per
     * symbol: where did the MONEY trade, not where did the ticks
     * print (a thin 2-lot print away from the market should barely

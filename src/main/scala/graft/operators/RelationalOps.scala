@@ -903,6 +903,41 @@ object RelationalOps {
       .orderBy("c_mktsegment")
   }
 
+  /** `zone_map_stats` — the data-skipping zone-map audit (the
+    * Iceberg/Delta min-max file-stats mechanic, lowered to
+    * shipdate-month partitions): per partition, row count and
+    * min/max of orderkey and price cents, plus whether a fixed
+    * price-band predicate could SKIP the partition entirely
+    * (max < lo ∨ min > hi). The planning readout behind
+    * `PushedFilters` — how much of the table a zone-mapped scan
+    * would never open — and the honest negative result when the
+    * column is unclustered: on this corpus prices span every month,
+    * so nothing skips, which is exactly the evidence that justifies
+    * `zorder_layout`'s re-clustering next door.
+    *
+    * One scan, one bounded aggregate (≤ months rows), all integers.
+    */
+  def zoneMapStats(s: SparkSession, d: String): DataFrame = {
+    val lo = 2000000L  // 20,000.00 in cents — fixed band, sf-invariant
+    val hi = 4000000L
+    Tables.lineitem(s, d)
+      .select(to_date(date_trunc("month", col("l_shipdate"))).as("month"),
+        col("l_orderkey"),
+        floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long")
+          .as("cents"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_orderkey")).as("min_okey"),
+        max(col("l_orderkey")).as("max_okey"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+      .select(col("month"), col("n_rows"), col("min_okey"),
+        col("max_okey"), col("min_cents"), col("max_cents"),
+        (col("max_cents") < lo || col("min_cents") > hi)
+          .as("skippable_for_band"))
+      .orderBy("month")
+  }
+
   /** `delayed_orders` — the TPC-H Q4 shape: per priority, how many
     * orders in a quarter had at least one line shipping more than
     * 90 days after the order date — the EXISTS-subquery lowered to

@@ -273,6 +273,53 @@ class AuditOpsSpec extends AnyFunSuite {
       q6d(100.0 * got("exact_dup_docs") / got("n_docs")))
   }
 
+  test("zone_map_stats: bounds exact; unclustered price column skips nothing") {
+    val got = graft.operators.RelationalOps.zoneMapStats(spark, sf).collect()
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_shipdate"), col("l_orderkey"), col("l_extendedprice"))
+      .collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0).toLocalDate
+        .withDayOfMonth(1), r.getLong(1),
+        math.floor(r.getDouble(2) * 100.0 + 0.5).toLong))
+    val expected = li.groupBy(_._1).map { case (m, xs) =>
+      m -> (xs.length.toLong, xs.map(_._2).min, xs.map(_._2).max,
+        xs.map(_._3).min, xs.map(_._3).max)
+    }
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val e = expected(r.getDate(0).toLocalDate)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)) == e)
+      assert(r.getBoolean(6) == (e._5 < 2000000L || e._4 > 4000000L))
+    }
+    assert(got.map(_.getLong(1)).sum == li.length.toLong)
+    // the honest negative: prices span every month on this corpus
+    assert(got.forall(!_.getBoolean(6)),
+      "unclustered price column unexpectedly skippable")
+  }
+
+  test("cumulative_reach == first-appearance replay; ends at total distinct users") {
+    val got = AnalyticOps.cumulativeReach(spark, sf).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2)))
+    val pres = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val firstDay = pres.groupBy(_._1).map { case (u, xs) =>
+      u -> xs.map(_._2).minBy(_.toEpochDay)
+    }
+    val newPerDay = firstDay.values.groupBy(identity).map {
+      case (d0, xs) => d0 -> xs.size.toLong
+    }
+    val days = pres.map(_._2).distinct.sortBy(_.toEpochDay)
+    var run = 0L
+    val expected = days.map { d0 =>
+      val n = newPerDay.getOrElse(d0, 0L); run += n; (d0, n, run)
+    }.toSeq
+    assert(got.toSeq == expected)
+    assert(got.last._3 == firstDay.size.toLong)
+    assert(got.map(_._3).toSeq == got.map(_._3).toSeq.sorted)
+  }
+
   test("forecast_backtest == driver-side seasonal-naive fold") {
     val got = AnalyticOps.forecastBacktest(spark, sf).collect()
     val ticks = Tables.ticks(spark, sf)
