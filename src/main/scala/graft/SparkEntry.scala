@@ -163,6 +163,8 @@ object SparkEntry {
     "corpus_datacard"          -> (LlmTextOps.corpusDatacard _),
     "zone_map_stats"           -> (RelationalOps.zoneMapStats _),
     "cumulative_reach"         -> (AnalyticOps.cumulativeReach _),
+    "gapfill_linear"           -> (AnalyticOps.gapfillLinear _),
+    "attribution_linear"       -> (AnalyticOps.attributionLinear _),
     "above_avg_orders"         -> (AnalyticOps.aboveAvgOrders _),
     "active_users_7d"          -> (AnalyticOps.activeUsers7d _),
     // E16–E21 + LLM-pipeline surface
@@ -2433,6 +2435,60 @@ object SparkEntry {
                   / CAST(total_cents AS DOUBLE)
                   * 1000000.0 + 0.5) / 1000000.0 AS top_share
          FROM a""",
+    // linear gapfill: brackets via two INDEPENDENT ASOF joins in the
+    // oracle vs the Spark union + single-sort windows; ONE written
+    // interpolation expression over exact integers
+    "gapfill_linear" ->
+      """WITH b AS (SELECT event_type AS symbol,
+                date_trunc('minute', min(ts)) AS t0,
+                date_trunc('minute', max(ts)) AS t1
+              FROM events GROUP BY 1),
+         grid AS (SELECT symbol,
+                  unnest(generate_series(t0, t1, INTERVAL 1 MINUTE))
+                    AS m
+                  FROM b),
+         t AS (SELECT event_type AS symbol, ts, epoch_us(ts) AS us,
+                 CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5)
+                   AS BIGINT) AS c
+               FROM events)
+         SELECT g.symbol, g.m,
+                floor((CAST(p.c AS DOUBLE)
+                  + CAST(n.c - p.c AS DOUBLE)
+                    * CAST(epoch_us(g.m) - p.us AS DOUBLE)
+                    / NULLIF(CAST(n.us - p.us AS DOUBLE), 0.0))
+                  / 100.0 * 1000000.0 + 0.5) / 1000000.0 AS price
+         FROM grid g
+              ASOF JOIN t p
+                ON g.symbol = p.symbol AND g.m >= p.ts
+              ASOF JOIN t n
+                ON g.symbol = n.symbol AND g.m < n.ts
+         ORDER BY g.symbol, g.m""",
+    // linear multi-touch attribution: exact 1e-6 integer credit
+    // units (10^6 DIV k), per-user band join
+    "attribution_linear" ->
+      """WITH clicks AS (
+           SELECT user_id, epoch_us(ts) AS c_us FROM events
+           WHERE event_type = 'click'),
+         purchases AS (
+           SELECT user_id, epoch_us(ts) AS p_us, event_id AS p_id
+           FROM events WHERE event_type = 'purchase'),
+         pairs AS (
+           SELECT p.p_id, c.c_us
+           FROM purchases p JOIN clicks c USING (user_id)
+           WHERE c.c_us > p.p_us - 86400000000
+             AND c.c_us <= p.p_us),
+         credits AS (
+           SELECT c_us,
+                  1000000 // (COUNT(*) OVER (PARTITION BY p_id))
+                    AS credit_u
+           FROM pairs)
+         SELECT CAST(EXTRACT(hour FROM make_timestamp(c_us))
+                  AS INTEGER) AS click_hour,
+                COUNT(*) AS n_touches,
+                floor(CAST(SUM(credit_u) AS DOUBLE) / 1000000.0
+                  * 1000000.0 + 0.5) / 1000000.0
+                  AS credited_purchases
+         FROM credits GROUP BY 1 ORDER BY 1""",
     // zone-map audit: per-partition min/max + band skippability
     "zone_map_stats" ->
       """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,

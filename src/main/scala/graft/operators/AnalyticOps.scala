@@ -464,6 +464,106 @@ object AnalyticOps {
       .orderBy("symbol", "m")
   }
 
+  /** `gapfill_linear` — minute-grid fill by LINEAR interpolation
+    * between the bracketing ticks (the locf twin of
+    * [[gapfillResample]] — locf is right for state signals, linear
+    * for sampled continuous ones; a resampler needs both fills).
+    * Interior slots only: a slot before the first or after the last
+    * tick has no bracket and drops, exactly matching the oracle's
+    * inner ASOF joins.
+    *
+    * Determinism: bracket picks ride the same union + single-sort
+    * trick as locf (prev = last tick ≤ slot, next = first tick
+    * strictly after — a tick exactly ON the slot becomes prev with
+    * ratio 0, so the fill is the tick itself, exact); the
+    * interpolation evaluates ONE written double expression over
+    * exact integers (centi prices, µs offsets) then fences. The
+    * DuckDB oracle formulates the SAME brackets independently as
+    * two ASOF joins — a genuine cross-check of the window algebra.
+    * Scale: one sort per symbol serves both directions; no range
+    * join per slot.
+    */
+  def gapfillLinear(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type").as("symbol"), col("ts"),
+        unix_micros(col("ts")).as("us"),
+        floor(col("value").cast("double") * lit(100.0) + lit(0.5))
+          .cast("long").as("c"), col("event_id"))
+    val grid = ev.groupBy(col("symbol"))
+      .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+      .select(col("symbol"), explode(expr(
+        """sequence(date_trunc('minute', t0), date_trunc('minute', t1),
+             interval 1 minute)""")).as("ord"))
+      .withColumn("us", lit(null).cast("long"))
+      .withColumn("c", lit(null).cast("long"))
+      .withColumn("event_id", lit(null).cast("long"))
+      .withColumn("is_grid", lit(1))
+    val ticks = ev
+      .select(col("symbol"), col("ts").as("ord"), col("us"), col("c"),
+        col("event_id"), lit(0).as("is_grid"))
+    val ord = Seq(col("ord"), col("is_grid"), col("event_id"))
+    val wPrev = Window.partitionBy("symbol").orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy("symbol").orderBy(ord: _*)
+      .rowsBetween(0, Window.unboundedFollowing)
+    ticks.unionByName(grid.select(col("symbol"), col("ord"), col("us"),
+        col("c"), col("event_id"), col("is_grid")))
+      .withColumn("pc", last(col("c"), ignoreNulls = true).over(wPrev))
+      .withColumn("pus", last(col("us"), ignoreNulls = true).over(wPrev))
+      .withColumn("nc", first(col("c"), ignoreNulls = true).over(wNext))
+      .withColumn("nus", first(col("us"), ignoreNulls = true).over(wNext))
+      .where(col("is_grid") === 1 && col("pc").isNotNull &&
+        col("nc").isNotNull)
+      .select(col("symbol"), col("ord").as("m"),
+        r6((col("pc").cast("double")
+          + (col("nc") - col("pc")).cast("double")
+            * (unix_micros(col("ord")) - col("pus")).cast("double")
+            / nullif((col("nus") - col("pus")).cast("double"), lit(0.0)))
+          / lit(100.0)).as("price"))
+      .orderBy("symbol", "m")
+  }
+
+  /** `attribution_linear` — equal-credit multi-touch attribution:
+    * every click in the 24 h before a purchase shares the credit
+    * 1/k (the position-agnostic member of the attribution family —
+    * [[attributionLastTouch]] and `first_touch_mix` are its
+    * endpoints). Fractional credits quantize to 1e-6 integer units
+    * at birth (exact rational 10⁶ DIV k per click, the remainder
+    * assigned to no one — documented truncation, identical on both
+    * engines), so hourly credit totals are order-free integer sums.
+    *
+    * Scale: the click×purchase pairing is a per-user BAND join
+    * (click.ts in (purchase.ts − 24 h, purchase.ts]), the
+    * `join_range` posture — bounded by touches-per-user, never a
+    * cross join.
+    */
+  def attributionLinear(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("us").as("c_us"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("us").as("p_us"),
+        col("event_id").as("p_id"))
+    val day = 86400000000L
+    val pairs = purchases.join(clicks,
+      Seq("user_id")).where(
+        col("c_us") > col("p_us") - day && col("c_us") <= col("p_us"))
+    val credits = pairs
+      .withColumn("k", count(lit(1))
+        .over(Window.partitionBy(col("p_id"))))
+      .withColumn("credit_u", expr("1000000 DIV k"))
+    credits
+      .groupBy(hour(timestamp_micros(col("c_us"))).as("click_hour"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit_u")).as("credit_u"))
+      .select(col("click_hour"), col("n_touches"),
+        r6(col("credit_u").cast("double") / lit(1000000.0))
+          .as("credited_purchases"))
+      .orderBy("click_hour")
+  }
+
   /** `anomaly_mad` — robust outlier detection by median absolute
     * deviation: the breakdown-resistant twin of `value_anomalies`
     * (whose μ/σ an adversarial 1% of rows can drag arbitrarily —
