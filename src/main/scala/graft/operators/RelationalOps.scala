@@ -141,6 +141,18 @@ object RelationalOps {
   /** Forward as-of core: for each right-side row, the EARLIEST
     * left-side ts of the same user with left.ts >= right.ts. Equal-ts
     * ties match, mirroring the backward form's rule.
+    *
+    * Frame choice: the forward lookup runs as a RUNNING frame over
+    * the REVERSED sort (ts desc, tag desc) — Spark evaluates the
+    * running unboundedPreceding frame in O(n) per partition, while
+    * an unboundedFollowing frame re-scans to the partition end for
+    * every row (O(n²), the gapfill_linear scale-killer class that
+    * PlanShapeSpec lints). At equal ts the click (tag 1) precedes
+    * the purchase (tag 0) in the reversed order, so it lands inside
+    * the purchase's frame ⇒ ts >= semantics preserved; the carried
+    * value (click_ts = ts) is identical for any equal-ts tie, so
+    * output is bit-equal to the naive forward-frame form
+    * (AsofJoinSpec pins it).
     */
   private[graft] def asofJoinForward(clicks: DataFrame,
       purchases: DataFrame): DataFrame = {
@@ -148,13 +160,12 @@ object RelationalOps {
       col("ts").as("click_ts"))
     val r = purchases.select(col("user_id"), col("ts"), lit(0).as("tag"),
       lit(null).cast("timestamp").as("click_ts"))
-    // purchase (tag 0) sorts before a click at the SAME ts (tag 1), and
-    // the frame starts at the current row ⇒ equal-ts clicks match
-    val w = Window.partitionBy("user_id").orderBy("ts", "tag")
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("tag").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .withColumn("next_click_ts",
-        first(col("click_ts"), ignoreNulls = true).over(w))
+        last(col("click_ts"), ignoreNulls = true).over(w))
       .where(col("tag") === 0 && col("next_click_ts").isNotNull)
       .select(col("user_id"), col("ts").as("purchase_ts"),
         col("next_click_ts"))

@@ -78,6 +78,39 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(out == Set((2L, "2024-01-01 08:00:00.0", "2024-01-01 09:00:00.0")))
   }
 
+  test("forward: reversed-sort running frame == naive unboundedFollowing frame at sf0.001") {
+    // r8 re-plan: the forward as-of moved off the O(n²)
+    // unboundedFollowing frame (PlanShapeSpec lints the class); this
+    // pins bit-equality against the naive formulation on real data
+    // including equal-ts ties.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val s = spark
+    val ev = graft.engine.Tables.events(s, TestSpark.sf0001)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+    val l = clicks.select(col("user_id"), col("ts"), lit(1).as("tag"),
+      col("ts").as("click_ts"))
+    val r = purchases.select(col("user_id"), col("ts"), lit(0).as("tag"),
+      lit(null).cast("timestamp").as("click_ts"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "tag")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val naive = l.unionByName(r)
+      .withColumn("next_click_ts",
+        first(col("click_ts"), ignoreNulls = true).over(w))
+      .where(col("tag") === 0 && col("next_click_ts").isNotNull)
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("next_click_ts"))
+      .collect().map(x => (x.getLong(0), x.getTimestamp(1), x.getTimestamp(2)))
+      .sortBy(t => (t._1, t._2.getTime, t._3.getTime))
+    val fast = RelationalOps.asofJoinForward(clicks, purchases)
+      .collect().map(x => (x.getLong(0), x.getTimestamp(1), x.getTimestamp(2)))
+      .sortBy(t => (t._1, t._2.getTime, t._3.getTime))
+    assert(fast.nonEmpty && fast.toSeq == naive.toSeq)
+  }
+
   test("decimal money sums are partition-count invariant") {
     import org.apache.spark.sql.functions._
     import graft.engine.Determinism.dsum

@@ -384,6 +384,54 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(bnlj <= 1, s"expected at most the 1-row corpus crossJoin, got $bnlj")
   }
 
+  test("NO registered query plans an UnboundedFollowing window frame") {
+    // Asymptotic lint (r8, the gapfill_linear lesson): Spark's
+    // UnboundedFollowingWindowFunctionFrame re-scans from the current
+    // row to the partition end for EVERY row — O(n²) per partition —
+    // while the running (unboundedPreceding → current) frame is O(n).
+    // Correctness gates and row counts can't see the difference; at
+    // sf0.1 it was 255.9 s vs 0.7 s on identical data, and at 100 TB
+    // it's a hard scale-killer. Any forward-looking carry must ride a
+    // running frame over the REVERSED sort (gapfillLinear,
+    // asofJoinForward show the recipe) or a bounded lead()/frame.
+    // The WHOLE-partition frame (unboundedpreceding →
+    // unboundedfollowing, what a partitionBy-only aggregate gets) is
+    // fine — Spark's UnboundedWindowFunctionFrame computes it once
+    // per partition — so the lint targets exactly the quadratic
+    // class: upper bound unboundedfollowing with any lower bound
+    // other than unboundedpreceding.
+    // \s*+ possessive: without it the whitespace backtracks and the
+    // negative lookahead gets bypassed by starting [^,]+ at the space
+    val bad = java.util.regex.Pattern.compile(
+      "specifiedwindowframe\\((?:Row|Range)Frame,\\s*+(?!unboundedpreceding)" +
+        "[^,]+,\\s*+unboundedfollowing",
+      java.util.regex.Pattern.CASE_INSENSITIVE)
+    // empirical canaries against REAL Spark plans (robust to print-
+    // format drift): the lint must catch the quadratic frame the old
+    // gapfill_linear planned, and must NOT flag the O(n) whole-
+    // partition frame a partitionBy-only aggregate gets
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.{col => c, first, count, lit}
+    import spark.implicits._
+    val tiny = Seq((1, 10), (1, 20), (2, 30)).toDF("k", "v")
+    val quad = tiny.withColumn("nv", first(c("v")).over(
+      W.partitionBy("k").orderBy("v")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)))
+      .queryExecution.executedPlan.toString
+    assert(bad.matcher(quad).find(),
+      "lint lost the quadratic frame pattern:\n" + quad.take(1500))
+    val whole = tiny.withColumn("n", count(lit(1)).over(W.partitionBy("k")))
+      .queryExecution.executedPlan.toString
+    assert(!bad.matcher(whole).find(),
+      "lint wrongly flags the whole-partition frame:\n" + whole.take(1500))
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
+      val p = planString(n)
+      if (bad.matcher(p).find()) Some(n) else None
+    }
+    assert(offenders.isEmpty,
+      s"O(n²) UnboundedFollowing window frame in: $offenders")
+  }
+
   test("basket_pairs takes its top-20 before the part-count decoration joins") {
     // in the plan tree string, parents print before children: the
     // decoration joins (above) must appear BEFORE the

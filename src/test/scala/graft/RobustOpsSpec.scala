@@ -245,6 +245,61 @@ class RobustOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("gapfill_linear reversed-sort running frame == naive unboundedFollowing frame") {
+    // r8 re-plan: the forward bracket (next tick strictly after the
+    // slot) moved from first(...) over an unboundedFollowing frame
+    // (O(n²) per partition — 255.9 s at sf0.1) to last(...) over a
+    // running frame on the REVERSED sort (O(n)). This pin proves the
+    // two formulations are bit-identical, including the tie rule
+    // (a tick exactly ON a slot is prev with ratio 0, never next).
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import graft.engine.Determinism.r6
+    val d = TestSpark.sf0001
+    val ev = graft.engine.Tables.events(s, d)
+      .select(col("event_type").as("symbol"), col("ts"),
+        unix_micros(col("ts")).as("us"),
+        floor(col("value").cast("double") * lit(100.0) + lit(0.5))
+          .cast("long").as("c"), col("event_id"))
+    val grid = ev.groupBy(col("symbol"))
+      .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+      .select(col("symbol"), explode(expr(
+        """sequence(date_trunc('minute', t0), date_trunc('minute', t1),
+             interval 1 minute)""")).as("ord"))
+      .withColumn("us", lit(null).cast("long"))
+      .withColumn("c", lit(null).cast("long"))
+      .withColumn("event_id", lit(null).cast("long"))
+      .withColumn("is_grid", lit(1))
+    val ticks = ev
+      .select(col("symbol"), col("ts").as("ord"), col("us"), col("c"),
+        col("event_id"), lit(0).as("is_grid"))
+    val ord = Seq(col("ord"), col("is_grid"), col("event_id"))
+    val wPrev = Window.partitionBy("symbol").orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy("symbol").orderBy(ord: _*)
+      .rowsBetween(0, Window.unboundedFollowing)
+    val naive = ticks.unionByName(grid.select(col("symbol"), col("ord"),
+        col("us"), col("c"), col("event_id"), col("is_grid")))
+      .withColumn("pc", last(col("c"), ignoreNulls = true).over(wPrev))
+      .withColumn("pus", last(col("us"), ignoreNulls = true).over(wPrev))
+      .withColumn("nc", first(col("c"), ignoreNulls = true).over(wNext))
+      .withColumn("nus", first(col("us"), ignoreNulls = true).over(wNext))
+      .where(col("is_grid") === 1 && col("pc").isNotNull &&
+        col("nc").isNotNull)
+      .select(col("symbol"), col("ord").as("m"),
+        r6((col("pc").cast("double")
+          + (col("nc") - col("pc")).cast("double")
+            * (unix_micros(col("ord")) - col("pus")).cast("double")
+            / nullif((col("nus") - col("pus")).cast("double"), lit(0.0)))
+          / lit(100.0)).as("price"))
+      .orderBy("symbol", "m")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+    val fast = AnalyticOps.gapfillLinear(s, d)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+    assert(fast.nonEmpty && fast.toSeq == naive.toSeq)
+  }
+
   test("diversity_sample == local assignment + hash-rank recomputation") {
     val s = spark
     val got = LlmVectorOps.diversitySample(s, TestSpark.sf0001)
