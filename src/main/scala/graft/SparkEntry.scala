@@ -154,6 +154,7 @@ object SparkEntry {
     "peak_detection"           -> (AnalyticOps.peakDetection _),
     "runs_test"                -> (AnalyticOps.runsTest _),
     "pii_scrub"                -> (LlmTextOps.piiScrub _),
+    "pii_scrub_injected"       -> (LlmTextOps.piiScrubInjected _),
     "weighted_percentiles"     -> (AnalyticOps.weightedPercentiles _),
     "bitext_mining"            -> (LlmVectorOps.bitextMining _),
     "silhouette_score"         -> (LlmVectorOps.silhouetteScore _),
@@ -2732,6 +2733,35 @@ object SparkEntry {
                       text, '$em', '', 'g'), '$ph', '', 'g'),
                       '$ip', '', 'g')) AS redacted
            FROM documents)
+         SELECT source, COUNT(*) AS n_docs,
+                CAST(SUM(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS docs_with_pii,
+                CAST(SUM(e) AS BIGINT) AS emails,
+                CAST(SUM(p) AS BIGINT) AS phones,
+                CAST(SUM(i) AS BIGINT) AS ipv4s,
+                CAST(SUM(redacted) AS BIGINT) AS chars_redacted
+         FROM t GROUP BY 1 ORDER BY 1"""
+    },
+    // injected-PII census: BOTH the text expression and the patterns
+    // interpolate from the same Scala vals the Spark side compiles,
+    // so the hash gate verifies RE2 == Java regex behavior on rows
+    // where every rule fires (greedy backtracking, \b boundaries,
+    // the 999.999.999.9999 dead-end) — the corpus itself is PII-free
+    "pii_scrub_injected" -> {
+      val Seq(em, ph, ip) = graft.operators.LlmTextOps.piiPatterns.map(_._2)
+      val textSql = graft.operators.LlmTextOps.piiInjectedTextSql
+      s"""WITH injected AS (
+           SELECT source, $textSql AS text FROM documents),
+         t AS (
+           SELECT source,
+                  len(regexp_extract_all(text, '$em')) AS e,
+                  len(regexp_extract_all(text, '$ph')) AS p,
+                  len(regexp_extract_all(text, '$ip')) AS i,
+                  length(text) - length(
+                    regexp_replace(regexp_replace(regexp_replace(
+                      text, '$em', '', 'g'), '$ph', '', 'g'),
+                      '$ip', '', 'g')) AS redacted
+           FROM injected)
          SELECT source, COUNT(*) AS n_docs,
                 CAST(SUM(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END)
                   AS BIGINT) AS docs_with_pii,

@@ -81,6 +81,16 @@ object LlmTextOps {
     * Portability: durations are exact integer µs; percentiles use
     * the `value_percentiles` interpolation contract; the mean and
     * bounce share are fenced divisions from integer sums.
+    *
+    * Scale shape: the final fold's exact `percentile` aggregates
+    * buffer every session row in ONE reducer — fine while sessions
+    * per corpus stay in the millions, but session count grows
+    * linearly with the corpus. At 100 TB swap the exact percentiles
+    * for the `value_percentiles_sampled` / `quantile_bins`
+    * bounds-broadcast posture (rank from broadcast bin bounds, no
+    * single-partition buffer) — the same documented swap-in
+    * `revenue_concentration` and `rfm_scores` carry for their
+    * entity-level global windows.
     */
   def sessionStats(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts")
@@ -260,24 +270,21 @@ object LlmTextOps {
     * conf is the same dial on the vector side). The persisted frame
     * is the POST-threshold pair set — tiny relative to the corpus
     * (hundreds of 24-byte rows at bench scale), so the cache cost is
-    * negligible at any sf. Lifecycle rides the session (WeakHashMap;
-    * blocks free when the session stops); a corpus rewritten in place
-    * mid-session serves stale pairs, same caveat as the routing memo.
-    * Conf OFF recomputes per call — FeatureOpsSpec pins ON == OFF.
+    * negligible at any sf. Lifecycle and rewrite-invalidation ride
+    * [[graft.engine.SessionMemo]] (unpersist on context stop or
+    * explicit invalidate; a documents table rewritten in-session
+    * keys a fresh build instead of serving stale pairs — the old
+    * WeakHashMap staleness caveat is closed). Conf OFF recomputes
+    * per call — FeatureOpsSpec pins ON == OFF.
     */
   private[graft] def dedupNearPairs(s: SparkSession, d: String): DataFrame = {
     if (!s.conf.get("spark.graft.neardup.materialize", "true").toBoolean)
       return dedupNearPairsUncached(s, d)
-    val key = new java.io.File(d).getCanonicalPath
-    val per = pairsCache.computeIfAbsent(s,
-      _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
-    per.computeIfAbsent(key, _ => dedupNearPairsUncached(s, d).persist())
+    graft.engine.SessionMemo.getOrBuild(s,
+      "neardup_pairs|" +
+        graft.engine.SessionMemo.tableFingerprint(d, "documents"))(
+      dedupNearPairsUncached(s, d))
   }
-
-  private val pairsCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession,
-        java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
 
   private[graft] def dedupNearPairsUncached(s: SparkSession,
       d: String): DataFrame = {
@@ -2885,6 +2892,43 @@ object LlmTextOps {
     */
   def piiScrub(s: SparkSession, d: String): DataFrame =
     piiScrubFrames(Tables.documents(s, d))
+
+  /** SQL text expression for the injected-PII fixture, shared
+    * VERBATIM with the DuckDB oracle (SparkEntry interpolates this
+    * exact string): both engines synthesize the SAME PII-bearing
+    * rows from doc_id, so [[piiScrubInjected]]'s hash gate verifies
+    * the RE2 ∩ Java pattern-equivalence claim CROSS-ENGINE on data
+    * where every rule fires — the gated corpus itself is PII-free
+    * and proves only the zero. The fixture deliberately exercises
+    * the dialect-sensitive spots: greedy-class backtracking
+    * (domains ending in `.co.uk` / `),`), \b at a digit–dot
+    * boundary (`1.2.3.4.5` → one match) and at end-of-string, a
+    * backtracking dead-end (`999.999.999.9999` → zero matches),
+    * optional-prefix anchoring (`\+?`), and near-misses
+    * (`no-at-sign.example.com`, `x@y`, `12-34`).
+    */
+  val piiInjectedTextSql: String =
+    "concat('Contact u', CAST(doc_id AS STRING), " +
+      "'@ex-ample.co.uk or (v', CAST(doc_id AS STRING), " +
+      "'@sub.example.com), call +', " +
+      "CAST(100 + doc_id % 900 AS STRING), '-', " +
+      "CAST(200 + doc_id % 800 AS STRING), '-', " +
+      "CAST(1000 + doc_id % 9000 AS STRING), ' or ', " +
+      "CAST(100 + doc_id % 900 AS STRING), ' ', " +
+      "CAST(200 + doc_id % 800 AS STRING), ' 4567; near-miss ', " +
+      "'no-at-sign.example.com x@y 12-34 999.999.999.9999 ', " +
+      "'chain 1.2.3.4.5 end 10.', CAST(doc_id % 256 AS STRING), '.0.1')"
+
+  /** `pii_scrub_injected` — [[piiScrub]] over the synthesized
+    * PII-bearing fixture ([[piiInjectedTextSql]]): per source,
+    * exactly 2 emails / 2 phones / 2 IPv4s per document plus the
+    * exact redaction volume, hash-gated against DuckDB running the
+    * SAME patterns over the SAME synthesized rows. This is the
+    * cross-engine proof the PII-free gated corpus can't give.
+    */
+  def piiScrubInjected(s: SparkSession, d: String): DataFrame =
+    piiScrubFrames(Tables.documents(s, d)
+      .select(col("source"), expr(piiInjectedTextSql).as("text")))
 
   /** Frame-parameterized core of [[piiScrub]] — the injection seam
     * for the spec. */

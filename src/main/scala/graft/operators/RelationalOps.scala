@@ -489,12 +489,16 @@ object RelationalOps {
     * part_b) order — ranked by integer support, so no float ever
     * orders rows.
     */
-  /** Per-order part baskets, memoized per (session, canonical corpus
-    * dir) when `spark.graft.baskets.materialize` is true (default) —
-    * the market-basket silver: [[basketPairs]] and [[itemNeighbors]]
-    * both start from this exact aggregate, and a production pipeline
-    * writes it once (the pair-silver / ANN-index posture). The
-    * persisted frame is one small array row per order. Conf OFF
+  /** Per-order part baskets, memoized per (session, lineitem
+    * fingerprint) when `spark.graft.baskets.materialize` is true
+    * (default) — the market-basket silver: [[basketPairs]] and
+    * [[itemNeighbors]] both start from this exact aggregate, and a
+    * production pipeline writes it once (the pair-silver / ANN-index
+    * posture). The persisted frame is one small array row per order.
+    * Lifecycle and rewrite-invalidation ride
+    * [[graft.engine.SessionMemo]] (unpersist on context stop or
+    * explicit invalidate; a lineitem table rewritten in-session keys
+    * a fresh build instead of serving stale baskets). Conf OFF
     * recomputes per call — RelationalClassicsSpec pins ON == OFF.
     */
   private[graft] def orderBaskets(s: SparkSession, d: String): DataFrame = {
@@ -503,16 +507,10 @@ object RelationalOps {
       .agg(collect_set(col("l_partkey")).as("ds"))
     if (!s.conf.get("spark.graft.baskets.materialize", "true").toBoolean)
       return build
-    val key = new java.io.File(d).getCanonicalPath
-    val per = basketsCache.computeIfAbsent(s,
-      _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
-    per.computeIfAbsent(key, _ => build.persist())
+    graft.engine.SessionMemo.getOrBuild(s,
+      "baskets|" + graft.engine.SessionMemo.tableFingerprint(d, "lineitem"))(
+      build)
   }
-
-  private val basketsCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession,
-        java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
 
   def basketPairs(s: SparkSession, d: String): DataFrame = {
     val wide = graft.engine.Pairs.needsWideForm(

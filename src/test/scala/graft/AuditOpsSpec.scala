@@ -158,6 +158,27 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(got.values.map(_._5).sum > 0, "ipv4s fired")
   }
 
+  test("pii_scrub_injected: exactly 2 emails / 2 phones / 2 ipv4s per doc; near-misses silent") {
+    // the cross-engine regex equivalence itself is hash-gated by the
+    // DuckDB oracle (same piiInjectedTextSql, same patterns); this
+    // pins the fixture's INTENT so a fixture edit that stops
+    // exercising a rule (or starts matching a near-miss) fails loudly
+    val got = graft.operators.LlmTextOps.piiScrubInjected(spark, sf)
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (nDocs, withPii, e, p, i) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))
+      assert(withPii == nDocs, s"every injected doc carries PII: $r")
+      assert(e == 2 * nDocs, s"2 emails per doc (greedy-class + paren): $r")
+      assert(p == 2 * nDocs, s"2 phones per doc (+dash form + space form): $r")
+      assert(i == 2 * nDocs,
+        s"2 ipv4s per doc (chain \\b + end-of-string; 999.999.999.9999 silent): $r")
+      assert(r.getLong(6) > 0, s"redaction volume positive: $r")
+    }
+  }
+
   test("cohort_ltv == driver-side cumulative cohort replay; curve monotone") {
     val got = AnalyticOps.cohortLtv(spark, sf).collect()
       .map(r => (r.getDate(0).toLocalDate, r.getLong(1)) ->

@@ -178,4 +178,67 @@ class EngineUtilSpec extends AnyFunSuite {
       graft.engine.Determinism.muSigma(df, "g", "v", scale = 3)
     }
   }
+
+  test("SessionMemo: same key serves the same persisted frame; invalidate unpersists") {
+    import graft.engine.SessionMemo
+    val s = spark
+    var builds = 0
+    def build = { builds += 1; s.range(10).toDF("id") }
+    val key = "spec|" + java.util.UUID.randomUUID()
+    val a = SessionMemo.getOrBuild(s, key)(build)
+    val b = SessionMemo.getOrBuild(s, key)(build)
+    assert(builds == 1 && (a eq b), "second call must serve the memo")
+    assert(a.storageLevel.useMemory, "memo must be persisted")
+    SessionMemo.invalidate(s)
+    assert(SessionMemo.size(s) == 0)
+    // give the non-blocking unpersist a beat, then check it landed
+    val t0 = System.nanoTime()
+    while (a.storageLevel.useMemory && System.nanoTime() - t0 < 5e9)
+      Thread.sleep(20)
+    assert(!a.storageLevel.useMemory, "invalidate must unpersist")
+    val c = SessionMemo.getOrBuild(s, key)(build)
+    assert(builds == 2 && !(a eq c), "post-invalidate call rebuilds")
+    SessionMemo.invalidate(s)
+  }
+
+  test("SessionMemo.tableFingerprint changes when the table is rewritten in place") {
+    import graft.engine.SessionMemo
+    val dir = java.nio.file.Files.createTempDirectory("graft_memo_fp")
+    try {
+      val t = dir.resolve("t.parquet")
+      java.nio.file.Files.write(t, "v1".getBytes)
+      val fp1 = SessionMemo.tableFingerprint(dir.toString, "t")
+      val fp1again = SessionMemo.tableFingerprint(dir.toString, "t")
+      assert(fp1 == fp1again, "fingerprint must be stable without writes")
+      // same length, different mtime (in-place rewrite)
+      Thread.sleep(5)
+      java.nio.file.Files.write(t, "v2".getBytes)
+      t.toFile.setLastModified(System.currentTimeMillis() + 2000)
+      val fp2 = SessionMemo.tableFingerprint(dir.toString, "t")
+      assert(fp1 != fp2, "rewrite must change the fingerprint")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
+
+  test("orderBaskets memo survives repeat calls and yields identical baskets") {
+    // the basket silver must serve the same persisted frame across
+    // consumers (basket_pairs + item_neighbors) and equal the
+    // conf-OFF rebuild
+    val s = spark
+    val d = TestSpark.sf0001
+    val m1 = graft.operators.RelationalOps.orderBaskets(s, d)
+    val m2 = graft.operators.RelationalOps.orderBaskets(s, d)
+    assert(m1 eq m2, "basket silver must memoize per (session, table)")
+    s.conf.set("spark.graft.baskets.materialize", "false")
+    try {
+      val off = graft.operators.RelationalOps.orderBaskets(s, d)
+      assert(!(off eq m1))
+      val a = m1.select(col("l_orderkey"), array_sort(col("ds")).as("ds"))
+        .collect().map(_.toString).sorted.toSeq
+      val b = off.select(col("l_orderkey"), array_sort(col("ds")).as("ds"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(a == b && a.nonEmpty)
+    } finally s.conf.set("spark.graft.baskets.materialize", "true")
+  }
 }
