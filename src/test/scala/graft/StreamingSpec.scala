@@ -1066,6 +1066,254 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  // ---- chaos restarts (the S7c recipe applied to the stateful r7
+  // operators): kill the query with UNPROCESSED input pending, restart
+  // a new query on the same checkpoint + FILE sink (the memory sink
+  // refuses checkpoint recovery; the parquet sink's _spark_metadata
+  // log is the real exactly-once contract), and prove (a) the per-key
+  // state (grid cursor + carried fill, ewma fold, funnel progress,
+  // click registry) is RESTORED — the post-restart emissions need
+  // facts only the checkpoint holds, since the rows that created them
+  // were consumed pre-kill — and (b) emissions land exactly once
+  // across the restart (replay-idempotence beyond single-run equality).
+
+  test("S14r streaming_gapfill: kill + checkpoint restart — carried fill survives, minutes exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingGapfill
+    import graft.streaming.StreamingGapfill.PricedEvent
+    val in = MemoryStream[PricedEvent]
+    val ckpt = java.nio.file.Files.createTempDirectory("s14r_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("s14r_out").toString
+    def start() = StreamingGapfill.gapfillStream(in.toDS())
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    def minutes() = spark.read.parquet(out).where("symbol = 'A'")
+      .orderBy("m")
+      .collect().map(r => (r.getAs[Timestamp]("m"),
+        r.getAs[Double]("price"), r.getAs[Timestamp]("last_tick_ts")))
+    val q1 = start()
+    try {
+      in.addData(
+        PricedEvent(ts("2024-01-01 10:00:30"), "A", 100.0, 1L),
+        PricedEvent(ts("2024-01-01 10:03:10"), "A", 101.0, 2L))
+      q1.processAllAvailable()
+      in.addData(PricedEvent(ts("2024-01-01 10:20:00"), "B", 1.0, 3L))
+      q1.processAllAvailable() // watermark 10:10 → minutes 10:01..10:03 commit
+      assert(minutes().length == 3, "first run settles 3 minutes")
+      // UNPROCESSED input lands, then the query dies
+      in.addData(PricedEvent(ts("2024-01-01 10:15:00"), "A", 103.0, 4L))
+    } finally q1.stop()
+    val a = minutes()
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // replays the pending tick vs restored state
+      in.addData(PricedEvent(ts("2024-01-01 10:40:00"), "B", 1.0, 6L))
+      q2.processAllAvailable() // watermark 10:30 → 10:04..10:15 settle
+      val b = minutes().filterNot(a.contains)
+      // slots 10:04..10:14 fill from tick 2 (101.0 @ 10:03:10) — that
+      // tick was consumed BEFORE the kill, so only restored state can
+      // produce these rows
+      assert(b.headOption.map(_._1).contains(ts("2024-01-01 10:04:00")) &&
+        b.headOption.exists(_._2 == 101.0),
+        s"restored carry must fill 10:04 from the pre-kill tick: ${b.mkString(",")}")
+      val combined = minutes()
+      assert(combined.map(_._1).distinct.length == combined.length,
+        s"no minute may emit twice across the restart: ${combined.mkString(",")}")
+      // combined == the batch operator over the same three A ticks
+      val tmp = java.nio.file.Files.createTempDirectory("s14r").toString
+      try {
+        Seq(
+          (1L, ts("2024-01-01 10:00:30"), 1L, "A", 100.0, "{}"),
+          (2L, ts("2024-01-01 10:03:10"), 1L, "A", 101.0, "{}"),
+          (4L, ts("2024-01-01 10:15:00"), 1L, "A", 103.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .write.parquet(s"$tmp/events.parquet")
+        val batch = graft.operators.AnalyticOps.gapfillResample(spark, tmp)
+          .collect().map(r => (r.getTimestamp(1), r.getDouble(2),
+            r.getTimestamp(3)))
+        assert(combined.toSeq == batch.toSeq,
+          s"stream-across-restart ${combined.mkString(",")} vs batch ${batch.mkString(",")}")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
+    } finally {
+      q2.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    }
+  }
+
+  test("S15r streaming_ewma: kill + checkpoint restart — the fold value survives, scores exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingEwma
+    import graft.streaming.StreamingEwma.PricedTick
+    val in = MemoryStream[PricedTick]
+    val ckpt = java.nio.file.Files.createTempDirectory("s15r_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("s15r_out").toString
+    def start() = StreamingEwma.ewmaStream(in.toDS())
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    def scores() = spark.read.parquet(out).where("symbol = 'A'")
+      .orderBy("ts", "event_id")
+      .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("ewma")))
+    val q1 = start()
+    try {
+      in.addData(
+        PricedTick(ts("2024-01-01 10:00:00"), "A", 100.0, 1L),
+        PricedTick(ts("2024-01-01 10:01:00"), "A", 102.0, 2L))
+      q1.processAllAvailable()
+      in.addData(PricedTick(ts("2024-01-01 10:20:00"), "B", 1.0, 9L))
+      q1.processAllAvailable() // watermark 10:10 → ticks 1,2 score
+      assert(scores().map(_._1).toSeq == Seq(1L, 2L))
+      in.addData(PricedTick(ts("2024-01-01 10:15:00"), "A", 104.0, 3L))
+    } finally q1.stop()
+    val a = scores()
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      in.addData(PricedTick(ts("2024-01-01 10:40:00"), "B", 1.0, 10L))
+      q2.processAllAvailable() // watermark 10:30 → tick 3 scores
+      val b = scores().filterNot(a.contains)
+      assert(b.map(_._1).toSeq == Seq(3L),
+        s"only the post-kill tick settles in run 2: ${b.mkString(",")}")
+      val combined = scores()
+      assert(combined.map(_._1).distinct.length == combined.length,
+        "no tick may score twice across the restart")
+      // tick 3's score folds ticks 1 and 2 — consumed pre-kill, so it
+      // is correct ONLY if the dyadic fold was restored. Compare the
+      // whole curve against the batch operator.
+      val tmp = java.nio.file.Files.createTempDirectory("s15r").toString
+      try {
+        Seq(
+          (1L, ts("2024-01-01 10:00:00"), 1L, "A", 100.0, "{}"),
+          (2L, ts("2024-01-01 10:01:00"), 1L, "A", 102.0, "{}"),
+          (3L, ts("2024-01-01 10:15:00"), 1L, "A", 104.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .write.parquet(s"$tmp/events.parquet")
+        val batch = graft.operators.AnalyticOps.ewmaSmooth(spark, tmp)
+          .collect().map(r => (r.getLong(0), r.getDouble(3)))
+        assert(combined.toSeq == batch.toSeq,
+          s"stream-across-restart ${combined.mkString(",")} vs batch ${batch.mkString(",")}")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
+    } finally {
+      q2.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    }
+  }
+
+  test("S18r streaming_funnel: kill + checkpoint restart — step progress survives, steps exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingFunnel
+    import graft.streaming.StreamingFunnel.FunnelEvent
+    val in = MemoryStream[FunnelEvent]
+    val ckpt = java.nio.file.Files.createTempDirectory("s18r_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("s18r_out").toString
+    def start() = StreamingFunnel.funnelStream(in.toDS())
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    def steps() = spark.read.parquet(out)
+      .orderBy("user_id", "step")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("step")))
+    val q1 = start()
+    try {
+      // user 1: view + click (click arrives first); user 2: click only
+      in.addData(
+        FunnelEvent(ts("2024-01-01 10:05:00"), 1L, "click", 2L),
+        FunnelEvent(ts("2024-01-01 10:00:00"), 1L, "view", 1L),
+        FunnelEvent(ts("2024-01-01 10:01:00"), 2L, "click", 3L))
+      q1.processAllAvailable()
+      in.addData(FunnelEvent(ts("2024-01-01 11:00:00"), 3L, "view", 9L))
+      q1.processAllAvailable() // watermark 10:50 → user 1 steps 1,2 settle
+      assert(steps().toSeq == Seq((1L, 1), (1L, 2)))
+      // the purchase lands unprocessed; the query dies
+      in.addData(FunnelEvent(ts("2024-01-01 11:30:00"), 1L, "purchase", 4L))
+    } finally q1.stop()
+    val a = steps()
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      in.addData(FunnelEvent(ts("2024-01-01 13:00:00"), 3L, "view", 11L))
+      q2.processAllAvailable() // watermark 12:50 → the purchase settles
+      val b = steps().filterNot(a.contains)
+      // step 3 requires knowing user 1 already passed steps 1 and 2 —
+      // those events were consumed pre-kill (user 3's own first view,
+      // the watermark pusher, settles as its step 1 alongside)
+      assert(b.toSeq == Seq((1L, 3), (3L, 1)),
+        s"restored progress must qualify the purchase as step 3: ${b.mkString(",")}")
+      val combined = steps()
+      assert(combined.distinct.length == combined.length,
+        "no step may settle twice across the restart")
+      assert(combined.filter(_._1 == 1L).sorted.toSeq ==
+        Seq((1L, 1), (1L, 2), (1L, 3)) && !combined.exists(_._1 == 2L),
+        s"user 1 completes the funnel exactly once; user 2 never progresses: ${combined.mkString(",")}")
+    } finally {
+      q2.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    }
+  }
+
+  test("S19r streaming_attribution: kill + checkpoint restart — click registry survives, verdicts exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingAttribution
+    import graft.streaming.StreamingAttribution.TouchEvent
+    val in = MemoryStream[TouchEvent]
+    val ckpt = java.nio.file.Files.createTempDirectory("s19r_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("s19r_out").toString
+    def start() = StreamingAttribution.attributionStream(in.toDS())
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    def verdicts() = spark.read.parquet(out)
+      .orderBy("user_id", "purchase_event_id")
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("purchase_event_id"), r.getAs[Boolean]("attributed"),
+        r.getAs[Long]("gap_us")))
+    val q1 = start()
+    try {
+      // user 1's click is consumed and committed; no purchase yet
+      in.addData(TouchEvent(ts("2024-01-01 10:00:00"), 1L, "click", 1L))
+      q1.processAllAvailable()
+      in.addData(TouchEvent(ts("2024-01-01 12:00:00"), 9L, "view", 7L))
+      q1.processAllAvailable() // watermark 11:50; nothing to settle
+      assert(verdicts().isEmpty)
+      // both purchases land unprocessed; the query dies
+      in.addData(
+        TouchEvent(ts("2024-01-01 12:30:00"), 1L, "purchase", 2L),
+        TouchEvent(ts("2024-01-01 12:45:00"), 2L, "purchase", 4L))
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      in.addData(TouchEvent(ts("2024-01-02 14:00:00"), 9L, "view", 8L))
+      q2.processAllAvailable() // watermark past both purchases
+      val combined = verdicts()
+      assert(combined.map(_._2).distinct.length == combined.length,
+        "no purchase may settle twice across the restart")
+      val byId = combined.map(t => t._2 -> t).toMap
+      // attribution of purchase 2 needs the 10:00 click — consumed and
+      // committed BEFORE the kill, recoverable only from the registry
+      assert(byId.keySet == Set(2L, 4L), s"both purchases settle: ${combined.mkString(",")}")
+      assert(byId(2L)._3 && byId(2L)._4 == 150L * 60L * 1000000L,
+        s"restored click registry attributes purchase 2 at a 2.5 h gap: ${byId(2L)}")
+      assert(!byId(4L)._3, "user 2 has no click anywhere: direct")
+    } finally {
+      q2.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    }
+  }
+
   test("S20 streaming_benford: live digit screen emits at close, alarms on a bent feed") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
