@@ -38,6 +38,8 @@ object SessionMemo {
     new java.util.WeakHashMap[SparkSession, String]())
   private val memos =
     new ConcurrentHashMap[String, ConcurrentHashMap[String, DataFrame]]()
+  private val plans =
+    new ConcurrentHashMap[String, ConcurrentHashMap[String, DataFrame]]()
 
   private def idOf(s: SparkSession): String = {
     var fresh = false
@@ -65,6 +67,7 @@ object SessionMemo {
     if (m != null) m.values.forEach { df =>
       try df.unpersist(blocking = false) catch { case _: Throwable => () }
     }
+    plans.remove(id)
   }
 
   /** Drop (and unpersist) everything memoized for this session. */
@@ -104,5 +107,20 @@ object SessionMemo {
     val per = memos.computeIfAbsent(idOf(s),
       _ => new ConcurrentHashMap[String, DataFrame]())
     per.computeIfAbsent(key, _ => build.persist())
+  }
+
+  /** Memoize an UNPERSISTED plan (no storage blocks — just the
+    * analyzed logical plan) under (session, key). Used by
+    * [[Tables.load]] to cache resolved parquet relations: re-reading
+    * a table otherwise re-lists files and re-reads footers on every
+    * query, a fixed per-query planning tax that dwarfs cheap queries
+    * at 224-query sweep scale. Cleared with [[invalidate]] / context
+    * stop like the persisted memos.
+    */
+  def getOrBuildPlan(s: SparkSession, key: String)(
+      build: => DataFrame): DataFrame = {
+    val per = plans.computeIfAbsent(idOf(s),
+      _ => new ConcurrentHashMap[String, DataFrame]())
+    per.computeIfAbsent(key, _ => build)
   }
 }

@@ -11,8 +11,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * happens — every operator goes through it and stays unchanged.
   */
 object Tables {
+  /** One resolved relation per (session, table fingerprint): the
+    * parquet read itself lists files and reads footers — a fixed
+    * ~10-40 ms planning tax per table PER QUERY that dominates cheap
+    * queries in a 224-query sweep. The memoized frame is just the
+    * analyzed plan (no persisted data); the fingerprint key means an
+    * in-place rewrite of the table resolves a fresh relation, so the
+    * cache can never serve a stale file index.
+    */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    SessionMemo.getOrBuildPlan(spark,
+      "scan|" + SessionMemo.tableFingerprint(sfDir, name))(
+      spark.read.parquet(s"$sfDir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

@@ -82,6 +82,62 @@ object ScaleSweep {
         col("source"), length(col("text")).cast("long").as("n_chars"))
   }
 
+  /** Deterministic events table, distribution-matched to the driver's
+    * growth law (measured sf0.01 → sf0.1: rows ×10, users ×10,
+    * events/user constant ≈ 67, 5 uniform event types, 30-day ts
+    * window of CONSTANT span — density grows, not duration). Fully
+    * distributed generation from hashed uniforms, like
+    * [[genDocuments]].
+    */
+  def genEvents(s: SparkSession, nEvents: Long): DataFrame = {
+    val nUsers = math.max(1L, nEvents * 15L / 1000L) // 15k per 1M, as sf0.1×10
+    val spanUs = 30L * 24 * 3600 * 1000000L          // 30 days in µs
+    s.range(nEvents)
+      .select(col("id").as("event_id"),
+        timestamp_micros(lit(1704067200000000L) // 2024-01-01 00:00:00 UTC
+          + pmod(xxhash64(lit(20L), col("id")), lit(spanUs))).as("ts"),
+        pmod(xxhash64(lit(21L), col("id")), lit(nUsers)).as("user_id"),
+        expr("""element_at(array('signup','click','view','purchase','error'),
+             CAST(pmod(xxhash64(22L, id), 5) AS INT) + 1)""").as("event_type"),
+        (pmod(xxhash64(lit(23L), col("id")), lit(1000000L)).cast("double")
+          / lit(1000.0)).as("value"),
+        lit("{}").as("props"))
+  }
+
+  /** Deterministic lineitem table for the market-basket family
+    * (driver growth law: rows ×10/decade, orders = rows/4 → Poisson(4)
+    * distinct parts per basket, avg 4.07 / max 17 measured at sf0.1;
+    * parts = rows/30). Non-basket columns are hashed uniforms in the
+    * driver's ranges so the full schema loads.
+    */
+  def genLineitem(s: SparkSession, nLines: Long): DataFrame = {
+    val nOrders = math.max(1L, nLines / 4L)
+    val nParts = math.max(1L, nLines / 30L)
+    s.range(nLines)
+      .select(
+        pmod(xxhash64(lit(30L), col("id")), lit(nOrders)).as("l_orderkey"),
+        pmod(xxhash64(lit(31L), col("id")), lit(nParts)).as("l_partkey"),
+        pmod(xxhash64(lit(32L), col("id")), lit(nLines / 60L + 1L))
+          .as("l_suppkey"),
+        (pmod(xxhash64(lit(33L), col("id")), lit(7L)) + 1L).cast("int")
+          .as("l_linenumber"),
+        (pmod(xxhash64(lit(34L), col("id")), lit(50L)) + 1L).cast("double")
+          .as("l_quantity"),
+        (pmod(xxhash64(lit(35L), col("id")), lit(9000000L)).cast("double")
+          / lit(100.0) + lit(1000.0)).as("l_extendedprice"),
+        (pmod(xxhash64(lit(36L), col("id")), lit(11L)).cast("double")
+          / lit(100.0)).as("l_discount"),
+        (pmod(xxhash64(lit(37L), col("id")), lit(9L)).cast("double")
+          / lit(100.0)).as("l_tax"),
+        expr("element_at(array('A','N','R'), " +
+          "CAST(pmod(xxhash64(38L, id), 3) AS INT) + 1)").as("l_returnflag"),
+        expr("element_at(array('O','F'), " +
+          "CAST(pmod(xxhash64(39L, id), 2) AS INT) + 1)").as("l_linestatus"),
+        timestamp_micros(lit(1704067200000000L)
+          + pmod(xxhash64(lit(40L), col("id")),
+              lit(365L * 24 * 3600 * 1000000L))).as("l_shipdate"))
+  }
+
   /** Unit-norm isotropic 64-d float vectors (Box–Muller over hashed
     * uniforms) — the driver's embedding table has no cluster structure
     * (measured within-label avg cos ≈ 0.0008), so isotropic is the
@@ -122,15 +178,25 @@ object ScaleSweep {
     // existing outDir and decontaminate would measure vacuous)
     val docsPath = s"$outDir/documents.parquet"
     val embsPath = s"$outDir/embeddings.parquet"
-    val genVersion = "v2-source-hashes-copy-id"
+    val eventsPath = s"$outDir/events.parquet"
+    val linesPath = s"$outDir/lineitem.parquet"
+    // events/lineitem ride the driver's measured per-decade ratios to
+    // documents (sf0.1: 5k docs / 100k events / 600k lineitem)
+    val nEvents = nDocs * 20L
+    val nLines = nDocs * 120L
+    val genVersion = "v3-events-lineitem"
     val versionFile = java.nio.file.Paths.get(s"$outDir/_gen_version")
     val versionOk = java.nio.file.Files.exists(versionFile) &&
       java.nio.file.Files.readString(versionFile).trim == genVersion
     if (!versionOk || !new java.io.File(docsPath).exists()
-        || !new java.io.File(embsPath).exists()) {
+        || !new java.io.File(embsPath).exists()
+        || !new java.io.File(eventsPath).exists()
+        || !new java.io.File(linesPath).exists()) {
       java.nio.file.Files.deleteIfExists(versionFile)
       genDocuments(spark, nDocs).write.mode("overwrite").parquet(docsPath)
       genEmbeddings(spark, nVecs).write.mode("overwrite").parquet(embsPath)
+      genEvents(spark, nEvents).write.mode("overwrite").parquet(eventsPath)
+      genLineitem(spark, nLines).write.mode("overwrite").parquet(linesPath)
       // derived tables must not outlive the corpus they derive from
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(s"$outDir/codes.parquet"))
@@ -207,7 +273,23 @@ object ScaleSweep {
       "similarity_topk_pq" ->
         (graft.operators.LlmVectorOps.similarityTopkPq _),
       "similarity_ivf_pq" ->
-        (graft.operators.LlmVectorOps.similarityIvfPq _))
+        (graft.operators.LlmVectorOps.similarityIvfPq _),
+      // the round-7 feature/audit wave's five most shuffle-heavy rows
+      // (r8 judge ask): market-basket C(k,2) over the basket silver,
+      // chunk-grain posting lists, the pair-graph triangle pass, the
+      // per-user band join, and the per-user sequence fold. The
+      // documents-pair consumers (duplicate_passages, triangle_count)
+      // ride the EXACT pair machinery, so past ~100k docs they are
+      // excluded by the same 90×/decade pair-stream arithmetic as
+      // dedup_near — sweep them at the first synthesized decade only.
+      "basket_pairs" -> (graft.operators.RelationalOps.basketPairs _),
+      "duplicate_passages" ->
+        (graft.operators.LlmTextOps.duplicatePassages _),
+      "triangle_count" -> (graft.operators.LlmTextOps.triangleCount _),
+      "attribution_linear" ->
+        (graft.operators.AnalyticOps.attributionLinear _),
+      "markov_transitions" ->
+        (graft.operators.AnalyticOps.markovTransitions _))
       .filter { case (name, _) =>
         // SPARK_GRAFT_QUERIES narrows the sweep (same contract as
         // Bench) — re-measuring one family shouldn't pay for all
@@ -297,7 +379,8 @@ object ScaleSweep {
 
     val qs = times.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     println(s"""{"metric":"scale_sweep","dir":"$outDir","docs":$nDocs,""" +
-      s""""vecs":$nVecs,"postings":${full.getLong(0)},""" +
+      s""""vecs":$nVecs,"events":$nEvents,"lineitem":$nLines,""" +
+      s""""postings":${full.getLong(0)},""" +
       s""""pair_stream":${java.lang.Math.round(full.getDouble(1))},""" +
       s""""prefix_postings":${pref.getLong(0)},""" +
       s""""prefix_pair_stream":${java.lang.Math.round(pref.getDouble(1))},""" +
