@@ -155,6 +155,9 @@ object SparkEntry {
     "runs_test"                -> (AnalyticOps.runsTest _),
     "pii_scrub"                -> (LlmTextOps.piiScrub _),
     "pii_scrub_injected"       -> (LlmTextOps.piiScrubInjected _),
+    "dedup_containment"        -> (LlmTextOps.dedupContainment _),
+    "quality_gopher"           -> (LlmTextOps.qualityGopher _),
+    "shared_substrings"        -> (LlmTextOps.sharedSubstrings _),
     "weighted_percentiles"     -> (AnalyticOps.weightedPercentiles _),
     "bitext_mining"            -> (LlmVectorOps.bitextMining _),
     "silhouette_score"         -> (LlmVectorOps.silhouetteScore _),
@@ -2771,6 +2774,85 @@ object SparkEntry {
                 CAST(SUM(redacted) AS BIGINT) AS chars_redacted
          FROM t GROUP BY 1 ORDER BY 1"""
     },
+    // asymmetric containment dedup: same shingle algebra as
+    // dedup_near's oracle, denominator LEAST(szi, szj), tau 0.9
+    "dedup_containment" ->
+      """WITH sh_t AS (
+           SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1]
+                    || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh_t GROUP BY 1),
+         pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+                   FROM sh_t a JOIN sh_t b
+                     ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT i, j, floor((inter / LEAST(si.sz, sj.sz)) * 1000000 + 0.5)
+                  / 1000000 AS containment
+         FROM pairs JOIN sizes si ON si.doc_id = i
+                    JOIN sizes sj ON sj.doc_id = j
+         WHERE floor((inter / LEAST(si.sz, sj.sz)) * 1000000 + 0.5)
+                 / 1000000 >= 0.9
+         ORDER BY i, j""",
+    // Gopher rule census: every comparison integer on both sides,
+    // only the presentation pass_rate divides
+    "quality_gopher" ->
+      """WITH t AS (
+           SELECT source, string_split(text, ' ') AS toks,
+                  len(string_split(text, ' ')) AS n,
+                  length(text) - (len(string_split(text, ' ')) - 1) AS wchars
+           FROM documents),
+         d AS (
+           SELECT source,
+                  (n < 50 OR n > 100000) AS f_wc,
+                  (wchars < 3 * n OR wchars > 10 * n) AS f_mwl,
+                  (10 * len(list_filter(toks,
+                     t -> regexp_matches(t, '[A-Za-z]'))) < 8 * n) AS f_alpha,
+                  (len(list_intersect(list_distinct(toks),
+                     ['the','be','to','of','and','that','have','with'])) < 2)
+                    AS f_stop
+           FROM t)
+         SELECT source, COUNT(*) AS n_docs,
+                CAST(SUM(CASE WHEN f_wc THEN 1 ELSE 0 END) AS BIGINT)
+                  AS fail_word_count,
+                CAST(SUM(CASE WHEN f_mwl THEN 1 ELSE 0 END) AS BIGINT)
+                  AS fail_mean_word_len,
+                CAST(SUM(CASE WHEN f_alpha THEN 1 ELSE 0 END) AS BIGINT)
+                  AS fail_alpha_ratio,
+                CAST(SUM(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT)
+                  AS fail_stopwords,
+                floor((SUM(CASE WHEN NOT f_wc AND NOT f_mwl AND NOT f_alpha
+                         AND NOT f_stop THEN 1 ELSE 0 END) / COUNT(*))
+                  * 1000000 + 0.5) / 1000000 AS pass_rate
+         FROM d GROUP BY 1 ORDER BY 1""",
+    // exact-substring dedup shape: aligned 8-token window matches on
+    // raw window STRINGS (the Spark side hashes them; same portable
+    // contract as dedup_near), maximal runs via the diagonal-island
+    // trick on both engines
+    "shared_substrings" ->
+      """WITH docs AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           WHERE len(string_split(text, ' ')) >= 8),
+         wins AS (
+           SELECT doc_id, pos, array_to_string(toks[pos:pos+7], ' ') AS win
+           FROM (SELECT doc_id, toks,
+                        unnest(range(1, len(toks) - 6)) AS pos FROM docs)),
+         pairs AS (
+           SELECT a.doc_id AS i, b.doc_id AS j, a.pos AS pi, b.pos AS pj
+           FROM wins a JOIN wins b
+             ON a.win = b.win AND a.doc_id < b.doc_id),
+         runs AS (
+           SELECT i, j, pi - pj AS diag, pi,
+                  row_number() OVER (PARTITION BY i, j, pi - pj
+                                     ORDER BY pi) AS rn
+           FROM pairs),
+         isl AS (
+           SELECT i, j, diag, pi - rn AS island, count(*) AS len_wins
+           FROM runs GROUP BY 1, 2, 3, 4),
+         per AS (
+           SELECT i, j, CAST(max(len_wins) + 7 AS BIGINT) AS max_run_tokens,
+                  CAST(sum(len_wins) AS BIGINT) AS n_shared_windows
+           FROM isl GROUP BY 1, 2)
+         SELECT i, j, max_run_tokens, n_shared_windows
+         FROM per ORDER BY max_run_tokens DESC, i, j LIMIT 20""",
     // item-item CF neighborhoods: integer head/neighbor ranking,
     // cosine presentation-only from exact integers
     "item_neighbors" ->

@@ -331,6 +331,48 @@ object LlmTextOps {
       .select("i", "j", "jaccard")
   }
 
+  /** `dedup_containment` — ASYMMETRIC near-dup: containment
+    * C = |A∩B| / min(|A|,|B|) ≥ 0.9 flags a document whose shingle
+    * set is (almost) a subset of another's — the quote-expansion /
+    * boilerplate-wrapped / superset-copy class that symmetric Jaccard
+    * structurally misses (a doc fully contained in a 10× longer doc
+    * has J ≈ 0.1 but C = 1.0). Standard member of the published
+    * dedup suites next to MinHash-Jaccard; same exact posting-list +
+    * packed-pair machinery as [[dedupNear]], different denominator
+    * and threshold — so the pair stream, not the formula, is the
+    * scale unit.
+    *
+    * Scale: at 100 TB apply the containment variant of the prefix
+    * principle — only the SMALLER set's (k − ⌈τ·k⌉ + 1)-prefix needs
+    * indexing for C ≥ τ (Chaudhuri SSJoin §4 adapts directly; the
+    * [[dedupNearPrefix]] plumbing is the template), or bound the
+    * posting lists with the banded-MinHash source the way
+    * `dedup_components` routes.
+    */
+  def dedupContainment(s: SparkSession, d: String): DataFrame = {
+    val hashed = shingleHashSets(s, d)
+    val sizes = hashed
+      .select(col("doc_id"), size(col("hs")).cast("long").as("sz"))
+    val wide = graft.engine.Pairs.needsWideForm(
+      Tables.documents(s, d), "doc_id")
+    val lists = hashed
+      .select(col("doc_id"), explode(col("hs")).as("shh"))
+      .groupBy(col("shh"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .where(size(col("ds")) > 1)
+    val inter = graft.engine.Pairs.countedPairs(s, lists, "ds", "inter", wide)
+    inter
+      .join(broadcast(
+        sizes.select(col("doc_id").as("i"), col("sz").as("sz_i"))), Seq("i"))
+      .join(broadcast(
+        sizes.select(col("doc_id").as("j"), col("sz").as("sz_j"))), Seq("j"))
+      .withColumn("containment",
+        r6(col("inter") / least(col("sz_i"), col("sz_j"))))
+      .where(col("containment") >= 0.9)
+      .select(col("i"), col("j"), col("containment"))
+      .orderBy("i", "j")
+  }
+
   /** Prefix-filtered exact near-dup join (Chaudhuri et al. SSJoin /
     * Bayardo et al. AllPairs / Xiao et al. PPJoin) — IDENTICAL output
     * to [[dedupNear]] (DedupPropertiesSpec pins equality), different
@@ -1248,6 +1290,63 @@ object LlmTextOps {
       .select("doc_id", "n_tokens", "n_distinct", "distinct_ratio",
         "avg_token_len", "stop_ratio", "quality_score")
       .orderBy("doc_id")
+
+  /** `quality_gopher` — the Gopher rule-based quality filter census
+    * (Rae et al. 2021, §A1.1.1 "Quality Filtering" — the published
+    * rule set MassiveText shipped with, reused by most open corpus
+    * builds since): per source, how many documents fail each
+    * heuristic and the overall pass rate. The four rules expressible
+    * over single-line documents: word count ∈ [50, 100 000], mean
+    * word length ∈ [3, 10], ≥ 80% of words containing an alphabetic
+    * character, and ≥ 2 DISTINCT members of the paper's 8-word stop
+    * list ("the be to of and that have with") present (the
+    * line-shape rules — bullet/ellipsis ratios — are zero by
+    * construction on one-line docs and add no signal here).
+    *
+    * Portability: every comparison runs on INTEGERS — the mean-word-
+    * length band as `n_letter_chars` vs `3·n` / `10·n`, the alpha
+    * ratio as `10·n_alpha ≥ 8·n` — so no float boundary can disagree
+    * across engines; only the presentation pass_rate divides (r6).
+    * One scan + one ≤|sources| aggregate: the 100 TB cost is the
+    * scan, embarrassingly parallel, the `pii_scrub` posture.
+    */
+  /** Rae et al. 2021 §A1.1.1's stop list, verbatim. */
+  private val gopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def qualityGopher(s: SparkSession, d: String): DataFrame = {
+    val perDoc = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")).cast("long"))
+      // sum of per-word lengths = chars minus the n-1 separators
+      .withColumn("wchars", (length(col("text")) - (col("n") - 1L)))
+      .withColumn("n_alpha",
+        size(filter(col("toks"), t => t.rlike("[A-Za-z]"))).cast("long"))
+      // distinct presence, not occurrence count (array_intersect
+      // dedups) — the rule as commonly implemented
+      .withColumn("n_stop", size(array_intersect(col("toks"),
+        array(gopherStops.map(lit): _*))).cast("long"))
+      .select(col("source"),
+        (col("n") < 50L || col("n") > 100000L).as("f_wc"),
+        (col("wchars") < col("n") * 3L || col("wchars") > col("n") * 10L)
+          .as("f_mwl"),
+        (col("n_alpha") * 10L < col("n") * 8L).as("f_alpha"),
+        (col("n_stop") < 2L).as("f_stop"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("f_wc"), 1L).otherwise(0L)).as("fail_word_count"),
+        sum(when(col("f_mwl"), 1L).otherwise(0L)).as("fail_mean_word_len"),
+        sum(when(col("f_alpha"), 1L).otherwise(0L)).as("fail_alpha_ratio"),
+        sum(when(col("f_stop"), 1L).otherwise(0L)).as("fail_stopwords"),
+        sum(when(!col("f_wc") && !col("f_mwl") && !col("f_alpha")
+          && !col("f_stop"), 1L).otherwise(0L)).as("n_pass"))
+      .select(col("source"), col("n_docs"), col("fail_word_count"),
+        col("fail_mean_word_len"), col("fail_alpha_ratio"),
+        col("fail_stopwords"),
+        r6(col("n_pass").cast("double") / col("n_docs").cast("double"))
+          .as("pass_rate"))
+      .orderBy("source")
+  }
 
   /** `token_count` — whitespace tokens + a word-regex count + char
     * count per doc (the BPE-ish pre-tokenizer accounting pass).
@@ -2242,6 +2341,70 @@ object LlmTextOps {
     * The DuckDB oracle replays the full hash arithmetic from raw
     * text, so the row hash-gates like the other portable-family ops.
     */
+  /** `shared_substrings` — the EXACT-SUBSTRING dedup shape (Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better": ExactSubstr removes verbatim runs ≥ 50 tokens that
+    * suffix arrays find): the top-20 document pairs by LONGEST shared
+    * verbatim token run, with the count of aligned 8-token window
+    * matches. Where [[duplicatePassages]] counts repeated chunks and
+    * [[dedupNear]] scores set overlap, this measures CONTIGUOUS
+    * copying — the quotes/mirrors/license-header class.
+    *
+    * Distributed formulation (no suffix array, same answer for runs
+    * ≥ the 8-token window): rolling windows (doc, pos) → postings by
+    * window value → cross-doc aligned matches (i, j, pi, pj) → runs
+    * are maximal chains of consecutive positions on one DIAGONAL
+    * (pi − pj constant; islands via the pos − row_number trick, an
+    * O(n) running window per (i,j,diag)) — a run of L shared tokens
+    * is L−7 consecutive window matches, so max_run_tokens =
+    * longest_island + 7, exact.
+    *
+    * Scale: the pair stream is the dedup_near posting-list unit (a
+    * viral boilerplate window = a hot posting list → the
+    * hot-bucket-split generator applies); the diagonal pass shuffles
+    * once on (i, j) and its windows are running frames. At 100 TB,
+    * gate candidate pairs through banded MinHash first and run this
+    * as the aligner on survivors — the pipeline Lee et al. describe,
+    * re-expressed as three shuffles.
+    */
+  def sharedSubstrings(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 8)
+    val wins = docs.select(col("doc_id"), explode(expr(
+      """transform(sequence(1, size(toks) - 7),
+           p -> struct(p AS pos,
+                       xxhash64(array_join(slice(toks, p, 8), ' ')) AS wh))"""))
+      .as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.wh").as("wh"))
+    val lists = wins.groupBy(col("wh"))
+      .agg(collect_list(struct(col("doc_id"), col("pos"))).as("ms"))
+      .where(size(col("ms")) > 1)
+    // map-side aligned-pair explode (i < j with both positions);
+    // k² per posting list, the countedPairs posture — cap hot window
+    // values the same way on viral boilerplate
+    val pairs = lists.select(explode(expr(
+      """flatten(transform(ms, a -> filter(transform(ms, b ->
+           IF(a.doc_id < b.doc_id,
+              struct(a.doc_id AS i, b.doc_id AS j,
+                     a.pos AS pi, b.pos AS pj),
+              CAST(NULL AS
+                struct<i:bigint,j:bigint,pi:int,pj:int>))),
+           x -> x IS NOT NULL)))""")).as("p"))
+      .select(col("p.i"), col("p.j"), col("p.pi"), col("p.pj"))
+    val wDiag = Window.partitionBy("i", "j", "diag").orderBy("pi")
+    val runs = pairs
+      .withColumn("diag", col("pi") - col("pj"))
+      .withColumn("island", col("pi") - row_number().over(wDiag))
+      .groupBy(col("i"), col("j"), col("diag"), col("island"))
+      .agg(count(lit(1)).as("len_wins"))
+    runs.groupBy(col("i"), col("j"))
+      .agg((max(col("len_wins")) + 7L).as("max_run_tokens"),
+        sum(col("len_wins")).as("n_shared_windows"))
+      .orderBy(col("max_run_tokens").desc, col("i").asc, col("j").asc)
+      .limit(20)
+  }
+
   def duplicatePassages(s: SparkSession, d: String): DataFrame = {
     val shp = Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))

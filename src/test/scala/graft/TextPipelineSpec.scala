@@ -143,4 +143,113 @@ class TextPipelineSpec extends AnyFunSuite {
         || col("max_idx") =!= floor((col("n") - 1) / 24))
     assert(idx.count() == 0)
   }
+
+  test("dedup_containment == driver-side shingle-set replay; C >= J on shared pairs") {
+    val got = graft.operators.LlmTextOps.dedupContainment(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(got.nonEmpty, "the near-copy tail must produce containment pairs")
+    // brute-force reference: raw string 3-shingle sets per doc
+    val sets = Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val toks = r.getString(1).split(" ")
+        r.getLong(0) -> toks.sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      }.toMap
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val want = (for {
+      (i, si) <- sets.toSeq; (j, sj) <- sets.toSeq
+      if i < j && si.nonEmpty && sj.nonEmpty
+      inter = (si & sj).size
+      c = r6d(inter.toDouble / math.min(si.size, sj.size))
+      if c >= 0.9
+    } yield (i, j) -> c).toMap
+    assert(got == want,
+      s"extra=${(got.keySet -- want.keySet).take(5)} " +
+        s"missing=${(want.keySet -- got.keySet).take(5)}")
+    // structural relation: containment dominates Jaccard, so every
+    // dedup_near pair must appear here with C >= its J
+    val near = graft.operators.LlmTextOps.dedupNear(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    near.foreach { case (k, jac) =>
+      assert(got.contains(k) && got(k) >= jac,
+        s"pair $k: J=$jac but containment ${got.get(k)}")
+    }
+  }
+
+  test("quality_gopher == driver-side rule replay; integer boundaries exact") {
+    val got = graft.operators.LlmTextOps.qualityGopher(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    assert(got.nonEmpty)
+    val stops = Set("the", "be", "to", "of", "and", "that", "have", "with")
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val want = Tables.documents(spark, d)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ")))
+      .groupBy(_._1).map { case (src, rows) =>
+        val flags = rows.map { case (_, toks) =>
+          val n = toks.length.toLong
+          val wchars = toks.map(_.length.toLong).sum
+          (n < 50 || n > 100000,
+            wchars < 3 * n || wchars > 10 * n,
+            10L * toks.count(_.exists(_.isLetter)) < 8 * n,
+            toks.toSet.intersect(stops).size < 2)
+        }
+        src -> (rows.length.toLong,
+          flags.count(_._1).toLong, flags.count(_._2).toLong,
+          flags.count(_._3).toLong, flags.count(_._4).toLong,
+          r6d(flags.count(f => !f._1 && !f._2 && !f._3 && !f._4).toDouble
+            / rows.length))
+      }
+    assert(got == want)
+    // the synthetic 10-100-token corpus must FAIL the 50-word minimum
+    // somewhere and PASS it somewhere — both branches exercised
+    val wc = got.values.map(_._2).sum
+    assert(wc > 0 && wc < got.values.map(_._1).sum,
+      s"word-count rule must split the corpus, failed $wc")
+  }
+
+  test("shared_substrings == driver-side suffix replay of the longest common run") {
+    val got = graft.operators.LlmTextOps.sharedSubstrings(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty, "the copy tail guarantees shared runs")
+    val toks = Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    // reference: longest common CONTIGUOUS token run via direct
+    // alignment scan (O(n·m) per pair — test-scale only), plus the
+    // aligned 8-window match count
+    def longestRun(a: Array[String], b: Array[String]): (Long, Long) = {
+      var best = 0
+      var shared = 0L
+      for (d0 <- -(b.length - 1) until a.length) {
+        var run = 0
+        for (ai <- math.max(0, d0) until a.length) {
+          val bi = ai - d0
+          if (bi >= 0 && bi < b.length) {
+            if (a(ai) == b(bi)) run += 1 else run = 0
+            if (run > best) best = run
+            // every position where an 8-run ends is one aligned
+            // 8-window match on this diagonal
+            if (run >= 8) shared += 1
+          }
+        }
+      }
+      (best.toLong, shared)
+    }
+    got.foreach { case (i, j, maxRun, nWins) =>
+      val (bestRef, winsRef) = longestRun(toks(i), toks(j))
+      assert(maxRun == bestRef && nWins == winsRef,
+        s"pair ($i,$j): got ($maxRun,$nWins) want ($bestRef,$winsRef)")
+    }
+    // descending by run length, ties by (i, j)
+    got.sliding(2).foreach { case Array(x, y) =>
+      assert(x._3 > y._3 ||
+        (x._3 == y._3 && (x._1 < y._1 || (x._1 == y._1 && x._2 < y._2))))
+    }
+    assert(got.length <= 20)
+  }
 }
