@@ -186,6 +186,8 @@ object SparkEntry {
     "component_stats"     -> (LlmTextOps.componentStats _),
     "degree_stats"        -> (LlmTextOps.degreeStats _),
     "triangle_count"      -> (LlmTextOps.triangleCount _),
+    "adamic_adar"         -> (RelationalOps.adamicAdar _),
+    "ccnet_buckets"       -> (LlmTextOps.ccnetBuckets _),
     "source_overlap"      -> (LlmTextOps.sourceOverlap _),
     "corpus_filter"       -> (LlmTextOps.corpusFilter _),
     "dedup_minhash"       -> (LlmTextOps.dedupMinhash _),
@@ -4153,6 +4155,74 @@ object SparkEntry {
                     / (COUNT(*) * 1000000.0)) * 1000000 + 0.5)
                   / 1000000 AS mean_surprisal
          FROM terms GROUP BY doc_id ORDER BY doc_id""",
+    // CCNet head/middle/tail: the token_surprisal CTE feeds a
+    // per-language ntile(3) under a total order (quantized score,
+    // then doc_id); bucket means re-sum the 1e-6-grid integers
+    "ccnet_buckets" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents),
+         dfq AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                 FROM toks GROUP BY 1),
+         n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         terms AS (SELECT t.doc_id,
+                CAST(floor(-ln(floor((CAST(df AS DOUBLE) / n_docs)
+                      * 1000000 + 0.5) / 1000000)
+                    * 1000000 + 0.5) AS BIGINT) AS term_q
+              FROM toks t JOIN dfq USING (token) CROSS JOIN n),
+         scores AS (SELECT doc_id,
+                floor((CAST(SUM(term_q) AS DOUBLE)
+                    / (COUNT(*) * 1000000.0)) * 1000000 + 0.5)
+                  / 1000000 AS ms
+              FROM terms GROUP BY 1),
+         dd AS (SELECT s.doc_id, d.lang, d.n_chars, s.ms,
+                ntile(3) OVER (PARTITION BY d.lang
+                               ORDER BY s.ms, s.doc_id) AS bucket,
+                CAST(floor(s.ms * 1000000 + 0.5) AS BIGINT) AS sq
+              FROM scores s JOIN documents d ON d.doc_id = s.doc_id),
+         agg AS (SELECT lang, bucket, COUNT(*) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+                CAST(SUM(sq) AS BIGINT) AS qsum,
+                MIN(ms) AS min_surprisal, MAX(ms) AS max_surprisal
+              FROM dd GROUP BY 1, 2)
+         SELECT lang,
+                CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+                n_docs, n_chars,
+                floor((CAST(qsum AS DOUBLE) / (n_docs * 1000000.0))
+                    * 1000000 + 0.5) / 1000000 AS mean_surprisal,
+                min_surprisal, max_surprisal
+         FROM agg ORDER BY 1, 2""",
+    // Adamic-Adar over the co-purchase graph: distinct per-order
+    // baskets, co>=2 support-floored edges, wedge self-join,
+    // quantized 1/ln(deg) weights, anti-join to non-edges, top-20
+    // under a total order
+    "adamic_adar" ->
+      """WITH d0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pr AS (SELECT a.l_partkey AS i, b.l_partkey AS j,
+                count(*) AS co
+                FROM d0 a JOIN d0 b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2),
+         np AS (SELECT i, j FROM pr WHERE co >= 2),
+         adj AS (SELECT i AS k, j AS nbr FROM np
+                 UNION ALL SELECT j AS k, i AS nbr FROM np),
+         deg AS (SELECT k, COUNT(*) AS dg FROM adj GROUP BY 1),
+         w AS (SELECT k, CAST(floor(1000000.0 / ln(CAST(dg AS DOUBLE))
+                    + 0.5) AS BIGINT) AS w
+               FROM deg WHERE dg >= 2),
+         wed AS (SELECT a.k, a.nbr AS i, b.nbr AS j
+                 FROM adj a JOIN adj b ON a.k = b.k AND a.nbr < b.nbr),
+         sc AS (SELECT wed.i, wed.j, CAST(SUM(w.w) AS BIGINT) AS wsum,
+                COUNT(*) AS n_common
+                FROM wed JOIN w ON w.k = wed.k GROUP BY 1, 2),
+         nonadj AS (SELECT sc.i, sc.j, sc.wsum, sc.n_common FROM sc
+                    LEFT JOIN np ON np.i = sc.i AND np.j = sc.j
+                    WHERE np.i IS NULL)
+         SELECT i AS part_a, j AS part_b, n_common,
+                floor((CAST(wsum AS DOUBLE) / 1000000.0) * 1000000 + 0.5)
+                  / 1000000 AS aa_score
+         FROM nonadj ORDER BY aa_score DESC, part_a, part_b LIMIT 20""",
     "freq_cms" -> LlmTextOps.freqCmsOracleSql,
     "decontaminate_fuzzy" -> LlmTextOps.decontaminateFuzzyOracleSql,
     "dedup_chunks" ->

@@ -32,6 +32,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * per-session (vs per-context) end event to hook. Long-lived
   * multi-session servers should call [[invalidate]] when retiring a
   * session.
+  *
+  * NESTING HAZARD: [[getOrBuild]] runs the builder inside
+  * `ConcurrentHashMap.computeIfAbsent`, so a builder that itself
+  * calls getOrBuild on the SAME session throws
+  * IllegalStateException("Recursive update"). Derived silvers must
+  * resolve their upstream silver BEFORE entering their own memo
+  * (see `RelationalOps.adamicAdar`'s basket hoist).
   */
 object SessionMemo {
   private val ids = java.util.Collections.synchronizedMap(

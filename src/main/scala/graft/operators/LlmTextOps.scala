@@ -2726,6 +2726,61 @@ object LlmTextOps {
       .orderBy("doc_id")
   }
 
+  /** `ccnet_buckets` — the CCNet head/middle/tail partition (Wenzek
+    * et al. 2020, "CCNet: Extracting High Quality Monolingual
+    * Datasets from Web Crawl Data"): per language, rank documents by
+    * LM score and cut the corpus into three equal buckets — `head`
+    * (most fluent / lowest score, kept for pretraining), `middle`,
+    * `tail` (usually dropped). The published pipeline scores with an
+    * external 5-gram KenLM; here the corpus's own unigram surprisal
+    * ([[tokenSurprisal]] — already the CCNet-style stand-in) is the
+    * ranking statistic, so the operator composes two existing gated
+    * stages instead of inventing a new score. Output per
+    * lang × bucket: doc and char mass plus the surprisal band — the
+    * table a curator reads to decide where to cut each language.
+    *
+    * Portability: bucket assignment is NTILE(3) under a TOTAL order
+    * (quantized surprisal, then doc_id — the `rfm_scores` posture),
+    * engine-agreed; the bucket's mean re-sums the 10⁻⁶-grid integer
+    * quantities order-free and divides once fenced; min/max compare
+    * grid values exactly.
+    *
+    * Scale shape: the surprisal stage's df join is the only corpus
+    * shuffle; ranking then runs per-LANGUAGE (the natural partition
+    * CCNet itself shards by — languages are few, so each window
+    * partition is |docs_lang|, and a 100 TB deployment swaps the
+    * exact ntile for `quantile_bins`' bounds-broadcast cut exactly
+    * as `rfm_scores` documents). Final aggregate is ≤ 3·|langs|.
+    */
+  def ccnetBuckets(s: SparkSession, d: String): DataFrame = {
+    val scores = tokenSurprisal(s, d)
+      .select(col("doc_id"), col("mean_surprisal"))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("mean_surprisal").asc, col("doc_id").asc)
+    scores.join(docs, Seq("doc_id"))
+      .withColumn("bucket", ntile(3).over(w))
+      .withColumn("sq",
+        floor(col("mean_surprisal") * lit(1000000.0) + lit(0.5))
+          .cast("long"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("sq")).as("qsum"),
+        min(col("mean_surprisal")).as("min_surprisal"),
+        max(col("mean_surprisal")).as("max_surprisal"))
+      .select(col("lang"),
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === 2, "middle")
+          .otherwise("tail").as("bucket"),
+        col("n_docs"), col("n_chars"),
+        r6(col("qsum").cast("double")
+          / (col("n_docs") * lit(1000000.0))).as("mean_surprisal"),
+        col("min_surprisal"), col("max_surprisal"))
+      .orderBy("lang", "bucket")
+  }
+
   /** Count-Min row-hash constants: 4 independent affine maps over
     * the portable token hash, mod-P then mod-width. The multipliers
     * are the xxhash32 primes already used as decorrelated hash

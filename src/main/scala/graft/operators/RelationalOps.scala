@@ -541,6 +541,86 @@ object RelationalOps {
       .orderBy(col("support").desc, col("part_a").asc, col("part_b").asc)
   }
 
+  /** `adamic_adar` — Adamic–Adar link prediction over the
+    * co-purchase graph (Adamic & Adar 2003, "Friends and neighbors
+    * on the Web"; the strongest unsupervised predictor in
+    * Liben-Nowell & Kleinberg 2007's link-prediction survey): nodes
+    * are parts, edges are part pairs co-ordered in ≥ 2 orders (the
+    * [[basketPairs]] pair stream with a support floor), and every
+    * NON-adjacent pair sharing a neighbor scores
+    * Σ_{k ∈ N(i)∩N(j)} 1/ln(deg k) — common co-purchase partners
+    * weighted inversely by their promiscuity, so two parts bridged
+    * by a niche item outrank two bridged by a bestseller everyone
+    * buys. Top-20 = "likely next co-purchases", the
+    * recommendation-candidate list [[itemNeighbors]]' co-count
+    * ranking feeds (AA re-ranks pairs that DON'T yet co-occur —
+    * the graphs' complement — which co-counts cannot score at all).
+    * (The near-dup document graph was measured and rejected as the
+    * substrate: shingle Jaccard on this corpus is bimodal, so every
+    * component is a complete clique and the non-adjacent wedge set
+    * is empty at every threshold — a vacuous gate.)
+    *
+    * Portability: a common neighbor has deg ≥ 2 by construction, so
+    * ln is never 0; each wedge term is quantized once —
+    * floor(10⁶/ln(deg)+0.5) as a 64-bit integer — summed order-free
+    * (the `token_surprisal` ln posture), one fenced division at
+    * presentation, and the top-20 cut rides a TOTAL order
+    * (grid score desc, then the pair).
+    *
+    * Scale shape: edges come off the memoized basket silver in one
+    * shuffle; wedges materialize per common neighbor as the oriented
+    * self-join of its adjacency — Σ C(deg k, 2) rows, the
+    * `triangle_count` wedge budget. The support floor is the dial
+    * that keeps the graph (and so the wedge volume) sparse as
+    * orders grow; bestseller hubs make wedge counts quadratic in
+    * THEIR degree only — at 100 TB cap per-hub adjacency (the
+    * hot-bucket-split posture) before the self-join. The top-20 is
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def adamicAdar(s: SparkSession, d: String): DataFrame = {
+    // the edge set is referenced FIVE times downstream (both adj
+    // branches, the degree fold, the wedge join's probe, the final
+    // anti-join) — without a silver each reference replays the full
+    // 8×|lineitem| pair explode; memoized it is one tiny (≤ |edges|)
+    // persisted frame (3.6k rows at sf0.1). Same conf + fingerprint
+    // lifecycle as the basket silver it derives from.
+    // resolve the basket silver BEFORE the edge memo's builder runs:
+    // nested getOrBuild on one session is a ConcurrentHashMap
+    // recursive update
+    val baskets = orderBaskets(s, d)
+    def buildE = graft.engine.Pairs.countedPairs(s,
+      baskets.where(size(col("ds")) > 1), "ds", "co",
+      graft.engine.Pairs.needsWideForm(Tables.lineitem(s, d), "l_partkey"))
+      .where(col("co") >= 2).select(col("i"), col("j"))
+    val e =
+      if (!s.conf.get("spark.graft.baskets.materialize", "true").toBoolean)
+        buildE
+      else graft.engine.SessionMemo.getOrBuild(s,
+        "copurchase_co2|" +
+          graft.engine.SessionMemo.tableFingerprint(d, "lineitem"))(buildE)
+    val adj = e.select(col("i").as("k"), col("j").as("nbr"))
+      .union(e.select(col("j").as("k"), col("i").as("nbr")))
+    // deg-1 nodes cannot close a wedge; filtering them BEFORE the
+    // quantized weight also keeps ln's argument ≥ 2 (ANSI mode would
+    // throw casting the 1/ln(1)=∞ weight)
+    val w = adj.groupBy(col("k")).agg(count(lit(1)).as("dg"))
+      .where(col("dg") >= 2)
+      .select(col("k"), floor(lit(1000000.0)
+        / log(col("dg").cast("double")) + lit(0.5)).cast("long").as("w"))
+    val wedges = adj.select(col("k"), col("nbr").as("i"))
+      .join(adj.select(col("k"), col("nbr").as("j")), Seq("k"))
+      .where(col("i") < col("j"))
+      .join(w, Seq("k"))
+    wedges.groupBy(col("i"), col("j"))
+      .agg(sum(col("w")).as("wsum"), count(lit(1)).as("n_common"))
+      .join(e, Seq("i", "j"), "left_anti")
+      .select(col("i").as("part_a"), col("j").as("part_b"),
+        col("n_common"),
+        r6(col("wsum").cast("double") / lit(1000000.0)).as("aa_score"))
+      .orderBy(col("aa_score").desc, col("part_a").asc, col("part_b").asc)
+      .limit(20)
+  }
+
   /** `ship_delay_stats` — order-to-ship latency distribution per
     * priority class: the fulfillment-SLA report card over the TPC-H
     * fact pair (does 1-URGENT actually ship faster?). Delay is an

@@ -324,4 +324,55 @@ class RelationalClassicsSpec extends AnyFunSuite {
     assert(got.map(_.getLong(0)).toSeq == winners)
     got.foreach(r => assert(r.getDouble(2) == mx.toDouble))
   }
+
+  test("adamic_adar == brute-force wedge replay over the co-purchase graph") {
+    val got = RelationalOps.adamicAdar(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got.nonEmpty, "the co>=2 graph must yield non-adjacent wedges")
+    val baskets = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.map(_.map(_._2))
+    val co = scala.collection.mutable.Map[(Long, Long), Int]()
+      .withDefaultValue(0)
+    baskets.foreach { ps =>
+      for (a <- ps; b <- ps if a < b) co((a, b)) += 1
+    }
+    // iterator first: Map.collect with a tuple-valued function
+    // rebuilds a MAP (deduping on the pair's first element)
+    val edges = co.iterator.collect { case (k, c) if c >= 2 => k }.toSet
+    val adjm = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) => adjm(a) += b; adjm(b) += a }
+    def w(k: Long): Long =
+      math.floor(1e6 / math.log(adjm(k).size.toDouble) + 0.5).toLong
+    val cand = scala.collection.mutable.Map[(Long, Long), (Long, Long)]()
+    adjm.foreach { case (k, nbrs) =>
+      if (nbrs.size >= 2) {
+        val ns = nbrs.toSeq.sorted
+        for (i <- ns; j <- ns if i < j) {
+          val (ws, nc) = cand.getOrElse((i, j), (0L, 0L))
+          cand((i, j)) = (ws + w(k), nc + 1L)
+        }
+      }
+    }
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val want = cand.toSeq.collect {
+      case ((i, j), (ws, nc)) if !edges((i, j)) =>
+        (i, j, nc, r6d(ws / 1e6))
+    }.sortBy { case (i, j, _, s) => (-s, i, j) }.take(20)
+    assert(got == want,
+      s"got ${got.take(3)}... want ${want.take(3)}...")
+    // every returned pair must NOT be an edge (it is a prediction)
+    got.foreach { case (i, j, _, _) => assert(!edges((i, j))) }
+    // the memoized co>=2 edge silver changes nothing but the plan
+    spark.conf.set("spark.graft.baskets.materialize", "false")
+    try {
+      val off = RelationalOps.adamicAdar(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      assert(off == got)
+    } finally spark.conf.set("spark.graft.baskets.materialize", "true")
+  }
 }

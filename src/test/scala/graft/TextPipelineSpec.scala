@@ -252,4 +252,48 @@ class TextPipelineSpec extends AnyFunSuite {
     }
     assert(got.length <= 20)
   }
+
+  test("ccnet_buckets == driver-side ntile replay over token_surprisal; bands ordered") {
+    val got = LlmTextOps.ccnetBuckets(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6))).toMap
+    assert(got.nonEmpty)
+    val scores = LlmTextOps.tokenSurprisal(spark, d)
+      .select(col("doc_id"), col("mean_surprisal")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val names = Array("head", "middle", "tail")
+    val want = docs.groupBy(_._2).flatMap { case (lang, rows) =>
+      val ordered = rows.sortBy(r => (scores(r._1), r._1))
+      val n = ordered.length
+      val sizes = Array.tabulate(3)(b => n / 3 + (if (b < n % 3) 1 else 0))
+      val bounds = sizes.scanLeft(0)(_ + _)
+      (0 until 3).filter(b => sizes(b) > 0).map { b =>
+        val slice = ordered.slice(bounds(b), bounds(b + 1))
+        val qs = slice.map(r =>
+          math.floor(scores(r._1) * 1e6 + 0.5).toLong)
+        (lang, names(b)) -> (slice.length.toLong,
+          slice.map(_._3).sum,
+          r6d(qs.sum.toDouble / (slice.length * 1e6)),
+          slice.map(r => scores(r._1)).min,
+          slice.map(r => scores(r._1)).max)
+      }
+    }
+    assert(got == want,
+      s"diff=${(got.toSet -- want.toSet).take(3)}")
+    // the bands tile the score axis in order: head.max <= middle.min
+    // <= middle.max <= tail.min within every language
+    got.keys.map(_._1).toSet.foreach { lang: String =>
+      for (Seq(a, b) <- names.toSeq.sliding(2)) {
+        (got.get((lang, a)), got.get((lang, b))) match {
+          case (Some(x), Some(y)) => assert(x._5 <= y._4 + 1e-12)
+          case _ =>
+        }
+      }
+    }
+  }
 }
