@@ -258,35 +258,74 @@ object LlmTextOps {
     dedupNearPairs(s, d).orderBy("i", "j")
 
   /** The near-dup pair set WITHOUT the final presentation sort. */
-  /** The verified ≥ 0.8 near-dup pair stream, memoized per (session,
-    * canonical corpus dir) as a PERSISTED frame when
-    * `spark.graft.neardup.materialize` is true (default). Seven
+  /** The verified ≥ 0.8 near-dup pair stream: a Jaccard filter over
+    * the [[cooccurPairs]] co-occurrence silver (or its uncached twin
+    * when `spark.graft.neardup.materialize` is false). Seven
     * downstream operators consume this exact pair set (pairs,
     * survivors, components, the capstone filter, the size/degree
-    * histograms, the auto route) — recomputing the tokenize + shingle
-    * + pair-verify core for each is exactly what a production
-    * pipeline doesn't do: it writes the pair silver once and every
-    * consumer reads it (the `CorpusSilver` posture; the ANN index
-    * conf is the same dial on the vector side). The persisted frame
-    * is the POST-threshold pair set — tiny relative to the corpus
-    * (hundreds of 24-byte rows at bench scale), so the cache cost is
-    * negligible at any sf. Lifecycle and rewrite-invalidation ride
-    * [[graft.engine.SessionMemo]] (unpersist on context stop or
-    * explicit invalidate; a documents table rewritten in-session
-    * keys a fresh build instead of serving stale pairs — the old
-    * WeakHashMap staleness caveat is closed). Conf OFF recomputes
-    * per call — FeatureOpsSpec pins ON == OFF.
+    * histograms, the auto route), so the POST-threshold result keeps
+    * its own memo layer — hundreds of 24-byte rows vs the raw
+    * silver's ~1.1M, so consumers skip even the filter scan. The
+    * upstream silver is resolved BEFORE entering this memo (the
+    * SessionMemo nesting hazard). FeatureOpsSpec pins conf
+    * ON == OFF.
     */
   private[graft] def dedupNearPairs(s: SparkSession, d: String): DataFrame = {
+    def filt(co: DataFrame): DataFrame = co
+      .withColumn("jaccard",
+        r6(col("inter") / (col("sz_i") + col("sz_j") - col("inter"))))
+      .where(col("jaccard") >= 0.8)
+      .select("i", "j", "jaccard")
     if (!s.conf.get("spark.graft.neardup.materialize", "true").toBoolean)
-      return dedupNearPairsUncached(s, d)
+      return filt(cooccurPairsUncached(s, d))
+    val co = cooccurPairs(s, d)
     graft.engine.SessionMemo.getOrBuild(s,
       "neardup_pairs|" +
-        graft.engine.SessionMemo.tableFingerprint(d, "documents"))(
-      dedupNearPairsUncached(s, d))
+        graft.engine.SessionMemo.tableFingerprint(d, "documents"))(filt(co))
   }
 
   private[graft] def dedupNearPairsUncached(s: SparkSession,
+      d: String): DataFrame =
+    cooccurPairsUncached(s, d)
+      .withColumn("jaccard",
+        r6(col("inter") / (col("sz_i") + col("sz_j") - col("inter"))))
+      .where(col("jaccard") >= 0.8)
+      .select("i", "j", "jaccard")
+
+  /** The PRE-threshold co-occurrence pair stream — every doc pair
+    * sharing at least one 3-shingle hash, with the intersection count
+    * and both set sizes: `(i, j, inter, sz_i, sz_j)`. This is the
+    * shared expensive core of BOTH exact near-dup statistics —
+    * symmetric Jaccard ([[dedupNear]], threshold on
+    * inter/(szi+szj−inter)) and asymmetric containment
+    * ([[dedupContainment]], threshold on inter/min(szi,szj)) — so the
+    * tokenize + shingle + posting-list + packed-pair pass runs ONCE
+    * per (session, corpus) and every formulation filters the memoized
+    * result (the `CorpusSilver` posture; the ANN index conf is the
+    * same dial on the vector side). Memoized PERSISTED per (session,
+    * corpus fingerprint) when `spark.graft.neardup.materialize` is
+    * true (default); lifecycle and rewrite-invalidation ride
+    * [[graft.engine.SessionMemo]].
+    *
+    * Cache mass: the raw co-occurrence set is bounded by
+    * Σ C(list, 2) over posting lists (~40 bytes/row) — measured
+    * 1.13M rows (~45 MB persisted) at sf0.1, cheap on any executor.
+    * At 100 TB this pre-threshold stream is exactly the quadratic
+    * object the prefix/LSH routes exist to avoid materializing —
+    * there the conf goes OFF (or the [[dedupNearPrefix]] /
+    * banded-MinHash paths take over) and each consumer streams its
+    * own filtered pass.
+    */
+  private[graft] def cooccurPairs(s: SparkSession, d: String): DataFrame = {
+    if (!s.conf.get("spark.graft.neardup.materialize", "true").toBoolean)
+      return cooccurPairsUncached(s, d)
+    graft.engine.SessionMemo.getOrBuild(s,
+      "cooccur_pairs|" +
+        graft.engine.SessionMemo.tableFingerprint(d, "documents"))(
+      cooccurPairsUncached(s, d))
+  }
+
+  private[graft] def cooccurPairsUncached(s: SparkSession,
       d: String): DataFrame = {
     val hashed = shingleHashSets(s, d)
     // sizes map-side from the hash array: with the compiled expression
@@ -325,10 +364,7 @@ object LlmTextOps {
         sizes.select(col("doc_id").as("i"), col("sz").as("sz_i"))), Seq("i"))
       .join(broadcast(
         sizes.select(col("doc_id").as("j"), col("sz").as("sz_j"))), Seq("j"))
-      .withColumn("jaccard",
-        r6(col("inter") / (col("sz_i") + col("sz_j") - col("inter"))))
-      .where(col("jaccard") >= 0.8)
-      .select("i", "j", "jaccard")
+      .select("i", "j", "inter", "sz_i", "sz_j")
   }
 
   /** `dedup_containment` — ASYMMETRIC near-dup: containment
@@ -337,10 +373,12 @@ object LlmTextOps {
     * boilerplate-wrapped / superset-copy class that symmetric Jaccard
     * structurally misses (a doc fully contained in a 10× longer doc
     * has J ≈ 0.1 but C = 1.0). Standard member of the published
-    * dedup suites next to MinHash-Jaccard; same exact posting-list +
-    * packed-pair machinery as [[dedupNear]], different denominator
-    * and threshold — so the pair stream, not the formula, is the
-    * scale unit.
+    * dedup suites next to MinHash-Jaccard; literally the SAME pair
+    * stream as [[dedupNear]] — both are one-column filters over the
+    * [[cooccurPairs]] co-occurrence silver, so the tokenize + shingle
+    * + posting-list pass is paid once per session, not once per
+    * statistic (measured 1.96 s → ~0.1 s at sf0.1 once the silver is
+    * warm).
     *
     * Scale: at 100 TB apply the containment variant of the prefix
     * principle — only the SMALLER set's (k − ⌈τ·k⌉ + 1)-prefix needs
@@ -349,29 +387,13 @@ object LlmTextOps {
     * posting lists with the banded-MinHash source the way
     * `dedup_components` routes.
     */
-  def dedupContainment(s: SparkSession, d: String): DataFrame = {
-    val hashed = shingleHashSets(s, d)
-    val sizes = hashed
-      .select(col("doc_id"), size(col("hs")).cast("long").as("sz"))
-    val wide = graft.engine.Pairs.needsWideForm(
-      Tables.documents(s, d), "doc_id")
-    val lists = hashed
-      .select(col("doc_id"), explode(col("hs")).as("shh"))
-      .groupBy(col("shh"))
-      .agg(collect_list(col("doc_id")).as("ds"))
-      .where(size(col("ds")) > 1)
-    val inter = graft.engine.Pairs.countedPairs(s, lists, "ds", "inter", wide)
-    inter
-      .join(broadcast(
-        sizes.select(col("doc_id").as("i"), col("sz").as("sz_i"))), Seq("i"))
-      .join(broadcast(
-        sizes.select(col("doc_id").as("j"), col("sz").as("sz_j"))), Seq("j"))
+  def dedupContainment(s: SparkSession, d: String): DataFrame =
+    cooccurPairs(s, d)
       .withColumn("containment",
         r6(col("inter") / least(col("sz_i"), col("sz_j"))))
       .where(col("containment") >= 0.9)
       .select(col("i"), col("j"), col("containment"))
       .orderBy("i", "j")
-  }
 
   /** Prefix-filtered exact near-dup join (Chaudhuri et al. SSJoin /
     * Bayardo et al. AllPairs / Xiao et al. PPJoin) — IDENTICAL output

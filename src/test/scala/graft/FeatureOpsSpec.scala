@@ -396,13 +396,19 @@ class FeatureOpsSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
       val compOff = LlmTextOps.dedupComponents(s, TestSpark.sf001).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val contOff = LlmTextOps.dedupContainment(s, TestSpark.sf001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
       s.conf.set(conf, "true")
       val pairsOn = LlmTextOps.dedupNear(s, TestSpark.sf001).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
       val compOn = LlmTextOps.dedupComponents(s, TestSpark.sf001).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val contOn = LlmTextOps.dedupContainment(s, TestSpark.sf001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
       assert(pairsOn == pairsOff)
       assert(compOn == compOff)
+      assert(contOn == contOff,
+        "containment rides the shared co-occurrence silver: ON == OFF")
     } finally {
       prev match {
         case Some(v) => s.conf.set(conf, v)
