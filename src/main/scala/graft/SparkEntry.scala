@@ -100,6 +100,13 @@ object SparkEntry {
     "stochastic_oscillator"    -> (AnalyticOps.stochasticOscillator _),
     "rsi_indicator"            -> (AnalyticOps.rsiIndicator _),
     "ab_test_z"                -> (AnalyticOps.abTestZ _),
+    "welch_t_test"             -> (AnalyticOps.welchTTest _),
+    "mann_whitney"             -> (AnalyticOps.mannWhitney _),
+    "spearman_corr"            -> (AnalyticOps.spearmanCorr _),
+    "chi2_independence"        -> (AnalyticOps.chi2Independence _),
+    "anova_oneway"             -> (AnalyticOps.anovaOneway _),
+    "sequence_entropy"         -> (AnalyticOps.sequenceEntropy _),
+    "hurst_exponent"           -> (AnalyticOps.hurstExponent _),
     "gini_concentration"       -> (LlmTextOps.giniConcentration _),
     "zipf_slope"               -> (LlmTextOps.zipfSlope _),
     "bootstrap_ci"             -> (AnalyticOps.bootstrapCi _),
@@ -187,6 +194,7 @@ object SparkEntry {
     "degree_stats"        -> (LlmTextOps.degreeStats _),
     "triangle_count"      -> (LlmTextOps.triangleCount _),
     "adamic_adar"         -> (RelationalOps.adamicAdar _),
+    "clustering_coeff"    -> (RelationalOps.clusteringCoeff _),
     "ccnet_buckets"       -> (LlmTextOps.ccnetBuckets _),
     "source_overlap"      -> (LlmTextOps.sourceOverlap _),
     "corpus_filter"       -> (LlmTextOps.corpusFilter _),
@@ -2300,6 +2308,312 @@ object SparkEntry {
                       + 1.0 / CAST(n_b AS DOUBLE))), 0.0)
                   * 1000000.0 + 0.5) / 1000000.0 AS z_score
          FROM a""",
+    // Welch t: exact centi-integer moments per arm, then the written
+    // IEEE sequence for mean/var/t/df mirrored operation-for-operation
+    "welch_t_test" ->
+      """WITH g AS (SELECT event_type,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(c) AS BIGINT) AS sc,
+                CAST(SUM(c * c) AS BIGINT) AS sc2
+              FROM (SELECT event_type,
+                      CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+                    FROM events)
+              GROUP BY 1),
+         b AS (SELECT n AS n_view, sc AS sc_v, sc2 AS sc2_v FROM g
+               WHERE event_type = 'view'),
+         k AS (SELECT g.event_type, g.n, b.n_view, b.sc_v, b.sc2_v,
+                CAST(g.sc AS DOUBLE)
+                  / (100.0 * CAST(g.n AS DOUBLE)) AS ma,
+                CAST(b.sc_v AS DOUBLE)
+                  / (100.0 * CAST(b.n_view AS DOUBLE)) AS mb,
+                (CAST(g.sc2 AS DOUBLE) / 10000.0
+                   - (CAST(g.sc AS DOUBLE) / 100.0)
+                     * (CAST(g.sc AS DOUBLE) / 100.0)
+                     / CAST(g.n AS DOUBLE))
+                  / (CAST(g.n AS DOUBLE) - 1.0) AS va,
+                (CAST(b.sc2_v AS DOUBLE) / 10000.0
+                   - (CAST(b.sc_v AS DOUBLE) / 100.0)
+                     * (CAST(b.sc_v AS DOUBLE) / 100.0)
+                     / CAST(b.n_view AS DOUBLE))
+                  / (CAST(b.n_view AS DOUBLE) - 1.0) AS vb
+              FROM g CROSS JOIN b WHERE g.event_type <> 'view'),
+         m AS (SELECT *, va / CAST(n AS DOUBLE) AS sa,
+                vb / CAST(n_view AS DOUBLE) AS sb
+              FROM k)
+         SELECT event_type, n, n_view,
+                floor(ma * 1000000.0 + 0.5) / 1000000.0 AS mean,
+                floor(mb * 1000000.0 + 0.5) / 1000000.0 AS mean_view,
+                floor(va * 1000000.0 + 0.5) / 1000000.0 AS var_grp,
+                floor(vb * 1000000.0 + 0.5) / 1000000.0 AS var_view,
+                floor((ma - mb) / sqrt(sa + sb) * 1000000.0 + 0.5)
+                  / 1000000.0 AS t_stat,
+                floor((sa + sb) * (sa + sb)
+                    / (sa * sa / (CAST(n AS DOUBLE) - 1.0)
+                      + sb * sb / (CAST(n_view AS DOUBLE) - 1.0))
+                    * 1000000.0 + 0.5) / 1000000.0 AS df
+         FROM m ORDER BY event_type""",
+    // Mann-Whitney U: tie-averaged ranks carried doubled as exact
+    // integers off one running count over the centi value grid
+    "mann_whitney" ->
+      """WITH rows0 AS (SELECT
+                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                  AS is_a,
+                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+              FROM events WHERE event_type IN ('purchase', 'click')),
+         byval AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS t,
+                CAST(SUM(is_a) AS BIGINT) AS ta
+              FROM rows0 GROUP BY 1),
+         ranked AS (SELECT t, ta,
+                SUM(t) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS cum
+              FROM byval),
+         folded AS (SELECT CAST(SUM(ta) AS BIGINT) AS n_a,
+                CAST(SUM(t) AS BIGINT) AS n,
+                CAST(SUM(ta * (2 * (cum - t) + t + 1)) AS BIGINT) AS r2a,
+                CAST(SUM(t * t * t - t) AS BIGINT) AS tie3
+              FROM ranked),
+         kk AS (SELECT n_a, n - n_a AS n_b, n, tie3,
+                CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u
+              FROM folded),
+         mm AS (SELECT *,
+                CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0 AS mu,
+                CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+                  * ((CAST(n AS DOUBLE) + 1.0) - CAST(tie3 AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                  AS sig2
+              FROM kk)
+         SELECT n_a, n_b,
+                floor(u * 1000000.0 + 0.5) / 1000000.0 AS u_stat,
+                floor((u - mu) / sqrt(sig2) * 1000000.0 + 0.5)
+                  / 1000000.0 AS z_score,
+                floor((1.0 - 2.0 * u
+                    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+                    * 1000000.0 + 0.5) / 1000000.0 AS rank_biserial
+         FROM mm""",
+    // Spearman rho: the mann_whitney doubled-rank trick per symbol on
+    // both value grids, exact integer moments, one IEEE combine
+    "spearman_corr" ->
+      """WITH rows0 AS (SELECT event_type AS symbol,
+                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+                COALESCE(TRY_CAST(json_extract_string(props, '$.k')
+                  AS BIGINT), 0) AS v
+              FROM events),
+         rc AS (SELECT symbol, c,
+                2 * (SUM(t) OVER (PARTITION BY symbol ORDER BY c
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - t) + t + 1 AS rc
+              FROM (SELECT symbol, c, CAST(COUNT(*) AS BIGINT) AS t
+                    FROM rows0 GROUP BY 1, 2)),
+         rv AS (SELECT symbol, v,
+                2 * (SUM(t) OVER (PARTITION BY symbol ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - t) + t + 1 AS rv
+              FROM (SELECT symbol, v, CAST(COUNT(*) AS BIGINT) AS t
+                    FROM rows0 GROUP BY 1, 2)),
+         m AS (SELECT r.symbol, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(rc.rc) AS BIGINT) AS sx,
+                CAST(SUM(rv.rv) AS BIGINT) AS sy,
+                CAST(SUM(rc.rc * rv.rv) AS BIGINT) AS sxy,
+                CAST(SUM(rc.rc * rc.rc) AS BIGINT) AS sxx,
+                CAST(SUM(rv.rv * rv.rv) AS BIGINT) AS syy
+              FROM rows0 r
+              JOIN rc ON rc.symbol = r.symbol AND rc.c = r.c
+              JOIN rv ON rv.symbol = r.symbol AND rv.v = r.v
+              GROUP BY 1)
+         SELECT symbol, n,
+                floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                  * 1000000.0 + 0.5) / 1000000.0 AS rho
+         FROM m ORDER BY symbol""",
+    // chi2 independence: integer contingency cells, per-cell (O-E)^2/E
+    // quantized to the 1e-6 grid and summed order-free
+    "chi2_independence" ->
+      """WITH cells AS (SELECT lang, source,
+                CAST(COUNT(*) AS BIGINT) AS o
+              FROM documents GROUP BY 1, 2),
+         rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rt
+                FROM cells GROUP BY 1),
+         ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ct
+                FROM cells GROUP BY 1),
+         tot AS (SELECT CAST(SUM(o) AS BIGINT) AS nn FROM cells),
+         q AS (SELECT cells.lang, cells.source, cells.o, tot.nn,
+                CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)
+                  / CAST(tot.nn AS DOUBLE) AS e
+              FROM cells JOIN rt USING (lang) JOIN ct USING (source)
+              CROSS JOIN tot),
+         qq AS (SELECT lang, source, nn,
+                CAST(floor((CAST(o AS DOUBLE) - e)
+                  * (CAST(o AS DOUBLE) - e) / e * 1000000.0 + 0.5)
+                  AS BIGINT) AS contrib_q
+              FROM q),
+         f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+                CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+                MAX(nn) AS n_docs,
+                CAST(SUM(contrib_q) AS BIGINT) AS qsum
+              FROM qq)
+         SELECT n_docs, n_cells,
+                (n_langs - 1) * (n_sources - 1) AS dof,
+                floor(CAST(qsum AS DOUBLE) / 1000000.0 * 1000000.0
+                  + 0.5) / 1000000.0 AS chi2,
+                floor(sqrt(CAST(qsum AS DOUBLE) / 1000000.0
+                    / (CAST(n_docs AS DOUBLE)
+                      * CAST(LEAST(n_langs - 1, n_sources - 1)
+                        AS DOUBLE))) * 1000000.0 + 0.5)
+                  / 1000000.0 AS cramers_v
+         FROM f""",
+    // one-way ANOVA: exact centi moments per arm, per-group SS
+    // contributions quantized to the 1e-6 grid, summed order-free
+    "anova_oneway" ->
+      """WITH g AS (SELECT event_type,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(c) AS BIGINT) AS sc,
+                CAST(SUM(c * c) AS BIGINT) AS sc2
+              FROM (SELECT event_type,
+                      CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+                    FROM events)
+              GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                CAST(SUM(sc) AS BIGINT) AS scc,
+                CAST(COUNT(*) AS BIGINT) AS k
+              FROM g),
+         q AS (SELECT g.n, g.sc, g.sc2, tot.nn, tot.scc, tot.k,
+                CAST(g.sc AS DOUBLE)
+                  / (100.0 * CAST(g.n AS DOUBLE)) AS mg,
+                CAST(tot.scc AS DOUBLE)
+                  / (100.0 * CAST(tot.nn AS DOUBLE)) AS mm
+              FROM g CROSS JOIN tot),
+         qq AS (SELECT nn, k,
+                CAST(floor(CAST(n AS DOUBLE) * (mg - mm) * (mg - mm)
+                  * 1000000.0 + 0.5) AS BIGINT) AS ssb_q,
+                CAST(floor((CAST(sc2 AS DOUBLE) / 10000.0
+                  - (CAST(sc AS DOUBLE) / 100.0)
+                    * (CAST(sc AS DOUBLE) / 100.0)
+                    / CAST(n AS DOUBLE)) * 1000000.0 + 0.5)
+                  AS BIGINT) AS ssw_q
+              FROM q),
+         f AS (SELECT MAX(nn) AS n_total, MAX(k) AS k_groups,
+                CAST(SUM(ssb_q) AS BIGINT) AS ssbq,
+                CAST(SUM(ssw_q) AS BIGINT) AS sswq
+              FROM qq)
+         SELECT n_total, k_groups,
+                k_groups - 1 AS df_between,
+                n_total - k_groups AS df_within,
+                floor(CAST(ssbq AS DOUBLE) / 1000000.0 * 1000000.0 + 0.5)
+                  / 1000000.0 AS ss_between,
+                floor(CAST(sswq AS DOUBLE) / 1000000.0 * 1000000.0 + 0.5)
+                  / 1000000.0 AS ss_within,
+                floor((CAST(ssbq AS DOUBLE) / 1000000.0
+                    / (CAST(k_groups AS DOUBLE) - 1.0))
+                  / (CAST(sswq AS DOUBLE) / 1000000.0
+                    / (CAST(n_total AS DOUBLE)
+                      - CAST(k_groups AS DOUBLE)))
+                  * 1000000.0 + 0.5) / 1000000.0 AS f_stat,
+                floor(CAST(ssbq AS DOUBLE)
+                  / (CAST(ssbq AS DOUBLE) + CAST(sswq AS DOUBLE))
+                  * 1000000.0 + 0.5) / 1000000.0 AS eta_sq
+         FROM f""",
+    // Markov entropy rate: integer transition cells off the per-user
+    // lag, per-cell ln terms quantized 1e-6 and summed order-free
+    "sequence_entropy" ->
+      """WITH tr AS (SELECT prev_type AS from_type,
+                event_type AS to_type, CAST(COUNT(*) AS BIGINT) AS n
+              FROM (SELECT event_type,
+                      lag(event_type) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS prev_type
+                    FROM events)
+              WHERE prev_type IS NOT NULL
+              GROUP BY 1, 2),
+         marg AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS ni
+                  FROM tr GROUP BY 1),
+         tot AS (SELECT CAST(SUM(ni) AS BIGINT) AS nn,
+                CAST(COUNT(*) AS BIGINT) AS n_states
+              FROM marg),
+         hc AS (SELECT CAST(SUM(CAST(floor(CAST(tr.n AS DOUBLE)
+                  / CAST(tot.nn AS DOUBLE)
+                  * ln(CAST(marg.ni AS DOUBLE) / CAST(tr.n AS DOUBLE))
+                  * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS hq
+              FROM tr JOIN marg USING (from_type) CROSS JOIN tot),
+         hm AS (SELECT MAX(tot.nn) AS nn, MAX(tot.n_states) AS n_states,
+                CAST(SUM(CAST(floor(CAST(marg.ni AS DOUBLE)
+                  / CAST(tot.nn AS DOUBLE)
+                  * ln(CAST(tot.nn AS DOUBLE) / CAST(marg.ni AS DOUBLE))
+                  * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS h0q
+              FROM marg CROSS JOIN tot)
+         SELECT hm.nn AS n_transitions, hm.n_states,
+                floor(CAST(hc.hq AS DOUBLE) / 1000000.0 / ln(2.0)
+                  * 1000000.0 + 0.5) / 1000000.0 AS h_rate_bits,
+                floor(CAST(hm.h0q AS DOUBLE) / 1000000.0 / ln(2.0)
+                  * 1000000.0 + 0.5) / 1000000.0 AS h_marginal_bits,
+                floor(CAST(hm.h0q - hc.hq AS DOUBLE) / 1000000.0
+                  / ln(2.0) * 1000000.0 + 0.5) / 1000000.0
+                  AS info_gain_bits
+         FROM hm CROSS JOIN hc""",
+    // Hurst R/S: per-block integer Z' = m*runsum - t*sum makes R/S =
+    // (maxZ'-minZ')/sqrt(m*sc2-sc^2) exactly; block values quantized
+    // 1e-6, averaged per size, log-log slope over m in {8,32,128}
+    "hurst_exponent" ->
+      """WITH base AS (SELECT event_type AS symbol, event_id,
+                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+                CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                  ORDER BY ts, event_id) AS BIGINT) AS rn
+              FROM events),
+         np AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_ticks
+                FROM base GROUP BY 1),
+         ex AS (SELECT b.symbol, b.c, np.n_ticks, m.m,
+                CAST(floor((b.rn - 1) / m.m) AS BIGINT) AS blk,
+                (b.rn - 1) % m.m + 1 AS t
+              FROM base b JOIN np USING (symbol)
+              CROSS JOIN (VALUES (CAST(8 AS BIGINT)),
+                (CAST(32 AS BIGINT)), (CAST(128 AS BIGINT))) m(m)
+              WHERE b.rn <= m.m * floor(np.n_ticks / m.m)),
+         win AS (SELECT symbol, m, blk, t, c, n_ticks,
+                CAST(SUM(c) OVER (PARTITION BY symbol, m, blk
+                  ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS BIGINT) AS runc,
+                CAST(SUM(c) OVER (PARTITION BY symbol, m, blk)
+                  AS BIGINT) AS scb
+              FROM ex),
+         bs AS (SELECT symbol, m, blk,
+                MAX(m * runc - t * scb) AS zmax,
+                MIN(m * runc - t * scb) AS zmin,
+                CAST(SUM(c) AS BIGINT) AS sc,
+                CAST(SUM(c * c) AS BIGINT) AS sc2,
+                MAX(n_ticks) AS n_ticks
+              FROM win GROUP BY 1, 2, 3),
+         rs AS (SELECT symbol, m, n_ticks,
+                CAST(floor(CAST(zmax - zmin AS DOUBLE)
+                  / sqrt(CAST(m * sc2 - sc * sc AS DOUBLE))
+                  * 1000000.0 + 0.5) AS BIGINT) AS rs_q
+              FROM bs WHERE m * sc2 - sc * sc > 0),
+         bysz AS (SELECT symbol, m, CAST(COUNT(*) AS BIGINT) AS nb,
+                CAST(SUM(rs_q) AS BIGINT) AS rsq,
+                MAX(n_ticks) AS n_ticks
+              FROM rs GROUP BY 1, 2),
+         mn AS (SELECT symbol, m, nb, n_ticks,
+                CAST(rsq AS DOUBLE)
+                  / (CAST(nb AS DOUBLE) * 1000000.0) AS rs_mean
+              FROM bysz),
+         piv AS (SELECT symbol, MAX(n_ticks) AS n_ticks,
+                MAX(CASE WHEN m = 8 THEN nb END) AS nb_8,
+                MAX(CASE WHEN m = 32 THEN nb END) AS nb_32,
+                MAX(CASE WHEN m = 128 THEN nb END) AS nb_128,
+                MAX(CASE WHEN m = 8 THEN rs_mean END) AS rs8_raw,
+                MAX(CASE WHEN m = 32 THEN rs_mean END) AS rs32_raw,
+                MAX(CASE WHEN m = 128 THEN rs_mean END) AS rs128_raw
+              FROM mn GROUP BY 1)
+         SELECT symbol, n_ticks, nb_8, nb_32, nb_128,
+                floor(rs8_raw * 1000000.0 + 0.5) / 1000000.0 AS rs_8,
+                floor(rs32_raw * 1000000.0 + 0.5) / 1000000.0 AS rs_32,
+                floor(rs128_raw * 1000000.0 + 0.5) / 1000000.0 AS rs_128,
+                floor((ln(rs128_raw) - ln(rs8_raw))
+                  / (ln(128.0) - ln(8.0)) * 1000000.0 + 0.5)
+                  / 1000000.0 AS hurst
+         FROM piv ORDER BY symbol""",
     // per-source token-frequency Gini: pure-integer numerator and
     // denominator over ascending (count, token) ranks, one division
     "gini_concentration" ->
@@ -4223,6 +4537,36 @@ object SparkEntry {
                 floor((CAST(wsum AS DOUBLE) / 1000000.0) * 1000000 + 0.5)
                   / 1000000 AS aa_score
          FROM nonadj ORDER BY aa_score DESC, part_a, part_b LIMIT 20""",
+    // local clustering coefficient on the same co>=2 co-purchase
+    // edge set: integer wedge/triangle counts, one fenced division
+    "clustering_coeff" ->
+      """WITH d0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pr AS (SELECT a.l_partkey AS i, b.l_partkey AS j,
+                count(*) AS co
+                FROM d0 a JOIN d0 b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2),
+         np AS (SELECT i, j FROM pr WHERE co >= 2),
+         adj AS (SELECT i AS k, j AS nbr FROM np
+                 UNION ALL SELECT j AS k, i AS nbr FROM np),
+         deg AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS degree
+                 FROM adj GROUP BY 1),
+         tri AS (SELECT w.k, CAST(COUNT(*) AS BIGINT) AS triangles
+                 FROM (SELECT a.k, a.nbr AS i, b.nbr AS j
+                       FROM adj a JOIN adj b
+                         ON a.k = b.k AND a.nbr < b.nbr) w
+                 JOIN np ON np.i = w.i AND np.j = w.j
+                 GROUP BY 1)
+         SELECT deg.k AS part, deg.degree,
+                COALESCE(tri.triangles, 0) AS triangles,
+                floor(2.0 * CAST(COALESCE(tri.triangles, 0) AS DOUBLE)
+                  / (CAST(deg.degree AS DOUBLE)
+                    * (CAST(deg.degree AS DOUBLE) - 1.0))
+                  * 1000000.0 + 0.5) / 1000000.0 AS local_cc
+         FROM deg LEFT JOIN tri ON tri.k = deg.k
+         WHERE deg.degree >= 2
+         ORDER BY local_cc DESC, deg.degree DESC, part LIMIT 20""",
     "freq_cms" -> LlmTextOps.freqCmsOracleSql,
     "decontaminate_fuzzy" -> LlmTextOps.decontaminateFuzzyOracleSql,
     "dedup_chunks" ->

@@ -2527,4 +2527,446 @@ object AnalyticOps {
           / col("n_ape").cast("double")).as("mape_pct"))
       .orderBy("symbol")
   }
+
+  /** `welch_t_test` — Welch's unequal-variance t-test (Welch 1947)
+    * of each event stream's value distribution against the `view`
+    * baseline: the mean-difference companion to [[abTestZ]]'s
+    * proportion test, and the form every experimentation platform
+    * defaults to because pooled-variance Student's t silently assumes
+    * equal spread. Per non-baseline event_type: both sample sizes,
+    * means, ddof-1 variances, the t statistic, and the
+    * Welch–Satterthwaite effective degrees of freedom.
+    *
+    * Portability: values live on the exact centi grid (2-dp data),
+    * so n, Σc, Σc² are exact integers; every downstream quantity is
+    * ONE written IEEE op sequence over those integers (each op
+    * correctly rounded ⇒ both engines produce bit-identical doubles
+    * — the [[abTestZ]] posture), fenced on the 6-dp grid only at the
+    * output. Σc² stays < 2⁵³ (exact as a double) until ~10¹¹ rows
+    * per arm at this price range — document-and-swap to a decimal
+    * fold past that.
+    *
+    * Scale shape: ONE map-side-combined aggregate to |event_type|
+    * rows, then a broadcast of the 1-row baseline. No other shuffle
+    * at any corpus size.
+    */
+  def welchTTest(s: SparkSession, d: String): DataFrame = {
+    val g = Tables.events(s, d)
+      .select(col("event_type"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("sc2"))
+    def mean(n: String, sc: String) =
+      col(sc).cast("double") / (lit(100.0) * col(n).cast("double"))
+    def variance(n: String, sc: String, sc2: String) =
+      ((col(sc2).cast("double") / lit(10000.0)
+        - (col(sc).cast("double") / lit(100.0))
+          * (col(sc).cast("double") / lit(100.0))
+          / col(n).cast("double"))
+        / (col(n).cast("double") - lit(1.0)))
+    val base = g.where(col("event_type") === "view")
+      .select(col("n").as("n_view"), col("sc").as("sc_v"),
+        col("sc2").as("sc2_v"))
+    g.where(col("event_type") =!= "view")
+      .crossJoin(broadcast(base))
+      .withColumn("va", variance("n", "sc", "sc2"))
+      .withColumn("vb", variance("n_view", "sc_v", "sc2_v"))
+      .withColumn("sa", col("va") / col("n").cast("double"))
+      .withColumn("sb", col("vb") / col("n_view").cast("double"))
+      .select(col("event_type"), col("n"), col("n_view"),
+        r6(mean("n", "sc")).as("mean"),
+        r6(mean("n_view", "sc_v")).as("mean_view"),
+        r6(col("va")).as("var_grp"),
+        r6(col("vb")).as("var_view"),
+        r6((mean("n", "sc") - mean("n_view", "sc_v"))
+          / sqrt(col("sa") + col("sb"))).as("t_stat"),
+        r6((col("sa") + col("sb")) * (col("sa") + col("sb"))
+          / (col("sa") * col("sa") / (col("n").cast("double") - lit(1.0))
+            + col("sb") * col("sb")
+              / (col("n_view").cast("double") - lit(1.0)))).as("df"))
+      .orderBy("event_type")
+  }
+
+  /** `mann_whitney` — the Mann–Whitney U rank-sum test (Mann &
+    * Whitney 1947) of `purchase` vs `click` values: the
+    * nonparametric twin of [[welchTTest]] — compares distributions
+    * by rank, so it survives the heavy tails and outliers that sink
+    * mean-based tests on revenue-like data. Emits both sample sizes,
+    * U, the tie-corrected normal-approximation z, and the
+    * rank-biserial effect size (Cureton 1956; 0 = stochastic
+    * equality).
+    *
+    * Formulation without per-row ranking: group by exact centi
+    * value, one running count over the value grid, and the
+    * tie-averaged rank of every row at value c is
+    * (2·cum_before + t + 1)/2 — carried DOUBLED so rank sums stay
+    * exact integers (Σ(t³−t) for the tie correction likewise).
+    * The z and effect size are single written IEEE op sequences
+    * over those integers, 6-dp fenced at the output.
+    *
+    * Scale shape: the corpus-size work is one map-side-combined
+    * aggregate to |distinct value| cells; the running frame is a
+    * single-partition window over the VALUE GRID (bounded by the
+    * centi price range — ~49k cells here — NOT by corpus row count,
+    * the `quantile_bins` posture), then one global fold to one row.
+    */
+  def mannWhitney(s: SparkSession, d: String): DataFrame = {
+    val byVal = Tables.events(s, d)
+      .where(col("event_type").isin("purchase", "click"))
+      .select(
+        when(col("event_type") === "purchase", lit(1L)).otherwise(lit(0L))
+          .as("is_a"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("c"))
+      .groupBy(col("c"))
+      .agg(count(lit(1)).as("t"), sum(col("is_a")).as("ta"))
+    val run = Window.orderBy(col("c").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val folded = byVal
+      .withColumn("cum", sum(col("t")).over(run))
+      .withColumn("r2",
+        lit(2L) * (col("cum") - col("t")) + col("t") + lit(1L))
+      .agg(sum(col("ta")).as("n_a"), sum(col("t")).as("n"),
+        sum(col("ta") * col("r2")).as("r2a"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+    folded
+      .withColumn("n_b", col("n") - col("n_a"))
+      .withColumn("u",
+        (col("r2a") - col("n_a") * (col("n_a") + lit(1L))).cast("double")
+          / lit(2.0))
+      .withColumn("mu",
+        col("n_a").cast("double") * col("n_b").cast("double") / lit(2.0))
+      .withColumn("sig2",
+        col("n_a").cast("double") * col("n_b").cast("double") / lit(12.0)
+          * ((col("n").cast("double") + lit(1.0))
+            - col("tie3").cast("double")
+              / (col("n").cast("double")
+                * (col("n").cast("double") - lit(1.0)))))
+      .select(col("n_a"), col("n_b"),
+        r6(col("u")).as("u_stat"),
+        r6((col("u") - col("mu")) / sqrt(col("sig2"))).as("z_score"),
+        r6(lit(1.0) - lit(2.0) * col("u")
+          / (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("rank_biserial"))
+  }
+
+  /** `spearman_corr` — Spearman rank correlation (Spearman 1904)
+    * between tick price and tick volume per symbol: does volume
+    * rise with price MONOTONICALLY, regardless of functional form —
+    * the robust counterpart to [[pairCorrelation]]'s Pearson on
+    * returns, immune to the outliers and nonlinearity that distort
+    * product-moment correlation on raw prices. ρ = Pearson over
+    * tie-averaged ranks.
+    *
+    * Formulation: ranks come from the value-grid trick
+    * ([[mannWhitney]] — 2·avg_rank = 2·cum_before + t + 1, exact
+    * integers), computed per symbol over the DISTINCT value cells,
+    * then joined back broadcast (the rank tables are bounded by the
+    * value grids — centi price range × symbols and the small volume
+    * alphabet — not by corpus rows). Σr², Σrᵣrᵥ etc. are exact
+    * integer folds; ρ is one written IEEE sequence over them
+    * (products may round past 2⁵³ — identically in both engines),
+    * 6-dp fenced.
+    *
+    * Scale shape: two map-side-combined grid aggregates + two
+    * broadcast joins + one final aggregate to |symbol| rows; the
+    * only per-symbol windows run over the bounded value grids.
+    */
+  def spearmanCorr(s: SparkSession, d: String): DataFrame = {
+    val rows = Tables.events(s, d)
+      .select(col("event_type").as("symbol"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("c"),
+        coalesce(get_json_object(col("props"), "$.k").cast("long"),
+          lit(0L)).as("v"))
+    def rankTable(vcol: String, out: String) = {
+      val run = Window.partitionBy(col("symbol")).orderBy(col(vcol).asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rows.groupBy(col("symbol"), col(vcol))
+        .agg(count(lit(1)).as("t"))
+        .withColumn("cum", sum(col("t")).over(run))
+        .select(col("symbol"), col(vcol),
+          (lit(2L) * (col("cum") - col("t")) + col("t") + lit(1L))
+            .as(out))
+    }
+    rows
+      .join(broadcast(rankTable("c", "rc")), Seq("symbol", "c"))
+      .join(broadcast(rankTable("v", "rv")), Seq("symbol", "v"))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("rc")).as("sx"), sum(col("rv")).as("sy"),
+        sum(col("rc") * col("rv")).as("sxy"),
+        sum(col("rc") * col("rc")).as("sxx"),
+        sum(col("rv") * col("rv")).as("syy"))
+      .select(col("symbol"), col("n"),
+        r6((col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          / (sqrt(col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))
+            * sqrt(col("n").cast("double") * col("syy").cast("double")
+              - col("sy").cast("double") * col("sy").cast("double"))))
+          .as("rho"))
+      .orderBy("symbol")
+  }
+
+  /** `chi2_independence` — Pearson's χ² test of independence
+    * (Pearson 1900) on the documents lang × source contingency
+    * table, with Cramér's V (Cramér 1946) as the normalized effect
+    * size: is the language mix the same across sources, the first
+    * question a corpus-composition audit asks (a V near 1 means
+    * sources are language-siloed and a language filter doubles as a
+    * source filter — a sampling hazard [[mixtureSample]]'s strata
+    * would inherit).
+    *
+    * Portability: observed counts and marginals are exact integers;
+    * each cell's (O−E)²/E is one IEEE sequence over them, quantized
+    * to the 10⁻⁶ grid as a 64-bit integer and summed ORDER-FREE
+    * (the `token_surprisal` posture — a raw double Σ over cells
+    * would be fold-order-dependent); χ² and V divide once, fenced.
+    *
+    * Scale shape: one cell aggregate (|lang|×|source| rows), two
+    * broadcast marginal folds OF the cells, one 1-row broadcast
+    * total, final fold to one row. Corpus-size work is the first
+    * aggregate only.
+    */
+  def chi2Independence(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy(col("lang")).agg(sum(col("o")).as("rt"))
+    val colTot = cells.groupBy(col("source")).agg(sum(col("o")).as("ct"))
+    val tot = cells.agg(sum(col("o")).as("nn"))
+    cells
+      .join(broadcast(rowTot), Seq("lang"))
+      .join(broadcast(colTot), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("e",
+        col("rt").cast("double") * col("ct").cast("double")
+          / col("nn").cast("double"))
+      .withColumn("contrib_q",
+        floor((col("o").cast("double") - col("e"))
+          * (col("o").cast("double") - col("e")) / col("e")
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .agg(count(lit(1)).as("n_cells"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        max(col("nn")).as("n_docs"),
+        sum(col("contrib_q")).as("qsum"))
+      .select(col("n_docs"), col("n_cells"),
+        ((col("n_langs") - lit(1L)) * (col("n_sources") - lit(1L)))
+          .as("dof"),
+        r6(col("qsum").cast("double") / lit(1000000.0)).as("chi2"),
+        r6(sqrt(col("qsum").cast("double") / lit(1000000.0)
+          / (col("n_docs").cast("double")
+            * least(col("n_langs") - lit(1L), col("n_sources") - lit(1L))
+              .cast("double")))).as("cramers_v"))
+  }
+
+  /** `anova_oneway` — one-way analysis of variance (Fisher 1925)
+    * across ALL event-type arms at once: [[welchTTest]] answers "is
+    * arm A's mean different from the baseline", this answers "do ANY
+    * of the k arms differ" in one F statistic — the omnibus gate an
+    * experimentation platform runs before pairwise tests, because k
+    * uncorrected pairwise comparisons inflate the false-positive
+    * rate the single F does not. Emits the sum-of-squares
+    * decomposition (between/within), the F ratio, and η² (the share
+    * of value variance explained by arm membership).
+    *
+    * Portability: per-group moments are exact centi integers
+    * ([[welchTTest]]); each group's SS-between and SS-within
+    * contribution is ONE written IEEE sequence over them, quantized
+    * to the 10⁻⁶ grid as a 64-bit integer and summed ORDER-FREE
+    * across groups (the `chi2_independence` posture — a raw double
+    * fold over group rows would be aggregation-order-dependent);
+    * F and η² divide once from the two quantized sums, fenced.
+    *
+    * Scale shape: ONE map-side-combined aggregate to |event_type|
+    * rows, a 1-row broadcast of the grand totals, and a ≤ k-row
+    * final fold. No other corpus-size work at any scale.
+    */
+  def anovaOneway(s: SparkSession, d: String): DataFrame = {
+    val g = Tables.events(s, d)
+      .select(col("event_type"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("sc2"))
+    val tot = g.agg(sum(col("n")).as("nn"), sum(col("sc")).as("scc"),
+      count(lit(1)).as("k"))
+    val withQ = g.crossJoin(broadcast(tot))
+      .withColumn("mg",
+        col("sc").cast("double") / (lit(100.0) * col("n").cast("double")))
+      .withColumn("mm",
+        col("scc").cast("double") / (lit(100.0) * col("nn").cast("double")))
+      .withColumn("ssb_q",
+        floor(col("n").cast("double") * (col("mg") - col("mm"))
+          * (col("mg") - col("mm")) * lit(1000000.0) + lit(0.5))
+          .cast("long"))
+      .withColumn("ssw_q",
+        floor((col("sc2").cast("double") / lit(10000.0)
+          - (col("sc").cast("double") / lit(100.0))
+            * (col("sc").cast("double") / lit(100.0))
+            / col("n").cast("double")) * lit(1000000.0) + lit(0.5))
+          .cast("long"))
+    withQ
+      .agg(max(col("nn")).as("n_total"), max(col("k")).as("k_groups"),
+        sum(col("ssb_q")).as("ssbq"), sum(col("ssw_q")).as("sswq"))
+      .select(col("n_total"), col("k_groups"),
+        (col("k_groups") - lit(1L)).as("df_between"),
+        (col("n_total") - col("k_groups")).as("df_within"),
+        r6(col("ssbq").cast("double") / lit(1000000.0)).as("ss_between"),
+        r6(col("sswq").cast("double") / lit(1000000.0)).as("ss_within"),
+        r6((col("ssbq").cast("double") / lit(1000000.0)
+          / (col("k_groups").cast("double") - lit(1.0)))
+          / (col("sswq").cast("double") / lit(1000000.0)
+            / (col("n_total").cast("double")
+              - col("k_groups").cast("double")))).as("f_stat"),
+        r6(col("ssbq").cast("double")
+          / (col("ssbq").cast("double") + col("sswq").cast("double")))
+          .as("eta_sq"))
+  }
+
+  /** `sequence_entropy` — plug-in entropy rate of the behavioral
+    * Markov chain (Shannon 1948): H(next | current) in bits over the
+    * same per-user consecutive-event transitions
+    * [[markovTransitions]] counts, beside the zeroth-order marginal
+    * entropy H(next) and their difference — the information the
+    * current state carries about the next action. The corpus-level
+    * "how predictable are users" scalar: info_gain ≈ 0 means the
+    * transition matrix is rank-one noise and sequence models add
+    * nothing over frequency tables (the go/no-go a sequence-modeling
+    * investment decision reads first).
+    *
+    * Portability: transition counts are exact integers off one lag
+    * window; each cell's (n_ij/N)·ln(n_i/n_ij) term and each
+    * marginal's (n_i/N)·ln(N/n_i) term is one written IEEE sequence
+    * (ln ≤ 1 ulp in both engines, fenced far above that), quantized
+    * to the 10⁻⁶ grid and summed ORDER-FREE; the bits conversion
+    * divides by ln(2.0) once at the end.
+    *
+    * Scale shape: the corpus-size work is the one (user, time)-sorted
+    * lag window the whole funnel family shares + one aggregate to
+    * ≤ |types|² cells; everything after is vocabulary-bounded.
+    */
+  def sequenceEntropy(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us").asc, col("event_id").asc)
+    val trans = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("from_type"),
+        col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val marg = trans.groupBy(col("from_type")).agg(sum(col("n")).as("ni"))
+    val tot = marg.agg(sum(col("ni")).as("nn"),
+      count(lit(1)).as("n_states"))
+    val hCond = trans
+      .join(broadcast(marg), Seq("from_type"))
+      .crossJoin(broadcast(tot))
+      .select(floor(col("n").cast("double") / col("nn").cast("double")
+        * log(col("ni").cast("double") / col("n").cast("double"))
+        * lit(1000000.0) + lit(0.5)).cast("long").as("tq"))
+      .agg(sum(col("tq")).as("hq"))
+    val hMarg = marg.crossJoin(broadcast(tot))
+      .select(col("nn"), col("n_states"),
+        floor(col("ni").cast("double") / col("nn").cast("double")
+          * log(col("nn").cast("double") / col("ni").cast("double"))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("mq"))
+      .groupBy(col("nn"), col("n_states"))
+      .agg(sum(col("mq")).as("h0q"))
+    hMarg.crossJoin(broadcast(hCond))
+      .select(col("nn").as("n_transitions"), col("n_states"),
+        r6(col("hq").cast("double") / lit(1000000.0) / log(lit(2.0)))
+          .as("h_rate_bits"),
+        r6(col("h0q").cast("double") / lit(1000000.0) / log(lit(2.0)))
+          .as("h_marginal_bits"),
+        r6((col("h0q") - col("hq")).cast("double") / lit(1000000.0)
+          / log(lit(2.0))).as("info_gain_bits"))
+  }
+
+  /** `hurst_exponent` — rescaled-range (R/S) estimate of the Hurst
+    * exponent per symbol (Hurst 1951; Mandelbrot & Wallis 1969):
+    * is the tick series mean-reverting (H < ½), a random walk
+    * (H ≈ ½), or trending/long-memory (H > ½) — the regime scalar
+    * behind [[autocorrelation]]'s lag curve, and the first
+    * stylized-fact check a quant runs on a new price feed. Blocks of
+    * m ∈ {8, 32, 128} ticks; per block R = range of cumulative
+    * mean-deviations, S = population std; H = the log-log slope of
+    * mean R/S against m (equally-spaced in ln m, so the
+    * least-squares slope collapses to (ln RS₁₂₈ − ln RS₈)/ln 16).
+    *
+    * Portability: with prices on the centi grid the ENTIRE per-block
+    * statistic is integer until one sqrt — Z'_t = m·Σ_{i≤t}cᵢ − t·Σc
+    * makes R/S = (max Z' − min Z')/√(m·Σc² − (Σc)²) exactly (the
+    * 100m scale cancels), each block's value one IEEE sequence
+    * quantized to the 10⁻⁶ grid, summed order-free across blocks
+    * ([[AnalyticOps.anovaOneway]] posture). Σc² stays < 2⁶³ up to
+    * ~$237k prices at m=128 — document-and-swap to decimal past
+    * that. Partial trailing blocks are excluded exactly
+    * (rn ≤ m·⌊n/m⌋).
+    *
+    * Scale shape: one per-symbol sort shuffle (row_number), a
+    * bounded ×3 explode, then ALL windows run inside (symbol, m,
+    * block) partitions of ≤ 128 rows — block count grows with the
+    * corpus, block size never does. Final fold is |symbol|×3 rows.
+    */
+  def hurstExponent(s: SparkSession, d: String): DataFrame = {
+    val wSym = Window.partitionBy("symbol")
+      .orderBy(col("us").asc, col("event_id").asc)
+    val base = Tables.events(s, d)
+      .select(col("event_type").as("symbol"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("c"))
+      .withColumn("rn", row_number().over(wSym).cast("long"))
+    val nPer = base.groupBy(col("symbol")).agg(count(lit(1)).as("n_ticks"))
+    val exploded = base
+      .join(broadcast(nPer), Seq("symbol"))
+      .crossJoin(broadcast(
+        s.range(1).select(explode(array(lit(8L), lit(32L), lit(128L)))
+          .as("m"))))
+      .where(col("rn") <= col("m") * floor(col("n_ticks") / col("m")))
+      .withColumn("blk", floor((col("rn") - lit(1L)) / col("m")))
+      .withColumn("t", (col("rn") - lit(1L)) % col("m") + lit(1L))
+    val wBlk = Window.partitionBy("symbol", "m", "blk")
+    val wRun = wBlk.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val blocks = exploded
+      .withColumn("runc", sum(col("c")).over(wRun))
+      .withColumn("scb", sum(col("c")).over(wBlk))
+      .withColumn("z", col("m") * col("runc") - col("t") * col("scb"))
+      .groupBy(col("symbol"), col("m"), col("blk"))
+      .agg(max(col("z")).as("zmax"), min(col("z")).as("zmin"),
+        sum(col("c")).as("sc"), sum(col("c") * col("c")).as("sc2"),
+        max(col("n_ticks")).as("n_ticks"))
+      .withColumn("varp", col("m") * col("sc2") - col("sc") * col("sc"))
+      .where(col("varp") > 0L)
+      .withColumn("rs_q",
+        floor((col("zmax") - col("zmin")).cast("double")
+          / sqrt(col("varp").cast("double")) * lit(1000000.0) + lit(0.5))
+          .cast("long"))
+    val bySize = blocks
+      .groupBy(col("symbol"), col("m"))
+      .agg(count(lit(1)).as("nb"), sum(col("rs_q")).as("rsq"),
+        max(col("n_ticks")).as("n_ticks"))
+      .withColumn("rs_mean", col("rsq").cast("double")
+        / (col("nb").cast("double") * lit(1000000.0)))
+    bySize
+      .groupBy(col("symbol"))
+      .agg(max(col("n_ticks")).as("n_ticks"),
+        max(when(col("m") === 8L, col("nb"))).as("nb_8"),
+        max(when(col("m") === 32L, col("nb"))).as("nb_32"),
+        max(when(col("m") === 128L, col("nb"))).as("nb_128"),
+        max(when(col("m") === 8L, col("rs_mean"))).as("rs8_raw"),
+        max(when(col("m") === 32L, col("rs_mean"))).as("rs32_raw"),
+        max(when(col("m") === 128L, col("rs_mean"))).as("rs128_raw"))
+      .select(col("symbol"), col("n_ticks"),
+        col("nb_8"), col("nb_32"), col("nb_128"),
+        r6(col("rs8_raw")).as("rs_8"),
+        r6(col("rs32_raw")).as("rs_32"),
+        r6(col("rs128_raw")).as("rs_128"),
+        r6((log(col("rs128_raw")) - log(col("rs8_raw")))
+          / (log(lit(128.0)) - log(lit(8.0)))).as("hurst"))
+      .orderBy("symbol")
+  }
 }

@@ -577,13 +577,17 @@ object RelationalOps {
     * hot-bucket-split posture) before the self-join. The top-20 is
     * TakeOrderedAndProject, never a global sort.
     */
-  def adamicAdar(s: SparkSession, d: String): DataFrame = {
-    // the edge set is referenced FIVE times downstream (both adj
-    // branches, the degree fold, the wedge join's probe, the final
-    // anti-join) — without a silver each reference replays the full
-    // 8×|lineitem| pair explode; memoized it is one tiny (≤ |edges|)
-    // persisted frame (3.6k rows at sf0.1). Same conf + fingerprint
-    // lifecycle as the basket silver it derives from.
+  /** The co-purchase graph's edge silver: part pairs co-ordered in
+    * ≥ 2 orders, off the memoized basket silver. Referenced five
+    * times inside [[adamicAdar]] alone (both adj branches, the
+    * degree fold, the wedge probe, the final anti-join) and again by
+    * [[clusteringCoeff]] — without a silver each reference replays
+    * the full 8×|lineitem| pair explode; memoized it is one tiny
+    * (≤ |edges|) persisted frame (3.6k rows at sf0.1). Same conf +
+    * fingerprint lifecycle as the basket silver it derives from.
+    */
+  private[graft] def coPurchaseEdges(s: SparkSession, d: String)
+      : DataFrame = {
     // resolve the basket silver BEFORE the edge memo's builder runs:
     // nested getOrBuild on one session is a ConcurrentHashMap
     // recursive update
@@ -592,12 +596,15 @@ object RelationalOps {
       baskets.where(size(col("ds")) > 1), "ds", "co",
       graft.engine.Pairs.needsWideForm(Tables.lineitem(s, d), "l_partkey"))
       .where(col("co") >= 2).select(col("i"), col("j"))
-    val e =
-      if (!s.conf.get("spark.graft.baskets.materialize", "true").toBoolean)
-        buildE
-      else graft.engine.SessionMemo.getOrBuild(s,
-        "copurchase_co2|" +
-          graft.engine.SessionMemo.tableFingerprint(d, "lineitem"))(buildE)
+    if (!s.conf.get("spark.graft.baskets.materialize", "true").toBoolean)
+      buildE
+    else graft.engine.SessionMemo.getOrBuild(s,
+      "copurchase_co2|" +
+        graft.engine.SessionMemo.tableFingerprint(d, "lineitem"))(buildE)
+  }
+
+  def adamicAdar(s: SparkSession, d: String): DataFrame = {
+    val e = coPurchaseEdges(s, d)
     val adj = e.select(col("i").as("k"), col("j").as("nbr"))
       .union(e.select(col("j").as("k"), col("i").as("nbr")))
     // deg-1 nodes cannot close a wedge; filtering them BEFORE the
@@ -618,6 +625,51 @@ object RelationalOps {
         col("n_common"),
         r6(col("wsum").cast("double") / lit(1000000.0)).as("aa_score"))
       .orderBy(col("aa_score").desc, col("part_a").asc, col("part_b").asc)
+      .limit(20)
+  }
+
+  /** `clustering_coeff` — local clustering coefficient per node of
+    * the co-purchase graph (Watts & Strogatz 1998): for each part
+    * with degree ≥ 2, the share of its neighbor pairs that are
+    * themselves co-purchased — cc = 2·tri / (deg·(deg−1)). The
+    * "does this part anchor a coherent bundle or a hub of unrelated
+    * buys" score: cc ≈ 1 marks cliquey product families (bundle
+    * candidates), cc ≈ 0 marks promiscuous hubs whose co-purchases
+    * share nothing ([[adamicAdar]] down-weights exactly those as
+    * wedge centers — this emits the per-node diagnostic it folds
+    * in). Top-20 by coefficient, clique-ness first.
+    *
+    * Portability: triangle and degree counts are exact integers off
+    * the shared edge silver; cc is one fenced division; the top-20
+    * rides a TOTAL order (cc grid desc, degree desc, part asc).
+    *
+    * Scale shape: edges come off the memoized [[coPurchaseEdges]]
+    * silver; wedges are Σ C(deg k, 2) rows (the `triangle_count`
+    * budget, hub-capped at 100 TB via the hot-bucket-split posture)
+    * probed against the edge set in one join; the top-20 is
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def clusteringCoeff(s: SparkSession, d: String): DataFrame = {
+    val e = coPurchaseEdges(s, d)
+    val adj = e.select(col("i").as("k"), col("j").as("nbr"))
+      .union(e.select(col("j").as("k"), col("i").as("nbr")))
+    val deg = adj.groupBy(col("k")).agg(count(lit(1)).as("degree"))
+    // wedges centered at k, probed against the (i<j)-oriented edge
+    // set: each hit is one triangle corner closed at k
+    val tri = adj.select(col("k"), col("nbr").as("i"))
+      .join(adj.select(col("k"), col("nbr").as("j")), Seq("k"))
+      .where(col("i") < col("j"))
+      .join(e, Seq("i", "j"))
+      .groupBy(col("k")).agg(count(lit(1)).as("triangles"))
+    deg.where(col("degree") >= 2L)
+      .join(tri, Seq("k"), "left")
+      .select(col("k").as("part"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        r6(lit(2.0) * coalesce(col("triangles"), lit(0L)).cast("double")
+          / (col("degree").cast("double")
+            * (col("degree").cast("double") - lit(1.0))))
+          .as("local_cc"))
+      .orderBy(col("local_cc").desc, col("degree").desc, col("part").asc)
       .limit(20)
   }
 
