@@ -95,6 +95,9 @@ object SparkEntry {
     "basket_pairs"             -> (RelationalOps.basketPairs _),
     "max_drawdown"             -> (AnalyticOps.maxDrawdown _),
     "vwap_hourly"              -> (AnalyticOps.vwapHourly _),
+    "twap_hourly"              -> (AnalyticOps.twapHourly _),
+    "realized_vol"             -> (AnalyticOps.realizedVol _),
+    "levene_test"              -> (AnalyticOps.leveneTest _),
     "obv_indicator"            -> (AnalyticOps.obvIndicator _),
     "bollinger_bands"          -> (AnalyticOps.bollingerBands _),
     "stochastic_oscillator"    -> (AnalyticOps.stochasticOscillator _),
@@ -109,6 +112,8 @@ object SparkEntry {
     "hurst_exponent"           -> (AnalyticOps.hurstExponent _),
     "gini_concentration"       -> (LlmTextOps.giniConcentration _),
     "zipf_slope"               -> (LlmTextOps.zipfSlope _),
+    "hapax_ratio"              -> (LlmTextOps.hapaxRatio _),
+    "token_burstiness"         -> (LlmTextOps.tokenBurstiness _),
     "bootstrap_ci"             -> (AnalyticOps.bootstrapCi _),
     "contrastive_pairs"        -> (LlmVectorOps.contrastivePairs _),
     "best_trade"               -> (AnalyticOps.bestTrade _),
@@ -2162,6 +2167,105 @@ object SparkEntry {
          FROM t WHERE vol IS NOT NULL AND vol > 0
          GROUP BY hour_ts, symbol
          ORDER BY date, hour, symbol""",
+    // TWAP: integer-µs standing intervals off one lead(), credited
+    // to the starting hour; final tick per symbol has no interval
+    "twap_hourly" ->
+      """WITH t AS (SELECT ts, event_id, epoch_us(ts) AS us,
+                event_type AS symbol,
+                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS centi
+              FROM events),
+         l AS (SELECT ts, symbol, centi,
+                lead(us) OVER (PARTITION BY symbol
+                  ORDER BY us, event_id) - us AS dt
+              FROM t)
+         SELECT CAST(date_trunc('hour', ts) AS DATE) AS date,
+                CAST(EXTRACT(hour FROM date_trunc('hour', ts))
+                  AS INTEGER) AS hour,
+                symbol, COUNT(*) AS n_ticks,
+                CAST(SUM(dt) AS BIGINT) AS span_us,
+                floor(CAST(SUM(centi * dt) AS DOUBLE)
+                  / (100.0 * CAST(SUM(dt) AS DOUBLE))
+                  * 1000000.0 + 0.5) / 1000000.0 AS twap
+         FROM l WHERE dt IS NOT NULL
+         GROUP BY date_trunc('hour', ts), symbol
+         ORDER BY date, hour, symbol""",
+    // realized vol: squared log returns on the centi grid quantized
+    // 1e-9 and summed order-free; zero-centi ticks can't enter a log
+    "realized_vol" ->
+      """WITH t AS (SELECT ts, event_id, epoch_us(ts) AS us,
+                event_type AS symbol,
+                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+              FROM events),
+         l AS (SELECT ts, symbol, c,
+                lag(c) OVER (PARTITION BY symbol
+                  ORDER BY us, event_id) AS pc
+              FROM t),
+         r AS (SELECT symbol, CAST(ts AS DATE) AS day,
+                CAST(floor(ln(CAST(c AS DOUBLE) / CAST(pc AS DOUBLE))
+                  * ln(CAST(c AS DOUBLE) / CAST(pc AS DOUBLE))
+                  * 1000000000.0 + 0.5) AS BIGINT) AS rq
+              FROM l WHERE pc IS NOT NULL AND pc > 0 AND c > 0)
+         SELECT symbol, day, COUNT(*) AS n_returns,
+                floor(sqrt(CAST(SUM(rq) AS DOUBLE) / 1000000000.0)
+                  * 1000000.0 + 0.5) / 1000000.0 AS rv
+         FROM r GROUP BY 1, 2 ORDER BY symbol, day""",
+    // Brown-Forsythe W entirely on the value grid: doubled-centi
+    // medians from one running cell count, integer deviation moments
+    // per cell, per-group SS contributions floored and summed
+    // order-free
+    "levene_test" ->
+      """WITH cells AS (SELECT event_type,
+                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+                CAST(COUNT(*) AS BIGINT) AS t
+              FROM events GROUP BY 1, 2),
+         wc AS (SELECT event_type, c, t,
+                CAST(SUM(t) OVER (PARTITION BY event_type ORDER BY c
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+              FROM cells),
+         np AS (SELECT event_type, CAST(SUM(t) AS BIGINT) AS n,
+                CAST(floor((SUM(t) + 1) / 2.0) AS BIGINT) AS lo,
+                CAST(-floor(-(SUM(t) + 1) / 2.0) AS BIGINT) AS hi
+              FROM cells GROUP BY 1),
+         med AS (SELECT wc.event_type,
+                MIN(CASE WHEN cum >= lo THEN c END)
+                  + MIN(CASE WHEN cum >= hi THEN c END) AS med2,
+                MAX(n) AS n
+              FROM wc JOIN np USING (event_type) GROUP BY 1),
+         dv AS (SELECT cells.event_type, MAX(med.n) AS n,
+                CAST(SUM(t * abs(2 * c - med2)) AS BIGINT) AS sd,
+                CAST(SUM(t * abs(2 * c - med2) * abs(2 * c - med2))
+                  AS BIGINT) AS sd2
+              FROM cells JOIN med USING (event_type) GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                CAST(SUM(sd) AS BIGINT) AS sdd,
+                CAST(COUNT(*) AS BIGINT) AS k
+              FROM dv),
+         q AS (SELECT dv.n, dv.sd, dv.sd2, tot.nn, tot.k,
+                CAST(dv.sd AS DOUBLE) / CAST(dv.n AS DOUBLE) AS mg,
+                CAST(tot.sdd AS DOUBLE) / CAST(tot.nn AS DOUBLE) AS mm
+              FROM dv CROSS JOIN tot),
+         qq AS (SELECT nn, k,
+                CAST(floor(CAST(n AS DOUBLE) * (mg - mm) * (mg - mm)
+                  + 0.5) AS BIGINT) AS ssb_q,
+                CAST(floor(CAST(sd2 AS DOUBLE)
+                  - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)
+                    / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS ssw_q
+              FROM q),
+         f AS (SELECT MAX(nn) AS n_total, MAX(k) AS k_groups,
+                CAST(SUM(ssb_q) AS BIGINT) AS ssbq,
+                CAST(SUM(ssw_q) AS BIGINT) AS sswq
+              FROM qq)
+         SELECT n_total, k_groups,
+                k_groups - 1 AS df_between,
+                n_total - k_groups AS df_within,
+                floor((CAST(ssbq AS DOUBLE)
+                    / (CAST(k_groups AS DOUBLE) - 1.0))
+                  / (CAST(sswq AS DOUBLE)
+                    / (CAST(n_total AS DOUBLE)
+                      - CAST(k_groups AS DOUBLE)))
+                  * 1000000.0 + 0.5) / 1000000.0 AS w_stat
+         FROM f""",
     // On-Balance Volume: sign on the exact centi grid, integer flows,
     // integer prefix sum — no float op anywhere in the query
     "obv_indicator" ->
@@ -4023,6 +4127,48 @@ object SparkEntry {
     // Zipf exponent: integer regressor inputs, ln outputs quantized
     // to 1e-6-grid integers, five order-free sums, HUGEINT combine
     // (mirrors Spark's DECIMAL(38,0)), one fenced division each
+    // richness triple: integer type/token counts per source, three
+    // fenced divisions
+    "hapax_ratio" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+         f AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM t WHERE len(tok) > 0 GROUP BY 1, 2),
+         g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab,
+                CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hapax,
+                CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS dis
+              FROM f GROUP BY 1)
+         SELECT source, n_tokens, vocab, hapax, dis,
+                floor(CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE)
+                  * 1000000.0 + 0.5) / 1000000.0 AS hapax_share,
+                floor(CAST(dis AS DOUBLE) / CAST(vocab AS DOUBLE)
+                  * 1000000.0 + 0.5) / 1000000.0 AS dis_share,
+                floor(CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                  * 1000000.0 + 0.5) / 1000000.0 AS ttr
+         FROM g ORDER BY source""",
+    // Fano factor over per-doc counts (zeros via D only): integer
+    // moments off one (token, doc) aggregate, one fenced subtraction
+    "token_burstiness" ->
+      """WITH nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs
+              FROM documents),
+         t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+         x AS (SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS x
+               FROM t WHERE len(tok) > 0 GROUP BY 1, 2),
+         m AS (SELECT tok, CAST(SUM(x) AS BIGINT) AS total,
+                CAST(SUM(x * x) AS BIGINT) AS sx2,
+                CAST(COUNT(*) AS BIGINT) AS doc_freq
+              FROM x GROUP BY 1
+              ORDER BY total DESC, tok ASC LIMIT 20)
+         SELECT tok, total, doc_freq,
+                floor((CAST(sx2 AS DOUBLE) / CAST(total AS DOUBLE)
+                  - CAST(total AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                  * 1000000.0 + 0.5) / 1000000.0 AS fano
+         FROM m CROSS JOIN nd
+         ORDER BY total DESC, tok ASC""",
     "zipf_slope" ->
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
               FROM documents),

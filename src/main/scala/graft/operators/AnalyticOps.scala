@@ -2969,4 +2969,159 @@ object AnalyticOps {
           / (log(lit(128.0)) - log(lit(8.0)))).as("hurst"))
       .orderBy("symbol")
   }
+
+  /** `levene_test` — Brown–Forsythe variance-homogeneity test
+    * (Levene 1960; Brown & Forsythe 1974, median-centered): are the
+    * event-type arms' SPREADS equal — the assumption
+    * [[anovaOneway]]'s F silently makes, so this is the check an
+    * experimentation platform runs beside it ([[welchTTest]] exists
+    * precisely for when this rejects). W = the one-way ANOVA F
+    * statistic over |x − median(group)|.
+    *
+    * Formulation entirely on the VALUE GRID: medians come from one
+    * running count over (group, centi cell) — carried DOUBLED so the
+    * even-n interpolated median stays an exact integer (the
+    * `mann_whitney` doubled-rank trick) — and the deviation moments
+    * Σt·d, Σt·d² are integer folds over CELLS, so after the first
+    * cell aggregate nothing touches corpus rows. Per-group SS
+    * contributions quantize 10⁻⁶ and sum order-free ([[anovaOneway]]
+    * posture); W is scale-invariant so the doubled-centi units
+    * cancel; only the reported medians/MADs divide back to dollars.
+    *
+    * Scale shape: ONE map-side-combined aggregate to |group|×|cell|
+    * rows; every window after runs over the bounded value grid
+    * (the `quantile_bins` posture), never corpus rows.
+    */
+  def leveneTest(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.events(s, d)
+      .select(col("event_type"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("c"))
+      .groupBy(col("event_type"), col("c"))
+      .agg(count(lit(1)).as("t"))
+    val run = Window.partitionBy(col("event_type")).orderBy(col("c").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = cells.withColumn("cum", sum(col("t")).over(run))
+    val nPer = cells.groupBy(col("event_type")).agg(sum(col("t")).as("n"))
+      .withColumn("lo", floor((col("n") + lit(1L)) / lit(2.0)).cast("long"))
+      .withColumn("hi", -floor(-(col("n") + lit(1L)) / lit(2.0))
+        .cast("long"))
+    // med2 = c(lo) + c(hi) on the doubled grid: c(r) = first cell
+    // whose running count reaches rank r (1-based)
+    val med = withCum.join(broadcast(nPer), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg((min(when(col("cum") >= col("lo"), col("c")))
+        + min(when(col("cum") >= col("hi"), col("c")))).as("med2"),
+        max(col("n")).as("n"))
+    val devs = cells.join(broadcast(med), Seq("event_type"))
+      .withColumn("dd", abs(lit(2L) * col("c") - col("med2")))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), max(col("med2")).as("med2"),
+        sum(col("t") * col("dd")).as("sd"),
+        sum(col("t") * col("dd") * col("dd")).as("sd2"))
+    val tot = devs.agg(sum(col("n")).as("nn"), sum(col("sd")).as("sdd"),
+      count(lit(1)).as("k"))
+    val q = devs.crossJoin(broadcast(tot))
+      .withColumn("mg", col("sd").cast("double") / col("n").cast("double"))
+      .withColumn("mm",
+        col("sdd").cast("double") / col("nn").cast("double"))
+      .withColumn("ssb_q",
+        floor(col("n").cast("double") * (col("mg") - col("mm"))
+          * (col("mg") - col("mm")) + lit(0.5)).cast("long"))
+      .withColumn("ssw_q",
+        floor(col("sd2").cast("double")
+          - col("sd").cast("double") * col("sd").cast("double")
+            / col("n").cast("double") + lit(0.5)).cast("long"))
+    q.agg(max(col("nn")).as("n_total"), max(col("k")).as("k_groups"),
+      sum(col("ssb_q")).as("ssbq"), sum(col("ssw_q")).as("sswq"))
+      .select(col("n_total"), col("k_groups"),
+        (col("k_groups") - lit(1L)).as("df_between"),
+        (col("n_total") - col("k_groups")).as("df_within"),
+        r6((col("ssbq").cast("double")
+          / (col("k_groups").cast("double") - lit(1.0)))
+          / (col("sswq").cast("double")
+            / (col("n_total").cast("double")
+              - col("k_groups").cast("double")))).as("w_stat"))
+  }
+
+  /** `twap_hourly` — time-weighted average price per symbol-hour:
+    * each tick's price weighted by how long it stood (µs to the next
+    * tick in the symbol), the execution-benchmark twin of
+    * [[vwapHourly]] — TWAP is what an execution desk is graded
+    * against when volume is unreliable or absent, and the two
+    * diverge exactly where volume bursts concentrate. A tick's whole
+    * standing interval credits the hour it STARTS in (the interval
+    * is open on the right; each symbol's final tick has no interval
+    * and drops — both choices documented and mirrored in the
+    * oracle).
+    *
+    * Portability: weights are exact integer µs off one lead() over
+    * the (symbol, time) sort; Σc·dt stays < 2⁶³ until a symbol-hour
+    * holds ~10⁸ tick-seconds of centi-price mass; TWAP is one fenced
+    * division.
+    *
+    * Scale shape: one per-symbol sort window + one (symbol, hour)
+    * aggregate — the [[vwapHourly]] plan plus the lead.
+    */
+  def twapHourly(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("us").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .select(col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        col("event_type").as("symbol"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+          .as("centi"))
+      .withColumn("dt", lead(col("us"), 1).over(w) - col("us"))
+      .where(col("dt").isNotNull)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("symbol"))
+      .agg(sum(col("centi") * col("dt")).as("pdt"),
+        sum(col("dt")).as("span_us"), count(lit(1)).as("n_ticks"))
+      .select(to_date(col("hour_ts")).as("date"),
+        hour(col("hour_ts")).as("hour"),
+        col("symbol"), col("n_ticks"), col("span_us"),
+        r6(col("pdt").cast("double")
+          / (lit(100.0) * col("span_us").cast("double"))).as("twap"))
+      .orderBy("date", "hour", "symbol")
+  }
+
+  /** `realized_vol` — daily realized volatility per symbol: the
+    * square root of the day's sum of squared log returns (Andersen &
+    * Bollerslev 1998), the standard model-free daily volatility
+    * measure — the risk number behind [[bollingerBands]]' rolling σ
+    * and the denominator of any Sharpe-style ratio over this feed.
+    *
+    * Portability: each squared return ln(c_t/c_{t−1})² is one IEEE
+    * sequence over exact centi integers, quantized to the 10⁻⁹ grid
+    * (returns are O(1), so 10⁻⁹ keeps six significant digits after
+    * the sqrt) and summed order-free; rv takes one sqrt and is
+    * fenced. Zero-centi ticks (sub-half-cent prices) cannot enter a
+    * log return — both the tick and its successor's return drop,
+    * mirrored in the oracle. A day's first return looks back to the
+    * previous day's close (the overnight gap is real volatility;
+    * documented).
+    *
+    * Scale shape: one per-symbol sort window (lag) + one
+    * (symbol, day) aggregate to |symbol|×|day| rows.
+    */
+  def realizedVol(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("us").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .select(col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        col("event_type").as("symbol"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("c"))
+      .withColumn("pc", lag(col("c"), 1).over(w))
+      .where(col("pc").isNotNull && col("pc") > 0L && col("c") > 0L)
+      .withColumn("rq",
+        floor(log(col("c").cast("double") / col("pc").cast("double"))
+          * log(col("c").cast("double") / col("pc").cast("double"))
+          * lit(1000000000.0) + lit(0.5)).cast("long"))
+      .groupBy(col("symbol"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_returns"), sum(col("rq")).as("rqs"))
+      .select(col("symbol"), col("day"), col("n_returns"),
+        r6(sqrt(col("rqs").cast("double") / lit(1000000000.0)))
+          .as("rv"))
+      .orderBy("symbol", "day")
+  }
 }

@@ -3191,4 +3191,80 @@ object LlmTextOps {
         sum(col("redacted").cast("long")).as("chars_redacted"))
       .orderBy("source")
   }
+
+  /** `hapax_ratio` — vocabulary-richness profile per source: hapax
+    * legomena share (types seen exactly once), dis legomena share
+    * (exactly twice), and the type-token ratio. The corpus
+    * linguistics richness triple (Baayen 2001): a source whose hapax
+    * share collapses is template/boilerplate text ([[zipfSlope]]
+    * sees the same thing as a steep slope; this localizes it to the
+    * tail), and TTR differences across sources are the first thing
+    * a mixture re-weighting ([[mixtureSample]]) should know about.
+    *
+    * Portability: all counts are exact integers off one
+    * (source, token) aggregate; the three shares are fenced
+    * divisions. Scale shape: one explode + one map-side-combined
+    * aggregate to |source|×|vocab| cells, folded to |source| rows —
+    * the `zipf_slope` plan.
+    */
+  def hapaxRatio(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"), sum(col("cnt")).as("n_tokens"),
+        sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("hapax"),
+        sum(when(col("cnt") === 2L, 1L).otherwise(0L)).as("dis"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        col("hapax"), col("dis"),
+        graft.engine.Determinism.r6(col("hapax").cast("double")
+          / col("vocab").cast("double")).as("hapax_share"),
+        graft.engine.Determinism.r6(col("dis").cast("double")
+          / col("vocab").cast("double")).as("dis_share"),
+        graft.engine.Determinism.r6(col("vocab").cast("double")
+          / col("n_tokens").cast("double")).as("ttr"))
+      .orderBy("source")
+
+  /** `token_burstiness` — Fano-factor dispersion of the 20 most
+    * frequent tokens: variance-to-mean ratio of the token's per-doc
+    * count over ALL docs, zeros included (Church & Gale 1995).
+    * Fano ≈ 1 is Poisson (function words sprinkle uniformly);
+    * Fano ≫ 1 is bursty (topical words clump into few docs) — the
+    * content/function split a stopword list approximates, measured
+    * instead of assumed, and the signal behind df-based term
+    * weighting ([[bm25Rank]]'s IDF assumes exactly this clumping).
+    *
+    * Portability: Fano = Σx²/Σx − Σx/D needs only the integer
+    * per-doc count moments and the doc total — both exact off ONE
+    * (token, doc) aggregate (zero-count docs enter through D alone,
+    * so nothing materializes per zero); one fenced subtraction of
+    * two divisions. Top-20 rides a TOTAL order (count desc, token).
+    *
+    * Scale shape: one explode + one (token, doc) map-side-combined
+    * aggregate + one token-keyed fold; the top-20 is
+    * TakeOrderedAndProject. No join, no second corpus pass.
+    */
+  def tokenBurstiness(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .groupBy(col("tok"), col("doc_id"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy(col("tok"))
+      .agg(sum(col("x")).as("total"), sum(col("x") * col("x")).as("sx2"),
+        count(lit(1)).as("doc_freq"))
+      .orderBy(col("total").desc, col("tok").asc)
+      .limit(20)
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok"), col("total"), col("doc_freq"),
+        graft.engine.Determinism.r6(
+          col("sx2").cast("double") / col("total").cast("double")
+            - col("total").cast("double") / col("n_docs").cast("double"))
+          .as("fano"))
+      .orderBy(col("total").desc, col("tok").asc)
+  }
 }

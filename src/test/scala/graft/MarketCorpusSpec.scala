@@ -1,0 +1,176 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AnalyticOps, LlmTextOps}
+
+/** Round-8 wave 5: Brown–Forsythe spread test, TWAP, realized
+  * volatility, and the corpus richness/burstiness pair — replayed
+  * driver-side from textbook per-row definitions (median-centered
+  * deviations, interval-weighted means, raw squared-return sums,
+  * dictionary counting), decorrelated from the grid/cell SQL the
+  * operators and their DuckDB oracles share.
+  */
+class MarketCorpusSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def r6(x: Double): Double =
+    math.floor(x * 1e6 + 0.5) / 1e6
+
+  /** (symbol, us, event_id, centi) sorted per symbol at sf0.001. */
+  private def ticks(): Array[(String, Long, Long, Long)] = {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    graft.engine.Tables.events(s, TestSpark.sf0001)
+      .select(col("event_type"), unix_micros(col("ts")),
+        col("event_id"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+  }
+
+  test("levene_test == textbook median-centered ANOVA replay") {
+    val all = ticks()
+    val Array(row) = AnalyticOps.leveneTest(spark, TestSpark.sf0001)
+      .collect()
+    val (n, k, df1, df2, w) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getDouble(4))
+    val groups = all.groupBy(_._1).view
+      .mapValues(_.map(_._4.toDouble)).toMap
+    assert(n == all.length && k == groups.size)
+    assert(df1 == k - 1 && df2 == n - k)
+    // textbook: interpolated median, |x - med| deviations, plain
+    // one-way ANOVA F over the deviation samples
+    def median(vs: Seq[Double]): Double = {
+      val s = vs.sorted
+      val lo = (s.length + 1) / 2
+      val hi = s.length / 2 + 1
+      (s(lo - 1) + s(hi - 1)) / 2.0
+    }
+    val devs = groups.view.mapValues { vs =>
+      val m = median(vs.toSeq)
+      vs.map(x => math.abs(x - m))
+    }.toMap
+    val gm = devs.values.flatten.sum / n
+    val ssb = devs.values.map { ds =>
+      val m = ds.sum / ds.length
+      ds.length * (m - gm) * (m - gm)
+    }.sum
+    val ssw = devs.values.map { ds =>
+      val m = ds.sum / ds.length
+      ds.map(x => (x - m) * (x - m)).sum
+    }.sum
+    val wW = (ssb / (k - 1)) / (ssw / (n - k))
+    assert(math.abs(w - wW) < 1e-3, s"W $w vs $wW")
+    assert(w >= 0.0)
+  }
+
+  test("twap_hourly == interval-weighted replay; TWAP inside price band") {
+    val all = ticks()
+    val got = AnalyticOps.twapHourly(spark, TestSpark.sf0001).collect()
+      .map(r => ((r.getDate(0).toString, r.getInt(1), r.getString(2)),
+        (r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val want = all.groupBy(_._1).values.flatMap { evs =>
+      val sorted = evs.sortBy(e => (e._2, e._3))
+      sorted.zip(sorted.tail).map { case (cur, nxt) =>
+        val hourUs = cur._2 - math.floorMod(cur._2, 3600000000L)
+        ((java.time.Instant.ofEpochSecond(hourUs / 1000000L)
+          .toString.take(10),
+          ((hourUs / 1000000L) % 86400L).toInt / 3600,
+          cur._1), (cur._4, nxt._2 - cur._2))
+      }
+    }.groupBy(_._1).view.mapValues { g =>
+      val rows = g.map(_._2).toSeq
+      (rows.length.toLong, rows.map(_._2).sum,
+        r6(rows.map(t => t._1.toDouble * t._2).sum
+          / (100.0 * rows.map(_._2).sum)))
+    }.toMap
+    assert(got.keySet == want.keySet, "hour-symbol key sets differ")
+    got.foreach { case (key, (nG, spanG, twapG)) =>
+      val (nW, spanW, twapW) = want(key)
+      assert(nG == nW && spanG == spanW, s"$key counts")
+      assert(math.abs(twapG - twapW) < 1e-6, s"$key twap")
+    }
+  }
+
+  test("realized_vol == raw squared-log-return replay per symbol-day") {
+    val all = ticks()
+    val got = AnalyticOps.realizedVol(spark, TestSpark.sf0001).collect()
+      .map(r => ((r.getString(0), r.getDate(1).toString),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    val want = all.groupBy(_._1).values.flatMap { evs =>
+      val sorted = evs.sortBy(e => (e._2, e._3))
+      sorted.zip(sorted.tail).collect {
+        case (prev, cur) if prev._4 > 0 && cur._4 > 0 =>
+          val day = java.time.Instant
+            .ofEpochSecond(cur._2 / 1000000L).toString.take(10)
+          val r = math.log(cur._4.toDouble / prev._4)
+          ((cur._1, day), r * r)
+      }
+    }.groupBy(_._1).view
+      .mapValues(g => (g.size.toLong, math.sqrt(g.map(_._2).sum)))
+      .toMap
+    assert(got.keySet == want.keySet, "symbol-day key sets differ")
+    got.foreach { case (key, (nG, rvG)) =>
+      val (nW, rvW) = want(key)
+      assert(nG == nW, s"$key n_returns")
+      assert(math.abs(rvG - rvW) < 1e-4, s"$key rv $rvG vs $rvW")
+    }
+  }
+
+  test("hapax_ratio == dictionary-count replay per source") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val docs = graft.engine.Tables.documents(s, TestSpark.sf0001)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val got = LlmTextOps.hapaxRatio(s, TestSpark.sf0001).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(7))))
+      .toMap
+    docs.groupBy(_._1).foreach { case (src, g) =>
+      val toks = g.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+      val counts = toks.groupBy(identity).view.mapValues(_.length)
+      val (nT, vocab) = (toks.length.toLong, counts.size.toLong)
+      val hapax = counts.count(_._2 == 1).toLong
+      val dis = counts.count(_._2 == 2).toLong
+      val (gnT, gv, gh, gd, ghs, gttr) = got(src)
+      assert(gnT == nT && gv == vocab && gh == hapax && gd == dis,
+        s"$src counts")
+      assert(ghs == r6(hapax.toDouble / vocab), s"$src hapax_share")
+      assert(gttr == r6(vocab.toDouble / nT), s"$src ttr")
+    }
+  }
+
+  test("token_burstiness == per-doc moment replay; head tokens bursty-ranked") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val docs = graft.engine.Tables.documents(s, TestSpark.sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val nDocs = docs.length.toDouble
+    val cells = docs.flatMap { case (id, t) =>
+      t.split(" ").filter(_.nonEmpty).map(tok => (tok, id))
+    }.groupBy(identity).view.mapValues(_.length).toMap
+    val byTok = cells.toSeq.map { case ((tok, _), x) => (tok, x) }
+      .groupBy(_._1).view.mapValues { g =>
+        val xs = g.map(_._2.toLong)
+        (xs.sum, xs.map(x => x * x).sum, xs.length.toLong)
+      }.toMap
+    val want = byTok.toSeq
+      .sortBy { case (tok, (total, _, _)) => (-total, tok) }.take(20)
+      .map { case (tok, (total, sx2, df)) =>
+        (tok, total, df,
+          r6(sx2.toDouble / total - total / nDocs))
+      }
+    val got = LlmTextOps.tokenBurstiness(s, TestSpark.sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == want, s"top-20 mismatch:\n got=$got\nwant=$want")
+    // head tokens in synthetic space-tokenized text repeat within
+    // docs, so Fano must exceed the Poisson floor somewhere and
+    // never go below the theoretical minimum
+    assert(got.forall(_._4 > -1.0 + 1e-9))
+  }
+}
