@@ -98,6 +98,10 @@ object SparkEntry {
     "twap_hourly"              -> (AnalyticOps.twapHourly _),
     "realized_vol"             -> (AnalyticOps.realizedVol _),
     "levene_test"              -> (AnalyticOps.leveneTest _),
+    "order_flow_imbalance"     -> (AnalyticOps.orderFlowImbalance _),
+    "kyle_lambda"              -> (AnalyticOps.kyleLambda _),
+    "roll_spread"              -> (AnalyticOps.rollSpread _),
+    "amihud_illiquidity"       -> (AnalyticOps.amihudIlliquidity _),
     "obv_indicator"            -> (AnalyticOps.obvIndicator _),
     "bollinger_bands"          -> (AnalyticOps.bollingerBands _),
     "stochastic_oscillator"    -> (AnalyticOps.stochasticOscillator _),
@@ -2209,6 +2213,119 @@ object SparkEntry {
                 floor(sqrt(CAST(SUM(rq) AS DOUBLE) / 1000000000.0)
                   * 1000000.0 + 0.5) / 1000000.0 AS rv
          FROM r GROUP BY 1, 2 ORDER BY symbol, day""",
+    // tick-test order flow: integer up/down/zero counts per hour off
+    // the per-symbol lag; guarded fenced imbalance (all-zero -> null)
+    "order_flow_imbalance" ->
+      """WITH t AS (SELECT ts, event_id, epoch_us(ts) AS us,
+                event_type AS symbol,
+                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+              FROM events),
+         l AS (SELECT ts, symbol,
+                c - lag(c) OVER (PARTITION BY symbol
+                  ORDER BY us, event_id) AS dc
+              FROM t),
+         g AS (SELECT date_trunc('hour', ts) AS hour_ts, symbol,
+                CAST(SUM(CASE WHEN dc > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS upticks,
+                CAST(SUM(CASE WHEN dc < 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS downticks,
+                CAST(SUM(CASE WHEN dc = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS zeroticks
+              FROM l WHERE dc IS NOT NULL GROUP BY 1, 2)
+         SELECT CAST(hour_ts AS DATE) AS date,
+                CAST(EXTRACT(hour FROM hour_ts) AS INTEGER) AS hour,
+                symbol, upticks, downticks, zeroticks,
+                CASE WHEN upticks + downticks > 0 THEN
+                  floor(CAST(upticks - downticks AS DOUBLE)
+                    / CAST(upticks + downticks AS DOUBLE)
+                    * 1000000.0 + 0.5) / 1000000.0 END AS ofi
+         FROM g ORDER BY date, hour, symbol""",
+    // Kyle lambda: through-origin regression of centi move on
+    // tick-rule-signed volume, both sums exact integers
+    "kyle_lambda" ->
+      """WITH t AS (SELECT event_id, epoch_us(ts) AS us,
+                event_type AS symbol,
+                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+                COALESCE(TRY_CAST(json_extract_string(props, '$.k')
+                  AS BIGINT), 0) AS v
+              FROM events),
+         l AS (SELECT symbol, v,
+                c - lag(c) OVER (PARTITION BY symbol
+                  ORDER BY us, event_id) AS dc
+              FROM t),
+         s AS (SELECT symbol, dc,
+                CASE WHEN dc > 0 THEN v WHEN dc < 0 THEN -v
+                  ELSE 0 END AS sv
+              FROM l WHERE dc IS NOT NULL)
+         SELECT symbol, COUNT(*) AS n,
+                floor(CAST(SUM(dc * sv) AS DOUBLE)
+                  / CAST(SUM(sv * sv) AS DOUBLE)
+                  * 1000000.0 + 0.5) / 1000000.0 AS lambda_centi
+         FROM s GROUP BY 1 ORDER BY symbol""",
+    // Roll spread: ddof-1 autocovariance of consecutive centi moves
+    // from integer moments; trending (cov >= 0) symbols emit null
+    "roll_spread" ->
+      """WITH t AS (SELECT event_id, epoch_us(ts) AS us,
+                event_type AS symbol,
+                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+              FROM events),
+         l AS (SELECT symbol, us, event_id,
+                c - lag(c) OVER (PARTITION BY symbol
+                  ORDER BY us, event_id) AS dc
+              FROM t),
+         p AS (SELECT symbol, dc,
+                lag(dc) OVER (PARTITION BY symbol
+                  ORDER BY us, event_id) AS pdc
+              FROM l WHERE dc IS NOT NULL),
+         g AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS m,
+                CAST(SUM(dc) AS BIGINT) AS sa,
+                CAST(SUM(pdc) AS BIGINT) AS sb,
+                CAST(SUM(dc * pdc) AS BIGINT) AS sab
+              FROM p WHERE pdc IS NOT NULL GROUP BY 1),
+         k AS (SELECT symbol, m,
+                (CAST(sab AS DOUBLE)
+                  - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+                    / CAST(m AS DOUBLE))
+                  / (CAST(m AS DOUBLE) - 1.0) AS cov
+              FROM g)
+         SELECT symbol, m AS n_pairs,
+                floor(cov * 1000000.0 + 0.5) / 1000000.0
+                  AS autocov_centi2,
+                CASE WHEN cov < 0.0 THEN
+                  floor(2.0 * sqrt(-cov) / 100.0 * 1000000.0 + 0.5)
+                    / 1000000.0 END AS roll_spread
+         FROM k ORDER BY symbol""",
+    // Amihud: |daily open-to-close return| / daily centi-dollar
+    // volume, each day's ratio quantized 1e-9 and summed order-free
+    "amihud_illiquidity" ->
+      """WITH t AS (SELECT event_id, epoch_us(ts) AS us,
+                CAST(ts AS DATE) AS day, event_type AS symbol,
+                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+                COALESCE(TRY_CAST(json_extract_string(props, '$.k')
+                  AS BIGINT), 0) AS v
+              FROM events),
+         r AS (SELECT symbol, day, c, v,
+                ROW_NUMBER() OVER (PARTITION BY symbol, day
+                  ORDER BY us ASC, event_id ASC) AS ra,
+                ROW_NUMBER() OVER (PARTITION BY symbol, day
+                  ORDER BY us DESC, event_id DESC) AS rd
+              FROM t),
+         d AS (SELECT symbol, day,
+                MAX(CASE WHEN ra = 1 THEN c END) AS open_c,
+                MAX(CASE WHEN rd = 1 THEN c END) AS close_c,
+                CAST(SUM(c * v) AS BIGINT) AS dvol_centi
+              FROM r GROUP BY 1, 2),
+         q AS (SELECT symbol,
+                CAST(floor(abs(CAST(close_c - open_c AS DOUBLE))
+                  / CAST(open_c AS DOUBLE)
+                  / (CAST(dvol_centi AS DOUBLE) / 100.0)
+                  * 1000000.0 * 1000000000.0 + 0.5) AS BIGINT) AS rq
+              FROM d WHERE open_c > 0 AND dvol_centi > 0)
+         SELECT symbol, COUNT(*) AS n_days,
+                floor(CAST(SUM(rq) AS DOUBLE) / 1000000000.0
+                  / CAST(COUNT(*) AS DOUBLE) * 1000000.0 + 0.5)
+                  / 1000000.0 AS illiq_e6
+         FROM q GROUP BY 1 ORDER BY symbol""",
     // Brown-Forsythe W entirely on the value grid: doubled-centi
     // medians from one running cell count, integer deviation moments
     // per cell, per-group SS contributions floored and summed

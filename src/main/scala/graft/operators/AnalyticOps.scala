@@ -3124,4 +3124,148 @@ object AnalyticOps {
           .as("rv"))
       .orderBy("symbol", "day")
   }
+
+  /** Shared microstructure base: per-symbol time-sorted ticks with
+    * the centi price, its lag, and the tick-rule sign of the move —
+    * the one sort window [[orderFlowImbalance]], [[kyleLambda]] and
+    * [[rollSpread]] all ride (the same shuffle the indicator family
+    * pays; at scale this is ONE exchange per wave, not one per
+    * query).
+    */
+  private def tickDeltas(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("us").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .select(col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        col("event_type").as("symbol"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("c"),
+        coalesce(get_json_object(col("props"), "$.k").cast("long"),
+          lit(0L)).as("v"))
+      .withColumn("pc", lag(col("c"), 1).over(w))
+      .where(col("pc").isNotNull)
+      .withColumn("dc", col("c") - col("pc"))
+      .withColumn("sgn", signum(col("dc").cast("double")).cast("long"))
+  }
+
+  /** `order_flow_imbalance` — tick-test order flow per symbol-hour:
+    * upticks, downticks, zero-ticks, and the normalized imbalance
+    * (up − down)/(up + down) — the classic tick-rule proxy for
+    * signed order flow when the book isn't visible (Lee & Ready
+    * 1991), and the directional-pressure row a market-making
+    * dashboard shows beside [[vwapHourly]]. Exact integer counts off
+    * the shared per-symbol sort; one guarded fenced division
+    * (all-zero-tick hours emit null, mirrored in the oracle).
+    */
+  def orderFlowImbalance(s: SparkSession, d: String): DataFrame =
+    tickDeltas(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("symbol"))
+      .agg(sum(when(col("sgn") === 1L, 1L).otherwise(0L)).as("upticks"),
+        sum(when(col("sgn") === -1L, 1L).otherwise(0L)).as("downticks"),
+        sum(when(col("sgn") === 0L, 1L).otherwise(0L)).as("zeroticks"))
+      .select(to_date(col("hour_ts")).as("date"),
+        hour(col("hour_ts")).as("hour"), col("symbol"),
+        col("upticks"), col("downticks"), col("zeroticks"),
+        when(col("upticks") + col("downticks") > 0L,
+          r6((col("upticks") - col("downticks")).cast("double")
+            / (col("upticks") + col("downticks")).cast("double")))
+          .as("ofi"))
+      .orderBy("date", "hour", "symbol")
+
+  /** `kyle_lambda` — price-impact coefficient per symbol (Kyle
+    * 1985): the through-origin regression of the centi price move on
+    * tick-rule-signed volume, λ = Σ(Δc·sv)/Σ(sv²) — "how many centi
+    * does a unit of net flow move this symbol", the standard
+    * liquidity-depth scalar beside [[rollSpread]]'s cost scalar.
+    * Both sums are exact integers (|Δc| ≤ price range, v ≤ the
+    * two-digit volume alphabet); λ is one fenced division. Zero-move
+    * ticks carry sv = 0 and drop out of both sums arithmetically.
+    */
+  def kyleLambda(s: SparkSession, d: String): DataFrame =
+    tickDeltas(s, d)
+      .withColumn("sv", col("sgn") * col("v"))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dc") * col("sv")).as("dsv"),
+        sum(col("sv") * col("sv")).as("sv2"))
+      .select(col("symbol"), col("n"),
+        r6(col("dsv").cast("double") / col("sv2").cast("double"))
+          .as("lambda_centi"))
+      .orderBy("symbol")
+
+  /** `roll_spread` — Roll's implied effective spread per symbol
+    * (Roll 1984): s = 2·√(−cov(Δp_t, Δp_{t−1})) — bid-ask bounce
+    * makes consecutive price changes negatively autocorrelated, and
+    * the magnitude of that autocovariance IS the spread, estimable
+    * from trade prices alone. Sample covariance (ddof = 1) over the
+    * (Δ_t, Δ_{t−1}) pairs, all four moments exact integers off one
+    * extra lag on the shared sort; positive-autocovariance regimes
+    * (trending, where Roll is undefined) emit null — mirrored in the
+    * oracle — beside the raw covariance so the regime is visible.
+    */
+  def rollSpread(s: SparkSession, d: String): DataFrame =
+    tickDeltas(s, d)
+      .withColumn("pdc", lag(col("dc"), 1).over(
+        Window.partitionBy("symbol")
+          .orderBy(col("us").asc, col("event_id").asc)))
+      .where(col("pdc").isNotNull)
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("dc")).as("sa"), sum(col("pdc")).as("sb"),
+        sum(col("dc") * col("pdc")).as("sab"))
+      .withColumn("cov_centi2",
+        (col("sab").cast("double")
+          - col("sa").cast("double") * col("sb").cast("double")
+            / col("m").cast("double"))
+          / (col("m").cast("double") - lit(1.0)))
+      .select(col("symbol"), col("m").as("n_pairs"),
+        r6(col("cov_centi2")).as("autocov_centi2"),
+        when(col("cov_centi2") < 0.0,
+          r6(lit(2.0) * sqrt(-col("cov_centi2")) / lit(100.0)))
+          .as("roll_spread"))
+      .orderBy("symbol")
+
+  /** `amihud_illiquidity` — Amihud's (2002) daily price-impact
+    * ratio per symbol: mean over days of |daily return| / daily
+    * dollar volume, scaled ×10⁶ — "how much does a dollar of flow
+    * move the price over a day", the low-frequency cousin of
+    * [[kyleLambda]] and the standard cross-sectional illiquidity
+    * sort key. Daily return is (close − open)/open on exact centi
+    * opens/closes (picked by row_number over the (day, time) sort);
+    * dollar volume is an exact centi·volume integer; each day's
+    * ratio is one IEEE sequence quantized 10⁻⁹ and summed order-free
+    * across days ([[anovaOneway]] posture). Zero-volume or
+    * zero-open days drop (documented, mirrored).
+    */
+  def amihudIlliquidity(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.events(s, d)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        to_date(col("ts")).as("day"),
+        col("event_type").as("symbol"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("c"),
+        coalesce(get_json_object(col("props"), "$.k").cast("long"),
+          lit(0L)).as("v"))
+    val wDay = Window.partitionBy("symbol", "day")
+    val wAsc = wDay.orderBy(col("us").asc, col("event_id").asc)
+    val wDesc = wDay.orderBy(col("us").desc, col("event_id").desc)
+    val days = base
+      .withColumn("ra", row_number().over(wAsc))
+      .withColumn("rd", row_number().over(wDesc))
+      .groupBy(col("symbol"), col("day"))
+      .agg(max(when(col("ra") === 1, col("c"))).as("open_c"),
+        max(when(col("rd") === 1, col("c"))).as("close_c"),
+        sum(col("c") * col("v")).as("dvol_centi"))
+      .where(col("open_c") > 0L && col("dvol_centi") > 0L)
+      .withColumn("ratio_q",
+        floor(abs((col("close_c") - col("open_c")).cast("double"))
+          / col("open_c").cast("double")
+          / (col("dvol_centi").cast("double") / lit(100.0))
+          * lit(1000000.0) * lit(1000000000.0) + lit(0.5)).cast("long"))
+    days.groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_days"), sum(col("ratio_q")).as("rqs"))
+      .select(col("symbol"), col("n_days"),
+        r6(col("rqs").cast("double") / lit(1000000000.0)
+          / col("n_days").cast("double")).as("illiq_e6"))
+      .orderBy("symbol")
+  }
 }

@@ -119,6 +119,116 @@ class MarketCorpusSpec extends AnyFunSuite {
     }
   }
 
+  /** (symbol, us, event_id, centi, vol) at sf0.001. */
+  private def ticksVol(): Array[(String, Long, Long, Long, Long)] = {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    graft.engine.Tables.events(s, TestSpark.sf0001)
+      .select(col("event_type"), unix_micros(col("ts")),
+        col("event_id"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long"),
+        coalesce(get_json_object(col("props"), "$.k").cast("long"),
+          lit(0L)))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+  }
+
+  private def deltas(sym: String): Seq[(Long, Long, Long, Long)] = {
+    val sorted = ticksVol().filter(_._1 == sym).sortBy(e => (e._2, e._3))
+    sorted.zip(sorted.tail).map { case (p, c) =>
+      (c._2, c._4 - p._4, c._5, c._2) // (us, dc, vol, us)
+    }
+  }
+
+  test("order_flow_imbalance == per-tick sign replay") {
+    val all = ticksVol()
+    val got = AnalyticOps.orderFlowImbalance(spark, TestSpark.sf0001)
+      .collect()
+      .map(r => ((r.getDate(0).toString, r.getInt(1), r.getString(2)),
+        (r.getLong(3), r.getLong(4), r.getLong(5),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6))))).toMap
+    val want = all.groupBy(_._1).toSeq.flatMap { case (sym, evs) =>
+      val sorted = evs.sortBy(e => (e._2, e._3))
+      sorted.zip(sorted.tail).map { case (p, c) =>
+        val hourUs = c._2 - math.floorMod(c._2, 3600000000L)
+        ((java.time.Instant.ofEpochSecond(hourUs / 1000000L)
+          .toString.take(10),
+          ((hourUs / 1000000L) % 86400L).toInt / 3600, sym),
+          (c._4 - p._4).signum)
+      }
+    }.groupBy(_._1).view.mapValues { g =>
+      val ss = g.map(_._2).toSeq
+      val (up, dn, z) = (ss.count(_ > 0).toLong,
+        ss.count(_ < 0).toLong, ss.count(_ == 0).toLong)
+      (up, dn, z,
+        if (up + dn > 0) Some(r6((up - dn).toDouble / (up + dn)))
+        else None)
+    }.toMap
+    assert(got == want, "hour-level ofi mismatch")
+    // every imbalance bounded; zero-move ticks counted, not signed
+    assert(got.values.forall(_._4.forall(o => o >= -1.0 && o <= 1.0)))
+  }
+
+  test("kyle_lambda == through-origin regression replay per symbol") {
+    val got = AnalyticOps.kyleLambda(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq ==
+      Seq("click", "error", "purchase", "signup", "view"))
+    got.foreach { case (sym, n, lam) =>
+      val ds = deltas(sym)
+      assert(n == ds.length, s"$sym n")
+      val sv = ds.map { case (_, dc, v, _) => (dc, dc.signum * v) }
+      val want = sv.map { case (dc, s) => (dc * s).toDouble }.sum /
+        sv.map { case (_, s) => (s * s).toDouble }.sum
+      assert(math.abs(lam - want) < 1e-6, s"$sym lambda $lam vs $want")
+    }
+  }
+
+  test("roll_spread == serial-covariance replay per symbol") {
+    val got = AnalyticOps.rollSpread(spark, TestSpark.sf0001).collect()
+    got.foreach { r =>
+      val sym = r.getString(0)
+      val dcs = deltas(sym).map(_._2)
+      val pairs = dcs.zip(dcs.tail).map { case (a, b) => (b, a) }
+      assert(r.getLong(1) == pairs.length, s"$sym n_pairs")
+      val m = pairs.length
+      val ma = pairs.map(_._1.toDouble).sum / m
+      val mb = pairs.map(_._2.toDouble).sum / m
+      val cov = pairs.map { case (a, b) => (a - ma) * (b - mb) }.sum /
+        (m - 1)
+      assert(math.abs(r.getDouble(2) - cov) < 1e-4,
+        s"$sym autocov ${r.getDouble(2)} vs $cov")
+      if (cov < 0) {
+        assert(!r.isNullAt(3), s"$sym spread should exist")
+        assert(math.abs(r.getDouble(3) - 2 * math.sqrt(-cov) / 100)
+          < 1e-6, s"$sym spread")
+      } else assert(r.isNullAt(3), s"$sym trending regime must be null")
+    }
+  }
+
+  test("amihud_illiquidity == daily open/close ratio replay") {
+    val all = ticksVol()
+    val got = AnalyticOps.amihudIlliquidity(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    got.foreach { case (sym, nDays, illiq) =>
+      val byDay = all.filter(_._1 == sym)
+        .groupBy(e => e._2 / 86400000000L)
+      val ratios = byDay.values.toSeq.flatMap { evs =>
+        val sorted = evs.sortBy(e => (e._2, e._3))
+        val (open, close) = (sorted.head._4, sorted.last._4)
+        val dvol = sorted.map(e => e._4 * e._5).sum
+        if (open > 0 && dvol > 0)
+          Some(math.abs(close - open).toDouble / open /
+            (dvol / 100.0) * 1e6)
+        else None
+      }
+      assert(nDays == ratios.length, s"$sym n_days")
+      val want = ratios.sum / ratios.length
+      assert(math.abs(illiq - want) < 1e-5, s"$sym illiq $illiq vs $want")
+    }
+  }
+
   test("hapax_ratio == dictionary-count replay per source") {
     val s = spark
     import org.apache.spark.sql.functions._
