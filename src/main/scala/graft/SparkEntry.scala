@@ -187,6 +187,9 @@ object SparkEntry {
     "attribution_linear"       -> (AnalyticOps.attributionLinear _),
     "above_avg_orders"         -> (AnalyticOps.aboveAvgOrders _),
     "active_users_7d"          -> (AnalyticOps.activeUsers7d _),
+    "dedup_cross_source"       -> (LlmTextOps.dedupCrossSource _),
+    "tokenizer_fertility"      -> (LlmTextOps.tokenizerFertility _),
+    "curriculum_bins"          -> (LlmTextOps.curriculumBins _),
     // E16–E21 + LLM-pipeline surface
     "sessionize"          -> (LlmTextOps.sessionize _),
     "dedup_exact"         -> (LlmTextOps.dedupExact _),
@@ -3329,6 +3332,62 @@ object SparkEntry {
          WHERE floor((inter / LEAST(si.sz, sj.sz)) * 1000000 + 0.5)
                  / 1000000 >= 0.9
          ORDER BY i, j""",
+    // cross-source contamination matrix: dedup_near's verified pair
+    // stream labeled with both documents' sources; count(*) over the
+    // [i,j] unnest is exactly 2x the pair count
+    "dedup_cross_source" ->
+      """WITH sh_t AS (
+           SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1]
+                    || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh_t GROUP BY 1),
+         pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+                   FROM sh_t a JOIN sh_t b
+                     ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         jp AS (SELECT i, j
+                FROM pairs JOIN sizes si ON si.doc_id = i
+                           JOIN sizes sj ON sj.doc_id = j
+                WHERE floor((inter / (si.sz + sj.sz - inter)) * 1000000 + 0.5)
+                        / 1000000 >= 0.8),
+         lab AS (SELECT LEAST(di.source, dj.source) AS source_a,
+                        GREATEST(di.source, dj.source) AS source_b, i, j
+                 FROM jp JOIN documents di ON di.doc_id = i
+                         JOIN documents dj ON dj.doc_id = j),
+         ex AS (SELECT source_a, source_b, unnest([i, j]) AS doc FROM lab)
+         SELECT source_a, source_b,
+                CAST(count(*) / 2 AS BIGINT) AS dup_pairs,
+                count(DISTINCT doc) AS docs_involved
+         FROM ex GROUP BY 1, 2 ORDER BY 1, 2""",
+    // per-language tokenizer fertility: exact BIGINT sums, two fenced
+    // divisions
+    "tokenizer_fertility" ->
+      """WITH t AS (SELECT lang,
+                  len(string_split(text, ' ')) AS ws,
+                  len(regexp_extract_all(text, '[a-z0-9]+')) AS re,
+                  length(text) AS ch
+           FROM documents)
+         SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+                CAST(SUM(re) AS BIGINT) AS re_tokens,
+                CAST(SUM(ch) AS BIGINT) AS total_chars,
+                floor((SUM(re) * 1.0 / SUM(ws)) * 1000000 + 0.5) / 1000000
+                  AS fertility,
+                floor((SUM(ch) * 1.0 / SUM(re)) * 1000000 + 0.5) / 1000000
+                  AS chars_per_token
+         FROM t GROUP BY 1 ORDER BY 1""",
+    // length-curriculum stages: NTILE(4) per lang over (toks, doc_id)
+    // — the tie column pins the assignment to a total order
+    "curriculum_bins" ->
+      """WITH t AS (SELECT lang, doc_id,
+                  len(string_split(text, ' ')) AS toks FROM documents),
+         st AS (SELECT lang, toks,
+                  CAST(NTILE(4) OVER (PARTITION BY lang
+                    ORDER BY toks, doc_id) AS INTEGER) AS stage FROM t)
+         SELECT lang, stage, COUNT(*) AS n_docs,
+                CAST(SUM(toks) AS BIGINT) AS tokens,
+                CAST(MIN(toks) AS BIGINT) AS min_tokens,
+                CAST(MAX(toks) AS BIGINT) AS max_tokens
+         FROM st GROUP BY 1, 2 ORDER BY 1, 2""",
     // Gopher rule census: every comparison integer on both sides,
     // only the presentation pass_rate divides
     "quality_gopher" ->

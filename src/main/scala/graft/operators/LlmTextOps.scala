@@ -3267,4 +3267,107 @@ object LlmTextOps {
           .as("fano"))
       .orderBy(col("total").desc, col("tok").asc)
   }
+
+  /** `dedup_cross_source` — the cross-source CONTAMINATION matrix:
+    * for every unordered source pair connected by at least one
+    * verified near-dup pair (J ≥ 0.8, the [[dedupNearPairs]]
+    * stream), the dup-pair count and the number of distinct
+    * documents involved. The mixture-design companion to
+    * [[dedupNear]]: per-corpus dup RATES say how much to deduplicate;
+    * the cross-source matrix says which sources are copies of EACH
+    * OTHER — the "CC dump republished by N mirrors" signal that
+    * decides whether two sources deserve independent mixture weights
+    * ([[mixtureSample]]) or are one source wearing two names. The
+    * diagonal (source_a = source_b) is the within-source dup mass
+    * for comparison.
+    *
+    * Scale: the corpus-sized work is already paid by the memoized
+    * pair silver; this query adds two joins where the BROADCAST side
+    * is the post-threshold pair set (hundreds of rows at sf0.1,
+    * ≪ docs at any scale — the opposite orientation from the size
+    * joins inside the silver, on purpose: here docs stream, pairs
+    * build). The pair count rides the same explode that feeds the
+    * distinct-doc count (count(*) is exactly 2× pairs), so one
+    * aggregate serves both outputs.
+    */
+  def dedupCrossSource(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val p = dedupNearPairs(s, d).select(col("i"), col("j"))
+    val withI = src.join(broadcast(p), col("doc_id") === col("i"))
+      .select(col("source").as("si"), col("i"), col("j"))
+    val lab = src.join(broadcast(withI), col("doc_id") === col("j"))
+      .select(least(col("si"), col("source")).as("source_a"),
+        greatest(col("si"), col("source")).as("source_b"),
+        col("i"), col("j"))
+    lab
+      .select(col("source_a"), col("source_b"),
+        explode(array(col("i"), col("j"))).as("doc"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg((count(lit(1)) / lit(2L)).cast("long").as("dup_pairs"),
+        countDistinct(col("doc")).as("docs_involved"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** `tokenizer_fertility` — per-language pre-tokenizer FERTILITY:
+    * subword-proxy tokens per whitespace word (the [[tokenCount]]
+    * BPE-ish `[a-z0-9]+` regex as the subword stand-in) and
+    * characters per subword token. Fertility is THE tokenizer-equity
+    * metric for a multilingual corpus (Rust et al. 2021; Petrov
+    * et al. 2023 "tokenizer unfairness"): a language whose fertility
+    * runs high pays more sequence length per sentence, so token
+    * budgets ([[packSequences]]) and mixture weights measured in
+    * tokens silently under-sample it — this table is the correction
+    * input.
+    *
+    * Portability: all sums are exact integers off one map-side
+    * projection; the two ratios are single fenced divisions of
+    * exact BIGINT sums. Scale shape: fully map-side-combined
+    * aggregate to |lang| rows — no join, no window, one tiny
+    * shuffle.
+    */
+  def tokenizerFertility(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("ws"),
+        regexp_count(col("text"), lit("[a-z0-9]+")).cast("long").as("re"),
+        length(col("text")).cast("long").as("ch"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens"),
+        sum(col("re")).as("re_tokens"), sum(col("ch")).as("total_chars"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"),
+        col("re_tokens"), col("total_chars"),
+        r6(col("re_tokens").cast("double") / col("ws_tokens").cast("double"))
+          .as("fertility"),
+        r6(col("total_chars").cast("double") / col("re_tokens").cast("double"))
+          .as("chars_per_token"))
+      .orderBy("lang")
+
+  /** `curriculum_bins` — length-curriculum stage assignment: per
+    * language, docs rank into 4 NTILE stages by whitespace-token
+    * count (short → long, the classic length curriculum; doc_id
+    * breaks ties so the assignment is a total order), and the output
+    * is the per-(lang, stage) datacard a curriculum schedule
+    * consumes: doc count, token budget, and the stage's length
+    * bracket. Per-language so no language's long tail lands entirely
+    * in the last global stage.
+    *
+    * Scale: the NTILE window partitions by lang — entity-level rows
+    * like `rfm_scores` / `session_stats`, so a language's docs rank
+    * on one task. At 100 TB swap in the [[corpusShuffle]]
+    * range-bucket global order (sample boundaries → broadcast →
+    * bucket rank) exactly as `revenue_concentration` documents; the
+    * per-stage aggregate itself is map-side-combined either way.
+    */
+  def curriculumBins(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("toks"), col("doc_id"))
+    docs.withColumn("stage", ntile(4).over(w))
+      .groupBy(col("lang"), col("stage"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"),
+        min(col("toks")).as("min_tokens"), max(col("toks")).as("max_tokens"))
+      .orderBy("lang", "stage")
+  }
 }
