@@ -190,6 +190,9 @@ object SparkEntry {
     "dedup_cross_source"       -> (LlmTextOps.dedupCrossSource _),
     "tokenizer_fertility"      -> (LlmTextOps.tokenizerFertility _),
     "curriculum_bins"          -> (LlmTextOps.curriculumBins _),
+    "ngram_coverage"           -> (LlmTextOps.ngramCoverage _),
+    "knn_confusion"            -> (LlmVectorOps.knnConfusion _),
+    "embedding_isotropy"       -> (LlmVectorOps.embeddingIsotropy _),
     // E16–E21 + LLM-pipeline surface
     "sessionize"          -> (LlmTextOps.sessionize _),
     "dedup_exact"         -> (LlmTextOps.dedupExact _),
@@ -3388,6 +3391,88 @@ object SparkEntry {
                 CAST(MIN(toks) AS BIGINT) AS min_tokens,
                 CAST(MAX(toks) AS BIGINT) AS max_tokens
          FROM st GROUP BY 1, 2 ORDER BY 1, 2""",
+    // held-out trigram coverage by the train vocabulary: same bucket
+    // hash as train_val_split, grams as raw strings, one fenced ratio
+    "ngram_coverage" ->
+      """WITH t AS (SELECT lang, string_split(text, ' ') AS toks,
+                (((doc_id % 1000000007) * 2654435761) % 1000000007) % 10
+                  AS bucket
+              FROM documents),
+         g AS (SELECT lang,
+                 CASE WHEN bucket < 8 THEN 'train'
+                      WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+                 unnest(list_distinct([toks[i] || ' ' || toks[i+1]
+                   || ' ' || toks[i+2] for i in range(1, len(toks) - 1)]))
+                   AS gram
+               FROM t WHERE len(toks) >= 3),
+         tv AS (SELECT DISTINCT gram FROM g WHERE split = 'train'),
+         ev AS (SELECT split, lang, (tv.gram IS NOT NULL) AS hit
+                FROM g LEFT JOIN tv ON g.gram = tv.gram
+                WHERE split <> 'train')
+         SELECT split, lang, COUNT(*) AS total_ngrams,
+                CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+                  AS covered_ngrams,
+                floor((SUM(CASE WHEN hit THEN 1 ELSE 0 END) * 1.0
+                    / COUNT(*)) * 1000000 + 0.5) / 1000000 AS coverage
+         FROM ev GROUP BY 1, 2 ORDER BY 1, 2""",
+    // kNN confusion matrix: knn_label's vote pipeline over a 64-probe
+    // panel, folded to (true, predicted) counts + per-true shares
+    "knn_confusion" ->
+      """WITH probes AS (SELECT vec_id AS probe_id, embedding AS probe_emb,
+                                label AS true_label
+                         FROM embeddings WHERE vec_id < 64),
+         pairs AS (
+           SELECT probe_id, true_label, vec_id, label,
+                  floor((list_aggregate([CAST(probe_emb[i] AS DOUBLE)
+                          * CAST(embedding[i] AS DOUBLE)
+                          for i in range(1, len(probe_emb) + 1)], 'sum')
+                    / (sqrt(list_aggregate([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                             for x in probe_emb], 'sum'))
+                       * sqrt(list_aggregate([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                              for x in embedding], 'sum')))) * 1000000 + 0.5) / 1000000 AS score
+           FROM embeddings, probes WHERE vec_id <> probe_id),
+         ranked AS (SELECT probe_id, true_label, vec_id, label, score,
+                  ROW_NUMBER() OVER (PARTITION BY probe_id
+                    ORDER BY score DESC, vec_id ASC) AS rank
+                    FROM pairs),
+         votes AS (SELECT probe_id, true_label, label, COUNT(*) AS votes
+                   FROM ranked WHERE rank <= 10 GROUP BY 1, 2, 3),
+         win AS (SELECT probe_id, true_label, label, votes,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                     ORDER BY votes DESC, label ASC) AS r
+                 FROM votes),
+         conf AS (SELECT true_label, label AS predicted_label,
+                         COUNT(*) AS n
+                  FROM win WHERE r = 1 GROUP BY 1, 2),
+         g AS (SELECT *, CAST(SUM(n) OVER (PARTITION BY true_label)
+                   AS BIGINT) AS total FROM conf)
+         SELECT true_label, predicted_label, n,
+                floor(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+                  * 1000000 + 0.5) / 1000000 AS share
+         FROM g ORDER BY 1, 2""",
+    // exact mean pairwise cosine in O(n*d): per-dim sums of 2^20-grid
+    // unit components; S_d^2 accumulates in HUGEINT (DECIMAL on the
+    // Spark side), one double scale-down by 2^40 at the end
+    "embedding_isotropy" ->
+      """WITH b AS (SELECT vec_id, embedding,
+                sqrt(list_aggregate([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                       for x in embedding], 'sum')) AS norm
+              FROM embeddings),
+         t AS (SELECT vec_id, p.pos - 1 AS dim,
+                CAST(floor(CAST(embedding[p.pos] AS DOUBLE) / norm
+                    * 1048576.0 + 0.5) AS BIGINT) AS q
+              FROM b CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) p),
+         pd AS (SELECT dim, SUM(q) AS sd, SUM(q * q) AS qq
+                FROM t GROUP BY 1),
+         agg AS (SELECT SUM(CAST(sd AS HUGEINT) * CAST(sd AS HUGEINT)) AS s2,
+                        SUM(qq) AS qsum
+                 FROM pd),
+         n AS (SELECT COUNT(*) AS n FROM embeddings)
+         SELECT n,
+                floor((CAST(s2 - qsum AS DOUBLE)
+                    / CAST(n * (n - 1) AS DOUBLE) / 1099511627776.0)
+                  * 1000000 + 0.5) / 1000000 AS mean_pairwise_cosine
+         FROM agg, n""",
     // Gopher rule census: every comparison integer on both sides,
     // only the presentation pass_rate divides
     "quality_gopher" ->

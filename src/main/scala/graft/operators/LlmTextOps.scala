@@ -3268,6 +3268,59 @@ object LlmTextOps {
       .orderBy(col("total").desc, col("tok").asc)
   }
 
+  /** `ngram_coverage` — how much of the held-out splits' 3-gram mass
+    * the train split's vocabulary already covers: per (split, lang),
+    * the distinct-trigram count of val/test documents and the
+    * fraction found in train's trigram vocabulary. This is the
+    * gradient between [[decontaminate]] (whole-doc 8-gram hits =
+    * leakage) and generalization measurement: coverage near 1 means
+    * the held-out split can't measure memorization at the n-gram
+    * level; coverage collapsing for one language flags a split whose
+    * train side under-represents it. Rides the SAME doc_id-hash
+    * bucket assignment as [[trainValSplit]], so the splits being
+    * scored are exactly the splits the pipeline would ship.
+    *
+    * Scale: one corpus pass builds (doc, gram) rows, the
+    * train-vocab distinct and the coverage join both shuffle on the
+    * gram key — the `decontaminate` posture (never broadcast: train
+    * vocab is corpus-sized). Grams travel as raw strings here for
+    * oracle portability; the production swap is xxhash64 of the
+    * gram ([[dedupExactDigest]]'s 8-byte-key argument), plan shape
+    * unchanged.
+    */
+  def ngramCoverage(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .withColumn("bucket",
+        ((col("doc_id") % lit(1000000007L)) * lit(2654435761L)
+          % lit(1000000007L)) % lit(10))
+      .withColumn("split",
+        when(col("bucket") < 8, lit("train"))
+          .when(col("bucket") === 8, lit("val"))
+          .otherwise(lit("test")))
+      .withColumn("toks", split(col("text"), " "))
+      // sequence(0, size-3) DESCENDS for size < 3 (toks[-1] rows):
+      // the guard is load-bearing, not cosmetic
+      .where(size(col("toks")) >= 3)
+      .select(col("lang"), col("split"),
+        explode(array_distinct(expr(
+          """transform(sequence(0, size(toks) - 3),
+               i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))""")))
+          .as("gram"))
+    val trainVocab = grams.where(col("split") === "train")
+      .select(col("gram")).distinct()
+    grams.where(col("split") =!= "train")
+      .join(trainVocab.withColumn("hit", lit(1L)), Seq("gram"), "left")
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("total_ngrams"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L))
+          .as("covered_ngrams"))
+      .select(col("split"), col("lang"), col("total_ngrams"),
+        col("covered_ngrams"),
+        r6(col("covered_ngrams").cast("double")
+          / col("total_ngrams").cast("double")).as("coverage"))
+      .orderBy("split", "lang")
+  }
+
   /** `dedup_cross_source` — the cross-source CONTAMINATION matrix:
     * for every unordered source pair connected by at least one
     * verified near-dup pair (J ≥ 0.8, the [[dedupNearPairs]]

@@ -79,9 +79,18 @@ object LlmVectorOps {
     * and swapping in any ANN row above (IVF-PQ at 100 TB) keeps the
     * voting tail unchanged.
     */
-  def knnLabel(s: SparkSession, d: String): DataFrame = {
+  def knnLabel(s: SparkSession, d: String): DataFrame =
+    knnPredictions(s, d, nProbes).orderBy("probe_id")
+
+  /** Shared leave-one-out 10-NN majority-vote prediction pipeline —
+    * [[knnLabel]] presents it per probe; [[knnConfusion]] aggregates
+    * it into the confusion matrix. The probe cap is the only dial:
+    * probes broadcast, so cost = one corpus scan regardless of cap.
+    */
+  private def knnPredictions(s: SparkSession, d: String,
+      probeCap: Long): DataFrame = {
     val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
-    val probes = e.where(col("vec_id") < nProbes)
+    val probes = e.where(col("vec_id") < probeCap)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
         col("norm").as("probe_norm"), col("label").as("true_label"))
     val pairs = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
@@ -102,7 +111,73 @@ object LlmVectorOps {
       .where(col("r") === 1)
       .select(col("probe_id"), col("true_label"),
         col("label").as("predicted_label"), col("votes"))
-      .orderBy("probe_id")
+  }
+
+  /** `knn_confusion` — the label-quality CONFUSION MATRIX of the
+    * embedding space: leave-one-out 10-NN majority-vote predictions
+    * over a 64-probe panel ([[knnLabel]]'s pipeline, wider panel),
+    * folded to (true_label, predicted_label) counts with the
+    * per-true-label share. The diagonal shares are per-class kNN
+    * recall — the standard probe for label noise and class overlap
+    * in an embedding corpus (a class whose mass votes elsewhere is
+    * mislabeled or inseparable, the same docs `embed_outliers` and
+    * [[contrastivePairs]]' margin ≤ 0 flag one at a time; this is
+    * the corpus-level census). Scale shape: identical to
+    * [[similarityTopk]] — broadcast probes, ONE corpus scan,
+    * per-probe bounded rank — then two tiny aggregates; the share
+    * window runs over ≤ |labels|² rows.
+    */
+  def knnConfusion(s: SparkSession, d: String): DataFrame = {
+    val wt = Window.partitionBy("true_label")
+    knnPredictions(s, d, probeCap = 64L)
+      .groupBy(col("true_label"), col("predicted_label"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(wt))
+      .select(col("true_label"), col("predicted_label"), col("n"),
+        r6(col("n").cast("double") / col("total").cast("double")).as("share"))
+      .orderBy("true_label", "predicted_label")
+  }
+
+  /** `embedding_isotropy` — the mean pairwise cosine of the WHOLE
+    * embedding corpus, computed exactly in O(n·d) — no pair stream:
+    * Σ_{i≠j} cos(i,j) = ‖Σ_i u_i‖² − Σ_i ‖u_i‖² over unit vectors
+    * u, so per-dimension sums of the normalized components are
+    * sufficient statistics. High mean cosine = anisotropic cone
+    * (Ethayarajh 2019; Mu & Viswanath 2018's "all-but-the-top"
+    * postprocess exists because of exactly this) — embeddings that
+    * all point the same way make cosine thresholds ([[dedupEmbed]])
+    * and ANN recall ([[similarityIvf]]) misleadingly tight, so this
+    * scalar is the first diagnostic to read before trusting either.
+    *
+    * Portability: unit components quantize to the label_centroids
+    * 2^20 grid at birth → per-dim sums are EXACT BIGINTs in any
+    * fold order; the squares accumulate in DECIMAL(38,0) (HUGEINT
+    * on the oracle side — S_d² ≈ 4·10¹⁹ overflows a long), and ONE
+    * written double expression scales by 2⁻⁴⁰ and fences. Scale
+    * shape: one posexplode pass, one |dim|-row aggregate, one
+    * 1-row fold — the asymptotic opposite of the n² pair scan the
+    * identity replaces.
+    */
+  def embeddingIsotropy(s: SparkSession, d: String): DataFrame = {
+    val grid = (1L << 20).toDouble
+    val q = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
+      .select(col("vec_id"), col("norm"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim"),
+        floor(col("v").cast("double") / col("norm") * lit(grid) + lit(0.5))
+          .cast("long").as("q"))
+    val perDim = q.groupBy(col("dim"))
+      .agg(sum(col("q")).as("sd"), sum(col("q") * col("q")).as("qq"))
+    val nRow = Tables.embeddings(s, d).agg(count(lit(1)).as("n"))
+    perDim
+      .agg(sum(col("sd").cast("decimal(38,0)")
+          * col("sd").cast("decimal(38,0)")).as("s2"),
+        sum(col("qq")).as("qsum"))
+      .crossJoin(broadcast(nRow))
+      .select(col("n"),
+        r6((col("s2") - col("qsum").cast("decimal(38,0)")).cast("double")
+          / (col("n") * (col("n") - lit(1L))).cast("double")
+          / lit(1099511627776.0)).as("mean_pairwise_cosine"))
   }
 
   /** `contrastive_pairs` — (anchor, positive, hard negative) triplet

@@ -1,0 +1,115 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{LlmTextOps, LlmVectorOps}
+
+/** Round-8 wave-8 evaluation operators: the kNN confusion matrix, the
+  * O(n·d) exact isotropy scalar, and held-out n-gram coverage. Each
+  * test recomputes the result from first principles on the driver —
+  * for embedding_isotropy that means the O(n²) pairwise definition the
+  * linear-algebra identity replaces, so the test proves the identity,
+  * not just the plumbing.
+  */
+class EmbedEvalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  private def embs(sf: String): Array[(Long, Array[Double], Int)] =
+    graft.engine.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label")
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray.map(_.toDouble), r.getInt(2)))
+
+  test("knn_confusion == brute-force driver vote replay at sf0.001") {
+    val e = embs(TestSpark.sf0001)
+    val norm = e.map { case (id, v, _) =>
+      id -> math.sqrt(v.map(x => x * x).sum)
+    }.toMap
+    val labelOf = e.map(t => t._1 -> t._3).toMap
+    val preds = e.filter(_._1 < 64L).map { case (pid, pv, plab) =>
+      val scored = e.filter(_._1 != pid).map { case (id, v, _) =>
+        val dot = pv.zip(v).map { case (a, b) => a * b }.sum
+        (id, r6(dot / (norm(pid) * norm(id))))
+      }
+      val top10 = scored.sortBy { case (id, sc) => (-sc, id) }.take(10)
+      val votes = top10.groupBy(t => labelOf(t._1)).view.mapValues(_.length)
+      val pred = votes.toSeq.sortBy { case (lab, n) => (-n, lab) }.head._1
+      (plab, pred)
+    }
+    val expected = preds.groupBy(identity).map { case ((t, p), rows) =>
+      (t, p, rows.length.toLong)
+    }
+    val byTrue = expected.groupBy(_._1).view
+      .mapValues(_.map(_._3).sum).toMap
+    val withShare = expected.map { case (t, p, n) =>
+      (t, p, n, r6(n.toDouble / byTrue(t).toDouble))
+    }.toSet
+    val got = LlmVectorOps.knnConfusion(spark, TestSpark.sf0001)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == withShare,
+      s"missing=${withShare -- got} extra=${got -- withShare}")
+    // the panel is fully accounted for
+    assert(got.toSeq.map(_._3).sum == e.count(_._1 < 64L).toLong)
+  }
+
+  test("embedding_isotropy == the O(n^2) pairwise definition it replaces") {
+    val e = embs(TestSpark.sf0001)
+    val grid = (1L << 20).toDouble
+    val q = e.map { case (id, v, _) =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => math.floor(x / n * grid + 0.5).toLong)
+    }
+    // brute force: sum of integer pairwise dots, i != j (both orders)
+    var acc = BigInt(0)
+    for (i <- q.indices; j <- q.indices if i != j)
+      acc += BigInt(q(i).zip(q(j)).map { case (a, b) => a * b }.sum)
+    val n = q.length.toLong
+    val expected = r6(acc.toDouble / (n * (n - 1)).toDouble / 1099511627776.0)
+    val got = LlmVectorOps.embeddingIsotropy(spark, TestSpark.sf0001)
+      .collect().head
+    assert(got.getLong(0) == n)
+    assert(got.getDouble(1) == expected,
+      s"identity broke: got ${got.getDouble(1)} expected $expected")
+  }
+
+  test("ngram_coverage == driver Set replay over the split-bucketed grams") {
+    val s = spark
+    val docs = graft.engine.Tables.documents(s, TestSpark.sf001)
+      .select("doc_id", "lang", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def splitOf(id: Long): String =
+      (((id % 1000000007L) * 2654435761L % 1000000007L) % 10L) match {
+        case b if b < 8 => "train"
+        case 8          => "val"
+        case _          => "test"
+      }
+    val grams = docs.flatMap { case (id, lang, text) =>
+      val toks = text.split(" ", -1)
+      if (toks.length < 3) Seq.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
+        .map(g => (splitOf(id), lang, g))
+    }
+    val trainVocab = grams.collect { case ("train", _, g) => g }.toSet
+    val expected = grams.filter(_._1 != "train")
+      .groupBy(t => (t._1, t._2))
+      .map { case ((sp, lang), rows) =>
+        val covered = rows.count(t => trainVocab(t._3)).toLong
+        (sp, lang, rows.length.toLong, covered,
+          r6(covered.toDouble / rows.length.toDouble))
+      }.toSet
+    val got = LlmTextOps.ngramCoverage(s, TestSpark.sf001)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+      .toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+    // probative only if coverage is strictly between 0 and 1 somewhere
+    assert(got.exists(t => t._5 > 0.0 && t._5 < 1.0))
+  }
+}
