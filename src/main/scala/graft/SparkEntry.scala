@@ -193,6 +193,8 @@ object SparkEntry {
     "ngram_coverage"           -> (LlmTextOps.ngramCoverage _),
     "knn_confusion"            -> (LlmVectorOps.knnConfusion _),
     "embedding_isotropy"       -> (LlmVectorOps.embeddingIsotropy _),
+    "cluster_purity"           -> (LlmVectorOps.clusterPurity _),
+    "filter_funnel"            -> (LlmTextOps.filterFunnel _),
     // E16–E21 + LLM-pipeline surface
     "sessionize"          -> (LlmTextOps.sessionize _),
     "dedup_exact"         -> (LlmTextOps.dedupExact _),
@@ -5227,6 +5229,76 @@ object SparkEntry {
     "dedup_embed_ann" -> LlmVectorOps.dedupEmbedAnnOracleSql,
     "diversity_sample" -> LlmVectorOps.diversitySampleOracleSql,
     "label_centroids" -> LlmVectorOps.labelCentroidsOracleSql,
+    "cluster_purity" -> LlmVectorOps.clusterPurityOracleSql,
+    // the 4-stage curation funnel: word-count bounds, the text_quality
+    // score formula verbatim, dedup_near's removed set; one aggregate
+    // row unpivoted by UNION ALL
+    "filter_funnel" ->
+      """WITH sh_t AS (
+           SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1]
+                    || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh_t GROUP BY 1),
+         pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+                   FROM sh_t a JOIN sh_t b
+                     ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         removed AS (SELECT DISTINCT j AS doc_id
+                     FROM pairs JOIN sizes si ON si.doc_id = i
+                                JOIN sizes sj ON sj.doc_id = j
+                     WHERE floor((inter / (si.sz + sj.sz - inter)) * 1000000
+                                 + 0.5) / 1000000 >= 0.8),
+         t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+               FROM documents),
+         f AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n,
+                  floor((LEAST(len(toks) / 100.0, 1.0) * 0.4
+                    + (floor((len(list_distinct(toks)) / len(toks))
+                        * 1000000 + 0.5) / 1000000) * 0.4
+                    + (1.0 - floor((len(list_filter(toks, t2 -> t2 IN
+                          ('the', 'a', 'of', 'and', 'to', 'in')))
+                        / len(toks)) * 1000000 + 0.5) / 1000000) * 0.2)
+                    * 1000000 + 0.5) / 1000000 AS quality_score
+               FROM t),
+         fl AS (SELECT f.n,
+                  (n >= 50 AND n <= 100000) AS g,
+                  quality_score, (r.doc_id IS NULL) AS dp
+                FROM f LEFT JOIN removed r ON f.doc_id = r.doc_id),
+         c AS (SELECT n, g, (g AND quality_score >= 0.62) AS gq,
+                 (g AND quality_score >= 0.62 AND dp) AS gqd
+               FROM fl),
+         a AS (SELECT COUNT(*) AS d0,
+                 CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+                 CAST(SUM(CASE WHEN gq THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+                 CAST(SUM(CASE WHEN gqd THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+                 CAST(SUM(n) AS BIGINT) AS t0,
+                 CAST(SUM(CASE WHEN g THEN n ELSE 0 END) AS BIGINT) AS t1,
+                 CAST(SUM(CASE WHEN gq THEN n ELSE 0 END) AS BIGINT) AS t2,
+                 CAST(SUM(CASE WHEN gqd THEN n ELSE 0 END) AS BIGINT) AS t3
+               FROM c)
+         SELECT CAST(0 AS INTEGER) AS stage, 'all' AS stage_name,
+                d0 AS n_docs, t0 AS tokens,
+                floor(CAST(d0 AS DOUBLE) / CAST(d0 AS DOUBLE)
+                  * 1000000 + 0.5) / 1000000 AS doc_share,
+                floor(CAST(t0 AS DOUBLE) / CAST(t0 AS DOUBLE)
+                  * 1000000 + 0.5) / 1000000 AS token_share FROM a
+         UNION ALL
+         SELECT CAST(1 AS INTEGER), 'length', d1, t1,
+                floor(CAST(d1 AS DOUBLE) / CAST(d0 AS DOUBLE)
+                  * 1000000 + 0.5) / 1000000,
+                floor(CAST(t1 AS DOUBLE) / CAST(t0 AS DOUBLE)
+                  * 1000000 + 0.5) / 1000000 FROM a
+         UNION ALL
+         SELECT CAST(2 AS INTEGER), 'quality', d2, t2,
+                floor(CAST(d2 AS DOUBLE) / CAST(d0 AS DOUBLE)
+                  * 1000000 + 0.5) / 1000000,
+                floor(CAST(t2 AS DOUBLE) / CAST(t0 AS DOUBLE)
+                  * 1000000 + 0.5) / 1000000 FROM a
+         UNION ALL
+         SELECT CAST(3 AS INTEGER), 'near_dedup', d3, t3,
+                floor(CAST(d3 AS DOUBLE) / CAST(d0 AS DOUBLE)
+                  * 1000000 + 0.5) / 1000000,
+                floor(CAST(t3 AS DOUBLE) / CAST(t0 AS DOUBLE)
+                  * 1000000 + 0.5) / 1000000 FROM a
+         ORDER BY stage""",
     "centroid_drift" -> LlmVectorOps.centroidDriftOracleSql,
     // first-event-type distribution: min-(us, event_id) first touch,
     // integer counts, fenced shares

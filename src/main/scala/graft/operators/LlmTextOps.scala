@@ -3268,6 +3268,67 @@ object LlmTextOps {
       .orderBy(col("total").desc, col("tok").asc)
   }
 
+  /** `filter_funnel` — the end-to-end SELECTION FUNNEL datacard: how
+    * many documents and tokens survive each successive curation
+    * stage — all → length bounds (the Gopher word-count rule,
+    * 50 ≤ tokens ≤ 100k; the full 4-rule census lives in
+    * [[qualityGopher]] — its stopword rule is a constant-false on
+    * this corpus's synthetic vocabulary, which would zero the whole
+    * funnel, so the composite stays a census and the funnel takes
+    * the discriminating rule) → quality score ≥ 0.62
+    * ([[textQuality]], the [[corpusFilter]] threshold) → near-dedup
+    * survivor ([[dedupSurvivors]]). Every published corpus paper
+    * reports exactly this table (RefinedWeb table 2, Gopher §A1.1,
+    * Dolma §4); the engine's per-stage operators answer "who fails
+    * rule X", this row answers the budgeting question — "what
+    * fraction of my token budget does the pipeline actually keep,
+    * and which stage eats it".
+    *
+    * Shape: per-doc flags compute in ONE corpus pass (the length
+    * bounds inline, quality via the shared per-doc score, the
+    * dedup flag via a broadcast anti-lookup of the post-threshold
+    * pair stream); all four stages fold in ONE aggregate (cumulative
+    * conjunctions, so the funnel is monotone by construction) and
+    * `stack` unpivots the single row — no per-stage corpus scans.
+    */
+  def filterFunnel(s: SparkSession, d: String): DataFrame = {
+    val q = textQuality(s, d).select(col("doc_id"), col("quality_score"))
+    val removed = dedupNearPairs(s, d).select(col("j").as("doc_id"))
+      .distinct().withColumn("is_removed", lit(true))
+    val flags = Tables.documents(s, d)
+      .withColumn("n", size(split(col("text"), " ")).cast("long"))
+      .withColumn("g", col("n") >= 50L && col("n") <= 100000L)
+      .join(q, Seq("doc_id"))
+      .join(broadcast(removed), Seq("doc_id"), "left")
+      .select(col("n"), col("g"),
+        (col("g") && col("quality_score") >= 0.62).as("gq"),
+        (col("g") && col("quality_score") >= 0.62
+          && col("is_removed").isNull).as("gqd"))
+    flags.agg(
+        count(lit(1)).as("d0"),
+        sum(when(col("g"), 1L).otherwise(0L)).as("d1"),
+        sum(when(col("gq"), 1L).otherwise(0L)).as("d2"),
+        sum(when(col("gqd"), 1L).otherwise(0L)).as("d3"),
+        sum(col("n")).as("t0"),
+        sum(when(col("g"), col("n")).otherwise(0L)).as("t1"),
+        sum(when(col("gq"), col("n")).otherwise(0L)).as("t2"),
+        sum(when(col("gqd"), col("n")).otherwise(0L)).as("t3"))
+      .selectExpr(
+        """stack(4,
+             0, 'all',        d0, t0,
+             1, 'length',     d1, t1,
+             2, 'quality',    d2, t2,
+             3, 'near_dedup', d3, t3)
+           AS (stage, stage_name, n_docs, tokens)""",
+        "d0", "t0")
+      .select(col("stage"), col("stage_name"), col("n_docs"), col("tokens"),
+        r6(col("n_docs").cast("double") / col("d0").cast("double"))
+          .as("doc_share"),
+        r6(col("tokens").cast("double") / col("t0").cast("double"))
+          .as("token_share"))
+      .orderBy("stage")
+  }
+
   /** `ngram_coverage` — how much of the held-out splits' 3-gram mass
     * the train split's vocabulary already covers: per (split, lang),
     * the distinct-trigram count of val/test documents and the

@@ -1311,6 +1311,78 @@ object LlmVectorOps {
          SELECT cent_id, rank, vec_id, h FROM rk
          WHERE rank <= 8 ORDER BY cent_id, rank"""
 
+  /** `cluster_purity` — per-cluster label PURITY over the shared
+    * seed-codebook keep-1 assignment (the [[similarityIvf]] /
+    * [[diversitySample]] partition of the corpus): for every
+    * cluster, its size, majority label, and majority share. The
+    * unsupervised-vs-labeled cross-check of the embedding space —
+    * [[silhouetteScore]] asks "do the LABELS form tight clusters";
+    * purity asks the converse, "do the CLUSTERS recover the labels"
+    * — low-purity cells localize exactly where the geometry and the
+    * annotation disagree (the standard external clustering metric,
+    * Manning et al. IR §16.3). Majority ties break to the smaller
+    * label — total order, deterministic.
+    *
+    * Scale shape: the assignment is the broadcast-codebook corpus
+    * scan every IVF row already pays; the fold is one
+    * (cent_id, label) aggregate and a window over |cents|·|labels|
+    * rows. Purity over a TRAINED codebook = swap
+    * [[seedCentroids]] for the Lloyd output — assignment contract
+    * identical.
+    */
+  def clusterPurity(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
+    val counts = assignToCentroids(s, e, seedCentroids(e), keep = 1)
+      .groupBy(col("cent_id"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("cent_id")
+      .orderBy(col("cnt").desc, col("label").asc)
+    counts
+      .withColumn("n_vecs", sum(col("cnt")).over(Window.partitionBy("cent_id")))
+      .withColumn("r", row_number().over(w))
+      .where(col("r") === 1)
+      .select(col("cent_id"), col("n_vecs"), col("label").as("top_label"),
+        col("cnt").as("top_n"),
+        r6(col("cnt").cast("double") / col("n_vecs").cast("double"))
+          .as("purity"))
+      .orderBy("cent_id")
+  }
+
+  /** The DuckDB oracle for `cluster_purity` — the shared seed
+    * codebook + keep-1 assignment CTEs (constants from the shared
+    * named vals), then the majority fold.
+    */
+  private[graft] def clusterPurityOracleSql: String =
+    s"""WITH base AS (SELECT vec_id, label, embedding,
+                  sqrt(list_aggregate([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                         for x in embedding], 'sum')) AS norm
+                FROM embeddings),
+         cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb,
+                          norm AS cent_norm
+                   FROM base WHERE vec_id % $ivfStride = 0),
+         sims AS (SELECT b.vec_id, b.label, c.cent_id,
+                  list_aggregate([CAST(b.embedding[i] AS DOUBLE)
+                       * CAST(c.cent_emb[i] AS DOUBLE)
+                       for i in range(1, len(b.embedding) + 1)], 'sum')
+                    / (b.norm * c.cent_norm) AS cent_sim
+                  FROM base b CROSS JOIN cents c),
+         ranked_c AS (SELECT vec_id, label, cent_id,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY cent_sim DESC, cent_id ASC) AS r FROM sims),
+         corpus AS (SELECT vec_id, label, cent_id FROM ranked_c WHERE r = 1),
+         counts AS (SELECT cent_id, label, CAST(COUNT(*) AS BIGINT) AS cnt
+                    FROM corpus GROUP BY 1, 2),
+         g AS (SELECT *,
+                 CAST(SUM(cnt) OVER (PARTITION BY cent_id) AS BIGINT)
+                   AS n_vecs,
+                 ROW_NUMBER() OVER (PARTITION BY cent_id
+                   ORDER BY cnt DESC, label ASC) AS r
+               FROM counts)
+         SELECT cent_id, n_vecs, label AS top_label, cnt AS top_n,
+                floor(CAST(cnt AS DOUBLE) / CAST(n_vecs AS DOUBLE)
+                  * 1000000 + 0.5) / 1000000 AS purity
+         FROM g WHERE r = 1 ORDER BY cent_id"""
+
   /** `label_centroids` — per-class prototype vectors in long form
     * (label, dim, mean): the embedding-space health check a labeled
     * corpus gets before anyone trains on it — collapsed or duplicated

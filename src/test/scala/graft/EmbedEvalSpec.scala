@@ -77,6 +77,76 @@ class EmbedEvalSpec extends AnyFunSuite {
       s"identity broke: got ${got.getDouble(1)} expected $expected")
   }
 
+  test("cluster_purity == driver replay of the seed keep-1 assignment") {
+    val e = embs(TestSpark.sf001)
+    val norm = e.map { case (id, v, _) =>
+      id -> math.sqrt(v.map(x => x * x).sum)
+    }.toMap
+    val cents = e.filter(_._1 % 100L == 0L)
+    val assigned = e.map { case (id, v, lab) =>
+      val best = cents.map { case (cid, cv, _) =>
+        (cid, v.zip(cv).map { case (a, b) => a * b }.sum / (norm(id) * norm(cid)))
+      }.minBy { case (cid, sim) => (-sim, cid) }._1
+      (best, lab)
+    }
+    val expected = assigned.groupBy(_._1).map { case (cid, rows) =>
+      val byLab = rows.groupBy(_._2).view.mapValues(_.length).toSeq
+      val (topLab, topN) = byLab.sortBy { case (lab, n) => (-n, lab) }.head
+      (cid, rows.length.toLong, topLab, topN.toLong,
+        r6(topN.toDouble / rows.length.toDouble))
+    }.toSet
+    val got = graft.operators.LlmVectorOps.clusterPurity(spark, TestSpark.sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4)))
+      .toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+    // the assignment partitions the corpus
+    assert(got.toSeq.map(_._2).sum == e.length.toLong)
+  }
+
+  test("filter_funnel == driver flag replay; funnel is monotone") {
+    val s = spark
+    val sf = TestSpark.sf001
+    val quality = graft.operators.LlmTextOps.textQuality(s, sf)
+      .select("doc_id", "quality_score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val removed = graft.operators.LlmTextOps.dedupNearPairs(s, sf)
+      .select("j").collect().map(_.getLong(0)).toSet
+    val docs = graft.engine.Tables.documents(s, sf)
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val flags = docs.map { case (id, text) =>
+      val n = text.split(" ", -1).length.toLong
+      val g = n >= 50 && n <= 100000
+      val gq = g && quality(id) >= 0.62
+      val gqd = gq && !removed(id)
+      (n, g, gq, gqd)
+    }
+    val (d0, t0) = (flags.length.toLong, flags.map(_._1).sum)
+    def stage(p: ((Long, Boolean, Boolean, Boolean)) => Boolean) = {
+      val kept = flags.filter(p)
+      (kept.length.toLong, kept.map(_._1).sum)
+    }
+    val (d1, t1) = stage(_._2); val (d2, t2) = stage(_._3)
+    val (d3, t3) = stage(_._4)
+    val expected = Set(
+      (0, "all", d0, t0, r6(1.0), r6(1.0)),
+      (1, "length", d1, t1, r6(d1.toDouble / d0), r6(t1.toDouble / t0)),
+      (2, "quality", d2, t2, r6(d2.toDouble / d0), r6(t2.toDouble / t0)),
+      (3, "near_dedup", d3, t3, r6(d3.toDouble / d0), r6(t3.toDouble / t0)))
+    val got = graft.operators.LlmTextOps.filterFunnel(s, sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+      .toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+    assert(d0 >= d1 && d1 >= d2 && d2 >= d3 && d3 > 0, "funnel not monotone")
+    assert(d3 < d0, "no stage filtered anything — not probative")
+  }
+
   test("ngram_coverage == driver Set replay over the split-bucketed grams") {
     val s = spark
     val docs = graft.engine.Tables.documents(s, TestSpark.sf001)
