@@ -289,7 +289,19 @@ object ScaleSweep {
       "attribution_linear" ->
         (graft.operators.AnalyticOps.attributionLinear _),
       "markov_transitions" ->
-        (graft.operators.AnalyticOps.markovTransitions _))
+        (graft.operators.AnalyticOps.markovTransitions _),
+      // round-8 wave additions with corpus-sized shuffles: the
+      // gram-keyed coverage join (the decontaminate shape on a
+      // 3-gram vocabulary), the pair-silver contamination matrix,
+      // the one-aggregate funnel, the broadcast-probe confusion
+      // matrix, and the O(n·d) isotropy fold
+      "ngram_coverage" -> (graft.operators.LlmTextOps.ngramCoverage _),
+      "dedup_cross_source" ->
+        (graft.operators.LlmTextOps.dedupCrossSource _),
+      "filter_funnel" -> (graft.operators.LlmTextOps.filterFunnel _),
+      "knn_confusion" -> (graft.operators.LlmVectorOps.knnConfusion _),
+      "embedding_isotropy" ->
+        (graft.operators.LlmVectorOps.embeddingIsotropy _))
       .filter { case (name, _) =>
         // SPARK_GRAFT_QUERIES narrows the sweep (same contract as
         // Bench) — re-measuring one family shouldn't pay for all
