@@ -195,6 +195,9 @@ object SparkEntry {
     "embedding_isotropy"       -> (LlmVectorOps.embeddingIsotropy _),
     "cluster_purity"           -> (LlmVectorOps.clusterPurity _),
     "filter_funnel"            -> (LlmTextOps.filterFunnel _),
+    "garman_klass_vol"         -> (AnalyticOps.garmanKlassVol _),
+    "arch_effect"              -> (AnalyticOps.archEffect _),
+    "dedup_threshold_sweep"    -> (LlmTextOps.dedupThresholdSweep _),
     // E16–E21 + LLM-pipeline surface
     "sessionize"          -> (LlmTextOps.sessionize _),
     "dedup_exact"         -> (LlmTextOps.dedupExact _),
@@ -3393,6 +3396,83 @@ object SparkEntry {
                 CAST(MIN(toks) AS BIGINT) AS min_tokens,
                 CAST(MAX(toks) AS BIGINT) AS max_tokens
          FROM st GROUP BY 1, 2 ORDER BY 1, 2""",
+    // daily Garman-Klass range volatility: exact OHLC picks, one
+    // written double expression (the 2ln2-1 constant as an expression
+    // tree both engines evaluate), zero-low days dropped identically
+    "garman_klass_vol" ->
+      """WITH t AS (SELECT CAST(ts AS DATE) AS date,
+                event_type AS symbol, value AS price, ts FROM events)
+         SELECT date, symbol, COUNT(*) AS n_ticks,
+                floor((0.5 * ln(max(price) / min(price))
+                        * ln(max(price) / min(price))
+                    - (2.0 * ln(2.0) - 1.0)
+                        * ln(arg_max(price, ts) / arg_min(price, ts))
+                        * ln(arg_max(price, ts) / arg_min(price, ts)))
+                  * 1000000 + 0.5) / 1000000 AS gk_var
+         FROM t GROUP BY 1, 2 HAVING min(price) > 0.0
+         ORDER BY 1, 2""",
+    // lag-1 autocorrelation of squared centi-integer returns: the
+    // autocorrelation HUGEINT Pearson contract applied to x = r^2
+    "arch_effect" ->
+      """WITH t AS (SELECT event_id, epoch_us(ts) AS us,
+                event_type AS symbol,
+                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS p
+              FROM events),
+         r AS (SELECT symbol, us, event_id,
+                 p - lag(p, 1) OVER (PARTITION BY symbol
+                   ORDER BY us ASC, event_id ASC) AS r
+               FROM t),
+         x AS (SELECT symbol, us, event_id, r * r AS x
+               FROM r WHERE r IS NOT NULL),
+         l AS (SELECT symbol, x,
+                 lag(x, 1) OVER (PARTITION BY symbol
+                   ORDER BY us ASC, event_id ASC) AS y
+               FROM x),
+         f AS (SELECT symbol, x, y FROM l WHERE y IS NOT NULL),
+         a AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT))
+                   AS HUGEINT) AS sxy,
+                 CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+                   AS HUGEINT) AS sxx,
+                 CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT))
+                   AS HUGEINT) AS syy
+               FROM f GROUP BY 1)
+         SELECT symbol, n,
+                floor(CAST(CAST(n AS HUGEINT) * sxy
+                    - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT)
+                    AS DOUBLE)
+                  / NULLIF(
+                    sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                      - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)
+                      AS DOUBLE))
+                    * sqrt(CAST(CAST(n AS HUGEINT) * syy
+                      - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT)
+                      AS DOUBLE)), 0.0)
+                  * 1000000.0 + 0.5) / 1000000.0 AS arch_acf1
+         FROM a ORDER BY symbol""",
+    // threshold-selection sweep: dedup_near's pair algebra filtered
+    // at four taus in one pass; zero-pair taus drop on both engines
+    "dedup_threshold_sweep" ->
+      """WITH sh_t AS (
+           SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1]
+                    || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh_t GROUP BY 1),
+         pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+                   FROM sh_t a JOIN sh_t b
+                     ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         jac AS (SELECT i, j,
+                   floor((inter / (si.sz + sj.sz - inter)) * 1000000 + 0.5)
+                     / 1000000 AS jaccard
+                 FROM pairs JOIN sizes si ON si.doc_id = i
+                            JOIN sizes sj ON sj.doc_id = j),
+         taus AS (SELECT unnest([0.7, 0.8, 0.9, 0.95]) AS tau)
+         SELECT tau, COUNT(*) AS n_pairs,
+                COUNT(DISTINCT j) AS docs_removed
+         FROM jac CROSS JOIN taus WHERE jaccard >= tau
+         GROUP BY 1 ORDER BY 1""",
     // held-out trigram coverage by the train vocabulary: same bucket
     // hash as train_val_split, grams as raw strings, one fenced ratio
     "ngram_coverage" ->

@@ -1874,6 +1874,90 @@ object AnalyticOps {
       .orderBy("symbol", "lag")
   }
 
+  /** `garman_klass_vol` — daily Garman–Klass volatility per symbol:
+    * σ²_GK = ½·ln(H/L)² − (2ln2−1)·ln(C/O)² over the day's OHLC
+    * (Garman & Klass 1980) — the range-based estimator that is ~7.4×
+    * more efficient than close-to-close variance on the same data,
+    * the standard daily-vol readout a tick store serves
+    * ([[realizedVol]] is its intraday sum-of-squares sibling; this
+    * one needs only 4 numbers per day, so it survives sparse days).
+    * Days whose low touches 0 drop (log-range undefined) —
+    * identically on both engines via the min-price guard.
+    *
+    * Portability: OHLC picks exact stored doubles (the `ohlc_hourly`
+    * tie contract), then ONE written double expression (two ln
+    * ratios, squares, the 2ln2−1 constant spelled as an expression
+    * so both engines evaluate the same tree) fences at 1e-6. Scale
+    * shape: one map-side-combined (date, symbol) aggregate — no
+    * window, no join.
+    */
+  def garmanKlassVol(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(to_date(col("ts")).as("date"),
+        col("event_type").as("symbol"), col("value").as("price"), col("ts"))
+      .groupBy(col("date"), col("symbol"))
+      .agg(min_by(col("price"), col("ts")).as("o"),
+        max(col("price")).as("h"), min(col("price")).as("l"),
+        max_by(col("price"), col("ts")).as("c"),
+        count(lit(1)).as("n_ticks"))
+      .where(col("l") > 0.0)
+      .select(col("date"), col("symbol"), col("n_ticks"),
+        r6(lit(0.5) * log(col("h") / col("l")) * log(col("h") / col("l"))
+          - (lit(2.0) * log(lit(2.0)) - lit(1.0))
+            * log(col("c") / col("o")) * log(col("c") / col("o")))
+          .as("gk_var"))
+      .orderBy("date", "symbol")
+
+  /** `arch_effect` — volatility clustering per symbol: the lag-1
+    * autocorrelation of SQUARED tick returns (the statistic behind
+    * Engle 1982's ARCH LM test — returns themselves are near-white,
+    * their squares are not when variance clusters). Positive acf1
+    * on squares = turbulent ticks follow turbulent ticks, the
+    * fact every GARCH-style risk model conditions on; ≈0 means
+    * [[realizedVol]]'s hourly bars are already independent draws.
+    *
+    * Portability: returns are exact centi-integer deltas, squares
+    * exact longs, all five Pearson sums fold in DECIMAL(38,0)
+    * (HUGEINT on the oracle side) — the [[autocorrelation]]
+    * contract applied to x = r². Scale shape: ONE per-symbol sort
+    * serves both lags (the tickDeltas posture), one
+    * map-side-combined aggregate to |symbol| rows.
+    */
+  def archEffect(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("us").asc, col("event_id").asc)
+    val sq = Tables.events(s, d)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type").as("symbol"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("p"))
+      .withColumn("r", col("p") - lag(col("p"), 1).over(w))
+      .where(col("r").isNotNull)
+      .withColumn("x", col("r") * col("r"))
+      .withColumn("y", lag(col("x"), 1).over(w))
+      .where(col("y").isNotNull)
+    sq.groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(dec(col("x")) * dec(col("y"))).cast(DecimalType(38, 0))
+          .as("sxy"),
+        sum(dec(col("x")) * dec(col("x"))).cast(DecimalType(38, 0))
+          .as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).cast(DecimalType(38, 0))
+          .as("syy"))
+      .select(col("symbol"), col("n"),
+        r6((dec(col("n")) * col("sxy") - dec(col("sx")) * dec(col("sy")))
+          .cast("double")
+          / nullif(
+            sqrt((dec(col("n")) * col("sxx")
+              - dec(col("sx")) * dec(col("sx"))).cast("double"))
+              * sqrt((dec(col("n")) * col("syy")
+                - dec(col("sy")) * dec(col("sy"))).cast("double")),
+            lit(0.0))).as("arch_acf1"))
+      .orderBy("symbol")
+  }
+
   /** `seasonality_strength` — how much of a symbol's price variance
     * the hour-of-day clock explains: R² = SSB/SST from the one-way
     * ANOVA decomposition over 24 hour-of-day groups, plus the peak

@@ -3268,6 +3268,29 @@ object LlmTextOps {
       .orderBy(col("total").desc, col("tok").asc)
   }
 
+  /** `dedup_threshold_sweep` — the threshold-selection datacard for
+    * near dedup: pair counts and removal counts (distinct larger
+    * ids, the [[dedupSurvivors]] removal rule) at τ ∈ {0.7, 0.8,
+    * 0.9, 0.95} off ONE pass over the shared co-occurrence silver.
+    * Dedup papers tune τ by exactly this sweep (aggressiveness vs
+    * collateral); running it as four separate dedup_near calls
+    * would pay the shingle pipeline four times — here every τ is a
+    * one-column filter over the same memoized pair stream, so the
+    * whole table costs one silver read. A τ with zero surviving
+    * pairs emits no row, identically on both engines.
+    */
+  def dedupThresholdSweep(s: SparkSession, d: String): DataFrame =
+    cooccurPairs(s, d)
+      .withColumn("jaccard",
+        r6(col("inter") / (col("sz_i") + col("sz_j") - col("inter"))))
+      .select(col("jaccard"), col("j"),
+        explode(array(Seq(0.7, 0.8, 0.9, 0.95).map(lit): _*)).as("tau"))
+      .where(col("jaccard") >= col("tau"))
+      .groupBy(col("tau"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("j")).as("docs_removed"))
+      .orderBy("tau")
+
   /** `filter_funnel` — the end-to-end SELECTION FUNNEL datacard: how
     * many documents and tokens survive each successive curation
     * stage — all → length bounds (the Gopher word-count rule,

@@ -283,4 +283,93 @@ class MarketCorpusSpec extends AnyFunSuite {
     // never go below the theoretical minimum
     assert(got.forall(_._4 > -1.0 + 1e-9))
   }
+
+  private def ticks(sf: String): Array[(String, Long, Long, Double)] = {
+    import org.apache.spark.sql.functions._
+    graft.engine.Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts")), col("event_id"),
+        col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+  }
+
+  test("garman_klass_vol == per-day driver OHLC + formula replay") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val rows = graft.engine.Tables.events(s, TestSpark.sf0001)
+      .select(to_date(col("ts")).cast("string"), col("event_type"),
+        unix_micros(col("ts")), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val want = rows.groupBy(t => (t._1, t._2)).toSeq
+      .filter { case (_, g) => g.map(_._5).min > 0.0 }
+      .map { case ((date, sym), g) =>
+        val o = g.minBy(t => (t._3, t._4))._5
+        val c = g.maxBy(t => (t._3, t._4))._5
+        val h = g.map(_._5).max
+        val l = g.map(_._5).min
+        (date, sym, g.length.toLong,
+          r6(0.5 * math.log(h / l) * math.log(h / l)
+            - (2.0 * math.log(2.0) - 1.0)
+              * math.log(c / o) * math.log(c / o)))
+      }.toSet
+    val got = AnalyticOps.garmanKlassVol(s, TestSpark.sf0001)
+      .select(col("date").cast("string"), col("symbol"), col("n_ticks"),
+        col("gk_var"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    assert(got.nonEmpty)
+  }
+
+  test("arch_effect == driver Pearson replay over squared returns") {
+    val s = spark
+    val bySym = ticks(TestSpark.sf0001).groupBy(_._1)
+    val want = bySym.map { case (sym, g) =>
+      val ps = g.sortBy(t => (t._2, t._3))
+        .map(t => math.floor(t._4 * 100.0 + 0.5).toLong)
+      val xs = ps.sliding(2).collect { case Array(a, b) => (b - a) * (b - a) }
+        .toArray
+      val pairsXY = xs.sliding(2).collect { case Array(y, x) => (x, y) }
+        .toArray
+      val n = pairsXY.length.toLong
+      val sx = pairsXY.map(_._1).map(BigInt(_)).sum
+      val sy = pairsXY.map(_._2).map(BigInt(_)).sum
+      val sxy = pairsXY.map { case (x, y) => BigInt(x) * BigInt(y) }.sum
+      val sxx = pairsXY.map { case (x, _) => BigInt(x) * BigInt(x) }.sum
+      val syy = pairsXY.map { case (_, y) => BigInt(y) * BigInt(y) }.sum
+      val num = (BigInt(n) * sxy - sx * sy).toDouble
+      val den = math.sqrt((BigInt(n) * sxx - sx * sx).toDouble) *
+        math.sqrt((BigInt(n) * syy - sy * sy).toDouble)
+      (sym, n, if (den == 0.0) null else r6(num / den))
+    }.filter(_._2 > 0L).toSet
+    val got = AnalyticOps.archEffect(s, TestSpark.sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
+  test("dedup_threshold_sweep is monotone and agrees with dedup_near at 0.8") {
+    val s = spark
+    val sweep = LlmTextOps.dedupThresholdSweep(s, TestSpark.sf001)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // pair and removal counts must be non-increasing in tau
+    sweep.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._2 >= b._2 && a._3 >= b._3, s"not monotone: $a -> $b")
+      case _ =>
+    }
+    // the 0.8 row IS dedup_near's pair set and dedup_survivors'
+    // removal count — same silver, same algebra
+    val nPairs = LlmTextOps.dedupNearPairs(s, TestSpark.sf001).count()
+    val removed = LlmTextOps.dedupNearPairs(s, TestSpark.sf001)
+      .select("j").distinct().count()
+    val at08 = sweep.find(_._1 == 0.8).get
+    assert(at08._2 == nPairs && at08._3 == removed,
+      s"0.8 row $at08 != ($nPairs, $removed)")
+  }
 }
