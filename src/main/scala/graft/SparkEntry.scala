@@ -198,6 +198,8 @@ object SparkEntry {
     "garman_klass_vol"         -> (AnalyticOps.garmanKlassVol _),
     "arch_effect"              -> (AnalyticOps.archEffect _),
     "dedup_threshold_sweep"    -> (LlmTextOps.dedupThresholdSweep _),
+    "ann_mrr"                  -> (LlmVectorOps.annMrr _),
+    "isotropy_centered"        -> (LlmVectorOps.isotropyCentered _),
     // E16–E21 + LLM-pipeline surface
     "sessionize"          -> (LlmTextOps.sessionize _),
     "dedup_exact"         -> (LlmTextOps.dedupExact _),
@@ -5310,6 +5312,39 @@ object SparkEntry {
     "diversity_sample" -> LlmVectorOps.diversitySampleOracleSql,
     "label_centroids" -> LlmVectorOps.labelCentroidsOracleSql,
     "cluster_purity" -> LlmVectorOps.clusterPurityOracleSql,
+    "ann_mrr" -> LlmVectorOps.annMrrOracleSql,
+    // centered isotropy: per-dim grid means, 1e-12-quantized centered
+    // norms, re-quantized unit components, the same S^2 - Q identity
+    "isotropy_centered" ->
+      """WITH t AS (SELECT vec_id, p.pos - 1 AS dim,
+                CAST(embedding[p.pos] AS DOUBLE) AS vd,
+                CAST(floor(CAST(embedding[p.pos] AS DOUBLE) * 1048576.0
+                    + 0.5) AS BIGINT) AS qv
+              FROM embeddings
+              CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) p),
+         mu AS (SELECT dim, CAST(SUM(qv) AS DOUBLE) / (COUNT(*) * 1048576.0)
+                  AS m
+                FROM t GROUP BY 1),
+         c AS (SELECT vec_id, t.dim, (vd - m) AS w
+               FROM t JOIN mu ON mu.dim = t.dim),
+         nr AS (SELECT vec_id,
+                  sqrt(CAST(SUM(CAST(floor(w * w * 1000000000000.0 + 0.5)
+                      AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS wnorm
+                FROM c GROUP BY 1),
+         u AS (SELECT c.dim,
+                 CAST(floor(w / wnorm * 1048576.0 + 0.5) AS BIGINT) AS q
+               FROM c JOIN nr ON nr.vec_id = c.vec_id),
+         pd AS (SELECT dim, SUM(q) AS sd, SUM(q * q) AS qq
+                FROM u GROUP BY 1),
+         agg AS (SELECT SUM(CAST(sd AS HUGEINT) * CAST(sd AS HUGEINT)) AS s2,
+                        SUM(qq) AS qsum
+                 FROM pd),
+         n AS (SELECT COUNT(*) AS n FROM embeddings)
+         SELECT n,
+                floor((CAST(s2 - qsum AS DOUBLE)
+                    / CAST(n * (n - 1) AS DOUBLE) / 1099511627776.0)
+                  * 1000000 + 0.5) / 1000000 AS centered_mpc
+         FROM agg, n""",
     // the 4-stage curation funnel: word-count bounds, the text_quality
     // score formula verbatim, dedup_near's removed set; one aggregate
     // row unpivoted by UNION ALL

@@ -1311,6 +1311,121 @@ object LlmVectorOps {
          SELECT cent_id, rank, vec_id, h FROM rk
          WHERE rank <= 8 ORDER BY cent_id, rank"""
 
+  /** `ann_mrr` — the RANKING-quality gate of the ANN ladder: for
+    * each probe, where does the TRUE nearest neighbor (exact
+    * [[similarityTopk]] rank 1) land in the PQ-served top-10
+    * ([[similarityTopkPq]])? Emits the found rank (0 = missed) and
+    * the reciprocal rank — MRR is the metric retrieval evaluations
+    * report when "recall@k" hides rank inversions (a system that
+    * always buries the true hit at rank 10 has perfect recall@10
+    * and terrible MRR). `ann_recall_b1` gates the 1-bit rung's SET
+    * overlap; this row gates the 64× rung's ORDER. Both sub-queries
+    * are already deterministic total orders, so the composition
+    * hash-gates: the DuckDB oracle re-trains the PQ codebooks and
+    * replays both rankings, then takes the same left join.
+    *
+    * Scale shape: the two inputs are per-probe bounded (≤ 10 rows
+    * each); the join adds nothing corpus-sized beyond what the
+    * inputs already pay.
+    */
+  def annMrr(s: SparkSession, d: String): DataFrame = {
+    val e1 = similarityTopk(s, d).where(col("rank") === 1)
+      .select(col("probe_id"), col("vec_id").as("true_nn"))
+    val pq = similarityTopkPq(s, d)
+      .select(col("probe_id").as("pq_probe"), col("rank").as("pq_rank"),
+        col("vec_id").as("pq_vec"))
+    e1.join(pq, col("pq_probe") === col("probe_id")
+        && col("pq_vec") === col("true_nn"), "left")
+      .select(col("probe_id"), col("true_nn"),
+        coalesce(col("pq_rank"), lit(0)).as("found_rank"),
+        r6(coalesce(lit(1.0) / col("pq_rank"), lit(0.0))).as("rr"))
+      .orderBy("probe_id")
+  }
+
+  /** The DuckDB oracle for `ann_mrr`: the exact top-1 CTE (the
+    * similarity_topk formulation) left-joined against the full
+    * PQ-retrain oracle ([[topkPqOracleSql]]) as a subquery.
+    */
+  private[graft] def annMrrOracleSql: String =
+    s"""WITH e1 AS (
+           SELECT probe_id, vec_id AS true_nn FROM (
+             WITH probes AS (SELECT vec_id AS probe_id,
+                      embedding AS probe_emb
+                    FROM embeddings WHERE vec_id < $nProbes),
+             pairs AS (SELECT probe_id, vec_id,
+                  ${dotSql("probe_emb", "embedding", embDim)}
+                    / (sqrt(${dotSql("probe_emb", "probe_emb", embDim)})
+                       * sqrt(${dotSql("embedding", "embedding", embDim)}))
+                    AS score
+               FROM embeddings, probes WHERE vec_id <> probe_id),
+             ranked AS (SELECT probe_id, vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY probe_id
+                    ORDER BY floor(score * 1000000 + 0.5) / 1000000 DESC,
+                      vec_id ASC) AS rank
+                  FROM pairs)
+             SELECT probe_id, vec_id FROM ranked WHERE rank = 1)),
+         pq AS (SELECT probe_id AS pq_probe, rank AS found_rank,
+                       vec_id AS pq_vec
+                FROM ($topkPqOracleSql))
+         SELECT e1.probe_id, true_nn,
+                COALESCE(found_rank, 0) AS found_rank,
+                floor(COALESCE(1.0 / found_rank, 0.0)
+                  * 1000000 + 0.5) / 1000000 AS rr
+         FROM e1 LEFT JOIN pq
+           ON pq_probe = e1.probe_id AND pq_vec = true_nn
+         ORDER BY probe_id"""
+
+  /** `isotropy_centered` — [[embeddingIsotropy]] AFTER removing the
+    * corpus mean vector (the first step of Mu & Viswanath 2018's
+    * "all-but-the-top" postprocess): center every embedding on the
+    * per-dimension mean, renormalize, and measure the mean pairwise
+    * cosine of the RESULT — still exactly, still O(n·d), via the
+    * same ‖Σu‖² − Σ‖u‖² identity. Reading the pair (raw ≫ 0,
+    * centered ≈ 0) confirms the anisotropy is the common-mean cone
+    * the postprocess removes; centered staying high means real
+    * cluster structure, not an offset — the diagnostic that decides
+    * whether to ship the correction.
+    *
+    * Portability: the mean rides the label_centroids 2⁻²⁰ grid
+    * (exact integer sums, one division); each centered norm folds
+    * 1e-12-quantized squared terms (order-free longs), and the unit
+    * components re-quantize to the 2²⁰ grid before the per-dim
+    * sums. Three aggregates, one broadcast of 64 means — still no
+    * pair stream.
+    */
+  def isotropyCentered(s: SparkSession, d: String): DataFrame = {
+    val grid = (1L << 20).toDouble
+    val coords = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("vd", col("v").cast("double"))
+    val means = coords.groupBy(col("dim"))
+      .agg((sum(floor(col("vd") * grid + 0.5).cast("long")).cast("double")
+        / (count(lit(1)) * grid)).as("m"))
+    val centered = coords.join(broadcast(means), Seq("dim"))
+      .withColumn("w", col("vd") - col("m"))
+    val norms = centered.groupBy(col("vec_id"))
+      .agg(sum(floor(col("w") * col("w") * lit(1.0e12) + lit(0.5))
+        .cast("long")).as("n2q"))
+      .select(col("vec_id"),
+        sqrt(col("n2q").cast("double") / lit(1.0e12)).as("wnorm"))
+    val q = centered.join(norms, Seq("vec_id"))
+      .select(col("dim"),
+        floor(col("w") / col("wnorm") * lit(grid) + lit(0.5))
+          .cast("long").as("q"))
+    val perDim = q.groupBy(col("dim"))
+      .agg(sum(col("q")).as("sd"), sum(col("q") * col("q")).as("qq"))
+    val nRow = Tables.embeddings(s, d).agg(count(lit(1)).as("n"))
+    perDim
+      .agg(sum(col("sd").cast("decimal(38,0)")
+          * col("sd").cast("decimal(38,0)")).as("s2"),
+        sum(col("qq")).as("qsum"))
+      .crossJoin(broadcast(nRow))
+      .select(col("n"),
+        r6((col("s2") - col("qsum").cast("decimal(38,0)")).cast("double")
+          / (col("n") * (col("n") - lit(1L))).cast("double")
+          / lit(1099511627776.0)).as("centered_mpc"))
+  }
+
   /** `cluster_purity` — per-cluster label PURITY over the shared
     * seed-codebook keep-1 assignment (the [[similarityIvf]] /
     * [[diversitySample]] partition of the corpus): for every

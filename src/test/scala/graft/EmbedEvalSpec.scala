@@ -77,6 +77,69 @@ class EmbedEvalSpec extends AnyFunSuite {
       s"identity broke: got ${got.getDouble(1)} expected $expected")
   }
 
+  test("ann_mrr: true_nn from brute force, rr algebra, one row per probe") {
+    val e = embs(TestSpark.sf0001)
+    val norm = e.map { case (id, v, _) =>
+      id -> math.sqrt(v.map(x => x * x).sum)
+    }.toMap
+    // true nearest from first principles (fenced score, vec_id ties)
+    val trueNn = e.filter(_._1 < 5L).map { case (pid, pv, _) =>
+      val best = e.filter(_._1 != pid).map { case (id, v, _) =>
+        (id, r6(pv.zip(v).map { case (a, b) => a * b }.sum
+          / (norm(pid) * norm(id))))
+      }.minBy { case (id, sc) => (-sc, id) }._1
+      pid -> best
+    }.toMap
+    val pqLists = graft.operators.LlmVectorOps
+      .similarityTopkPq(spark, TestSpark.sf0001)
+      .select("probe_id", "rank", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+    val got = graft.operators.LlmVectorOps.annMrr(spark, TestSpark.sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq == trueNn.keys.toSeq.sorted,
+      "one row per probe, ordered")
+    got.foreach { case (pid, nn, fr, rr) =>
+      assert(nn == trueNn(pid), s"probe $pid true_nn $nn != ${trueNn(pid)}")
+      val inPq = pqLists.getOrElse(pid, Array.empty)
+        .find(_._3 == nn).map(_._2)
+      assert(fr == inPq.getOrElse(0), s"probe $pid found_rank")
+      assert(rr == (if (fr == 0) 0.0 else r6(1.0 / fr)), s"probe $pid rr")
+    }
+    // probative: the PQ rung finds the true neighbor for at least one
+    // probe (AnnQualitySpec floors recall well above this)
+    assert(got.exists(_._3 == 1))
+  }
+
+  test("isotropy_centered == the O(n^2) pairwise definition on centered units") {
+    val e = embs(TestSpark.sf0001)
+    val grid = (1L << 20).toDouble
+    val dim = e.head._2.length
+    val n = e.length
+    // per-dim grid means, exactly as both engines compute them
+    val m = Array.tabulate(dim) { d =>
+      e.map(t => math.floor(t._2(d) * grid + 0.5).toLong).sum.toDouble /
+        (n * grid)
+    }
+    val q = e.map { case (_, v, _) =>
+      val w = v.indices.map(i => v(i) - m(i)).toArray
+      val n2q = w.map(x => math.floor(x * x * 1.0e12 + 0.5).toLong).sum
+      val wnorm = math.sqrt(n2q.toDouble / 1.0e12)
+      w.map(x => math.floor(x / wnorm * grid + 0.5).toLong)
+    }
+    var acc = BigInt(0)
+    for (i <- q.indices; j <- q.indices if i != j)
+      acc += BigInt(q(i).zip(q(j)).map { case (a, b) => a * b }.sum)
+    val expected = r6(acc.toDouble / (n.toLong * (n - 1)).toDouble
+      / 1099511627776.0)
+    val got = graft.operators.LlmVectorOps
+      .isotropyCentered(spark, TestSpark.sf0001).collect().head
+    assert(got.getLong(0) == n.toLong)
+    assert(got.getDouble(1) == expected,
+      s"identity broke: got ${got.getDouble(1)} expected $expected")
+  }
+
   test("cluster_purity == driver replay of the seed keep-1 assignment") {
     val e = embs(TestSpark.sf001)
     val norm = e.map { case (id, v, _) =>
