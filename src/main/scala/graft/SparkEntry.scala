@@ -200,6 +200,9 @@ object SparkEntry {
     "dedup_threshold_sweep"    -> (LlmTextOps.dedupThresholdSweep _),
     "ann_mrr"                  -> (LlmVectorOps.annMrr _),
     "isotropy_centered"        -> (LlmVectorOps.isotropyCentered _),
+    "theil_sen_slope"          -> (AnalyticOps.theilSenSlope _),
+    "heaps_law"                -> (LlmTextOps.heapsLaw _),
+    "doc_features"             -> (LlmTextOps.docFeatures _),
     // E16–E21 + LLM-pipeline surface
     "sessionize"          -> (LlmTextOps.sessionize _),
     "dedup_exact"         -> (LlmTextOps.dedupExact _),
@@ -3398,6 +3401,121 @@ object SparkEntry {
                 CAST(MIN(toks) AS BIGINT) AS min_tokens,
                 CAST(MAX(toks) AS BIGINT) AS max_tokens
          FROM st GROUP BY 1, 2 ORDER BY 1, 2""",
+    // Theil-Sen: median of pairwise daily-close slopes per symbol,
+    // explicit rank selection (no engine median() interpolation)
+    "theil_sen_slope" ->
+      """WITH t AS (SELECT event_type AS symbol,
+                CAST(epoch_us(date_trunc('day', ts)) / 86400000000
+                  AS BIGINT) AS h,
+                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+                epoch_us(ts) AS us
+              FROM events),
+         bars AS (SELECT symbol, h, arg_max(c, us) AS close
+                  FROM t GROUP BY 1, 2),
+         sl AS (SELECT a.symbol,
+                  CAST(b.close - a.close AS DOUBLE)
+                    / CAST(b.h - a.h AS DOUBLE) AS slope,
+                  a.h AS hi, b.h AS hj
+                FROM bars a JOIN bars b
+                  ON a.symbol = b.symbol AND a.h < b.h),
+         r AS (SELECT symbol, slope,
+                 ROW_NUMBER() OVER (PARTITION BY symbol
+                   ORDER BY slope ASC, hi ASC, hj ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY symbol) AS cnt
+               FROM sl)
+         SELECT symbol, CAST(MAX(cnt) AS BIGINT) AS n_pairs,
+                floor(AVG(slope) * 1000000 + 0.5) / 1000000 AS ts_slope
+         FROM r WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+         GROUP BY 1 ORDER BY 1""",
+    // Heaps' law: first-appearance cumulative vocabulary, 1e-9 ln
+    // checkpoints, HUGEINT regression sums, one fenced slope
+    "heaps_law" ->
+      """WITH docs AS (SELECT source, doc_id,
+                string_split(text, ' ') AS toks FROM documents),
+         pd AS (SELECT source, doc_id, CAST(len(toks) AS BIGINT) AS n_toks
+                FROM docs),
+         nt AS (SELECT source, first_doc AS doc_id,
+                  CAST(COUNT(*) AS BIGINT) AS new_types
+                FROM (SELECT source, tok, MIN(doc_id) AS first_doc
+                      FROM (SELECT source, doc_id,
+                              unnest(list_distinct(toks)) AS tok FROM docs)
+                      GROUP BY 1, 2)
+                GROUP BY 1, 2),
+         ck AS (SELECT pd.source,
+                  SUM(n_toks) OVER w AS cum_tokens,
+                  SUM(COALESCE(new_types, 0)) OVER w AS cum_vocab
+                FROM pd LEFT JOIN nt
+                  ON nt.source = pd.source AND nt.doc_id = pd.doc_id
+                WINDOW w AS (PARTITION BY pd.source ORDER BY pd.doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         q AS (SELECT source,
+                 CAST(floor(ln(CAST(cum_tokens AS DOUBLE)) * 1000000000.0
+                     + 0.5) AS BIGINT) AS x,
+                 CAST(floor(ln(CAST(cum_vocab AS DOUBLE)) * 1000000000.0
+                     + 0.5) AS BIGINT) AS y,
+                 cum_tokens, cum_vocab
+               FROM ck),
+         a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(MAX(cum_tokens) AS BIGINT) AS total_tokens,
+                 CAST(MAX(cum_vocab) AS BIGINT) AS vocab,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT))
+                   AS HUGEINT) AS sxy,
+                 CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+                   AS HUGEINT) AS sxx
+               FROM q GROUP BY 1)
+         SELECT source, n_docs, total_tokens, vocab,
+                floor(CAST(CAST(n_docs AS HUGEINT) * sxy
+                    - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE)
+                  / NULLIF(CAST(CAST(n_docs AS HUGEINT) * sxx
+                    - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)
+                    AS DOUBLE), 0.0)
+                  * 1000000.0 + 0.5) / 1000000.0 AS heaps_beta
+         FROM a ORDER BY source""",
+    // per-doc quality-classifier feature table: text_quality's
+    // formulas verbatim + split bucket + the near-dup removal flag
+    "doc_features" ->
+      """WITH sh_t AS (
+           SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1]
+                    || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh_t GROUP BY 1),
+         pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+                   FROM sh_t a JOIN sh_t b
+                     ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         removed AS (SELECT DISTINCT j AS doc_id
+                     FROM pairs JOIN sizes si ON si.doc_id = i
+                                JOIN sizes sj ON sj.doc_id = j
+                     WHERE floor((inter / (si.sz + sj.sz - inter)) * 1000000
+                                 + 0.5) / 1000000 >= 0.8),
+         t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+               FROM documents),
+         q AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                  floor((len(list_distinct(toks)) / len(toks))
+                    * 1000000 + 0.5) / 1000000 AS distinct_ratio,
+                  floor((len(list_filter(toks, t2 -> t2 IN
+                        ('the', 'a', 'of', 'and', 'to', 'in')))
+                      / len(toks)) * 1000000 + 0.5) / 1000000 AS stop_ratio,
+                  floor((LEAST(len(toks) / 100.0, 1.0) * 0.4
+                    + (floor((len(list_distinct(toks)) / len(toks))
+                        * 1000000 + 0.5) / 1000000) * 0.4
+                    + (1.0 - floor((len(list_filter(toks, t2 -> t2 IN
+                          ('the', 'a', 'of', 'and', 'to', 'in')))
+                        / len(toks)) * 1000000 + 0.5) / 1000000) * 0.2)
+                    * 1000000 + 0.5) / 1000000 AS quality_score
+               FROM t)
+         SELECT q.doc_id, d.lang, d.source, q.n_tokens, d.n_chars,
+                q.distinct_ratio, q.stop_ratio, q.quality_score,
+                CASE WHEN (((d.doc_id % 1000000007) * 2654435761)
+                      % 1000000007) % 10 < 8 THEN 'train'
+                     WHEN (((d.doc_id % 1000000007) * 2654435761)
+                      % 1000000007) % 10 = 8 THEN 'val'
+                     ELSE 'test' END AS split,
+                (r.doc_id IS NOT NULL) AS is_near_dup
+         FROM q JOIN documents d ON d.doc_id = q.doc_id
+         LEFT JOIN removed r ON r.doc_id = q.doc_id
+         ORDER BY q.doc_id""",
     // daily Garman-Klass range volatility: exact OHLC picks, one
     // written double expression (the 2ln2-1 constant as an expression
     // tree both engines evaluate), zero-low days dropped identically

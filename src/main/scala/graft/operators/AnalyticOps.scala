@@ -1874,6 +1874,57 @@ object AnalyticOps {
       .orderBy("symbol", "lag")
   }
 
+  /** `theil_sen_slope` — robust trend per symbol: the MEDIAN of all
+    * pairwise slopes between daily closing bars (Theil 1950; Sen
+    * 1968) — the estimator that shrugs off the outlier ticks that
+    * wreck an OLS trend line (29% breakdown point vs 0%). Slopes
+    * are centi-price per day over the daily close series, so the
+    * pair set is C(days, 2) per symbol — BOUNDED by the calendar,
+    * not the tick count: aggregate-to-bars-first is what makes the
+    * quadratic affordable at any corpus size (measured: hourly bars
+    * put 260k slopes in one per-symbol rank partition, 1.9 s at
+    * sf0.1 — daily is the estimator's standard resolution AND the
+    * scale-sane one; at decades of days, Siegel's repeated median
+    * or slope sampling is the documented swap).
+    *
+    * Portability: closes are exact max_by picks on centi integers,
+    * day indices exact epoch-days, each slope ONE written double
+    * division; the median is an explicit rank selection under a
+    * (slope, h_i, h_j) total order — lower/upper middle averaged,
+    * fenced — never an engine median() whose interpolation rule
+    * could differ.
+    */
+  def theilSenSlope(s: SparkSession, d: String): DataFrame = {
+    val bars = Tables.events(s, d)
+      .select(col("event_type").as("symbol"),
+        (unix_micros(date_trunc("day", col("ts"))) / lit(86400000000L))
+          .cast("long").as("h"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("c"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .groupBy(col("symbol"), col("h"))
+      .agg(max_by(col("c"), col("us")).as("close"))
+    val a = bars.select(col("symbol"), col("h").as("hi"),
+      col("close").as("ci"))
+    val b = bars.select(col("symbol"), col("h").as("hj"),
+      col("close").as("cj"))
+    val slopes = a.join(b, Seq("symbol"))
+      .where(col("hi") < col("hj"))
+      .select(col("symbol"),
+        ((col("cj") - col("ci")).cast("double")
+          / (col("hj") - col("hi")).cast("double")).as("slope"),
+        col("hi"), col("hj"))
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("slope").asc, col("hi").asc, col("hj").asc)
+    slopes
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("symbol")))
+      .where(col("rn") === expr("(cnt + 1) div 2")
+        || col("rn") === expr("(cnt + 2) div 2"))
+      .groupBy(col("symbol"))
+      .agg(max(col("cnt")).as("n_pairs"), r6(avg(col("slope"))).as("ts_slope"))
+      .orderBy("symbol")
+  }
+
   /** `garman_klass_vol` — daily Garman–Klass volatility per symbol:
     * σ²_GK = ½·ln(H/L)² − (2ln2−1)·ln(C/O)² over the day's OHLC
     * (Garman & Klass 1980) — the range-based estimator that is ~7.4×

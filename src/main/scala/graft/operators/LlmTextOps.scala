@@ -3268,6 +3268,108 @@ object LlmTextOps {
       .orderBy(col("total").desc, col("tok").asc)
   }
 
+  /** `heaps_law` — the vocabulary-GROWTH exponent per source: fit
+    * V = K·Nᵝ (Heaps 1978) by least squares on (ln N, ln V) over
+    * per-document checkpoints of cumulative tokens vs cumulative
+    * vocabulary. The corpus-linguistics twin of [[zipfSlope]] (the
+    * two laws are duals): β ≈ 0.5 is healthy natural text; β
+    * collapsing toward 0 means the source stopped contributing new
+    * types — template/boilerplate mass that dedup won't catch
+    * because the DOCUMENTS differ while the vocabulary doesn't.
+    * Mixture designers read this before up-weighting a source.
+    *
+    * Portability: cumulative vocabulary rides the first-appearance
+    * identity ([[cumulativeReach]]'s trick — a type's first doc is
+    * min(doc_id), so new-type counts per doc need no distinct scan
+    * per checkpoint); both cumulative series are exact integer
+    * prefix sums, each ln checkpoint quantizes to 1e-9 longs (the
+    * `adamic_adar` ln contract) so the five regression sums are
+    * order-free exact integers; one fenced slope division at the
+    * end. Scale shape: one (source, token) aggregate + one bounded
+    * per-source window over |docs| checkpoint rows.
+    */
+  def heapsLaw(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        split(col("text"), " ").as("toks"))
+    val perDoc = docs.select(col("source"), col("doc_id"),
+      size(col("toks")).cast("long").as("n_toks"))
+    val newTypes = docs
+      .select(col("source"), col("doc_id"),
+        explode(array_distinct(col("toks"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("source"), col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("new_types"))
+    val w = Window.partitionBy("source").orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ckpt = perDoc
+      .join(newTypes, Seq("source", "doc_id"), "left")
+      .withColumn("nt", coalesce(col("new_types"), lit(0L)))
+      .withColumn("cum_tokens", sum(col("n_toks")).over(w))
+      .withColumn("cum_vocab", sum(col("nt")).over(w))
+      .select(col("source"),
+        floor(log(col("cum_tokens").cast("double")) * lit(1.0e9) + lit(0.5))
+          .cast("long").as("x"),
+        floor(log(col("cum_vocab").cast("double")) * lit(1.0e9) + lit(0.5))
+          .cast("long").as("y"),
+        col("cum_tokens"), col("cum_vocab"))
+    ckpt.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("cum_tokens")).as("total_tokens"),
+        max(col("cum_vocab")).as("vocab"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(dec(col("x")) * dec(col("y"))).cast(DecimalType(38, 0))
+          .as("sxy"),
+        sum(dec(col("x")) * dec(col("x"))).cast(DecimalType(38, 0))
+          .as("sxx"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("vocab"),
+        r6((dec(col("n_docs")) * col("sxy")
+            - dec(col("sx")) * dec(col("sy"))).cast("double")
+          / nullif((dec(col("n_docs")) * col("sxx")
+            - dec(col("sx")) * dec(col("sx"))).cast("double"), lit(0.0)))
+          .as("heaps_beta"))
+      .orderBy("source")
+  }
+
+  /** `doc_features` — the per-document FEATURE TABLE a quality
+    * classifier trains on: the engine's curation signals assembled
+    * into one wide row per doc — size (tokens, chars), the
+    * [[textQuality]] score and its fenced sub-ratios, the
+    * [[trainValSplit]] assignment, and the near-dup removal flag
+    * ([[dedupSurvivors]]'s rule). This is the feature-engineering
+    * hand-off of the pipeline: everything upstream is a signal,
+    * this row is the design matrix (fastText-quality-filter /
+    * DSIR-style classifiers consume exactly these columns).
+    *
+    * Shape: one corpus pass for the per-doc text features (shared
+    * with text_quality's algebra), a broadcast anti-lookup of the
+    * post-threshold pair stream for the dup flag — no corpus-sized
+    * join at all.
+    */
+  def docFeatures(s: SparkSession, d: String): DataFrame = {
+    val removed = dedupNearPairs(s, d).select(col("j").as("doc_id"))
+      .distinct().withColumn("is_removed", lit(true))
+    textQuality(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        col("source"), col("n_chars")), Seq("doc_id"))
+      .join(broadcast(removed), Seq("doc_id"), "left")
+      .withColumn("bucket",
+        ((col("doc_id") % lit(1000000007L)) * lit(2654435761L)
+          % lit(1000000007L)) % lit(10))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_tokens"), col("n_chars"), col("distinct_ratio"),
+        col("stop_ratio"), col("quality_score"),
+        when(col("bucket") < 8, lit("train"))
+          .when(col("bucket") === 8, lit("val"))
+          .otherwise(lit("test")).as("split"),
+        col("is_removed").isNotNull.as("is_near_dup"))
+      .orderBy("doc_id")
+  }
+
   /** `dedup_threshold_sweep` — the threshold-selection datacard for
     * near dedup: pair counts and removal counts (distinct larger
     * ids, the [[dedupSurvivors]] removal rule) at τ ∈ {0.7, 0.8,

@@ -68,6 +68,70 @@ class CorpusMatrixSpec extends AnyFunSuite {
       s"missing=${expected -- got} extra=${got -- expected}")
   }
 
+  test("heaps_law == driver first-appearance regression replay") {
+    val s = spark
+    val docs = graft.engine.Tables.documents(s, TestSpark.sf0001)
+      .select("source", "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    def lnq(v: Long): Long =
+      math.floor(math.log(v.toDouble) * 1.0e9 + 0.5).toLong
+    val expected = docs.groupBy(_._1).map { case (src, rows) =>
+      val seen = scala.collection.mutable.Set.empty[String]
+      var (cumT, cumV) = (0L, 0L)
+      val ckpts = rows.sortBy(_._2).map { case (_, _, text) =>
+        val toks = text.split(" ", -1)
+        cumT += toks.length
+        cumV += toks.distinct.count(seen.add)
+        (lnq(cumT), lnq(cumV))
+      }
+      val n = ckpts.length.toLong
+      val sx = ckpts.map(_._1).map(BigInt(_)).sum
+      val sy = ckpts.map(_._2).map(BigInt(_)).sum
+      val sxy = ckpts.map { case (x, y) => BigInt(x) * BigInt(y) }.sum
+      val sxx = ckpts.map { case (x, _) => BigInt(x) * BigInt(x) }.sum
+      val beta = r6((BigInt(n) * sxy - sx * sy).toDouble
+        / (BigInt(n) * sxx - sx * sx).toDouble)
+      (src, n, cumT, cumV, beta)
+    }.toSet
+    val got = LlmTextOps.heapsLaw(s, TestSpark.sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+    // the synthetic 30-word vocabulary saturates in the first docs,
+    // so beta sits near 0 (exactly what the metric is FOR — this
+    // corpus is all boilerplate by construction); sublinear always
+    assert(got.forall(_._5 < 1.0))
+  }
+
+  test("doc_features: one row per doc; split/dup/size from first principles") {
+    val s = spark
+    val sf = TestSpark.sf001
+    val removed = LlmTextOps.dedupNearPairs(s, sf)
+      .select("j").collect().map(_.getLong(0)).toSet
+    val quality = LlmTextOps.textQuality(s, sf)
+      .select("doc_id", "quality_score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val docs = graft.engine.Tables.documents(s, sf)
+      .select("doc_id", "lang", "source", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val got = LlmTextOps.docFeatures(s, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.size == docs.length, "one row per doc")
+    docs.foreach { case (id, lang, source, text) =>
+      val row = got(id)
+      assert(row.getString(1) == lang && row.getString(2) == source)
+      assert(row.getLong(3) == text.split(" ", -1).length.toLong, s"doc $id")
+      assert(row.getDouble(7) == quality(id), s"doc $id quality")
+      val bucket = ((id % 1000000007L) * 2654435761L % 1000000007L) % 10L
+      val split = if (bucket < 8) "train" else if (bucket == 8) "val" else "test"
+      assert(row.getString(8) == split, s"doc $id split")
+      assert(row.getBoolean(9) == removed(id), s"doc $id dup flag")
+    }
+  }
+
   test("curriculum_bins == driver NTILE replay; brackets ordered, sizes even") {
     val s = spark
     val docs = graft.engine.Tables.documents(s, TestSpark.sf0001)

@@ -352,6 +352,33 @@ class MarketCorpusSpec extends AnyFunSuite {
     assert(got == want, s"missing=${want -- got} extra=${got -- want}")
   }
 
+  test("theil_sen_slope == driver pairwise-slope median replay") {
+    val s = spark
+    val want = ticks(TestSpark.sf0001).groupBy(_._1).flatMap {
+      case (sym, g) =>
+        val bars = g.groupBy(t => t._2 / 86400000000L).toSeq.map {
+          case (h, rows) =>
+            (h, math.floor(rows.maxBy(_._2)._4 * 100.0 + 0.5).toLong)
+        }
+        val slopes = (for {
+          (hi, ci) <- bars; (hj, cj) <- bars if hi < hj
+        } yield ((cj - ci).toDouble / (hj - hi).toDouble, hi, hj))
+          .sortBy(t => (t._1, t._2, t._3))
+        val cnt = slopes.length
+        if (cnt == 0) None
+        else {
+          val lo = slopes((cnt + 1) / 2 - 1)._1
+          val hi2 = slopes((cnt + 2) / 2 - 1)._1
+          Some((sym, cnt.toLong, r6((lo + hi2) / 2.0)))
+        }
+    }.toSet
+    val got = graft.operators.AnalyticOps.theilSenSlope(s, TestSpark.sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    assert(got.nonEmpty)
+  }
+
   test("dedup_threshold_sweep is monotone and agrees with dedup_near at 0.8") {
     val s = spark
     val sweep = LlmTextOps.dedupThresholdSweep(s, TestSpark.sf001)
