@@ -203,6 +203,8 @@ object SparkEntry {
     "theil_sen_slope"          -> (AnalyticOps.theilSenSlope _),
     "heaps_law"                -> (LlmTextOps.heapsLaw _),
     "doc_features"             -> (LlmTextOps.docFeatures _),
+    "item_components"          -> (RelationalOps.itemComponents _),
+    "shuffle_uniformity"       -> (LlmTextOps.shuffleUniformity _),
     // E16–E21 + LLM-pipeline surface
     "sessionize"          -> (LlmTextOps.sessionize _),
     "dedup_exact"         -> (LlmTextOps.dedupExact _),
@@ -3401,6 +3403,55 @@ object SparkEntry {
                 CAST(MIN(toks) AS BIGINT) AS min_tokens,
                 CAST(MAX(toks) AS BIGINT) AS max_tokens
          FROM st GROUP BY 1, 2 ORDER BY 1, 2""",
+    // connected components over the co>=2 co-purchase graph: the
+    // dedup_components recursive-CTE oracle on a different edge set
+    "item_components" ->
+      """WITH RECURSIVE d0 AS (SELECT DISTINCT l_orderkey, l_partkey
+                               FROM lineitem),
+         pr AS (SELECT a.l_partkey AS i, b.l_partkey AS j,
+                count(*) AS co
+                FROM d0 a JOIN d0 b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2),
+         np AS (SELECT i, j FROM pr WHERE co >= 2),
+         edges AS (SELECT i AS u, j AS v FROM np
+                   UNION SELECT j AS u, i AS v FROM np),
+         reach AS (SELECT u, u AS x FROM (SELECT DISTINCT u FROM edges)
+                   UNION
+                   SELECT r.u, e.v AS x FROM reach r JOIN edges e ON r.x = e.u)
+         SELECT u AS part_id, MIN(x) AS component_id
+         FROM reach GROUP BY u ORDER BY part_id""",
+    // shuffle QA: chi2 of position-decile x source over the exact
+    // corpus_shuffle permutation; quantized contribs, zero cells
+    // absent identically
+    "shuffle_uniformity" ->
+      """WITH p AS (SELECT doc_id, source,
+                ROW_NUMBER() OVER (ORDER BY
+                  ((doc_id % 1000000007) * 668265263) % 1000000007 ASC,
+                  doc_id ASC) - 1 AS pos
+              FROM documents),
+         n AS (SELECT COUNT(*) AS nn FROM documents),
+         cells AS (SELECT CAST((pos * 10) // nn AS INTEGER) AS decile,
+                     source, COUNT(*) AS o
+                   FROM p, n GROUP BY 1, 2),
+         tot AS (SELECT cells.*, n.nn,
+                   CAST(SUM(o) OVER (PARTITION BY decile) AS BIGINT) AS rt,
+                   CAST(SUM(o) OVER (PARTITION BY source) AS BIGINT) AS ct
+                 FROM cells, n),
+         q AS (SELECT *, CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                 / CAST(nn AS DOUBLE) AS e
+               FROM tot),
+         c2 AS (SELECT decile, source, nn,
+                  CAST(floor((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)
+                      / e * 1000000.0 + 0.5) AS BIGINT) AS cq
+                FROM q)
+         SELECT CAST(MAX(nn) AS BIGINT) AS n_docs, COUNT(*) AS n_cells,
+                CAST((COUNT(DISTINCT decile) - 1)
+                  * (COUNT(DISTINCT source) - 1) AS BIGINT) AS dof,
+                floor(CAST(SUM(cq) AS DOUBLE) / 1000000.0
+                  * 1000000 + 0.5) / 1000000 AS chi2
+         FROM c2""",
     // Theil-Sen: median of pairwise daily-close slopes per symbol,
     // explicit rank selection (no engine median() interpolation)
     "theil_sen_slope" ->

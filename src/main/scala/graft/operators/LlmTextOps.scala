@@ -3268,6 +3268,47 @@ object LlmTextOps {
       .orderBy(col("total").desc, col("tok").asc)
   }
 
+  /** `shuffle_uniformity` — the QA gate on [[corpusShuffle]]: a χ²
+    * independence test between position DECILE and source over the
+    * assigned global permutation. A correct shuffle decorrelates
+    * position from provenance (χ² ≈ dof); a broken one (range
+    * bucketing by an attribute-correlated hash, a stable sort
+    * leaking input order) shows up as χ² ≫ dof — the exact failure
+    * that turns "globally shuffled corpus" into "source-ordered
+    * corpus" and wrecks training-loss curves. Same quantized-χ²
+    * algebra as `chi2_independence` (zero cells absent on both
+    * engines, their contribution understated identically); the
+    * decile cut is integer division on the exact permutation, so
+    * the whole row hash-gates.
+    */
+  def shuffleUniformity(s: SparkSession, d: String): DataFrame = {
+    val pos = corpusShuffle(s, d).select(col("doc_id"), col("pos"))
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val nRow = src.agg(count(lit(1)).as("nn"))
+    val cells = pos.join(src, Seq("doc_id")).crossJoin(broadcast(nRow))
+      .withColumn("decile", expr("CAST((pos * 10) div nn AS INT)"))
+      .groupBy(col("decile"), col("source"))
+      .agg(count(lit(1)).as("o"), max(col("nn")).as("nn"))
+    cells
+      .withColumn("rt", sum(col("o")).over(Window.partitionBy("decile")))
+      .withColumn("ct", sum(col("o")).over(Window.partitionBy("source")))
+      .withColumn("e", col("rt").cast("double") * col("ct").cast("double")
+        / col("nn").cast("double"))
+      .withColumn("contrib_q",
+        floor((col("o").cast("double") - col("e"))
+          * (col("o").cast("double") - col("e")) / col("e")
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .agg(count(lit(1)).as("n_cells"),
+        countDistinct(col("decile")).as("n_deciles"),
+        countDistinct(col("source")).as("n_sources"),
+        max(col("nn")).as("n_docs"),
+        sum(col("contrib_q")).as("qsum"))
+      .select(col("n_docs"), col("n_cells"),
+        ((col("n_deciles") - lit(1L)) * (col("n_sources") - lit(1L)))
+          .as("dof"),
+        r6(col("qsum").cast("double") / lit(1000000.0)).as("chi2"))
+  }
+
   /** `heaps_law` — the vocabulary-GROWTH exponent per source: fit
     * V = K·Nᵝ (Heaps 1978) by least squares on (ln N, ln V) over
     * per-document checkpoints of cumulative tokens vs cumulative

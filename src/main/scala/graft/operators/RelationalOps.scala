@@ -603,6 +603,27 @@ object RelationalOps {
         graft.engine.SessionMemo.tableFingerprint(d, "lineitem"))(buildE)
   }
 
+  /** `item_components` — connected components of the co-purchase
+    * graph (parts linked by co-occurring in ≥ 2 orders): the
+    * assortment's CLUSTER structure — each component is a family of
+    * products that sell together, the unit a category manager or a
+    * recommender's candidate generator actually wants
+    * ([[basketPairs]] ranks individual edges; this names the
+    * islands). Runs the SAME large-star/small-star fixpoint as
+    * `dedup_components` ([[graft.operators.LlmTextOps
+    * .componentsFromPairs]]) over a different edge silver — the
+    * point of factoring the fixpoint out of dedup: connected
+    * components is a GRAPH primitive, not a dedup detail, and the
+    * O(log²) round bound holds regardless of what the edges mean.
+    * Edge source is the memoized co≥2 silver shared with
+    * `adamic_adar` / `clustering_coeff`.
+    */
+  def itemComponents(s: SparkSession, d: String): DataFrame =
+    graft.operators.LlmTextOps
+      .componentsFromPairs(s, coPurchaseEdges(s, d), pairsDistinct = true)
+      .select(col("doc_id").as("part_id"), col("component_id"))
+      .orderBy("part_id")
+
   def adamicAdar(s: SparkSession, d: String): DataFrame = {
     val e = coPurchaseEdges(s, d)
     val adj = e.select(col("i").as("k"), col("j").as("nbr"))

@@ -375,4 +375,57 @@ class RelationalClassicsSpec extends AnyFunSuite {
       assert(off == got)
     } finally spark.conf.set("spark.graft.baskets.materialize", "true")
   }
+
+  test("item_components == driver union-find over the co-purchase edges") {
+    val s = spark
+    val edges = RelationalOps.coPurchaseEdges(s, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // classic path-compressed union-find on the driver
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (i, j) =>
+      val (ri, rj) = (find(i), find(j))
+      if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+    }
+    val expected = parent.keys.map(x => (x, find(x))).toSet
+    val got = RelationalOps.itemComponents(s, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+    // components are non-trivial on this corpus
+    assert(got.exists(t => t._1 != t._2))
+  }
+
+  test("shuffle_uniformity == driver chi2 replay; permutation decorrelates") {
+    val s = spark
+    val docs = Tables.documents(s, TestSpark.sf001)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val nn = docs.length.toLong
+    val ordered = docs.sortBy { case (id, _) =>
+      ((id % 1000000007L) * 668265263L % 1000000007L, id)
+    }
+    val cells = ordered.zipWithIndex
+      .map { case ((_, src), pos) => ((pos.toLong * 10 / nn).toInt, src) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rowT = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val colT = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val qsum = cells.map { case ((dec, src), o) =>
+      val e = rowT(dec).toDouble * colT(src).toDouble / nn.toDouble
+      math.floor((o - e) * (o - e) / e * 1.0e6 + 0.5).toLong
+    }.sum
+    val dof = (rowT.size - 1).toLong * (colT.size - 1).toLong
+    val expected = (nn, cells.size.toLong, dof,
+      math.floor(qsum.toDouble / 1.0e6 * 1e6 + 0.5) / 1e6)
+    val got = graft.operators.LlmTextOps.shuffleUniformity(s, TestSpark.sf001)
+      .collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getDouble(3)) == expected)
+    // a healthy hash shuffle: chi2 within a loose multiple of dof
+    // (independence would put E[chi2] = dof; 3x flags source leakage)
+    assert(got.getDouble(3) < 3.0 * dof, s"shuffle leaks source order: $got")
+  }
 }
