@@ -205,6 +205,8 @@ object SparkEntry {
     "doc_features"             -> (LlmTextOps.docFeatures _),
     "item_components"          -> (RelationalOps.itemComponents _),
     "shuffle_uniformity"       -> (LlmTextOps.shuffleUniformity _),
+    "conversion_lag"           -> (AnalyticOps.conversionLag _),
+    "pq_distortion"            -> (LlmVectorOps.pqDistortion _),
     // E16–E21 + LLM-pipeline surface
     "sessionize"          -> (LlmTextOps.sessionize _),
     "dedup_exact"         -> (LlmTextOps.dedupExact _),
@@ -5482,6 +5484,36 @@ object SparkEntry {
     "label_centroids" -> LlmVectorOps.labelCentroidsOracleSql,
     "cluster_purity" -> LlmVectorOps.clusterPurityOracleSql,
     "ann_mrr" -> LlmVectorOps.annMrrOracleSql,
+    "pq_distortion" -> LlmVectorOps.pqDistortionOracleSql,
+    // click->purchase latency distribution: the last-touch carry,
+    // exact interpolated percentiles over integer-us gaps
+    "conversion_lag" ->
+      """WITH t AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+                event_type
+              FROM events WHERE event_type IN ('click', 'purchase')),
+         c AS (SELECT *, last_value(CASE WHEN event_type = 'click'
+                   THEN us END IGNORE NULLS) OVER (PARTITION BY user_id
+                 ORDER BY us ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS last_click_us
+               FROM t),
+         g AS (SELECT us - last_click_us AS lag_us FROM c
+               WHERE event_type = 'purchase'
+                 AND last_click_us IS NOT NULL
+                 AND last_click_us < us
+                 AND us - last_click_us <= 86400000000)
+         SELECT COUNT(*) AS n_conversions,
+                floor((quantile_cont(lag_us, 0.25) / 1000000.0)
+                  * 1000000 + 0.5) / 1000000 AS p25_s,
+                floor((quantile_cont(lag_us, 0.5) / 1000000.0)
+                  * 1000000 + 0.5) / 1000000 AS p50_s,
+                floor((quantile_cont(lag_us, 0.9) / 1000000.0)
+                  * 1000000 + 0.5) / 1000000 AS p90_s,
+                floor((quantile_cont(lag_us, 0.99) / 1000000.0)
+                  * 1000000 + 0.5) / 1000000 AS p99_s,
+                floor((CAST(MAX(lag_us) AS DOUBLE) / 1000000.0)
+                  * 1000000 + 0.5) / 1000000 AS max_s
+         FROM g""",
     // centered isotropy: per-dim grid means, 1e-12-quantized centered
     // norms, re-quantized unit components, the same S^2 - Q identity
     "isotropy_centered" ->

@@ -1874,6 +1874,41 @@ object AnalyticOps {
       .orderBy("symbol", "lag")
   }
 
+  /** `conversion_lag` — the click→purchase LATENCY distribution:
+    * exact interpolated percentiles (and max) of the last-click gap
+    * over attributed purchases, in seconds. The distribution behind
+    * [[attributionLastTouch]]'s 24 h window: the window parameter
+    * every attribution model hard-codes should be READ off this
+    * table (if p99 is 4 h, a 24 h window is fine; if the mass runs
+    * to the cap, conversions are being truncated). Same
+    * running-window carry as last-touch (one per-user sort), then
+    * one exact-percentile aggregate over integer-µs gaps — the
+    * `value_percentiles` portability recipe.
+    */
+  def conversionLag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("last_click_us",
+        last(when(col("event_type") === "click", col("us")),
+          ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase" &&
+        col("last_click_us").isNotNull &&
+        col("last_click_us") < col("us") &&
+        col("us") - col("last_click_us") <= lit(86400000000L))
+      .select((col("us") - col("last_click_us")).as("lag_us"))
+      .agg(count(lit(1)).as("n_conversions"),
+        r6(expr("percentile(lag_us, 0.25)") / lit(1.0e6)).as("p25_s"),
+        r6(expr("percentile(lag_us, 0.5)") / lit(1.0e6)).as("p50_s"),
+        r6(expr("percentile(lag_us, 0.9)") / lit(1.0e6)).as("p90_s"),
+        r6(expr("percentile(lag_us, 0.99)") / lit(1.0e6)).as("p99_s"),
+        r6(max(col("lag_us")).cast("double") / lit(1.0e6)).as("max_s"))
+  }
+
   /** `theil_sen_slope` — robust trend per symbol: the MEDIAN of all
     * pairwise slopes between daily closing bars (Theil 1950; Sen
     * 1968) — the estimator that shrugs off the outlier ticks that

@@ -2200,6 +2200,64 @@ object LlmVectorOps {
       .select("sub", "code", "cent_emb", "cc")
   }
 
+  /** `pq_distortion` — per-subspace RECONSTRUCTION error of the
+    * trained PQ codebook: mean ‖x_sub − ĉ(x)_sub‖² over the encoded
+    * corpus. The quantization-quality datacard of the 64× rung —
+    * recall ([[annRecallB1]]) and MRR (`ann_mrr`) measure end-to-end
+    * retrieval, distortion localizes WHERE the codebook loses it (a
+    * subspace whose MSE runs hot needs more centroids or a rotation;
+    * Jégou et al. 2011 §IV tunes exactly this table). Distance
+    * expands to xx − 2·x·c + cc so all three terms ride the compiled
+    * dot; each residual quantizes at 1e-9 into order-free longs, one
+    * fenced mean per subspace. The oracle re-trains the codebooks
+    * (the [[topkPqOracleSql]] CTEs) and replays the fold.
+    */
+  def pqDistortion(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
+    val book = pqCodebook(s, e)
+    // the encoded centroid is the distance argmin, so the encoded
+    // distortion IS the min distance — no codes join (which would
+    // re-run the training lineage a second time; measured 3.2 s vs
+    // 0.9 s), one rows × broadcast(book) pass, min per (vec, sub).
+    // floor is monotone, so min-of-quantized == quantized-of-min.
+    subspaceRows(e)
+      .join(broadcast(book.select(col("sub"), col("cent_emb"), col("cc"))),
+        Seq("sub"))
+      .withColumn("d2q", floor(
+        (VectorExprs.dot(s, col("subemb"), col("subemb"))
+          - lit(2.0) * VectorExprs.dot(s, col("subemb"), col("cent_emb"))
+          + col("cc")) * lit(1.0e9) + lit(0.5)).cast("long"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(col("d2q")).as("d2q"))
+      .groupBy(col("sub"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("d2q")).as("sq"))
+      .select(col("sub"), col("n_vecs"),
+        r6(col("sq").cast("double") / lit(1.0e9)
+          / col("n_vecs").cast("double")).as("mse"))
+      .orderBy("sub")
+  }
+
+  /** The DuckDB oracle for `pq_distortion`: the shared PQ training
+    * CTEs, then the same expanded-distance fold.
+    */
+  private[graft] def pqDistortionOracleSql: String =
+    s"""WITH base AS (SELECT vec_id, embedding,
+                  sqrt(${dotSql("embedding", "embedding", embDim)}) AS norm
+                FROM embeddings),
+         ${pqTrainCtes("base", "t")},
+         q AS (SELECT r.sub, r.vec_id,
+                 MIN(CAST(floor((${dotSql("r.subemb", "r.subemb", pqSubDim)}
+                     - 2.0 * ${dotSql("r.subemb", "b.cent_emb", pqSubDim)}
+                     + b.cc) * 1000000000.0 + 0.5) AS BIGINT)) AS d2q
+               FROM subr_t r JOIN book_t b ON b.sub = r.sub
+               GROUP BY 1, 2)
+         SELECT CAST(sub AS INTEGER) AS sub,
+                CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                floor(CAST(SUM(d2q) AS DOUBLE) / 1000000000.0
+                    / CAST(COUNT(*) AS DOUBLE) * 1000000.0 + 0.5)
+                  / 1000000.0 AS mse
+         FROM q GROUP BY 1 ORDER BY 1"""
+
   /** Session conf pointing the PQ inventory rows at a silver ANN
     * index BASE directory (`pipeline.CorpusSilver.writeAnnIndex`
     * writes one): when set, `similarity_topk_pq` and

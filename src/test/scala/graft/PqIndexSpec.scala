@@ -106,4 +106,62 @@ class PqIndexSpec extends AnyFunSuite {
       }
     } finally spark.conf.unset(LlmVectorOps.AnnIndexConf)
   }
+
+  test("pq_distortion: 8 full subspaces, mse below the 1-centroid floor") {
+    val got = LlmVectorOps.pqDistortion(spark, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val n = graft.engine.Tables.embeddings(spark, d).count()
+    assert(got.map(_._1).toSeq == (0 until 8), "one row per subspace")
+    assert(got.forall(_._2 == n), "every vector encoded in every subspace")
+    assert(got.forall(_._3 >= 0.0))
+    // a 16-centroid codebook must beat collapsing the subspace to its
+    // mean (the 1-centroid solution) — the floor quantization quality
+    // is measured against
+    val vecs = graft.engine.Tables.embeddings(spark, d)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val variance = (0 until 8).map { sub =>
+      val subs = vecs.map(_.slice(sub * 8, sub * 8 + 8))
+      val m = (0 until 8).map(i => subs.map(_(i)).sum / subs.length)
+      subs.map(x => (0 until 8).map(i =>
+        (x(i) - m(i)) * (x(i) - m(i))).sum).sum / subs.length
+    }
+    got.foreach { case (sub, _, mse) =>
+      assert(mse < variance(sub),
+        s"sub $sub: mse $mse not below 1-centroid floor ${variance(sub)}")
+    }
+  }
+
+  test("conversion_lag == driver percentile replay over last-click gaps") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val events = graft.engine.Tables.events(s, d)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val lags = events.groupBy(_._1).values.flatMap { g =>
+      var lastClick = Option.empty[Long]
+      g.sortBy(t => (t._2, t._3)).flatMap { case (_, us, _, tpe) =>
+        if (tpe == "click") { lastClick = Some(us); None }
+        else lastClick.collect {
+          case c if c < us && us - c <= 86400000000L => us - c
+        }
+      }
+    }.toArray.sorted
+    def pct(f: Double): Double = {
+      val pos = f * (lags.length - 1)
+      val (lo, hi) = (pos.toInt, math.min(pos.toInt + 1, lags.length - 1))
+      val v = lags(lo) + (pos - lo) * (lags(hi) - lags(lo)).toDouble
+      r6(v / 1.0e6)
+    }
+    val got = graft.operators.AnalyticOps.conversionLag(s, d).collect().head
+    assert(got.getLong(0) == lags.length.toLong)
+    assert(got.getDouble(1) == pct(0.25) && got.getDouble(2) == pct(0.5)
+      && got.getDouble(3) == pct(0.9) && got.getDouble(4) == pct(0.99))
+    assert(got.getDouble(5) == r6(lags.max.toDouble / 1.0e6))
+    assert(lags.nonEmpty)
+  }
 }
