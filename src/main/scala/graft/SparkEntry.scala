@@ -207,6 +207,8 @@ object SparkEntry {
     "shuffle_uniformity"       -> (LlmTextOps.shuffleUniformity _),
     "conversion_lag"           -> (AnalyticOps.conversionLag _),
     "pq_distortion"            -> (LlmVectorOps.pqDistortion _),
+    "seasonal_decompose"       -> (AnalyticOps.seasonalDecompose _),
+    "ann_recall_pq"            -> (LlmVectorOps.annRecallPq _),
     // E16–E21 + LLM-pipeline surface
     "sessionize"          -> (LlmTextOps.sessionize _),
     "dedup_exact"         -> (LlmTextOps.dedupExact _),
@@ -5485,6 +5487,68 @@ object SparkEntry {
     "cluster_purity" -> LlmVectorOps.clusterPurityOracleSql,
     "ann_mrr" -> LlmVectorOps.annMrrOracleSql,
     "pq_distortion" -> LlmVectorOps.pqDistortionOracleSql,
+    "ann_recall_pq" -> LlmVectorOps.annRecallPqOracleSql,
+    // STL strength measures: 25-bar integer-exact trend, hour-of-day
+    // seasonal means of the 1e-6-quantized detrended series, three
+    // DECIMAL/HUGEINT variance folds, fenced F statistics
+    "seasonal_decompose" ->
+      """WITH t AS (SELECT event_type AS symbol,
+                CAST(epoch_us(date_trunc('hour', ts)) / 3600000000
+                  AS BIGINT) AS h,
+                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+                epoch_us(ts) AS us
+              FROM events),
+         bars AS (SELECT symbol, h, arg_max(c, us) AS close
+                  FROM t GROUP BY 1, 2),
+         tr AS (SELECT symbol, h, close,
+                  AVG(close) OVER (PARTITION BY symbol ORDER BY h
+                    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS trend,
+                  h % 24 AS hod
+                FROM bars),
+         dt AS (SELECT symbol, hod, close, trend,
+                  CAST(floor((CAST(close AS DOUBLE) - trend) * 1000000.0
+                      + 0.5) AS BIGINT) AS dq
+                FROM tr),
+         se AS (SELECT symbol, hod,
+                  CAST(SUM(dq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS sm
+                FROM dt GROUP BY 1, 2),
+         sr AS (SELECT dt.symbol,
+                  CAST(floor(CAST(dq AS DOUBLE) - sm + 0.5) AS BIGINT)
+                    AS rq,
+                  dq AS sq,
+                  CAST(floor(CAST(close * 1000000 AS DOUBLE) - sm + 0.5)
+                    AS BIGINT) AS tq
+                FROM dt JOIN se ON se.symbol = dt.symbol
+                  AND se.hod = dt.hod),
+         a AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(rq) AS BIGINT) AS sr,
+                 CAST(SUM(CAST(rq AS HUGEINT) * CAST(rq AS HUGEINT))
+                   AS HUGEINT) AS srr,
+                 CAST(SUM(sq) AS BIGINT) AS ss,
+                 CAST(SUM(CAST(sq AS HUGEINT) * CAST(sq AS HUGEINT))
+                   AS HUGEINT) AS sss,
+                 CAST(SUM(tq) AS BIGINT) AS st,
+                 CAST(SUM(CAST(tq AS HUGEINT) * CAST(tq AS HUGEINT))
+                   AS HUGEINT) AS stt
+               FROM sr GROUP BY 1)
+         SELECT symbol, n AS n_bars,
+                GREATEST(0.0, floor((1.0
+                  - CAST(CAST(n AS HUGEINT) * srr
+                      - CAST(sr AS HUGEINT) * CAST(sr AS HUGEINT)
+                      AS DOUBLE)
+                    / NULLIF(CAST(CAST(n AS HUGEINT) * stt
+                      - CAST(st AS HUGEINT) * CAST(st AS HUGEINT)
+                      AS DOUBLE), 0.0))
+                  * 1000000.0 + 0.5) / 1000000.0) AS f_trend,
+                GREATEST(0.0, floor((1.0
+                  - CAST(CAST(n AS HUGEINT) * srr
+                      - CAST(sr AS HUGEINT) * CAST(sr AS HUGEINT)
+                      AS DOUBLE)
+                    / NULLIF(CAST(CAST(n AS HUGEINT) * sss
+                      - CAST(ss AS HUGEINT) * CAST(ss AS HUGEINT)
+                      AS DOUBLE), 0.0))
+                  * 1000000.0 + 0.5) / 1000000.0) AS f_seasonal
+         FROM a ORDER BY symbol""",
     // click->purchase latency distribution: the last-touch carry,
     // exact interpolated percentiles over integer-us gaps
     "conversion_lag" ->

@@ -1874,6 +1874,83 @@ object AnalyticOps {
       .orderBy("symbol", "lag")
   }
 
+  /** `seasonal_decompose` — STL-style strength-of-trend and
+    * strength-of-seasonality per symbol (Hyndman & Athanasopoulos
+    * FPP3 §4.3): decompose the hourly close series into trend (a
+    * centered 25-bar moving average), seasonality (hour-of-day mean
+    * of the detrended series), and remainder, then report
+    * F_trend = max(0, 1 − Var(R)/Var(T+R)) and
+    * F_seasonal = max(0, 1 − Var(R)/Var(S+R)). The pair that says
+    * which MODEL class a series wants — [[seasonalityStrength]]'s
+    * raw clock-R² can't separate "strong daily rhythm" from "strong
+    * drift aliased onto the clock"; removing the trend first can.
+    *
+    * Portability: bars are exact centi closes; the 25-bar trend is
+    * exact-integer-sum / count (sliding frame, both engines fold
+    * longs); every derived series value quantizes at 1e-6 into
+    * order-free longs the moment it leaves its row, so the three
+    * variances are exact DECIMAL moments with one fenced division
+    * each. Scale shape: one per-symbol sort serves the trend frame,
+    * one (symbol, hod) aggregate broadcasts back — the indicator
+    * family's plan.
+    */
+  def seasonalDecompose(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+    val bars = Tables.events(s, d)
+      .select(col("event_type").as("symbol"),
+        (unix_micros(date_trunc("hour", col("ts"))) / lit(3600000000L))
+          .cast("long").as("h"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("c"),
+        unix_micros(col("ts")).as("us"))
+      .groupBy(col("symbol"), col("h"))
+      .agg(max_by(col("c"), col("us")).as("close"))
+    val wT = Window.partitionBy("symbol").orderBy(col("h"))
+      .rowsBetween(-12, 12)
+    val detr = bars
+      .withColumn("trend", avg(col("close")).over(wT))
+      .withColumn("hod", pmod(col("h"), lit(24L)))
+      .withColumn("dq",
+        floor((col("close").cast("double") - col("trend")) * lit(1.0e6)
+          + lit(0.5)).cast("long"))
+    val seas = detr.groupBy(col("symbol"), col("hod"))
+      .agg((sum(col("dq")).cast("double")
+        / count(lit(1)).cast("double")).as("sm"))
+    val series = detr.join(seas, Seq("symbol", "hod"))
+      // R and S+R in 1e-6 units, quantized the moment they exist
+      .withColumn("rq",
+        floor(col("dq").cast("double") - col("sm") + lit(0.5)).cast("long"))
+      .withColumn("sq", col("dq"))  // S+R = detrended series (already quantized)
+      // T+R = close − S, in the same 1e-6-centi units
+      .withColumn("tq",
+        floor((col("close") * lit(1000000L)).cast("double") - col("sm")
+          + lit(0.5)).cast("long"))
+    def varExpr(x: String, n: org.apache.spark.sql.Column,
+        sx: org.apache.spark.sql.Column, sxx: org.apache.spark.sql.Column) =
+      (dec(n) * sxx - dec(sx) * dec(sx)).cast("double")
+    val agg = series.groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("rq")).as("sr"),
+        sum(dec(col("rq")) * dec(col("rq"))).cast(DecimalType(38, 0))
+          .as("srr"),
+        sum(col("sq")).as("ss"),
+        sum(dec(col("sq")) * dec(col("sq"))).cast(DecimalType(38, 0))
+          .as("sss"),
+        sum(col("tq")).as("st"),
+        sum(dec(col("tq")) * dec(col("tq"))).cast(DecimalType(38, 0))
+          .as("stt"))
+    agg.select(col("symbol"), col("n").as("n_bars"),
+        greatest(lit(0.0), r6(lit(1.0)
+          - varExpr("r", col("n"), col("sr"), col("srr"))
+            / nullif(varExpr("t", col("n"), col("st"), col("stt")),
+              lit(0.0)))).as("f_trend"),
+        greatest(lit(0.0), r6(lit(1.0)
+          - varExpr("r", col("n"), col("sr"), col("srr"))
+            / nullif(varExpr("s", col("n"), col("ss"), col("sss")),
+              lit(0.0)))).as("f_seasonal"))
+      .orderBy("symbol")
+  }
+
   /** `conversion_lag` — the click→purchase LATENCY distribution:
     * exact interpolated percentiles (and max) of the last-click gap
     * over attributed purchases, in seconds. The distribution behind

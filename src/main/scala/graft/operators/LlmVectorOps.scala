@@ -1375,6 +1375,59 @@ object LlmVectorOps {
            ON pq_probe = e1.probe_id AND pq_vec = true_nn
          ORDER BY probe_id"""
 
+  /** `ann_recall_pq` — recall@10 of the PQ-served ranking against
+    * the exact top-10, per probe: the SET-overlap gate of the 64×
+    * rung, completing the eval family (`ann_recall_b1` floors the
+    * 1-bit rung, `ann_mrr` gates the 64× rung's ORDER, this row its
+    * coverage). Per-probe rows rather than one mean so a single
+    * pathological probe is visible, not averaged away.
+    */
+  def annRecallPq(s: SparkSession, d: String): DataFrame = {
+    val exact = similarityTopk(s, d).select(col("probe_id"), col("vec_id"))
+    val pq = similarityTopkPq(s, d)
+      .select(col("probe_id").as("p2"), col("vec_id").as("v2"))
+    exact.join(pq, col("p2") === col("probe_id")
+        && col("v2") === col("vec_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("v2").isNotNull, 1L).otherwise(0L)).as("hits"))
+      .select(col("probe_id"), col("k"), col("hits"),
+        r6(col("hits").cast("double") / col("k").cast("double"))
+          .as("recall"))
+      .orderBy("probe_id")
+  }
+
+  /** The DuckDB oracle for `ann_recall_pq`: the exact top-10 CTE
+    * left-joined against the PQ-retrain oracle, per-probe overlap.
+    */
+  private[graft] def annRecallPqOracleSql: String =
+    s"""WITH ex AS (
+           SELECT probe_id, vec_id FROM (
+             WITH probes AS (SELECT vec_id AS probe_id,
+                      embedding AS probe_emb
+                    FROM embeddings WHERE vec_id < $nProbes),
+             pairs AS (SELECT probe_id, vec_id,
+                  ${dotSql("probe_emb", "embedding", embDim)}
+                    / (sqrt(${dotSql("probe_emb", "probe_emb", embDim)})
+                       * sqrt(${dotSql("embedding", "embedding", embDim)}))
+                    AS score
+               FROM embeddings, probes WHERE vec_id <> probe_id),
+             ranked AS (SELECT probe_id, vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY probe_id
+                    ORDER BY floor(score * 1000000 + 0.5) / 1000000 DESC,
+                      vec_id ASC) AS rank
+                  FROM pairs)
+             SELECT probe_id, vec_id FROM ranked WHERE rank <= 10)),
+         pq AS (SELECT probe_id AS p2, vec_id AS v2
+                FROM ($topkPqOracleSql))
+         SELECT ex.probe_id, CAST(COUNT(*) AS BIGINT) AS k,
+                CAST(SUM(CASE WHEN v2 IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hits,
+                floor(SUM(CASE WHEN v2 IS NOT NULL THEN 1 ELSE 0 END)
+                    * 1.0 / COUNT(*) * 1000000 + 0.5) / 1000000 AS recall
+         FROM ex LEFT JOIN pq ON p2 = ex.probe_id AND v2 = ex.vec_id
+         GROUP BY 1 ORDER BY 1"""
+
   /** `isotropy_centered` — [[embeddingIsotropy]] AFTER removing the
     * corpus mean vector (the first step of Mu & Viswanath 2018's
     * "all-but-the-top" postprocess): center every embedding on the

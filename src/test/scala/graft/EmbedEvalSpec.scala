@@ -112,6 +112,38 @@ class EmbedEvalSpec extends AnyFunSuite {
     assert(got.exists(_._3 == 1))
   }
 
+  test("ann_recall_pq: per-probe overlap of brute-force exact vs PQ list") {
+    val e = embs(TestSpark.sf0001)
+    val norm = e.map { case (id, v, _) =>
+      id -> math.sqrt(v.map(x => x * x).sum)
+    }.toMap
+    val exactTop = e.filter(_._1 < 5L).map { case (pid, pv, _) =>
+      val top = e.filter(_._1 != pid).map { case (id, v, _) =>
+        (id, r6(pv.zip(v).map { case (a, b) => a * b }.sum
+          / (norm(pid) * norm(id))))
+      }.sortBy { case (id, sc) => (-sc, id) }.take(10).map(_._1).toSet
+      pid -> top
+    }.toMap
+    val pqLists = graft.operators.LlmVectorOps
+      .similarityTopkPq(spark, TestSpark.sf0001)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = graft.operators.LlmVectorOps.annRecallPq(spark, TestSpark.sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    got.foreach { case (pid, k, hits, recall) =>
+      val exp = exactTop(pid)
+      assert(k == exp.size.toLong)
+      assert(hits == exp.intersect(pqLists.getOrElse(pid, Set.empty)).size
+        .toLong, s"probe $pid")
+      assert(recall == r6(hits.toDouble / k.toDouble))
+    }
+    assert(got.map(_._1).toSet == exactTop.keySet)
+    // AnnQualitySpec floors end-to-end recall; here just non-trivial
+    assert(got.exists(_._3 > 0L))
+  }
+
   test("isotropy_centered == the O(n^2) pairwise definition on centered units") {
     val e = embs(TestSpark.sf0001)
     val grid = (1L << 20).toDouble

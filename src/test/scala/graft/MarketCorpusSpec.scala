@@ -352,6 +352,48 @@ class MarketCorpusSpec extends AnyFunSuite {
     assert(got == want, s"missing=${want -- got} extra=${got -- want}")
   }
 
+  test("seasonal_decompose == driver STL-strength replay") {
+    val s = spark
+    val want = ticks(TestSpark.sf0001).groupBy(_._1).map { case (sym, g) =>
+      val bars = g.groupBy(t => t._2 / 3600000000L).toSeq.map {
+        case (h, rows) =>
+          (h, math.floor(rows.maxBy(_._2)._4 * 100.0 + 0.5).toLong)
+      }.sortBy(_._1)
+      val closes = bars.map(_._2)
+      val trend = bars.indices.map { i =>
+        val lo = math.max(0, i - 12); val hi = math.min(bars.length - 1, i + 12)
+        val win = closes.slice(lo, hi + 1)
+        win.sum.toDouble / win.length
+      }
+      val dq = bars.indices.map(i =>
+        math.floor((closes(i) - trend(i)) * 1.0e6 + 0.5).toLong)
+      val hod = bars.map(_._1 % 24)
+      val sm = hod.zip(dq).groupBy(_._1).view
+        .mapValues(g2 => g2.map(_._2).sum.toDouble / g2.length).toMap
+      val rq = bars.indices.map(i =>
+        math.floor(dq(i).toDouble - sm(hod(i)) + 0.5).toLong)
+      val tq = bars.indices.map(i =>
+        math.floor((closes(i) * 1000000L).toDouble - sm(hod(i)) + 0.5).toLong)
+      def varNum(xs: Seq[Long]): Double = {
+        val n = BigInt(xs.length)
+        val sx = xs.map(BigInt(_)).sum
+        val sxx = xs.map(x => BigInt(x) * BigInt(x)).sum
+        (n * sxx - sx * sx).toDouble
+      }
+      val fT = math.max(0.0, r6(1.0 - varNum(rq) / varNum(tq)))
+      val fS = math.max(0.0, r6(1.0 - varNum(rq) / varNum(dq)))
+      (sym, bars.length.toLong, fT, fS)
+    }.toSet
+    val got = AnalyticOps.seasonalDecompose(s, TestSpark.sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    // strengths live in [0, 1] by construction
+    assert(got.forall(t => t._3 >= 0.0 && t._3 <= 1.0
+      && t._4 >= 0.0 && t._4 <= 1.0))
+  }
+
   test("theil_sen_slope == driver pairwise-slope median replay") {
     val s = spark
     val want = ticks(TestSpark.sf0001).groupBy(_._1).flatMap {
