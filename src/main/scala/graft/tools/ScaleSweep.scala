@@ -301,7 +301,16 @@ object ScaleSweep {
       "filter_funnel" -> (graft.operators.LlmTextOps.filterFunnel _),
       "knn_confusion" -> (graft.operators.LlmVectorOps.knnConfusion _),
       "embedding_isotropy" ->
-        (graft.operators.LlmVectorOps.embeddingIsotropy _))
+        (graft.operators.LlmVectorOps.embeddingIsotropy _),
+      // round-8 waves 10-15: the graph-fixpoint reuse, the inline
+      // PQ-retrain eval rows, and the heaviest new analytics
+      "item_components" ->
+        (graft.operators.RelationalOps.itemComponents _),
+      "pq_distortion" -> (graft.operators.LlmVectorOps.pqDistortion _),
+      "ann_mrr" -> (graft.operators.LlmVectorOps.annMrr _),
+      "heaps_law" -> (graft.operators.LlmTextOps.heapsLaw _),
+      "seasonal_decompose" ->
+        (graft.operators.AnalyticOps.seasonalDecompose _))
       .filter { case (name, _) =>
         // SPARK_GRAFT_QUERIES narrows the sweep (same contract as
         // Bench) — re-measuring one family shouldn't pay for all
