@@ -209,6 +209,8 @@ object SparkEntry {
     "pq_distortion"            -> (LlmVectorOps.pqDistortion _),
     "seasonal_decompose"       -> (AnalyticOps.seasonalDecompose _),
     "ann_recall_pq"            -> (LlmVectorOps.annRecallPq _),
+    "event_paths"              -> (AnalyticOps.eventPaths _),
+    "momentum_rank"            -> (AnalyticOps.momentumRank _),
     // E16–E21 + LLM-pipeline surface
     "sessionize"          -> (LlmTextOps.sessionize _),
     "dedup_exact"         -> (LlmTextOps.dedupExact _),
@@ -5488,6 +5490,45 @@ object SparkEntry {
     "ann_mrr" -> LlmVectorOps.annMrrOracleSql,
     "pq_distortion" -> LlmVectorOps.pqDistortionOracleSql,
     "ann_recall_pq" -> LlmVectorOps.annRecallPqOracleSql,
+    // top event-type trigram paths per user order, distinct travellers
+    "event_paths" ->
+      """WITH t AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+                event_type FROM events),
+         l AS (SELECT user_id, event_type,
+                 lag(event_type, 1) OVER w AS p1,
+                 lag(event_type, 2) OVER w AS p2
+               FROM t WINDOW w AS (PARTITION BY user_id
+                 ORDER BY us ASC, event_id ASC)),
+         p AS (SELECT p2 || ' > ' || p1 || ' > ' || event_type AS path,
+                 user_id
+               FROM l WHERE p2 IS NOT NULL)
+         SELECT path, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+         FROM p GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 20""",
+    // cross-sectional 7-day momentum rank: fenced return, per-day
+    // row_number under (ret desc, symbol) total order
+    "momentum_rank" ->
+      """WITH t AS (SELECT event_type AS symbol,
+                CAST(epoch_us(date_trunc('day', ts)) / 86400000000
+                  AS BIGINT) AS day,
+                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+                epoch_us(ts) AS us
+              FROM events),
+         bars AS (SELECT symbol, day, arg_max(c, us) AS close
+                  FROM t GROUP BY 1, 2),
+         lg AS (SELECT symbol, day, close,
+                  lag(close, 7) OVER (PARTITION BY symbol ORDER BY day)
+                    AS close_7d_ago
+                FROM bars),
+         r AS (SELECT day, symbol,
+                 floor((CAST(close - close_7d_ago AS DOUBLE)
+                     / CAST(close_7d_ago AS DOUBLE)) * 1000000 + 0.5)
+                   / 1000000 AS ret_7d
+               FROM lg WHERE close_7d_ago IS NOT NULL)
+         SELECT day, symbol, ret_7d,
+                CAST(ROW_NUMBER() OVER (PARTITION BY day
+                  ORDER BY ret_7d DESC, symbol ASC) AS INTEGER)
+                  AS mom_rank
+         FROM r ORDER BY day, mom_rank""",
     // STL strength measures: 25-bar integer-exact trend, hour-of-day
     // seasonal means of the 1e-6-quantized detrended series, three
     // DECIMAL/HUGEINT variance folds, fenced F statistics

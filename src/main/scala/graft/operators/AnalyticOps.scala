@@ -1874,6 +1874,77 @@ object AnalyticOps {
       .orderBy("symbol", "lag")
   }
 
+  /** `event_paths` — the top-20 most-travelled 3-step behavioral
+    * paths: consecutive event-type trigrams per user under the
+    * (us, event_id) total order, counted corpus-wide with each
+    * path's distinct-traveller count. `markov_transitions` is the
+    * order-1 view; paths are the order-2 question product analytics
+    * actually asks ("what do users DO around a purchase") and the
+    * input to funnel DISCOVERY — `funnel_steps` measures a funnel
+    * you already guessed, this table surfaces the funnels worth
+    * guessing. Top-20 under (n desc, path asc) — a total order.
+    *
+    * Scale shape: the one per-user sort every sequence operator
+    * shares (two lag()s over the same window — one shuffle), a
+    * map-side-combined count to |type|³ ≤ tiny rows, then
+    * TakeOrderedAndProject.
+    */
+  def eventPaths(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("p1", lag(col("event_type"), 1).over(w))
+      .withColumn("p2", lag(col("event_type"), 2).over(w))
+      .where(col("p2").isNotNull)
+      .select(concat(col("p2"), lit(" > "), col("p1"), lit(" > "),
+        col("event_type")).as("path"), col("user_id"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(20)
+  }
+
+  /** `momentum_rank` — the cross-sectional MOMENTUM factor table:
+    * for each day, every symbol's trailing 7-day close-to-close
+    * return and its rank across symbols that day (1 = strongest).
+    * The construction step of every momentum strategy (Jegadeesh &
+    * Titman 1993 scaled to daily bars): the factor is the RANK, not
+    * the return — cross-sectional ranking is what makes it
+    * market-neutral. Days before a symbol's 7th bar drop (no
+    * trailing window), identically on both engines.
+    *
+    * Portability: closes are exact centi picks, the return is ONE
+    * fenced division of exact integers, and the rank orders by the
+    * FENCED return with symbol as tie column — a total order.
+    * Scale shape: one per-symbol sort for the lag, one per-day rank
+    * over |symbols| rows (bounded by the universe, not the tape).
+    */
+  def momentumRank(s: SparkSession, d: String): DataFrame = {
+    val bars = Tables.events(s, d)
+      .select(col("event_type").as("symbol"),
+        (unix_micros(date_trunc("day", col("ts"))) / lit(86400000000L))
+          .cast("long").as("day"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("c"),
+        unix_micros(col("ts")).as("us"))
+      .groupBy(col("symbol"), col("day"))
+      .agg(max_by(col("c"), col("us")).as("close"))
+    val wS = Window.partitionBy("symbol").orderBy(col("day"))
+    val wD = Window.partitionBy("day")
+    bars
+      .withColumn("close_7d_ago", lag(col("close"), 7).over(wS))
+      .where(col("close_7d_ago").isNotNull)
+      .withColumn("ret_7d",
+        r6((col("close") - col("close_7d_ago")).cast("double")
+          / col("close_7d_ago").cast("double")))
+      .withColumn("mom_rank", row_number().over(
+        wD.orderBy(col("ret_7d").desc, col("symbol").asc)))
+      .select(col("day"), col("symbol"), col("ret_7d"), col("mom_rank"))
+      .orderBy("day", "mom_rank")
+  }
+
   /** `seasonal_decompose` — STL-style strength-of-trend and
     * strength-of-seasonality per symbol (Hyndman & Athanasopoulos
     * FPP3 §4.3): decompose the hourly close series into trend (a

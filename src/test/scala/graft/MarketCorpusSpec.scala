@@ -352,6 +352,60 @@ class MarketCorpusSpec extends AnyFunSuite {
     assert(got == want, s"missing=${want -- got} extra=${got -- want}")
   }
 
+  test("momentum_rank == driver daily-bar lag-7 rank replay") {
+    val s = spark
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val rets = ticks(TestSpark.sf0001).groupBy(_._1).toSeq.flatMap {
+      case (sym, g) =>
+        val bars = g.groupBy(t => t._2 / 86400000000L).toSeq.map {
+          case (day, rows) =>
+            (day, math.floor(rows.maxBy(_._2)._4 * 100.0 + 0.5).toLong)
+        }.sortBy(_._1)
+        bars.indices.drop(7).map { i =>
+          (bars(i)._1, sym,
+            r6((bars(i)._2 - bars(i - 7)._2).toDouble
+              / bars(i - 7)._2.toDouble))
+        }
+    }
+    val expected = rets.groupBy(_._1).flatMap { case (day, rows) =>
+      rows.sortBy { case (_, sym, r) => (-r, sym) }.zipWithIndex
+        .map { case ((_, sym, r), idx) => (day, sym, r, idx + 1) }
+    }.toSet
+    val got = AnalyticOps.momentumRank(s, TestSpark.sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+    // ranks are a per-day permutation of 1..k
+    got.groupBy(_._1).foreach { case (day, rows) =>
+      assert(rows.map(_._4).toSeq.sorted == (1 to rows.size), s"day $day")
+    }
+  }
+
+  test("event_paths == driver trigram counting replay") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val events = graft.engine.Tables.events(s, TestSpark.sf0001)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val trigrams = events.groupBy(_._1).toSeq.flatMap { case (uid, g) =>
+      g.sortBy(t => (t._2, t._3)).map(_._4).toSeq.sliding(3)
+        .collect { case Seq(a, b, c) => (s"$a > $b > $c", uid) }
+        .toSeq
+    }
+    val expected = trigrams.groupBy(_._1).toSeq
+      .map { case (p, rows) =>
+        (p, rows.length.toLong, rows.map(_._2).distinct.length.toLong)
+      }
+      .sortBy { case (p, n, _) => (-n, p) }.take(20)
+    val got = AnalyticOps.eventPaths(s, TestSpark.sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got == expected, s"\n got=$got\nwant=$expected")
+  }
+
   test("seasonal_decompose == driver STL-strength replay") {
     val s = spark
     val want = ticks(TestSpark.sf0001).groupBy(_._1).map { case (sym, g) =>
