@@ -2283,7 +2283,7 @@ object SparkEntry {
               FROM l WHERE dc IS NOT NULL)
          SELECT symbol, COUNT(*) AS n,
                 floor(CAST(SUM(dc * sv) AS DOUBLE)
-                  / CAST(SUM(sv * sv) AS DOUBLE)
+                  / CAST(NULLIF(SUM(sv * sv), 0) AS DOUBLE)
                   * 1000000.0 + 0.5) / 1000000.0 AS lambda_centi
          FROM s GROUP BY 1 ORDER BY symbol""",
     // Roll spread: ddof-1 autocovariance of consecutive centi moves

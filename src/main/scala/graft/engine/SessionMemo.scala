@@ -86,23 +86,84 @@ object SessionMemo {
     if (m == null) 0 else m.size()
   }
 
-  /** Cheap local-fs fingerprint of the table file/dir backing a
-    * memo: canonical path + a recursive (name, mtime, length) fold.
-    * One directory listing per memoized call — noise next to the
-    * scan the query itself plans. A corpus rewritten in place changes
-    * the fingerprint, keying a fresh build.
+  /** Fingerprint of the table file/dir backing a memo: qualified
+    * path + a (name, mtime, length) fold over the recursive file
+    * listing, resolved through Hadoop `FileSystem` so hdfs://, s3a://
+    * and any other configured scheme fingerprint correctly (the old
+    * java.io.File walk silently degenerated to a constant off the
+    * local FS, which would have let plan/silver memos serve stale
+    * results after a remote rewrite). One listing RPC batch per
+    * memoized call — noise next to the scan the query itself plans.
+    * A corpus rewritten in place changes the fingerprint, keying a
+    * fresh build.
+    *
+    * Listing-tax escape hatch: `-Dgraft.fingerprint.shallow=true`
+    * folds only the ROOT status (mtime/length, one stat call) — for
+    * deployments whose writers replace the whole table path
+    * atomically (Spark's `mode("overwrite")`, rename-commit jobs),
+    * where the root status already changes on every rewrite. The
+    * default stays the deep fold: it is the only mode that detects a
+    * single part-file rewritten in place under an untouched root.
     */
   def tableFingerprint(sfDir: String, table: String): String = {
-    val root = new java.io.File(new java.io.File(sfDir), table + ".parquet")
-    def fold(f: java.io.File): Long = {
-      val own = f.getName.hashCode * 1000003L ^
-        f.lastModified() ^ (f.length() * 31L)
-      val kids = Option(f.listFiles()).getOrElse(
-        Array.empty[java.io.File])
-      kids.sortBy(_.getName)
-        .foldLeft(own)((acc, k) => acc * 1000003L ^ fold(k))
+    val path = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(sfDir), table + ".parquet")
+    val conf = SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val fs = path.getFileSystem(conf)
+    val qual = fs.makeQualified(path)
+    def statHash(st: org.apache.hadoop.fs.FileStatus): Long =
+      st.getPath.getName.hashCode * 1000003L ^
+        st.getModificationTime ^ (st.getLen * 31L)
+    val h =
+      if (!fs.exists(qual)) 0L
+      else {
+        val root = fs.getFileStatus(qual)
+        if (root.isFile
+            || java.lang.Boolean.getBoolean("graft.fingerprint.shallow"))
+          statHash(root)
+        else {
+          val it = fs.listFiles(qual, true)
+          val files = scala.collection.mutable.ArrayBuffer.empty[
+            (String, Long)]
+          while (it.hasNext) {
+            val st = it.next()
+            files += ((st.getPath.toString, statHash(st)))
+          }
+          files.sortBy(_._1)
+            .foldLeft(statHash(root))((acc, kv) => acc * 1000003L ^ kv._2)
+        }
+      }
+    qual.toString + "@" + java.lang.Long.toHexString(h)
+  }
+
+  /** Evict (and optionally unpersist) sibling entries of `key`: same
+    * prefix up to the LAST '@' (i.e. same memo kind + table path),
+    * different fingerprint suffix. Without this, a table rewritten in
+    * place mid-session keys a fresh build but the superseded build's
+    * persisted blocks stay pinned until invalidate/context stop —
+    * repeated rewrites would accumulate dead cached frames. Keys
+    * embedding several fingerprints evict on the LAST table's rewrite
+    * only (the earlier fingerprints are part of the prefix); that
+    * residual leak is bounded by rewrites of the non-final table.
+    */
+  private def evictSiblings(per: ConcurrentHashMap[String, DataFrame],
+      key: String, unpersist: Boolean): Unit = {
+    val at = key.lastIndexOf('@')
+    if (at < 0) return
+    val prefix = key.substring(0, at + 1)
+    val it = per.keySet().iterator()
+    val stale = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val k = it.next()
+      if (k != key && k.startsWith(prefix)) stale += k
     }
-    root.getCanonicalPath + "@" + java.lang.Long.toHexString(fold(root))
+    stale.foreach { k =>
+      val df = per.remove(k)
+      if (df != null && unpersist)
+        try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
   }
 
   /** Memoize `build` — persisted — under (session, key). The same
@@ -113,6 +174,7 @@ object SessionMemo {
       build: => DataFrame): DataFrame = {
     val per = memos.computeIfAbsent(idOf(s),
       _ => new ConcurrentHashMap[String, DataFrame]())
+    evictSiblings(per, key, unpersist = true)
     per.computeIfAbsent(key, _ => build.persist())
   }
 
@@ -128,6 +190,7 @@ object SessionMemo {
       build: => DataFrame): DataFrame = {
     val per = plans.computeIfAbsent(idOf(s),
       _ => new ConcurrentHashMap[String, DataFrame]())
+    evictSiblings(per, key, unpersist = false)
     per.computeIfAbsent(key, _ => build)
   }
 }

@@ -3498,6 +3498,11 @@ object AnalyticOps {
     * Both sums are exact integers (|Δc| ≤ price range, v ≤ the
     * two-digit volume alphabet); λ is one fenced division. Zero-move
     * ticks carry sv = 0 and drop out of both sums arithmetically.
+    * A symbol whose ticks carry NO volume at all (props without `$.k`)
+    * has Σsv² = 0 — λ is undefined there, and the nullif fence pins
+    * the degenerate case to null on BOTH engines (Spark would emit
+    * null from 0/0 anyway, but DuckDB double division yields inf; the
+    * orderFlowImbalance all-zero posture).
     */
   def kyleLambda(s: SparkSession, d: String): DataFrame =
     tickDeltas(s, d)
@@ -3507,7 +3512,8 @@ object AnalyticOps {
         sum(col("dc") * col("sv")).as("dsv"),
         sum(col("sv") * col("sv")).as("sv2"))
       .select(col("symbol"), col("n"),
-        r6(col("dsv").cast("double") / col("sv2").cast("double"))
+        r6(col("dsv").cast("double")
+          / nullif(col("sv2").cast("double"), lit(0.0)))
           .as("lambda_centi"))
       .orderBy("symbol")
 

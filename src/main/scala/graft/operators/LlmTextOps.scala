@@ -271,26 +271,29 @@ object LlmTextOps {
     * ON == OFF.
     */
   private[graft] def dedupNearPairs(s: SparkSession, d: String): DataFrame = {
-    def filt(co: DataFrame): DataFrame = co
-      .withColumn("jaccard",
-        r6(col("inter") / (col("sz_i") + col("sz_j") - col("inter"))))
-      .where(col("jaccard") >= 0.8)
-      .select("i", "j", "jaccard")
     if (!s.conf.get("spark.graft.neardup.materialize", "true").toBoolean)
-      return filt(cooccurPairsUncached(s, d))
+      return jaccardFilter(cooccurPairsUncached(s, d))
     val co = cooccurPairs(s, d)
     graft.engine.SessionMemo.getOrBuild(s,
       "neardup_pairs|" +
-        graft.engine.SessionMemo.tableFingerprint(d, "documents"))(filt(co))
+        graft.engine.SessionMemo.tableFingerprint(d, "documents"))(
+      jaccardFilter(co))
   }
+
+  /** The single definition of the ≥ 0.8 Jaccard cut over a
+    * co-occurrence frame `(i, j, inter, sz_i, sz_j)` — shared by the
+    * memoized and uncached pair paths so the threshold and the r6
+    * fence can never drift between them.
+    */
+  private def jaccardFilter(co: DataFrame): DataFrame = co
+    .withColumn("jaccard",
+      r6(col("inter") / (col("sz_i") + col("sz_j") - col("inter"))))
+    .where(col("jaccard") >= 0.8)
+    .select("i", "j", "jaccard")
 
   private[graft] def dedupNearPairsUncached(s: SparkSession,
       d: String): DataFrame =
-    cooccurPairsUncached(s, d)
-      .withColumn("jaccard",
-        r6(col("inter") / (col("sz_i") + col("sz_j") - col("inter"))))
-      .where(col("jaccard") >= 0.8)
-      .select("i", "j", "jaccard")
+    jaccardFilter(cooccurPairsUncached(s, d))
 
   /** The PRE-threshold co-occurrence pair stream — every doc pair
     * sharing at least one 3-shingle hash, with the intersection count

@@ -201,6 +201,39 @@ class EngineUtilSpec extends AnyFunSuite {
     SessionMemo.invalidate(s)
   }
 
+  test("SessionMemo: a new fingerprint for the same table evicts + unpersists the sibling") {
+    // a table rewritten in place keys a fresh build; the superseded
+    // fingerprint's persisted frame must not stay pinned (the
+    // repeated-rewrite storage leak)
+    import graft.engine.SessionMemo
+    val s = spark
+    val base = "spec-evict|/tmp/" + java.util.UUID.randomUUID() + "@"
+    val a = SessionMemo.getOrBuild(s, base + "fp1")(s.range(5).toDF("id"))
+    assert(a.storageLevel.useMemory)
+    val b = SessionMemo.getOrBuild(s, base + "fp2")(s.range(6).toDF("id"))
+    assert(b.storageLevel.useMemory)
+    val t0 = System.nanoTime()
+    while (a.storageLevel.useMemory && System.nanoTime() - t0 < 5e9)
+      Thread.sleep(20)
+    assert(!a.storageLevel.useMemory, "evicted sibling must unpersist")
+    // fp1 was evicted, so asking for it again REBUILDS (and evicts fp2)
+    var rebuilt = false
+    SessionMemo.getOrBuild(s, base + "fp1") {
+      rebuilt = true; s.range(5).toDF("id")
+    }
+    assert(rebuilt, "evicted sibling key must rebuild, not serve stale")
+    // an unrelated key (different prefix) must be untouched
+    val other = "spec-evict-other|/tmp/" + java.util.UUID.randomUUID() + "@x"
+    val c = SessionMemo.getOrBuild(s, other)(s.range(7).toDF("id"))
+    SessionMemo.getOrBuild(s, base + "fp3")(s.range(8).toDF("id"))
+    var otherRebuilt = false
+    SessionMemo.getOrBuild(s, other) {
+      otherRebuilt = true; s.range(7).toDF("id")
+    }
+    assert(!otherRebuilt && c.storageLevel.useMemory,
+      "sibling eviction must not touch other prefixes")
+  }
+
   test("SessionMemo.tableFingerprint changes when the table is rewritten in place") {
     import graft.engine.SessionMemo
     val dir = java.nio.file.Files.createTempDirectory("graft_memo_fp")
