@@ -502,34 +502,38 @@ object LlmTextOps {
     *    lists make the true mass larger, i.e. the estimate errs
     *    toward the form that degrades gracefully).
     */
-  private[graft] def nearDupJoinForm(s: SparkSession, d: String,
-      pairStreamBudget: Long = NearDupPairStreamBudget): String = {
-    // memoized per (session, canonical corpus dir, budget): the
-    // routing verdict is a property of the corpus, and re-paying the
-    // tokenize+shingle stats scan on every invocation is exactly what
-    // a 100 TB deployment wouldn't do (the needsWideForm cache
-    // posture — a corpus rewritten in place mid-session can yield a
-    // stale form, which only costs the measured wall difference
-    // between two output-identical formulations, never correctness)
-    val key = new java.io.File(d).getCanonicalPath + "#" + pairStreamBudget
-    val per = formCache.computeIfAbsent(s,
-      _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
-    val cached = per.get(key)
-    if (cached != null) return cached
-    val form = nearDupJoinFormUncached(s, d, pairStreamBudget)
-    per.putIfAbsent(key, form)
-    form
+  /** The one-job corpus stats record both routing dials read:
+    * `p` = total postings (Σ distinct shingles over docs), `n` =
+    * approx shingle-bearing docs, `bHat` = approx distinct shingles.
+    */
+  private[graft] case class CorpusPairStats(p: Long, n: Long, bHat: Long) {
+    def avgK: Double = if (n == 0L) 0.0 else p.toDouble / n
+    /** Uniform-occupancy estimate of the counted form's full pair
+      * stream (within 4% of the exact Σ C(k,2) on both measured
+      * corpora; skew errs the estimate LOW, i.e. toward the form
+      * that degrades gracefully).
+      */
+    def estPairs: Double = p.toDouble * p.toDouble / (2.0 * bHat)
   }
 
-  private val formCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession,
-        java.util.concurrent.ConcurrentHashMap[String, String]]())
-
-  private def nearDupJoinFormUncached(s: SparkSession, d: String,
-      pairStreamBudget: Long): String = {
+  /** Corpus routing stats, memoized per (session, canonical corpus
+    * dir): the verdicts are properties of the corpus, and re-paying
+    * the tokenize+shingle stats scan on every invocation is exactly
+    * what a 100 TB deployment wouldn't do (the needsWideForm cache
+    * posture — a corpus rewritten in place mid-session can yield
+    * stale stats, which only costs the measured wall difference
+    * between output-identical formulations, never correctness).
+    */
+  private[graft] def corpusPairStats(s: SparkSession,
+      d: String): CorpusPairStats = {
+    val key = new java.io.File(d).getCanonicalPath
+    val per = statsCache.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[String,
+        CorpusPairStats]())
+    val cached = per.get(key)
+    if (cached != null) return cached
     // ONE stats job, not two: the dominant cost is the tokenize +
-    // shingle-hash scan feeding the sets, so both routing axes read
+    // shingle-hash scan feeding the sets, so all routing axes read
     // from a single exploded pass. n̂ (docs) rides an HLL at
     // rsd = 0.02 (explicit — the default is 5%) — a ±2% count cannot
     // move a decision whose crossovers carry order-of-magnitude
@@ -541,12 +545,23 @@ object LlmTextOps {
         count(lit(1)).as("p"),
         approx_count_distinct(col("doc_id"), 0.02).as("n"),
         approx_count_distinct(col("shh"), 0.02).as("b")).head()
-    val (p, n, bHat) = (r.getLong(0), r.getLong(1), math.max(1L, r.getLong(2)))
-    if (n == 0L) return "counted"
-    val avgK = p.toDouble / n
-    if (avgK >= NearDupPrefixCrossoverK) return "prefix"
-    val estPairs = p.toDouble * p.toDouble / (2.0 * bHat)
-    if (estPairs >= pairStreamBudget) "prefix" else "counted"
+    val stats = CorpusPairStats(r.getLong(0), r.getLong(1),
+      math.max(1L, r.getLong(2)))
+    per.putIfAbsent(key, stats)
+    stats
+  }
+
+  private val statsCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, CorpusPairStats]]())
+
+  private[graft] def nearDupJoinForm(s: SparkSession, d: String,
+      pairStreamBudget: Long = NearDupPairStreamBudget): String = {
+    val st = corpusPairStats(s, d)
+    if (st.n == 0L) return "counted"
+    if (st.avgK >= NearDupPrefixCrossoverK) return "prefix"
+    if (st.estPairs >= pairStreamBudget) "prefix" else "counted"
   }
 
   /** Session conf overriding [[dedupNearAuto]]'s routing:
@@ -624,7 +639,7 @@ object LlmTextOps {
     // dedupNear emits each (i, j) exactly once (pairs are the keys of
     // its count aggregation), so the fixpoint can skip its defensive
     // initial distinct — one fewer shuffle over the widest data
-    componentsFromPairs(s, dedupNearPairs(s, d).select(col("i"), col("j")),
+    componentsFromPairs(s, dedupPairsRouted(s, d).select(col("i"), col("j")),
       pairsDistinct = true)
 
   /** large-star: every node hands its strictly-larger neighbors to the
@@ -938,6 +953,41 @@ object LlmTextOps {
         .as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bh"))
 
+  /** The banded-LSH candidate (i, j) id pairs of a (doc_id, sig)
+    * signature frame — the blocking step shared by
+    * [[dedupMinhashFromSignatures]] (which verifies candidates with
+    * the signature-agreement ESTIMATE) and [[minhashVerifiedPairs]]
+    * (which verifies them with EXACT Jaccard over the full shingle
+    * sets). Candidate pairs ride band-bucket posting lists (the same
+    * pattern as dedup_near / dedup_embed_blocked): ONE shuffle on
+    * (band, bh), map-side C(k,2) into packed single longs, distinct
+    * on an 8-byte key — no self-join, so there is no replicated build
+    * side to outgrow broadcast at 100 TB. Wide doc_ids ride the
+    * struct pair form (engine.Pairs). Corpora with viral band buckets
+    * (boilerplate-heavy crawls: one bucket holding k of the corpus
+    * makes ONE task compute C(k,2) pairs) opt into hot-bucket
+    * splitting via [[HotBucketCapConf]] — members of buckets past the
+    * cap salt into disjoint groups whose intra+cross chunks spread
+    * across tasks, output-identical (HotBucketSpec) at the price of
+    * the bucket-size detection pass.
+    */
+  private[graft] def minhashCandidateIds(s: SparkSession, sigs: DataFrame,
+      wide: Boolean): DataFrame = {
+    val members = minhashBandMembers(sigs)
+      .select(col("doc_id"), col("band"), col("bh"))
+    val hotCap = s.conf.get(HotBucketCapConf, "0").toInt
+    if (hotCap > 0)
+      graft.engine.Pairs.distinctPairsFromMembers(s, members,
+        Seq("band", "bh"), "doc_id", wide, hotCap)
+    else {
+      val lists = members
+        .groupBy(col("band"), col("bh"))
+        .agg(collect_list(col("doc_id")).as("ds"))
+        .where(size(col("ds")) > 1)
+      graft.engine.Pairs.distinctPairs(s, lists, "ds", wide)
+    }
+  }
+
   def dedupMinhashFromSignatures(s: SparkSession, rawSigs: DataFrame,
       wide: Boolean): DataFrame = {
     // normalize the id width up front: an externally written silver
@@ -946,34 +996,9 @@ object LlmTextOps {
     // reject the narrower explode otherwise)
     val sigs = rawSigs.select(
       col("doc_id").cast("long").as("doc_id"), col("sig"))
-    val banded = minhashBandMembers(sigs)
-    // candidate pairs via band-bucket posting lists (the same pattern
-    // as dedup_near / dedup_embed_blocked): ONE shuffle on (band, bh),
-    // map-side C(k,2) into packed single longs, distinct on an 8-byte
-    // key — no self-join, so there is no replicated build side to
-    // outgrow broadcast at 100 TB. The 32-long signatures re-attach
-    // afterwards so only ids ride the candidate shuffle; wide doc_ids
-    // ride the struct pair form (engine.Pairs). Corpora with viral
-    // band buckets (boilerplate-heavy crawls: one bucket holding k of
-    // the corpus makes ONE task compute C(k,2) pairs) opt into
-    // hot-bucket splitting via [[HotBucketCapConf]] — members of
-    // buckets past the cap salt into disjoint groups whose
-    // intra+cross chunks spread across tasks, output-identical
-    // (HotBucketSpec) at the price of the bucket-size detection pass.
-    val members = banded.select(col("doc_id"), col("band"), col("bh"))
-    val hotCap = s.conf.get(HotBucketCapConf, "0").toInt
-    val candIds =
-      if (hotCap > 0)
-        graft.engine.Pairs.distinctPairsFromMembers(s, members,
-          Seq("band", "bh"), "doc_id", wide, hotCap)
-      else {
-        val lists = members
-          .groupBy(col("band"), col("bh"))
-          .agg(collect_list(col("doc_id")).as("ds"))
-          .where(size(col("ds")) > 1)
-        graft.engine.Pairs.distinctPairs(s, lists, "ds", wide)
-      }
-    val cand = candIds
+    // the 32-long signatures re-attach AFTER the blocking join so only
+    // ids ride the candidate shuffle
+    val cand = minhashCandidateIds(s, sigs, wide)
       .join(sigs.select(col("doc_id").as("i"), col("sig").as("sig_i")), Seq("i"))
       .join(sigs.select(col("doc_id").as("j"), col("sig").as("sig_j")), Seq("j"))
     cand
@@ -984,6 +1009,110 @@ object LlmTextOps {
       .select("i", "j", "est_jaccard")
       .orderBy("i", "j")
   }
+
+  /** MinHash-blocked, EXACTLY-verified near-dup pairs: banded-LSH
+    * candidate generation ([[minhashCandidateIds]], the production
+    * 32-hash / 8-band family) followed by exact Jaccard over the full
+    * 3-shingle hash sets — the verify-candidates composition every
+    * production MinHash pipeline runs (Lee et al. §4.1; the
+    * [[minhashCalibration]] shape with the cut applied). Output
+    * schema and semantics match [[dedupNearPairs]] exactly —
+    * `(i, j, jaccard)` with the same r6-fenced exact Jaccard — up to
+    * banding recall (a true pair must share one of the 8 bands;
+    * PairRoutingSpec pins output EQUAL to the exact silver on the
+    * shipped corpora, where every ≥ 0.8 pair clears the 4-row band
+    * collision odds).
+    *
+    * Scale: this is the pair source the graph consumers route to past
+    * the exact forms' crossover — candidates are O(colliding pairs)
+    * off linear banding units, never the Σ C(k,2) posting-list
+    * explosion (ScaleSweep: the exact pair stream grew ~90–102× per
+    * decade and stops terminating around half a million docs; the
+    * banded stream tracks its linear unit). Verification joins the
+    * sorted hash sets per CANDIDATE only (compiled merge-scan
+    * IntersectCount, sets sorted once per doc). Memoized per
+    * (session, corpus) like the exact silver — the same seven-consumer
+    * reuse argument.
+    */
+  private[graft] def minhashVerifiedPairs(s: SparkSession,
+      d: String): DataFrame = {
+    def build: DataFrame = {
+      val wide = graft.engine.Pairs.needsWideForm(
+        Tables.documents(s, d), "doc_id")
+      val sigs = minhashSignatures(s, d)
+        .select(col("doc_id").cast("long").as("doc_id"), col("sig"))
+      val hashed = shingleHashSets(s, d)
+      minhashCandidateIds(s, sigs, wide)
+        .join(hashed.select(col("doc_id").as("i"),
+          sort_array(col("hs")).as("hs_i")), Seq("i"))
+        .join(hashed.select(col("doc_id").as("j"),
+          sort_array(col("hs")).as("hs_j")), Seq("j"))
+        .withColumn("inter", graft.functions.IntersectCount
+          .intersectCount(s, col("hs_i"), col("hs_j")).cast("long"))
+        .withColumn("jaccard", r6(col("inter") /
+          (size(col("hs_i")).cast("long")
+            + size(col("hs_j")).cast("long") - col("inter"))))
+        .where(col("jaccard") >= 0.8)
+        .select("i", "j", "jaccard")
+    }
+    if (!s.conf.get("spark.graft.neardup.materialize", "true").toBoolean)
+      return build
+    graft.engine.SessionMemo.getOrBuild(s,
+      "minhash_verified_pairs|" +
+        graft.engine.SessionMemo.tableFingerprint(d, "documents"))(build)
+  }
+
+  /** Session conf routing the GRAPH consumers' pair source
+    * (`triangle_count`, `dedup_components`, `component_stats`,
+    * `degree_stats`, `top_dup_clusters`, `dedup_impact`): `auto`
+    * (default) routes on the corpus-stats doc count; `exact` pins the
+    * exact co-occurrence silver ([[dedupNearPairs]]); `minhash` pins
+    * the banded-and-exactly-verified source
+    * ([[minhashVerifiedPairs]]). The [[NearDupFormConf]] precedent,
+    * one level up: that conf picks between two EXACT formulations,
+    * this one swaps the candidate-generation strategy itself.
+    */
+  val PairSourceConf = "spark.graft.pairs.source"
+
+  /** Corpus-size crossover for [[dedupPairsRouted]]'s auto route, in
+    * (approx) shingle-bearing documents. Below it the exact
+    * co-occurrence silver is cheap and shared with the dedup_near
+    * family; above it the Σ C(k,2) posting-list pair stream is the
+    * measured scale-killer (ScaleSweep: ~90–102×/decade growth,
+    * non-terminating around half a million docs on the synthesized
+    * corpus) and the banded-MinHash source takes over. 100k sits a
+    * decade past the largest corpus where the exact stream was
+    * comfortable (50k docs: 130M pairs, a measured tie) and at the
+    * size where ScaleSweep stopped sweeping the exact forms.
+    */
+  private[graft] val PairSourceCrossoverDocs = 100000L
+
+  /** Which pair source [[dedupPairsRouted]]'s auto route picks for
+    * this corpus — one memoized stats job ([[corpusPairStats]], shared
+    * with [[nearDupJoinForm]]'s axes).
+    */
+  private[graft] def pairSourceRoute(s: SparkSession, d: String): String =
+    if (corpusPairStats(s, d).n >= PairSourceCrossoverDocs) "minhash"
+    else "exact"
+
+  /** The near-dup pair stream the GRAPH consumers read, routed per
+    * corpus: the exact co-occurrence silver below the measured
+    * crossover, the banded-MinHash + exact-verify source above it
+    * (see [[PairSourceCrossoverDocs]]). Both emit `(i, j, jaccard)`
+    * with the same exact r6 Jaccard; PairRoutingSpec pins them EQUAL
+    * on the shipped corpora and [[PairSourceConf]] pins the route for
+    * deployments that already know their corpus.
+    */
+  private[graft] def dedupPairsRouted(s: SparkSession, d: String): DataFrame =
+    s.conf.get(PairSourceConf, "auto") match {
+      case "exact"   => dedupNearPairs(s, d)
+      case "minhash" => minhashVerifiedPairs(s, d)
+      case "auto" =>
+        if (pairSourceRoute(s, d) == "minhash") minhashVerifiedPairs(s, d)
+        else dedupNearPairs(s, d)
+      case other => throw new IllegalArgumentException(
+        s"$PairSourceConf must be auto|exact|minhash, got '$other'")
+    }
 
   /** `dedup_simhash` — 64-bit SimHash near-dup detection (no oracle).
     * Signature = sign of the per-bit sum of token-hash bits; near-dups
@@ -2473,7 +2602,7 @@ object LlmTextOps {
     */
   def componentStats(s: SparkSession, d: String): DataFrame =
     componentsFromPairs(s,
-      dedupNearPairs(s, d).select(col("i"), col("j")),
+      dedupPairsRouted(s, d).select(col("i"), col("j")),
       pairsDistinct = true)
       .groupBy(col("component_id"))
       .agg(count(lit(1)).as("cluster_size"))
@@ -2506,7 +2635,7 @@ object LlmTextOps {
       "2_exact")
     // the survivorsCore removal rule (drop each pair's larger id),
     // inlined because its projection drops the token-count column
-    val removed = dedupNearPairs(s, d)
+    val removed = dedupPairsRouted(s, d)
       .select(col("j").as("doc_id")).distinct()
     val near = summarize(
       docs.join(removed, Seq("doc_id"), "left_anti"), "3_near")
@@ -2534,7 +2663,7 @@ object LlmTextOps {
     */
   def topDupClusters(s: SparkSession, d: String): DataFrame =
     componentsFromPairs(s,
-      dedupNearPairs(s, d).select(col("i"), col("j")),
+      dedupPairsRouted(s, d).select(col("i"), col("j")),
       pairsDistinct = true)
       .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
         Seq("doc_id"))
@@ -2556,7 +2685,7 @@ object LlmTextOps {
     * two narrow aggregations atop the pairs the dedup already built.
     */
   def degreeStats(s: SparkSession, d: String): DataFrame = {
-    val pairs = dedupNearPairs(s, d).select(col("i"), col("j"))
+    val pairs = dedupPairsRouted(s, d).select(col("i"), col("j"))
     pairs.select(col("i").as("node"))
       .union(pairs.select(col("j").as("node")))
       .groupBy(col("node"))
@@ -2578,7 +2707,7 @@ object LlmTextOps {
     * beyond real wedges. Integers until one fenced division.
     */
   def triangleCount(s: SparkSession, d: String): DataFrame = {
-    val e = dedupNearPairs(s, d).select(col("i"), col("j"))
+    val e = dedupPairsRouted(s, d).select(col("i"), col("j"))
     val deg = e.select(col("i").as("node"))
       .union(e.select(col("j").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("dg"))
@@ -3395,7 +3524,7 @@ object LlmTextOps {
     * join at all.
     */
   def docFeatures(s: SparkSession, d: String): DataFrame = {
-    val removed = dedupNearPairs(s, d).select(col("j").as("doc_id"))
+    val removed = dedupPairsRouted(s, d).select(col("j").as("doc_id"))
       .distinct().withColumn("is_removed", lit(true))
     textQuality(s, d)
       .join(Tables.documents(s, d).select(col("doc_id"), col("lang"),
@@ -3462,7 +3591,7 @@ object LlmTextOps {
     */
   def filterFunnel(s: SparkSession, d: String): DataFrame = {
     val q = textQuality(s, d).select(col("doc_id"), col("quality_score"))
-    val removed = dedupNearPairs(s, d).select(col("j").as("doc_id"))
+    val removed = dedupPairsRouted(s, d).select(col("j").as("doc_id"))
       .distinct().withColumn("is_removed", lit(true))
     val flags = Tables.documents(s, d)
       .withColumn("n", size(split(col("text"), " ")).cast("long"))
@@ -3575,7 +3704,7 @@ object LlmTextOps {
     */
   def dedupCrossSource(s: SparkSession, d: String): DataFrame = {
     val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
-    val p = dedupNearPairs(s, d).select(col("i"), col("j"))
+    val p = dedupPairsRouted(s, d).select(col("i"), col("j"))
     val withI = src.join(broadcast(p), col("doc_id") === col("i"))
       .select(col("source").as("si"), col("i"), col("j"))
     val lab = src.join(broadcast(withI), col("doc_id") === col("j"))

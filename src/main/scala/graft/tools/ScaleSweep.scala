@@ -286,6 +286,17 @@ object ScaleSweep {
       "duplicate_passages" ->
         (graft.operators.LlmTextOps.duplicatePassages _),
       "triangle_count" -> (graft.operators.LlmTextOps.triangleCount _),
+      // the routed twin: the REGISTERED triangle_count query driven
+      // through the banded-MinHash + exact-verify pair source (the
+      // route auto picks past 100k docs — above the crossover the
+      // plain entry above measures the same path; below it this entry
+      // is the evidence that the routed query also terminates and
+      // tracks the banded unit, not the Σ C(k,2) explosion)
+      "triangle_count_minhash" -> ((s: SparkSession, dir: String) => {
+        s.conf.set(graft.operators.LlmTextOps.PairSourceConf, "minhash")
+        try graft.operators.LlmTextOps.triangleCount(s, dir)
+        finally s.conf.unset(graft.operators.LlmTextOps.PairSourceConf)
+      }),
       "attribution_linear" ->
         (graft.operators.AnalyticOps.attributionLinear _),
       "markov_transitions" ->
@@ -398,6 +409,10 @@ object ScaleSweep {
       spark, compPairs, pairsDistinct = true)
     val nLabeled = labeled.count()
 
+    // which source the registered graph consumers' auto route picks
+    // for THIS corpus (exact below 100k docs, minhash above)
+    val pairRoute = graft.operators.LlmTextOps.pairSourceRoute(spark, outDir)
+
     val qs = times.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     println(s"""{"metric":"scale_sweep","dir":"$outDir","docs":$nDocs,""" +
       s""""vecs":$nVecs,"events":$nEvents,"lineitem":$nLines,""" +
@@ -407,6 +422,7 @@ object ScaleSweep {
       s""""prefix_pair_stream":${java.lang.Math.round(pref.getDouble(1))},""" +
       s""""fixpoint_rounds":$rounds,"labeled_docs":$nLabeled,""" +
       s""""components_source":"$compSource",""" +
+      s""""pair_source_route":"$pairRoute",""" +
       s""""band_buckets":${occ.getLong(0)},"band_multi":${occ.getLong(1)},""" +
       s""""band_kmax":${occ.getLong(2)},"band_kp99":${occ.getLong(3)},""" +
       s""""band_kmean":${math.round(occ.getDouble(4) * 1000) / 1000.0},""" +
