@@ -141,6 +141,7 @@ object SparkEntry {
     "first_touch_mix"          -> (AnalyticOps.firstTouchMix _),
     "top_dup_clusters"         -> (LlmTextOps.topDupClusters _),
     "dedup_impact"             -> (LlmTextOps.dedupImpact _),
+    "bpe_merges"               -> (LlmTextOps.bpeMerges _),
     "cusum_changepoint"        -> (AnalyticOps.cusumChangepoint _),
     "autocorrelation"          -> (AnalyticOps.autocorrelation _),
     "embed_norm_stats"         -> (LlmVectorOps.embedNormStats _),
@@ -5235,6 +5236,8 @@ object SparkEntry {
          ORDER BY local_cc DESC, deg.degree DESC, part LIMIT 20""",
     "freq_cms" -> LlmTextOps.freqCmsOracleSql,
     "decontaminate_fuzzy" -> LlmTextOps.decontaminateFuzzyOracleSql,
+    // BPE training: the N-round merge loop unrolled as chained CTEs
+    "bpe_merges" -> LlmTextOps.bpeMergesOracleSql,
     "dedup_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                     FROM documents),

@@ -3782,4 +3782,135 @@ object LlmTextOps {
         min(col("toks")).as("min_tokens"), max(col("toks")).as("max_tokens"))
       .orderBy("lang", "stage")
   }
+
+  /** How many BPE merge rounds [[bpeMerges]] trains (the "first N
+    * merges" of the tokenizer-training classic — enough to exercise
+    * multi-char symbols merging with each other, small enough that
+    * the N-round driver loop stays a footnote next to the corpus
+    * scan).
+    */
+  private[graft] val BpeMergeRounds = 12
+
+  /** `bpe_merges` — byte-pair-encoding tokenizer TRAINING (Sennrich
+    * et al. 2016 §3.2): the first [[BpeMergeRounds]] greedy merges
+    * learned from the corpus, each with its pair frequency at merge
+    * time. `tokenizer_fertility` measures a tokenizer; this trains
+    * one — the training-data-pipeline classic the curation suite was
+    * missing.
+    *
+    * Distributed shape: ONE corpus-sized pass builds the word
+    * frequency table (explode + hash-agg — the only job that touches
+    * raw text; at 100 TB the word table is millions of rows, not
+    * billions of tokens), then every merge round runs two narrow
+    * operations over THAT table: an adjacent-pair weighted count
+    * (explode + hash-agg, map-side combined) whose argmax row — one
+    * scalar — is the round's merge (the IVF-codebook driver-read
+    * pattern: an aggregation RESULT crosses to the driver, never row
+    * data), and a row-local string rewrite applying it. Rounds are
+    * persisted and the parent unpersisted each step, so lineage and
+    * storage stay O(1) across rounds (the components-fixpoint
+    * posture; bounded rounds, integer counts → hash-gateable).
+    *
+    * Symbol representation is Sennrich's space-joined form, padded
+    * with boundary spaces: merging pair (l, r) is the plain
+    * non-overlapping left-to-right `replace(' l r ' → ' lr ')` both
+    * engines implement identically — which is exactly greedy
+    * leftmost non-overlapping merging, the textbook semantics
+    * (TextPipelineSpec replays the dict-based reference algorithm
+    * driver-side and pins equality). Pair counts weight EVERY
+    * adjacent position (Sennrich's get_stats), ties break on
+    * (count DESC, l ASC, r ASC) — a total order, so the merge
+    * sequence is deterministic and the DuckDB oracle replays all
+    * rounds unrolled.
+    */
+  def bpeMerges(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(concat(lit(" "),
+        array_join(expr(
+          "transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+          " "),
+        lit(" ")).as("w"), col("cnt"))
+    var cur = words.persist()
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    for (round <- 1 to BpeMergeRounds if !exhausted) {
+      val top = cur
+        .withColumn("s", split(trim(col("w")), " "))
+        .where(size(col("s")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(s) - 1),
+               i -> struct(element_at(s, i) AS l,
+                           element_at(s, i + 1) AS r))""")).as("p"),
+          col("cnt"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .take(1)
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((round, l, r, c))
+        val next = cur.select(
+          replace(col("w"), lit(s" $l $r "), lit(s" $l$r ")).as("w"),
+          col("cnt")).persist()
+        next.count() // materialize before releasing the parent
+        cur.unpersist()
+        cur = next
+      }
+    }
+    cur.unpersist()
+    import s.implicits._
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "c")
+      .select(col("merge_rank"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"),
+        col("c").as("pair_count"))
+      .orderBy("merge_rank")
+  }
+
+  /** [[bpeMerges]]'s DuckDB oracle — the same training loop with the
+    * [[BpeMergeRounds]] rounds UNROLLED as chained CTEs (one
+    * pair-count + argmax + rewrite triple per round), generated so
+    * the round count can never drift from the operator's. Every CTE
+    * is MATERIALIZED: each round references its parent twice (pair
+    * count + rewrite), so default CTE inlining would expand the base
+    * scan 2^N times.
+    */
+  private[graft] def bpeMergesOracleSql: String = {
+    val w0 =
+      """w0 AS MATERIALIZED (
+           SELECT ' ' || array_to_string(
+                    [word[i] for i in range(1, length(word) + 1)], ' ')
+                  || ' ' AS w, cnt
+           FROM (SELECT word, COUNT(*) AS cnt
+                 FROM (SELECT unnest(string_split(text, ' ')) AS word
+                       FROM documents)
+                 WHERE length(word) > 0 GROUP BY word))"""
+    val rounds = (1 to BpeMergeRounds).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT pr.l AS l, pr.r AS r,
+                    CAST(SUM(cnt) AS BIGINT) AS c
+             FROM (SELECT unnest([{'l': s[i], 'r': s[i + 1]}
+                                  for i in range(1, len(s))]) AS pr, cnt
+                   FROM (SELECT string_split(trim(w), ' ') AS s, cnt
+                         FROM w${r - 1})
+                   WHERE len(s) >= 2)
+             GROUP BY 1, 2),
+         m$r AS MATERIALIZED (SELECT l, r, c FROM p$r ORDER BY c DESC, l, r LIMIT 1),
+         w$r AS MATERIALIZED (SELECT replace(w,
+                    ' ' || (SELECT l FROM m$r) || ' '
+                        || (SELECT r FROM m$r) || ' ',
+                    ' ' || (SELECT l FROM m$r)
+                        || (SELECT r FROM m$r) || ' ') AS w, cnt
+             FROM w${r - 1})"""
+    }.mkString(",\n")
+    val sel = (1 to BpeMergeRounds).map { r =>
+      s"""SELECT $r AS merge_rank, l AS lhs, r AS rhs,
+            l || r AS merged, c AS pair_count FROM m$r"""
+    }.mkString("\n UNION ALL ")
+    s"WITH $w0,\n$rounds\n$sel ORDER BY merge_rank"
+  }
 }

@@ -296,4 +296,47 @@ class TextPipelineSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("bpe_merges == driver-side textbook (Sennrich get_stats) replay") {
+    // reference implementation: dict-based word-freq BPE exactly as
+    // published — symbols as Vector[String], pair counts over every
+    // adjacent position, greedy leftmost non-overlapping merge,
+    // (count DESC, l ASC, r ASC) tie order
+    val words = Tables.documents(spark, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    var vocab: Map[Vector[String], Long] =
+      words.map { case (w, c) => w.map(_.toString).toVector -> c }
+    val expected =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (round <- 1 to LlmTextOps.BpeMergeRounds) {
+      val stats = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          stats((p(0), p(1))) = stats.getOrElse((p(0), p(1)), 0L) + c
+        }
+      }
+      assert(stats.nonEmpty, s"corpus exhausted pairs at round $round")
+      val ((l, r), c) = stats.toSeq
+        .sortBy { case ((l, r), c) => (-c, l, r) }.head
+      expected += ((round, l, r, c))
+      vocab = vocab.map { case (syms, cnt) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.size) {
+          if (i + 1 < syms.size && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.toVector -> cnt
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+    }
+    val got = LlmTextOps.bpeMerges(spark, d)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(4))).toSeq
+    assert(got == expected.toSeq,
+      s"BPE merge sequence diverged:\n got=$got\n exp=${expected.toSeq}")
+  }
 }
