@@ -175,6 +175,7 @@ object SparkEntry {
     "dedup_containment"        -> (LlmTextOps.dedupContainment _),
     "quality_gopher"           -> (LlmTextOps.qualityGopher _),
     "shared_substrings"        -> (LlmTextOps.sharedSubstrings _),
+    "dedup_substring_removal"  -> (LlmTextOps.dedupSubstringRemoval _),
     "weighted_percentiles"     -> (AnalyticOps.weightedPercentiles _),
     "bitext_mining"            -> (LlmVectorOps.bitextMining _),
     "silhouette_score"         -> (LlmVectorOps.silhouetteScore _),
@@ -3794,6 +3795,67 @@ object SparkEntry {
            FROM isl GROUP BY 1, 2)
          SELECT i, j, max_run_tokens, n_shared_windows
          FROM per ORDER BY max_run_tokens DESC, i, j LIMIT 20""",
+    // ExactSubstr removal accounting: same run machinery as
+    // shared_substrings plus start positions, >= 50-token cut,
+    // per-doc interval union via the prefix-max sweep
+    "dedup_substring_removal" ->
+      """WITH docs AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           WHERE len(string_split(text, ' ')) >= 8),
+         wins AS (
+           SELECT doc_id, pos, array_to_string(toks[pos:pos+7], ' ') AS win
+           FROM (SELECT doc_id, toks,
+                        unnest(range(1, len(toks) - 6)) AS pos FROM docs)),
+         pairs AS (
+           SELECT a.doc_id AS i, b.doc_id AS j, a.pos AS pi, b.pos AS pj
+           FROM wins a JOIN wins b
+             ON a.win = b.win AND a.doc_id < b.doc_id),
+         runs AS (
+           SELECT i, j, pi - pj AS diag, pi,
+                  row_number() OVER (PARTITION BY i, j, pi - pj
+                                     ORDER BY pi) AS rn
+           FROM pairs),
+         isl AS (
+           SELECT i, j, diag, pi - rn AS island, count(*) AS len_wins,
+                  min(pi) AS pi_start
+           FROM runs GROUP BY 1, 2, 3, 4),
+         cut AS (SELECT * FROM isl WHERE len_wins >= 43),
+         iv AS (
+           SELECT DISTINCT doc_id, st, en FROM (
+             SELECT i AS doc_id, pi_start AS st,
+                    pi_start + len_wins + 6 AS en FROM cut
+             UNION ALL
+             SELECT j AS doc_id, pi_start - diag AS st,
+                    pi_start - diag + len_wins + 6 AS en FROM cut)),
+         marked AS (
+           SELECT doc_id, st, en,
+                  max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prev_max
+           FROM iv),
+         grp AS (
+           SELECT doc_id, st, en,
+                  SUM(CASE WHEN prev_max IS NULL OR st > prev_max + 1
+                           THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY st, en
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS region
+           FROM marked),
+         regions AS (
+           SELECT doc_id, region, min(st) AS st, max(en) AS en
+           FROM grp GROUP BY 1, 2),
+         per AS (
+           SELECT doc_id, COUNT(*) AS n_spans,
+                  CAST(SUM(en - st + 1) AS BIGINT) AS removed_tokens
+           FROM regions GROUP BY 1)
+         SELECT d.doc_id,
+                CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+                per.removed_tokens,
+                CAST(len(string_split(d.text, ' ')) AS BIGINT)
+                  - per.removed_tokens AS retained_tokens,
+                per.n_spans
+         FROM documents d JOIN per ON per.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
     // item-item CF neighborhoods: integer head/neighbor ranking,
     // cosine presentation-only from exact integers
     "item_neighbors" ->

@@ -2521,7 +2521,23 @@ object LlmTextOps {
     * as the aligner on survivors — the pipeline Lee et al. describe,
     * re-expressed as three shuffles.
     */
-  def sharedSubstrings(s: SparkSession, d: String): DataFrame = {
+  def sharedSubstrings(s: SparkSession, d: String): DataFrame =
+    substringRuns(s, d).groupBy(col("i"), col("j"))
+      .agg((max(col("len_wins")) + 7L).as("max_run_tokens"),
+        sum(col("len_wins")).as("n_shared_windows"))
+      .orderBy(col("max_run_tokens").desc, col("i").asc, col("j").asc)
+      .limit(20)
+
+  /** The maximal cross-doc diagonal runs shared by
+    * [[sharedSubstrings]] (top-pairs report) and
+    * [[dedupSubstringRemoval]] (the removal pass): one row per
+    * maximal chain of consecutive aligned 8-token window matches —
+    * `(i, j, diag, len_wins, pi_start)` with `pi_start` the run's
+    * first window position in doc i (doc j's is `pi_start − diag`).
+    * A run of L shared tokens is L−7 consecutive window matches, so
+    * the covered token span is [start, start + len_wins + 6], exact.
+    */
+  private[graft] def substringRuns(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= 8)
@@ -2547,16 +2563,81 @@ object LlmTextOps {
            x -> x IS NOT NULL)))""")).as("p"))
       .select(col("p.i"), col("p.j"), col("p.pi"), col("p.pj"))
     val wDiag = Window.partitionBy("i", "j", "diag").orderBy("pi")
-    val runs = pairs
+    pairs
       .withColumn("diag", col("pi") - col("pj"))
       .withColumn("island", col("pi") - row_number().over(wDiag))
       .groupBy(col("i"), col("j"), col("diag"), col("island"))
-      .agg(count(lit(1)).as("len_wins"))
-    runs.groupBy(col("i"), col("j"))
-      .agg((max(col("len_wins")) + 7L).as("max_run_tokens"),
-        sum(col("len_wins")).as("n_shared_windows"))
-      .orderBy(col("max_run_tokens").desc, col("i").asc, col("j").asc)
-      .limit(20)
+      .agg(count(lit(1)).as("len_wins"), min(col("pi")).as("pi_start"))
+      .select("i", "j", "diag", "len_wins", "pi_start")
+  }
+
+  /** Minimum run length (in TOKENS) [[dedupSubstringRemoval]] cuts —
+    * the Lee et al. 2022 ExactSubstr published threshold.
+    */
+  private[graft] val SubstringRemovalMinTokens = 50
+
+  /** `dedup_substring_removal` — the ExactSubstr REMOVAL pass (Lee et
+    * al. 2022 §3: spans of ≥ 50 verbatim shared tokens are cut from
+    * the corpus, not whole documents): per affected document, the
+    * removed-token accounting after cutting every maximal cross-doc
+    * run of ≥ [[SubstringRemovalMinTokens]] tokens — total tokens,
+    * removed tokens, retained tokens, and the count of maximal
+    * contiguous removed regions. [[sharedSubstrings]] FINDS the
+    * spans; this row applies the published removal semantics and
+    * accounts for the survivor text (TextPipelineSpec's round-trip
+    * pin: removed + retained reconstruct each doc exactly).
+    *
+    * Shape: the [[substringRuns]] core (three shuffles, 8-byte
+    * window keys) emits runs with start positions; both pair sides
+    * contribute intervals ([start, start + len + 6] in doc i,
+    * diag-shifted in doc j); per-doc interval UNION rides the classic
+    * prefix-max sweep (one window over each doc's ≤ handful of
+    * intervals — overlapping-or-adjacent intervals chain into one
+    * region), so no token-level explode ever happens: the accounting
+    * is integer interval arithmetic end to end.
+    */
+  def dedupSubstringRemoval(s: SparkSession, d: String): DataFrame = {
+    val minWins = SubstringRemovalMinTokens - 7
+    val runs = substringRuns(s, d).where(col("len_wins") >= minWins)
+    val sideI = runs.select(col("i").as("doc_id"),
+      col("pi_start").as("st"),
+      (col("pi_start") + col("len_wins") + lit(6)).as("en"))
+    val sideJ = runs.select(col("j").as("doc_id"),
+      (col("pi_start") - col("diag")).as("st"),
+      (col("pi_start") - col("diag") + col("len_wins") + lit(6)).as("en"))
+    // DISTINCT before the sweep: duplicate intervals (the same span
+    // shared with several partners) would make the (st, en) sort
+    // order non-total, and the two window passes below could then
+    // position tied rows differently — splitting one region in two.
+    // With distinct rows the order is total and both passes agree
+    // (and the oracle's two passes agree with them).
+    val iv = sideI.unionByName(sideJ).distinct()
+    // interval union per doc: new region when this start clears the
+    // running max end by ≥ 2 (adjacent regions [a,b][b+1,c] are ONE
+    // contiguous removed region)
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("st"), col("en"))
+    val regions = iv
+      .withColumn("prev_max",
+        max(col("en")).over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("fresh",
+        when(col("prev_max").isNull
+          || col("st") > col("prev_max") + lit(1), 1L).otherwise(0L))
+      .withColumn("region",
+        sum(col("fresh")).over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("region"))
+      .agg(min(col("st")).as("st"), max(col("en")).as("en"))
+    val perDoc = regions.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("en") - col("st") + lit(1)).cast("long")
+          .as("removed_tokens"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("removed_tokens"),
+        (col("n_tokens") - col("removed_tokens")).as("retained_tokens"),
+        col("n_spans"))
+      .orderBy("doc_id")
   }
 
   def duplicatePassages(s: SparkSession, d: String): DataFrame = {

@@ -339,4 +339,63 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(got == expected.toSeq,
       s"BPE merge sequence diverged:\n got=$got\n exp=${expected.toSeq}")
   }
+
+  test("dedup_substring_removal: constructed-corpus round trip + sf0.001 accounting") {
+    // constructed corpus with hand-computable ExactSubstr spans:
+    // A base, B a 54-token slice copy, C a 40-token slice (below the
+    // 50 cut), D an exact copy of A, E unrelated, G a second base,
+    // F = noise + A[1..50] + noise + G[1..50] (two disjoint spans,
+    // plus DUPLICATE intervals via D — the distinct-before-sweep case)
+    import spark.implicits._
+    val a = (1 to 60).map(i => s"a$i")
+    val g = (1 to 50).map(i => s"g$i")
+    val docs = Seq(
+      (0L, a.mkString(" ")),                                   // A
+      (1L, (a.slice(4, 58) ++ (1 to 6).map(i => s"b$i")).mkString(" ")), // B
+      (2L, a.slice(10, 50).mkString(" ")),                     // C
+      (3L, a.mkString(" ")),                                   // D = A
+      (4L, (1 to 20).map(i => s"e$i").mkString(" ")),          // E
+      (5L, g.mkString(" ")),                                   // G
+      (6L, ((1 to 5).map(i => s"f$i") ++ a.take(50)
+        ++ (6 to 9).map(i => s"f$i") ++ g).mkString(" "))      // F
+    ).map { case (id, text) =>
+      (id, text, "en", "srcT", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_substr_rm").toString
+    try {
+      docs.write.parquet(s"$dir/documents.parquet")
+      val got = LlmTextOps.dedupSubstringRemoval(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+      val expected = Seq(
+        (0L, 60L, 60L, 0L, 1L),   // A: [1,54]+[1,60]+[1,50] union
+        (1L, 60L, 54L, 6L, 1L),   // B: [1,54] (dup via D collapses)
+        (3L, 60L, 60L, 0L, 1L),   // D: full copy
+        (5L, 50L, 50L, 0L, 1L),   // G: fully inside F
+        (6L, 109L, 100L, 9L, 2L)) // F: two disjoint 50-token spans
+      assert(got == expected, s"got=$got")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir))
+  }
+
+  test("dedup_substring_removal accounting holds on the shipped corpus") {
+    val rows = LlmTextOps.dedupSubstringRemoval(spark, d).collect()
+    assert(rows.nonEmpty, "vacuous at sf0.001 — no >= 50-token spans")
+    rows.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) == r.getLong(1),
+        s"removed + retained must reconstruct the doc: $r")
+      assert(r.getLong(2) >= 50L, s"a cut span is >= 50 tokens: $r")
+      assert(r.getLong(4) >= 1L && r.getLong(2) >= r.getLong(4) * 50L,
+        s"each region is >= 50 tokens: $r")
+    }
+    // every affected doc must appear in a >= 50-token shared_substrings
+    // pair, and vice versa for the top-20 report's qualifying pairs
+    val affected = rows.map(_.getLong(0)).toSet
+    val big = LlmTextOps.sharedSubstrings(spark, d)
+      .where(col("max_run_tokens") >= 50)
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(big.subsetOf(affected),
+      s"report pairs missing from removal: ${big -- affected}")
+  }
 }
