@@ -289,6 +289,7 @@ object SparkEntry {
     "similarity_ivf_pq_served"  -> (LlmVectorOps.similarityIvfPqServed _),
     "dedup_embed"         -> (LlmVectorOps.dedupEmbed _),
     "dedup_embed_ann"     -> (LlmVectorOps.dedupEmbedAnn _),
+    "semdedup"            -> (LlmVectorOps.semdedup _),
     "diversity_sample"    -> (LlmVectorOps.diversitySample _),
     "label_centroids"     -> (LlmVectorOps.labelCentroids _),
     "embed_outliers"      -> (LlmVectorOps.embedOutliers _),
@@ -5549,6 +5550,7 @@ object SparkEntry {
     "similarity_lsh" -> LlmVectorOps.lshOracleSql,
     "dedup_embed_blocked" -> LlmVectorOps.dedupEmbedBlockedOracleSql,
     "dedup_embed_ann" -> LlmVectorOps.dedupEmbedAnnOracleSql,
+    "semdedup" -> LlmVectorOps.semdedupOracleSql,
     "diversity_sample" -> LlmVectorOps.diversitySampleOracleSql,
     "label_centroids" -> LlmVectorOps.labelCentroidsOracleSql,
     "cluster_purity" -> LlmVectorOps.clusterPurityOracleSql,

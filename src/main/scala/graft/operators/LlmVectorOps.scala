@@ -1038,6 +1038,123 @@ object LlmVectorOps {
     rankTopk(cand)
   }
 
+  /** SemDeDup's ε threshold, calibrated to THIS corpus: the shipped
+    * embeddings are isotropic unit vectors (no semantic cluster
+    * structure — within-label avg cos ≈ 0.0008), so the published
+    * 0.9+ cuts for real encoder output would fire on nothing; 0.2
+    * (~1.6σ of the cos distribution at d = 64) keeps the row
+    * non-vacuous while exercising the identical machinery.
+    */
+  private[graft] val SemDedupEps = 0.2
+
+  /** `semdedup` — centroid-rank semantic dedup (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the corpus with k-means, call pairs
+    * within one cluster whose cosine clears ε semantic duplicates,
+    * and from each duplicate pair KEEP the member with the LOWEST
+    * cosine to its cluster centroid (the paper's keep-the-outlier
+    * rule — the retained point carries the most non-redundant
+    * signal), removing the other. Output = the removed rows with
+    * their cluster and centroid similarity.
+    *
+    * Reuses the trained-IVF machinery end to end: the seed + 2-round
+    * fixed-point Lloyd codebook ([[lloydStep]]'s 2⁻²⁰ grid is what
+    * makes this row hash-gateable — DuckDB re-trains the identical
+    * centroids), the broadcast keep-1 assignment, and cluster-bounded
+    * pair generation — the SemDeDup point is exactly that pairs are
+    * confined to k-means cells, so the pair stream is Σ C(cell, 2),
+    * never n²; at 100 TB k scales with n (n/100 here) keeping cells
+    * bounded, and the per-cell self-join is the dedup_embed_ann
+    * blocking shape. Removal order compares the r6-FENCED centroid
+    * sim (ties on vec_id), so the survivor choice is reproducible
+    * cross-engine; AnnQualitySpec pins the rule against a brute-force
+    * driver replay.
+    */
+  def semdedup(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
+    val trained = (1 to 2).foldLeft(seedCentroids(e)) {
+      (cents, _) => lloydStep(s, e, cents)
+    }
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("raw_sim").desc, col("cent_id").asc)
+    val assigned = e.join(broadcast(trained), lit(true))
+      .withColumn("raw_sim",
+        VectorExprs.dot(s, col("embedding"), col("cent_emb"))
+          / (col("norm") * col("cent_norm")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        col("cent_id"), r6(col("raw_sim")).as("cent_sim"))
+    val x = assigned.select(col("vec_id").as("i"),
+      col("embedding").as("emb_i"), col("norm").as("norm_i"),
+      col("cent_id"), col("cent_sim").as("cs_i"))
+    val y = assigned.select(col("vec_id").as("j"),
+      col("embedding").as("emb_j"), col("norm").as("norm_j"),
+      col("cent_id"), col("cent_sim").as("cs_j"))
+    val removedIds = x.join(y, Seq("cent_id"))
+      .where(col("i") < col("j"))
+      .withColumn("cos_sim", r6(
+        VectorExprs.dot(s, col("emb_i"), col("emb_j"))
+          / (col("norm_i") * col("norm_j"))))
+      .where(col("cos_sim") >= SemDedupEps)
+      .select(
+        when(col("cs_i") > col("cs_j")
+          || (col("cs_i") === col("cs_j") && col("i") > col("j")),
+          col("i")).otherwise(col("j")).as("vec_id"))
+      .distinct()
+    removedIds
+      .join(assigned.select(col("vec_id"), col("cent_id"), col("cent_sim")),
+        Seq("vec_id"))
+      .orderBy("vec_id")
+  }
+
+  /** The DuckDB oracle for `semdedup`: seed codebook, two
+    * [[lloydRoundSql]] rounds, keep-1 assignment with the r6-fenced
+    * centroid sim, the within-cluster ε cut, and the keep-lowest-
+    * centroid-sim removal rule — shared constants, so the ε and the
+    * grid can't drift from the engine's.
+    */
+  private[graft] def semdedupOracleSql: String =
+    s"""WITH base AS (SELECT vec_id, embedding,
+                  sqrt(list_aggregate([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                         for x in embedding], 'sum')) AS norm
+                FROM embeddings),
+         cents0 AS (SELECT vec_id AS cent_id, embedding AS cent_emb,
+                           norm AS cent_norm
+                    FROM base WHERE vec_id % $ivfStride = 0),
+         ${lloydRoundSql("cents0", "cents1")},
+         ${lloydRoundSql("cents1", "cents2")},
+         sims AS (SELECT b.vec_id, c.cent_id,
+                  list_aggregate([CAST(b.embedding[i] AS DOUBLE)
+                       * CAST(c.cent_emb[i] AS DOUBLE)
+                       for i in range(1, ${embDim + 1})], 'sum')
+                    / (b.norm * c.cent_norm) AS raw_sim
+                  FROM base b CROSS JOIN cents2 c),
+         asg AS (SELECT vec_id, cent_id,
+                  floor(raw_sim * 1000000 + 0.5) / 1000000 AS cent_sim
+                 FROM (SELECT vec_id, cent_id, raw_sim,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY raw_sim DESC, cent_id ASC) AS r
+                       FROM sims) WHERE r = 1),
+         pairs AS (SELECT xi.vec_id AS i, xj.vec_id AS j,
+                  xi.cent_sim AS cs_i, xj.cent_sim AS cs_j,
+                  floor((list_aggregate([CAST(bi.embedding[p] AS DOUBLE)
+                           * CAST(bj.embedding[p] AS DOUBLE)
+                           for p in range(1, ${embDim + 1})], 'sum')
+                    / (bi.norm * bj.norm)) * 1000000 + 0.5) / 1000000
+                    AS cos_sim
+                  FROM asg xi JOIN asg xj
+                    ON xi.cent_id = xj.cent_id AND xi.vec_id < xj.vec_id
+                  JOIN base bi ON bi.vec_id = xi.vec_id
+                  JOIN base bj ON bj.vec_id = xj.vec_id),
+         rem AS (SELECT DISTINCT
+                  CASE WHEN cs_i > cs_j OR (cs_i = cs_j AND i > j)
+                       THEN i ELSE j END AS vec_id
+                 FROM pairs WHERE cos_sim >= $SemDedupEps)
+         SELECT a.vec_id, a.cent_id, a.cent_sim
+         FROM rem r JOIN asg a ON a.vec_id = r.vec_id
+         ORDER BY a.vec_id"""
+
   /** Per-vector int8 symmetric scalar quantization — the 4× memory
     * lever for embedding stores at 100 TB (a 64-d float corpus drops
     * from 256 B to 64 B + one scale per vector). Row-local map, no

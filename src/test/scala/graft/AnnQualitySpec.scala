@@ -243,4 +243,59 @@ class AnnQualitySpec extends AnyFunSuite {
     assert(src.exists(x => rawBest(x._1) != expected(x._1)._1),
       "margin never disagreed with raw cosine — denominator inert")
   }
+
+  test("semdedup == driver-side brute-force replay of the published rule") {
+    // independent formulation: collect the sf0.001 embeddings, re-run
+    // seed + 2 fixed-point Lloyd rounds, keep-1 assignment, the
+    // within-cluster epsilon cut, and the keep-lowest-centroid-sim
+    // rule entirely in driver Scala, then compare removed sets
+    val d = TestSpark.sf0001
+    def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val vecs = graft.engine.Tables.embeddings(spark, d)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => a(i) * b(i)).sum
+    def nrm(a: Array[Double]): Double = math.sqrt(dot(a, a))
+    var cents: Seq[(Long, Array[Double])] =
+      vecs.filter(_._1 % 100 == 0).map { case (id, e) => (id, e) }.toSeq
+    for (_ <- 1 to 2) {
+      val grid = (1L << 20).toDouble
+      val asg = vecs.map { case (id, e) =>
+        val best = cents.map { case (cid, c) =>
+          (dot(e, c) / (nrm(e) * nrm(c)), cid)
+        }.maxBy { case (s, cid) => (s, -cid) }
+        (best._2, e)
+      }
+      cents = asg.groupBy(_._1).toSeq.map { case (cid, members) =>
+        val m = Array.tabulate(64) { p =>
+          members.map(x => math.floor(x._2(p) * grid + 0.5).toLong).sum
+            .toDouble / (members.size * grid)
+        }
+        (cid, m.map(_.toFloat.toDouble))
+      }.filter(c => nrm(c._2) > 0.0).sortBy(_._1)
+    }
+    val assigned = vecs.map { case (id, e) =>
+      val best = cents.map { case (cid, c) =>
+        (dot(e, c) / (nrm(e) * nrm(c)), cid)
+      }.maxBy { case (s, cid) => (s, -cid) }
+      (id, e, best._2, r6d(best._1))
+    }
+    val byCluster = assigned.groupBy(_._3)
+    val removed = scala.collection.mutable.Set.empty[Long]
+    byCluster.values.foreach { ms =>
+      for {
+        a <- ms; b <- ms if a._1 < b._1
+        cos = r6d(dot(a._2, b._2) / (nrm(a._2) * nrm(b._2)))
+        if cos >= LlmVectorOps.SemDedupEps
+      } removed += (if (a._4 > b._4 || (a._4 == b._4 && a._1 > b._1)) a._1
+                    else b._1)
+    }
+    val got = LlmVectorOps.semdedup(spark, d)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == removed.toSet,
+      s"semdedup diverged: extra=${got -- removed}, missing=${removed -- got}")
+    assert(got.nonEmpty, "vacuous semdedup pin at sf0.001")
+  }
 }
