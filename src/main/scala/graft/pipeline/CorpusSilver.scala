@@ -197,4 +197,51 @@ object CorpusSilver {
     // global sort is a range exchange, and this entry point exists to
     // plan with zero exchanges off the bucketed layout
     LlmTextOps.survivorsCore(s.table(docsTable), s.table(pairsTable))
+
+  /** Events rewritten as the DATE-PARTITIONED fact layout (one
+    * directory per event_date) — the 100 TB events shape `Tables`'
+    * header promises: time-range scans prune directories statically,
+    * and joins against a filtered calendar dimension prune them at
+    * RUNTIME via dynamic partition pruning (PlanShapeSpec pins the
+    * DPP subquery + the pruned partition count; BASELINE.md carries
+    * the partitions-read with/without measurement).
+    */
+  def writeEventsByDate(s: SparkSession, sfDir: String,
+      path: String): Unit = {
+    import org.apache.spark.sql.functions._
+    Tables.events(s, sfDir)
+      .withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("event_date").parquet(path)
+  }
+
+  /** The calendar dimension for the partitioned fact: one row per
+    * event_date with its day-of-week — the filterable side of the
+    * DPP join (tiny, broadcast).
+    */
+  def writeDateDim(s: SparkSession, sfDir: String, path: String): Unit = {
+    import org.apache.spark.sql.functions._
+    Tables.events(s, sfDir)
+      .select(to_date(col("ts")).as("event_date")).distinct()
+      .withColumn("dow", dayofweek(col("event_date")))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Per-day event counts for one day-of-week, through the dim join —
+    * the canonical DPP plan: the filter lives on the DIMENSION, the
+    * fact carries no static predicate, and the only thing that can
+    * prune the fact's 30 date directories is the runtime subquery
+    * broadcasting the dim's surviving dates into the scan. At 100 TB
+    * this is the difference between reading ~1/7 of the fact and all
+    * of it.
+    */
+  def eventsOnDow(s: SparkSession, factPath: String, dimPath: String,
+      dow: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    s.read.parquet(factPath)
+      .join(s.read.parquet(dimPath).where(col("dow") === dow),
+        Seq("event_date"))
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("event_date")
+  }
 }

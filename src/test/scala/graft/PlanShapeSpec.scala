@@ -444,4 +444,62 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(firstJoin >= 0 && firstJoin < toap,
       "the decoration joins must sit above the limit")
   }
+
+  test("dynamic partition pruning: dim filter prunes the date-partitioned fact at runtime") {
+    import org.apache.spark.sql.functions.{col => c}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dpp").toString
+    try {
+      graft.pipeline.CorpusSilver.writeEventsByDate(spark,
+        TestSpark.sf0001, s"$dir/events_by_date")
+      graft.pipeline.CorpusSilver.writeDateDim(spark,
+        TestSpark.sf0001, s"$dir/date_dim")
+      val nDates = spark.read.parquet(s"$dir/date_dim").count()
+      val matching = spark.read.parquet(s"$dir/date_dim")
+        .where(c("dow") === 2).count()
+      assert(matching > 0 && matching < nDates,
+        s"fixture must make pruning observable: $matching/$nDates")
+      def partitionsRead(dppEnabled: Boolean): (Long, Long, String) = {
+        spark.conf.set(
+          "spark.sql.optimizer.dynamicPartitionPruning.enabled",
+          dppEnabled.toString)
+        try {
+          val q = graft.pipeline.CorpusSilver.eventsOnDow(spark,
+            s"$dir/events_by_date", s"$dir/date_dim", 2)
+          // collect() (not count()) so the metrics land on THIS plan
+          val n = q.collect().length.toLong
+          // recurse through AQE stage boundaries to the leaf scans
+          import org.apache.spark.sql.execution.adaptive.{
+            AdaptiveSparkPlanExec, QueryStageExec}
+          def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+            case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+            case qs: QueryStageExec => scans(qs.plan)
+            case f: FileSourceScanExec => Seq(f)
+            case other => other.children.flatMap(scans) ++
+              other.subqueries.flatMap(scans)
+          }
+          val scan = scans(q.queryExecution.executedPlan)
+            .find(_.relation.location.rootPaths.exists(
+              _.toString.contains("events_by_date")))
+            .getOrElse(fail("no fact FileSourceScanExec found"))
+          (scan.metrics("numPartitions").value, n,
+            q.queryExecution.executedPlan.toString)
+        } finally spark.conf.unset(
+          "spark.sql.optimizer.dynamicPartitionPruning.enabled")
+      }
+      val (prunedParts, nOn, planOn) = partitionsRead(dppEnabled = true)
+      val (allParts, nOff, _) = partitionsRead(dppEnabled = false)
+      assert(planOn.contains("dynamicpruning"),
+        "fact scan must carry the runtime pruning subquery")
+      assert(nOn == nOff, "DPP must not change the result")
+      assert(allParts == nDates,
+        s"without DPP the scan reads every date dir: $allParts/$nDates")
+      assert(prunedParts == matching,
+        s"with DPP the scan reads exactly the dim-surviving dates: " +
+          s"$prunedParts vs $matching")
+      info(s"DPP partitions read: $prunedParts of $allParts")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir))
+  }
 }
