@@ -102,8 +102,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
+    // header carries the aggregate facts FIRST (query count, failures,
+    // per-query average) so even a tail-truncated capture of this line
+    // — the driver's BENCH_r08 "parsed: null" failure mode — still
+    // records the round's headline numbers before the long map
+    val nQueries = results.count(_._2 >= 0)
+    val nFailed = results.count(_._2 < 0)
+    val perQuery = if (nQueries > 0) total / nQueries else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""n_queries":$nQueries,"n_failed":$nFailed,""" +
+        s""""sec_per_query":${math.round(perQuery * 1000) / 1000.0},""" +
+        s""""sf":"$sfDir","queries":$qs}"""
     println(line)
     // The stdout line is the driver contract, but at 90+ queries it
     // exceeds the driver's tail capture (BENCH_r04/r05 both recorded

@@ -1450,6 +1450,106 @@ class StreamingSpec extends AnyFunSuite {
       assert(!r.getBoolean(4))
     } finally q.stop()
   }
+
+  test("S21r streaming_vwap: kill + checkpoint restart — open-cell folds survive, cells exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingVwap
+    val in = MemoryStream[(Timestamp, String, Double, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("s21r_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("s21r_out").toString
+    def start() = StreamingVwap.vwapStream(
+      in.toDF().toDF("ts", "event_type", "value", "props"))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    def cells() = spark.read.parquet(out)
+      .orderBy("window_start", "symbol")
+      .collect().map(r => (r.getAs[Timestamp]("window_start"),
+        r.getAs[String]("symbol"), r.getAs[Long]("n_ticks"),
+        r.getAs[Long]("total_vol"), r.getAs[Double]("vwap")))
+    val q1 = start()
+    try {
+      in.addData(
+        (ts("2024-01-01 10:00:05"), "BTC", 100.00, """{"k": 2}"""),
+        (ts("2024-01-01 10:05:00"), "ETH", 50.25, """{"k": 4}"""))
+      q1.processAllAvailable() // consumed into OPEN hour-10 state
+      assert(cells().isEmpty, "hour 10 still open pre-kill")
+      // UNPROCESSED tick lands, then the query dies
+      in.addData((ts("2024-01-01 10:10:00"), "BTC", 101.50, """{"k": 3}"""))
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // replayed tick merges with restored fold
+      in.addData((ts("2024-01-01 13:00:00"), "BTC", 1.0, "{}"))
+      q2.processAllAvailable() // watermark 12:50 → hour 10 closes
+      val got = cells()
+      // BTC folds the PRE-KILL tick (held only in checkpoint state)
+      // with the replayed one: pv = 10000·2 + 10150·3 = 50450 → 100.9;
+      // ETH's whole cell predates the kill — pure state restoration
+      val h10 = ts("2024-01-01 10:00:00")
+      assert(got.toSeq == Seq(
+        (h10, "BTC", 2L, 5L, math.floor(50450.0 / 500.0 * 1e6 + 0.5) / 1e6),
+        (h10, "ETH", 1L, 4L, math.floor(20100.0 / 400.0 * 1e6 + 0.5) / 1e6)),
+        s"restored folds diverged: ${got.mkString(",")}")
+      assert(got.map(c => (c._1, c._2)).distinct.length == got.length,
+        "no cell may emit twice across the restart")
+    } finally {
+      q2.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    }
+  }
+
+  test("S22r streaming_dq: kill + checkpoint restart — rule counters survive, windows exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingDq
+    val in = MemoryStream[(Timestamp, Option[Double], String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("s22r_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("s22r_out").toString
+    def start() = StreamingDq.dqStream(
+      in.toDF().toDF("ts", "value", "props"))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    def windows() = spark.read.parquet(out).orderBy("window_start")
+      .collect().map(r => (r.getAs[Timestamp]("window_start"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("null_value"),
+        r.getAs[Long]("negative_value"), r.getAs[Long]("bad_volume"),
+        r.getAs[Boolean]("clean")))
+    val q1 = start()
+    try {
+      in.addData(
+        (ts("2024-01-01 10:00:01"), Some(10.0), """{"k": 3}"""),
+        (ts("2024-01-01 10:00:02"), None, """{"k": 2}"""))
+      q1.processAllAvailable() // consumed: n=2, null=1 held in state
+      assert(windows().isEmpty, "hour 10 still open pre-kill")
+      in.addData(
+        (ts("2024-01-01 10:00:03"), Some(-5.0), """{"k": 1}"""),
+        (ts("2024-01-01 10:00:04"), Some(7.0), """{"k": 0}"""))
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // replay merges with restored counters
+      in.addData((ts("2024-01-01 13:00:00"), None, "{}"))
+      q2.processAllAvailable() // hour 10 closes
+      in.addData((ts("2024-01-01 16:00:00"), Some(1.0), """{"k": 1}"""))
+      q2.processAllAvailable() // hour 13 (built entirely in run 2) closes
+      val got = windows()
+      assert(got.toSeq == Seq(
+        // pre-kill rows live only in the checkpoint: n=4 needs them
+        (ts("2024-01-01 10:00:00"), 4L, 1L, 1L, 1L, false),
+        (ts("2024-01-01 13:00:00"), 1L, 1L, 0L, 1L, false)),
+        s"restored counters diverged: ${got.mkString(",")}")
+      assert(got.map(_._1).distinct.length == got.length,
+        "no window may emit twice across the restart")
+    } finally {
+      q2.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    }
+  }
 }
 
 object StreamingSpec {
