@@ -445,6 +445,24 @@ class PlanShapeSpec extends AnyFunSuite {
       "the decoration joins must sit above the limit")
   }
 
+  test("semdedup: broadcast codebook assignment; within-cell pairs are equi-joined") {
+    val p = planString("semdedup")
+    assert(p.contains("BroadcastNestedLoopJoin")
+      || p.contains("BroadcastExchange"),
+      "the Lloyd codebook must broadcast (never shuffle the corpus to it)")
+    assert(p.contains("CartesianProduct") == false,
+      "within-cell pairs must ride the cent_id equi-join, not a cartesian")
+  }
+
+  test("dedup_substring_removal: window postings, no cartesian/nested-loop pair scan") {
+    val p = planString("dedup_substring_removal")
+    assert(!p.contains("CartesianProduct"),
+      "pairs must come from window posting lists")
+    // the ONLY nested-loop allowed is none: every join is equi
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "no nested-loop join in the removal plan")
+  }
+
   test("dynamic partition pruning: dim filter prunes the date-partitioned fact at runtime") {
     import org.apache.spark.sql.functions.{col => c}
     import org.apache.spark.sql.execution.FileSourceScanExec
