@@ -142,6 +142,8 @@ object SparkEntry {
     "top_dup_clusters"         -> (LlmTextOps.topDupClusters _),
     "dedup_impact"             -> (LlmTextOps.dedupImpact _),
     "bpe_merges"               -> (LlmTextOps.bpeMerges _),
+    "mixture_weights"          -> (LlmTextOps.mixtureWeights _),
+    "hard_negatives"           -> (LlmVectorOps.hardNegatives _),
     "cusum_changepoint"        -> (AnalyticOps.cusumChangepoint _),
     "autocorrelation"          -> (AnalyticOps.autocorrelation _),
     "embed_norm_stats"         -> (LlmVectorOps.embedNormStats _),
@@ -5301,6 +5303,51 @@ object SparkEntry {
     "decontaminate_fuzzy" -> LlmTextOps.decontaminateFuzzyOracleSql,
     // BPE training: the N-round merge loop unrolled as chained CTEs
     "bpe_merges" -> LlmTextOps.bpeMergesOracleSql,
+    // temperature-scaled mixing weights: tau = 0.5 so the power is an
+    // IEEE-exact sqrt; 1e-9-quantized LONG normalizer fold
+    "mixture_weights" ->
+      """WITH per AS (
+           SELECT source, COUNT(*) AS n_docs,
+                  CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                    AS n_tokens
+           FROM documents GROUP BY source),
+         tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM per),
+         sh AS (SELECT source, n_docs, n_tokens,
+                  CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+                  CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)
+                    / CAST(tot AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS w_int
+                FROM per CROSS JOIN tot),
+         z AS (SELECT CAST(SUM(w_int) AS BIGINT) AS z FROM sh)
+         SELECT source, n_docs, n_tokens,
+                floor(share * 1000000 + 0.5) / 1000000 AS share,
+                floor(CAST(w_int AS DOUBLE) / CAST(z AS DOUBLE)
+                  * 1000000 + 0.5) / 1000000 AS weight
+         FROM sh CROSS JOIN z ORDER BY source""",
+    // hard negatives: brute-force cosine top-5 restricted to
+    // different-label candidates (the similarity_topk oracle + filter)
+    "hard_negatives" ->
+      """WITH base AS (SELECT vec_id, label, embedding,
+                  sqrt(list_aggregate([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                         for x in embedding], 'sum')) AS norm
+                FROM embeddings),
+         probes AS (SELECT vec_id AS probe_id, label AS probe_label,
+                           embedding AS probe_emb, norm AS probe_norm
+                    FROM base WHERE vec_id < 5),
+         pairs AS (SELECT p.probe_id, b.vec_id, b.label AS neg_label,
+                  floor((list_aggregate([CAST(p.probe_emb[i] AS DOUBLE)
+                           * CAST(b.embedding[i] AS DOUBLE)
+                           for i in range(1, len(b.embedding) + 1)], 'sum')
+                    / (p.probe_norm * b.norm)) * 1000000 + 0.5) / 1000000
+                    AS score
+                  FROM base b CROSS JOIN probes p
+                  WHERE b.vec_id <> p.probe_id
+                    AND b.label <> p.probe_label),
+         ranked AS (SELECT probe_id, vec_id, neg_label, score,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                    ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rank
+                  FROM pairs)
+         SELECT probe_id, rank, vec_id, neg_label, score FROM ranked
+         WHERE rank <= 5 ORDER BY probe_id, rank""",
     "dedup_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                     FROM documents),

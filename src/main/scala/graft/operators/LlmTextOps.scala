@@ -3864,6 +3864,43 @@ object LlmTextOps {
       .orderBy("lang", "stage")
   }
 
+  /** `mixture_weights` — temperature-scaled source sampling weights,
+    * the data-mixing classic (multilingual pretraining's
+    * p_s^τ / Σ p_t^τ up-sampling of low-resource slices; DoReMi's
+    * baseline): per source, token count, raw corpus share, and the
+    * τ = 0.5 resampled weight. τ is HALF on purpose — p^0.5 = sqrt(p)
+    * and IEEE sqrt is correctly rounded, so both engines compute the
+    * identical double where a general pow(p, 0.7) could differ in the
+    * last bit and break the hash gate; 0.5 sits inside the published
+    * 0.3–0.7 flattening band. One map-side aggregate (sources are
+    * single digits), shares against broadcast totals, r6 fences on
+    * the divisions.
+    */
+  def mixtureWeights(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("tot")).select(col("tot"))
+    // per-source sqrt weights quantized to 1e-9 LONGs before the
+    // normalizer sum: a double Σ would fold in partition order and
+    // could differ from DuckDB's in the last bit; the integer fold is
+    // order-free and exact in both engines
+    val shared = per.crossJoin(broadcast(tot))
+      .withColumn("share",
+        col("n_tokens").cast("double") / col("tot").cast("double"))
+      .withColumn("w_int",
+        floor(sqrt(col("share")) * lit(1.0e9) + lit(0.5)).cast("long"))
+    val z = shared.agg(sum(col("w_int")).as("z")).select(col("z"))
+    shared.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        r6(col("share")).as("share"),
+        r6(col("w_int").cast("double") / col("z").cast("double"))
+          .as("weight"))
+      .orderBy("source")
+  }
+
   /** How many BPE merge rounds [[bpeMerges]] trains (the "first N
     * merges" of the tokenizer-training classic — enough to exercise
     * multi-char symbols merging with each other, small enough that

@@ -65,6 +65,37 @@ object LlmVectorOps {
       .orderBy("probe_id", "rank")
   }
 
+  /** `hard_negatives` — contrastive-training hard-negative mining
+    * (the DPR / Contriever curation step): for each probe, the top-5
+    * most similar corpus vectors whose LABEL DIFFERS — the negatives
+    * that actually move a contrastive loss, vs the easy random ones.
+    * Same broadcast-probe brute-force scan as `similarity_topk`
+    * (labels ride the same row, so the filter is free); at 100 TB
+    * swap the candidate stream for the IVF/PQ index exactly like the
+    * `_served` rows — the label filter composes with any candidate
+    * source. Deterministic (r6 scores, id tie-break) → hash-gated.
+    */
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
+    val probes = e.where(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("label").as("probe_label"),
+        col("embedding").as("probe_emb"), col("norm").as("probe_norm"))
+    val pairs = e.join(broadcast(probes),
+      col("vec_id") =!= col("probe_id")
+        && col("label") =!= col("probe_label"))
+      .withColumn("score", r6(
+        VectorExprs.dot(s, col("probe_emb"), col("embedding"))
+          / (col("probe_norm") * col("norm"))))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("score").desc, col("vec_id").asc)
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("probe_id"), col("rank"), col("vec_id"),
+        col("label").as("neg_label"), col("score"))
+      .orderBy("probe_id", "rank")
+  }
+
   /** `knn_label` — k-nearest-neighbor majority-vote classification
     * over the embedding space: each probe takes the modal `label`
     * of its 10 exact-cosine nearest neighbors (vote ties break to

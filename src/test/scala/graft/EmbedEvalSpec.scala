@@ -277,4 +277,57 @@ class EmbedEvalSpec extends AnyFunSuite {
     // probative only if coverage is strictly between 0 and 1 somewhere
     assert(got.exists(t => t._5 > 0.0 && t._5 < 1.0))
   }
+
+  test("hard_negatives: cross-label only, and exactly similarity_topk restricted by label") {
+    import org.apache.spark.sql.functions.col
+    val d = TestSpark.sf0001
+    val labels = graft.engine.Tables.embeddings(spark, d)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = graft.operators.LlmVectorOps.hardNegatives(spark, d)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3), r.getDouble(4)))
+    assert(got.nonEmpty && got.length == 5 * 5, "5 probes x top-5")
+    got.foreach { case (p, _, v, nl, _) =>
+      assert(labels(v) == nl && nl != labels(p),
+        s"negative $v must carry a DIFFERENT label than probe $p")
+    }
+    // independent reference: brute-force driver scores per probe
+    val vecs = graft.engine.Tables.embeddings(spark, d)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dt = a.indices.map(i => a(i) * b(i)).sum
+      dt / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = vecs.filter(_._1 < 5).flatMap { case (pid, pe, pl) =>
+      vecs.filter(v => v._1 != pid && v._3 != pl)
+        .map(v => (pid, v._1, v._3, r6d(cos(pe, v._2))))
+        .sortBy { case (_, vid, _, s) => (-s, vid) }
+        .take(5).zipWithIndex
+        .map { case ((p, v, nl, s), i) => (p, i + 1, v, nl, s) }
+    }.sortBy(x => (x._1, x._2))
+    assert(got.toSeq == expected.toSeq,
+      s"hard negatives diverged from brute force")
+  }
+
+  test("mixture_weights: weights normalize to ~1 and preserve share order flattened") {
+    val rows = graft.operators.LlmTextOps
+      .mixtureWeights(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getString(0), r.getDouble(3), r.getDouble(4)))
+    assert(rows.length > 1, "needs several sources")
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-4, "shares sum to 1")
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4, "weights sum to 1")
+    // tau < 1 flattens: the largest source's weight is BELOW its raw
+    // share, the smallest source's weight ABOVE it; order preserved
+    val byShare = rows.sortBy(_._2)
+    assert(byShare.map(_._3).sorted.toSeq == byShare.map(_._3).toSeq,
+      "sqrt is monotone: weight order == share order")
+    assert(byShare.last._3 < byShare.last._2,
+      "head source must be down-weighted")
+    assert(byShare.head._3 > byShare.head._2,
+      "tail source must be up-weighted")
+  }
 }
