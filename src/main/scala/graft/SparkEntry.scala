@@ -144,6 +144,7 @@ object SparkEntry {
     "bpe_merges"               -> (LlmTextOps.bpeMerges _),
     "mixture_weights"          -> (LlmTextOps.mixtureWeights _),
     "hard_negatives"           -> (LlmVectorOps.hardNegatives _),
+    "multimodal_dedup"         -> (LlmVectorOps.multimodalDedup _),
     "cusum_changepoint"        -> (AnalyticOps.cusumChangepoint _),
     "autocorrelation"          -> (AnalyticOps.autocorrelation _),
     "embed_norm_stats"         -> (LlmVectorOps.embedNormStats _),
@@ -5323,6 +5324,18 @@ object SparkEntry {
                 floor(CAST(w_int AS DOUBLE) / CAST(z AS DOUBLE)
                   * 1000000 + 0.5) / 1000000 AS weight
          FROM sh CROSS JOIN z ORDER BY source""",
+    // binary-payload dedup: md5 groups (both engines ship identical
+    // md5, so the digest itself gates), keep-smallest representative
+    "multimodal_dedup" ->
+      """WITH t AS (SELECT doc_id, md5(text) AS digest,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+              FROM documents),
+         g AS (SELECT digest, COUNT(*) AS n_copies,
+                MIN(n_bytes) AS n_bytes, MIN(doc_id) AS keep_doc
+              FROM t GROUP BY digest)
+         SELECT digest, n_copies, n_bytes, keep_doc,
+                (n_copies - 1) * n_bytes AS reclaim_bytes
+         FROM g WHERE n_copies > 1 ORDER BY digest""",
     // hard negatives: brute-force cosine top-5 restricted to
     // different-label candidates (the similarity_topk oracle + filter)
     "hard_negatives" ->

@@ -2272,6 +2272,32 @@ object LlmVectorOps {
         col("fake_width"), col("fake_height"), lit(3).as("fake_channels"))
       .orderBy("doc_id")
 
+  /** `multimodal_dedup` — exact binary dedup over the opaque payload
+    * column: duplicate groups keyed by the payload's MD5 (md5 here
+    * rather than the engine-native xxhash64 the text digests use,
+    * because BOTH engines ship bit-identical md5 — the digest itself
+    * is oracle-gateable, the `dedup_exact_digest` posture without the
+    * no-oracle caveat). Per duplicate group: copies, byte size, the
+    * keep-smallest-id representative, and the removable-byte total —
+    * the storage-reclaim number an image/audio lake dedup reports.
+    * Scale: only 16-byte digests shuffle, never payloads (at 100 TB
+    * the payload column is the corpus; this plan never exchanges it).
+    */
+  def multimodalDedup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .select(col("doc_id"), md5(col("payload")).as("digest"),
+        octet_length(col("payload")).cast("long").as("n_bytes"))
+      .groupBy(col("digest"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(col("n_bytes")).as("n_bytes"),
+        min(col("doc_id")).as("keep_doc"))
+      .where(col("n_copies") > 1)
+      .select(col("digest"), col("n_copies"), col("n_bytes"),
+        col("keep_doc"),
+        ((col("n_copies") - 1L) * col("n_bytes")).as("reclaim_bytes"))
+      .orderBy("digest")
+
   /** Stubbed binary decoder: pretends the payload is an image whose
     * dims derive from the byte length. Deterministic so tests can pin
     * outputs.
