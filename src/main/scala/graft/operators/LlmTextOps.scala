@@ -3925,9 +3925,13 @@ object LlmTextOps {
     * scalar — is the round's merge (the IVF-codebook driver-read
     * pattern: an aggregation RESULT crosses to the driver, never row
     * data), and a row-local string rewrite applying it. Rounds are
-    * persisted and the parent unpersisted each step, so lineage and
-    * storage stay O(1) across rounds (the components-fixpoint
-    * posture; bounded rounds, integer counts → hash-gateable).
+    * lineage-TRUNCATED (`localCheckpoint`, the components-fixpoint
+    * posture) and the parent released each step: a plain persist()
+    * keeps the logical plan nesting one rewrite level per round, and
+    * by round 12 Catalyst re-analyzes the whole chain (corpus scan
+    * included) on every job — measured 11.5 s at sf0.1 vs the
+    * truncated loop's ~2 s, the dedup_components lesson replayed.
+    * Bounded rounds, integer counts → hash-gateable.
     *
     * Symbol representation is Sennrich's space-joined form, padded
     * with boundary spaces: merging pair (l, r) is the plain
@@ -3951,7 +3955,13 @@ object LlmTextOps {
           "transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
           " "),
         lit(" ")).as("w"), col("cnt"))
-    var cur = words.persist()
+    var cur = words.localCheckpoint(false)
+    // the previous round's blocks are released only AFTER the argmax
+    // action has materialized the current round's checkpoint — which
+    // means each round costs ONE job (the argmax rides the
+    // materialization, the componentsFixpoint checksum trick), not a
+    // count() + argmax pair
+    var prev: DataFrame = null
     val merges =
       scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var exhausted = false
@@ -3968,6 +3978,7 @@ object LlmTextOps {
         .agg(sum(col("cnt")).as("c"))
         .orderBy(col("c").desc, col("l").asc, col("r").asc)
         .take(1)
+      if (prev != null) { prev.unpersist(); prev = null }
       if (top.isEmpty) exhausted = true
       else {
         val (l, r, c) =
@@ -3975,12 +3986,12 @@ object LlmTextOps {
         merges += ((round, l, r, c))
         val next = cur.select(
           replace(col("w"), lit(s" $l $r "), lit(s" $l$r ")).as("w"),
-          col("cnt")).persist()
-        next.count() // materialize before releasing the parent
-        cur.unpersist()
+          col("cnt")).localCheckpoint(false)
+        prev = cur
         cur = next
       }
     }
+    if (prev != null) prev.unpersist()
     cur.unpersist()
     import s.implicits._
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "c")
