@@ -145,6 +145,7 @@ object SparkEntry {
     "mixture_weights"          -> (LlmTextOps.mixtureWeights _),
     "hard_negatives"           -> (LlmVectorOps.hardNegatives _),
     "multimodal_dedup"         -> (LlmVectorOps.multimodalDedup _),
+    "k_anonymity"              -> (LlmTextOps.kAnonymity _),
     "cusum_changepoint"        -> (AnalyticOps.cusumChangepoint _),
     "autocorrelation"          -> (AnalyticOps.autocorrelation _),
     "embed_norm_stats"         -> (LlmVectorOps.embedNormStats _),
@@ -5324,6 +5325,23 @@ object SparkEntry {
                 floor(CAST(w_int AS DOUBLE) / CAST(z AS DOUBLE)
                   * 1000000 + 0.5) / 1000000 AS weight
          FROM sh CROSS JOIN z ORDER BY source""",
+    // k-anonymity release audit over (lang, source, length-decile)
+    // quasi-identifiers; __total row keeps the gate non-vacuous
+    "k_anonymity" ->
+      """WITH classes AS (
+           SELECT lang, source,
+                  CAST(least(9, n_chars // 60) AS BIGINT) AS len_bin,
+                  COUNT(*) AS k
+           FROM documents GROUP BY 1, 2, 3),
+         risky AS (SELECT lang, source, len_bin, k
+                   FROM classes WHERE k < 5),
+         tot AS (SELECT '__total' AS lang, '__total' AS source,
+                  CAST(-1 AS BIGINT) AS len_bin,
+                  CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+                    AS k
+                 FROM classes)
+         SELECT * FROM risky UNION ALL SELECT * FROM tot
+         ORDER BY lang, source, len_bin""",
     // binary-payload dedup: md5 groups (both engines ship identical
     // md5, so the digest itself gates), keep-smallest representative
     "multimodal_dedup" ->

