@@ -636,11 +636,37 @@ object LlmTextOps {
     * union-find needs the whole edge set on one node).
     */
   def dedupComponents(s: SparkSession, d: String): DataFrame =
+    componentsRouted(s, d)
+
+  /** The components LABELING as a memoized silver: THREE registered
+    * consumers (`dedup_components`, `component_stats`,
+    * `top_dup_clusters`) each ran the full large∘small fixpoint —
+    * the sweep's single most repeated expensive subplan — over the
+    * same routed pair set; the labeling itself is |graph| tiny rows,
+    * so it memoizes per (session, corpus fingerprint, resolved pair
+    * source) exactly like the pair silver it reads. The pair source
+    * is resolved BEFORE entering the memo (the SessionMemo nesting
+    * hazard), and the resolved route is part of the key so a
+    * conf-forced source can never serve another route's labels.
+    * `spark.graft.neardup.materialize` = false bypasses, as with
+    * every dedup silver.
+    */
+  private[graft] def componentsRouted(s: SparkSession, d: String): DataFrame = {
     // dedupNear emits each (i, j) exactly once (pairs are the keys of
     // its count aggregation), so the fixpoint can skip its defensive
     // initial distinct — one fewer shuffle over the widest data
-    componentsFromPairs(s, dedupPairsRouted(s, d).select(col("i"), col("j")),
-      pairsDistinct = true)
+    val pairs = dedupPairsRouted(s, d).select(col("i"), col("j"))
+    def build = componentsFromPairs(s, pairs, pairsDistinct = true)
+    if (!s.conf.get("spark.graft.neardup.materialize", "true").toBoolean)
+      return build
+    val src = s.conf.get(PairSourceConf, "auto") match {
+      case "auto" => pairSourceRoute(s, d)
+      case other  => other
+    }
+    graft.engine.SessionMemo.getOrBuild(s,
+      "components|" + src + "|" +
+        graft.engine.SessionMemo.tableFingerprint(d, "documents"))(build)
+  }
 
   /** large-star: every node hands its strictly-larger neighbors to the
     * minimum of its closed neighborhood. Input orientation free
@@ -2536,8 +2562,24 @@ object LlmTextOps {
     * first window position in doc i (doc j's is `pi_start − diag`).
     * A run of L shared tokens is L−7 consecutive window matches, so
     * the covered token span is [start, start + len_wins + 6], exact.
+    *
+    * Memoized per (session, corpus) like the pair silver — TWO
+    * registered consumers (`shared_substrings`,
+    * `dedup_substring_removal`) read the identical runs, and the runs
+    * table is maximal-chain rows (hundreds), far smaller than the
+    * window pass that builds it. `spark.graft.neardup.materialize` =
+    * false bypasses, as with every dedup silver.
     */
   private[graft] def substringRuns(s: SparkSession, d: String): DataFrame = {
+    if (!s.conf.get("spark.graft.neardup.materialize", "true").toBoolean)
+      return substringRunsUncached(s, d)
+    graft.engine.SessionMemo.getOrBuild(s,
+      "substring_runs|" +
+        graft.engine.SessionMemo.tableFingerprint(d, "documents"))(
+      substringRunsUncached(s, d))
+  }
+
+  private def substringRunsUncached(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= 8)
@@ -2682,9 +2724,7 @@ object LlmTextOps {
     * max-cluster-size rows.
     */
   def componentStats(s: SparkSession, d: String): DataFrame =
-    componentsFromPairs(s,
-      dedupPairsRouted(s, d).select(col("i"), col("j")),
-      pairsDistinct = true)
+    componentsRouted(s, d)
       .groupBy(col("component_id"))
       .agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size"))
@@ -2743,9 +2783,7 @@ object LlmTextOps {
     * COMPONENT rows (already aggregated — tiny at any scale).
     */
   def topDupClusters(s: SparkSession, d: String): DataFrame =
-    componentsFromPairs(s,
-      dedupPairsRouted(s, d).select(col("i"), col("j")),
-      pairsDistinct = true)
+    componentsRouted(s, d)
       .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
         Seq("doc_id"))
       .groupBy(col("component_id"))

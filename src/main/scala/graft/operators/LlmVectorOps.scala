@@ -995,10 +995,27 @@ object LlmVectorOps {
     */
   def similarityIvfTrained(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
-    val trained = (1 to 2).foldLeft(seedCentroids(e)) {
+    ivfSearch(s, e, trainedCentroids(s, d))
+  }
+
+  /** The seed + 2-round Lloyd codebook as a memoized silver: TWO
+    * registered consumers (`similarity_ivf_trained`, `semdedup`) each
+    * re-trained the identical codebook — the two broadcast assignment
+    * passes are the expensive part, and the codebook is k ≈ n/100
+    * tiny rows. Memoized per (session, embeddings fingerprint);
+    * `spark.graft.lloyd.materialize` = false bypasses (the
+    * baskets/neardup silver dial, vector-side).
+    */
+  private[graft] def trainedCentroids(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
+    def build = (1 to 2).foldLeft(seedCentroids(e)) {
       (cents, _) => lloydStep(s, e, cents)
     }
-    ivfSearch(s, e, trained)
+    if (!s.conf.get("spark.graft.lloyd.materialize", "true").toBoolean)
+      return build
+    graft.engine.SessionMemo.getOrBuild(s,
+      "lloyd_codebook|" +
+        graft.engine.SessionMemo.tableFingerprint(d, "embeddings"))(build)
   }
 
   /** Deterministic seed codebook: every 100th vector (k ≈ n/100). */
@@ -1103,9 +1120,7 @@ object LlmVectorOps {
     */
   def semdedup(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
-    val trained = (1 to 2).foldLeft(seedCentroids(e)) {
-      (cents, _) => lloydStep(s, e, cents)
-    }
+    val trained = trainedCentroids(s, d)
     val w = Window.partitionBy("vec_id")
       .orderBy(col("raw_sim").desc, col("cent_id").asc)
     val assigned = e.join(broadcast(trained), lit(true))

@@ -73,4 +73,28 @@ class PairRoutingSpec extends AnyFunSuite {
       LlmTextOps.dedupPairsRouted(spark, TestSpark.sf0001)
     } finally spark.conf.unset(LlmTextOps.PairSourceConf)
   }
+
+  test("memoized silvers (components, substring runs, Lloyd codebook) == conf-OFF rebuilds") {
+    val d = TestSpark.sf0001
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val compsOn = rows(LlmTextOps.componentsRouted(spark, d))
+    val runsOn = rows(LlmTextOps.substringRuns(spark, d))
+    val ivfOn = rows(graft.operators.LlmVectorOps
+      .similarityIvfTrained(spark, d))
+    spark.conf.set("spark.graft.neardup.materialize", "false")
+    spark.conf.set("spark.graft.lloyd.materialize", "false")
+    try {
+      assert(rows(LlmTextOps.componentsRouted(spark, d)) == compsOn)
+      assert(rows(LlmTextOps.substringRuns(spark, d)) == runsOn)
+      assert(rows(graft.operators.LlmVectorOps
+        .similarityIvfTrained(spark, d)) == ivfOn)
+    } finally {
+      spark.conf.unset("spark.graft.neardup.materialize")
+      spark.conf.unset("spark.graft.lloyd.materialize")
+    }
+    // second memoized call serves the SAME frame (no rebuild)
+    assert(LlmTextOps.componentsRouted(spark, d)
+      eq LlmTextOps.componentsRouted(spark, d))
+  }
 }
