@@ -344,7 +344,19 @@ object ScaleSweep {
       "isotropy_centered" ->
         (graft.operators.LlmVectorOps.isotropyCentered _),
       "ann_recall_pq" -> (graft.operators.LlmVectorOps.annRecallPq _),
-      "conversion_lag" -> (graft.operators.AnalyticOps.conversionLag _))
+      "conversion_lag" -> (graft.operators.AnalyticOps.conversionLag _),
+      // round-9 rows: BPE training (bounded rounds over the word
+      // table), the ExactSubstr removal pass (rides the runs silver),
+      // SemDeDup (Lloyd cells), mining/mixing/privacy/payload rows
+      "bpe_merges" -> (graft.operators.LlmTextOps.bpeMerges _),
+      "dedup_substring_removal" ->
+        (graft.operators.LlmTextOps.dedupSubstringRemoval _),
+      "semdedup" -> (graft.operators.LlmVectorOps.semdedup _),
+      "hard_negatives" -> (graft.operators.LlmVectorOps.hardNegatives _),
+      "mixture_weights" -> (graft.operators.LlmTextOps.mixtureWeights _),
+      "k_anonymity" -> (graft.operators.LlmTextOps.kAnonymity _),
+      "multimodal_dedup" ->
+        (graft.operators.LlmVectorOps.multimodalDedup _))
       .filter { case (name, _) =>
         // SPARK_GRAFT_QUERIES narrows the sweep (same contract as
         // Bench) — re-measuring one family shouldn't pay for all
