@@ -1585,6 +1585,46 @@ class StreamingSpec extends AnyFunSuite {
         "expired digest re-emits (bounded-state semantics)")
     } finally q.stop()
   }
+
+  test("S23r streaming_dedup: kill + checkpoint restart — digest registry survives, docs exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    import StreamingSpec.Doc
+    val in = MemoryStream[Doc]
+    val ckpt = java.nio.file.Files.createTempDirectory("s23r_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("s23r_out").toString
+    def start() = StreamingDedup.dedupStream(in.toDS().toDF())
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    def emitted() = spark.read.parquet(out).orderBy("doc_id")
+      .collect().map(_.getLong(1)).toSeq
+    val q1 = start()
+    try {
+      in.addData(Doc(ts("2024-01-01 10:00:00"), 1L, "alpha beta"))
+      q1.processAllAvailable() // digest registered pre-kill
+      // an UNPROCESSED duplicate of it lands, then the query dies
+      in.addData(Doc(ts("2024-01-01 10:00:30"), 2L, "alpha beta"))
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // the replayed duplicate must be dropped against the RESTORED
+      // registry — the row that registered the digest was consumed
+      // before the kill, so only checkpoint state can drop doc 2
+      in.addData(Doc(ts("2024-01-01 10:01:00"), 3L, "fresh text"))
+      q2.processAllAvailable()
+      assert(emitted() == Seq(1L, 3L),
+        s"restored registry must drop the replayed dup: ${emitted()}")
+      assert(emitted().distinct.length == emitted().length,
+        "no doc may emit twice across the restart")
+    } finally {
+      q2.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    }
+  }
 }
 
 object StreamingSpec {
