@@ -146,6 +146,7 @@ object SparkEntry {
     "hard_negatives"           -> (LlmVectorOps.hardNegatives _),
     "multimodal_dedup"         -> (LlmVectorOps.multimodalDedup _),
     "k_anonymity"              -> (LlmTextOps.kAnonymity _),
+    "dedup_cascade"            -> (LlmTextOps.dedupCascade _),
     "cusum_changepoint"        -> (AnalyticOps.cusumChangepoint _),
     "autocorrelation"          -> (AnalyticOps.autocorrelation _),
     "embed_norm_stats"         -> (LlmVectorOps.embedNormStats _),
@@ -5305,6 +5306,8 @@ object SparkEntry {
     "decontaminate_fuzzy" -> LlmTextOps.decontaminateFuzzyOracleSql,
     // BPE training: the N-round merge loop unrolled as chained CTEs
     "bpe_merges" -> LlmTextOps.bpeMergesOracleSql,
+    // the full dedup cascade (exact -> near -> substring -> semantic)
+    "dedup_cascade" -> LlmTextOps.dedupCascadeOracleSql,
     // temperature-scaled mixing weights: tau = 0.5 so the power is an
     // IEEE-exact sqrt; 1e-9-quantized LONG normalizer fold
     "mixture_weights" ->

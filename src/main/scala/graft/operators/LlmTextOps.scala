@@ -3939,6 +3939,175 @@ object LlmTextOps {
       .orderBy("source")
   }
 
+  /** `dedup_cascade` — the published dedup PIPELINE as one gated
+    * accounting query: documents and tokens surviving each stage of
+    * the full cascade a production corpus release runs —
+    *
+    *   1_raw → 2_exact (one survivor per distinct text) →
+    *   3_near (≥ 0.8 shingle-Jaccard removal, routed pair source) →
+    *   4_substring (ExactSubstr ≥ 50-token span CUT — token-level,
+    *   doc count unchanged) → 5_semantic (SemDeDup centroid-rank
+    *   removal over the trained Lloyd cells)
+    *
+    * — i.e. `dedup_impact`'s funnel extended through the round-9
+    * stages, with shares of raw. This is the capstone the curation
+    * suite reads first: which gate removes what, in docs AND tokens.
+    * Stage order is the conservative published one (doc-level exact/
+    * near first, then span surgery, then semantic); spans and
+    * semantic pairs are computed on the FULL corpus (their silvers
+    * are corpus-level), applied to the surviving set.
+    *
+    * Cost: every expensive input is a memoized session silver (the
+    * routed pair set, the substring runs, the Lloyd codebook via
+    * [[graft.operators.LlmVectorOps.semdedup]]), so the cascade adds
+    * only anti-joins and five count/sum rows; at 100 TB each silver
+    * is a write-once table and this query is the cheap report over
+    * them. Semantic coverage rides the doc_id == vec_id convention
+    * (`multimodal_profile`'s join): docs without embeddings pass the
+    * semantic gate untouched.
+    */
+  def dedupCascade(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+    val exactKeep = docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val nearRemoved = dedupPairsRouted(s, d)
+      .select(col("j").as("doc_id")).distinct()
+    val substr = dedupSubstringRemoval(s, d)
+      .select(col("doc_id"), col("removed_tokens"))
+    val semRemoved = graft.operators.LlmVectorOps.semdedup(s, d)
+      .select(col("vec_id").as("doc_id"))
+    val s2 = docs.join(exactKeep, Seq("doc_id"), "left_semi")
+    val s3 = s2.join(nearRemoved, Seq("doc_id"), "left_anti")
+    val s4 = s3.join(substr, Seq("doc_id"), "left")
+      .withColumn("toks4",
+        col("n_toks") - coalesce(col("removed_tokens"), lit(0L)))
+    val s5 = s4.join(semRemoved, Seq("doc_id"), "left_anti")
+    def row(df: DataFrame, stage: String, tokCol: String) =
+      df.agg(count(lit(1)).as("n_docs"),
+        sum(col(tokCol)).as("n_tokens"))
+        .withColumn("stage", lit(stage))
+    val funnel = row(docs, "1_raw", "n_toks")
+      .unionByName(row(s2, "2_exact", "n_toks"))
+      .unionByName(row(s3, "3_near", "n_toks"))
+      .unionByName(row(s4, "4_substring", "toks4"))
+      .unionByName(row(s5, "5_semantic", "toks4"))
+    val rawTotals = row(docs, "1_raw", "n_toks")
+      .select(col("n_docs").as("raw_docs"), col("n_tokens").as("raw_tokens"))
+    funnel.crossJoin(broadcast(rawTotals))
+      .select(col("stage"), col("n_docs"), col("n_tokens"),
+        r6(col("n_docs").cast("double") / col("raw_docs").cast("double"))
+          .as("pct_docs"),
+        r6(col("n_tokens").cast("double")
+          / col("raw_tokens").cast("double")).as("pct_tokens"))
+      .orderBy("stage")
+  }
+
+  /** [[dedupCascade]]'s DuckDB oracle: the semdedup CTE chain
+    * (re-trained Lloyd codebook and all — shared fragment,
+    * [[graft.operators.LlmVectorOps.semdedupCtes]]), the near-pair
+    * replay, the substring interval-union replay (CTEs prefixed `s`
+    * to avoid the fragment's names), and the five-stage funnel.
+    */
+  private[graft] def dedupCascadeOracleSql: String =
+    s"""WITH ${graft.operators.LlmVectorOps.semdedupCtes},
+         docs AS (SELECT doc_id, text,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+            FROM documents),
+         exact_keep AS (SELECT MIN(doc_id) AS doc_id
+            FROM documents GROUP BY text),
+         sh_t AS (
+           SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1]
+                    || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents)),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh_t GROUP BY 1),
+         cpairs AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+                   FROM sh_t a JOIN sh_t b
+                     ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         np AS (SELECT i, j
+                FROM cpairs JOIN sizes si ON si.doc_id = i
+                            JOIN sizes sj ON sj.doc_id = j
+                WHERE floor((inter / (si.sz + sj.sz - inter)) * 1000000
+                            + 0.5) / 1000000 >= 0.8),
+         s2 AS (SELECT d.* FROM docs d
+                JOIN exact_keep k ON k.doc_id = d.doc_id),
+         s3 AS (SELECT * FROM s2
+                WHERE doc_id NOT IN (SELECT j FROM np)),
+         sdocs AS (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents WHERE len(string_split(text, ' ')) >= 8),
+         swins AS (
+           SELECT doc_id, pos, array_to_string(toks[pos:pos+7], ' ') AS win
+           FROM (SELECT doc_id, toks,
+                        unnest(range(1, len(toks) - 6)) AS pos FROM sdocs)),
+         spair AS (
+           SELECT a.doc_id AS i, b.doc_id AS j, a.pos AS pi, b.pos AS pj
+           FROM swins a JOIN swins b
+             ON a.win = b.win AND a.doc_id < b.doc_id),
+         sruns AS (
+           SELECT i, j, pi - pj AS diag, pi,
+                  row_number() OVER (PARTITION BY i, j, pi - pj
+                                     ORDER BY pi) AS rn
+           FROM spair),
+         sisl AS (
+           SELECT i, j, diag, pi - rn AS island, count(*) AS len_wins,
+                  min(pi) AS pi_start
+           FROM sruns GROUP BY 1, 2, 3, 4),
+         scut AS (SELECT * FROM sisl WHERE len_wins >= 43),
+         siv AS (
+           SELECT DISTINCT doc_id, st, en FROM (
+             SELECT i AS doc_id, pi_start AS st,
+                    pi_start + len_wins + 6 AS en FROM scut
+             UNION ALL
+             SELECT j AS doc_id, pi_start - diag AS st,
+                    pi_start - diag + len_wins + 6 AS en FROM scut)),
+         smk AS (
+           SELECT doc_id, st, en,
+                  max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prev_max
+           FROM siv),
+         sgrp AS (
+           SELECT doc_id, st, en,
+                  SUM(CASE WHEN prev_max IS NULL OR st > prev_max + 1
+                           THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY st, en
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS region
+           FROM smk),
+         sreg AS (
+           SELECT doc_id, region, min(st) AS st, max(en) AS en
+           FROM sgrp GROUP BY 1, 2),
+         sper AS (
+           SELECT doc_id, CAST(SUM(en - st + 1) AS BIGINT)
+                    AS removed_tokens
+           FROM sreg GROUP BY 1),
+         s4 AS (SELECT s3.doc_id, s3.n_toks,
+                  s3.n_toks - COALESCE(sper.removed_tokens, 0) AS toks4
+                FROM s3 LEFT JOIN sper ON sper.doc_id = s3.doc_id),
+         s5 AS (SELECT * FROM s4
+                WHERE doc_id NOT IN (SELECT vec_id FROM rem)),
+         raw AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_toks) AS BIGINT) AS n_tokens FROM docs),
+         u AS (SELECT '1_raw' AS stage, n_docs, n_tokens FROM raw
+           UNION ALL SELECT '2_exact', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(n_toks) AS BIGINT) FROM s2
+           UNION ALL SELECT '3_near', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(n_toks) AS BIGINT) FROM s3
+           UNION ALL SELECT '4_substring', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(toks4) AS BIGINT) FROM s4
+           UNION ALL SELECT '5_semantic', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(toks4) AS BIGINT) FROM s5)
+         SELECT stage, n_docs, n_tokens,
+                floor(CAST(n_docs AS DOUBLE)
+                  / CAST((SELECT n_docs FROM raw) AS DOUBLE)
+                  * 1000000.0 + 0.5) / 1000000.0 AS pct_docs,
+                floor(CAST(n_tokens AS DOUBLE)
+                  / CAST((SELECT n_tokens FROM raw) AS DOUBLE)
+                  * 1000000.0 + 0.5) / 1000000.0 AS pct_tokens
+         FROM u ORDER BY stage"""
+
   /** `k_anonymity` — the privacy-side census PII scrubbing doesn't
     * cover: treat (lang, source, length-decile) as the
     * quasi-identifier tuple and report every equivalence class

@@ -1161,7 +1161,19 @@ object LlmVectorOps {
     * grid can't drift from the engine's.
     */
   private[graft] def semdedupOracleSql: String =
-    s"""WITH base AS (SELECT vec_id, embedding,
+    s"""WITH $semdedupCtes
+         SELECT a.vec_id, a.cent_id, a.cent_sim
+         FROM rem r JOIN asg a ON a.vec_id = r.vec_id
+         ORDER BY a.vec_id"""
+
+  /** The semdedup oracle's CTE chain (… `asg`, `rem`) without the
+    * final SELECT — shared with the `dedup_cascade` oracle, whose
+    * semantic stage consumes `rem(vec_id)`. CTE names used: base,
+    * cents0/1/2 (+ lloydRoundSql's asg_/mean_/emb_ prefixes), sims,
+    * asg, pairs, rem — composing oracles must avoid these.
+    */
+  private[graft] def semdedupCtes: String =
+    s"""base AS (SELECT vec_id, embedding,
                   sqrt(list_aggregate([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
                          for x in embedding], 'sum')) AS norm
                 FROM embeddings),
@@ -1196,10 +1208,7 @@ object LlmVectorOps {
          rem AS (SELECT DISTINCT
                   CASE WHEN cs_i > cs_j OR (cs_i = cs_j AND i > j)
                        THEN i ELSE j END AS vec_id
-                 FROM pairs WHERE cos_sim >= $SemDedupEps)
-         SELECT a.vec_id, a.cent_id, a.cent_sim
-         FROM rem r JOIN asg a ON a.vec_id = r.vec_id
-         ORDER BY a.vec_id"""
+                 FROM pairs WHERE cos_sim >= $SemDedupEps)"""
 
   /** Per-vector int8 symmetric scalar quantization — the 4× memory
     * lever for embedding stores at 100 TB (a 64-d float corpus drops
