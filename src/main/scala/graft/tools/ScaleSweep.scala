@@ -356,7 +356,11 @@ object ScaleSweep {
       "mixture_weights" -> (graft.operators.LlmTextOps.mixtureWeights _),
       "k_anonymity" -> (graft.operators.LlmTextOps.kAnonymity _),
       "multimodal_dedup" ->
-        (graft.operators.LlmVectorOps.multimodalDedup _))
+        (graft.operators.LlmVectorOps.multimodalDedup _),
+      // the capstone funnel: measures the silver builds (exact-route
+      // pair set below the crossover, substring runs, Lloyd cells)
+      // plus the anti-join report — the whole-release cost one decade up
+      "dedup_cascade" -> (graft.operators.LlmTextOps.dedupCascade _))
       .filter { case (name, _) =>
         // SPARK_GRAFT_QUERIES narrows the sweep (same contract as
         // Bench) — re-measuring one family shouldn't pay for all
