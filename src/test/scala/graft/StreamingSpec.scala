@@ -1625,6 +1625,46 @@ class StreamingSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
     }
   }
+
+  test("S24 streaming_sessions: native session_window merges runs, closes at watermark, exact spans") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingSessions
+    val in = MemoryStream[(Timestamp, Long)]
+    val q = StreamingSessions.sessionStream(
+      in.toDF().toDF("ts", "user_id"))
+      .writeStream.format("memory").queryName("s24_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        // user 1: two events 10 min apart (one session), then a
+        // 40-min gap (new session)
+        (ts("2024-01-01 10:00:00"), 1L),
+        (ts("2024-01-01 10:10:00"), 1L),
+        (ts("2024-01-01 10:50:00"), 1L),
+        // user 2: a single event (bounce)
+        (ts("2024-01-01 10:05:00"), 2L))
+      q.processAllAvailable()
+      // watermark after this batch: 10:50 − 10 min = 10:40, which
+      // already passes the gap horizon of user 1's first session
+      // (ends 10:10 + 30 = 10:40) and user 2's (10:35) — both emit;
+      // the 10:50 session (horizon 11:20) stays open
+      assert(spark.sql("SELECT * FROM s24_out").count() == 2,
+        "the two passed-horizon sessions emit, the open one holds")
+      // advance event time far past every session's gap horizon
+      in.addData((ts("2024-01-01 14:00:00"), 99L))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, n_events, duration_sec FROM s24_out " +
+          "ORDER BY user_id, n_events DESC").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(rows == Seq(
+        (1L, 2L, 600L), // 10:00-10:10 run merged into one session
+        (1L, 1L, 0L),   // the 10:50 event, gap 40 min > 30
+        (2L, 1L, 0L)),  // bounce
+        s"sessions diverged: $rows")
+    } finally q.stop()
+  }
 }
 
 object StreamingSpec {
