@@ -37,9 +37,12 @@ class InventorySpec extends AnyFunSuite {
   test("all queries execute at sf0.001 and are non-empty where expected") {
     // join_anti may legitimately return 0 rows at tiny sf;
     // split_leakage needs an exact-dup pair straddling the 80/10/10
-    // hash buckets, which the 50-doc corpus doesn't produce
+    // hash buckets, which the 50-doc corpus doesn't produce;
+    // multimodal_dedup needs an exact BYTE duplicate — the 0.16%
+    // exact-copy rate yields none in the 50-doc corpus (the oracle
+    // gate agrees on the empty set; sf0.01 and up are non-empty)
     val mayBeEmpty = Set("join_anti", "dedup_simhash", "dedup_simhash_scaled",
-      "dedup_simhash_portable", "split_leakage")
+      "dedup_simhash_portable", "split_leakage", "multimodal_dedup")
     val counts = SparkEntry.queries.map { case (name, fn) =>
       name -> fn(spark, TestSpark.sf0001).count()
     }
