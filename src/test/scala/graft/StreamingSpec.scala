@@ -1665,6 +1665,72 @@ class StreamingSpec extends AnyFunSuite {
         s"sessions diverged: $rows")
     } finally q.stop()
   }
+
+  test("S25 streaming_ohlc_tws: transformWithState candle machine — rollover emit, timer close, event-time OHLC") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingOhlcTws
+    import StreamingOhlcTws.{Tick, Candle}
+    // transformWithState requires the RocksDB state store
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val in = MemoryStream[Tick]
+    val q = StreamingOhlcTws.ohlcStream(in.toDS())
+      .writeStream.format("memory").queryName("s25_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Tick(ts("2024-01-01 10:05:00"), "BTC", 100.0),
+        // out-of-order INSIDE the hour: close must be event-time-last
+        Tick(ts("2024-01-01 10:40:00"), "BTC", 95.0),
+        Tick(ts("2024-01-01 10:20:00"), "BTC", 120.0),
+        Tick(ts("2024-01-01 10:10:00"), "ETH", 50.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM s25_out").count() == 0,
+        "hour 10 still open for both symbols")
+      // a NEWER-hour BTC tick triggers the reference's rollover emit;
+      // the same batch's watermark (11:30 − 10 min = 11:20) also
+      // expires quiet ETH's 11:00 timer — both hour-10 candles close
+      in.addData(Tick(ts("2024-01-01 11:30:00"), "BTC", 101.0))
+      q.processAllAvailable()
+      val afterRoll = spark.sql(
+        "SELECT symbol, open, high, low, close, n_ticks FROM s25_out " +
+          "ORDER BY symbol")
+        .collect().map(r => (r.getString(0), r.getDouble(1),
+          r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))
+      assert(afterRoll.toSeq == Seq(
+        ("BTC", 100.0, 120.0, 95.0, 95.0, 3L), // rollover, ev-time close
+        ("ETH", 50.0, 50.0, 50.0, 50.0, 1L)),  // expired timer
+        s"hour-10 closes diverged: ${afterRoll.mkString(",")}")
+      // push the watermark past 12:00: BTC hour 11 closes via its
+      // EXPIRED TIMER — no rollover tick ever arrives for it
+      in.addData(Tick(ts("2024-01-01 12:30:00"), "DOGE", 1.0))
+      q.processAllAvailable()
+      val all = spark.sql(
+        "SELECT symbol, hour_start, open, close, n_ticks FROM s25_out " +
+          "ORDER BY symbol, hour_start")
+        .collect().map(r => (r.getString(0),
+          r.getTimestamp(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      assert(all.toSeq == Seq(
+        ("BTC", ts("2024-01-01 10:00:00"), 100.0, 95.0, 3L),
+        ("BTC", ts("2024-01-01 11:00:00"), 101.0, 101.0, 1L),
+        ("ETH", ts("2024-01-01 10:00:00"), 50.0, 50.0, 1L)),
+        s"timer closes diverged: ${all.mkString(",")}")
+      // exactly once per (symbol, hour)
+      assert(all.map(c => (c._1, c._2)).distinct.length == all.length)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
 
 object StreamingSpec {
