@@ -147,6 +147,7 @@ object SparkEntry {
     "multimodal_dedup"         -> (LlmVectorOps.multimodalDedup _),
     "k_anonymity"              -> (LlmTextOps.kAnonymity _),
     "dedup_cascade"            -> (LlmTextOps.dedupCascade _),
+    "quality_nb"               -> (LlmTextOps.qualityNb _),
     "cusum_changepoint"        -> (AnalyticOps.cusumChangepoint _),
     "autocorrelation"          -> (AnalyticOps.autocorrelation _),
     "embed_norm_stats"         -> (LlmVectorOps.embedNormStats _),
@@ -5308,6 +5309,66 @@ object SparkEntry {
     "bpe_merges" -> LlmTextOps.bpeMergesOracleSql,
     // the full dedup cascade (exact -> near -> substring -> semantic)
     "dedup_cascade" -> LlmTextOps.dedupCascadeOracleSql,
+    // in-engine Naive Bayes quality classifier: gopher weak labels,
+    // integer-quantized log-likelihood-ratio weights, sign-test preds
+    "quality_nb" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks,
+                  len(string_split(text, ' ')) AS n,
+                  length(text) - (len(string_split(text, ' ')) - 1) AS wchars
+           FROM documents),
+         labels AS (
+           SELECT doc_id,
+                  NOT ((n < 50 OR n > 100000)
+                    OR (wchars < 3 * n OR wchars > 10 * n)
+                    OR (10 * len(list_filter(toks,
+                          x -> regexp_matches(x, '[A-Za-z]'))) < 8 * n))
+                    AS label_good
+           FROM t),
+         toks AS (
+           SELECT d.doc_id, unnest(string_split(d.text, ' ')) AS token,
+                  l.label_good
+           FROM documents d JOIN labels l ON l.doc_id = d.doc_id),
+         per_tok AS (
+           SELECT token,
+                  CAST(SUM(CASE WHEN label_good THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tg,
+                  CAST(SUM(CASE WHEN NOT label_good THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tb
+           FROM toks GROUP BY token),
+         totals AS (
+           SELECT CAST(SUM(tg) AS BIGINT) AS total_g,
+                  CAST(SUM(tb) AS BIGINT) AS total_b,
+                  CAST(COUNT(*) AS BIGINT) AS v
+           FROM per_tok),
+         weights AS (
+           SELECT token,
+                  CAST(floor(ln(floor(
+                    CAST((tg + 1) * (total_b + v) AS DOUBLE)
+                      / CAST((tb + 1) * (total_g + v) AS DOUBLE)
+                    * 1000000 + 0.5) / 1000000)
+                    * 1000000.0 + 0.5) AS BIGINT) AS w_q
+           FROM per_tok CROSS JOIN totals),
+         priors AS (
+           SELECT CAST(floor(ln(floor(
+                    CAST(SUM(CASE WHEN label_good THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                      / NULLIF(CAST(SUM(CASE WHEN NOT label_good
+                          THEN 1 ELSE 0 END) AS DOUBLE), 0.0)
+                    * 1000000 + 0.5) / 1000000)
+                    * 1000000.0 + 0.5) AS BIGINT) AS prior_q
+           FROM labels),
+         logits AS (
+           SELECT tk.doc_id, tk.label_good,
+                  (SELECT prior_q FROM priors)
+                    + CAST(SUM(w.w_q) AS BIGINT) AS logit_q
+           FROM toks tk JOIN weights w ON w.token = tk.token
+           GROUP BY 1, 2)
+         SELECT label_good, (logit_q > 0) AS pred_good,
+                COUNT(*) AS n_docs,
+                floor(CAST(SUM(logit_q) AS DOUBLE) / COUNT(*)
+                  / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS avg_logit
+         FROM logits GROUP BY 1, 2 ORDER BY 1, 2""",
     // temperature-scaled mixing weights: tau = 0.5 so the power is an
     // IEEE-exact sqrt; 1e-9-quantized LONG normalizer fold
     "mixture_weights" ->

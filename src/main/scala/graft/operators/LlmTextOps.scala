@@ -1495,23 +1495,8 @@ object LlmTextOps {
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
   def qualityGopher(s: SparkSession, d: String): DataFrame = {
-    val perDoc = Tables.documents(s, d)
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("n", size(col("toks")).cast("long"))
-      // sum of per-word lengths = chars minus the n-1 separators
-      .withColumn("wchars", (length(col("text")) - (col("n") - 1L)))
-      .withColumn("n_alpha",
-        size(filter(col("toks"), t => t.rlike("[A-Za-z]"))).cast("long"))
-      // distinct presence, not occurrence count (array_intersect
-      // dedups) — the rule as commonly implemented
-      .withColumn("n_stop", size(array_intersect(col("toks"),
-        array(gopherStops.map(lit): _*))).cast("long"))
-      .select(col("source"),
-        (col("n") < 50L || col("n") > 100000L).as("f_wc"),
-        (col("wchars") < col("n") * 3L || col("wchars") > col("n") * 10L)
-          .as("f_mwl"),
-        (col("n_alpha") * 10L < col("n") * 8L).as("f_alpha"),
-        (col("n_stop") < 2L).as("f_stop"))
+    val perDoc = gopherFlags(s, d).select(col("source"),
+      col("f_wc"), col("f_mwl"), col("f_alpha"), col("f_stop"))
     perDoc.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("f_wc"), 1L).otherwise(0L)).as("fail_word_count"),
@@ -1527,6 +1512,29 @@ object LlmTextOps {
           .as("pass_rate"))
       .orderBy("source")
   }
+
+  /** The per-document Gopher rule flags — the row-local block shared
+    * by [[qualityGopher]] (per-source census) and [[qualityNb]]
+    * (which uses pass-all-rules as the weak training label).
+    */
+  private def gopherFlags(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")).cast("long"))
+      // sum of per-word lengths = chars minus the n-1 separators
+      .withColumn("wchars", (length(col("text")) - (col("n") - 1L)))
+      .withColumn("n_alpha",
+        size(filter(col("toks"), t => t.rlike("[A-Za-z]"))).cast("long"))
+      // distinct presence, not occurrence count (array_intersect
+      // dedups) — the rule as commonly implemented
+      .withColumn("n_stop", size(array_intersect(col("toks"),
+        array(gopherStops.map(lit): _*))).cast("long"))
+      .select(col("doc_id"), col("source"),
+        (col("n") < 50L || col("n") > 100000L).as("f_wc"),
+        (col("wchars") < col("n") * 3L || col("wchars") > col("n") * 10L)
+          .as("f_mwl"),
+        (col("n_alpha") * 10L < col("n") * 8L).as("f_alpha"),
+        (col("n_stop") < 2L).as("f_stop"))
 
   /** `token_count` — whitespace tokens + a word-regex count + char
     * count per doc (the BPE-ish pre-tokenizer accounting pass).
@@ -3937,6 +3945,77 @@ object LlmTextOps {
         r6(col("w_int").cast("double") / col("z").cast("double"))
           .as("weight"))
       .orderBy("source")
+  }
+
+  /** `quality_nb` — train a quality CLASSIFIER in the engine: the
+    * CCNet/fastText-classifier curation step with the model swapped
+    * for multinomial Naive Bayes, the one classifier whose training
+    * is pure relational aggregation and therefore oracle-portable
+    * (token counts + Laplace smoothing — no iterative optimizer).
+    * Weak labels come from the Gopher rule block (pass all three
+    * APPLICABLE rules = good; the stop-word rule is excluded from
+    * the label because the synthetic 31-word vocabulary contains
+    * one stop word, so every document fails it and the label would
+    * be one-class — the census row keeps all four);
+    * the output is the resubstitution confusion matrix with the mean
+    * NB logit per cell — the datacard that says whether token
+    * distributions alone can reproduce the rule filter (and, by
+    * extension, generalize it to rule-evading documents).
+    *
+    * Portability: every per-token weight is the LOG-LIKELIHOOD-RATIO
+    * quantized to an integer once per VOCAB WORD —
+    * `floor(ln(r6((tg+1)(Tb+V) / ((tb+1)(Tg+V))))·1e6 + 0.5)` (the
+    * [[tokenSurprisal]] grid; the ratio — not the raw probability —
+    * is what r6 quantizes, so nothing underflows the 1e-6 grid at
+    * any corpus size; all integer products stay < 2⁵³). Per-doc
+    * logits are order-free LONG sums of those weights plus the
+    * quantized prior ratio; the prediction is an integer sign test.
+    *
+    * Scale: training = one token-count aggregation (map-side
+    * combined) + a vocab-sized weight table; scoring = one join of
+    * the token stream against that table + a per-doc integer sum —
+    * the same two-shuffle shape as tf-idf. At 100 TB the weight
+    * table broadcasts (|vocab| rows).
+    */
+  def qualityNb(s: SparkSession, d: String): DataFrame = {
+    val labels = gopherFlags(s, d).select(col("doc_id"),
+      (!col("f_wc") && !col("f_mwl") && !col("f_alpha"))
+        .as("label_good"))
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .join(labels, Seq("doc_id"))
+    // class-conditional token counts + the shared totals, one pass
+    val perTok = toks.groupBy(col("token"))
+      .agg(sum(when(col("label_good"), 1L).otherwise(0L)).as("tg"),
+        sum(when(!col("label_good"), 1L).otherwise(0L)).as("tb"))
+    val totals = perTok.agg(
+      sum(col("tg")).as("total_g"), sum(col("tb")).as("total_b"),
+      count(lit(1)).as("v"))
+      .select(col("total_g"), col("total_b"), col("v"))
+    val weights = perTok.crossJoin(broadcast(totals))
+      .select(col("token"),
+        floor(log(r6(
+          ((col("tg") + 1L) * (col("total_b") + col("v"))).cast("double")
+            / ((col("tb") + 1L) * (col("total_g") + col("v")))
+              .cast("double")))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("w_q"))
+    val priors = labels.agg(
+      sum(when(col("label_good"), 1L).otherwise(0L)).as("ng"),
+      sum(when(!col("label_good"), 1L).otherwise(0L)).as("nb"))
+      .select(floor(log(r6(col("ng").cast("double")
+        / nullif(col("nb").cast("double"), lit(0.0))))
+        * lit(1000000.0) + lit(0.5))
+        .cast("long").as("prior_q"))
+    val logits = toks.join(weights, Seq("token"))
+      .groupBy(col("doc_id"), col("label_good"))
+      .agg(sum(col("w_q")).as("sum_w"))
+      .crossJoin(broadcast(priors))
+      .withColumn("logit_q", col("prior_q") + col("sum_w"))
+    logits
+      .groupBy(col("label_good"), (col("logit_q") > 0L).as("pred_good"))
+      .agg(count(lit(1)).as("n_docs"),
+        r6(avg(col("logit_q")) / lit(1000000.0)).as("avg_logit"))
+      .orderBy("label_good", "pred_good")
   }
 
   /** `dedup_cascade` — the published dedup PIPELINE as one gated
