@@ -431,17 +431,20 @@ object ScaleSweep {
         avg(col("k")).as("kmean")).head()
 
     // components fixpoint: rounds must stay O(log n) one decade up.
-    // Pair source: `near` (default) composes with the exact pair set —
-    // right up to ~100k docs; `minhash` composes with the banded-LSH
-    // candidates, the pairing a 100 TB deployment actually feeds the
-    // labeler (the exact forms' pair stream grows ~90x per decade and
-    // stops terminating around half a million docs — which is the
-    // measured POINT of the routing, not a defect)
-    val compSource = sys.env.getOrElse("SPARK_GRAFT_COMPONENTS_SOURCE", "near")
+    // Pair source: `routed` (default) reads the SAME per-corpus route
+    // the registered graph consumers use (exact silver below 100k
+    // docs, banded-MinHash + exact-verify above — running the exact
+    // forms' 12.97B-pair stream at 500k filled the disk twice before
+    // this default landed); `near` pins the exact auto form, `minhash`
+    // pins the est-jaccard banded pairs.
+    val compSource =
+      sys.env.getOrElse("SPARK_GRAFT_COMPONENTS_SOURCE", "routed")
     val compPairs = compSource match {
       case "minhash" => graft.operators.LlmTextOps
         .dedupMinhash(spark, outDir).select(col("i"), col("j"))
-      case _ => graft.operators.LlmTextOps.dedupNearAuto(spark, outDir)
+      case "near" => graft.operators.LlmTextOps.dedupNearAuto(spark, outDir)
+        .select(col("i"), col("j"))
+      case _ => graft.operators.LlmTextOps.dedupPairsRouted(spark, outDir)
         .select(col("i"), col("j"))
     }
     val (labeled, rounds) = graft.operators.LlmTextOps.componentsFixpoint(
