@@ -148,6 +148,10 @@ object SparkEntry {
     "k_anonymity"              -> (LlmTextOps.kAnonymity _),
     "dedup_cascade"            -> (LlmTextOps.dedupCascade _),
     "quality_nb"               -> (LlmTextOps.qualityNb _),
+    "cross_val_split"          -> (LlmTextOps.crossValSplit _),
+    "var_es"                   -> (AnalyticOps.varEs _),
+    "embedding_drift"          -> (LlmVectorOps.embeddingDrift _),
+    "ann_recall_ivf"           -> (LlmVectorOps.annRecallIvf _),
     "cusum_changepoint"        -> (AnalyticOps.cusumChangepoint _),
     "autocorrelation"          -> (AnalyticOps.autocorrelation _),
     "embed_norm_stats"         -> (LlmVectorOps.embedNormStats _),
@@ -5309,6 +5313,58 @@ object SparkEntry {
     "bpe_merges" -> LlmTextOps.bpeMergesOracleSql,
     // the full dedup cascade (exact -> near -> substring -> semantic)
     "dedup_cascade" -> LlmTextOps.dedupCascadeOracleSql,
+    // k-fold assignment audit on the shared multiplicative hash
+    "cross_val_split" ->
+      """WITH f AS (
+           SELECT ((doc_id % 1000000007) * 2654435761 % 1000000007) % 5
+                    AS fold,
+                  n_chars, lang
+           FROM documents),
+         per AS (SELECT fold, COUNT(*) AS n_docs,
+                  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+                 FROM f GROUP BY fold),
+         tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tot FROM per)
+         SELECT fold, n_docs, total_chars, n_langs,
+                floor(CAST(n_docs AS DOUBLE) / CAST(tot AS DOUBLE)
+                  * 1000000 + 0.5) / 1000000 AS share
+         FROM per CROSS JOIN tot ORDER BY fold""",
+    // historical VaR + expected shortfall over daily centi returns:
+    // exact percentile on 1e-6-quantized longs; ES = mean of the
+    // worst ceil(n/20) observations (rank cut, integer sum)
+    "var_es" ->
+      """WITH t AS (SELECT event_type AS symbol,
+                CAST(epoch_us(date_trunc('day', ts)) / 86400000000
+                  AS BIGINT) AS h,
+                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+                epoch_us(ts) AS us
+              FROM events),
+         bars AS (SELECT symbol, h, arg_max(c, us) AS close
+                  FROM t GROUP BY 1, 2),
+         rets AS (SELECT symbol, h,
+                  CAST(floor(CAST(close - pc AS DOUBLE)
+                    / CAST(pc AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                    AS ret_q
+                  FROM (SELECT symbol, h, close,
+                          lag(close) OVER (PARTITION BY symbol
+                            ORDER BY h) AS pc
+                        FROM bars)
+                  WHERE pc IS NOT NULL AND pc <> 0),
+         rk AS (SELECT symbol, ret_q,
+                  row_number() OVER (PARTITION BY symbol
+                    ORDER BY ret_q, h) AS rn,
+                  COUNT(*) OVER (PARTITION BY symbol) AS n
+                FROM rets)
+         SELECT symbol, COUNT(*) AS n_days,
+                floor((quantile_cont(ret_q, 0.05) / 1000000.0)
+                  * 1000000 + 0.5) / 1000000 AS var95_ret,
+                floor((CAST(SUM(CASE WHEN rn <= (n + 19) // 20
+                         THEN ret_q END) AS DOUBLE)
+                    / CAST(MAX((n + 19) // 20) * 1000000.0 AS DOUBLE))
+                  * 1000000 + 0.5) / 1000000 AS es95_ret
+         FROM rk GROUP BY symbol ORDER BY symbol""",
+    "embedding_drift" -> LlmVectorOps.embeddingDriftOracleSql,
+    "ann_recall_ivf" -> LlmVectorOps.annRecallIvfOracleSql,
     // in-engine Naive Bayes quality classifier: gopher weak labels,
     // integer-quantized log-likelihood-ratio weights, sign-test preds
     "quality_nb" ->

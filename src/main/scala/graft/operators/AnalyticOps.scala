@@ -2077,6 +2077,52 @@ object AnalyticOps {
     * fenced — never an engine median() whose interpolation rule
     * could differ.
     */
+  /** `var_es` — historical Value-at-Risk and Expected Shortfall at
+    * 95% per symbol (the Basel/RiskMetrics pair): VaR = the 5th
+    * percentile of daily close-to-close returns, ES = the mean of the
+    * worst ⌈n/20⌉ observed returns — the coherent tail statistic VaR
+    * alone misses (Artzner et al. 1999). Returns ride the centi-price
+    * daily bars ([[theilSenSlope]]'s aggregate-to-bars-first shape)
+    * and quantize to 1e-6 LONGs, so the ES numerator is an exact
+    * integer sum over a rank cut (total order: return, then day) and
+    * VaR is the engine-shared exact-percentile interpolation over
+    * integers (the conversion_lag contract). One window + one
+    * aggregate per symbol — calendar-bounded rows.
+    */
+  def varEs(s: SparkSession, d: String): DataFrame = {
+    val bars = Tables.events(s, d)
+      .select(col("event_type").as("symbol"),
+        (unix_micros(date_trunc("day", col("ts"))) / lit(86400000000L))
+          .cast("long").as("h"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("c"),
+        unix_micros(col("ts")).as("us"))
+      .groupBy(col("symbol"), col("h"))
+      .agg(max_by(col("c"), col("us")).as("close"))
+    val wd = Window.partitionBy("symbol").orderBy("h")
+    val rets = bars
+      .withColumn("pc", lag(col("close"), 1).over(wd))
+      .where(col("pc").isNotNull && col("pc") =!= 0L)
+      .select(col("symbol"), col("h"),
+        floor((col("close") - col("pc")).cast("double")
+          / col("pc").cast("double") * lit(1000000.0) + lit(0.5))
+          .cast("long").as("ret_q"))
+    val wr = Window.partitionBy("symbol")
+      .orderBy(col("ret_q").asc, col("h").asc)
+    rets
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy("symbol")))
+      .withColumn("k", expr("(n + 19) div 20"))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_days"),
+        r6(expr("percentile(ret_q, 0.05)") / lit(1000000.0))
+          .as("var95_ret"),
+        r6(sum(when(col("rn") <= col("k"), col("ret_q"))).cast("double")
+          / (max(col("k")) * lit(1000000.0)).cast("double"))
+          .as("es95_ret"))
+      .orderBy("symbol")
+  }
+
   def theilSenSlope(s: SparkSession, d: String): DataFrame = {
     val bars = Tables.events(s, d)
       .select(col("event_type").as("symbol"),

@@ -3947,6 +3947,32 @@ object LlmTextOps {
       .orderBy("source")
   }
 
+  /** `cross_val_split` — k-fold assignment audit (k = 5): every
+    * document lands in a fold via the SAME multiplicative-hash stream
+    * as [[trainValSplit]] (mod 5 instead of mod 10), and the output
+    * is the per-fold datacard — doc count, char mass, language
+    * coverage, share — the balance check run before trusting any
+    * cross-validated metric. Row-local assignment (stable under
+    * corpus appends, no shuffle to assign) + one hash aggregate.
+    */
+  def crossValSplit(s: SparkSession, d: String): DataFrame = {
+    val folds = Tables.documents(s, d)
+      .withColumn("fold",
+        ((col("doc_id") % lit(1000000007L)) * lit(2654435761L)
+          % lit(1000000007L)) % lit(5))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+    val tot = folds.agg(sum(col("n_docs")).as("tot")).select(col("tot"))
+    folds.crossJoin(broadcast(tot))
+      .select(col("fold"), col("n_docs"), col("total_chars"),
+        col("n_langs"),
+        r6(col("n_docs").cast("double") / col("tot").cast("double"))
+          .as("share"))
+      .orderBy("fold")
+  }
+
   /** `quality_nb` — train a quality CLASSIFIER in the engine: the
     * CCNet/fastText-classifier curation step with the model swapped
     * for multinomial Naive Bayes, the one classifier whose training

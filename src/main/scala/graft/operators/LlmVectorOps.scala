@@ -1594,6 +1594,135 @@ object LlmVectorOps {
       .orderBy("probe_id")
   }
 
+  /** `ann_recall_ivf` — per-probe recall@10 of the (seed-codebook)
+    * IVF ranking against the exact top-10: completes the ANN eval
+    * family's ladder (exact → IVF → PQ → 1-bit, each rung with its
+    * own gated recall row), and the number a deployment reads before
+    * turning the nprobe dial. Same overlap join as [[annRecallPq]].
+    */
+  def annRecallIvf(s: SparkSession, d: String): DataFrame = {
+    val exact = similarityTopk(s, d).select(col("probe_id"), col("vec_id"))
+    val ivf = similarityIvf(s, d)
+      .select(col("probe_id").as("p2"), col("vec_id").as("v2"))
+    exact.join(ivf, col("p2") === col("probe_id")
+        && col("v2") === col("vec_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("v2").isNotNull, 1L).otherwise(0L)).as("hits"))
+      .select(col("probe_id"), col("k"), col("hits"),
+        r6(col("hits").cast("double") / col("k").cast("double"))
+          .as("recall"))
+      .orderBy("probe_id")
+  }
+
+  /** The DuckDB oracle for `ann_recall_ivf`: the exact top-10 and the
+    * [[ivfOracleSql]] replay as subqueries, per-probe overlap.
+    */
+  private[graft] def annRecallIvfOracleSql: String =
+    s"""WITH ex AS (
+           SELECT probe_id, vec_id FROM (
+             WITH probes AS (SELECT vec_id AS probe_id,
+                      embedding AS probe_emb
+                    FROM embeddings WHERE vec_id < $nProbes),
+             pairs AS (SELECT probe_id, vec_id,
+                  ${dotSql("probe_emb", "embedding", embDim)}
+                    / (sqrt(${dotSql("probe_emb", "probe_emb", embDim)})
+                       * sqrt(${dotSql("embedding", "embedding", embDim)}))
+                    AS score
+               FROM embeddings, probes WHERE vec_id <> probe_id),
+             ranked AS (SELECT probe_id, vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY probe_id
+                    ORDER BY floor(score * 1000000 + 0.5) / 1000000 DESC,
+                      vec_id ASC) AS rank
+                  FROM pairs)
+             SELECT probe_id, vec_id FROM ranked WHERE rank <= 10)),
+         iv AS (SELECT probe_id AS p2, vec_id AS v2
+                FROM ($ivfOracleSql))
+         SELECT ex.probe_id, CAST(COUNT(*) AS BIGINT) AS k,
+                CAST(SUM(CASE WHEN v2 IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hits,
+                floor(SUM(CASE WHEN v2 IS NOT NULL THEN 1 ELSE 0 END)
+                    * 1.0 / COUNT(*) * 1000000 + 0.5) / 1000000 AS recall
+         FROM ex LEFT JOIN iv ON p2 = ex.probe_id AND v2 = ex.vec_id
+         GROUP BY 1 ORDER BY 1"""
+
+  /** `embedding_drift` — per-label centroid drift between the train
+    * and holdout split buckets (the doc-level multiplicative-hash
+    * split applied to vec_id): 1 − cos(centroid_train,
+    * centroid_holdout) plus both member counts — the snapshot-drift
+    * check an embedding-store refresh runs before swapping indexes
+    * (a label whose two halves disagree means the encoder or the
+    * corpus moved). Centroids ride the 2⁻²⁰ fixed-point grid
+    * ([[lloydStep]]'s order-free integer sums), so the row
+    * hash-gates; isotropic fixtures make real drift ≈ tiny, which is
+    * exactly the clean-baseline reading the check exists to confirm.
+    */
+  def embeddingDrift(s: SparkSession, d: String): DataFrame = {
+    val grid = (1L << 20).toDouble
+    val split = Tables.embeddings(s, d)
+      .withColumn("is_train",
+        ((col("vec_id") % lit(1000000007L)) * lit(2654435761L)
+          % lit(1000000007L)) % lit(10) < 8)
+    val sums = split
+      .select(col("is_train"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("is_train"), col("pos"))
+      .agg(sum(floor(col("v") * grid + 0.5).cast("long")).as("qs"),
+        count(lit(1)).as("cnt"))
+      .groupBy(col("label"), col("is_train"))
+      .agg(max(col("cnt")).as("n_vecs"), expr(
+        """transform(array_sort(collect_list(struct(pos, qs, cnt))),
+             x -> CAST(CAST(x.qs AS DOUBLE) / (x.cnt * 1048576.0)
+                       AS FLOAT))""")
+        .as("centroid"))
+    val tr = sums.where(col("is_train"))
+      .select(col("label"), col("n_vecs").as("n_train"),
+        col("centroid").as("c_tr"))
+    val ho = sums.where(!col("is_train"))
+      .select(col("label"), col("n_vecs").as("n_holdout"),
+        col("centroid").as("c_ho"))
+    tr.join(ho, Seq("label"))
+      .select(col("label"), col("n_train"), col("n_holdout"),
+        r6(lit(1.0) - VectorExprs.dot(s, col("c_tr"), col("c_ho"))
+          / (sqrt(VectorExprs.dot(s, col("c_tr"), col("c_tr")))
+            * sqrt(VectorExprs.dot(s, col("c_ho"), col("c_ho")))))
+          .as("drift"))
+      .orderBy("label")
+  }
+
+  /** The DuckDB oracle for `embedding_drift`: split-bucket hash,
+    * fixed-point per-dim sums, REAL-cast centroids, exact cosine.
+    */
+  private[graft] def embeddingDriftOracleSql: String =
+    s"""WITH sp AS (SELECT vec_id, label, embedding,
+                ((vec_id % 1000000007) * 2654435761 % 1000000007) % 10 < 8
+                  AS is_train
+              FROM embeddings),
+         t AS (SELECT label, is_train, p.pos,
+                CAST(floor(CAST(embedding[p.pos] AS DOUBLE) * 1048576.0
+                    + 0.5) AS BIGINT) AS qv
+              FROM sp CROSS JOIN
+                (SELECT unnest(range(1, ${embDim + 1})) AS pos) p),
+         m AS (SELECT label, is_train, pos,
+                CAST(CAST(SUM(qv) AS DOUBLE)
+                  / (COUNT(*) * 1048576.0) AS REAL) AS c,
+                COUNT(*) AS cnt
+              FROM t GROUP BY 1, 2, 3),
+         cen AS (SELECT label, is_train, CAST(MAX(cnt) AS BIGINT) AS n_vecs,
+                  list(c ORDER BY pos) AS centroid
+                 FROM m GROUP BY 1, 2),
+         tr AS (SELECT label, n_vecs AS n_train, centroid AS ctr
+                FROM cen WHERE is_train),
+         ho AS (SELECT label, n_vecs AS n_holdout, centroid AS cho
+                FROM cen WHERE NOT is_train)
+         SELECT tr.label, tr.n_train, ho.n_holdout,
+                floor((1.0 - ${dotSql("tr.ctr", "ho.cho", embDim)}
+                  / (sqrt(${dotSql("tr.ctr", "tr.ctr", embDim)})
+                     * sqrt(${dotSql("ho.cho", "ho.cho", embDim)})))
+                  * 1000000 + 0.5) / 1000000 AS drift
+         FROM tr JOIN ho ON ho.label = tr.label
+         ORDER BY tr.label"""
+
   /** The DuckDB oracle for `ann_recall_pq`: the exact top-10 CTE
     * left-joined against the PQ-retrain oracle, per-probe overlap.
     */
