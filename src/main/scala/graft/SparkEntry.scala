@@ -150,6 +150,8 @@ object SparkEntry {
     "quality_nb"               -> (LlmTextOps.qualityNb _),
     "cross_val_split"          -> (LlmTextOps.crossValSplit _),
     "var_es"                   -> (AnalyticOps.varEs _),
+    "sharpe_ratio"             -> (AnalyticOps.sharpeRatio _),
+    "capm_beta"                -> (AnalyticOps.capmBeta _),
     "embedding_drift"          -> (LlmVectorOps.embeddingDrift _),
     "ann_recall_ivf"           -> (LlmVectorOps.annRecallIvf _),
     "cusum_changepoint"        -> (AnalyticOps.cusumChangepoint _),
@@ -5365,6 +5367,83 @@ object SparkEntry {
          FROM rk GROUP BY symbol ORDER BY symbol""",
     "embedding_drift" -> LlmVectorOps.embeddingDriftOracleSql,
     "ann_recall_ivf" -> LlmVectorOps.annRecallIvfOracleSql,
+    // annualized Sharpe: exact integer moments over the 1e-6 daily
+    // returns, ddof-1 variance numerator in longs, fenced sqrt+div
+    "sharpe_ratio" ->
+      """WITH t AS (SELECT event_type AS symbol,
+                CAST(epoch_us(date_trunc('day', ts)) / 86400000000
+                  AS BIGINT) AS h,
+                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+                epoch_us(ts) AS us
+              FROM events),
+         bars AS (SELECT symbol, h, arg_max(c, us) AS close
+                  FROM t GROUP BY 1, 2),
+         rets AS (SELECT symbol,
+                  CAST(floor(CAST(close - pc AS DOUBLE)
+                    / CAST(pc AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                    AS ret_q
+                  FROM (SELECT symbol, h, close,
+                          lag(close) OVER (PARTITION BY symbol
+                            ORDER BY h) AS pc
+                        FROM bars)
+                  WHERE pc IS NOT NULL AND pc <> 0),
+         m AS (SELECT symbol, COUNT(*) AS n_days,
+                CAST(SUM(ret_q) AS BIGINT) AS sr,
+                SUM(CAST(ret_q AS HUGEINT) * ret_q) AS srr
+               FROM rets GROUP BY symbol HAVING COUNT(*) >= 2)
+         SELECT symbol, n_days,
+                floor(CAST(sr AS DOUBLE)
+                  / CAST(n_days * 1000000 AS DOUBLE)
+                  * 1000000 + 0.5) / 1000000 AS mean_ret,
+                floor((CAST(sr AS DOUBLE) / CAST(n_days AS DOUBLE))
+                  / NULLIF(sqrt(
+                      CAST(n_days * srr - sr * sr AS DOUBLE)
+                        / CAST(n_days * (n_days - 1) AS DOUBLE)), 0.0)
+                  * sqrt(365.0)
+                  * 1000000 + 0.5) / 1000000 AS sharpe_ann
+         FROM m ORDER BY symbol""",
+    // CAPM beta vs the equal-weight market index (re-quantized to the
+    // 1e-6 grid); Pearson corr from the same exact integer moments
+    "capm_beta" ->
+      """WITH t AS (SELECT event_type AS symbol,
+                CAST(epoch_us(date_trunc('day', ts)) / 86400000000
+                  AS BIGINT) AS h,
+                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+                epoch_us(ts) AS us
+              FROM events),
+         bars AS (SELECT symbol, h, arg_max(c, us) AS close
+                  FROM t GROUP BY 1, 2),
+         rets AS (SELECT symbol, h,
+                  CAST(floor(CAST(close - pc AS DOUBLE)
+                    / CAST(pc AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                    AS ret_q
+                  FROM (SELECT symbol, h, close,
+                          lag(close) OVER (PARTITION BY symbol
+                            ORDER BY h) AS pc
+                        FROM bars)
+                  WHERE pc IS NOT NULL AND pc <> 0),
+         mkt AS (SELECT h,
+                  CAST(floor(CAST(SUM(ret_q) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS m_q
+                 FROM rets GROUP BY h),
+         m AS (SELECT r.symbol, COUNT(*) AS n_days,
+                CAST(SUM(k.m_q) AS BIGINT) AS sx,
+                CAST(SUM(r.ret_q) AS BIGINT) AS sy,
+                SUM(CAST(k.m_q AS HUGEINT) * k.m_q) AS sxx,
+                SUM(CAST(r.ret_q AS HUGEINT) * r.ret_q) AS syy,
+                SUM(CAST(k.m_q AS HUGEINT) * r.ret_q) AS sxy
+               FROM rets r JOIN mkt k ON k.h = r.h
+               GROUP BY r.symbol HAVING COUNT(*) >= 2)
+         SELECT symbol, n_days,
+                floor(CAST(n_days * sxy - sx * sy AS DOUBLE)
+                  / NULLIF(CAST(n_days * sxx - sx * sx AS DOUBLE), 0.0)
+                  * 1000000 + 0.5) / 1000000 AS beta,
+                floor(CAST(n_days * sxy - sx * sy AS DOUBLE)
+                  / NULLIF(sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE)),
+                    0.0)
+                  * 1000000 + 0.5) / 1000000 AS corr_mkt
+         FROM m ORDER BY symbol""",
     // in-engine Naive Bayes quality classifier: gopher weak labels,
     // integer-quantized log-likelihood-ratio weights, sign-test preds
     "quality_nb" ->

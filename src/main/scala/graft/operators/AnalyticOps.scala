@@ -2090,22 +2090,7 @@ object AnalyticOps {
     * aggregate per symbol — calendar-bounded rows.
     */
   def varEs(s: SparkSession, d: String): DataFrame = {
-    val bars = Tables.events(s, d)
-      .select(col("event_type").as("symbol"),
-        (unix_micros(date_trunc("day", col("ts"))) / lit(86400000000L))
-          .cast("long").as("h"),
-        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("c"),
-        unix_micros(col("ts")).as("us"))
-      .groupBy(col("symbol"), col("h"))
-      .agg(max_by(col("c"), col("us")).as("close"))
-    val wd = Window.partitionBy("symbol").orderBy("h")
-    val rets = bars
-      .withColumn("pc", lag(col("close"), 1).over(wd))
-      .where(col("pc").isNotNull && col("pc") =!= 0L)
-      .select(col("symbol"), col("h"),
-        floor((col("close") - col("pc")).cast("double")
-          / col("pc").cast("double") * lit(1000000.0) + lit(0.5))
-          .cast("long").as("ret_q"))
+    val rets = dailyRetQ(s, d)
     val wr = Window.partitionBy("symbol")
       .orderBy(col("ret_q").asc, col("h").asc)
     rets
@@ -2120,6 +2105,113 @@ object AnalyticOps {
         r6(sum(when(col("rn") <= col("k"), col("ret_q"))).cast("double")
           / (max(col("k")) * lit(1000000.0)).cast("double"))
           .as("es95_ret"))
+      .orderBy("symbol")
+  }
+
+  /** Per-(symbol, day) close-to-close returns as 1e-6-quantized
+    * LONGs off the centi-price daily bars — the shared core of
+    * [[varEs]], [[sharpeRatio]] and [[capmBeta]] (every downstream
+    * moment is then an exact integer fold).
+    */
+  private def dailyRetQ(s: SparkSession, d: String): DataFrame = {
+    val bars = Tables.events(s, d)
+      .select(col("event_type").as("symbol"),
+        (unix_micros(date_trunc("day", col("ts"))) / lit(86400000000L))
+          .cast("long").as("h"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("c"),
+        unix_micros(col("ts")).as("us"))
+      .groupBy(col("symbol"), col("h"))
+      .agg(max_by(col("c"), col("us")).as("close"))
+    val wd = Window.partitionBy("symbol").orderBy("h")
+    bars
+      .withColumn("pc", lag(col("close"), 1).over(wd))
+      .where(col("pc").isNotNull && col("pc") =!= 0L)
+      .select(col("symbol"), col("h"),
+        floor((col("close") - col("pc")).cast("double")
+          / col("pc").cast("double") * lit(1000000.0) + lit(0.5))
+          .cast("long").as("ret_q"))
+  }
+
+  /** `sharpe_ratio` — annualized Sharpe per symbol (zero risk-free):
+    * mean/std of the daily 1e-6 integer returns × √365 — the one
+    * risk-adjusted return scalar every strategy report leads with.
+    * Both moments are exact integer sums (Σr ≤ 1e8, Σr² ≤ ~1e14 —
+    * comfortably inside both engines' exact-long range); the ddof-1
+    * variance numerator n·Σr² − (Σr)² stays exact in the hundreds of
+    * days; one fenced sqrt + division. Null for one-day symbols and
+    * zero-variance series (nullif fence, mirrored in the oracle).
+    */
+  def sharpeRatio(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+    dailyRetQ(s, d)
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("ret_q")).as("sr"),
+        // the synthetic uniform prices make daily returns huge
+        // (ret_q up to ~1e11), so squared moments ride DECIMAL(38,0)
+        // — the arch_effect HUGEINT posture, never bare longs
+        sum(dec(col("ret_q")) * dec(col("ret_q")))
+          .cast(DecimalType(38, 0)).as("srr"))
+      .where(col("n_days") >= 2L)
+      .select(col("symbol"), col("n_days"),
+        r6(col("sr").cast("double")
+          / (col("n_days") * lit(1000000L)).cast("double"))
+          .as("mean_ret"),
+        r6((col("sr").cast("double") / col("n_days").cast("double"))
+          / nullif(sqrt(
+            (dec(col("n_days")) * col("srr")
+              - dec(col("sr")) * dec(col("sr"))).cast("double")
+              / (col("n_days") * (col("n_days") - 1L)).cast("double")),
+            lit(0.0))
+          * sqrt(lit(365.0))).as("sharpe_ann"))
+      .orderBy("symbol")
+  }
+
+  /** `capm_beta` — market beta per symbol: the through-origin-free
+    * OLS slope of a symbol's daily return on the EQUAL-WEIGHT market
+    * return (the CAPM systematic-risk scalar; the market index is
+    * the cross-sectional mean of the symbols' same-day returns,
+    * itself re-quantized to the 1e-6 grid so every downstream moment
+    * is an exact integer fold). β = [nΣxy − ΣxΣy] / [nΣx² − (Σx)²]
+    * over the (day) pairs, plus the Pearson correlation — all
+    * integer sums until the two fenced divisions. Days with a single
+    * traded symbol still define the index (of one return); symbols
+    * need ≥ 2 shared days.
+    */
+  def capmBeta(s: SparkSession, d: String): DataFrame = {
+    val rets = dailyRetQ(s, d)
+    val market = rets.groupBy(col("h"))
+      .agg(floor(sum(col("ret_q")).cast("double")
+        / count(lit(1)).cast("double") + lit(0.5)).cast("long").as("m_q"))
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+    rets.join(broadcast(market), Seq("h"))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("m_q")).as("sx"), sum(col("ret_q")).as("sy"),
+        // DECIMAL(38,0) moments — see sharpeRatio
+        sum(dec(col("m_q")) * dec(col("m_q")))
+          .cast(DecimalType(38, 0)).as("sxx"),
+        sum(dec(col("ret_q")) * dec(col("ret_q")))
+          .cast(DecimalType(38, 0)).as("syy"),
+        sum(dec(col("m_q")) * dec(col("ret_q")))
+          .cast(DecimalType(38, 0)).as("sxy"))
+      .where(col("n_days") >= 2L)
+      .select(col("symbol"), col("n_days"),
+        r6((dec(col("n_days")) * col("sxy")
+          - dec(col("sx")) * dec(col("sy"))).cast("double")
+          / nullif((dec(col("n_days")) * col("sxx")
+            - dec(col("sx")) * dec(col("sx"))).cast("double"),
+            lit(0.0))).as("beta"),
+        r6((dec(col("n_days")) * col("sxy")
+          - dec(col("sx")) * dec(col("sy"))).cast("double")
+          / nullif(
+            sqrt((dec(col("n_days")) * col("sxx")
+              - dec(col("sx")) * dec(col("sx"))).cast("double"))
+              * sqrt((dec(col("n_days")) * col("syy")
+                - dec(col("sy")) * dec(col("sy"))).cast("double")),
+            lit(0.0))).as("corr_mkt"))
       .orderBy("symbol")
   }
 
