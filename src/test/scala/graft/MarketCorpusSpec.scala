@@ -495,4 +495,91 @@ class MarketCorpusSpec extends AnyFunSuite {
     assert(at08._2 == nPairs && at08._3 == removed,
       s"0.8 row $at08 != ($nPairs, $removed)")
   }
+
+  /** Daily close-to-close 1e-6 returns per symbol, replayed from the
+    * raw ticks (event-time-last close per day). */
+  private def dailyReturns(): Map[String, Seq[(Long, Long)]] = {
+    val byDay = ticks().groupBy(t => (t._1, t._2 / 86400000000L))
+      .map { case ((sym, day), ts) =>
+        (sym, day, ts.maxBy(t => (t._2, t._3))._4) // last-by-(us,id) close
+      }.toSeq
+    byDay.groupBy(_._1).map { case (sym, bars) =>
+      val sorted = bars.sortBy(_._2)
+      sym -> sorted.zip(sorted.tail).collect {
+        case ((_, _, pc), (_, day, c)) if pc != 0L =>
+          (day, math.floor((c - pc).toDouble / pc * 1e6 + 0.5).toLong)
+      }.toSeq
+    }
+  }
+
+  test("var_es == driver replay: exact 5th percentile + worst-ceil(n/20) mean") {
+    val rets = dailyReturns()
+    val got = AnalyticOps.varEs(spark, TestSpark.sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (sym, (nDays, v95, es95)) =>
+      val rs = rets(sym).map(_._2).sorted
+      assert(rs.size == nDays)
+      // exact percentile with linear interpolation at p = 0.05
+      val idx = 0.05 * (rs.size - 1)
+      val lo = rs(idx.toInt)
+      val hi = rs(math.min(idx.toInt + 1, rs.size - 1))
+      val q = lo + (idx - idx.toInt) * (hi - lo)
+      assert(math.abs(v95 - r6(q / 1e6)) < 2e-6, s"$sym VaR: $v95 vs $q")
+      val k = (rs.size + 19) / 20
+      val es = rs.take(k).sum.toDouble / (k * 1e6)
+      assert(math.abs(es95 - r6(es)) < 2e-6, s"$sym ES: $es95 vs $es")
+      assert(es95 <= v95 + 1e-9, s"$sym: ES must sit at or below VaR")
+    }
+  }
+
+  test("sharpe_ratio == driver replay from exact integer moments") {
+    val rets = dailyReturns()
+    val got = AnalyticOps.sharpeRatio(spark, TestSpark.sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (sym, (n, meanRet, sharpe)) =>
+      val rs = rets(sym).map(_._2)
+      assert(rs.size == n && n >= 2)
+      val sr = rs.map(BigInt(_)).sum
+      val srr = rs.map(r => BigInt(r) * BigInt(r)).sum
+      assert(math.abs(meanRet
+        - r6(sr.toDouble / (n * 1000000L))) < 2e-6)
+      val varD = (BigInt(n) * srr - sr * sr).toDouble / (n * (n - 1L))
+      val exp = r6(sr.toDouble / n / math.sqrt(varD) * math.sqrt(365.0))
+      assert(math.abs(sharpe - exp) < 2e-6, s"$sym: $sharpe vs $exp")
+    }
+  }
+
+  test("capm_beta == driver replay; the market's own beta-weighted mean is ~1") {
+    val rets = dailyReturns()
+    // market return per day: mean of that day's symbol returns,
+    // re-quantized
+    val mkt = rets.values.flatten.groupBy(_._1).map { case (day, rs) =>
+      day -> math.floor(
+        rs.map(_._2).sum.toDouble / rs.size + 0.5).toLong
+    }
+    val got = AnalyticOps.capmBeta(spark, TestSpark.sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (sym, (n, beta, corr)) =>
+      val xy = rets(sym).map { case (day, r) => (mkt(day), r) }
+      assert(xy.size == n)
+      val sx = xy.map(p => BigInt(p._1)).sum
+      val sy = xy.map(p => BigInt(p._2)).sum
+      val sxx = xy.map(p => BigInt(p._1) * BigInt(p._1)).sum
+      val syy = xy.map(p => BigInt(p._2) * BigInt(p._2)).sum
+      val sxy = xy.map(p => BigInt(p._1) * BigInt(p._2)).sum
+      val num = (BigInt(n) * sxy - sx * sy).toDouble
+      val den = (BigInt(n) * sxx - sx * sx).toDouble
+      assert(math.abs(beta - r6(num / den)) < 2e-6, s"$sym beta")
+      val expCorr = r6(num / (math.sqrt(den)
+        * math.sqrt((BigInt(n) * syy - sy * sy).toDouble)))
+      assert(math.abs(corr - expCorr) < 2e-6, s"$sym corr")
+      assert(corr >= -1.0 - 1e-9 && corr <= 1.0 + 1e-9)
+    }
+  }
 }
