@@ -114,13 +114,22 @@ object Bench {
         s""""n_queries":$nQueries,"n_failed":$nFailed,""" +
         s""""sec_per_query":${math.round(perQuery * 1000) / 1000.0},""" +
         s""""sf":"$sfDir","queries":$qs}"""
-    println(line)
-    // The stdout line is the driver contract, but at 90+ queries it
-    // exceeds the driver's tail capture (BENCH_r04/r05 both recorded
-    // "parsed": null with the line truncated mid-record). Mirror the
-    // full JSON to a small file named for the measured sf so the
-    // round-over-round comparison stays machine-readable regardless
-    // of how much of stdout survives.
+    // The full line (with the 286-entry per-query map) exceeds the
+    // driver's stdout-tail capture (BENCH_r04/r05/r09 all recorded
+    // "parsed": null, truncated mid-map). The driver parses the LAST
+    // stdout line, so print a compact aggregate-only record LAST —
+    // it always fits a truncated tail — and ship the per-query map
+    // through the bench_<sf>.json mirror (and stderr for live runs).
+    System.err.println(line)
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""n_queries":$nQueries,"n_failed":$nFailed,""" +
+        s""""sec_per_query":${math.round(perQuery * 1000) / 1000.0},""" +
+        s""""sf":"$sfDir","queries_in":"bench_${
+          new java.io.File(sfDir).getName}.json"}""")
+    // Mirror the full JSON to a small file named for the measured sf
+    // so the round-over-round per-query comparison stays
+    // machine-readable regardless of how much of stdout survives.
     // Filtered dev runs (SPARK_GRAFT_QUERIES) must NOT clobber the
     // full-sweep mirror — a 3-query A/B would otherwise overwrite the
     // round's machine-readable record with a fragment.

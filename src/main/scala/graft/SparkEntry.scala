@@ -142,6 +142,8 @@ object SparkEntry {
     "top_dup_clusters"         -> (LlmTextOps.topDupClusters _),
     "dedup_impact"             -> (LlmTextOps.dedupImpact _),
     "bpe_merges"               -> (LlmTextOps.bpeMerges _),
+    "bpe_encode"               -> (LlmTextOps.bpeEncode _),
+    "quality_nb_cv"            -> (LlmTextOps.qualityNbCv _),
     "mixture_weights"          -> (LlmTextOps.mixtureWeights _),
     "hard_negatives"           -> (LlmVectorOps.hardNegatives _),
     "multimodal_dedup"         -> (LlmVectorOps.multimodalDedup _),
@@ -5313,6 +5315,86 @@ object SparkEntry {
     "decontaminate_fuzzy" -> LlmTextOps.decontaminateFuzzyOracleSql,
     // BPE training: the N-round merge loop unrolled as chained CTEs
     "bpe_merges" -> LlmTextOps.bpeMergesOracleSql,
+    // the train->apply closure: re-trains the merge chain, then
+    // encodes every (source, word) count through the final mapping
+    "bpe_encode" -> LlmTextOps.bpeEncodeOracleSql,
+    // leakage-free NB eval: weights trained on folds 1-4 of the
+    // cross_val_split hash stream, confusion on held-out fold 0;
+    // unseen tokens take the Laplace zero-count weight
+    "quality_nb_cv" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks,
+                  len(string_split(text, ' ')) AS n,
+                  length(text) - (len(string_split(text, ' ')) - 1) AS wchars
+           FROM documents),
+         labels AS (
+           SELECT doc_id,
+                  NOT ((n < 50 OR n > 100000)
+                    OR (wchars < 3 * n OR wchars > 10 * n)
+                    OR (10 * len(list_filter(toks,
+                          x -> regexp_matches(x, '[A-Za-z]'))) < 8 * n))
+                    AS label_good
+           FROM t),
+         folded AS (
+           SELECT doc_id,
+                  ((doc_id % 1000000007) * 2654435761 % 1000000007) % 5
+                    AS fold
+           FROM documents),
+         toks AS (
+           SELECT d.doc_id, unnest(string_split(d.text, ' ')) AS token,
+                  l.label_good, f.fold
+           FROM documents d JOIN labels l ON l.doc_id = d.doc_id
+                            JOIN folded f ON f.doc_id = d.doc_id),
+         per_tok AS (
+           SELECT token,
+                  CAST(SUM(CASE WHEN label_good THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tg,
+                  CAST(SUM(CASE WHEN NOT label_good THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tb
+           FROM toks WHERE fold <> 0 GROUP BY token),
+         totals AS (
+           SELECT CAST(SUM(tg) AS BIGINT) AS total_g,
+                  CAST(SUM(tb) AS BIGINT) AS total_b,
+                  CAST(COUNT(*) AS BIGINT) AS v
+           FROM per_tok),
+         weights AS (
+           SELECT token,
+                  CAST(floor(ln(floor(
+                    CAST((tg + 1) * (total_b + v) AS DOUBLE)
+                      / CAST((tb + 1) * (total_g + v) AS DOUBLE)
+                    * 1000000 + 0.5) / 1000000)
+                    * 1000000.0 + 0.5) AS BIGINT) AS w_q
+           FROM per_tok CROSS JOIN totals),
+         w0 AS (
+           SELECT CAST(floor(ln(floor(
+                    CAST(total_b + v AS DOUBLE)
+                      / CAST(total_g + v AS DOUBLE)
+                    * 1000000 + 0.5) / 1000000)
+                    * 1000000.0 + 0.5) AS BIGINT) AS w0_q
+           FROM totals),
+         priors AS (
+           SELECT CAST(floor(ln(floor(
+                    CAST(SUM(CASE WHEN label_good THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                      / NULLIF(CAST(SUM(CASE WHEN NOT label_good
+                          THEN 1 ELSE 0 END) AS DOUBLE), 0.0)
+                    * 1000000 + 0.5) / 1000000)
+                    * 1000000.0 + 0.5) AS BIGINT) AS prior_q
+           FROM labels l JOIN folded f ON f.doc_id = l.doc_id
+           WHERE f.fold <> 0),
+         logits AS (
+           SELECT tk.doc_id, tk.label_good,
+                  (SELECT prior_q FROM priors)
+                    + CAST(SUM(COALESCE(w.w_q, (SELECT w0_q FROM w0)))
+                        AS BIGINT) AS logit_q
+           FROM toks tk LEFT JOIN weights w ON w.token = tk.token
+           WHERE tk.fold = 0
+           GROUP BY 1, 2)
+         SELECT label_good, (logit_q > 0) AS pred_good,
+                COUNT(*) AS n_docs,
+                floor(CAST(SUM(logit_q) AS DOUBLE) / COUNT(*)
+                  / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS avg_logit
+         FROM logits GROUP BY 1, 2 ORDER BY 1, 2""",
     // the full dedup cascade (exact -> near -> substring -> semantic)
     "dedup_cascade" -> LlmTextOps.dedupCascadeOracleSql,
     // k-fold assignment audit on the shared multiplicative hash

@@ -17,6 +17,16 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Pin every routed pair/aligner source to the EXACT formulation
+    // for the oracle-gated dump: the DuckDB oracles replay the exact
+    // co-occurrence pairs and the exact window explode, so a banded
+    // route (auto flips at ~100k docs) would compare a recall-bounded
+    // engine result against an exact oracle. Oracle corpora sit far
+    // below the crossover today; the pin makes that a guarantee
+    // instead of a coincidence. The routed forms are gated by their
+    // own specs (PairRouting/SubstrRouting: routed == exact).
+    spark.conf.set(operators.LlmTextOps.PairSourceConf, "exact")
+    spark.conf.set(operators.LlmTextOps.SubstrSourceConf, "exact")
     new java.io.File(outDir).mkdirs()
     def deleteRec(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRec))

@@ -78,7 +78,10 @@ object SessionMemo {
   }
 
   /** Drop (and unpersist) everything memoized for this session. */
-  def invalidate(s: SparkSession): Unit = clearId(idOf(s))
+  def invalidate(s: SparkSession): Unit = {
+    clearId(idOf(s))
+    expireFingerprints()
+  }
 
   /** Count of live memo entries for this session (test hook). */
   private[graft] def size(s: SparkSession): Int = {
@@ -106,11 +109,68 @@ object SessionMemo {
     * single part-file rewritten in place under an untouched root.
     */
   def tableFingerprint(sfDir: String, table: String): String = {
+    // thread-local fallback resolution, kept for call sites that have
+    // no session in hand (tests); operators use the session-threaded
+    // overload below — getActiveSession on a sessionless thread would
+    // fall back to a bare Configuration, which for hdfs://s3a:// paths
+    // can resolve a differently-configured FileSystem than the one
+    // that built the memo (missing credentials → throw or a
+    // fingerprint inconsistent with the session's)
+    fingerprintWith(sfDir, table,
+      SparkSession.getActiveSession
+        .map(_.sessionState.newHadoopConf())
+        .getOrElse(new org.apache.hadoop.conf.Configuration()))
+  }
+
+  /** [[tableFingerprint]] resolved through THIS session's Hadoop conf
+    * — the overload every operator call site uses, so the FileSystem
+    * that fingerprints a table is always the one whose session built
+    * (and will serve) the memo, regardless of which thread runs the
+    * call.
+    */
+  def tableFingerprint(s: SparkSession, sfDir: String,
+      table: String): String =
+    fingerprintWith(sfDir, table, s.sessionState.newHadoopConf())
+
+  /** Short-TTL fingerprint cache: a 286-query sweep calls
+    * [[tableFingerprint]] several times per query (every
+    * `Tables.load` plus every silver-memo key), and each call paid a
+    * recursive listing even when the plan/silver memo it keyed was a
+    * hit — a pure listing tax. Entries expire after
+    * `graft.fingerprint.ttlMs` (default 5000 ms; 0 disables), so
+    * invalidation semantics on rewrite are unchanged beyond that
+    * window: a table rewritten in place fingerprints fresh on the
+    * first call after expiry, exactly as before. The window is a
+    * deliberate staleness bound — within one sweep's back-to-back
+    * queries the corpus is immutable, and a deployment rewriting
+    * tables mid-flight sets the TTL to 0.
+    */
+  private val fpCache =
+    new ConcurrentHashMap[String, (Long, String)]()
+
+  private def fpTtlNanos: Long =
+    java.lang.Long.getLong("graft.fingerprint.ttlMs", 5000L) * 1000000L
+
+  /** Drop every cached fingerprint (test hook + [[invalidate]]). */
+  private[graft] def expireFingerprints(): Unit = fpCache.clear()
+
+  private def fingerprintWith(sfDir: String, table: String,
+      conf: org.apache.hadoop.conf.Configuration): String = {
+    val ttl = fpTtlNanos
+    val ck = sfDir + "\u0000" + table
+    if (ttl > 0L) {
+      val hit = fpCache.get(ck)
+      if (hit != null && System.nanoTime() - hit._1 < ttl) return hit._2
+    }
+    val fp = fingerprintUncached(sfDir, table, conf)
+    if (ttl > 0L) fpCache.put(ck, (System.nanoTime(), fp))
+    fp
+  }
+
+  private def fingerprintUncached(sfDir: String, table: String,
+      conf: org.apache.hadoop.conf.Configuration): String = {
     val path = new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(sfDir), table + ".parquet")
-    val conf = SparkSession.getActiveSession
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
     val fs = path.getFileSystem(conf)
     val qual = fs.makeQualified(path)
     def statHash(st: org.apache.hadoop.fs.FileStatus): Long =
@@ -169,13 +229,29 @@ object SessionMemo {
   /** Memoize `build` — persisted — under (session, key). The same
     * key returns the SAME persisted frame; unpersist via
     * [[invalidate]] or context stop.
+    *
+    * The builder runs OUTSIDE the map's bin lock (the
+    * `Pairs.probeCache` posture): several memoized silvers run eager
+    * Spark jobs in their builders (the components fixpoint's
+    * per-round localCheckpoints, the wide-form min/max probe), and
+    * `computeIfAbsent` would hold the bin lock for the build's whole
+    * duration — minutes at scale — stalling every concurrent memo
+    * user hashing into the same bin. The race cost is an occasional
+    * duplicate build whose loser is unpersisted immediately.
     */
   def getOrBuild(s: SparkSession, key: String)(
       build: => DataFrame): DataFrame = {
     val per = memos.computeIfAbsent(idOf(s),
       _ => new ConcurrentHashMap[String, DataFrame]())
     evictSiblings(per, key, unpersist = true)
-    per.computeIfAbsent(key, _ => build.persist())
+    val hit = per.get(key)
+    if (hit != null) return hit
+    val built = build.persist()
+    val prior = per.putIfAbsent(key, built)
+    if (prior != null) {
+      try built.unpersist(blocking = false) catch { case _: Throwable => () }
+      prior
+    } else built
   }
 
   /** Memoize an UNPERSISTED plan (no storage blocks — just the
@@ -191,6 +267,13 @@ object SessionMemo {
     val per = plans.computeIfAbsent(idOf(s),
       _ => new ConcurrentHashMap[String, DataFrame]())
     evictSiblings(per, key, unpersist = false)
-    per.computeIfAbsent(key, _ => build)
+    // same build-outside-the-lock posture as getOrBuild: resolving a
+    // parquet relation lists files and reads footers — not a Spark
+    // job, but still I/O a bin lock shouldn't serialize
+    val hit = per.get(key)
+    if (hit != null) return hit
+    val built = build
+    val prior = per.putIfAbsent(key, built)
+    if (prior != null) prior else built
   }
 }

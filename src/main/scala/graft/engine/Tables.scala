@@ -21,7 +21,7 @@ object Tables {
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     SessionMemo.getOrBuildPlan(spark,
-      "scan|" + SessionMemo.tableFingerprint(sfDir, name))(
+      "scan|" + SessionMemo.tableFingerprint(spark, sfDir, name))(
       spark.read.parquet(s"$sfDir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")

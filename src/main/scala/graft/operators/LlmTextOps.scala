@@ -276,7 +276,7 @@ object LlmTextOps {
     val co = cooccurPairs(s, d)
     graft.engine.SessionMemo.getOrBuild(s,
       "neardup_pairs|" +
-        graft.engine.SessionMemo.tableFingerprint(d, "documents"))(
+        graft.engine.SessionMemo.tableFingerprint(s, d, "documents"))(
       jaccardFilter(co))
   }
 
@@ -324,7 +324,7 @@ object LlmTextOps {
       return cooccurPairsUncached(s, d)
     graft.engine.SessionMemo.getOrBuild(s,
       "cooccur_pairs|" +
-        graft.engine.SessionMemo.tableFingerprint(d, "documents"))(
+        graft.engine.SessionMemo.tableFingerprint(s, d, "documents"))(
       cooccurPairsUncached(s, d))
   }
 
@@ -665,7 +665,7 @@ object LlmTextOps {
     }
     graft.engine.SessionMemo.getOrBuild(s,
       "components|" + src + "|" +
-        graft.engine.SessionMemo.tableFingerprint(d, "documents"))(build)
+        graft.engine.SessionMemo.tableFingerprint(s, d, "documents"))(build)
   }
 
   /** large-star: every node hands its strictly-larger neighbors to the
@@ -1085,7 +1085,7 @@ object LlmTextOps {
       return build
     graft.engine.SessionMemo.getOrBuild(s,
       "minhash_verified_pairs|" +
-        graft.engine.SessionMemo.tableFingerprint(d, "documents"))(build)
+        graft.engine.SessionMemo.tableFingerprint(s, d, "documents"))(build)
   }
 
   /** Session conf routing the GRAPH consumers' pair source
@@ -2579,24 +2579,78 @@ object LlmTextOps {
     * false bypasses, as with every dedup silver.
     */
   private[graft] def substringRuns(s: SparkSession, d: String): DataFrame = {
+    val src = s.conf.get(SubstrSourceConf, "auto") match {
+      case "auto"                       => substrSourceRoute(s, d)
+      case v @ ("exact" | "minhash")    => v
+      case other => throw new IllegalArgumentException(
+        s"$SubstrSourceConf must be auto|exact|minhash, got '$other'")
+    }
+    def build =
+      if (src == "minhash") substringRunsBanded(s, d)
+      else substringRunsUncached(s, d)
     if (!s.conf.get("spark.graft.neardup.materialize", "true").toBoolean)
-      return substringRunsUncached(s, d)
+      return build
     graft.engine.SessionMemo.getOrBuild(s,
-      "substring_runs|" +
-        graft.engine.SessionMemo.tableFingerprint(d, "documents"))(
-      substringRunsUncached(s, d))
+      "substring_runs|" + src + "|" +
+        graft.engine.SessionMemo.tableFingerprint(s, d, "documents"))(build)
+  }
+
+  /** Session conf routing the substring ALIGNER's input
+    * (`shared_substrings`, `dedup_substring_removal`, and
+    * `dedup_cascade`'s substring stage — everything that reads
+    * [[substringRuns]]): `auto` (default) routes on the corpus-stats
+    * doc count exactly like [[PairSourceConf]]; `exact` pins the full
+    * window-posting pair explode; `minhash` pins the banded-candidate
+    * gate ([[substringRunsBanded]]). The [[dedupPairsRouted]]
+    * precedent applied one operator down the Lee et al. pipeline.
+    */
+  val SubstrSourceConf = "spark.graft.substr.source"
+
+  /** Which aligner input [[substringRuns]]' auto route picks — same
+    * memoized stats job and the same measured crossover as
+    * [[pairSourceRoute]]: the aligner's window-posting pair stream is
+    * the dedup_near posting-list unit (ScaleSweep: ~90–102×/decade,
+    * non-terminating around half a million docs), so the doc count
+    * where the exact pair silver stops being safe is the doc count
+    * where the exact window explode stops being safe.
+    */
+  private[graft] def substrSourceRoute(s: SparkSession, d: String): String =
+    if (corpusPairStats(s, d).n >= PairSourceCrossoverDocs) "minhash"
+    else "exact"
+
+  /** The 8-token window stream both aligner inputs share:
+    * `(doc_id, pos, wh)` with `wh` the xxhash64 of the space-joined
+    * window — 8-byte keys on every downstream shuffle, text never
+    * leaves the map side.
+    */
+  private def docWindows(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 7),
+             p -> struct(p AS pos,
+                         xxhash64(array_join(slice(toks, p, 8), ' ')) AS wh))"""))
+        .as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.wh").as("wh"))
+
+  /** Maximal diagonal runs from an aligned window-match pair stream
+    * `(i, j, pi, pj)` — the islands-in-diagonals pass shared verbatim
+    * by the exact and banded aligner inputs, so the run semantics
+    * cannot drift between routes.
+    */
+  private def runsFromAlignedPairs(pairs: DataFrame): DataFrame = {
+    val wDiag = Window.partitionBy("i", "j", "diag").orderBy("pi")
+    pairs
+      .withColumn("diag", col("pi") - col("pj"))
+      .withColumn("island", col("pi") - row_number().over(wDiag))
+      .groupBy(col("i"), col("j"), col("diag"), col("island"))
+      .agg(count(lit(1)).as("len_wins"), min(col("pi")).as("pi_start"))
+      .select("i", "j", "diag", "len_wins", "pi_start")
   }
 
   private def substringRunsUncached(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .where(size(col("toks")) >= 8)
-    val wins = docs.select(col("doc_id"), explode(expr(
-      """transform(sequence(1, size(toks) - 7),
-           p -> struct(p AS pos,
-                       xxhash64(array_join(slice(toks, p, 8), ' ')) AS wh))"""))
-      .as("w"))
-      .select(col("doc_id"), col("w.pos").as("pos"), col("w.wh").as("wh"))
+    val wins = docWindows(s, d)
     val lists = wins.groupBy(col("wh"))
       .agg(collect_list(struct(col("doc_id"), col("pos"))).as("ms"))
       .where(size(col("ms")) > 1)
@@ -2612,13 +2666,44 @@ object LlmTextOps {
                 struct<i:bigint,j:bigint,pi:int,pj:int>))),
            x -> x IS NOT NULL)))""")).as("p"))
       .select(col("p.i"), col("p.j"), col("p.pi"), col("p.pj"))
-    val wDiag = Window.partitionBy("i", "j", "diag").orderBy("pi")
-    pairs
-      .withColumn("diag", col("pi") - col("pj"))
-      .withColumn("island", col("pi") - row_number().over(wDiag))
-      .groupBy(col("i"), col("j"), col("diag"), col("island"))
-      .agg(count(lit(1)).as("len_wins"), min(col("pi")).as("pi_start"))
-      .select("i", "j", "diag", "len_wins", "pi_start")
+    runsFromAlignedPairs(pairs)
+  }
+
+  /** The banded aligner input — the Lee et al. 2022 published order
+    * (§3: cluster with MinHash first, align inside clusters): window
+    * postings are restricted to banded-MinHash CANDIDATE doc pairs
+    * ([[minhashCandidateIds]] — the pre-verify candidate set, NOT the
+    * ≥ 0.8-verified silver: a ≥ 50-token shared span needn't clear
+    * whole-doc Jaccard 0.8, so gating through the verified pairs
+    * would structurally under-recall) before any pair explode
+    * happens. Instead of exploding Σ C(k,2) per window value, each
+    * candidate pair pulls doc i's windows (one equi-join on i) and
+    * matches them against doc j's windows on (j, wh) — intermediate
+    * mass is Σ_pairs |windows(i)|, linear in candidates × doc length,
+    * never quadratic in a window value's document frequency.
+    *
+    * Recall contract (same clause as [[minhashVerifiedPairs]]): a
+    * cross-doc run only surfaces if its pair collides in ≥ 1 of the
+    * 8 bands. SubstrRouting tests pin banded == exact on the shipped
+    * corpora and the constructed span corpus; at 100 TB the missed
+    * mass is the published MinHash-recall tradeoff, bought to keep
+    * the aligner's input linear.
+    */
+  private def substringRunsBanded(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val wide = graft.engine.Pairs.needsWideForm(docs, "doc_id")
+    val sigs = minhashSignatures(s, d)
+      .select(col("doc_id").cast("long").as("doc_id"), col("sig"))
+    val cand = minhashCandidateIds(s, sigs, wide)
+      .select(col("i"), col("j"))
+    val wins = docWindows(s, d)
+    val aligned = cand
+      .join(wins.select(col("doc_id").as("i"), col("pos").as("pi"),
+        col("wh")), Seq("i"))
+      .join(wins.select(col("doc_id").as("j"), col("pos").as("pj"),
+        col("wh")), Seq("j", "wh"))
+      .select(col("i"), col("j"), col("pi"), col("pj"))
+    runsFromAlignedPairs(aligned)
   }
 
   /** Minimum run length (in TOKENS) [[dedupSubstringRemoval]] cuts —
@@ -4044,6 +4129,75 @@ object LlmTextOps {
       .orderBy("label_good", "pred_good")
   }
 
+  /** `quality_nb_cv` — the LEAKAGE-FREE evaluation [[qualityNb]]
+    * deliberately doesn't do (its confusion is resubstitution —
+    * trained and scored on the same documents): train the identical
+    * multinomial-NB weights on folds 1–4 of [[crossValSplit]]'s
+    * assignment, score the HELD-OUT fold 0, and report its confusion
+    * matrix — the honest generalization number a classifier-based
+    * curation gate ships with.
+    *
+    * Two deltas vs [[qualityNb]], both forced by the split: (1) the
+    * fold predicate is the crossValSplit multiplicative-hash stream —
+    * row-local, so train/test membership never shuffles; (2) held-out
+    * tokens UNSEEN in training take the Laplace zero-count weight
+    * (`tg = tb = 0` in the same LLR formula → one corpus-level
+    * constant) via a left join + coalesce — multinomial NB's standard
+    * smoothing, and the one code path resubstitution can never
+    * exercise. Same two-shuffle scale shape as the trainer; the
+    * weight table still broadcasts.
+    */
+  def qualityNbCv(s: SparkSession, d: String): DataFrame = {
+    val foldCol = ((col("doc_id") % lit(1000000007L)) * lit(2654435761L)
+      % lit(1000000007L)) % lit(5)
+    val labels = gopherFlags(s, d).select(col("doc_id"),
+      (!col("f_wc") && !col("f_mwl") && !col("f_alpha"))
+        .as("label_good"))
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .join(labels, Seq("doc_id"))
+      .withColumn("fold", foldCol)
+    val train = toks.where(col("fold") =!= 0L)
+    val perTok = train.groupBy(col("token"))
+      .agg(sum(when(col("label_good"), 1L).otherwise(0L)).as("tg"),
+        sum(when(!col("label_good"), 1L).otherwise(0L)).as("tb"))
+    val totals = perTok.agg(
+      sum(col("tg")).as("total_g"), sum(col("tb")).as("total_b"),
+      count(lit(1)).as("v"))
+      .select(col("total_g"), col("total_b"), col("v"))
+    def llrQ(tg: Column, tb: Column) =
+      floor(log(r6(
+        ((tg + 1L) * (col("total_b") + col("v"))).cast("double")
+          / ((tb + 1L) * (col("total_g") + col("v"))).cast("double")))
+        * lit(1000000.0) + lit(0.5)).cast("long")
+    val weights = perTok.crossJoin(broadcast(totals))
+      .select(col("token"), llrQ(col("tg"), col("tb")).as("w_q"))
+    // the unseen-token weight: the same formula at tg = tb = 0
+    val w0 = totals.select(llrQ(lit(0L), lit(0L)).as("w0_q"))
+    val priors = labels.withColumn("fold", foldCol)
+      .where(col("fold") =!= 0L)
+      .agg(
+        sum(when(col("label_good"), 1L).otherwise(0L)).as("ng"),
+        sum(when(!col("label_good"), 1L).otherwise(0L)).as("nb"))
+      .select(floor(log(r6(col("ng").cast("double")
+        / nullif(col("nb").cast("double"), lit(0.0))))
+        * lit(1000000.0) + lit(0.5))
+        .cast("long").as("prior_q"))
+    val logits = toks.where(col("fold") === 0L)
+      .join(weights, Seq("token"), "left")
+      .crossJoin(broadcast(w0))
+      .withColumn("w_eff", coalesce(col("w_q"), col("w0_q")))
+      .groupBy(col("doc_id"), col("label_good"))
+      .agg(sum(col("w_eff")).as("sum_w"))
+      .crossJoin(broadcast(priors))
+      .withColumn("logit_q", col("prior_q") + col("sum_w"))
+    logits
+      .groupBy(col("label_good"), (col("logit_q") > 0L).as("pred_good"))
+      .agg(count(lit(1)).as("n_docs"),
+        r6(avg(col("logit_q")) / lit(1000000.0)).as("avg_logit"))
+      .orderBy("label_good", "pred_good")
+  }
+
   /** `dedup_cascade` — the published dedup PIPELINE as one gated
     * accounting query: documents and tokens surviving each stage of
     * the full cascade a production corpus release runs —
@@ -4220,8 +4374,11 @@ object LlmTextOps {
     * narrows them to a handful of candidates (Sweeney's k-anonymity
     * applied as a release-audit over the corpus datacard dimensions).
     * Output: each at-risk class with its size, plus the always-present
-    * `__total` row carrying the at-risk document share, so the
-    * headline number survives even a clean corpus (non-vacuous gate).
+    * `__total` row whose `k` carries the raw at-risk document COUNT
+    * (not a share — the count keeps the column integer-typed and the
+    * share is one division away against `n_docs` from any datacard
+    * row), so the headline number survives even a clean corpus
+    * (non-vacuous gate).
     * One hash-aggregate over row-local keys; the decile rides a
     * fenced integer division of n_chars (no window, no sort) — at
     * 100 TB this is a map-side-combined single shuffle.
@@ -4288,6 +4445,44 @@ object LlmTextOps {
     * rounds unrolled.
     */
   def bpeMerges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    bpeTrainMerges(s, d).toDF("merge_rank", "lhs", "rhs", "c")
+      .select(col("merge_rank"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"),
+        col("c").as("pair_count"))
+      .orderBy("merge_rank")
+  }
+
+  /** The trained merge list itself — the [[BpeMergeRounds]] argmax
+    * loop factored out of [[bpeMerges]] so [[bpeEncode]] can APPLY
+    * the same tokenizer. Memoized per (session, corpus fingerprint):
+    * the list is 12 tuples, but producing it costs one corpus scan
+    * plus 12 aggregate jobs — two registered consumers
+    * (`bpe_merges`, `bpe_encode`) must not pay that twice (the
+    * corpusPairStats posture — the merges are a corpus property).
+    */
+  private[graft] def bpeTrainMerges(s: SparkSession,
+      d: String): Seq[(Int, String, String, Long)] = {
+    val key = "bpe_merges|" +
+      graft.engine.SessionMemo.tableFingerprint(s, d, "documents")
+    val per = bpeMergesCache.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[String,
+        Seq[(Int, String, String, Long)]]())
+    val cached = per.get(key)
+    if (cached != null) return cached
+    val trained = bpeTrainMergesUncached(s, d)
+    per.putIfAbsent(key, trained)
+    trained
+  }
+
+  private val bpeMergesCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String,
+          Seq[(Int, String, String, Long)]]]())
+
+  private def bpeTrainMergesUncached(s: SparkSession,
+      d: String): Seq[(Int, String, String, Long)] = {
     val words = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("word"))
       .where(length(col("word")) > 0)
@@ -4335,13 +4530,94 @@ object LlmTextOps {
     }
     if (prev != null) prev.unpersist()
     cur.unpersist()
-    import s.implicits._
-    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "c")
-      .select(col("merge_rank"), col("lhs"), col("rhs"),
-        concat(col("lhs"), col("rhs")).as("merged"),
-        col("c").as("pair_count"))
-      .orderBy("merge_rank")
+    merges.toSeq
   }
+
+  /** `bpe_encode` — APPLY the tokenizer [[bpeMerges]] trained (the
+    * train→apply closure: a merge table nobody encodes with is a
+    * benchmark, not a tokenizer): encode the corpus with the learned
+    * merge list and report, per source, the whitespace-token
+    * baseline, the BPE token count, fertility (BPE tokens per word —
+    * `tokenizer_fertility`'s metric now computed for the IN-ENGINE
+    * tokenizer), and BPE tokens per document.
+    *
+    * Distributed shape: encoding is ROW-LOCAL given the merge list —
+    * the 12 learned merges are driver-side literals (an aggregation
+    * RESULT, the codebook pattern), applied as a chain of 12
+    * non-overlapping left-to-right `replace` calls over the
+    * space-joined symbol form, exactly the training rewrite — so
+    * greedy application order matches training by construction. The
+    * encode runs once per DISTINCT word (vocab-sized frame, broadcast
+    * back onto the (source, word) counts), so corpus text is scanned
+    * once and never shuffled: at 100 TB the expensive part is the
+    * word-count aggregate the trainer already ran.
+    */
+  def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    val merges = bpeTrainMerges(s, d)
+    val docs = Tables.documents(s, d)
+    val perSrcDocs = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val words = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("n"))
+    val sym0 = concat(lit(" "),
+      array_join(expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+        " "),
+      lit(" "))
+    val symFinal = merges.foldLeft(sym0) { case (c, (_, l, r, _)) =>
+      replace(c, lit(s" $l $r "), lit(s" $l$r "))
+    }
+    val mapping = words.select(col("word")).distinct()
+      .withColumn("n_sub", size(split(trim(symFinal), " ")).cast("long"))
+    val per = words.join(broadcast(mapping), Seq("word"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("n_sub")).as("n_bpe_tokens"))
+    per.join(perSrcDocs, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_bpe_tokens"),
+        r6(col("n_bpe_tokens").cast("double")
+          / col("n_words").cast("double")).as("fertility"),
+        r6(col("n_bpe_tokens").cast("double")
+          / col("n_docs").cast("double")).as("tokens_per_doc"))
+      .orderBy("source")
+  }
+
+  /** [[bpeEncode]]'s DuckDB oracle: the SAME generated training-CTE
+    * chain as [[bpeMergesOracleSql]] (the `word` column rides every
+    * `w_r` rewrite, so `w$BpeMergeRounds` IS the word → encoded-form
+    * mapping), then the per-source roll-up over the (source, word)
+    * counts. Reusing the chain means the oracle re-trains the
+    * tokenizer from raw text — the encode gate cannot pass unless
+    * training AND application both match.
+    */
+  private[graft] def bpeEncodeOracleSql: String =
+    s"""WITH $bpeOracleCtes,
+         encmap AS (SELECT word,
+              CAST(len(string_split(trim(w), ' ')) AS BIGINT) AS n_sub
+            FROM w$BpeMergeRounds),
+         dw AS (SELECT source, word, COUNT(*) AS n FROM (
+                  SELECT source, unnest(string_split(text, ' ')) AS word
+                  FROM documents)
+                WHERE length(word) > 0 GROUP BY source, word),
+         per AS (SELECT dw.source,
+                  CAST(SUM(dw.n) AS BIGINT) AS n_words,
+                  CAST(SUM(dw.n * e.n_sub) AS BIGINT) AS n_bpe_tokens
+                 FROM dw JOIN encmap e ON e.word = dw.word
+                 GROUP BY dw.source),
+         pd AS (SELECT source, COUNT(*) AS n_docs
+                FROM documents GROUP BY source)
+         SELECT per.source, pd.n_docs, per.n_words, per.n_bpe_tokens,
+                floor(CAST(n_bpe_tokens AS DOUBLE)
+                  / CAST(n_words AS DOUBLE) * 1000000 + 0.5) / 1000000
+                  AS fertility,
+                floor(CAST(n_bpe_tokens AS DOUBLE)
+                  / CAST(pd.n_docs AS DOUBLE) * 1000000 + 0.5) / 1000000
+                  AS tokens_per_doc
+         FROM per JOIN pd ON pd.source = per.source
+         ORDER BY per.source"""
 
   /** [[bpeMerges]]'s DuckDB oracle — the same training loop with the
     * [[BpeMergeRounds]] rounds UNROLLED as chained CTEs (one
@@ -4352,9 +4628,25 @@ object LlmTextOps {
     * scan 2^N times.
     */
   private[graft] def bpeMergesOracleSql: String = {
+    val sel = (1 to BpeMergeRounds).map { r =>
+      s"""SELECT $r AS merge_rank, l AS lhs, r AS rhs,
+            l || r AS merged, c AS pair_count FROM m$r"""
+    }.mkString("\n UNION ALL ")
+    s"WITH $bpeOracleCtes\n$sel ORDER BY merge_rank"
+  }
+
+  /** The generated training-CTE chain shared by the `bpe_merges` and
+    * `bpe_encode` oracles (w0 … w[[BpeMergeRounds]] with the per-round
+    * pair-count/argmax/rewrite triple). Every `w_r` carries the
+    * ORIGINAL `word` alongside its rewritten symbol form: pair counts
+    * aggregate over (l, r) regardless, so the merges are unchanged,
+    * and the final table doubles as the encode oracle's word →
+    * subword-count mapping. CTE names used: w0..wN, p1..pN, m1..mN.
+    */
+  private[graft] def bpeOracleCtes: String = {
     val w0 =
       """w0 AS MATERIALIZED (
-           SELECT ' ' || array_to_string(
+           SELECT word, ' ' || array_to_string(
                     [word[i] for i in range(1, length(word) + 1)], ' ')
                   || ' ' AS w, cnt
            FROM (SELECT word, COUNT(*) AS cnt
@@ -4371,17 +4663,13 @@ object LlmTextOps {
                    WHERE len(s) >= 2)
              GROUP BY 1, 2),
          m$r AS MATERIALIZED (SELECT l, r, c FROM p$r ORDER BY c DESC, l, r LIMIT 1),
-         w$r AS MATERIALIZED (SELECT replace(w,
+         w$r AS MATERIALIZED (SELECT word, replace(w,
                     ' ' || (SELECT l FROM m$r) || ' '
                         || (SELECT r FROM m$r) || ' ',
                     ' ' || (SELECT l FROM m$r)
                         || (SELECT r FROM m$r) || ' ') AS w, cnt
              FROM w${r - 1})"""
     }.mkString(",\n")
-    val sel = (1 to BpeMergeRounds).map { r =>
-      s"""SELECT $r AS merge_rank, l AS lhs, r AS rhs,
-            l || r AS merged, c AS pair_count FROM m$r"""
-    }.mkString("\n UNION ALL ")
-    s"WITH $w0,\n$rounds\n$sel ORDER BY merge_rank"
+    s"$w0,\n$rounds"
   }
 }

@@ -1015,7 +1015,7 @@ object LlmVectorOps {
       return build
     graft.engine.SessionMemo.getOrBuild(s,
       "lloyd_codebook|" +
-        graft.engine.SessionMemo.tableFingerprint(d, "embeddings"))(build)
+        graft.engine.SessionMemo.tableFingerprint(s, d, "embeddings"))(build)
   }
 
   /** Deterministic seed codebook: every 100th vector (k ≈ n/100). */
@@ -1120,16 +1120,38 @@ object LlmVectorOps {
     */
   def semdedup(s: SparkSession, d: String): DataFrame = {
     val assigned = semdedupAssigned(s, d)
-    val x = assigned.select(col("vec_id").as("i"),
-      col("embedding").as("emb_i"), col("norm").as("norm_i"),
-      col("cent_id"), col("cent_sim").as("cs_i"))
-    val y = assigned.select(col("vec_id").as("j"),
-      col("embedding").as("emb_j"), col("norm").as("norm_j"),
-      col("cent_id"), col("cent_sim").as("cs_j"))
-    // the removed member's decoration (cent_id, cent_sim) rides the
-    // pair row itself — no third pass over the assignment
-    x.join(y, Seq("cent_id"))
-      .where(col("i") < col("j"))
+    val cap = s.conf.get(SemDedupHotCellCapConf, "0").toInt
+    val decorated =
+      if (cap > 0) {
+        // hot-cell-capped pair generation: candidate (i, j) ids come
+        // from the salted FromMembers generator — a Lloyd cell past
+        // the cap splits into disjoint salt groups whose intra+cross
+        // chunks spread across tasks, so no single task owns a viral
+        // cell's C(cell, 2) work; decorations re-attach per CANDIDATE
+        // (two narrow joins), never per cell
+        val wide = graft.engine.Pairs.needsWideForm(assigned, "vec_id")
+        val idPairs = graft.engine.Pairs.distinctPairsFromMembers(s,
+          assigned.select(col("cent_id"), col("vec_id")),
+          Seq("cent_id"), "vec_id", wide, cap)
+        idPairs
+          .join(assigned.select(col("vec_id").as("i"),
+            col("embedding").as("emb_i"), col("norm").as("norm_i"),
+            col("cent_id"), col("cent_sim").as("cs_i")), Seq("i"))
+          .join(assigned.select(col("vec_id").as("j"),
+            col("embedding").as("emb_j"), col("norm").as("norm_j"),
+            col("cent_sim").as("cs_j")), Seq("j"))
+      } else {
+        val x = assigned.select(col("vec_id").as("i"),
+          col("embedding").as("emb_i"), col("norm").as("norm_i"),
+          col("cent_id"), col("cent_sim").as("cs_i"))
+        val y = assigned.select(col("vec_id").as("j"),
+          col("embedding").as("emb_j"), col("norm").as("norm_j"),
+          col("cent_id"), col("cent_sim").as("cs_j"))
+        // the removed member's decoration (cent_id, cent_sim) rides
+        // the pair row itself — no third pass over the assignment
+        x.join(y, Seq("cent_id")).where(col("i") < col("j"))
+      }
+    decorated
       .withColumn("cos_sim", r6(
         VectorExprs.dot(s, col("emb_i"), col("emb_j"))
           / (col("norm_i") * col("norm_j"))))
@@ -1145,6 +1167,22 @@ object LlmVectorOps {
       .distinct()
       .orderBy("vec_id")
   }
+
+  /** Hot-cell cap for [[semdedup]]'s within-cell pair stream (0 =
+    * off, the default). The SemDeDup pair stream is Σ C(cell, 2):
+    * bounded on a corpus whose k scales with n (the seed stride makes
+    * k = n/[[ivfStride]] here), but ONE viral cell — a boilerplate
+    * cluster, a spam campaign, an embedding-collapse artifact — makes
+    * a single task compute that cell's full quadratic pair set. Past
+    * the cap, cells split through the salted
+    * [[graft.engine.Pairs.distinctPairsFromMembers]] generator
+    * (output-identical — AnnQualitySpec pins capped == uncapped; the
+    * same contract as [[graft.operators.LlmTextOps]]'s LSH hot-bucket
+    * cap). Default off because detection costs a cell-size
+    * aggregation per run and the measured corpora top out at
+    * single-digit cell occupancy over the cap's natural values.
+    */
+  val SemDedupHotCellCapConf = "spark.graft.semdedup.hotCellCap"
 
   /** The keep-1 Lloyd-cell assignment with the r6-fenced centroid
     * sim, embedding carried for the pair cosine — memoized per
@@ -1176,7 +1214,7 @@ object LlmVectorOps {
       return build
     graft.engine.SessionMemo.getOrBuild(s,
       "semdedup_assigned|" +
-        graft.engine.SessionMemo.tableFingerprint(d, "embeddings"))(build)
+        graft.engine.SessionMemo.tableFingerprint(s, d, "embeddings"))(build)
   }
 
   /** The DuckDB oracle for `semdedup`: seed codebook, two

@@ -508,7 +508,7 @@ object RelationalOps {
     if (!s.conf.get("spark.graft.baskets.materialize", "true").toBoolean)
       return build
     graft.engine.SessionMemo.getOrBuild(s,
-      "baskets|" + graft.engine.SessionMemo.tableFingerprint(d, "lineitem"))(
+      "baskets|" + graft.engine.SessionMemo.tableFingerprint(s, d, "lineitem"))(
       build)
   }
 
@@ -600,7 +600,7 @@ object RelationalOps {
       buildE
     else graft.engine.SessionMemo.getOrBuild(s,
       "copurchase_co2|" +
-        graft.engine.SessionMemo.tableFingerprint(d, "lineitem"))(buildE)
+        graft.engine.SessionMemo.tableFingerprint(s, d, "lineitem"))(buildE)
   }
 
   /** `item_components` — connected components of the co-purchase

@@ -28,8 +28,25 @@ import org.apache.spark.sql.streaming._
   *   - ticks older than the open hour are dropped (late beyond the
   *     rollover — the watermark delay is the knob).
   *
+  * DOCUMENTED DROP WINDOW (the reference-faithful trade): because the
+  * rollover emits hour H's candle on the FIRST hour-H+1 tick — the
+  * reference's own eager close, `dataCollector.py:179-191` — an
+  * out-of-order hour-H tick arriving AFTER that rollover is dropped
+  * even when it is still inside the watermark delay. Candles are
+  * therefore arrival-order dependent across the hour boundary: this
+  * operator trades watermark-completeness for the reference's
+  * emit-on-rollover latency. A deployment that wants
+  * watermark-complete candles instead should close ONLY via
+  * `handleExpiredTimer` (keep the finished hour in a MapState keyed
+  * by hourMs until its timer fires) and accept one watermark-delay of
+  * extra latency per candle; the S1 `hourlyOhlcStream` windowed
+  * aggregate in [[StreamingOhlc]] already provides exactly those
+  * semantics, so the pair covers both contracts.
+  *
   * Requires the RocksDB state-store provider (the transformWithState
-  * contract in Spark 4); StreamingSpec S25 sets it per query.
+  * contract in Spark 4); StreamingSpec S25 sets it per query, and
+  * S25r kill-restarts the query mid-hour to pin that the RocksDB
+  * ValueState + registered timers survive a checkpoint recovery.
   */
 object StreamingOhlcTws {
 

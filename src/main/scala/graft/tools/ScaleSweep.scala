@@ -349,6 +349,19 @@ object ScaleSweep {
       // table), the ExactSubstr removal pass (rides the runs silver),
       // SemDeDup (Lloyd cells), mining/mixing/privacy/payload rows
       "bpe_merges" -> (graft.operators.LlmTextOps.bpeMerges _),
+      // the round-10 train->apply closures: encode rides the memoized
+      // merge list + a vocab-sized row-local map; the CV eval is the
+      // quality_nb two-shuffle shape with a fold filter
+      "bpe_encode" -> (graft.operators.LlmTextOps.bpeEncode _),
+      "quality_nb_cv" -> (graft.operators.LlmTextOps.qualityNbCv _),
+      // the REGISTERED aligner consumers — past the crossover their
+      // auto route gates window postings through banded-MinHash
+      // candidates (spark.graft.substr.source), which is what makes
+      // them measurable at the second decade at all (the exact window
+      // explode rides the same ~90-102x/decade pair stream as
+      // dedup_near and stops terminating around half a million docs)
+      "shared_substrings" ->
+        (graft.operators.LlmTextOps.sharedSubstrings _),
       "dedup_substring_removal" ->
         (graft.operators.LlmTextOps.dedupSubstringRemoval _),
       "semdedup" -> (graft.operators.LlmVectorOps.semdedup _),
@@ -454,6 +467,20 @@ object ScaleSweep {
     // which source the registered graph consumers' auto route picks
     // for THIS corpus (exact below 100k docs, minhash above)
     val pairRoute = graft.operators.LlmTextOps.pairSourceRoute(spark, outDir)
+    // ... and which aligner input the substring family's route picks
+    val substrRoute =
+      graft.operators.LlmTextOps.substrSourceRoute(spark, outDir)
+
+    // Lloyd-cell occupancy of the semdedup assignment — the skew
+    // evidence behind spark.graft.semdedup.hotCellCap: the pair
+    // stream is Σ C(cell, 2), so kmax is the straggler bound (one
+    // task owns C(kmax, 2) pairs until the cap splits it)
+    val cellOcc = graft.operators.LlmVectorOps
+      .semdedupAssigned(spark, outDir)
+      .groupBy(col("cent_id")).agg(count(lit(1)).as("k"))
+      .agg(count(lit(1)).as("cells"), max(col("k")).as("kmax"),
+        expr("CAST(approx_percentile(k, 0.99) AS BIGINT)").as("kp99"),
+        avg(col("k")).as("kmean")).head()
 
     val qs = times.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     println(s"""{"metric":"scale_sweep","dir":"$outDir","docs":$nDocs,""" +
@@ -465,6 +492,11 @@ object ScaleSweep {
       s""""fixpoint_rounds":$rounds,"labeled_docs":$nLabeled,""" +
       s""""components_source":"$compSource",""" +
       s""""pair_source_route":"$pairRoute",""" +
+      s""""substr_source_route":"$substrRoute",""" +
+      s""""lloyd_cells":${cellOcc.getLong(0)},""" +
+      s""""cell_kmax":${cellOcc.getLong(1)},""" +
+      s""""cell_kp99":${cellOcc.getLong(2)},""" +
+      s""""cell_kmean":${math.round(cellOcc.getDouble(3) * 1000) / 1000.0},""" +
       s""""band_buckets":${occ.getLong(0)},"band_multi":${occ.getLong(1)},""" +
       s""""band_kmax":${occ.getLong(2)},"band_kp99":${occ.getLong(3)},""" +
       s""""band_kmean":${math.round(occ.getDouble(4) * 1000) / 1000.0},""" +

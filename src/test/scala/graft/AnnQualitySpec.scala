@@ -298,4 +298,86 @@ class AnnQualitySpec extends AnyFunSuite {
       s"semdedup diverged: extra=${got -- removed}, missing=${removed -- got}")
     assert(got.nonEmpty, "vacuous semdedup pin at sf0.001")
   }
+
+  test("semdedup hot-cell cap: capped pair generation == uncapped output") {
+    // the Σ C(cell, 2) bound: past the cap a Lloyd cell splits through
+    // the salted FromMembers generator — the OUTPUT must be identical
+    // (full row set, not just ids: cent_id and cent_sim decorations
+    // re-attach per candidate on the capped path)
+    val d = TestSpark.sf0001
+    def rows(): Seq[String] =
+      LlmVectorOps.semdedup(spark, d).collect().map(_.toString).toSeq
+    val uncapped = rows()
+    assert(uncapped.nonEmpty, "vacuous cap pin")
+    // cap = 2 forces EVERY multi-member cell through the hot split
+    // (the sf0.001 cells hold up to dozens of members), so the salted
+    // intra+cross branches — not the cold path — produce the pairs
+    spark.conf.set(LlmVectorOps.SemDedupHotCellCapConf, "2")
+    try {
+      val capped = rows()
+      assert(capped == uncapped,
+        s"capped semdedup diverged: ${capped.size} vs ${uncapped.size} rows")
+    } finally spark.conf.unset(LlmVectorOps.SemDedupHotCellCapConf)
+    // a cap no cell reaches must also be output-identical (cold path)
+    spark.conf.set(LlmVectorOps.SemDedupHotCellCapConf, "1000000")
+    try assert(rows() == uncapped,
+      "an unreached cap must leave the output unchanged")
+    finally spark.conf.unset(LlmVectorOps.SemDedupHotCellCapConf)
+  }
+
+  test("semdedup hot-cell cap spreads a viral cell across tasks") {
+    // skewed-cell evidence: a corpus whose embeddings all collapse to
+    // (nearly) one direction lands in ONE Lloyd cell; with the cap on,
+    // the exploded pair stream of that cell must occupy many tasks
+    // instead of one (the 100 TB straggler this conf exists to kill)
+    import spark.implicits._
+    val base = Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
+    val vecs = (0L until 512L).map { id =>
+      // identical direction for every vector: cosine 1.0 to every
+      // centroid, keep-1 tie-break sends ALL of them to one cell
+      (id, base.toSeq, (id % 10).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_semdedup_hot").toString
+    try {
+      vecs.write.parquet(s"$dir/embeddings.parquet")
+      val assigned = LlmVectorOps.semdedupAssigned(spark, dir)
+      val cells = assigned.groupBy("cent_id").count().collect()
+      assert(cells.map(_.getLong(1)).max >= 256L,
+        "the constructed corpus must actually have a viral cell")
+      val members = assigned.select(
+        org.apache.spark.sql.functions.col("cent_id"),
+        org.apache.spark.sql.functions.col("vec_id"))
+      // AQE's tiny-partition coalescing would re-merge the split
+      // chunks at TEST scale (the HotBucketSpec caveat) — pin the
+      // spread with coalescing off
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+        "false")
+      val perTask =
+        try graft.engine.Pairs
+          .explodedPairsFromMembers(spark, members, Seq("cent_id"),
+            "vec_id", wide = false, hotCap = 64, groups = 16)
+          .select(org.apache.spark.sql.functions.spark_partition_id()
+            .as("pid"))
+          .groupBy("pid").count()
+          .collect().map(_.getLong(1))
+        finally spark.conf.unset(
+          "spark.sql.adaptive.coalescePartitions.enabled")
+      val total = perTask.sum
+      assert(total >= 512L * 511L / 2L, s"pair stream too small: $total")
+      assert(perTask.length >= 3,
+        s"quadratic work not spread: ${perTask.toSeq}")
+      assert(perTask.max <= total / 2,
+        s"one task still owns the viral cell: max=${perTask.max} of " +
+          s"$total across ${perTask.length} tasks")
+      // and the capped query still equals the uncapped on this corpus
+      val off = LlmVectorOps.semdedup(spark, dir).collect()
+        .map(_.toString).toSeq
+      spark.conf.set(LlmVectorOps.SemDedupHotCellCapConf, "64")
+      try assert(LlmVectorOps.semdedup(spark, dir).collect()
+        .map(_.toString).toSeq == off)
+      finally spark.conf.unset(LlmVectorOps.SemDedupHotCellCapConf)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir))
+  }
 }

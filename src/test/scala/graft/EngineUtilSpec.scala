@@ -247,8 +247,51 @@ class EngineUtilSpec extends AnyFunSuite {
       Thread.sleep(5)
       java.nio.file.Files.write(t, "v2".getBytes)
       t.toFile.setLastModified(System.currentTimeMillis() + 2000)
+      // expire the short-TTL cache first: this test pins the
+      // INVALIDATION semantics (rewrite => new fingerprint), which
+      // hold from the first post-expiry call
+      SessionMemo.expireFingerprints()
       val fp2 = SessionMemo.tableFingerprint(dir.toString, "t")
       assert(fp1 != fp2, "rewrite must change the fingerprint")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
+
+  test("tableFingerprint TTL cache: hits skip the listing, expiry restores invalidation") {
+    import graft.engine.SessionMemo
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp_ttl")
+    try {
+      val t = dir.resolve("t.parquet")
+      java.nio.file.Files.write(t, "v1".getBytes)
+      SessionMemo.expireFingerprints()
+      val fp1 = SessionMemo.tableFingerprint(dir.toString, "t")
+      // rewrite INSIDE the TTL window: the cached fingerprint must be
+      // served (that is the whole point — no listing per memo hit),
+      // so the value is unchanged until expiry
+      Thread.sleep(5)
+      java.nio.file.Files.write(t, "v2".getBytes)
+      t.toFile.setLastModified(System.currentTimeMillis() + 2000)
+      val cached = SessionMemo.tableFingerprint(dir.toString, "t")
+      assert(cached == fp1,
+        "within the TTL the cached fingerprint is served verbatim")
+      // expiry (test hook stands in for the clock) => fresh listing
+      SessionMemo.expireFingerprints()
+      val fp2 = SessionMemo.tableFingerprint(dir.toString, "t")
+      assert(fp2 != fp1, "post-expiry call must see the rewrite")
+      // the session-threaded overload resolves through the session's
+      // Hadoop conf and agrees with the thread-local form on local FS
+      val fp3 = SessionMemo.tableFingerprint(spark, dir.toString, "t")
+      assert(fp3 == fp2, "session-threaded overload must agree")
+      // invalidate() also drops the (global) fingerprint cache — use
+      // a throwaway child session so this suite doesn't unpersist the
+      // shared session's silver memos out from under later tests
+      Thread.sleep(5)
+      java.nio.file.Files.write(t, "v3".getBytes)
+      t.toFile.setLastModified(System.currentTimeMillis() + 4000)
+      SessionMemo.invalidate(spark.newSession())
+      assert(SessionMemo.tableFingerprint(dir.toString, "t") != fp2,
+        "invalidate() must expire cached fingerprints")
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
     }

@@ -1731,6 +1731,75 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("S25r streaming_ohlc_tws: kill + checkpoint restart — RocksDB ValueState and timers survive") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingOhlcTws
+    import StreamingOhlcTws.Tick
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val in = MemoryStream[Tick]
+    val ckpt = java.nio.file.Files.createTempDirectory("s25r_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("s25r_out").toString
+    def start() = StreamingOhlcTws.ohlcStream(in.toDS())
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    def candles() = spark.read.parquet(out)
+      .orderBy("symbol", "hour_start")
+      .collect().map(r => (r.getAs[String]("symbol"),
+        r.getAs[Timestamp]("hour_start"), r.getAs[Double]("open"),
+        r.getAs[Double]("high"), r.getAs[Double]("low"),
+        r.getAs[Double]("close"), r.getAs[Long]("n_ticks")))
+    val q1 = start()
+    try {
+      in.addData(
+        Tick(ts("2024-01-01 10:05:00"), "BTC", 100.0),
+        Tick(ts("2024-01-01 10:20:00"), "BTC", 120.0),
+        Tick(ts("2024-01-01 10:10:00"), "ETH", 50.0))
+      q1.processAllAvailable() // open hour-10 candles live ONLY in RocksDB
+      assert(candles().isEmpty, "hour 10 still open pre-kill")
+      // an UNPROCESSED tick lands, then the query dies
+      in.addData(Tick(ts("2024-01-01 10:40:00"), "BTC", 95.0))
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      // the replayed tick must fold into the RESTORED candle (close
+      // becomes event-time-last 95), not open a fresh one
+      q2.processAllAvailable()
+      assert(candles().isEmpty, "hour 10 still open after restart")
+      // rollover closes BTC hour 10; the same batch's watermark
+      // (11:30 − 10 min) expires ETH's 11:00 timer — the timer itself
+      // was registered BEFORE the kill, so its firing proves timers
+      // are part of the recovered state
+      in.addData(Tick(ts("2024-01-01 11:30:00"), "BTC", 101.0))
+      q2.processAllAvailable()
+      in.addData(Tick(ts("2024-01-01 12:30:00"), "DOGE", 1.0))
+      q2.processAllAvailable() // BTC hour 11 closes via its timer
+      val got = candles()
+      assert(got.toSeq == Seq(
+        ("BTC", ts("2024-01-01 10:00:00"), 100.0, 120.0, 95.0, 95.0, 3L),
+        ("BTC", ts("2024-01-01 11:00:00"), 101.0, 101.0, 101.0, 101.0, 1L),
+        ("ETH", ts("2024-01-01 10:00:00"), 50.0, 50.0, 50.0, 50.0, 1L)),
+        s"recovered candles diverged: ${got.mkString(",")}")
+      assert(got.map(c => (c._1, c._2)).distinct.length == got.length,
+        "no (symbol, hour) may emit twice across the restart")
+    } finally {
+      q2.stop()
+      prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    }
+  }
 }
 
 object StreamingSpec {
