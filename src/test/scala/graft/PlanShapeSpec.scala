@@ -463,6 +463,33 @@ class PlanShapeSpec extends AnyFunSuite {
       "no nested-loop join in the removal plan")
   }
 
+  test("banded substring route: candidate-gated equi-joins, no cartesian, no posting explode") {
+    spark.conf.set(graft.operators.LlmTextOps.SubstrSourceConf, "minhash")
+    try {
+      val p = planString("dedup_substring_removal")
+      assert(!p.contains("CartesianProduct"),
+        "banded aligner input must ride equi-joins")
+      // the exact route's k-squared explode reads posting lists via
+      // collect_list of (doc_id, pos) structs; the banded route never
+      // aggregates window postings into lists at all
+      assert(!p.contains("collect_list(struct(doc_id"),
+        "banded route must not build window posting lists")
+    } finally spark.conf.unset(graft.operators.LlmTextOps.SubstrSourceConf)
+  }
+
+  test("bpe_encode: vocab-sized encode map broadcasts; corpus text never shuffles") {
+    val p = planString("bpe_encode")
+    assert(p.contains("BroadcastHashJoin"),
+      "the word -> n_sub mapping must broadcast onto the counts")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("quality_nb_cv: no cartesian; the weight join keys on token") {
+    val p = planString("quality_nb_cv")
+    assert(!p.contains("CartesianProduct"),
+      "the only cross joins are 1-row broadcast constants")
+  }
+
   test("dynamic partition pruning: dim filter prunes the date-partitioned fact at runtime") {
     import org.apache.spark.sql.functions.{col => c}
     import org.apache.spark.sql.execution.FileSourceScanExec

@@ -1666,6 +1666,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("S24r streaming_sessions: kill + checkpoint restart — open session state survives and merges") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingSessions
+    val in = MemoryStream[(Timestamp, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("s24r_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("s24r_out").toString
+    def start() = StreamingSessions.sessionStream(
+      in.toDF().toDF("ts", "user_id"))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    def sessions() = spark.read.parquet(out)
+      .orderBy("user_id", "session_start")
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("duration_sec")))
+    val q1 = start()
+    try {
+      in.addData(
+        (ts("2024-01-01 10:00:00"), 1L),
+        (ts("2024-01-01 10:10:00"), 1L))
+      q1.processAllAvailable() // open session lives ONLY in state
+      assert(sessions().isEmpty, "session still open pre-kill")
+      // an UNPROCESSED extension of the same session, then the kill
+      in.addData((ts("2024-01-01 10:25:00"), 1L))
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      // the replayed event must MERGE into the restored session
+      // window, not open a parallel one
+      q2.processAllAvailable()
+      assert(sessions().isEmpty, "session still open after restart")
+      in.addData((ts("2024-01-01 14:00:00"), 99L))
+      q2.processAllAvailable() // watermark passes every gap horizon
+      val got = sessions()
+      assert(got.toSeq == Seq((1L, 3L, 1500L)),
+        s"restored session diverged: ${got.mkString(",")} — n_events=3 " +
+          "needs the two pre-kill events held only in the checkpoint")
+    } finally {
+      q2.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    }
+  }
+
   test("S25 streaming_ohlc_tws: transformWithState candle machine — rollover emit, timer close, event-time OHLC") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
