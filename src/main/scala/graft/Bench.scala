@@ -121,12 +121,17 @@ object Bench {
     // it always fits a truncated tail — and ship the per-query map
     // through the bench_<sf>.json mirror (and stderr for live runs).
     System.err.println(line)
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec",""" +
-        s""""n_queries":$nQueries,"n_failed":$nFailed,""" +
-        s""""sec_per_query":${math.round(perQuery * 1000) / 1000.0},""" +
-        s""""sf":"$sfDir","queries_in":"bench_${
-          new java.io.File(sfDir).getName}.json"}""")
+    // Filtered dev runs (SPARK_GRAFT_QUERIES) don't write the mirror
+    // (see below), so their compact line must not point at it — print
+    // the full inline map instead (a 3-query map fits any tail).
+    if (only.isEmpty)
+      println(
+        s"""{"metric":"total","value":$total,"unit":"sec",""" +
+          s""""n_queries":$nQueries,"n_failed":$nFailed,""" +
+          s""""sec_per_query":${math.round(perQuery * 1000) / 1000.0},""" +
+          s""""sf":"$sfDir","queries_in":"bench_${
+            new java.io.File(sfDir).getName}.json"}""")
+    else println(line)
     // Mirror the full JSON to a small file named for the measured sf
     // so the round-over-round per-query comparison stays
     // machine-readable regardless of how much of stdout survives.

@@ -24,8 +24,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     that outlives it;
   *   - memo keys embed [[tableFingerprint]] of the backing table, so
   *     a corpus rewritten in place mid-session builds fresh silver
-  *     instead of serving stale results (the staleness caveat the
-  *     old caches documented is now closed for DataFrame memos).
+  *     instead of serving stale results — up to the fingerprint
+  *     cache's short TTL window (`graft.fingerprint.ttlMs`, default
+  *     5 s; 0 restores immediate detection).
   *
   * Residual (documented): a session discarded WITHOUT stopping its
   * context keeps its memos until [[invalidate]] — Spark exposes no
@@ -33,12 +34,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * multi-session servers should call [[invalidate]] when retiring a
   * session.
   *
-  * NESTING HAZARD: [[getOrBuild]] runs the builder inside
-  * `ConcurrentHashMap.computeIfAbsent`, so a builder that itself
-  * calls getOrBuild on the SAME session throws
-  * IllegalStateException("Recursive update"). Derived silvers must
-  * resolve their upstream silver BEFORE entering their own memo
-  * (see `RelationalOps.adamicAdar`'s basket hoist).
+  * Builders run OUTSIDE the map's locks (probe, build, putIfAbsent —
+  * see [[getOrBuild]]), so a builder may recursively resolve other
+  * memos on the same session without deadlock or
+  * IllegalStateException. Derived silvers still PREFER resolving
+  * their upstream silver before entering their own memo (the
+  * `RelationalOps.adamicAdar` basket hoist): a nested resolve inside
+  * the builder runs on every race loser too, and hoisting keeps the
+  * duplicate-build window minimal.
   */
 object SessionMemo {
   private val ids = java.util.Collections.synchronizedMap(
@@ -157,7 +160,13 @@ object SessionMemo {
   private def fingerprintWith(sfDir: String, table: String,
       conf: org.apache.hadoop.conf.Configuration): String = {
     val ttl = fpTtlNanos
-    val ck = sfDir + "\u0000" + table
+    // the cache key carries the conf's filesystem identity: two
+    // sessions whose confs resolve the same path string to DIFFERENT
+    // filesystems (fs.defaultFS divergence -- the axis that changes
+    // which bytes a relative/unqualified path names) must not serve
+    // each other's cached fingerprints
+    val ck = conf.get("fs.defaultFS", "file:///") + "|" +
+      sfDir + "|" + table
     if (ttl > 0L) {
       val hit = fpCache.get(ck)
       if (hit != null && System.nanoTime() - hit._1 < ttl) return hit._2
@@ -249,7 +258,22 @@ object SessionMemo {
     val built = build.persist()
     val prior = per.putIfAbsent(key, built)
     if (prior != null) {
-      try built.unpersist(blocking = false) catch { case _: Throwable => () }
+      // losing the race: release the duplicate build's storage — but
+      // ONLY if its plan is distinct from the winner's. CacheManager
+      // keys cached data by CANONICALIZED plan, so when both builders
+      // produced the same plan (the common deterministic case) they
+      // share ONE cache entry and unpersisting the loser would uncache
+      // the winner too, leaving the memoized frame silently
+      // recomputing forever. Distinct plans (e.g. localCheckpoint
+      // builders, whose RDD-backed plans are unique per build) hold
+      // separate entries and the loser's must be dropped or it leaks.
+      val distinctPlan =
+        try !built.queryExecution.analyzed.sameResult(
+          prior.queryExecution.analyzed)
+        catch { case _: Throwable => false }
+      if (distinctPlan)
+        try built.unpersist(blocking = false)
+        catch { case _: Throwable => () }
       prior
     } else built
   }

@@ -4433,10 +4433,11 @@ object LlmTextOps {
     * Bounded rounds, integer counts → hash-gateable.
     *
     * Symbol representation is Sennrich's space-joined form, padded
-    * with boundary spaces: merging pair (l, r) is the plain
-    * non-overlapping left-to-right `replace(' l r ' → ' lr ')` both
-    * engines implement identically — which is exactly greedy
-    * leftmost non-overlapping merging, the textbook semantics
+    * with boundary spaces: merging pair (l, r) is TWO non-overlapping
+    * left-to-right `replace(' l r ' → ' lr ')` passes — see
+    * [[bpeMergePass]] for why one pass under-merges disjoint adjacent
+    * repeats and why two passes are exactly greedy leftmost
+    * non-overlapping merging, the textbook semantics
     * (TextPipelineSpec replays the dict-based reference algorithm
     * driver-side and pins equality). Pair counts weight EVERY
     * adjacent position (Sennrich's get_stats), ties break on
@@ -4481,6 +4482,27 @@ object LlmTextOps {
         java.util.concurrent.ConcurrentHashMap[String,
           Seq[(Int, String, String, Long)]]]())
 
+  /** One greedy merge of pair (l, r) over the space-joined symbol
+    * form — TWO literal `replace` passes, not one. A single
+    * non-overlapping left-to-right replace of " l r " → " lr " MISSES
+    * an occurrence whose LEADING space was consumed as the previous
+    * match's trailing space (disjoint adjacent repeats: " l r l r "
+    * single-passes to " lr l r ", where exact greedy leftmost merging
+    * gives " lr lr "). Every miss sits immediately after a hit, so
+    * after the first pass no two missed occurrences are adjacent and
+    * the second pass catches all of them — two passes implement
+    * exact greedy leftmost non-overlapping merging for any input
+    * (TrainApplySpec pins it against the textbook loop on a
+    * constructed disjoint-repeat corpus). Shared by the trainer's
+    * rewrite and [[bpeEncode]]'s application, and mirrored verbatim
+    * in the generated oracle ([[bpeOracleCtes]]), so the three can
+    * never disagree on merge semantics.
+    */
+  private def bpeMergePass(w: Column, l: String, r: String): Column = {
+    def pass(c: Column) = replace(c, lit(s" $l $r "), lit(s" $l$r "))
+    pass(pass(w))
+  }
+
   private def bpeTrainMergesUncached(s: SparkSession,
       d: String): Seq[(Int, String, String, Long)] = {
     val words = Tables.documents(s, d)
@@ -4522,7 +4544,7 @@ object LlmTextOps {
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((round, l, r, c))
         val next = cur.select(
-          replace(col("w"), lit(s" $l $r "), lit(s" $l$r ")).as("w"),
+          bpeMergePass(col("w"), l, r).as("w"),
           col("cnt")).localCheckpoint(false)
         prev = cur
         cur = next
@@ -4544,9 +4566,9 @@ object LlmTextOps {
     * Distributed shape: encoding is ROW-LOCAL given the merge list —
     * the 12 learned merges are driver-side literals (an aggregation
     * RESULT, the codebook pattern), applied as a chain of 12
-    * non-overlapping left-to-right `replace` calls over the
-    * space-joined symbol form, exactly the training rewrite — so
-    * greedy application order matches training by construction. The
+    * [[bpeMergePass]] rewrites over the space-joined symbol form,
+    * exactly the training rewrite — so greedy application order
+    * matches training by construction. The
     * encode runs once per DISTINCT word (vocab-sized frame, broadcast
     * back onto the (source, word) counts), so corpus text is scanned
     * once and never shuffled: at 100 TB the expensive part is the
@@ -4567,7 +4589,7 @@ object LlmTextOps {
         " "),
       lit(" "))
     val symFinal = merges.foldLeft(sym0) { case (c, (_, l, r, _)) =>
-      replace(c, lit(s" $l $r "), lit(s" $l$r "))
+      bpeMergePass(c, l, r)
     }
     val mapping = words.select(col("word")).distinct()
       .withColumn("n_sub", size(split(trim(symFinal), " ")).cast("long"))
@@ -4641,7 +4663,14 @@ object LlmTextOps {
     * ORIGINAL `word` alongside its rewritten symbol form: pair counts
     * aggregate over (l, r) regardless, so the merges are unchanged,
     * and the final table doubles as the encode oracle's word →
-    * subword-count mapping. CTE names used: w0..wN, p1..pN, m1..mN.
+    * subword-count mapping. The rewrite is the engine's two-pass
+    * [[bpeMergePass]] verbatim, guarded for EARLY EXHAUSTION: when a
+    * round's `m_r` is empty (the pair stream dried up before round
+    * N), `w_r` passes `w` through unchanged — a bare
+    * `replace(w, NULL, NULL)` would NULL-poison every later CTE and
+    * sink the encode oracle on tiny corpora (the trainer's loop just
+    * stops; the unrolled SQL can't). CTE names used: w0..wN, p1..pN,
+    * m1..mN.
     */
   private[graft] def bpeOracleCtes: String = {
     val w0 =
@@ -4663,11 +4692,17 @@ object LlmTextOps {
                    WHERE len(s) >= 2)
              GROUP BY 1, 2),
          m$r AS MATERIALIZED (SELECT l, r, c FROM p$r ORDER BY c DESC, l, r LIMIT 1),
-         w$r AS MATERIALIZED (SELECT word, replace(w,
+         w$r AS MATERIALIZED (SELECT word,
+             CASE WHEN (SELECT COUNT(*) FROM m$r) = 0 THEN w
+                  ELSE replace(replace(w,
                     ' ' || (SELECT l FROM m$r) || ' '
                         || (SELECT r FROM m$r) || ' ',
                     ' ' || (SELECT l FROM m$r)
-                        || (SELECT r FROM m$r) || ' ') AS w, cnt
+                        || (SELECT r FROM m$r) || ' '),
+                    ' ' || (SELECT l FROM m$r) || ' '
+                        || (SELECT r FROM m$r) || ' ',
+                    ' ' || (SELECT l FROM m$r)
+                        || (SELECT r FROM m$r) || ' ') END AS w, cnt
              FROM w${r - 1})"""
     }.mkString(",\n")
     s"$w0,\n$rounds"

@@ -1130,8 +1130,13 @@ object LlmVectorOps {
         // cell's C(cell, 2) work; decorations re-attach per CANDIDATE
         // (two narrow joins), never per cell
         val wide = graft.engine.Pairs.needsWideForm(assigned, "vec_id")
+        // normalize the id width for the packed-pair expressions (the
+        // dedupMinhashFromSignatures posture): an externally written
+        // embeddings table may carry vec_id as INT32, and the packed
+        // fast path type-checks array<bigint>
         val idPairs = graft.engine.Pairs.distinctPairsFromMembers(s,
-          assigned.select(col("cent_id"), col("vec_id")),
+          assigned.select(col("cent_id"),
+            col("vec_id").cast("long").as("vec_id")),
           Seq("cent_id"), "vec_id", wide, cap)
         idPairs
           .join(assigned.select(col("vec_id").as("i"),

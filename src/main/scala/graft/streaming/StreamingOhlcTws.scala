@@ -35,13 +35,15 @@ import org.apache.spark.sql.streaming._
   * even when it is still inside the watermark delay. Candles are
   * therefore arrival-order dependent across the hour boundary: this
   * operator trades watermark-completeness for the reference's
-  * emit-on-rollover latency. A deployment that wants
-  * watermark-complete candles instead should close ONLY via
-  * `handleExpiredTimer` (keep the finished hour in a MapState keyed
-  * by hourMs until its timer fires) and accept one watermark-delay of
-  * extra latency per candle; the S1 `hourlyOhlcStream` windowed
-  * aggregate in [[StreamingOhlc]] already provides exactly those
-  * semantics, so the pair covers both contracts.
+  * emit-on-rollover latency. The WATERMARK-COMPLETE contract is
+  * implemented alongside it as S26 [[ohlcStreamComplete]]
+  * ([[CompleteOhlcProcessor]]): hours live in a `MapState[Long, Hour]`
+  * and close ONLY via `handleExpiredTimer`, so any tick at or above
+  * the watermark folds into its hour no matter what arrived in
+  * between — candles are arrival-order independent at the price of
+  * one watermark-delay of latency per candle (StreamingSpec S26 pins
+  * the two contracts against each other on the exact cross-boundary
+  * reordering this paragraph describes).
   *
   * Requires the RocksDB state-store provider (the transformWithState
   * contract in Spark 4); StreamingSpec S25 sets it per query, and
@@ -127,6 +129,70 @@ object StreamingOhlcTws {
       .withWatermark("ts", "10 minutes")
       .groupByKey(_.symbol)
       .transformWithState(new OhlcProcessor, TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  /** S26 `streaming_ohlc_complete` — the WATERMARK-COMPLETE candle
+    * machine (the class contract the eager [[OhlcProcessor]] trades
+    * away; see the drop-window paragraph above): per-symbol hours
+    * live in a `MapState[hourMs, Hour]`, every tick at or above the
+    * watermark folds into ITS hour regardless of arrival order, and
+    * an hour emits ONLY when its event-time timer fires — i.e. when
+    * the watermark proves no eligible tick can still arrive. State is
+    * bounded by the number of hours inside one watermark delay per
+    * symbol (≤ 2 here: the open hour plus at most one newer hour that
+    * raced ahead of the watermark), and each entry retires exactly
+    * when its timer fires, so the map can never grow with stream
+    * length.
+    */
+  class CompleteOhlcProcessor extends StatefulProcessor[String, Tick, Candle] {
+    @transient private var hours: MapState[Long, Hour] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      hours = getHandle.getMapState[Long, Hour]("hours",
+        Encoders.scalaLong, Encoders.product[Hour], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Tick],
+        timerValues: TimerValues): Iterator[Candle] = {
+      rows.foreach { t =>
+        val ms = t.ts.getTime
+        val hr = ms - ms % HourMs
+        if (!hours.containsKey(hr)) {
+          hours.updateValue(hr,
+            Hour(hr, t.price, t.price, t.price, t.price, ms, 1L))
+          getHandle.registerTimer(hr + HourMs)
+        } else {
+          val cur = hours.getValue(hr)
+          hours.updateValue(hr, Hour(cur.hourMs, cur.open,
+            math.max(cur.high, t.price), math.min(cur.low, t.price),
+            if (ms >= cur.closeMs) t.price else cur.close,
+            math.max(ms, cur.closeMs), cur.n + 1L))
+        }
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Candle] = {
+      val hr = expiredTimerInfo.getExpiryTimeInMs - HourMs
+      if (hours.containsKey(hr)) {
+        val h = hours.getValue(hr)
+        hours.removeKey(hr)
+        Iterator.single(Candle(key, new Timestamp(h.hourMs), h.open,
+          h.high, h.low, h.close, h.n))
+      } else Iterator.empty
+    }
+  }
+
+  /** [[CompleteOhlcProcessor]] wired: watermarked ticks → candles
+    * closed exactly at watermark-past-hour-end, append mode.
+    */
+  def ohlcStreamComplete(ticks: Dataset[Tick]): Dataset[Candle] = {
+    import ticks.sparkSession.implicits._
+    ticks
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.symbol)
+      .transformWithState(new CompleteOhlcProcessor, TimeMode.EventTime(),
         OutputMode.Append())
   }
 }

@@ -332,10 +332,12 @@ class AnnQualitySpec extends AnyFunSuite {
     // instead of one (the 100 TB straggler this conf exists to kill)
     import spark.implicits._
     val base = Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
-    val vecs = (0L until 512L).map { id =>
+    val vecs = (0 until 512).map { id =>
       // identical direction for every vector: cosine 1.0 to every
-      // centroid, keep-1 tie-break sends ALL of them to one cell
-      (id, base.toSeq, (id % 10).toInt)
+      // centroid, keep-1 tie-break sends ALL of them to one cell.
+      // vec_id is INT on purpose: the capped path must normalize the
+      // id width before the packed-pair expressions (array<bigint>)
+      (id, base.toSeq, id % 10)
     }.toDF("vec_id", "embedding", "label")
     val dir = java.nio.file.Files
       .createTempDirectory("graft_semdedup_hot").toString
@@ -345,9 +347,12 @@ class AnnQualitySpec extends AnyFunSuite {
       val cells = assigned.groupBy("cent_id").count().collect()
       assert(cells.map(_.getLong(1)).max >= 256L,
         "the constructed corpus must actually have a viral cell")
+      // the same width normalization semdedup's capped path applies
+      // (vec_id is INT here, the packed form type-checks array<bigint>)
       val members = assigned.select(
         org.apache.spark.sql.functions.col("cent_id"),
-        org.apache.spark.sql.functions.col("vec_id"))
+        org.apache.spark.sql.functions.col("vec_id").cast("long")
+          .as("vec_id"))
       // AQE's tiny-partition coalescing would re-merge the split
       // chunks at TEST scale (the HotBucketSpec caveat) — pin the
       // spread with coalescing off

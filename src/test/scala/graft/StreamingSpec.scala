@@ -1777,6 +1777,73 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("S26 streaming_ohlc_complete: watermark-complete candles keep the cross-boundary straggler the eager machine drops") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingOhlcTws
+    import StreamingOhlcTws.Tick
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    // the SAME tick sequence drives both machines: an hour-11 tick
+    // arrives BEFORE an hour-10 straggler that is still inside the
+    // watermark delay — the exact reordering the eager rollover's
+    // documented drop window loses
+    val inC = MemoryStream[Tick]
+    val inE = MemoryStream[Tick]
+    val qC = StreamingOhlcTws.ohlcStreamComplete(inC.toDS())
+      .writeStream.format("memory").queryName("s26_complete")
+      .outputMode(OutputMode.Append).start()
+    val qE = StreamingOhlcTws.ohlcStream(inE.toDS())
+      .writeStream.format("memory").queryName("s26_eager")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def feed(ticks: Tick*): Unit = {
+        inC.addData(ticks); inE.addData(ticks)
+        qC.processAllAvailable(); qE.processAllAvailable()
+      }
+      feed(Tick(ts("2024-01-01 10:05:00"), "BTC", 100.0),
+        Tick(ts("2024-01-01 10:20:00"), "BTC", 120.0),
+        Tick(ts("2024-01-01 11:02:00"), "BTC", 200.0))
+      // watermark is now 10:52 — hour 10 is NOT yet provably complete
+      assert(spark.sql("SELECT * FROM s26_complete").count() == 0,
+        "complete machine must hold hour 10 until the watermark " +
+          "passes 11:00 (the eager one has already emitted it)")
+      // the straggler: hour-10 tick, above the 10:52 watermark
+      feed(Tick(ts("2024-01-01 10:55:00"), "BTC", 95.0))
+      // advance the watermark past every hour end
+      feed(Tick(ts("2024-01-01 12:30:00"), "DOGE", 1.0))
+      val complete = spark.sql(
+        "SELECT symbol, hour_start, open, high, low, close, n_ticks " +
+          "FROM s26_complete ORDER BY symbol, hour_start").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+      assert(complete.toSeq == Seq(
+        // the straggler is IN: low 95, event-time close 95, n = 3
+        ("BTC", ts("2024-01-01 10:00:00"), 100.0, 120.0, 95.0, 95.0, 3L),
+        ("BTC", ts("2024-01-01 11:00:00"), 200.0, 200.0, 200.0, 200.0, 1L)),
+        s"watermark-complete candles diverged: ${complete.mkString(",")}")
+      val eager = spark.sql(
+        "SELECT n_ticks FROM s26_eager " +
+          "WHERE symbol = 'BTC' AND hour_start = timestamp" +
+          "'2024-01-01 10:00:00'").collect().map(_.getLong(0))
+      assert(eager.toSeq == Seq(2L),
+        "the eager machine's documented drop window: the straggler " +
+          "must be missing from ITS hour-10 candle — if this starts " +
+          "failing, the contract paragraph in StreamingOhlcTws is stale")
+    } finally {
+      qC.stop(); qE.stop()
+      prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("S25r streaming_ohlc_tws: kill + checkpoint restart — RocksDB ValueState and timers survive") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -76,6 +76,91 @@ class TrainApplySpec extends AnyFunSuite {
       "some word must stay multi-token after only 12 merges")
   }
 
+  test("bpe merge semantics on disjoint adjacent repeats: two-pass replace == textbook greedy") {
+    // the single-pass hazard: replace(" a b a b ", " a b ", " ab ")
+    // consumes the second occurrence's leading space and under-merges
+    // to [ab, a, b] where greedy leftmost merging gives [ab, ab]. The
+    // corpus below forces the learned merges through exactly that
+    // shape, and BOTH the trainer and the encoder are replayed
+    // driver-side with the textbook algorithms
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "abab abab abab ababab cd cd"),
+      (1L, "abab ababab cd abab"),
+      (2L, "cd cd cd ab abab")
+    ).map { case (id, text) =>
+      (id, text, "en", "srcB", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bpe_repeat").toString
+    try {
+      docs.write.parquet(s"$dir/documents.parquet")
+      // driver-side textbook trainer: word-freq table, 12 rounds of
+      // (weighted adjacent pair count -> argmax -> greedy rewrite)
+      var wf = Seq("abab abab abab ababab cd cd", "abab ababab cd abab",
+        "cd cd cd ab abab")
+        .flatMap(_.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, xs) =>
+          w.map(_.toString).toVector -> xs.length.toLong }
+      val expMerges =
+        scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      for (_ <- 1 to 12 if wf.keys.exists(_.length >= 2)) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        wf.foreach { case (syms, cnt) =>
+          syms.sliding(2).foreach { p =>
+            if (p.length == 2)
+              counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + cnt
+          }
+        }
+        if (counts.nonEmpty) {
+          val ((l, r), _) = counts.toSeq.minBy { case ((l, r), c) =>
+            (-c, l, r) }
+          expMerges += ((l, r))
+          wf = wf.toSeq.map { case (syms, cnt) =>
+            encodeWordSyms(syms, Seq((l, r))) -> cnt
+          }.groupMapReduce(_._1)(_._2)(_ + _)
+        }
+      }
+      val gotMerges = LlmTextOps.bpeMerges(spark, dir)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      assert(gotMerges == expMerges.toSeq,
+        s"merge sequence diverged on the repeat corpus:\n got=$gotMerges" +
+          s"\n exp=${expMerges.toSeq}")
+      // textbook encode with the learned merges
+      val enc = LlmTextOps.bpeEncode(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSeq
+      val words = Seq("abab abab abab ababab cd cd", "abab ababab cd abab",
+        "cd cd cd ab abab").flatMap(_.split(" ")).filter(_.nonEmpty)
+      val expTok = words.map(w =>
+        encodeWordSyms(w.map(_.toString).toVector, gotMerges).length.toLong)
+        .sum
+      assert(enc == Seq(("srcB", words.length.toLong, expTok)),
+        s"encode diverged on the repeat corpus: got=$enc " +
+          s"exp=(srcB, ${words.length}, $expTok)")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir))
+  }
+
+  /** Textbook single- or multi-merge greedy application over a symbol
+    * vector (shared by the repeat-corpus trainer and encoder replays).
+    */
+  private def encodeWordSyms(syms0: Vector[String],
+      merges: Seq[(String, String)]): Vector[String] = {
+    var syms = syms0
+    for ((l, r) <- merges) {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.result()
+    }
+    syms
+  }
+
   test("bpe_encode train-consumer reuse: the merges memo serves both rows") {
     // bpe_merges and bpe_encode must not train twice — the trainer is
     // memoized per (session, corpus fingerprint)
