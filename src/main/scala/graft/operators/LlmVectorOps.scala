@@ -1130,13 +1130,8 @@ object LlmVectorOps {
         // cell's C(cell, 2) work; decorations re-attach per CANDIDATE
         // (two narrow joins), never per cell
         val wide = graft.engine.Pairs.needsWideForm(assigned, "vec_id")
-        // normalize the id width for the packed-pair expressions (the
-        // dedupMinhashFromSignatures posture): an externally written
-        // embeddings table may carry vec_id as INT32, and the packed
-        // fast path type-checks array<bigint>
         val idPairs = graft.engine.Pairs.distinctPairsFromMembers(s,
-          assigned.select(col("cent_id"),
-            col("vec_id").cast("long").as("vec_id")),
+          assigned.select(col("cent_id"), col("vec_id")),
           Seq("cent_id"), "vec_id", wide, cap)
         idPairs
           .join(assigned.select(col("vec_id").as("i"),
@@ -1203,7 +1198,15 @@ object LlmVectorOps {
       d: String): DataFrame = {
     val trained = trainedCentroids(s, d)
     def build: DataFrame = {
-      val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
+      // vec_id normalized to LONG at the assignment (not per consumer):
+      // the capped pair path's packed expressions type-check
+      // array<bigint>, and normalizing here keeps semdedup's OUTPUT
+      // schema identical whether the hot-cell cap is on or off for an
+      // INT32 embeddings table (a conf must never change a schema)
+      val e = withNorm(s,
+        Tables.embeddings(s, d)
+          .withColumn("vec_id", col("vec_id").cast("long")),
+        "embedding", "norm")
       val w = Window.partitionBy("vec_id")
         .orderBy(col("raw_sim").desc, col("cent_id").asc)
       e.join(broadcast(trained), lit(true))

@@ -65,6 +65,23 @@ object StreamingOhlcTws {
 
   private val HourMs = 3600000L
 
+  /** Open a fresh hour candle from a tick — the single definition
+    * both processors share, so the two machines cannot drift on
+    * intra-hour semantics.
+    */
+  private def openHour(hr: Long, t: Tick, ms: Long): Hour =
+    Hour(hr, t.price, t.price, t.price, t.price, ms, 1L)
+
+  /** Fold a tick into an open candle: high/low extremes, close =
+    * latest BY EVENT TIME (not arrival order). Shared by both
+    * processors — see [[openHour]].
+    */
+  private def foldTick(cur: Hour, t: Tick, ms: Long): Hour =
+    Hour(cur.hourMs, cur.open,
+      math.max(cur.high, t.price), math.min(cur.low, t.price),
+      if (ms >= cur.closeMs) t.price else cur.close,
+      math.max(ms, cur.closeMs), cur.n + 1L)
+
   class OhlcProcessor extends StatefulProcessor[String, Tick, Candle] {
     @transient private var state: ValueState[Hour] = _
 
@@ -83,7 +100,7 @@ object StreamingOhlcTws {
         val ms = t.ts.getTime
         val hr = ms - ms % HourMs
         if (!state.exists()) {
-          state.update(Hour(hr, t.price, t.price, t.price, t.price, ms, 1L))
+          state.update(openHour(hr, t, ms))
           getHandle.registerTimer(hr + HourMs)
         } else {
           val cur = state.get()
@@ -92,14 +109,10 @@ object StreamingOhlcTws {
             // retire its timer, open the new hour
             out += candle(key, cur)
             getHandle.deleteTimer(cur.hourMs + HourMs)
-            state.update(Hour(hr, t.price, t.price, t.price, t.price,
-              ms, 1L))
+            state.update(openHour(hr, t, ms))
             getHandle.registerTimer(hr + HourMs)
           } else if (hr == cur.hourMs) {
-            state.update(Hour(cur.hourMs, cur.open,
-              math.max(cur.high, t.price), math.min(cur.low, t.price),
-              if (ms >= cur.closeMs) t.price else cur.close,
-              math.max(ms, cur.closeMs), cur.n + 1L))
+            state.update(foldTick(cur, t, ms))
           } // hr < cur.hourMs: late past the rollover — dropped
         }
       }
@@ -138,12 +151,17 @@ object StreamingOhlcTws {
     * live in a `MapState[hourMs, Hour]`, every tick at or above the
     * watermark folds into ITS hour regardless of arrival order, and
     * an hour emits ONLY when its event-time timer fires — i.e. when
-    * the watermark proves no eligible tick can still arrive. State is
-    * bounded by the number of hours inside one watermark delay per
-    * symbol (≤ 2 here: the open hour plus at most one newer hour that
-    * raced ahead of the watermark), and each entry retires exactly
-    * when its timer fires, so the map can never grow with stream
-    * length.
+    * the watermark proves no eligible tick can still arrive. State
+    * bound: each entry retires exactly when its timer fires, so a
+    * symbol's map holds the hours strictly between the GLOBAL
+    * watermark and that symbol's own event-time frontier — on an
+    * aligned feed that is ≤ 2 entries (open hour + one that raced
+    * ahead of the watermark delay), but the honest bound is the
+    * cross-symbol event-time SKEW: the watermark is a stream-global
+    * minimum, so a symbol running h hours ahead of the slowest
+    * symbol holds ~h open entries until the laggard advances it.
+    * Size RocksDB budgets to the feed's skew, not the watermark
+    * delay; the map still never grows with stream LENGTH.
     */
   class CompleteOhlcProcessor extends StatefulProcessor[String, Tick, Candle] {
     @transient private var hours: MapState[Long, Hour] = _
@@ -158,15 +176,10 @@ object StreamingOhlcTws {
         val ms = t.ts.getTime
         val hr = ms - ms % HourMs
         if (!hours.containsKey(hr)) {
-          hours.updateValue(hr,
-            Hour(hr, t.price, t.price, t.price, t.price, ms, 1L))
+          hours.updateValue(hr, openHour(hr, t, ms))
           getHandle.registerTimer(hr + HourMs)
         } else {
-          val cur = hours.getValue(hr)
-          hours.updateValue(hr, Hour(cur.hourMs, cur.open,
-            math.max(cur.high, t.price), math.min(cur.low, t.price),
-            if (ms >= cur.closeMs) t.price else cur.close,
-            math.max(ms, cur.closeMs), cur.n + 1L))
+          hours.updateValue(hr, foldTick(hours.getValue(hr), t, ms))
         }
       }
       Iterator.empty

@@ -77,19 +77,23 @@ class TrainApplySpec extends AnyFunSuite {
   }
 
   test("bpe merge semantics on disjoint adjacent repeats: two-pass replace == textbook greedy") {
-    // the single-pass hazard: replace(" a b a b ", " a b ", " ab ")
-    // consumes the second occurrence's leading space and under-merges
-    // to [ab, a, b] where greedy leftmost merging gives [ab, ab]. The
-    // corpus below forces the learned merges through exactly that
-    // shape, and BOTH the trainer and the encoder are replayed
-    // driver-side with the textbook algorithms
+    // the naive-replace hazards: (1) disjoint repeats — a single
+    // replace(" a b a b ", " a b ", " ab ") consumes the second
+    // occurrence's leading space and under-merges to [ab, a, b] where
+    // greedy gives [ab, ab]; (2) same-symbol runs — " a a a a a a "
+    // merges the WRONG positions ([aa, a, aa, a] vs greedy
+    // [aa, aa, aa]). The corpus below forces learned merges through
+    // BOTH shapes ((a,b) over abab-words, (a,a) over a-runs), and
+    // both the trainer and the encoder are replayed driver-side with
+    // the textbook algorithms
     import spark.implicits._
-    val docs = Seq(
-      (0L, "abab abab abab ababab cd cd"),
-      (1L, "abab ababab cd abab"),
-      (2L, "cd cd cd ab abab")
-    ).map { case (id, text) =>
-      (id, text, "en", "srcB", text.length.toLong) }
+    val texts = Seq(
+      "abab abab abab ababab cd cd",
+      "abab ababab cd abab",
+      "cd cd cd ab abab",
+      "aaaaaa aaaa aaaaaa aa aaa")
+    val docs = texts.zipWithIndex.map { case (text, id) =>
+      (id.toLong, text, "en", "srcB", text.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val dir = java.nio.file.Files
       .createTempDirectory("graft_bpe_repeat").toString
@@ -97,8 +101,7 @@ class TrainApplySpec extends AnyFunSuite {
       docs.write.parquet(s"$dir/documents.parquet")
       // driver-side textbook trainer: word-freq table, 12 rounds of
       // (weighted adjacent pair count -> argmax -> greedy rewrite)
-      var wf = Seq("abab abab abab ababab cd cd", "abab ababab cd abab",
-        "cd cd cd ab abab")
+      var wf = texts
         .flatMap(_.split(" ")).filter(_.nonEmpty)
         .groupBy(identity).map { case (w, xs) =>
           w.map(_.toString).toVector -> xs.length.toLong }
@@ -127,11 +130,13 @@ class TrainApplySpec extends AnyFunSuite {
       assert(gotMerges == expMerges.toSeq,
         s"merge sequence diverged on the repeat corpus:\n got=$gotMerges" +
           s"\n exp=${expMerges.toSeq}")
+      assert(gotMerges.exists { case (l, r) => l == r },
+        "the corpus must force an l == r merge (the same-symbol-run " +
+          "hazard) or this pin is vacuous")
       // textbook encode with the learned merges
       val enc = LlmTextOps.bpeEncode(spark, dir).collect()
         .map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSeq
-      val words = Seq("abab abab abab ababab cd cd", "abab ababab cd abab",
-        "cd cd cd ab abab").flatMap(_.split(" ")).filter(_.nonEmpty)
+      val words = texts.flatMap(_.split(" ")).filter(_.nonEmpty)
       val expTok = words.map(w =>
         encodeWordSyms(w.map(_.toString).toVector, gotMerges).length.toLong)
         .sum
