@@ -154,10 +154,16 @@ object SparkEntry {
     "var_es"                   -> (AnalyticOps.varEs _),
     "sharpe_ratio"             -> (AnalyticOps.sharpeRatio _),
     "capm_beta"                -> (AnalyticOps.capmBeta _),
+    "sortino_ratio"            -> (AnalyticOps.sortinoRatio _),
+    "calmar_ratio"             -> (AnalyticOps.calmarRatio _),
+    "omega_ratio"              -> (AnalyticOps.omegaRatio _),
     "embedding_drift"          -> (LlmVectorOps.embeddingDrift _),
     "ann_recall_ivf"           -> (LlmVectorOps.annRecallIvf _),
+    "ann_recall_trunc"         -> (LlmVectorOps.annRecallTrunc _),
+    "clustering_ari"           -> (LlmVectorOps.clusteringAri _),
     "cusum_changepoint"        -> (AnalyticOps.cusumChangepoint _),
     "autocorrelation"          -> (AnalyticOps.autocorrelation _),
+    "ljung_box"                -> (AnalyticOps.ljungBox _),
     "embed_norm_stats"         -> (LlmVectorOps.embedNormStats _),
     "activity_heatmap"         -> (AnalyticOps.activityHeatmap _),
     "dsir_sample"              -> (LlmTextOps.dsirSample _),
@@ -175,6 +181,7 @@ object SparkEntry {
     "top_supplier"             -> (RelationalOps.topSupplier _),
     "dq_audit"                 -> (AuditOps.dqAudit _),
     "cdc_snapshot_diff"        -> (AuditOps.cdcSnapshotDiff _),
+    "scd2_history"             -> (AuditOps.scd2History _),
     "forecast_backtest"        -> (AnalyticOps.forecastBacktest _),
     "pareto_frontier"          -> (RelationalOps.paretoFrontier _),
     "open_orders_profile"      -> (RelationalOps.openOrdersProfile _),
@@ -244,6 +251,8 @@ object SparkEntry {
     "triangle_count"      -> (LlmTextOps.triangleCount _),
     "adamic_adar"         -> (RelationalOps.adamicAdar _),
     "clustering_coeff"    -> (RelationalOps.clusteringCoeff _),
+    "jaccard_neighbors"   -> (RelationalOps.jaccardNeighbors _),
+    "l_diversity"         -> (RelationalOps.lDiversity _),
     "ccnet_buckets"       -> (LlmTextOps.ccnetBuckets _),
     "source_overlap"      -> (LlmTextOps.sourceOverlap _),
     "corpus_filter"       -> (LlmTextOps.corpusFilter _),
@@ -4179,6 +4188,34 @@ object SparkEntry {
                 CAST(SUM(co) AS BIGINT) AS old_cents,
                 CAST(SUM(cn) AS BIGINT) AS new_cents
          FROM cls GROUP BY 1 ORDER BY 1""",
+    // SCD2 build: gaps-and-islands under the (us, event_id) total
+    // order — change marker, running-sum island id, interval close
+    // via lead(); all-integer/string, no float ops
+    "scd2_history" ->
+      """WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                event_type
+              FROM events),
+         m AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+                  OR lag(event_type) OVER w <> event_type
+                THEN 1 ELSE 0 END AS chg
+               FROM t WINDOW w AS (PARTITION BY user_id
+                 ORDER BY us ASC, event_id ASC)),
+         v AS (SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id
+                  ORDER BY us ASC, event_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS version
+               FROM m),
+         isl AS (SELECT user_id, version,
+                  MAX(event_type) AS attr_value,
+                  CAST(MIN(us) AS BIGINT) AS valid_from_us,
+                  CAST(COUNT(*) AS BIGINT) AS n_events
+                 FROM v GROUP BY 1, 2),
+         fin AS (SELECT *, lead(valid_from_us) OVER (
+                  PARTITION BY user_id ORDER BY version) AS valid_to_us
+                 FROM isl)
+         SELECT user_id, version, attr_value, valid_from_us,
+                valid_to_us, valid_to_us IS NULL AS is_current, n_events
+         FROM fin ORDER BY user_id, version""",
     // seasonal-naive backtest: integer-cents closes, exact integer
     // error sums, quantized APE terms, fenced means
     "forecast_backtest" ->
@@ -4630,6 +4667,69 @@ object SparkEntry {
                       AS DOUBLE)), 0.0)
                   * 1000000.0 + 0.5) / 1000000.0 AS acf
          FROM a ORDER BY symbol, lag""",
+    // Ljung-Box Q over ACF lags 1-5: textbook full-series-mean acf
+    // cleared to exact HUGEINT numerator/denominator per lag, each
+    // rho fenced on the 1e-6 grid, Q a five-term sum in written order
+    "ljung_box" ->
+      """WITH t AS (SELECT event_id, epoch_us(ts) AS us,
+                event_type AS symbol,
+                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x
+              FROM events),
+         l AS (SELECT symbol, x,
+                 lag(x, 1) OVER w AS l1, lag(x, 2) OVER w AS l2,
+                 lag(x, 3) OVER w AS l3, lag(x, 4) OVER w AS l4,
+                 lag(x, 5) OVER w AS l5
+               FROM t WINDOW w AS (PARTITION BY symbol
+                 ORDER BY us ASC, event_id ASC)),
+         st AS (
+           SELECT symbol, CAST(1 AS INTEGER) AS lg, x, l1 AS y
+             FROM l WHERE l1 IS NOT NULL
+           UNION ALL SELECT symbol, CAST(2 AS INTEGER), x, l2
+             FROM l WHERE l2 IS NOT NULL
+           UNION ALL SELECT symbol, CAST(3 AS INTEGER), x, l3
+             FROM l WHERE l3 IS NOT NULL
+           UNION ALL SELECT symbol, CAST(4 AS INTEGER), x, l4
+             FROM l WHERE l4 IS NOT NULL
+           UNION ALL SELECT symbol, CAST(5 AS INTEGER), x, l5
+             FROM l WHERE l5 IS NOT NULL),
+         p AS (SELECT symbol, lg,
+                 SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+                 CAST(SUM(x) AS BIGINT) AS sa,
+                 CAST(SUM(y) AS BIGINT) AS sb
+               FROM st GROUP BY 1, 2),
+         g AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+               FROM t GROUP BY 1 HAVING COUNT(*) >= 6),
+         rho AS (SELECT p.symbol, p.lg, g.n,
+                 floor(CAST(CAST(g.n AS HUGEINT) * g.n * p.sxy
+                     - CAST(g.n AS HUGEINT) * g.sx
+                       * (CAST(p.sa AS HUGEINT) + p.sb)
+                     + (CAST(g.n AS HUGEINT) - p.lg)
+                       * g.sx * CAST(g.sx AS HUGEINT)
+                   AS DOUBLE)
+                   / NULLIF(CAST(CAST(g.n AS HUGEINT)
+                     * (CAST(g.n AS HUGEINT) * g.sxx
+                       - CAST(g.sx AS HUGEINT) * g.sx) AS DOUBLE),
+                     0.0)
+                   * 1000000.0 + 0.5) / 1000000.0 AS rho
+               FROM p JOIN g ON g.symbol = p.symbol),
+         piv AS (SELECT symbol, MAX(n) AS n,
+                 SUM(CASE WHEN lg = 1 THEN rho END) AS rho1,
+                 SUM(CASE WHEN lg = 2 THEN rho END) AS rho2,
+                 SUM(CASE WHEN lg = 3 THEN rho END) AS rho3,
+                 SUM(CASE WHEN lg = 4 THEN rho END) AS rho4,
+                 SUM(CASE WHEN lg = 5 THEN rho END) AS rho5
+               FROM rho GROUP BY 1)
+         SELECT symbol, n, rho1, rho2, rho3, rho4, rho5,
+                floor(CAST(n * (n + 2) AS DOUBLE)
+                  * (rho1 * rho1 / CAST(n - 1 AS DOUBLE)
+                    + rho2 * rho2 / CAST(n - 2 AS DOUBLE)
+                    + rho3 * rho3 / CAST(n - 3 AS DOUBLE)
+                    + rho4 * rho4 / CAST(n - 4 AS DOUBLE)
+                    + rho5 * rho5 / CAST(n - 5 AS DOUBLE))
+                  * 1000000.0 + 0.5) / 1000000.0 AS q_lb
+         FROM piv ORDER BY symbol""",
     // best single-transaction profit: exact running min + profit on
     // the r6 grid, winner under a total order
     "best_trade" ->
@@ -5311,6 +5411,59 @@ object SparkEntry {
          FROM deg LEFT JOIN tri ON tri.k = deg.k
          WHERE deg.degree >= 2
          ORDER BY local_cc DESC, deg.degree DESC, part LIMIT 20""",
+    // neighbor-set Jaccard on the same co>=2 edge set: integer
+    // wedge/degree counts, one fenced division, total-order top-20
+    "jaccard_neighbors" ->
+      """WITH d0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pr AS (SELECT a.l_partkey AS i, b.l_partkey AS j,
+                count(*) AS co
+                FROM d0 a JOIN d0 b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2),
+         np AS (SELECT i, j FROM pr WHERE co >= 2),
+         adj AS (SELECT i AS k, j AS nbr FROM np
+                 UNION ALL SELECT j AS k, i AS nbr FROM np),
+         deg AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS dg
+                 FROM adj GROUP BY 1),
+         wed AS (SELECT a.nbr AS i, b.nbr AS j,
+                   CAST(COUNT(*) AS BIGINT) AS n_common
+                 FROM adj a JOIN adj b ON a.k = b.k AND a.nbr < b.nbr
+                 GROUP BY 1, 2),
+         nonadj AS (SELECT wed.i, wed.j, wed.n_common FROM wed
+                    LEFT JOIN np ON np.i = wed.i AND np.j = wed.j
+                    WHERE np.i IS NULL)
+         SELECT n.i AS part_a, n.j AS part_b,
+                da.dg AS deg_a, db.dg AS deg_b, n.n_common,
+                floor(CAST(n.n_common AS DOUBLE)
+                  / CAST(da.dg + db.dg - n.n_common AS DOUBLE)
+                  * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+         FROM nonadj n JOIN deg da ON da.k = n.i
+           JOIN deg db ON db.k = n.j
+         ORDER BY jaccard DESC, part_a, part_b LIMIT 20""",
+    // l-diversity audit: QI classes with < 3 distinct balance bands,
+    // plus the __total (at-risk customers, at-risk classes) row
+    "l_diversity" ->
+      """WITH t AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+                c_mktsegment AS segment,
+                greatest(0, least(9, CAST(floor((c_acctbal + 1000.0)
+                  / 1100.0) AS BIGINT))) AS bal_bin
+              FROM customer),
+         cls AS (SELECT nation, segment,
+                  CAST(COUNT(*) AS BIGINT) AS k,
+                  CAST(COUNT(DISTINCT bal_bin) AS BIGINT) AS l_distinct
+                 FROM t GROUP BY 1, 2),
+         risky AS (SELECT nation, segment, k, l_distinct FROM cls
+                   WHERE l_distinct < 3),
+         total AS (SELECT CAST(-1 AS BIGINT) AS nation,
+                  '__total' AS segment,
+                  CAST(COALESCE(SUM(CASE WHEN l_distinct < 3 THEN k
+                    ELSE 0 END), 0) AS BIGINT) AS k,
+                  CAST(COALESCE(SUM(CASE WHEN l_distinct < 3 THEN 1
+                    ELSE 0 END), 0) AS BIGINT) AS l_distinct
+                 FROM cls)
+         SELECT * FROM risky UNION ALL SELECT * FROM total
+         ORDER BY nation, segment""",
     "freq_cms" -> LlmTextOps.freqCmsOracleSql,
     "decontaminate_fuzzy" -> LlmTextOps.decontaminateFuzzyOracleSql,
     // BPE training: the N-round merge loop unrolled as chained CTEs
@@ -5449,6 +5602,12 @@ object SparkEntry {
          FROM rk GROUP BY symbol ORDER BY symbol""",
     "embedding_drift" -> LlmVectorOps.embeddingDriftOracleSql,
     "ann_recall_ivf" -> LlmVectorOps.annRecallIvfOracleSql,
+    // truncated-dimension recall rung: both rankings brute-force
+    // deterministic, so the row hash-gates like ann_recall_ivf
+    "ann_recall_trunc" -> LlmVectorOps.annRecallTruncOracleSql,
+    // Adjusted Rand Index: shared assignment CTEs + exact HUGEINT
+    // pair-count folds, one fenced division
+    "clustering_ari" -> LlmVectorOps.clusteringAriOracleSql,
     // annualized Sharpe: exact integer moments over the 1e-6 daily
     // returns, ddof-1 variance numerator in longs, fenced sqrt+div
     "sharpe_ratio" ->
@@ -5526,6 +5685,125 @@ object SparkEntry {
                     0.0)
                   * 1000000 + 0.5) / 1000000 AS corr_mkt
          FROM m ORDER BY symbol""",
+    // annualized Sortino: same exact integer moments as sharpe_ratio
+    // but the squared sum clips to the downside and the deviation is
+    // the population /n form (the estimator's standard definition)
+    "sortino_ratio" ->
+      """WITH t AS (SELECT event_type AS symbol,
+                CAST(epoch_us(date_trunc('day', ts)) / 86400000000
+                  AS BIGINT) AS h,
+                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+                epoch_us(ts) AS us
+              FROM events),
+         bars AS (SELECT symbol, h, arg_max(c, us) AS close
+                  FROM t GROUP BY 1, 2),
+         rets AS (SELECT symbol,
+                  CAST(floor(CAST(close - pc AS DOUBLE)
+                    / CAST(pc AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                    AS ret_q
+                  FROM (SELECT symbol, h, close,
+                          lag(close) OVER (PARTITION BY symbol
+                            ORDER BY h) AS pc
+                        FROM bars)
+                  WHERE pc IS NOT NULL AND pc <> 0),
+         m AS (SELECT symbol, COUNT(*) AS n_days,
+                CAST(SUM(CASE WHEN ret_q < 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_down,
+                CAST(SUM(ret_q) AS BIGINT) AS sr,
+                SUM(CAST(CASE WHEN ret_q < 0 THEN ret_q ELSE 0 END
+                      AS HUGEINT)
+                    * CASE WHEN ret_q < 0 THEN ret_q ELSE 0 END) AS sdd
+               FROM rets GROUP BY symbol HAVING COUNT(*) >= 2)
+         SELECT symbol, n_days, n_down,
+                floor(CAST(sr AS DOUBLE)
+                  / CAST(n_days * 1000000 AS DOUBLE)
+                  * 1000000 + 0.5) / 1000000 AS mean_ret,
+                floor((CAST(sr AS DOUBLE) / CAST(n_days AS DOUBLE))
+                  / NULLIF(sqrt(CAST(sdd AS DOUBLE)
+                      / CAST(n_days AS DOUBLE)), 0.0)
+                  * sqrt(365.0)
+                  * 1000000 + 0.5) / 1000000 AS sortino_ann
+         FROM m ORDER BY symbol""",
+    // Calmar: annualized arithmetic daily return over max drawdown,
+    // both legs off one per-symbol daily-bar window pass
+    "calmar_ratio" ->
+      """WITH t AS (SELECT event_type AS symbol,
+                CAST(epoch_us(date_trunc('day', ts)) / 86400000000
+                  AS BIGINT) AS h,
+                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+                epoch_us(ts) AS us
+              FROM events),
+         bars AS (SELECT symbol, h, arg_max(c, us) AS close
+                  FROM t GROUP BY 1, 2),
+         w AS (SELECT symbol, h, close,
+                lag(close) OVER (PARTITION BY symbol ORDER BY h) AS pc,
+                max(close) OVER (PARTITION BY symbol ORDER BY h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS peak
+               FROM bars),
+         q AS (SELECT symbol,
+                CASE WHEN peak > 0 THEN
+                  CAST(floor(CAST(peak - close AS DOUBLE)
+                    / CAST(peak AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                ELSE 0 END AS dd_q,
+                CASE WHEN pc IS NOT NULL AND pc <> 0 THEN
+                  CAST(floor(CAST(close - pc AS DOUBLE)
+                    / CAST(pc AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                END AS ret_q
+               FROM w),
+         m AS (SELECT symbol, COUNT(*) AS n_days,
+                MAX(dd_q) AS mdd_q,
+                CAST(SUM(ret_q) AS BIGINT) AS sret,
+                COUNT(ret_q) AS n_rets
+               FROM q GROUP BY symbol HAVING COUNT(ret_q) >= 2)
+         SELECT symbol, n_days,
+                floor(CAST(mdd_q AS DOUBLE) / 1000000.0
+                  * 1000000 + 0.5) / 1000000 AS max_dd,
+                floor(CAST(sret AS DOUBLE) / CAST(n_rets AS DOUBLE)
+                  / 1000000.0 * 365.0
+                  * 1000000 + 0.5) / 1000000 AS ann_ret,
+                floor((CAST(sret AS DOUBLE) / CAST(n_rets AS DOUBLE)
+                  / 1000000.0 * 365.0)
+                  / NULLIF(CAST(mdd_q AS DOUBLE) / 1000000.0, 0.0)
+                  * 1000000 + 0.5) / 1000000 AS calmar
+         FROM m ORDER BY symbol""",
+    // Omega(0): gain mass over loss mass, pure integer sums + one
+    // fenced division — the moment-free risk ratio
+    "omega_ratio" ->
+      """WITH t AS (SELECT event_type AS symbol,
+                CAST(epoch_us(date_trunc('day', ts)) / 86400000000
+                  AS BIGINT) AS h,
+                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+                epoch_us(ts) AS us
+              FROM events),
+         bars AS (SELECT symbol, h, arg_max(c, us) AS close
+                  FROM t GROUP BY 1, 2),
+         rets AS (SELECT symbol,
+                  CAST(floor(CAST(close - pc AS DOUBLE)
+                    / CAST(pc AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                    AS ret_q
+                  FROM (SELECT symbol, h, close,
+                          lag(close) OVER (PARTITION BY symbol
+                            ORDER BY h) AS pc
+                        FROM bars)
+                  WHERE pc IS NOT NULL AND pc <> 0)
+         SELECT symbol, COUNT(*) AS n_days,
+                CAST(SUM(CASE WHEN ret_q > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_up,
+                CAST(SUM(CASE WHEN ret_q < 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_down,
+                floor(CAST(SUM(CASE WHEN ret_q > 0 THEN ret_q
+                    ELSE 0 END) AS DOUBLE) / 1000000.0
+                  * 1000000 + 0.5) / 1000000 AS gain_mass,
+                floor(CAST(SUM(CASE WHEN ret_q < 0 THEN -ret_q
+                    ELSE 0 END) AS DOUBLE) / 1000000.0
+                  * 1000000 + 0.5) / 1000000 AS loss_mass,
+                floor(CAST(SUM(CASE WHEN ret_q > 0 THEN ret_q
+                    ELSE 0 END) AS DOUBLE)
+                  / NULLIF(CAST(SUM(CASE WHEN ret_q < 0 THEN -ret_q
+                      ELSE 0 END) AS DOUBLE), 0.0)
+                  * 1000000 + 0.5) / 1000000 AS omega
+         FROM rets GROUP BY symbol ORDER BY symbol""",
     // in-engine Naive Bayes quality classifier: gopher weak labels,
     // integer-quantized log-likelihood-ratio weights, sign-test preds
     "quality_nb" ->

@@ -1874,6 +1874,81 @@ object AnalyticOps {
       .orderBy("symbol", "lag")
   }
 
+  /** `ljung_box` — the Ljung–Box portmanteau white-noise test per
+    * symbol: Q = n(n+2)·Σ_{k=1..5} ρ̂_k²/(n−k) over the first five
+    * autocorrelations of the centi-price series (Ljung & Box 1978) —
+    * the single-scalar verdict `autocorrelation`'s per-lag table
+    * feeds ("is there ANY serial structure here, jointly"), the
+    * standard pre-fit diagnostic before an ARIMA/GARCH model and the
+    * post-fit residual check after one.
+    *
+    * Portability: ρ̂_k uses the textbook full-series mean and
+    * variance (not the pairwise-Pearson of `autocorrelation`), which
+    * clears the divisions entirely: with S = Σx, SS = Σx² and
+    * per-lag truncated sums (Σx_t·x_{t−k}, Σ_{t>k}x_t, Σx_{t−k}),
+    * n²·num_k = n²Σxy − nS(Sa+Sb) + (n−k)S² and n²·den = n(nSS−S²)
+    * are EXACT integer quantities (DECIMAL(38,0) / HUGEINT — peak
+    * ~1e29 at sf0.1, comfortably inside both), so each ρ̂_k is ONE
+    * fenced division on the 1e-6 grid and Q is a five-term sum of
+    * gridded doubles in written order. Symbols shorter than 6 ticks
+    * drop (no lag-5 pair), identically via the n ≥ 6 guard.
+    *
+    * Scale shape: the `autocorrelation` plan — one per-symbol
+    * shuffle+sort serves all five lags, the stacked pair moments are
+    * map-side combined to ≤ 5·|symbols| rows, the global moments to
+    * |symbols| rows (broadcast), and the lag pivot is an aggregate
+    * over 25 rows.
+    */
+  def ljungBox(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("us").asc, col("event_id").asc)
+    val base = Tables.events(s, d)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type").as("symbol"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("x"))
+    val lagged = (1 to 5).foldLeft(base) { (df, k) =>
+      df.withColumn(s"l$k", lag(col("x"), k).over(w))
+    }
+    val stacked = lagged.select(col("symbol"), col("x"),
+      expr("stack(5, 1, l1, 2, l2, 3, l3, 4, l4, 5, l5) AS (lg, y)"))
+      .where(col("y").isNotNull)
+    val perLag = stacked.groupBy(col("symbol"), col("lg"))
+      .agg(sum(dec(col("x")) * dec(col("y"))).cast(DecimalType(38, 0))
+        .as("sxy"),
+        sum(col("x")).as("sa"), sum(col("y")).as("sb"))
+    val glob = base.groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(dec(col("x")) * dec(col("x"))).cast(DecimalType(38, 0))
+          .as("sxx"))
+      .where(col("n") >= 6L)
+    val rho = perLag.join(broadcast(glob), Seq("symbol"))
+      .select(col("symbol"), col("lg"), col("n"),
+        r6((dec(col("n")) * dec(col("n")) * col("sxy")
+          - dec(col("n")) * dec(col("sx"))
+            * (dec(col("sa")) + dec(col("sb")))
+          + (dec(col("n")) - dec(col("lg")))
+            * dec(col("sx")) * dec(col("sx"))).cast("double")
+          / nullif((dec(col("n")) * (dec(col("n")) * col("sxx")
+            - dec(col("sx")) * dec(col("sx")))).cast("double"),
+            lit(0.0))).as("rho"))
+    def rhoAt(k: Int) = sum(when(col("lg") === k, col("rho"))).as(s"rho$k")
+    rho.groupBy(col("symbol"))
+      .agg(max(col("n")).as("n"),
+        rhoAt(1), rhoAt(2), rhoAt(3), rhoAt(4), rhoAt(5))
+      .select(col("symbol"), col("n"),
+        col("rho1"), col("rho2"), col("rho3"), col("rho4"), col("rho5"),
+        r6((col("n") * (col("n") + 2L)).cast("double")
+          * (col("rho1") * col("rho1") / (col("n") - 1L).cast("double")
+            + col("rho2") * col("rho2") / (col("n") - 2L).cast("double")
+            + col("rho3") * col("rho3") / (col("n") - 3L).cast("double")
+            + col("rho4") * col("rho4") / (col("n") - 4L).cast("double")
+            + col("rho5") * col("rho5") / (col("n") - 5L).cast("double")))
+          .as("q_lb"))
+      .orderBy("symbol")
+  }
+
   /** `event_paths` — the top-20 most-travelled 3-step behavioral
     * paths: consecutive event-type trigrams per user under the
     * (us, event_id) total order, counted corpus-wide with each
@@ -2214,6 +2289,122 @@ object AnalyticOps {
             lit(0.0))).as("corr_mkt"))
       .orderBy("symbol")
   }
+
+  /** `sortino_ratio` — annualized Sortino per symbol (target 0):
+    * mean daily return over the DOWNSIDE deviation √(Σ min(r,0)²/n)
+    * × √365 (Sortino & van der Meer 1991) — the Sharpe variant that
+    * only charges for harmful volatility, so a right-skewed strategy
+    * isn't penalized for its winners. Same exact-integer-moment
+    * recipe as [[sharpeRatio]]: the clipped squared sum rides
+    * DECIMAL(38,0) (ret_q can reach ~1e11 on the synthetic uniform
+    * prices), the denominator is the population form (/n — the
+    * estimator's standard definition, unlike Sharpe's ddof-1), and
+    * the only float ops are one fenced sqrt + division in written
+    * order. All-gain symbols (no down day) null out via the nullif
+    * fence, mirrored in the oracle.
+    */
+  def sortinoRatio(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+    dailyRetQ(s, d)
+      .withColumn("dn", when(col("ret_q") < 0L, col("ret_q")).otherwise(0L))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("ret_q") < 0L, 1L).otherwise(0L)).as("n_down"),
+        sum(col("ret_q")).as("sr"),
+        sum(dec(col("dn")) * dec(col("dn")))
+          .cast(DecimalType(38, 0)).as("sdd"))
+      .where(col("n_days") >= 2L)
+      .select(col("symbol"), col("n_days"), col("n_down"),
+        r6(col("sr").cast("double")
+          / (col("n_days") * lit(1000000L)).cast("double"))
+          .as("mean_ret"),
+        r6((col("sr").cast("double") / col("n_days").cast("double"))
+          / nullif(sqrt(col("sdd").cast("double")
+            / col("n_days").cast("double")), lit(0.0))
+          * sqrt(lit(365.0))).as("sortino_ann"))
+      .orderBy("symbol")
+  }
+
+  /** `calmar_ratio` — annualized arithmetic return over maximum
+    * drawdown per symbol, both on the DAILY close-to-close grain
+    * (Young 1991): the "how much pain bought this return" scalar
+    * that completes the risk panel ([[sharpeRatio]] charges total
+    * vol, [[sortinoRatio]] downside vol, this one charges the worst
+    * peak-to-trough loss — the number an allocator actually fears).
+    * `max_drawdown` measures tick-level drawdown; Calmar is defined
+    * on the bar series and needs the return leg too, so both legs
+    * ride ONE per-symbol window pass (running peak + lag — one
+    * shuffle+sort serves both, the lag_features plan). Each day's
+    * drawdown is one fenced division of exact centi integers on the
+    * 1e-6 grid (zero-peak days guarded to 0 identically both
+    * engines); annualization is arithmetic (mean daily × 365 — the
+    * √-free convention, matching the family's transcendental-fence
+    * budget of sqrt only).
+    */
+  def calmarRatio(s: SparkSession, d: String): DataFrame = {
+    val bars = Tables.events(s, d)
+      .select(col("event_type").as("symbol"),
+        (unix_micros(date_trunc("day", col("ts"))) / lit(86400000000L))
+          .cast("long").as("h"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("c"),
+        unix_micros(col("ts")).as("us"))
+      .groupBy(col("symbol"), col("h"))
+      .agg(max_by(col("c"), col("us")).as("close"))
+    val wd = Window.partitionBy("symbol").orderBy("h")
+    val wp = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bars
+      .withColumn("pc", lag(col("close"), 1).over(wd))
+      .withColumn("peak", max(col("close")).over(wp))
+      .withColumn("dd_q", when(col("peak") > 0L,
+        floor((col("peak") - col("close")).cast("double")
+          / col("peak").cast("double") * lit(1000000.0) + lit(0.5))
+          .cast("long")).otherwise(0L))
+      .withColumn("ret_q", when(col("pc").isNotNull && col("pc") =!= 0L,
+        floor((col("close") - col("pc")).cast("double")
+          / col("pc").cast("double") * lit(1000000.0) + lit(0.5))
+          .cast("long")))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_days"),
+        max(col("dd_q")).as("mdd_q"),
+        sum(col("ret_q")).as("sret"),
+        count(col("ret_q")).as("n_rets"))
+      .where(col("n_rets") >= 2L)
+      .select(col("symbol"), col("n_days"),
+        r6(col("mdd_q").cast("double") / lit(1000000.0)).as("max_dd"),
+        r6(col("sret").cast("double") / col("n_rets").cast("double")
+          / lit(1000000.0) * lit(365.0)).as("ann_ret"),
+        r6((col("sret").cast("double") / col("n_rets").cast("double")
+          / lit(1000000.0) * lit(365.0))
+          / nullif(col("mdd_q").cast("double") / lit(1000000.0),
+            lit(0.0))).as("calmar"))
+      .orderBy("symbol")
+  }
+
+  /** `omega_ratio` — Ω(0) per symbol: total gain mass over total
+    * loss mass of the daily returns (Keating & Shadwick 2002 at
+    * threshold 0) — the whole-distribution risk ratio that needs NO
+    * moment assumptions: it is literally Σ max(r,0) / Σ max(−r,0),
+    * so unlike Sharpe/Sortino it survives fat tails and skew without
+    * lying. Pure exact integer sums off the shared 1e-6 return grid
+    * ([[dailyRetQ]]) until one fenced division — the cheapest row in
+    * the risk panel and the only transcendental-free one. Loss-free
+    * symbols null out via the nullif fence (Ω = ∞ conventionally).
+    */
+  def omegaRatio(s: SparkSession, d: String): DataFrame =
+    dailyRetQ(s, d)
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("ret_q") > 0L, 1L).otherwise(0L)).as("n_up"),
+        sum(when(col("ret_q") < 0L, 1L).otherwise(0L)).as("n_down"),
+        sum(when(col("ret_q") > 0L, col("ret_q")).otherwise(0L)).as("gq"),
+        sum(when(col("ret_q") < 0L, -col("ret_q")).otherwise(0L)).as("lq"))
+      .select(col("symbol"), col("n_days"), col("n_up"), col("n_down"),
+        r6(col("gq").cast("double") / lit(1000000.0)).as("gain_mass"),
+        r6(col("lq").cast("double") / lit(1000000.0)).as("loss_mass"),
+        r6(col("gq").cast("double")
+          / nullif(col("lq").cast("double"), lit(0.0))).as("omega"))
+      .orderBy("symbol")
 
   def theilSenSlope(s: SparkSession, d: String): DataFrame = {
     val bars = Tables.events(s, d)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -157,5 +158,50 @@ object AuditOps {
         sum(col("co")).as("old_cents"),
         sum(col("cn")).as("new_cents"))
       .orderBy("change_type")
+  }
+
+  /** `scd2_history` — build a type-2 slowly-changing dimension from
+    * the change stream (Kimball's SCD2, the interval form every
+    * warehouse dimension load materializes): per user, each maximal
+    * RUN of consecutive equal `event_type` values becomes one
+    * version row with [valid_from, valid_to) micro-timestamps, a
+    * 1-based version number, the run's event count, and the
+    * is_current flag (open interval). This is the gaps-and-islands
+    * classic: a change marker (lag ≠ current under the (us,
+    * event_id) total order), a running sum turning markers into
+    * island ids, one aggregate per island, and a lead() closing each
+    * interval with its successor's start — `cdc_snapshot_diff` plans
+    * a merge between two snapshots; this one turns the full stream
+    * INTO the dimension history table.
+    *
+    * Scale shape: ONE per-user shuffle+sort serves the lag, the
+    * running sum, and (after the island aggregate, which reuses the
+    * same hash partitioning) the lead — the lag_features plan; no
+    * step is wider than the user key. All values are exact integers
+    * / strings; no float ops at all, so the row hash-gates.
+    */
+  def scd2History(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us").asc, col("event_id").asc)
+    val marked = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull
+          || lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val islands = marked.groupBy(col("user_id"), col("version"))
+      .agg(max(col("event_type")).as("attr_value"),
+        min(col("us")).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+    val w2 = Window.partitionBy("user_id").orderBy(col("version"))
+    islands
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w2))
+      .select(col("user_id"), col("version"), col("attr_value"),
+        col("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"), col("n_events"))
+      .orderBy("user_id", "version")
   }
 }

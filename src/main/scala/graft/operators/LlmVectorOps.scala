@@ -1692,6 +1692,100 @@ object LlmVectorOps {
          FROM ex LEFT JOIN iv ON p2 = ex.probe_id AND v2 = ex.vec_id
          GROUP BY 1 ORDER BY 1"""
 
+  /** How many leading dimensions the truncated-search rung keeps. */
+  private[graft] val truncDim = 16
+
+  /** `ann_recall_trunc` — recall@10 of TRUNCATED-dimension search:
+    * rank the corpus by cosine over only the first [[truncDim]] of
+    * the 64 dims (the Matryoshka-representation serving trick —
+    * Kusupati et al. 2022 — and the oldest ANN dial there is: drop
+    * dims, not candidates) and score the overlap against the full-
+    * dim exact top-10. This completes the recall ladder's missing
+    * rung: IVF/PQ/1-bit shrink the CANDIDATE set or the CODES;
+    * truncation shrinks the GEOMETRY, costing 4× less dot-product
+    * work and bytes with zero training. On isotropic fixtures the
+    * leading dims carry no privileged mass, so measured recall here
+    * is the PESSIMISTIC floor — MRL-trained embeddings would only
+    * beat it. Both rankings are deterministic brute-force scans
+    * (r6-gridded scores, vec_id tie-break) ⇒ the row hash-gates at
+    * every sf, like `ann_recall_ivf` and unlike any trained rung.
+    * Scale shape: two broadcast-probe corpus scans + one per-probe
+    * bounded rank each — the `similarity_topk` plan twice.
+    */
+  def annRecallTrunc(s: SparkSession, d: String): DataFrame = {
+    val exact = similarityTopk(s, d).select(col("probe_id"), col("vec_id"))
+    val et = Tables.embeddings(s, d)
+      .withColumn("emb16", slice(col("embedding"), 1, truncDim))
+      .withColumn("norm16",
+        sqrt(VectorExprs.dot(s, col("emb16"), col("emb16"))))
+    val probes = et.where(col("vec_id") < nProbes)
+      .select(col("vec_id").as("p2"), col("emb16").as("probe_emb"),
+        col("norm16").as("probe_norm"))
+    val w = Window.partitionBy("p2")
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val trunc = et.join(broadcast(probes), col("vec_id") =!= col("p2"))
+      .withColumn("score", r6(
+        VectorExprs.dot(s, col("probe_emb"), col("emb16"))
+          / (col("probe_norm") * col("norm16"))))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 10)
+      .select(col("p2"), col("vec_id").as("v2"))
+    exact.join(trunc, col("p2") === col("probe_id")
+        && col("v2") === col("vec_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("v2").isNotNull, 1L).otherwise(0L)).as("hits"))
+      .select(col("probe_id"), col("k"), col("hits"),
+        r6(col("hits").cast("double") / col("k").cast("double"))
+          .as("recall"))
+      .orderBy("probe_id")
+  }
+
+  /** The DuckDB oracle for `ann_recall_trunc`: exact top-10 vs the
+    * first-[[truncDim]]-dims ranking, both replayed brute-force.
+    */
+  private[graft] def annRecallTruncOracleSql: String =
+    s"""WITH ex AS (
+           SELECT probe_id, vec_id FROM (
+             WITH probes AS (SELECT vec_id AS probe_id,
+                      embedding AS probe_emb
+                    FROM embeddings WHERE vec_id < $nProbes),
+             pairs AS (SELECT probe_id, vec_id,
+                  ${dotSql("probe_emb", "embedding", embDim)}
+                    / (sqrt(${dotSql("probe_emb", "probe_emb", embDim)})
+                       * sqrt(${dotSql("embedding", "embedding", embDim)}))
+                    AS score
+               FROM embeddings, probes WHERE vec_id <> probe_id),
+             ranked AS (SELECT probe_id, vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY probe_id
+                    ORDER BY floor(score * 1000000 + 0.5) / 1000000 DESC,
+                      vec_id ASC) AS rank
+                  FROM pairs)
+             SELECT probe_id, vec_id FROM ranked WHERE rank <= 10)),
+         tr AS (SELECT probe_id AS p2, vec_id AS v2 FROM (
+             WITH probes AS (SELECT vec_id AS probe_id,
+                      embedding AS probe_emb
+                    FROM embeddings WHERE vec_id < $nProbes),
+             pairs AS (SELECT probe_id, vec_id,
+                  ${dotSql("probe_emb", "embedding", truncDim)}
+                    / (sqrt(${dotSql("probe_emb", "probe_emb", truncDim)})
+                       * sqrt(${dotSql("embedding", "embedding", truncDim)}))
+                    AS score
+               FROM embeddings, probes WHERE vec_id <> probe_id),
+             ranked AS (SELECT probe_id, vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY probe_id
+                    ORDER BY floor(score * 1000000 + 0.5) / 1000000 DESC,
+                      vec_id ASC) AS rank
+                  FROM pairs)
+             SELECT probe_id, vec_id FROM ranked WHERE rank <= 10))
+         SELECT ex.probe_id, CAST(COUNT(*) AS BIGINT) AS k,
+                CAST(SUM(CASE WHEN v2 IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hits,
+                floor(SUM(CASE WHEN v2 IS NOT NULL THEN 1 ELSE 0 END)
+                    * 1.0 / COUNT(*) * 1000000 + 0.5) / 1000000 AS recall
+         FROM ex LEFT JOIN tr ON p2 = ex.probe_id AND v2 = ex.vec_id
+         GROUP BY 1 ORDER BY 1"""
+
   /** `embedding_drift` — per-label centroid drift between the train
     * and holdout split buckets (the doc-level multiplicative-hash
     * split applied to vec_id): 1 − cos(centroid_train,
@@ -1888,12 +1982,16 @@ object LlmVectorOps {
       .orderBy("cent_id")
   }
 
-  /** The DuckDB oracle for `cluster_purity` — the shared seed
-    * codebook + keep-1 assignment CTEs (constants from the shared
-    * named vals), then the majority fold.
+  /** The shared seed-codebook + keep-1 assignment CTE chain
+    * (base → cents → sims → ranked_c → corpus(vec_id, label,
+    * cent_id)) — the DuckDB twin of [[seedCentroids]] +
+    * [[assignToCentroids]] keep-1, referenced by BOTH the
+    * `cluster_purity` and `clustering_ari` oracles so the two
+    * replays cannot drift (the `lshPlaneVal` shared-definition
+    * posture applied to a CTE fragment).
     */
-  private[graft] def clusterPurityOracleSql: String =
-    s"""WITH base AS (SELECT vec_id, label, embedding,
+  private def seedAssignCorpusCtes: String =
+    s"""base AS (SELECT vec_id, label, embedding,
                   sqrt(list_aggregate([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
                          for x in embedding], 'sum')) AS norm
                 FROM embeddings),
@@ -1909,7 +2007,14 @@ object LlmVectorOps {
          ranked_c AS (SELECT vec_id, label, cent_id,
                   ROW_NUMBER() OVER (PARTITION BY vec_id
                     ORDER BY cent_sim DESC, cent_id ASC) AS r FROM sims),
-         corpus AS (SELECT vec_id, label, cent_id FROM ranked_c WHERE r = 1),
+         corpus AS (SELECT vec_id, label, cent_id FROM ranked_c WHERE r = 1)"""
+
+  /** The DuckDB oracle for `cluster_purity` — the shared seed
+    * codebook + keep-1 assignment CTEs (constants from the shared
+    * named vals), then the majority fold.
+    */
+  private[graft] def clusterPurityOracleSql: String =
+    s"""WITH $seedAssignCorpusCtes,
          counts AS (SELECT cent_id, label, CAST(COUNT(*) AS BIGINT) AS cnt
                     FROM corpus GROUP BY 1, 2),
          g AS (SELECT *,
@@ -1922,6 +2027,82 @@ object LlmVectorOps {
                 floor(CAST(cnt AS DOUBLE) / CAST(n_vecs AS DOUBLE)
                   * 1000000 + 0.5) / 1000000 AS purity
          FROM g WHERE r = 1 ORDER BY cent_id"""
+
+  /** `clustering_ari` — the Adjusted Rand Index between the seed-
+    * codebook Lloyd assignment and the stored labels (Hubert &
+    * Arabie 1985): the chance-corrected agreement scalar
+    * `cluster_purity`'s per-cell majority table cannot give (purity
+    * rewards shattering — n singleton cells score 1.0; ARI charges
+    * for it). ARI is pure pair counting off the contingency table:
+    * with I = Σ C(n_ij,2), A = Σ C(a_i,2), B = Σ C(b_j,2), C =
+    * C(n,2), ARI = 2(C·I − A·B) / (C·(A+B) − 2AB) — every term an
+    * EXACT integer (C(x,2) = x(x−1) div 2 is always whole; products
+    * ride DECIMAL(38,0) — C·I reaches ~2.5e35 at a billion vectors,
+    * inside both engines' 128-bit range), so the single fenced
+    * division is the only float op and the row hash-gates.
+    * Scale shape: one broadcast-codebook assignment scan (the
+    * `cluster_purity` plan) + one contingency aggregate (≤ cells ×
+    * labels rows) + three tiny folds cross-joined — no pair
+    * materialization anywhere despite the pairwise definition.
+    */
+  def clusteringAri(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+    val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
+    val assigned = assignToCentroids(s, e, seedCentroids(e), keep = 1)
+      .select(col("cent_id"), col("label"))
+    val cont = assigned.groupBy(col("cent_id"), col("label"))
+      .agg(count(lit(1)).as("nij"))
+    val tot = assigned.agg(count(lit(1)).as("n_vecs"))
+      .select(col("n_vecs"),
+        expr("n_vecs * (n_vecs - 1) div 2").as("c_n"))
+    val isum = cont.agg(sum(expr("nij * (nij - 1) div 2")).as("i_sum"))
+    val asum = cont.groupBy(col("cent_id")).agg(sum(col("nij")).as("ai"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(expr("ai * (ai - 1) div 2")).as("a_sum"))
+    val bsum = cont.groupBy(col("label")).agg(sum(col("nij")).as("bj"))
+      .agg(count(lit(1)).as("n_labels"),
+        sum(expr("bj * (bj - 1) div 2")).as("b_sum"))
+    tot.crossJoin(isum).crossJoin(asum).crossJoin(bsum)
+      .select(col("n_vecs"), col("n_cells"), col("n_labels"),
+        r6((lit(2L).cast(DecimalType(38, 0))
+          * (dec(col("c_n")) * dec(col("i_sum"))
+            - dec(col("a_sum")) * dec(col("b_sum")))).cast("double")
+          / nullif((dec(col("c_n"))
+            * (dec(col("a_sum")) + dec(col("b_sum")))
+            - lit(2L).cast(DecimalType(38, 0))
+              * dec(col("a_sum")) * dec(col("b_sum"))).cast("double"),
+            lit(0.0))).as("ari"))
+  }
+
+  /** The DuckDB oracle for `clustering_ari` — the shared assignment
+    * chain, then the exact pair-count folds in HUGEINT.
+    */
+  private[graft] def clusteringAriOracleSql: String =
+    s"""WITH $seedAssignCorpusCtes,
+         cont AS (SELECT cent_id, label, CAST(COUNT(*) AS BIGINT) AS nij
+                  FROM corpus GROUP BY 1, 2),
+         i AS (SELECT CAST(SUM(CAST(nij AS HUGEINT) * (nij - 1) // 2)
+                 AS HUGEINT) AS i_sum FROM cont),
+         a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+                 CAST(SUM(CAST(ai AS HUGEINT) * (ai - 1) // 2)
+                   AS HUGEINT) AS a_sum
+               FROM (SELECT cent_id, CAST(SUM(nij) AS BIGINT) AS ai
+                     FROM cont GROUP BY 1)),
+         b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_labels,
+                 CAST(SUM(CAST(bj AS HUGEINT) * (bj - 1) // 2)
+                   AS HUGEINT) AS b_sum
+               FROM (SELECT label, CAST(SUM(nij) AS BIGINT) AS bj
+                     FROM cont GROUP BY 1)),
+         t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                 CAST(CAST(COUNT(*) AS HUGEINT) * (COUNT(*) - 1) // 2
+                   AS HUGEINT) AS c_n FROM corpus)
+         SELECT n_vecs, n_cells, n_labels,
+                floor(CAST(2 * (c_n * i_sum - a_sum * b_sum) AS DOUBLE)
+                  / NULLIF(CAST(c_n * (a_sum + b_sum)
+                    - 2 * a_sum * b_sum AS DOUBLE), 0.0)
+                  * 1000000 + 0.5) / 1000000 AS ari
+         FROM t, i, a, b"""
 
   /** `label_centroids` — per-class prototype vectors in long form
     * (label, dim, mean): the embedding-space health check a labeled

@@ -694,6 +694,83 @@ object RelationalOps {
       .limit(20)
   }
 
+  /** `jaccard_neighbors` — neighbor-set Jaccard link prediction over
+    * the co-purchase graph: for every NON-adjacent part pair sharing
+    * a neighbor, |N(i)∩N(j)| / |N(i)∪N(j)| (the classic structural-
+    * equivalence score; Liben-Nowell & Kleinberg 2007's baseline
+    * that [[adamicAdar]] refines by down-weighting hub neighbors —
+    * emitting both lets a recommender A/B the two rankings on the
+    * same candidate set). The union size needs no second pass:
+    * |N∪| = deg_i + deg_j − n_common, so the whole score is three
+    * exact integers off the SAME wedge stream adamic_adar already
+    * rides (one oriented adjacency self-join per common neighbor,
+    * Σ C(deg k, 2) rows — the `triangle_count` wedge budget,
+    * hub-capped at 100 TB via the hot-bucket-split posture) plus the
+    * broadcast degree table. One fenced division; top-20 under a
+    * TOTAL order (1e-6-grid jaccard desc, then the pair).
+    */
+  def jaccardNeighbors(s: SparkSession, d: String): DataFrame = {
+    val e = coPurchaseEdges(s, d)
+    val adj = e.select(col("i").as("k"), col("j").as("nbr"))
+      .union(e.select(col("j").as("k"), col("i").as("nbr")))
+    val deg = adj.groupBy(col("k")).agg(count(lit(1)).as("dg"))
+    val wedges = adj.select(col("k"), col("nbr").as("i"))
+      .join(adj.select(col("k"), col("nbr").as("j")), Seq("k"))
+      .where(col("i") < col("j"))
+    wedges.groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(e, Seq("i", "j"), "left_anti")
+      .join(broadcast(deg.select(col("k").as("i"), col("dg").as("deg_a"))),
+        Seq("i"))
+      .join(broadcast(deg.select(col("k").as("j"), col("dg").as("deg_b"))),
+        Seq("j"))
+      .select(col("i").as("part_a"), col("j").as("part_b"),
+        col("deg_a"), col("deg_b"), col("n_common"),
+        r6(col("n_common").cast("double")
+          / (col("deg_a") + col("deg_b") - col("n_common")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("part_a").asc, col("part_b").asc)
+      .limit(20)
+  }
+
+  /** `l_diversity` — the homogeneity-attack audit k-anonymity alone
+    * misses (Machanavajjhala et al. 2007): a quasi-identifier class
+    * can be large (k-anonymous) yet reveal everyone's sensitive value
+    * if that value is CONSTANT within the class. Here the QI tuple is
+    * (nation, market segment) over customers, the sensitive attribute
+    * is the account-balance band (ten fixed-width bins over the TPC-H
+    * [-1000, 10000) range, clamp-guarded), and every class with fewer
+    * than l = 3 distinct bands is reported with its size and its
+    * distinct-band count. The always-present `__total` row mirrors
+    * `k_anonymity`'s convention: `k` carries the total customer count
+    * inside at-risk classes, `l_distinct` the at-risk class count —
+    * the headline pair survives a clean table (non-vacuous gate).
+    * Scale shape: one map-side-combined aggregate over row-local
+    * keys; the distinct-band count per class rides the same shuffle
+    * (band cardinality ≤ 10, so the distinct is bounded per group).
+    */
+  def lDiversity(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.customer(s, d)
+      .select(col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"),
+        greatest(lit(0L), least(lit(9L),
+          floor((col("c_acctbal") + lit(1000.0)) / lit(1100.0))
+            .cast("long"))).as("bal_bin"))
+    val classes = t.groupBy(col("nation"), col("segment"))
+      .agg(count(lit(1)).as("k"),
+        countDistinct(col("bal_bin")).as("l_distinct"))
+    val risky = classes.where(col("l_distinct") < 3L)
+      .select(col("nation"), col("segment"), col("k"), col("l_distinct"))
+    val total = classes.agg(
+      sum(when(col("l_distinct") < 3L, col("k")).otherwise(0L))
+        .as("at_risk"),
+      sum(when(col("l_distinct") < 3L, 1L).otherwise(0L))
+        .as("n_risky"))
+      .select(lit(-1L).as("nation"), lit("__total").as("segment"),
+        col("at_risk").as("k"), col("n_risky").as("l_distinct"))
+    risky.unionByName(total).orderBy("nation", "segment")
+  }
+
   /** `ship_delay_stats` — order-to-ship latency distribution per
     * priority class: the fulfillment-SLA report card over the TPC-H
     * fact pair (does 1-URGENT actually ship faster?). Delay is an

@@ -380,4 +380,50 @@ class AuditOpsSpec extends AnyFunSuite {
       assert(r.getDouble(5) == e._5, s"mape ${r.getString(0)}")
     }
   }
+
+  test("scd2_history == driver gaps-and-islands replay; interval invariants") {
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // driver replay: per-user runs of equal event_type under the
+    // (us, event_id) total order
+    val expected = events.groupBy(_._1).flatMap { case (uid, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      val runs = sorted.foldLeft(List.empty[(String, Long, Long)]) {
+        case (acc, (_, _, us, tpe)) => acc match {
+          case (t, from, n) :: rest if t == tpe => (t, from, n + 1) :: rest
+          case _ => (tpe, us, 1L) :: acc
+        }
+      }.reverse
+      runs.zipWithIndex.map { case ((tpe, from, n), i) =>
+        val to = if (i + 1 < runs.size) Some(runs(i + 1)._2) else None
+        (uid, (i + 1).toLong) -> ((tpe, from, to, n))
+      }
+    }
+    val got = AuditOps.scd2History(spark, sf).collect()
+    assert(got.length == expected.size && got.nonEmpty)
+    val currents = scala.collection.mutable.Map.empty[Long, Long]
+    got.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      val e = expected(key)
+      assert(r.getString(2) == e._1, s"$key attr")
+      assert(r.getLong(3) == e._2, s"$key from")
+      assert((if (r.isNullAt(4)) None else Some(r.getLong(4))) == e._3,
+        s"$key to")
+      assert(r.getBoolean(5) == e._3.isEmpty, s"$key is_current")
+      assert(r.getLong(6) == e._4, s"$key n_events")
+      if (r.getBoolean(5))
+        currents(r.getLong(0)) = currents.getOrElse(r.getLong(0), 0L) + 1L
+      // half-open interval: from strictly before to (ties impossible:
+      // the successor island starts at a LATER sequence position with
+      // us >= from, and equal us would merge into one run only if the
+      // type matched)
+      if (!r.isNullAt(4)) assert(r.getLong(3) <= r.getLong(4), s"$key order")
+    }
+    // exactly one open (current) version per user
+    val users = events.map(_._1).distinct
+    assert(currents.size == users.length && currents.values.forall(_ == 1L))
+  }
 }

@@ -330,4 +330,70 @@ class EmbedEvalSpec extends AnyFunSuite {
     assert(byShare.head._3 > byShare.head._2,
       "tail source must be up-weighted")
   }
+
+  test("ann_recall_trunc == driver replay of both rankings at sf0.001") {
+    val e = embs(TestSpark.sf0001)
+    def topk(dims: Int): Map[Long, Set[Long]] =
+      e.filter(_._1 < 5L).map { case (pid, pv0, _) =>
+        val pv = pv0.take(dims)
+        val pn = math.sqrt(pv.map(x => x * x).sum)
+        val scored = e.filter(_._1 != pid).map { case (id, v0, _) =>
+          val v = v0.take(dims)
+          val dot = pv.zip(v).map { case (a, b) => a * b }.sum
+          (id, r6(dot / (pn * math.sqrt(v.map(x => x * x).sum))))
+        }
+        pid -> scored.sortBy { case (id, sc) => (-sc, id) }
+          .take(10).map(_._1).toSet
+      }.toMap
+    val exact = topk(64)
+    val trunc = topk(16)
+    val got = LlmVectorOps.annRecallTrunc(spark, TestSpark.sf0001)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == exact.keySet && got.nonEmpty)
+    got.foreach { case (pid, (k, hits, recall)) =>
+      assert(k == 10L, s"probe $pid k")
+      val expHits = (exact(pid) & trunc(pid)).size.toLong
+      assert(hits == expHits, s"probe $pid hits: $hits vs $expHits")
+      assert(math.abs(recall - r6(hits.toDouble / 10.0)) < 2e-6)
+    }
+  }
+
+  test("clustering_ari == driver contingency replay; degenerate bounds") {
+    val e = embs(TestSpark.sf0001)
+    // keep-1 seed-centroid assignment (vec_id % 100 == 0 codebook)
+    val cents = e.filter(_._1 % 100L == 0L)
+    def normOf(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    val assign = e.map { case (id, v, lab) =>
+      val n = normOf(v)
+      val best = cents.map { case (cid, cv, _) =>
+        val dot = v.zip(cv).map { case (a, b) => a * b }.sum
+        (cid, dot / (n * normOf(cv)))
+      }.minBy { case (cid, sim) => (-sim, cid) }._1
+      (best, lab)
+    }
+    def c2(x: Long): BigInt = BigInt(x) * BigInt(x - 1) / 2
+    val cont = assign.groupBy(identity).view.mapValues(_.length.toLong)
+      .toMap
+    val i = cont.values.map(c2).sum
+    val ai = cont.groupBy(_._1._1).view
+      .mapValues(_.values.sum).values.toSeq
+    val bj = cont.groupBy(_._1._2).view
+      .mapValues(_.values.sum).values.toSeq
+    val (a, b) = (ai.map(c2).sum, bj.map(c2).sum)
+    val cn = c2(e.length.toLong)
+    val expAri = r6((BigInt(2) * (cn * i - a * b)).toDouble
+      / (cn * (a + b) - BigInt(2) * a * b).toDouble)
+    val row = LlmVectorOps.clusteringAri(spark, TestSpark.sf0001)
+      .collect().head
+    assert(row.getLong(0) == e.length.toLong)
+    assert(row.getLong(1) == ai.length.toLong, "cell count")
+    assert(row.getLong(2) == bj.length.toLong, "label count")
+    assert(math.abs(row.getDouble(3) - expAri) < 2e-6,
+      s"ari ${row.getDouble(3)} vs $expAri")
+    // chance-corrected: random-vs-label agreement sits near 0,
+    // far from purity's shatter-reward regime
+    assert(row.getDouble(3) > -0.5 && row.getDouble(3) < 0.5)
+  }
 }

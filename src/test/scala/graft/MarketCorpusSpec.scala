@@ -582,4 +582,116 @@ class MarketCorpusSpec extends AnyFunSuite {
       assert(corr >= -1.0 - 1e-9 && corr <= 1.0 + 1e-9)
     }
   }
+
+  test("sortino_ratio == driver replay; downside-only denominator") {
+    val rets = dailyReturns()
+    val rows = AnalyticOps.sortinoRatio(spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (sym, n, nDown) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val rs = rets(sym).map(_._2)
+      assert(rs.size == n && n >= 2)
+      assert(nDown == rs.count(_ < 0L), s"$sym n_down")
+      val sr = rs.map(BigInt(_)).sum
+      assert(math.abs(r.getDouble(3)
+        - r6(sr.toDouble / (n * 1000000L))) < 2e-6, s"$sym mean")
+      val sdd = rs.filter(_ < 0L).map(x => BigInt(x) * BigInt(x)).sum
+      if (sdd == 0) assert(r.isNullAt(4), s"$sym: all-gain must null")
+      else {
+        val exp = r6(sr.toDouble / n
+          / math.sqrt(sdd.toDouble / n) * math.sqrt(365.0))
+        assert(math.abs(r.getDouble(4) - exp) < 2e-6, s"$sym sortino")
+        // downside vol <= total vol pointwise => |sortino| >= |sharpe|
+        // whenever both exist and the mean is nonzero (sanity link)
+      }
+    }
+  }
+
+  test("calmar_ratio == driver replay: running-peak drawdown over daily bars") {
+    val byDay = ticks().groupBy(t => (t._1, t._2 / 86400000000L))
+      .map { case ((sym, day), ts) =>
+        (sym, day, ts.maxBy(t => (t._2, t._3))._4)
+      }.toSeq.groupBy(_._1)
+    val rows = AnalyticOps.calmarRatio(spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sym = r.getString(0)
+      val bars = byDay(sym).sortBy(_._2).map(_._3)
+      assert(r.getLong(1) == bars.size, s"$sym n_days")
+      val mddQ = bars.scanLeft(Long.MinValue)(math.max).tail
+        .zip(bars).map { case (peak, c) =>
+          if (peak > 0L)
+            math.floor((peak - c).toDouble / peak * 1e6 + 0.5).toLong
+          else 0L
+        }.max
+      val retQ = bars.sliding(2).collect {
+        case Seq(pc, c) if pc != 0L =>
+          math.floor((c - pc).toDouble / pc * 1e6 + 0.5).toLong
+      }.toSeq
+      val annRet =
+        retQ.map(BigInt(_)).sum.toDouble / retQ.size / 1e6 * 365.0
+      assert(math.abs(r.getDouble(2) - r6(mddQ / 1e6)) < 2e-6, s"$sym mdd")
+      assert(math.abs(r.getDouble(3) - r6(annRet)) < 2e-6, s"$sym ann")
+      if (mddQ == 0L) assert(r.isNullAt(4), s"$sym: dd-free must null")
+      else assert(math.abs(r.getDouble(4)
+        - r6(annRet / (mddQ / 1e6))) < 2e-6, s"$sym calmar")
+    }
+  }
+
+  test("omega_ratio == driver replay: gain mass over loss mass") {
+    val rets = dailyReturns()
+    val rows = AnalyticOps.omegaRatio(spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sym = r.getString(0)
+      val rs = rets(sym).map(_._2)
+      assert(r.getLong(1) == rs.size)
+      assert(r.getLong(2) == rs.count(_ > 0L))
+      assert(r.getLong(3) == rs.count(_ < 0L))
+      val g = rs.filter(_ > 0L).map(BigInt(_)).sum
+      val l = rs.filter(_ < 0L).map(x => BigInt(-x)).sum
+      assert(math.abs(r.getDouble(4) - r6(g.toDouble / 1e6)) < 2e-6)
+      assert(math.abs(r.getDouble(5) - r6(l.toDouble / 1e6)) < 2e-6)
+      if (l == 0) assert(r.isNullAt(6), s"$sym: loss-free must null")
+      else assert(math.abs(r.getDouble(6)
+        - r6(g.toDouble / l.toDouble)) < 2e-6, s"$sym omega")
+    }
+  }
+
+  test("ljung_box == textbook full-series-mean acf + Q replay") {
+    val bySym = ticks().groupBy(_._1).view
+      .mapValues(_.sortBy(t => (t._2, t._3)).map(_._4)).toMap
+    val rows = AnalyticOps.ljungBox(spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty && rows.length == bySym.size)
+    rows.foreach { r =>
+      val sym = r.getString(0)
+      val xs = bySym(sym)
+      val n = xs.length.toLong
+      assert(r.getLong(1) == n && n >= 6)
+      val s = xs.map(BigInt(_)).sum
+      val ss = xs.map(x => BigInt(x) * BigInt(x)).sum
+      val den = BigInt(n) * (BigInt(n) * ss - s * s)
+      val rhos = (1 to 5).map { k =>
+        val pairs = xs.drop(k).zip(xs.dropRight(k))
+        val sxy = pairs.map(p => BigInt(p._1) * BigInt(p._2)).sum
+        val sa = pairs.map(p => BigInt(p._1)).sum
+        val sb = pairs.map(p => BigInt(p._2)).sum
+        r6((BigInt(n) * BigInt(n) * sxy - BigInt(n) * s * (sa + sb)
+          + (BigInt(n) - k) * s * s).toDouble / den.toDouble)
+      }
+      (0 until 5).foreach { i =>
+        assert(math.abs(r.getDouble(2 + i) - rhos(i)) < 2e-6,
+          s"$sym rho${i + 1}: ${r.getDouble(2 + i)} vs ${rhos(i)}")
+        assert(rhos(i) >= -1.0 - 1e-9 && rhos(i) <= 1.0 + 1e-9)
+      }
+      val q = r6((n * (n + 2)).toDouble
+        * (rhos(0) * rhos(0) / (n - 1).toDouble
+          + rhos(1) * rhos(1) / (n - 2).toDouble
+          + rhos(2) * rhos(2) / (n - 3).toDouble
+          + rhos(3) * rhos(3) / (n - 4).toDouble
+          + rhos(4) * rhos(4) / (n - 5).toDouble))
+      assert(math.abs(r.getDouble(7) - q) < 2e-5, s"$sym Q")
+      assert(r.getDouble(7) >= -1e-9, "Q is a sum of squares")
+    }
+  }
 }

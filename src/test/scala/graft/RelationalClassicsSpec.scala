@@ -428,4 +428,73 @@ class RelationalClassicsSpec extends AnyFunSuite {
     // (independence would put E[chi2] = dof; 3x flags source leakage)
     assert(got.getDouble(3) < 3.0 * dof, s"shuffle leaks source order: $got")
   }
+
+  test("jaccard_neighbors == brute-force neighbor-set replay; AA candidate set shared") {
+    val got = RelationalOps.jaccardNeighbors(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got.nonEmpty)
+    val baskets = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.map(_.map(_._2))
+    val co = scala.collection.mutable.Map[(Long, Long), Int]()
+      .withDefaultValue(0)
+    baskets.foreach { ps =>
+      for (a <- ps; b <- ps if a < b) co((a, b)) += 1
+    }
+    val edges = co.iterator.collect { case (k, c) if c >= 2 => k }.toSet
+    val adjm = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) => adjm(a) += b; adjm(b) += a }
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val cand = scala.collection.mutable.Map[(Long, Long), Long]()
+      .withDefaultValue(0L)
+    adjm.foreach { case (_, nbrs) =>
+      if (nbrs.size >= 2) {
+        val ns = nbrs.toSeq.sorted
+        for (i <- ns; j <- ns if i < j) cand((i, j)) += 1L
+      }
+    }
+    val want = cand.toSeq.collect {
+      case ((i, j), nc) if !edges((i, j)) =>
+        val (da, db) = (adjm(i).size.toLong, adjm(j).size.toLong)
+        (i, j, da, db, nc, r6d(nc.toDouble / (da + db - nc).toDouble))
+    }.sortBy { case (i, j, _, _, _, s) => (-s, i, j) }.take(20)
+    assert(got == want, s"got ${got.take(3)}... want ${want.take(3)}...")
+    // jaccard is a [0,1] set statistic; intersection bounded by both
+    // degrees (the union identity holds by construction)
+    got.foreach { case (_, _, da, db, nc, s) =>
+      assert(s >= 0.0 && s <= 1.0 + 1e-9)
+      assert(nc <= math.min(da, db))
+    }
+  }
+
+  test("l_diversity == driver census replay; __total row consistent") {
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_nationkey").cast("long"), col("c_mktsegment"),
+        col("c_acctbal"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    def bin(b: Double): Long =
+      math.max(0L, math.min(9L, math.floor((b + 1000.0) / 1100.0).toLong))
+    val classes = cust.groupBy(c => (c._1, c._2)).map { case (k, cs) =>
+      k -> ((cs.length.toLong, cs.map(c => bin(c._3)).distinct.length.toLong))
+    }
+    val risky = classes.filter(_._2._2 < 3L)
+    val got = RelationalOps.lDiversity(spark, sf).collect()
+    val totalRow = got.filter(_.getString(1) == "__total")
+    assert(totalRow.length == 1)
+    assert(totalRow.head.getLong(2) == risky.values.map(_._1).sum,
+      "at-risk customer total")
+    assert(totalRow.head.getLong(3) == risky.size.toLong,
+      "at-risk class count")
+    val gotRisky = got.filter(_.getString(1) != "__total")
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(gotRisky == risky, s"risky classes: got ${gotRisky.size} " +
+      s"want ${risky.size}")
+    // every reported class is genuinely below the l = 3 bar
+    gotRisky.values.foreach { case (_, l) => assert(l < 3L) }
+  }
 }
