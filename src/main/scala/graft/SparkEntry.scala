@@ -253,6 +253,8 @@ object SparkEntry {
     "clustering_coeff"    -> (RelationalOps.clusteringCoeff _),
     "jaccard_neighbors"   -> (RelationalOps.jaccardNeighbors _),
     "l_diversity"         -> (RelationalOps.lDiversity _),
+    "t_closeness"         -> (RelationalOps.tCloseness _),
+    "multimodal_phash"    -> (LlmVectorOps.multimodalPhash _),
     "ccnet_buckets"       -> (LlmTextOps.ccnetBuckets _),
     "source_overlap"      -> (LlmTextOps.sourceOverlap _),
     "corpus_filter"       -> (LlmTextOps.corpusFilter _),
@@ -5464,6 +5466,50 @@ object SparkEntry {
                  FROM cls)
          SELECT * FROM risky UNION ALL SELECT * FROM total
          ORDER BY nation, segment""",
+    // t-closeness EMD audit: integer cumulative differences over the
+    // ordered band grid (denominators cleared), one fenced division
+    "t_closeness" ->
+      """WITH t AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+                c_mktsegment AS segment,
+                greatest(0, least(9, CAST(floor((c_acctbal + 1000.0)
+                  / 1100.0) AS BIGINT))) AS bal_bin
+              FROM customer),
+         cell AS (SELECT nation, segment, bal_bin,
+                  CAST(COUNT(*) AS BIGINT) AS c
+                 FROM t GROUP BY 1, 2, 3),
+         cls AS (SELECT nation, segment, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM t GROUP BY 1, 2),
+         gd AS (SELECT bal_bin, CAST(COUNT(*) AS BIGINT) AS g
+                 FROM t GROUP BY 1),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM t),
+         bins AS (SELECT CAST(range AS BIGINT) AS bal_bin
+                  FROM range(10)),
+         grid AS (SELECT cls.nation, cls.segment, bins.bal_bin,
+                  cls.n, tot.nn,
+                  COALESCE(cell.c, 0) * tot.nn
+                    - COALESCE(gd.g, 0) * cls.n AS dnum
+                 FROM cls CROSS JOIN bins CROSS JOIN tot
+                 LEFT JOIN cell ON cell.nation = cls.nation
+                   AND cell.segment = cls.segment
+                   AND cell.bal_bin = bins.bal_bin
+                 LEFT JOIN gd ON gd.bal_bin = bins.bal_bin),
+         cum AS (SELECT *, CAST(SUM(dnum) OVER (
+                  PARTITION BY nation, segment ORDER BY bal_bin
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cumnum
+                FROM grid),
+         emd AS (SELECT nation, segment, MAX(n) AS k, MAX(nn) AS nn,
+                  CAST(SUM(abs(cumnum)) AS BIGINT) AS emd_num
+                 FROM cum WHERE bal_bin < 9 GROUP BY 1, 2)
+         SELECT nation, segment, k,
+                floor(CAST(emd_num AS DOUBLE)
+                  / CAST(k * nn * 9 AS DOUBLE)
+                  * 1000000.0 + 0.5) / 1000000.0 AS t_emd,
+                emd_num * 4 > k * nn * 9 AS above_t
+         FROM emd ORDER BY nation, segment""",
+    // perceptual-hash near-dup: dHash probe signature + brute-forced
+    // Hamming<=3 pair cut (independent witness for the pigeonhole)
+    "multimodal_phash" -> LlmVectorOps.multimodalPhashOracleSql,
     "freq_cms" -> LlmTextOps.freqCmsOracleSql,
     "decontaminate_fuzzy" -> LlmTextOps.decontaminateFuzzyOracleSql,
     // BPE training: the N-round merge loop unrolled as chained CTEs

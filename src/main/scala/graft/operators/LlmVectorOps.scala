@@ -2703,6 +2703,107 @@ object LlmVectorOps {
         ((col("n_copies") - 1L) * col("n_bytes")).as("reclaim_bytes"))
       .orderBy("digest")
 
+  /** Bits in the perceptual-hash signature (60, not 64: the top
+    * nibble stays clear so the signature lives in a non-negative
+    * LONG on both engines — the PortableSimHash60 width posture).
+    */
+  private[graft] val phashBits = 60
+
+  /** `multimodal_phash` — perceptual-hash NEAR-dup pairs over the
+    * opaque binary payloads: the dHash recipe (gradient sign between
+    * neighboring samples — the classic image fingerprint) applied to
+    * [[phashBits]]+1 probe bytes at fixed fractional positions of
+    * each payload, bit i = probe_i > probe_{i+1}; pairs within
+    * Hamming ≤ 3 are near-duplicates. `multimodal_dedup` catches
+    * byte-identical blobs only; a re-encoded / metadata-tweaked copy
+    * changes the MD5 but barely moves the sampled gradient profile —
+    * THIS row is the multimodal family's near-dup rung, completing
+    * exact → near in the modality where it matters most (image lakes
+    * are re-encode city). The "decode" is the stub convention
+    * (deterministic byte arithmetic over the UTF-8 payload), so the
+    * signature is an exact function of the bytes and the row
+    * hash-gates — the real-codec swap changes only the probe source.
+    *
+    * Scale shape: signatures are one row-local compiled pass (61
+    * fixed-position byte probes — no explode, payload never
+    * shuffles); candidate pairs ride the 4×15-bit chunk pigeonhole
+    * EXACT for Hamming ≤ 3 (the `dedup_simhash` blocking: ≤ 3
+    * differing bits cannot touch all 4 chunks), so only 8-byte
+    * (chunk, signature) keys exchange and the brute-force pair scan
+    * the DuckDB oracle runs is never materialized in-engine.
+    */
+  def multimodalPhash(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .withColumn("hx", hex(encode(col("text"), "UTF-8")))
+      .withColumn("n", octet_length(encode(col("text"), "UTF-8"))
+        .cast("long"))
+    // probe byte at 1-based position p (SQL fragment over hx)
+    def byteAt(p: String): String =
+      s"CAST(conv(substring(hx, 2*($p)-1, 2), 16, 10) AS LONG)"
+    def pos(i: Int): String = s"(($i * (n-1)) div $phashBits + 1)"
+    val sigExpr = (0 until phashBits).map { i =>
+      s"(CASE WHEN ${byteAt(pos(i))} > ${byteAt(pos(i + 1))} " +
+        s"THEN ${1L << i}L ELSE 0L END)"
+    }.mkString(" + ")
+    val sigs = base.select(col("doc_id"), expr(sigExpr).as("sig"))
+    val chunks = sigs
+      .select(col("doc_id"), col("sig"),
+        explode(expr("sequence(0, 3)")).as("ch"))
+      .select(col("doc_id"), col("sig"), col("ch"),
+        expr("shiftright(sig, 15 * ch) & 32767").as("ck"))
+    val cand = chunks.select(col("ch"), col("ck"),
+        col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+      .join(chunks.select(col("ch"), col("ck"),
+        col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        Seq("ch", "ck"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+    cand
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sig_a ^ sig_b)").cast("long").as("hamming"))
+      .where(col("hamming") <= 3L)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The DuckDB oracle for `multimodal_phash`: signatures replayed
+    * via hex-digit byte extraction (the multimodal gating convention)
+    * and the pair cut BRUTE-FORCED over all C(n,2) pairs — an
+    * independent witness that the 4-chunk pigeonhole blocking emits
+    * the complete Hamming ≤ 3 pair set.
+    */
+  private[graft] def multimodalPhashOracleSql: String =
+    s"""WITH b AS (
+           SELECT doc_id, hex(encode(text)) AS hx,
+                  CAST(octet_length(encode(text)) AS BIGINT) AS n
+           FROM documents),
+         sig AS (
+           SELECT doc_id,
+             COALESCE(list_aggregate(list_transform(
+               generate_series(0, ${phashBits - 1}), i ->
+               CASE WHEN
+                 (strpos('0123456789ABCDEF',
+                    substr(hx, CAST(2*((i*(n-1))//$phashBits + 1)-1
+                      AS INTEGER), 1))-1)*16
+                 + (strpos('0123456789ABCDEF',
+                    substr(hx, CAST(2*((i*(n-1))//$phashBits + 1)
+                      AS INTEGER), 1))-1)
+                 >
+                 (strpos('0123456789ABCDEF',
+                    substr(hx, CAST(2*(((i+1)*(n-1))//$phashBits + 1)-1
+                      AS INTEGER), 1))-1)*16
+                 + (strpos('0123456789ABCDEF',
+                    substr(hx, CAST(2*(((i+1)*(n-1))//$phashBits + 1)
+                      AS INTEGER), 1))-1)
+               THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT)
+               END), 'sum'), 0) AS sig
+           FROM b)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         ORDER BY doc_a, doc_b"""
+
   /** Stubbed binary decoder: pretends the payload is an image whose
     * dims derive from the byte length. Deterministic so tests can pin
     * outputs.

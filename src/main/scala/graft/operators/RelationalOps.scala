@@ -771,6 +771,69 @@ object RelationalOps {
     risky.unionByName(total).orderBy("nation", "segment")
   }
 
+  /** `t_closeness` — the distribution-skew audit that completes the
+    * privacy triad (Li, Li & Venkatasubramanian 2007): `k_anonymity`
+    * bounds class SIZE, `l_diversity` bounds sensitive-value COUNT,
+    * but a class can pass both while its sensitive DISTRIBUTION still
+    * leaks ("this nation-segment skews rich"). t is the Earth Mover's
+    * Distance between each (nation, segment) class's balance-band
+    * distribution and the global one, over the ten ORDERED bands with
+    * unit ground distance: EMD = Σ_{k<9} |CumP_k − CumQ_k| / 9.
+    *
+    * Portability: clearing denominators makes every cumulative
+    * difference an exact integer — at band k the term is
+    * Σ_{i≤k}(c_i·N − g_i·n) with c/g the class/global band counts and
+    * n/N the class/corpus sizes — so the windowed cumsum, the |·|,
+    * and the fold are integer ops and t is ONE fenced division by
+    * n·N·9. Every class reports (no threshold row-cut: the t
+    * distribution itself is the audit), flagged at the paper's
+    * customary t > 0.25.
+    *
+    * Scale shape: one count aggregate to |classes|·10 rows, a
+    * broadcast 10-row global distribution + 1-row total, a dense
+    * class×band grid (bounded by the QI domain, not the table), and
+    * one tiny per-class window — the corpus is scanned once.
+    */
+  def tCloseness(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.customer(s, d)
+      .select(col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"),
+        greatest(lit(0L), least(lit(9L),
+          floor((col("c_acctbal") + lit(1000.0)) / lit(1100.0))
+            .cast("long"))).as("bal_bin"))
+    val cellCnt = t.groupBy(col("nation"), col("segment"), col("bal_bin"))
+      .agg(count(lit(1)).as("c"))
+    val classes = t.groupBy(col("nation"), col("segment"))
+      .agg(count(lit(1)).as("n"))
+    val global = t.groupBy(col("bal_bin")).agg(count(lit(1)).as("g"))
+    val total = t.agg(count(lit(1)).as("nn"))
+    val bins = s.range(0, 10).select(col("id").as("bal_bin"))
+    val grid = classes
+      .crossJoin(broadcast(bins))
+      .join(cellCnt, Seq("nation", "segment", "bal_bin"), "left")
+      .join(broadcast(global), Seq("bal_bin"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("nation"), col("segment"), col("bal_bin"), col("n"),
+        col("nn"),
+        (coalesce(col("c"), lit(0L)) * col("nn")
+          - coalesce(col("g"), lit(0L)) * col("n")).as("dnum"))
+    val w = Window.partitionBy("nation", "segment").orderBy("bal_bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("cum", sum(col("dnum")).over(w))
+      .where(col("bal_bin") < 9L)
+      .groupBy(col("nation"), col("segment"))
+      .agg(max(col("n")).as("k"), max(col("nn")).as("nn"),
+        sum(abs(col("cum"))).as("emd_num"))
+      .select(col("nation"), col("segment"), col("k"),
+        r6(col("emd_num").cast("double")
+          / (col("k") * col("nn") * lit(9L)).cast("double")).as("t_emd"),
+        // t > 0.25 ⇔ 4·emd_num > 9·n·N — kept exact in integers
+        (col("emd_num") * lit(4L) > col("k") * col("nn") * lit(9L))
+          .as("above_t"))
+      .orderBy("nation", "segment")
+  }
+
   /** `ship_delay_stats` — order-to-ship latency distribution per
     * priority class: the fulfillment-SLA report card over the TPC-H
     * fact pair (does 1-URGENT actually ship faster?). Delay is an

@@ -91,4 +91,42 @@ class MultimodalKernelsSpec extends AnyFunSuite {
       org.apache.spark.sql.SparkSession.setActiveSession(base)
     }
   }
+
+  test("multimodal_phash == driver dHash replay; pigeonhole emits the full pair set") {
+    val bits = 60
+    def sigOf(bytes: Array[Byte]): Long = {
+      val n = bytes.length.toLong
+      def probe(i: Long): Long = {
+        val p = (i * (n - 1)) / bits // 1-based pos p+1 → 0-based p
+        java.lang.Byte.toUnsignedLong(bytes(p.toInt))
+      }
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        if (probe(i.toLong) > probe(i.toLong + 1)) acc | (1L << i) else acc
+      }
+    }
+    def replay(sf: String): Seq[(Long, Long, Long)] = {
+      val sigs = graft.engine.Tables.documents(spark, sf)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), sigOf(r.getString(1).getBytes("UTF-8"))))
+      sigs.foreach { case (_, s) => assert(s >= 0L && s < (1L << 60)) }
+      // brute-force Hamming <= 3 pairs — the oracle's formulation,
+      // independent of the engine's 4x15-bit chunk blocking
+      (for {
+        (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+        h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+      } yield (ia, ib, h.toLong)).sortBy(t => (t._1, t._2)).toSeq
+    }
+    def got(sf: String): Seq[(Long, Long, Long)] =
+      graft.operators.LlmVectorOps.multimodalPhash(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // tiny corpus: equality incl. the legitimately-empty case
+    assert(got(TestSpark.sf0001) == replay(TestSpark.sf0001))
+    // sf0.1 carries byte-identical payload copies → hamming-0 pairs:
+    // the non-vacuous witness (sf0.01 has near- but not byte-dups,
+    // the multimodal_dedup 0-row posture)
+    val big = got(TestSpark.sf01)
+    assert(big == replay(TestSpark.sf01), s"sf0.1: ${big.size} pairs")
+    assert(big.nonEmpty, "sf0.1 exact-dup payloads must collide")
+    assert(big.exists(_._3 == 0L), "byte-identical copies at hamming 0")
+  }
 }

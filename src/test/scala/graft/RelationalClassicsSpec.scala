@@ -497,4 +497,43 @@ class RelationalClassicsSpec extends AnyFunSuite {
     // every reported class is genuinely below the l = 3 bar
     gotRisky.values.foreach { case (_, l) => assert(l < 3L) }
   }
+
+  test("t_closeness == driver EMD replay over ordered balance bands") {
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_nationkey").cast("long"), col("c_mktsegment"),
+        col("c_acctbal"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    def bin(b: Double): Long =
+      math.max(0L, math.min(9L, math.floor((b + 1000.0) / 1100.0).toLong))
+    val nn = cust.length.toLong
+    val globalC = cust.groupBy(c => bin(c._3)).view
+      .mapValues(_.length.toLong).toMap.withDefaultValue(0L)
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expected = cust.groupBy(c => (c._1, c._2)).map { case (k, cs) =>
+      val n = cs.length.toLong
+      val cc = cs.groupBy(c => bin(c._3)).view
+        .mapValues(_.length.toLong).toMap.withDefaultValue(0L)
+      // integer cumulative differences with cleared denominators
+      val emdNum = (0L to 8L).map { kk =>
+        math.abs((0L to kk).map(i => cc(i) * nn - globalC(i) * n).sum)
+      }.sum
+      k -> ((n, r6d(emdNum.toDouble / (n * nn * 9L).toDouble),
+        emdNum * 4L > n * nn * 9L))
+    }
+    val got = RelationalOps.tCloseness(spark, sf).collect()
+    assert(got.length == expected.size && got.nonEmpty)
+    got.foreach { r =>
+      val e = expected((r.getLong(0), r.getString(1)))
+      assert(r.getLong(2) == e._1, s"${r.getLong(0)} k")
+      assert(math.abs(r.getDouble(3) - e._2) < 2e-6,
+        s"${r.getLong(0)}/${r.getString(1)} t: ${r.getDouble(3)} vs ${e._2}")
+      assert(r.getBoolean(4) == e._3, s"${r.getLong(0)} flag")
+      // EMD over a unit-distance ordered domain normalized by m-1
+      // lives in [0, 1]
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0 + 1e-9)
+    }
+    // classes partition the table
+    assert(got.map(_.getLong(2)).sum == nn)
+  }
 }
