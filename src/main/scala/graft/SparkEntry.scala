@@ -174,6 +174,8 @@ object SparkEntry {
     "calibration_curve"        -> (LlmVectorOps.calibrationCurve _),
     "fuzzy_name_match"         -> (RelationalOps.fuzzyNameMatch _),
     "pagerank_docs"            -> (LlmVectorOps.pagerankDocs _),
+    "hits_scores"              -> (LlmVectorOps.hitsScores _),
+    "key_skew_audit"           -> (AuditOps.keySkewAudit _),
     "lineitem_unpivot"         -> (AnalyticOps.lineitemUnpivot _),
     "regional_revenue"         -> (RelationalOps.regionalRevenue _),
     "shipping_priority"        -> (RelationalOps.shippingPriority _),
@@ -1146,54 +1148,10 @@ object SparkEntry {
     // top-3 cosine kNN graph; per-round neighbor sums ride the 2^40
     // integer grid (order-free), zero-in-degree docs take the 0.15
     // floor via the same left-join-coalesce
-    "pagerank_docs" ->
-      """WITH nr AS (SELECT vec_id,
-                  sqrt(list_aggregate([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
-                       for x in embedding], 'sum')) AS nrm
-               FROM embeddings),
-         sc AS (SELECT a.vec_id AS src, b.vec_id AS dst,
-                  floor((list_aggregate([CAST(a.embedding[i] AS DOUBLE)
-                          * CAST(b.embedding[i] AS DOUBLE)
-                          for i in range(1, len(a.embedding) + 1)], 'sum')
-                    / (na.nrm * nb.nrm)) * 1000000 + 0.5) / 1000000
-                    AS score
-                FROM embeddings a JOIN embeddings b
-                  ON a.vec_id <> b.vec_id
-                JOIN nr na ON na.vec_id = a.vec_id
-                JOIN nr nb ON nb.vec_id = b.vec_id),
-         rk AS (SELECT src, dst,
-                  ROW_NUMBER() OVER (PARTITION BY src
-                    ORDER BY score DESC, dst ASC) AS rk
-                FROM sc),
-         e AS (SELECT src, dst FROM rk WHERE rk <= 3),
-         nodes AS (SELECT vec_id AS id FROM embeddings),
-         it0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS s FROM nodes),
-         c1 AS (SELECT e.dst, CAST(SUM(CAST(floor(
-                    p.s / 3 * 1099511627776.0 + 0.5) AS BIGINT))
-                  AS BIGINT) AS qs
-                FROM e JOIN it0 p ON p.id = e.src GROUP BY 1),
-         it1 AS (SELECT n.id, 0.15 + 0.85 * (CAST(COALESCE(c.qs, 0)
-                   AS DOUBLE) / 1099511627776.0) AS s
-                 FROM nodes n LEFT JOIN c1 c ON c.dst = n.id),
-         c2 AS (SELECT e.dst, CAST(SUM(CAST(floor(
-                    p.s / 3 * 1099511627776.0 + 0.5) AS BIGINT))
-                  AS BIGINT) AS qs
-                FROM e JOIN it1 p ON p.id = e.src GROUP BY 1),
-         it2 AS (SELECT n.id, 0.15 + 0.85 * (CAST(COALESCE(c.qs, 0)
-                   AS DOUBLE) / 1099511627776.0) AS s
-                 FROM nodes n LEFT JOIN c2 c ON c.dst = n.id),
-         c3 AS (SELECT e.dst, CAST(SUM(CAST(floor(
-                    p.s / 3 * 1099511627776.0 + 0.5) AS BIGINT))
-                  AS BIGINT) AS qs
-                FROM e JOIN it2 p ON p.id = e.src GROUP BY 1),
-         it3 AS (SELECT n.id, 0.15 + 0.85 * (CAST(COALESCE(c.qs, 0)
-                   AS DOUBLE) / 1099511627776.0) AS s
-                 FROM nodes n LEFT JOIN c3 c ON c.dst = n.id),
-         dg AS (SELECT dst, COUNT(*) AS ind FROM e GROUP BY 1)
-         SELECT p.id AS doc_id,
-                CAST(COALESCE(dg.ind, 0) AS BIGINT) AS in_degree,
-                floor(p.s * 1000000 + 0.5) / 1000000 AS pagerank
-         FROM it3 p LEFT JOIN dg ON dg.dst = p.id ORDER BY doc_id""",
+    // kNN-graph power iterations: the edge CTEs are ONE shared
+    // fragment (LlmVectorOps.knnEdgeCtes) under both oracles
+    "pagerank_docs" -> LlmVectorOps.pagerankOracleSql,
+    "hits_scores" -> LlmVectorOps.hitsOracleSql,
     // per-symbol lag/return/envelope feature frame; value-preserving
     // row moves + one fenced division under the (us, event_id) order
     "lag_features" ->
@@ -4190,6 +4148,43 @@ object SparkEntry {
                 CAST(SUM(co) AS BIGINT) AS old_cents,
                 CAST(SUM(cn) AS BIGINT) AS new_cents
          FROM cls GROUP BY 1 ORDER BY 1""",
+    // key-skew audit: exact integer count profiles per audited key,
+    // top-10 under a (count desc, key asc) total order
+    "key_skew_audit" ->
+      """WITH ec AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS c
+              FROM events GROUP BY 1),
+         lc AS (SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+              FROM lineitem GROUP BY 1),
+         es AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+                  CAST(COUNT(*) AS BIGINT) AS n_keys,
+                  MAX(c) AS max_key_rows FROM ec),
+         et AS (SELECT CAST(SUM(c) AS BIGINT) AS top10_rows FROM
+                 (SELECT c FROM ec ORDER BY c DESC, k ASC LIMIT 10)),
+         ls AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+                  CAST(COUNT(*) AS BIGINT) AS n_keys,
+                  MAX(c) AS max_key_rows FROM lc),
+         lt AS (SELECT CAST(SUM(c) AS BIGINT) AS top10_rows FROM
+                 (SELECT c FROM lc ORDER BY c DESC, k ASC LIMIT 10))
+         SELECT 'events.user_id' AS audited_key, n_rows, n_keys,
+                max_key_rows, top10_rows,
+                floor(CAST(max_key_rows AS DOUBLE)
+                  / CAST(n_rows AS DOUBLE) * 1000000.0 + 0.5)
+                  / 1000000.0 AS top1_share,
+                floor(CAST(top10_rows AS DOUBLE)
+                  / CAST(n_rows AS DOUBLE) * 1000000.0 + 0.5)
+                  / 1000000.0 AS top10_share
+         FROM es CROSS JOIN et
+         UNION ALL
+         SELECT 'lineitem.l_partkey', n_rows, n_keys,
+                max_key_rows, top10_rows,
+                floor(CAST(max_key_rows AS DOUBLE)
+                  / CAST(n_rows AS DOUBLE) * 1000000.0 + 0.5)
+                  / 1000000.0,
+                floor(CAST(top10_rows AS DOUBLE)
+                  / CAST(n_rows AS DOUBLE) * 1000000.0 + 0.5)
+                  / 1000000.0
+         FROM ls CROSS JOIN lt
+         ORDER BY audited_key""",
     // SCD2 build: gaps-and-islands under the (us, event_id) total
     // order — change marker, running-sum island id, interval close
     // via lead(); all-integer/string, no float ops

@@ -160,6 +160,44 @@ object AuditOps {
       .orderBy("change_type")
   }
 
+  /** `key_skew_audit` — the shuffle-key skew report that feeds the
+    * salting machinery (`engine.Skew`, `join_skew_salted`): for the
+    * two hottest join/aggregate keys in the schema — `events.user_id`
+    * and `lineitem.l_partkey` — the key-count profile a planner (or
+    * an engineer sizing `spark.sql.shuffle.partitions`) reads before
+    * a 100 TB run: row count, distinct keys, the heaviest key's row
+    * count, and the top-1 / top-10 key shares. AQE's skew-join split
+    * reacts at runtime; this row is the OFFLINE audit that says which
+    * keys will trigger it and whether pre-salting is worth wiring.
+    *
+    * Portability: everything is exact integer counts until the two
+    * fenced share divisions; the top-10 cut rides a (count desc, key
+    * asc) TOTAL order. Scale shape: one map-side-combined count
+    * aggregate per table, then folds over the (bounded) key-count
+    * frame; the top-10 is TakeOrderedAndProject, never a global sort.
+    */
+  def keySkewAudit(s: SparkSession, d: String): DataFrame = {
+    def audit(name: String, keyed: DataFrame): DataFrame = {
+      val counts = keyed.groupBy(col("k")).agg(count(lit(1)).as("c"))
+      val stats = counts.agg(sum(col("c")).as("n_rows"),
+        count(lit(1)).as("n_keys"), max(col("c")).as("max_key_rows"))
+      val top10 = counts.orderBy(col("c").desc, col("k").asc).limit(10)
+        .agg(sum(col("c")).as("top10_rows"))
+      stats.crossJoin(top10)
+        .select(lit(name).as("audited_key"), col("n_rows"),
+          col("n_keys"), col("max_key_rows"), col("top10_rows"),
+          graft.engine.Determinism.r6(col("max_key_rows").cast("double")
+            / col("n_rows").cast("double")).as("top1_share"),
+          graft.engine.Determinism.r6(col("top10_rows").cast("double")
+            / col("n_rows").cast("double")).as("top10_share"))
+    }
+    audit("events.user_id",
+      Tables.events(s, d).select(col("user_id").as("k")))
+      .unionByName(audit("lineitem.l_partkey",
+        Tables.lineitem(s, d).select(col("l_partkey").as("k"))))
+      .orderBy("audited_key")
+  }
+
   /** `scd2_history` — build a type-2 slowly-changing dimension from
     * the change stream (Kimball's SCD2, the interval form every
     * warehouse dimension load materializes): per user, each maximal

@@ -412,8 +412,13 @@ object LlmVectorOps {
     * reuse materialized blocks; each round is one edge join + one
     * integer aggregation over 3N edge rows.
     */
-  def pagerankDocs(s: SparkSession, d: String): DataFrame = {
-    val Q = 1099511627776.0 // 2^40 fixed-point grid for the edge sums
+  /** The directed top-3 cosine kNN edge set (src, dst) — the shared
+    * substrate of [[pagerankDocs]] and [[hitsScores]]: identical
+    * (r6 score desc, id asc) edges via the compiled broadcast-corpus
+    * scan, lineage-truncated so every power-iteration round reuses
+    * materialized blocks.
+    */
+  private def knnEdges3(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
       .select(col("vec_id"), col("embedding"), col("norm"))
     // the kNN build runs as the compiled broadcast-corpus scan
@@ -422,12 +427,17 @@ object LlmVectorOps {
     // on copying wide pair rows than on the dots themselves
     val corpusArr = e.agg(collect_list(
       struct(col("vec_id"), col("embedding"), col("norm"))).as("corpus"))
-    val edges = e.crossJoin(broadcast(corpusArr))
+    e.crossJoin(broadcast(corpusArr))
       .select(col("vec_id").as("src"),
         explode(VectorExprs.cosineKnn(s, col("embedding"), col("norm"),
           col("vec_id"), col("corpus"), 3)).as("dst"))
       .localCheckpoint(false)
-    val nodes = e.select(col("vec_id").as("id"))
+  }
+
+  def pagerankDocs(s: SparkSession, d: String): DataFrame = {
+    val Q = 1099511627776.0 // 2^40 fixed-point grid for the edge sums
+    val edges = knnEdges3(s, d)
+    val nodes = Tables.embeddings(s, d).select(col("vec_id").as("id"))
     var pr = nodes.withColumn("s", lit(1.0))
     for (_ <- 1 to 3) {
       val contrib = edges.join(pr, col("src") === col("id"))
@@ -447,6 +457,149 @@ object LlmVectorOps {
         coalesce(col("ind"), lit(0L)).as("in_degree"),
         r6(col("s")).as("pagerank"))
       .orderBy("doc_id")
+  }
+
+  /** `hits_scores` — HITS hub/authority over the SAME directed top-3
+    * kNN graph as [[pagerankDocs]] (Kleinberg 1999): two L1-normalized
+    * power-iteration rounds of a ← Aᵀh, h ← Aa. On a similarity graph
+    * the pair separates two roles PageRank conflates — an AUTHORITY
+    * is a doc many others point at (a dense-region exemplar), a HUB
+    * is a doc whose own neighbor list points at exemplars (a good
+    * "router" for curation sampling). Emitting both beside `pagerank`
+    * lets curation rank anchors three ways on one edge silver.
+    *
+    * Portability: the L1 normalization is what makes HITS gateable
+    * with NO transcendental at all (the L2 classic needs a sqrt per
+    * round): each round quantizes scores to the 2⁴⁰ grid, sums
+    * per-node contributions as exact LONGs (order-free), and divides
+    * by the exact long TOTAL — one written double division per node
+    * per half-round. DuckDB unrolls the two rounds over the identical
+    * r6-ranked edge set (the `pagerank_docs` contract).
+    *
+    * Scale shape: the kNN build is the shared documented-quadratic
+    * baseline (swap any ANN candidate source at 100 TB); each
+    * half-round is one edge join + one integer aggregation over 3N
+    * edge rows + a 1-row broadcast total — no driver data.
+    */
+  def hitsScores(s: SparkSession, d: String): DataFrame = {
+    val Q = 1099511627776.0 // 2^40 — the pagerank fixed-point grid
+    val edges = knnEdges3(s, d)
+    val nodes = Tables.embeddings(s, d).select(col("vec_id").as("id"))
+    def half(scores: DataFrame, joinOn: String, groupTo: String)
+        : DataFrame = {
+      val q = edges.join(scores, col(joinOn) === col("id"))
+        .select(col(groupTo),
+          floor(col("s") * lit(Q) + lit(0.5)).cast("long").as("q"))
+        .groupBy(col(groupTo)).agg(sum(col("q")).as("qs"))
+      val t = q.agg(sum(col("qs")).as("t"))
+      nodes.join(q, col("id") === col(groupTo), "left")
+        .crossJoin(broadcast(t))
+        .select(col("id"),
+          (coalesce(col("qs"), lit(0L)).cast("double")
+            / col("t").cast("double")).as("s"))
+    }
+    var h = nodes.withColumn("s", lit(1.0))
+    var a = nodes.withColumn("s", lit(0.0))
+    for (_ <- 1 to 2) {
+      a = half(h, "src", "dst") // authority ← hubs pointing in
+      h = half(a, "dst", "src") // hub ← authorities pointed at
+    }
+    nodes
+      .join(a.select(col("id"), col("s").as("auth")), Seq("id"))
+      .join(h.select(col("id"), col("s").as("hub")), Seq("id"))
+      .select(col("id").as("doc_id"),
+        r6(col("auth") * lit(1000.0)).as("authority_x1k"),
+        r6(col("hub") * lit(1000.0)).as("hub_x1k"))
+      .orderBy("doc_id")
+  }
+
+  /** The DuckDB twin of [[knnEdges3]] — nr/sc/rk/e/nodes CTE chain
+    * shared by the `pagerank_docs` and `hits_scores` oracles (one
+    * edge definition, two consumers — the seedAssignCorpusCtes
+    * posture).
+    */
+  private def knnEdgeCtes: String =
+    """nr AS (SELECT vec_id,
+                  sqrt(list_aggregate([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                       for x in embedding], 'sum')) AS nrm
+               FROM embeddings),
+         sc AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                  floor((list_aggregate([CAST(a.embedding[i] AS DOUBLE)
+                          * CAST(b.embedding[i] AS DOUBLE)
+                          for i in range(1, len(a.embedding) + 1)], 'sum')
+                    / (na.nrm * nb.nrm)) * 1000000 + 0.5) / 1000000
+                    AS score
+                FROM embeddings a JOIN embeddings b
+                  ON a.vec_id <> b.vec_id
+                JOIN nr na ON na.vec_id = a.vec_id
+                JOIN nr nb ON nb.vec_id = b.vec_id),
+         rk AS (SELECT src, dst,
+                  ROW_NUMBER() OVER (PARTITION BY src
+                    ORDER BY score DESC, dst ASC) AS rk
+                FROM sc),
+         e AS (SELECT src, dst FROM rk WHERE rk <= 3),
+         nodes AS (SELECT vec_id AS id FROM embeddings)"""
+
+  /** The DuckDB oracle for `pagerank_docs`: shared kNN edges + the
+    * three unrolled fixed-point damping rounds.
+    */
+  private[graft] def pagerankOracleSql: String =
+    s"""WITH $knnEdgeCtes,
+         it0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS s FROM nodes),
+         c1 AS (SELECT e.dst, CAST(SUM(CAST(floor(
+                    p.s / 3 * 1099511627776.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS qs
+                FROM e JOIN it0 p ON p.id = e.src GROUP BY 1),
+         it1 AS (SELECT n.id, 0.15 + 0.85 * (CAST(COALESCE(c.qs, 0)
+                   AS DOUBLE) / 1099511627776.0) AS s
+                 FROM nodes n LEFT JOIN c1 c ON c.dst = n.id),
+         c2 AS (SELECT e.dst, CAST(SUM(CAST(floor(
+                    p.s / 3 * 1099511627776.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS qs
+                FROM e JOIN it1 p ON p.id = e.src GROUP BY 1),
+         it2 AS (SELECT n.id, 0.15 + 0.85 * (CAST(COALESCE(c.qs, 0)
+                   AS DOUBLE) / 1099511627776.0) AS s
+                 FROM nodes n LEFT JOIN c2 c ON c.dst = n.id),
+         c3 AS (SELECT e.dst, CAST(SUM(CAST(floor(
+                    p.s / 3 * 1099511627776.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS qs
+                FROM e JOIN it2 p ON p.id = e.src GROUP BY 1),
+         it3 AS (SELECT n.id, 0.15 + 0.85 * (CAST(COALESCE(c.qs, 0)
+                   AS DOUBLE) / 1099511627776.0) AS s
+                 FROM nodes n LEFT JOIN c3 c ON c.dst = n.id),
+         dg AS (SELECT dst, COUNT(*) AS ind FROM e GROUP BY 1)
+         SELECT p.id AS doc_id,
+                CAST(COALESCE(dg.ind, 0) AS BIGINT) AS in_degree,
+                floor(p.s * 1000000 + 0.5) / 1000000 AS pagerank
+         FROM it3 p LEFT JOIN dg ON dg.dst = p.id ORDER BY doc_id"""
+
+  /** The DuckDB oracle for `hits_scores`: shared kNN edges + two
+    * unrolled L1-normalized (authority, hub) half-round pairs.
+    */
+  private[graft] def hitsOracleSql: String = {
+    def halfSql(in: String, out: String, joinOn: String,
+        groupTo: String): String =
+      s"""q_$out AS (SELECT e.$groupTo AS node, CAST(SUM(CAST(floor(
+                    p.s * 1099511627776.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS qs
+                FROM e JOIN $in p ON p.id = e.$joinOn GROUP BY 1),
+         t_$out AS (SELECT CAST(SUM(qs) AS BIGINT) AS t FROM q_$out),
+         $out AS (SELECT n.id, CAST(COALESCE(q.qs, 0) AS DOUBLE)
+                   / CAST(t_$out.t AS DOUBLE) AS s
+                 FROM nodes n LEFT JOIN q_$out q ON q.node = n.id
+                 CROSS JOIN t_$out)"""
+    s"""WITH $knnEdgeCtes,
+         h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS s FROM nodes),
+         ${halfSql("h0", "a1", "src", "dst")},
+         ${halfSql("a1", "h1", "dst", "src")},
+         ${halfSql("h1", "a2", "src", "dst")},
+         ${halfSql("a2", "h2", "dst", "src")}
+         SELECT a2.id AS doc_id,
+                floor((a2.s * 1000.0) * 1000000 + 0.5) / 1000000
+                  AS authority_x1k,
+                floor((h2.s * 1000.0) * 1000000 + 0.5) / 1000000
+                  AS hub_x1k
+         FROM a2 JOIN h2 ON h2.id = a2.id ORDER BY doc_id"""
   }
 
   /** `similarity_lsh` — random-hyperplane LSH-bucketed ANN.

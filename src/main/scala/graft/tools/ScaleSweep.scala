@@ -373,7 +373,27 @@ object ScaleSweep {
       // the capstone funnel: measures the silver builds (exact-route
       // pair set below the crossover, substring runs, Lloyd cells)
       // plus the anti-join report — the whole-release cost one decade up
-      "dedup_cascade" -> (graft.operators.LlmTextOps.dedupCascade _))
+      "dedup_cascade" -> (graft.operators.LlmTextOps.dedupCascade _),
+      // round-10 continuation: the risk panel + Ljung-Box (one
+      // per-symbol sort each over the synthesized events), the SCD2
+      // gaps-and-islands build (one user-keyed exchange), the
+      // neighbor-Jaccard wedge pass (lineitem silver), the truncated-
+      // dim recall rung and the ARI contingency folds (embeddings),
+      // and the phash chunk-blocked near-dup (documents; the oracle's
+      // brute-force C(n,2) scan is DuckDB-side only — in-engine the
+      // pair stream is pigeonhole-bounded)
+      "sortino_ratio" -> (graft.operators.AnalyticOps.sortinoRatio _),
+      "calmar_ratio" -> (graft.operators.AnalyticOps.calmarRatio _),
+      "omega_ratio" -> (graft.operators.AnalyticOps.omegaRatio _),
+      "ljung_box" -> (graft.operators.AnalyticOps.ljungBox _),
+      "scd2_history" -> (graft.operators.AuditOps.scd2History _),
+      "jaccard_neighbors" ->
+        (graft.operators.RelationalOps.jaccardNeighbors _),
+      "ann_recall_trunc" ->
+        (graft.operators.LlmVectorOps.annRecallTrunc _),
+      "clustering_ari" -> (graft.operators.LlmVectorOps.clusteringAri _),
+      "multimodal_phash" ->
+        (graft.operators.LlmVectorOps.multimodalPhash _))
       .filter { case (name, _) =>
         // SPARK_GRAFT_QUERIES narrows the sweep (same contract as
         // Bench) — re-measuring one family shouldn't pay for all

@@ -381,6 +381,32 @@ class AuditOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("key_skew_audit == driver count-profile replay") {
+    def profile(counts: Seq[Long]): (Long, Long, Long, Long) = {
+      val sorted = counts.sorted(Ordering[Long].reverse)
+      (counts.sum, counts.size.toLong, sorted.head, sorted.take(10).sum)
+    }
+    val ev = profile(Tables.events(spark, sf).groupBy("user_id").count()
+      .collect().map(_.getLong(1)).toSeq)
+    val li = profile(Tables.lineitem(spark, sf).groupBy("l_partkey")
+      .count().collect().map(_.getLong(1)).toSeq)
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val got = AuditOps.keySkewAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("events.user_id", "lineitem.l_partkey"))
+    Seq("events.user_id" -> ev, "lineitem.l_partkey" -> li).foreach {
+      case (k, (n, keys, mx, t10)) =>
+        val r = got(k)
+        assert(r.getLong(1) == n && r.getLong(2) == keys, s"$k counts")
+        assert(r.getLong(3) == mx && r.getLong(4) == t10, s"$k tops")
+        assert(math.abs(r.getDouble(5) - r6d(mx.toDouble / n)) < 2e-6)
+        assert(math.abs(r.getDouble(6) - r6d(t10.toDouble / n)) < 2e-6)
+        // shares are ordered and within [0, 1]
+        assert(r.getDouble(5) <= r.getDouble(6) + 1e-9)
+        assert(r.getDouble(6) <= 1.0 + 1e-9)
+    }
+  }
+
   test("scd2_history == driver gaps-and-islands replay; interval invariants") {
     val events = Tables.events(spark, sf)
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")),

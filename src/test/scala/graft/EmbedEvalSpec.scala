@@ -360,6 +360,51 @@ class EmbedEvalSpec extends AnyFunSuite {
     }
   }
 
+  test("hits_scores == driver two-round L1 HITS replay on the kNN graph") {
+    val e = embs(TestSpark.sf0001)
+    val norm = e.map { case (id, v, _) =>
+      id -> math.sqrt(v.map(x => x * x).sum)
+    }.toMap
+    // the shared pagerank edge contract: r6 scores, (score desc, id
+    // asc) top-3 per source
+    val edges = e.flatMap { case (src, sv, _) =>
+      e.filter(_._1 != src).map { case (dst, dv, _) =>
+        val dot = sv.zip(dv).map { case (a, b) => a * b }.sum
+        (dst, r6(dot / (norm(src) * norm(dst))))
+      }.sortBy { case (id, sc) => (-sc, id) }.take(3)
+        .map { case (dst, _) => (src, dst) }
+    }
+    val ids = e.map(_._1)
+    val Q = 1099511627776.0
+    def half(scores: Map[Long, Double], in: (Long, Long) => Long,
+        out: (Long, Long) => Long): Map[Long, Double] = {
+      val qs = edges.groupBy(t => out(t._1, t._2)).view.mapValues {
+        es => es.map(t =>
+          math.floor(scores(in(t._1, t._2)) * Q + 0.5).toLong).sum
+      }.toMap.withDefaultValue(0L)
+      val t = ids.map(qs).sum
+      ids.map(id => id -> qs(id).toDouble / t.toDouble).toMap
+    }
+    var h = ids.map(_ -> 1.0).toMap
+    var a = Map.empty[Long, Double]
+    for (_ <- 1 to 2) {
+      a = half(h, (s, _) => s, (_, d) => d)
+      h = half(a, (_, d) => d, (s, _) => s)
+    }
+    val got = LlmVectorOps.hitsScores(spark, TestSpark.sf0001).collect()
+    assert(got.length == ids.length)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(math.abs(r.getDouble(1) - r6(a(id) * 1000.0)) < 2e-6,
+        s"$id authority")
+      assert(math.abs(r.getDouble(2) - r6(h(id) * 1000.0)) < 2e-6,
+        s"$id hub")
+    }
+    // L1 normalization: each side sums to ~1 (quantization-level slack)
+    assert(math.abs(a.values.sum - 1.0) < 1e-6)
+    assert(math.abs(h.values.sum - 1.0) < 1e-6)
+  }
+
   test("clustering_ari == driver contingency replay; degenerate bounds") {
     val e = embs(TestSpark.sf0001)
     // keep-1 seed-centroid assignment (vec_id % 100 == 0 codebook)

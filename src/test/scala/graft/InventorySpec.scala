@@ -40,9 +40,14 @@ class InventorySpec extends AnyFunSuite {
     // hash buckets, which the 50-doc corpus doesn't produce;
     // multimodal_dedup needs an exact BYTE duplicate — the 0.16%
     // exact-copy rate yields none in the 50-doc corpus (the oracle
-    // gate agrees on the empty set; sf0.01 and up are non-empty)
+    // gate agrees on the empty set; sf0.01 and up are non-empty);
+    // multimodal_phash needs a Hamming<=3 signature pair, which only
+    // the byte-identical copies at sf0.1 produce (min observed
+    // hamming at sf0.01 is 12 — MultimodalKernelsSpec pins the
+    // non-vacuous sf0.1 set against the brute-force replay)
     val mayBeEmpty = Set("join_anti", "dedup_simhash", "dedup_simhash_scaled",
-      "dedup_simhash_portable", "split_leakage", "multimodal_dedup")
+      "dedup_simhash_portable", "split_leakage", "multimodal_dedup",
+      "multimodal_phash")
     val counts = SparkEntry.queries.map { case (name, fn) =>
       name -> fn(spark, TestSpark.sf0001).count()
     }

@@ -490,6 +490,53 @@ class PlanShapeSpec extends AnyFunSuite {
       "the only cross joins are 1-row broadcast constants")
   }
 
+  test("risk panel + ljung_box: no cartesian, bounded-side joins broadcast") {
+    Seq("sortino_ratio", "omega_ratio").foreach { name =>
+      val p = planString(name)
+      assert(!p.contains("CartesianProduct"), name)
+      assert(!p.contains("SortMergeJoin"), s"$name: unexpected wide join")
+    }
+    // capm-style market join and ljung_box's per-symbol global-moment
+    // join are both |symbols|-bounded → must broadcast
+    val lb = planString("ljung_box")
+    assert(lb.contains("BroadcastHashJoin"),
+      "global moments must broadcast onto the per-lag rows")
+    assert(!lb.contains("CartesianProduct"))
+    // ONE per-symbol sort serves all five lags (a second sort would
+    // mean the stack() re-shuffled)
+    assert("Sort ".r.findAllIn(lb).size <= 2, // window sort + output
+      s"ljung_box sorts: ${lb.take(1200)}")
+  }
+
+  test("scd2_history: ONE user-keyed exchange serves lag, cumsum, and lead") {
+    val p = planString("scd2_history")
+    // the island aggregate and the lead() window reuse the user hash
+    // partitioning — only the initial per-user exchange may appear
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"scd2_history exchanges = $exchanges:\n" +
+      p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("multimodal_phash: payloads never shuffle; signature pairs ride chunk keys") {
+    val p = planString("multimodal_phash")
+    assert(!p.contains("CartesianProduct"),
+      "pair generation must be chunk-blocked, not brute-force")
+    // the exchange carries (ch, ck, doc_id, sig) — never hx/text
+    val exch = p.linesIterator.filter(_.contains("Exchange")).mkString
+    assert(!exch.contains("hx") && !exch.contains("text"),
+      s"payload columns crossed an exchange: $exch")
+  }
+
+  test("clustering_ari / ann_recall_trunc: broadcast codebook and probes, no wide join") {
+    Seq("clustering_ari", "ann_recall_trunc").foreach { name =>
+      val p = planString(name)
+      assert(p.contains("BroadcastNestedLoopJoin")
+        || p.contains("BroadcastHashJoin"), s"$name: probe side must broadcast")
+      assert(!p.contains("CartesianProduct"), name)
+    }
+  }
+
   test("dynamic partition pruning: dim filter prunes the date-partitioned fact at runtime") {
     import org.apache.spark.sql.functions.{col => c}
     import org.apache.spark.sql.execution.FileSourceScanExec

@@ -1912,6 +1912,74 @@ class StreamingSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
     }
   }
+
+  test("S27 streaming_scd2: closed versions == the batch twin's; open version stays in state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingScd2
+    import graft.streaming.StreamingScd2.UserEvent
+    val in = MemoryStream[UserEvent]
+    val q = StreamingScd2.scd2Stream(in.toDS())
+      .writeStream.format("memory").queryName("s27_out")
+      .outputMode(OutputMode.Append).start()
+    def rows() = spark.sql(
+      "SELECT * FROM s27_out ORDER BY user_id, version").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    try {
+      // user 1: view view click; user 2: click (intra-batch disorder:
+      // the click arrives first in the batch but sorts second)
+      in.addData(
+        UserEvent(ts("2024-01-01 10:02:00"), 3L, 1L, "click"),
+        UserEvent(ts("2024-01-01 10:00:00"), 1L, 1L, "view"),
+        UserEvent(ts("2024-01-01 10:01:00"), 2L, 1L, "view"),
+        UserEvent(ts("2024-01-01 10:00:30"), 4L, 2L, "click"))
+      q.processAllAvailable()
+      val usOf: String => Long =
+        s => Timestamp.valueOf(s).getTime * 1000L
+      // user 1's view-run closed when the click opened version 2;
+      // every OPEN version (1/click, 2/click) stays unemitted
+      assert(rows().toSeq == Seq(
+        (1L, 1L, "view", usOf("2024-01-01 10:00:00"),
+          usOf("2024-01-01 10:02:00"), 2L)))
+      // cross-batch continuity: the open click-run folds the next
+      // click (no new version), then closes on the purchase
+      in.addData(
+        UserEvent(ts("2024-01-01 10:03:00"), 5L, 1L, "click"),
+        UserEvent(ts("2024-01-01 10:04:00"), 6L, 1L, "purchase"))
+      q.processAllAvailable()
+      assert(rows().toSeq == Seq(
+        (1L, 1L, "view", usOf("2024-01-01 10:00:00"),
+          usOf("2024-01-01 10:02:00"), 2L),
+        (1L, 2L, "click", usOf("2024-01-01 10:02:00"),
+          usOf("2024-01-01 10:04:00"), 2L)),
+        s"cross-batch fold diverged: ${rows().mkString(",")}")
+      // the emitted stream == the batch twin's CLOSED (not current)
+      // rows over the same replayed event log
+      val log = Seq(
+        (ts("2024-01-01 10:00:00"), 1L, 1L, "view"),
+        (ts("2024-01-01 10:01:00"), 2L, 1L, "view"),
+        (ts("2024-01-01 10:02:00"), 3L, 1L, "click"),
+        (ts("2024-01-01 10:00:30"), 4L, 2L, "click"),
+        (ts("2024-01-01 10:03:00"), 5L, 1L, "click"),
+        (ts("2024-01-01 10:04:00"), 6L, 1L, "purchase"))
+        .toDF("ts", "event_id", "user_id", "event_type")
+        // Tables.events selects the full schema — carry the unused cols
+        .withColumn("value", org.apache.spark.sql.functions.lit(1.0))
+        .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("s27_batch").toString
+      log.write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val batchClosed = graft.operators.AuditOps
+        .scd2History(spark, dir).collect()
+        .filter(!_.getBoolean(5))
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getLong(4), r.getLong(6)))
+      assert(rows().toSeq == batchClosed.toSeq,
+        "stream must equal the batch twin's closed versions")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    } finally q.stop()
+  }
 }
 
 object StreamingSpec {
