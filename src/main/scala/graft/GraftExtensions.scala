@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Bigrams, BigramsAll, ByteStats, CorrMomentsAgg, CosineScan, CountInSet, DotProduct, GramAgg, Int8DotBytes, Int8Pack, Int8Quantize, IntersectCount, MinHash32, MinHashAgg, MisraGriesAgg, PackedPairs, PairCombinations, PortableMinHash16, PortableSimHash60, PortableTokenHash, Shingle3, ShingleHash3, SimHash64, TopKAgg, ZOrderExpr}
+import graft.functions.{Bigrams, BigramsAll, ByteStats, CorrMomentsAgg, CosineScan, CountInSet, DotProduct, GramAgg, Int8DotBytes, Int8Pack, Int8Quantize, IntersectCount, MinHash32, MinHashAgg, MisraGriesAgg, PackedPairs, PairCombinations, Phash60, PortableMinHash16, PortableSimHash60, PortableTokenHash, Shingle3, ShingleHash3, SimHash64, TopKAgg, ZOrderExpr}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * expressions first-class SQL functions in any session built with
@@ -88,6 +88,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         .toAggregateExpression())
     inject(e, "graft_byte_stats", "graft_byte_stats(binary)", 1,
       classOf[ByteStats], exprs => ByteStats(exprs.head))
+    inject(e, "graft_phash60", "graft_phash60(binary)", 1,
+      classOf[Phash60], exprs => Phash60(exprs.head))
     inject(e, "graft_intersect_count",
       "graft_intersect_count(array<bigint>, array<bigint>)", 2,
       classOf[IntersectCount], exprs => IntersectCount(exprs(0), exprs(1)))

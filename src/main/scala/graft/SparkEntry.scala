@@ -157,6 +157,7 @@ object SparkEntry {
     "sortino_ratio"            -> (AnalyticOps.sortinoRatio _),
     "calmar_ratio"             -> (AnalyticOps.calmarRatio _),
     "omega_ratio"              -> (AnalyticOps.omegaRatio _),
+    "underwater_duration"      -> (AnalyticOps.underwaterDuration _),
     "embedding_drift"          -> (LlmVectorOps.embeddingDrift _),
     "ann_recall_ivf"           -> (LlmVectorOps.annRecallIvf _),
     "ann_recall_trunc"         -> (LlmVectorOps.annRecallTrunc _),
@@ -4664,6 +4665,44 @@ object SparkEntry {
                       AS DOUBLE)), 0.0)
                   * 1000000.0 + 0.5) / 1000000.0 AS acf
          FROM a ORDER BY symbol, lag""",
+    // drawdown spells: gaps-and-islands over the daily running peak,
+    // all-integer (no float fence anywhere)
+    "underwater_duration" ->
+      """WITH t AS (SELECT event_type AS symbol,
+                CAST(epoch_us(date_trunc('day', ts)) / 86400000000
+                  AS BIGINT) AS h,
+                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+                epoch_us(ts) AS us
+              FROM events),
+         bars AS (SELECT symbol, h, arg_max(c, us) AS close
+                  FROM t GROUP BY 1, 2),
+         f AS (SELECT symbol, h,
+                CASE WHEN close < max(close) OVER (PARTITION BY symbol
+                  ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND
+                  CURRENT ROW) THEN 1 ELSE 0 END AS under
+               FROM bars),
+         m AS (SELECT *, CASE WHEN lag(under) OVER w IS NULL
+                  OR lag(under) OVER w <> under THEN 1 ELSE 0 END AS chg
+               FROM f WINDOW w AS (PARTITION BY symbol ORDER BY h)),
+         g AS (SELECT *, CAST(SUM(chg) OVER (PARTITION BY symbol
+                  ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND
+                  CURRENT ROW) AS BIGINT) AS grp
+               FROM m),
+         ld AS (SELECT symbol, MAX(h) AS last_h,
+                  CAST(COUNT(*) AS BIGINT) AS n_days
+                FROM bars GROUP BY 1),
+         sp AS (SELECT symbol, grp, CAST(COUNT(*) AS BIGINT) AS len,
+                  MAX(h) AS spell_end
+                FROM g WHERE under = 1 GROUP BY 1, 2)
+         SELECT ld.symbol, MAX(ld.n_days) AS n_days,
+                CAST(COUNT(sp.len) AS BIGINT) AS n_spells,
+                CAST(COALESCE(MAX(sp.len), 0) AS BIGINT)
+                  AS max_spell_days,
+                CAST(COALESCE(SUM(CASE WHEN sp.spell_end = ld.last_h
+                  THEN sp.len ELSE 0 END), 0) AS BIGINT)
+                  AS open_spell_days
+         FROM ld LEFT JOIN sp ON sp.symbol = ld.symbol
+         GROUP BY 1 ORDER BY 1""",
     // Ljung-Box Q over ACF lags 1-5: textbook full-series-mean acf
     // cleared to exact HUGEINT numerator/denominator per lag, each
     // rho fenced on the 1e-6 grid, Q a five-term sum in written order

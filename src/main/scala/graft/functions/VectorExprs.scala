@@ -233,6 +233,68 @@ case class ByteStats(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** dHash-style 60-bit perceptual signature of a binary payload in one
+  * compiled pass: probe bytes at 61 fixed fractional positions
+  * (0-based p_i = i·(n−1) div 60), bit i = probe_i > probe_{i+1}
+  * (unsigned). The native twin of `multimodal_phash`'s hex-extraction
+  * formulation — the declarative form pays hex() + 61 substring/conv
+  * string ops per row; this is 61 array reads. The DuckDB oracle
+  * keeps the INDEPENDENT hex formulation, so the cross-engine gate
+  * also witnesses this kernel.
+  */
+case class Phash60(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_phash60"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires binary, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    Phash60.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.Phash60.compute($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Phash60 =
+    copy(child = newChild)
+}
+
+object Phash60 {
+  /** Signature width — matches LlmVectorOps.phashBits (60 keeps the
+    * value in a non-negative LONG on both engines).
+    */
+  val Bits = 60
+
+  def compute(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    // empty payload: the declarative form's probes go NULL and every
+    // CASE falls to 0 — mirror that as the all-zero signature
+    if (n == 0) return 0L
+    var sig = 0L
+    var i = 0
+    while (i < Bits) {
+      val a = bytes((i.toLong * (n - 1) / Bits).toInt) & 0xff
+      val b = bytes(((i + 1).toLong * (n - 1) / Bits).toInt) & 0xff
+      if (a > b) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
+  def phash60(s: SparkSession, payload: Column): Column = {
+    VectorExprs.register(s)
+    call_function("graft_phash60", payload)
+  }
+}
+
 object ByteStats {
   import org.apache.spark.sql.types.{ArrayType, IntegerType, StructField, StructType}
 
@@ -627,6 +689,8 @@ object VectorExprs {
       exprs => PortableSimHash60(exprs.head))
     Registration.registerOnce(s, "graft_byte_stats",
       exprs => ByteStats(exprs.head))
+    Registration.registerOnce(s, "graft_phash60",
+      exprs => Phash60(exprs.head))
     Registration.registerOnce(s, "graft_int8_quantize",
       exprs => Int8Quantize(exprs.head))
     Registration.registerOnce(s, "graft_int8_pack",

@@ -2381,6 +2381,60 @@ object AnalyticOps {
       .orderBy("symbol")
   }
 
+  /** `underwater_duration` — drawdown SPELL statistics per symbol:
+    * how long the price sits below its running peak, on the daily
+    * close grain. `max_drawdown`/`calmar_ratio` answer "how DEEP";
+    * this answers "how LONG" — the recovery-time dimension an
+    * allocator reads next to depth (two strategies with equal max-DD
+    * but 3-day vs 3-month underwater spells are different products).
+    * Per symbol: bar count, number of distinct underwater spells,
+    * the longest spell in days, and the length of the still-open
+    * trailing spell (0 when the last close IS the peak).
+    *
+    * The spell structure is the gaps-and-islands recipe
+    * (`scd2_history`'s): underwater flag off the running peak, a
+    * change marker, a running-sum island id, one aggregate per
+    * island. All-integer (closes are exact centi picks, lengths are
+    * counts), so the row hash-gates with no float fence at all.
+    * Scale shape: ONE per-symbol shuffle+sort serves the peak, the
+    * lag, and the island sum; the island aggregate reuses the hash
+    * partitioning.
+    */
+  def underwaterDuration(s: SparkSession, d: String): DataFrame = {
+    val bars = Tables.events(s, d)
+      .select(col("event_type").as("symbol"),
+        (unix_micros(date_trunc("day", col("ts"))) / lit(86400000000L))
+          .cast("long").as("h"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("c"),
+        unix_micros(col("ts")).as("us"))
+      .groupBy(col("symbol"), col("h"))
+      .agg(max_by(col("c"), col("us")).as("close"))
+    val wd = Window.partitionBy("symbol").orderBy("h")
+    val wr = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = bars
+      .withColumn("peak", max(col("close")).over(wr))
+      .withColumn("under", (col("close") < col("peak")).cast("int"))
+      .withColumn("chg",
+        when(lag(col("under"), 1).over(wd).isNull
+          || lag(col("under"), 1).over(wd) =!= col("under"), 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum(col("chg")).over(wr))
+    val lastDay = bars.groupBy(col("symbol"))
+      .agg(max(col("h")).as("last_h"), count(lit(1)).as("n_days"))
+    val spells = flagged.where(col("under") === 1)
+      .groupBy(col("symbol"), col("grp"))
+      .agg(count(lit(1)).as("len"), max(col("h")).as("spell_end"))
+    spells
+      .join(broadcast(lastDay), Seq("symbol"), "right")
+      .groupBy(col("symbol"))
+      .agg(max(col("n_days")).as("n_days"),
+        count(col("len")).as("n_spells"),
+        coalesce(max(col("len")), lit(0L)).as("max_spell_days"),
+        coalesce(sum(when(col("spell_end") === col("last_h"),
+          col("len")).otherwise(0L)), lit(0L)).as("open_spell_days"))
+      .orderBy("symbol")
+  }
+
   /** `omega_ratio` — Ω(0) per symbol: total gain mass over total
     * loss mass of the daily returns (Keating & Shadwick 2002 at
     * threshold 0) — the whole-distribution risk ratio that needs NO

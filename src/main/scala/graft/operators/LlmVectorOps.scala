@@ -416,22 +416,30 @@ object LlmVectorOps {
     * substrate of [[pagerankDocs]] and [[hitsScores]]: identical
     * (r6 score desc, id asc) edges via the compiled broadcast-corpus
     * scan, lineage-truncated so every power-iteration round reuses
-    * materialized blocks.
+    * materialized blocks. MEMOIZED per (session, corpus) like every
+    * other silver: the build — the documented-quadratic baseline of
+    * both consumers — runs once per corpus, and the two graph
+    * queries then pay only their (narrow, linear) iteration tails.
     */
   private def knnEdges3(s: SparkSession, d: String): DataFrame = {
-    val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
-      .select(col("vec_id"), col("embedding"), col("norm"))
-    // the kNN build runs as the compiled broadcast-corpus scan
-    // (functions.CosineScan): identical (score desc, id asc) edges,
-    // no materialized pair rows — the former n² self-join spent more
-    // on copying wide pair rows than on the dots themselves
-    val corpusArr = e.agg(collect_list(
-      struct(col("vec_id"), col("embedding"), col("norm"))).as("corpus"))
-    e.crossJoin(broadcast(corpusArr))
-      .select(col("vec_id").as("src"),
-        explode(VectorExprs.cosineKnn(s, col("embedding"), col("norm"),
-          col("vec_id"), col("corpus"), 3)).as("dst"))
-      .localCheckpoint(false)
+    def build = {
+      val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
+        .select(col("vec_id"), col("embedding"), col("norm"))
+      // the kNN build runs as the compiled broadcast-corpus scan
+      // (functions.CosineScan): identical (score desc, id asc) edges,
+      // no materialized pair rows — the former n² self-join spent more
+      // on copying wide pair rows than on the dots themselves
+      val corpusArr = e.agg(collect_list(
+        struct(col("vec_id"), col("embedding"), col("norm"))).as("corpus"))
+      e.crossJoin(broadcast(corpusArr))
+        .select(col("vec_id").as("src"),
+          explode(VectorExprs.cosineKnn(s, col("embedding"), col("norm"),
+            col("vec_id"), col("corpus"), 3)).as("dst"))
+        .localCheckpoint(false)
+    }
+    graft.engine.SessionMemo.getOrBuild(s,
+      "knn_edges3|" +
+        graft.engine.SessionMemo.tableFingerprint(s, d, "embeddings"))(build)
   }
 
   def pagerankDocs(s: SparkSession, d: String): DataFrame = {
@@ -2886,19 +2894,15 @@ object LlmVectorOps {
     * the DuckDB oracle runs is never materialized in-engine.
     */
   def multimodalPhash(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d)
-      .withColumn("hx", hex(encode(col("text"), "UTF-8")))
-      .withColumn("n", octet_length(encode(col("text"), "UTF-8"))
-        .cast("long"))
-    // probe byte at 1-based position p (SQL fragment over hx)
-    def byteAt(p: String): String =
-      s"CAST(conv(substring(hx, 2*($p)-1, 2), 16, 10) AS LONG)"
-    def pos(i: Int): String = s"(($i * (n-1)) div $phashBits + 1)"
-    val sigExpr = (0 until phashBits).map { i =>
-      s"(CASE WHEN ${byteAt(pos(i))} > ${byteAt(pos(i + 1))} " +
-        s"THEN ${1L << i}L ELSE 0L END)"
-    }.mkString(" + ")
-    val sigs = base.select(col("doc_id"), expr(sigExpr).as("sig"))
+    // signatures ride the native compiled probe kernel
+    // (functions.Phash60 — 61 array reads/row); the hex-extraction
+    // declarative twin lives on as [[multimodalPhashSigsHex]],
+    // spec-pinned equal, and the DuckDB oracle keeps that independent
+    // formulation
+    val sigs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.Phash60.phash60(s,
+          encode(col("text"), "UTF-8")).as("sig"))
     val chunks = sigs
       .select(col("doc_id"), col("sig"),
         explode(expr("sequence(0, 3)")).as("ch"))
@@ -2917,6 +2921,28 @@ object LlmVectorOps {
         expr("bit_count(sig_a ^ sig_b)").cast("long").as("hamming"))
       .where(col("hamming") <= 3L)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** The hex-extraction declarative formulation of the phash
+    * signatures — the pre-kernel form kept as the in-repo
+    * cross-implementation witness (spec-pinned byte-equal to the
+    * compiled [[graft.functions.Phash60]] path at two sfs; the DuckDB
+    * oracle replays this same hex arithmetic independently).
+    */
+  private[graft] def multimodalPhashSigsHex(s: SparkSession, d: String)
+      : DataFrame = {
+    val base = Tables.documents(s, d)
+      .withColumn("hx", hex(encode(col("text"), "UTF-8")))
+      .withColumn("n", octet_length(encode(col("text"), "UTF-8"))
+        .cast("long"))
+    def byteAt(p: String): String =
+      s"CAST(conv(substring(hx, 2*($p)-1, 2), 16, 10) AS LONG)"
+    def pos(i: Int): String = s"(($i * (n-1)) div $phashBits + 1)"
+    val sigExpr = (0 until phashBits).map { i =>
+      s"(CASE WHEN ${byteAt(pos(i))} > ${byteAt(pos(i + 1))} " +
+        s"THEN ${1L << i}L ELSE 0L END)"
+    }.mkString(" + ")
+    base.select(col("doc_id"), expr(sigExpr).as("sig"))
   }
 
   /** The DuckDB oracle for `multimodal_phash`: signatures replayed

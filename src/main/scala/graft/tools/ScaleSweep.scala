@@ -393,7 +393,9 @@ object ScaleSweep {
         (graft.operators.LlmVectorOps.annRecallTrunc _),
       "clustering_ari" -> (graft.operators.LlmVectorOps.clusteringAri _),
       "multimodal_phash" ->
-        (graft.operators.LlmVectorOps.multimodalPhash _))
+        (graft.operators.LlmVectorOps.multimodalPhash _),
+      "underwater_duration" ->
+        (graft.operators.AnalyticOps.underwaterDuration _))
       .filter { case (name, _) =>
         // SPARK_GRAFT_QUERIES narrows the sweep (same contract as
         // Bench) — re-measuring one family shouldn't pay for all

@@ -658,6 +658,39 @@ class MarketCorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("underwater_duration == driver spell replay off daily bars") {
+    val byDay = ticks().groupBy(t => (t._1, t._2 / 86400000000L))
+      .map { case ((sym, day), ts) =>
+        (sym, day, ts.maxBy(t => (t._2, t._3))._4)
+      }.toSeq.groupBy(_._1)
+    val rows = AnalyticOps.underwaterDuration(spark, TestSpark.sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sym = r.getString(0)
+      val closes = byDay(sym).sortBy(_._2).map(_._3)
+      assert(r.getLong(1) == closes.size.toLong, s"$sym n_days")
+      var peak = Long.MinValue
+      val under = closes.map { c => peak = math.max(peak, c); c < peak }
+      val spells = scala.collection.mutable.ArrayBuffer[Long]()
+      var cur = 0L
+      under.foreach { u =>
+        if (u) cur += 1L
+        else { if (cur > 0L) spells += cur; cur = 0L }
+      }
+      val open = cur
+      if (cur > 0L) spells += cur
+      assert(r.getLong(2) == spells.size.toLong, s"$sym n_spells")
+      assert(r.getLong(3) ==
+        (if (spells.isEmpty) 0L else spells.max), s"$sym max spell")
+      assert(r.getLong(4) == open, s"$sym open spell")
+      // invariants: the open spell is one of the spells; lengths
+      // bound by the calendar
+      assert(r.getLong(4) <= r.getLong(3))
+      assert(r.getLong(3) < r.getLong(1))
+    }
+  }
+
   test("ljung_box == textbook full-series-mean acf + Q replay") {
     val bySym = ticks().groupBy(_._1).view
       .mapValues(_.sortBy(t => (t._2, t._3)).map(_._4)).toMap

@@ -129,4 +129,20 @@ class MultimodalKernelsSpec extends AnyFunSuite {
     assert(big.nonEmpty, "sf0.1 exact-dup payloads must collide")
     assert(big.exists(_._3 == 0L), "byte-identical copies at hamming 0")
   }
+
+  test("native graft_phash60 == the hex-extraction declarative twin") {
+    import graft.engine.Tables
+    Seq(TestSpark.sf0001, TestSpark.sf001).foreach { sf =>
+      val native = Tables.documents(spark, sf)
+        .select(col("doc_id"), graft.functions.Phash60.phash60(spark,
+          encode(col("text"), "UTF-8")).as("sig"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val hexTwin = graft.operators.LlmVectorOps
+        .multimodalPhashSigsHex(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(native == hexTwin, s"$sf: kernel diverges from hex form")
+      // non-negative 60-bit budget holds on the kernel path too
+      native.foreach { case (_, s) => assert(s >= 0L && s < (1L << 60)) }
+    }
+  }
 }

@@ -1980,6 +1980,63 @@ class StreamingSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     } finally q.stop()
   }
+
+  test("S27r streaming_scd2: kill + checkpoint restart — the open version survives") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingScd2
+    import graft.streaming.StreamingScd2.UserEvent
+    val in = MemoryStream[UserEvent]
+    val ckpt = java.nio.file.Files.createTempDirectory("s27r_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("s27r_out").toString
+    def start() = StreamingScd2.scd2Stream(in.toDS())
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    def versions() = spark.read.parquet(out)
+      .orderBy("user_id", "version").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val usOf: String => Long = s => Timestamp.valueOf(s).getTime * 1000L
+    val q1 = start()
+    try {
+      // version 1 (view x2) opens and closes; version 2 (click) is
+      // OPEN — it lives only in the state store when the query dies
+      in.addData(
+        UserEvent(ts("2024-01-01 09:00:00"), 1L, 7L, "view"),
+        UserEvent(ts("2024-01-01 09:05:00"), 2L, 7L, "view"),
+        UserEvent(ts("2024-01-01 09:10:00"), 3L, 7L, "click"))
+      q1.processAllAvailable()
+      assert(versions().toSeq == Seq(
+        (7L, 1L, "view", usOf("2024-01-01 09:00:00"),
+          usOf("2024-01-01 09:10:00"), 2L)))
+      // an UNPROCESSED event lands, then the query dies
+      in.addData(UserEvent(ts("2024-01-01 09:15:00"), 4L, 7L, "click"))
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      // the replayed click must FOLD into the restored open version
+      // (no new version row), proving the state survived the restart
+      q2.processAllAvailable()
+      assert(versions().length == 1, "open version must not re-close")
+      // a type change closes the recovered version with BOTH clicks
+      in.addData(UserEvent(ts("2024-01-01 09:30:00"), 5L, 7L, "purchase"))
+      q2.processAllAvailable()
+      val got = versions().toSeq
+      assert(got == Seq(
+        (7L, 1L, "view", usOf("2024-01-01 09:00:00"),
+          usOf("2024-01-01 09:10:00"), 2L),
+        (7L, 2L, "click", usOf("2024-01-01 09:10:00"),
+          usOf("2024-01-01 09:30:00"), 2L)),
+        s"recovered history diverged: ${got.mkString(",")}")
+      // versions stay unique across the restart (exactly-once close)
+      assert(got.map(v => (v._1, v._2)).distinct.length == got.length)
+    } finally {
+      q2.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    }
+  }
 }
 
 object StreamingSpec {
