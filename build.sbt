@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as the round's bench JSON. Two pieces of sbt framing defeated that
+// for four rounds (BENCH_r07..r10 "parsed: null"): the forked
+// process's stdout is re-logged with an "[info] " prefix, and sbt
+// appends "[success] Total time: ..." AFTER it. StdoutOutput passes
+// the forked JVM's stdout through unprefixed, and showSuccess drops
+// the trailing success banner, so the compact JSON line Bench prints
+// last IS the literal final stdout line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by sbt's command engine, not by another
+// setting, so the unused-key lint false-positives on it
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

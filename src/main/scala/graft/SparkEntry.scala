@@ -174,6 +174,7 @@ object SparkEntry {
     "cross_corr_lag"           -> (AnalyticOps.crossCorrLag _),
     "calibration_curve"        -> (LlmVectorOps.calibrationCurve _),
     "fuzzy_name_match"         -> (RelationalOps.fuzzyNameMatch _),
+    "knn_edges"                -> (LlmVectorOps.knnEdges _),
     "pagerank_docs"            -> (LlmVectorOps.pagerankDocs _),
     "hits_scores"              -> (LlmVectorOps.hitsScores _),
     "key_skew_audit"           -> (AuditOps.keySkewAudit _),
@@ -290,6 +291,7 @@ object SparkEntry {
     "corpus_shuffle"      -> (LlmTextOps.corpusShuffle _),
     "importance_weights"  -> (LlmTextOps.importanceWeights _),
     "pack_sequences"      -> (LlmTextOps.packSequences _),
+    "pack_sequences_bpe"  -> (LlmTextOps.packSequencesBpe _),
     "decontaminate"       -> (LlmTextOps.decontaminate _),
     "decontaminate_fuzzy" -> (LlmTextOps.decontaminateFuzzy _),
     "repetition_stats"    -> (LlmTextOps.repetitionStats _),
@@ -1151,6 +1153,7 @@ object SparkEntry {
     // floor via the same left-join-coalesce
     // kNN-graph power iterations: the edge CTEs are ONE shared
     // fragment (LlmVectorOps.knnEdgeCtes) under both oracles
+    "knn_edges" -> LlmVectorOps.knnEdgesOracleSql,
     "pagerank_docs" -> LlmVectorOps.pagerankOracleSql,
     "hits_scores" -> LlmVectorOps.hitsOracleSql,
     // per-symbol lag/return/envelope feature frame; value-preserving
@@ -4173,7 +4176,10 @@ object SparkEntry {
                   / 1000000.0 AS top1_share,
                 floor(CAST(top10_rows AS DOUBLE)
                   / CAST(n_rows AS DOUBLE) * 1000000.0 + 0.5)
-                  / 1000000.0 AS top10_share
+                  / 1000000.0 AS top10_share,
+                CASE WHEN max_key_rows * 16 >= n_rows THEN 'salt_8x'
+                     WHEN n_keys <= 1024 THEN 'broadcast'
+                     ELSE 'aqe_ok' END AS recommendation
          FROM es CROSS JOIN et
          UNION ALL
          SELECT 'lineitem.l_partkey', n_rows, n_keys,
@@ -4183,7 +4189,10 @@ object SparkEntry {
                   / 1000000.0,
                 floor(CAST(top10_rows AS DOUBLE)
                   / CAST(n_rows AS DOUBLE) * 1000000.0 + 0.5)
-                  / 1000000.0
+                  / 1000000.0,
+                CASE WHEN max_key_rows * 16 >= n_rows THEN 'salt_8x'
+                     WHEN n_keys <= 1024 THEN 'broadcast'
+                     ELSE 'aqe_ok' END
          FROM ls CROSS JOIN lt
          ORDER BY audited_key""",
     // SCD2 build: gaps-and-islands under the (us, event_id) total
@@ -5551,6 +5560,7 @@ object SparkEntry {
     // the train->apply closure: re-trains the merge chain, then
     // encodes every (source, word) count through the final mapping
     "bpe_encode" -> LlmTextOps.bpeEncodeOracleSql,
+    "pack_sequences_bpe" -> LlmTextOps.packSequencesBpeOracleSql,
     // leakage-free NB eval: weights trained on folds 1-4 of the
     // cross_val_split hash stream, confusion on held-out fold 0;
     // unseen tokens take the Laplace zero-count weight

@@ -13,6 +13,49 @@ import graft.engine.Tables
   */
 object AnalyticOps {
 
+  /** Conf gating the shared sorted-ticks silver (`spark.graft.ticks.
+    * materialize`, default true): OFF returns the bare projection and
+    * every sequence operator pays its own per-symbol shuffle+sort —
+    * the before/after lever TickSilverSpec pins equal.
+    */
+  val TicksMaterializeConf = "spark.graft.ticks.materialize"
+
+  /** The per-symbol SORTED tick frame (event_id, us, symbol, value)
+    * — the shared silver of the indicator/sequence family
+    * (`lag_features`, `ewma_smooth`, `autocorrelation`, `ljung_box`,
+    * `rsi_indicator`, `bollinger_bands`, `obv_indicator`,
+    * `stochastic_oscillator`): each of those opens with the SAME
+    * `Window.partitionBy(symbol).orderBy(us, event_id)`, and before
+    * this silver each paid the symbol shuffle + per-partition sort
+    * independently — 8× the one genuinely shared pass. Materialized
+    * once per (session, corpus) pre-partitioned on `symbol` and
+    * sorted within partitions on (symbol, us, event_id): the cached
+    * scan REPORTS that partitioning and ordering, so every
+    * consumer's window satisfies its required distribution and sort
+    * from the cache and plans with no Exchange and no Sort (plans
+    * asserted in TickSilverSpec). Consumers derive their own value
+    * columns row-locally — projections preserve both properties.
+    *
+    * At 100 TB this is the silver-table discipline (CorpusSilver):
+    * sort the stream once when it lands, serve every sequence
+    * operator from the sorted layout. Memo caveat: persisted blocks,
+    * the standard executor-loss recompute posture (lineage retained —
+    * unlike the checkpoint-backed silvers this one recomputes).
+    */
+  private[graft] def sortedTicks(s: SparkSession, d: String): DataFrame = {
+    // props rides along for obv_indicator's volume field; the cached
+    // scan prunes it for the seven consumers that don't read it
+    def base = Tables.events(s, d)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type").as("symbol"), col("value"), col("props"))
+    if (!s.conf.get(TicksMaterializeConf, "true").toBoolean) return base
+    graft.engine.SessionMemo.getOrBuild(s,
+      "sorted_ticks|" +
+        graft.engine.SessionMemo.tableFingerprint(s, d, "events"))(
+      base.repartition(col("symbol"))
+        .sortWithinPartitions(col("symbol"), col("us"), col("event_id")))
+  }
+
   /** `value_percentiles` — exact interpolated percentiles per group
     * (sort-based; the HLL-style scale path is the approx twin below).
     */
@@ -743,9 +786,8 @@ object AnalyticOps {
     val w = Window.partitionBy("symbol")
       .orderBy(col("us").asc, col("event_id").asc)
       .rowsBetween(-19, 0)
-    Tables.events(s, d)
-      .select(col("event_id"), unix_micros(col("ts")).as("us"),
-        col("event_type").as("symbol"),
+    sortedTicks(s, d)
+      .select(col("event_id"), col("us"), col("symbol"),
         col("value").cast("double").as("price"))
       .withColumn("vd", col("price").cast(DecimalType(16, 2)))
       .withColumn("n", count(lit(1)).over(w))
@@ -821,9 +863,8 @@ object AnalyticOps {
     val w = Window.partitionBy("symbol")
       .orderBy(col("us").asc, col("event_id").asc)
     val w10 = w.rowsBetween(-9, 0)
-    Tables.events(s, d)
-      .select(col("event_id"), unix_micros(col("ts")).as("us"),
-        col("event_type").as("symbol"),
+    sortedTicks(s, d)
+      .select(col("event_id"), col("us"), col("symbol"),
         col("value").cast("double").as("price"))
       .withColumn("lag1", lag(col("price"), 1).over(w))
       .withColumn("lag5", lag(col("price"), 5).over(w))
@@ -1090,9 +1131,8 @@ object AnalyticOps {
   def ewmaSmooth(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("symbol")
       .orderBy(col("us").asc, col("event_id").asc)
-    val base = Tables.events(s, d)
-      .select(col("event_id"), unix_micros(col("ts")).as("us"),
-        col("event_type").as("symbol"),
+    val base = sortedTicks(s, d)
+      .select(col("event_id"), col("us"), col("symbol"),
         col("value").cast("double").as("price"))
     val lagged = (1 to 7).foldLeft(base) { (df, k) =>
       df.withColumn(s"l$k", lag(col("price"), k).over(w))
@@ -1357,9 +1397,8 @@ object AnalyticOps {
     val w = Window.partitionBy("symbol")
       .orderBy(col("us").asc, col("event_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, d)
-      .select(col("event_id"), unix_micros(col("ts")).as("us"),
-        col("event_type").as("symbol"),
+    sortedTicks(s, d)
+      .select(col("event_id"), col("us"), col("symbol"),
         col("value").cast("double").as("price"))
       .withColumn("peak", max(col("price")).over(w))
       .withColumn("dd", r6((col("peak") - col("price"))
@@ -1398,9 +1437,8 @@ object AnalyticOps {
     val fr = w.rowsBetween(-13, 0)
     val wd = Window.partitionBy("symbol")
       .orderBy(col("us").desc, col("event_id").desc)
-    Tables.events(s, d)
-      .select(col("event_id"), unix_micros(col("ts")).as("us"),
-        col("event_type").as("symbol"),
+    sortedTicks(s, d)
+      .select(col("event_id"), col("us"), col("symbol"),
         col("value").cast("double").as("price"))
       .withColumn("dq",
         floor((col("price") - lag(col("price"), 1).over(w))
@@ -1444,9 +1482,8 @@ object AnalyticOps {
     val fr = w.rowsBetween(-19, 0)
     val wd = Window.partitionBy("symbol")
       .orderBy(col("us").desc, col("event_id").desc)
-    Tables.events(s, d)
-      .select(col("event_id"), unix_micros(col("ts")).as("us"),
-        col("event_type").as("symbol"),
+    sortedTicks(s, d)
+      .select(col("event_id"), col("us"), col("symbol"),
         floor(col("value").cast("double") * lit(100.0) + lit(0.5))
           .cast("long").as("centi"))
       .withColumn("rn", row_number().over(w))
@@ -1637,9 +1674,8 @@ object AnalyticOps {
   def peakDetection(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("symbol")
       .orderBy(col("us").asc, col("event_id").asc)
-    Tables.events(s, d)
-      .select(col("event_id"), unix_micros(col("ts")).as("us"),
-        col("event_type").as("symbol"),
+    sortedTicks(s, d)
+      .select(col("event_id"), col("us"), col("symbol"),
         floor(col("value").cast("double") * lit(100.0) + lit(0.5))
           .cast("long").as("centi"))
       .withColumn("prev", lag(col("centi"), 1).over(w))
@@ -1686,9 +1722,8 @@ object AnalyticOps {
   def runsTest(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("symbol")
       .orderBy(col("us").asc, col("event_id").asc)
-    val moves = Tables.events(s, d)
-      .select(col("event_id"), unix_micros(col("ts")).as("us"),
-        col("event_type").as("symbol"),
+    val moves = sortedTicks(s, d)
+      .select(col("event_id"), col("us"), col("symbol"),
         floor(col("value").cast("double") * lit(100.0) + lit(0.5))
           .cast("long").as("centi"))
       .withColumn("mv", col("centi") - lag(col("centi"), 1).over(w))
@@ -1842,9 +1877,8 @@ object AnalyticOps {
     val w = Window.partitionBy("symbol")
       .orderBy(col("us").asc, col("event_id").asc)
     val lagged = (1 to 5).foldLeft(
-      Tables.events(s, d)
-        .select(col("event_id"), unix_micros(col("ts")).as("us"),
-          col("event_type").as("symbol"),
+      sortedTicks(s, d)
+        .select(col("event_id"), col("us"), col("symbol"),
           floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
             .as("x"))) { (df, k) =>
       df.withColumn(s"l$k", lag(col("x"), k).over(w))
@@ -1904,9 +1938,8 @@ object AnalyticOps {
     def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
     val w = Window.partitionBy("symbol")
       .orderBy(col("us").asc, col("event_id").asc)
-    val base = Tables.events(s, d)
-      .select(col("event_id"), unix_micros(col("ts")).as("us"),
-        col("event_type").as("symbol"),
+    val base = sortedTicks(s, d)
+      .select(col("event_id"), col("us"), col("symbol"),
         floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("x"))
     val lagged = (1 to 5).foldLeft(base) { (df, k) =>
       df.withColumn(s"l$k", lag(col("x"), k).over(w))
@@ -2424,8 +2457,15 @@ object AnalyticOps {
     val spells = flagged.where(col("under") === 1)
       .groupBy(col("symbol"), col("grp"))
       .agg(count(lit(1)).as("len"), max(col("h")).as("spell_end"))
-    spells
-      .join(broadcast(lastDay), Seq("symbol"), "right")
+    // an outer join can only BUILD its non-preserved side, and the
+    // old right-outer spelling hinted the preserved side (lastDay) —
+    // silently ignored, shuffle join. Written as lastDay LEFT JOIN
+    // broadcast(spells): spells is the non-preserved side (BuildRight
+    // is legal for LeftOuter) and is itself tiny — one row per
+    // underwater island of the DAILY bar frame, bounded by
+    // symbols × days at any tick volume
+    lastDay
+      .join(broadcast(spells), Seq("symbol"), "left")
       .groupBy(col("symbol"))
       .agg(max(col("n_days")).as("n_days"),
         count(col("len")).as("n_spells"),
@@ -2656,9 +2696,8 @@ object AnalyticOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wr = Window.partitionBy("symbol")
       .orderBy(col("profit").desc, col("us").asc, col("event_id").asc)
-    Tables.events(s, d)
-      .select(col("event_id"), unix_micros(col("ts")).as("us"),
-        col("event_type").as("symbol"),
+    sortedTicks(s, d)
+      .select(col("event_id"), col("us"), col("symbol"),
         col("value").cast("double").as("price"))
       .withColumn("trough", min(col("price")).over(w))
       .withColumn("profit", r6(col("price") - col("trough")))
@@ -3018,9 +3057,8 @@ object AnalyticOps {
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wd = Window.partitionBy("symbol")
       .orderBy(col("us").desc, col("event_id").desc)
-    Tables.events(s, d)
-      .select(col("event_id"), unix_micros(col("ts")).as("us"),
-        col("event_type").as("symbol"),
+    sortedTicks(s, d)
+      .select(col("event_id"), col("us"), col("symbol"),
         col("value").cast("double").as("price"),
         floor(col("value").cast("double") * lit(100.0) + lit(0.5))
           .cast("long").as("centi"),
@@ -3068,9 +3106,8 @@ object AnalyticOps {
     val mid = col("sc").cast("double") / lit(100.0 * n)
     val sd = sqrt((lit(n.toLong) * col("sc2") - col("sc") * col("sc"))
       .cast("double")) / lit(100.0 * n)
-    Tables.events(s, d)
-      .select(col("event_id"), unix_micros(col("ts")).as("us"),
-        col("event_type").as("symbol"),
+    sortedTicks(s, d)
+      .select(col("event_id"), col("us"), col("symbol"),
         col("value").cast("double").as("price"),
         floor(col("value").cast("double") * lit(100.0) + lit(0.5))
           .cast("long").as("centi"))
@@ -3115,9 +3152,8 @@ object AnalyticOps {
     val fr = w.rowsBetween(-13, 0)
     val wd = Window.partitionBy("symbol")
       .orderBy(col("us").desc, col("event_id").desc)
-    Tables.events(s, d)
-      .select(col("event_id"), unix_micros(col("ts")).as("us"),
-        col("event_type").as("symbol"),
+    sortedTicks(s, d)
+      .select(col("event_id"), col("us"), col("symbol"),
         col("value").cast("double").as("price"),
         floor(col("value").cast("double") * lit(100.0) + lit(0.5))
           .cast("long").as("centi"))

@@ -175,6 +175,24 @@ object AuditOps {
     * asc) TOTAL order. Scale shape: one map-side-combined count
     * aggregate per table, then folds over the (bounded) key-count
     * frame; the top-10 is TakeOrderedAndProject, never a global sort.
+    *
+    * The `recommendation` column turns the audit ACTIONABLE — the
+    * one-line verdict an engineer (or a planner rule) hands to the
+    * join wiring, decided on EXACT integer predicates over the
+    * measured counts (no new shuffle — computed on the same 1-row
+    * stats frame), first match wins:
+    *   - `salt_8x`: the hottest key holds ≥ 1/16 of all rows
+    *     (`max_key_rows · 16 ≥ n_rows`) — one reducer gets ≥ n/16 of
+    *     the table REGARDLESS of partition count, past what AQE's
+    *     split can fix cheaply → pre-salt via
+    *     [[graft.engine.Skew.saltedJoin]] (the documented hand-off);
+    *   - `broadcast`: the key domain is dimension-sized
+    *     (`n_keys ≤ 1024`) — the keyed side aggregates/builds to a
+    *     frame any executor holds, so broadcast it and skip the
+    *     fact-side shuffle entirely;
+    *   - `aqe_ok`: neither trips — AQE's runtime skew split
+    *     (`spark.sql.adaptive.skewJoin`, on by default) covers the
+    *     residual imbalance.
     */
   def keySkewAudit(s: SparkSession, d: String): DataFrame = {
     def audit(name: String, keyed: DataFrame): DataFrame = {
@@ -189,7 +207,11 @@ object AuditOps {
           graft.engine.Determinism.r6(col("max_key_rows").cast("double")
             / col("n_rows").cast("double")).as("top1_share"),
           graft.engine.Determinism.r6(col("top10_rows").cast("double")
-            / col("n_rows").cast("double")).as("top10_share"))
+            / col("n_rows").cast("double")).as("top10_share"),
+          when(col("max_key_rows") * lit(16L) >= col("n_rows"),
+            lit("salt_8x"))
+            .when(col("n_keys") <= lit(1024L), lit("broadcast"))
+            .otherwise(lit("aqe_ok")).as("recommendation"))
     }
     audit("events.user_id",
       Tables.events(s, d).select(col("user_id").as("k")))

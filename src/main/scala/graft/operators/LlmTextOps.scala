@@ -4583,7 +4583,6 @@ object LlmTextOps {
     * word-count aggregate the trainer already ran.
     */
   def bpeEncode(s: SparkSession, d: String): DataFrame = {
-    val merges = bpeTrainMerges(s, d)
     val docs = Tables.documents(s, d)
     val perSrcDocs = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"))
@@ -4591,17 +4590,7 @@ object LlmTextOps {
       .select(col("source"), explode(split(col("text"), " ")).as("word"))
       .where(length(col("word")) > 0)
       .groupBy(col("source"), col("word")).agg(count(lit(1)).as("n"))
-    val sym0 = concat(lit(" "),
-      array_join(expr(
-        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
-        " "),
-      lit(" "))
-    val symFinal = merges.foldLeft(sym0) { case (c, (_, l, r, _)) =>
-      bpeMergePass(c, l, r)
-    }
-    val mapping = words.select(col("word")).distinct()
-      .withColumn("n_sub", size(split(trim(symFinal), " ")).cast("long"))
-    val per = words.join(broadcast(mapping), Seq("word"))
+    val per = words.join(broadcast(bpeWordSubCounts(s, d)), Seq("word"))
       .groupBy(col("source"))
       .agg(sum(col("n")).as("n_words"),
         sum(col("n") * col("n_sub")).as("n_bpe_tokens"))
@@ -4613,6 +4602,78 @@ object LlmTextOps {
         r6(col("n_bpe_tokens").cast("double")
           / col("n_docs").cast("double")).as("tokens_per_doc"))
       .orderBy("source")
+  }
+
+  /** The word → BPE-subword-count mapping (the ENCODER itself as a
+    * vocab-sized silver): every distinct corpus word, encoded with
+    * the learned merge list via the chained double-space
+    * [[bpeMergePass]] rewrites — exactly the training rewrite, so
+    * greedy application order matches training by construction.
+    * MEMOIZED per (session, corpus): two registered consumers
+    * (`bpe_encode`, `pack_sequences_bpe`) read it, and each would
+    * otherwise re-run the 12-pass rewrite over the vocabulary.
+    * Vocab-sized (distinct words, not token positions) — broadcasts
+    * at any corpus scale where a tokenizer's vocab fits an executor,
+    * i.e. always.
+    */
+  private[graft] def bpeWordSubCounts(s: SparkSession,
+      d: String): DataFrame = {
+    def build = {
+      val merges = bpeTrainMerges(s, d)
+      val sym0 = concat(lit(" "),
+        array_join(expr(
+          "transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+          " "),
+        lit(" "))
+      val symFinal = merges.foldLeft(sym0) { case (c, (_, l, r, _)) =>
+        bpeMergePass(c, l, r)
+      }
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .where(length(col("word")) > 0)
+        .select(col("word")).distinct()
+        .withColumn("n_sub", size(split(trim(symFinal), " ")).cast("long"))
+    }
+    graft.engine.SessionMemo.getOrBuild(s,
+      "bpe_encmap|" +
+        graft.engine.SessionMemo.tableFingerprint(s, d, "documents"))(build)
+  }
+
+  /** `pack_sequences_bpe` — [[packSequences]]'s 512-token packing
+    * driven by REAL tokenizer lengths (the train→apply→pack closure):
+    * per-document token counts come from the in-engine BPE encoder
+    * ([[bpeWordSubCounts]] — broadcast vocab mapping, row-local
+    * lookup) instead of the whitespace proxy, then the identical
+    * exclusive-prefix-sum binning cuts packs per lang. A doc with no
+    * words (empty text) packs at 0 tokens via the left join. Shape:
+    * one corpus explode reduced to (doc_id, Σn_sub) with map-side
+    * combine, one broadcast join against the vocab silver, then the
+    * one window shuffle the whitespace variant already pays — at
+    * 100 TB the added cost over `pack_sequences` is one hash
+    * aggregate, not a second corpus scan.
+    */
+  def packSequencesBpe(s: SparkSession, d: String): DataFrame = {
+    val budget = 512
+    val docs = Tables.documents(s, d)
+    val perDoc = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .join(broadcast(bpeWordSubCounts(s, d)), Seq("word"))
+      .groupBy(col("doc_id")).agg(sum(col("n_sub")).as("nt"))
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_tokens", coalesce(col("nt"), lit(0L)))
+      .withColumn("off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("off") / budget))
+      .groupBy(col("lang"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("lang", "bin")
   }
 
   /** [[bpeEncode]]'s DuckDB oracle: the SAME generated training-CTE
@@ -4648,6 +4709,39 @@ object LlmTextOps {
                   AS tokens_per_doc
          FROM per JOIN pd ON pd.source = per.source
          ORDER BY per.source"""
+
+  /** `pack_sequences_bpe`'s DuckDB oracle: the shared training-CTE
+    * chain, the encode oracle's word → n_sub mapping, a per-doc
+    * token roll-up (LEFT JOIN so wordless docs pack at 0), then
+    * `pack_sequences`' exclusive-prefix-sum binning verbatim. One
+    * gate covers train → apply → pack end to end.
+    */
+  private[graft] def packSequencesBpeOracleSql: String =
+    s"""WITH $bpeOracleCtes,
+         encmap AS (SELECT word,
+              CAST(len(string_split(trim(w), ' ')) AS BIGINT) AS n_sub
+            FROM w$BpeMergeRounds),
+         dw AS (SELECT doc_id, word FROM (
+                  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                  FROM documents)
+                WHERE length(word) > 0),
+         dcnt AS (SELECT dw.doc_id,
+                  CAST(SUM(e.n_sub) AS BIGINT) AS nt
+                 FROM dw JOIN encmap e ON e.word = dw.word
+                 GROUP BY dw.doc_id),
+         pdoc AS (SELECT d.doc_id, d.lang,
+                  CAST(COALESCE(c.nt, 0) AS BIGINT) AS n_tokens
+                 FROM documents d LEFT JOIN dcnt c ON c.doc_id = d.doc_id),
+         offs AS (SELECT doc_id, lang, n_tokens,
+                  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+                    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS BIGINT) AS off
+                 FROM pdoc)
+         SELECT lang, CAST(floor(off / 512.0) AS BIGINT) AS bin,
+                CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         FROM offs GROUP BY 1, 2 ORDER BY lang, bin"""
 
   /** [[bpeMerges]]'s DuckDB oracle — the same training loop with the
     * [[BpeMergeRounds]] rounds UNROLLED as chained CTEs (one

@@ -383,14 +383,159 @@ object LlmVectorOps {
       .orderBy("doc_id")
   }
 
+  /** Session conf routing the kNN EDGE substrate's candidate source
+    * (`spark.graft.knn.source` = `auto` | `exact` | `ivf`) — the
+    * [[graft.operators.LlmTextOps.PairSourceConf]] /
+    * `spark.graft.substr.source` precedent applied to the vector
+    * side: `exact` pins the compiled broadcast-corpus all-pairs scan
+    * ([[knnEdges3Exact]]), `ivf` pins trained-IVF candidate
+    * generation + exact re-rank ([[knnEdges3Ivf]]), `auto` (default)
+    * routes on the corpus vector count
+    * ([[KnnSourceCrossoverVecs]]).
+    */
+  val KnnSourceConf = "spark.graft.knn.source"
+
+  /** Probed inverted lists per probe vector on the `ivf` route
+    * (`spark.graft.knn.nprobe`, default 8). Every corpus vector is a
+    * probe, so the candidate mass is ≈ n · nprobe · [[ivfStride]] —
+    * LINEAR in n at fixed nprobe, vs the exact scan's n². Edge
+    * recall is corpus-dependent: on clustered encoder output modest
+    * nprobe recovers the true edges (ScaleSweep's mixture corpus:
+    * measured recall + timing per decade), while on the shipped
+    * ISOTROPIC fixture vectors no sublinear candidate source can
+    * (measured: 18% of true top-3 edges at nprobe=1 and sf0.1, 100%
+    * only when every list is probed — curse of dimensionality, not
+    * an implementation gap). That is exactly why `auto` keeps small
+    * corpora on the exact scan and why the gated rows stay exact at
+    * every test sf.
+    */
+  val KnnNprobeConf = "spark.graft.knn.nprobe"
+
+  /** Vector-count crossover for [[KnnSourceConf]]'s auto route. The
+    * exact scan is n²·d fused multiply-adds with no materialized pair
+    * rows — measured comfortable through 32k vectors (ScaleSweep) —
+    * while its broadcast corpus array grows linearly (~32k·64·4 B ≈
+    * 8 MiB at the crossover; past it the broadcast and the n² dots
+    * both stop scaling). 32768 sits at the last measured-comfortable
+    * decade, one step before the 128k corpus where the routed build
+    * is demonstrably ahead.
+    */
+  private[graft] val KnnSourceCrossoverVecs = 32768L
+
+  /** Which edge source [[knnEdges3]]'s auto route picks for this
+    * corpus (one parquet-metadata count job). */
+  private[graft] def knnSourceRoute(s: SparkSession, d: String): String =
+    if (Tables.embeddings(s, d).count() >= KnnSourceCrossoverVecs) "ivf"
+    else "exact"
+
+  /** The EXACT directed top-3 cosine kNN edge set (src, dst): the
+    * compiled broadcast-corpus scan (functions.CosineScan) — (r6
+    * score desc, id asc) rank order, no materialized pair rows (the
+    * former n² self-join spent more on copying wide pair rows than
+    * on the dots themselves). The documented-quadratic baseline the
+    * `ivf` route is gated against.
+    */
+  private[graft] def knnEdges3Exact(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
+      .select(col("vec_id"), col("embedding"), col("norm"))
+    val corpusArr = e.agg(collect_list(
+      struct(col("vec_id"), col("embedding"), col("norm"))).as("corpus"))
+    e.crossJoin(broadcast(corpusArr))
+      .select(col("vec_id").as("src"),
+        explode(VectorExprs.cosineKnn(s, col("embedding"), col("norm"),
+          col("vec_id"), col("corpus"), 3)).as("dst"))
+  }
+
+  /** The ROUTED kNN edge build for large corpora: trained-IVF
+    * candidate generation + exact cosine re-rank. Corpus vectors
+    * land in their nearest inverted list (keep=1, so no candidate
+    * appears twice); every vector probes its `nprobe` nearest lists;
+    * candidates meet through an equi-join on `cent_id` (shuffle keys
+    * only — 8-byte ids beside the embedding rows the join needs
+    * anyway); the top-3 cut applies the SAME (r6 score desc, id asc)
+    * total order as the exact scan, so wherever the candidate set
+    * contains the true neighbors the emitted edges are IDENTICAL
+    * (KnnRoutingSpec pins full-probe ivf == exact on every shipped
+    * corpus). Reuses the memoized Lloyd codebook
+    * ([[trainedCentroids]] — one training pass serves
+    * `similarity_ivf_trained`, `semdedup`, and this route).
+    */
+  private[graft] def knnEdges3Ivf(s: SparkSession, d: String,
+      nprobe: Int): DataFrame = {
+    val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
+      .select(col("vec_id"), col("embedding"), col("norm"))
+    val cents = trainedCentroids(s, d)
+    val lists = assignToCentroids(s, e, cents, keep = 1)
+    val probes = assignToCentroids(s, e, cents, keep = nprobe)
+      .select(col("cent_id"), col("vec_id").as("src"),
+        col("embedding").as("p_emb"), col("norm").as("p_norm"))
+    val w = Window.partitionBy("src")
+      .orderBy(col("score").desc, col("dst").asc)
+    lists.join(probes, Seq("cent_id"))
+      .where(col("vec_id") =!= col("src"))
+      .select(col("src"), col("vec_id").as("dst"),
+        r6(VectorExprs.dot(s, col("p_emb"), col("embedding"))
+          / (col("p_norm") * col("norm"))).as("score"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("src"), col("dst"))
+  }
+
+  /** The directed top-3 cosine kNN edge set (src, dst) — the shared
+    * substrate of [[pagerankDocs]], [[hitsScores]], and the gated
+    * `knn_edges` row — ROUTED per [[KnnSourceConf]]: the exact
+    * compiled scan below the vector-count crossover, IVF candidates
+    * + exact re-rank above it. Lineage-truncated (localCheckpoint)
+    * so every power-iteration round reuses materialized blocks, and
+    * MEMOIZED per (session, corpus, resolved route): the build runs
+    * once per corpus and the graph consumers pay only their (narrow,
+    * linear) iteration tails. Memo caveat (the coPurchaseEdges
+    * posture, now on a heavier build): localCheckpoint blocks live
+    * on executors, so an executor lost between the two graph
+    * consumers fails later reads instead of recomputing — a
+    * deployment that needs resilience across consumer runs should
+    * write the edge silver to storage (CorpusSilver) rather than
+    * lean on the in-session memo.
+    */
+  private def knnEdges3(s: SparkSession, d: String): DataFrame = {
+    val route = s.conf.get(KnnSourceConf, "auto") match {
+      case "auto"                => knnSourceRoute(s, d)
+      case r @ ("exact" | "ivf") => r
+      case other => throw new IllegalArgumentException(
+        s"$KnnSourceConf must be auto|exact|ivf, got '$other'")
+    }
+    val nprobe = s.conf.get(KnnNprobeConf, "8").toInt
+    def build = (route match {
+      case "ivf" => knnEdges3Ivf(s, d, nprobe)
+      case _     => knnEdges3Exact(s, d)
+    }).localCheckpoint(false)
+    graft.engine.SessionMemo.getOrBuild(s,
+      s"knn_edges3|$route" +
+        (if (route == "ivf") s"|np$nprobe" else "") + "|" +
+        graft.engine.SessionMemo.tableFingerprint(s, d, "embeddings"))(build)
+  }
+
+  /** `knn_edges` — the edge substrate itself as a gated row: the
+    * directed top-3 cosine kNN graph both graph queries iterate
+    * over, emitted as (src, dst) pairs. Gating the substrate
+    * separately from its consumers means a routing regression
+    * surfaces HERE (3N ordered id pairs, the cheapest possible
+    * witness) before it perturbs a power iteration — and the DuckDB
+    * oracle is just the shared [[knnEdgeCtes]] edge definition the
+    * `pagerank_docs`/`hits_scores` oracles already replay.
+    */
+  def knnEdges(s: SparkSession, d: String): DataFrame =
+    knnEdges3(s, d).orderBy("src", "dst")
+
   /** `pagerank_docs` — LexRank-style representativeness (Erkan &
     * Radev '04, PageRank over a similarity graph): 3 rounds of
     * PageRank (d = 0.85) over the DIRECTED top-3 cosine kNN graph of
-    * the embedding corpus. A doc that many other docs count among
-    * their nearest neighbors sits in a dense region of embedding
-    * space — the "representative exemplar" signal curation uses to
-    * pick coverage anchors (the inverse of `diversity_sample`'s
-    * spread; `knn_label` propagates labels along the same edges).
+    * the embedding corpus ([[knnEdges3]]). A doc that many other
+    * docs count among their nearest neighbors sits in a dense region
+    * of embedding space — the "representative exemplar" signal
+    * curation uses to pick coverage anchors (the inverse of
+    * `diversity_sample`'s spread; `knn_label` propagates labels
+    * along the same edges).
     *
     * Portability: out-degree is exactly 3, so each round's neighbor
     * sum — the one shuffle-order-sensitive fold — quantizes each
@@ -404,44 +549,11 @@ object LlmVectorOps {
     * `similarity_topk` determinism contract — so DuckDB rebuilds the
     * identical graph and replays the three unrolled rounds.
     *
-    * Scale shape: the all-pairs kNN build is the documented
-    * quadratic baseline (the `dedup_embed` shape — swap in any ANN
-    * row's candidate generation at 100 TB; the PageRank tail is
-    * unchanged). Edges are lineage-truncated once (localCheckpoint,
-    * the components idiom) so the three rounds and the degree pass
-    * reuse materialized blocks; each round is one edge join + one
-    * integer aggregation over 3N edge rows.
+    * Scale shape: the edge build is [[knnEdges3]]'s routed concern
+    * (exact below the crossover, IVF candidates above); the PageRank
+    * tail is unchanged either way — each round is one edge join +
+    * one integer aggregation over 3N edge rows.
     */
-  /** The directed top-3 cosine kNN edge set (src, dst) — the shared
-    * substrate of [[pagerankDocs]] and [[hitsScores]]: identical
-    * (r6 score desc, id asc) edges via the compiled broadcast-corpus
-    * scan, lineage-truncated so every power-iteration round reuses
-    * materialized blocks. MEMOIZED per (session, corpus) like every
-    * other silver: the build — the documented-quadratic baseline of
-    * both consumers — runs once per corpus, and the two graph
-    * queries then pay only their (narrow, linear) iteration tails.
-    */
-  private def knnEdges3(s: SparkSession, d: String): DataFrame = {
-    def build = {
-      val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
-        .select(col("vec_id"), col("embedding"), col("norm"))
-      // the kNN build runs as the compiled broadcast-corpus scan
-      // (functions.CosineScan): identical (score desc, id asc) edges,
-      // no materialized pair rows — the former n² self-join spent more
-      // on copying wide pair rows than on the dots themselves
-      val corpusArr = e.agg(collect_list(
-        struct(col("vec_id"), col("embedding"), col("norm"))).as("corpus"))
-      e.crossJoin(broadcast(corpusArr))
-        .select(col("vec_id").as("src"),
-          explode(VectorExprs.cosineKnn(s, col("embedding"), col("norm"),
-            col("vec_id"), col("corpus"), 3)).as("dst"))
-        .localCheckpoint(false)
-    }
-    graft.engine.SessionMemo.getOrBuild(s,
-      "knn_edges3|" +
-        graft.engine.SessionMemo.tableFingerprint(s, d, "embeddings"))(build)
-  }
-
   def pagerankDocs(s: SparkSession, d: String): DataFrame = {
     val Q = 1099511627776.0 // 2^40 fixed-point grid for the edge sums
     val edges = knnEdges3(s, d)
@@ -504,10 +616,10 @@ object LlmVectorOps {
         .crossJoin(broadcast(t))
         .select(col("id"),
           (coalesce(col("qs"), lit(0L)).cast("double")
-            / col("t").cast("double")).as("s"))
+            / nullif(col("t").cast("double"), lit(0.0))).as("s"))
     }
     var h = nodes.withColumn("s", lit(1.0))
-    var a = nodes.withColumn("s", lit(0.0))
+    var a: DataFrame = null
     for (_ <- 1 to 2) {
       a = half(h, "src", "dst") // authority ← hubs pointing in
       h = half(a, "dst", "src") // hub ← authorities pointed at
@@ -547,6 +659,11 @@ object LlmVectorOps {
                 FROM sc),
          e AS (SELECT src, dst FROM rk WHERE rk <= 3),
          nodes AS (SELECT vec_id AS id FROM embeddings)"""
+
+  /** `knn_edges`' DuckDB oracle — the shared [[knnEdgeCtes]] edge
+    * definition alone, no iteration tail. */
+  private[graft] def knnEdgesOracleSql: String =
+    s"WITH $knnEdgeCtes SELECT src, dst FROM e ORDER BY src, dst"
 
   /** The DuckDB oracle for `pagerank_docs`: shared kNN edges + the
     * three unrolled fixed-point damping rounds.

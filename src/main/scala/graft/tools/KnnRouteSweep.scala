@@ -1,0 +1,157 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.LlmVectorOps
+
+/** Routed-vs-exact evidence for the kNN edge substrate
+  * (`spark.graft.knn.source`, BASELINE.md round-11 table).
+  *
+  * The shipped fixture embeddings are ISOTROPIC — the honest
+  * measurement there is that NO sublinear candidate source recovers
+  * the true top-3 edges (18% recall at nprobe=1; see KnnRoutingSpec's
+  * scaladoc) — so the routed path's value case needs the corpus shape
+  * real encoder output has: CLUSTER STRUCTURE. This tool synthesizes
+  * a deterministic mixture-of-Gaussians corpus (64 members per
+  * center, per-vector cos-to-center ≈ 0.97), then per decade:
+  *
+  *   - times the EXACT edge build (the compiled broadcast scan —
+  *     n²·d fused multiply-adds);
+  *   - times the IVF route (trained codebook + candidate join +
+  *     exact re-rank — n·nprobe·[[LlmVectorOps.ivfStride]]·d);
+  *   - measures routed edge recall against the exact edge set (the
+  *     quality side of the trade);
+  *   - times `pagerank_docs` through the routed source (the consumer
+  *     a 100 TB run actually plans around).
+  *
+  * Memoized silvers are invalidated before every timed run so each
+  * number is a COLD build — the memo hit path is ~0 s and would make
+  * any min-of-reps vacuous.
+  *
+  * Usage: runMain graft.tools.KnnRouteSweep [outBase] [sizes] [reps]
+  * (defaults /tmp/graft_scale/knn, 32768,131072, 1).
+  */
+object KnnRouteSweep {
+
+  /** Deterministic clustered unit vectors: center = normalized
+    * Box–Muller gaussian of the cluster id; member = normalized
+    * (center + 0.25 · unit noise of the vec id) → cos(member,
+    * center) ≈ 0.97, 64 members per center. Fully distributed
+    * generation (hashed uniforms), the [[ScaleSweep.genEmbeddings]]
+    * recipe with a mixture layer on top.
+    */
+  def genEmbeddingsClustered(s: SparkSession, nVecs: Long): DataFrame = {
+    val nClusters = math.max(1L, nVecs / 64L)
+    def gauss(seed: Long, idCol: String) =
+      s"""transform(sequence(0, 63), d ->
+            sqrt(-2.0 * ln((CAST(pmod(xxhash64(${seed}L, $idCol, d), 1000000)
+                   AS DOUBLE) + 0.5) / 1000000.0))
+            * cos(2.0 * pi()
+                  * (CAST(pmod(xxhash64(${seed + 1}L, $idCol, d), 1000000)
+                       AS DOUBLE) + 0.5) / 1000000.0))"""
+    s.range(nVecs)
+      .withColumn("cl", pmod(xxhash64(lit(60L), col("id")), lit(nClusters)))
+      .withColumn("craw", expr(gauss(61L, "cl")))
+      .withColumn("cnrm",
+        expr("sqrt(aggregate(craw, 0D, (acc, x) -> acc + x * x))"))
+      .withColumn("nraw", expr(gauss(63L, "id")))
+      .withColumn("nnrm",
+        expr("sqrt(aggregate(nraw, 0D, (acc, x) -> acc + x * x))"))
+      .withColumn("raw", expr(
+        """zip_with(craw, nraw,
+             (c, n) -> c / cnrm + 0.25 * n / nnrm)"""))
+      .withColumn("nrm",
+        expr("sqrt(aggregate(raw, 0D, (acc, x) -> acc + x * x))"))
+      .select(col("id").as("vec_id"),
+        expr("transform(raw, x -> CAST(x / nrm AS FLOAT))").as("embedding"),
+        col("cl").cast("int").as("label"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outBase = args.headOption.getOrElse("/tmp/graft_scale/knn")
+    val sizes = args.lift(1).getOrElse("32768,131072")
+      .split(",").map(_.trim.toLong).toSeq
+    val reps = args.lift(2).map(_.toInt).getOrElse(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "4000000")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val results = sizes.map { n =>
+      val dir = s"$outBase/v$n"
+      val embPath = s"$dir/embeddings.parquet"
+      val genVersion = "knn-clustered-v1"
+      val versionFile = java.nio.file.Paths.get(s"$dir/_gen_version")
+      val versionOk = java.nio.file.Files.exists(versionFile) &&
+        java.nio.file.Files.readString(versionFile).trim == genVersion
+      if (!versionOk || !new java.io.File(embPath).exists()) {
+        java.nio.file.Files.deleteIfExists(versionFile)
+        genEmbeddingsClustered(spark, n)
+          .write.mode("overwrite").parquet(embPath)
+        java.nio.file.Files.createDirectories(versionFile.getParent)
+        java.nio.file.Files.writeString(versionFile, genVersion)
+      }
+
+      def timedCold(route: String)(body: => Long): (Double, Long) = {
+        spark.conf.set(LlmVectorOps.KnnSourceConf, route)
+        try {
+          (1 to reps).map { _ =>
+            graft.engine.SessionMemo.invalidate(spark)
+            System.gc()
+            val t0 = System.nanoTime()
+            val rows = body
+            ((System.nanoTime() - t0) / 1e9, rows)
+          }.minBy(_._1)
+        } finally spark.conf.unset(LlmVectorOps.KnnSourceConf)
+      }
+
+      val (tExact, nExact) = timedCold("exact") {
+        LlmVectorOps.knnEdges(spark, dir).count()
+      }
+      val (tIvf, nIvf) = timedCold("ivf") {
+        LlmVectorOps.knnEdges(spark, dir).count()
+      }
+      // recall of the routed edge set against exact (both memoized
+      // fresh here — the cheap follow-up reads, not timed)
+      val exactE = {
+        spark.conf.set(LlmVectorOps.KnnSourceConf, "exact")
+        try LlmVectorOps.knnEdges(spark, dir) .select("src", "dst")
+        finally spark.conf.unset(LlmVectorOps.KnnSourceConf)
+      }
+      val ivfE = {
+        spark.conf.set(LlmVectorOps.KnnSourceConf, "ivf")
+        try LlmVectorOps.knnEdges(spark, dir).select("src", "dst")
+        finally spark.conf.unset(LlmVectorOps.KnnSourceConf)
+      }
+      val hit = ivfE.intersect(exactE).count()
+      val recall = hit.toDouble / math.max(1L, nExact)
+      // the consumer through the routed source, warm edges (the memo
+      // is the production posture — pagerank pays only its tail)
+      val tPr = {
+        spark.conf.set(LlmVectorOps.KnnSourceConf, "ivf")
+        try {
+          val t0 = System.nanoTime()
+          LlmVectorOps.pagerankDocs(spark, dir).count()
+          (System.nanoTime() - t0) / 1e9
+        } finally spark.conf.unset(LlmVectorOps.KnnSourceConf)
+      }
+      (n, tExact, tIvf, recall, tPr, nExact, nIvf)
+    }
+
+    println("{\"metric\":\"knn_route_sweep\",\"decades\":[" +
+      results.map { case (n, te, ti, rc, tp, ne, ni) =>
+        s"""{"vecs":$n,"exact_sec":${math.round(te * 1000) / 1000.0},""" +
+          s""""ivf_sec":${math.round(ti * 1000) / 1000.0},""" +
+          s""""edge_recall":${math.round(rc * 10000) / 10000.0},""" +
+          s""""pagerank_ivf_sec":${math.round(tp * 1000) / 1000.0},""" +
+          s""""exact_edges":$ne,"ivf_edges":$ni}"""
+      }.mkString(",") + "]}")
+    spark.stop()
+  }
+}

@@ -395,7 +395,14 @@ object ScaleSweep {
       "multimodal_phash" ->
         (graft.operators.LlmVectorOps.multimodalPhash _),
       "underwater_duration" ->
-        (graft.operators.AnalyticOps.underwaterDuration _))
+        (graft.operators.AnalyticOps.underwaterDuration _),
+      // round-11: the gated edge substrate (auto = exact below the
+      // 32k-vector crossover — the dedicated routed-vs-exact decades
+      // live in KnnRouteSweep, over CLUSTERED vectors where IVF
+      // recall is meaningful), and the BPE-length packing closure
+      "knn_edges" -> (graft.operators.LlmVectorOps.knnEdges _),
+      "pack_sequences_bpe" ->
+        (graft.operators.LlmTextOps.packSequencesBpe _))
       .filter { case (name, _) =>
         // SPARK_GRAFT_QUERIES narrows the sweep (same contract as
         // Bench) — re-measuring one family shouldn't pay for all
@@ -413,14 +420,19 @@ object ScaleSweep {
             s"(timings for it are COLD): ${e.getMessage}")
       }
     }
-    val times = family.map { case (name, fn) =>
+    // per-rep vector kept: rep 1 of a silver-backed row is the COLD
+    // number (memo build included), later reps are warm — both matter
+    // for the BASELINE tables (the dedup_cascade memo-share breakout),
+    // so the JSON carries the min AND the full rep list
+    val repTimes = family.map { case (name, fn) =>
       System.gc()
       name -> (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, outDir).count()
         (System.nanoTime() - t0) / 1e9
-      }.min
+      }
     }
+    val times = repTimes.map { case (name, ts) => name -> ts.min }
 
     // SimHash candidate mass (distinct pairs BEFORE the Hamming
     // filter) at the fixed 4-block depth vs the corpus-sized depth —
@@ -526,6 +538,8 @@ object ScaleSweep {
         .mkString("", ",", ",") +
       s""""simhash_blocks_scaled":$simBScaled,""" +
       s""""simhash_cand_scaled":$simScaled,""" +
+      s""""rep_times":{${repTimes.map { case (k, ts) =>
+        s""""$k":[${ts.mkString(",")}]""" }.mkString(",")}},""" +
       s""""queries":{$qs}}""")
     spark.stop()
   }
