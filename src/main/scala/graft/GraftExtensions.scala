@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Bigrams, BigramsAll, ByteStats, CorrMomentsAgg, CosineScan, CountInSet, DotProduct, GramAgg, Int8DotBytes, Int8Pack, Int8Quantize, IntersectCount, MinHash32, MinHashAgg, MisraGriesAgg, PackedPairs, PairCombinations, Phash60, PortableMinHash16, PortableSimHash60, PortableTokenHash, Shingle3, ShingleHash3, SimHash64, TopKAgg, ZOrderExpr}
+import graft.functions.{Bigrams, BigramsAll, ByteStats, CorrMomentsAgg, CosineScan, CosineScanScored, CountInSet, DotProduct, GramAgg, Int8DotBytes, Int8Pack, Int8Quantize, IntersectCount, MinHash32, MinHashAgg, MisraGriesAgg, PackedPairs, PairCombinations, Phash60, PortableMinHash16, PortableSimHash60, PortableTokenHash, Shingle3, ShingleHash3, SimHash64, TopKAgg, ZOrderExpr}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * expressions first-class SQL functions in any session built with
@@ -49,6 +49,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "array<struct>, int, double)", 6,
       classOf[CosineScan], exprs => CosineScan(exprs(0), exprs(1),
         exprs(2), exprs(3), exprs(4), exprs(5)))
+    inject(e, "graft_cosine_scan_scored",
+      "graft_cosine_scan_scored(array<float>, double, bigint, " +
+        "array<struct>, int)", 5,
+      classOf[CosineScanScored], exprs => CosineScanScored(exprs(0),
+        exprs(1), exprs(2), exprs(3), exprs(4)))
     inject(e, "graft_simhash64", "graft_simhash64(array<bigint>)", 1,
       classOf[SimHash64], exprs => SimHash64(exprs.head))
     inject(e, "graft_simhash60_portable",

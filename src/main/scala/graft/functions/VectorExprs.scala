@@ -621,7 +621,8 @@ object CosineScan {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 
-  private def score1(e: ArrayData, nrm: Double, row: InternalRow): Double = {
+  private[functions] def score1(e: ArrayData, nrm: Double,
+      row: InternalRow): Double = {
     val v = row.getArray(1)
     val len = math.min(e.numElements(), v.numElements())
     var acc = 0.0
@@ -675,6 +676,114 @@ object CosineScan {
   }
 }
 
+/** [[CosineScan]]'s SCORED top-k form: array<struct<id, score>>
+  * instead of bare ids — for consumers that MERGE partial top-ks
+  * across several scans (the routed kNN edge build runs one scan per
+  * probed inverted list and re-ranks the union; without the score the
+  * merge would need a second lookup join per candidate). Same
+  * insertion sort, same r6-gridded [[CosineScan.score1]] arithmetic,
+  * same (score desc, id asc) total order — a k-covering union of
+  * scored partials re-ranked under that order is EXACTLY the one-pass
+  * scan's answer, which is what makes the full-probe routed edge set
+  * equal the exact scan's (KnnRoutingSpec).
+  */
+case class CosineScanScored(
+    emb: Expression, norm: Expression, selfId: Expression,
+    corpus: Expression, kExpr: Expression)
+  extends Expression {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+  import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+  import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
+
+  override def children: Seq[Expression] =
+    Seq(emb, norm, selfId, corpus, kExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("score", DoubleType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_cosine_scan_scored"
+
+  private lazy val k: Int = kExpr.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => other.toString.toInt
+  }
+
+  override def eval(input: InternalRow): Any =
+    CosineScanScored.scan(
+      emb.eval(input).asInstanceOf[ArrayData],
+      norm.eval(input).asInstanceOf[Double],
+      selfId.eval(input).asInstanceOf[Long],
+      corpus.eval(input).asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val e = emb.genCode(ctx)
+    val n = norm.genCode(ctx)
+    val sid = selfId.genCode(ctx)
+    val c = corpus.genCode(ctx)
+    ev.copy(
+      code = e.code + n.code + sid.code + c.code +
+        code"""
+           |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+           |  graft.functions.CosineScanScored.scan(${e.value}, ${n.value},
+           |    ${sid.value}, ${c.value}, $k);
+           """.stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(emb = newChildren(0), norm = newChildren(1),
+      selfId = newChildren(2), corpus = newChildren(3),
+      kExpr = newChildren(4))
+}
+
+object CosineScanScored {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  def scan(e: ArrayData, nrm: Double, self: Long, corp: ArrayData,
+      k: Int): ArrayData = {
+    val n = corp.numElements()
+    val bound = math.min(k, math.max(0, n))
+    val ids = new Array[Long](bound)
+    val scs = new Array[Double](bound)
+    var m = 0
+    var ci = 0
+    while (ci < n) {
+      val row = corp.getStruct(ci, 3)
+      val id = row.getLong(0)
+      if (id != self) {
+        val score = CosineScan.score1(e, nrm, row)
+        if (m < bound || score > scs(m - 1) ||
+            (score == scs(m - 1) && id < ids(m - 1))) {
+          var i = if (m < bound) m else bound - 1
+          while (i > 0 && (score > scs(i - 1) ||
+              (score == scs(i - 1) && id < ids(i - 1)))) {
+            scs(i) = scs(i - 1); ids(i) = ids(i - 1); i -= 1
+          }
+          scs(i) = score; ids(i) = id
+          if (m < bound) m += 1
+        }
+      }
+      ci += 1
+    }
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      out(i) = new GenericInternalRow(
+        Array[Any](ids(i), scs(i)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object VectorExprs {
   def register(s: SparkSession): Unit = {
     // per-name guards — see Registration.registerOnce
@@ -697,6 +806,9 @@ object VectorExprs {
       exprs => Int8Pack(exprs.head))
     Registration.registerOnce(s, "graft_int8_dot",
       exprs => Int8DotBytes(exprs(0), exprs(1)))
+    Registration.registerOnce(s, "graft_cosine_scan_scored",
+      exprs => CosineScanScored(exprs(0), exprs(1), exprs(2), exprs(3),
+        exprs(4)))
   }
 
   def dot(s: SparkSession, a: Column, b: Column): Column = {
@@ -713,6 +825,17 @@ object VectorExprs {
     call_function("graft_cosine_scan", emb, norm, selfId, corpus,
       org.apache.spark.sql.functions.lit(k),
       org.apache.spark.sql.functions.lit(0.0))
+  }
+
+  /** Top-k (id, score) neighbor structs of `emb` against the
+    * broadcast `corpus` array (see [[CosineScanScored]]); (score
+    * desc, id asc) rank order, self excluded.
+    */
+  def cosineKnnScored(s: SparkSession, emb: Column, norm: Column,
+      selfId: Column, corpus: Column, k: Int): Column = {
+    register(s)
+    call_function("graft_cosine_scan_scored", emb, norm, selfId, corpus,
+      org.apache.spark.sql.functions.lit(k))
   }
 
   /** Ids j > selfId whose r6 cosine against `emb` clears `cut` (the

@@ -388,7 +388,7 @@ object LlmVectorOps {
     * [[graft.operators.LlmTextOps.PairSourceConf]] /
     * `spark.graft.substr.source` precedent applied to the vector
     * side: `exact` pins the compiled broadcast-corpus all-pairs scan
-    * ([[knnEdges3Exact]]), `ivf` pins trained-IVF candidate
+    * ([[knnEdges3Exact]]), `ivf` pins compiled IVF candidate
     * generation + exact re-rank ([[knnEdges3Ivf]]), `auto` (default)
     * routes on the corpus vector count
     * ([[KnnSourceCrossoverVecs]]).
@@ -446,36 +446,65 @@ object LlmVectorOps {
           col("vec_id"), col("corpus"), 3)).as("dst"))
   }
 
-  /** The ROUTED kNN edge build for large corpora: trained-IVF
-    * candidate generation + exact cosine re-rank. Corpus vectors
-    * land in their nearest inverted list (keep=1, so no candidate
-    * appears twice); every vector probes its `nprobe` nearest lists;
-    * candidates meet through an equi-join on `cent_id` (shuffle keys
-    * only — 8-byte ids beside the embedding rows the join needs
-    * anyway); the top-3 cut applies the SAME (r6 score desc, id asc)
-    * total order as the exact scan, so wherever the candidate set
-    * contains the true neighbors the emitted edges are IDENTICAL
-    * (KnnRoutingSpec pins full-probe ivf == exact on every shipped
-    * corpus). Reuses the memoized Lloyd codebook
-    * ([[trainedCentroids]] — one training pass serves
-    * `similarity_ivf_trained`, `semdedup`, and this route).
+  /** The ROUTED kNN edge build for large corpora: IVF candidate
+    * generation + exact cosine re-rank, with BOTH hot loops compiled
+    * (the CosineScan family — a first cut through the declarative
+    * assignment/join machinery measured SLOWER than the compiled
+    * exact scan at 131k vectors, 166 vs 112 s, because four n×k
+    * window-ranked frames dominated; this form reads 10×+ under it).
+    *
+    * Shape, all linear in n:
+    *   1. ONE compiled scan per vector over the BROADCAST seed
+    *      codebook (k ≈ n/[[ivfStride]] centroid structs) yields its
+    *      `nprobe` nearest list ids — element 0 is its OWN list
+    *      (keep-1 assignment and probe assignment in one pass, no
+    *      window, no n×k row frame).
+    *   2. Inverted lists materialize as k (cent_id, members[]) array
+    *      rows — one corpus-sized shuffle on the 8-byte list key.
+    *   3. Each (probe, probed-list) pair — n·nprobe skinny rows —
+    *      runs ONE compiled SCORED scan ([[VectorExprs.cosineKnnScored]])
+    *      over the list's member array: top-3 (id, score) per list,
+    *      ~[[ivfStride]] dots each, pair space never materialized.
+    *   4. The ≤ n·nprobe·3 scored partials re-rank per src under the
+    *      exact scan's (r6 score desc, id asc) total order — a
+    *      k-covering union of per-list top-3s re-ranked this way IS
+    *      the one-pass answer, so full-probe ivf == exact
+    *      (KnnRoutingSpec pins it on every shipped corpus).
+    *
+    * Codebook: the deterministic seed set (every 100th vector) — the
+    * Lloyd-trained book adds two n×k assignment passes for marginal
+    * list quality here (measured edge recall on the clustered sweep
+    * corpus is the BASELINE round-11 table's number). At corpus sizes
+    * where k itself outgrows a broadcast (n ≫ 10⁸ at stride 100),
+    * deployments re-stride toward k ≈ √n — the standard IVF dial.
     */
   private[graft] def knnEdges3Ivf(s: SparkSession, d: String,
       nprobe: Int): DataFrame = {
     val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
       .select(col("vec_id"), col("embedding"), col("norm"))
-    val cents = trainedCentroids(s, d)
-    val lists = assignToCentroids(s, e, cents, keep = 1)
-    val probes = assignToCentroids(s, e, cents, keep = nprobe)
-      .select(col("cent_id"), col("vec_id").as("src"),
-        col("embedding").as("p_emb"), col("norm").as("p_norm"))
+    val centArr = seedCentroids(e)
+      .agg(collect_list(struct(col("cent_id"), col("cent_emb"),
+        col("cent_norm"))).as("cents"))
+    // selfId = -1 never matches a centroid id, so no list is excluded
+    val scanned = e.crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        VectorExprs.cosineKnn(s, col("embedding"), col("norm"), lit(-1L),
+          col("cents"), nprobe).as("probed"))
+    val listArrs = scanned
+      .select(col("probed")(0).as("cent_id"),
+        struct(col("vec_id"), col("embedding"), col("norm")).as("member"))
+      .groupBy(col("cent_id"))
+      .agg(collect_list(col("member")).as("members"))
+    val probes = scanned
+      .select(col("vec_id").as("src"), col("embedding").as("p_emb"),
+        col("norm").as("p_norm"), explode(col("probed")).as("cent_id"))
     val w = Window.partitionBy("src")
       .orderBy(col("score").desc, col("dst").asc)
-    lists.join(probes, Seq("cent_id"))
-      .where(col("vec_id") =!= col("src"))
-      .select(col("src"), col("vec_id").as("dst"),
-        r6(VectorExprs.dot(s, col("p_emb"), col("embedding"))
-          / (col("p_norm") * col("norm"))).as("score"))
+    probes.join(listArrs, Seq("cent_id"))
+      .select(col("src"),
+        explode(VectorExprs.cosineKnnScored(s, col("p_emb"),
+          col("p_norm"), col("src"), col("members"), 3)).as("c"))
+      .select(col("src"), col("c.id").as("dst"), col("c.score").as("score"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= 3)
       .select(col("src"), col("dst"))

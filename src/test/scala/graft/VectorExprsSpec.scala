@@ -275,6 +275,44 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(out == Seq(1L, 2L, 3L), s"tie order: $out")
   }
 
+  test("CosineScanScored agrees with CosineScan ids and the r6 join scores") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val e = graft.engine.Tables.embeddings(s, TestSpark.sf001)
+      .withColumn("norm",
+        sqrt(VectorExprs.dot(s, col("embedding"), col("embedding"))))
+      .select(col("vec_id"), col("embedding"), col("norm"))
+    val corpusArr = e.agg(collect_list(
+      struct(col("vec_id"), col("embedding"), col("norm"))).as("corpus"))
+    val scored = e.crossJoin(broadcast(corpusArr))
+      .select(col("vec_id").as("src"),
+        explode(VectorExprs.cosineKnnScored(s, col("embedding"),
+          col("norm"), col("vec_id"), col("corpus"), 3)).as("c"))
+      .select(col("src"), col("c.id").as("dst"), col("c.score").as("sc"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    // ids identical to the unscored kernel
+    val plain = e.crossJoin(broadcast(corpusArr))
+      .select(col("vec_id").as("src"),
+        explode(VectorExprs.cosineKnn(s, col("embedding"), col("norm"),
+          col("vec_id"), col("corpus"), 3)).as("dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(scored.keySet == plain, "scored ids == unscored ids")
+    // scores identical to the r6 join formulation
+    val b = e.select(col("vec_id").as("dst"),
+      col("embedding").as("demb"), col("norm").as("dnorm"))
+    val want = e.join(b, col("vec_id") =!= col("dst"))
+      .withColumn("score", graft.engine.Determinism.r6(
+        VectorExprs.dot(s, col("embedding"), col("demb"))
+          / (col("norm") * col("dnorm"))))
+      .select(col("vec_id").as("src"), col("dst"), col("score"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    scored.foreach { case (k, v) =>
+      assert(want(k) == v, s"score drift at $k: kernel $v vs join ${want(k)}")
+    }
+  }
+
   test("the int8 family rejects wrong input types at analysis time") {
     def analysisError(f: => Unit): Unit = {
       val e = intercept[org.apache.spark.sql.AnalysisException](f)
