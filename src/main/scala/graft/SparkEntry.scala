@@ -156,6 +156,10 @@ object SparkEntry {
     "capm_beta"                -> (AnalyticOps.capmBeta _),
     "sortino_ratio"            -> (AnalyticOps.sortinoRatio _),
     "calmar_ratio"             -> (AnalyticOps.calmarRatio _),
+    "adf_stat"                 -> (AnalyticOps.adfStat _),
+    "ann_recall_lsh"           -> (LlmVectorOps.annRecallLsh _),
+    "degree_assortativity"     -> (LlmVectorOps.degreeAssortativity _),
+    "label_propagation"        -> (LlmVectorOps.labelPropagation _),
     "omega_ratio"              -> (AnalyticOps.omegaRatio _),
     "underwater_duration"      -> (AnalyticOps.underwaterDuration _),
     "embedding_drift"          -> (LlmVectorOps.embeddingDrift _),
@@ -5695,6 +5699,9 @@ object SparkEntry {
     // truncated-dimension recall rung: both rankings brute-force
     // deterministic, so the row hash-gates like ann_recall_ivf
     "ann_recall_trunc" -> LlmVectorOps.annRecallTruncOracleSql,
+    "ann_recall_lsh" -> LlmVectorOps.annRecallLshOracleSql,
+    "degree_assortativity" -> LlmVectorOps.degreeAssortativityOracleSql,
+    "label_propagation" -> LlmVectorOps.labelPropagationOracleSql,
     // Adjusted Rand Index: shared assignment CTEs + exact HUGEINT
     // pair-count folds, one fenced division
     "clustering_ari" -> LlmVectorOps.clusteringAriOracleSql,
@@ -5816,6 +5823,62 @@ object SparkEntry {
          FROM m ORDER BY symbol""",
     // Calmar: annualized arithmetic daily return over max drawdown,
     // both legs off one per-symbol daily-bar window pass
+    // ADF (lag-0, with constant): exact HUGEINT OLS moments off the
+    // daily closes, then the engine's written double sequence
+    // verbatim — beta = N/D, SSR via the normal-equations identity,
+    // s2n = SSR/(n-2)*n/D, t = beta/sqrt(s2n) with the GREATEST
+    // clamp and both NULLIF fences
+    "adf_stat" ->
+      """WITH t AS (SELECT event_type AS symbol,
+                CAST(epoch_us(date_trunc('day', ts)) / 86400000000
+                  AS BIGINT) AS h,
+                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+                epoch_us(ts) AS us
+              FROM events),
+         bars AS (SELECT symbol, h, arg_max(c, us) AS close
+                  FROM t GROUP BY 1, 2),
+         p AS (SELECT symbol, close,
+                lag(close) OVER (PARTITION BY symbol ORDER BY h) AS x
+               FROM bars),
+         pp AS (SELECT symbol, CAST(x AS BIGINT) AS x,
+                  CAST(close - x AS BIGINT) AS z
+                FROM p WHERE x IS NOT NULL),
+         m AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(z) AS BIGINT) AS sz,
+                 SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+                 SUM(CAST(z AS HUGEINT) * CAST(z AS HUGEINT)) AS szz,
+                 SUM(CAST(x AS HUGEINT) * CAST(z AS HUGEINT)) AS sxz
+               FROM pp GROUP BY 1 HAVING COUNT(*) >= 3),
+         c1 AS (SELECT symbol, n,
+                 CAST(CAST(n AS HUGEINT) * sxx
+                   - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)
+                   AS DOUBLE) AS dd,
+                 CAST(CAST(n AS HUGEINT) * sxz
+                   - CAST(sx AS HUGEINT) * CAST(sz AS HUGEINT)
+                   AS DOUBLE) AS nn,
+                 CAST(szz AS DOUBLE) AS szzd,
+                 CAST(CAST(sz AS HUGEINT) * CAST(sz AS HUGEINT)
+                   AS DOUBLE) AS zz,
+                 CAST(CAST(sx AS HUGEINT) * CAST(sz AS HUGEINT)
+                   AS DOUBLE) AS xz,
+                 CAST(sxz AS DOUBLE) AS sxzd,
+                 CAST(n AS DOUBLE) AS nd
+                FROM m),
+         b AS (SELECT symbol, n, nd, dd,
+                 nn / NULLIF(dd, 0.0) AS beta, szzd, zz, xz, sxzd
+               FROM c1),
+         r AS (SELECT symbol, n, nd, dd, beta,
+                 szzd - (zz - beta * xz) / nd - beta * sxzd AS ssr
+               FROM b),
+         f AS (SELECT symbol, n, beta,
+                 ssr / (nd - 2.0) * nd / dd AS s2n
+               FROM r)
+         SELECT symbol, n AS n_diffs,
+                floor(beta * 1000000 + 0.5) / 1000000 AS beta,
+                floor(beta / NULLIF(sqrt(GREATEST(s2n, 0.0)), 0.0)
+                  * 1000000 + 0.5) / 1000000 AS t_adf
+         FROM f ORDER BY symbol""",
     "calmar_ratio" ->
       """WITH t AS (SELECT event_type AS symbol,
                 CAST(epoch_us(date_trunc('day', ts)) / 86400000000

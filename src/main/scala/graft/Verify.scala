@@ -27,6 +27,11 @@ object Verify {
     // own specs (PairRouting/SubstrRouting: routed == exact).
     spark.conf.set(operators.LlmTextOps.PairSourceConf, "exact")
     spark.conf.set(operators.LlmTextOps.SubstrSourceConf, "exact")
+    // same guarantee for the kNN edge substrate (knn_edges,
+    // pagerank_docs, hits_scores, degree_assortativity oracles all
+    // replay the exact edge set; auto stays exact below 32k vectors,
+    // the pin removes the coincidence)
+    spark.conf.set(operators.LlmVectorOps.KnnSourceConf, "exact")
     new java.io.File(outDir).mkdirs()
     def deleteRec(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRec))

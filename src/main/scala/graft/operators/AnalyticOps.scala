@@ -2475,6 +2475,74 @@ object AnalyticOps {
       .orderBy("symbol")
   }
 
+  /** `adf_stat` — the (augmented-)Dickey–Fuller unit-root statistic
+    * per symbol, lag order 0 with constant: regress Δy_h = α + β·y_{h−1}
+    * + ε over the daily closes and report β̂ with its t-statistic
+    * t = β̂/SE(β̂) (Dickey & Fuller 1979). The stationarity screen a
+    * modeling pipeline runs BEFORE the ARIMA/GARCH families the risk
+    * panel assumes: t ≪ 0 rejects the unit root (mean-reverting
+    * level), t ≈ 0 says difference first. No p-value — the DF null
+    * distribution is tabulated, not closed-form, and the STATISTIC
+    * is the portable part.
+    *
+    * Portability: closes are exact centi integers, the five OLS
+    * moments fold in DECIMAL(38,0)/HUGEINT (order-free), each is
+    * cast to double ONCE, and β̂/SSR/SE evaluate in one written
+    * op sequence mirrored verbatim in the oracle — the `capm_beta`
+    * discipline extended through the residual variance (SSR via the
+    * normal-equations identity Σz² − α̂Σz − β̂Σxz, no residual
+    * materialization). Degenerate fences: constant regressor → NULL
+    * via the D=0 guard; perfect fit → NULL via nullif(SE, 0); a
+    * float-rounding-negative SSR clamps through GREATEST(·, 0).
+    * Scale shape: the daily-bar aggregate + one per-symbol lag + a
+    * six-column moment fold — the risk-panel plan exactly.
+    */
+  def adfStat(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+    val bars = Tables.events(s, d)
+      .select(col("event_type").as("symbol"),
+        (unix_micros(date_trunc("day", col("ts"))) / lit(86400000000L))
+          .cast("long").as("h"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("c"),
+        unix_micros(col("ts")).as("us"))
+      .groupBy(col("symbol"), col("h"))
+      .agg(max_by(col("c"), col("us")).as("close"))
+    val wd = Window.partitionBy("symbol").orderBy("h")
+    val pairs = bars
+      .withColumn("x", lag(col("close"), 1).over(wd))
+      .where(col("x").isNotNull)
+      .withColumn("z", col("close") - col("x"))
+    val m = pairs.groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("z")).as("sz"),
+        sum(dec(col("x")) * dec(col("x")))
+          .cast(DecimalType(38, 0)).as("sxx"),
+        sum(dec(col("z")) * dec(col("z")))
+          .cast(DecimalType(38, 0)).as("szz"),
+        sum(dec(col("x")) * dec(col("z")))
+          .cast(DecimalType(38, 0)).as("sxz"))
+      .where(col("n") >= 3L)
+    // each exact moment product casts to double ONCE; every op below
+    // is one written IEEE sequence, mirrored in the oracle
+    val dd = (dec(col("n")) * col("sxx")
+      - dec(col("sx")) * dec(col("sx"))).cast("double")
+    val nn = (dec(col("n")) * col("sxz")
+      - dec(col("sx")) * dec(col("sz"))).cast("double")
+    val zz = (dec(col("sz")) * dec(col("sz"))).cast("double")
+    val xz = (dec(col("sx")) * dec(col("sz"))).cast("double")
+    val nD = col("n").cast("double")
+    val beta = nn / nullif(dd, lit(0.0))
+    val ssr = col("szz").cast("double") - (zz - beta * xz) / nD -
+      beta * col("sxz").cast("double")
+    val s2n = ssr / (nD - lit(2.0)) * nD / dd
+    m.select(col("symbol"), col("n").as("n_diffs"),
+        r6(beta).as("beta"),
+        r6(beta / nullif(sqrt(greatest(s2n, lit(0.0))), lit(0.0)))
+          .as("t_adf"))
+      .orderBy("symbol")
+  }
+
   /** `omega_ratio` — Ω(0) per symbol: total gain mass over total
     * loss mass of the daily returns (Keating & Shadwick 2002 at
     * threshold 0) — the whole-distribution risk ratio that needs NO

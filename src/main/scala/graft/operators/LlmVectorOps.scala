@@ -1999,6 +1999,207 @@ object LlmVectorOps {
          FROM ex LEFT JOIN iv ON p2 = ex.probe_id AND v2 = ex.vec_id
          GROUP BY 1 ORDER BY 1"""
 
+  /** `ann_recall_lsh` — per-probe recall@10 of the hyperplane-LSH
+    * ranking against the exact top-10: the recall ladder's missing
+    * rung (`_ivf` prunes by coarse cells, `_pq`/`_b1` by code
+    * fidelity, `_trunc` by geometry — this one by RANDOM-PROJECTION
+    * buckets, the candidate strategy `similarity_lsh` serves). Same
+    * overlap join as [[annRecallIvf]]; the LSH side is the
+    * registered row itself, so the gate re-derives the fixed
+    * hyperplanes, the bucket join, and the exact re-rank end to end.
+    */
+  def annRecallLsh(s: SparkSession, d: String): DataFrame = {
+    val exact = similarityTopk(s, d).select(col("probe_id"), col("vec_id"))
+    val lsh = similarityLsh(s, d)
+      .select(col("probe_id").as("p2"), col("vec_id").as("v2"))
+    exact.join(lsh, col("p2") === col("probe_id")
+        && col("v2") === col("vec_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("v2").isNotNull, 1L).otherwise(0L)).as("hits"))
+      .select(col("probe_id"), col("k"), col("hits"),
+        r6(col("hits").cast("double") / col("k").cast("double"))
+          .as("recall"))
+      .orderBy("probe_id")
+  }
+
+  /** The DuckDB oracle for `ann_recall_lsh`: the exact top-10 and
+    * the [[lshOracleSql]] replay as subqueries, per-probe overlap —
+    * the [[annRecallIvfOracleSql]] shape on the LSH rung.
+    */
+  private[graft] def annRecallLshOracleSql: String =
+    s"""WITH ex AS (
+           SELECT probe_id, vec_id FROM (
+             WITH probes AS (SELECT vec_id AS probe_id,
+                      embedding AS probe_emb
+                    FROM embeddings WHERE vec_id < $nProbes),
+             pairs AS (SELECT probe_id, vec_id,
+                  ${dotSql("probe_emb", "embedding", embDim)}
+                    / (sqrt(${dotSql("probe_emb", "probe_emb", embDim)})
+                       * sqrt(${dotSql("embedding", "embedding", embDim)}))
+                    AS score
+               FROM embeddings, probes WHERE vec_id <> probe_id),
+             ranked AS (SELECT probe_id, vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY probe_id
+                    ORDER BY floor(score * 1000000 + 0.5) / 1000000 DESC,
+                      vec_id ASC) AS rank
+                  FROM pairs)
+             SELECT probe_id, vec_id FROM ranked WHERE rank <= 10)),
+         ls AS (SELECT probe_id AS p2, vec_id AS v2
+                FROM ($lshOracleSql))
+         SELECT ex.probe_id, CAST(COUNT(*) AS BIGINT) AS k,
+                CAST(SUM(CASE WHEN v2 IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hits,
+                floor(SUM(CASE WHEN v2 IS NOT NULL THEN 1 ELSE 0 END)
+                    * 1.0 / COUNT(*) * 1000000 + 0.5) / 1000000 AS recall
+         FROM ex LEFT JOIN ls ON p2 = ex.probe_id AND v2 = ex.vec_id
+         GROUP BY 1 ORDER BY 1"""
+
+  /** `degree_assortativity` — Newman's degree assortativity over the
+    * directed top-3 kNN graph ([[knnEdges3]] — the third consumer of
+    * the routed edge silver): the Pearson correlation between the
+    * IN-degrees of an edge's endpoints, over all 3N edges.
+    * Out-degree is constant 3 by construction, so in-degree is the
+    * only informative axis: r < 0 (disassortative) means popular
+    * exemplars are pointed AT by peripheral docs — the hub-and-spoke
+    * shape SemDeDup-style pruning assumes; r > 0 means dense cores
+    * reference each other, where graph-based dedup over-prunes.
+    * One number a curation run reads next to `pagerank_docs` /
+    * `hits_scores` before trusting either.
+    *
+    * Portability: in-degrees are exact integer counts, the five
+    * moments fold in DECIMAL(38,0) (order-free), and the closed-form
+    * r follows `capm_beta`'s written op sequence (two sqrt's, one
+    * fenced division). Scale shape: one degree aggregate + two
+    * broadcast joins of the (node, deg) frame + a 6-column moment
+    * fold — all linear in edges.
+    */
+  def degreeAssortativity(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val edges = knnEdges3(s, d)
+    val indeg = edges.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val xy = edges
+      .join(broadcast(indeg.select(col("node").as("src"),
+        col("deg").as("dx"))), Seq("src"), "left")
+      .join(broadcast(indeg.select(col("node").as("dst"),
+        col("deg").as("dy"))), Seq("dst"), "left")
+      .select(coalesce(col("dx"), lit(0L)).as("x"),
+        coalesce(col("dy"), lit(0L)).as("y"))
+    xy.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(dec(col("x")) * dec(col("x")))
+          .cast(DecimalType(38, 0)).as("sxx"),
+        sum(dec(col("y")) * dec(col("y")))
+          .cast(DecimalType(38, 0)).as("syy"),
+        sum(dec(col("x")) * dec(col("y")))
+          .cast(DecimalType(38, 0)).as("sxy"))
+      .select(col("n").as("n_edges"),
+        r6((dec(col("n")) * col("sxy")
+          - dec(col("sx")) * dec(col("sy"))).cast("double")
+          / nullif(
+            sqrt((dec(col("n")) * col("sxx")
+              - dec(col("sx")) * dec(col("sx"))).cast("double"))
+              * sqrt((dec(col("n")) * col("syy")
+                - dec(col("sy")) * dec(col("sy"))).cast("double")),
+            lit(0.0))).as("assortativity"))
+  }
+
+  /** The DuckDB oracle for `degree_assortativity`: the shared
+    * [[knnEdgeCtes]] edges, an in-degree CTE, exact HUGEINT moments,
+    * and the identical written closed form.
+    */
+  private[graft] def degreeAssortativityOracleSql: String =
+    s"""WITH $knnEdgeCtes,
+         ind AS (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS deg
+                 FROM e GROUP BY 1),
+         xy AS (SELECT CAST(COALESCE(dx.deg, 0) AS BIGINT) AS x,
+                       CAST(COALESCE(dy.deg, 0) AS BIGINT) AS y
+                FROM e LEFT JOIN ind dx ON dx.node = e.src
+                       LEFT JOIN ind dy ON dy.node = e.dst),
+         m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+                 SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+                 SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+               FROM xy)
+         SELECT n AS n_edges,
+                floor((CAST(n * sxy - CAST(sx AS HUGEINT)
+                    * CAST(sy AS HUGEINT) AS DOUBLE)
+                  / NULLIF(sqrt(CAST(n * sxx - CAST(sx AS HUGEINT)
+                        * CAST(sx AS HUGEINT) AS DOUBLE))
+                      * sqrt(CAST(n * syy - CAST(sy AS HUGEINT)
+                        * CAST(sy AS HUGEINT) AS DOUBLE)), 0.0))
+                  * 1000000 + 0.5) / 1000000 AS assortativity
+         FROM m"""
+
+  /** `label_propagation` — two rounds of majority-vote label
+    * propagation over the directed top-3 kNN graph (Raghavan et al.
+    * 2007's LPA restricted to a FIXED round count, which is what
+    * makes it deterministic and gateable): each doc re-takes the
+    * modal label of its 3 nearest neighbors, ties to the smaller
+    * label id. The label-DENOISING pass of curation — `knn_label`
+    * spreads labels onto 5 probes; this runs the same vote over the
+    * WHOLE corpus and reports which seeds flip, i.e. which labels
+    * disagree with their embedding neighborhood (mislabeled or
+    * boundary docs, the ones a quality pass re-reviews). Fourth
+    * consumer of the [[knnEdges3]] silver.
+    *
+    * Portability: integer votes, (count desc, label asc) modal
+    * tie-break — a total order per node; the mode computes as ONE
+    * hash aggregation via the lexicographic min(struct(−v, lbl))
+    * trick (`tfidf_top_terms`' argmax, no window). Out-degree is
+    * exactly 3, so every node votes every round. Scale: per round
+    * one edge join + two map-side-combined aggregations over 3N
+    * rows — the pagerank tail's shape.
+    */
+  def labelPropagation(s: SparkSession, d: String): DataFrame = {
+    val edges = knnEdges3(s, d)
+    val seed = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"), col("label").cast("long").as("lbl"))
+    var cur = seed
+    for (_ <- 1 to 2) {
+      val votes = edges
+        .join(cur.select(col("id").as("dst"), col("lbl")), Seq("dst"))
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("v"))
+      cur = votes.groupBy(col("src"))
+        .agg(min(struct((-col("v")).as("nv"), col("lbl"))).as("best"))
+        .select(col("src").as("id"), col("best.lbl").as("lbl"))
+    }
+    seed.join(cur.select(col("id"), col("lbl").as("label_final")), Seq("id"))
+      .select(col("id").as("doc_id"), col("lbl").as("label_seed"),
+        col("label_final"),
+        (col("lbl") =!= col("label_final")).cast("int").as("changed"))
+      .orderBy("doc_id")
+  }
+
+  /** The DuckDB oracle for `label_propagation`: shared edges + the
+    * two unrolled modal-vote rounds ((v desc, lbl asc) row_number —
+    * the same total order as the engine's min-struct argmax).
+    */
+  private[graft] def labelPropagationOracleSql: String =
+    s"""WITH $knnEdgeCtes,
+         seed AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS lbl
+                  FROM embeddings),
+         v1 AS (SELECT e.src, s.lbl, COUNT(*) AS v
+                FROM e JOIN seed s ON s.id = e.dst GROUP BY 1, 2),
+         l1 AS (SELECT src AS id, lbl FROM (
+                  SELECT src, lbl, ROW_NUMBER() OVER (PARTITION BY src
+                    ORDER BY v DESC, lbl ASC) AS rk FROM v1)
+                WHERE rk = 1),
+         v2 AS (SELECT e.src, s.lbl, COUNT(*) AS v
+                FROM e JOIN l1 s ON s.id = e.dst GROUP BY 1, 2),
+         l2 AS (SELECT src AS id, lbl FROM (
+                  SELECT src, lbl, ROW_NUMBER() OVER (PARTITION BY src
+                    ORDER BY v DESC, lbl ASC) AS rk FROM v2)
+                WHERE rk = 1)
+         SELECT s.id AS doc_id, s.lbl AS label_seed,
+                l2.lbl AS label_final,
+                CASE WHEN s.lbl <> l2.lbl THEN 1 ELSE 0 END AS changed
+         FROM seed s JOIN l2 ON l2.id = s.id ORDER BY 1"""
+
   /** How many leading dimensions the truncated-search rung keeps. */
   private[graft] val truncDim = 16
 

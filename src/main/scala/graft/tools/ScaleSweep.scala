@@ -402,7 +402,16 @@ object ScaleSweep {
       // recall is meaningful), and the BPE-length packing closure
       "knn_edges" -> (graft.operators.LlmVectorOps.knnEdges _),
       "pack_sequences_bpe" ->
-        (graft.operators.LlmTextOps.packSequencesBpe _))
+        (graft.operators.LlmTextOps.packSequencesBpe _),
+      // round-11 second wave: the LSH recall rung, the two new edge-
+      // silver consumers (assortativity moments, two LPA vote rounds),
+      // and the per-symbol OLS unit-root screen
+      "ann_recall_lsh" -> (graft.operators.LlmVectorOps.annRecallLsh _),
+      "degree_assortativity" ->
+        (graft.operators.LlmVectorOps.degreeAssortativity _),
+      "label_propagation" ->
+        (graft.operators.LlmVectorOps.labelPropagation _),
+      "adf_stat" -> (graft.operators.AnalyticOps.adfStat _))
       .filter { case (name, _) =>
         // SPARK_GRAFT_QUERIES narrows the sweep (same contract as
         // Bench) — re-measuring one family shouldn't pay for all
