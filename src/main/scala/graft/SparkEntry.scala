@@ -157,9 +157,13 @@ object SparkEntry {
     "sortino_ratio"            -> (AnalyticOps.sortinoRatio _),
     "calmar_ratio"             -> (AnalyticOps.calmarRatio _),
     "adf_stat"                 -> (AnalyticOps.adfStat _),
+    "variance_ratio"           -> (AnalyticOps.varianceRatio _),
     "ann_recall_lsh"           -> (LlmVectorOps.annRecallLsh _),
     "degree_assortativity"     -> (LlmVectorOps.degreeAssortativity _),
     "label_propagation"        -> (LlmVectorOps.labelPropagation _),
+    "graph_reciprocity"        -> (LlmVectorOps.graphReciprocity _),
+    "katz_centrality"          -> (LlmVectorOps.katzCentrality _),
+    "knn_edges_served"         -> (LlmVectorOps.knnEdgesServed _),
     "omega_ratio"              -> (AnalyticOps.omegaRatio _),
     "underwater_duration"      -> (AnalyticOps.underwaterDuration _),
     "embedding_drift"          -> (LlmVectorOps.embeddingDrift _),
@@ -1158,8 +1162,13 @@ object SparkEntry {
     // kNN-graph power iterations: the edge CTEs are ONE shared
     // fragment (LlmVectorOps.knnEdgeCtes) under both oracles
     "knn_edges" -> LlmVectorOps.knnEdgesOracleSql,
+    // the storage-served twin gates against the SAME edge oracle —
+    // the cross-engine proof that write → serve loses nothing
+    "knn_edges_served" -> LlmVectorOps.knnEdgesOracleSql,
     "pagerank_docs" -> LlmVectorOps.pagerankOracleSql,
     "hits_scores" -> LlmVectorOps.hitsOracleSql,
+    "graph_reciprocity" -> LlmVectorOps.graphReciprocityOracleSql,
+    "katz_centrality" -> LlmVectorOps.katzCentralityOracleSql,
     // per-symbol lag/return/envelope feature frame; value-preserving
     // row moves + one fenced division under the (us, event_id) order
     "lag_features" ->
@@ -5878,6 +5887,50 @@ object SparkEntry {
                 floor(beta * 1000000 + 0.5) / 1000000 AS beta,
                 floor(beta / NULLIF(sqrt(GREATEST(s2n, 0.0)), 0.0)
                   * 1000000 + 0.5) / 1000000 AS t_adf
+         FROM f ORDER BY symbol""",
+    // Lo–MacKinlay VR(4): exact HUGEINT variance numerators and
+    // cross-products off the adf_stat daily-close bars, one cast to
+    // double per side, the identical written IEEE tail
+    "variance_ratio" ->
+      """WITH t AS (SELECT event_type AS symbol,
+                CAST(epoch_us(date_trunc('day', ts)) / 86400000000
+                  AS BIGINT) AS h,
+                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+                epoch_us(ts) AS us
+              FROM events),
+         bars AS (SELECT symbol, h, arg_max(c, us) AS close
+                  FROM t GROUP BY 1, 2),
+         p AS (SELECT symbol,
+                CAST(close - lag(close, 1) OVER (PARTITION BY symbol
+                  ORDER BY h) AS BIGINT) AS z,
+                CAST(close - lag(close, 4) OVER (PARTITION BY symbol
+                  ORDER BY h) AS BIGINT) AS w
+               FROM bars),
+         m AS (SELECT symbol, CAST(COUNT(z) AS BIGINT) AS n,
+                 CAST(SUM(z) AS BIGINT) AS sz,
+                 SUM(CAST(z AS HUGEINT) * CAST(z AS HUGEINT)) AS szz,
+                 CAST(COUNT(w) AS BIGINT) AS mq,
+                 CAST(SUM(w) AS BIGINT) AS sw,
+                 SUM(CAST(w AS HUGEINT) * CAST(w AS HUGEINT)) AS sww
+               FROM p GROUP BY 1 HAVING COUNT(w) >= 2),
+         c1 AS (SELECT symbol, n,
+                 CAST((CAST(mq AS HUGEINT) * sww
+                     - CAST(sw AS HUGEINT) * CAST(sw AS HUGEINT))
+                   * CAST(n AS HUGEINT) * CAST(n AS HUGEINT)
+                   AS DOUBLE) AS num,
+                 CAST((CAST(n AS HUGEINT) * szz
+                     - CAST(sz AS HUGEINT) * CAST(sz AS HUGEINT))
+                   * CAST(mq AS HUGEINT) * CAST(mq AS HUGEINT)
+                   * CAST(4 AS HUGEINT) AS DOUBLE) AS den,
+                 CAST(n AS DOUBLE) AS nd
+                FROM m),
+         f AS (SELECT symbol, n, nd,
+                 num / NULLIF(den, 0.0) AS vr
+               FROM c1)
+         SELECT symbol, n AS n_diffs,
+                floor(vr * 1000000 + 0.5) / 1000000 AS vr4,
+                floor((vr - 1.0) / sqrt(42.0 / (12.0 * nd))
+                  * 1000000 + 0.5) / 1000000 AS z_vr
          FROM f ORDER BY symbol""",
     "calmar_ratio" ->
       """WITH t AS (SELECT event_type AS symbol,

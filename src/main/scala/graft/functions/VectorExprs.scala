@@ -751,6 +751,10 @@ object CosineScanScored {
       k: Int): ArrayData = {
     val n = corp.numElements()
     val bound = math.min(k, math.max(0, n))
+    // k <= 0 (or an empty corpus) is an empty top-k, not a crash: the
+    // function is SQL-exposed (graft_cosine_scan_scored), so a
+    // user-supplied k must not index scs(-1) or size a negative array
+    if (bound <= 0) return new GenericArrayData(Array.empty[Any])
     val ids = new Array[Long](bound)
     val scs = new Array[Double](bound)
     var m = 0

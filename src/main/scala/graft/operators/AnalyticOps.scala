@@ -58,6 +58,18 @@ object AnalyticOps {
 
   /** `value_percentiles` — exact interpolated percentiles per group
     * (sort-based; the HLL-style scale path is the approx twin below).
+    *
+    * Routing at scale: Spark's exact `percentile` BUFFERS the whole
+    * group per aggregation state — fine at this table's 5 symbols ×
+    * bounded group size, unbounded at a 100 TB group. Past the point
+    * where a group's values stop fitting executor memory, route to
+    * `value_percentiles_sampled` (hash-sampled exact percentiles —
+    * portable, hash-gated, rank error pinned ≤ 8% of target quantile
+    * in SketchQualitySpec; the sample fraction is the accuracy dial)
+    * or `value_percentiles_approx` (t-digest sketch, constant memory,
+    * rank error ≤ 1e-3 at accuracy=1000). The same guidance covers
+    * every exact-`percentile` consumer: `winsorized_stats`,
+    * `psi_drift`, `anomaly_mad`.
     */
   def valuePercentiles(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -669,6 +681,15 @@ object AnalyticOps {
       .orderBy("event_id")
   }
 
+  /** `winsorized_stats` — p05/p95-clamped moments per symbol.
+    * Memory note: the exact-`percentile` bounds buffer each group in
+    * aggregation state — bounded here (5 symbols), but a 100 TB group
+    * should take its bounds from the sampled or sketch twin instead
+    * (the `value_percentiles` routing note; sampled rank error is
+    * pinned ≤ 8% in SketchQualitySpec, and winsorization bounds are
+    * cut points, not statistics — a ≤ 8%-rank-off clamp still bounds
+    * the same tail mass to first order).
+    */
   def winsorizedStats(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val ev = Tables.events(s, d)
@@ -1233,7 +1254,12 @@ object AnalyticOps {
     * Scale shape: one midpoint broadcast, one bounds aggregate over
     * the early half broadcast back, one counting aggregation on
     * (symbol, bin), a 10-row-per-symbol fold. No window over raw
-    * rows, no second corpus pass beyond the bounds job.
+    * rows, no second corpus pass beyond the bounds job. The decile
+    * bounds use exact `percentile` (per-group buffering — bounded at
+    * 5 symbols); a 100 TB group takes its reference deciles from the
+    * sampled twin instead (`value_percentiles` routing note — PSI
+    * bins are monitoring cut points, and the sampled route's rank
+    * error is pinned ≤ 8% in SketchQualitySpec).
     */
   def psiDrift(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d)
@@ -2540,6 +2566,72 @@ object AnalyticOps {
         r6(beta).as("beta"),
         r6(beta / nullif(sqrt(greatest(s2n, lit(0.0))), lit(0.0)))
           .as("t_adf"))
+      .orderBy("symbol")
+  }
+
+  /** `variance_ratio` — the Lo–MacKinlay variance-ratio test
+    * (Lo & MacKinlay 1988) per symbol at q = 4 over daily closes:
+    * VR(q) = Var[q-day price change]/(q·Var[1-day change]), computed
+    * from OVERLAPPING q-day differences (their unbiased-count form),
+    * plus the homoskedastic asymptotic z. Under a random walk
+    * VR → 1; VR < 1 reads mean-reversion, VR > 1 momentum — the
+    * market-efficiency screen that sits beside `adf_stat` (unit root)
+    * and `hurst_exponent` (long memory) in the regime panel, asking
+    * the cheapest version of the same question: do price changes
+    * self-cancel or compound over horizon q?
+    *
+    * Portability: the `adf_stat` recipe — closes on the integer cent
+    * grid, 1-day and q-day differences stay exact longs, both
+    * variance numerators (n·Σz² − (Σz)², m·Σw² − (Σw)²) and the
+    * VR numerator/denominator cross-products fold entirely in
+    * DECIMAL(38,0)/HUGEINT, ONE cast to double each, then a fixed
+    * written IEEE sequence for VR and z (correctly-rounded ops in an
+    * identical order match bit-for-bit across engines — the OLS-
+    * family pattern generalized to ratio statistics).
+    *
+    * Scale shape: one groupBy to daily bars, one lag window per
+    * symbol (the events table's symbol count bounds partitions), one
+    * 6-moment aggregation — no second pass, no driver math.
+    */
+  def varianceRatio(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+    val q = 4
+    val bars = Tables.events(s, d)
+      .select(col("event_type").as("symbol"),
+        (unix_micros(date_trunc("day", col("ts"))) / lit(86400000000L))
+          .cast("long").as("h"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("c"),
+        unix_micros(col("ts")).as("us"))
+      .groupBy(col("symbol"), col("h"))
+      .agg(max_by(col("c"), col("us")).as("close"))
+    val wd = Window.partitionBy("symbol").orderBy("h")
+    val seq = bars
+      .withColumn("z", col("close") - lag(col("close"), 1).over(wd))
+      .withColumn("w", col("close") - lag(col("close"), q).over(wd))
+    val m = seq.groupBy(col("symbol"))
+      .agg(count(col("z")).as("n"),
+        sum(col("z")).as("sz"),
+        sum(dec(col("z")) * dec(col("z")))
+          .cast(DecimalType(38, 0)).as("szz"),
+        count(col("w")).as("mq"),
+        sum(col("w")).as("sw"),
+        sum(dec(col("w")) * dec(col("w")))
+          .cast(DecimalType(38, 0)).as("sww"))
+      .where(col("mq") >= 2L)
+    // exact decimal cross-products, ONE cast to double per side, then
+    // a written IEEE sequence mirrored verbatim in the oracle
+    val var1 = dec(col("n")) * col("szz") - dec(col("sz")) * dec(col("sz"))
+    val varq = dec(col("mq")) * col("sww") - dec(col("sw")) * dec(col("sw"))
+    val num = (varq * dec(col("n")) * dec(col("n"))).cast("double")
+    val den = (var1 * dec(col("mq")) * dec(col("mq")) * lit(q.toLong)
+      .cast(DecimalType(38, 0))).cast("double")
+    val nD = col("n").cast("double")
+    val vr = num / nullif(den, lit(0.0))
+    // homoskedastic variance 2(2q−1)(q−1)/(3q) = 42/12 at q = 4
+    val zvr = (vr - lit(1.0)) / sqrt(lit(42.0) / (lit(12.0) * nD))
+    m.select(col("symbol"), col("n").as("n_diffs"),
+        r6(vr).as("vr4"), r6(zvr).as("z_vr"))
       .orderBy("symbol")
   }
 

@@ -35,7 +35,7 @@ object LlmVectorOps {
   private[graft] val ivfStride = 100 // seed centroids: vec_id % stride = 0
   private[graft] val ivfNprobe = 2   // probed lists in the plain IVF rows
 
-  private def withNorm(s: SparkSession, df: DataFrame, emb: String,
+  private[graft] def withNorm(s: SparkSession, df: DataFrame, emb: String,
       normName: String): DataFrame =
     df.withColumn(normName,
       sqrt(VectorExprs.dot(s, col(emb), col(emb))))
@@ -408,6 +408,16 @@ object LlmVectorOps {
     * an implementation gap). That is exactly why `auto` keeps small
     * corpora on the exact scan and why the gated rows stay exact at
     * every test sf.
+    *
+    * Partial-probe out-degree contract: a probed list contributes
+    * edges only if it holds at least one OTHER member, so at small
+    * nprobe a vector all of whose probed lists are its own singleton
+    * emits ZERO edges and is absent as a src (out-degree 0, not
+    * merely < 3). Graph consumers that need every node present
+    * (LPA, assortativity) already join back to the node table; a
+    * deployment that needs a floor on out-degree should raise nprobe
+    * — at the default 8 a singleton own list still leaves 7 probed
+    * neighbors' lists, which in practice always carry members.
     */
   val KnnNprobeConf = "spark.graft.knn.nprobe"
 
@@ -423,10 +433,33 @@ object LlmVectorOps {
   private[graft] val KnnSourceCrossoverVecs = 32768L
 
   /** Which edge source [[knnEdges3]]'s auto route picks for this
-    * corpus (one parquet-metadata count job). */
-  private[graft] def knnSourceRoute(s: SparkSession, d: String): String =
-    if (Tables.embeddings(s, d).count() >= KnnSourceCrossoverVecs) "ivf"
-    else "exact"
+    * corpus. The resolving count is one parquet-metadata job, but
+    * FIVE consumers share the edge silver (`knn_edges`,
+    * `pagerank_docs`, `hits_scores`, `degree_assortativity`,
+    * `label_propagation`) and each would re-pay it on every memo HIT
+    * — so the resolved route memoizes per corpus fingerprint (the
+    * same fingerprint the edge memo itself keys on, so an in-place
+    * corpus rewrite re-resolves exactly when the memo rebuilds).
+    * Entries are two short strings; the map outlives sessions by
+    * design — a fingerprint is session-independent and the route is a
+    * pure function of it.
+    */
+  private val knnRouteMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def knnSourceRoute(s: SparkSession, d: String): String = {
+    val fp = graft.engine.SessionMemo.tableFingerprint(s, d, "embeddings")
+    val hit = knnRouteMemo.get(fp)
+    if (hit != null) hit
+    else {
+      // count outside the map lock (the SessionMemo builder posture)
+      val r =
+        if (Tables.embeddings(s, d).count() >= KnnSourceCrossoverVecs) "ivf"
+        else "exact"
+      val prior = knnRouteMemo.putIfAbsent(fp, r)
+      if (prior != null) prior else r
+    }
+  }
 
   /** The EXACT directed top-3 cosine kNN edge set (src, dst): the
     * compiled broadcast-corpus scan (functions.CosineScan) — (r6
@@ -479,17 +512,30 @@ object LlmVectorOps {
     * deployments re-stride toward k ≈ √n — the standard IVF dial.
     */
   private[graft] def knnEdges3Ivf(s: SparkSession, d: String,
-      nprobe: Int): DataFrame = {
+      nprobe: Int, codebook: String = "seed"): DataFrame = {
     val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
       .select(col("vec_id"), col("embedding"), col("norm"))
-    val centArr = seedCentroids(e)
+    val cents = codebook match {
+      case "trained" => trainedCentroidsCompiled(s, d)
+      case _         => seedCentroids(e)
+    }
+    val centArr = cents
       .agg(collect_list(struct(col("cent_id"), col("cent_emb"),
         col("cent_norm"))).as("cents"))
-    // selfId = -1 never matches a centroid id, so no list is excluded
+    // selfId = -1 never matches a centroid id, so no list is excluded.
+    // The repartition is a MATERIALIZATION FENCE: without it
+    // CollapseProject folds the compiled nprobe scan into the
+    // downstream Generate/projections and the n×k assignment
+    // re-evaluates per exploded probe row (the 64×-per-dimension
+    // variant of this cost 170 s in the trained-codebook Lloyd —
+    // see trainedCentroidsCompiled). Each of the two consumers below
+    // (inverted lists, probe explode) evaluates the fenced pass once;
+    // measured at 131k vectors the warm-JVM build reads 7.8 s.
     val scanned = e.crossJoin(broadcast(centArr))
       .select(col("vec_id"), col("embedding"), col("norm"),
         VectorExprs.cosineKnn(s, col("embedding"), col("norm"), lit(-1L),
           col("cents"), nprobe).as("probed"))
+      .repartition(col("vec_id"))
     val listArrs = scanned
       .select(col("probed")(0).as("cent_id"),
         struct(col("vec_id"), col("embedding"), col("norm")).as("member"))
@@ -527,6 +573,27 @@ object LlmVectorOps {
     * lean on the in-session memo.
     */
   private def knnEdges3(s: SparkSession, d: String): DataFrame = {
+    servedSilverDir(s, d, KnnEdgesDirConf, KnnEdgesFile) match {
+      case Some(dir) =>
+        // storage-backed serving: every consumer (and every power-
+        // iteration round) reads the parquet scan — blocks live in
+        // storage, so an executor lost between consumers recomputes
+        // from disk instead of failing the read (the localCheckpoint
+        // memo's documented caveat, closed). Plan-memoized so the
+        // five consumers share one resolved relation (one
+        // footer-listing pass), not five.
+        graft.engine.SessionMemo.getOrBuildPlan(s,
+          s"knn_edges3_stored|$dir")(
+          s.read.parquet(s"$dir/$KnnEdgesFile"))
+      case None => knnEdges3Inline(s, d)
+    }
+  }
+
+  /** The inline (non-silver-served) edge build: route per session
+    * confs, localCheckpoint, memoize. [[pipeline.CorpusSilver.writeKnnEdges]]
+    * calls this directly so a stale silver already pointed at by
+    * [[KnnEdgesDirConf]] can never feed its own rewrite. */
+  private[graft] def knnEdges3Inline(s: SparkSession, d: String): DataFrame = {
     val route = s.conf.get(KnnSourceConf, "auto") match {
       case "auto"                => knnSourceRoute(s, d)
       case r @ ("exact" | "ivf") => r
@@ -534,15 +601,60 @@ object LlmVectorOps {
         s"$KnnSourceConf must be auto|exact|ivf, got '$other'")
     }
     val nprobe = s.conf.get(KnnNprobeConf, "8").toInt
+    val codebook = s.conf.get(KnnCodebookConf, "seed") match {
+      case c @ ("seed" | "trained") => c
+      case other => throw new IllegalArgumentException(
+        s"$KnnCodebookConf must be seed|trained, got '$other'")
+    }
     def build = (route match {
-      case "ivf" => knnEdges3Ivf(s, d, nprobe)
+      case "ivf" => knnEdges3Ivf(s, d, nprobe, codebook)
       case _     => knnEdges3Exact(s, d)
     }).localCheckpoint(false)
     graft.engine.SessionMemo.getOrBuild(s,
       s"knn_edges3|$route" +
-        (if (route == "ivf") s"|np$nprobe" else "") + "|" +
-        graft.engine.SessionMemo.tableFingerprint(s, d, "embeddings"))(build)
+        (if (route == "ivf") s"|np$nprobe|cb$codebook" else "") + "|" +
+        graft.engine.SessionMemo.tableFingerprint(s, d, "embeddings"))(
+      build)
   }
+
+  /** Session conf pointing the kNN edge substrate at a silver edge
+    * BASE directory (`pipeline.CorpusSilver.writeKnnEdges` writes
+    * one): when set, [[knnEdges3]] serves the stored (src, dst) edge
+    * parquet at `<base>/<corpus-dir-basename>` instead of building —
+    * the [[AnnIndexConf]] posture applied to the graph substrate.
+    * This is the resilience answer to the in-session memo's
+    * documented caveat: `localCheckpoint` blocks die with their
+    * executor, while the silver's consumers recompute any lost
+    * partition from storage. Same fingerprint contract as the ANN
+    * index: an edge set built on one corpus never serves another;
+    * missing dir/marker/fingerprint or a mismatch ⇒ inline build,
+    * never an error. The build that writes the silver honors the
+    * session's route/nprobe/codebook confs, so a deployment can pay
+    * the trained-codebook build once and serve its recall forever.
+    */
+  val KnnEdgesDirConf = "spark.graft.knn.edges.dir"
+
+  /** The edge parquet's name under a per-corpus silver dir (also the
+    * serving marker). */
+  val KnnEdgesFile = "edges.parquet"
+
+  /** Codebook choice for the `ivf` edge route
+    * (`spark.graft.knn.codebook` = `seed` | `trained`, default
+    * `seed`): `seed` is the deterministic every-100th-vector book —
+    * zero training passes; `trained` runs a 2-round fixed-point
+    * Lloyd with COMPILED keep-1 assignment
+    * ([[trainedCentroidsCompiled]], memoized) — two extra compiled
+    * n×k scan passes buying tighter lists (measured on the clustered
+    * sweep corpus at 131k vectors: edge recall 1.000 vs seed's
+    * 0.970 — BASELINE.md round-12 table). Amortization shape: inline builds pay the
+    * training on every fresh session, while a [[KnnEdgesDirConf]]
+    * silver pays it ONCE at `writeKnnEdges` time — trained is the
+    * write-once default posture, seed the cheap inline one. Full
+    * probe under either book still equals the exact scan
+    * (KnnRoutingSpec) because the re-rank shares the (r6 desc, id
+    * asc) total order.
+    */
+  val KnnCodebookConf = "spark.graft.knn.codebook"
 
   /** `knn_edges` — the edge substrate itself as a gated row: the
     * directed top-3 cosine kNN graph both graph queries iterate
@@ -739,7 +851,7 @@ object LlmVectorOps {
                 FROM e JOIN $in p ON p.id = e.$joinOn GROUP BY 1),
          t_$out AS (SELECT CAST(SUM(qs) AS BIGINT) AS t FROM q_$out),
          $out AS (SELECT n.id, CAST(COALESCE(q.qs, 0) AS DOUBLE)
-                   / CAST(t_$out.t AS DOUBLE) AS s
+                   / NULLIF(CAST(t_$out.t AS DOUBLE), 0.0) AS s
                  FROM nodes n LEFT JOIN q_$out q ON q.node = n.id
                  CROSS JOIN t_$out)"""
     s"""WITH $knnEdgeCtes,
@@ -1325,8 +1437,65 @@ object LlmVectorOps {
         graft.engine.SessionMemo.tableFingerprint(s, d, "embeddings"))(build)
   }
 
+  /** The COMPILED 2-round Lloyd codebook for the kNN edge route's
+    * `trained` option: same seed, same fixed-point 2⁻²⁰ member means
+    * as [[trainedCentroids]], but the keep-1 assignment runs as ONE
+    * compiled CosineScan per vector over the broadcast codebook
+    * struct array instead of the declarative n×k window-ranked join
+    * — the declarative form measured 126.9 s at 131k vectors BECAUSE
+    * of that window frame (the round-11 lesson: any ANN stage racing
+    * a compiled baseline must compile its hot loop too). Compiling
+    * alone was NOT enough: fused under the posexplode Generate the
+    * scan re-evaluated per dimension (170 s) until the repartition
+    * fence below — see the in-body comment. Assignment ties differ
+    * from [[trainedCentroids]] only on the r6 grid boundary
+    * (CosineScan ranks r6-rounded scores; the declarative form ranks
+    * raw doubles), so this book is NOT bit-identical to the
+    * `similarity_ivf_trained` oracle's — it deliberately lives under
+    * its own memo key and serves only the routed edge build, whose
+    * contract is recall (measured 1.0 on the clustered sweep corpus)
+    * plus the full-probe==exact pin, not codebook equality.
+    */
+  private[graft] def trainedCentroidsCompiled(s: SparkSession,
+      d: String): DataFrame = {
+    val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
+      .select(col("vec_id"), col("embedding"), col("norm"))
+    val grid = (1L << 20).toDouble
+    def step(cents: DataFrame): DataFrame = {
+      val centArr = cents.agg(collect_list(struct(col("cent_id"),
+        col("cent_emb"), col("cent_norm"))).as("cents"))
+      // the repartition is a MATERIALIZATION FENCE, not a layout
+      // choice: without it CollapseProject folds the compiled scan
+      // into the Generate's projection and the n×k assignment
+      // re-evaluates once per exploded DIMENSION (64×) — measured
+      // 170 s vs 15.6 s cold (≈5 s warm-JIT) for the identical
+      // 2-round training at 131k vectors. The exchange ships
+      // (8 B + one vector) per row exactly once.
+      val assigned = e.crossJoin(broadcast(centArr))
+        .select(VectorExprs.cosineKnn(s, col("embedding"), col("norm"),
+          lit(-1L), col("cents"), 1)(0).as("cent_id"), col("embedding"))
+        .repartition(col("cent_id"))
+      val means = assigned
+        .select(col("cent_id"), posexplode(col("embedding"))
+          .as(Seq("pos", "v")))
+        .groupBy("cent_id", "pos")
+        .agg((sum(floor(col("v") * grid + 0.5).cast("long")).cast("double")
+          / (count(lit(1)) * grid)).as("m"))
+        .groupBy("cent_id")
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(pos, m)))," +
+            " x -> CAST(x.m AS FLOAT))").as("cent_emb"))
+      withNorm(s, means, "cent_emb", "cent_norm")
+        .where(col("cent_norm") > 0.0)
+    }
+    def build = (1 to 2).foldLeft(seedCentroids(e))((c, _) => step(c))
+    graft.engine.SessionMemo.getOrBuild(s,
+      "lloyd_codebook_knn|" +
+        graft.engine.SessionMemo.tableFingerprint(s, d, "embeddings"))(build)
+  }
+
   /** Deterministic seed codebook: every 100th vector (k ≈ n/100). */
-  private def seedCentroids(e: DataFrame): DataFrame =
+  private[graft] def seedCentroids(e: DataFrame): DataFrame =
     e.where(col("vec_id") % ivfStride === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
         col("norm").as("cent_norm"))
@@ -2199,6 +2368,133 @@ object LlmVectorOps {
                 l2.lbl AS label_final,
                 CASE WHEN s.lbl <> l2.lbl THEN 1 ELSE 0 END AS changed
          FROM seed s JOIN l2 ON l2.id = s.id ORDER BY 1"""
+
+  /** `graph_reciprocity` — the fraction of directed kNN edges whose
+    * reverse edge also exists (Garlaschelli & Loffredo 2004's r for a
+    * directed graph, the count form). On a top-3 similarity graph
+    * reciprocity reads as MUTUALITY of nearness: a reciprocal edge
+    * pair is two docs that are each other's near neighbors (a tight
+    * local cluster — dedup/semdedup candidates), while a one-way edge
+    * is a doc pointing at a popular exemplar that doesn't point back
+    * (the hub/authority asymmetry `hits_scores` scores). Sixth
+    * consumer of the [[knnEdges3]] silver; one 3N self-join on the
+    * reversed key pair + two counts — no per-node state.
+    *
+    * Portability: integer counts and ONE written double division on
+    * the r6 grid; the left-semi join against the reversed edge set is
+    * an EXISTS in the oracle.
+    */
+  def graphReciprocity(s: SparkSession, d: String): DataFrame = {
+    val e = knnEdges3(s, d)
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+    val tot = e.agg(count(lit(1)).as("n_edges"))
+    val rec = e.join(rev, Seq("src", "dst"), "left_semi")
+      .agg(count(lit(1)).as("n_reciprocal"))
+    tot.crossJoin(rec)
+      .select(col("n_edges"), col("n_reciprocal"),
+        r6(col("n_reciprocal").cast("double")
+          / nullif(col("n_edges").cast("double"), lit(0.0)))
+          .as("reciprocity"))
+  }
+
+  /** The DuckDB oracle for `graph_reciprocity`: shared kNN edges, an
+    * EXISTS for the reverse-edge test, one fenced division. */
+  private[graft] def graphReciprocityOracleSql: String =
+    s"""WITH $knnEdgeCtes,
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e),
+         rec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_reciprocal
+                 FROM e a WHERE EXISTS (SELECT 1 FROM e b
+                   WHERE b.src = a.dst AND b.dst = a.src))
+         SELECT n_edges, n_reciprocal,
+                floor(CAST(n_reciprocal AS DOUBLE)
+                    / NULLIF(CAST(n_edges AS DOUBLE), 0.0)
+                    * 1000000 + 0.5) / 1000000 AS reciprocity
+         FROM tot CROSS JOIN rec"""
+
+  /** `katz_centrality` — three unrolled rounds of the Katz recurrence
+    * x ← 1 + α·Aᵀx (Katz 1953, α = 0.1) over the directed top-3 kNN
+    * graph: unlike PageRank's damped random surfer (out-degree
+    * normalized), Katz counts ALL inbound walks with geometric decay,
+    * so a doc's score reads as "how many docs reach me in ≤ 3 hops,
+    * discounted by distance" — the walk-based exemplar score beside
+    * `pagerank_docs`' stationary one and `hits_scores`' mutual-
+    * reinforcement pair. Seventh consumer of the [[knnEdges3]]
+    * silver; each round is one edge join + one integer aggregation
+    * over 3N rows (the pagerank tail's shape — no driver data, no
+    * new scan).
+    *
+    * Portability: the `pagerank_docs` fixed-point recipe verbatim —
+    * each round's neighbor sum quantizes α·x to the 2⁴⁰ grid and
+    * sums exact longs (order-free); the rebuild 1 + Σq/2⁴⁰ is one
+    * written double op sequence; zero-in-degree docs take the floor
+    * 1.0 via the same left-join-coalesce both engines run.
+    */
+  def katzCentrality(s: SparkSession, d: String): DataFrame = {
+    val Q = 1099511627776.0 // 2^40 — the pagerank fixed-point grid
+    val edges = knnEdges3(s, d)
+    val nodes = Tables.embeddings(s, d).select(col("vec_id").as("id"))
+    var x = nodes.withColumn("s", lit(1.0))
+    for (_ <- 1 to 3) {
+      val contrib = edges.join(x, col("src") === col("id"))
+        .select(col("dst"),
+          floor(col("s") * lit(0.1) * lit(Q) + lit(0.5)).cast("long")
+            .as("q"))
+        .groupBy(col("dst"))
+        .agg(sum(col("q")).as("qs"))
+      x = nodes.join(contrib, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit(1.0) + coalesce(col("qs"), lit(0L)).cast("double") / lit(Q))
+            .as("s"))
+    }
+    x.select(col("id").as("doc_id"), r6(col("s")).as("katz"))
+      .orderBy("doc_id")
+  }
+
+  /** The DuckDB oracle for `katz_centrality`: shared kNN edges + the
+    * three unrolled fixed-point Katz rounds. */
+  private[graft] def katzCentralityOracleSql: String = {
+    def round(in: String, c: String, out: String): String =
+      s"""$c AS (SELECT e.dst, CAST(SUM(CAST(floor(
+                    p.s * 0.1 * 1099511627776.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS qs
+                FROM e JOIN $in p ON p.id = e.src GROUP BY 1),
+         $out AS (SELECT n.id, 1.0 + CAST(COALESCE(c.qs, 0)
+                   AS DOUBLE) / 1099511627776.0 AS s
+                 FROM nodes n LEFT JOIN $c c ON c.dst = n.id)"""
+    s"""WITH $knnEdgeCtes,
+         x0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS s FROM nodes),
+         ${round("x0", "c1", "x1")},
+         ${round("x1", "c2", "x2")},
+         ${round("x2", "c3", "x3")}
+         SELECT id AS doc_id,
+                floor(s * 1000000 + 0.5) / 1000000 AS katz
+         FROM x3 ORDER BY doc_id"""
+  }
+
+  /** `knn_edges_served` — the storage-backed serving path
+    * ([[pipeline.CorpusSilver.writeKnnEdges]] +
+    * [[KnnEdgesDirConf]]-style read-back) as its own gated row, the
+    * `similarity_ivf_pq_served` posture applied to the graph
+    * substrate: write the edge silver ONCE per corpus (memoized —
+    * per-run scratch dir, removed on JVM exit), serve every
+    * subsequent call from the parquet, and gate the served rows
+    * against the SAME DuckDB edge oracle as the inline `knn_edges`
+    * row — a cross-engine proof that write → serve loses nothing.
+    */
+  def knnEdgesServed(s: SparkSession, d: String): DataFrame = {
+    val served = graft.engine.SessionMemo.getOrBuildPlan(s,
+      "knn_edges_served|" +
+        graft.engine.SessionMemo.tableFingerprint(s, d, "embeddings")) {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_knn_edges_served").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(dir))))
+      graft.pipeline.CorpusSilver.writeKnnEdges(s, d, dir)
+      s.read.parquet(s"$dir/$KnnEdgesFile")
+    }
+    served.orderBy("src", "dst")
+  }
 
   /** How many leading dimensions the truncated-search rung keeps. */
   private[graft] val truncDim = 16
@@ -3544,8 +3840,17 @@ object LlmVectorOps {
     * on `marker` existing AND the stored corpus fingerprint matching
     * `d` (both driver-side metadata probes, no job). */
   private def annIndexDir(s: SparkSession, d: String,
-      marker: String): Option[String] = {
-    val base = s.conf.get(AnnIndexConf, "")
+      marker: String): Option[String] =
+    servedSilverDir(s, d, AnnIndexConf, marker)
+
+  /** The shared per-corpus silver-dir resolution ([[AnnIndexConf]]
+    * and [[KnnEdgesDirConf]] both use it): `<conf base>/<corpus dir
+    * basename>`, served only when `marker` exists AND the stored
+    * corpus fingerprint matches `d`. Missing base/marker/fingerprint
+    * or a mismatch ⇒ None (inline fallback, never an error). */
+  private def servedSilverDir(s: SparkSession, d: String,
+      confKey: String, marker: String): Option[String] = {
+    val base = s.conf.get(confKey, "")
     if (base.isEmpty) None
     else {
       val dir = new org.apache.hadoop.fs.Path(base,

@@ -144,14 +144,20 @@ object CorpusSilver {
   def writeAnnIndex(s: SparkSession, sfDir: String, dir: String): Unit = {
     writePqIndex(s, sfDir, dir)
     graft.operators.LlmVectorOps.writeIvfPqIndex(s, sfDir, dir)
-    // bind the index to its training corpus: serving resolution
-    // verifies this fingerprint before routing a query here, so two
-    // distinct corpora whose dirs share a basename (/a/sf0.01 vs
-    // /b/sf0.01) under one index base can never silently serve each
-    // other's neighbors — mismatch falls back to inline training.
-    // Canonical path is the driver-cheap identity check; the row
-    // count is recorded for diagnostics (a content check at serve
-    // time would cost a per-query job).
+    writeCorpusFingerprint(s, sfDir, dir)
+  }
+
+  /** Bind a silver dir to its source corpus: serving resolution
+    * verifies this fingerprint before routing a query here, so two
+    * distinct corpora whose dirs share a basename (/a/sf0.01 vs
+    * /b/sf0.01) under one silver base can never silently serve each
+    * other's results — mismatch falls back to the inline build.
+    * Canonical path is the driver-cheap identity check; the row
+    * count is recorded for diagnostics (a content check at serve
+    * time would cost a per-query job).
+    */
+  private def writeCorpusFingerprint(s: SparkSession, sfDir: String,
+      dir: String): Unit = {
     val fp = new org.apache.hadoop.fs.Path(dir,
       graft.operators.LlmVectorOps.CorpusFingerprintFile)
     val fs = fp.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -161,6 +167,29 @@ object CorpusSilver {
         Tables.embeddings(s, sfDir).count())
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** The kNN edge silver for one corpus under `dir`: the routed
+    * directed top-3 cosine edge set (src, dst) written ONCE as
+    * parquet, plus the corpus fingerprint binding it to `sfDir`.
+    * Point `spark.graft.knn.edges.dir`
+    * ([[graft.operators.LlmVectorOps.KnnEdgesDirConf]]) at the PARENT
+    * of per-corpus dirs and all five edge consumers (`knn_edges`,
+    * `pagerank_docs`, `hits_scores`, `degree_assortativity`,
+    * `label_propagation`) serve the stored edges instead of building
+    * — and, unlike the in-session `localCheckpoint` memo, survive
+    * executor loss between consumers (lost partitions re-read from
+    * storage). The build honors the session's
+    * route/nprobe/codebook confs — the production shape is
+    * `spark.graft.knn.codebook=trained` here, amortizing the two
+    * Lloyd assignment passes into the one-time write.
+    */
+  def writeKnnEdges(s: SparkSession, sfDir: String, dir: String): Unit = {
+    graft.operators.LlmVectorOps.knnEdges3Inline(s, sfDir)
+      .write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(dir,
+        graft.operators.LlmVectorOps.KnnEdgesFile).toString)
+    writeCorpusFingerprint(s, sfDir, dir)
   }
 
   /** Bucketed silver layout: pay the shuffle ONCE at write time.

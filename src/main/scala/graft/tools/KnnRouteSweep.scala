@@ -18,12 +18,17 @@ import graft.operators.LlmVectorOps
   *
   *   - times the EXACT edge build (the compiled broadcast scan —
   *     n²·d fused multiply-adds);
-  *   - times the IVF route (trained codebook + candidate join +
-  *     exact re-rank — n·nprobe·[[LlmVectorOps.ivfStride]]·d);
-  *   - measures routed edge recall against the exact edge set (the
-  *     quality side of the trade);
+  *   - times the IVF route under BOTH codebooks
+  *     (`spark.graft.knn.codebook` seed | trained — candidate join +
+  *     exact re-rank, n·nprobe·[[LlmVectorOps.ivfStride]]·d);
+  *   - measures each routed edge set's recall against the exact edge
+  *     set (the quality side of the trade);
   *   - times `pagerank_docs` through the routed source (the consumer
-  *     a 100 TB run actually plans around).
+  *     a 100 TB run actually plans around);
+  *   - writes the trained-codebook edge SILVER
+  *     (`CorpusSilver.writeKnnEdges`) and times all four graph
+  *     consumers served from storage (`spark.graft.knn.edges.dir`) —
+  *     the write-once / iterate-many resilience posture.
   *
   * Memoized silvers are invalidated before every timed run so each
   * number is a COLD build — the memo hit path is ~0 s and would make
@@ -98,9 +103,18 @@ object KnnRouteSweep {
         java.nio.file.Files.writeString(versionFile, genVersion)
       }
 
-      def timedCold(route: String)(body: => Long): (Double, Long) = {
+      def withConfs[T](route: String, codebook: String)(body: => T): T = {
         spark.conf.set(LlmVectorOps.KnnSourceConf, route)
-        try {
+        spark.conf.set(LlmVectorOps.KnnCodebookConf, codebook)
+        try body
+        finally {
+          spark.conf.unset(LlmVectorOps.KnnSourceConf)
+          spark.conf.unset(LlmVectorOps.KnnCodebookConf)
+        }
+      }
+      def timedCold(route: String, codebook: String = "seed")(
+          body: => Long): (Double, Long) =
+        withConfs(route, codebook) {
           (1 to reps).map { _ =>
             graft.engine.SessionMemo.invalidate(spark)
             System.gc()
@@ -108,49 +122,84 @@ object KnnRouteSweep {
             val rows = body
             ((System.nanoTime() - t0) / 1e9, rows)
           }.minBy(_._1)
-        } finally spark.conf.unset(LlmVectorOps.KnnSourceConf)
-      }
+        }
 
       val (tExact, nExact) = timedCold("exact") {
         LlmVectorOps.knnEdges(spark, dir).count()
       }
-      val (tIvf, nIvf) = timedCold("ivf") {
+      // both codebooks through the ivf route: seed is the zero-train
+      // inline default, trained pays 2 extra n×k Lloyd passes for
+      // tighter lists (the silver write amortizes them)
+      val (tIvfSeed, nIvf) = timedCold("ivf", "seed") {
         LlmVectorOps.knnEdges(spark, dir).count()
       }
-      // recall of the routed edge set against exact (both memoized
+      val (tIvfTrained, _) = timedCold("ivf", "trained") {
+        LlmVectorOps.knnEdges(spark, dir).count()
+      }
+      // recall of each routed edge set against exact (memoized
       // fresh here — the cheap follow-up reads, not timed)
-      val exactE = {
-        spark.conf.set(LlmVectorOps.KnnSourceConf, "exact")
-        try LlmVectorOps.knnEdges(spark, dir) .select("src", "dst")
-        finally spark.conf.unset(LlmVectorOps.KnnSourceConf)
-      }
-      val ivfE = {
-        spark.conf.set(LlmVectorOps.KnnSourceConf, "ivf")
-        try LlmVectorOps.knnEdges(spark, dir).select("src", "dst")
-        finally spark.conf.unset(LlmVectorOps.KnnSourceConf)
-      }
-      val hit = ivfE.intersect(exactE).count()
-      val recall = hit.toDouble / math.max(1L, nExact)
+      def edgeSet(route: String, codebook: String): DataFrame =
+        withConfs(route, codebook) {
+          LlmVectorOps.knnEdges(spark, dir).select("src", "dst")
+        }
+      val exactE = edgeSet("exact", "seed")
+      def recallOf(e: DataFrame): Double =
+        e.intersect(exactE).count().toDouble / math.max(1L, nExact)
+      val recallSeed = recallOf(edgeSet("ivf", "seed"))
+      val recallTrained = recallOf(edgeSet("ivf", "trained"))
       // the consumer through the routed source, warm edges (the memo
       // is the production posture — pagerank pays only its tail)
-      val tPr = {
-        spark.conf.set(LlmVectorOps.KnnSourceConf, "ivf")
-        try {
-          val t0 = System.nanoTime()
-          LlmVectorOps.pagerankDocs(spark, dir).count()
-          (System.nanoTime() - t0) / 1e9
-        } finally spark.conf.unset(LlmVectorOps.KnnSourceConf)
+      val tPr = withConfs("ivf", "seed") {
+        val t0 = System.nanoTime()
+        LlmVectorOps.pagerankDocs(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
       }
-      (n, tExact, tIvf, recall, tPr, nExact, nIvf)
+      // the STORED serving shape (CorpusSilver.writeKnnEdges +
+      // spark.graft.knn.edges.dir): trained-codebook build paid once
+      // at write time, then all four graph consumers iterate over the
+      // parquet — memo invalidated first, so these times are pure
+      // read-from-storage + iteration tail, the resilience posture a
+      // 100 TB deployment runs
+      val silverBase = s"$dir/edge_silver"
+      val silverDir = new java.io.File(silverBase,
+        new java.io.File(dir).getName).toString
+      val tWrite = withConfs("ivf", "trained") {
+        val t0 = System.nanoTime()
+        graft.pipeline.CorpusSilver.writeKnnEdges(spark, dir, silverDir)
+        (System.nanoTime() - t0) / 1e9
+      }
+      spark.conf.set(LlmVectorOps.KnnEdgesDirConf, silverBase)
+      val consumerTimes =
+        try Seq[(String, (SparkSession, String) => DataFrame)](
+          "pagerank_docs" -> LlmVectorOps.pagerankDocs,
+          "hits_scores" -> LlmVectorOps.hitsScores,
+          "degree_assortativity" -> LlmVectorOps.degreeAssortativity,
+          "label_propagation" -> LlmVectorOps.labelPropagation
+        ).map { case (name, q) =>
+          graft.engine.SessionMemo.invalidate(spark)
+          val t0 = System.nanoTime()
+          q(spark, dir).count()
+          name -> (System.nanoTime() - t0) / 1e9
+        }
+        finally spark.conf.unset(LlmVectorOps.KnnEdgesDirConf)
+      (n, tExact, tIvfSeed, tIvfTrained, recallSeed, recallTrained,
+        tPr, nExact, nIvf, tWrite, consumerTimes)
     }
 
+    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
     println("{\"metric\":\"knn_route_sweep\",\"decades\":[" +
-      results.map { case (n, te, ti, rc, tp, ne, ni) =>
-        s"""{"vecs":$n,"exact_sec":${math.round(te * 1000) / 1000.0},""" +
-          s""""ivf_sec":${math.round(ti * 1000) / 1000.0},""" +
-          s""""edge_recall":${math.round(rc * 10000) / 10000.0},""" +
-          s""""pagerank_ivf_sec":${math.round(tp * 1000) / 1000.0},""" +
-          s""""exact_edges":$ne,"ivf_edges":$ni}"""
+      results.map { case (n, te, tis, tit, rcs, rct, tp, ne, ni, tw, ct) =>
+        s"""{"vecs":$n,"exact_sec":${r3(te)},""" +
+          s""""ivf_seed_sec":${r3(tis)},""" +
+          s""""ivf_trained_sec":${r3(tit)},""" +
+          s""""edge_recall_seed":${math.round(rcs * 10000) / 10000.0},""" +
+          s""""edge_recall_trained":${math.round(rct * 10000) / 10000.0},""" +
+          s""""pagerank_ivf_sec":${r3(tp)},""" +
+          s""""exact_edges":$ne,"ivf_edges":$ni,""" +
+          s""""silver_write_sec":${r3(tw)},""" +
+          s""""stored_consumer_sec":{""" +
+          ct.map { case (k, v) => s""""$k":${r3(v)}""" }.mkString(",") +
+          "}}"
       }.mkString(",") + "]}")
     spark.stop()
   }

@@ -82,4 +82,66 @@ class KnnRoutingSpec extends AnyFunSuite {
       LlmVectorOps.knnEdges(spark, TestSpark.sf0001).collect()
     } finally spark.conf.unset(LlmVectorOps.KnnSourceConf)
   }
+
+  test("an invalid knn-codebook conf value fails loudly") {
+    spark.conf.set(LlmVectorOps.KnnSourceConf, "ivf")
+    spark.conf.set(LlmVectorOps.KnnCodebookConf, "bogus")
+    try intercept[IllegalArgumentException] {
+      LlmVectorOps.knnEdges(spark, TestSpark.sf0001).collect()
+    } finally {
+      spark.conf.unset(LlmVectorOps.KnnSourceConf)
+      spark.conf.unset(LlmVectorOps.KnnCodebookConf)
+    }
+  }
+
+  test("trained-codebook full-probe ivf == exact edge set") {
+    val d = TestSpark.sf0001
+    val exact = edges(d)
+    spark.conf.set(LlmVectorOps.KnnSourceConf, "ivf")
+    spark.conf.set(LlmVectorOps.KnnNprobeConf, "1000000")
+    spark.conf.set(LlmVectorOps.KnnCodebookConf, "trained")
+    try {
+      assert(edges(d) == exact,
+        "trained-codebook full-probe ivf edges diverged from exact")
+    } finally {
+      spark.conf.unset(LlmVectorOps.KnnSourceConf)
+      spark.conf.unset(LlmVectorOps.KnnNprobeConf)
+      spark.conf.unset(LlmVectorOps.KnnCodebookConf)
+    }
+  }
+
+  test("stored edge silver serves identically; bad fingerprint falls back") {
+    val d = TestSpark.sf0001
+    def rows(df: DataFrame): Seq[String] = df.collect().map(_.toString).toSeq
+    val exactEdges = edges(d)
+    val prExact = rows(LlmVectorOps.pagerankDocs(spark, d))
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_knn_edges").toString
+    val corpusDir = new java.io.File(base, new java.io.File(d).getName)
+    graft.pipeline.CorpusSilver.writeKnnEdges(spark, d,
+      corpusDir.toString)
+    spark.conf.set(LlmVectorOps.KnnEdgesDirConf, base)
+    try {
+      // served results equal the inline build, and the plan proves
+      // the edges really come from the silver scan
+      assert(edges(d) == exactEdges, "served edges diverged from inline")
+      assert(rows(LlmVectorOps.pagerankDocs(spark, d)) == prExact,
+        "served pagerank diverged from inline")
+      val plan = LlmVectorOps.knnEdges(spark, d)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains(base),
+        s"expected a silver scan in the served plan:\n$plan")
+      // a corrupted fingerprint must fall back to the inline build —
+      // never serve an unverified edge set
+      val fp = new java.io.File(corpusDir,
+        LlmVectorOps.CorpusFingerprintFile)
+      java.nio.file.Files.write(fp.toPath,
+        "/not/the/corpus\n0".getBytes("UTF-8"))
+      assert(edges(d) == exactEdges, "fallback edges diverged")
+      val planAfter = LlmVectorOps.knnEdges(spark, d)
+        .queryExecution.executedPlan.toString
+      assert(!planAfter.contains(base),
+        s"fingerprint mismatch still served the silver:\n$planAfter")
+    } finally spark.conf.unset(LlmVectorOps.KnnEdgesDirConf)
+  }
 }

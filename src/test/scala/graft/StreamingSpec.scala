@@ -2037,6 +2037,115 @@ class StreamingSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
     }
   }
+  test("S28 streaming_knn_serve: probe window closes with the routed top-k") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingKnnServe
+    import graft.streaming.StreamingKnnServe.Probe
+    def axis(dims: (Int, Float)*): Array[Float] = {
+      val v = Array.fill(8)(0.0f); dims.foreach { case (i, x) => v(i) = x }; v
+    }
+    // two seed centroids (vec_id % 100 == 0): cluster A on e0
+    // {0, 1, 2}, cluster B on e1 {100, 101}; member 2 sits between
+    // (cos 0.7071 to both centroids, id-asc tie → list A)
+    val corpus = Seq(
+      (0L, axis(0 -> 1.0f)),
+      (1L, axis(0 -> 1.0f)),
+      (2L, axis(0 -> 0.70710678f, 1 -> 0.70710678f)),
+      (100L, axis(1 -> 1.0f)),
+      (101L, axis(1 -> 1.0f)))
+      .toDF("vec_id", "embedding")
+    val in = MemoryStream[Probe]
+    val q = StreamingKnnServe
+      .knnServeStream(spark, in.toDF(), corpus, k = 2, nprobe = 1)
+      .writeStream.format("memory").queryName("s28_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Probe(ts("2024-01-01 10:00:05"), 500L, axis(0 -> 1.0f)),
+        Probe(ts("2024-01-01 10:00:06"), 501L, axis(1 -> 1.0f)))
+      q.processAllAvailable()
+      // probes' window still open: nothing emitted yet
+      assert(spark.sql("SELECT * FROM s28_out").count() == 0)
+      // a later probe advances the watermark past the window close
+      in.addData(Probe(ts("2024-01-01 13:00:00"), 502L, axis(0 -> 1.0f)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM s28_out ORDER BY probe_id")
+        .collect()
+      assert(rows.length == 2)
+      def topkOf(r: org.apache.spark.sql.Row) =
+        r.getSeq[org.apache.spark.sql.Row](2)
+          .map(x => (x.getLong(0), x.getDouble(1)))
+      // probe 500 (= e0), nprobe 1 → list A only: ids 0, 1 at cos 1
+      // (tie → id asc); the cross-list exemplars never scanned
+      assert(rows(0).getAs[Long]("probe_id") == 500L)
+      assert(rows(0).getAs[java.sql.Timestamp]("window_start")
+        == ts("2024-01-01 10:00:00"))
+      assert(topkOf(rows(0)) == Seq((0L, 1.0), (1L, 1.0)))
+      // probe 501 (= e1) → list B: ids 100, 101 at cos 1
+      assert(rows(1).getAs[Long]("probe_id") == 501L)
+      assert(topkOf(rows(1)) == Seq((100L, 1.0), (101L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("S28r streaming_knn_serve: kill + checkpoint restart replays stably") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingKnnServe
+    import graft.streaming.StreamingKnnServe.Probe
+    def axis(dims: (Int, Float)*): Array[Float] = {
+      val v = Array.fill(8)(0.0f); dims.foreach { case (i, x) => v(i) = x }; v
+    }
+    val corpus = Seq(
+      (0L, axis(0 -> 1.0f)),
+      (1L, axis(0 -> 1.0f)),
+      (2L, axis(0 -> 0.70710678f, 1 -> 0.70710678f)),
+      (100L, axis(1 -> 1.0f)),
+      (101L, axis(1 -> 1.0f)))
+      .toDF("vec_id", "embedding")
+    val in = MemoryStream[Probe]
+    val ckpt = java.nio.file.Files.createTempDirectory("s28r_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("s28r_out").toString
+    def start() = StreamingKnnServe
+      .knnServeStream(spark, in.toDF(), corpus, k = 2, nprobe = 2)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    def served() = spark.read.parquet(out)
+      .orderBy("probe_id")
+      .collect().map(r => (r.getAs[Long]("probe_id"),
+        r.getSeq[org.apache.spark.sql.Row](2)
+          .map(x => (x.getLong(0), x.getDouble(1)))))
+    val q1 = start()
+    try {
+      in.addData(Probe(ts("2024-01-01 10:00:05"), 500L, axis(0 -> 1.0f)))
+      q1.processAllAvailable() // window open — partial lives in state
+      assert(served().isEmpty, "window 10:00 still open pre-kill")
+      // an UNPROCESSED probe lands, then the query dies
+      in.addData(Probe(ts("2024-01-01 10:00:06"), 501L, axis(1 -> 1.0f)))
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      // the replayed probe folds into the RESTORED window state
+      q2.processAllAvailable()
+      assert(served().isEmpty, "window 10:00 still open after restart")
+      in.addData(Probe(ts("2024-01-01 13:00:00"), 502L, axis(0 -> 1.0f)))
+      q2.processAllAvailable()
+      val got = served()
+      // nprobe 2 = full probe here → S8's exact answer for both
+      // probes; exactly once each across the kill/restart boundary
+      assert(got.toSeq == Seq(
+        (500L, Seq((0L, 1.0), (1L, 1.0))),
+        (501L, Seq((100L, 1.0), (101L, 1.0)))),
+        s"replayed serve diverged: ${got.mkString(",")}")
+      assert(got.map(_._1).distinct.length == got.length,
+        "no probe may emit twice across the restart")
+    } finally {
+      q2.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    }
+  }
 }
 
 object StreamingSpec {

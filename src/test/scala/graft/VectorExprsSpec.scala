@@ -313,6 +313,24 @@ class VectorExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("CosineScanScored k <= 0 yields an empty top-k, not a crash") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val e = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("norm",
+        sqrt(VectorExprs.dot(s, col("embedding"), col("embedding"))))
+    val corpusArr = e.agg(collect_list(
+      struct(col("vec_id"), col("embedding"), col("norm"))).as("corpus"))
+    for (k <- Seq(0, -1)) {
+      val out = e.crossJoin(broadcast(corpusArr))
+        .select(VectorExprs.cosineKnnScored(s, col("embedding"),
+          col("norm"), col("vec_id"), col("corpus"), k).as("c"))
+        .collect().map(_.getSeq[Any](0))
+      assert(out.forall(_.isEmpty), s"k=$k must be empty: ${out.toSeq}")
+    }
+  }
+
   test("the int8 family rejects wrong input types at analysis time") {
     def analysisError(f: => Unit): Unit = {
       val e = intercept[org.apache.spark.sql.AnalysisException](f)
