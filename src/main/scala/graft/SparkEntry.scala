@@ -158,6 +158,7 @@ object SparkEntry {
     "calmar_ratio"             -> (AnalyticOps.calmarRatio _),
     "adf_stat"                 -> (AnalyticOps.adfStat _),
     "variance_ratio"           -> (AnalyticOps.varianceRatio _),
+    "kpss_stat"                -> (AnalyticOps.kpssStat _),
     "ann_recall_lsh"           -> (LlmVectorOps.annRecallLsh _),
     "degree_assortativity"     -> (LlmVectorOps.degreeAssortativity _),
     "label_propagation"        -> (LlmVectorOps.labelPropagation _),
@@ -5932,6 +5933,38 @@ object SparkEntry {
                 floor((vr - 1.0) / sqrt(42.0 / (12.0 * nd))
                   * 1000000 + 0.5) / 1000000 AS z_vr
          FROM f ORDER BY symbol""",
+    // KPSS η: residuals scaled by n so partial sums stay exact
+    // HUGEINTs; η reduces algebraically to ΣT²/(n·ΣE²) — two exact
+    // folds, one cast each, one fenced division
+    "kpss_stat" ->
+      """WITH t AS (SELECT event_type AS symbol,
+                CAST(epoch_us(date_trunc('day', ts)) / 86400000000
+                  AS BIGINT) AS h,
+                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+                epoch_us(ts) AS us
+              FROM events),
+         bars AS (SELECT symbol, h, arg_max(c, us) AS close
+                  FROM t GROUP BY 1, 2),
+         tot AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(close) AS BIGINT) AS sc
+                 FROM bars GROUP BY 1 HAVING COUNT(*) >= 2),
+         p AS (SELECT b.symbol, tot.n,
+                 CAST(tot.n AS HUGEINT) * CAST(b.close AS HUGEINT)
+                   - CAST(tot.sc AS HUGEINT) AS e,
+                 SUM(CAST(tot.n AS HUGEINT) * CAST(b.close AS HUGEINT)
+                   - CAST(tot.sc AS HUGEINT)) OVER (PARTITION BY b.symbol
+                   ORDER BY b.h ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS t_cum
+               FROM bars b JOIN tot ON tot.symbol = b.symbol),
+         m AS (SELECT symbol, n,
+                 SUM(t_cum * t_cum) AS stt,
+                 SUM(e * e) AS see
+               FROM p GROUP BY 1, 2)
+         SELECT symbol, n AS n_days,
+                floor(CAST(stt AS DOUBLE)
+                    / NULLIF(CAST(CAST(n AS HUGEINT) * see AS DOUBLE), 0.0)
+                    * 1000000 + 0.5) / 1000000 AS kpss_eta
+         FROM m ORDER BY symbol""",
     "calmar_ratio" ->
       """WITH t AS (SELECT event_type AS symbol,
                 CAST(epoch_us(date_trunc('day', ts)) / 86400000000

@@ -2635,6 +2635,60 @@ object AnalyticOps {
       .orderBy("symbol")
   }
 
+  /** `kpss_stat` — the KPSS level-stationarity statistic
+    * (Kwiatkowski, Phillips, Schmidt & Shin 1992; lag-0 variant, the
+    * `adf_stat` posture) per symbol over daily closes: with residuals
+    * e_t = c_t − c̄ and partial sums S_t = Σ_{i≤t} e_i,
+    * η = (Σ S_t²/n²)/σ̂². KPSS and ADF test OPPOSITE nulls — ADF's
+    * null is a unit root, KPSS's is stationarity — so the pair
+    * brackets each symbol: reject both → misspecified, reject
+    * neither → underpowered, and the two clean quadrants are the
+    * regime answer. Completes the stationarity screen beside
+    * `adf_stat`, `variance_ratio`, `hurst_exponent`.
+    *
+    * Portability: multiply residuals through by n so everything
+    * integer — E_t = n·c_t − Σc is an exact integer, the windowed
+    * partial sums T_t = Σ E_i too, and η reduces ALGEBRAICALLY to
+    * ΣT² / (n·ΣE²) (the n² and n³ scalings cancel): two exact
+    * DECIMAL(38,0)/HUGEINT folds, ONE cast to double each, one
+    * fenced division. No float enters before the final op.
+    *
+    * Scale shape: one groupBy to daily bars, one broadcast of the
+    * per-symbol (n, Σc) row, one cumulative window per symbol over
+    * ~thousands of bar rows, one 2-moment fold. The window runs over
+    * BARS (days), not ticks — bounded at any corpus size by the
+    * calendar, not the data.
+    */
+  def kpssStat(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+    val bars = Tables.events(s, d)
+      .select(col("event_type").as("symbol"),
+        (unix_micros(date_trunc("day", col("ts"))) / lit(86400000000L))
+          .cast("long").as("h"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("c"),
+        unix_micros(col("ts")).as("us"))
+      .groupBy(col("symbol"), col("h"))
+      .agg(max_by(col("c"), col("us")).as("close"))
+    val tot = bars.groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n"), sum(col("close")).as("sc"))
+      .where(col("n") >= 2L)
+    val wd = Window.partitionBy("symbol").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val m = bars.join(broadcast(tot), Seq("symbol"))
+      .withColumn("e", dec(col("n")) * dec(col("close")) - dec(col("sc")))
+      .withColumn("t_cum", sum(col("e")).over(wd).cast(DecimalType(38, 0)))
+      .groupBy(col("symbol"), col("n"))
+      .agg(sum(col("t_cum") * col("t_cum"))
+          .cast(DecimalType(38, 0)).as("stt"),
+        sum(col("e") * col("e")).cast(DecimalType(38, 0)).as("see"))
+    m.select(col("symbol"), col("n").as("n_days"),
+        r6(col("stt").cast("double")
+          / nullif((dec(col("n")) * col("see")).cast("double"), lit(0.0)))
+          .as("kpss_eta"))
+      .orderBy("symbol")
+  }
+
   /** `omega_ratio` — Ω(0) per symbol: total gain mass over total
     * loss mass of the daily returns (Keating & Shadwick 2002 at
     * threshold 0) — the whole-distribution risk ratio that needs NO

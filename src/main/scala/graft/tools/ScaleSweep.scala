@@ -411,7 +411,19 @@ object ScaleSweep {
         (graft.operators.LlmVectorOps.degreeAssortativity _),
       "label_propagation" ->
         (graft.operators.LlmVectorOps.labelPropagation _),
-      "adf_stat" -> (graft.operators.AnalyticOps.adfStat _))
+      "adf_stat" -> (graft.operators.AnalyticOps.adfStat _),
+      // round-12: the storage-served edge twin (cold rep = write +
+      // read-back, warm = parquet serve), two more edge-silver
+      // consumers (reciprocity EXISTS fold, 3 Katz rounds), and the
+      // stationarity pair completing the regime screen
+      "knn_edges_served" ->
+        (graft.operators.LlmVectorOps.knnEdgesServed _),
+      "graph_reciprocity" ->
+        (graft.operators.LlmVectorOps.graphReciprocity _),
+      "katz_centrality" ->
+        (graft.operators.LlmVectorOps.katzCentrality _),
+      "variance_ratio" -> (graft.operators.AnalyticOps.varianceRatio _),
+      "kpss_stat" -> (graft.operators.AnalyticOps.kpssStat _))
       .filter { case (name, _) =>
         // SPARK_GRAFT_QUERIES narrows the sweep (same contract as
         // Bench) — re-measuring one family shouldn't pay for all

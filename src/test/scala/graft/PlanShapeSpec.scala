@@ -611,4 +611,35 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(dir))
   }
+
+  test("the IVF assignment scan stays fenced below an exchange under Generate") {
+    // the Generate re-evaluation hazard (BASELINE round-12): a
+    // compiled scan folded into a Generate's projection re-evaluates
+    // once per GENERATED row — measured 64× (170 s vs 15.6 s) in the
+    // Lloyd trainer, ~nprobe× in this build. The fix is a repartition
+    // materialization fence between the scan and the explode; this
+    // pin fails if the fence is ever removed: every plan line chain
+    // from a Generate down to the n×k assignment scan
+    // (graft_cosine_scan, NOT the per-list _scored scans that
+    // legitimately live inside explode) must cross an exchange.
+    // Executed plan after collect — AQE finalizes stages at runtime.
+    val df = graft.operators.LlmVectorOps
+      .knnEdges3Ivf(spark, TestSpark.sf001, 8, "seed")
+    df.collect()
+    val lines = df.queryExecution.executedPlan.toString.split("\n").toSeq
+    val cosIdxs = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("graft_cosine_scan(") => i
+    }
+    assert(cosIdxs.nonEmpty, "expected the assignment scan in the plan")
+    val genIdxs = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("Generate ") => i
+    }
+    assert(genIdxs.nonEmpty, "expected Generate nodes in the plan")
+    for (ci <- cosIdxs; gi <- genIdxs if gi < ci) {
+      assert(lines.slice(gi, ci).exists(l =>
+        l.contains("Exchange") || l.contains("ShuffleQueryStage")),
+        s"assignment scan (line $ci) under Generate (line $gi) with no " +
+          s"exchange fence:\n${lines.slice(gi, ci + 1).mkString("\n")}")
+    }
+  }
 }
