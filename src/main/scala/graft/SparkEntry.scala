@@ -159,6 +159,8 @@ object SparkEntry {
     "adf_stat"                 -> (AnalyticOps.adfStat _),
     "variance_ratio"           -> (AnalyticOps.varianceRatio _),
     "kpss_stat"                -> (AnalyticOps.kpssStat _),
+    "rolling_beta"             -> (AnalyticOps.rollingBeta _),
+    "khop_reachability"        -> (LlmVectorOps.khopReachability _),
     "ann_recall_lsh"           -> (LlmVectorOps.annRecallLsh _),
     "degree_assortativity"     -> (LlmVectorOps.degreeAssortativity _),
     "label_propagation"        -> (LlmVectorOps.labelPropagation _),
@@ -1170,6 +1172,7 @@ object SparkEntry {
     "hits_scores" -> LlmVectorOps.hitsOracleSql,
     "graph_reciprocity" -> LlmVectorOps.graphReciprocityOracleSql,
     "katz_centrality" -> LlmVectorOps.katzCentralityOracleSql,
+    "khop_reachability" -> LlmVectorOps.khopReachabilityOracleSql,
     // per-symbol lag/return/envelope feature frame; value-preserving
     // row moves + one fenced division under the (us, event_id) order
     "lag_features" ->
@@ -5792,6 +5795,46 @@ object SparkEntry {
                     0.0)
                   * 1000000 + 0.5) / 1000000 AS corr_mkt
          FROM m ORDER BY symbol""",
+    // 10-day rolling CAPM beta: the capm_beta return/market CTEs,
+    // then exact HUGEINT WINDOW sums over a 10-row frame and the
+    // written closed form — full windows only
+    "rolling_beta" ->
+      """WITH t AS (SELECT event_type AS symbol,
+                CAST(epoch_us(date_trunc('day', ts)) / 86400000000
+                  AS BIGINT) AS h,
+                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+                epoch_us(ts) AS us
+              FROM events),
+         bars AS (SELECT symbol, h, arg_max(c, us) AS close
+                  FROM t GROUP BY 1, 2),
+         rets AS (SELECT symbol, h,
+                  CAST(floor(CAST(close - pc AS DOUBLE)
+                    / CAST(pc AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                    AS ret_q
+                  FROM (SELECT symbol, h, close,
+                          lag(close) OVER (PARTITION BY symbol
+                            ORDER BY h) AS pc
+                        FROM bars)
+                  WHERE pc IS NOT NULL AND pc <> 0),
+         mkt AS (SELECT h,
+                  CAST(floor(CAST(SUM(ret_q) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS m_q
+                 FROM rets GROUP BY h),
+         ww AS (SELECT r.symbol, r.h,
+                 COUNT(*) OVER w AS nw,
+                 SUM(CAST(k.m_q AS HUGEINT)) OVER w AS sx,
+                 SUM(CAST(r.ret_q AS HUGEINT)) OVER w AS sy,
+                 SUM(CAST(k.m_q AS HUGEINT) * k.m_q) OVER w AS sxx,
+                 SUM(CAST(k.m_q AS HUGEINT) * r.ret_q) OVER w AS sxy
+               FROM rets r JOIN mkt k ON k.h = r.h
+               WINDOW w AS (PARTITION BY r.symbol ORDER BY r.h
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+         SELECT symbol, h AS day_idx,
+                floor(CAST(CAST(10 AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+                  / NULLIF(CAST(CAST(10 AS HUGEINT) * sxx - sx * sx
+                      AS DOUBLE), 0.0)
+                  * 1000000 + 0.5) / 1000000 AS beta_10d
+         FROM ww WHERE nw = 10 ORDER BY symbol, day_idx""",
     // annualized Sortino: same exact integer moments as sharpe_ratio
     // but the squared sum clips to the downside and the deviation is
     // the population /n form (the estimator's standard definition)

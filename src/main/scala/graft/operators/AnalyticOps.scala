@@ -2635,6 +2635,53 @@ object AnalyticOps {
       .orderBy("symbol")
   }
 
+  /** `rolling_beta` — 10-day rolling CAPM beta per (symbol, day):
+    * the `capm_beta` regression (daily 1e-6 integer returns on the
+    * equal-weight market return) over a sliding 10-row window, so
+    * risk desks see beta DRIFT instead of one full-sample scalar —
+    * the time-varying exposure view that pairs with `psi_drift`'s
+    * distribution drift. Rows emit only where the window is FULL
+    * (10 days — partial-window betas are noise and would also make
+    * the row count depend on warm-up length).
+    *
+    * Portability: the window sums fold exact DECIMAL(38,0)/HUGEINT
+    * integers (same grid as `capm_beta` — ret_q can reach ~1e11 on
+    * the synthetic uniform prices; 10 squares stay ≤ ~1e24), then
+    * the written closed form (10·Σxy − ΣxΣy)/(10·Σxx − (Σx)²) with
+    * ONE cast to double per side and a nullif fence.
+    *
+    * Scale shape: one broadcast of the per-day market row, one
+    * window pass over (symbol, day) rows — the frame is 10 BAR rows,
+    * so cost is calendar-bounded like `kpss_stat`, invariant in the
+    * tick count.
+    */
+  def rollingBeta(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+    val rets = dailyRetQ(s, d)
+    val market = rets.groupBy(col("h"))
+      .agg(floor(sum(col("ret_q")).cast("double")
+        / count(lit(1)).cast("double") + lit(0.5)).cast("long").as("m_q"))
+    val w = Window.partitionBy("symbol").orderBy("h").rowsBetween(-9, 0)
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c).over(w).cast(DecimalType(38, 0))
+    rets.join(broadcast(market), Seq("h"))
+      .select(col("symbol"), col("h"),
+        count(lit(1)).over(w).as("nw"),
+        dsum(dec(col("m_q"))).as("sx"),
+        dsum(dec(col("ret_q"))).as("sy"),
+        dsum(dec(col("m_q")) * dec(col("m_q"))).as("sxx"),
+        dsum(dec(col("m_q")) * dec(col("ret_q"))).as("sxy"))
+      .where(col("nw") === 10L)
+      .select(col("symbol"), col("h").as("day_idx"),
+        r6((lit(10L).cast(DecimalType(38, 0)) * col("sxy")
+          - col("sx") * col("sy")).cast("double")
+          / nullif((lit(10L).cast(DecimalType(38, 0)) * col("sxx")
+            - col("sx") * col("sx")).cast("double"), lit(0.0)))
+          .as("beta_10d"))
+      .orderBy("symbol", "day_idx")
+  }
+
   /** `kpss_stat` — the KPSS level-stationarity statistic
     * (Kwiatkowski, Phillips, Schmidt & Shin 1992; lag-0 variant, the
     * `adf_stat` posture) per symbol over daily closes: with residuals

@@ -2496,6 +2496,76 @@ object LlmVectorOps {
     served.orderBy("src", "dst")
   }
 
+  /** `khop_reachability` — per doc, how many DISTINCT docs its kNN
+    * edges reach within 1, 2, and 3 hops (self excluded): the local
+    * expansion profile of the similarity graph. Out-degree is exactly
+    * 3, so the k-hop frontier is bounded by 3+9+27 rows per node —
+    * the joins stay LINEAR in corpus size by construction (this is
+    * the property that makes truncated reachability computable where
+    * full transitive closure is not). Curation reads it as a
+    * redundancy/coverage signal: a doc whose 3-hop reach saturates
+    * near the 39-node ceiling sits in a well-connected region
+    * (diverse neighbors), one whose reach collapses toward 3 sits in
+    * a closed clique (near-dup pocket — `graph_reciprocity`'s signal,
+    * localized). Eighth consumer of the [[knnEdges3]] silver.
+    *
+    * Portability: pure distinct-count integer folds over unrolled
+    * self-joins — UNION/DISTINCT semantics identical across engines,
+    * no float anywhere.
+    */
+  def khopReachability(s: SparkSession, d: String): DataFrame = {
+    val e = knnEdges3(s, d).select(col("src"), col("dst"))
+    def hop(from: DataFrame): DataFrame = from
+      .join(e.select(col("src").as("mid"), col("dst").as("d2")),
+        from("dst") === col("mid"))
+      .select(from("src"), col("d2").as("dst"))
+    val h2 = hop(e)
+    val h3 = hop(h2)
+    val u2 = e.union(h2)
+    val u3 = u2.union(h3)
+    def reach(edges: DataFrame, out: String): DataFrame = edges
+      .where(col("dst") =!= col("src"))
+      .groupBy(col("src"))
+      .agg(countDistinct(col("dst")).as(out))
+    val nodes = Tables.embeddings(s, d).select(col("vec_id").as("doc_id"))
+    nodes
+      .join(reach(e, "reach1"), col("doc_id") === col("src"), "left")
+      .drop("src")
+      .join(reach(u2, "reach2"), col("doc_id") === col("src"), "left")
+      .drop("src")
+      .join(reach(u3, "reach3"), col("doc_id") === col("src"), "left")
+      .drop("src")
+      .select(col("doc_id"),
+        coalesce(col("reach1"), lit(0L)).as("reach1"),
+        coalesce(col("reach2"), lit(0L)).as("reach2"),
+        coalesce(col("reach3"), lit(0L)).as("reach3"))
+      .orderBy("doc_id")
+  }
+
+  /** The DuckDB oracle for `khop_reachability`: shared kNN edges +
+    * the two unrolled hop joins and three distinct-count folds. */
+  private[graft] def khopReachabilityOracleSql: String =
+    s"""WITH $knnEdgeCtes,
+         h2 AS (SELECT a.src, b.dst FROM e a JOIN e b ON b.src = a.dst),
+         h3 AS (SELECT a.src, b.dst FROM h2 a JOIN e b ON b.src = a.dst),
+         u2 AS (SELECT src, dst FROM e UNION ALL SELECT src, dst FROM h2),
+         u3 AS (SELECT src, dst FROM u2 UNION ALL SELECT src, dst FROM h3),
+         r1 AS (SELECT src, CAST(COUNT(DISTINCT dst) AS BIGINT) AS c
+                FROM e WHERE dst <> src GROUP BY 1),
+         r2 AS (SELECT src, CAST(COUNT(DISTINCT dst) AS BIGINT) AS c
+                FROM u2 WHERE dst <> src GROUP BY 1),
+         r3 AS (SELECT src, CAST(COUNT(DISTINCT dst) AS BIGINT) AS c
+                FROM u3 WHERE dst <> src GROUP BY 1)
+         SELECT n.id AS doc_id,
+                COALESCE(r1.c, 0) AS reach1,
+                COALESCE(r2.c, 0) AS reach2,
+                COALESCE(r3.c, 0) AS reach3
+         FROM nodes n
+         LEFT JOIN r1 ON r1.src = n.id
+         LEFT JOIN r2 ON r2.src = n.id
+         LEFT JOIN r3 ON r3.src = n.id
+         ORDER BY doc_id"""
+
   /** How many leading dimensions the truncated-search rung keeps. */
   private[graft] val truncDim = 16
 

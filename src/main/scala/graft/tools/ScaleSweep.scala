@@ -423,7 +423,13 @@ object ScaleSweep {
       "katz_centrality" ->
         (graft.operators.LlmVectorOps.katzCentrality _),
       "variance_ratio" -> (graft.operators.AnalyticOps.varianceRatio _),
-      "kpss_stat" -> (graft.operators.AnalyticOps.kpssStat _))
+      "kpss_stat" -> (graft.operators.AnalyticOps.kpssStat _),
+      // round-12 third wave: bounded 3-hop reach (8th edge consumer;
+      // frontier ≤ 39 rows/node by out-degree-3 construction) and the
+      // windowed CAPM drift view (10 bar rows per frame)
+      "khop_reachability" ->
+        (graft.operators.LlmVectorOps.khopReachability _),
+      "rolling_beta" -> (graft.operators.AnalyticOps.rollingBeta _))
       .filter { case (name, _) =>
         // SPARK_GRAFT_QUERIES narrows the sweep (same contract as
         // Bench) — re-measuring one family shouldn't pay for all
