@@ -161,6 +161,8 @@ object SparkEntry {
     "kpss_stat"                -> (AnalyticOps.kpssStat _),
     "rolling_beta"             -> (AnalyticOps.rollingBeta _),
     "khop_reachability"        -> (LlmVectorOps.khopReachability _),
+    "half_life"                -> (AnalyticOps.halfLife _),
+    "degree_gini"              -> (LlmVectorOps.degreeGini _),
     "ann_recall_lsh"           -> (LlmVectorOps.annRecallLsh _),
     "degree_assortativity"     -> (LlmVectorOps.degreeAssortativity _),
     "label_propagation"        -> (LlmVectorOps.labelPropagation _),
@@ -1173,6 +1175,7 @@ object SparkEntry {
     "graph_reciprocity" -> LlmVectorOps.graphReciprocityOracleSql,
     "katz_centrality" -> LlmVectorOps.katzCentralityOracleSql,
     "khop_reachability" -> LlmVectorOps.khopReachabilityOracleSql,
+    "degree_gini" -> LlmVectorOps.degreeGiniOracleSql,
     // per-symbol lag/return/envelope feature frame; value-preserving
     // row moves + one fenced division under the (us, event_id) order
     "lag_features" ->
@@ -6008,6 +6011,45 @@ object SparkEntry {
                     / NULLIF(CAST(CAST(n AS HUGEINT) * see AS DOUBLE), 0.0)
                     * 1000000 + 0.5) / 1000000 AS kpss_eta
          FROM m ORDER BY symbol""",
+    // mean-reversion half-life: the adf_stat moment chain to the
+    // bit-equal beta, then -ln(2)/ln(1+beta) fenced to the
+    // monotone-decay band (-1, 0) where the log is defined
+    "half_life" ->
+      """WITH t AS (SELECT event_type AS symbol,
+                CAST(epoch_us(date_trunc('day', ts)) / 86400000000
+                  AS BIGINT) AS h,
+                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+                epoch_us(ts) AS us
+              FROM events),
+         bars AS (SELECT symbol, h, arg_max(c, us) AS close
+                  FROM t GROUP BY 1, 2),
+         p AS (SELECT symbol, close,
+                lag(close) OVER (PARTITION BY symbol ORDER BY h) AS x
+               FROM bars),
+         pp AS (SELECT symbol, CAST(x AS BIGINT) AS x,
+                  CAST(close - x AS BIGINT) AS z
+                FROM p WHERE x IS NOT NULL),
+         m AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(z) AS BIGINT) AS sz,
+                 SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+                 SUM(CAST(x AS HUGEINT) * CAST(z AS HUGEINT)) AS sxz
+               FROM pp GROUP BY 1 HAVING COUNT(*) >= 3),
+         b AS (SELECT symbol, n,
+                 CAST(CAST(n AS HUGEINT) * sxz
+                     - CAST(sx AS HUGEINT) * CAST(sz AS HUGEINT)
+                   AS DOUBLE)
+                 / NULLIF(CAST(CAST(n AS HUGEINT) * sxx
+                     - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)
+                   AS DOUBLE), 0.0) AS beta
+               FROM m)
+         SELECT symbol, n AS n_diffs,
+                floor(beta * 1000000 + 0.5) / 1000000 AS beta,
+                CASE WHEN beta > -1.0 AND beta < 0.0 THEN
+                  floor(-ln(2.0) / ln(1.0 + beta) * 1000000 + 0.5)
+                    / 1000000
+                END AS half_life_days
+         FROM b ORDER BY symbol""",
     "calmar_ratio" ->
       """WITH t AS (SELECT event_type AS symbol,
                 CAST(epoch_us(date_trunc('day', ts)) / 86400000000

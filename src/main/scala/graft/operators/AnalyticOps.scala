@@ -2736,6 +2736,58 @@ object AnalyticOps {
       .orderBy("symbol")
   }
 
+  /** `half_life` — mean-reversion half-life per symbol, in days:
+    * from the `adf_stat` AR(1) regression Δc_t = α + β·c_{t−1} + ε,
+    * hl = −ln 2 / ln(1+β̂) — how long a shock takes to decay halfway
+    * back. The practitioner's reading of the same regression the ADF
+    * t-stat tests: ADF answers "IS it mean-reverting", half-life
+    * answers "how FAST" (the number a pairs-trading horizon is sized
+    * from). Emits null unless −2 < β̂ < 0 (outside that band the
+    * AR(1) does not decay and no half-life exists — the fence is the
+    * definition, not a convenience).
+    *
+    * Portability: β̂ comes off the identical exact-HUGEINT moment
+    * chain as `adf_stat` (bit-equal across engines), then ln runs on
+    * the SAME double in both; libm/StrictMath ln agree to ≤ 1 ulp,
+    * invisible under the r6 round except on an exact grid boundary —
+    * the `psi_drift`/`entropy_stats` log posture.
+    */
+  def halfLife(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+    val bars = Tables.events(s, d)
+      .select(col("event_type").as("symbol"),
+        (unix_micros(date_trunc("day", col("ts"))) / lit(86400000000L))
+          .cast("long").as("h"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("c"),
+        unix_micros(col("ts")).as("us"))
+      .groupBy(col("symbol"), col("h"))
+      .agg(max_by(col("c"), col("us")).as("close"))
+    val wd = Window.partitionBy("symbol").orderBy("h")
+    val pairs = bars
+      .withColumn("x", lag(col("close"), 1).over(wd))
+      .where(col("x").isNotNull)
+      .withColumn("z", col("close") - col("x"))
+    val m = pairs.groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("z")).as("sz"),
+        sum(dec(col("x")) * dec(col("x")))
+          .cast(DecimalType(38, 0)).as("sxx"),
+        sum(dec(col("x")) * dec(col("z")))
+          .cast(DecimalType(38, 0)).as("sxz"))
+      .where(col("n") >= 3L)
+    val dd = (dec(col("n")) * col("sxx")
+      - dec(col("sx")) * dec(col("sx"))).cast("double")
+    val nn = (dec(col("n")) * col("sxz")
+      - dec(col("sx")) * dec(col("sz"))).cast("double")
+    val beta = nn / nullif(dd, lit(0.0))
+    m.select(col("symbol"), col("n").as("n_diffs"),
+        r6(beta).as("beta"),
+        r6(when(beta > lit(-1.0) && beta < lit(0.0),
+          -log(lit(2.0)) / log(lit(1.0) + beta))).as("half_life_days"))
+      .orderBy("symbol")
+  }
+
   /** `omega_ratio` — Ω(0) per symbol: total gain mass over total
     * loss mass of the daily returns (Keating & Shadwick 2002 at
     * threshold 0) — the whole-distribution risk ratio that needs NO

@@ -2566,6 +2566,68 @@ object LlmVectorOps {
          LEFT JOIN r3 ON r3.src = n.id
          ORDER BY doc_id"""
 
+  /** `degree_gini` — Gini concentration of IN-degree over the kNN
+    * graph (every node has out-degree 3, so in-degree carries all the
+    * structure): the single-number answer to "is neighbor mass spread
+    * evenly or funneled into a few exemplar hubs?" — 0 = every doc
+    * equally referenced, → 1 = a few docs absorb the corpus's
+    * nearest-neighbor votes (the skew `pagerank_docs` ranks doc by
+    * doc, summarized). Ninth consumer of the [[knnEdges3]] silver.
+    *
+    * Portability: the rank-sum closed form G = (2·Σ(i·dᵢ) − (n+1)·Σd)
+    * / (n·Σd) over in-degrees sorted (d asc, id asc) — ranks from ONE
+    * row_number window, every sum an exact integer (zero-in-degree
+    * nodes included via the left join), one fenced division on the r6
+    * grid. Scale: the rank window runs over N one-per-node rows, and
+    * at 100 TB the same fold runs on a sampled node set — Gini is
+    * estimator-friendly.
+    */
+  def degreeGini(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val edges = knnEdges3(s, d)
+    val indeg = edges.groupBy(col("dst")).agg(count(lit(1)).as("deg"))
+    val nodes = Tables.embeddings(s, d).select(col("vec_id").as("id"))
+    val degs = nodes.join(indeg, col("id") === col("dst"), "left")
+      .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
+    val w = Window.orderBy(col("deg").asc, col("id").asc)
+    degs.withColumn("rk", row_number().over(w))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("deg")).as("sd"),
+        sum(dec(col("rk")) * dec(col("deg")))
+          .cast(DecimalType(38, 0)).as("srd"))
+      .select(col("n_nodes"),
+        r6((lit(2L).cast(DecimalType(38, 0)) * col("srd")
+          - (dec(col("n_nodes")) + lit(1L).cast(DecimalType(38, 0)))
+            * dec(col("sd"))).cast("double")
+          / nullif((dec(col("n_nodes")) * dec(col("sd"))).cast("double"),
+            lit(0.0))).as("degree_gini"))
+  }
+
+  /** The DuckDB oracle for `degree_gini`: the shared edge CTEs, the
+    * same (deg asc, id asc) rank window and exact rank-sum fold. */
+  private[graft] def degreeGiniOracleSql: String =
+    s"""WITH $knnEdgeCtes,
+         indeg AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS deg
+                   FROM e GROUP BY 1),
+         degs AS (SELECT n.id, COALESCE(i.deg, 0) AS deg
+                  FROM nodes n LEFT JOIN indeg i ON i.dst = n.id),
+         drank AS (SELECT id, deg,
+                  ROW_NUMBER() OVER (ORDER BY deg ASC, id ASC) AS dr
+                FROM degs),
+         m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                 CAST(SUM(deg) AS BIGINT) AS sd,
+                 SUM(CAST(dr AS HUGEINT) * CAST(deg AS HUGEINT)) AS srd
+               FROM drank)
+         SELECT n_nodes,
+                floor(CAST(CAST(2 AS HUGEINT) * srd
+                    - (CAST(n_nodes AS HUGEINT) + CAST(1 AS HUGEINT))
+                      * CAST(sd AS HUGEINT) AS DOUBLE)
+                  / NULLIF(CAST(CAST(n_nodes AS HUGEINT)
+                      * CAST(sd AS HUGEINT) AS DOUBLE), 0.0)
+                  * 1000000 + 0.5) / 1000000 AS degree_gini
+         FROM m"""
+
   /** How many leading dimensions the truncated-search rung keeps. */
   private[graft] val truncDim = 16
 

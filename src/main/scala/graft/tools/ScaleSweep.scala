@@ -429,7 +429,9 @@ object ScaleSweep {
       // windowed CAPM drift view (10 bar rows per frame)
       "khop_reachability" ->
         (graft.operators.LlmVectorOps.khopReachability _),
-      "rolling_beta" -> (graft.operators.AnalyticOps.rollingBeta _))
+      "rolling_beta" -> (graft.operators.AnalyticOps.rollingBeta _),
+      "degree_gini" -> (graft.operators.LlmVectorOps.degreeGini _),
+      "half_life" -> (graft.operators.AnalyticOps.halfLife _))
       .filter { case (name, _) =>
         // SPARK_GRAFT_QUERIES narrows the sweep (same contract as
         // Bench) — re-measuring one family shouldn't pay for all
