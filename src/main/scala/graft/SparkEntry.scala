@@ -169,6 +169,13 @@ object SparkEntry {
     "graph_reciprocity"        -> (LlmVectorOps.graphReciprocity _),
     "katz_centrality"          -> (LlmVectorOps.katzCentrality _),
     "knn_edges_served"         -> (LlmVectorOps.knnEdgesServed _),
+    "knn_edges_incremental"    -> (KnnIncremental.knnEdgesIncremental _),
+    "local_clustering"         -> (LlmVectorOps.localClustering _),
+    "kendall_tau"              -> (AnalyticOps.kendallTau _),
+    "turning_points"           -> (AnalyticOps.turningPoints _),
+    "overnight_gap"            -> (AnalyticOps.overnightGap _),
+    "parkinson_vol"            -> (AnalyticOps.parkinsonVol _),
+    "cond_entropy"             -> (AnalyticOps.condEntropy _),
     "omega_ratio"              -> (AnalyticOps.omegaRatio _),
     "underwater_duration"      -> (AnalyticOps.underwaterDuration _),
     "embedding_drift"          -> (LlmVectorOps.embeddingDrift _),
@@ -1170,12 +1177,158 @@ object SparkEntry {
     // the storage-served twin gates against the SAME edge oracle —
     // the cross-engine proof that write → serve loses nothing
     "knn_edges_served" -> LlmVectorOps.knnEdgesOracleSql,
+    // the incremental twin too: build on 80% + append 20% + serve
+    // must equal the exact full-corpus edge set (full probe) — the
+    // cross-engine proof that append-then-serve == rebuild
+    "knn_edges_incremental" -> LlmVectorOps.knnEdgesOracleSql,
     "pagerank_docs" -> LlmVectorOps.pagerankOracleSql,
     "hits_scores" -> LlmVectorOps.hitsOracleSql,
     "graph_reciprocity" -> LlmVectorOps.graphReciprocityOracleSql,
     "katz_centrality" -> LlmVectorOps.katzCentralityOracleSql,
     "khop_reachability" -> LlmVectorOps.khopReachabilityOracleSql,
     "degree_gini" -> LlmVectorOps.degreeGiniOracleSql,
+    "local_clustering" -> LlmVectorOps.localClusteringOracleSql,
+    // Kendall τ-b per symbol over (daily close, daily tick count)
+    // pairs: exact concordance/tie counts off the unrolled h1<h2
+    // self-join, one written two-sqrt IEEE tail
+    "kendall_tau" ->
+      """WITH t AS (SELECT event_type AS symbol,
+                CAST(epoch_us(date_trunc('day', ts)) / 86400000000
+                  AS BIGINT) AS h,
+                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+                epoch_us(ts) AS us
+              FROM events),
+         bars AS (SELECT symbol, h, arg_max(c, us) AS close,
+                    CAST(COUNT(*) AS BIGINT) AS v
+                  FROM t GROUP BY 1, 2),
+         p AS (SELECT a.symbol, a.close AS c1, a.v AS v1,
+                 b.close AS c2, b.v AS v2
+               FROM bars a JOIN bars b
+                 ON b.symbol = a.symbol AND a.h < b.h),
+         m AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n0,
+                 CAST(SUM(CASE WHEN (c2 - c1) * (v2 - v1) > 0
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_conc,
+                 CAST(SUM(CASE WHEN (c2 - c1) * (v2 - v1) < 0
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_disc,
+                 CAST(SUM(CASE WHEN c1 = c2 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS tx,
+                 CAST(SUM(CASE WHEN v1 = v2 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS ty
+               FROM p GROUP BY 1)
+         SELECT symbol, n0 AS n_pairs, n_conc, n_disc,
+                floor(CAST(n_conc - n_disc AS DOUBLE)
+                  / NULLIF(sqrt(CAST(n0 - tx AS DOUBLE))
+                      * sqrt(CAST(n0 - ty AS DOUBLE)), 0.0)
+                  * 1000000 + 0.5) / 1000000 AS tau_b
+         FROM m ORDER BY symbol""",
+    // turning-point randomness test per symbol: strict local
+    // extrema count vs the i.i.d. closed form, null under n < 3
+    "turning_points" ->
+      """WITH t AS (SELECT event_type AS symbol,
+                CAST(epoch_us(date_trunc('day', ts)) / 86400000000
+                  AS BIGINT) AS h,
+                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+                epoch_us(ts) AS us
+              FROM events),
+         bars AS (SELECT symbol, h, arg_max(c, us) AS close
+                  FROM t GROUP BY 1, 2),
+         mk AS (SELECT symbol, close,
+                  lag(close) OVER w AS pv, lead(close) OVER w AS nx
+                FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY h)),
+         a AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days,
+                 CAST(SUM(CASE WHEN pv IS NOT NULL AND nx IS NOT NULL
+                       AND ((close > pv AND close > nx)
+                         OR (close < pv AND close < nx))
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_turns
+               FROM mk GROUP BY 1)
+         SELECT symbol, n_days, n_turns,
+                CASE WHEN n_days >= 3 THEN
+                  floor((CAST(n_turns AS DOUBLE)
+                      - 2.0 * CAST(n_days - 2 AS DOUBLE) / 3.0)
+                    / sqrt((16.0 * CAST(n_days AS DOUBLE) - 29.0) / 90.0)
+                    * 1000000 + 0.5) / 1000000
+                END AS z_score
+         FROM a ORDER BY symbol""",
+    // overnight gap profile: open-vs-prior-close on the 1e-6 grid,
+    // exact integer folds until the fenced divisions
+    "overnight_gap" ->
+      """WITH t AS (SELECT event_type AS symbol,
+                CAST(epoch_us(date_trunc('day', ts)) / 86400000000
+                  AS BIGINT) AS h,
+                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+                epoch_us(ts) AS us
+              FROM events),
+         bars AS (SELECT symbol, h, arg_min(c, us) AS open,
+                    arg_max(c, us) AS close
+                  FROM t GROUP BY 1, 2),
+         g AS (SELECT symbol, open,
+                 lag(close) OVER (PARTITION BY symbol ORDER BY h) AS pc
+               FROM bars),
+         gq AS (SELECT symbol,
+                  CAST(floor(CAST(open - pc AS DOUBLE) / CAST(pc AS DOUBLE)
+                    * 1000000.0 + 0.5) AS BIGINT) AS gap_q
+                FROM g WHERE pc IS NOT NULL AND pc <> 0),
+         a AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                 CAST(SUM(CASE WHEN gap_q > 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_up,
+                 CAST(SUM(CASE WHEN gap_q < 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_down,
+                 CAST(SUM(gap_q) AS BIGINT) AS sg,
+                 CAST(MAX(gap_q) AS BIGINT) AS mxg,
+                 CAST(MIN(gap_q) AS BIGINT) AS mng
+               FROM gq GROUP BY 1)
+         SELECT symbol, n_gaps, n_up, n_down,
+                floor(CAST(sg AS DOUBLE)
+                    / CAST(n_gaps * 1000000 AS DOUBLE)
+                  * 1000000 + 0.5) / 1000000 AS mean_gap,
+                floor(CAST(mxg AS DOUBLE) / 1000000.0
+                  * 1000000 + 0.5) / 1000000 AS max_gap,
+                floor(CAST(mng AS DOUBLE) / 1000000.0
+                  * 1000000 + 0.5) / 1000000 AS min_gap
+         FROM a ORDER BY symbol""",
+    // Parkinson range variance: exact H/L picks, one written double
+    // expression with the 4·ln2 constant as an expression tree (the
+    // garman_klass_vol contract)
+    "parkinson_vol" ->
+      """WITH t AS (SELECT CAST(ts AS DATE) AS date,
+                event_type AS symbol, value AS price FROM events)
+         SELECT date, symbol, COUNT(*) AS n_ticks,
+                floor(ln(max(price) / min(price))
+                    * ln(max(price) / min(price))
+                    / (4.0 * ln(2.0))
+                  * 1000000 + 0.5) / 1000000 AS park_var
+         FROM t GROUP BY 1, 2 HAVING min(price) > 0.0
+         ORDER BY 1, 2""",
+    // H(lang|source) + Theil's U: exact counts, per-term 1e-9
+    // integer quantization summed order-free (the chi2 posture)
+    "cond_entropy" ->
+      """WITH cells AS (SELECT source, lang,
+                CAST(COUNT(*) AS BIGINT) AS o
+              FROM documents GROUP BY 1, 2),
+         st AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ct
+                FROM cells GROUP BY 1),
+         ltab AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS lt
+                  FROM cells GROUP BY 1),
+         tot AS (SELECT CAST(SUM(o) AS BIGINT) AS nn FROM cells),
+         hl AS (SELECT CAST(SUM(CAST(floor(
+                    (CAST(lt AS DOUBLE) / CAST(nn AS DOUBLE))
+                    * ln(CAST(nn AS DOUBLE) / CAST(lt AS DOUBLE))
+                    * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS hl_q
+                FROM ltab, tot),
+         hc AS (SELECT CAST(SUM(CAST(floor(
+                    (CAST(o AS DOUBLE) / CAST(nn AS DOUBLE))
+                    * ln(CAST(ct AS DOUBLE) / CAST(o AS DOUBLE))
+                    * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS hc_q
+                FROM cells JOIN st USING (source), tot)
+         SELECT nn AS n_docs,
+                floor(CAST(hl_q AS DOUBLE) / 1000000000.0
+                  * 1000000 + 0.5) / 1000000 AS h_lang,
+                floor(CAST(hc_q AS DOUBLE) / 1000000000.0
+                  * 1000000 + 0.5) / 1000000 AS h_lang_given_source,
+                floor(CAST(hl_q - hc_q AS DOUBLE)
+                    / NULLIF(CAST(hl_q AS DOUBLE), 0.0)
+                  * 1000000 + 0.5) / 1000000 AS uncertainty_coeff
+         FROM tot, hl, hc""",
     // per-symbol lag/return/envelope feature frame; value-preserving
     // row moves + one fenced division under the (us, event_id) order
     "lag_features" ->

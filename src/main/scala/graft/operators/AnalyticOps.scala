@@ -2742,9 +2742,12 @@ object AnalyticOps {
     * back. The practitioner's reading of the same regression the ADF
     * t-stat tests: ADF answers "IS it mean-reverting", half-life
     * answers "how FAST" (the number a pairs-trading horizon is sized
-    * from). Emits null unless −2 < β̂ < 0 (outside that band the
-    * AR(1) does not decay and no half-life exists — the fence is the
-    * definition, not a convenience).
+    * from). Emits null unless −1 < β̂ < 0: that is the MONOTONE-decay
+    * band where ln(1+β̂) is defined and negative — at β̂ ≤ −1 the
+    * AR(1) oscillates or diverges (no real log, no half-life), at
+    * β̂ ≥ 0 shocks never decay. The fence is the definition, not a
+    * convenience (a first cut fenced at (−2, 0) and DuckDB's ln
+    * rejected it — the oracle catching a definition bug).
     *
     * Portability: β̂ comes off the identical exact-HUGEINT moment
     * chain as `adf_stat` (bit-equal across engines), then ln runs on
@@ -2785,6 +2788,143 @@ object AnalyticOps {
         r6(beta).as("beta"),
         r6(when(beta > lit(-1.0) && beta < lit(0.0),
           -log(lit(2.0)) / log(lit(1.0) + beta))).as("half_life_days"))
+      .orderBy("symbol")
+  }
+
+  /** `kendall_tau` — Kendall's τ-b per symbol between daily close and
+    * daily tick count (Kendall 1938): does activity rise with price
+    * MONOTONICALLY, counted over pairs of days — the rank-correlation
+    * complement to `spearman_corr` (which ranks tick-level price vs
+    * volume): τ reads concordance directly off pair orientations, so
+    * it is the more robust of the two under heavy ties, and its
+    * pair form needs NO rank table at all.
+    *
+    * Portability: concordant/discordant/tied pair counts are exact
+    * integers off the unrolled (h1 < h2) self-join; τ-b =
+    * (C − D) / (√(n0−t_x)·√(n0−t_y)) is one written IEEE sequence
+    * (two sqrts, one division), 6-dp fenced, null when either side is
+    * all-ties. Scale shape: the pair frame is per-symbol
+    * CALENDAR-bounded (days², the `rolling_beta` posture) — the
+    * corpus-sized work is the daily-bar aggregate alone.
+    */
+  def kendallTau(s: SparkSession, d: String): DataFrame = {
+    val bars = Tables.events(s, d)
+      .select(col("event_type").as("symbol"),
+        (unix_micros(date_trunc("day", col("ts"))) / lit(86400000000L))
+          .cast("long").as("h"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("c"),
+        unix_micros(col("ts")).as("us"))
+      .groupBy(col("symbol"), col("h"))
+      .agg(max_by(col("c"), col("us")).as("close"), count(lit(1)).as("v"))
+    val a = bars.select(col("symbol"), col("h").as("h1"),
+      col("close").as("c1"), col("v").as("v1"))
+    val b = bars.select(col("symbol"), col("h").as("h2"),
+      col("close").as("c2"), col("v").as("v2"))
+    a.join(b, Seq("symbol")).where(col("h1") < col("h2"))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n0"),
+        sum(when((col("c2") - col("c1")) * (col("v2") - col("v1")) > 0L, 1L)
+          .otherwise(0L)).as("n_conc"),
+        sum(when((col("c2") - col("c1")) * (col("v2") - col("v1")) < 0L, 1L)
+          .otherwise(0L)).as("n_disc"),
+        sum(when(col("c1") === col("c2"), 1L).otherwise(0L)).as("tx"),
+        sum(when(col("v1") === col("v2"), 1L).otherwise(0L)).as("ty"))
+      .select(col("symbol"), col("n0").as("n_pairs"), col("n_conc"),
+        col("n_disc"),
+        r6((col("n_conc") - col("n_disc")).cast("double")
+          / nullif(sqrt((col("n0") - col("tx")).cast("double"))
+            * sqrt((col("n0") - col("ty")).cast("double")), lit(0.0)))
+          .as("tau_b"))
+      .orderBy("symbol")
+  }
+
+  /** `turning_points` — the turning-point test of series randomness
+    * (Kendall & Stuart; Brockwell–Davis §1.6) per symbol: count the
+    * STRICT local maxima/minima of the daily close sequence and score
+    * against the i.i.d. expectation E[T] = 2(n−2)/3,
+    * Var[T] = (16n−29)/90 — too FEW turns flags trend, too MANY flags
+    * oscillation/mean-reversion, the nonparametric sibling of
+    * `runs_test` (which scores tick-level sign runs). Plateaus
+    * (tied neighbors) are non-turns by the strict-inequality
+    * definition, identically in both engines.
+    *
+    * Portability: the turn indicator is pure integer comparison over
+    * one lag/lead window; T is an exact count; the z-score is one
+    * written IEEE sequence, null under n < 3 (no interior day — the
+    * statistic is undefined, not zero). Scale: calendar-bounded bars.
+    */
+  def turningPoints(s: SparkSession, d: String): DataFrame = {
+    val bars = Tables.events(s, d)
+      .select(col("event_type").as("symbol"),
+        (unix_micros(date_trunc("day", col("ts"))) / lit(86400000000L))
+          .cast("long").as("h"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("c"),
+        unix_micros(col("ts")).as("us"))
+      .groupBy(col("symbol"), col("h"))
+      .agg(max_by(col("c"), col("us")).as("close"))
+    val wd = Window.partitionBy("symbol").orderBy("h")
+    bars
+      .withColumn("pv", lag(col("close"), 1).over(wd))
+      .withColumn("nx", lead(col("close"), 1).over(wd))
+      .withColumn("turn", when(col("pv").isNotNull && col("nx").isNotNull
+        && ((col("close") > col("pv") && col("close") > col("nx"))
+          || (col("close") < col("pv") && col("close") < col("nx"))), 1L)
+        .otherwise(0L))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_days"), sum(col("turn")).as("n_turns"))
+      .select(col("symbol"), col("n_days"), col("n_turns"),
+        r6(when(col("n_days") >= 3L,
+          (col("n_turns").cast("double")
+            - lit(2.0) * (col("n_days") - lit(2L)).cast("double") / lit(3.0))
+            / sqrt((lit(16.0) * col("n_days").cast("double") - lit(29.0))
+              / lit(90.0)))).as("z_score"))
+      .orderBy("symbol")
+  }
+
+  /** `overnight_gap` — per-symbol overnight gap profile: today's OPEN
+    * against yesterday's CLOSE on the 1e-6 return grid — the
+    * discontinuity risk a close-to-close return series hides (a
+    * symbol can look calm daily while gapping violently at the open;
+    * gap risk is why overnight positions price differently than
+    * intraday ones). Counts of gap-ups/downs plus the exact mean and
+    * extreme gaps.
+    *
+    * Portability: open/close pick exact centi-integers under the
+    * (us, event_id)-free arg_min/arg_max tie contract the OHLC family
+    * already gates; gap_q quantizes each day's gap to an exact long
+    * at birth, so every aggregate is an integer fold until the two
+    * fenced divisions. Scale: one corpus aggregate to (symbol, day)
+    * bars, then calendar-bounded windows.
+    */
+  def overnightGap(s: SparkSession, d: String): DataFrame = {
+    val bars = Tables.events(s, d)
+      .select(col("event_type").as("symbol"),
+        (unix_micros(date_trunc("day", col("ts"))) / lit(86400000000L))
+          .cast("long").as("h"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("c"),
+        unix_micros(col("ts")).as("us"))
+      .groupBy(col("symbol"), col("h"))
+      .agg(min_by(col("c"), col("us")).as("open"),
+        max_by(col("c"), col("us")).as("close"))
+    val wd = Window.partitionBy("symbol").orderBy("h")
+    bars
+      .withColumn("pc", lag(col("close"), 1).over(wd))
+      .where(col("pc").isNotNull && col("pc") =!= 0L)
+      .withColumn("gap_q", floor((col("open") - col("pc")).cast("double")
+        / col("pc").cast("double") * lit(1000000.0) + lit(0.5))
+        .cast("long"))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(when(col("gap_q") > 0L, 1L).otherwise(0L)).as("n_up"),
+        sum(when(col("gap_q") < 0L, 1L).otherwise(0L)).as("n_down"),
+        sum(col("gap_q")).as("sg"),
+        max(col("gap_q")).as("mxg"),
+        min(col("gap_q")).as("mng"))
+      .select(col("symbol"), col("n_gaps"), col("n_up"), col("n_down"),
+        r6(col("sg").cast("double")
+          / (col("n_gaps") * lit(1000000L)).cast("double")).as("mean_gap"),
+        r6(col("mxg").cast("double") / lit(1000000.0)).as("max_gap"),
+        r6(col("mng").cast("double") / lit(1000000.0)).as("min_gap"))
       .orderBy("symbol")
   }
 
@@ -2876,6 +3016,35 @@ object AnalyticOps {
           - (lit(2.0) * log(lit(2.0)) - lit(1.0))
             * log(col("c") / col("o")) * log(col("c") / col("o")))
           .as("gk_var"))
+      .orderBy("date", "symbol")
+
+  /** `parkinson_vol` — Parkinson's range volatility estimator
+    * (Parkinson 1980) per (date, symbol): ln(H/L)² / (4·ln 2) — the
+    * high-low sibling of [[garmanKlassVol]] that needs only the
+    * day's extremes (no open/close), ~5× more efficient than
+    * close-to-close variance and the right estimator when intraday
+    * ticks are sparse or open/close prints are unreliable. Reading
+    * GK and Parkinson side by side separates range-driven variance
+    * from drift-driven variance (GK subtracts the open-close term;
+    * Parkinson doesn't).
+    *
+    * Portability: H and L are exact stored doubles (min/max pick,
+    * never arithmetic), then ONE written double expression with the
+    * 4·ln 2 constant spelled as an expression tree both engines
+    * evaluate identically — the [[garmanKlassVol]] contract. Scale:
+    * one map-side-combined (date, symbol) aggregate, no window.
+    */
+  def parkinsonVol(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(to_date(col("ts")).as("date"),
+        col("event_type").as("symbol"), col("value").as("price"))
+      .groupBy(col("date"), col("symbol"))
+      .agg(max(col("price")).as("hi"), min(col("price")).as("lo"),
+        count(lit(1)).as("n_ticks"))
+      .where(col("lo") > 0.0)
+      .select(col("date"), col("symbol"), col("n_ticks"),
+        r6(log(col("hi") / col("lo")) * log(col("hi") / col("lo"))
+          / (lit(4.0) * log(lit(2.0)))).as("park_var"))
       .orderBy("date", "symbol")
 
   /** `arch_effect` — volatility clustering per symbol: the lag-1
@@ -3720,11 +3889,18 @@ object AnalyticOps {
     *
     * Scale shape: two map-side-combined grid aggregates + two
     * broadcast joins + one final aggregate to |symbol| rows; the
-    * only per-symbol windows run over the bounded value grids.
+    * only per-symbol windows run over the bounded value grids. The
+    * base projection feeds THREE consumers (two rank tables + the
+    * final fold), so it reads the shared [[sortedTicks]] silver —
+    * one events scan per (session, corpus) total, the cached
+    * materialization served three times — instead of scanning the
+    * parquet three times (the pre-silver shape, real money at
+    * 100 TB; `spark.graft.ticks.materialize=false` restores the bare
+    * three-scan plan, TickSilverSpec pins both).
     */
   def spearmanCorr(s: SparkSession, d: String): DataFrame = {
-    val rows = Tables.events(s, d)
-      .select(col("event_type").as("symbol"),
+    val rows = sortedTicks(s, d)
+      .select(col("symbol"),
         floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("c"),
         coalesce(get_json_object(col("props"), "$.k").cast("long"),
           lit(0L)).as("v"))
@@ -3809,6 +3985,53 @@ object AnalyticOps {
           / (col("n_docs").cast("double")
             * least(col("n_langs") - lit(1L), col("n_sources") - lit(1L))
               .cast("double")))).as("cramers_v"))
+  }
+
+  /** `cond_entropy` — conditional entropy H(lang | source) and
+    * Theil's uncertainty coefficient U = (H(lang) − H(lang|source))
+    * / H(lang) over the documents table: the DIRECTED counterpart to
+    * [[chi2Independence]]'s symmetric association — "given the
+    * source, how much language uncertainty remains", on a 0–1 scale
+    * where 1 means source determines language exactly (fully siloed
+    * corpus: a language filter IS a source filter) and 0 means the
+    * language mix is source-independent. The number a mixture
+    * designer reads before stratifying ([[graft.operators.LlmTextOps]]'
+    * `mixture_sample`).
+    *
+    * Portability: marginal and cell counts are exact integers; each
+    * entropy term (p·ln(1/p) with both ratios written as explicit
+    * CAST-divisions) quantizes to the 1e-9 grid as a 64-bit integer
+    * and sums ORDER-FREE (the `token_surprisal`/`chi2` posture); the
+    * two H values and U derive from those exact longs in one written
+    * IEEE sequence each. Scale shape: one corpus-sized cell
+    * aggregate; everything after runs on |lang|×|source| rows.
+    */
+  def condEntropy(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.documents(s, d)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("o"))
+    val srcTot = cells.groupBy(col("source")).agg(sum(col("o")).as("ct"))
+    val langTot = cells.groupBy(col("lang")).agg(sum(col("o")).as("lt"))
+    val tot = cells.agg(sum(col("o")).as("nn"))
+    val hl = langTot.crossJoin(broadcast(tot))
+      .select(floor((col("lt").cast("double") / col("nn").cast("double"))
+        * log(col("nn").cast("double") / col("lt").cast("double"))
+        * lit(1000000000.0) + lit(0.5)).cast("long").as("q"))
+      .agg(sum(col("q")).as("hl_q"))
+    val hc = cells.join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .select(floor((col("o").cast("double") / col("nn").cast("double"))
+        * log(col("ct").cast("double") / col("o").cast("double"))
+        * lit(1000000000.0) + lit(0.5)).cast("long").as("q"))
+      .agg(sum(col("q")).as("hc_q"))
+    tot.crossJoin(hl).crossJoin(hc)
+      .select(col("nn").as("n_docs"),
+        r6(col("hl_q").cast("double") / lit(1000000000.0)).as("h_lang"),
+        r6(col("hc_q").cast("double") / lit(1000000000.0))
+          .as("h_lang_given_source"),
+        r6((col("hl_q") - col("hc_q")).cast("double")
+          / nullif(col("hl_q").cast("double"), lit(0.0)))
+          .as("uncertainty_coeff"))
   }
 
   /** `anova_oneway` — one-way analysis of variance (Fisher 1925)

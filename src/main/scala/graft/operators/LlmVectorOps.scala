@@ -581,9 +581,15 @@ object LlmVectorOps {
         // from disk instead of failing the read (the localCheckpoint
         // memo's documented caveat, closed). Plan-memoized so the
         // five consumers share one resolved relation (one
-        // footer-listing pass), not five.
+        // footer-listing pass), not five. The key carries the CORPUS
+        // fingerprint, not just the dir: a silver dir rewritten
+        // in-session for a second corpus sharing the basename would
+        // otherwise keep serving the first corpus's eagerly-listed
+        // file set even after servedSilverDir re-verified the new
+        // fingerprint.
         graft.engine.SessionMemo.getOrBuildPlan(s,
-          s"knn_edges3_stored|$dir")(
+          s"knn_edges3_stored|$dir|" +
+            graft.engine.SessionMemo.tableFingerprint(s, d, "embeddings"))(
           s.read.parquet(s"$dir/$KnnEdgesFile"))
       case None => knnEdges3Inline(s, d)
     }
@@ -2480,6 +2486,15 @@ object LlmVectorOps {
     * subsequent call from the parquet, and gate the served rows
     * against the SAME DuckDB edge oracle as the inline `knn_edges`
     * row — a cross-engine proof that write → serve loses nothing.
+    *
+    * LOCAL-MODE scratch assumption: the per-run dir comes from
+    * `java.nio.file.Files.createTempDirectory` — a driver-local
+    * `file://` path, correct under `local[*]` (the library's test
+    * contract) but NOT under a multi-machine master, where executors
+    * would resolve it to different disks. A cluster deployment serves
+    * through [[KnnEdgesDirConf]] pointed at a shared filesystem
+    * ([[pipeline.CorpusSilver.writeKnnEdges]]) instead of this
+    * self-provisioned demo dir.
     */
   def knnEdgesServed(s: SparkSession, d: String): DataFrame = {
     val served = graft.engine.SessionMemo.getOrBuildPlan(s,
@@ -2575,12 +2590,22 @@ object LlmVectorOps {
     * doc, summarized). Ninth consumer of the [[knnEdges3]] silver.
     *
     * Portability: the rank-sum closed form G = (2·Σ(i·dᵢ) − (n+1)·Σd)
-    * / (n·Σd) over in-degrees sorted (d asc, id asc) — ranks from ONE
-    * row_number window, every sum an exact integer (zero-in-degree
-    * nodes included via the left join), one fenced division on the r6
-    * grid. Scale: the rank window runs over N one-per-node rows, and
-    * at 100 TB the same fold runs on a sampled node set — Gini is
-    * estimator-friendly.
+    * / (n·Σd) over in-degrees sorted (d asc, id asc) — every sum an
+    * exact integer (zero-in-degree nodes included via the left join),
+    * one fenced division on the r6 grid.
+    *
+    * Scale: the rank sum folds over the DEGREE ALPHABET, never
+    * per-node ranks. Within a tied-degree group the (deg asc, id asc)
+    * ranks are the consecutive integers off+1 .. off+cnt, whose
+    * doubled sum is cnt·(2·off + cnt + 1) REGARDLESS of which id
+    * takes which rank — so 2·Σ(rk·deg) = Σ_deg deg·cnt·(2·off+cnt+1)
+    * needs one count per distinct degree plus a prefix-offset window
+    * over the alphabet (≤ max in-degree + 1 rows at ANY corpus size —
+    * the `corpus_shuffle` offsets posture). The first cut ranked
+    * per-node through an unpartitioned row_number window — a
+    * single-task sort over one row per node, the one shape that
+    * cannot scale; this form's corpus-sized work is the degree
+    * aggregate alone.
     */
   def degreeGini(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
@@ -2590,17 +2615,25 @@ object LlmVectorOps {
     val nodes = Tables.embeddings(s, d).select(col("vec_id").as("id"))
     val degs = nodes.join(indeg, col("id") === col("dst"), "left")
       .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
-    val w = Window.orderBy(col("deg").asc, col("id").asc)
-    degs.withColumn("rk", row_number().over(w))
-      .agg(count(lit(1)).as("n_nodes"),
-        sum(col("deg")).as("sd"),
-        sum(dec(col("rk")) * dec(col("deg")))
-          .cast(DecimalType(38, 0)).as("srd"))
+    val byDeg = degs.groupBy(col("deg")).agg(count(lit(1)).as("cnt"))
+    // alphabet-sized window: input is one row per DISTINCT in-degree
+    val wOff = Window.orderBy(col("deg").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byDeg
+      .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .agg(sum(col("cnt")).as("n_nodes"),
+        sum(dec(col("deg")) * dec(col("cnt")))
+          .cast(DecimalType(38, 0)).as("sd"),
+        // 2·Σ(rk·deg) folded per degree group: deg·cnt·(2·off+cnt+1)
+        sum(dec(col("deg")) * dec(col("cnt"))
+          * (lit(2L).cast(DecimalType(38, 0)) * dec(col("off"))
+            + dec(col("cnt")) + lit(1L).cast(DecimalType(38, 0))))
+          .cast(DecimalType(38, 0)).as("srd2"))
       .select(col("n_nodes"),
-        r6((lit(2L).cast(DecimalType(38, 0)) * col("srd")
+        r6((col("srd2")
           - (dec(col("n_nodes")) + lit(1L).cast(DecimalType(38, 0)))
-            * dec(col("sd"))).cast("double")
-          / nullif((dec(col("n_nodes")) * dec(col("sd"))).cast("double"),
+            * col("sd")).cast("double")
+          / nullif((dec(col("n_nodes")) * col("sd")).cast("double"),
             lit(0.0))).as("degree_gini"))
   }
 
@@ -2627,6 +2660,72 @@ object LlmVectorOps {
                       * CAST(sd AS HUGEINT) AS DOUBLE), 0.0)
                   * 1000000 + 0.5) / 1000000 AS degree_gini
          FROM m"""
+
+  /** `local_clustering` — per-node DIRECTED local clustering
+    * coefficient over the kNN graph: of the ≤ k·(k−1) ordered pairs
+    * (a, b) of v's out-neighbors, what fraction is itself an edge
+    * a→b. The per-doc version of `graph_reciprocity`'s corpus scalar:
+    * a coefficient near 1 marks a closed clique (a near-dup pocket —
+    * every neighbor also neighbors the others), near 0 a hub-spoke
+    * region whose neighbors have nothing in common with each other.
+    * Tenth consumer of the [[knnEdges3]] silver.
+    *
+    * Scale: out-degree is capped at 3, so each node contributes ≤ 6
+    * ordered neighbor pairs — the candidate-pair frame is 6N rows
+    * joined against the 3N edge set, LINEAR by construction (the
+    * `khop_reachability` bounded-frontier argument; contrast the
+    * unbounded-degree `clustering_coeff` on the co-purchase graph,
+    * which needs the hub-cap dial). Portability: pure integer counts
+    * until one fenced division on the r6 grid.
+    */
+  def localClustering(s: SparkSession, d: String): DataFrame = {
+    val e = knnEdges3(s, d)
+    val nbrPairs = e.select(col("src"), col("dst").as("a"))
+      .join(e.select(col("src"), col("dst").as("b")), Seq("src"))
+      .where(col("a") =!= col("b"))
+    val closed = nbrPairs
+      .join(e.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b"))
+      .groupBy(col("src")).agg(count(lit(1)).as("linked"))
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+    val nodes = Tables.embeddings(s, d).select(col("vec_id").as("doc_id"))
+    nodes
+      .join(outdeg, col("doc_id") === outdeg("src"), "left")
+      .drop(outdeg("src"))
+      .join(closed, col("doc_id") === closed("src"), "left")
+      .drop(closed("src"))
+      .select(col("doc_id"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("linked"), lit(0L)).as("linked"))
+      .select(col("doc_id"), col("out_deg"), col("linked"),
+        r6(col("linked").cast("double")
+          / nullif((col("out_deg") * (col("out_deg") - lit(1L)))
+            .cast("double"), lit(0.0))).as("clustering"))
+      .orderBy("doc_id")
+  }
+
+  /** The DuckDB oracle for `local_clustering`: shared kNN edges, the
+    * ordered neighbor-pair frame, one closure join, one fenced
+    * division. */
+  private[graft] def localClusteringOracleSql: String =
+    s"""WITH $knnEdgeCtes,
+         od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg
+                FROM e GROUP BY 1),
+         np AS (SELECT x.src, x.dst AS a, y.dst AS b
+                FROM e x JOIN e y ON y.src = x.src AND x.dst <> y.dst),
+         cl AS (SELECT np.src, CAST(COUNT(*) AS BIGINT) AS linked
+                FROM np JOIN e ON e.src = np.a AND e.dst = np.b
+                GROUP BY 1)
+         SELECT n.id AS doc_id,
+                COALESCE(od.out_deg, 0) AS out_deg,
+                COALESCE(cl.linked, 0) AS linked,
+                floor(CAST(COALESCE(cl.linked, 0) AS DOUBLE)
+                  / NULLIF(CAST(COALESCE(od.out_deg, 0)
+                      * (COALESCE(od.out_deg, 0) - 1) AS DOUBLE), 0.0)
+                  * 1000000 + 0.5) / 1000000 AS clustering
+         FROM nodes n
+         LEFT JOIN od ON od.src = n.id
+         LEFT JOIN cl ON cl.src = n.id
+         ORDER BY doc_id"""
 
   /** How many leading dimensions the truncated-search rung keeps. */
   private[graft] val truncDim = 16

@@ -70,21 +70,29 @@ object StreamingKnnServe {
       k: Int = 10, nprobe: Int = 8): DataFrame = {
     val e = LlmVectorOps.withNorm(s, corpus, "embedding", "norm")
       .select(col("vec_id"), col("embedding"), col("norm"))
-    val centArr = LlmVectorOps.seedCentroids(e)
-      .agg(collect_list(struct(col("cent_id"), col("cent_emb"),
-        col("cent_norm"))).as("cents"))
     // static digests are re-evaluated every micro-batch in a
     // stream-static join: persist both so the corpus is scanned once
     // at first trigger, never per trigger (a long-lived deployment
-    // writes the lists as a parquet silver instead)
-    centArr.persist()
-    val lists = e.crossJoin(broadcast(centArr))
-      .select(VectorExprs.cosineKnn(s, col("embedding"), col("norm"),
-        lit(-1L), col("cents"), 1)(0).as("cent_id"),
-        struct(col("vec_id"), col("embedding"), col("norm")).as("member"))
-      .groupBy(col("cent_id"))
-      .agg(collect_list(col("member")).as("members"))
-    lists.persist()
+    // writes the lists as a parquet silver instead). Memoized through
+    // SessionMemo keyed on the corpus plan — a bare persist() here
+    // leaked two cached frames per stream construction for the
+    // session's lifetime; the memo makes repeats (and restarts over
+    // the same corpus) reuse ONE entry, unpersisted at context stop
+    // or SessionMemo.invalidate like every other silver.
+    val corpusKey = corpus.queryExecution.analyzed.semanticHash()
+    val centArr = graft.engine.SessionMemo.getOrBuild(s,
+      s"s28_centroids|$corpusKey")(
+      LlmVectorOps.seedCentroids(e)
+        .agg(collect_list(struct(col("cent_id"), col("cent_emb"),
+          col("cent_norm"))).as("cents")))
+    val lists = graft.engine.SessionMemo.getOrBuild(s,
+      s"s28_lists|$corpusKey")(
+      e.crossJoin(broadcast(centArr))
+        .select(VectorExprs.cosineKnn(s, col("embedding"), col("norm"),
+          lit(-1L), col("cents"), 1)(0).as("cent_id"),
+          struct(col("vec_id"), col("embedding"), col("norm")).as("member"))
+        .groupBy(col("cent_id"))
+        .agg(collect_list(col("member")).as("members")))
     val p = LlmVectorOps.withNorm(s, probes, "embedding", "norm")
       .select(col("ts"), col("probe_id"), col("embedding"), col("norm"))
       .withWatermark("ts", "10 minutes")

@@ -2146,6 +2146,118 @@ class StreamingSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
     }
   }
+
+  // ---- S29: online maintenance of the incremental kNN edge silver --
+
+  private def s29Axis(dims: (Int, Float)*): Array[Float] = {
+    val v = Array.fill(8)(0.0f); dims.foreach { case (i, x) => v(i) = x }; v
+  }
+
+  private def s29Corpus(rows: (Long, Array[Float])*)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("vec_id", "embedding")
+  }
+
+  private def s29Served(dir: String): Set[(Long, Long)] =
+    graft.operators.KnnIncremental.servedEdges(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("S29 streaming_knn_maintain: micro-batches fold into the edge silver == one-shot") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.KnnIncremental
+    import graft.streaming.StreamingKnnMaintain
+    import graft.streaming.StreamingKnnMaintain.VecRow
+    // seed book of the initial corpus: ids 0 and 100 → 2 lists
+    val initial = s29Corpus(
+      0L -> s29Axis(0 -> 1.0f), 1L -> s29Axis(0 -> 1.0f),
+      2L -> s29Axis(0 -> 0.70710678f, 1 -> 0.70710678f),
+      100L -> s29Axis(1 -> 1.0f), 101L -> s29Axis(1 -> 1.0f))
+    val dir = java.nio.file.Files
+      .createTempDirectory("s29_silver").toString
+    KnnIncremental.build(spark, initial, dir, nprobe = 2)
+    val in = MemoryStream[VecRow]
+    val q = StreamingKnnMaintain
+      .maintainStream(spark, in.toDF(), dir)
+      .start()
+    try {
+      in.addData(VecRow(3L, s29Axis(0 -> 1.0f)))
+      q.processAllAvailable()
+      in.addData(VecRow(102L, s29Axis(1 -> 1.0f)),
+        VecRow(103L, s29Axis(0 -> 0.6f, 1 -> 0.8f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = s29Served(dir)
+    assert(got.nonEmpty, "vacuous maintenance pin")
+    // one-shot reference: the SAME frozen codebook over the union
+    val all = s29Corpus(
+      0L -> s29Axis(0 -> 1.0f), 1L -> s29Axis(0 -> 1.0f),
+      2L -> s29Axis(0 -> 0.70710678f, 1 -> 0.70710678f),
+      100L -> s29Axis(1 -> 1.0f), 101L -> s29Axis(1 -> 1.0f),
+      3L -> s29Axis(0 -> 1.0f), 102L -> s29Axis(1 -> 1.0f),
+      103L -> s29Axis(0 -> 0.6f, 1 -> 0.8f))
+    val refDir = java.nio.file.Files
+      .createTempDirectory("s29_ref").toString
+    KnnIncremental.build(spark, all, refDir, nprobe = 2,
+      cents = Some(spark.read.parquet(s"$dir/centroids.parquet")))
+    assert(got == s29Served(refDir),
+      "streamed maintenance diverged from the one-shot build")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(refDir))
+  }
+
+  test("S29r streaming_knn_maintain: kill + checkpoint restart converges to the same silver") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.KnnIncremental
+    import graft.streaming.StreamingKnnMaintain
+    import graft.streaming.StreamingKnnMaintain.VecRow
+    val initial = s29Corpus(
+      0L -> s29Axis(0 -> 1.0f), 1L -> s29Axis(0 -> 1.0f),
+      100L -> s29Axis(1 -> 1.0f), 101L -> s29Axis(1 -> 1.0f))
+    val dir = java.nio.file.Files
+      .createTempDirectory("s29r_silver").toString
+    KnnIncremental.build(spark, initial, dir, nprobe = 2)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("s29r_ckpt").toString
+    val in = MemoryStream[VecRow]
+    def start() = StreamingKnnMaintain
+      .maintainStream(spark, in.toDF(), dir)
+      .option("checkpointLocation", ckpt)
+      .start()
+    val q1 = start()
+    try {
+      in.addData(VecRow(3L, s29Axis(0 -> 1.0f)))
+      q1.processAllAvailable()
+      // an UNPROCESSED batch lands, then the query dies — on restart
+      // foreachBatch replays it (at-least-once) into the idempotent
+      // epoch, so the silver must converge, not double
+      in.addData(VecRow(102L, s29Axis(1 -> 1.0f)))
+    } finally q1.stop()
+    // wait out the checkpoint registration release (S7b precedent)
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (spark.streams.active.exists(_.id == q1.id)
+        && System.nanoTime() < deadline) Thread.sleep(100)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = s29Served(dir)
+    val refDir = java.nio.file.Files
+      .createTempDirectory("s29r_ref").toString
+    KnnIncremental.build(spark, s29Corpus(
+      0L -> s29Axis(0 -> 1.0f), 1L -> s29Axis(0 -> 1.0f),
+      100L -> s29Axis(1 -> 1.0f), 101L -> s29Axis(1 -> 1.0f),
+      3L -> s29Axis(0 -> 1.0f), 102L -> s29Axis(1 -> 1.0f)), refDir,
+      nprobe = 2,
+      cents = Some(spark.read.parquet(s"$dir/centroids.parquet")))
+    assert(got == s29Served(refDir),
+      "restarted maintenance diverged from the one-shot build")
+    // every streamed vector's edges are present exactly once
+    assert(got.map(_._1).intersect(Set(3L, 102L)) == Set(3L, 102L))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(refDir))
+  }
 }
 
 object StreamingSpec {

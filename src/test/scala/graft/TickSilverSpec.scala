@@ -31,7 +31,8 @@ class TickSilverSpec extends AnyFunSuite {
       "best_trade" -> (AnalyticOps.bestTrade _),
       "rolling_median" -> (AnalyticOps.rollingMedian _),
       "peak_detection" -> (AnalyticOps.peakDetection _),
-      "runs_test" -> (AnalyticOps.runsTest _))
+      "runs_test" -> (AnalyticOps.runsTest _),
+      "spearman_corr" -> (AnalyticOps.spearmanCorr _))
 
   test("every tick-silver consumer: silver ON == silver OFF at sf0.001") {
     val d = TestSpark.sf0001
@@ -71,5 +72,34 @@ class TickSilverSpec extends AnyFunSuite {
   test("second call serves the SAME memoized silver frame") {
     assert(AnalyticOps.sortedTicks(spark, TestSpark.sf0001)
       eq AnalyticOps.sortedTicks(spark, TestSpark.sf0001))
+  }
+
+  test("spearman_corr reads ONE events scan through the silver, three off it") {
+    // the base projection feeds two rank tables plus the final fold;
+    // with the silver ON all three consumers read the cached
+    // materialization (zero parquet scans above the cache — the one
+    // real scan lives inside the silver's build, paid once per
+    // session), with it OFF the plan scans events three times
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def shape(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      df.collect() // finalize AQE before walking
+      val nodes = TestSpark.planNodes(df.queryExecution.executedPlan)
+      (nodes.count(_.isInstanceOf[FileSourceScanExec]),
+        nodes.count(_.isInstanceOf[InMemoryTableScanExec]))
+    }
+    val (scansOn, cachedOn) = shape(
+      AnalyticOps.spearmanCorr(spark, TestSpark.sf0001))
+    assert(scansOn == 0,
+      s"silver ON: expected zero parquet scans above the cache, got $scansOn")
+    assert(cachedOn == 3,
+      s"silver ON: expected the three consumers on the cache, got $cachedOn")
+    spark.conf.set(AnalyticOps.TicksMaterializeConf, "false")
+    try {
+      val (scansOff, _) = shape(
+        AnalyticOps.spearmanCorr(spark, TestSpark.sf0001))
+      assert(scansOff == 3,
+        s"silver OFF: expected the bare three-scan plan, got $scansOff")
+    } finally spark.conf.unset(AnalyticOps.TicksMaterializeConf)
   }
 }
