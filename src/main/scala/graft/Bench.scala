@@ -99,7 +99,11 @@ object Bench {
         }
         name -> (if (times.contains(-1.0)) -1.0 else times.min)
       }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // name-sorted: the bench_<sf>.json mirror is the durable
+    // round-over-round per-query artifact, and a stable key order
+    // makes cross-round diffs line diffs
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     // header carries the aggregate facts FIRST (query count, failures,

@@ -226,6 +226,35 @@ object KnnIncremental {
   def servedEdges(s: SparkSession, dir: String): DataFrame =
     servedScored(s, dir).select(col("src"), col("dst"))
 
+  /** Fold the epoch chain back into one epoch — the LSM compaction
+    * dial: serving pays a latest-epoch-per-src window whose input
+    * grows with every append (each epoch re-ranks its affected srcs,
+    * so superseded rows accumulate); compaction materializes the
+    * CURRENT top-3 of every src as a single fresh epoch and drops
+    * the older dirs. Correct under the serving rule by construction
+    * (the new epoch is the per-src latest and covers every src).
+    * Offline maintenance — run it between appends, not concurrently
+    * with one (the same single-writer contract every LSM compactor
+    * has); an append that lands after compaction continues the epoch
+    * sequence above it.
+    */
+  def compact(s: SparkSession, dir: String): Unit = {
+    val edges = s.read.parquet(s"$dir/edges")
+    val maxEpoch = edges.agg(max(col("epoch").cast("long")))
+      .head().getLong(0)
+    val target = maxEpoch + 1L
+    servedScored(s, dir)
+      .write.mode("overwrite").parquet(s"$dir/edges/epoch=$target")
+    val f = fs(s, dir)
+    val root = new org.apache.hadoop.fs.Path(s"$dir/edges")
+    f.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("epoch=")
+          && name.stripPrefix("epoch=").toLong < target)
+        f.delete(st.getPath, true)
+    }
+  }
+
   /** `knn_edges_incremental` — the gated row proving append-then-serve
     * equals the full build on the SAME exact-edge oracle as
     * `knn_edges`/`knn_edges_served`: build the silver on the first

@@ -3493,10 +3493,17 @@ object LlmVectorOps {
     * exactly ONE division of exact-integer doubles — no fence beyond
     * the score grid, fully hash-gateable.
     *
-    * The global rank is a single-partition window here (|corpus|
-    * rows); at 100 TB rank with the `corpus_shuffle` two-phase
-    * range/offset machinery instead — the AUC fold itself is
-    * order-free integer sums either way.
+    * Ranks come from the VALUE GRID, never a per-row window: scores
+    * are r6-gridded at birth, so one aggregate per distinct score
+    * cell (size t, positives tp) plus a prefix window over the
+    * bounded cell table gives every cell's min-rank, and the per-row
+    * identity 2·rk + ties − 1 = 2·cum_before + t + 1 folds the
+    * positive rank-sum as Σ tp·(2·cum_before + t + 1) — the
+    * `mann_whitney`/`spearman_corr` posture. The first cut ranked
+    * per-row through an unpartitioned rank() window (single-task
+    * sort over |corpus| rows — the shape PlanShapeSpec's
+    * global-window lint now rejects); this form's corpus-sized work
+    * is the cell aggregate alone.
     */
   def scoreAuc(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
@@ -3510,16 +3517,18 @@ object LlmVectorOps {
           / (col("probe_norm") * col("norm"))))
       .withColumn("pos",
         (col("label") === col("probe_label")).cast("long"))
-    val ranked = scored
-      .withColumn("rk", rank().over(Window.orderBy(col("score").asc))
-        .cast("long"))
-      .withColumn("ties",
-        count(lit(1)).over(Window.partitionBy(col("score"))))
-    ranked.agg(
-        sum(col("pos")).as("n_pos"),
-        sum(lit(1L) - col("pos")).as("n_neg"),
-        sum(when(col("pos") === 1L,
-          lit(2L) * col("rk") + col("ties") - 1L).otherwise(0L)).as("r2"))
+    val cells = scored.groupBy(col("score"))
+      .agg(count(lit(1)).as("t"), sum(col("pos")).as("tp"))
+    // grid-bounded window: one row per DISTINCT r6 score cell
+    val run = Window.orderBy(col("score").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum", sum(col("t")).over(run))
+      .agg(
+        sum(col("tp")).as("n_pos"),
+        sum(col("t") - col("tp")).as("n_neg"),
+        sum(col("tp") * (lit(2L) * (col("cum") - col("t"))
+          + col("t") + 1L)).as("r2"))
       .select(col("n_pos"), col("n_neg"),
         r6((col("r2").cast("double")
             - col("n_pos").cast("double") * (col("n_pos").cast("double") + 1))
@@ -4417,6 +4426,52 @@ object LlmVectorOps {
         .write.mode("overwrite").parquet(s"$dir/rcodes.parquet")
     } finally resid.unpersist()
   }
+
+  /** Fold a batch of new vectors into a STORED IVF-PQ index without
+    * re-training (the `KnnIncremental` posture on the ANN side):
+    * assign the batch against the frozen coarse router, encode its
+    * residuals against the frozen residual codebook, and append the
+    * resulting list/code rows to `lists.parquet` / `rcodes.parquet`.
+    * Serving ([[similarityIvfPqFromIndex]]) is unchanged — it reads
+    * whole directories, and per-vector assignment/encoding against
+    * frozen books is corpus-independent, so append-then-serve equals
+    * encoding the grown corpus in one shot against the same books
+    * (PqIndexSpec pins it). Batch-proportional: two batch-sized
+    * broadcast-codebook passes, zero corpus reads. Offline batch
+    * API — a replayed append duplicates rows (parquet `append`);
+    * the replay-idempotent epoch layout is the edge silver's
+    * ([[graft.operators.KnnIncremental]]), documented trade.
+    */
+  private[graft] def appendIvfPqIndex(s: SparkSession, dir: String,
+      batch: DataFrame): Unit = {
+    val b = withNorm(s,
+      batch.select(col("vec_id"), col("embedding")), "embedding", "norm")
+    val coarse = s.read.parquet(s"$dir/coarse.parquet")
+    val resid = residuals(s, b, coarse)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      resid.select("cent_id", "vec_id")
+        .write.mode("append").parquet(s"$dir/lists.parquet")
+      pqEncode(s, resid, s.read.parquet(s"$dir/rbook.parquet"))
+        .groupBy(col("vec_id"))
+        .agg(sum(expr("shiftleft(CAST(code AS BIGINT), sub * 4)"))
+          .as("pq_code"))
+        .write.mode("append").parquet(s"$dir/rcodes.parquet")
+    } finally resid.unpersist()
+  }
+
+  /** [[appendIvfPqIndex]]'s sibling for the raw PQ index
+    * (`CorpusSilver.writePqIndex`'s `codebook.parquet` +
+    * `codes.parquet`): encode the batch against the frozen codebook,
+    * append its packed codes. */
+  private[graft] def appendPqIndex(s: SparkSession, dir: String,
+      batch: DataFrame): Unit =
+    pqEncode(s, batch.select(col("vec_id"), col("embedding")),
+      s.read.parquet(s"$dir/codebook.parquet"))
+      .groupBy(col("vec_id"))
+      .agg(sum(expr("shiftleft(CAST(code AS BIGINT), sub * 4)"))
+        .as("pq_code"))
+      .write.mode("append").parquet(s"$dir/codes.parquet")
 
   /** Serve the PQ top-k from a silver index: `book` as stored by
     * `CorpusSilver.writePqIndex`, `packed` as (vec_id, pq_code) with

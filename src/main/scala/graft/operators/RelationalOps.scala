@@ -1296,22 +1296,40 @@ object RelationalOps {
     * dominate neither other and both survive — both formulations
     * agree by construction.
     *
-    * Scale: part is dimension-sized, one global range window. At
-    * fact scale the same algebra range-partitions: per-bucket local
-    * frontier + broadcast per-bucket prefix maxima (the
-    * `corpus_shuffle` range-bucket discipline) — skylines merge
-    * because a bucket's survivors only need the running max from
-    * strictly-cheaper buckets.
+    * Scale: the running max RANGE-PARTITIONS (the `corpus_shuffle`
+    * discipline, applied): prices bucket into fixed 4096-cent ranges
+    * (bucket count bounded by the price DOMAIN, never by row count),
+    * the strictly-cheaper max decomposes into a bucket-LOCAL range
+    * window plus the broadcast prefix maxima of strictly-smaller
+    * buckets — every row in a smaller bucket is strictly cheaper, so
+    * greatest(local, prior-bucket max) IS the global running max.
+    * The only partition-less window left runs over one row per
+    * bucket (PlanShapeSpec's global-window lint enforces this shape
+    * repo-wide); the first cut ran one global range window — a
+    * single-task sort at fact scale.
     */
   def paretoFrontier(s: SparkSession, d: String): DataFrame = {
-    val cheaper = Window.orderBy(col("price_cents"))
-      .rangeBetween(Window.unboundedPreceding, -1)
-    val peers = Window.partitionBy(col("price_cents"))
-    Tables.part(s, d)
+    val parts = Tables.part(s, d)
       .select(col("p_partkey"), col("p_name"), col("p_size"),
         floor(col("p_retailprice") * lit(100.0) + lit(0.5)).cast("long")
           .as("price_cents"))
-      .withColumn("best_cheaper", max(col("p_size")).over(cheaper))
+      .withColumn("bucket", expr("price_cents DIV 4096"))
+    val bmax = parts.groupBy(col("bucket"))
+      .agg(max(col("p_size")).as("bm"))
+    // bucket-count-sized window: one row per occupied price range
+    val woff = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bmax
+      .withColumn("prior_best", max(col("bm")).over(woff))
+      .select(col("bucket"), col("prior_best"))
+    val cheaperLocal = Window.partitionBy(col("bucket"))
+      .orderBy(col("price_cents"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val peers = Window.partitionBy(col("price_cents"))
+    parts.join(broadcast(offsets), Seq("bucket"))
+      // greatest skips nulls: null iff no cheaper row exists anywhere
+      .withColumn("best_cheaper",
+        greatest(max(col("p_size")).over(cheaperLocal), col("prior_best")))
       .withColumn("best_peer", max(col("p_size")).over(peers))
       .where((col("best_cheaper").isNull ||
         col("best_cheaper") < col("p_size")) &&

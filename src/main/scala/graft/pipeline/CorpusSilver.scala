@@ -169,6 +169,25 @@ object CorpusSilver {
     finally out.close()
   }
 
+  /** Fold a batch of new vectors into the STORED ANN index at `dir`
+    * (both the raw-PQ and IVF-PQ halves of [[writeAnnIndex]]'s
+    * layout) WITHOUT re-training: per-vector assignment and encoding
+    * against the frozen codebooks are corpus-independent, so
+    * append-then-serve equals a one-shot encode of the grown corpus
+    * against the same books (PqIndexSpec pins it). The corpus
+    * fingerprint is re-stamped from `sfDir` so serving resolution
+    * keeps accepting the index for the grown corpus. Offline batch
+    * API (parquet append — a replayed append duplicates rows); the
+    * replay-idempotent epoch layout lives on the edge-silver side
+    * ([[appendKnnEdges]]).
+    */
+  def appendAnnIndex(s: SparkSession, sfDir: String, dir: String,
+      batch: DataFrame): Unit = {
+    graft.operators.LlmVectorOps.appendPqIndex(s, dir, batch)
+    graft.operators.LlmVectorOps.appendIvfPqIndex(s, dir, batch)
+    writeCorpusFingerprint(s, sfDir, dir)
+  }
+
   /** The kNN edge silver for one corpus under `dir`: the routed
     * directed top-3 cosine edge set (src, dst) written ONCE as
     * parquet, plus the corpus fingerprint binding it to `sfDir`.

@@ -218,6 +218,26 @@ class KnnRoutingSpec extends AnyFunSuite {
     assert(servedSet(dir) == once, "replaying epoch 1 changed the silver")
   }
 
+  test("compaction folds the epoch chain without changing the served edges") {
+    val d = TestSpark.sf0001
+    val e = vecs(d)
+    val dir = tmp("graft_incr_compact")
+    KnnIncremental.build(spark, e.where(col("vec_id") <= 299L), dir,
+      nprobe = 2)
+    KnnIncremental.append(spark, dir,
+      e.where(col("vec_id") > 299L && col("vec_id") <= 399L), epoch = 1L)
+    KnnIncremental.append(spark, dir,
+      e.where(col("vec_id") > 399L), epoch = 2L)
+    val before = servedSet(dir)
+    KnnIncremental.compact(spark, dir)
+    assert(servedSet(dir) == before, "compaction changed the served edges")
+    // the chain really folded: one epoch dir remains
+    val epochDirs = new java.io.File(s"$dir/edges").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+    assert(epochDirs.length == 1,
+      s"expected one epoch after compaction: ${epochDirs.mkString(",")}")
+  }
+
   test("multi-batch appends == one-batch append (same codebook)") {
     // epoch composition: two consecutive batches must land where the
     // union batch lands — the property the streaming maintainer leans

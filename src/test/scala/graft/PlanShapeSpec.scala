@@ -658,4 +658,54 @@ class PlanShapeSpec extends AnyFunSuite {
     }
     walk(root, underGen = false)
   }
+
+  test("no registered query plans a partition-less window over corpus-sized input") {
+    // the degree_gini lesson (round 12 verdict): an unpartitioned
+    // WindowExec sorts its whole input in ONE task — fine over an
+    // alphabet/offsets frame (corpus_shuffle's 64 ranges, the degree
+    // alphabet), the one shape that cannot scale over corpus rows.
+    // Static lint over every registered query's physical plan: a
+    // global window whose subtree reaches a table scan WITHOUT
+    // passing a row-bounding node (aggregate / limit / top-k) is a
+    // single-task sort over corpus-sized input. Runs on sparkPlan
+    // (pre-AQE physical plan) — no execution needed, so the sweep
+    // covers all queries cheaply.
+    import org.apache.spark.sql.execution.{CollectLimitExec,
+      FileSourceScanExec, GlobalLimitExec, LocalLimitExec, RDDScanExec,
+      SparkPlan, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec,
+      ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def bounding(p: SparkPlan): Boolean = p match {
+      case _: HashAggregateExec | _: ObjectHashAggregateExec
+         | _: SortAggregateExec | _: GlobalLimitExec | _: LocalLimitExec
+         | _: CollectLimitExec | _: TakeOrderedAndProjectExec => true
+      case _ => false
+    }
+    def corpusScan(p: SparkPlan): Boolean = p match {
+      case _: FileSourceScanExec | _: InMemoryTableScanExec
+         | _: RDDScanExec => true
+      case _ => false
+    }
+    def reachesScanUnbounded(p: SparkPlan): Boolean =
+      !bounding(p) && (corpusScan(p) ||
+        TestSpark.planKids(p).exists(reachesScanUnbounded))
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan =
+          try fn(spark, TestSpark.sf0001).queryExecution.sparkPlan
+          catch { case e: Throwable =>
+            fail(s"$name failed to plan at sf0.001: $e")
+          }
+        TestSpark.planNodes(plan).collect {
+          case w: WindowExec
+              if w.partitionSpec.isEmpty && reachesScanUnbounded(w.child) =>
+            name
+        }.distinct
+    }
+    assert(offenders.isEmpty,
+      s"partition-less window over corpus-sized input in: " +
+        offenders.distinct.sorted.mkString(", "))
+  }
 }

@@ -107,6 +107,62 @@ class PqIndexSpec extends AnyFunSuite {
     } finally spark.conf.unset(LlmVectorOps.AnnIndexConf)
   }
 
+  test("appendAnnIndex: prefix-build + append == one-shot encode against the same books") {
+    import org.apache.spark.sql.functions.col
+    // build the full trained index on the first 80% of the corpus,
+    // fold the rest in through the no-retrain append; the reference
+    // copies the FROZEN codebooks into an empty index and encodes
+    // the whole corpus as one "append" — per-vector assignment and
+    // encoding against frozen books are corpus-independent, so both
+    // serving paths must emit identical rows
+    val e = graft.engine.Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))
+    val splitId = e.agg(org.apache.spark.sql.functions.max(col("vec_id")))
+      .head().getLong(0) * 4 / 5
+    def tmp(tag: String): String = {
+      val p = java.nio.file.Files.createTempDirectory(tag)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)))
+      p.toString
+    }
+    // the grown index: trained on the prefix ONLY (deterministic
+    // Lloyd over prefix rows), then the tail appended
+    val grown = tmp("graft-ann-grown")
+    val prefixDir = tmp("graft-ann-prefix-corpus")
+    // writePqIndex/writeIvfPqIndex read a CORPUS DIR — stage the
+    // prefix as its own corpus dir so training never sees the tail
+    e.where(col("vec_id") <= splitId)
+      .write.mode("overwrite").parquet(s"$prefixDir/embeddings.parquet")
+    CorpusSilver.writePqIndex(spark, prefixDir, grown)
+    LlmVectorOps.writeIvfPqIndex(spark, prefixDir, grown)
+    CorpusSilver.appendAnnIndex(spark, d, grown,
+      e.where(col("vec_id") > splitId))
+    // the reference: same frozen books, whole corpus encoded at once
+    val ref = tmp("graft-ann-ref")
+    for (f <- Seq("codebook.parquet", "coarse.parquet", "rbook.parquet"))
+      spark.read.parquet(s"$grown/$f")
+        .write.mode("overwrite").parquet(s"$ref/$f")
+    CorpusSilver.appendAnnIndex(spark, d, ref, e)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    val pqGrown = rows(CorpusSilver.similarityTopkPq(spark, d, grown))
+    assert(pqGrown.nonEmpty, "vacuous append pin")
+    assert(pqGrown == rows(CorpusSilver.similarityTopkPq(spark, d, ref)),
+      "raw-PQ serve diverged between appended and one-shot index")
+    val ivfGrown = rows(LlmVectorOps.similarityIvfPqFromIndex(spark, d, grown))
+    assert(ivfGrown.nonEmpty, "vacuous IVF append pin")
+    assert(ivfGrown == rows(LlmVectorOps.similarityIvfPqFromIndex(spark, d, ref)),
+      "IVF-PQ serve diverged between appended and one-shot index")
+    // no re-train: the books in the grown index still hash to the
+    // prefix-trained ones (append must never touch them)
+    for (f <- Seq("codebook.parquet", "coarse.parquet", "rbook.parquet"))
+      assert(rows(spark.read.parquet(s"$grown/$f").orderBy(
+          spark.read.parquet(s"$grown/$f").columns.map(col).toIndexedSeq: _*))
+        == rows(spark.read.parquet(s"$ref/$f").orderBy(
+          spark.read.parquet(s"$ref/$f").columns.map(col).toIndexedSeq: _*)),
+        s"append modified the stored $f")
+  }
+
   test("pq_distortion: 8 full subspaces, mse below the 1-centroid floor") {
     val got = LlmVectorOps.pqDistortion(spark, d).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
