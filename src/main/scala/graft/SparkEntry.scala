@@ -171,6 +171,8 @@ object SparkEntry {
     "knn_edges_served"         -> (LlmVectorOps.knnEdgesServed _),
     "knn_edges_incremental"    -> (KnnIncremental.knnEdgesIncremental _),
     "local_clustering"         -> (LlmVectorOps.localClustering _),
+    "edge_jaccard"             -> (LlmVectorOps.edgeJaccard _),
+    "weekday_effect"           -> (AnalyticOps.weekdayEffect _),
     "kendall_tau"              -> (AnalyticOps.kendallTau _),
     "turning_points"           -> (AnalyticOps.turningPoints _),
     "overnight_gap"            -> (AnalyticOps.overnightGap _),
@@ -1188,6 +1190,71 @@ object SparkEntry {
     "khop_reachability" -> LlmVectorOps.khopReachabilityOracleSql,
     "degree_gini" -> LlmVectorOps.degreeGiniOracleSql,
     "local_clustering" -> LlmVectorOps.localClusteringOracleSql,
+    "edge_jaccard" -> LlmVectorOps.edgeJaccardOracleSql,
+    // day-of-week ANOVA over pooled daily returns: exact HUGEINT
+    // group moments, 1e-6-grid SSB/SSW contributions summed
+    // order-free, dow from epoch-day arithmetic (Monday = 0)
+    "weekday_effect" ->
+      """WITH t AS (SELECT event_type AS symbol,
+                CAST(epoch_us(date_trunc('day', ts)) / 86400000000
+                  AS BIGINT) AS h,
+                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+                epoch_us(ts) AS us
+              FROM events),
+         bars AS (SELECT symbol, h, arg_max(c, us) AS close
+                  FROM t GROUP BY 1, 2),
+         rets AS (SELECT ((h + 3) % 7) AS dow,
+                  CAST(floor(CAST(close - pc AS DOUBLE)
+                    / CAST(pc AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                    AS ret_q
+                  FROM (SELECT symbol, h, close,
+                          lag(close) OVER (PARTITION BY symbol
+                            ORDER BY h) AS pc
+                        FROM bars)
+                  WHERE pc IS NOT NULL AND pc <> 0),
+         g AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(ret_q) AS BIGINT) AS sr,
+                 SUM(CAST(ret_q AS HUGEINT) * ret_q) AS sr2
+               FROM rets GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                   CAST(SUM(sr) AS BIGINT) AS sg,
+                   CAST(COUNT(*) AS BIGINT) AS k
+                 FROM g),
+         q AS (SELECT n, nn, k,
+                 CAST(floor(CAST(n AS DOUBLE)
+                     * (CAST(sr AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE))
+                        - CAST(sg AS DOUBLE) / (1000000.0 * CAST(nn AS DOUBLE)))
+                     * (CAST(sr AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE))
+                        - CAST(sg AS DOUBLE) / (1000000.0 * CAST(nn AS DOUBLE)))
+                     * 1000000.0 + 0.5) AS BIGINT) AS ssb_q,
+                 CAST(floor((CAST(sr2 AS DOUBLE) / 1000000000000.0
+                     - (CAST(sr AS DOUBLE) / 1000000.0)
+                       * (CAST(sr AS DOUBLE) / 1000000.0)
+                       / CAST(n AS DOUBLE)) * 1000000.0 + 0.5)
+                   AS BIGINT) AS ssw_q
+               FROM g, tot),
+         a AS (SELECT MAX(nn) AS n_days, MAX(k) AS k_dows,
+                 CAST(SUM(ssb_q) AS BIGINT) AS ssbq,
+                 CAST(SUM(ssw_q) AS BIGINT) AS sswq
+               FROM q)
+         SELECT n_days, k_dows,
+                k_dows - 1 AS df_between,
+                n_days - k_dows AS df_within,
+                floor(CAST(ssbq AS DOUBLE) / 1000000.0
+                  * 1000000 + 0.5) / 1000000 AS ss_between,
+                floor(CAST(sswq AS DOUBLE) / 1000000.0
+                  * 1000000 + 0.5) / 1000000 AS ss_within,
+                floor((CAST(ssbq AS DOUBLE) / 1000000.0
+                    / (CAST(k_dows AS DOUBLE) - 1.0))
+                  / NULLIF(CAST(sswq AS DOUBLE) / 1000000.0
+                    / (CAST(n_days AS DOUBLE) - CAST(k_dows AS DOUBLE)),
+                    0.0)
+                  * 1000000 + 0.5) / 1000000 AS f_stat,
+                floor(CAST(ssbq AS DOUBLE)
+                  / NULLIF(CAST(ssbq AS DOUBLE) + CAST(sswq AS DOUBLE),
+                    0.0)
+                  * 1000000 + 0.5) / 1000000 AS eta_sq
+         FROM a""",
     // Kendall τ-b per symbol over (daily close, daily tick count)
     // pairs: exact concordance/tie counts off the unrolled h1<h2
     // self-join, one written two-sqrt IEEE tail

@@ -4098,6 +4098,65 @@ object AnalyticOps {
           .as("eta_sq"))
   }
 
+  /** `weekday_effect` — the day-of-week calendar-anomaly screen
+    * (French 1980's "weekend effect", the oldest documented market
+    * seasonal): one-way ANOVA of the pooled daily returns across the
+    * seven day-of-week groups — does WHICH day it is explain any
+    * return variance. The [[anovaOneway]] machinery applied to
+    * [[dailyRetQ]]'s 1e-6 return grid; day-of-week comes from epoch
+    *-day arithmetic ((h+3) mod 7, Monday = 0 — pure integers, no
+    * locale-dependent date function in either engine).
+    *
+    * Portability: group moments are exact (Σr long, Σr² in
+    * DECIMAL(38,0)/HUGEINT — returns on the synthetic price walk
+    * reach ~1e11 micro-units, the `sharpe_ratio` posture); each
+    * group's SSB/SSW contribution quantizes to a 1e-6-grid long and
+    * sums order-free; F and η² are written IEEE sequences over the
+    * exact sums. Scale: one corpus aggregate to ≤ 7 rows.
+    */
+  def weekdayEffect(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+    val g = dailyRetQ(s, d)
+      .withColumn("dow", pmod(col("h") + lit(3L), lit(7L)))
+      .groupBy(col("dow"))
+      .agg(count(lit(1)).as("n"), sum(col("ret_q")).as("sr"),
+        sum(dec(col("ret_q")) * dec(col("ret_q")))
+          .cast(DecimalType(38, 0)).as("sr2"))
+    val tot = g.agg(sum(col("n")).as("nn"), sum(col("sr")).as("sg"),
+      count(lit(1)).as("k"))
+    g.crossJoin(broadcast(tot))
+      .withColumn("mg", col("sr").cast("double")
+        / (lit(1000000.0) * col("n").cast("double")))
+      .withColumn("mm", col("sg").cast("double")
+        / (lit(1000000.0) * col("nn").cast("double")))
+      .withColumn("ssb_q",
+        floor(col("n").cast("double") * (col("mg") - col("mm"))
+          * (col("mg") - col("mm")) * lit(1000000.0) + lit(0.5))
+          .cast("long"))
+      .withColumn("ssw_q",
+        floor((col("sr2").cast("double") / lit(1000000000000.0)
+          - (col("sr").cast("double") / lit(1000000.0))
+            * (col("sr").cast("double") / lit(1000000.0))
+            / col("n").cast("double")) * lit(1000000.0) + lit(0.5))
+          .cast("long"))
+      .agg(max(col("nn")).as("n_days"), max(col("k")).as("k_dows"),
+        sum(col("ssb_q")).as("ssbq"), sum(col("ssw_q")).as("sswq"))
+      .select(col("n_days"), col("k_dows"),
+        (col("k_dows") - lit(1L)).as("df_between"),
+        (col("n_days") - col("k_dows")).as("df_within"),
+        r6(col("ssbq").cast("double") / lit(1000000.0)).as("ss_between"),
+        r6(col("sswq").cast("double") / lit(1000000.0)).as("ss_within"),
+        r6((col("ssbq").cast("double") / lit(1000000.0)
+          / (col("k_dows").cast("double") - lit(1.0)))
+          / nullif(col("sswq").cast("double") / lit(1000000.0)
+            / (col("n_days").cast("double")
+              - col("k_dows").cast("double")), lit(0.0))).as("f_stat"),
+        r6(col("ssbq").cast("double")
+          / nullif(col("ssbq").cast("double")
+            + col("sswq").cast("double"), lit(0.0))).as("eta_sq"))
+  }
+
   /** `sequence_entropy` — plug-in entropy rate of the behavioral
     * Markov chain (Shannon 1948): H(next | current) in bits over the
     * same per-user consecutive-event transitions

@@ -2727,6 +2727,76 @@ object LlmVectorOps {
          LEFT JOIN cl ON cl.src = n.id
          ORDER BY doc_id"""
 
+  /** `edge_jaccard` — per-EDGE neighborhood overlap (embeddedness)
+    * on the kNN graph: for each directed edge (src, dst), the
+    * Jaccard of the two endpoints' out-neighbor sets — the edge-level
+    * refinement of [[localClustering]]'s per-node coefficient. An
+    * edge with high overlap is INSIDE a dense pocket (its endpoints
+    * agree on who else is near — the strong-tie signal link
+    * prediction and near-dup clustering both rank by); overlap 0
+    * marks a bridge between regions. Eleventh consumer of the
+    * [[knnEdges3]] silver.
+    *
+    * Scale: out-degree ≤ 3 bounds the common-neighbor probe at 9
+    * candidate rows per edge — linear by construction, the
+    * `khop_reachability` argument (contrast `jaccard_neighbors` on
+    * the unbounded-degree co-purchase graph, which needs the hub
+    * cap). Portability: integer counts, one fenced division.
+    */
+  def edgeJaccard(s: SparkSession, d: String): DataFrame = {
+    val e = knnEdges3(s, d)
+    val base = e.select(col("src"), col("dst"))
+    val an = e.select(col("src").as("js"), col("dst").as("x"))
+    val bn = e.select(col("src").as("jd"), col("dst").as("y"))
+    val cmn = base
+      .join(an, col("src") === col("js"))
+      .join(bn, col("dst") === col("jd") && col("x") === col("y"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("common"))
+    val od = e.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+    base
+      .join(cmn, Seq("src", "dst"), "left")
+      .join(od.select(col("src").as("k1"), col("dg").as("dg_s")),
+        col("src") === col("k1"), "left")
+      .join(od.select(col("src").as("k2"), col("dg").as("dg_d")),
+        col("dst") === col("k2"), "left")
+      .select(col("src"), col("dst"),
+        coalesce(col("common"), lit(0L)).as("common"),
+        (coalesce(col("dg_s"), lit(0L)) + coalesce(col("dg_d"), lit(0L))
+          - coalesce(col("common"), lit(0L))).as("union_ct"))
+      .select(col("src"), col("dst"), col("common"), col("union_ct"),
+        r6(col("common").cast("double")
+          / nullif(col("union_ct").cast("double"), lit(0.0)))
+          .as("jaccard"))
+      .orderBy("src", "dst")
+  }
+
+  /** The DuckDB oracle for `edge_jaccard`: shared kNN edges, the
+    * bounded common-neighbor join, degree lookups, one fenced
+    * division. */
+  private[graft] def edgeJaccardOracleSql: String =
+    s"""WITH $knnEdgeCtes,
+         od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS dg
+                FROM e GROUP BY 1),
+         cmn AS (SELECT x.src, x.dst, CAST(COUNT(*) AS BIGINT) AS common
+                 FROM e x
+                 JOIN e a ON a.src = x.src
+                 JOIN e b ON b.src = x.dst AND b.dst = a.dst
+                 GROUP BY 1, 2)
+         SELECT x.src, x.dst,
+                COALESCE(c.common, 0) AS common,
+                COALESCE(os.dg, 0) + COALESCE(odd.dg, 0)
+                  - COALESCE(c.common, 0) AS union_ct,
+                floor(CAST(COALESCE(c.common, 0) AS DOUBLE)
+                  / NULLIF(CAST(COALESCE(os.dg, 0) + COALESCE(odd.dg, 0)
+                      - COALESCE(c.common, 0) AS DOUBLE), 0.0)
+                  * 1000000 + 0.5) / 1000000 AS jaccard
+         FROM e x
+         LEFT JOIN cmn c ON c.src = x.src AND c.dst = x.dst
+         LEFT JOIN od os ON os.src = x.src
+         LEFT JOIN od odd ON odd.src = x.dst
+         ORDER BY x.src, x.dst"""
+
   /** How many leading dimensions the truncated-search rung keeps. */
   private[graft] val truncDim = 16
 
