@@ -1282,9 +1282,14 @@ object AnalyticOps {
       .agg(
         sum(when(!col("late"), 1L).otherwise(0L)).as("c_p"),
         sum(when(col("late"), 1L).otherwise(0L)).as("c_q"))
-    val totals = binned.groupBy(col("symbol"))
-      .agg(sum(col("c_p")).as("n_p"), sum(col("c_q")).as("n_q"))
-    binned.join(broadcast(totals), Seq("symbol"))
+    // per-symbol totals ride a window over the binned grid (≤ 10
+    // rows per symbol, aggregate-bounded) instead of a second
+    // aggregate joined back — the join form recomputed the whole
+    // binned subtree (mid + bounds + corpus count) a second time
+    val wSym = Window.partitionBy("symbol")
+    binned
+      .withColumn("n_p", sum(col("c_p")).over(wSym))
+      .withColumn("n_q", sum(col("c_q")).over(wSym))
       // Laplace-smoothed shares; ln input fenced to the 6-dp grid,
       // each term quantized to 1e-6 BEFORE the order-free long sum
       .withColumn("p", r6((col("c_p") + 1).cast("double")
@@ -1323,13 +1328,15 @@ object AnalyticOps {
         (size(expr("filter(bs, b -> value > b)")) + 1).as("dec"))
       .groupBy(col("t"), col("dec"))
       .agg(count(lit(1)).as("c_td"))
-    val tTot = cells.groupBy(col("t")).agg(sum(col("c_td")).as("c_t"))
-    val dTot = cells.groupBy(col("dec")).agg(sum(col("c_td")).as("c_d"))
-    val n = cells.agg(sum(col("c_td")).as("n_total"))
+    // marginals and the grand total are window sums over the
+    // (type, decile) grid — ≤ |types|·10 rows, aggregate-bounded —
+    // instead of three re-aggregates joined back, each of which
+    // recomputed the corpus scan + cell aggregation from scratch
     cells
-      .join(broadcast(tTot), Seq("t"))
-      .join(broadcast(dTot), Seq("dec"))
-      .join(broadcast(n), lit(true))
+      .withColumn("c_t", sum(col("c_td")).over(Window.partitionBy("t")))
+      .withColumn("c_d", sum(col("c_td")).over(Window.partitionBy("dec")))
+      .withColumn("n_total",
+        sum(col("c_td")).over(Window.partitionBy()))
       .withColumn("term_q",
         floor(((col("c_td").cast("double") / col("n_total"))
           * log(r6((col("c_td") * col("n_total")).cast("double")
@@ -3958,13 +3965,13 @@ object AnalyticOps {
     val cells = Tables.documents(s, d)
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("o"))
-    val rowTot = cells.groupBy(col("lang")).agg(sum(col("o")).as("rt"))
-    val colTot = cells.groupBy(col("source")).agg(sum(col("o")).as("ct"))
-    val tot = cells.agg(sum(col("o")).as("nn"))
+    // marginals/total as window sums over the |lang|×|source| grid
+    // (aggregate-bounded) — the re-aggregate-and-join-back form
+    // recomputed the corpus cell aggregation once per marginal
     cells
-      .join(broadcast(rowTot), Seq("lang"))
-      .join(broadcast(colTot), Seq("source"))
-      .crossJoin(broadcast(tot))
+      .withColumn("rt", sum(col("o")).over(Window.partitionBy("lang")))
+      .withColumn("ct", sum(col("o")).over(Window.partitionBy("source")))
+      .withColumn("nn", sum(col("o")).over(Window.partitionBy()))
       .withColumn("e",
         col("rt").cast("double") * col("ct").cast("double")
           / col("nn").cast("double"))
@@ -4190,24 +4197,34 @@ object AnalyticOps {
       .groupBy(col("prev_type").as("from_type"),
         col("event_type").as("to_type"))
       .agg(count(lit(1)).as("n"))
-    val marg = trans.groupBy(col("from_type")).agg(sum(col("n")).as("ni"))
-    val tot = marg.agg(sum(col("ni")).as("nn"),
-      count(lit(1)).as("n_states"))
-    val hCond = trans
-      .join(broadcast(marg), Seq("from_type"))
-      .crossJoin(broadcast(tot))
-      .select(floor(col("n").cast("double") / col("nn").cast("double")
-        * log(col("ni").cast("double") / col("n").cast("double"))
-        * lit(1000000.0) + lit(0.5)).cast("long").as("tq"))
-      .agg(sum(col("tq")).as("hq"))
-    val hMarg = marg.crossJoin(broadcast(tot))
-      .select(col("nn"), col("n_states"),
-        floor(col("ni").cast("double") / col("nn").cast("double")
-          * log(col("nn").cast("double") / col("ni").cast("double"))
-          * lit(1000000.0) + lit(0.5)).cast("long").as("mq"))
-      .groupBy(col("nn"), col("n_states"))
-      .agg(sum(col("mq")).as("h0q"))
-    hMarg.crossJoin(broadcast(hCond))
+    // marginals (ni), the grand total (nn) and the per-state marginal
+    // terms all ride windows over the ≤ |types|² transition grid
+    // (aggregate-bounded), folded in ONE final aggregate — the
+    // re-aggregate-and-broadcast-back form recomputed the corpus lag
+    // window + cell aggregation once per derived table (~5 passes).
+    // Each state's marginal term mq is attached to exactly one of its
+    // cells (row_number = 1); the term itself depends only on the
+    // group constants (ni, nn), so the carrier choice is irrelevant.
+    val cells = trans
+      .withColumn("ni",
+        sum(col("n")).over(Window.partitionBy("from_type")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("from_type").orderBy(col("to_type").asc)))
+      .withColumn("nn", sum(col("n")).over(Window.partitionBy()))
+    cells
+      .select(col("nn"), col("rn"),
+        floor(col("n").cast("double") / col("nn").cast("double")
+          * log(col("ni").cast("double") / col("n").cast("double"))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("tq"),
+        when(col("rn") === 1,
+          floor(col("ni").cast("double") / col("nn").cast("double")
+            * log(col("nn").cast("double") / col("ni").cast("double"))
+            * lit(1000000.0) + lit(0.5)).cast("long"))
+          .as("mq"))
+      .agg(max(col("nn")).as("nn"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_states"),
+        sum(col("tq")).as("hq"),
+        sum(col("mq")).as("h0q"))
       .select(col("nn").as("n_transitions"), col("n_states"),
         r6(col("hq").cast("double") / lit(1000000.0) / log(lit(2.0)))
           .as("h_rate_bits"),

@@ -4095,10 +4095,14 @@ object LlmTextOps {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .join(labels, Seq("doc_id"))
-    // class-conditional token counts + the shared totals, one pass
+    // class-conditional token counts + the shared totals, one pass;
+    // the vocab-sized count table is localCheckpoint'd (lazy) so the
+    // totals fold and the weight projection read ONE materialization
+    // instead of each re-running the corpus token aggregation
     val perTok = toks.groupBy(col("token"))
       .agg(sum(when(col("label_good"), 1L).otherwise(0L)).as("tg"),
         sum(when(!col("label_good"), 1L).otherwise(0L)).as("tb"))
+      .localCheckpoint(false)
     val totals = perTok.agg(
       sum(col("tg")).as("total_g"), sum(col("tb")).as("total_b"),
       count(lit(1)).as("v"))
@@ -4158,9 +4162,13 @@ object LlmTextOps {
       .join(labels, Seq("doc_id"))
       .withColumn("fold", foldCol)
     val train = toks.where(col("fold") =!= 0L)
+    // vocab-sized, localCheckpoint'd (lazy): totals, weights AND the
+    // unseen-token w0 all read one materialization — the bare form
+    // re-ran the train-fold token aggregation three times
     val perTok = train.groupBy(col("token"))
       .agg(sum(when(col("label_good"), 1L).otherwise(0L)).as("tg"),
         sum(when(!col("label_good"), 1L).otherwise(0L)).as("tb"))
+      .localCheckpoint(false)
     val totals = perTok.agg(
       sum(col("tg")).as("total_g"), sum(col("tb")).as("total_b"),
       count(lit(1)).as("v"))
