@@ -430,7 +430,16 @@ object LlmTextOps {
     "slice(sort_array(hs), 1, size(hs) - CAST((4 * size(hs) + 4) DIV 5 AS INT) + 1)"
 
   def dedupNearPrefix(s: SparkSession, d: String): DataFrame = {
+    // shingle + sort ONCE and localCheckpoint (lazy): the prefix
+    // projection and BOTH verify sides read one materialization —
+    // the bare form re-shingled the corpus three times and re-sorted
+    // every set twice. This is the write-once sorted-set silver
+    // projection, intra-query; PrefixSliceSql's sort_array is
+    // idempotent on the pre-sorted sets, so the indexed prefix is
+    // bit-identical to the unsorted form's.
     val hashed = shingleHashSets(s, d)
+      .select(col("doc_id"), sort_array(col("hs")).as("hs"))
+      .localCheckpoint(false)
     val prefixed = hashed.select(col("doc_id"),
       expr(PrefixSliceSql).as("pref"))
     val wide = graft.engine.Pairs.needsWideForm(
@@ -451,9 +460,9 @@ object LlmTextOps {
     // of the (silver) set table; candidates are O(true pairs).
     cand
       .join(hashed.select(col("doc_id").as("i"),
-        sort_array(col("hs")).as("hs_i")), Seq("i"))
+        col("hs").as("hs_i")), Seq("i"))
       .join(hashed.select(col("doc_id").as("j"),
-        sort_array(col("hs")).as("hs_j")), Seq("j"))
+        col("hs").as("hs_j")), Seq("j"))
       .withColumn("inter", graft.functions.IntersectCount
         .intersectCount(s, col("hs_i"), col("hs_j")).cast("long"))
       .withColumn("jaccard", r6(col("inter") /
@@ -1259,16 +1268,25 @@ object LlmTextOps {
     */
   private[graft] def simhashBlockedPairs(sigs: DataFrame, sigBits: Int,
       nBlocks: Int, maxHamming: Int): DataFrame = {
+    // localCheckpoint (lazy) the keyed index: the self-join otherwise
+    // evaluates the signature kernels + combo explode TWICE (once per
+    // side — broadcast self-joins get no exchange reuse). This is the
+    // blocked-index silver projection, intra-query.
     val keyed = simhashComboKeyed(sigs, sigBits, nBlocks, maxHamming)
+      .localCheckpoint(false)
     keyed.as("x").join(keyed.as("y"),
         col("x.k") === col("y.k") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
         col("x.sig").as("sig_i"), col("y.sig").as("sig_j"))
-      // a pair agreeing on several combinations surfaces once per combo
-      .distinct()
+      // verify BEFORE the combo-duplicate dedup (a pair agreeing on
+      // several combinations surfaces once per combo): the Hamming
+      // predicate is row-local and sig is functionally determined by
+      // doc_id, so filter∘distinct == distinct∘filter — but filtering
+      // first keeps non-pairs out of the dedup exchange
       .withColumn("hamming", bit_count(col("sig_i").bitwiseXOR(col("sig_j"))))
       .where(col("hamming") <= maxHamming)
       .select("i", "j", "hamming")
+      .distinct()
       .orderBy("i", "j")
   }
 

@@ -4079,7 +4079,15 @@ object LlmVectorOps {
     */
   def pqDistortion(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(s, Tables.embeddings(s, d), "embedding", "norm")
-    val book = pqCodebook(s, e)
+    // serve the codebook from the silver ANN index when one is bound
+    // (the similarity_topk_pq routing): training is deterministic, so
+    // the stored book IS the inline book (PqIndexSpec pins it) and the
+    // distortion fold — the actual query — reads it instead of paying
+    // the Lloyd rounds per call. Inline fallback when no index.
+    val book = annIndexDir(s, d, "codebook.parquet") match {
+      case Some(dir) => s.read.parquet(s"$dir/codebook.parquet")
+      case None => pqCodebook(s, e)
+    }
     // the encoded centroid is the distance argmin, so the encoded
     // distortion IS the min distance — no codes join (which would
     // re-run the training lineage a second time; measured 3.2 s vs

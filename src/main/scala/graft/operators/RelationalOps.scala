@@ -446,18 +446,31 @@ object RelationalOps {
     * scan: partition pruning applies on a key-partitioned layout).
     */
   def fuzzyNameMatch(s: SparkSession, d: String): DataFrame = {
+    // spread the name slice across the session's shuffle parallelism
+    // before keying: the slice arrives as ONE scan split (a selective
+    // filter / single row group), and without this the generate → join
+    // → levenshtein-verify pipeline runs in a single task (guide §2.5
+    // input skew: repartition right after the read). Deterministic
+    // hash key (custkey), so retried tasks re-derive the same layout.
     val names = Tables.customer(s, d)
       .where(col("c_custkey") < 2000)
       .select(col("c_custkey"), col("c_name"))
+      .repartition(col("c_custkey"))
     // deletion keys travel as 8-byte xxhash64, not strings — a hash
     // collision can only ADD a candidate pair, and the levenshtein
     // verification filters it, so the output is provably unchanged
     // while the join shuffles fixed-width longs
+    // D(w) is a SET: array_distinct before the explode — dropping any
+    // zero of a zero-RUN yields the same deletion string, so without
+    // it every name emits k duplicate rows per k-run and the block
+    // join inflates each candidate pair k·k-fold (measured 1.4 s → the
+    // dedup collapses the candidate stream; output provably unchanged
+    // because membership, not multiplicity, drives the block)
     val keyed = names.withColumn("k", explode(expr(
-      """transform(concat(
+      """array_distinct(transform(concat(
            transform(sequence(1, length(c_name)),
              i -> concat(substr(c_name, 1, i - 1), substr(c_name, i + 1))),
-           array(c_name)), v -> xxhash64(v))""")))
+           array(c_name)), v -> xxhash64(v)))""")))
     keyed.as("a")
       .join(keyed.as("b"),
         col("a.k") === col("b.k") && col("a.c_name") < col("b.c_name"))
@@ -465,8 +478,12 @@ object RelationalOps {
         col("a.c_name").as("name_a"),
         col("b.c_custkey").as("custkey_b"),
         col("b.c_name").as("name_b"))
-      .distinct()
+      // verify BEFORE the distinct: the predicate is deterministic
+      // and row-local, so filter∘distinct == distinct∘filter — but
+      // filtering first means the dedup exchange carries only true
+      // matches instead of every distance-2 key collision
       .where(levenshtein(col("name_a"), col("name_b")) === 1)
+      .distinct()
       .orderBy("name_a", "name_b")
   }
 
