@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Fast tier by default: wall-clock-heavy cases (polling triggers,
+// kill+restart chaos replays, whole-inventory sweeps) are tagged
+// graft.SlowTest and excluded so `sbt test` fits an automated budget
+// (~13 min of suite time vs ~32 with the slow tier included).
+// SPARK_GRAFT_SLOW_TESTS=1 sbt test runs EVERYTHING (both tiers).
+Test / testOptions ++= (
+  if (sys.env.contains("SPARK_GRAFT_SLOW_TESTS")) Seq.empty
+  else Seq(Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.SlowTest")))
 // The driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
 // as the round's bench JSON. Two pieces of sbt framing defeated that
 // for four rounds (BENCH_r07..r10 "parsed: null"): the forked

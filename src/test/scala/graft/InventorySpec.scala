@@ -34,7 +34,7 @@ class InventorySpec extends AnyFunSuite {
         s"stale documented: ${documented -- oracleLess}")
   }
 
-  test("all queries execute at sf0.001 and are non-empty where expected") {
+  test("all queries execute at sf0.001 and are non-empty where expected", SlowTest) {
     // join_anti may legitimately return 0 rows at tiny sf;
     // split_leakage needs an exact-dup pair straddling the 80/10/10
     // hash buckets, which the 50-doc corpus doesn't produce;

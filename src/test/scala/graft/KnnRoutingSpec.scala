@@ -24,7 +24,7 @@ class KnnRoutingSpec extends AnyFunSuite {
     LlmVectorOps.knnEdges(spark, d)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
 
-  test("full-probe ivf == exact edge set at sf0.001 and sf0.01") {
+  test("full-probe ivf == exact edge set at sf0.001 and sf0.01", SlowTest) {
     for (d <- Seq(TestSpark.sf0001, TestSpark.sf001)) {
       val exact = edges(d)
       assert(exact.nonEmpty, s"vacuous pin at $d")
@@ -94,7 +94,7 @@ class KnnRoutingSpec extends AnyFunSuite {
     }
   }
 
-  test("trained-codebook full-probe ivf == exact edge set") {
+  test("trained-codebook full-probe ivf == exact edge set", SlowTest) {
     val d = TestSpark.sf0001
     val exact = edges(d)
     spark.conf.set(LlmVectorOps.KnnSourceConf, "ivf")

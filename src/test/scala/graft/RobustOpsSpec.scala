@@ -252,11 +252,41 @@ class RobustOpsSpec extends AnyFunSuite {
     // running frame on the REVERSED sort (O(n)). This pin proves the
     // two formulations are bit-identical, including the tie rule
     // (a tick exactly ON a slot is prev with ratio 0, never next).
+    //
+    // The comparison runs over a TIME-BOUNDED copy of the sf0.001
+    // ticks (first 2 days), written to a temp corpus both sides read:
+    // the naive unboundedFollowing frame is O(n²) in the per-symbol
+    // minute-grid length, and sf0.001's full multi-month span made
+    // this one pin 677 s of an ~32 min suite. Two days keeps real
+    // data, real gaps, AND the tie rule exercised — one tick per
+    // symbol is injected exactly ON a minute slot (the case the tie
+    // ordering exists for), which the raw µs feed never lands on.
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val s = spark
     import graft.engine.Determinism.r6
-    val d = TestSpark.sf0001
+    val full = graft.engine.Tables.events(s, TestSpark.sf0001)
+    val cutoff = full.agg(min(col("ts"))).head().getTimestamp(0)
+      .toInstant.plusSeconds(2L * 86400)
+    val bounded = full.where(col("ts") <=
+      lit(java.sql.Timestamp.from(cutoff)))
+    // one synthetic tick per symbol exactly on a minute boundary,
+    // 10 min after that symbol's first (bounded) tick
+    val onSlot = bounded.groupBy(col("event_type"))
+      .agg(min(col("ts")).as("t0"), max(col("user_id")).as("uid"))
+      .select((lit(900000000L)
+          + row_number().over(Window.orderBy("event_type")).cast("long"))
+          .as("event_id"),
+        (date_trunc("minute", col("t0")) + expr("interval 10 minutes"))
+          .as("ts"),
+        col("uid").as("user_id"), col("event_type"),
+        lit(42.42).as("value"), lit("{\"k\": 7}").as("props"))
+    val d = java.nio.file.Files
+      .createTempDirectory("gapfill_pin").toString
+    bounded.unionByName(onSlot
+        .select("event_id", "ts", "user_id", "event_type", "value",
+          "props"))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
     val ev = graft.engine.Tables.events(s, d)
       .select(col("event_type").as("symbol"), col("ts"),
         unix_micros(col("ts")).as("us"),

@@ -178,7 +178,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("S5 polling_ingest: 5 s trigger job lands raw and flushes closed hours end-to-end") {
+  test("S5 polling_ingest: 5 s trigger job lands raw and flushes closed hours end-to-end", SlowTest) {
     import java.nio.file.{Files, Paths}
     val tmp = Files.createTempDirectory("graft_poll").toString
     val landing = s"$tmp/landing"
@@ -256,7 +256,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("S7 polling ingest lands closed hours into the reference's JDBC table") {
+  test("S7 polling ingest lands closed hours into the reference's JDBC table", SlowTest) {
     import java.nio.file.{Files, Paths}
     val tmp = Files.createTempDirectory("graft_poll_jdbc").toString
     val landing = s"$tmp/landing"
@@ -288,7 +288,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("S7b replayed epochs leave the JDBC sink duplicate-free (retry idempotence)") {
+  test("S7b replayed epochs leave the JDBC sink duplicate-free (retry idempotence)", SlowTest) {
     // foreachBatch offers at-least-once epoch execution: after a crash
     // between sink write and checkpoint commit, the SAME batch id
     // re-executes. Simulate exactly that by deleting the later commit
@@ -355,7 +355,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getAs[Long]("sample_count") == 2L)
   }
 
-  test("S7c mid-upsert crash (between stage and swap) converges to exactly-once on restart") {
+  test("S7c mid-upsert crash (between stage and swap) converges to exactly-once on restart", SlowTest) {
     // S7b replays a COMPLETED epoch; this kills the sink at the worst
     // point INSIDE one — after the staging table lands, before the
     // delete+insert transaction runs. The crash leaves: stage written,
@@ -1077,7 +1077,7 @@ class StreamingSpec extends AnyFunSuite {
   // were consumed pre-kill — and (b) emissions land exactly once
   // across the restart (replay-idempotence beyond single-run equality).
 
-  test("S14r streaming_gapfill: kill + checkpoint restart — carried fill survives, minutes exactly once") {
+  test("S14r streaming_gapfill: kill + checkpoint restart — carried fill survives, minutes exactly once", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     import graft.streaming.StreamingGapfill
@@ -1145,7 +1145,7 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
-  test("S15r streaming_ewma: kill + checkpoint restart — the fold value survives, scores exactly once") {
+  test("S15r streaming_ewma: kill + checkpoint restart — the fold value survives, scores exactly once", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     import graft.streaming.StreamingEwma
@@ -1208,7 +1208,7 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
-  test("S18r streaming_funnel: kill + checkpoint restart — step progress survives, steps exactly once") {
+  test("S18r streaming_funnel: kill + checkpoint restart — step progress survives, steps exactly once", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     import graft.streaming.StreamingFunnel
@@ -1262,7 +1262,7 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
-  test("S19r streaming_attribution: kill + checkpoint restart — click registry survives, verdicts exactly once") {
+  test("S19r streaming_attribution: kill + checkpoint restart — click registry survives, verdicts exactly once", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     import graft.streaming.StreamingAttribution
@@ -1451,7 +1451,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("S21r streaming_vwap: kill + checkpoint restart — open-cell folds survive, cells exactly once") {
+  test("S21r streaming_vwap: kill + checkpoint restart — open-cell folds survive, cells exactly once", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     import graft.streaming.StreamingVwap
@@ -1501,7 +1501,7 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
-  test("S22r streaming_dq: kill + checkpoint restart — rule counters survive, windows exactly once") {
+  test("S22r streaming_dq: kill + checkpoint restart — rule counters survive, windows exactly once", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     import graft.streaming.StreamingDq
@@ -1586,7 +1586,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("S23r streaming_dedup: kill + checkpoint restart — digest registry survives, docs exactly once") {
+  test("S23r streaming_dedup: kill + checkpoint restart — digest registry survives, docs exactly once", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     import graft.streaming.StreamingDedup
@@ -1666,7 +1666,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("S24r streaming_sessions: kill + checkpoint restart — open session state survives and merges") {
+  test("S24r streaming_sessions: kill + checkpoint restart — open session state survives and merges", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     import graft.streaming.StreamingSessions
@@ -1844,7 +1844,7 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
-  test("S25r streaming_ohlc_tws: kill + checkpoint restart — RocksDB ValueState and timers survive") {
+  test("S25r streaming_ohlc_tws: kill + checkpoint restart — RocksDB ValueState and timers survive", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     import graft.streaming.StreamingOhlcTws
@@ -1981,7 +1981,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("S27r streaming_scd2: kill + checkpoint restart — the open version survives") {
+  test("S27r streaming_scd2: kill + checkpoint restart — the open version survives", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     import graft.streaming.StreamingScd2
@@ -2088,7 +2088,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("S28r streaming_knn_serve: kill + checkpoint restart replays stably") {
+  test("S28r streaming_knn_serve: kill + checkpoint restart replays stably", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     import graft.streaming.StreamingKnnServe
@@ -2207,7 +2207,7 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(refDir))
   }
 
-  test("S29r streaming_knn_maintain: kill + checkpoint restart converges to the same silver") {
+  test("S29r streaming_knn_maintain: kill + checkpoint restart converges to the same silver", SlowTest) {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     import graft.operators.KnnIncremental

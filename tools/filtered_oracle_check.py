@@ -18,9 +18,12 @@ oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 names = [n for n in sorted(oracle) if glob.glob(f"{out_dir}/{n}/*.parquet")]
 fails, passes = [], []
 for name in names:
-    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    # read EVERY part file: a multi-part Verify dump compared via
+    # files[0] alone surfaces as a spurious row-count FAIL
     try:
-        got = con.sql(f"SELECT * FROM '{files[0]}'").fetchdf()
+        got = con.sql(
+            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
+        ).fetchdf()
         exp = con.sql(oracle[name]).fetchdf()
     except Exception as e:
         fails.append((name, f"query error: {e}")); continue
