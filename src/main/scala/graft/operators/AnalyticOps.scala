@@ -4232,6 +4232,11 @@ object AnalyticOps {
           .as("h_marginal_bits"),
         r6((col("h0q") - col("hq")).cast("double") / lit(1000000.0)
           / log(lit(2.0))).as("info_gain_bits"))
+      // zero-transition corpus: the single global agg would emit one
+      // all-null row where the pre-r13 groupBy+crossJoin form emitted
+      // none — restore the 0-row contract (free on any real corpus:
+      // one row-local filter over the single aggregate row)
+      .where(col("n_transitions").isNotNull)
   }
 
   /** `hurst_exponent` — rescaled-range (R/S) estimate of the Hurst

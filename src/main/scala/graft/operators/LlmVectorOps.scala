@@ -4083,8 +4083,15 @@ object LlmVectorOps {
     // (the similarity_topk_pq routing): training is deterministic, so
     // the stored book IS the inline book (PqIndexSpec pins it) and the
     // distortion fold — the actual query — reads it instead of paying
-    // the Lloyd rounds per call. Inline fallback when no index.
-    val book = annIndexDir(s, d, "codebook.parquet") match {
+    // the Lloyd rounds per call. Inline fallback when no index — OR
+    // when the index has been APPENDED to: an appended index's book
+    // is prefix-trained (appendAnnIndex never re-trains) while this
+    // query's oracle re-trains on the full corpus, so serving it
+    // would silently diverge. The serving rows (similarity_topk_pq /
+    // _ivf_pq) keep accepting appended indexes — encode-against-
+    // frozen-books is exactly their pinned contract.
+    val book = annIndexDir(s, d, "codebook.parquet")
+      .filterNot(annIndexAppended(s, _)) match {
       case Some(dir) => s.read.parquet(s"$dir/codebook.parquet")
       case None => pqCodebook(s, e)
     }
@@ -4153,6 +4160,23 @@ object LlmVectorOps {
     * corpus (first line: canonical corpus path; second: row count at
     * build, diagnostic only). */
   val CorpusFingerprintFile = "corpus.fingerprint"
+
+  /** Marker stamped by `CorpusSilver.appendAnnIndex`: the index's
+    * codebooks are now PREFIX-trained relative to the corpus they
+    * serve (appends encode against frozen books — correct for the
+    * encode/serve rows, which PqIndexSpec pins append == one-shot
+    * encode, but NOT for [[pqDistortion]], whose oracle re-trains on
+    * the full corpus). `pq_distortion` refuses an appended index and
+    * falls back to inline training; the serving rows keep accepting
+    * it. */
+  val AnnIndexAppendedMarker = "appended.marker"
+
+  /** True when `dir` carries the [[AnnIndexAppendedMarker]] stamp —
+    * driver-side metadata probe, no job. */
+  private[graft] def annIndexAppended(s: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir, AnnIndexAppendedMarker)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   /** Resolve the per-corpus index dir under [[AnnIndexConf]], gated
     * on `marker` existing AND the stored corpus fingerprint matching

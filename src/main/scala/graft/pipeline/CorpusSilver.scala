@@ -186,6 +186,15 @@ object CorpusSilver {
     graft.operators.LlmVectorOps.appendPqIndex(s, dir, batch)
     graft.operators.LlmVectorOps.appendIvfPqIndex(s, dir, batch)
     writeCorpusFingerprint(s, sfDir, dir)
+    // stamp the prefix-trained marker: serving rows keep accepting
+    // this index (frozen-book encode is their pinned contract), but
+    // pq_distortion — whose oracle RE-TRAINS on the full corpus —
+    // must fall back to inline training once the books no longer
+    // cover the corpus they serve
+    val mk = new org.apache.hadoop.fs.Path(dir,
+      graft.operators.LlmVectorOps.AnnIndexAppendedMarker)
+    val fs = mk.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.create(mk, true).close()
   }
 
   /** The kNN edge silver for one corpus under `dir`: the routed

@@ -161,6 +161,23 @@ class PqIndexSpec extends AnyFunSuite {
         == rows(spark.read.parquet(s"$ref/$f").orderBy(
           spark.read.parquet(s"$ref/$f").columns.map(col).toIndexedSeq: _*)),
         s"append modified the stored $f")
+    // pq_distortion refuses the appended index: its books are
+    // prefix-trained while the query's oracle RE-TRAINS on the full
+    // corpus, so with the grown index bound the query must fall back
+    // to inline training — identical to the unbound run — and the
+    // appended stamp (not luck) is what gates it. Serving rows keep
+    // accepting appended indexes (asserted above: grown == ref).
+    val base = tmp("graft-ann-base")
+    val target = new java.io.File(base, new java.io.File(d).getName)
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(grown), target)
+    assert(LlmVectorOps.annIndexAppended(spark, target.toString),
+      "appendAnnIndex did not stamp the appended marker")
+    val inline = rows(LlmVectorOps.pqDistortion(spark, d))
+    spark.conf.set(LlmVectorOps.AnnIndexConf, base)
+    try assert(rows(LlmVectorOps.pqDistortion(spark, d)) == inline,
+      "pq_distortion served a prefix-trained (appended) book")
+    finally spark.conf.unset(LlmVectorOps.AnnIndexConf)
   }
 
   test("pq_distortion: 8 full subspaces, mse below the 1-centroid floor") {
