@@ -436,7 +436,13 @@ object LlmTextOps {
     // every set twice. This is the write-once sorted-set silver
     // projection, intra-query; PrefixSliceSql's sort_array is
     // idempotent on the pre-sorted sets, so the indexed prefix is
-    // bit-identical to the unsorted form's.
+    // bit-identical to the unsorted form's. Executor-loss posture:
+    // localCheckpoint blocks are UNREPLICATED executor storage — a
+    // lost executor mid-query fails the job instead of recomputing
+    // (CorpusSilver's edge-memo tradeoff, documented there); on a
+    // cluster where that matters, swap for Dataset.checkpoint
+    // against a configured checkpoint dir (componentsFromPairs'
+    // reliableCheckpoint pattern).
     val hashed = shingleHashSets(s, d)
       .select(col("doc_id"), sort_array(col("hs")).as("hs"))
       .localCheckpoint(false)
@@ -1271,7 +1277,11 @@ object LlmTextOps {
     // localCheckpoint (lazy) the keyed index: the self-join otherwise
     // evaluates the signature kernels + combo explode TWICE (once per
     // side — broadcast self-joins get no exchange reuse). This is the
-    // blocked-index silver projection, intra-query.
+    // blocked-index silver projection, intra-query. Executor-loss
+    // posture: unreplicated executor blocks — a lost executor fails
+    // the query instead of recomputing (the CorpusSilver edge-memo
+    // tradeoff); swap for Dataset.checkpoint on clusters that need
+    // mid-query survival.
     val keyed = simhashComboKeyed(sigs, sigBits, nBlocks, maxHamming)
       .localCheckpoint(false)
     keyed.as("x").join(keyed.as("y"),
@@ -4116,7 +4126,10 @@ object LlmTextOps {
     // class-conditional token counts + the shared totals, one pass;
     // the vocab-sized count table is localCheckpoint'd (lazy) so the
     // totals fold and the weight projection read ONE materialization
-    // instead of each re-running the corpus token aggregation
+    // instead of each re-running the corpus token aggregation.
+    // Executor-loss posture: unreplicated executor blocks — lost
+    // executor fails the query rather than recomputing (CorpusSilver
+    // edge-memo tradeoff; Dataset.checkpoint is the cluster swap)
     val perTok = toks.groupBy(col("token"))
       .agg(sum(when(col("label_good"), 1L).otherwise(0L)).as("tg"),
         sum(when(!col("label_good"), 1L).otherwise(0L)).as("tb"))
@@ -4263,29 +4276,56 @@ object LlmTextOps {
       .select(col("doc_id"), col("removed_tokens"))
     val semRemoved = graft.operators.LlmVectorOps.semdedup(s, d)
       .select(col("vec_id").as("doc_id"))
-    val s2 = docs.join(exactKeep, Seq("doc_id"), "left_semi")
-    val s3 = s2.join(nearRemoved, Seq("doc_id"), "left_anti")
-    val s4 = s3.join(substr, Seq("doc_id"), "left")
-      .withColumn("toks4",
-        col("n_toks") - coalesce(col("removed_tokens"), lit(0L)))
-    val s5 = s4.join(semRemoved, Seq("doc_id"), "left_anti")
-    def row(df: DataFrame, stage: String, tokCol: String) =
-      df.agg(count(lit(1)).as("n_docs"),
-        sum(col(tokCol)).as("n_tokens"))
-        .withColumn("stage", lit(stage))
-    val funnel = row(docs, "1_raw", "n_toks")
-      .unionByName(row(s2, "2_exact", "n_toks"))
-      .unionByName(row(s3, "3_near", "n_toks"))
-      .unionByName(row(s4, "4_substring", "toks4"))
-      .unionByName(row(s5, "5_semantic", "toks4"))
-    val rawTotals = row(docs, "1_raw", "n_toks")
-      .select(col("n_docs").as("raw_docs"), col("n_tokens").as("raw_tokens"))
-    funnel.crossJoin(broadcast(rawTotals))
+    // ONE pass: the five funnel stages were five separate aggregates,
+    // each re-running its whole upstream chain (the exact-keep
+    // groupBy over the corpus recomputed 4×, documents scanned ~10× —
+    // guide §2.4/§6, the r13 marginal-rejoin pattern). Stage
+    // membership is monotone (each gate only removes docs), so one
+    // flagged row per doc carries every stage's predicate and ONE
+    // aggregate computes all five (docs, tokens) pairs as conditional
+    // sums; the funnel unstacks from that single row. Every gate
+    // table is unique on doc_id (exactKeep: one row per text group;
+    // nearRemoved: distinct; substr: groupBy(doc_id); semRemoved:
+    // vec_id unique in the assignment), so the left joins cannot
+    // duplicate rows and flags ≡ the semi/anti joins they replace.
+    val flags = docs
+      .join(exactKeep.withColumn("f2", lit(true)), Seq("doc_id"), "left")
+      .join(nearRemoved.withColumn("rm3", lit(true)), Seq("doc_id"), "left")
+      .join(substr, Seq("doc_id"), "left")
+      .join(semRemoved.withColumn("rm5", lit(true)), Seq("doc_id"), "left")
+      .select(col("n_toks"),
+        coalesce(col("f2"), lit(false)).as("f2"),
+        (coalesce(col("f2"), lit(false))
+          && !coalesce(col("rm3"), lit(false))).as("f3"),
+        (col("n_toks") - coalesce(col("removed_tokens"), lit(0L)))
+          .as("toks4"),
+        (coalesce(col("f2"), lit(false))
+          && !coalesce(col("rm3"), lit(false))
+          && !coalesce(col("rm5"), lit(false))).as("f5"))
+    def cnt(f: org.apache.spark.sql.Column) =
+      sum(when(f, 1L).otherwise(0L))
+    def tok(f: org.apache.spark.sql.Column,
+        t: org.apache.spark.sql.Column) = sum(when(f, t))
+    flags.agg(
+      count(lit(1)).as("d1"), sum(col("n_toks")).as("t1"),
+      cnt(col("f2")).as("d2"), tok(col("f2"), col("n_toks")).as("t2"),
+      cnt(col("f3")).as("d3"), tok(col("f3"), col("n_toks")).as("t3"),
+      tok(col("f3"), col("toks4")).as("t4"),
+      cnt(col("f5")).as("d5"), tok(col("f5"), col("toks4")).as("t5"))
+      .selectExpr(
+        """stack(5,
+             '1_raw',       d1, t1,
+             '2_exact',     d2, t2,
+             '3_near',      d3, t3,
+             '4_substring', d3, t4,
+             '5_semantic',  d5, t5
+           ) AS (stage, n_docs, n_tokens)""",
+        "d1", "t1")
       .select(col("stage"), col("n_docs"), col("n_tokens"),
-        r6(col("n_docs").cast("double") / col("raw_docs").cast("double"))
+        r6(col("n_docs").cast("double") / col("d1").cast("double"))
           .as("pct_docs"),
         r6(col("n_tokens").cast("double")
-          / col("raw_tokens").cast("double")).as("pct_tokens"))
+          / col("t1").cast("double")).as("pct_tokens"))
       .orderBy("stage")
   }
 

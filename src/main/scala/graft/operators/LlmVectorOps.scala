@@ -1603,6 +1603,30 @@ object LlmVectorOps {
   def semdedup(s: SparkSession, d: String): DataFrame = {
     val assigned = semdedupAssigned(s, d)
     val cap = s.conf.get(SemDedupHotCellCapConf, "0").toInt
+    // the REMOVED set is |removals| tiny rows consumed by this row
+    // AND dedup_cascade's 5_semantic gate, and the Σ C(cell, 2) pair
+    // scan above it re-ran per call (0.55 s/call at sf0.1 — the
+    // whole cascade's dominant term). Memoize it like the assignment
+    // it reads (same `spark.graft.lloyd.materialize` dial, same
+    // fingerprint lifecycle); the hot-cell cap joins the key so a
+    // conf-forced cap never serves another cap's entry (outputs are
+    // pinned equal, but the key keeps the contract structural).
+    // `assigned` is resolved ABOVE the memo (SessionMemo nesting
+    // convention). Ordering is applied on read — the memoized frame
+    // is the unordered removed set.
+    if (s.conf.get("spark.graft.lloyd.materialize", "true").toBoolean)
+      return graft.engine.SessionMemo.getOrBuild(s,
+        "semdedup_removed|" + cap + "|" +
+          graft.engine.SessionMemo.tableFingerprint(s, d, "embeddings"))(
+        semdedupRemoved(s, assigned, cap)).orderBy("vec_id")
+    semdedupRemoved(s, assigned, cap).orderBy("vec_id")
+  }
+
+  /** [[semdedup]]'s removed-set lineage (unordered): the within-cell
+    * ε-pair scan + keep-the-outlier rule, factored so the memoized
+    * and bypass paths share one definition. */
+  private def semdedupRemoved(s: SparkSession, assigned: DataFrame,
+      cap: Int): DataFrame = {
     val decorated =
       if (cap > 0) {
         // hot-cell-capped pair generation: candidate (i, j) ids come
@@ -1647,7 +1671,6 @@ object LlmVectorOps {
             col("cs_j").as("cent_sim"))).as("r"))
       .select(col("r.vec_id"), col("r.cent_id"), col("r.cent_sim"))
       .distinct()
-      .orderBy("vec_id")
   }
 
   /** Hot-cell cap for [[semdedup]]'s within-cell pair stream (0 =
