@@ -2536,15 +2536,25 @@ object LlmTextOps {
     * corpus shuffle.
     */
   def bigramNovelty(s: SparkSession, d: String): DataFrame = {
+    // bigram keys reduce to 8-byte xxhash64 BEFORE the shuffle (the
+    // dedup_exact_digest posture: a collision could only merge two
+    // bigrams' df counts, and the string-replaying oracle hash-gates
+    // the result at every oracle sf), and df attaches as a window
+    // count over the bigram-keyed partition instead of a
+    // re-aggregate-and-join-back — the r13 marginal-rejoin removal
+    // (guide §2.4): one exchange on the 8-byte key serves both the
+    // df count and the per-doc fold, no second aggregate build, no
+    // join. Per-key window groups are df-sized and spill-safe.
     val bg = Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))
       .where(size(col("toks")) >= 2)
       .select(col("doc_id"),
         explode(array_distinct(expr(
           """transform(sequence(0, size(toks) - 2),
-               i -> concat(toks[i], ' ', toks[i + 1]))"""))).as("bg"))
-    val dfTable = bg.groupBy(col("bg")).agg(count(lit(1)).as("df"))
-    bg.join(dfTable, Seq("bg"))
+               i -> concat(toks[i], ' ', toks[i + 1]))"""))).as("bgs"))
+      .select(col("doc_id"), xxhash64(col("bgs")).as("bg"))
+    bg.withColumn("df",
+        count(lit(1)).over(Window.partitionBy("bg")))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_bigrams"),

@@ -481,8 +481,14 @@ object RelationalOps {
       // verify BEFORE the distinct: the predicate is deterministic
       // and row-local, so filter∘distinct == distinct∘filter — but
       // filtering first means the dedup exchange carries only true
-      // matches instead of every distance-2 key collision
-      .where(levenshtein(col("name_a"), col("name_b")) === 1)
+      // matches instead of every distance-2 key collision.
+      // THRESHOLDED levenshtein (Spark 3.5+): the bounded form runs a
+      // banded O(n·k) DP and bails at distance > 1, vs the full
+      // O(n·m) matrix per candidate — the verify is this query's
+      // dominant per-row work. lev(a,b) = 1 ⟺ levenshtein(a, b, 1)
+      // = 1 (0 ⇒ returns 0, > 1 ⇒ returns -1), so the predicate is
+      // unchanged.
+      .where(levenshtein(col("name_a"), col("name_b"), 1) === 1)
       .distinct()
       .orderBy("name_a", "name_b")
   }
