@@ -279,21 +279,23 @@ class PlanShapeSpec extends AnyFunSuite {
       "chunk text crossed a shuffle:\n" + exchanges.mkString("\n"))
   }
 
-  test("bigram_novelty: AQE broadcasts the df table — no sort-merge join") {
-    // the df-table join is deliberately left to AQE (the table is
-    // vocab²-bounded but corpus-growing); this pin proves AQE's
-    // runtime choice at a post-aggregation size representative of the
-    // bench scale is a broadcast build, so the bg side never shuffles
-    // for the join — the bigram aggregation stays the only corpus
-    // shuffle. If this ever flips to SortMergeJoin at test scale, the
-    // AQE-deferred strategy has regressed and a size-conditional hint
-    // is warranted.
+  test("bigram_novelty: no df rejoin — window df over hashed keys, joins gone") {
+    // r14 rewrite: df attaches as a window count over the
+    // xxhash64(bigram)-keyed partition instead of re-aggregating a
+    // df table and joining it back — there must be NO join of any
+    // strategy left, the window must be keyed (never partition-less),
+    // and no shuffle may carry the bigram STRING (keys reduce to
+    // 8 bytes before the exchange, the dedup_chunks posture).
     val df = SparkEntry.queries("bigram_novelty")(spark, sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastHashJoin"), p.take(2000))
-    assert(!p.contains("SortMergeJoin"),
-      "df-table join fell back to SMJ:\n" + p.take(2000))
+    assert(!p.contains("Join"), "df rejoin came back:\n" + p.take(2000))
+    assert(p.contains("windowspecdefinition(bg"),
+      "df window lost its bigram partitioning:\n" + p.take(2000))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("bgs")),
+      "bigram strings crossed a shuffle:\n" + exchanges.mkString("\n"))
   }
 
   test("the _served PQ rows plan over the stored index, the plain rows inline") {
